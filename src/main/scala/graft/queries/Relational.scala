@@ -1,0 +1,419 @@
+package graft.queries
+
+import graft.{QueryGroup, Tables}
+import graft.Tables.{dec2, one2, asDouble}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** SURVEY §2.1 scans/sources/sinks + §2.2 projection/filter.
+  *
+  * The reference delegates all of this to Spark via dbt-spark
+  * (reference `dbtoperator.py:273-274`); here it is the native
+  * DataFrame surface. Every query carries an explicit total ORDER BY
+  * so the DuckDB oracle hash-compare is deterministic.
+  */
+object Scans extends QueryGroup {
+
+  /** dbt `seed` fixture: a tiny CSV with declared schema
+    * (reference `dbtoperator.py:46,324` — seeds are just another dbt
+    * command). Embedded so the oracle can mirror it as a VALUES list.
+    */
+  val seedCsvLines: Seq[String] = Seq(
+    "id,code,tier",
+    "1,DE,1",
+    "2,FR,1",
+    "3,US,2",
+    "4,JP,2",
+    "5,BR,3",
+    "6,IN,3",
+    "7,CN,1",
+    "8,AU,2"
+  )
+  val seedSchema: StructType = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("code", StringType),
+    StructField("tier", IntegerType)
+  ))
+
+  def seedDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.read.option("header", "true").schema(seedSchema)
+      .csv(s.createDataset(seedCsvLines))
+  }
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  override def queries: Map[String, Q] = Map(
+    "scan_parquet" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
+
+    "scan_csv_seed" -> ((s, _) => seedDf(s).orderBy("id")),
+
+    "scan_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+            .getField("k").as("jk"))
+        .orderBy("event_id")),
+
+    // Write → re-read round trip (dbt `table` materialization = CTAS,
+    // derived from the dbt-spark pin). Aggregate after re-read so the
+    // oracle compares stable values, not file layout.
+    "sink_parquet" -> ((s, d) => {
+      val out = tmpDir("graft_sink_parquet")
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity").between(10, 40))
+        .write.mode("overwrite").parquet(s"$out/t")
+      s.read.parquet(s"$out/t")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec2(col("l_quantity")))).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Partitioned write (dbt-spark `partition_by` model config).
+    // 100 TB note: partition columns must be low-cardinality
+    // (event_type: 5 values) — high-cardinality partitioning would
+    // create a small-files explosion at scale.
+    "sink_partitioned" -> ((s, d) => {
+      val out = tmpDir("graft_sink_part")
+      Tables.events(s, d)
+        .write.mode("overwrite").partitionBy("event_type").parquet(s"$out/t")
+      s.read.parquet(s"$out/t")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec2(col("value")))).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // dbt `view` materialization → temp view + SQL over it.
+    "create_view" -> ((s, d) => {
+      val nr = Tables.nation(s, d).join(Tables.region(s, d),
+        col("n_regionkey") === col("r_regionkey"))
+      nr.createOrReplaceTempView("v_nation_region")
+      s.sql("SELECT n_name, r_name FROM v_nation_region ORDER BY n_name")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
+
+    "scan_csv_seed" -> {
+      val rows = seedCsvLines.drop(1).map { l =>
+        val Array(id, code, tier) = l.split(","); s"($id,'$code',$tier)"
+      }.mkString(", ")
+      s"SELECT * FROM (VALUES $rows) AS t(id, code, tier) ORDER BY id"
+    },
+
+    "scan_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS jk
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "sink_parquet" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_quantity BETWEEN 10 AND 40
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "sink_partitioned" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "create_view" ->
+      """SELECT n_name, r_name FROM nation
+        |JOIN region ON n_regionkey = r_regionkey ORDER BY n_name""".stripMargin
+  )
+}
+
+/** SURVEY §2.2 projection / filter / predicates. */
+object Projections extends QueryGroup {
+  override def queries: Map[String, Q] = Map(
+    "project_select" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("net_price"),
+        upper(col("l_returnflag")).as("rf"))
+        .orderBy("l_orderkey", "l_linenumber", "net_price", "rf")),
+
+    "filter_pred" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity").between(5, 45)
+          && col("l_returnflag").isin("A", "R")
+          && col("l_shipdate") >= lit("1996-01-01").cast(TimestampType)
+          && col("l_shipdate").isNotNull
+          && !(col("l_discount") < 0.02)
+          && col("l_linestatus").like("F%"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")),
+
+    "filter_case_when" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 30, "mid")
+          .otherwise("high").as("band"))
+        .orderBy("l_orderkey", "l_linenumber", "band")),
+
+    "distinct_rows" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus"))
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "project_select" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS net_price,
+        |  upper(l_returnflag) AS rf
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price, rf""".stripMargin,
+
+    "filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 5 AND 45
+        |  AND l_returnflag IN ('A','R')
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate IS NOT NULL
+        |  AND NOT (l_discount < 0.02)
+        |  AND l_linestatus LIKE 'F%'
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin,
+
+    "filter_case_when" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity < 10 THEN 'low'
+        |       WHEN l_quantity < 30 THEN 'mid'
+        |       ELSE 'high' END AS band
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, band""".stripMargin,
+
+    "distinct_rows" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
+}
+
+/** SURVEY §2.3 joins. Broadcast hints on the dim sides; the theta/range
+  * join uses band-bucketing so it stays an equi-join at 100 TB instead
+  * of a quadratic nested-loop.
+  */
+object Joins extends QueryGroup {
+  private def revenue: Column =
+    asDouble(sum(dec2(col("l_extendedprice")) * (one2 - dec2(col("l_discount")))))
+
+  override def queries: Map[String, Q] = Map(
+    "join_inner_equi" -> ((s, d) =>
+      Tables.orders(s, d).join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"), "inner")
+        .select("o_orderkey", "o_totalprice", "c_name")
+        .orderBy("o_orderkey")),
+
+    "join_left" -> ((s, d) =>
+      Tables.customer(s, d).join(Tables.orders(s, d),
+        col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")),
+
+    "join_right" -> ((s, d) =>
+      Tables.orders(s, d).join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"), "right")
+        .select("c_custkey", "o_orderkey")
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)),
+
+    "join_full" -> ((s, d) => {
+      val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("ck"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = Tables.supplier(s, d).groupBy(col("s_nationkey").as("sk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sup, col("ck") === col("sk"), "full")
+        .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+          col("n_cust"), col("n_supp"))
+        .orderBy("nationkey")
+    }),
+
+    "join_semi" -> ((s, d) =>
+      Tables.customer(s, d).join(
+        Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    "join_anti" -> ((s, d) =>
+      Tables.customer(s, d).join(
+        Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    "join_cross" -> ((s, d) =>
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select("r_name", "n_name").orderBy("r_name", "n_name")),
+
+    // Small dims explicitly broadcast — at 100 TB the fact side never
+    // shuffles for these joins. A plan test asserts
+    // BroadcastHashJoinExec.
+    "join_broadcast" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(revenue.as("revenue"))
+        .orderBy("n_name")),
+
+    // Range/theta join via band-bucketing: replicate one side to the
+    // 3 adjacent price bands and equi-join on the band key, then apply
+    // the exact range predicate. |Δprice| ≤ 5 with band width 5 ⇒ the
+    // bands differ by at most 1, so each qualifying pair matches
+    // exactly once. This keeps the op a shuffled hash join (linear)
+    // instead of a O(n²) BroadcastNestedLoopJoin at scale.
+    "join_theta_range" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .select(col("p_partkey").as("pk"), col("p_retailprice").as("pp"))
+        .withColumn("band", floor(col("pp") / 5))
+      val q = Tables.part(s, d)
+        .select(col("p_partkey").as("qk"), col("p_retailprice").as("qp"))
+        .withColumn("qband", floor(col("qp") / 5))
+        .withColumn("band", explode(array(col("qband") - 1, col("qband"),
+          col("qband") + 1)))
+        .drop("qband")
+      p.join(q, Seq("band"))
+        .filter(col("qp") >= col("pp") - 5 && col("qp") <= col("pp") + 5
+          && col("pk") =!= col("qk"))
+        .groupBy(col("pk").as("p_partkey")).agg(count(lit(1)).as("n"))
+        .orderBy("p_partkey")
+    }),
+
+    // TPC-H Q5-shaped star join: fact tables joined on shuffled keys,
+    // dims broadcast. Join order: lineitem⋈orders first (biggest
+    // reduction from the date filter), then the dim chain.
+    "join_multiway" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType)
+          && col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      Tables.lineitem(s, d)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name").agg(revenue.as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // As-of join (north-star; no native batch as-of in Spark 4): for
+    // each click, the latest purchase by the same user at-or-before
+    // its timestamp. Implemented with the union+window trick — ONE
+    // shuffle on user_id, no per-row subquery, scales linearly.
+    // Reference basis: SURVEY §2.3 join_asof.
+    "join_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"),
+          col("event_id").as("pid"), lit(null).cast(LongType).as("cid"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"),
+          lit(null).cast(LongType).as("pid"), col("event_id").as("cid"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("kind"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      purchases.unionByName(clicks)
+        .withColumn("last_pid", last(col("pid"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("cid").as("event_id"), col("user_id"),
+          col("last_pid").as("purchase_id"))
+        .orderBy("event_id")
+    })
+  )
+
+  private val revenueSql =
+    """CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |  (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "join_inner_equi" ->
+      """SELECT o_orderkey, o_totalprice, c_name FROM orders
+        |JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""".stripMargin,
+
+    "join_left" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
+    "join_right" ->
+      """SELECT c_custkey, o_orderkey FROM orders
+        |RIGHT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "join_full" ->
+      """SELECT coalesce(c.ck, s.sk) AS nationkey, c.n_cust, s.n_supp
+        |FROM (SELECT c_nationkey AS ck, count(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey AS sk, count(*) AS n_supp FROM supplier GROUP BY 1) s
+        |  ON c.ck = s.sk
+        |ORDER BY nationkey""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "join_broadcast" ->
+      s"""SELECT n_name, $revenueSql AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "join_theta_range" ->
+      """SELECT p.p_partkey, count(*) AS n
+        |FROM part p JOIN part q
+        |  ON q.p_retailprice >= p.p_retailprice - 5
+        | AND q.p_retailprice <= p.p_retailprice + 5
+        | AND p.p_partkey <> q.p_partkey
+        |GROUP BY p.p_partkey ORDER BY p.p_partkey""".stripMargin,
+
+    "join_multiway" ->
+      s"""SELECT n_name, $revenueSql AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "join_asof" ->
+      """SELECT c.event_id, c.user_id, p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin
+  )
+}

@@ -33,7 +33,11 @@ object SparkEntry {
   private val groups: Seq[QueryGroup] = Seq(
     _root_.graft.queries.Scans,
     _root_.graft.queries.Projections,
-    _root_.graft.queries.Joins
+    _root_.graft.queries.Joins,
+    _root_.graft.queries.Aggregates,
+    _root_.graft.queries.Windows,
+    _root_.graft.queries.SortLimit,
+    _root_.graft.queries.SetOps
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

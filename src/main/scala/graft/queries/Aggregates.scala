@@ -1,0 +1,291 @@
+package graft.queries
+
+import graft.{QueryGroup, Tables}
+import graft.Tables.{dec2, one2, asDouble}
+import graft.operators.WeightedAvg
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.4 aggregations. Partial/final split, hash-vs-sort agg and
+  * spill are Catalyst-internal; determinism across engines comes from
+  * exact DECIMAL pre-casts (order-independent sums) with double math
+  * only on the already-exact aggregates.
+  */
+object Aggregates extends QueryGroup {
+
+  private def dql(c: Column): Column = c.cast(DecimalType(3, 2))
+
+  override def queries: Map[String, Q] = Map(
+    // TPC-H Q1 at full width — the flagship shape (SURVEY §7 Phase 0).
+    "agg_group" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          asDouble(sum(dec2(col("l_quantity")))).as("sum_qty"),
+          asDouble(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+          asDouble(sum(dec2(col("l_extendedprice")) * (one2 - dec2(col("l_discount")))))
+            .as("sum_disc_price"),
+          asDouble(sum(dec2(col("l_extendedprice")) *
+            ((lit(1).cast(DecimalType(3, 2)) - dql(col("l_discount"))) *
+              (lit(1).cast(DecimalType(3, 2)) + dql(col("l_tax"))))))
+            .as("sum_charge"),
+          (asDouble(sum(dec2(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+          (asDouble(sum(dec2(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "agg_global" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        asDouble(sum(dec2(col("l_quantity")))).as("total_qty"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))),
+
+    "agg_count_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status"))),
+
+    // HLL sketch — no oracle (approximate); the unit test bounds the
+    // error vs the exact count. At 100 TB this is the only sane
+    // distinct-count: fixed-size sketch, no shuffle of raw keys.
+    "agg_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))),
+
+    "agg_having" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec2(col("l_quantity")))).as("sum_qty"))
+        .filter(col("sum_qty") > 1000.0)
+        .orderBy("l_suppkey")),
+
+    "agg_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec2(col("l_quantity")))).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")),
+
+    "agg_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("n"))
+        .orderBy("rf", "ls")),
+
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT coalesce(l_returnflag, '(all)') AS rf,
+          |       coalesce(l_linestatus, '(all)') AS ls,
+          |       count(*) AS n
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY rf, ls""".stripMargin)
+    }),
+
+    "agg_collect" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(
+          array_sort(collect_list(col("o_orderkey"))).as("order_keys"),
+          array_sort(collect_set(col("o_orderstatus"))).as("statuses"))
+        .orderBy("o_custkey")),
+
+    // Moment statistics + correlation + positional median, all derived
+    // from exact decimal sums so the double formula evaluates
+    // identically in Spark and DuckDB (SURVEY §2.4 agg_stats; built-in
+    // stddev/corr are float-order-dependent, unusable for hash
+    // compare).
+    "agg_stats" -> ((s, d) => {
+      val base = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("rf"),
+        dec2(col("l_quantity")).as("q"),
+        dec2(col("l_extendedprice")).as("p"))
+      val stats = base.groupBy("rf").agg(
+        count(lit(1)).as("n"),
+        asDouble(sum(col("q"))).as("sq"),
+        asDouble(sum(col("q") * col("q"))).as("sq2"),
+        asDouble(sum(col("p"))).as("sp"),
+        asDouble(sum(col("p") * col("p"))).as("sp2"),
+        asDouble(sum(col("q") * col("p"))).as("spq"))
+      val w = Window.partitionBy("rf").orderBy("q")
+      val med = base
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("rf")))
+        .filter(col("rn") === expr("(cnt+1) div 2") ||
+          col("rn") === expr("(cnt+2) div 2"))
+        .groupBy("rf")
+        .agg((asDouble(sum(col("q"))) / count(lit(1))).as("median_qty"))
+      stats.join(med, "rf")
+        .select(
+          col("rf").as("l_returnflag"),
+          col("n"),
+          (col("sq") / col("n")).as("mean_qty"),
+          ((col("sq2") - col("sq") * col("sq") / col("n")) / (col("n") - 1))
+            .as("var_qty"),
+          sqrt((col("sq2") - col("sq") * col("sq") / col("n")) / (col("n") - 1))
+            .as("stddev_qty"),
+          ((col("n") * col("spq") - col("sq") * col("sp")) /
+            (sqrt(col("n") * col("sq2") - col("sq") * col("sq")) *
+              sqrt(col("n") * col("sp2") - col("sp") * col("sp"))))
+            .as("corr_qty_price"),
+          col("median_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    "agg_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_id") +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("user_id")
+    }),
+
+    "agg_custom_udaf" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          (dec2(col("l_extendedprice")) * lit(100)).cast(LongType).as("pc"),
+          (dec2(col("l_quantity")) * lit(100)).cast(LongType).as("qc"))
+        .groupBy("l_returnflag")
+        .agg(WeightedAvg.wavg(col("pc"), col("qc")).as("wavg_price"))
+        .orderBy("l_returnflag"))
+  )
+
+  private val sumQty =
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)"
+  private val sumPrice =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)"
+
+  override def oracles: Map[String, String] = Map(
+    "agg_group" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  $sumQty AS sum_qty,
+         |  $sumPrice AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+         |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+         |    AS sum_disc_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+         |    ((CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) *
+         |     (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))))) AS DOUBLE)
+         |    AS sum_charge,
+         |  $sumQty / count(*) AS avg_qty,
+         |  $sumPrice / count(*) AS avg_price,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_global" ->
+      s"""SELECT count(*) AS n_rows, $sumQty AS total_qty,
+         |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+         |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+         |FROM lineitem""".stripMargin,
+
+    "agg_count_distinct" ->
+      """SELECT count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+        |FROM lineitem""".stripMargin,
+
+    "agg_having" ->
+      s"""SELECT l_suppkey, count(*) AS n, $sumQty AS sum_qty
+         |FROM lineitem GROUP BY l_suppkey
+         |HAVING $sumQty > 1000.0
+         |ORDER BY l_suppkey""".stripMargin,
+
+    "agg_rollup" ->
+      s"""SELECT coalesce(l_returnflag, '(all)') AS rf,
+         |  coalesce(l_linestatus, '(all)') AS ls,
+         |  count(*) AS n, $sumQty AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY rf, ls""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |  coalesce(l_linestatus, '(all)') AS ls,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |  coalesce(l_linestatus, '(all)') AS ls,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
+
+    "agg_collect" ->
+      """SELECT o_custkey,
+        |  list_sort(list(o_orderkey)) AS order_keys,
+        |  list_sort(list(DISTINCT o_orderstatus)) AS statuses
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "agg_stats" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS rf,
+        |    CAST(l_quantity AS DECIMAL(12,2)) AS q,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS p
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT rf, count(*) AS n,
+        |    CAST(SUM(q) AS DOUBLE) AS sq, CAST(SUM(q*q) AS DOUBLE) AS sq2,
+        |    CAST(SUM(p) AS DOUBLE) AS sp, CAST(SUM(p*p) AS DOUBLE) AS sp2,
+        |    CAST(SUM(q*p) AS DOUBLE) AS spq
+        |  FROM base GROUP BY rf),
+        |m AS (
+        |  SELECT rf, CAST(SUM(q) AS DOUBLE)/COUNT(*) AS median_qty
+        |  FROM (SELECT rf, q,
+        |          row_number() OVER (PARTITION BY rf ORDER BY q) AS rn,
+        |          count(*) OVER (PARTITION BY rf) AS cnt
+        |        FROM base) t
+        |  WHERE rn = (cnt+1)//2 OR rn = (cnt+2)//2
+        |  GROUP BY rf)
+        |SELECT s.rf AS l_returnflag, n,
+        |  sq/n AS mean_qty,
+        |  (sq2 - sq*sq/n)/(n-1) AS var_qty,
+        |  sqrt((sq2 - sq*sq/n)/(n-1)) AS stddev_qty,
+        |  (n*spq - sq*sp)/(sqrt(n*sq2 - sq*sq)*sqrt(n*sp2 - sp*sp))
+        |    AS corr_qty_price,
+        |  median_qty
+        |FROM s JOIN m ON s.rf = m.rf
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "agg_custom_udaf" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -1,0 +1,221 @@
+package graft.queries
+
+import graft.{QueryGroup, Tables}
+import graft.Tables.{dec2, asDouble}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.5 window functions. All partitions key on user_id /
+  * custkey — at 100 TB the window shuffle is one exchange on the
+  * partition key; frames never buffer more than a partition.
+  * Running/moving sums use DECIMAL so frame accumulation order
+  * (incremental in Spark, segment-tree in DuckDB) cannot change the
+  * result.
+  */
+object Windows extends QueryGroup {
+
+  override def queries: Map[String, Q] = Map(
+    "win_rank" -> ((s, d) => {
+      val byVal = Window.partitionBy("user_id").orderBy(col("value").desc)
+      val total = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"), col("value"),
+        row_number().over(total).as("rn"),
+        rank().over(byVal).as("rnk"),
+        dense_rank().over(byVal).as("drnk"))
+        .orderBy("event_id")
+    }),
+
+    "win_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d).select(
+        col("event_id"),
+        lag(col("event_id"), 1).over(w).as("prev_id"),
+        lead(col("event_id"), 1).over(w).as("next_id"),
+        (col("value") - lag(col("value"), 1).over(w)).as("dv"))
+        .orderBy("event_id")
+    }),
+
+    "win_running" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, 0)
+      val last4 = w.rowsBetween(-3, 0)
+      Tables.events(s, d).select(
+        col("event_id"),
+        asDouble(sum(dec2(col("value"))).over(run)).as("run_sum"),
+        (asDouble(sum(dec2(col("value"))).over(last4)) /
+          count(lit(1)).over(last4)).as("mov_avg"))
+        .orderBy("event_id")
+    }),
+
+    // 7-day moving sum via a numeric RANGE frame on epoch seconds —
+    // the batch form of a sliding event-time window.
+    "win_range_frame" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("epoch_s", col("ts").cast(LongType))
+      val w = Window.partitionBy("user_id").orderBy("epoch_s")
+        .rangeBetween(-604800L, 0L)
+      ev.select(
+        col("event_id"),
+        asDouble(sum(dec2(col("value"))).over(w)).as("week_sum"))
+        .orderBy("event_id")
+    }),
+
+    "win_ntile_percent" -> ((s, d) => {
+      val total = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      val byPrice = Window.orderBy(col("o_totalprice"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        ntile(4).over(total).as("bucket"),
+        percent_rank().over(byPrice).as("pr"),
+        cume_dist().over(byPrice).as("cd"))
+        .orderBy("o_orderkey")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "win_rank" ->
+      """SELECT event_id, user_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn,
+        |  rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS rnk,
+        |  dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS drnk
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "win_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "win_lag_lead" ->
+      """SELECT event_id,
+        |  lag(event_id, 1) OVER w AS prev_id,
+        |  lead(event_id, 1) OVER w AS next_id,
+        |  value - lag(value, 1) OVER w AS dv
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "win_running" ->
+      """SELECT event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS run_sum,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |  COUNT(*) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |    AS mov_avg
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "win_range_frame" ->
+      """SELECT event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY user_id
+        |     ORDER BY CAST(floor(date_part('epoch', ts)) AS BIGINT)
+        |     RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS week_sum
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "win_ntile_percent" ->
+      """SELECT o_orderkey,
+        |  ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket,
+        |  percent_rank() OVER (ORDER BY o_totalprice) AS pr,
+        |  cume_dist() OVER (ORDER BY o_totalprice) AS cd
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+  )
+}
+
+/** SURVEY §2.6 sort / limit / sample. */
+object SortLimit extends QueryGroup {
+  override def queries: Map[String, Q] = Map(
+    "sort_multi" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber",
+          "l_quantity", "l_extendedprice")
+        .orderBy(col("l_returnflag").desc_nulls_last,
+          col("l_shipdate").asc_nulls_first,
+          col("l_orderkey").asc, col("l_linenumber").asc,
+          col("l_quantity").asc, col("l_extendedprice").asc)),
+
+    // ORDER BY + LIMIT → TakeOrderedAndProject: per-partition top-k
+    // then a k-row merge on the driver — no global sort at 100 TB.
+    "limit_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    // Seeded Bernoulli sample — seed semantics differ from DuckDB, so
+    // rows-only check (SURVEY §2.6).
+    "sample_rows" -> ((s, d) =>
+      Tables.lineitem(s, d).sample(withReplacement = false, 0.1, 42)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity"))
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "sort_multi" ->
+      """SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber,
+        |  l_quantity, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_returnflag DESC NULLS LAST, l_shipdate ASC NULLS FIRST,
+        |  l_orderkey ASC, l_linenumber ASC, l_quantity ASC,
+        |  l_extendedprice ASC""".stripMargin,
+
+    "limit_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin
+  )
+}
+
+/** SURVEY §2.7 set operations. */
+object SetOps extends QueryGroup {
+  private def urgent(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+  private def highValue(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+      .select("o_custkey")
+
+  override def queries: Map[String, Q] = Map(
+    "set_union_all" -> ((s, d) =>
+      urgent(s, d).unionAll(highValue(s, d)).orderBy("o_custkey")),
+
+    "set_union_distinct" -> ((s, d) =>
+      urgent(s, d).union(highValue(s, d)).distinct().orderBy("o_custkey")),
+
+    "set_intersect" -> ((s, d) =>
+      urgent(s, d).intersect(highValue(s, d)).orderBy("o_custkey")),
+
+    "set_except" -> ((s, d) =>
+      urgent(s, d).except(highValue(s, d)).orderBy("o_custkey"))
+  )
+
+  private val u = "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'"
+  private val h = "SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0"
+
+  override def oracles: Map[String, String] = Map(
+    "set_union_all" -> s"SELECT * FROM ($u UNION ALL $h) t ORDER BY o_custkey",
+    "set_union_distinct" -> s"SELECT * FROM ($u UNION $h) t ORDER BY o_custkey",
+    "set_intersect" -> s"SELECT * FROM ($u INTERSECT $h) t ORDER BY o_custkey",
+    "set_except" -> s"SELECT * FROM ($u EXCEPT $h) t ORDER BY o_custkey"
+  )
+}

@@ -37,7 +37,11 @@ object SparkEntry {
     _root_.graft.queries.Aggregates,
     _root_.graft.queries.Windows,
     _root_.graft.queries.SortLimit,
-    _root_.graft.queries.SetOps
+    _root_.graft.queries.SetOps,
+    _root_.graft.queries.ScalarFuncs,
+    _root_.graft.queries.UdfOps,
+    _root_.graft.queries.EventWindows,
+    _root_.graft.queries.LlmOps
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

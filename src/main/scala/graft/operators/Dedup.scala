@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for LLM-data pipelines (north-star,
+  * BASELINE.json): exact hash dedup, MinHash+LSH near-dup, SimHash,
+  * n-gram Jaccard. Designed for 100 TB:
+  *  - exact: one hash-shuffle groupBy, no window over raw text;
+  *  - minhash: signatures are fixed-width aggregates with map-side
+  *    partial min (shuffle carries k longs per doc, not shingles);
+  *  - candidate pairs come from LSH band equi-joins (linear), never
+  *    an all-pairs product;
+  *  - all hash seeds are fixed constants → deterministic re-runs.
+  */
+object Dedup {
+
+  /** Normalized-text hash for exact dedup. */
+  def normHash(text: Column): Column = md5(lower(trim(text)))
+
+  /** Exact dedup: one surviving (min) id per normalized-text hash.
+    * groupBy(min) rather than window-rank: single shuffle, partial
+    * aggregation map-side.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(normHash(col(textCol)).as("h"), col(idCol))
+      .groupBy("h")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** MinHash signatures: k permutations approximated by seeded
+    * xxhash64 over distinct `n`-char shingles. Returns (idCol, m0..mk).
+    */
+  def minHashSignature(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 32, shingleLen: Int = 5): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(array_distinct(transform(
+        sequence(lit(1), greatest(length(col(textCol)) - (shingleLen - 1), lit(1))),
+        i => col(textCol).substr(i, lit(shingleLen))))).as("sh"))
+    val aggs = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
+    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band-join near-dup candidate pairs with MinHash-estimated
+    * similarity. bands*rows must equal k. Returns (a, b, est_sim)
+    * with a < b, est_sim >= threshold.
+    */
+  def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+                      shingleLen: Int = 5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sigs = minHashSignature(df, idCol, textCol, k, shingleLen)
+      .withColumn("sig", array((0 until k).map(i => col(s"m$i")): _*))
+      .select(col(idCol).as("id"), col("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64((lit(b) +: (0 until rows).map(r => col(s"sig")(b * rows + r))): _*)): _*))
+        .as(Seq("band", "bsig")))
+    val a = banded.select(col("band"), col("bsig"),
+      col("id").as("a"), col("sig").as("siga"))
+    val b = banded.select(col("band"), col("bsig"),
+      col("id").as("b"), col("sig").as("sigb"))
+    a.join(b, Seq("band", "bsig")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (aggregate(zip_with(col("siga"), col("sigb"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+          (acc, v) => acc + v).cast(DoubleType) / k).as("est_sim"))
+      .distinct()
+      .filter(col("est_sim") >= threshold)
+  }
+
+  /** 64-bit SimHash over word tokens: sign of per-bit weighted sums of
+    * token hashes. Fixed-width aggregate → one shuffle of 64 ints.
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b"))
+    toks.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(b =>
+          when(col(s"b$b") > 0, expr(s"shiftleft(1L, $b)")).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on 4×16-bit chunks (a pair within
+    * hamming distance ≤ maxDist<=16 shares at least one chunk when
+    * maxDist < 4... pigeonhole: ≤3 differing chunks guaranteed for
+    * dist ≤ 3 per chunk spread), then verify exact hamming distance.
+    */
+  def simHashNearDups(sigs: DataFrame, idCol: String,
+                      maxDist: Int = 12): DataFrame = {
+    val chunked = sigs.select(col(idCol).as("id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        expr(s"(simhash >> ${c * 16}) & 65535")): _*)).as(Seq("chunk", "cval")))
+    val a = chunked.select(col("chunk"), col("cval"),
+      col("id").as("a"), col("simhash").as("sa"))
+    val b = chunked.select(col("chunk"), col("cval"),
+      col("id").as("b"), col("simhash").as("sb"))
+    a.join(b, Seq("chunk", "cval")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(expr("sa ^ sb")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Token-set Jaccard between doc pairs given a (docA, docB) pair
+    * frame. Distinct-token frames joined per pair — linear in the
+    * candidate pair count (callers supply blocked/LSH candidates, not
+    * the full product).
+    */
+  def jaccardForPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
+    val counts = toks.groupBy("id").agg(count(lit(1)).as("n"))
+    val common = pairs
+      .join(toks.withColumnRenamed("id", "doc_a").withColumnRenamed("tok", "ta"), "doc_a")
+      .join(toks.withColumnRenamed("id", "doc_b").withColumnRenamed("tok", "tb")
+        .withColumnRenamed("tb", "ta"), Seq("doc_b", "ta"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(counts.withColumnRenamed("id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"), col("n_b"),
+        (col("common").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (north-star, BASELINE.json): treat
+  * image/audio/video payloads as opaque `binary` columns with typed
+  * metadata, and run decode / feature-extraction per partition.
+  *
+  * The actual media decode is STUBBED (no image/audio libs in this
+  * container): `Decoder` is the pluggable seam; `StubDecoder` is a
+  * deterministic fake so the Spark-side plumbing — schema, batch
+  * iteration, partition-local decoder reuse — is real and tested.
+  * This is the Scala analogue of a Pandas `mapInPandas` decode stage:
+  * `mapPartitions` gives the same batch shape (one decoder instance
+  * per partition, streamed rows, no per-row init cost), which is what
+  * matters at 100 TB — decode parallelism scales with partitions and
+  * never funnels through the driver.
+  */
+object Multimodal {
+
+  /** Media metadata produced by a decoder. */
+  case class MediaMeta(width: Int, height: Int, nBytes: Long, format: String)
+
+  /** Pluggable per-partition decoder. Real implementations would wrap
+    * an image/audio codec; they are instantiated once per partition.
+    */
+  trait Decoder extends Serializable {
+    def decode(payload: Array[Byte]): MediaMeta
+  }
+
+  /** Deterministic fake: derives metadata purely from the bytes. */
+  object StubDecoder extends Decoder {
+    override def decode(payload: Array[Byte]): MediaMeta = {
+      val n = if (payload == null) 0 else payload.length
+      MediaMeta(width = n % 640, height = (n * 7) % 480, nBytes = n.toLong,
+        format = if (n % 2 == 0) "png" else "jpeg")
+    }
+  }
+
+  private val metaType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType),
+    StructField("format", StringType)))
+
+  /** Decode a binary column into a metadata struct, one decoder per
+    * partition (mapPartitions — the batch seam).
+    */
+  def decodeMeta(df: DataFrame, idCol: String, binCol: String,
+                 decoder: Decoder): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("meta", metaType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      // decoder referenced once per partition — real codecs would
+      // allocate native buffers here, amortized over the partition
+      val d = decoder
+      rows.map { r =>
+        val m = d.decode(r.getAs[Array[Byte]](binIdx))
+        Row(r.get(idIdx), Row(m.width, m.height, m.nBytes, m.format))
+      }
+    }
+  }
+
+  /** Deterministic frame-sampling plan for a (stub) video column:
+    * emits one row per sampled frame index — the explode-side shape of
+    * a frame-extraction pipeline.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+                   everyNBytes: Int): DataFrame =
+    df.select(col(idCol),
+      length(col(binCol)).as("n_bytes"),
+      explode(sequence(lit(0),
+        floor(length(col(binCol)) / everyNBytes).cast(IntegerType)))
+        .as("frame_idx"))
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (north-star,
+  * BASELINE.json; `embeddings.embedding` is ArrayType(FloatType)).
+  *
+  * Three tiers:
+  *  - brute-force cosine top-k (baseline; broadcast the query set,
+  *    scan candidates once — at 100 TB this is queries × scan, fine
+  *    for small query batches);
+  *  - LSH (random hyperplanes) bucketed top-k — candidates shrink by
+  *    ~2^planes, one equi-join on the bucket signature;
+  *  - IVF (centroid partitions + nprobe) — the classic ANN scale path:
+  *    assignment is a broadcast argmin, search touches nprobe/nlist of
+  *    the data.
+  * All randomness is seeded hash-derived → deterministic re-runs.
+  */
+object Similarity {
+
+  /** Exact-decimal dot product: each float is cast to DECIMAL(10,7)
+    * (correctly rounded on any engine), products/sums are exact — the
+    * resulting double is bit-identical regardless of summation order,
+    * which makes cosine oracle-checkable across engines.
+    */
+  def dotDec(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        x.cast(DecimalType(10, 7)) * y.cast(DecimalType(10, 7))),
+      lit(0).cast(DecimalType(35, 14)),
+      // re-cast each step: (35,14)+(21,14) → (36,14) under Spark's
+      // result-type rules; casting back is lossless (|dot| ≪ 10^21)
+      // and keeps the accumulator type fixed as aggregate() requires
+      (acc, v) => (acc + v).cast(DecimalType(35, 14))).cast(DoubleType)
+
+  /** Fast double dot product (sequential fold — deterministic within
+    * Spark, used where no cross-engine oracle applies).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm2Dec(a: Column): Column = dotDec(a, a)
+
+  /** cosine rounded to 6 dp (rounding absorbs engine-level float
+    * noise; ranking uses the rounded value + id tiebreak).
+    */
+  def cosineDec(a: Column, b: Column): Column =
+    round(dotDec(a, b) / (sqrt(norm2Dec(a)) * sqrt(norm2Dec(b))), 6)
+
+  /** Brute-force cosine top-k: query rows broadcast against the
+    * candidate scan; per-query window keeps k.
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+                     k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = candidates.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), cosineDec(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component: hash(plane,dim)
+    * mapped to [-0.5, 0.5).
+    */
+  private def planeComponent(plane: Int, dim: Int): Double =
+    (java.lang.Long.hashCode(
+      scala.util.hashing.byteswap64(plane.toLong * 131071L + dim.toLong))
+      % 100000) / 200000.0
+
+  /** Signs of projections onto `planes` hyperplanes → bucket id. */
+  def lshBucket(v: Column, dims: Int, planes: Int): Column =
+    (0 until planes).map { p =>
+      val hp = array((0 until dims).map(j => lit(planeComponent(p, j))): _*)
+      when(dot(v.cast(ArrayType(DoubleType)), hp) > 0,
+        expr(s"shiftleft(1L, $p)")).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN top-k: equi-join on bucket signature. Recall is
+    * tunable via `planes` (fewer planes → bigger buckets → higher
+    * recall & cost).
+    */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, dims: Int,
+              planes: Int, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), dims, planes))
+    val c = candidates.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), dims, planes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), cosineDec(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** IVF ANN: assign every vector to its nearest of `centroids`
+    * (broadcast argmin), probe the `nprobe` nearest lists per query.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+              centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val cent = centroids.select(col("vec_id").as("centroid_id"),
+      col("embedding").as("centv"))
+    def assign(df: DataFrame, idc: String, vc: String, keep: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(cent))
+        .select(col(idc), col(vc), col("centroid_id"),
+          cosineDec(col(vc), col("centv")).as("ccos"))
+      val w = Window.partitionBy(idc).orderBy(col("ccos").desc, col("centroid_id"))
+      scored.withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= keep)
+        .drop("ccos", "crn")
+    }
+    val c = assign(candidates.select(col("vec_id").as("cid"),
+      col("embedding").as("cv")), "cid", "cv", 1)
+    val q = assign(queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qv")), "qid", "qv", nprobe)
+    val scored = c.join(q, Seq("centroid_id"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), cosineDec(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+}

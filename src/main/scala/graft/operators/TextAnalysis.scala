@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (north-star,
+  * BASELINE.json): tokenization, quality scoring, language-ID
+  * heuristic, fingerprinting. All pure `functions._` expressions —
+  * codegen'd, no UDFs, embarrassingly parallel (no shuffle) at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace/punctuation tokenizer → array of lowercase tokens. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Count of matches of a BPE-ish token regex: words, numbers, or
+    * single punctuation marks (approximates subword token count
+    * without a vocab).
+    */
+  def tokenCount(text: Column): Column =
+    size(filter(split(lower(text), "\\s+"), t => t =!= "")) +
+      size(filter(split(lower(text), "[a-z0-9\\s]+"), t => t =!= ""))
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  val stopEn = Seq("the", "a", "and", "of", "to", "in", "is")
+  val stopEs = Seq("el", "la", "de", "que", "y", "los")
+  val stopDe = Seq("der", "die", "und", "das", "ist", "ein")
+  val stopFr = Seq("le", "la", "et", "les", "des", "un")
+
+  /** Stopword-hit language-ID heuristic. Ties resolve en>es>de>fr. */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val (en, es, de, fr) =
+      (hits(t, stopEn), hits(t, stopEs), hits(t, stopDe), hits(t, stopFr))
+    when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** Doc-quality score in [−0.1, 0.9]: length saturation + lexical
+    * diversity − punctuation density. Integer-derived arithmetic only
+    * (deterministic across engines).
+    */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val nChars = length(text)
+    val nWords = size(t)
+    val nDistinct = size(array_distinct(t))
+    val nPunct = length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+    val lenScore = least(nChars, lit(500)).cast("double") / 500.0
+    val diversity = nDistinct.cast("double") / nullif(nWords, lit(0))
+    val punctRatio = nPunct.cast("double") / nullif(nChars, lit(0))
+    round(lenScore * 0.5 + diversity * 0.4 - punctRatio * 0.1, 6)
+  }
+
+  /** 64-bit-hex document fingerprint over whitespace-normalized text. */
+  def fingerprint(text: Column): Column =
+    substring(md5(trim(regexp_replace(lower(text), "\\s+", " "))), 1, 16)
+}

@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.{QueryGroup, Tables}
+import graft.Tables.{dec2, asDouble}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.11 event-time windows, batch-first on `events.ts` so the
+  * DuckDB oracle applies; the same logic re-runs under Structured
+  * Streaming in graft.streaming (no oracle there). Spark's
+  * window()/session_window() are epoch-aligned; the oracles mirror
+  * that with time_bucket / lag-gap-cumsum.
+  */
+object EventWindows extends QueryGroup {
+
+  override def queries: Map[String, Q] = Map(
+    "stream_tumbling" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec2(col("value")))).as("sv"))
+        .select(col("w.start").as("ws"), col("w.end").as("we"),
+          col("event_type"), col("n"), col("sv"))
+        .orderBy("ws", "event_type")),
+
+    "stream_sliding" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec2(col("value")))).as("sv"))
+        .select(col("w.start").as("ws"), col("w.end").as("we"),
+          col("n"), col("sv"))
+        .orderBy("ws")),
+
+    "stream_session" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec2(col("value")))).as("sv"))
+        .select(col("user_id"), col("w.start").as("ss"),
+          col("w.end").as("se"), col("n"), col("sv"))
+        .orderBy("user_id", "ss")),
+
+    // Streaming-only semantics (watermark + stateful dedup) are unit-
+    // tested with MemoryStream in graft.streaming; this batch
+    // emulation exercises the same dedup logic deterministically:
+    // duplicate the feed, dropDuplicates on the event key.
+    "stream_watermark_late" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.unionAll(ev)
+        .dropDuplicates("event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // Batch emulation of per-key running state (mapGroupsWithState's
+    // semantics over a closed input): per user last-seen ts, event
+    // count, exact value total.
+    "stream_stateful" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(col("ts")).as("last_seen"),
+          count(lit(1)).as("n_events"),
+          asDouble(sum(dec2(col("value")))).as("total_value"))
+        .orderBy("user_id"))
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+        |  time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+        |FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type""".stripMargin,
+
+    "stream_sliding" ->
+      """WITH offs AS (SELECT unnest([0,1,2,3]) AS k)
+        |SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS ws,
+        |  time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+        |    + INTERVAL '1 hour' AS we,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+        |FROM events CROSS JOIN offs
+        |GROUP BY 1, 2 ORDER BY ws""".stripMargin,
+
+    "stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, min(ts) AS ss,
+        |  max(ts) + INTERVAL '30 minutes' AS se,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, ss""".stripMargin
+  )
+}

@@ -1,0 +1,279 @@
+package graft.queries
+
+import graft.{QueryGroup, Tables}
+import graft.operators.WeightedAvg
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.8 scalar function families — one query per family, all
+  * codegen'd `org.apache.spark.sql.functions` (no UDFs in these), so
+  * every expression stays inside WholeStageCodegen. Oracle notes:
+  * DuckDB returns BIGINT from year()/len()/floor() etc. where Spark
+  * returns INT/LONG — casts pin the shared type.
+  */
+object ScalarFuncs extends QueryGroup {
+
+  override def queries: Map[String, Q] = Map(
+    "fn_string" -> ((s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        concat(col("c_name"), lit("-"), col("c_mktsegment")).as("cn"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_name")).as("lo"),
+        substring(col("c_name"), 10, 9).as("sub"),
+        trim(concat(lit("  "), col("c_name"), lit("  "))).as("tr"),
+        expr("replace(c_name, 'Customer', 'Cust')").as("rep"),
+        element_at(split(col("c_name"), "#"), 2).as("spl"),
+        length(col("c_name")).as("len"),
+        lpad(col("c_custkey").cast(StringType), 10, "0").as("pad"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("rex"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("rrep"),
+        col("c_name").like("Customer#%").as("lk"))
+        .orderBy("c_custkey")),
+
+    "fn_date" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("mon"),
+        (col("o_orderdate") + expr("INTERVAL 3 DAY")).as("plus3"),
+        datediff(lit("1998-01-01").cast(TimestampType), col("o_orderdate"))
+          .as("dd"),
+        to_date(col("o_orderdate")).as("dt"),
+        unix_timestamp(col("o_orderdate")).as("ue"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("fmt"))
+        .orderBy("o_orderkey")),
+
+    "fn_math" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        round(col("p_retailprice") / 7, 3).as("r"),
+        floor(col("p_retailprice")).as("fl"),
+        ceil(col("p_retailprice")).as("ce"),
+        abs(col("p_retailprice") - 910.0).as("ab"),
+        sqrt(col("p_retailprice")).as("sq"),
+        (col("p_retailprice") * col("p_retailprice")).as("pw"),
+        round(log(col("p_retailprice")), 6).as("lg"),
+        (col("p_size") % 7).as("md"),
+        greatest(col("p_size"), lit(25)).as("gr"),
+        least(col("p_size"), lit(25)).as("le"))
+        .orderBy("p_partkey")),
+
+    "fn_cast_null" -> ((s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        col("c_custkey").cast(StringType).as("cs"),
+        expr("try_cast(regexp_extract(c_name, '([0-9]+)', 1) AS INT)").as("tci"),
+        expr("try_cast(c_mktsegment AS INT)").as("tcn"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("nf"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(none)"))
+          .as("co"),
+        expr("nvl(nullif(c_mktsegment, 'BUILDING'), '(none)')").as("nv"),
+        col("c_acctbal").cast(DecimalType(10, 2)).cast(DoubleType).as("cd"))
+        .orderBy("c_custkey")),
+
+    "fn_array" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("arr", array(col("l_orderkey"), col("l_partkey"), col("l_suppkey")))
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("arr"),
+          size(col("arr")).as("sz"),
+          array_contains(col("arr"), 42L).as("has42"),
+          array_sort(col("arr")).as("srt"),
+          slice(col("arr"), 1, 2).as("sl"),
+          transform(col("arr"), x => x * 2).as("tr2"),
+          filter(col("arr"), x => x % 2 === 0).as("evens"),
+          aggregate(col("arr"), lit(0L), (a, x) => a + x).as("sm"),
+          flatten(array(col("arr"), array(lit(0L)))).as("flat"),
+          zip_with(col("arr"), col("arr"), (x, y) => x + y).as("zp"))
+        .orderBy("l_orderkey", "l_linenumber", "arr")),
+
+    "fn_map" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("m", map(lit("ty"), col("event_type"),
+          lit("id"), col("event_id").cast(StringType)))
+        .select(
+          col("event_id"),
+          array_sort(map_keys(col("m"))).as("mk"),
+          element_at(col("m"), "ty").as("ty"),
+          element_at(col("m"), "id").as("idv"),
+          size(col("m")).as("msz"))
+        .orderBy("event_id")),
+
+    "fn_json" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k"),
+        json_tuple(col("props"), "k").as("k2"),
+        to_json(struct(col("event_id"))).as("tj"))
+        .orderBy("event_id")),
+
+    "fn_hash" -> ((s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        md5(col("c_name")).as("hm"),
+        sha2(col("c_name"), 256).as("hs"))
+        .orderBy("c_custkey"))
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT c_custkey,
+        |  c_name || '-' || c_mktsegment AS cn,
+        |  upper(c_name) AS up,
+        |  lower(c_name) AS lo,
+        |  substring(c_name, 10, 9) AS sub,
+        |  trim('  ' || c_name || '  ') AS tr,
+        |  replace(c_name, 'Customer', 'Cust') AS rep,
+        |  string_split(c_name, '#')[2] AS spl,
+        |  CAST(length(c_name) AS INTEGER) AS len,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS pad,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS rex,
+        |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS rrep,
+        |  c_name LIKE 'Customer#%' AS lk
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+        |  o_orderdate + INTERVAL 3 DAY AS plus3,
+        |  CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS INTEGER) AS dd,
+        |  CAST(o_orderdate AS DATE) AS dt,
+        |  CAST(floor(date_part('epoch', o_orderdate)) AS BIGINT) AS ue,
+        |  strftime(o_orderdate, '%Y-%m') AS fmt
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_math" ->
+      """SELECT p_partkey,
+        |  round(p_retailprice / 7, 3) AS r,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS fl,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+        |  abs(p_retailprice - 910.0) AS ab,
+        |  sqrt(p_retailprice) AS sq,
+        |  p_retailprice * p_retailprice AS pw,
+        |  round(ln(p_retailprice), 6) AS lg,
+        |  p_size % 7 AS md,
+        |  greatest(p_size, 25) AS gr,
+        |  least(p_size, 25) AS le
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_cast_null" ->
+      """SELECT c_custkey,
+        |  CAST(c_custkey AS VARCHAR) AS cs,
+        |  TRY_CAST(regexp_extract(c_name, '([0-9]+)', 1) AS INTEGER) AS tci,
+        |  TRY_CAST(c_mktsegment AS INTEGER) AS tcn,
+        |  nullif(c_mktsegment, 'BUILDING') AS nf,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(none)') AS co,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(none)') AS nv,
+        |  CAST(CAST(c_acctbal AS DECIMAL(10,2)) AS DOUBLE) AS cd
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_array" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  [l_orderkey, l_partkey, l_suppkey] AS arr,
+        |  CAST(len([l_orderkey, l_partkey, l_suppkey]) AS INTEGER) AS sz,
+        |  list_contains([l_orderkey, l_partkey, l_suppkey], 42) AS has42,
+        |  list_sort([l_orderkey, l_partkey, l_suppkey]) AS srt,
+        |  [l_orderkey, l_partkey, l_suppkey][1:2] AS sl,
+        |  list_transform([l_orderkey, l_partkey, l_suppkey], x -> x * 2) AS tr2,
+        |  list_filter([l_orderkey, l_partkey, l_suppkey], x -> x % 2 = 0) AS evens,
+        |  CAST(list_sum([l_orderkey, l_partkey, l_suppkey]) AS BIGINT) AS sm,
+        |  flatten([[l_orderkey, l_partkey, l_suppkey], [0]]) AS flat,
+        |  list_transform([l_orderkey, l_partkey, l_suppkey], x -> x + x) AS zp
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, arr""".stripMargin,
+
+    "fn_map" ->
+      """SELECT event_id,
+        |  list_sort(map_keys(map(['ty','id'], [event_type, CAST(event_id AS VARCHAR)]))) AS mk,
+        |  map(['ty','id'], [event_type, CAST(event_id AS VARCHAR)])['ty'][1] AS ty,
+        |  map(['ty','id'], [event_type, CAST(event_id AS VARCHAR)])['id'][1] AS idv,
+        |  CAST(cardinality(map(['ty','id'], [event_type, CAST(event_id AS VARCHAR)])) AS INTEGER) AS msz
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "fn_json" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k,
+        |  json_extract_string(props, '$.k') AS k2,
+        |  to_json(struct_pack(event_id := event_id)) AS tj
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "fn_hash" ->
+      """SELECT c_custkey, md5(c_name) AS hm, sha256(c_name) AS hs
+        |FROM customer ORDER BY c_custkey""".stripMargin
+  )
+}
+
+/** SURVEY §2.9 UDF / UDAF / UDTF surface. `udf_scala` mirrors its
+  * regex in SQL so the oracle agrees; `udtf_explode_custom` is the
+  * one-row→many tokenizer via the Generator (explode) path.
+  */
+object UdfOps extends QueryGroup {
+
+  override def queries: Map[String, Q] = Map(
+    "udf_scala" -> ((s, d) => {
+      val slugify = udf((name: String) =>
+        if (name == null) null
+        else name.toLowerCase
+          .replaceAll("[^a-z0-9]+", "-")
+          .replaceAll("^-|-$", ""))
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          slugify(concat(col("p_name"), lit(" "), col("p_brand"))).as("slug"))
+        .orderBy("p_partkey")
+    }),
+
+    "udaf_typed" -> ((s, d) => {
+      import graft.Tables.dec2
+      s.udf.register("wavg_udaf", udaf(WeightedAvg,
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)))
+      Tables.lineitem(s, d)
+        .select(col("l_linestatus"),
+          (dec2(col("l_extendedprice")) * lit(100)).cast(LongType).as("pc"),
+          (dec2(col("l_quantity")) * lit(100)).cast(LongType).as("qc"))
+        .createOrReplaceTempView("li_udaf")
+      s.sql(
+        """SELECT l_linestatus, wavg_udaf(pc, qc) AS wavg_price
+          |FROM li_udaf GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+    }),
+
+    "udtf_explode_custom" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("doc_id", "tok"))
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "udf_scala" ->
+      """SELECT p_partkey,
+        |  regexp_replace(regexp_replace(lower(p_name || ' ' || p_brand),
+        |    '[^a-z0-9]+', '-', 'g'), '^-|-$', '', 'g') AS slug
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "udaf_typed" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS wavg_price
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "udtf_explode_custom" ->
+      """SELECT doc_id, tok, count(*) AS n
+        |FROM (SELECT doc_id,
+        |        unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        |      FROM documents) t
+        |WHERE tok <> ''
+        |GROUP BY doc_id, tok ORDER BY doc_id, tok""".stripMargin
+  )
+}

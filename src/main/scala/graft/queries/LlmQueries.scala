@@ -1,0 +1,234 @@
+package graft.queries
+
+import graft.{QueryGroup, Tables}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.12 + BASELINE.json north-star: LLM-data-pipeline
+  * operators over `documents` / `embeddings`. The heavy lifting lives
+  * in graft.operators (Dedup / Similarity / TextAnalysis /
+  * Multimodal); these register the driver-checkable query keys.
+  */
+object LlmOps extends QueryGroup {
+
+  override def queries: Map[String, Q] = Map(
+    "llm_exact_dedup" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("h")),
+
+    // MinHash+LSH near-dup pairs — algorithmic (custom hash family),
+    // no ANSI oracle; property-tested in the unit suite.
+    "llm_minhash_neardup" -> ((s, d) =>
+      Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
+        k = 32, bands = 8, threshold = 0.5)
+        .orderBy("a", "b")),
+
+    "llm_simhash" -> ((s, d) => {
+      val sigs = Dedup.simHash(Tables.documents(s, d), "doc_id", "text")
+      Dedup.simHashNearDups(sigs, "doc_id", maxDist = 16)
+        .orderBy("a", "b")
+    }),
+
+    // Adjacent-id pair Jaccard keeps the oracle linear; the general
+    // operator takes arbitrary (blocked) candidate pairs.
+    "llm_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = docs.select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 1).as("doc_b"))
+      Dedup.jaccardForPairs(docs, pairs, "doc_id", "text")
+        .orderBy("doc_a")
+    }),
+
+    "llm_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 5)
+        .select("qid", "cid", "cos", "rn")
+        .orderBy("qid", "rn")
+    }),
+
+    "llm_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb,
+        dims = 64, planes = 8, k = 5)
+        .select("qid", "cid", "cos", "rn")
+        .orderBy("qid", "rn")
+    }),
+
+    "llm_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
+        centroids = emb.filter(col("vec_id") < 16), nprobe = 4, k = 5)
+        .select("qid", "cid", "cos", "rn")
+        .orderBy("qid", "rn")
+    }),
+
+    "llm_text_stats" -> ((s, d) => {
+      val t = TextAnalysis.tokens(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        length(col("text")).as("n_chars_calc"),
+        size(t).as("n_words"),
+        (length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+          .cast(DoubleType) / nullif(size(t), lit(0))).as("avg_wlen"),
+        (size(filter(t, x => x.isin(TextAnalysis.stopEn.map(lit): _*)))
+          .cast(DoubleType) / nullif(size(t), lit(0))).as("stop_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "llm_tokenize_explode" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(100)),
+
+    "llm_langid" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id")),
+
+    "llm_quality_score" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("score"))
+        .orderBy("doc_id")),
+
+    "llm_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // Multimodal: opaque binary payload + typed metadata. The decode
+    // is a deterministic stub (no codecs in this container); the
+    // mapPartitions batch plumbing is the real deliverable.
+    "mm_binary_meta" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("payload", col("text").cast(BinaryType))
+        .select(col("doc_id"),
+          length(col("payload")).as("byte_len"),
+          lower(hex(substring(col("payload"), 1, 8))).as("head_hex"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id")),
+
+    "mm_decode_stub" -> ((s, d) =>
+      Multimodal.decodeMeta(
+        Tables.documents(s, d)
+          .withColumn("payload", col("text").cast(BinaryType)),
+        "doc_id", "payload", Multimodal.StubDecoder)
+        .select(col("doc_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.n_bytes").as("n_bytes"),
+          col("meta.format").as("format"))
+        .orderBy("doc_id"))
+  )
+
+  private val toks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+  private val stopEnList =
+    TextAnalysis.stopEn.map(w => s"'$w'").mkString("(", ",", ")")
+
+  override def oracles: Map[String, String] = Map(
+    "llm_exact_dedup" ->
+      """SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+
+    "llm_ngram_jaccard" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, tok
+         |  FROM (SELECT doc_id, unnest($toks) AS tok FROM documents) raw),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         |com AS (
+         |  SELECT a.doc_id AS doc_a, count(*) AS common
+         |  FROM tok a JOIN tok b
+         |    ON b.doc_id = a.doc_id + 1 AND b.tok = a.tok
+         |  GROUP BY 1)
+         |SELECT doc_a, doc_a + 1 AS doc_b, common, na.n AS n_a, nb.n AS n_b,
+         |  CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard
+         |FROM com
+         |JOIN cnt na ON na.doc_id = doc_a
+         |JOIN cnt nb ON nb.doc_id = doc_a + 1
+         |ORDER BY doc_a""".stripMargin,
+
+    "llm_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, SUM(CAST(x AS DECIMAL(10,7)) * CAST(x AS DECIMAL(10,7))) AS n2
+        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t
+        |  GROUP BY vec_id),
+        |dots AS (
+        |  SELECT qid, cid,
+        |    SUM(CAST(z[1] AS DECIMAL(10,7)) * CAST(z[2] AS DECIMAL(10,7))) AS dot
+        |  FROM (SELECT qid, cid, unnest(list_zip(qv, cv)) AS z
+        |        FROM q CROSS JOIN c WHERE cid <> qid) t
+        |  GROUP BY qid, cid),
+        |scored AS (
+        |  SELECT qid, cid,
+        |    round(CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))), 6) AS cos
+        |  FROM dots
+        |  JOIN norms nq ON nq.vec_id = qid
+        |  JOIN norms nc ON nc.vec_id = cid),
+        |ranked AS (
+        |  SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+        |  FROM scored)
+        |SELECT qid, cid, cos, rn FROM ranked WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin,
+
+    "llm_text_stats" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(length(text) AS INTEGER) AS n_chars_calc,
+         |  CAST(len($toks) AS INTEGER) AS n_words,
+         |  CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+         |    / nullif(CAST(len($toks) AS INTEGER), 0) AS avg_wlen,
+         |  CAST(len(list_filter($toks, x -> x IN $stopEnList)) AS DOUBLE)
+         |    / nullif(CAST(len($toks) AS INTEGER), 0) AS stop_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_tokenize_explode" ->
+      s"""SELECT tok, count(*) AS n
+         |FROM (SELECT unnest($toks) AS tok FROM documents) t
+         |GROUP BY tok ORDER BY n DESC, tok LIMIT 100""".stripMargin,
+
+    "llm_langid" -> {
+      def h(words: Seq[String]) =
+        s"len(list_filter($toks, x -> x IN ${words.map(w => s"'$w'").mkString("(", ",", ")")}))"
+      val (en, es, de, fr) = (h(TextAnalysis.stopEn), h(TextAnalysis.stopEs),
+        h(TextAnalysis.stopDe), h(TextAnalysis.stopFr))
+      s"""SELECT doc_id,
+         |  CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr AND $en > 0 THEN 'en'
+         |       WHEN $es >= $de AND $es >= $fr AND $es > 0 THEN 'es'
+         |       WHEN $de >= $fr AND $de > 0 THEN 'de'
+         |       WHEN $fr > 0 THEN 'fr'
+         |       ELSE 'und' END AS lang_guess
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "llm_quality_score" ->
+      s"""SELECT doc_id,
+         |  round(
+         |    CAST(least(length(text), 500) AS DOUBLE) / 500.0 * 0.5 +
+         |    CAST(len(list_distinct($toks)) AS DOUBLE)
+         |      / nullif(CAST(len($toks) AS INTEGER), 0) * 0.4 -
+         |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |      / nullif(CAST(length(text) AS INTEGER), 0) * 0.1, 6) AS score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_fingerprint" ->
+      """SELECT doc_id,
+        |  substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  lower(hex(encode(left(text, 8)))) AS head_hex,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

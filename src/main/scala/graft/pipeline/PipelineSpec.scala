@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Declarative pipeline spec — the engine-native analogue of the dbt
+  * project the reference ships to S3 and shells out to
+  * (reference `dbtoperator.py:286-312` loads the project;
+  * `dbtoperator.py:273` pins dbt-core 1.9 whose model/materialization
+  * semantics these types mirror).
+  */
+sealed trait Materialization
+object Materialization {
+  /** dbt `view` — registered as a temp view, no data written. */
+  case object View extends Materialization
+  /** dbt `table` — CTAS full refresh (overwrite parquet). */
+  case object Table extends Materialization
+  /** dbt `ephemeral` — inlined into downstream models, never written. */
+  case object Ephemeral extends Materialization
+  /** dbt-spark incremental, strategy `append`: insert rows newer than
+    * the target's high-water mark on `tsCol`.
+    */
+  final case class IncrementalAppend(tsCol: String) extends Materialization
+  /** dbt-spark incremental, strategy `insert_overwrite`: replace
+    * exactly the partitions present in the new batch.
+    */
+  final case class IncrementalInsertOverwrite(partitionCols: Seq[String])
+    extends Materialization
+  /** dbt-spark incremental, strategy `merge` on `uniqueKey` — emulated
+    * for vanilla parquet (no Delta/Iceberg in this image) as
+    * anti-join + union + atomic publish.
+    */
+  final case class IncrementalMerge(uniqueKey: Seq[String])
+    extends Materialization
+}
+
+/** One model: a named SELECT over sources and upstream models
+  * (dbt `ref()` ⇒ `deps`).
+  */
+final case class Model(
+    name: String,
+    deps: Seq[String],
+    materialization: Materialization,
+    build: (SparkSession, Map[String, DataFrame]) => DataFrame)
+
+/** Generic data tests (dbt 1.9 built-ins): each compiles to a SELECT
+  * returning violating rows; pass = 0 rows (reference intent:
+  * `dbtoperator.py:334` runs `dbt test`).
+  */
+sealed trait DataTest { def model: String; def name: String }
+object DataTest {
+  final case class Unique(model: String, cols: Seq[String]) extends DataTest {
+    def name = s"unique_${model}_${cols.mkString("_")}"
+  }
+  final case class NotNull(model: String, col: String) extends DataTest {
+    def name = s"not_null_${model}_$col"
+  }
+  final case class AcceptedValues(model: String, col: String,
+      values: Seq[String]) extends DataTest {
+    def name = s"accepted_values_${model}_$col"
+  }
+  final case class Relationships(model: String, col: String,
+      parentModel: String, parentCol: String) extends DataTest {
+    def name = s"relationships_${model}_${col}__${parentModel}_$parentCol"
+  }
+}
+
+final case class PipelineSpec(
+    models: Seq[Model],
+    tests: Seq[DataTest] = Nil,
+    sources: Map[String, String] = Map.empty)

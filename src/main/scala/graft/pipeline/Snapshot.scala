@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** SCD-2 snapshots (dbt 1.9 `check` strategy): maintain
+  * (key, tracked cols, valid_from, valid_to) history where exactly one
+  * open row (valid_to IS NULL) exists per present key, closing rows
+  * whose tracked columns changed and inserting the new versions.
+  *
+  * Scale: one shuffle join of the open rows against the new state on
+  * the snapshot key; closed history is carried through untouched
+  * (union, no recompute), so cost is O(open + new), not O(history).
+  */
+object Snapshot {
+
+  /** Apply one snapshot step. `prev` must have `keyCols ++ compareCols
+    * ++ (valid_from, valid_to)`; pass None for the first snapshot.
+    * `asOf` is the logical snapshot timestamp (deterministic inputs →
+    * deterministic history; never wall-clock here).
+    */
+  def scd2(prev: Option[DataFrame], current: DataFrame,
+           keyCols: Seq[String], compareCols: Seq[String],
+           asOf: String): DataFrame = {
+    val asOfTs = lit(asOf).cast(TimestampType)
+    val newState = current.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("valid_from", asOfTs)
+      .withColumn("valid_to", lit(null).cast(TimestampType))
+
+    prev match {
+      case None => newState
+      case Some(p) =>
+        val closed = p.filter(col("valid_to").isNotNull)
+        val open = p.filter(col("valid_to").isNull)
+
+        val cur = current.select(
+          keyCols.map(col) ++
+            compareCols.map(c => col(c).as(s"__new_$c")) :+
+            lit(true).as("__present"): _*)
+        val joined = open.join(cur, keyCols, "left")
+        val changedPred: Column = compareCols.map(c =>
+          !(col(c) <=> col(s"__new_$c"))).reduce(_ || _)
+        // close when the key vanished (hard delete) or tracked values
+        // changed; otherwise the row stays open
+        val stillOpen = joined
+          .filter(col("__present").isNotNull && !changedPred)
+          .select(open.columns.map(col): _*)
+        val toClose = joined
+          .filter(col("__present").isNull || changedPred)
+          .select(open.columns.map(col): _*)
+          .withColumn("valid_to", asOfTs)
+
+        // new versions: keys that are brand new, or whose values changed
+        val openKeyed = open.select(
+          keyCols.map(col) ++ compareCols.map(c => col(c).as(s"__old_$c")): _*)
+        val fresh = newState.join(openKeyed, keyCols, "left")
+          .filter(col(s"__old_${compareCols.head}").isNull ||
+            compareCols.map(c => !(col(c) <=> col(s"__old_$c"))).reduce(_ || _))
+          .select(newState.columns.map(col): _*)
+
+        closed.unionByName(stillOpen).unionByName(toClose).unionByName(fresh)
+    }
+  }
+}

@@ -41,7 +41,8 @@ object SparkEntry {
     _root_.graft.queries.ScalarFuncs,
     _root_.graft.queries.UdfOps,
     _root_.graft.queries.EventWindows,
-    _root_.graft.queries.LlmOps
+    _root_.graft.queries.LlmOps,
+    _root_.graft.queries.PipelineOps
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

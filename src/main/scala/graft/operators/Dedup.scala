@@ -44,6 +44,11 @@ object Dedup {
   /** LSH band-join near-dup candidate pairs with MinHash-estimated
     * similarity. bands*rows must equal k. Returns (a, b, est_sim)
     * with a < b, est_sim >= threshold.
+    *
+    * Shuffle discipline: band collisions are deduped to bare (a, b)
+    * pairs *before* signatures are joined back and scored — a pair
+    * colliding in several bands is scored once, and the band join
+    * never carries the k-long signature arrays on both sides.
     */
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
@@ -53,20 +58,21 @@ object Dedup {
     val sigs = minHashSignature(df, idCol, textCol, k, shingleLen)
       .withColumn("sig", array((0 until k).map(i => col(s"m$i")): _*))
       .select(col(idCol).as("id"), col("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded = sigs.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64((lit(b) +: (0 until rows).map(r => col(s"sig")(b * rows + r))): _*)): _*))
         .as(Seq("band", "bsig")))
-    val a = banded.select(col("band"), col("bsig"),
-      col("id").as("a"), col("sig").as("siga"))
-    val b = banded.select(col("band"), col("bsig"),
-      col("id").as("b"), col("sig").as("sigb"))
-    a.join(b, Seq("band", "bsig")).filter(col("a") < col("b"))
+    val a = banded.select(col("band"), col("bsig"), col("id").as("a"))
+    val b = banded.select(col("band"), col("bsig"), col("id").as("b"))
+    val pairs = a.join(b, Seq("band", "bsig")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    pairs
+      .join(sigs.select(col("id").as("a"), col("sig").as("siga")), "a")
+      .join(sigs.select(col("id").as("b"), col("sig").as("sigb")), "b")
       .select(col("a"), col("b"),
         (aggregate(zip_with(col("siga"), col("sigb"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0),
           (acc, v) => acc + v).cast(DoubleType) / k).as("est_sim"))
-      .distinct()
       .filter(col("est_sim") >= threshold)
   }
 
@@ -86,24 +92,36 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block on 4×16-bit chunks (a pair within
-    * hamming distance ≤ maxDist<=16 shares at least one chunk when
-    * maxDist < 4... pigeonhole: ≤3 differing chunks guaranteed for
-    * dist ≤ 3 per chunk spread), then verify exact hamming distance.
+  /** SimHash near-dup pairs with a *guaranteed-recall* blocking scheme:
+    * the 64-bit signature is split into `maxDist + 1` chunks, so by
+    * pigeonhole any pair at hamming distance ≤ maxDist must agree on at
+    * least one whole chunk (maxDist differing bits cannot touch all
+    * maxDist+1 chunks). Candidates come from a chunk equi-join, are
+    * deduped to bare pairs, then verified by exact `bit_count(xor)`.
+    * 100 % recall within maxDist; cost grows as chunks narrow
+    * (64/(d+1) bits each), so keep maxDist small (≤ 7 ⇒ ≥ 8-bit chunks).
     */
   def simHashNearDups(sigs: DataFrame, idCol: String,
-                      maxDist: Int = 12): DataFrame = {
+                      maxDist: Int = 7): DataFrame = {
+    require(maxDist >= 0 && maxDist < 32, "maxDist must be in [0, 31]")
+    val nChunks = maxDist + 1
+    // chunk i covers bits [i*64/nChunks, (i+1)*64/nChunks)
+    val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
     val chunked = sigs.select(col(idCol).as("id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        expr(s"(simhash >> ${c * 16}) & 65535")): _*)).as(Seq("chunk", "cval")))
-    val a = chunked.select(col("chunk"), col("cval"),
-      col("id").as("a"), col("simhash").as("sa"))
-    val b = chunked.select(col("chunk"), col("cval"),
-      col("id").as("b"), col("simhash").as("sb"))
-    a.join(b, Seq("chunk", "cval")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        bit_count(expr("sa ^ sb")).as("dist"))
-      .distinct()
+      posexplode(array((0 until nChunks).map { c =>
+        val lo = bounds(c); val width = bounds(c + 1) - lo
+        val mask = if (width >= 64) -1L else (1L << width) - 1L
+        expr(s"(simhash >> $lo) & $mask")
+      }: _*)).as(Seq("chunk", "cval")))
+    val a = chunked.select(col("chunk"), col("cval"), col("id").as("a"))
+    val b = chunked.select(col("chunk"), col("cval"), col("id").as("b"))
+    val pairs = a.join(b, Seq("chunk", "cval")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sh = sigs.select(col(idCol), col("simhash"))
+    pairs
+      .join(sh.select(col(idCol).as("a"), col("simhash").as("sa")), "a")
+      .join(sh.select(col(idCol).as("b"), col("simhash").as("sb")), "b")
+      .select(col("a"), col("b"), bit_count(expr("sa ^ sb")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
 

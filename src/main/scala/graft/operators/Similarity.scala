@@ -42,6 +42,17 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
+  /** Double-precision cosine, rounded to 6 dp. ~7× cheaper than
+    * `cosineDec` (no per-element DECIMAL casts); deterministic within
+    * Spark because the fold order is the array order. Used for every
+    * path that is *not* hash-compared against the DuckDB oracle
+    * (LSH/IVF assignment and ranking).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast(ArrayType(DoubleType)); val bd = b.cast(ArrayType(DoubleType))
+    round(dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd))), 6)
+  }
+
   def norm2Dec(a: Column): Column = dotDec(a, a)
 
   /** cosine rounded to 6 dp (rounding absorbs engine-level float
@@ -92,13 +103,17 @@ object Similarity {
       .withColumn("bucket", lshBucket(col("cv"), dims, planes))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"), cosineDec(col("qv"), col("cv")).as("cos"))
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
   /** IVF ANN: assign every vector to its nearest of `centroids`
     * (broadcast argmin), probe the `nprobe` nearest lists per query.
+    * All assignment/ranking math is double precision — exact-DECIMAL
+    * cosine is reserved for oracle-checked outputs (`bruteForceTopK`);
+    * using it here cost ~7× for a step that needs no cross-engine
+    * exactness.
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
               centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
@@ -107,7 +122,7 @@ object Similarity {
     def assign(df: DataFrame, idc: String, vc: String, keep: Int): DataFrame = {
       val scored = df.crossJoin(broadcast(cent))
         .select(col(idc), col(vc), col("centroid_id"),
-          cosineDec(col(vc), col("centv")).as("ccos"))
+          cosine(col(vc), col("centv")).as("ccos"))
       val w = Window.partitionBy(idc).orderBy(col("ccos").desc, col("centroid_id"))
       scored.withColumn("crn", row_number().over(w))
         .filter(col("crn") <= keep)
@@ -119,7 +134,7 @@ object Similarity {
       col("embedding").as("qv")), "qid", "qv", nprobe)
     val scored = c.join(q, Seq("centroid_id"))
       .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"), cosineDec(col("qv"), col("cv")).as("cos"))
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }

@@ -119,37 +119,64 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
 
   def tablePath(name: String): String = s"$warehouse/$name"
 
-  /** Current committed generation dir of a table, if any. */
-  private def currentGen(name: String): Option[Path] = {
+  /** Storage layout (write-audit-publish, manifest-based): immutable
+    * data batches live under `<table>/data/batch_<n>`; a committed
+    * generation is a manifest file `<table>/gen_<n>` listing its member
+    * batches (one relative path per line); `_CURRENT` names the live
+    * manifest and is flipped atomically. Readers resolve the manifest
+    * once and only ever see fully-written batches — a crash between
+    * batch write and pointer flip leaves the previous generation
+    * intact. An append commits O(delta) bytes (new batch + manifest),
+    * not O(history); the same manifest scheme works unchanged on
+    * object storage where directory renames aren't atomic.
+    */
+  private def currentManifest(name: String): Option[Seq[String]] = {
     val marker = Paths.get(tablePath(name), "_CURRENT")
-    if (Files.exists(marker))
-      Some(Paths.get(tablePath(name), Files.readString(marker).trim))
-    else None
+    if (!Files.exists(marker)) None
+    else {
+      val gen = Files.readString(marker).trim
+      Some(Files.readString(Paths.get(tablePath(name), gen)).linesIterator
+        .filter(_.nonEmpty).toSeq)
+    }
   }
 
   def readTable(name: String): DataFrame =
-    currentGen(name) match {
-      case Some(p) => spark.read.parquet(p.toString)
-      case None    => sys.error(s"table $name does not exist")
+    currentManifest(name) match {
+      case Some(members) =>
+        spark.read.parquet(members.map(m => s"${tablePath(name)}/$m"): _*)
+      case None => sys.error(s"table $name does not exist")
     }
 
-  def tableExists(name: String): Boolean = currentGen(name).isDefined
+  def tableExists(name: String): Boolean = currentManifest(name).isDefined
 
-  /** Write-audit-publish: write parquet into a new generation dir,
-    * then atomically flip the _CURRENT pointer.
-    */
-  private def publish(name: String,
-      write: String => Unit): Unit = {
+  private val batchCounter = new java.util.concurrent.atomic.AtomicLong()
+  private def nextId(): Long =
+    System.nanoTime() + batchCounter.incrementAndGet()
+
+  /** Write one immutable data batch; returns its manifest-relative path. */
+  private def writeBatch(name: String, write: String => Unit): String = {
+    val rel = s"data/batch_${nextId()}"
+    Files.createDirectories(Paths.get(tablePath(name), "data"))
+    write(Paths.get(tablePath(name), rel).toString)
+    rel
+  }
+
+  /** Atomically commit a new generation made of `members`. */
+  private def publishManifest(name: String, members: Seq[String]): Unit = {
     val dir = Paths.get(tablePath(name))
     Files.createDirectories(dir)
-    val gen = "gen_" + System.nanoTime()
-    write(dir.resolve(gen).toString)
+    val gen = s"gen_${nextId()}"
+    Files.writeString(dir.resolve(gen), members.mkString("\n"))
     val tmp = dir.resolve("_CURRENT.tmp")
     Files.writeString(tmp, gen)
     Files.move(tmp, dir.resolve("_CURRENT"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** Full-refresh publish: one new batch becomes the whole table. */
+  private def publish(name: String, write: String => Unit): Unit =
+    publishManifest(name, Seq(writeBatch(name, write)))
 
   /** Resolve a model's inputs: sources (temp views already registered)
     * + upstream models (ephemeral inlined, others read back).
@@ -184,19 +211,20 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         readTable(name).count()
 
       case Materialization.IncrementalAppend(tsCol) =>
-        val toWrite =
-          if (!tableExists(name)) df
-          else {
-            val hwm = readTable(name).agg(max(col(tsCol))).head.get(0)
-            df.filter(col(tsCol) > lit(hwm))
-          }
         if (!tableExists(name))
-          publish(name, p => toWrite.write.mode("overwrite").parquet(p))
+          publish(name, p => df.write.mode("overwrite").parquet(p))
         else {
-          // append into the current generation dir (no pointer flip
-          // needed; parquet append is additive)
-          val p = currentGen(name).get.toString
-          toWrite.write.mode("append").parquet(p)
+          // null high-water mark (empty table / all-null ts) means
+          // "nothing loaded yet" → append everything, not nothing
+          val hwm = readTable(name).agg(max(col(tsCol))).head.get(0)
+          val delta = if (hwm == null) df else df.filter(col(tsCol) > lit(hwm))
+          // stage the delta as a new batch, then commit old ∪ delta as
+          // a new generation — a mid-write crash leaves the previous
+          // generation live (readers never see partial delta files)
+          val deltaBatch = writeBatch(name,
+            p => delta.write.mode("overwrite").parquet(p))
+          publishManifest(name,
+            currentManifest(name).get :+ deltaBatch)
         }
         readTable(name).count()
 
@@ -205,12 +233,16 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           publish(name, p =>
             df.write.mode("overwrite").partitionBy(parts: _*).parquet(p))
         else {
-          val p = currentGen(name).get.toString
-          // dynamic partition overwrite: replaces exactly the
-          // partitions present in df, leaves the rest untouched
-          df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(parts: _*).parquet(p)
+          // insert_overwrite semantics: replace exactly the partitions
+          // present in the new batch, keep the rest. Rewritten as
+          // kept-rows ∪ new-batch and committed atomically — the
+          // touched-partition set is tiny, so the anti-join broadcasts.
+          val touched = df.select(parts.map(col): _*).distinct()
+          val kept = readTable(name)
+            .join(broadcast(touched), parts, "left_anti")
+          val merged = kept.unionByName(df)
+          publish(name, p =>
+            merged.write.mode("overwrite").partitionBy(parts: _*).parquet(p))
         }
         readTable(name).count()
 

@@ -51,11 +51,16 @@ object Snapshot {
           .select(open.columns.map(col): _*)
           .withColumn("valid_to", asOfTs)
 
-        // new versions: keys that are brand new, or whose values changed
+        // new versions: keys that are brand new, or whose values changed.
+        // Key absence is tested on an explicit presence marker — a key
+        // whose first tracked column is legitimately NULL (and
+        // unchanged) must NOT be misread as brand new, or it would get
+        // a second open row.
         val openKeyed = open.select(
-          keyCols.map(col) ++ compareCols.map(c => col(c).as(s"__old_$c")): _*)
+          keyCols.map(col) ++ compareCols.map(c => col(c).as(s"__old_$c")) :+
+            lit(true).as("__had_open"): _*)
         val fresh = newState.join(openKeyed, keyCols, "left")
-          .filter(col(s"__old_${compareCols.head}").isNull ||
+          .filter(col("__had_open").isNull ||
             compareCols.map(c => !(col(c) <=> col(s"__old_$c"))).reduce(_ || _))
           .select(newState.columns.map(col): _*)
 

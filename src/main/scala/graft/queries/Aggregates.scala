@@ -100,12 +100,17 @@ object Aggregates extends QueryGroup {
           |ORDER BY rf, ls""".stripMargin)
     }),
 
+    // Nested outputs are serialized to sorted CSV strings so the
+    // driver's pandas comparator (which cannot sort/hash ndarray cells)
+    // sees scalars; the raw array form stays covered by a unit test.
     "agg_collect" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_custkey")
         .agg(
-          array_sort(collect_list(col("o_orderkey"))).as("order_keys"),
-          array_sort(collect_set(col("o_orderstatus"))).as("statuses"))
+          array_join(transform(array_sort(collect_list(col("o_orderkey"))),
+            _.cast(StringType)), ",").as("order_keys"),
+          array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+            .as("statuses"))
         .orderBy("o_custkey")),
 
     // Moment statistics + correlation + positional median, all derived
@@ -142,9 +147,12 @@ object Aggregates extends QueryGroup {
             .as("var_qty"),
           sqrt((col("sq2") - col("sq") * col("sq") / col("n")) / (col("n") - 1))
             .as("stddev_qty"),
-          ((col("n") * col("spq") - col("sq") * col("sp")) /
+          // corr chains enough double ops that engines can differ in the
+          // last bit (FMA/evaluation order); round(9) absorbs that while
+          // keeping the value exact to any practical use
+          round((col("n") * col("spq") - col("sq") * col("sp")) /
             (sqrt(col("n") * col("sq2") - col("sq") * col("sq")) *
-              sqrt(col("n") * col("sp2") - col("sp") * col("sp"))))
+              sqrt(col("n") * col("sp2") - col("sp") * col("sp"))), 9)
             .as("corr_qty_price"),
           col("median_qty"))
         .orderBy("l_returnflag")
@@ -238,8 +246,8 @@ object Aggregates extends QueryGroup {
 
     "agg_collect" ->
       """SELECT o_custkey,
-        |  list_sort(list(o_orderkey)) AS order_keys,
-        |  list_sort(list(DISTINCT o_orderstatus)) AS statuses
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "agg_stats" ->
@@ -266,7 +274,7 @@ object Aggregates extends QueryGroup {
         |  sq/n AS mean_qty,
         |  (sq2 - sq*sq/n)/(n-1) AS var_qty,
         |  sqrt((sq2 - sq*sq/n)/(n-1)) AS stddev_qty,
-        |  (n*spq - sq*sp)/(sqrt(n*sq2 - sq*sq)*sqrt(n*sp2 - sp*sp))
+        |  round((n*spq - sq*sp)/(sqrt(n*sq2 - sq*sq)*sqrt(n*sp2 - sp*sp)), 9)
         |    AS corr_qty_price,
         |  median_qty
         |FROM s JOIN m ON s.rf = m.rf

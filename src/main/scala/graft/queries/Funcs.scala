@@ -13,6 +13,14 @@ import org.apache.spark.sql.types._
   */
 object ScalarFuncs extends QueryGroup {
 
+  /** Array cells → sorted-order CSV string: the driver's pandas
+    * comparator cannot sort/hash ndarray cells, so every array-typed
+    * output column is serialized on both sides (DuckDB mirrors with
+    * `array_to_string`). Raw array types stay covered in unit tests.
+    */
+  private def aj(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_join(transform(c, _.cast(StringType)), ",")
+
   override def queries: Map[String, Q] = Map(
     "fn_string" -> ((s, d) =>
       Tables.customer(s, d).select(
@@ -78,17 +86,20 @@ object ScalarFuncs extends QueryGroup {
       Tables.lineitem(s, d)
         .withColumn("arr", array(col("l_orderkey"), col("l_partkey"), col("l_suppkey")))
         .select(
-          col("l_orderkey"), col("l_linenumber"), col("arr"),
+          col("l_orderkey"), col("l_linenumber"),
+          aj(col("arr")).as("arr_s"),
           size(col("arr")).as("sz"),
           array_contains(col("arr"), 42L).as("has42"),
-          array_sort(col("arr")).as("srt"),
-          slice(col("arr"), 1, 2).as("sl"),
-          transform(col("arr"), x => x * 2).as("tr2"),
-          filter(col("arr"), x => x % 2 === 0).as("evens"),
+          aj(array_sort(col("arr"))).as("srt"),
+          aj(slice(col("arr"), 1, 2)).as("sl"),
+          aj(transform(col("arr"), x => x * 2)).as("tr2"),
+          aj(filter(col("arr"), x => x % 2 === 0)).as("evens"),
           aggregate(col("arr"), lit(0L), (a, x) => a + x).as("sm"),
-          flatten(array(col("arr"), array(lit(0L)))).as("flat"),
-          zip_with(col("arr"), col("arr"), (x, y) => x + y).as("zp"))
-        .orderBy("l_orderkey", "l_linenumber", "arr")),
+          aj(flatten(array(col("arr"), array(lit(0L))))).as("flat"),
+          aj(zip_with(col("arr"), col("arr"), (x, y) => x + y)).as("zp"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // lineitem; arr_s breaks the remaining ties deterministically
+        .orderBy("l_orderkey", "l_linenumber", "arr_s")),
 
     "fn_map" -> ((s, d) =>
       Tables.events(s, d)
@@ -96,7 +107,7 @@ object ScalarFuncs extends QueryGroup {
           lit("id"), col("event_id").cast(StringType)))
         .select(
           col("event_id"),
-          array_sort(map_keys(col("m"))).as("mk"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("mk"),
           element_at(col("m"), "ty").as("ty"),
           element_at(col("m"), "id").as("idv"),
           size(col("m")).as("msz"))
@@ -175,22 +186,22 @@ object ScalarFuncs extends QueryGroup {
 
     "fn_array" ->
       """SELECT l_orderkey, l_linenumber,
-        |  [l_orderkey, l_partkey, l_suppkey] AS arr,
+        |  array_to_string([l_orderkey, l_partkey, l_suppkey], ',') AS arr_s,
         |  CAST(len([l_orderkey, l_partkey, l_suppkey]) AS INTEGER) AS sz,
         |  list_contains([l_orderkey, l_partkey, l_suppkey], 42) AS has42,
-        |  list_sort([l_orderkey, l_partkey, l_suppkey]) AS srt,
-        |  [l_orderkey, l_partkey, l_suppkey][1:2] AS sl,
-        |  list_transform([l_orderkey, l_partkey, l_suppkey], x -> x * 2) AS tr2,
-        |  list_filter([l_orderkey, l_partkey, l_suppkey], x -> x % 2 = 0) AS evens,
+        |  array_to_string(list_sort([l_orderkey, l_partkey, l_suppkey]), ',') AS srt,
+        |  array_to_string([l_orderkey, l_partkey, l_suppkey][1:2], ',') AS sl,
+        |  array_to_string(list_transform([l_orderkey, l_partkey, l_suppkey], x -> x * 2), ',') AS tr2,
+        |  coalesce(array_to_string(list_filter([l_orderkey, l_partkey, l_suppkey], x -> x % 2 = 0), ','), '') AS evens,
         |  CAST(list_sum([l_orderkey, l_partkey, l_suppkey]) AS BIGINT) AS sm,
-        |  flatten([[l_orderkey, l_partkey, l_suppkey], [0]]) AS flat,
-        |  list_transform([l_orderkey, l_partkey, l_suppkey], x -> x + x) AS zp
+        |  array_to_string(flatten([[l_orderkey, l_partkey, l_suppkey], [0]]), ',') AS flat,
+        |  array_to_string(list_transform([l_orderkey, l_partkey, l_suppkey], x -> x + x), ',') AS zp
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, arr""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, arr_s""".stripMargin,
 
     "fn_map" ->
       """SELECT event_id,
-        |  list_sort(map_keys(map(['ty','id'], [event_type, CAST(event_id AS VARCHAR)]))) AS mk,
+        |  array_to_string(list_sort(map_keys(map(['ty','id'], [event_type, CAST(event_id AS VARCHAR)]))), ',') AS mk,
         |  map(['ty','id'], [event_type, CAST(event_id AS VARCHAR)])['ty'][1] AS ty,
         |  map(['ty','id'], [event_type, CAST(event_id AS VARCHAR)])['id'][1] AS idv,
         |  CAST(cardinality(map(['ty','id'], [event_type, CAST(event_id AS VARCHAR)])) AS INTEGER) AS msz

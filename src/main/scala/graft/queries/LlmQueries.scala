@@ -25,9 +25,12 @@ object LlmOps extends QueryGroup {
         k = 32, bands = 8, threshold = 0.5)
         .orderBy("a", "b")),
 
+    // maxDist=7 keeps the recall guarantee honest: 8 chunks of 8 bits
+    // each ⇒ any pair within hamming distance 7 shares a chunk
+    // (pigeonhole), so blocking loses nothing. Property-tested.
     "llm_simhash" -> ((s, d) => {
       val sigs = Dedup.simHash(Tables.documents(s, d), "doc_id", "text")
-      Dedup.simHashNearDups(sigs, "doc_id", maxDist = 16)
+      Dedup.simHashNearDups(sigs, "doc_id", maxDist = 7)
         .orderBy("a", "b")
     }),
 

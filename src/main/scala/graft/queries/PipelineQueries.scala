@@ -1,0 +1,281 @@
+package graft.queries
+
+import graft.{QueryGroup, Tables}
+import graft.Tables.{dec2, asDouble}
+import graft.pipeline._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.10 — the dbt-semantics layer, which is the reference's
+  * only declared surface (`dbtoperator.py:35,273-274,334,488-491`):
+  * materializations, incremental strategies, SCD2 snapshots, generic
+  * data tests, DAG selection, source freshness. Each key drives the
+  * real `PipelineRunner` against a scratch warehouse and returns the
+  * resulting table, with a batch-equivalent DuckDB oracle computing
+  * the expected *final state* directly from the raw tables — so the
+  * runner's multi-step behavior (high-water marks, partition
+  * replacement, merge, interval maintenance) is hash-checked, not
+  * just row-counted.
+  */
+object PipelineOps extends QueryGroup {
+
+  /** Scratch warehouse under target/ (inside the repo, git-ignored). */
+  private def freshWh(key: String): String = {
+    val base = java.nio.file.Paths.get("/root/repo/target/scratch")
+    java.nio.file.Files.createDirectories(base)
+    java.nio.file.Files.createTempDirectory(base, key).toString
+  }
+
+  private def mustSucceed(r: RunResult): Unit =
+    require(r.success, r.results.flatMap(_.error).mkString("; "))
+
+  override def queries: Map[String, Q] = Map(
+    // ---- materializations -------------------------------------------------
+    "mat_table" -> ((s, d) => {
+      val spec = PipelineSpec(Seq(Model("mt_cust_seg", Nil, Materialization.Table,
+        (sp, _) => Tables.customer(sp, d).groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            asDouble(sum(dec2(col("c_acctbal")))).as("sum_bal")))))
+      val r = new PipelineRunner(s, spec, freshWh("mat_table"))
+      mustSucceed(r.run(Seq("run")))
+      r.readTable("mt_cust_seg").orderBy("c_mktsegment")
+    }),
+
+    "mat_view" -> ((s, d) => {
+      val spec = PipelineSpec(Seq(Model("mv_recent", Nil, Materialization.View,
+        (sp, _) => Tables.orders(sp, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType))
+          .select("o_orderkey", "o_custkey", "o_totalprice"))))
+      val r = new PipelineRunner(s, spec, freshWh("mat_view"))
+      mustSucceed(r.run(Seq("run")))
+      s.table("mv_recent").orderBy("o_orderkey")
+    }),
+
+    "mat_ephemeral" -> ((s, d) => {
+      val spec = PipelineSpec(Seq(
+        Model("me_ord", Nil, Materialization.Ephemeral,
+          (sp, _) => Tables.orders(sp, d).join(Tables.customer(sp, d),
+            col("o_custkey") === col("c_custkey"))),
+        Model("me_seg_sales", Seq("me_ord"), Materialization.Table,
+          (_, in) => in("me_ord").groupBy("c_mktsegment")
+            .agg(count(lit(1)).as("n"),
+              asDouble(sum(dec2(col("o_totalprice")))).as("sum_sales")))))
+      val r = new PipelineRunner(s, spec, freshWh("mat_ephemeral"))
+      mustSucceed(r.run(Seq("run")))
+      r.readTable("me_seg_sales").orderBy("c_mktsegment")
+    }),
+
+    // Two runs against the same warehouse: the second batch widens the
+    // date cut, and only rows past the first batch's high-water mark
+    // are appended — final state must equal one clean load.
+    "mat_incremental_append" -> ((s, d) => {
+      val wh = freshWh("mat_incremental_append")
+      def spec(cut: String) = PipelineSpec(Seq(Model("mia_orders", Nil,
+        Materialization.IncrementalAppend("o_orderdate"),
+        (sp, _) => Tables.orders(sp, d)
+          .filter(col("o_orderdate") < lit(cut).cast(TimestampType))
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate"))))
+      mustSucceed(new PipelineRunner(s, spec("1997-01-01"), wh).run(Seq("run")))
+      val r2 = new PipelineRunner(s, spec("1998-01-01"), wh)
+      mustSucceed(r2.run(Seq("run")))
+      r2.readTable("mia_orders").orderBy("o_orderkey")
+    }),
+
+    // Batch 1 loads every status at ver=1; batch 2 recomputes only the
+    // 'O' partition at ver=2 — insert_overwrite must replace exactly
+    // that partition and keep the others.
+    "mat_incremental_insert_overwrite" -> ((s, d) => {
+      val wh = freshWh("mat_incremental_insert_overwrite")
+      def spec(ver: Int, only: Option[String]) = PipelineSpec(Seq(Model(
+        "mio_orders", Nil,
+        Materialization.IncrementalInsertOverwrite(Seq("o_orderstatus")),
+        (sp, _) => {
+          val base = Tables.orders(sp, d)
+            .select(col("o_orderkey"), col("o_orderstatus"))
+            .withColumn("ver", lit(ver))
+          only.map(st => base.filter(col("o_orderstatus") === st)).getOrElse(base)
+        })))
+      mustSucceed(new PipelineRunner(s, spec(1, None), wh).run(Seq("run")))
+      val r2 = new PipelineRunner(s, spec(2, Some("O")), wh)
+      mustSucceed(r2.run(Seq("run")))
+      r2.readTable("mio_orders")
+        .select("o_orderkey", "o_orderstatus", "ver")
+        .orderBy("o_orderkey")
+    }),
+
+    // Batch 1 zeroes every balance; batch 2 upserts real balances for
+    // custkey % 3 = 0 — merge must keep batch-1 rows for the rest.
+    "mat_incremental_merge" -> ((s, d) => {
+      val wh = freshWh("mat_incremental_merge")
+      def spec(build: SparkSession => DataFrame) = PipelineSpec(Seq(Model(
+        "mim_cust", Nil, Materialization.IncrementalMerge(Seq("c_custkey")),
+        (sp, _) => build(sp))))
+      mustSucceed(new PipelineRunner(s,
+        spec(sp => Tables.customer(sp, d)
+          .select(col("c_custkey"), col("c_mktsegment"), lit(0.0).as("bal"))),
+        wh).run(Seq("run")))
+      val r2 = new PipelineRunner(s,
+        spec(sp => Tables.customer(sp, d)
+          .filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").as("bal"))), wh)
+      mustSucceed(r2.run(Seq("run")))
+      r2.readTable("mim_cust").orderBy("c_custkey")
+    }),
+
+    // ---- snapshots --------------------------------------------------------
+    // Two snapshot steps with a deterministic segment change for
+    // custkey % 5 = 0 between them; the oracle states the full SCD2
+    // history (closed v1 rows + open v2 rows) directly.
+    "snapshot_scd2" -> ((s, d) => {
+      val state1 = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      val state2 = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 5 === 0, lit("MOVED"))
+            .otherwise(col("c_mktsegment")).as("seg"))
+      val snap1 = Snapshot.scd2(None, state1, Seq("c_custkey"), Seq("seg"),
+        "2024-01-01 00:00:00")
+      val snap2 = Snapshot.scd2(Some(snap1), state2, Seq("c_custkey"),
+        Seq("seg"), "2024-02-01 00:00:00")
+      snap2.orderBy("c_custkey", "valid_from")
+    }),
+
+    // ---- generic data tests (violating-rows SELECTs; dbt `test`) ----------
+    "test_unique" -> ((s, d) =>
+      DataTests.unique(Tables.lineitem(s, d), Seq("l_orderkey"))
+        .orderBy("l_orderkey")),
+
+    "test_not_null" -> ((s, d) =>
+      DataTests.notNull(
+        Tables.orders(s, d).select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("maybe")),
+        "maybe").orderBy("o_orderkey")),
+
+    "test_accepted_values" -> ((s, d) =>
+      DataTests.acceptedValues(
+        Tables.orders(s, d).select("o_orderkey", "o_orderstatus"),
+        "o_orderstatus", Seq("O", "F")).orderBy("o_orderkey")),
+
+    // Parent side is filtered to custkey % 3 <> 0 to seed orphans.
+    "test_relationships" -> ((s, d) =>
+      DataTests.relationships(
+        Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d).filter(col("c_custkey") % 3 =!= 0), "c_custkey")
+        .orderBy("o_custkey")),
+
+    // ---- DAG execution with --select --------------------------------------
+    // `run --select +dag_agg` must build dag_base and dag_agg but NOT
+    // dag_poison (whose build throws) — selection and topo order are
+    // both exercised; the oracle checks dag_agg's content.
+    "run_select_dag" -> ((s, d) => {
+      val spec = PipelineSpec(Seq(
+        Model("dag_base", Nil, Materialization.View,
+          (sp, _) => Tables.orders(sp, d).filter(col("o_orderstatus") === "F")),
+        Model("dag_agg", Seq("dag_base"), Materialization.Table,
+          (_, in) => in("dag_base").groupBy("o_custkey")
+            .agg(count(lit(1)).as("n_f"))),
+        Model("dag_poison", Seq("dag_agg"), Materialization.Table,
+          (_, _) => sys.error("dag_poison must not be selected"))))
+      val r = new PipelineRunner(s, spec, freshWh("run_select_dag"))
+      mustSucceed(r.run(Seq("run --select +dag_agg")))
+      r.readTable("dag_agg").orderBy("o_custkey")
+    }),
+
+    // ---- source freshness (injected "now" → deterministic) ----------------
+    "source_freshness" -> ((s, d) =>
+      Freshness.check(Tables.events(s, d), "events", "ts",
+        asOf = "1998-08-01 00:00:00",
+        warnAfterSec = 7L * 86400, errorAfterSec = 30L * 86400))
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "mat_table" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "mat_view" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "mat_ephemeral" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_sales
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "mat_incremental_append" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "mat_incremental_insert_overwrite" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'O' THEN 2 ELSE 1 END AS ver
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "mat_incremental_merge" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "snapshot_scd2" ->
+      """SELECT c_custkey, c_mktsegment AS seg,
+        |  TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+        |  CASE WHEN c_custkey % 5 = 0 THEN TIMESTAMP '2024-02-01 00:00:00'
+        |       ELSE CAST(NULL AS TIMESTAMP) END AS valid_to
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'MOVED' AS seg,
+        |  TIMESTAMP '2024-02-01 00:00:00' AS valid_from,
+        |  CAST(NULL AS TIMESTAMP) AS valid_to
+        |FROM customer WHERE c_custkey % 5 = 0
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "test_unique" ->
+      """SELECT l_orderkey, count(*) AS n
+        |FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "test_not_null" ->
+      """SELECT o_orderkey, nullif(o_orderstatus, 'O') AS maybe
+        |FROM orders WHERE nullif(o_orderstatus, 'O') IS NULL
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "test_accepted_values" ->
+      """SELECT o_orderkey, o_orderstatus
+        |FROM orders
+        |WHERE o_orderstatus NOT IN ('O', 'F') OR o_orderstatus IS NULL
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "test_relationships" ->
+      """SELECT DISTINCT o_custkey
+        |FROM orders
+        |WHERE o_custkey IS NOT NULL
+        |  AND o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0)
+        |ORDER BY o_custkey""".stripMargin,
+
+    "run_select_dag" ->
+      """SELECT o_custkey, count(*) AS n_f
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "source_freshness" ->
+      """SELECT 'events' AS source, max(ts) AS max_loaded_at,
+        |  CAST(floor(date_part('epoch', TIMESTAMP '1998-08-01 00:00:00')) AS BIGINT)
+        |    - CAST(floor(date_part('epoch', max(ts))) AS BIGINT) AS age_sec,
+        |  CASE
+        |    WHEN max(ts) IS NULL
+        |      OR CAST(floor(date_part('epoch', TIMESTAMP '1998-08-01 00:00:00')) AS BIGINT)
+        |         - CAST(floor(date_part('epoch', max(ts))) AS BIGINT) > 2592000 THEN 'error'
+        |    WHEN CAST(floor(date_part('epoch', TIMESTAMP '1998-08-01 00:00:00')) AS BIGINT)
+        |         - CAST(floor(date_part('epoch', max(ts))) AS BIGINT) > 604800 THEN 'warn'
+        |    ELSE 'pass' END AS status
+        |FROM events""".stripMargin
+  )
+}

@@ -125,6 +125,47 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Connected components over near-dup candidate pairs → one
+    * (id, cluster_id) row per node, cluster_id = min id in the
+    * component. This is what a pipeline user actually consumes
+    * ("which doc to keep per cluster"), not raw pairs: keep-rows are
+    * `cluster_id == id`.
+    *
+    * Iterative min-label propagation: O(diameter) rounds, each one
+    * shuffle of (node, label) — near-dup components are tiny/star-
+    * shaped, so this converges in 2-3 rounds in practice.
+    * `localCheckpoint` cuts lineage each round so plans don't grow
+    * exponentially; at 100 TB swap for `checkpoint` on durable storage.
+    */
+  def clusters(pairs: DataFrame, idA: String = "a", idB: String = "b",
+               maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Token-set Jaccard between doc pairs given a (docA, docB) pair
     * frame. Distinct-token frames joined per pair — linear in the
     * candidate pair count (callers supply blocked/LSH candidates, not

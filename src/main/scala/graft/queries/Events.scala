@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 
 /** SURVEY §2.11 event-time windows, batch-first on `events.ts` so the
   * DuckDB oracle applies; the same logic re-runs under Structured
-  * Streaming in graft.streaming (no oracle there). Spark's
+  * Streaming in `graft.streaming.StreamingOps` (watermarks, streaming
+  * dedup, flatMapGroupsWithState — MemoryStream-tested in
+  * `graft.StreamingSpec`, no oracle there). Spark's
   * window()/session_window() are epoch-aligned; the oracles mirror
   * that with time_bucket / lag-gap-cumsum.
   */

@@ -34,6 +34,15 @@ object LlmOps extends QueryGroup {
         .orderBy("a", "b")
     }),
 
+    // Pairs → connected components → keep-min-per-cluster: the shape a
+    // dedup pipeline consumes. No oracle (depends on the MinHash
+    // family); clustering itself is property-tested in DedupSpec.
+    "llm_neardup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minHashNearDups(Tables.documents(s, d), "doc_id",
+        "text", k = 32, bands = 8, threshold = 0.5)
+      Dedup.clusters(pairs).orderBy("id")
+    }),
+
     // Adjacent-id pair Jaccard keeps the oracle linear; the general
     // operator takes arbitrary (blocked) candidate pairs.
     "llm_ngram_jaccard" -> ((s, d) => {
@@ -125,6 +134,23 @@ object LlmOps extends QueryGroup {
         .select(col("doc_id"), col("meta.width").as("width"),
           col("meta.height").as("height"), col("meta.n_bytes").as("n_bytes"),
           col("meta.format").as("format"))
+        .orderBy("doc_id")),
+
+    // Frame-sampling plan shape for a (stub) video column: one row per
+    // sampled frame index — the explode side of a frame-extraction
+    // pipeline, fully oracle-checkable since the stub is arithmetic.
+    "mm_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Tables.documents(s, d)
+          .withColumn("payload", col("text").cast(BinaryType)),
+        "doc_id", "payload", everyNBytes = 100)
+        .orderBy("doc_id", "frame_idx")),
+
+    // BPE-ish token-count approximation (words + punctuation runs).
+    "llm_token_count" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens_approx"))
         .orderBy("doc_id"))
   )
 
@@ -232,6 +258,21 @@ object LlmOps extends QueryGroup {
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
         |  lower(hex(encode(left(text, 8)))) AS head_hex,
         |  md5(text) AS payload_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  CAST(unnest(generate_series(0, octet_length(encode(text)) // 100))
+        |    AS INTEGER) AS frame_idx
+        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "llm_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |         x -> x <> '')) AS INTEGER)
+         |  + CAST(len(list_filter(string_split_regex(lower(text), '[a-z0-9\\s]+'),
+         |         x -> x <> '')) AS INTEGER) AS n_tokens_approx
+         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

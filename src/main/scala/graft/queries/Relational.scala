@@ -316,25 +316,18 @@ object Joins extends QueryGroup {
 
     // As-of join (north-star; no native batch as-of in Spark 4): for
     // each click, the latest purchase by the same user at-or-before
-    // its timestamp. Implemented with the union+window trick — ONE
-    // shuffle on user_id, no per-row subquery, scales linearly.
+    // its timestamp. Delegates to operators.AsOfJoin — the union+window
+    // trick: ONE shuffle on user_id, no per-row subquery, linear scale.
     // Reference basis: SURVEY §2.3 join_asof.
     "join_asof" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), lit(0).as("kind"),
-          col("event_id").as("pid"), lit(null).cast(LongType).as("cid"))
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), lit(1).as("kind"),
-          lit(null).cast(LongType).as("pid"), col("event_id").as("cid"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(col("ts"), col("kind"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      purchases.unionByName(clicks)
-        .withColumn("last_pid", last(col("pid"), ignoreNulls = true).over(w))
-        .filter(col("kind") === 1)
-        .select(col("cid").as("event_id"), col("user_id"),
-          col("last_pid").as("purchase_id"))
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      graft.operators.AsOfJoin
+        .leftAsOf(clicks, purchases, "user_id", "ts", Seq("purchase_id"))
+        .select("event_id", "user_id", "purchase_id")
         .orderBy("event_id")
     })
   )

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming variants of the §2.11 event-time logic
+  * (SURVEY §7 phase S; the batch-oracle-checked forms live in
+  * `graft.queries.EventWindows`). Every function takes a *streaming*
+  * DataFrame (`readStream` / MemoryStream) with the events schema
+  * (`event_id long, user_id long, event_type string, ts timestamp,
+  * value double`) and returns a streaming result; MemoryStream unit
+  * tests in `graft.StreamingSpec` prove watermark late-drop and
+  * per-key state evolution.
+  *
+  * Scale notes: all state (window aggs, dedup keys, per-user state)
+  * is bounded by the watermark — without it, stream state grows
+  * forever at 100 TB/day. Aggregations shuffle once on the group key;
+  * `flatMapGroupsWithState` keys state by user_id, so skewed users
+  * are the only hot spot (mitigate upstream via pre-aggregation).
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour counts/sums with a watermark: windows finalize
+    * (append mode) once the watermark passes their end; rows later
+    * than `delay` behind the max seen event time are dropped.
+    */
+  def tumblingAgg(events: DataFrame, delay: String): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"),
+        col("event_type"), col("n"), col("sv"))
+
+  /** Stateful streaming dedup on event_id: duplicates within the
+    * watermark horizon are dropped; the watermark bounds the dedup
+    * state so it never grows past `delay` of event time.
+    */
+  def dedup(events: DataFrame, delay: String): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicates("event_id", "ts")
+
+  /** Session windows (30-min gap) under a watermark. */
+  def sessionAgg(events: DataFrame, delay: String): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .select(col("user_id"), col("w.start").as("ss"), col("w.end").as("se"),
+        col("n"), col("sv"))
+
+  /** Per-user running state, updated each micro-batch. */
+  case class EventRow(event_id: Long, user_id: Long, event_type: String,
+                      ts: java.sql.Timestamp, value: Double)
+  case class UserState(lastSeenMs: Long, nEvents: Long, totalValue: Double)
+  case class UserStateOut(user_id: Long, last_seen_ms: Long, n_events: Long,
+                          total_value: Double)
+
+  /** Custom per-key state via flatMapGroupsWithState (the
+    * mapGroupsWithState family): emits the updated running state for
+    * every user touched in the micro-batch. ProcessingTimeTimeout is
+    * deliberately NOT used — state retention policy belongs to the
+    * caller; tests exercise state evolution across batches.
+    */
+  def statefulUserAgg(events: Dataset[EventRow]): Dataset[UserStateOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserStateOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(Long.MinValue, 0L, 0.0))
+          val next = rows.foldLeft(prev) { (st, e) =>
+            UserState(math.max(st.lastSeenMs, e.ts.getTime),
+              st.nEvents + 1, st.totalValue + e.value)
+          }
+          state.update(next)
+          Iterator(UserStateOut(userId, next.lastSeenMs, next.nEvents,
+            next.totalValue))
+      }
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Verification for the approximate / nondeterministic no-oracle keys
+  * (SURVEY §5.3): HLL error bound vs exact, fixed-seed sampling
+  * determinism.
+  */
+class ApproxAndSampleSpec extends AnyFunSuite with SparkTestBase {
+
+  test("approx_count_distinct is within the requested rsd bound") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val r = li.agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+      countDistinct(col("l_partkey")).as("exact")).head()
+    val (approx, exact) = (r.getAs[Long]("approx"), r.getAs[Long]("exact"))
+    // HLL rsd is a standard deviation — 5σ is a safe determinism bound
+    assert(math.abs(approx - exact).toDouble / exact <= 0.10,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("sample with a fixed seed is deterministic") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val a = li.sample(withReplacement = false, 0.1, seed = 42).count()
+    val b = li.sample(withReplacement = false, 0.1, seed = 42).count()
+    assert(a == b)
+    val rowsA = li.sample(withReplacement = false, 0.1, seed = 42)
+      .agg(sum(col("l_orderkey"))).head.getLong(0)
+    val rowsB = li.sample(withReplacement = false, 0.1, seed = 42)
+      .agg(sum(col("l_orderkey"))).head.getLong(0)
+    assert(rowsA == rowsB)
+  }
+
+  test("agg_collect raw (unstringified) array output stays covered") {
+    import spark.implicits._
+    val df = Seq((1L, 3L), (1L, 1L), (2L, 5L)).toDF("k", "v")
+    val out = df.groupBy("k")
+      .agg(array_sort(collect_list(col("v"))).as("vs"))
+      .orderBy("k").collect()
+    assert(out(0).getSeq[Long](1) == Seq(1L, 3L))
+    assert(out(1).getSeq[Long](1) == Seq(5L))
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Properties for the hash-family dedup operators (SURVEY §5.3):
+  * exact-dedup idempotence, MinHash estimate sanity, SimHash blocking
+  * recall guarantee — the no-oracle keys' verification.
+  */
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("exact dedup groups case/whitespace variants and keeps min id") {
+    val df = Seq(
+      (1L, "Hello World"), (2L, "  hello world  "), (3L, "HELLO WORLD"),
+      (4L, "something else")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text").collect()
+    assert(out.length == 2)
+    val big = out.find(_.getAs[Long]("n") == 3L).get
+    assert(big.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("exact dedup is idempotent") {
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val once = Dedup.exact(df, "doc_id", "text")
+    val survivors = once.select(col("keep_id").as("doc_id"))
+      .join(df, "doc_id")
+    val twice = Dedup.exact(survivors, "doc_id", "text")
+    assert(twice.count() == once.count())
+    assert(twice.agg(max("n")).head.getLong(0) == 1L)
+  }
+
+  test("minhash: identical docs get est_sim 1.0 and are paired") {
+    val text = "the quick brown fox jumps over the lazy dog repeatedly"
+    val df = Seq((1L, text), (2L, text), (3L, "totally different content here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDups(df, "doc_id", "text",
+      k = 32, bands = 8, threshold = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("a") == 1L && pairs.head.getAs[Long]("b") == 2L)
+    assert(pairs.head.getAs[Double]("est_sim") == 1.0)
+  }
+
+  test("minhash: emits each candidate pair exactly once") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = (1L to 6L).map(i => (i, base + " suffix" + (i % 2)))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDups(df, "doc_id", "text",
+      k = 32, bands = 8, threshold = 0.1)
+    val dup = pairs.groupBy("a", "b").count().filter(col("count") > 1)
+    assert(dup.count() == 0)
+    // pair ordering invariant
+    assert(pairs.filter(col("a") >= col("b")).count() == 0)
+  }
+
+  test("minhash estimate tracks true Jaccard loosely") {
+    // two docs sharing roughly half their shingles
+    val shared = "aaaa bbbb cccc dddd eeee ffff gggg hhhh"
+    val d1 = shared + " iiii jjjj kkkk llll"
+    val d2 = shared + " mmmm nnnn oooo pppp"
+    val df = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDups(df, "doc_id", "text",
+      k = 32, bands = 16, threshold = 0.0).collect()
+    if (pairs.nonEmpty) { // banding may or may not surface the pair
+      val est = pairs.head.getAs[Double]("est_sim")
+      assert(est > 0.2 && est < 0.95, s"est_sim=$est far from ~0.5-0.7")
+    }
+  }
+
+  test("simhash blocking recall: every pair within maxDist is found") {
+    val maxDist = 7
+    val rnd = new scala.util.Random(42)
+    // pairs (2i, 2i+1): second = first with d<=maxDist bits flipped
+    val rows = (0 until 50).flatMap { i =>
+      val base = rnd.nextLong()
+      val d = rnd.nextInt(maxDist + 1)
+      val flipped = (0 until d)
+        .map(_ => rnd.nextInt(64))
+        .distinct // flipping the same bit twice would cancel
+        .foldLeft(base)((v, b) => v ^ (1L << b))
+      Seq((2L * i, base), (2L * i + 1, flipped))
+    }
+    val sigs = rows.toDF("doc_id", "simhash")
+    val found = Dedup.simHashNearDups(sigs, "doc_id", maxDist)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    (0 until 50).foreach { i =>
+      val (a, b) = (2L * i, 2L * i + 1)
+      val dist = java.lang.Long.bitCount(rows(2 * i)._2 ^ rows(2 * i + 1)._2)
+      assert(dist <= maxDist)
+      assert(found.contains((a, b)),
+        s"pair ($a,$b) at hamming distance $dist missed (recall violation)")
+    }
+  }
+
+  test("simhash blocking never returns pairs beyond maxDist") {
+    // two signatures at hamming distance 32 that still share chunk 0
+    val a = 0L
+    val b = 0xFFFFFFFF00000000L // top 32 bits differ, bottom chunk equal
+    val sigs = Seq((1L, a), (2L, b)).toDF("doc_id", "simhash")
+    assert(Dedup.simHashNearDups(sigs, "doc_id", maxDist = 7).count() == 0)
+  }
+
+  test("simhash signature is deterministic") {
+    val df = Seq((1L, "some stable text about weather and climate"))
+      .toDF("doc_id", "text")
+    val s1 = Dedup.simHash(df, "doc_id", "text").head.getLong(1)
+    val s2 = Dedup.simHash(df, "doc_id", "text").head.getLong(1)
+    assert(s1 == s2)
+  }
+
+  test("clusters: min-label connected components over pair graph") {
+    // components {1,2,3} (chain), {4,5}, and a long path {10..14}
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("a", "b")
+    val out = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
+    assert(out(4L) == 4L && out(5L) == 4L)
+    assert((10L to 14L).forall(out(_) == 10L))
+  }
+
+  test("jaccardForPairs computes exact token-set jaccard") {
+    val df = Seq((1L, "a b c d"), (2L, "c d e f")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = Dedup.jaccardForPairs(df, pairs, "doc_id", "text").head()
+    assert(out.getAs[Long]("common") == 2L)
+    assert(math.abs(out.getAs[Double]("jaccard") - 2.0 / 6.0) < 1e-12)
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Runner semantics mirroring the reference's process contract:
+  * fail-fast command loop (`dbtoperator.py:426-434`), atomic
+  * write-audit-publish (a failed rebuild leaves the old generation
+  * readable), incremental edge cases (null high-water mark), and
+  * `--select` graph selection.
+  */
+class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def wh(): String = {
+    val base = java.nio.file.Paths.get("/root/repo/target/scratch-test")
+    java.nio.file.Files.createDirectories(base)
+    java.nio.file.Files.createTempDirectory(base, "wh").toString
+  }
+
+  private def tableModel(name: String, data: => Seq[(Long, String)]) =
+    Model(name, Nil, Materialization.Table,
+      (sp, _) => { import sp.implicits._; data.toDF("id", "v") })
+
+  test("fail-fast: a failing command skips the remaining commands") {
+    val spec = PipelineSpec(Seq(
+      Model("ok_m", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._; Seq((1L, "a")).toDF("id", "v") }),
+      Model("bad_m", Nil, Materialization.Table,
+        (_, _) => sys.error("boom"))))
+    val r = new PipelineRunner(spark, spec, wh())
+    val res = r.run(Seq("run --select bad_m", "run --select ok_m"))
+    assert(!res.success)
+    assert(res.results.length == 1, "second command must not run")
+    assert(!r.tableExists("ok_m"))
+  }
+
+  test("a failed rebuild leaves the previous generation readable") {
+    val w = wh()
+    val good = PipelineSpec(Seq(tableModel("t", Seq((1L, "v1"), (2L, "v1")))))
+    assert(new PipelineRunner(spark, good, w).run(Seq("run")).success)
+
+    // rebuild whose *write* fails mid-flight (udf throws per row)
+    val explode = udf((s: String) =>
+      if (s != null) sys.error("decode failure") else s)
+    val bad = PipelineSpec(Seq(Model("t", Nil, Materialization.Table,
+      (sp, _) => { import sp.implicits._
+        Seq((9L, "x")).toDF("id", "v").withColumn("v", explode(col("v"))) })))
+    val r2 = new PipelineRunner(spark, bad, w)
+    assert(!r2.run(Seq("run")).success)
+    // old generation still live and intact
+    assert(r2.readTable("t").orderBy("id").as[(Long, String)].collect()
+      .toSeq == Seq((1L, "v1"), (2L, "v1")))
+  }
+
+  test("incremental append: null high-water mark appends everything") {
+    val w = wh()
+    def spec(rows: Seq[(Long, java.sql.Timestamp)]) =
+      PipelineSpec(Seq(Model("inc", Nil,
+        Materialization.IncrementalAppend("ts"),
+        (sp, _) => { import sp.implicits._
+          val df = rows.toDF("id", "ts")
+          // keep the schema even when empty
+          df })))
+    val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // first run: EMPTY batch → table exists, hwm is null
+    assert(new PipelineRunner(spark, spec(Nil), w).run(Seq("run")).success)
+    val r1 = new PipelineRunner(spark, spec(Nil), w)
+    assert(r1.readTable("inc").count() == 0)
+    // second run: data arrives — null hwm must mean "append everything"
+    val r2 = new PipelineRunner(spark,
+      spec(Seq((1L, t(1)), (2L, t(2)))), w)
+    assert(r2.run(Seq("run")).success)
+    assert(r2.readTable("inc").count() == 2)
+  }
+
+  test("incremental append: overlapping batches don't duplicate rows") {
+    val w = wh()
+    val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    def spec(upTo: Int) = PipelineSpec(Seq(Model("inc2", Nil,
+      Materialization.IncrementalAppend("ts"),
+      (sp, _) => { import sp.implicits._
+        (1 to upTo).map(i => (i.toLong, t(i))).toDF("id", "ts") })))
+    assert(new PipelineRunner(spark, spec(5), w).run(Seq("run")).success)
+    val r2 = new PipelineRunner(spark, spec(9), w)
+    assert(r2.run(Seq("run")).success)
+    assert(r2.readTable("inc2").count() == 9)
+    assert(r2.readTable("inc2").select("id").distinct().count() == 9)
+  }
+
+  test("--select resolves ancestors, descendants, and exact") {
+    val mk = (n: String, deps: Seq[String]) =>
+      Model(n, deps, Materialization.Ephemeral, (sp, _) =>
+        { import sp.implicits._; Seq(1).toDF("x") })
+    val spec = PipelineSpec(Seq(
+      mk("a", Nil), mk("b", Seq("a")), mk("c", Seq("b")), mk("d", Nil)))
+    val r = new PipelineRunner(spark, spec, wh())
+    assert(r.select(Some("b")) == Set("b"))
+    assert(r.select(Some("+b")) == Set("a", "b"))
+    assert(r.select(Some("b+")) == Set("b", "c"))
+    assert(r.select(Some("+b+")) == Set("a", "b", "c"))
+    assert(r.select(None) == Set("a", "b", "c", "d"))
+  }
+
+  test("cycles are rejected") {
+    val mk = (n: String, deps: Seq[String]) =>
+      Model(n, deps, Materialization.Ephemeral, (sp, _) =>
+        { import sp.implicits._; Seq(1).toDF("x") })
+    val spec = PipelineSpec(Seq(mk("x", Seq("y")), mk("y", Seq("x"))))
+    val r = new PipelineRunner(spark, spec, wh())
+    assertThrows[IllegalArgumentException](r.topoOrder(Set("x", "y")))
+  }
+
+  test("generic data tests catch seeded violations and pass clean data") {
+    val clean = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("id", "v")
+    assert(DataTests.unique(clean, Seq("id")).count() == 0)
+    assert(DataTests.unique(dup, Seq("id")).count() == 1)
+    val withNull = Seq((1L, "a"), (2L, null)).toDF("id", "v")
+    assert(DataTests.notNull(withNull, "v").count() == 1)
+    assert(DataTests.acceptedValues(clean, "v", Seq("a", "b")).count() == 0)
+    assert(DataTests.acceptedValues(clean, "v", Seq("a")).count() == 1)
+    val parent = Seq(Tuple1(1L)).toDF("pid")
+    val child = Seq(Tuple1(1L), Tuple1(7L)).toDF("cid")
+    val orphans = DataTests.relationships(child, "cid", parent, "pid").collect()
+    assert(orphans.map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
+  test("freshness status transitions on the injected clock") {
+    val df = Seq(Tuple1(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("ts")
+    def status(asOf: String): String =
+      Freshness.check(df, "src", "ts", asOf, 3600, 7200)
+        .head.getAs[String]("status")
+    assert(status("2024-01-01 00:30:00") == "pass")
+    assert(status("2024-01-01 01:30:00") == "warn")
+    assert(status("2024-01-01 03:00:00") == "error")
+  }
+}

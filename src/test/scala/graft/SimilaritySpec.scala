@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN verification (SURVEY §5.3): brute-force correctness on known
+  * vectors, LSH bucket guarantee for identical vectors, and IVF ≡
+  * brute force when probing every list — the no-oracle keys'
+  * verification.
+  */
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val dims = 16
+  private val rnd = new scala.util.Random(7)
+  private val vecs: Seq[(Long, Seq[Float])] =
+    (0L until 40L).map(i => (i, Seq.fill(dims)(rnd.nextFloat() - 0.5f)))
+  private def emb: DataFrame = vecs.toDF("vec_id", "embedding")
+
+  private def cosRef(a: Seq[Float], b: Seq[Float]): Double = {
+    val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+    val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+    d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+  }
+
+  test("brute-force top-k ranks by true cosine") {
+    val q = emb.filter(col("vec_id") === 0L)
+    val top = Similarity.bruteForceTopK(q, emb, k = 3)
+      .orderBy("rn").collect()
+    val expected = vecs.tail
+      .map { case (id, v) => (id, cosRef(vecs.head._2, v)) }
+      .sortBy { case (id, c) => (-math.round(c * 1e6) / 1e6, id) }
+      .take(3).map(_._1)
+    assert(top.map(_.getAs[Long]("cid")).toSeq == expected)
+  }
+
+  test("a candidate identical to the query ranks first with cos 1.0") {
+    val withClone = emb.unionByName(
+      Seq((99L, vecs.head._2)).toDF("vec_id", "embedding"))
+    val top = Similarity.bruteForceTopK(
+      withClone.filter(col("vec_id") === 0L), withClone, k = 1).head()
+    assert(top.getAs[Long]("cid") == 99L)
+    assert(top.getAs[Double]("cos") == 1.0)
+  }
+
+  test("lsh: identical vectors always share a bucket and are found") {
+    val withClone = emb.unionByName(
+      Seq((99L, vecs.head._2)).toDF("vec_id", "embedding"))
+    val top = Similarity.lshTopK(withClone.filter(col("vec_id") === 0L),
+      withClone, dims = dims, planes = 8, k = 1).head()
+    assert(top.getAs[Long]("cid") == 99L)
+    assert(top.getAs[Double]("cos") == 1.0)
+  }
+
+  test("ivf with nprobe = nlist reproduces brute-force top-k") {
+    val queries = emb.filter(col("vec_id") < 3L)
+    val centroids = emb.filter(col("vec_id") >= 30L) // 10 lists
+    val ivf = Similarity.ivfTopK(queries, emb, centroids,
+      nprobe = 10, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivf == brute)
+  }
+
+  test("double cosine agrees with decimal cosine to 1e-6") {
+    val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("vb")))
+      .filter(col("a") < col("b")).limit(50)
+      .select(
+        Similarity.cosine(col("va"), col("vb")).as("cd"),
+        Similarity.cosineDec(col("va"), col("vb")).cast("double").as("cx"))
+      .collect()
+    pairs.foreach { r =>
+      assert(math.abs(r.getAs[Double]("cd") - r.getAs[Double]("cx")) <= 2e-6)
+    }
+  }
+}

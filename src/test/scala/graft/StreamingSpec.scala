@@ -1,0 +1,120 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.EventRow
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming semantics under MemoryStream (SURVEY §5.5):
+  * watermark finalizes windows and drops late rows; streaming dedup
+  * collapses duplicates; flatMapGroupsWithState evolves per-key state
+  * across micro-batches. No oracle — these behaviors only exist in
+  * streaming execution.
+  */
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ts(hour: Int, min: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:$min%02d:00")
+
+  private def ev(id: Long, user: Long, typ: String, t: java.sql.Timestamp,
+                 v: Double = 1.0): EventRow = EventRow(id, user, typ, t, v)
+
+  private def withQuery[T](q: StreamingQuery)(body: => T): T =
+    try body finally q.stop()
+
+  test("watermark: windows finalize once passed; late rows are dropped") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = StreamingOps.tumblingAgg(in.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("s_tumbling")
+      .outputMode("append").start()
+    withQuery(q) {
+      // window [10:00, 11:00): two clicks
+      in.addData(ev(1, 1, "click", ts(10, 5)), ev(2, 1, "click", ts(10, 10)))
+      q.processAllAvailable()
+      // watermark = 10:10 - 10m = 10:00 → nothing finalized yet
+      assert(spark.table("s_tumbling").count() == 0)
+
+      // event at 12:30 pushes the watermark to 12:20 → [10,11) closes
+      in.addData(ev(3, 1, "click", ts(12, 30)))
+      q.processAllAvailable()
+      val closed = spark.table("s_tumbling")
+        .select("ws", "event_type", "n").as[(java.sql.Timestamp, String, Long)]
+        .collect().toSet
+      assert(closed.contains((ts(10, 0), "click", 2L)),
+        s"window [10,11) not finalized: $closed")
+
+      // a late row inside the closed window must be DROPPED
+      in.addData(ev(4, 1, "click", ts(10, 20)))
+      q.processAllAvailable()
+      val after = spark.table("s_tumbling")
+        .filter($"ws" === ts(10, 0)).select("n").as[Long].collect().toSeq
+      assert(after == Seq(2L), s"late row leaked into closed window: $after")
+    }
+  }
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = StreamingOps.dedup(in.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("s_dedup")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(ev(1, 1, "click", ts(10, 0)), ev(1, 1, "click", ts(10, 0)),
+        ev(2, 2, "view", ts(10, 1)))
+      q.processAllAvailable()
+      // duplicate arriving in a LATER batch is also suppressed by state
+      in.addData(ev(1, 1, "click", ts(10, 0)), ev(3, 1, "view", ts(10, 2)))
+      q.processAllAvailable()
+      val ids = spark.table("s_dedup").select("event_id").as[Long]
+        .collect().toSeq.sorted
+      assert(ids == Seq(1L, 2L, 3L), s"dedup failed: $ids")
+    }
+  }
+
+  test("flatMapGroupsWithState evolves per-user state across batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = StreamingOps.statefulUserAgg(in.toDS())
+      .writeStream.format("memory").queryName("s_state")
+      .outputMode("update").start()
+    withQuery(q) {
+      in.addData(ev(1, 7, "click", ts(10, 0), 2.0), ev(2, 7, "view", ts(10, 5), 3.0))
+      q.processAllAvailable()
+      val b1 = spark.table("s_state").orderBy($"last_seen_ms".desc)
+        .as[(Long, Long, Long, Double)].head()
+      assert(b1 == ((7L, ts(10, 5).getTime, 2L, 5.0)))
+
+      // second batch: state carries over, not recomputed from scratch
+      in.addData(ev(3, 7, "click", ts(10, 30), 4.0))
+      q.processAllAvailable()
+      val latest = spark.table("s_state").orderBy($"last_seen_ms".desc)
+        .as[(Long, Long, Long, Double)].head()
+      assert(latest == ((7L, ts(10, 30).getTime, 3L, 9.0)),
+        s"state did not evolve: $latest")
+    }
+  }
+
+  test("session windows close after the gap under a watermark") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = StreamingOps.sessionAgg(in.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("s_session")
+      .outputMode("append").start()
+    withQuery(q) {
+      // one session: 10:00 + 10:05 (gap < 30m)
+      in.addData(ev(1, 1, "click", ts(10, 0)), ev(2, 1, "click", ts(10, 5)))
+      q.processAllAvailable()
+      // events far beyond the session end + watermark close it
+      in.addData(ev(3, 1, "click", ts(13, 0)))
+      q.processAllAvailable()
+      in.addData(ev(4, 1, "click", ts(15, 0)))
+      q.processAllAvailable()
+      val sessions = spark.table("s_session")
+        .select("user_id", "n").as[(Long, Long)].collect().toSet
+      assert(sessions.contains((1L, 2L)), s"merged session missing: $sessions")
+    }
+  }
+}

@@ -55,9 +55,14 @@ object Dedup {
                       shingleLen: Int = 5): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
+    // signatures feed three consumers (band explode + both sides of
+    // the score join) — materialize once instead of re-running the
+    // shingle explode 3×; at cluster scale this would be a checkpoint
+    // to durable storage
     val sigs = minHashSignature(df, idCol, textCol, k, shingleLen)
       .withColumn("sig", array((0 until k).map(i => col(s"m$i")): _*))
       .select(col(idCol).as("id"), col("sig"))
+      .localCheckpoint()
     val banded = sigs.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64((lit(b) +: (0 until rows).map(r => col(s"sig")(b * rows + r))): _*)): _*))
@@ -107,7 +112,10 @@ object Dedup {
     val nChunks = maxDist + 1
     // chunk i covers bits [i*64/nChunks, (i+1)*64/nChunks)
     val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
-    val chunked = sigs.select(col(idCol).as("id"), col("simhash"),
+    // the signature pipeline (token explode + 64 bit-sums) feeds the
+    // chunk explode AND both sides of the verify join — compute once
+    val sh = sigs.localCheckpoint()
+    val chunked = sh.select(col(idCol).as("id"), col("simhash"),
       posexplode(array((0 until nChunks).map { c =>
         val lo = bounds(c); val width = bounds(c + 1) - lo
         val mask = if (width >= 64) -1L else (1L << width) - 1L
@@ -117,7 +125,6 @@ object Dedup {
     val b = chunked.select(col("chunk"), col("cval"), col("id").as("b"))
     val pairs = a.join(b, Seq("chunk", "cval")).filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    val sh = sigs.select(col(idCol), col("simhash"))
     pairs
       .join(sh.select(col(idCol).as("a"), col("simhash").as("sa")), "a")
       .join(sh.select(col(idCol).as("b"), col("simhash").as("sb")), "b")
@@ -139,9 +146,12 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, idA: String = "a", idB: String = "b",
                maxIter: Int = 20): DataFrame = {
+    // edges are re-joined every iteration — materialize once so the
+    // (possibly expensive) pair-generation lineage runs exactly once
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()

@@ -260,12 +260,46 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     }
   }
 
-  /** One dbt-style command. Supported: "run" [selector], "test". */
+  /** Load one seed CSV (header + declared schema) and publish it. */
+  private def runSeed(seed: Seed): Long = {
+    import spark.implicits._
+    val df = spark.read.option("header", "true").schema(seed.schema)
+      .csv(spark.createDataset(seed.csvLines))
+    publish(seed.name, p => df.write.mode("overwrite").parquet(p))
+    readTable(seed.name).count()
+  }
+
+  /** One SCD2 snapshot step at the injected timestamp `asOf`. */
+  private def runSnapshot(sn: SnapshotDef, asOf: String): Long = {
+    val source =
+      if (tableExists(sn.source)) readTable(sn.source)
+      else spark.table(sn.source)
+    val prev = if (tableExists(sn.name)) Some(readTable(sn.name)) else None
+    val next = Snapshot.scd2(prev, source, sn.keyCols, sn.compareCols, asOf)
+    publish(sn.name, p => next.write.mode("overwrite").parquet(p))
+    readTable(sn.name).count()
+  }
+
+  /** One dbt-style command — the same argv surface the reference
+    * shells out (`dbtoperator.py:35,46,324,334`): "debug",
+    * "run [--select sel]", "test", "seed", "snapshot --at <ts>".
+    */
   def runCommand(command: String): CommandResult = {
-    initialize()
     val parts = command.trim.split("\\s+").toSeq
     try {
+      // init failures (e.g. unreadable source) become a failed result
+      // envelope, mirroring the reference's init envelope
+      // (`dbtoperator.py:168-174`)
+      initialize()
       parts match {
+        // connectivity / environment check (the reference's default
+        // command list is [['debug']], `dbtoperator.py:46`)
+        case Seq("debug") =>
+          val missing = spec.sources.keys
+            .filterNot(spark.catalog.tableExists(_)).toSeq
+          CommandResult(command, success = missing.isEmpty, Nil, Map.empty,
+            if (missing.isEmpty) None
+            else Some(s"unresolvable sources: ${missing.mkString(",")}"))
         case Seq("run") | Seq("run", "--select", _) =>
           val sel = parts.drop(2).headOption
           val names = topoOrder(select(sel))
@@ -284,6 +318,15 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             Map.empty,
             if (failures.isEmpty) None
             else Some(s"failing tests: ${failures.mkString(",")}"))
+        case Seq("seed") =>
+          val counts = spec.seeds.map(sd => sd.name -> runSeed(sd)).toMap
+          CommandResult(command, success = true,
+            spec.seeds.map(_.name), counts, None)
+        case Seq("snapshot", "--at", asOf) =>
+          val counts = spec.snapshots
+            .map(sn => sn.name -> runSnapshot(sn, asOf)).toMap
+          CommandResult(command, success = true,
+            spec.snapshots.map(_.name), counts, None)
         case other =>
           CommandResult(command, success = false, Nil, Map.empty,
             Some(s"unknown command: ${other.mkString(" ")}"))

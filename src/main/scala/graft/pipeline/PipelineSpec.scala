@@ -64,7 +64,28 @@ object DataTest {
   }
 }
 
+/** dbt `seed`: a CSV (embedded lines + declared schema) loaded as a
+  * table (reference surface: seeds are just another dbt argv,
+  * `dbtoperator.py:46,324`).
+  */
+final case class Seed(
+    name: String,
+    csvLines: Seq[String],
+    schema: org.apache.spark.sql.types.StructType)
+
+/** dbt `snapshot`: SCD2-track a source/model under `name`. The
+  * snapshot timestamp is injected per run (`snapshot --at <ts>`) so
+  * history is deterministic.
+  */
+final case class SnapshotDef(
+    name: String,
+    source: String,
+    keyCols: Seq[String],
+    compareCols: Seq[String])
+
 final case class PipelineSpec(
     models: Seq[Model],
     tests: Seq[DataTest] = Nil,
-    sources: Map[String, String] = Map.empty)
+    sources: Map[String, String] = Map.empty,
+    seeds: Seq[Seed] = Nil,
+    snapshots: Seq[SnapshotDef] = Nil)

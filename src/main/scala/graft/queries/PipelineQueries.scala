@@ -126,21 +126,27 @@ object PipelineOps extends QueryGroup {
     }),
 
     // ---- snapshots --------------------------------------------------------
-    // Two snapshot steps with a deterministic segment change for
-    // custkey % 5 = 0 between them; the oracle states the full SCD2
-    // history (closed v1 rows + open v2 rows) directly.
+    // Two `snapshot --at` command runs against the same warehouse with
+    // a deterministic segment change for custkey % 5 = 0 between them;
+    // the oracle states the full SCD2 history (closed v1 rows + open
+    // v2 rows) directly. Exercises the runner's command loop AND the
+    // persisted-history round-trip, not just the scd2 function.
     "snapshot_scd2" -> ((s, d) => {
-      val state1 = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
-      val state2 = Tables.customer(s, d)
-        .select(col("c_custkey"),
-          when(col("c_custkey") % 5 === 0, lit("MOVED"))
-            .otherwise(col("c_mktsegment")).as("seg"))
-      val snap1 = Snapshot.scd2(None, state1, Seq("c_custkey"), Seq("seg"),
-        "2024-01-01 00:00:00")
-      val snap2 = Snapshot.scd2(Some(snap1), state2, Seq("c_custkey"),
-        Seq("seg"), "2024-02-01 00:00:00")
-      snap2.orderBy("c_custkey", "valid_from")
+      val wh = freshWh("snapshot_scd2")
+      def spec(mutate: Boolean) = PipelineSpec(
+        models = Seq(Model("cust_dim", Nil, Materialization.Table,
+          (sp, _) => Tables.customer(sp, d).select(col("c_custkey"),
+            (if (mutate)
+              when(col("c_custkey") % 5 === 0, lit("MOVED"))
+                .otherwise(col("c_mktsegment"))
+            else col("c_mktsegment")).as("seg")))),
+        snapshots = Seq(SnapshotDef("cust_snap", "cust_dim",
+          Seq("c_custkey"), Seq("seg"))))
+      mustSucceed(new PipelineRunner(s, spec(mutate = false), wh)
+        .run(Seq("run", "snapshot --at 2024-01-01T00:00:00")))
+      val r2 = new PipelineRunner(s, spec(mutate = true), wh)
+      mustSucceed(r2.run(Seq("run", "snapshot --at 2024-02-01T00:00:00")))
+      r2.readTable("cust_snap").orderBy("c_custkey", "valid_from")
     }),
 
     // ---- generic data tests (violating-rows SELECTs; dbt `test`) ----------

@@ -52,7 +52,17 @@ object Scans extends QueryGroup {
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
 
-    "scan_csv_seed" -> ((s, _) => seedDf(s).orderBy("id")),
+    // Routed through the runner's `seed` command (the reference's dbt
+    // argv surface), not a bare csv read — the oracle checks the
+    // loaded table's content after the publish round-trip.
+    "scan_csv_seed" -> ((s, _) => {
+      val spec = graft.pipeline.PipelineSpec(models = Nil,
+        seeds = Seq(graft.pipeline.Seed("country_seed", seedCsvLines, seedSchema)))
+      val r = new graft.pipeline.PipelineRunner(s, spec, tmpDir("graft_seed_wh"))
+      val res = r.run(Seq("seed"))
+      require(res.success, res.results.flatMap(_.error).mkString("; "))
+      r.readTable("country_seed").orderBy("id")
+    }),
 
     "scan_json" -> ((s, d) =>
       Tables.events(s, d)

@@ -127,6 +127,48 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(orphans.map(_.getLong(0)).toSeq == Seq(7L))
   }
 
+  test("debug command checks source resolvability") {
+    val ok = new PipelineRunner(spark, PipelineSpec(Nil), wh())
+    assert(ok.run(Seq("debug")).success)
+    val bad = new PipelineRunner(spark,
+      PipelineSpec(Nil, sources = Map("nope" -> "/definitely/missing")), wh())
+    // initialize() itself fails on the unreadable source path
+    assert(!bad.run(Seq("debug")).success)
+  }
+
+  test("seed command loads the CSV with its declared schema") {
+    import org.apache.spark.sql.types._
+    val seed = Seed("s1",
+      Seq("id,name", "1,aa", "2,bb"),
+      StructType(Seq(StructField("id", IntegerType),
+        StructField("name", StringType))))
+    val r = new PipelineRunner(spark, PipelineSpec(Nil, seeds = Seq(seed)), wh())
+    val res = r.run(Seq("seed"))
+    assert(res.success)
+    assert(res.results.head.rowCounts == Map("s1" -> 2L))
+    assert(r.readTable("s1").schema("id").dataType == IntegerType)
+    // re-seeding is idempotent (full refresh, not append)
+    assert(r.run(Seq("seed")).success)
+    assert(r.readTable("s1").count() == 2)
+  }
+
+  test("snapshot command persists SCD2 history across runs") {
+    val w = wh()
+    def spec(v: String) = PipelineSpec(
+      models = Seq(Model("dim", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._; Seq((1L, v)).toDF("id", "v") })),
+      snapshots = Seq(SnapshotDef("dim_snap", "dim", Seq("id"), Seq("v"))))
+    assert(new PipelineRunner(spark, spec("a"), w)
+      .run(Seq("run", "snapshot --at 2024-01-01T00:00:00")).success)
+    val r2 = new PipelineRunner(spark, spec("b"), w)
+    assert(r2.run(Seq("run", "snapshot --at 2024-02-01T00:00:00")).success)
+    val hist = r2.readTable("dim_snap").orderBy("valid_from")
+      .select("v", "valid_to")
+      .as[(String, Option[java.sql.Timestamp])].collect().toSeq
+    assert(hist.map(_._1) == Seq("a", "b"))
+    assert(hist(0)._2.isDefined && hist(1)._2.isEmpty)
+  }
+
   test("freshness status transitions on the injected clock") {
     val df = Seq(Tuple1(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("ts")

@@ -324,6 +324,51 @@ object Joins extends QueryGroup {
         .orderBy("n_name")
     }),
 
+    // Bucketed co-located join (SURVEY §4): both tables CTAS'd with
+    // bucketBy on the join key → the join reads bucket-aligned files
+    // and needs NO exchange on either side. At 100 TB this is the
+    // difference between a full-fact-table shuffle and a local merge;
+    // the plan test asserts the exchange-free shape.
+    "join_bucketed" -> ((s, d) => {
+      // fresh runs use a fresh in-memory catalog but a persistent
+      // warehouse dir — clear both or CTAS refuses the stale location
+      Seq("b_orders", "b_customer").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = java.nio.file.Paths.get(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+        if (Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(loc).iterator().asScala.toSeq.reverse
+            .foreach(Files.deleteIfExists(_))
+        }
+      }
+      Tables.orders(s, d).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("b_orders")
+      Tables.customer(s, d).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("b_customer")
+      s.table("b_orders")
+        .join(s.table("b_customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Salted skew join: row-identical to the plain join (oracle
+    // asserts it), but hot keys are split `salts` ways so no single
+    // reducer owns a celebrity key.
+    "join_skew_salted" -> ((s, d) =>
+      graft.operators.SkewJoin.saltedInnerJoin(
+        Tables.orders(s, d), Tables.customer(s, d)
+          .withColumnRenamed("c_custkey", "o_custkey"),
+        key = "o_custkey", leftDiscriminator = "o_orderkey", salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          asDouble(sum(dec2(col("o_totalprice")))).as("sum_price"))
+        .orderBy("c_mktsegment")),
+
     // As-of join (north-star; no native batch as-of in Spark 4): for
     // each click, the latest purchase by the same user at-or-before
     // its timestamp. Delegates to operators.AsOfJoin — the union+window
@@ -417,6 +462,18 @@ object Joins extends QueryGroup {
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND p.ts <= c.ts
-        |ORDER BY c.event_id""".stripMargin
+        |ORDER BY c.event_id""".stripMargin,
+
+    "join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_cust
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "join_skew_salted" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

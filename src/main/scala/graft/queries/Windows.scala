@@ -73,6 +73,11 @@ object Windows extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // SCALE WARNING: global (un-partitioned) ntile/percent_rank is a
+    // single-task sort by construction — inherent to the semantics, do
+    // NOT run on a 100 TB fact table. The scale path is the partitioned
+    // form below (per-key quantiles, fully parallel), or
+    // approx_percentile bucketing for global quantiles.
     "win_ntile_percent" -> ((s, d) => {
       val total = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
       val byPrice = Window.orderBy(col("o_totalprice"))
@@ -81,6 +86,18 @@ object Windows extends QueryGroup {
         ntile(4).over(total).as("bucket"),
         percent_rank().over(byPrice).as("pr"),
         cume_dist().over(byPrice).as("cd"))
+        .orderBy("o_orderkey")
+    }),
+
+    // The 100-TB-safe form: quantiles within each partition key —
+    // parallelism = #keys, no global sort anywhere.
+    "win_ntile_partitioned" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("bucket"),
+        percent_rank().over(w).as("pr"))
         .orderBy("o_orderkey")
     })
   )
@@ -139,6 +156,14 @@ object Windows extends QueryGroup {
         |  ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket,
         |  percent_rank() OVER (ORDER BY o_totalprice) AS pr,
         |  cume_dist() OVER (ORDER BY o_totalprice) AS cd
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "win_ntile_partitioned" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  ntile(4) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey) AS bucket,
+        |  percent_rank() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey) AS pr
         |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.{AsOfJoin, SkewJoin}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Join-operator semantics: salted joins are row-identical to plain
+  * joins (salting is pure skew mechanics), as-of picks the latest
+  * at-or-before row including the equal-timestamp tie.
+  */
+class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("salted inner join is row-identical to the plain join") {
+    // hot key 1 (90% of rows) + spread keys; dup right rows too
+    val left = ((1 to 900).map(i => (1L, i.toLong)) ++
+      (901 to 1000).map(i => (i.toLong % 7 + 2, i.toLong)))
+      .toDF("k", "id")
+    val right = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (1L, "hot2"))
+      .toDF("k", "v")
+    val plain = left.join(right, "k")
+      .groupBy("k", "v").count().orderBy("k", "v")
+      .as[(Long, String, Long)].collect().toSeq
+    val salted = SkewJoin.saltedInnerJoin(left, right, "k", "id", salts = 8)
+      .groupBy("k", "v").count().orderBy("k", "v")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("as-of join takes the latest at-or-before row, ties inclusive") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val left = Seq((1L, ts(10), 100L), (1L, ts(20), 101L), (2L, ts(5), 102L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, ts(10), "r@10"), (1L, ts(15), "r@15"),
+      (1L, ts(30), "r@30"), (3L, ts(1), "other"))
+      .toDF("k", "ts", "payload")
+    val out = AsOfJoin.leftAsOf(left, right, "k", "ts", Seq("payload"))
+      .orderBy("lid")
+      .select("lid", "payload").as[(Long, Option[String])].collect().toSeq
+    assert(out == Seq(
+      (100L, Some("r@10")), // equal ts counts (inclusive)
+      (101L, Some("r@15")), // latest at-or-before 00:20
+      (102L, None)))        // key 2 has no right rows
+  }
+}

@@ -47,6 +47,32 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("join_bucketed joins bucket-aligned scans with no exchange") {
+    // AQE wraps the plan; disable it so the join subtree is
+    // inspectable. Disable auto-broadcast too: at test scale the dim
+    // is broadcastable (and Catalyst rightly prefers that), but the
+    // point here is the bucket-aligned SMJ shape a 100 TB fact-fact
+    // join would take.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("join_bucketed")(spark, sf)
+      val plan = df.queryExecution.executedPlan
+      val smj = plan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.isDefined, s"no SortMergeJoin in:\n${plan.toString.take(2000)}")
+      val exchanges = smj.get.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed join still shuffles: ${exchanges.map(_.nodeName)}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("llm_exact_dedup aggregates with a map-side partial") {
     val p = plan("llm_exact_dedup")
     // partial + final HashAggregate = two occurrences

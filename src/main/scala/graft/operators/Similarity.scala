@@ -93,17 +93,20 @@ object Similarity {
 
   /** LSH-bucketed ANN top-k: equi-join on bucket signature. Recall is
     * tunable via `planes` (fewer planes → bigger buckets → higher
-    * recall & cost).
+    * recall & cost). `cosFn` defaults to the higher-order double
+    * cosine; pass `GraftFunctions.vecCosine` (after registering) for
+    * the native codegen'd expression.
     */
   def lshTopK(queries: DataFrame, candidates: DataFrame, dims: Int,
-              planes: Int, k: Int): DataFrame = {
+              planes: Int, k: Int,
+              cosFn: (Column, Column) => Column = cosine): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("bucket", lshBucket(col("qv"), dims, planes))
     val c = candidates.select(col("vec_id").as("cid"), col("embedding").as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), dims, planes))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("qid"), col("cid"), cosFn(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
@@ -116,13 +119,14 @@ object Similarity {
     * exactness.
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
-              centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
+              centroids: DataFrame, nprobe: Int, k: Int,
+              cosFn: (Column, Column) => Column = cosine): DataFrame = {
     val cent = centroids.select(col("vec_id").as("centroid_id"),
       col("embedding").as("centv"))
     def assign(df: DataFrame, idc: String, vc: String, keep: Int): DataFrame = {
       val scored = df.crossJoin(broadcast(cent))
         .select(col(idc), col(vc), col("centroid_id"),
-          cosine(col(vc), col("centv")).as("ccos"))
+          cosFn(col(vc), col("centv")).as("ccos"))
       val w = Window.partitionBy(idc).orderBy(col("ccos").desc, col("centroid_id"))
       scored.withColumn("crn", row_number().over(w))
         .filter(col("crn") <= keep)
@@ -134,7 +138,7 @@ object Similarity {
       col("embedding").as("qv")), "qid", "qv", nprobe)
     val scored = c.join(q, Seq("centroid_id"))
       .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("qid"), col("cid"), cosFn(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }

@@ -60,18 +60,25 @@ object LlmOps extends QueryGroup {
         .orderBy("qid", "rn")
     }),
 
+    // ANN paths score with the native codegen'd VecDot expression
+    // (graft.functions) — a tight primitive loop in WholeStageCodegen
+    // instead of per-element lambda dispatch.
     "llm_ann_lsh" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb,
-        dims = 64, planes = 8, k = 5)
+        dims = 64, planes = 8, k = 5,
+        cosFn = graft.functions.GraftFunctions.vecCosine)
         .select("qid", "cid", "cos", "rn")
         .orderBy("qid", "rn")
     }),
 
     "llm_ann_ivf" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
-        centroids = emb.filter(col("vec_id") < 16), nprobe = 4, k = 5)
+        centroids = emb.filter(col("vec_id") < 16), nprobe = 4, k = 5,
+        cosFn = graft.functions.GraftFunctions.vecCosine)
         .select("qid", "cid", "cos", "rn")
         .orderBy("qid", "rn")
     }),

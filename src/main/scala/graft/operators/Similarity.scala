@@ -111,6 +111,29 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Embedding-cosine near-dup pairs (the dedup-by-embedding member
+    * of the dedup family): candidate pairs come from an LSH bucket
+    * equi-join (linear — never the all-pairs product), then exact
+    * cosine filters at `threshold`. Same recall trade-off as lshTopK:
+    * fewer planes → bigger buckets → higher recall & cost. For the
+    * oracle-checked exact form on a bounded subset see
+    * `llm_embed_neardup`.
+    */
+  def cosineNearDupPairs(emb: DataFrame, dims: Int, planes: Int,
+                         threshold: Double,
+                         cosFn: (Column, Column) => Column = cosine): DataFrame = {
+    val withBucket = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", lshBucket(col("embedding"), dims, planes))
+    val a = withBucket.select(col("bucket"), col("vec_id").as("a"),
+      col("embedding").as("va"))
+    val b = withBucket.select(col("bucket"), col("vec_id").as("b"),
+      col("embedding").as("vb"))
+    a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), cosFn(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos").distinct()
+  }
+
   /** IVF ANN: assign every vector to its nearest of `centroids`
     * (broadcast argmin), probe the `nprobe` nearest lists per query.
     * All assignment/ranking math is double precision — exact-DECIMAL

@@ -83,6 +83,36 @@ object LlmOps extends QueryGroup {
         .orderBy("qid", "rn")
     }),
 
+    // Embedding-cosine near-dup on a bounded id range, fully integer-
+    // exact for the oracle: each float is quantized to a scaled BIGINT
+    // (round(x·10⁷) — float→double is exact binary on both engines and
+    // half-up rounding agrees), so the dot/norms are pure integer sums
+    // with zero cross-engine float drift. (DECIMAL casts of floats are
+    // NOT engine-portable: shortest-repr vs exact-binary rounding
+    // disagree in the last place.) Threshold cos ≥ 0.2 becomes
+    // dot > 0 ∧ dot² ≥ 0.04·|a|²·|b|² on doubles derived from those
+    // integers. Unbounded scale path: Similarity.cosineNearDupPairs.
+    "llm_embed_neardup" -> ((s, d) => {
+      def q(v: org.apache.spark.sql.Column) =
+        transform(v, x => round(x.cast(DoubleType) * 1e7).cast(LongType))
+      def idot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (a, b) => a * b), lit(0L), (acc, v) => acc + v)
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+        .select(col("vec_id"), q(col("embedding")).as("qv"))
+      val a = emb.select(col("vec_id").as("a"), col("qv").as("va"))
+      val b = emb.select(col("vec_id").as("b"), col("qv").as("vb"))
+      a.crossJoin(b).filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          idot(col("va"), col("vb")).as("dot"),
+          idot(col("va"), col("va")).as("n2a"),
+          idot(col("vb"), col("vb")).as("n2b"))
+        .filter(col("dot") > 0 &&
+          col("dot").cast(DoubleType) * col("dot").cast(DoubleType) >=
+            lit(0.04) * (col("n2a").cast(DoubleType) * col("n2b").cast(DoubleType)))
+        .select("a", "b", "dot")
+        .orderBy("a", "b")
+    }),
+
     "llm_text_stats" -> ((s, d) => {
       val t = TextAnalysis.tokens(col("text"))
       Tables.documents(s, d).select(
@@ -215,6 +245,28 @@ object LlmOps extends QueryGroup {
         |  FROM scored)
         |SELECT qid, cid, cos, rn FROM ranked WHERE rn <= 5
         |ORDER BY qid, rn""".stripMargin,
+
+    "llm_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id < 200),
+        |pairs AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b, x.qv AS qa, y.qv AS qb
+        |  FROM e x JOIN e y ON x.vec_id < y.vec_id),
+        |scored AS (
+        |  SELECT a, b,
+        |    CAST(SUM(z[1] * z[2]) AS BIGINT) AS dot,
+        |    CAST(SUM(z[1] * z[1]) AS BIGINT) AS n2a,
+        |    CAST(SUM(z[2] * z[2]) AS BIGINT) AS n2b
+        |  FROM (SELECT a, b, unnest(list_zip(qa, qb)) AS z FROM pairs) t
+        |  GROUP BY a, b)
+        |SELECT a, b, dot FROM scored
+        |WHERE dot > 0
+        |  AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) >=
+        |      0.04 * (CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE))
+        |ORDER BY a, b""".stripMargin,
 
     "llm_text_stats" ->
       s"""SELECT doc_id, lang,

@@ -67,6 +67,18 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(ivf == brute)
   }
 
+  test("cosineNearDupPairs finds identical vectors (same bucket, cos 1.0)") {
+    val withClones = emb.unionByName(
+      Seq((100L, vecs(3)._2), (101L, vecs(7)._2)).toDF("vec_id", "embedding"))
+    val pairs = Similarity.cosineNearDupPairs(withClones, dims = dims,
+      planes = 8, threshold = 0.999)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 100L)), s"clone pair missed: $pairs")
+    assert(pairs.contains((7L, 101L)))
+    // a < b invariant, no self-pairs
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
   test("double cosine agrees with decimal cosine to 1e-6") {
     val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
       .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("vb")))

@@ -118,6 +118,11 @@ object Aggregates extends QueryGroup {
     // identically in Spark and DuckDB (SURVEY §2.4 agg_stats; built-in
     // stddev/corr are float-order-dependent, unusable for hash
     // compare).
+    // SCALE WARNING: the exact median sorts each group inside a window
+    // — with 3 skewed-by-construction groups that is a giant per-key
+    // sort at 100 TB. This form exists for the oracle only; the scale
+    // path is percentile_approx with documented error bounds
+    // (ApproxAndSampleSpec pins them).
     "agg_stats" -> ((s, d) => {
       val base = Tables.lineitem(s, d).select(
         col("l_returnflag").as("rf"),

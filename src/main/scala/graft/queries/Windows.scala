@@ -89,6 +89,18 @@ object Windows extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    "win_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val full = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables.events(s, d).select(
+        col("event_id"),
+        first(col("event_id")).over(full).as("first_id"),
+        last(col("event_id")).over(full).as("last_id"),
+        nth_value(col("event_id"), 2).over(full).as("second_id"))
+        .orderBy("event_id")
+    }),
+
     // The 100-TB-safe form: quantiles within each partition key —
     // parallelism = #keys, no global sort anywhere.
     "win_ntile_partitioned" -> ((s, d) => {
@@ -157,6 +169,16 @@ object Windows extends QueryGroup {
         |  percent_rank() OVER (ORDER BY o_totalprice) AS pr,
         |  cume_dist() OVER (ORDER BY o_totalprice) AS cd
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "win_first_last" ->
+      """SELECT event_id,
+        |  first_value(event_id) OVER w AS first_id,
+        |  last_value(event_id) OVER w AS last_id,
+        |  nth_value(event_id, 2) OVER w AS second_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
 
     "win_ntile_partitioned" ->
       """SELECT o_orderkey, o_orderstatus,

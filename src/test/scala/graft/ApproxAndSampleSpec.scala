@@ -32,6 +32,17 @@ class ApproxAndSampleSpec extends AnyFunSuite with SparkTestBase {
     assert(rowsA == rowsB)
   }
 
+  test("percentile_approx median tracks the exact median (scale path)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val r = li.agg(
+      percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx"),
+      expr("percentile(l_quantity, 0.5)").as("exact")).head()
+    val (a, e) = (r.getAs[Double]("approx"), r.getAs[Double]("exact"))
+    // l_quantity spans 1..50; the sketch at accuracy 10000 must land
+    // within one integer step of the true median
+    assert(math.abs(a - e) <= 1.0, s"approx=$a exact=$e")
+  }
+
   test("agg_collect raw (unstringified) array output stays covered") {
     import spark.implicits._
     val df = Seq((1L, 3L), (1L, 1L), (2L, 5L)).toDF("k", "v")

@@ -42,7 +42,8 @@ object SparkEntry {
     _root_.graft.queries.UdfOps,
     _root_.graft.queries.EventWindows,
     _root_.graft.queries.LlmOps,
-    _root_.graft.queries.PipelineOps
+    _root_.graft.queries.PipelineOps,
+    _root_.graft.queries.SqlSurface
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

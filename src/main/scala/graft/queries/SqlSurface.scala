@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.SparkSession
+
+/** SQL-text surface a dbt-spark model actually ships (SURVEY §0 layer
+  * 3): correlated subqueries and recursive CTEs submitted as SQL, so
+  * Catalyst's decorrelation (`RewriteCorrelatedScalarSubquery`,
+  * exists→semi-join) and the Spark 4 recursive-CTE executor are
+  * exercised through the same `spark.sql` path dbt uses — not
+  * pre-lowered DataFrame calls.
+  *
+  * Determinism note: correlated thresholds compare DECIMAL-exact sums
+  * (never a floating avg — order-dependent across engines).
+  */
+object SqlSurface extends QueryGroup {
+
+  private def withViews(s: SparkSession, d: String): Unit = {
+    Tables.orders(s, d).createOrReplaceTempView("sqls_orders")
+    Tables.customer(s, d).createOrReplaceTempView("sqls_customer")
+  }
+
+  override def queries: Map[String, Q] = Map(
+    // orders 1.5× above their customer's average order value —
+    // correlated scalar subqueries, decorrelated to an aggregate+join
+    "sql_subquery_scalar" -> ((s, d) => {
+      withViews(s, d)
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM sqls_orders o
+          |WHERE CAST(o_totalprice AS DECIMAL(12,2)) *
+          |      (SELECT 2 * count(*) FROM sqls_orders o2
+          |       WHERE o2.o_custkey = o.o_custkey)
+          |    > (SELECT 3 * SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+          |       FROM sqls_orders o3 WHERE o3.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // EXISTS + NOT EXISTS in one predicate → semi ∧ anti join plan
+    "sql_subquery_exists" -> ((s, d) => {
+      withViews(s, d)
+      s.sql(
+        """SELECT c_custkey, c_name
+          |FROM sqls_customer c
+          |WHERE EXISTS (SELECT 1 FROM sqls_orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_orderstatus = 'F')
+          |  AND NOT EXISTS (SELECT 1 FROM sqls_orders o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_orderstatus = 'P')
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Spark 4 recursive CTE: generated month spine left-joined to
+    // facts (the calendar-dimension pattern dbt models build)
+    "sql_cte_recursive" -> ((s, d) => {
+      withViews(s, d)
+      s.sql(
+        """WITH RECURSIVE months(m) AS (
+          |  SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12)
+          |SELECT m, count(o_orderkey) AS n_orders
+          |FROM months LEFT JOIN sqls_orders ON month(o_orderdate) = m
+          |GROUP BY m ORDER BY m""".stripMargin)
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "sql_subquery_scalar" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(12,2)) *
+        |      (SELECT 2 * count(*) FROM orders o2
+        |       WHERE o2.o_custkey = o.o_custkey)
+        |    > (SELECT 3 * SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |       FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "sql_subquery_exists" ->
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "sql_cte_recursive" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12)
+        |SELECT m, count(o_orderkey) AS n_orders
+        |FROM months LEFT JOIN orders ON CAST(month(o_orderdate) AS INTEGER) = m
+        |GROUP BY m ORDER BY m""".stripMargin
+  )
+}

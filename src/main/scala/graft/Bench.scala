@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: JIT Spark's execution internals + the parquet reader
+    // path once, so the first measured query doesn't absorb ~5s of
+    // classloading/JIT that isn't engine cost (steady-state numbers).
+    spark.range(1 << 20).selectExpr("sum(id * 2)").collect()
+    try SparkEntry.entry(spark).queryExecution.toRdd.count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() materializes every output row of the *full* plan;

@@ -42,7 +42,7 @@ object AsOfJoin {
         df.withColumn(s"__last_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
     }
     carried.filter(col("__kind") === 1)
-      .select(leftCols.map(col) ++
-        payload.map(c => col(s"__last_$c").as(c)): _*)
+      .select((leftCols.map(col) ++
+        payload.map(c => col(s"__last_$c").as(c))).toIndexedSeq: _*)
   }
 }

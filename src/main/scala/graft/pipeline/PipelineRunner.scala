@@ -216,7 +216,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         else {
           // null high-water mark (empty table / all-null ts) means
           // "nothing loaded yet" → append everything, not nothing
-          val hwm = readTable(name).agg(max(col(tsCol))).head.get(0)
+          val hwm = readTable(name).agg(max(col(tsCol))).head().get(0)
           val delta = if (hwm == null) df else df.filter(col(tsCol) > lit(hwm))
           // stage the delta as a new batch, then commit old ∪ delta as
           // a new generation — a mid-write crash leaves the previous

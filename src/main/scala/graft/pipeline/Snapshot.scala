@@ -45,10 +45,10 @@ object Snapshot {
         // changed; otherwise the row stays open
         val stillOpen = joined
           .filter(col("__present").isNotNull && !changedPred)
-          .select(open.columns.map(col): _*)
+          .select(open.columns.map(col).toIndexedSeq: _*)
         val toClose = joined
           .filter(col("__present").isNull || changedPred)
-          .select(open.columns.map(col): _*)
+          .select(open.columns.map(col).toIndexedSeq: _*)
           .withColumn("valid_to", asOfTs)
 
         // new versions: keys that are brand new, or whose values changed.
@@ -62,7 +62,7 @@ object Snapshot {
         val fresh = newState.join(openKeyed, keyCols, "left")
           .filter(col("__had_open").isNull ||
             compareCols.map(c => !(col(c) <=> col(s"__old_$c"))).reduce(_ || _))
-          .select(newState.columns.map(col): _*)
+          .select(newState.columns.map(col).toIndexedSeq: _*)
 
         closed.unionByName(stillOpen).unionByName(toClose).unionByName(fresh)
     }

@@ -37,12 +37,6 @@ object Scans extends QueryGroup {
     StructField("tier", IntegerType)
   ))
 
-  def seedDf(s: SparkSession): DataFrame = {
-    import s.implicits._
-    s.read.option("header", "true").schema(seedSchema)
-      .csv(s.createDataset(seedCsvLines))
-  }
-
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 

@@ -28,17 +28,20 @@ object Dedup {
       .groupBy("h")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
-  /** MinHash signatures: k permutations approximated by seeded
-    * xxhash64 over distinct `n`-char shingles. Returns (idCol, m0..mk).
+  /** MinHash signatures: k seeded permutations over `shingleLen`-char
+    * sliding windows, computed by the native single-pass
+    * `graft_minhash_sig` expression (graft.functions) — a map-only
+    * projection, vs the naive shingle-explode → distinct →
+    * groupBy(min)×k which shuffles every shingle. Returns
+    * (idCol, m0..mk) for API compatibility.
     */
   def minHashSignature(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 32, shingleLen: Int = 5): DataFrame = {
-    val sh = df.select(col(idCol),
-      explode(array_distinct(transform(
-        sequence(lit(1), greatest(length(col(textCol)) - (shingleLen - 1), lit(1))),
-        i => col(textCol).substr(i, lit(shingleLen))))).as("sh"))
-    val aggs = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
-    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    graft.functions.TextSignatures.register(df.sparkSession)
+    df.select(col(idCol),
+      graft.functions.TextSignatures.minHashSig(col(textCol), k, shingleLen)
+        .as("sig"))
+      .select(col(idCol) +: (0 until k).map(i => col("sig")(i).as(s"m$i")): _*)
   }
 
   /** LSH band-join near-dup candidate pairs with MinHash-estimated
@@ -56,12 +59,13 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     // signatures feed three consumers (band explode + both sides of
-    // the score join) — materialize once instead of re-running the
-    // shingle explode 3×; at cluster scale this would be a checkpoint
-    // to durable storage
-    val sigs = minHashSignature(df, idCol, textCol, k, shingleLen)
-      .withColumn("sig", array((0 until k).map(i => col(s"m$i")): _*))
-      .select(col(idCol).as("id"), col("sig"))
+    // the score join) — materialize once instead of re-scanning the
+    // text 3×; at cluster scale this would be a checkpoint to durable
+    // storage
+    graft.functions.TextSignatures.register(df.sparkSession)
+    val sigs = df.select(col(idCol).as("id"),
+      graft.functions.TextSignatures.minHashSig(col(textCol), k, shingleLen)
+        .as("sig"))
       .localCheckpoint()
     val banded = sigs.select(col("id"),
       posexplode(array((0 until bands).map(b =>
@@ -81,20 +85,15 @@ object Dedup {
       .filter(col("est_sim") >= threshold)
   }
 
-  /** 64-bit SimHash over word tokens: sign of per-bit weighted sums of
-    * token hashes. Fixed-width aggregate → one shuffle of 64 ints.
+  /** 64-bit frequency-weighted SimHash over lowercase [a-z0-9] token
+    * runs, computed by the native single-pass `graft_simhash`
+    * expression — a map-only projection (no token explode, no
+    * 64-column groupBy shuffle).
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b"))
-    toks.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(b =>
-          when(col(s"b$b") > 0, expr(s"shiftleft(1L, $b)")).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+    graft.functions.TextSignatures.register(df.sparkSession)
+    df.select(col(idCol),
+      graft.functions.TextSignatures.simHash(col(textCol)).as("simhash"))
   }
 
   /** SimHash near-dup pairs with a *guaranteed-recall* blocking scheme:
@@ -112,8 +111,6 @@ object Dedup {
     val nChunks = maxDist + 1
     // chunk i covers bits [i*64/nChunks, (i+1)*64/nChunks)
     val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
-    // the signature pipeline (token explode + 64 bit-sums) feeds the
-    // chunk explode AND both sides of the verify join — compute once
     val sh = sigs.localCheckpoint()
     val chunked = sh.select(col(idCol).as("id"), col("simhash"),
       posexplode(array((0 until nChunks).map { c =>
@@ -121,15 +118,21 @@ object Dedup {
         val mask = if (width >= 64) -1L else (1L << width) - 1L
         expr(s"(simhash >> $lo) & $mask")
       }: _*)).as(Seq("chunk", "cval")))
-    val a = chunked.select(col("chunk"), col("cval"), col("id").as("a"))
-    val b = chunked.select(col("chunk"), col("cval"), col("id").as("b"))
-    val pairs = a.join(b, Seq("chunk", "cval")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    pairs
-      .join(sh.select(col(idCol).as("a"), col("simhash").as("sa")), "a")
-      .join(sh.select(col(idCol).as("b"), col("simhash").as("sb")), "b")
+    // Unlike MinHash (wide signature arrays, pricier scoring), the
+    // SimHash signature is ONE long — so carry it through the chunk
+    // join and popcount-filter BEFORE deduplicating. Correlated bits
+    // make chunk buckets collide heavily (millions of raw candidates
+    // on template-like corpora); filtering first means only true
+    // near-dups reach the distinct, instead of shuffling every
+    // collision through a distinct + two signature re-joins.
+    val a = chunked.select(col("chunk"), col("cval"),
+      col("id").as("a"), col("simhash").as("sa"))
+    val b = chunked.select(col("chunk"), col("cval"),
+      col("id").as("b"), col("simhash").as("sb"))
+    a.join(b, Seq("chunk", "cval")).filter(col("a") < col("b"))
       .select(col("a"), col("b"), bit_count(expr("sa ^ sb")).as("dist"))
       .filter(col("dist") <= maxDist)
+      .distinct()
   }
 
   /** Connected components over near-dup candidate pairs → one

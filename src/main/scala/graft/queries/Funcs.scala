@@ -113,6 +113,17 @@ object ScalarFuncs extends QueryGroup {
           size(col("m")).as("msz"))
         .orderBy("event_id")),
 
+    "fn_struct" -> ((s, d) =>
+      Tables.customer(s, d)
+        .withColumn("st", struct(col("c_custkey").as("k"),
+          col("c_mktsegment").as("seg")))
+        .select(
+          col("c_custkey"),
+          col("st.k").as("sk"),
+          col("st.seg").as("sseg"),
+          to_json(col("st")).as("sj"))
+        .orderBy("c_custkey")),
+
     "fn_json" -> ((s, d) =>
       Tables.events(s, d).select(
         col("event_id"),
@@ -206,6 +217,13 @@ object ScalarFuncs extends QueryGroup {
         |  map(['ty','id'], [event_type, CAST(event_id AS VARCHAR)])['id'][1] AS idv,
         |  CAST(cardinality(map(['ty','id'], [event_type, CAST(event_id AS VARCHAR)])) AS INTEGER) AS msz
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "fn_struct" ->
+      """SELECT c_custkey,
+        |  struct_extract(struct_pack(k := c_custkey, seg := c_mktsegment), 'k') AS sk,
+        |  struct_extract(struct_pack(k := c_custkey, seg := c_mktsegment), 'seg') AS sseg,
+        |  to_json(struct_pack(k := c_custkey, seg := c_mktsegment)) AS sj
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "fn_json" ->
       """SELECT event_id,

@@ -17,9 +17,12 @@ object ScalarFuncs extends QueryGroup {
     * comparator cannot sort/hash ndarray cells, so every array-typed
     * output column is serialized on both sides (DuckDB mirrors with
     * `array_to_string`). Raw array types stay covered in unit tests.
+    * Array-level cast (not a per-element transform lambda) keeps the
+    * generated code small — eight lambda columns made Janino
+    * compilation dominate the query's wall time.
     */
   private def aj(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    array_join(transform(c, _.cast(StringType)), ",")
+    array_join(c.cast(ArrayType(StringType)), ",")
 
   override def queries: Map[String, Q] = Map(
     "fn_string" -> ((s, d) =>

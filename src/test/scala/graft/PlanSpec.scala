@@ -73,6 +73,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("partitioned reads prune to the filtered partitions") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/root/repo/target"),
+        "prune").toString
+    Tables.events(spark, sf)
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val df = spark.read.parquet(out).filter(col("event_type") === "click")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: ["), p.take(2000))
+    val pf = p.split("PartitionFilters: ").last.takeWhile(_ != ']')
+    assert(pf.contains("event_type"), s"no partition pruning: $pf")
+  }
+
   test("llm_exact_dedup aggregates with a map-side partial") {
     val p = plan("llm_exact_dedup")
     // partial + final HashAggregate = two occurrences

@@ -246,6 +246,12 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         }
         readTable(name).count()
 
+      // MERGE emulation for vanilla parquet (no Delta/Iceberg in this
+      // stack): anti-join out updated keys, union the batch, publish.
+      // SCALE NOTE: this rewrites the whole table per merge — correct
+      // but O(table). At 100 TB, partition the target on a stable key
+      // range and use insert_overwrite so only touched partitions
+      // rewrite, or adopt a deletion-vector format.
       case Materialization.IncrementalMerge(keys) =>
         if (!tableExists(name))
           publish(name, p => df.write.mode("overwrite").parquet(p))

@@ -86,6 +86,17 @@ object EventWindows extends QueryGroup {
         |FROM events CROSS JOIN offs
         |GROUP BY 1, 2 ORDER BY ws""".stripMargin,
 
+    // dedup of a doubled feed keyed on the (unique) event_id — the
+    // per-type counts equal the clean per-type counts
+    "stream_watermark_late" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "stream_stateful" ->
+      """SELECT user_id, max(ts) AS last_seen, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "stream_session" ->
       """WITH e AS (
         |  SELECT user_id, ts, value,

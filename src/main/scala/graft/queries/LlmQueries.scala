@@ -319,6 +319,17 @@ object LlmOps extends QueryGroup {
         |  md5(text) AS payload_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the stub decoder's metadata is pure arithmetic on byte length —
+    // fully oracle-able, so the mapPartitions plumbing is hash-checked
+    "mm_decode_stub" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |  CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CASE WHEN octet_length(encode(text)) % 2 = 0
+        |       THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "mm_frame_sample" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -89,6 +89,24 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(r2.readTable("inc2").select("id").distinct().count() == 9)
   }
 
+  test("insert_overwrite replaces touched partitions and accepts new ones") {
+    val w = wh()
+    def spec(rows: Seq[(Long, String, Int)]) = PipelineSpec(Seq(Model(
+      "iow", Nil, Materialization.IncrementalInsertOverwrite(Seq("part")),
+      (sp, _) => { import sp.implicits._; rows.toDF("id", "part", "ver") })))
+    // batch 1: partitions A and B at v1
+    assert(new PipelineRunner(spark,
+      spec(Seq((1L, "A", 1), (2L, "A", 1), (3L, "B", 1))), w)
+      .run(Seq("run")).success)
+    // batch 2: replace A, introduce brand-new partition C; B untouched
+    val r2 = new PipelineRunner(spark,
+      spec(Seq((9L, "A", 2), (10L, "C", 2))), w)
+    assert(r2.run(Seq("run")).success)
+    val state = r2.readTable("iow").orderBy("id")
+      .select("id", "part", "ver").as[(Long, String, Int)].collect().toSeq
+    assert(state == Seq((3L, "B", 1), (9L, "A", 2), (10L, "C", 2)))
+  }
+
   test("--select resolves ancestors, descendants, and exact") {
     val mk = (n: String, deps: Seq[String]) =>
       Model(n, deps, Materialization.Ephemeral, (sp, _) =>

@@ -56,7 +56,10 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
 
   private val byName = spec.models.map(m => m.name -> m).toMap
   private var initialized = false
-  private val ephemeralCache = mutable.Map.empty[String, DataFrame]
+  // concurrent: models in the same dependency level may build in
+  // parallel under `run --threads N`
+  private val ephemeralCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** Idempotent init (reference guard `dbtoperator.py:128-130`). */
   def initialize(): Unit = if (!initialized) {
@@ -177,6 +180,59 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   /** Full-refresh publish: one new batch becomes the whole table. */
   private def publish(name: String, write: String => Unit): Unit =
     publishManifest(name, Seq(writeBatch(name, write)))
+
+  /** Garbage-collect batches and manifests no longer referenced by the
+    * current generation (failed writes, superseded full refreshes).
+    * Safe for readers of the current generation — only unreferenced
+    * files go; run it like a warehouse VACUUM after retention.
+    */
+  def vacuum(name: String): Unit = currentManifest(name).foreach { members =>
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(tablePath(name))
+    val keep = members.map(m => root.resolve(m).normalize).toSet
+    val dataDir = root.resolve("data")
+    def deleteRec(p: Path): Unit =
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    if (Files.exists(dataDir))
+      Files.list(dataDir).iterator().asScala.toSeq
+        .filterNot(b => keep.contains(b.normalize))
+        .foreach(deleteRec)
+    val cur = Files.readString(root.resolve("_CURRENT")).trim
+    Files.list(root).iterator().asScala.toSeq
+      .filter { p =>
+        val f = p.getFileName.toString
+        f.startsWith("gen_") && f != cur
+      }
+      .foreach(Files.deleteIfExists(_))
+  }
+
+  /** Level-parallel model execution (dbt `--threads`): models whose
+    * dependencies are all satisfied run concurrently on the shared
+    * SparkSession; a failure aborts before the next level starts
+    * (fail-fast at level granularity).
+    */
+  private def runLevelled(names: Seq[String], threads: Int): Seq[(String, Long)] = {
+    val selected = names.toSet
+    val level = mutable.Map.empty[String, Int]
+    names.foreach { n => // names are topo-ordered, deps resolved first
+      val depLevels = byName(n).deps.filter(selected).map(level)
+      level(n) = (if (depLevels.isEmpty) -1 else depLevels.max) + 1
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      names.groupBy(level).toSeq.sortBy(_._1).flatMap { case (_, lvl) =>
+        val running = lvl.map(n =>
+          n -> scala.concurrent.Future(n -> runModel(n)))
+        running.map { case (_, f) =>
+          scala.concurrent.Await.result(f,
+            scala.concurrent.duration.Duration.Inf)
+        }
+      }
+    } finally pool.shutdown()
+  }
 
   /** Resolve a model's inputs: sources (temp views already registered)
     * + upstream models (ephemeral inlined, others read back).
@@ -306,11 +362,19 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           CommandResult(command, success = missing.isEmpty, Nil, Map.empty,
             if (missing.isEmpty) None
             else Some(s"unresolvable sources: ${missing.mkString(",")}"))
-        case Seq("run") | Seq("run", "--select", _) =>
-          val sel = parts.drop(2).headOption
+        case "run" +: flags if flags.grouped(2).forall {
+            case Seq("--select", _) | Seq("--threads", _) => true
+            case _ => false } =>
+          val flagMap = flags.grouped(2)
+            .collect { case Seq(k, v) => k -> v }.toMap
+          val sel = flagMap.get("--select")
+          val threads = flagMap.get("--threads").map(_.toInt).getOrElse(1)
           val names = topoOrder(select(sel))
-          val counts = names.map(n => n -> runModel(n)).toMap
-          logger.log(LogLevel.INFO, s"ran ${names.size} models")
+          val counts =
+            (if (threads <= 1) names.map(n => n -> runModel(n))
+             else runLevelled(names, threads)).toMap
+          logger.log(LogLevel.INFO,
+            s"ran ${names.size} models (threads=$threads)")
           CommandResult(command, success = true, names,
             counts.filter(_._2 >= 0), None)
         case Seq("test") =>

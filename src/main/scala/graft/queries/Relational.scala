@@ -95,6 +95,41 @@ object Scans extends QueryGroup {
         .orderBy("event_type")
     }),
 
+    // Other dbt-spark file formats (model config `file_format`): each
+    // writes the format, re-reads, and aggregates — proving the full
+    // round-trip, with the oracle computed from the source table.
+    "sink_orc" -> ((s, d) => {
+      val out = tmpDir("graft_sink_orc")
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus") =!= "P")
+        .write.mode("overwrite").orc(s"$out/t")
+      s.read.orc(s"$out/t")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec2(col("o_totalprice")))).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "sink_csv_roundtrip" -> ((s, d) => {
+      val out = tmpDir("graft_sink_csv")
+      Tables.nation(s, d)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").option("header", "true").csv(s"$out/t")
+      s.read.option("header", "true")
+        .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+        .csv(s"$out/t")
+        .orderBy("n_nationkey")
+    }),
+
+    "sink_json_roundtrip" -> ((s, d) => {
+      val out = tmpDir("graft_sink_json")
+      Tables.region(s, d).write.mode("overwrite").json(s"$out/t")
+      s.read.schema("r_regionkey BIGINT, r_name STRING, r_comment STRING")
+        .json(s"$out/t")
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")
+    }),
+
     // dbt `view` materialization → temp view + SQL over it.
     "create_view" -> ((s, d) => {
       val nr = Tables.nation(s, d).join(Tables.region(s, d),
@@ -135,7 +170,20 @@ object Scans extends QueryGroup {
 
     "create_view" ->
       """SELECT n_name, r_name FROM nation
-        |JOIN region ON n_regionkey = r_regionkey ORDER BY n_name""".stripMargin
+        |JOIN region ON n_regionkey = r_regionkey ORDER BY n_name""".stripMargin,
+
+    "sink_orc" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "sink_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "sink_json_roundtrip" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin
   )
 }
 

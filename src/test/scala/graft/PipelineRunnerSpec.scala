@@ -145,6 +145,62 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(orphans.map(_.getLong(0)).toSeq == Seq(7L))
   }
 
+  test("run --threads builds a diamond DAG level-parallel, same result") {
+    def mkSpec() = {
+      val base = Model("d_base", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._
+          (1L to 100L).map(i => (i, i % 7)).toDF("id", "g") })
+      val l = Model("d_left", Seq("d_base"), Materialization.Table,
+        (_, in) => in("d_base").groupBy("g")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n")))
+      val r = Model("d_right", Seq("d_base"), Materialization.Table,
+        (_, in) => in("d_base").groupBy("g")
+          .agg(org.apache.spark.sql.functions.sum("id").as("s")))
+      val top = Model("d_top", Seq("d_left", "d_right"), Materialization.Table,
+        (_, in) => in("d_left").join(in("d_right"), "g"))
+      PipelineSpec(Seq(base, l, r, top))
+    }
+    val seq = new PipelineRunner(spark, mkSpec(), wh())
+    assert(seq.run(Seq("run")).success)
+    val par = new PipelineRunner(spark, mkSpec(), wh())
+    assert(par.run(Seq("run --threads 4")).success)
+    val a = seq.readTable("d_top").orderBy("g")
+      .as[(Long, Long, Long)].collect().toSeq
+    val b = par.readTable("d_top").orderBy("g")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("run --threads still fails fast across levels") {
+    val spec = PipelineSpec(Seq(
+      Model("f_a", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._; Seq(1L).toDF("x") }),
+      Model("f_bad", Nil, Materialization.Table,
+        (_, _) => sys.error("boom")),
+      Model("f_down", Seq("f_bad"), Materialization.Table,
+        (_, in) => in("f_bad"))))
+    val r = new PipelineRunner(spark, spec, wh())
+    val res = r.run(Seq("run --threads 4"))
+    assert(!res.success)
+    assert(!r.tableExists("f_down"), "downstream of failure must not build")
+  }
+
+  test("vacuum drops superseded generations, current stays readable") {
+    val w = wh()
+    def spec(v: String) = PipelineSpec(Seq(tableModel("vt", Seq((1L, v)))))
+    assert(new PipelineRunner(spark, spec("v1"), w).run(Seq("run")).success)
+    val r2 = new PipelineRunner(spark, spec("v2"), w)
+    assert(r2.run(Seq("run")).success)
+    val dataDir = java.nio.file.Paths.get(r2.tablePath("vt"), "data")
+    def batches() = java.nio.file.Files.list(dataDir).count()
+    assert(batches() == 2) // superseded v1 batch still on disk
+    r2.vacuum("vt")
+    assert(batches() == 1)
+    assert(r2.readTable("vt").as[(Long, String)].collect()
+      .toSeq == Seq((1L, "v2")))
+  }
+
   test("debug command checks source resolvability") {
     val ok = new PipelineRunner(spark, PipelineSpec(Nil), wh())
     assert(ok.run(Seq("debug")).success)

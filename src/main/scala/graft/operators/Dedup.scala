@@ -148,7 +148,7 @@ object Dedup {
     * exponentially; at 100 TB swap for `checkpoint` on durable storage.
     */
   def clusters(pairs: DataFrame, idA: String = "a", idB: String = "b",
-               maxIter: Int = 20): DataFrame = {
+               maxIter: Int = 50): DataFrame = {
     // edges are re-joined every iteration — materialize once so the
     // (possibly expensive) pair-generation lineage runs exactly once
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
@@ -158,7 +158,7 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
-    var converged = false
+    var converged = labels.isEmpty // no edges → nothing to propagate
     var i = 0
     while (!converged && i < maxIter) {
       val prop = edges
@@ -176,6 +176,11 @@ object Dedup {
       converged = changed == 0L
       i += 1
     }
+    // silent partial convergence would split one component across
+    // several cluster ids — a dedup keeping cluster_id==id rows would
+    // then retain duplicates with no signal; fail loudly instead
+    require(converged,
+      s"clusters: component diameter exceeds $maxIter iterations; raise maxIter")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

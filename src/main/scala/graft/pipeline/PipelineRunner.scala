@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 import java.nio.file.{Files, Path, Paths}
 import scala.collection.mutable
 
@@ -124,37 +125,86 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
 
   /** Storage layout (write-audit-publish, manifest-based): immutable
     * data batches live under `<table>/data/batch_<n>`; a committed
-    * generation is a manifest file `<table>/gen_<n>` listing its member
-    * batches (one relative path per line); `_CURRENT` names the live
-    * manifest and is flipped atomically. Readers resolve the manifest
-    * once and only ever see fully-written batches — a crash between
-    * batch write and pointer flip leaves the previous generation
-    * intact. An append commits O(delta) bytes (new batch + manifest),
-    * not O(history); the same manifest scheme works unchanged on
-    * object storage where directory renames aren't atomic.
+    * generation is a manifest file `<table>/gen_<n>` listing its
+    * members (one relative path per line — a whole batch dir, or a
+    * single partition dir inside a batch for partition-scoped
+    * replacement), plus a sibling `gen_<n>.schema` carrying the exact
+    * Spark schema. `_CURRENT` names the live manifest and is flipped
+    * atomically. Readers resolve the manifest once and only ever see
+    * fully-written batches — a crash between batch write and pointer
+    * flip leaves the previous generation intact. Reads apply the
+    * stored schema, so partition-column types survive round-trips
+    * (inference would silently turn a "01" string partition into 1).
+    * An append commits O(delta) bytes and an insert_overwrite commits
+    * O(touched partitions); the same manifest scheme works unchanged
+    * on object storage where directory renames aren't atomic.
     */
-  private def currentManifest(name: String): Option[Seq[String]] = {
+  private def currentGenName(name: String): Option[String] = {
     val marker = Paths.get(tablePath(name), "_CURRENT")
-    if (!Files.exists(marker)) None
-    else {
-      val gen = Files.readString(marker).trim
-      Some(Files.readString(Paths.get(tablePath(name), gen)).linesIterator
-        .filter(_.nonEmpty).toSeq)
-    }
+    if (Files.exists(marker)) Some(Files.readString(marker).trim) else None
   }
+
+  private def currentManifest(name: String): Option[Seq[String]] =
+    currentGenName(name).map { gen =>
+      Files.readString(Paths.get(tablePath(name), gen)).linesIterator
+        .filter(_.nonEmpty).toSeq
+    }
+
+  private def currentSchema(name: String): Option[StructType] =
+    currentGenName(name).flatMap { gen =>
+      val f = Paths.get(tablePath(name), s"$gen.schema")
+      if (Files.exists(f))
+        Some(DataType.fromJson(Files.readString(f)).asInstanceOf[StructType])
+      else None
+    }
 
   def readTable(name: String): DataFrame =
     currentManifest(name) match {
+      case Some(members) if members.isEmpty =>
+        // a partitioned write of zero rows commits no members
+        currentSchema(name) match {
+          case Some(sc) => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+          case None => sys.error(s"table $name is empty with no schema")
+        }
       case Some(members) =>
-        spark.read.parquet(members.map(m => s"${tablePath(name)}/$m"): _*)
+        // one read per batch, basePath = that batch's root, so
+        // partition dirs sit directly beneath their basePath (a single
+        // shared basePath across batches trips Spark's conflicting-
+        // directory-structures check); the stored schema types the
+        // partition columns on every branch, keeping the union aligned
+        val schema = currentSchema(name)
+        val root = tablePath(name)
+        members.groupBy(m => m.split('/').take(2).mkString("/"))
+          .toSeq.sortBy(_._1)
+          .map { case (batch, ms) =>
+            val r0 = spark.read.option("basePath", s"$root/$batch")
+            schema.map(r0.schema).getOrElse(r0)
+              .parquet(ms.map(m => s"$root/$m"): _*)
+          }
+          .reduce(_ unionByName _)
       case None => sys.error(s"table $name does not exist")
     }
 
-  def tableExists(name: String): Boolean = currentManifest(name).isDefined
+  def tableExists(name: String): Boolean = currentGenName(name).isDefined
 
   private val batchCounter = new java.util.concurrent.atomic.AtomicLong()
   private def nextId(): Long =
     System.nanoTime() + batchCounter.incrementAndGet()
+
+  /** Close-safe directory listing. */
+  private def listDir(p: Path): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  private def deleteRec(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(p)
+    val all = try s.iterator().asScala.toSeq finally s.close()
+    all.reverse.foreach(Files.deleteIfExists(_))
+  }
 
   /** Write one immutable data batch; returns its manifest-relative path. */
   private def writeBatch(name: String, write: String => Unit): String = {
@@ -164,11 +214,28 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     rel
   }
 
+  /** Partition-dir members of a batch written with partitionBy(parts):
+    * one relative path per leaf `col=value[/col=value...]` dir.
+    */
+  private def partitionMembers(name: String, batchRel: String,
+      depth: Int): Seq[String] = {
+    def walk(p: Path, d: Int): Seq[Path] =
+      if (d == 0) Seq(p)
+      else listDir(p)
+        .filter(c => Files.isDirectory(c) && c.getFileName.toString.contains("="))
+        .flatMap(walk(_, d - 1))
+    val root = Paths.get(tablePath(name))
+    walk(root.resolve(batchRel), depth)
+      .map(p => root.relativize(p).toString.replace('\\', '/'))
+  }
+
   /** Atomically commit a new generation made of `members`. */
-  private def publishManifest(name: String, members: Seq[String]): Unit = {
+  private def publishManifest(name: String, members: Seq[String],
+      schema: StructType): Unit = {
     val dir = Paths.get(tablePath(name))
     Files.createDirectories(dir)
     val gen = s"gen_${nextId()}"
+    Files.writeString(dir.resolve(s"$gen.schema"), schema.json)
     Files.writeString(dir.resolve(gen), members.mkString("\n"))
     val tmp = dir.resolve("_CURRENT.tmp")
     Files.writeString(tmp, gen)
@@ -178,33 +245,37 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   }
 
   /** Full-refresh publish: one new batch becomes the whole table. */
-  private def publish(name: String, write: String => Unit): Unit =
-    publishManifest(name, Seq(writeBatch(name, write)))
+  private def publish(name: String, schema: StructType,
+      write: String => Unit): Unit =
+    publishManifest(name, Seq(writeBatch(name, write)), schema)
 
   /** Garbage-collect batches and manifests no longer referenced by the
     * current generation (failed writes, superseded full refreshes).
-    * Safe for readers of the current generation — only unreferenced
-    * files go; run it like a warehouse VACUUM after retention.
+    * Single-writer assumption: like any VACUUM, run it when no
+    * concurrent publish can commit between the manifest read and the
+    * deletes — the pre-delete `_CURRENT` recheck narrows but cannot
+    * close that window.
     */
-  def vacuum(name: String): Unit = currentManifest(name).foreach { members =>
-    import scala.jdk.CollectionConverters._
+  def vacuum(name: String): Unit = currentGenName(name).foreach { gen0 =>
+    val members = currentManifest(name).getOrElse(Nil)
     val root = Paths.get(tablePath(name))
-    val keep = members.map(m => root.resolve(m).normalize).toSet
-    val dataDir = root.resolve("data")
-    def deleteRec(p: Path): Unit =
-      Files.walk(p).iterator().asScala.toSeq.reverse
+    // keep whole batches that own at least one referenced member
+    // (partition-level members live inside their batch dir)
+    val keepBatches = members
+      .map(m => m.split('/').take(2).mkString("/")).toSet
+    if (currentGenName(name).contains(gen0)) { // recheck before deleting
+      val dataDir = root.resolve("data")
+      if (Files.exists(dataDir))
+        listDir(dataDir)
+          .filterNot(b => keepBatches.contains(s"data/${b.getFileName}"))
+          .foreach(deleteRec)
+      listDir(root)
+        .filter { p =>
+          val f = p.getFileName.toString
+          f.startsWith("gen_") && f != gen0 && f != s"$gen0.schema"
+        }
         .foreach(Files.deleteIfExists(_))
-    if (Files.exists(dataDir))
-      Files.list(dataDir).iterator().asScala.toSeq
-        .filterNot(b => keep.contains(b.normalize))
-        .foreach(deleteRec)
-    val cur = Files.readString(root.resolve("_CURRENT")).trim
-    Files.list(root).iterator().asScala.toSeq
-      .filter { p =>
-        val f = p.getFileName.toString
-        f.startsWith("gen_") && f != cur
-      }
-      .foreach(Files.deleteIfExists(_))
+    }
   }
 
   /** Level-parallel model execution (dbt `--threads`): models whose
@@ -263,43 +334,49 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         ephemeralCache(name) = df; -1L
 
       case Materialization.Table =>
-        publish(name, p => df.write.mode("overwrite").parquet(p))
+        publish(name, df.schema, p => df.write.mode("overwrite").parquet(p))
         readTable(name).count()
 
       case Materialization.IncrementalAppend(tsCol) =>
         if (!tableExists(name))
-          publish(name, p => df.write.mode("overwrite").parquet(p))
+          publish(name, df.schema,
+            p => df.write.mode("overwrite").parquet(p))
         else {
           // null high-water mark (empty table / all-null ts) means
           // "nothing loaded yet" → append everything, not nothing
           val hwm = readTable(name).agg(max(col(tsCol))).head().get(0)
           val delta = if (hwm == null) df else df.filter(col(tsCol) > lit(hwm))
-          // stage the delta as a new batch, then commit old ∪ delta as
-          // a new generation — a mid-write crash leaves the previous
-          // generation live (readers never see partial delta files)
-          val deltaBatch = writeBatch(name,
-            p => delta.write.mode("overwrite").parquet(p))
-          publishManifest(name,
-            currentManifest(name).get :+ deltaBatch)
+          // an empty delta commits nothing — otherwise a no-new-data
+          // schedule grows the manifest (and readTable's path list)
+          // by one empty batch per run, forever
+          if (!delta.isEmpty) {
+            // stage the delta as a new batch, then commit old ∪ delta
+            // as a new generation — a mid-write crash leaves the
+            // previous generation live
+            val deltaBatch = writeBatch(name,
+              p => delta.write.mode("overwrite").parquet(p))
+            publishManifest(name,
+              currentManifest(name).get :+ deltaBatch, df.schema)
+          }
         }
         readTable(name).count()
 
       case Materialization.IncrementalInsertOverwrite(parts) =>
-        if (!tableExists(name))
-          publish(name, p =>
-            df.write.mode("overwrite").partitionBy(parts: _*).parquet(p))
-        else {
-          // insert_overwrite semantics: replace exactly the partitions
-          // present in the new batch, keep the rest. Rewritten as
-          // kept-rows ∪ new-batch and committed atomically — the
-          // touched-partition set is tiny, so the anti-join broadcasts.
-          val touched = df.select(parts.map(col): _*).distinct()
-          val kept = readTable(name)
-            .join(broadcast(touched), parts, "left_anti")
-          val merged = kept.unionByName(df)
-          publish(name, p =>
-            merged.write.mode("overwrite").partitionBy(parts: _*).parquet(p))
-        }
+        // insert_overwrite semantics: replace exactly the partitions
+        // present in the new batch, keep the rest. The batch is
+        // written partitioned and the manifest swaps members at
+        // partition granularity — O(touched partitions) I/O, never a
+        // table rewrite, and fully atomic via the manifest flip.
+        val batch = writeBatch(name, p =>
+          df.write.mode("overwrite").partitionBy(parts: _*).parquet(p))
+        val newMembers = partitionMembers(name, batch, parts.size)
+        def partKey(m: String) = m.split('/').drop(2).mkString("/")
+        val newKeys = newMembers.map(partKey).toSet
+        val members =
+          if (!tableExists(name)) newMembers
+          else currentManifest(name).get
+            .filterNot(m => newKeys.contains(partKey(m))) ++ newMembers
+        publishManifest(name, members, df.schema)
         readTable(name).count()
 
       // MERGE emulation for vanilla parquet (no Delta/Iceberg in this
@@ -310,13 +387,15 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       // rewrite, or adopt a deletion-vector format.
       case Materialization.IncrementalMerge(keys) =>
         if (!tableExists(name))
-          publish(name, p => df.write.mode("overwrite").parquet(p))
+          publish(name, df.schema,
+            p => df.write.mode("overwrite").parquet(p))
         else {
           val existing = readTable(name)
           val merged = existing
             .join(df.select(keys.map(col): _*), keys, "left_anti")
             .unionByName(df)
-          publish(name, p => merged.write.mode("overwrite").parquet(p))
+          publish(name, merged.schema,
+            p => merged.write.mode("overwrite").parquet(p))
         }
         readTable(name).count()
     }
@@ -327,7 +406,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     import spark.implicits._
     val df = spark.read.option("header", "true").schema(seed.schema)
       .csv(spark.createDataset(seed.csvLines))
-    publish(seed.name, p => df.write.mode("overwrite").parquet(p))
+    publish(seed.name, df.schema, p => df.write.mode("overwrite").parquet(p))
     readTable(seed.name).count()
   }
 
@@ -338,7 +417,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       else spark.table(sn.source)
     val prev = if (tableExists(sn.name)) Some(readTable(sn.name)) else None
     val next = Snapshot.scd2(prev, source, sn.keyCols, sn.compareCols, asOf)
-    publish(sn.name, p => next.write.mode("overwrite").parquet(p))
+    publish(sn.name, next.schema,
+      p => next.write.mode("overwrite").parquet(p))
     readTable(sn.name).count()
   }
 

@@ -20,11 +20,21 @@ import org.apache.spark.sql.types._
   */
 object PipelineOps extends QueryGroup {
 
-  /** Scratch warehouse under target/ (inside the repo, git-ignored). */
+  /** Scratch warehouse under target/ (inside the repo, git-ignored),
+    * deleted at JVM exit so repeated Verify/Bench runs don't
+    * accumulate dead parquet.
+    */
   private def freshWh(key: String): String = {
     val base = java.nio.file.Paths.get("/root/repo/target/scratch")
     java.nio.file.Files.createDirectories(base)
-    java.nio.file.Files.createTempDirectory(base, key).toString
+    val dir = java.nio.file.Files.createTempDirectory(base, key)
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(dir)
+      val all = try s.iterator().asScala.toSeq finally s.close()
+      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    dir.toString
   }
 
   private def mustSucceed(r: RunResult): Unit =

@@ -33,12 +33,15 @@ object StreamingOps {
       .select(col("w.start").as("ws"), col("w.end").as("we"),
         col("event_type"), col("n"), col("sv"))
 
-  /** Stateful streaming dedup on event_id: duplicates within the
-    * watermark horizon are dropped; the watermark bounds the dedup
-    * state so it never grows past `delay` of event time.
+  /** Stateful streaming dedup on event_id alone: a redelivery with a
+    * re-stamped ts still dedups (matching the batch analog), and
+    * `dropDuplicatesWithinWatermark` evicts each id's state once the
+    * watermark passes it, so state stays bounded by `delay` of event
+    * time.
     */
   def dedup(events: DataFrame, delay: String): DataFrame =
-    events.withWatermark("ts", delay).dropDuplicates("event_id", "ts")
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Session windows (30-min gap) under a watermark. */
   def sessionAgg(events: DataFrame, delay: String): DataFrame =

@@ -107,6 +107,22 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(state == Seq((3L, "B", 1), (9L, "A", 2), (10L, "C", 2)))
   }
 
+  test("insert_overwrite keeps numeric-looking string partition values") {
+    // regression: partition-column type inference on read-back turned
+    // "01" into 1; the stored generation schema must prevent that
+    val w = wh()
+    def spec(rows: Seq[(Long, String)]) = PipelineSpec(Seq(Model(
+      "iowp", Nil, Materialization.IncrementalInsertOverwrite(Seq("month_code")),
+      (sp, _) => { import sp.implicits._; rows.toDF("id", "month_code") })))
+    assert(new PipelineRunner(spark,
+      spec(Seq((1L, "01"), (2L, "02"))), w).run(Seq("run")).success)
+    val r2 = new PipelineRunner(spark, spec(Seq((9L, "01"))), w)
+    assert(r2.run(Seq("run")).success)
+    val state = r2.readTable("iowp").orderBy("id")
+      .select("id", "month_code").as[(Long, String)].collect().toSeq
+    assert(state == Seq((2L, "02"), (9L, "01")))
+  }
+
   test("--select resolves ancestors, descendants, and exact") {
     val mk = (n: String, deps: Seq[String]) =>
       Model(n, deps, Materialization.Ephemeral, (sp, _) =>

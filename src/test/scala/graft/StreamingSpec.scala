@@ -65,8 +65,10 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       in.addData(ev(1, 1, "click", ts(10, 0)), ev(1, 1, "click", ts(10, 0)),
         ev(2, 2, "view", ts(10, 1)))
       q.processAllAvailable()
-      // duplicate arriving in a LATER batch is also suppressed by state
-      in.addData(ev(1, 1, "click", ts(10, 0)), ev(3, 1, "view", ts(10, 2)))
+      // a duplicate arriving in a LATER batch is suppressed by state —
+      // including a redelivery with a re-stamped ts (id-only dedup)
+      in.addData(ev(1, 1, "click", ts(10, 0)), ev(2, 2, "view", ts(10, 3)),
+        ev(3, 1, "view", ts(10, 2)))
       q.processAllAvailable()
       val ids = spark.table("s_dedup").select("event_id").as[Long]
         .collect().toSeq.sorted

@@ -1,0 +1,139 @@
+package graft
+
+import graft.operators.Dedup
+import graft.pipeline.Snapshot
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-driven algebraic properties (SURVEY §5.3). Each property
+  * samples a handful of cases deterministically (fixed seed) — every
+  * case launches Spark jobs, so the sample counts stay small while the
+  * generators cover shapes example tests miss (random graphs, random
+  * multi-step histories).
+  */
+class PropertySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], n: Int, seed: Long): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  // ---- clusters ≡ reference union-find ---------------------------------
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(x => x -> find(x)).toMap
+  }
+
+  test("clusters equals union-find on random graphs") {
+    val graphGen = for {
+      n <- Gen.choose(2, 25)
+      nEdges <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield (n, edges.distinct)
+
+    sample(graphGen, 8, seed = 1234L).foreach { case (n, edges) =>
+      val got = Dedup.clusters(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      val want = unionFind(n, edges)
+      assert(got == want, s"edges=$edges")
+    }
+  }
+
+  // ---- SCD2 invariants over random multi-step histories ----------------
+
+  test("SCD2 invariants hold over random histories") {
+    // per step: for each of 4 keys, the key is absent or carries one
+    // of 3 values (absence exercises hard deletes)
+    val stepGen: Gen[Seq[(Long, String)]] =
+      Gen.sequence[Seq[Option[(Long, String)]], Option[(Long, String)]](
+        (1L to 4L).map { k =>
+          Gen.oneOf[Option[(Long, String)]](None,
+            Some((k, "x")), Some((k, "y")), Some((k, "z")))
+        }).map(_.flatten)
+
+    val historyGen = Gen.listOfN(4, stepGen)
+
+    sample(historyGen, 6, seed = 99L).foreach { history =>
+      val times = (1 to history.size)
+        .map(i => f"2024-0$i%d-01 00:00:00")
+      var snap: Option[DataFrame] = None
+      history.zip(times).foreach { case (state, t) =>
+        snap = Some(Snapshot.scd2(snap,
+          state.toDF("id", "v"), Seq("id"), Seq("v"), t)
+          .localCheckpoint())
+      }
+      val rows = snap.get
+        .select("id", "v", "valid_from", "valid_to")
+        .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp])]
+        .collect().toSeq
+
+      // 1. at most one open row per key; open ⇔ key present in last state
+      val lastState = history.last.toMap
+      rows.groupBy(_._1).foreach { case (k, krows) =>
+        val open = krows.filter(_._4.isEmpty)
+        assert(open.size <= 1, s"key $k has ${open.size} open rows")
+        if (lastState.contains(k)) {
+          assert(open.size == 1, s"present key $k has no open row")
+          assert(open.head._2 == lastState(k),
+            s"open row for $k is ${open.head._2}, want ${lastState(k)}")
+        } else assert(open.isEmpty, s"deleted key $k still open")
+      }
+      // 2. intervals are non-overlapping and ordered per key
+      rows.groupBy(_._1).values.foreach { krows =>
+        val sorted = krows.sortBy(_._3.getTime)
+        sorted.sliding(2).foreach {
+          case Seq(prev, next) =>
+            assert(prev._4.isDefined, "only the last row may be open")
+            assert(prev._4.get.getTime <= next._3.getTime,
+              s"overlapping intervals: $prev then $next")
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  // ---- MinHash estimate vs true Jaccard --------------------------------
+
+  test("MinHash estimate tracks true shingle Jaccard on random docs") {
+    val rnd = new scala.util.Random(7)
+    def randDoc(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    // pairs: a base doc and a mutation sharing a long prefix
+    val docs = (0 until 6).flatMap { i =>
+      val base = randDoc(300)
+      val mut = base.take(150 + rnd.nextInt(100)) + randDoc(80)
+      Seq((2L * i, base), (2L * i + 1, mut))
+    }
+    def shingles(s: String) = s.sliding(5).toSet
+    val est = Dedup.minHashNearDups(docs.toDF("doc_id", "text"),
+      "doc_id", "text", k = 32, bands = 32, threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    docs.grouped(2).foreach { case Seq((ia, ta), (ib, tb)) =>
+      val truth = {
+        val (sa, sb) = (shingles(ta), shingles(tb))
+        sa.intersect(sb).size.toDouble / sa.union(sb).size
+      }
+      est.get((ia, ib)).foreach { e =>
+        // k=32 ⇒ σ ≈ sqrt(j(1-j)/32) ≤ 0.09; 4σ ≈ 0.36 bound
+        assert(math.abs(e - truth) < 0.36,
+          s"pair ($ia,$ib): est=$e truth=$truth")
+      }
+    }
+  }
+}

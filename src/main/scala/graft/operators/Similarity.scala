@@ -61,6 +61,35 @@ object Similarity {
   def cosineDec(a: Column, b: Column): Column =
     round(dotDec(a, b) / (sqrt(norm2Dec(a)) * sqrt(norm2Dec(b))), 6)
 
+  /** Cross-engine-exact brute-force cosine top-k: embeddings quantize
+    * per element to round(x·1e7) BIGINT (float→double is exact binary
+    * and half-up rounding agrees on both engines), dot/norms are pure
+    * integer sums, and the cosine is raw IEEE division/sqrt on
+    * identical integer-derived doubles — bit-identical across engines
+    * with NO round() anywhere (round()'s decimal conversion differs
+    * between engines near x.xxxxx5 boundaries, and DECIMAL casts of
+    * floats differ in the last place). Quantization error ~1e-7.
+    */
+  def bruteForceTopKExact(queries: DataFrame, candidates: DataFrame,
+                          k: Int): DataFrame = {
+    def quant(v: Column): Column =
+      transform(v, x => round(x.cast(DoubleType) * 1e7).cast(LongType))
+    def idot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (a, b) => a * b), lit(0L), (acc, v) => acc + v)
+    val q = queries.select(col("vec_id").as("qid"),
+      quant(col("embedding")).as("qvec"))
+    val c = candidates.select(col("vec_id").as("cid"),
+      quant(col("embedding")).as("cvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        (idot(col("qvec"), col("cvec")).cast(DoubleType) /
+          (sqrt(idot(col("qvec"), col("qvec")).cast(DoubleType)) *
+            sqrt(idot(col("cvec"), col("cvec")).cast(DoubleType)))).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Brute-force cosine top-k: query rows broadcast against the
     * candidate scan; per-query window keeps k.
     */

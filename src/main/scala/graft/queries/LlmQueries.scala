@@ -53,9 +53,12 @@ object LlmOps extends QueryGroup {
         .orderBy("doc_a")
     }),
 
+    // integer-quantized exact form: cross-engine bit-identical with no
+    // round() (the rounded-DECIMAL form flipped a 6th-decimal boundary
+    // row at sf0.1)
     "llm_cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 5)
+      Similarity.bruteForceTopKExact(emb.filter(col("vec_id") < 5), emb, k = 5)
         .select("qid", "cid", "cos", "rn")
         .orderBy("qid", "rn")
     }),
@@ -220,25 +223,27 @@ object LlmOps extends QueryGroup {
          |ORDER BY doc_a""".stripMargin,
 
     "llm_cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
-        |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
-        |norms AS (
-        |  SELECT vec_id, SUM(CAST(x AS DECIMAL(10,7)) * CAST(x AS DECIMAL(10,7))) AS n2
-        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) t
-        |  GROUP BY vec_id),
-        |dots AS (
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.qv AS qvec, c.qv AS cvec
+        |  FROM e q CROSS JOIN e c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |sums AS (
         |  SELECT qid, cid,
-        |    SUM(CAST(z[1] AS DECIMAL(10,7)) * CAST(z[2] AS DECIMAL(10,7))) AS dot
-        |  FROM (SELECT qid, cid, unnest(list_zip(qv, cv)) AS z
-        |        FROM q CROSS JOIN c WHERE cid <> qid) t
+        |    CAST(SUM(z[1] * z[2]) AS BIGINT) AS dot,
+        |    CAST(SUM(z[1] * z[1]) AS BIGINT) AS n2q,
+        |    CAST(SUM(z[2] * z[2]) AS BIGINT) AS n2c
+        |  FROM (SELECT qid, cid, unnest(list_zip(qvec, cvec)) AS z FROM pairs) t
         |  GROUP BY qid, cid),
         |scored AS (
         |  SELECT qid, cid,
-        |    round(CAST(dot AS DOUBLE) /
-        |      (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))), 6) AS cos
-        |  FROM dots
-        |  JOIN norms nq ON nq.vec_id = qid
-        |  JOIN norms nc ON nc.vec_id = cid),
+        |    CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(n2q AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE))) AS cos
+        |  FROM sums),
         |ranked AS (
         |  SELECT qid, cid, cos,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn

@@ -67,6 +67,17 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(ivf == brute)
   }
 
+  test("quantized-exact top-k agrees with the decimal brute force") {
+    val queries = emb.filter(col("vec_id") < 3L)
+    val a = Similarity.bruteForceTopKExact(queries, emb, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val b = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(a == b)
+  }
+
   test("cosineNearDupPairs finds identical vectors (same bucket, cos 1.0)") {
     val withClones = emb.unionByName(
       Seq((100L, vecs(3)._2), (101L, vecs(7)._2)).toDF("vec_id", "embedding"))

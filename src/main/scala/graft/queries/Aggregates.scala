@@ -174,6 +174,19 @@ object Aggregates extends QueryGroup {
         .orderBy("user_id")
     }),
 
+    // arg-min/max per group; ties on o_totalprice are broken by
+    // folding the unique orderkey into the ranking value (cents·1e9 +
+    // key) so both engines pick the same row deterministically
+    "agg_min_max_by" -> ((s, d) => {
+      val rank = (dec2(col("o_totalprice")) * 100).cast(LongType) *
+        lit(10000000L) + col("o_orderkey")
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(max_by(col("o_orderkey"), rank).as("biggest_order"),
+          min_by(col("o_orderkey"), rank).as("smallest_order"))
+        .orderBy("o_custkey")
+    }),
+
     "agg_custom_udaf" -> ((s, d) =>
       Tables.lineitem(s, d)
         .select(col("l_returnflag"),
@@ -293,6 +306,14 @@ object Aggregates extends QueryGroup {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "agg_min_max_by" ->
+      """SELECT o_custkey,
+        |  arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    * 10000000 + o_orderkey) AS biggest_order,
+        |  arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    * 10000000 + o_orderkey) AS smallest_order
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "agg_custom_udaf" ->
       """SELECT l_returnflag,

@@ -116,6 +116,18 @@ object ScalarFuncs extends QueryGroup {
           size(col("m")).as("msz"))
         .orderBy("event_id")),
 
+    // bitwise surface (hash/partition-bucket arithmetic in models)
+    "fn_bitwise" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        (col("p_partkey").bitwiseAND(lit(255L))).as("band"),
+        (col("p_partkey").bitwiseOR(lit(16L))).as("bor"),
+        (col("p_partkey").bitwiseXOR(col("p_size").cast(LongType))).as("bxor"),
+        expr("shiftleft(p_partkey, 3)").as("shl"),
+        expr("shiftright(p_partkey, 2)").as("shr"),
+        bit_count(col("p_partkey")).as("pop"))
+        .orderBy("p_partkey")),
+
     "fn_struct" -> ((s, d) =>
       Tables.customer(s, d)
         .withColumn("st", struct(col("c_custkey").as("k"),
@@ -220,6 +232,16 @@ object ScalarFuncs extends QueryGroup {
         |  map(['ty','id'], [event_type, CAST(event_id AS VARCHAR)])['id'][1] AS idv,
         |  CAST(cardinality(map(['ty','id'], [event_type, CAST(event_id AS VARCHAR)])) AS INTEGER) AS msz
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "fn_bitwise" ->
+      """SELECT p_partkey,
+        |  p_partkey & 255 AS band,
+        |  p_partkey | 16 AS bor,
+        |  xor(p_partkey, CAST(p_size AS BIGINT)) AS bxor,
+        |  p_partkey << 3 AS shl,
+        |  p_partkey >> 2 AS shr,
+        |  CAST(bit_count(p_partkey) AS INTEGER) AS pop
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "fn_struct" ->
       """SELECT c_custkey,

@@ -19,14 +19,33 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * (float vs double), so no cast node is inserted and float arrays
   * read their 4-byte lanes directly. Array elements must be non-null
   * (embeddings are); null *arrays* propagate null via
-  * `BinaryExpression`'s default null handling. Other element types are
-  * unsupported (enforced by the registration wrapper's docs, not a
-  * TypeCheck — `TypeCheckResult` is private[sql]).
+  * `BinaryExpression`'s default null handling. Other element types
+  * (array<int>, array<decimal>, …) are rejected with a clear error at
+  * plan time — `getFloat`/`getDouble` on an unsafe array of a
+  * different width would silently reinterpret bytes. (The check lives
+  * in `dataType`/eval/codegen rather than `checkInputDataTypes`
+  * because `TypeCheckResult` is private[sql].)
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def dataType: DataType = DoubleType
+  private def elemOk(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  private def assertInputTypes(): Unit =
+    if (!(elemOk(left) && elemOk(right)))
+      throw new IllegalArgumentException(
+        s"$prettyName requires array<float> or array<double> arguments, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def dataType: DataType = {
+    // childrenResolved guard: analysis rules may probe dataType while
+    // children are still unresolved placeholders
+    if (childrenResolved) assertInputTypes()
+    DoubleType
+  }
   override def prettyName: String = "graft_vec_dot"
 
   private def isFloatArr(e: Expression): Boolean = e.dataType match {
@@ -34,7 +53,11 @@ case class VecDot(left: Expression, right: Expression)
     case _ => false
   }
 
+  // belt-and-braces for paths that never consult dataType
+  private lazy val typesChecked: Boolean = { assertInputTypes(); true }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
+    assert(typesChecked)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (lf, rf) = (isFloatArr(left), isFloatArr(right))
@@ -50,7 +73,8 @@ case class VecDot(left: Expression, right: Expression)
     s
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    assert(typesChecked)
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
@@ -68,6 +92,7 @@ case class VecDot(left: Expression, right: Expression)
          |${ev.value} = $s;
        """.stripMargin
     })
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =

@@ -21,14 +21,18 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join of `left` and `right` on `key`, salted `salts`
-    * ways. `leftDiscriminator` must be non-null and roughly uniform
-    * (any unique-ish id column) — it only drives the salt assignment.
+    * ways. `leftDiscriminator` should be roughly uniform (any
+    * unique-ish id column) — it only drives the salt assignment. A
+    * NULL discriminator degrades to salt 0 (one sub-partition for
+    * those rows) but can never drop rows: the result is row-identical
+    * to the plain join by construction.
     */
   def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
                       leftDiscriminator: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(col(leftDiscriminator)), lit(salts)).cast("int"))
+      coalesce(pmod(xxhash64(col(leftDiscriminator)), lit(salts)), lit(0))
+        .cast("int"))
     val explodedRight = right.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedLeft.join(explodedRight, Seq(key, "__salt")).drop("__salt")

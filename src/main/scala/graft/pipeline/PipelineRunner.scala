@@ -229,9 +229,20 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       .map(p => root.relativize(p).toString.replace('\\', '/'))
   }
 
+  /** Per-table monitor serializing manifest commits with vacuum: a
+    * vacuum that raced a concurrent publish (`run --threads N`) could
+    * otherwise delete a batch the about-to-commit generation
+    * references. Runner-local — cross-process writers still need an
+    * external lock, as with any single-writer table format.
+    */
+  private val tableLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def lockFor(name: String): Object =
+    tableLocks.getOrElseUpdate(name, new Object)
+
   /** Atomically commit a new generation made of `members`. */
   private def publishManifest(name: String, members: Seq[String],
-      schema: StructType): Unit = {
+      schema: StructType): Unit = lockFor(name).synchronized {
     val dir = Paths.get(tablePath(name))
     Files.createDirectories(dir)
     val gen = s"gen_${nextId()}"
@@ -251,30 +262,43 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
 
   /** Garbage-collect batches and manifests no longer referenced by the
     * current generation (failed writes, superseded full refreshes).
-    * Single-writer assumption: like any VACUUM, run it when no
-    * concurrent publish can commit between the manifest read and the
-    * deletes — the pre-delete `_CURRENT` recheck narrows but cannot
-    * close that window.
+    * Serialized with publishes on the per-table lock, so within this
+    * runner a `run --threads N` publish cannot commit a generation
+    * between the manifest read and the deletes; each delete is
+    * additionally double-checked against a freshly re-read manifest.
+    * Cross-process writers still need an external lock (single-writer
+    * assumption, as in any vanilla-parquet table format).
     */
-  def vacuum(name: String): Unit = currentGenName(name).foreach { gen0 =>
-    val members = currentManifest(name).getOrElse(Nil)
-    val root = Paths.get(tablePath(name))
-    // keep whole batches that own at least one referenced member
-    // (partition-level members live inside their batch dir)
-    val keepBatches = members
-      .map(m => m.split('/').take(2).mkString("/")).toSet
-    if (currentGenName(name).contains(gen0)) { // recheck before deleting
-      val dataDir = root.resolve("data")
-      if (Files.exists(dataDir))
-        listDir(dataDir)
-          .filterNot(b => keepBatches.contains(s"data/${b.getFileName}"))
-          .foreach(deleteRec)
-      listDir(root)
-        .filter { p =>
-          val f = p.getFileName.toString
-          f.startsWith("gen_") && f != gen0 && f != s"$gen0.schema"
+  def vacuum(name: String): Unit = lockFor(name).synchronized {
+    currentGenName(name).foreach { gen0 =>
+      val root = Paths.get(tablePath(name))
+      // keep whole batches that own at least one referenced member
+      // (partition-level members live inside their batch dir)
+      def liveBatches(): Option[Set[String]] = currentManifest(name)
+        .map(_.map(m => m.split('/').take(2).mkString("/")).toSet)
+      liveBatches().foreach { keep0 =>
+        val dataDir = root.resolve("data")
+        if (Files.exists(dataDir)) {
+          val candidates = listDir(dataDir)
+            .filterNot(b => keep0.contains(s"data/${b.getFileName}"))
+          if (candidates.nonEmpty) {
+            // re-read immediately before deleting: a batch is removed
+            // only if BOTH reads agree it is unreferenced
+            val keep1 = liveBatches().getOrElse(Set.empty)
+            candidates
+              .filterNot(b => keep1.contains(s"data/${b.getFileName}"))
+              .foreach(deleteRec)
+          }
         }
-        .foreach(Files.deleteIfExists(_))
+        val genNow = currentGenName(name).getOrElse(gen0)
+        listDir(root)
+          .filter { p =>
+            val f = p.getFileName.toString
+            f.startsWith("gen_") && f != genNow && f != s"$genNow.schema" &&
+              f != gen0 && f != s"$gen0.schema"
+          }
+          .foreach(Files.deleteIfExists(_))
+      }
     }
   }
 
@@ -374,8 +398,21 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         val newKeys = newMembers.map(partKey).toSet
         val members =
           if (!tableExists(name)) newMembers
-          else currentManifest(name).get
-            .filterNot(m => newKeys.contains(partKey(m))) ++ newMembers
+          else {
+            val cur = currentManifest(name).get
+            // a whole-batch member (from a prior table/append
+            // materialization) has no partition path — its partKey ""
+            // never matches, so stale rows of replaced partitions
+            // would silently survive. Fail loudly: switching to
+            // insert_overwrite requires a full refresh first.
+            val nonPart = cur.filter(m => m.split('/').length != 2 + parts.size)
+            require(nonPart.isEmpty,
+              s"insert_overwrite on $name: existing members are not " +
+                s"partitioned by ${parts.mkString(",")} (e.g. " +
+                s"${nonPart.head}); full-refresh the table before " +
+                "switching materialization")
+            cur.filterNot(m => newKeys.contains(partKey(m))) ++ newMembers
+          }
         publishManifest(name, members, df.schema)
         readTable(name).count()
 

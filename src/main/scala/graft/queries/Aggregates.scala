@@ -174,12 +174,14 @@ object Aggregates extends QueryGroup {
         .orderBy("user_id")
     }),
 
-    // arg-min/max per group; ties on o_totalprice are broken by
-    // folding the unique orderkey into the ranking value (cents·1e9 +
-    // key) so both engines pick the same row deterministically
+    // arg-min/max per group; ties on o_totalprice are broken by a
+    // lexicographic (price, orderkey) struct ordering — unlike folding
+    // both into one integer, this works for ANY key range (an integer
+    // rank of cents·C + key silently corrupts once orderkey ≥ C, e.g.
+    // TPC-H sf≥10 where orderkey exceeds 10M)
     "agg_min_max_by" -> ((s, d) => {
-      val rank = (dec2(col("o_totalprice")) * 100).cast(LongType) *
-        lit(10000000L) + col("o_orderkey")
+      val rank = struct(dec2(col("o_totalprice")).as("p"),
+        col("o_orderkey").as("k"))
       Tables.orders(s, d)
         .groupBy("o_custkey")
         .agg(max_by(col("o_orderkey"), rank).as("biggest_order"),
@@ -307,13 +309,20 @@ object Aggregates extends QueryGroup {
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // DuckDB's arg_max can't order by a struct, so the oracle states
+    // the same lexicographic (price, key) ordering as two windows
     "agg_min_max_by" ->
-      """SELECT o_custkey,
-        |  arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-        |    * 10000000 + o_orderkey) AS biggest_order,
-        |  arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-        |    * 10000000 + o_orderkey) AS smallest_order
-        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey DESC) AS rd,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) ASC, o_orderkey ASC) AS ra
+        |  FROM orders)
+        |SELECT o_custkey,
+        |  max(CASE WHEN rd = 1 THEN o_orderkey END) AS biggest_order,
+        |  max(CASE WHEN ra = 1 THEN o_orderkey END) AS smallest_order
+        |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "agg_custom_udaf" ->
       """SELECT l_returnflag,

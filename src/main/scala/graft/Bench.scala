@@ -16,14 +16,22 @@ object Bench {
     spark.range(1 << 20).selectExpr("sum(id * 2)").collect()
     try SparkEntry.entry(spark).queryExecution.toRdd.count()
     catch { case _: Throwable => () }
+    // n=3 per key, report the MEDIAN: single-shot timings are noise-
+    // dominated (GC pauses, first-touch page faults, run-order JIT),
+    // which made unchanged queries swing 0.1↔1.0 s between rounds; the
+    // median makes a true regression distinguishable from jitter.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // toRdd.count() materializes every output row of the *full* plan;
-      // df.count() would let Catalyst prune the projections and bench
-      // expression-heavy queries as near-bare scans.
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // toRdd.count() materializes every output row of the *full* plan;
+        // df.count() would let Catalyst prune the projections and bench
+        // expression-heavy queries as near-bare scans.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

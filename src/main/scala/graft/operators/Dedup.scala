@@ -16,6 +16,18 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** Lineage cut used by the iterative/multi-consumer operators.
+    * Default is `localCheckpoint` (memory-backed — right for local and
+    * test runs). At 100 TB pass `durableCut` (or any custom cut) so
+    * intermediate state survives executor loss: with
+    * `spark.sparkContext.setCheckpointDir` pointing at durable
+    * storage, a lost executor replays from the checkpoint instead of
+    * recomputing the full signature/edge lineage.
+    */
+  type Cut = DataFrame => DataFrame
+  val localCut: Cut = _.localCheckpoint()
+  val durableCut: Cut = _.checkpoint()
+
   /** Normalized-text hash for exact dedup. */
   def normHash(text: Column): Column = md5(lower(trim(text)))
 
@@ -55,18 +67,16 @@ object Dedup {
     */
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
-                      shingleLen: Int = 5): DataFrame = {
+                      shingleLen: Int = 5, cut: Cut = localCut): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     // signatures feed three consumers (band explode + both sides of
     // the score join) — materialize once instead of re-scanning the
-    // text 3×; at cluster scale this would be a checkpoint to durable
-    // storage
+    // text 3×; pass `cut = durableCut` at cluster scale
     graft.functions.TextSignatures.register(df.sparkSession)
-    val sigs = df.select(col(idCol).as("id"),
+    val sigs = cut(df.select(col(idCol).as("id"),
       graft.functions.TextSignatures.minHashSig(col(textCol), k, shingleLen)
-        .as("sig"))
-      .localCheckpoint()
+        .as("sig")))
     val banded = sigs.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64((lit(b) +: (0 until rows).map(r => col(s"sig")(b * rows + r))): _*)): _*))
@@ -106,12 +116,12 @@ object Dedup {
     * (64/(d+1) bits each), so keep maxDist small (≤ 7 ⇒ ≥ 8-bit chunks).
     */
   def simHashNearDups(sigs: DataFrame, idCol: String,
-                      maxDist: Int = 7): DataFrame = {
+                      maxDist: Int = 7, cut: Cut = localCut): DataFrame = {
     require(maxDist >= 0 && maxDist < 32, "maxDist must be in [0, 31]")
     val nChunks = maxDist + 1
     // chunk i covers bits [i*64/nChunks, (i+1)*64/nChunks)
     val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
-    val sh = sigs.localCheckpoint()
+    val sh = cut(sigs)
     val chunked = sh.select(col(idCol).as("id"), col("simhash"),
       posexplode(array((0 until nChunks).map { c =>
         val lo = bounds(c); val width = bounds(c + 1) - lo
@@ -141,39 +151,42 @@ object Dedup {
     * ("which doc to keep per cluster"), not raw pairs: keep-rows are
     * `cluster_id == id`.
     *
-    * Iterative min-label propagation: O(diameter) rounds, each one
-    * shuffle of (node, label) — near-dup components are tiny/star-
-    * shaped, so this converges in 2-3 rounds in practice.
-    * `localCheckpoint` cuts lineage each round so plans don't grow
-    * exponentially; at 100 TB swap for `checkpoint` on durable storage.
+    * Iterative min-label propagation: O(diameter) rounds, ONE
+    * propagation job per round — the changed-flag rides along as a
+    * column of the materialized round result, so convergence detection
+    * is a scan of the just-checkpointed partitions (no extra join, no
+    * re-execution of the propagation shuffle). `cut` cuts lineage each
+    * round so plans don't grow exponentially; pass `durableCut` at
+    * 100 TB so rounds survive executor loss.
     */
   def clusters(pairs: DataFrame, idA: String = "a", idB: String = "b",
-               maxIter: Int = 50): DataFrame = {
+               maxIter: Int = 50, cut: Cut = localCut): DataFrame = {
     // edges are re-joined every iteration — materialize once so the
     // (possibly expensive) pair-generation lineage runs exactly once
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edges = cut(pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+      .distinct())
+    var labels = cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = labels.isEmpty // no edges → nothing to propagate
     var i = 0
     while (!converged && i < maxIter) {
       val prop = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(prop, Seq("id"), "left")
+      // materialize label + changed-flag together: the eager cut runs
+      // the propagation job once, then the convergence aggregate and
+      // the next round's join both read the cached/checkpointed result
+      val next = cut(labels.join(prop, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
-        .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels = next
-      converged = changed == 0L
+            .as("label"),
+          (col("nlabel").isNotNull && col("nlabel") < col("label"))
+            .as("chg")))
+      val changed =
+        next.agg(max(col("chg"))).head().getBoolean(0)
+      labels = next.drop("chg")
+      converged = !changed
       i += 1
     }
     // silent partial convergence would split one component across

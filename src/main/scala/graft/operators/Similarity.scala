@@ -163,6 +163,58 @@ object Similarity {
       .select("a", "b", "cos").distinct()
   }
 
+  /** Deterministic seeded k-means for IVF coarse-quantizer training
+    * (spherical variant: max-cosine assignment, per-dimension mean
+    * update — matches `ivfTopK`'s cosine assignment; cosine is
+    * scale-invariant so the un-normalized mean is a valid centroid).
+    *
+    * Determinism: init picks the k vectors with the smallest
+    * `xxhash64(vec_id)` (a seeded pseudo-random draw, identical on
+    * every run) and runs a FIXED `iters` Lloyd iterations — no
+    * data-dependent stopping, so plans and results are reproducible.
+    *
+    * Scale shape: per iteration the centroids are plan literals
+    * (k·dims doubles), so assignment is MAP-ONLY (argmax over an array
+    * of structs — no crossJoin, no window shuffle); the only shuffle
+    * is the (cid, dim) partial-mean aggregation, k·dims rows to the
+    * driver. The data never moves. At 100 TB train on a small sample
+    * (the quantizer needs the density shape, not every row) and ship
+    * the resulting centroid frame to `ivfTopK`.
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id"), col("embedding")
+      .cast(ArrayType(DoubleType)).as("v")).localCheckpoint()
+    var cents: Seq[Seq[Double]] = vecs
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h", "vec_id").limit(k)
+      .select("v").collect().map(_.getSeq[Double](0)).toSeq
+    require(cents.nonEmpty, "kmeansCentroids: no input vectors")
+    for (_ <- 0 until iters) {
+      val cosArr = array(cents.map(cv =>
+        cosine(col("v"), array(cv.map(lit): _*))): _*)
+      // argmax = 1-based position of the max cosine; ties break to the
+      // lowest cid (first occurrence) — deterministic
+      val cid = (array_position(cosArr, array_max(cosArr)) - 1).cast("int")
+      val means = vecs
+        .select(cid.as("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        means.get(i) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          case None => old // empty cluster keeps its centroid
+        }
+      }
+    }
+    cents.zipWithIndex
+      .map { case (cv, i) => (i.toLong, cv) }
+      .toDF("vec_id", "embedding")
+  }
+
   /** IVF ANN: assign every vector to its nearest of `centroids`
     * (broadcast argmin), probe the `nprobe` nearest lists per query.
     * All assignment/ranking math is double precision — exact-DECIMAL

@@ -76,11 +76,16 @@ object LlmOps extends QueryGroup {
         .orderBy("qid", "rn")
     }),
 
+    // Coarse quantizer trained by deterministic seeded k-means
+    // (Similarity.kmeansCentroids) — recall@k vs brute force is
+    // asserted in SimilaritySpec; nprobe=nlist ≡ brute force remains
+    // the exactness backstop.
     "llm_ann_ivf" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d)
+      val cents = Similarity.kmeansCentroids(emb, k = 16, iters = 5)
       Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
-        centroids = emb.filter(col("vec_id") < 16), nprobe = 4, k = 5,
+        centroids = cents, nprobe = 4, k = 5,
         cosFn = graft.functions.GraftFunctions.vecCosine)
         .select("qid", "cid", "cos", "rn")
         .orderBy("qid", "rn")

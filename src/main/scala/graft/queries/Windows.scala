@@ -111,6 +111,26 @@ object Windows extends QueryGroup {
         ntile(4).over(w).as("bucket"),
         percent_rank().over(w).as("pr"))
         .orderBy("o_orderkey")
+    }),
+
+    // The drop-in GLOBAL-quantile form for 100 TB: bucket boundaries
+    // come from approx_percentile (one pass, mergeable sketch — no
+    // global sort), then bucketing is a map-only broadcast compare.
+    // Unlike exact global ntile (single-task by construction, above),
+    // every stage here is fully parallel. Disagreement with exact
+    // ntile is confined to rows within sketch error of a boundary —
+    // bound asserted in ApproxAndSampleSpec. No oracle (sketch is
+    // engine-specific); rows-only check.
+    "win_ntile_approx" -> ((s, d) => {
+      val bounds = Tables.orders(s, d).agg(expr(
+        "approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)")
+        .as("bs"))
+      Tables.orders(s, d).crossJoin(broadcast(bounds))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (lit(1) + (0 until 3).map(i =>
+            when(col("o_totalprice") > col("bs")(i), 1).otherwise(0))
+            .reduce(_ + _)).as("bucket"))
+        .orderBy("o_orderkey")
     })
   )
 

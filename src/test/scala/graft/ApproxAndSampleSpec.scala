@@ -43,6 +43,24 @@ class ApproxAndSampleSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(a - e) <= 1.0, s"approx=$a exact=$e")
   }
 
+  test("win_ntile_approx agrees with exact global ntile off-boundary") {
+    import org.apache.spark.sql.expressions.Window
+    val approx = queries.Windows.queries("win_ntile_approx")(spark, sf)
+      .select("o_orderkey", "bucket")
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    val exact = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), ntile(4).over(w).as("exact_bucket"))
+    val joined = approx.join(exact, "o_orderkey")
+    val total = joined.count()
+    val agree = joined
+      .filter(col("bucket") === col("exact_bucket")).count()
+    // the sketch at accuracy 10000 misplaces only rows within sketch
+    // error of a quartile boundary (ties at the cut also differ: exact
+    // ntile splits equal values by row position, bucketing cannot)
+    assert(agree.toDouble / total >= 0.95,
+      s"approx ntile agreement ${agree.toDouble / total} < 0.95")
+  }
+
   test("agg_collect raw (unstringified) array output stays covered") {
     import spark.implicits._
     val df = Seq((1L, 3L), (1L, 1L), (2L, 5L)).toDF("k", "v")

@@ -67,6 +67,43 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(ivf == brute)
   }
 
+  test("kmeans centroids are deterministic across runs") {
+    val a = Similarity.kmeansCentroids(emb, k = 4, iters = 3)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    val b = Similarity.kmeansCentroids(emb, k = 4, iters = 3)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    assert(a.length == 4)
+    a.zip(b).foreach { case (x, y) =>
+      x.zip(y).foreach { case (xi, yi) => assert(math.abs(xi - yi) < 1e-9) }
+    }
+  }
+
+  test("ivf with trained centroids: nprobe=nlist ≡ brute force, and " +
+    "partial probing keeps recall") {
+    val queries = emb.filter(col("vec_id") < 3L)
+    val cents = Similarity.kmeansCentroids(emb, k = 8, iters = 5)
+    // full probing touches every list → must equal brute force
+    val full = Similarity.ivfTopK(queries, emb, cents, nprobe = 8, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(full == brute)
+    // partial probing (half the lists): trained centroids must keep
+    // recall@5 ≥ 0.6 on the fixture — untrained/arbitrary centroids
+    // give no such guarantee, which is the point of training
+    val half = Similarity.ivfTopK(queries, emb, cents, nprobe = 4, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.map { case (q, want) =>
+      val got = half.getOrElse(q, Set.empty)
+      got.intersect(want).size.toDouble / want.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.6, s"mean recall@5 = $meanRecall < 0.6")
+  }
+
   test("quantized-exact top-k agrees with the decimal brute force") {
     val queries = emb.filter(col("vec_id") < 3L)
     val a = Similarity.bruteForceTopKExact(queries, emb, k = 5)

@@ -103,10 +103,12 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       val base = sel.stripPrefix("+").stripSuffix("+")
       require(byName.contains(base), s"unknown model: $base")
       val res = mutable.Set(base)
-      if (plusPre) { // ancestors
+      if (plusPre) { // ancestors — deps may also name sources
+        // (SQL-text {{ source(...) }}); only models join the selection
         var grew = true
         while (grew) {
-          val add = res.flatMap(n => byName(n).deps).diff(res)
+          val add = res.flatMap(n =>
+            byName(n).deps.filter(byName.contains)).diff(res)
           grew = add.nonEmpty; res ++= add
         }
       }

@@ -42,6 +42,41 @@ final case class Model(
     materialization: Materialization,
     build: (SparkSession, Map[String, DataFrame]) => DataFrame)
 
+object Model {
+  private val refRe =
+    """\{\{\s*(?:ref|source)\(\s*'([^']+)'\s*\)\s*\}\}""".r
+
+  /** SQL-text model — the reference's ACTUAL model format. dbt models
+    * are Jinja-SQL files whose `{{ ref('m') }}` / `{{ source('s') }}`
+    * calls both declare the DAG edges and are compiled to relation
+    * names before the SQL is submitted to Spark (the reference shells
+    * out to dbt to do exactly this compile+submit,
+    * `dbtoperator.py:342-360`; the dbt-spark pin at `:273-274` fixes
+    * the semantics). Here the refs ARE the dependency declaration
+    * (parsed out of the text), each resolved input is registered under
+    * a model-scoped temp view, and the substituted SQL runs through
+    * `spark.sql` — so a dbt user ports their model file verbatim, not
+    * a Scala lambda. Materializations, incremental strategies,
+    * `--select` and topo order all apply unchanged: this is only an
+    * alternative `build`.
+    */
+  def sql(name: String, sqlText: String,
+          materialization: Materialization): Model = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"model name must be a SQL identifier: $name")
+    val deps = refRe.findAllMatchIn(sqlText).map(_.group(1)).toSeq.distinct
+    deps.foreach(dep => require(dep.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"ref/source name must be a SQL identifier: $dep"))
+    Model(name, deps, materialization, (spark, inputs) => {
+      // model-scoped view names: concurrent models in the same DAG
+      // level (`run --threads N`) can share a dep without colliding
+      def view(dep: String) = s"__graft_ref_${name}_$dep"
+      deps.foreach(dep => inputs(dep).createOrReplaceTempView(view(dep)))
+      spark.sql(refRe.replaceAllIn(sqlText, m => view(m.group(1))))
+    })
+  }
+}
+
 /** Generic data tests (dbt 1.9 built-ins): each compiles to a SELECT
   * returning violating rows; pass = 0 rows (reference intent:
   * `dbtoperator.py:334` runs `dbt test`).

@@ -200,6 +200,44 @@ object PipelineOps extends QueryGroup {
       r.readTable("dag_agg").orderBy("o_custkey")
     }),
 
+    // ---- SQL-text model DAG (the reference's actual model format) ---------
+    // Models are SQL strings with {{ ref }} / {{ source }} — what dbt
+    // compiles and submits (`dbtoperator.py:342-360`). DAG: source
+    // orders → sqlm_base (view) → sqlm_inc (incremental append, two
+    // runs with a widening date cut) → sqlm_agg (table); sqlm_poison
+    // (references a nonexistent table, would throw if built) proves
+    // `--select +sqlm_agg` scoping. Oracle checks the final aggregate
+    // after both incremental runs.
+    "run_select_dag_sql" -> ((s, d) => {
+      val wh = freshWh("run_select_dag_sql")
+      def spec(cut: String) = PipelineSpec(
+        models = Seq(
+          Model.sql("sqlm_base",
+            """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+              |FROM {{ source('orders') }}
+              |WHERE o_orderstatus = 'F'""".stripMargin,
+            Materialization.View),
+          Model.sql("sqlm_inc",
+            s"""SELECT * FROM {{ ref('sqlm_base') }}
+               |WHERE o_orderdate < TIMESTAMP '$cut'""".stripMargin,
+            Materialization.IncrementalAppend("o_orderdate")),
+          Model.sql("sqlm_agg",
+            """SELECT o_custkey, count(*) AS n_f,
+              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+              |    AS sum_f
+              |FROM {{ ref('sqlm_inc') }} GROUP BY o_custkey""".stripMargin,
+            Materialization.Table),
+          Model.sql("sqlm_poison",
+            "SELECT * FROM {{ ref('sqlm_agg') }} JOIN __no_such_table ON 1=1",
+            Materialization.Table)),
+        sources = Map("orders" -> s"$d/orders.parquet"))
+      mustSucceed(new PipelineRunner(s, spec("1997-06-01 00:00:00"), wh)
+        .run(Seq("run --select +sqlm_agg")))
+      val r2 = new PipelineRunner(s, spec("1998-01-01 00:00:00"), wh)
+      mustSucceed(r2.run(Seq("run --select +sqlm_agg")))
+      r2.readTable("sqlm_agg").orderBy("o_custkey")
+    }),
+
     // ---- source freshness (injected "now" → deterministic) ----------------
     "source_freshness" -> ((s, d) =>
       Freshness.check(Tables.events(s, d), "events", "ts",
@@ -279,6 +317,14 @@ object PipelineOps extends QueryGroup {
     "run_select_dag" ->
       """SELECT o_custkey, count(*) AS n_f
         |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "run_select_dag_sql" ->
+      """SELECT o_custkey, count(*) AS n_f,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_f
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "source_freshness" ->

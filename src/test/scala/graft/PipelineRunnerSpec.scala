@@ -217,6 +217,58 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       .toSeq == Seq((1L, "v2")))
   }
 
+  test("SQL-text models: {{ ref }}/{{ source }} resolve through spark.sql") {
+    val w = wh()
+    val srcDir = wh() + "/src_orders"
+    Seq((1L, "F", 10.0), (2L, "O", 20.0), (3L, "F", 30.0))
+      .toDF("id", "status", "amt").write.parquet(srcDir)
+    val spec = PipelineSpec(
+      models = Seq(
+        Model.sql("sb",
+          "SELECT id, amt FROM {{ source('raw') }} WHERE status = 'F'",
+          Materialization.Ephemeral),
+        Model.sql("sv",
+          "SELECT id, amt * 2 AS amt2 FROM {{ ref('sb') }}",
+          Materialization.View),
+        Model.sql("st",
+          "SELECT count(*) AS n, CAST(sum(amt2) AS DOUBLE) AS s FROM {{ ref('sv') }}",
+          Materialization.Table)),
+      sources = Map("raw" -> srcDir))
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.run(Seq("run")).success)
+    val row = r.readTable("st").head()
+    assert(row.getLong(0) == 2L && row.getDouble(1) == 80.0)
+  }
+
+  test("SQL-text models sharing a dep run level-parallel, no view collision") {
+    val w = wh()
+    val spec = PipelineSpec(models = Seq(
+      Model("sql_base", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._; (1L to 10L).toDF("id") }),
+      Model.sql("sql_left",
+        "SELECT count(*) AS n FROM {{ ref('sql_base') }}",
+        Materialization.Table),
+      Model.sql("sql_right",
+        "SELECT sum(id) AS s FROM {{ ref('sql_base') }}",
+        Materialization.Table)))
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.run(Seq("run --threads 2")).success)
+    assert(r.readTable("sql_left").head().getLong(0) == 10L)
+    assert(r.readTable("sql_right").head().getLong(0) == 55L)
+  }
+
+  test("SQL-text model deps are parsed from refs and drive --select") {
+    val spec = PipelineSpec(models = Seq(
+      Model.sql("p_a", "SELECT 1 AS x", Materialization.Ephemeral),
+      Model.sql("p_b", "SELECT x FROM {{ ref('p_a') }}",
+        Materialization.Ephemeral),
+      Model.sql("p_c", "SELECT x FROM {{ ref('p_b') }}",
+        Materialization.Ephemeral)))
+    val r = new PipelineRunner(spark, spec, wh())
+    assert(spec.models(1).deps == Seq("p_a"))
+    assert(r.select(Some("+p_c")) == Set("p_a", "p_b", "p_c"))
+  }
+
   test("debug command checks source resolvability") {
     val ok = new PipelineRunner(spark, PipelineSpec(Nil), wh())
     assert(ok.run(Seq("debug")).success)

@@ -160,8 +160,27 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       else None
     }
 
-  def readTable(name: String): DataFrame =
-    currentManifest(name) match {
+  /** Read a subset of manifest members: one read per batch, basePath =
+    * that batch's root, so partition dirs sit directly beneath their
+    * basePath (a single shared basePath across batches trips Spark's
+    * conflicting-directory-structures check); the stored schema types
+    * the partition columns on every branch, keeping the union aligned.
+    */
+  private def readMembers(name: String, members: Seq[String],
+      schema: Option[StructType]): DataFrame = {
+    val root = tablePath(name)
+    members.groupBy(m => m.split('/').take(2).mkString("/"))
+      .toSeq.sortBy(_._1)
+      .map { case (batch, ms) =>
+        val r0 = spark.read.option("basePath", s"$root/$batch")
+        schema.map(r0.schema).getOrElse(r0)
+          .parquet(ms.map(m => s"$root/$m"): _*)
+      }
+      .reduce(_ unionByName _)
+  }
+
+  def readTable(name: String): DataFrame = {
+    val df0 = currentManifest(name) match {
       case Some(members) if members.isEmpty =>
         // a partitioned write of zero rows commits no members
         currentSchema(name) match {
@@ -170,25 +189,44 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           case None => sys.error(s"table $name is empty with no schema")
         }
       case Some(members) =>
-        // one read per batch, basePath = that batch's root, so
-        // partition dirs sit directly beneath their basePath (a single
-        // shared basePath across batches trips Spark's conflicting-
-        // directory-structures check); the stored schema types the
-        // partition columns on every branch, keeping the union aligned
-        val schema = currentSchema(name)
-        val root = tablePath(name)
-        members.groupBy(m => m.split('/').take(2).mkString("/"))
-          .toSeq.sortBy(_._1)
-          .map { case (batch, ms) =>
-            val r0 = spark.read.option("basePath", s"$root/$batch")
-            schema.map(r0.schema).getOrElse(r0)
-              .parquet(ms.map(m => s"$root/$m"): _*)
-          }
-          .reduce(_ unionByName _)
+        readMembers(name, members, currentSchema(name))
       case None => sys.error(s"table $name does not exist")
     }
+    // `__gbucket` is merge-internal storage layout (key-hash bucket
+    // dirs enabling partition-scoped rewrites), not part of the table
+    if (df0.columns.contains(GBucket)) df0.drop(GBucket) else df0
+  }
 
   def tableExists(name: String): Boolean = currentGenName(name).isDefined
+
+  /** Hidden key-hash bucket partition column for merge storage. */
+  private val GBucket = "__gbucket"
+
+  /** `on_schema_change` semantics for incremental models (dbt
+    * 1.9 config of the same name): columns ADDED by a new batch are
+    * appended to the stored schema (`append_new_columns`) — older
+    * batches surface NULL for them via the stored-schema read path;
+    * a column REMOVED from the new batch fails loudly (`fail`) rather
+    * than silently forking the table's shape; a type change on a
+    * shared column also fails (a scan-time cast surprise otherwise).
+    */
+  private def evolveSchema(name: String, stored: StructType,
+      incoming: StructType): StructType = {
+    val storedByName = stored.fields.map(f => f.name -> f).toMap
+    val removed = storedByName.keySet -- incoming.fieldNames.toSet
+    require(removed.isEmpty,
+      s"on_schema_change on $name: columns removed from incremental " +
+        s"batch: ${removed.mkString(",")} (full-refresh to drop columns)")
+    incoming.fields.foreach { f =>
+      storedByName.get(f.name).foreach { s =>
+        require(s.dataType == f.dataType,
+          s"on_schema_change on $name: column ${f.name} changed type " +
+            s"${s.dataType.sql} -> ${f.dataType.sql}")
+      }
+    }
+    StructType(stored.fields ++
+      incoming.fields.filterNot(f => storedByName.contains(f.name)))
+  }
 
   private val batchCounter = new java.util.concurrent.atomic.AtomicLong()
   private def nextId(): Long =
@@ -368,6 +406,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           publish(name, df.schema,
             p => df.write.mode("overwrite").parquet(p))
         else {
+          val evolved =
+            evolveSchema(name, currentSchema(name).getOrElse(df.schema),
+              df.schema)
           // null high-water mark (empty table / all-null ts) means
           // "nothing loaded yet" → append everything, not nothing
           val hwm = readTable(name).agg(max(col(tsCol))).head().get(0)
@@ -382,7 +423,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             val deltaBatch = writeBatch(name,
               p => delta.write.mode("overwrite").parquet(p))
             publishManifest(name,
-              currentManifest(name).get :+ deltaBatch, df.schema)
+              currentManifest(name).get :+ deltaBatch, evolved)
           }
         }
         readTable(name).count()
@@ -419,22 +460,44 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         readTable(name).count()
 
       // MERGE emulation for vanilla parquet (no Delta/Iceberg in this
-      // stack): anti-join out updated keys, union the batch, publish.
-      // SCALE NOTE: this rewrites the whole table per merge — correct
-      // but O(table). At 100 TB, partition the target on a stable key
-      // range and use insert_overwrite so only touched partitions
-      // rewrite, or adopt a deletion-vector format.
-      case Materialization.IncrementalMerge(keys) =>
+      // stack), partition-scoped: rows live under key-hash bucket dirs
+      // (__gbucket = pmod(xxhash64(uniqueKey), buckets)), so a matched
+      // key is ALWAYS inside a touched bucket. Each merge reads only
+      // the buckets the new batch touches, anti-joins out updated
+      // keys, rewrites those buckets as one new batch, and swaps
+      // exactly their members in the manifest — O(touched buckets)
+      // I/O, never a table rewrite, untouched buckets' files unmoved.
+      case Materialization.IncrementalMerge(keys, buckets) =>
+        val newB = df.withColumn(GBucket,
+          pmod(xxhash64(keys.map(col): _*), lit(buckets)))
+        def writePartitioned(data: DataFrame): Seq[String] = {
+          val batch = writeBatch(name, p => data.write.mode("overwrite")
+            .partitionBy(GBucket).parquet(p))
+          partitionMembers(name, batch, 1)
+        }
         if (!tableExists(name))
-          publish(name, df.schema,
-            p => df.write.mode("overwrite").parquet(p))
+          publishManifest(name, writePartitioned(newB), newB.schema)
         else {
-          val existing = readTable(name)
-          val merged = existing
-            .join(df.select(keys.map(col): _*), keys, "left_anti")
-            .unionByName(df)
-          publish(name, merged.schema,
-            p => merged.write.mode("overwrite").parquet(p))
+          val stored = currentSchema(name).getOrElse(newB.schema)
+          val evolved = evolveSchema(name, stored, newB.schema)
+          val cur = currentManifest(name).get
+          val nonPart = cur.filter(m => m.split('/').length != 3)
+          require(nonPart.isEmpty,
+            s"merge on $name: existing members are not bucket-scoped " +
+              s"(e.g. ${nonPart.headOption.getOrElse("")}); full-refresh " +
+              "before switching materialization")
+          // ≤ `buckets` tiny values — a driver-side set, not data
+          val touched = newB.select(GBucket).distinct().collect()
+            .map(r => s"$GBucket=${r.get(0)}").toSet
+          def partKey(m: String) = m.split('/').drop(2).mkString("/")
+          val (touchedM, untouchedM) = cur.partition(m => touched(partKey(m)))
+          val merged =
+            if (touchedM.isEmpty) newB
+            else readMembers(name, touchedM, Some(stored))
+              .join(newB.select(keys.map(col): _*), keys, "left_anti")
+              .unionByName(newB, allowMissingColumns = true)
+          publishManifest(name, untouchedM ++ writePartitioned(merged),
+            evolved)
         }
         readTable(name).count()
     }

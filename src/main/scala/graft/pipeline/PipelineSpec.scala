@@ -26,11 +26,16 @@ object Materialization {
   final case class IncrementalInsertOverwrite(partitionCols: Seq[String])
     extends Materialization
   /** dbt-spark incremental, strategy `merge` on `uniqueKey` — emulated
-    * for vanilla parquet (no Delta/Iceberg in this image) as
-    * anti-join + union + atomic publish.
+    * for vanilla parquet (no Delta/Iceberg in this image), scoped to
+    * key-hash bucket partitions: the table is stored under
+    * `__gbucket = pmod(xxhash64(uniqueKey), buckets)` directories, so
+    * a matched key is ALWAYS in a touched bucket (key→bucket is
+    * deterministic) and each merge rewrites O(touched buckets), never
+    * the whole table. Size `buckets` so table_size/buckets fits a
+    * comfortable rewrite unit (at 100 TB: thousands of buckets).
     */
-  final case class IncrementalMerge(uniqueKey: Seq[String])
-    extends Materialization
+  final case class IncrementalMerge(uniqueKey: Seq[String],
+      buckets: Int = 16) extends Materialization
 }
 
 /** One model: a named SELECT over sources and upstream models

@@ -123,6 +123,105 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(state == Seq((2L, "02"), (9L, "01")))
   }
 
+  private def manifestMembers(r: PipelineRunner, t: String): Set[String] = {
+    val root = java.nio.file.Paths.get(r.tablePath(t))
+    val gen = java.nio.file.Files.readString(root.resolve("_CURRENT")).trim
+    java.nio.file.Files.readString(root.resolve(gen))
+      .linesIterator.filter(_.nonEmpty).toSet
+  }
+
+  test("merge is partition-scoped: untouched buckets are not rewritten") {
+    val w = wh()
+    def spec(rows: Seq[(Long, String)]) = PipelineSpec(Seq(Model("pm", Nil,
+      Materialization.IncrementalMerge(Seq("id"), buckets = 8),
+      (sp, _) => { import sp.implicits._; rows.toDF("id", "v") })))
+    val r1 = new PipelineRunner(spark,
+      spec((1L to 50L).map(i => (i, "v1"))), w)
+    assert(r1.run(Seq("run")).success)
+    val m1 = manifestMembers(r1, "pm")
+    // second run: upsert a single key → exactly one bucket touched
+    val r2 = new PipelineRunner(spark, spec(Seq((1L, "v2"))), w)
+    assert(r2.run(Seq("run")).success)
+    val m2 = manifestMembers(r2, "pm")
+    val dropped = m1 -- m2
+    assert(dropped.size == 1,
+      s"exactly one bucket member should be replaced, dropped=$dropped")
+    assert((m1 & m2).size == m1.size - 1,
+      "all other bucket members must keep their exact file paths")
+    // merge semantics intact: id=1 updated, everything else kept
+    val state = r2.readTable("pm").orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(state.size == 50 && state.head == ((1L, "v2")))
+    assert(state.tail.forall(_._2 == "v1"))
+    // the hidden bucket column never leaks into the table surface
+    assert(!r2.readTable("pm").columns.contains("__gbucket"))
+  }
+
+  test("merge upserts a key even when its row moves between batches") {
+    val w = wh()
+    def spec(rows: Seq[(Long, String)]) = PipelineSpec(Seq(Model("pm2", Nil,
+      Materialization.IncrementalMerge(Seq("id"), buckets = 4),
+      (sp, _) => { import sp.implicits._; rows.toDF("id", "v") })))
+    assert(new PipelineRunner(spark,
+      spec(Seq((1L, "a"), (2L, "a"))), w).run(Seq("run")).success)
+    assert(new PipelineRunner(spark,
+      spec(Seq((2L, "b"), (3L, "b"))), w).run(Seq("run")).success)
+    val r3 = new PipelineRunner(spark, spec(Seq((2L, "c"))), w)
+    assert(r3.run(Seq("run")).success)
+    val state = r3.readTable("pm2").orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(state == Seq((1L, "a"), (2L, "c"), (3L, "b")))
+  }
+
+  test("on_schema_change: added column appends, old rows read NULL") {
+    val w = wh()
+    val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val spec1 = PipelineSpec(Seq(Model("ev", Nil,
+      Materialization.IncrementalAppend("ts"),
+      (sp, _) => { import sp.implicits._
+        Seq((1L, t(1))).toDF("id", "ts") })))
+    assert(new PipelineRunner(spark, spec1, w).run(Seq("run")).success)
+    val spec2 = PipelineSpec(Seq(Model("ev", Nil,
+      Materialization.IncrementalAppend("ts"),
+      (sp, _) => { import sp.implicits._
+        Seq((2L, t(2), "fresh")).toDF("id", "ts", "note") })))
+    val r2 = new PipelineRunner(spark, spec2, w)
+    assert(r2.run(Seq("run")).success)
+    val rows = r2.readTable("ev").orderBy("id")
+      .select("id", "note").as[(Long, Option[String])].collect().toSeq
+    assert(rows == Seq((1L, None), (2L, Some("fresh"))))
+  }
+
+  test("on_schema_change: removed column fails loudly (append and merge)") {
+    val w = wh()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+    val app1 = PipelineSpec(Seq(Model("evr", Nil,
+      Materialization.IncrementalAppend("ts"),
+      (sp, _) => { import sp.implicits._
+        Seq((1L, t0, "x")).toDF("id", "ts", "note") })))
+    assert(new PipelineRunner(spark, app1, w).run(Seq("run")).success)
+    val app2 = PipelineSpec(Seq(Model("evr", Nil,
+      Materialization.IncrementalAppend("ts"),
+      (sp, _) => { import sp.implicits._
+        Seq((2L, t0)).toDF("id", "ts") })))
+    val res = new PipelineRunner(spark, app2, w).run(Seq("run"))
+    assert(!res.success)
+    assert(res.results.head.error.exists(_.contains("on_schema_change")))
+
+    val mg1 = PipelineSpec(Seq(Model("mgr", Nil,
+      Materialization.IncrementalMerge(Seq("id")),
+      (sp, _) => { import sp.implicits._
+        Seq((1L, "a", "x")).toDF("id", "v", "note") })))
+    assert(new PipelineRunner(spark, mg1, w).run(Seq("run")).success)
+    val mg2 = PipelineSpec(Seq(Model("mgr", Nil,
+      Materialization.IncrementalMerge(Seq("id")),
+      (sp, _) => { import sp.implicits._
+        Seq((1L, "b")).toDF("id", "v") })))
+    val res2 = new PipelineRunner(spark, mg2, w).run(Seq("run"))
+    assert(!res2.success)
+    assert(res2.results.head.error.exists(_.contains("on_schema_change")))
+  }
+
   test("--select resolves ancestors, descendants, and exact") {
     val mk = (n: String, deps: Seq[String]) =>
       Model(n, deps, Materialization.Ephemeral, (sp, _) =>

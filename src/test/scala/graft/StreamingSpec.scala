@@ -121,6 +121,73 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       s"restart reprocessed or lost rows: $rows")
   }
 
+  // ---- batch ≡ stream parity (VERDICT r2 task 8): the SAME window
+  // logic, fed the real events fixture as a closed MemoryStream in
+  // complete mode, must reproduce the batch (oracle-checked) key.
+  // n is exact; sv tolerates the batch key's per-row DECIMAL(12,2)
+  // rounding (≤ 0.005·n) vs the stream's raw double sum.
+
+  private def eventRows: Seq[EventRow] =
+    graft.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .as[EventRow].collect().toSeq
+
+  test("batch ≡ stream parity: tumbling windows on a closed feed") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = StreamingOps.tumblingAgg(in.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("p_tumbling")
+      .outputMode("complete").start()
+    withQuery(q) {
+      in.addData(eventRows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("p_tumbling").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getString(2)) ->
+          (r.getLong(3), r.getDouble(4))).toMap
+      val batch = queries.EventWindows.queries("stream_tumbling")(spark, sf)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getString(2)) ->
+          (r.getLong(3), r.getDouble(4))).toMap
+      assert(stream.keySet == batch.keySet,
+        s"window/key sets differ: only-stream=${stream.keySet -- batch.keySet} " +
+          s"only-batch=${batch.keySet -- stream.keySet}")
+      batch.foreach { case (k, (n, sv)) =>
+        val (ns, ss) = stream(k)
+        assert(ns == n, s"count mismatch at $k: stream=$ns batch=$n")
+        assert(math.abs(ss - sv) <= 0.005 * n + 1e-6,
+          s"sum mismatch at $k: stream=$ss batch=$sv")
+      }
+    }
+  }
+
+  test("batch ≡ stream parity: session windows on a closed feed") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = StreamingOps.sessionAgg(in.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("p_session")
+      .outputMode("complete").start()
+    withQuery(q) {
+      in.addData(eventRows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("p_session").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)) ->
+          (r.getLong(3), r.getDouble(4))).toMap
+      val batch = queries.EventWindows.queries("stream_session")(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)) ->
+          (r.getLong(3), r.getDouble(4))).toMap
+      assert(stream.keySet == batch.keySet,
+        s"session sets differ: only-stream=${(stream.keySet -- batch.keySet).take(3)} " +
+          s"only-batch=${(batch.keySet -- stream.keySet).take(3)}")
+      batch.foreach { case (k, (n, sv)) =>
+        val (ns, ss) = stream(k)
+        assert(ns == n, s"count mismatch at $k: stream=$ns batch=$n")
+        assert(math.abs(ss - sv) <= 0.005 * n + 1e-6,
+          s"sum mismatch at $k: stream=$ss batch=$sv")
+      }
+    }
+  }
+
   test("session windows close after the gap under a watermark") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[EventRow]

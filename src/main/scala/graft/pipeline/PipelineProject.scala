@@ -1,0 +1,168 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.types.StructType
+
+/** Load a packaged pipeline project from a directory or zip — the
+  * engine-native analogue of the reference's S3-zip dbt project
+  * (`dbtoperator.py:286-312` downloads, unzips, and locates the
+  * project; `Makefile:11-18` packs it). Layout:
+  *
+  * {{{
+  * project/
+  *   sources.conf          # one `name=path` per line (# comments)
+  *   models/<name>.sql     # SQL-text model (Model.sql semantics);
+  *                         # may open with a {{ config(...) }} header
+  *   seeds/<name>.csv      # header row + data rows
+  *   seeds/<name>.ddl      # declared schema ("id INT, name STRING")
+  * }}}
+  *
+  * Model config grammar — dbt's `config()` call, the subset dbt-spark
+  * materializations use (semantics pinned by `dbtoperator.py:273-274`):
+  * {{{
+  *   {{ config(materialized='view'|'table'|'ephemeral') }}
+  *   {{ config(materialized='incremental', strategy='append', ts_col='c') }}
+  *   {{ config(materialized='incremental', strategy='insert_overwrite',
+  *             partition_by='c1,c2') }}
+  *   {{ config(materialized='incremental', strategy='merge',
+  *             unique_key='c1,c2'[, buckets='32']) }}
+  * }}}
+  * No header → `view` (dbt's default materialization).
+  */
+object PipelineProject {
+
+  private val configRe = """\{\{\s*config\(([^)]*)\)\s*\}\}""".r
+  private val kvRe = """(\w+)\s*=\s*'([^']*)'""".r
+
+  private def listFiles(p: Path): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  private def parseMat(header: Option[String], name: String): Materialization =
+    header match {
+      case None => Materialization.View
+      case Some(args) =>
+        val kv = kvRe.findAllMatchIn(args)
+          .map(m => m.group(1) -> m.group(2)).toMap
+        def need(k: String): String = kv.getOrElse(k,
+          sys.error(s"model $name: config is missing '$k'"))
+        kv.getOrElse("materialized", "view") match {
+          case "view"      => Materialization.View
+          case "table"     => Materialization.Table
+          case "ephemeral" => Materialization.Ephemeral
+          case "incremental" => kv.getOrElse("strategy", "append") match {
+            case "append" => Materialization.IncrementalAppend(need("ts_col"))
+            case "insert_overwrite" => Materialization.IncrementalInsertOverwrite(
+              need("partition_by").split(',').map(_.trim).toSeq)
+            case "merge" => Materialization.IncrementalMerge(
+              need("unique_key").split(',').map(_.trim).toSeq,
+              kv.get("buckets").map(_.toInt).getOrElse(16))
+            case other => sys.error(s"model $name: unknown strategy '$other'")
+          }
+          case other =>
+            sys.error(s"model $name: unknown materialization '$other'")
+        }
+    }
+
+  /** Load a project directory into a PipelineSpec. */
+  def load(dir: String): PipelineSpec = {
+    val root = Paths.get(dir)
+    require(Files.isDirectory(root), s"not a project directory: $dir")
+
+    val sourcesFile = root.resolve("sources.conf")
+    val sources: Map[String, String] =
+      if (!Files.exists(sourcesFile)) Map.empty
+      else Files.readString(sourcesFile).linesIterator
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          val Array(k, v) = l.split("=", 2)
+          k.trim -> v.trim
+        }.toMap
+
+    val modelsDir = root.resolve("models")
+    val models: Seq[Model] =
+      if (!Files.isDirectory(modelsDir)) Nil
+      else listFiles(modelsDir)
+        .filter(_.getFileName.toString.endsWith(".sql"))
+        .sortBy(_.getFileName.toString)
+        .map { p =>
+          val name = p.getFileName.toString.stripSuffix(".sql")
+          val text = Files.readString(p)
+          val header = configRe.findFirstMatchIn(text).map(_.group(1))
+          val body = configRe.replaceAllIn(text, "").trim
+          Model.sql(name, body, parseMat(header, name))
+        }
+
+    val seedsDir = root.resolve("seeds")
+    val seeds: Seq[Seed] =
+      if (!Files.isDirectory(seedsDir)) Nil
+      else listFiles(seedsDir)
+        .filter(_.getFileName.toString.endsWith(".csv"))
+        .sortBy(_.getFileName.toString)
+        .map { p =>
+          val name = p.getFileName.toString.stripSuffix(".csv")
+          val ddl = seedsDir.resolve(s"$name.ddl")
+          require(Files.exists(ddl),
+            s"seed $name: missing declared schema file $name.ddl")
+          Seed(name,
+            Files.readString(p).linesIterator.filter(_.nonEmpty).toSeq,
+            StructType.fromDDL(Files.readString(ddl).trim))
+        }
+
+    PipelineSpec(models = models, sources = sources, seeds = seeds)
+  }
+
+  /** Unzip (rejecting path-traversal entries) into `scratchDir`, locate
+    * the project root (the dir holding `models/` — the reference walks
+    * the extracted tree the same way to find `profiles/`,
+    * `dbtoperator.py:300-312`), and load it.
+    */
+  def loadZip(zipPath: String, scratchDir: String): PipelineSpec = {
+    val target = Paths.get(scratchDir)
+    Files.createDirectories(target)
+    val zis = new java.util.zip.ZipInputStream(
+      Files.newInputStream(Paths.get(zipPath)))
+    try {
+      var e = zis.getNextEntry
+      while (e != null) {
+        val out = target.resolve(e.getName).normalize()
+        require(out.startsWith(target),
+          s"zip entry escapes extraction dir: ${e.getName}")
+        if (e.isDirectory) Files.createDirectories(out)
+        else {
+          Files.createDirectories(out.getParent)
+          Files.copy(zis, out, StandardCopyOption.REPLACE_EXISTING)
+        }
+        e = zis.getNextEntry
+      }
+    } finally zis.close()
+    val root =
+      if (Files.isDirectory(target.resolve("models"))) target
+      else listFiles(target).filter(Files.isDirectory(_))
+        .find(p => Files.isDirectory(p.resolve("models")))
+        .getOrElse(target)
+    load(root.toString)
+  }
+
+  /** Pack a project directory into a zip — the `Makefile:11-18` deploy
+    * step, provided so round-trips are testable end-to-end.
+    */
+  def pack(dir: String, zipPath: String): Unit = {
+    val root = Paths.get(dir)
+    val zos = new java.util.zip.ZipOutputStream(
+      Files.newOutputStream(Paths.get(zipPath)))
+    try {
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(root)
+      val all = try s.iterator().asScala.toSeq finally s.close()
+      all.filter(Files.isRegularFile(_)).sortBy(_.toString).foreach { f =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(
+          root.relativize(f).toString.replace('\\', '/')))
+        zos.write(Files.readAllBytes(f))
+        zos.closeEntry()
+      }
+    } finally zos.close()
+  }
+}

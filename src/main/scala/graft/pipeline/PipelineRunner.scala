@@ -370,7 +370,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   }
 
   /** Resolve a model's inputs: sources (temp views already registered)
-    * + upstream models (ephemeral inlined, others read back).
+    * + upstream models (ephemeral inlined, others read back) + seed /
+    * snapshot tables (dbt's ref() also targets those).
     */
   private def inputs(m: Model): Map[String, DataFrame] =
     m.deps.map { dep =>
@@ -380,7 +381,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         case Some(d) if d.materialization == Materialization.View =>
           dep -> spark.table(dep)
         case Some(_) => dep -> readTable(dep)
-        case None    => dep -> spark.table(dep) // source view
+        case None if tableExists(dep) =>
+          dep -> readTable(dep) // seed or snapshot table
+        case None => dep -> spark.table(dep) // source view
       }
     }.toMap
 

@@ -238,6 +238,47 @@ object PipelineOps extends QueryGroup {
       r2.readTable("sqlm_agg").orderBy("o_custkey")
     }),
 
+    // ---- project-from-artifact (the reference's zip deploy path) ----------
+    // A full project (sources.conf + SQL-text models with config
+    // headers + a CSV seed with declared schema) is written, packed
+    // into a zip (`Makefile:11-18`), extracted + located + loaded
+    // (`dbtoperator.py:286-312`), then seeded and run; the oracle
+    // checks the final aggregate, which joins a seed to a model.
+    "run_project_artifact" -> ((s, d) => {
+      val wh = freshWh("run_project_artifact")
+      val proj = java.nio.file.Paths.get(freshWh("rpa_project"))
+      java.nio.file.Files.createDirectories(proj.resolve("models"))
+      java.nio.file.Files.createDirectories(proj.resolve("seeds"))
+      java.nio.file.Files.writeString(proj.resolve("sources.conf"),
+        s"raw_orders=$d/orders.parquet\n")
+      java.nio.file.Files.writeString(
+        proj.resolve("models/po_base.sql"),
+        """{{ config(materialized='view') }}
+          |SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM {{ source('raw_orders') }}""".stripMargin)
+      java.nio.file.Files.writeString(
+        proj.resolve("models/po_agg.sql"),
+        """{{ config(materialized='table') }}
+          |SELECT sn.status_name, count(*) AS n,
+          |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+          |    AS total
+          |FROM {{ ref('po_base') }} o
+          |JOIN {{ ref('status_names') }} sn ON o.o_orderstatus = sn.code
+          |GROUP BY sn.status_name""".stripMargin)
+      java.nio.file.Files.writeString(
+        proj.resolve("seeds/status_names.csv"),
+        "code,status_name\nO,open\nF,filled\nP,pending\n")
+      java.nio.file.Files.writeString(
+        proj.resolve("seeds/status_names.ddl"),
+        "code STRING, status_name STRING")
+      val zip = s"${freshWh("rpa_zip")}/project.zip"
+      PipelineProject.pack(proj.toString, zip)
+      val spec = PipelineProject.loadZip(zip, freshWh("rpa_extract"))
+      val r = new PipelineRunner(s, spec, wh)
+      mustSucceed(r.run(Seq("seed", "run")))
+      r.readTable("po_agg").orderBy("status_name")
+    }),
+
     // ---- source freshness (injected "now" → deterministic) ----------------
     "source_freshness" -> ((s, d) =>
       Freshness.check(Tables.events(s, d), "events", "ts",
@@ -318,6 +359,13 @@ object PipelineOps extends QueryGroup {
       """SELECT o_custkey, count(*) AS n_f
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "run_project_artifact" ->
+      """SELECT CASE o_orderstatus WHEN 'O' THEN 'open'
+        |       WHEN 'F' THEN 'filled' ELSE 'pending' END AS status_name,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY status_name""".stripMargin,
 
     "run_select_dag_sql" ->
       """SELECT o_custkey, count(*) AS n_f,

@@ -368,6 +368,68 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(r.select(Some("+p_c")) == Set("p_a", "p_b", "p_c"))
   }
 
+  test("project artifact round-trip: pack → zip → load → run") {
+    val proj = java.nio.file.Paths.get(wh())
+    java.nio.file.Files.createDirectories(proj.resolve("models"))
+    java.nio.file.Files.createDirectories(proj.resolve("seeds"))
+    java.nio.file.Files.writeString(proj.resolve("seeds/codes.csv"),
+      "code,label\n1,one\n2,two\n")
+    java.nio.file.Files.writeString(proj.resolve("seeds/codes.ddl"),
+      "code INT, label STRING")
+    java.nio.file.Files.writeString(proj.resolve("models/lbl.sql"),
+      """{{ config(materialized='table') }}
+        |SELECT label FROM {{ ref('codes') }} WHERE code = 2""".stripMargin)
+    val zip = s"${wh()}/p.zip"
+    PipelineProject.pack(proj.toString, zip)
+    val spec = PipelineProject.loadZip(zip, wh())
+    assert(spec.models.map(_.name) == Seq("lbl"))
+    assert(spec.models.head.deps == Seq("codes"))
+    assert(spec.seeds.map(_.name) == Seq("codes"))
+    val r = new PipelineRunner(spark, spec, wh())
+    assert(r.run(Seq("seed", "run")).success)
+    assert(r.readTable("lbl").as[String].collect().toSeq == Seq("two"))
+  }
+
+  test("project config headers map to every materialization") {
+    val proj = java.nio.file.Paths.get(wh())
+    java.nio.file.Files.createDirectories(proj.resolve("models"))
+    def m(name: String, cfg: String): Unit =
+      java.nio.file.Files.writeString(proj.resolve(s"models/$name.sql"),
+        s"{{ config($cfg) }}\nSELECT 1 AS x")
+    m("m_v", "materialized='view'")
+    m("m_t", "materialized='table'")
+    m("m_e", "materialized='ephemeral'")
+    m("m_a", "materialized='incremental', strategy='append', ts_col='ts'")
+    m("m_o", "materialized='incremental', strategy='insert_overwrite', " +
+      "partition_by='p1,p2'")
+    m("m_m", "materialized='incremental', strategy='merge', " +
+      "unique_key='k1,k2', buckets='32'")
+    java.nio.file.Files.writeString(proj.resolve("models/m_d.sql"),
+      "SELECT 1 AS x") // no header → dbt default (view)
+    val spec = PipelineProject.load(proj.toString)
+    val mats = spec.models.map(mo => mo.name -> mo.materialization).toMap
+    assert(mats("m_v") == Materialization.View)
+    assert(mats("m_t") == Materialization.Table)
+    assert(mats("m_e") == Materialization.Ephemeral)
+    assert(mats("m_a") == Materialization.IncrementalAppend("ts"))
+    assert(mats("m_o") ==
+      Materialization.IncrementalInsertOverwrite(Seq("p1", "p2")))
+    assert(mats("m_m") ==
+      Materialization.IncrementalMerge(Seq("k1", "k2"), 32))
+    assert(mats("m_d") == Materialization.View)
+  }
+
+  test("zip entries escaping the extraction dir are rejected") {
+    val zip = s"${wh()}/evil.zip"
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(zip)))
+    zos.putNextEntry(new java.util.zip.ZipEntry("../escape.sql"))
+    zos.write("SELECT 1".getBytes)
+    zos.closeEntry(); zos.close()
+    assertThrows[IllegalArgumentException](
+      PipelineProject.loadZip(zip, wh()))
+  }
+
   test("debug command checks source resolvability") {
     val ok = new PipelineRunner(spark, PipelineSpec(Nil), wh())
     assert(ok.run(Seq("debug")).success)

@@ -160,6 +160,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("batch ≡ stream parity: sliding windows on a closed feed") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(org.apache.spark.sql.functions
+        .window($"ts", "1 hour", "15 minutes").as("w"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"value").as("sv"))
+      .select($"w.start".as("ws"), $"w.end".as("we"), $"n", $"sv")
+      .writeStream.format("memory").queryName("p_sliding")
+      .outputMode("complete").start()
+    withQuery(q) {
+      in.addData(eventRows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("p_sliding").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      val batch = queries.EventWindows.queries("stream_sliding")(spark, sf)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      assert(stream.keySet == batch.keySet)
+      batch.foreach { case (k, (n, sv)) =>
+        val (ns, ss) = stream(k)
+        assert(ns == n, s"count mismatch at $k: stream=$ns batch=$n")
+        assert(math.abs(ss - sv) <= 0.005 * n + 1e-6,
+          s"sum mismatch at $k: stream=$ss batch=$sv")
+      }
+    }
+  }
+
   test("batch ≡ stream parity: session windows on a closed feed") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[EventRow]

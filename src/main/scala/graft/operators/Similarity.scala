@@ -184,16 +184,27 @@ object Similarity {
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 5): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // precompute the per-row norm ONCE (shared by all k comparisons)
+    // and keep dots on the native codegen'd VecDot — the higher-order
+    // aggregate(zip_with(...)) form dispatches a lambda per element
+    // and made training ~50× slower at sf0.1
     val vecs = emb.select(col("vec_id"), col("embedding")
-      .cast(ArrayType(DoubleType)).as("v")).localCheckpoint()
+      .cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("vn",
+        sqrt(graft.functions.GraftFunctions.vecDot(col("v"), col("v"))))
+      .localCheckpoint()
     var cents: Seq[Seq[Double]] = vecs
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h", "vec_id").limit(k)
       .select("v").collect().map(_.getSeq[Double](0)).toSeq
     require(cents.nonEmpty, "kmeansCentroids: no input vectors")
     for (_ <- 0 until iters) {
-      val cosArr = array(cents.map(cv =>
-        cosine(col("v"), array(cv.map(lit): _*))): _*)
+      val cosArr = array(cents.map { cv =>
+        val cn = math.sqrt(cv.map(x => x * x).sum)
+        graft.functions.GraftFunctions.vecDot(col("v"),
+          array(cv.map(lit): _*)) / (col("vn") * lit(cn))
+      }: _*)
       // argmax = 1-based position of the max cosine; ties break to the
       // lowest cid (first occurrence) — deterministic
       val cid = (array_position(cosArr, array_max(cosArr)) - 1).cast("int")
@@ -215,32 +226,48 @@ object Similarity {
       .toDF("vec_id", "embedding")
   }
 
-  /** IVF ANN: assign every vector to its nearest of `centroids`
-    * (broadcast argmin), probe the `nprobe` nearest lists per query.
-    * All assignment/ranking math is double precision — exact-DECIMAL
-    * cosine is reserved for oracle-checked outputs (`bruteForceTopK`);
-    * using it here cost ~7× for a step that needs no cross-engine
-    * exactness.
+  /** IVF ANN: assign every vector to its nearest of `centroids`, probe
+    * the `nprobe` nearest lists per query. A coarse quantizer is small
+    * by definition (nlist ≪ N), so the centroids are collected once
+    * and baked into the plan as literals: candidate assignment is then
+    * MAP-ONLY (argmax over a scored array — no crossJoin, no
+    * 1-row-per-centroid window shuffle of the full candidate set,
+    * which at 100 TB would be the dominant cost). Queries are a small
+    * batch; their top-nprobe lists use a posexplode + window over
+    * |Q|·nlist rows. Both sides join on the centroid INDEX (1-based,
+    * centroids ordered by id, ties to the lowest id). All math is
+    * double precision — exact-DECIMAL cosine is reserved for
+    * oracle-checked outputs (`bruteForceTopK`).
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
               centroids: DataFrame, nprobe: Int, k: Int,
               cosFn: (Column, Column) => Column = cosine): DataFrame = {
-    val cent = centroids.select(col("vec_id").as("centroid_id"),
-      col("embedding").as("centv"))
-    def assign(df: DataFrame, idc: String, vc: String, keep: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(cent))
-        .select(col(idc), col(vc), col("centroid_id"),
-          cosFn(col(vc), col("centv")).as("ccos"))
-      val w = Window.partitionBy(idc).orderBy(col("ccos").desc, col("centroid_id"))
-      scored.withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= keep)
-        .drop("ccos", "crn")
-    }
-    val c = assign(candidates.select(col("vec_id").as("cid"),
-      col("embedding").as("cv")), "cid", "cv", 1)
-    val q = assign(queries.select(col("vec_id").as("qid"),
-      col("embedding").as("qv")), "qid", "qv", nprobe)
-    val scored = c.join(q, Seq("centroid_id"))
+    val centRows: Seq[(Long, Seq[Double])] = centroids
+      .select(col("vec_id").cast(LongType),
+        col("embedding").cast(ArrayType(DoubleType)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      .sortBy(_._1)
+    require(centRows.nonEmpty, "ivfTopK: no centroids")
+    def scoreArr(vc: Column) = array(centRows.map { case (_, cv) =>
+      cosFn(vc, array(cv.map(lit): _*))
+    }: _*)
+    val c = candidates
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .withColumn("sc", scoreArr(col("cv")))
+      // first occurrence of the max = lowest centroid id (sorted above)
+      .withColumn("cidx",
+        array_position(col("sc"), array_max(col("sc"))).cast("int"))
+      .drop("sc")
+    val wq = Window.partitionBy("qid").orderBy(col("ccos").desc, col("ci"))
+    val q = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .select(col("qid"), col("qv"),
+        posexplode(scoreArr(col("qv"))).as(Seq("ci0", "ccos")))
+      .select(col("qid"), col("qv"), (col("ci0") + 1).as("ci"), col("ccos"))
+      .withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= nprobe)
+      .select(col("qid"), col("qv"), col("ci").as("cidx"))
+    val scored = c.join(broadcast(q), Seq("cidx"))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"), cosFn(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))

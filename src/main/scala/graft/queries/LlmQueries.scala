@@ -83,7 +83,13 @@ object LlmOps extends QueryGroup {
     "llm_ann_ivf" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d)
-      val cents = Similarity.kmeansCentroids(emb, k = 16, iters = 5)
+      // the quantizer needs the density shape, not every row: train on
+      // a deterministic ~10% hash-sample (the 100 TB practice; at
+      // sf0.001 the table is small enough that the sample is it)
+      val trainSet = emb.filter(
+        pmod(xxhash64(col("vec_id")), lit(10)) === 0)
+      val cents = Similarity.kmeansCentroids(
+        if (trainSet.isEmpty) emb else trainSet, k = 16, iters = 5)
       Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
         centroids = cents, nprobe = 4, k = 5,
         cosFn = graft.functions.GraftFunctions.vecCosine)

@@ -87,6 +87,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(pf.contains("event_type"), s"no partition pruning: $pf")
   }
 
+  test("win_ntile_approx plans no window operator (no global sort-by-value)") {
+    // the whole point of the approx form: bucketing is a broadcast
+    // compare, not a single-task WindowExec over a global ORDER BY
+    // (the trailing output orderBy on the unique key is verify-protocol
+    // determinism, not part of the bucketing)
+    val df = SparkEntry.queries("win_ntile_approx")(spark, sf)
+    val win = df.queryExecution.executedPlan.collectFirst {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(win.isEmpty, "approx ntile must not plan a WindowExec")
+  }
+
   test("llm_exact_dedup aggregates with a map-side partial") {
     val p = plan("llm_exact_dedup")
     // partial + final HashAggregate = two occurrences

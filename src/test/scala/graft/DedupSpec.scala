@@ -119,6 +119,17 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert((10L to 14L).forall(out(_) == 10L))
   }
 
+  test("clusters: a custom lineage cut produces identical components") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("a", "b")
+    val default = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    // a cache-based cut (what a caller might pass when neither local
+    // nor durable checkpoint fits) must not change results
+    val cached = Dedup.clusters(pairs, cut = df => df.cache())
+      .as[(Long, Long)].collect().toMap
+    assert(cached == default)
+  }
+
   test("jaccardForPairs computes exact token-set jaccard") {
     val df = Seq((1L, "a b c d"), (2L, "c d e f")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")

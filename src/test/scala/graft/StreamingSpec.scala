@@ -221,6 +221,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("batch ≡ stream parity: per-user state on a closed feed") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = StreamingOps.statefulUserAgg(in.toDS())
+      .writeStream.format("memory").queryName("p_state")
+      .outputMode("update").start()
+    withQuery(q) {
+      in.addData(eventRows: _*)
+      q.processAllAvailable()
+      // update mode emits one row per touched user per batch; a single
+      // closed batch → exactly the final state per user
+      val stream = spark.table("p_state").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+      val batch = queries.EventWindows.queries("stream_stateful")(spark, sf)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3))).toMap
+      assert(stream.keySet == batch.keySet)
+      batch.foreach { case (u, (lastMs, n, tot)) =>
+        val (sMs, sN, sTot) = stream(u)
+        assert(sMs == lastMs, s"last_seen mismatch for user $u")
+        assert(sN == n, s"count mismatch for user $u")
+        assert(math.abs(sTot - tot) <= 0.005 * n + 1e-6,
+          s"total mismatch for user $u: stream=$sTot batch=$tot")
+      }
+    }
+  }
+
   test("session windows close after the gap under a watermark") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[EventRow]

@@ -474,7 +474,13 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         val newB = df.withColumn(GBucket,
           pmod(xxhash64(keys.map(col): _*), lit(buckets)))
         def writePartitioned(data: DataFrame): Seq[String] = {
-          val batch = writeBatch(name, p => data.write.mode("overwrite")
+          // cluster rows by bucket before the partitioned write:
+          // without it every write task emits a file into every bucket
+          // dir (tasks × buckets small files per batch — file-count
+          // death at scale); with it each bucket gets one file and
+          // write parallelism = touched buckets
+          val batch = writeBatch(name, p => data
+            .repartition(col(GBucket)).write.mode("overwrite")
             .partitionBy(GBucket).parquet(p))
           partitionMembers(name, batch, 1)
         }

@@ -21,12 +21,18 @@ object DataTests {
   def acceptedValues(df: DataFrame, c: String, values: Seq[String]): DataFrame =
     df.filter(!col(c).isin(values.map(lit): _*) || col(c).isNull)
 
-  /** Orphaned foreign keys: child values absent from the parent. */
+  /** Orphaned foreign keys: child values absent from the parent.
+    * Sides are aliased before the join — childCol and parentCol very
+    * often share a name (customer_id ⇢ customer_id), which would make
+    * the raw column references ambiguous.
+    */
   def relationships(child: DataFrame, childCol: String,
                     parent: DataFrame, parentCol: String): DataFrame =
-    child.select(col(childCol)).filter(col(childCol).isNotNull).distinct()
-      .join(parent.select(col(parentCol)),
-        col(childCol) === col(parentCol), "left_anti")
+    child.select(col(childCol).as("__fk"))
+      .filter(col("__fk").isNotNull).distinct()
+      .join(parent.select(col(parentCol).as("__pk")),
+        col("__fk") === col("__pk"), "left_anti")
+      .select(col("__fk").as(childCol))
 
   /** Resolve a spec-level test against a runner's materialized state. */
   def violations(spark: SparkSession, runner: PipelineRunner,

@@ -15,6 +15,11 @@ import org.apache.spark.sql.types.StructType
   *                         # may open with a {{ config(...) }} header
   *   seeds/<name>.csv      # header row + data rows
   *   seeds/<name>.ddl      # declared schema ("id INT, name STRING")
+  *   tests.conf            # dbt generic tests, one per line:
+  *                         #   unique:model:col1,col2
+  *                         #   not_null:model:col
+  *                         #   accepted_values:model:col:v1|v2
+  *                         #   relationships:model:col:parent:pcol
   * }}}
   *
   * Model config grammar — dbt's `config()` call, the subset dbt-spark
@@ -111,7 +116,26 @@ object PipelineProject {
             StructType.fromDDL(Files.readString(ddl).trim))
         }
 
-    PipelineSpec(models = models, sources = sources, seeds = seeds)
+    val testsFile = root.resolve("tests.conf")
+    val tests: Seq[DataTest] =
+      if (!Files.exists(testsFile)) Nil
+      else Files.readString(testsFile).linesIterator
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          l.split(":", -1).toSeq match {
+            case Seq("unique", m, cols) =>
+              DataTest.Unique(m, cols.split(',').map(_.trim).toSeq)
+            case Seq("not_null", m, c) => DataTest.NotNull(m, c)
+            case Seq("accepted_values", m, c, vs) =>
+              DataTest.AcceptedValues(m, c, vs.split('|').map(_.trim).toSeq)
+            case Seq("relationships", m, c, pm, pc) =>
+              DataTest.Relationships(m, c, pm, pc)
+            case _ => sys.error(s"tests.conf: unparseable line: $l")
+          }
+        }.toSeq
+
+    PipelineSpec(models = models, tests = tests, sources = sources,
+      seeds = seeds)
   }
 
   /** Unzip (rejecting path-traversal entries) into `scratchDir`, locate

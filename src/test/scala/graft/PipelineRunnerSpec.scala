@@ -379,14 +379,23 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     java.nio.file.Files.writeString(proj.resolve("models/lbl.sql"),
       """{{ config(materialized='table') }}
         |SELECT label FROM {{ ref('codes') }} WHERE code = 2""".stripMargin)
+    java.nio.file.Files.writeString(proj.resolve("tests.conf"),
+      """# generic tests travel with the artifact
+        |unique:lbl:label
+        |not_null:lbl:label
+        |accepted_values:codes:label:one|two
+        |relationships:lbl:label:codes:label""".stripMargin)
     val zip = s"${wh()}/p.zip"
     PipelineProject.pack(proj.toString, zip)
     val spec = PipelineProject.loadZip(zip, wh())
     assert(spec.models.map(_.name) == Seq("lbl"))
     assert(spec.models.head.deps == Seq("codes"))
     assert(spec.seeds.map(_.name) == Seq("codes"))
+    assert(spec.tests.map(_.name) == Seq("unique_lbl_label",
+      "not_null_lbl_label", "accepted_values_codes_label",
+      "relationships_lbl_label__codes_label"))
     val r = new PipelineRunner(spark, spec, wh())
-    assert(r.run(Seq("seed", "run")).success)
+    assert(r.run(Seq("seed", "run", "test")).success)
     assert(r.readTable("lbl").as[String].collect().toSeq == Seq("two"))
   }
 

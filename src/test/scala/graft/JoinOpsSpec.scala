@@ -27,6 +27,17 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(salted == plain)
   }
 
+  test("salted join keeps rows whose discriminator is NULL") {
+    val left = Seq((1L, Some(10L)), (1L, None), (2L, None))
+      .toDF("k", "id")
+    val right = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val plain = left.join(right, "k")
+      .select("k", "v").as[(Long, String)].collect().toSeq.sorted
+    val salted = SkewJoin.saltedInnerJoin(left, right, "k", "id", salts = 4)
+      .select("k", "v").as[(Long, String)].collect().toSeq.sorted
+    assert(salted == plain, s"null-discriminator rows dropped: $salted")
+  }
+
   test("as-of join takes the latest at-or-before row, ties inclusive") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     val left = Seq((1L, ts(10), 100L), (1L, ts(20), 101L), (2L, ts(5), 102L))

@@ -222,6 +222,26 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(res2.results.head.error.exists(_.contains("on_schema_change")))
   }
 
+  test("insert_overwrite refuses a table whose members aren't partitioned") {
+    val w = wh()
+    // built as a plain table first (whole-batch manifest member) …
+    assert(new PipelineRunner(spark,
+      PipelineSpec(Seq(Model("sw", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._
+          Seq((1L, "A")).toDF("id", "part") }))), w)
+      .run(Seq("run")).success)
+    // … then switched to insert_overwrite without a full refresh:
+    // silent partition duplication must be refused loudly
+    val res = new PipelineRunner(spark,
+      PipelineSpec(Seq(Model("sw", Nil,
+        Materialization.IncrementalInsertOverwrite(Seq("part")),
+        (sp, _) => { import sp.implicits._
+          Seq((2L, "A")).toDF("id", "part") }))), w)
+      .run(Seq("run"))
+    assert(!res.success)
+    assert(res.results.head.error.exists(_.contains("full-refresh")))
+  }
+
   test("--select resolves ancestors, descendants, and exact") {
     val mk = (n: String, deps: Seq[String]) =>
       Model(n, deps, Materialization.Ephemeral, (sp, _) =>

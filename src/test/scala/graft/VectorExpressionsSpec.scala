@@ -59,6 +59,19 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1).isNullAt(0))
   }
 
+  test("non-float/double array inputs are rejected, not reinterpreted") {
+    GraftFunctions.register(spark)
+    val df = Seq((Seq(1, 2, 3), Seq(4, 5, 6))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(GraftFunctions.vecDot(col("a"), col("b"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("graft_vec_dot requires")),
+      s"expected a clear type error, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("expression participates in WholeStageCodegen") {
     GraftFunctions.register(spark)
     // a parquet scan keeps the projection in the physical plan (a

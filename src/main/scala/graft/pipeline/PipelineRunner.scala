@@ -295,10 +295,23 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Full-refresh publish: one new batch becomes the whole table. */
+  /** Full-refresh publish: one new batch becomes the whole table.
+    * Returns the batch's manifest-relative path.
+    */
   private def publish(name: String, schema: StructType,
-      write: String => Unit): Unit =
-    publishManifest(name, Seq(writeBatch(name, write)), schema)
+      write: String => Unit): String = {
+    val rel = writeBatch(name, write)
+    publishManifest(name, Seq(rel), schema)
+    rel
+  }
+
+  /** Rows in one just-written batch — the per-run "rows affected"
+    * count. O(written batch), where a `readTable(name).count()` would
+    * be an O(table) scan per model run (a full-table pass per
+    * scheduled run at 100 TB, just for the result envelope).
+    */
+  private def writtenCount(name: String, rel: String): Long =
+    spark.read.parquet(s"${tablePath(name)}/$rel").count()
 
   /** Garbage-collect batches and manifests no longer referenced by the
     * current generation (failed writes, superseded full refreshes).
@@ -401,25 +414,34 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         ephemeralCache(name) = df; -1L
 
       case Materialization.Table =>
-        publish(name, df.schema, p => df.write.mode("overwrite").parquet(p))
-        readTable(name).count()
+        val rel = publish(name, df.schema,
+          p => df.write.mode("overwrite").parquet(p))
+        writtenCount(name, rel)
 
       case Materialization.IncrementalAppend(tsCol) =>
-        if (!tableExists(name))
-          publish(name, df.schema,
+        if (!tableExists(name)) {
+          val rel = publish(name, df.schema,
             p => df.write.mode("overwrite").parquet(p))
-        else {
+          writtenCount(name, rel)
+        } else {
           val evolved =
             evolveSchema(name, currentSchema(name).getOrElse(df.schema),
               df.schema)
-          // null high-water mark (empty table / all-null ts) means
-          // "nothing loaded yet" → append everything, not nothing
-          val hwm = readTable(name).agg(max(col(tsCol))).head().get(0)
+          // High-water mark from the LAST manifest member only: every
+          // earlier delta was filtered to ts > the then-hwm, so the
+          // global max lives in the newest batch — O(last batch), not
+          // an O(table) scan per scheduled run. A null hwm (empty
+          // table / all-null ts) means "nothing loaded yet" → append
+          // everything, not nothing.
+          val hwm = readMembers(name,
+            Seq(currentManifest(name).get.last), currentSchema(name))
+            .agg(max(col(tsCol))).head().get(0)
           val delta = if (hwm == null) df else df.filter(col(tsCol) > lit(hwm))
           // an empty delta commits nothing — otherwise a no-new-data
           // schedule grows the manifest (and readTable's path list)
           // by one empty batch per run, forever
-          if (!delta.isEmpty) {
+          if (delta.isEmpty) 0L
+          else {
             // stage the delta as a new batch, then commit old ∪ delta
             // as a new generation — a mid-write crash leaves the
             // previous generation live
@@ -427,9 +449,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
               p => delta.write.mode("overwrite").parquet(p))
             publishManifest(name,
               currentManifest(name).get :+ deltaBatch, evolved)
+            writtenCount(name, deltaBatch)
           }
         }
-        readTable(name).count()
 
       case Materialization.IncrementalInsertOverwrite(parts) =>
         // insert_overwrite semantics: replace exactly the partitions
@@ -460,7 +482,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             cur.filterNot(m => newKeys.contains(partKey(m))) ++ newMembers
           }
         publishManifest(name, members, df.schema)
-        readTable(name).count()
+        writtenCount(name, batch)
 
       // MERGE emulation for vanilla parquet (no Delta/Iceberg in this
       // stack), partition-scoped: rows live under key-hash bucket dirs
@@ -473,7 +495,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       case Materialization.IncrementalMerge(keys, buckets) =>
         val newB = df.withColumn(GBucket,
           pmod(xxhash64(keys.map(col): _*), lit(buckets)))
-        def writePartitioned(data: DataFrame): Seq[String] = {
+        def writePartitioned(data: DataFrame): (String, Seq[String]) = {
           // cluster rows by bucket before the partitioned write:
           // without it every write task emits a file into every bucket
           // dir (tasks × buckets small files per batch — file-count
@@ -482,11 +504,13 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           val batch = writeBatch(name, p => data
             .repartition(col(GBucket)).write.mode("overwrite")
             .partitionBy(GBucket).parquet(p))
-          partitionMembers(name, batch, 1)
+          (batch, partitionMembers(name, batch, 1))
         }
-        if (!tableExists(name))
-          publishManifest(name, writePartitioned(newB), newB.schema)
-        else {
+        if (!tableExists(name)) {
+          val (batch, members) = writePartitioned(newB)
+          publishManifest(name, members, newB.schema)
+          writtenCount(name, batch)
+        } else {
           val stored = currentSchema(name).getOrElse(newB.schema)
           val evolved = evolveSchema(name, stored, newB.schema)
           val cur = currentManifest(name).get
@@ -505,10 +529,10 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             else readMembers(name, touchedM, Some(stored))
               .join(newB.select(keys.map(col): _*), keys, "left_anti")
               .unionByName(newB, allowMissingColumns = true)
-          publishManifest(name, untouchedM ++ writePartitioned(merged),
-            evolved)
+          val (batch, members) = writePartitioned(merged)
+          publishManifest(name, untouchedM ++ members, evolved)
+          writtenCount(name, batch)
         }
-        readTable(name).count()
     }
   }
 
@@ -517,8 +541,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     import spark.implicits._
     val df = spark.read.option("header", "true").schema(seed.schema)
       .csv(spark.createDataset(seed.csvLines))
-    publish(seed.name, df.schema, p => df.write.mode("overwrite").parquet(p))
-    readTable(seed.name).count()
+    val rel = publish(seed.name, df.schema,
+      p => df.write.mode("overwrite").parquet(p))
+    writtenCount(seed.name, rel)
   }
 
   /** One SCD2 snapshot step at the injected timestamp `asOf`. */
@@ -528,9 +553,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       else spark.table(sn.source)
     val prev = if (tableExists(sn.name)) Some(readTable(sn.name)) else None
     val next = Snapshot.scd2(prev, source, sn.keyCols, sn.compareCols, asOf)
-    publish(sn.name, next.schema,
+    val rel = publish(sn.name, next.schema,
       p => next.write.mode("overwrite").parquet(p))
-    readTable(sn.name).count()
+    writtenCount(sn.name, rel)
   }
 
   /** One dbt-style command — the same argv surface the reference

@@ -519,19 +519,31 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             s"merge on $name: existing members are not bucket-scoped " +
               s"(e.g. ${nonPart.headOption.getOrElse("")}); full-refresh " +
               "before switching materialization")
-          // ≤ `buckets` tiny values — a driver-side set, not data
-          val touched = newB.select(GBucket).distinct().collect()
-            .map(r => s"$GBucket=${r.get(0)}").toSet
+          // Write the new batch FIRST: the model's build lineage runs
+          // exactly once, the written partition dirs name the touched
+          // buckets, and the anti-join keys are re-read from the
+          // written parquet (a key-column footer scan), not recomputed
+          val (newBatch, newMembers) = writePartitioned(newB)
+          val touched = newMembers.map(m => m.split('/').drop(2).mkString("/")).toSet
           def partKey(m: String) = m.split('/').drop(2).mkString("/")
           val (touchedM, untouchedM) = cur.partition(m => touched(partKey(m)))
-          val merged =
-            if (touchedM.isEmpty) newB
-            else readMembers(name, touchedM, Some(stored))
-              .join(newB.select(keys.map(col): _*), keys, "left_anti")
-              .unionByName(newB, allowMissingColumns = true)
-          val (batch, members) = writePartitioned(merged)
-          publishManifest(name, untouchedM ++ members, evolved)
-          writtenCount(name, batch)
+          // carry = existing touched-bucket rows whose key was NOT
+          // upserted; written as a sibling batch (≤ 2 members per
+          // bucket at any time — the next merge of a bucket collapses
+          // them again)
+          val carryMembers =
+            if (touchedM.isEmpty) Nil
+            else {
+              val newKeys = spark.read
+                .parquet(s"${tablePath(name)}/$newBatch")
+                .select(keys.map(col): _*)
+              val carry = readMembers(name, touchedM, Some(stored))
+                .join(newKeys, keys, "left_anti")
+              writePartitioned(carry)._2
+            }
+          publishManifest(name,
+            untouchedM ++ newMembers ++ carryMembers, evolved)
+          writtenCount(name, newBatch)
         }
     }
   }

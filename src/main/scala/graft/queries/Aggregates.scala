@@ -196,7 +196,21 @@ object Aggregates extends QueryGroup {
           (dec2(col("l_quantity")) * lit(100)).cast(LongType).as("qc"))
         .groupBy("l_returnflag")
         .agg(WeightedAvg.wavg(col("pc"), col("qc")).as("wavg_price"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // UNPIVOT / melt (SQL `UNPIVOT`, Dataset.unpivot): wide → long is
+    // a map-only Expand — no shuffle; each input row fans out to one
+    // row per value column. Bounded to a key slice so the long output
+    // stays comparable.
+    "agg_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 10 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(asDouble(dec2(col("l_quantity"))).as("qty"),
+            asDouble(dec2(col("l_extendedprice"))).as("price")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric", "val"))
   )
 
   private val sumQty =
@@ -323,6 +337,16 @@ object Aggregates extends QueryGroup {
         |  max(CASE WHEN rd = 1 THEN o_orderkey END) AS biggest_order,
         |  max(CASE WHEN ra = 1 THEN o_orderkey END) AS smallest_order
         |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "agg_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'qty' AS metric,
+        |  CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS val
+        |FROM lineitem WHERE l_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'price' AS metric,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS val
+        |FROM lineitem WHERE l_orderkey % 10 = 0
+        |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin,
 
     "agg_custom_udaf" ->
       """SELECT l_returnflag,

@@ -192,15 +192,20 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         readMembers(name, members, currentSchema(name))
       case None => sys.error(s"table $name does not exist")
     }
-    // `__gbucket` is merge-internal storage layout (key-hash bucket
-    // dirs enabling partition-scoped rewrites), not part of the table
-    if (df0.columns.contains(GBucket)) df0.drop(GBucket) else df0
+    // storage-layout columns (merge buckets, snapshot open/closed
+    // split) are not part of the table surface
+    hiddenCols.filter(df0.columns.contains).foldLeft(df0)(_ drop _)
   }
 
   def tableExists(name: String): Boolean = currentGenName(name).isDefined
 
-  /** Hidden key-hash bucket partition column for merge storage. */
+  /** Hidden storage-layout partition columns, stripped by readTable:
+    * key-hash buckets for merge tables, the open/closed split for
+    * snapshot tables.
+    */
   private val GBucket = "__gbucket"
+  private val OpenCol = "__open"
+  private val hiddenCols = Seq(GBucket, OpenCol)
 
   /** `on_schema_change` semantics for incremental models (dbt
     * 1.9 config of the same name): columns ADDED by a new batch are
@@ -558,16 +563,42 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     writtenCount(seed.name, rel)
   }
 
-  /** One SCD2 snapshot step at the injected timestamp `asOf`. */
+  /** One SCD2 snapshot step at the injected timestamp `asOf`.
+    *
+    * Storage is append-only on the closed history: batches are
+    * partitioned on the hidden `__open` flag; each run reads ONLY the
+    * current open member, appends the newly-closed delta, and swaps in
+    * the new open member — O(open + changes) I/O per run. Closed
+    * members are never rewritten (a full-history republish per
+    * scheduled snapshot would be O(table)).
+    */
   private def runSnapshot(sn: SnapshotDef, asOf: String): Long = {
     val source =
       if (tableExists(sn.source)) readTable(sn.source)
       else spark.table(sn.source)
-    val prev = if (tableExists(sn.name)) Some(readTable(sn.name)) else None
-    val next = Snapshot.scd2(prev, source, sn.keyCols, sn.compareCols, asOf)
-    val rel = publish(sn.name, next.schema,
-      p => next.write.mode("overwrite").parquet(p))
-    writtenCount(sn.name, rel)
+    val prevOpen =
+      if (!tableExists(sn.name)) None
+      else {
+        val openM = currentManifest(sn.name).get
+          .filter(_.endsWith(s"$OpenCol=true"))
+        // all keys hard-deleted leaves a generation with no open member
+        if (openM.isEmpty) None
+        else Some(readMembers(sn.name, openM, currentSchema(sn.name))
+          .drop(OpenCol))
+      }
+    val (closedDelta, nextOpen) =
+      Snapshot.scd2Step(prevOpen, source, sn.keyCols, sn.compareCols, asOf)
+    val out = closedDelta.unionByName(nextOpen)
+      .withColumn(OpenCol, col("valid_to").isNull)
+    val batch = writeBatch(sn.name, p => out.repartition(col(OpenCol))
+      .write.mode("overwrite").partitionBy(OpenCol).parquet(p))
+    val newMembers = partitionMembers(sn.name, batch, 1)
+    val closedM =
+      if (!tableExists(sn.name)) Nil
+      else currentManifest(sn.name).get
+        .filterNot(_.endsWith(s"$OpenCol=true"))
+    publishManifest(sn.name, closedM ++ newMembers, out.schema)
+    writtenCount(sn.name, batch)
   }
 
   /** One dbt-style command — the same argv surface the reference

@@ -15,25 +15,24 @@ import org.apache.spark.sql.types.TimestampType
   */
 object Snapshot {
 
-  /** Apply one snapshot step. `prev` must have `keyCols ++ compareCols
-    * ++ (valid_from, valid_to)`; pass None for the first snapshot.
-    * `asOf` is the logical snapshot timestamp (deterministic inputs →
-    * deterministic history; never wall-clock here).
+  /** One snapshot step against ONLY the open rows: returns
+    * (closedDelta, nextOpen). The closed history is never an input —
+    * storage can therefore APPEND the closed delta and replace the
+    * open set, making a snapshot run O(open + changes) in I/O as well
+    * as compute (the runner's snapshot storage does exactly this; a
+    * full-history rewrite per scheduled snapshot would be O(table)).
     */
-  def scd2(prev: Option[DataFrame], current: DataFrame,
-           keyCols: Seq[String], compareCols: Seq[String],
-           asOf: String): DataFrame = {
+  def scd2Step(prevOpen: Option[DataFrame], current: DataFrame,
+               keyCols: Seq[String], compareCols: Seq[String],
+               asOf: String): (DataFrame, DataFrame) = {
     val asOfTs = lit(asOf).cast(TimestampType)
     val newState = current.select((keyCols ++ compareCols).map(col): _*)
       .withColumn("valid_from", asOfTs)
       .withColumn("valid_to", lit(null).cast(TimestampType))
 
-    prev match {
-      case None => newState
-      case Some(p) =>
-        val closed = p.filter(col("valid_to").isNotNull)
-        val open = p.filter(col("valid_to").isNull)
-
+    prevOpen match {
+      case None => (newState.filter(lit(false)), newState)
+      case Some(open) =>
         val cur = current.select(
           keyCols.map(col) ++
             compareCols.map(c => col(c).as(s"__new_$c")) :+
@@ -64,7 +63,28 @@ object Snapshot {
             compareCols.map(c => !(col(c) <=> col(s"__old_$c"))).reduce(_ || _))
           .select(newState.columns.map(col).toIndexedSeq: _*)
 
-        closed.unionByName(stillOpen).unionByName(toClose).unionByName(fresh)
+        (toClose, stillOpen.unionByName(fresh))
     }
   }
+
+  /** Apply one snapshot step over a FULL history frame. `prev` must
+    * have `keyCols ++ compareCols ++ (valid_from, valid_to)`; pass
+    * None for the first snapshot. `asOf` is the logical snapshot
+    * timestamp (deterministic inputs → deterministic history; never
+    * wall-clock here). Convenience form of `scd2Step` for callers that
+    * hold history in one frame.
+    */
+  def scd2(prev: Option[DataFrame], current: DataFrame,
+           keyCols: Seq[String], compareCols: Seq[String],
+           asOf: String): DataFrame =
+    prev match {
+      case None =>
+        scd2Step(None, current, keyCols, compareCols, asOf)._2
+      case Some(p) =>
+        val closed = p.filter(col("valid_to").isNotNull)
+        val (closedDelta, nextOpen) = scd2Step(
+          Some(p.filter(col("valid_to").isNull)),
+          current, keyCols, compareCols, asOf)
+        closed.unionByName(closedDelta).unionByName(nextOpen)
+    }
 }

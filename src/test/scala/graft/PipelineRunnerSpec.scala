@@ -501,6 +501,33 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(hist(0)._2.isDefined && hist(1)._2.isEmpty)
   }
 
+  test("snapshot closed history is append-only (members never rewritten)") {
+    val w = wh()
+    def spec(v: String) = PipelineSpec(
+      models = Seq(Model("sdim", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._
+          Seq((1L, v), (2L, "keep")).toDF("id", "v") })),
+      snapshots = Seq(SnapshotDef("sdim_snap", "sdim", Seq("id"), Seq("v"))))
+    assert(new PipelineRunner(spark, spec("a"), w)
+      .run(Seq("run", "snapshot --at 2024-01-01T00:00:00")).success)
+    val r2 = new PipelineRunner(spark, spec("b"), w)
+    assert(r2.run(Seq("run", "snapshot --at 2024-02-01T00:00:00")).success)
+    val m2 = manifestMembers(r2, "sdim_snap")
+    val r3 = new PipelineRunner(spark, spec("c"), w)
+    assert(r3.run(Seq("run", "snapshot --at 2024-03-01T00:00:00")).success)
+    val m3 = manifestMembers(r3, "sdim_snap")
+    val closed2 = m2.filter(_.endsWith("__open=false"))
+    assert(closed2.nonEmpty && closed2.subsetOf(m3),
+      s"closed members must carry over with identical paths: $closed2 vs $m3")
+    assert(m3.count(_.endsWith("__open=true")) == 1)
+    // history intact through the incremental storage: id=1 a→b→c
+    // (two closed + one open), id=2 one open row; layout col hidden
+    val hist = r3.readTable("sdim_snap")
+    assert(hist.count() == 4)
+    assert(hist.filter(col("valid_to").isNull).count() == 2)
+    assert(!hist.columns.contains("__open"))
+  }
+
   test("freshness status transitions on the injected clock") {
     val df = Seq(Tuple1(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("ts")

@@ -318,6 +318,35 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   private def writtenCount(name: String, rel: String): Long =
     spark.read.parquet(s"${tablePath(name)}/$rel").count()
 
+  /** Rewrite the current generation into a single batch (the OPTIMIZE
+    * / compaction analogue): append, merge, and snapshot tables
+    * accumulate one manifest member per run; compaction bounds the
+    * member/file count while preserving hidden layout partitions
+    * (merge buckets, snapshot open/closed split) so incremental runs
+    * keep working afterwards. O(table) by nature — schedule it like
+    * any OPTIMIZE job, never per-run.
+    */
+  def compact(name: String): Unit = {
+    val schema = currentSchema(name)
+    val members = currentManifest(name)
+      .getOrElse(sys.error(s"table $name does not exist"))
+    if (members.nonEmpty) {
+      val df = readMembers(name, members, schema) // keeps layout cols
+      val part = hiddenCols.filter(df.columns.contains)
+      val newMembers =
+        if (part.isEmpty)
+          Seq(writeBatch(name,
+            p => df.write.mode("overwrite").parquet(p)))
+        else {
+          val b = writeBatch(name, p => df
+            .repartition(part.map(col): _*).write.mode("overwrite")
+            .partitionBy(part: _*).parquet(p))
+          partitionMembers(name, b, part.size)
+        }
+      publishManifest(name, newMembers, schema.getOrElse(df.schema))
+    }
+  }
+
   /** Garbage-collect batches and manifests no longer referenced by the
     * current generation (failed writes, superseded full refreshes).
     * Serialized with publishes on the per-table lock, so within this

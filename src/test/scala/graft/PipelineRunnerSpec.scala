@@ -321,6 +321,45 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(!r.tableExists("f_down"), "downstream of failure must not build")
   }
 
+  test("compact collapses members, preserves data and merge layout") {
+    val w = wh()
+    val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    def appSpec(upTo: Int) = PipelineSpec(Seq(Model("ca", Nil,
+      Materialization.IncrementalAppend("ts"),
+      (sp, _) => { import sp.implicits._
+        (1 to upTo).map(i => (i.toLong, t(i))).toDF("id", "ts") })))
+    new PipelineRunner(spark, appSpec(3), w).run(Seq("run"))
+    new PipelineRunner(spark, appSpec(6), w).run(Seq("run"))
+    val r = new PipelineRunner(spark, appSpec(9), w)
+    assert(r.run(Seq("run")).success)
+    assert(manifestMembers(r, "ca").size == 3)
+    r.compact("ca")
+    assert(manifestMembers(r, "ca").size == 1)
+    assert(r.readTable("ca").count() == 9)
+    // incremental keeps working after compaction (hwm from last member)
+    val r2 = new PipelineRunner(spark, appSpec(12), w)
+    assert(r2.run(Seq("run")).success)
+    assert(r2.readTable("ca").count() == 12)
+
+    // merge table: compaction must keep the bucket dirs so later
+    // merges stay partition-scoped
+    def mSpec(rows: Seq[(Long, String)]) = PipelineSpec(Seq(Model("cm", Nil,
+      Materialization.IncrementalMerge(Seq("id"), buckets = 4),
+      (sp, _) => { import sp.implicits._; rows.toDF("id", "v") })))
+    new PipelineRunner(spark, mSpec((1L to 20L).map((_, "a"))), w)
+      .run(Seq("run"))
+    val rm = new PipelineRunner(spark, mSpec(Seq((1L, "b"))), w)
+    assert(rm.run(Seq("run")).success)
+    rm.compact("cm")
+    assert(manifestMembers(rm, "cm").forall(_.contains("__gbucket=")))
+    val rm2 = new PipelineRunner(spark, mSpec(Seq((2L, "c"))), w)
+    assert(rm2.run(Seq("run")).success)
+    val st = rm2.readTable("cm").orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(st.size == 20 && st(0) == ((1L, "b")) && st(1) == ((2L, "c")))
+    assert(st.drop(2).forall(_._2 == "a"))
+  }
+
   test("vacuum drops superseded generations, current stays readable") {
     val w = wh()
     def spec(v: String) = PipelineSpec(Seq(tableModel("vt", Seq((1L, v)))))

@@ -202,7 +202,34 @@ object LlmOps extends QueryGroup {
       Tables.documents(s, d).select(
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens_approx"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Stratified sampling — per-language quotas, the standard rebalance
+    // step in training-data curation. sampleBy is a map-only seeded
+    // Bernoulli filter per stratum: no shuffle, scales linearly. No
+    // oracle (Spark's sampler seed semantics); proportions + seed
+    // determinism unit-tested in ApproxAndSampleSpec.
+    "llm_stratified_sample" -> ((s, d) =>
+      Tables.documents(s, d).stat.sampleBy("lang",
+        Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.25, "fr" -> 1.0), 42L)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // PII scrubbing — email/phone redaction before training. Pure
+    // codegen'd regexp_replace, map-only. Patterns kept to the
+    // Java/RE2-common dialect so the oracle replays them verbatim.
+    "llm_pii_scrub" -> ((s, d) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+      val scrubbed = regexp_replace(
+        regexp_replace(col("text"), email, "<EMAIL>"),
+        phone, "<PHONE>")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        scrubbed.as("scrubbed"),
+        (scrubbed =!= col("text")).as("redacted"))
+        .orderBy("doc_id")
+    })
   )
 
   private val toks =
@@ -352,6 +379,18 @@ object LlmOps extends QueryGroup {
         |  CAST(unnest(generate_series(0, octet_length(encode(text)) // 100))
         |    AS INTEGER) AS frame_idx
         |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "llm_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+        |  regexp_replace(
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') <> text AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "llm_token_count" ->
       s"""SELECT doc_id,

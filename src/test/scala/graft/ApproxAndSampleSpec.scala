@@ -61,6 +61,23 @@ class ApproxAndSampleSpec extends AnyFunSuite with SparkTestBase {
       s"approx ntile agreement ${agree.toDouble / total} < 0.95")
   }
 
+  test("stratified sample hits per-stratum fractions, deterministic seed") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val fracs = Map("en" -> 0.5, "es" -> 0.25)
+    val a = docs.stat.sampleBy("lang", fracs, 42L)
+    val b = docs.stat.sampleBy("lang", fracs, 42L)
+    assert(a.agg(sum(col("doc_id"))).head.getLong(0) ==
+      b.agg(sum(col("doc_id"))).head.getLong(0), "same seed, same sample")
+    val total = docs.filter(col("lang") === "en").count()
+    val sampled = a.filter(col("lang") === "en").count()
+    // Bernoulli at p=0.5: 5σ band around the mean
+    val sd = math.sqrt(total * 0.5 * 0.5)
+    assert(math.abs(sampled - total * 0.5) <= 5 * sd + 1,
+      s"en stratum: $sampled of $total at p=0.5")
+    assert(a.filter(!col("lang").isin("en", "es")).count() == 0,
+      "strata without a declared fraction must be excluded")
+  }
+
   test("agg_collect raw (unstringified) array output stays covered") {
     import spark.implicits._
     val df = Seq((1L, 3L), (1L, 1L), (2L, 5L)).toDF("k", "v")

@@ -215,6 +215,26 @@ object LlmOps extends QueryGroup {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // Sequence packing — contiguous docs binned into ~512-token packs,
+    // the step before training-batch assembly. Shards (doc_id ranges)
+    // pack independently, so the running-sum window is per-shard and
+    // fully parallel (never one global single-task sort); a straddling
+    // doc opens the next bin (contiguous approximation, documented).
+    "llm_pack_chunks" -> ((s, d) => {
+      val budget = 512
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("toks"))
+        .withColumn("shard", floor(col("doc_id") / 100).cast("long"))
+        .withColumn("cum", sum(col("toks")).over(w))
+        .select(col("doc_id"), col("toks"),
+          (col("shard") * 1000 +
+            floor((col("cum") - col("toks")) /
+              lit(budget).cast(DoubleType)).cast("long")).as("pack_id"))
+        .orderBy("doc_id")
+    }),
+
     // PII scrubbing — email/phone redaction before training. Pure
     // codegen'd regexp_replace, map-only. Patterns kept to the
     // Java/RE2-common dialect so the oracle replays them verbatim.
@@ -379,6 +399,25 @@ object LlmOps extends QueryGroup {
         |  CAST(unnest(generate_series(0, octet_length(encode(text)) // 100))
         |    AS INTEGER) AS frame_idx
         |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "llm_pack_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> x <> '')) AS INTEGER)
+        |    + CAST(len(list_filter(string_split_regex(lower(text), '[a-z0-9\s]+'),
+        |           x -> x <> '')) AS INTEGER) AS toks,
+        |    doc_id // 100 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, shard,
+        |    SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, toks,
+        |  shard * 1000 +
+        |    CAST(FLOOR((cum - toks) / CAST(512 AS DOUBLE)) AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "llm_pii_scrub" ->
       """SELECT doc_id,

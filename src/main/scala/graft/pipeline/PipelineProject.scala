@@ -20,6 +20,8 @@ import org.apache.spark.sql.types.StructType
   *                         #   not_null:model:col
   *                         #   accepted_values:model:col:v1|v2
   *                         #   relationships:model:col:parent:pcol
+  *   snapshots.conf        # SCD2 snapshots, one per line:
+  *                         #   name:source:key1,key2:cmp1,cmp2
   * }}}
   *
   * Model config grammar — dbt's `config()` call, the subset dbt-spark
@@ -134,8 +136,21 @@ object PipelineProject {
           }
         }.toSeq
 
+    val snapsFile = root.resolve("snapshots.conf")
+    val snapshots: Seq[SnapshotDef] =
+      if (!Files.exists(snapsFile)) Nil
+      else Files.readString(snapsFile).linesIterator
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          l.split(":", -1).toSeq match {
+            case Seq(n, src, ks, cs) => SnapshotDef(n, src,
+              ks.split(',').map(_.trim).toSeq, cs.split(',').map(_.trim).toSeq)
+            case _ => sys.error(s"snapshots.conf: unparseable line: $l")
+          }
+        }.toSeq
+
     PipelineSpec(models = models, tests = tests, sources = sources,
-      seeds = seeds)
+      seeds = seeds, snapshots = snapshots)
   }
 
   /** Unzip (rejecting path-traversal entries) into `scratchDir`, locate

@@ -444,6 +444,8 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
         |not_null:lbl:label
         |accepted_values:codes:label:one|two
         |relationships:lbl:label:codes:label""".stripMargin)
+    java.nio.file.Files.writeString(proj.resolve("snapshots.conf"),
+      "codes_snap:codes:code:label")
     val zip = s"${wh()}/p.zip"
     PipelineProject.pack(proj.toString, zip)
     val spec = PipelineProject.loadZip(zip, wh())
@@ -453,9 +455,13 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(spec.tests.map(_.name) == Seq("unique_lbl_label",
       "not_null_lbl_label", "accepted_values_codes_label",
       "relationships_lbl_label__codes_label"))
+    assert(spec.snapshots ==
+      Seq(SnapshotDef("codes_snap", "codes", Seq("code"), Seq("label"))))
     val r = new PipelineRunner(spark, spec, wh())
-    assert(r.run(Seq("seed", "run", "test")).success)
+    assert(r.run(Seq("seed", "run", "test",
+      "snapshot --at 2024-01-01T00:00:00")).success)
     assert(r.readTable("lbl").as[String].collect().toSeq == Seq("two"))
+    assert(r.readTable("codes_snap").count() == 2)
   }
 
   test("project config headers map to every materialization") {

@@ -130,6 +130,18 @@ object Scans extends QueryGroup {
         .orderBy("r_regionkey")
     }),
 
+    // Spark's built-in `text` format: one string column per line.
+    // Values must be newline-free (nation names are); the re-read
+    // recovers exactly the written lines.
+    "sink_text_roundtrip" -> ((s, d) => {
+      val out = tmpDir("graft_sink_text")
+      Tables.nation(s, d).select(col("n_name"))
+        .write.mode("overwrite").text(s"$out/t")
+      s.read.text(s"$out/t")
+        .select(col("value").as("n_name"))
+        .orderBy("n_name")
+    }),
+
     // dbt `view` materialization → temp view + SQL over it.
     "create_view" -> ((s, d) => {
       val nr = Tables.nation(s, d).join(Tables.region(s, d),
@@ -183,7 +195,10 @@ object Scans extends QueryGroup {
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "sink_json_roundtrip" ->
-      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "sink_text_roundtrip" ->
+      "SELECT n_name FROM nation ORDER BY n_name"
   )
 }
 

@@ -204,6 +204,22 @@ object LlmOps extends QueryGroup {
         TextAnalysis.tokenCount(col("text")).as("n_tokens_approx"))
         .orderBy("doc_id")),
 
+    // Repetition signals (Gopher-style quality rules): duplicate-token
+    // ratio and top-token share per doc. One explode + two hash-aggs,
+    // map-side partials throughout; docs with zero tokens drop out on
+    // both engines identically.
+    "llm_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(
+          ((sum("n") - count(lit(1))).cast(DoubleType) /
+            sum("n").cast(DoubleType)).as("dup_token_ratio"),
+          (max("n").cast(DoubleType) / sum("n").cast(DoubleType))
+            .as("top_token_share"))
+        .orderBy("doc_id")),
+
     // Stratified sampling — per-language quotas, the standard rebalance
     // step in training-data curation. sampleBy is a map-only seeded
     // Bernoulli filter per stratum: no shuffle, scales linearly. No
@@ -399,6 +415,15 @@ object LlmOps extends QueryGroup {
         |  CAST(unnest(generate_series(0, octet_length(encode(text)) // 100))
         |    AS INTEGER) AS frame_idx
         |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "llm_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |cnt AS (SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(SUM(n) - COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+         |    AS dup_token_ratio,
+         |  CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_token_share
+         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "llm_pack_chunks" ->
       """WITH t AS (

@@ -107,6 +107,43 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("step-based SCD2 accumulation ≡ full-frame scd2 on random histories") {
+    // the runner's append-only snapshot storage accumulates
+    // closedDelta batches and swaps the open set (scd2Step); the
+    // result must equal folding scd2 over full history frames
+    val stepGen: Gen[Seq[(Long, String)]] =
+      Gen.sequence[Seq[Option[(Long, String)]], Option[(Long, String)]](
+        (1L to 4L).map { k =>
+          Gen.oneOf[Option[(Long, String)]](None,
+            Some((k, "x")), Some((k, "y")), Some((k, "z")))
+        }).map(_.flatten)
+
+    sample(Gen.listOfN(4, stepGen), 5, seed = 7L).foreach { history =>
+      val times = (1 to history.size).map(i => f"2024-0$i%d-01 00:00:00")
+      var full: Option[DataFrame] = None
+      var closedAcc: Seq[DataFrame] = Nil
+      var open: Option[DataFrame] = None
+      history.zip(times).foreach { case (state, t) =>
+        val cur = state.toDF("id", "v")
+        full = Some(Snapshot.scd2(full, cur, Seq("id"), Seq("v"), t)
+          .localCheckpoint())
+        val (closedDelta, nextOpen) =
+          Snapshot.scd2Step(open, cur, Seq("id"), Seq("v"), t)
+        closedAcc = closedAcc :+ closedDelta.localCheckpoint()
+        open = Some(nextOpen.localCheckpoint())
+      }
+      val stepwise = (closedAcc ++ open.toSeq).reduce(_ unionByName _)
+        .select("id", "v", "valid_from", "valid_to")
+        .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp])]
+        .collect().toSeq.sorted
+      val fullRows = full.get
+        .select("id", "v", "valid_from", "valid_to")
+        .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp])]
+        .collect().toSeq.sorted
+      assert(stepwise == fullRows, s"history=$history")
+    }
+  }
+
   // ---- MinHash estimate vs true Jaccard --------------------------------
 
   test("MinHash estimate tracks true shingle Jaccard on random docs") {

@@ -285,20 +285,62 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   private def lockFor(name: String): Object =
     tableLocks.getOrElseUpdate(name, new Object)
 
-  /** Atomically commit a new generation made of `members`. */
+  /** Atomically commit a new generation made of `members`. Extra
+    * `sidecars` are written as `<gen>.<key>` BEFORE the `_CURRENT`
+    * flip, so they commit (or vanish) atomically with the generation.
+    */
   private def publishManifest(name: String, members: Seq[String],
-      schema: StructType): Unit = lockFor(name).synchronized {
-    val dir = Paths.get(tablePath(name))
-    Files.createDirectories(dir)
-    val gen = s"gen_${nextId()}"
-    Files.writeString(dir.resolve(s"$gen.schema"), schema.json)
-    Files.writeString(dir.resolve(gen), members.mkString("\n"))
-    val tmp = dir.resolve("_CURRENT.tmp")
-    Files.writeString(tmp, gen)
-    Files.move(tmp, dir.resolve("_CURRENT"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+      schema: StructType,
+      sidecars: Map[String, String] = Map.empty): Unit =
+    lockFor(name).synchronized {
+      val dir = Paths.get(tablePath(name))
+      Files.createDirectories(dir)
+      val gen = s"gen_${nextId()}"
+      Files.writeString(dir.resolve(s"$gen.schema"), schema.json)
+      sidecars.foreach { case (k, v) =>
+        Files.writeString(dir.resolve(s"$gen.$k"), v)
+      }
+      Files.writeString(dir.resolve(gen), members.mkString("\n"))
+      val tmp = dir.resolve("_CURRENT.tmp")
+      Files.writeString(tmp, gen)
+      Files.move(tmp, dir.resolve("_CURRENT"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  private def genSidecar(name: String, key: String): Option[String] =
+    currentGenName(name).flatMap { gen =>
+      val f = Paths.get(tablePath(name), s"$gen.$key")
+      if (Files.exists(f)) Some(Files.readString(f)) else None
+    }
+
+  /** foreachBatch-compatible idempotent append — the streaming sink
+    * onto the warehouse. The committed batchId set rides in a
+    * generation sidecar, so "batch data visible" and "batchId marked
+    * done" commit in ONE atomic `_CURRENT` flip: a redelivered
+    * micro-batch (failure/restart replay) is a no-op, giving
+    * exactly-once table contents on top of the source's replay.
+    * Schema changes follow on_schema_change (append new, fail on
+    * removed). Returns rows appended (0 for a replayed batch).
+    */
+  def appendBatch(name: String, df: DataFrame, batchId: Long): Long =
+    lockFor(name).synchronized {
+      val seen: Set[Long] = genSidecar(name, "streamids")
+        .map(_.linesIterator.filter(_.nonEmpty).map(_.toLong).toSet)
+        .getOrElse(Set.empty)
+      if (seen.contains(batchId)) 0L
+      else {
+        val schema = currentSchema(name)
+          .map(st => evolveSchema(name, st, df.schema))
+          .getOrElse(df.schema)
+        val rel = writeBatch(name,
+          p => df.write.mode("overwrite").parquet(p))
+        publishManifest(name, currentManifest(name).getOrElse(Nil) :+ rel,
+          schema,
+          Map("streamids" -> (seen + batchId).toSeq.sorted.mkString("\n")))
+        writtenCount(name, rel)
+      }
+    }
 
   /** Full-refresh publish: one new batch becomes the whole table.
     * Returns the batch's manifest-relative path.
@@ -378,11 +420,14 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           }
         }
         val genNow = currentGenName(name).getOrElse(gen0)
+        // keep the live generation's manifest AND all its sidecars
+        // (.schema, .streamids, …) — match on the gen-name prefix
+        def live(f: String) = Seq(genNow, gen0).exists(g =>
+          f == g || f.startsWith(s"$g."))
         listDir(root)
           .filter { p =>
             val f = p.getFileName.toString
-            f.startsWith("gen_") && f != genNow && f != s"$genNow.schema" &&
-              f != gen0 && f != s"$gen0.schema"
+            f.startsWith("gen_") && !live(f)
           }
           .foreach(Files.deleteIfExists(_))
       }

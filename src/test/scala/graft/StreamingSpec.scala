@@ -250,6 +250,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("foreachBatch streaming sink into the warehouse is exactly-once") {
+    implicit val sq = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "stream_wh").toString
+    val runner = new graft.pipeline.PipelineRunner(
+      spark, graft.pipeline.PipelineSpec(Nil), wh)
+    runner.initialize()
+    val in = MemoryStream[EventRow]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        runner.appendBatch("ev_sink", batch, id): Unit
+      }
+      .start()
+    withQuery(q) {
+      in.addData(ev(1, 1, "click", ts(10, 0)), ev(2, 1, "view", ts(10, 1)))
+      q.processAllAvailable()
+      in.addData(ev(3, 2, "click", ts(10, 2)))
+      q.processAllAvailable()
+      assert(runner.readTable("ev_sink").count() == 3)
+      // a redelivered micro-batch (failure replay) must be a no-op —
+      // same batchId, same (or equal) data
+      val replay = Seq(ev(3, 2, "click", ts(10, 2))).toDF()
+      assert(runner.appendBatch("ev_sink", replay, 1L) == 0L)
+      assert(runner.readTable("ev_sink").count() == 3)
+      // a genuinely new batch id still appends
+      assert(runner.appendBatch("ev_sink",
+        Seq(ev(4, 2, "view", ts(10, 3))).toDF(), 2L) == 1L)
+      assert(runner.readTable("ev_sink").count() == 4)
+      // vacuum keeps the streamids sidecar with the live generation
+      runner.vacuum("ev_sink")
+      assert(runner.appendBatch("ev_sink", replay, 1L) == 0L,
+        "vacuum must not forget committed batch ids")
+    }
+  }
+
   test("session windows close after the gap under a watermark") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[EventRow]

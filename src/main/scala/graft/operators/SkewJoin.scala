@@ -22,10 +22,12 @@ object SkewJoin {
 
   /** Inner equi-join of `left` and `right` on `key`, salted `salts`
     * ways. `leftDiscriminator` should be roughly uniform (any
-    * unique-ish id column) — it only drives the salt assignment. A
-    * NULL discriminator degrades to salt 0 (one sub-partition for
-    * those rows) but can never drop rows: the result is row-identical
-    * to the plain join by construction.
+    * unique-ish id column) — it only drives the salt assignment. NULL
+    * discriminators can never drop rows: Spark's xxhash64 is
+    * non-nullable (a NULL input hashes to the seed), so those rows all
+    * land in one valid salt bucket; the coalesce is a defensive guard
+    * should that hash contract ever change. The result is
+    * row-identical to the plain join by construction (test-asserted).
     */
   def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
                       leftDiscriminator: String, salts: Int): DataFrame = {

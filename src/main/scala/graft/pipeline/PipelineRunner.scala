@@ -251,9 +251,19 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     all.reverse.foreach(Files.deleteIfExists(_))
   }
 
+  /** Batches staged by writeBatch but not yet referenced by a
+    * committed manifest. Vacuum must skip them: under `run --threads
+    * N` a sibling model can be between its batch write and its
+    * publish, and deleting that batch would commit a generation
+    * pointing at missing data.
+    */
+  private val stagedBatches =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
   /** Write one immutable data batch; returns its manifest-relative path. */
   private def writeBatch(name: String, write: String => Unit): String = {
     val rel = s"data/batch_${nextId()}"
+    stagedBatches.add((name, rel))
     Files.createDirectories(Paths.get(tablePath(name), "data"))
     write(Paths.get(tablePath(name), rel).toString)
     rel
@@ -306,6 +316,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       Files.move(tmp, dir.resolve("_CURRENT"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // committed members are now manifest-protected from vacuum
+      members.map(m => m.split('/').take(2).mkString("/"))
+        .foreach(b => stagedBatches.remove((name, b)))
     }
 
   private def genSidecar(name: String, key: String): Option[String] =
@@ -338,7 +351,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         publishManifest(name, currentManifest(name).getOrElse(Nil) :+ rel,
           schema,
           Map("streamids" -> (seen + batchId).toSeq.sorted.mkString("\n")))
-        writtenCount(name, rel)
+        writtenCount(name, rel, df.schema)
       }
     }
 
@@ -355,10 +368,14 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   /** Rows in one just-written batch — the per-run "rows affected"
     * count. O(written batch), where a `readTable(name).count()` would
     * be an O(table) scan per model run (a full-table pass per
-    * scheduled run at 100 TB, just for the result envelope).
+    * scheduled run at 100 TB, just for the result envelope). The
+    * explicit schema matters: a zero-row partitioned write leaves only
+    * _SUCCESS behind, and a schema-less read of that dir would fail
+    * with "unable to infer schema" on a perfectly normal no-data run.
     */
-  private def writtenCount(name: String, rel: String): Long =
-    spark.read.parquet(s"${tablePath(name)}/$rel").count()
+  private def writtenCount(name: String, rel: String,
+      schema: StructType): Long =
+    spark.read.schema(schema).parquet(s"${tablePath(name)}/$rel").count()
 
   /** Rewrite the current generation into a single batch (the OPTIMIZE
     * / compaction analogue): append, merge, and snapshot tables
@@ -368,7 +385,10 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * keep working afterwards. O(table) by nature — schedule it like
     * any OPTIMIZE job, never per-run.
     */
-  def compact(name: String): Unit = {
+  def compact(name: String): Unit = lockFor(name).synchronized {
+    // the whole read-modify-write holds the table lock: a concurrent
+    // publish between the manifest read and the compacted commit
+    // would otherwise have its rows silently dropped
     val schema = currentSchema(name)
     val members = currentManifest(name)
       .getOrElse(sys.error(s"table $name does not exist"))
@@ -385,7 +405,12 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             .partitionBy(part: _*).parquet(p))
           partitionMembers(name, b, part.size)
         }
-      publishManifest(name, newMembers, schema.getOrElse(df.schema))
+      // carry generation sidecars forward — dropping the streamids
+      // set would make appendBatch re-accept replayed micro-batches
+      val sidecars = genSidecar(name, "streamids")
+        .map(v => Map("streamids" -> v)).getOrElse(Map.empty[String, String])
+      publishManifest(name, newMembers, schema.getOrElse(df.schema),
+        sidecars)
     }
   }
 
@@ -410,6 +435,10 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         if (Files.exists(dataDir)) {
           val candidates = listDir(dataDir)
             .filterNot(b => keep0.contains(s"data/${b.getFileName}"))
+            // skip batches staged by an in-flight materialization that
+            // hasn't committed its manifest yet (run --threads N)
+            .filterNot(b =>
+              stagedBatches.contains((name, s"data/${b.getFileName}")))
           if (candidates.nonEmpty) {
             // re-read immediately before deleting: a batch is removed
             // only if BOTH reads agree it is unreferenced
@@ -495,25 +524,34 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       case Materialization.Table =>
         val rel = publish(name, df.schema,
           p => df.write.mode("overwrite").parquet(p))
-        writtenCount(name, rel)
+        writtenCount(name, rel, df.schema)
 
       case Materialization.IncrementalAppend(tsCol) =>
         if (!tableExists(name)) {
           val rel = publish(name, df.schema,
             p => df.write.mode("overwrite").parquet(p))
-          writtenCount(name, rel)
+          writtenCount(name, rel, df.schema)
         } else {
           val evolved =
             evolveSchema(name, currentSchema(name).getOrElse(df.schema),
               df.schema)
+          val cur0 = currentManifest(name).get
+          // the last-member hwm below relies on whole-batch members
+          // (each delta filtered past the previous hwm); a table
+          // switched from a partition-scoped materialization would
+          // silently duplicate rows instead
+          val nonWhole = cur0.filter(_.split('/').length != 2)
+          require(nonWhole.isEmpty,
+            s"incremental append on $name: existing members are " +
+              s"partition-scoped (e.g. ${nonWhole.head}); full-refresh " +
+              "the table before switching materialization")
           // High-water mark from the LAST manifest member only: every
           // earlier delta was filtered to ts > the then-hwm, so the
           // global max lives in the newest batch — O(last batch), not
           // an O(table) scan per scheduled run. A null hwm (empty
           // table / all-null ts) means "nothing loaded yet" → append
           // everything, not nothing.
-          val hwm = readMembers(name,
-            Seq(currentManifest(name).get.last), currentSchema(name))
+          val hwm = readMembers(name, Seq(cur0.last), currentSchema(name))
             .agg(max(col(tsCol))).head().get(0)
           val delta = if (hwm == null) df else df.filter(col(tsCol) > lit(hwm))
           // an empty delta commits nothing — otherwise a no-new-data
@@ -528,7 +566,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
               p => delta.write.mode("overwrite").parquet(p))
             publishManifest(name,
               currentManifest(name).get :+ deltaBatch, evolved)
-            writtenCount(name, deltaBatch)
+            writtenCount(name, deltaBatch, df.schema)
           }
         }
 
@@ -561,7 +599,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             cur.filterNot(m => newKeys.contains(partKey(m))) ++ newMembers
           }
         publishManifest(name, members, df.schema)
-        writtenCount(name, batch)
+        writtenCount(name, batch, df.schema)
 
       // MERGE emulation for vanilla parquet (no Delta/Iceberg in this
       // stack), partition-scoped: rows live under key-hash bucket dirs
@@ -588,7 +626,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         if (!tableExists(name)) {
           val (batch, members) = writePartitioned(newB)
           publishManifest(name, members, newB.schema)
-          writtenCount(name, batch)
+          writtenCount(name, batch, newB.schema)
         } else {
           val stored = currentSchema(name).getOrElse(newB.schema)
           val evolved = evolveSchema(name, stored, newB.schema)
@@ -603,8 +641,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           // buckets, and the anti-join keys are re-read from the
           // written parquet (a key-column footer scan), not recomputed
           val (newBatch, newMembers) = writePartitioned(newB)
-          val touched = newMembers.map(m => m.split('/').drop(2).mkString("/")).toSet
           def partKey(m: String) = m.split('/').drop(2).mkString("/")
+          val touched = newMembers.map(partKey).toSet
           val (touchedM, untouchedM) = cur.partition(m => touched(partKey(m)))
           // carry = existing touched-bucket rows whose key was NOT
           // upserted; written as a sibling batch (≤ 2 members per
@@ -613,7 +651,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           val carryMembers =
             if (touchedM.isEmpty) Nil
             else {
-              val newKeys = spark.read
+              val newKeys = spark.read.schema(evolved)
                 .parquet(s"${tablePath(name)}/$newBatch")
                 .select(keys.map(col): _*)
               val carry = readMembers(name, touchedM, Some(stored))
@@ -622,7 +660,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             }
           publishManifest(name,
             untouchedM ++ newMembers ++ carryMembers, evolved)
-          writtenCount(name, newBatch)
+          writtenCount(name, newBatch, evolved)
         }
     }
   }
@@ -634,7 +672,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       .csv(spark.createDataset(seed.csvLines))
     val rel = publish(seed.name, df.schema,
       p => df.write.mode("overwrite").parquet(p))
-    writtenCount(seed.name, rel)
+    writtenCount(seed.name, rel, df.schema)
   }
 
   /** One SCD2 snapshot step at the injected timestamp `asOf`.
@@ -672,7 +710,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       else currentManifest(sn.name).get
         .filterNot(_.endsWith(s"$OpenCol=true"))
     publishManifest(sn.name, closedM ++ newMembers, out.schema)
-    writtenCount(sn.name, batch)
+    writtenCount(sn.name, batch, out.schema)
   }
 
   /** One dbt-style command — the same argv surface the reference
@@ -763,6 +801,11 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   def cleanup(): Unit = {
     spec.models.filter(_.materialization == Materialization.View)
       .foreach(m => spark.catalog.dropTempView(m.name))
+    // SQL-text models register one __graft_ref_<model>_<dep> view per
+    // resolved input — drop them too or the shared session catalog
+    // accumulates a stale view (pinning its plan) per model run
+    spec.models.foreach(m => m.deps.foreach(dep =>
+      spark.catalog.dropTempView(s"__graft_ref_${m.name}_$dep")))
     spec.sources.keys.foreach(spark.catalog.dropTempView(_))
     ephemeralCache.clear()
   }

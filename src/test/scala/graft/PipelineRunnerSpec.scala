@@ -222,6 +222,47 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(res2.results.head.error.exists(_.contains("on_schema_change")))
   }
 
+  test("zero-row incremental runs succeed (empty partitioned batches)") {
+    val w = wh()
+    def spec(rows: Seq[(Long, String, Int)]) = PipelineSpec(Seq(Model(
+      "z", Nil, Materialization.IncrementalInsertOverwrite(Seq("part")),
+      (sp, _) => { import sp.implicits._; rows.toDF("id", "part", "ver") })))
+    assert(new PipelineRunner(spark, spec(Seq((1L, "A", 1))), w)
+      .run(Seq("run")).success)
+    // a no-new-data scheduled run writes an empty partitioned batch
+    // (only _SUCCESS) — the run must not fail on schema inference
+    val r2 = new PipelineRunner(spark, spec(Nil), w)
+    assert(r2.run(Seq("run")).success)
+    assert(r2.readTable("z").count() == 1)
+
+    def mspec(rows: Seq[(Long, String)]) = PipelineSpec(Seq(Model(
+      "zm", Nil, Materialization.IncrementalMerge(Seq("id")),
+      (sp, _) => { import sp.implicits._; rows.toDF("id", "v") })))
+    assert(new PipelineRunner(spark, mspec(Seq((1L, "a"))), w)
+      .run(Seq("run")).success)
+    val rm = new PipelineRunner(spark, mspec(Nil), w)
+    assert(rm.run(Seq("run")).success)
+    assert(rm.readTable("zm").count() == 1)
+  }
+
+  test("append refuses a table with partition-scoped members") {
+    val w = wh()
+    val iow = PipelineSpec(Seq(Model("sw2", Nil,
+      Materialization.IncrementalInsertOverwrite(Seq("part")),
+      (sp, _) => { import sp.implicits._
+        Seq((1L, "A", 1)).toDF("id", "part", "ver") })))
+    assert(new PipelineRunner(spark, iow, w).run(Seq("run")).success)
+    // switching to append would compute the high-water mark from one
+    // partition dir and silently duplicate rows — must fail loudly
+    val app = PipelineSpec(Seq(Model("sw2", Nil,
+      Materialization.IncrementalAppend("ver"),
+      (sp, _) => { import sp.implicits._
+        Seq((2L, "A", 2)).toDF("id", "part", "ver") })))
+    val res = new PipelineRunner(spark, app, w).run(Seq("run"))
+    assert(!res.success)
+    assert(res.results.head.error.exists(_.contains("full-refresh")))
+  }
+
   test("insert_overwrite refuses a table whose members aren't partitioned") {
     val w = wh()
     // built as a plain table first (whole-batch manifest member) …

@@ -146,19 +146,33 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     if (Files.exists(marker)) Some(Files.readString(marker).trim) else None
   }
 
+  private def genManifest(name: String, gen: String): Seq[String] =
+    Files.readString(Paths.get(tablePath(name), gen)).linesIterator
+      .filter(_.nonEmpty).toSeq
+
+  private def genSchema(name: String, gen: String): Option[StructType] = {
+    val f = Paths.get(tablePath(name), s"$gen.schema")
+    if (Files.exists(f))
+      Some(DataType.fromJson(Files.readString(f)).asInstanceOf[StructType])
+    else None
+  }
+
   private def currentManifest(name: String): Option[Seq[String]] =
-    currentGenName(name).map { gen =>
-      Files.readString(Paths.get(tablePath(name), gen)).linesIterator
-        .filter(_.nonEmpty).toSeq
-    }
+    currentGenName(name).map(genManifest(name, _))
 
   private def currentSchema(name: String): Option[StructType] =
-    currentGenName(name).flatMap { gen =>
-      val f = Paths.get(tablePath(name), s"$gen.schema")
-      if (Files.exists(f))
-        Some(DataType.fromJson(Files.readString(f)).asInstanceOf[StructType])
-      else None
-    }
+    currentGenName(name).flatMap(genSchema(name, _))
+
+  /** Committed generation names, oldest → newest. Superseded
+    * generations remain readable (time travel) until `vacuum`.
+    */
+  def generations(name: String): Seq[String] = {
+    val root = Paths.get(tablePath(name))
+    if (!Files.exists(root)) Nil
+    else listDir(root).map(_.getFileName.toString)
+      .filter(f => f.startsWith("gen_") && !f.contains("."))
+      .sortBy(_.stripPrefix("gen_").toLong)
+  }
 
   /** Read a subset of manifest members: one read per batch, basePath =
     * that batch's root, so partition dirs sit directly beneath their
@@ -179,19 +193,30 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       .reduce(_ unionByName _)
   }
 
-  def readTable(name: String): DataFrame = {
-    val df0 = currentManifest(name) match {
-      case Some(members) if members.isEmpty =>
+  def readTable(name: String): DataFrame =
+    currentGenName(name) match {
+      case Some(gen) => readTableAt(name, gen)
+      case None => sys.error(s"table $name does not exist")
+    }
+
+  /** Read the table as of a specific committed generation — time
+    * travel over the manifest store (generation files are immutable;
+    * superseded ones stay readable until `vacuum`).
+    */
+  def readTableAt(name: String, gen: String): DataFrame = {
+    require(Files.exists(Paths.get(tablePath(name), gen)),
+      s"unknown generation $gen for table $name (vacuumed?)")
+    val members = genManifest(name, gen)
+    val schema = genSchema(name, gen)
+    val df0 =
+      if (members.isEmpty)
         // a partitioned write of zero rows commits no members
-        currentSchema(name) match {
+        schema match {
           case Some(sc) => spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
           case None => sys.error(s"table $name is empty with no schema")
         }
-      case Some(members) =>
-        readMembers(name, members, currentSchema(name))
-      case None => sys.error(s"table $name does not exist")
-    }
+      else readMembers(name, members, schema)
     // storage-layout columns (merge buckets, snapshot open/closed
     // split) are not part of the table surface
     hiddenCols.filter(df0.columns.contains).foldLeft(df0)(_ drop _)

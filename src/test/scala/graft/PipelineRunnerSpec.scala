@@ -362,6 +362,23 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(!r.tableExists("f_down"), "downstream of failure must not build")
   }
 
+  test("time travel: superseded generations stay readable until vacuum") {
+    val w = wh()
+    def spec(v: String) = PipelineSpec(Seq(tableModel("tt", Seq((1L, v)))))
+    assert(new PipelineRunner(spark, spec("v1"), w).run(Seq("run")).success)
+    val r2 = new PipelineRunner(spark, spec("v2"), w)
+    assert(r2.run(Seq("run")).success)
+    val gens = r2.generations("tt")
+    assert(gens.size == 2)
+    assert(r2.readTableAt("tt", gens.head)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "v1")))
+    assert(r2.readTable("tt")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "v2")))
+    r2.vacuum("tt")
+    assert(r2.generations("tt") == Seq(gens.last))
+    assertThrows[IllegalArgumentException](r2.readTableAt("tt", gens.head))
+  }
+
   test("compact collapses members, preserves data and merge layout") {
     val w = wh()
     val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")

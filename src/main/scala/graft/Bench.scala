@@ -36,7 +36,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the stdout line gets tail-truncated by harnesses capturing long
+    // output (half the per-key timings were lost in past rounds) — the
+    // file is the durable, machine-parseable artifact
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line)
+    println(line)
     spark.stop()
   }
 }

@@ -32,7 +32,7 @@ import org.apache.spark.sql.types.StructType
   *   {{ config(materialized='incremental', strategy='insert_overwrite',
   *             partition_by='c1,c2') }}
   *   {{ config(materialized='incremental', strategy='merge',
-  *             unique_key='c1,c2'[, buckets='32']) }}
+  *             unique_key='c1,c2'[, buckets='32'][, partition_by='c3']) }}
   * }}}
   * No header → `view` (dbt's default materialization).
   */
@@ -65,7 +65,9 @@ object PipelineProject {
               need("partition_by").split(',').map(_.trim).toSeq)
             case "merge" => Materialization.IncrementalMerge(
               need("unique_key").split(',').map(_.trim).toSeq,
-              kv.get("buckets").map(_.toInt).getOrElse(16))
+              kv.get("buckets").map(_.toInt).getOrElse(16),
+              kv.get("partition_by")
+                .map(_.split(',').map(_.trim).toSeq).getOrElse(Nil))
             case other => sys.error(s"model $name: unknown strategy '$other'")
           }
           case other =>

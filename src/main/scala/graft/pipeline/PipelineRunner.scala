@@ -259,8 +259,28 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   }
 
   private val batchCounter = new java.util.concurrent.atomic.AtomicLong()
-  private def nextId(): Long =
-    System.nanoTime() + batchCounter.incrementAndGet()
+  // collision-resistant across processes: each scheduled run is a new
+  // JVM, and a nanoTime-derived name (per-boot origin) could reuse an
+  // existing live batch dir and overwrite it. Epoch millis + a random
+  // per-runner nonce + a counter make that practically impossible
+  // while keeping names roughly append-ordered.
+  private val runnerNonce =
+    java.lang.Long.toUnsignedString(
+      new java.security.SecureRandom().nextLong(), 36)
+  private def nextBatchName(): String =
+    s"batch_${System.currentTimeMillis()}_${runnerNonce}_${batchCounter.incrementAndGet()}"
+
+  /** Next generation id: max(existing ids) + 1, computed under the
+    * table lock — monotonic across processes (a nanoTime-based id
+    * would have a per-boot origin, so after a host restart new
+    * generations could sort BEFORE older ones, misordering time
+    * travel). Pre-existing nanoTime-era ids stay ordered: max+1 is
+    * always newest.
+    */
+  private def nextGenName(name: String): String = {
+    val ids = generations(name).map(_.stripPrefix("gen_").toLong)
+    s"gen_${(ids :+ 0L).max + 1}"
+  }
 
   /** Close-safe directory listing. */
   private def listDir(p: Path): Seq[Path] = {
@@ -285,10 +305,32 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   private val stagedBatches =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 
+  /** Batches staged by the materialization currently running on this
+    * thread. `tracked` drains them when the materialization finishes —
+    * whether it published, committed zero members (a no-data
+    * partitioned run leaves a _SUCCESS-only dir), or failed — so a
+    * failed write doesn't stay "staged" for the runner's lifetime and
+    * dodge vacuum's failed-write GC forever.
+    */
+  private val inFlight =
+    new ThreadLocal[mutable.Buffer[(String, String)]]
+  private def tracked[T](f: => T): T = {
+    val outer = inFlight.get() // runModel can nest via ephemeral builds
+    val buf = mutable.Buffer.empty[(String, String)]
+    inFlight.set(buf)
+    try f finally {
+      if (outer == null) inFlight.remove() else inFlight.set(outer)
+      // committed members were already removed by publishManifest;
+      // this drains failed / zero-member leftovers
+      buf.foreach(stagedBatches.remove)
+    }
+  }
+
   /** Write one immutable data batch; returns its manifest-relative path. */
   private def writeBatch(name: String, write: String => Unit): String = {
-    val rel = s"data/batch_${nextId()}"
+    val rel = s"data/${nextBatchName()}"
     stagedBatches.add((name, rel))
+    Option(inFlight.get()).foreach(_ += ((name, rel)))
     Files.createDirectories(Paths.get(tablePath(name), "data"))
     write(Paths.get(tablePath(name), rel).toString)
     rel
@@ -330,7 +372,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     lockFor(name).synchronized {
       val dir = Paths.get(tablePath(name))
       Files.createDirectories(dir)
-      val gen = s"gen_${nextId()}"
+      val gen = nextGenName(name)
       Files.writeString(dir.resolve(s"$gen.schema"), schema.json)
       sidecars.foreach { case (k, v) =>
         Files.writeString(dir.resolve(s"$gen.$k"), v)
@@ -352,8 +394,34 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       if (Files.exists(f)) Some(Files.readString(f)) else None
     }
 
+  /** Committed-batchId bookkeeping for the streaming sink: a
+    * contiguous high-water mark (`hwm:<n>` — every id ≤ n committed)
+    * plus a small out-of-order tail of ids > hwm. foreachBatch ids are
+    * near-monotonic, so the tail stays O(1) and the sidecar size is
+    * bounded for the stream's whole lifetime — the previous all-ids
+    * set was rewritten (and parsed) in full per commit: O(batches²)
+    * cumulative I/O on a long-lived stream. The legacy id-per-line
+    * format parses as an all-tail set and folds into the hwm on the
+    * next commit.
+    */
+  private def foldStreamIds(h0: Long, t0: Set[Long]): (Long, Set[Long]) = {
+    var h = h0; var t = t0
+    while (t.contains(h + 1)) { h += 1; t -= h }
+    (h, t)
+  }
+
+  private def parseStreamIds(s: String): (Long, Set[Long]) = {
+    val lines = s.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val hwm = lines.collectFirst {
+      case l if l.startsWith("hwm:") => l.stripPrefix("hwm:").toLong
+    }.getOrElse(-1L)
+    val tail = lines.filterNot(_.startsWith("hwm:")).map(_.toLong)
+      .filter(_ > hwm).toSet
+    foldStreamIds(hwm, tail)
+  }
+
   /** foreachBatch-compatible idempotent append — the streaming sink
-    * onto the warehouse. The committed batchId set rides in a
+    * onto the warehouse. The committed batchId bookkeeping rides in a
     * generation sidecar, so "batch data visible" and "batchId marked
     * done" commit in ONE atomic `_CURRENT` flip: a redelivered
     * micro-batch (failure/restart replay) is a no-op, giving
@@ -363,19 +431,20 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     */
   def appendBatch(name: String, df: DataFrame, batchId: Long): Long =
     lockFor(name).synchronized {
-      val seen: Set[Long] = genSidecar(name, "streamids")
-        .map(_.linesIterator.filter(_.nonEmpty).map(_.toLong).toSet)
-        .getOrElse(Set.empty)
-      if (seen.contains(batchId)) 0L
-      else {
+      val (hwm, tail) = genSidecar(name, "streamids")
+        .map(parseStreamIds).getOrElse((-1L, Set.empty[Long]))
+      if (batchId <= hwm || tail.contains(batchId)) 0L
+      else tracked {
         val schema = currentSchema(name)
           .map(st => evolveSchema(name, st, df.schema))
           .getOrElse(df.schema)
         val rel = writeBatch(name,
           p => df.write.mode("overwrite").parquet(p))
+        val (h2, t2) = foldStreamIds(hwm, tail + batchId)
         publishManifest(name, currentManifest(name).getOrElse(Nil) :+ rel,
           schema,
-          Map("streamids" -> (seen + batchId).toSeq.sorted.mkString("\n")))
+          Map("streamids" ->
+            (s"hwm:$h2" +: t2.toSeq.sorted.map(_.toString)).mkString("\n")))
         writtenCount(name, rel, df.schema)
       }
     }
@@ -410,7 +479,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * keep working afterwards. O(table) by nature — schedule it like
     * any OPTIMIZE job, never per-run.
     */
-  def compact(name: String): Unit = lockFor(name).synchronized {
+  def compact(name: String): Unit = lockFor(name).synchronized { tracked {
     // the whole read-modify-write holds the table lock: a concurrent
     // publish between the manifest read and the compacted commit
     // would otherwise have its rows silently dropped
@@ -418,8 +487,20 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     val members = currentManifest(name)
       .getOrElse(sys.error(s"table $name does not exist"))
     if (members.nonEmpty) {
+      // Derive the storage partition layout — visible columns
+      // (insert_overwrite, partitioned merge) AND hidden ones (merge
+      // buckets, snapshot open/closed) — from the member paths
+      // themselves: data/batch_x[/col=v...]. Preserving only hidden
+      // cols would collapse an insert_overwrite table's
+      // partition-scoped members into one whole-batch member, and the
+      // next incremental run would fail its layout guard.
+      def partsOf(m: String): Seq[String] =
+        m.split('/').drop(2).map(_.takeWhile(_ != '=')).toSeq
+      val part = partsOf(members.head)
+      require(members.forall(partsOf(_) == part),
+        s"compact $name: members disagree on partition layout " +
+          s"(${members.map(partsOf).distinct.mkString(" vs ")})")
       val df = readMembers(name, members, schema) // keeps layout cols
-      val part = hiddenCols.filter(df.columns.contains)
       val newMembers =
         if (part.isEmpty)
           Seq(writeBatch(name,
@@ -437,7 +518,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       publishManifest(name, newMembers, schema.getOrElse(df.schema),
         sidecars)
     }
-  }
+  } }
 
   /** Garbage-collect batches and manifests no longer referenced by the
     * current generation (failed writes, superseded full refreshes).
@@ -493,7 +574,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * SparkSession; a failure aborts before the next level starts
     * (fail-fast at level granularity).
     */
-  private def runLevelled(names: Seq[String], threads: Int): Seq[(String, Long)] = {
+  private def runLevelled(names: Seq[String], threads: Int,
+      fullRefresh: Boolean): Seq[(String, Long)] = {
     val selected = names.toSet
     val level = mutable.Map.empty[String, Int]
     names.foreach { n => // names are topo-ordered, deps resolved first
@@ -506,11 +588,16 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     try {
       names.groupBy(level).toSeq.sortBy(_._1).flatMap { case (_, lvl) =>
         val running = lvl.map(n =>
-          n -> scala.concurrent.Future(n -> runModel(n)))
-        running.map { case (_, f) =>
+          scala.concurrent.Future(n -> runModel(n, fullRefresh)))
+        // settle the WHOLE level before surfacing a failure: throwing
+        // at the first failed Await would return the command while
+        // sibling futures keep running on the pool — a sibling could
+        // then publish AFTER the command already reported failure
+        val settled = running.map(f => scala.util.Try(
           scala.concurrent.Await.result(f,
-            scala.concurrent.duration.Duration.Inf)
-        }
+            scala.concurrent.duration.Duration.Inf)))
+        settled.collectFirst { case scala.util.Failure(e) => throw e }
+        settled.map(_.get)
       }
     } finally pool.shutdown()
   }
@@ -535,8 +622,16 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
 
   private def runEphemeral(m: Model): DataFrame = m.build(spark, inputs(m))
 
-  /** Materialize one model; returns rows written (−1 for views). */
-  def runModel(name: String): Long = {
+  /** Materialize one model; returns rows written (−1 for views).
+    *
+    * `fullRefresh` (dbt `run --full-refresh`) rebuilds incremental /
+    * insert_overwrite / merge tables from scratch as if they did not
+    * exist: the new batch becomes the whole table (in the strategy's
+    * own storage layout, so subsequent incremental runs keep working).
+    * This is the escape hatch the materialization-switch guards point
+    * at ("full-refresh the table before switching materialization").
+    */
+  def runModel(name: String, fullRefresh: Boolean = false): Long = tracked {
     val m = byName(name)
     val df = m.build(spark, inputs(m))
     m.materialization match {
@@ -552,7 +647,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         writtenCount(name, rel, df.schema)
 
       case Materialization.IncrementalAppend(tsCol) =>
-        if (!tableExists(name)) {
+        if (!tableExists(name) || fullRefresh) {
           val rel = publish(name, df.schema,
             p => df.write.mode("overwrite").parquet(p))
           writtenCount(name, rel, df.schema)
@@ -607,7 +702,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         def partKey(m: String) = m.split('/').drop(2).mkString("/")
         val newKeys = newMembers.map(partKey).toSet
         val members =
-          if (!tableExists(name)) newMembers
+          if (!tableExists(name) || fullRefresh) newMembers
           else {
             val cur = currentManifest(name).get
             // a whole-batch member (from a prior table/append
@@ -628,27 +723,35 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
 
       // MERGE emulation for vanilla parquet (no Delta/Iceberg in this
       // stack), partition-scoped: rows live under key-hash bucket dirs
-      // (__gbucket = pmod(xxhash64(uniqueKey), buckets)), so a matched
-      // key is ALWAYS inside a touched bucket. Each merge reads only
-      // the buckets the new batch touches, anti-joins out updated
-      // keys, rewrites those buckets as one new batch, and swaps
-      // exactly their members in the manifest — O(touched buckets)
-      // I/O, never a table rewrite, untouched buckets' files unmoved.
-      case Materialization.IncrementalMerge(keys, buckets) =>
+      // (__gbucket = pmod(xxhash64(uniqueKey), buckets)), optionally
+      // UNDER a user partition dimension (part=…/__gbucket=…), so a
+      // matched key is ALWAYS inside a touched member. Each merge reads
+      // only the members the new batch touches (partitions ∩ buckets),
+      // anti-joins out updated keys, rewrites those members as one new
+      // batch, and swaps exactly them in the manifest — O(touched)
+      // I/O, never a table rewrite, untouched members' files unmoved.
+      // The user partition matters at scale: hash-only buckets degrade
+      // to an O(table) rewrite once a uniform delta has ≥ buckets keys,
+      // while deltas clustered on a date/tenant partition rewrite only
+      // those partitions' buckets (see IncrementalMerge scaladoc for
+      // the stable-partition-per-key contract).
+      case Materialization.IncrementalMerge(keys, buckets, userParts) =>
+        val partCols = userParts :+ GBucket
+        val depth = partCols.size
         val newB = df.withColumn(GBucket,
           pmod(xxhash64(keys.map(col): _*), lit(buckets)))
         def writePartitioned(data: DataFrame): (String, Seq[String]) = {
-          // cluster rows by bucket before the partitioned write:
-          // without it every write task emits a file into every bucket
-          // dir (tasks × buckets small files per batch — file-count
-          // death at scale); with it each bucket gets one file and
-          // write parallelism = touched buckets
+          // cluster rows by partition+bucket before the partitioned
+          // write: without it every write task emits a file into every
+          // leaf dir (tasks × leaves small files per batch — file-count
+          // death at scale); with it each leaf gets one file and
+          // write parallelism = touched leaves
           val batch = writeBatch(name, p => data
-            .repartition(col(GBucket)).write.mode("overwrite")
-            .partitionBy(GBucket).parquet(p))
-          (batch, partitionMembers(name, batch, 1))
+            .repartition(partCols.map(col): _*).write.mode("overwrite")
+            .partitionBy(partCols: _*).parquet(p))
+          (batch, partitionMembers(name, batch, depth))
         }
-        if (!tableExists(name)) {
+        if (!tableExists(name) || fullRefresh) {
           val (batch, members) = writePartitioned(newB)
           publishManifest(name, members, newB.schema)
           writtenCount(name, batch, newB.schema)
@@ -656,11 +759,12 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           val stored = currentSchema(name).getOrElse(newB.schema)
           val evolved = evolveSchema(name, stored, newB.schema)
           val cur = currentManifest(name).get
-          val nonPart = cur.filter(m => m.split('/').length != 3)
+          val nonPart = cur.filter(m => m.split('/').length != 2 + depth)
           require(nonPart.isEmpty,
-            s"merge on $name: existing members are not bucket-scoped " +
+            s"merge on $name: existing members are not scoped to " +
+              s"${partCols.mkString("/")} " +
               s"(e.g. ${nonPart.headOption.getOrElse("")}); full-refresh " +
-              "before switching materialization")
+              "before switching materialization or partitioning")
           // Write the new batch FIRST: the model's build lineage runs
           // exactly once, the written partition dirs name the touched
           // buckets, and the anti-join keys are re-read from the
@@ -691,7 +795,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   }
 
   /** Load one seed CSV (header + declared schema) and publish it. */
-  private def runSeed(seed: Seed): Long = {
+  private def runSeed(seed: Seed): Long = tracked {
     import spark.implicits._
     val df = spark.read.option("header", "true").schema(seed.schema)
       .csv(spark.createDataset(seed.csvLines))
@@ -709,7 +813,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * members are never rewritten (a full-history republish per
     * scheduled snapshot would be O(table)).
     */
-  private def runSnapshot(sn: SnapshotDef, asOf: String): Long = {
+  private def runSnapshot(sn: SnapshotDef, asOf: String): Long = tracked {
     val source =
       if (tableExists(sn.source)) readTable(sn.source)
       else spark.table(sn.source)
@@ -738,9 +842,32 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     writtenCount(sn.name, batch, out.schema)
   }
 
+  /** `run` flag parser: `--select <sel>`, `--threads <n>`,
+    * `--full-refresh` (dbt's escape hatch — rebuilds selected
+    * incremental/merge tables from scratch, the command the
+    * materialization-switch guards direct users to). Returns None on
+    * an unrecognized flag so runCommand reports "unknown command".
+    */
+  private def parseRunFlags(flags: Seq[String])
+      : Option[(Option[String], Int, Boolean)] = {
+    var sel: Option[String] = None
+    var threads = 1
+    var fullRefresh = false
+    var rest = flags.toList
+    while (rest.nonEmpty) rest match {
+      case "--select" :: v :: t => sel = Some(v); rest = t
+      case "--threads" :: v :: t if v.forall(_.isDigit) =>
+        threads = v.toInt; rest = t
+      case "--full-refresh" :: t => fullRefresh = true; rest = t
+      case _ => return None
+    }
+    Some((sel, threads, fullRefresh))
+  }
+
   /** One dbt-style command — the same argv surface the reference
     * shells out (`dbtoperator.py:35,46,324,334`): "debug",
-    * "run [--select sel]", "test", "seed", "snapshot --at <ts>".
+    * "run [--select sel] [--threads n] [--full-refresh]", "test",
+    * "seed", "snapshot --at <ts>".
     */
   def runCommand(command: String): CommandResult = {
     val parts = command.trim.split("\\s+").toSeq
@@ -758,19 +885,15 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           CommandResult(command, success = missing.isEmpty, Nil, Map.empty,
             if (missing.isEmpty) None
             else Some(s"unresolvable sources: ${missing.mkString(",")}"))
-        case "run" +: flags if flags.grouped(2).forall {
-            case Seq("--select", _) | Seq("--threads", _) => true
-            case _ => false } =>
-          val flagMap = flags.grouped(2)
-            .collect { case Seq(k, v) => k -> v }.toMap
-          val sel = flagMap.get("--select")
-          val threads = flagMap.get("--threads").map(_.toInt).getOrElse(1)
+        case "run" +: flags if parseRunFlags(flags).isDefined =>
+          val (sel, threads, fullRefresh) = parseRunFlags(flags).get
           val names = topoOrder(select(sel))
           val counts =
-            (if (threads <= 1) names.map(n => n -> runModel(n))
-             else runLevelled(names, threads)).toMap
+            (if (threads <= 1) names.map(n => n -> runModel(n, fullRefresh))
+             else runLevelled(names, threads, fullRefresh)).toMap
           logger.log(LogLevel.INFO,
-            s"ran ${names.size} models (threads=$threads)")
+            s"ran ${names.size} models (threads=$threads" +
+              (if (fullRefresh) ", full-refresh" else "") + ")")
           CommandResult(command, success = true, names,
             counts.filter(_._2 >= 0), None)
         case Seq("test") =>

@@ -33,9 +33,23 @@ object Materialization {
     * deterministic) and each merge rewrites O(touched buckets), never
     * the whole table. Size `buckets` so table_size/buckets fits a
     * comfortable rewrite unit (at 100 TB: thousands of buckets).
+    *
+    * `partitionBy` composes a USER partition dimension with the hash
+    * buckets: storage becomes `part=…/__gbucket=…` and a merge
+    * rewrites only `touched partitions ∩ touched buckets`. This is
+    * the 100 TB shape: with hash-only buckets, a uniformly-distributed
+    * delta of ≥ buckets keys touches EVERY bucket (hash-scatter
+    * amplification — each merge degrades to an O(table) rewrite), but
+    * real upsert deltas cluster on a time/tenant column, so
+    * partitioning by it localizes the rewrite to the delta's
+    * partitions. CONTRACT (same as Delta/Iceberg merge with partition
+    * pruning, and dbt-spark insert_overwrite): a key's partition value
+    * must be stable across upserts — a key that moves partitions
+    * leaves its old row behind in the unmerged partition.
     */
   final case class IncrementalMerge(uniqueKey: Seq[String],
-      buckets: Int = 16) extends Materialization
+      buckets: Int = 16,
+      partitionBy: Seq[String] = Nil) extends Materialization
 }
 
 /** One model: a named SELECT over sources and upstream models

@@ -135,6 +135,33 @@ object PipelineOps extends QueryGroup {
       r2.readTable("mim_cust").orderBy("c_custkey")
     }),
 
+    // Merge composed with a user partition column (the 100 TB shape:
+    // storage is o_orderstatus=…/__gbucket=…, so a delta confined to
+    // one status rewrites only that partition's touched buckets, never
+    // the whole bucket space). Batch 1 loads all orders at ver=1;
+    // batch 2 upserts only status-'O' rows at ver=2.
+    "mat_incremental_merge_partitioned" -> ((s, d) => {
+      val wh = freshWh("mat_incremental_merge_part")
+      def spec(build: SparkSession => DataFrame) = PipelineSpec(Seq(Model(
+        "mimp_ord", Nil,
+        Materialization.IncrementalMerge(Seq("o_orderkey"), buckets = 8,
+          partitionBy = Seq("o_orderstatus")),
+        (sp, _) => build(sp))))
+      mustSucceed(new PipelineRunner(s,
+        spec(sp => Tables.orders(sp, d)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            lit(1).as("ver"))), wh).run(Seq("run")))
+      val r2 = new PipelineRunner(s,
+        spec(sp => Tables.orders(sp, d)
+          .filter(col("o_orderstatus") === "O")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            lit(2).as("ver"))), wh)
+      mustSucceed(r2.run(Seq("run")))
+      r2.readTable("mimp_ord")
+        .select("o_orderkey", "o_orderstatus", "ver")
+        .orderBy("o_orderkey")
+    }),
+
     // ---- snapshots --------------------------------------------------------
     // Two `snapshot --at` command runs against the same warehouse with
     // a deterministic segment change for custkey % 5 = 0 between them;
@@ -317,6 +344,11 @@ object PipelineOps extends QueryGroup {
       """SELECT c_custkey, c_mktsegment,
         |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "mat_incremental_merge_partitioned" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'O' THEN 2 ELSE 1 END AS ver
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "snapshot_scd2" ->
       """SELECT c_custkey, c_mktsegment AS seg,

@@ -631,6 +631,170 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(!hist.columns.contains("__open"))
   }
 
+  test("partitioned merge rewrites touched-partition ∩ touched-bucket only") {
+    val w = wh()
+    def spec(rows: Seq[(Long, String, String)]) = PipelineSpec(Seq(Model(
+      "pmp", Nil,
+      Materialization.IncrementalMerge(Seq("id"), buckets = 4,
+        partitionBy = Seq("dt")),
+      (sp, _) => { import sp.implicits._; rows.toDF("id", "dt", "v") })))
+    // batch 1: two date partitions, keys spread over all buckets
+    val r1 = new PipelineRunner(spark,
+      spec((1L to 40L).map(i =>
+        (i, if (i <= 20) "2024-01-01" else "2024-01-02", "v1"))), w)
+    assert(r1.run(Seq("run")).success)
+    val m1 = manifestMembers(r1, "pmp")
+    assert(m1.forall(m => m.contains("dt=") && m.contains("__gbucket=")),
+      s"members must be partition+bucket scoped: $m1")
+    // batch 2: a delta of MANY keys, all confined to one partition —
+    // with hash-only buckets this would touch every bucket of the
+    // whole table; with the composed layout it must leave every
+    // dt=2024-01-02 member's exact file path unmoved
+    val r2 = new PipelineRunner(spark,
+      spec((1L to 20L).map(i => (i, "2024-01-01", "v2"))), w)
+    assert(r2.run(Seq("run")).success)
+    val m2 = manifestMembers(r2, "pmp")
+    val day2Before = m1.filter(_.contains("dt=2024-01-02"))
+    assert(day2Before.subsetOf(m2),
+      s"untouched partition's members must keep exact paths: " +
+        s"missing=${day2Before -- m2}")
+    assert((m1 -- m2).forall(_.contains("dt=2024-01-01")))
+    // merge semantics intact across partitions
+    val state = r2.readTable("pmp").orderBy("id")
+      .select("id", "v").as[(Long, String)].collect().toSeq
+    assert(state.size == 40)
+    assert(state.take(20).forall(_._2 == "v2"))
+    assert(state.drop(20).forall(_._2 == "v1"))
+    assert(!r2.readTable("pmp").columns.contains("__gbucket"))
+  }
+
+  test("run --full-refresh rebuilds through a materialization switch") {
+    val w = wh()
+    // built as incremental append first (whole-batch members) …
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+    val app = PipelineSpec(Seq(Model("fr", Nil,
+      Materialization.IncrementalAppend("ts"),
+      (sp, _) => { import sp.implicits._
+        Seq((1L, t0, "old")).toDF("id", "ts", "v") })))
+    assert(new PipelineRunner(spark, app, w).run(Seq("run")).success)
+    // … switching to merge without full refresh trips the layout guard
+    def mergeSpec(v: String) = PipelineSpec(Seq(Model("fr", Nil,
+      Materialization.IncrementalMerge(Seq("id"), buckets = 4),
+      (sp, _) => { import sp.implicits._
+        Seq((1L, t0, v), (2L, t0, v)).toDF("id", "ts", "v") })))
+    val guarded = new PipelineRunner(spark, mergeSpec("new"), w).run(Seq("run"))
+    assert(!guarded.success)
+    assert(guarded.results.head.error.exists(_.contains("full-refresh")))
+    // --full-refresh is the escape hatch: rebuilds in merge layout
+    val r2 = new PipelineRunner(spark, mergeSpec("new"), w)
+    assert(r2.run(Seq("run --full-refresh")).success)
+    assert(manifestMembers(r2, "fr").forall(_.contains("__gbucket=")))
+    // subsequent *incremental* merges now work
+    val r3 = new PipelineRunner(spark, mergeSpec("newer"), w)
+    assert(r3.run(Seq("run")).success)
+    assert(r3.readTable("fr").orderBy("id").select("v")
+      .as[String].collect().toSeq == Seq("newer", "newer"))
+    // --select composes with --full-refresh
+    assert(new PipelineRunner(spark, mergeSpec("x"), w)
+      .run(Seq("run --full-refresh --select fr")).success)
+  }
+
+  test("a failing level settles before the command returns (threads)") {
+    val w = wh()
+    val spec = PipelineSpec(Seq(
+      Model("lv_bad", Nil, Materialization.Table,
+        (_, _) => sys.error("boom")),
+      Model("lv_slow", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._
+          Thread.sleep(1500)
+          Seq((1L, "slow")).toDF("id", "v") })))
+    val r = new PipelineRunner(spark, spec, w)
+    val res = r.run(Seq("run --threads 2"))
+    assert(!res.success)
+    // the level was awaited: the slow sibling either published before
+    // the command returned or not at all — nothing publishes AFTER
+    val existedAtReturn = r.tableExists("lv_slow")
+    Thread.sleep(2000)
+    assert(r.tableExists("lv_slow") == existedAtReturn,
+      "no sibling may publish after the command has returned failure")
+  }
+
+  test("streamids sidecar stays O(tail) over many batches") {
+    val w = wh()
+    val r = new PipelineRunner(spark, PipelineSpec(Nil), w)
+    val df = Seq((1L, "x")).toDF("id", "v")
+    // out-of-order commits: hwm + tail must fold correctly
+    assert(r.appendBatch("sb", df, 0L) == 1L)
+    assert(r.appendBatch("sb", df, 2L) == 1L)
+    assert(r.appendBatch("sb", df, 1L) == 1L)
+    // replays of anything ≤ hwm or in tail are no-ops
+    assert(r.appendBatch("sb", df, 0L) == 0L)
+    assert(r.appendBatch("sb", df, 2L) == 0L)
+    for (id <- 3L until 200L) assert(r.appendBatch("sb", df, id) == 1L)
+    assert(r.appendBatch("sb", df, 150L) == 0L)
+    val root = java.nio.file.Paths.get(r.tablePath("sb"))
+    val gen = java.nio.file.Files.readString(root.resolve("_CURRENT")).trim
+    val sidecar = java.nio.file.Files
+      .readString(root.resolve(s"$gen.streamids"))
+    assert(sidecar.trim == "hwm:199",
+      s"sidecar must be a folded hwm, not an id list: '$sidecar'")
+    // compaction preserves the bookkeeping
+    r.compact("sb")
+    assert(r.appendBatch("sb", df, 42L) == 0L)
+    assert(r.appendBatch("sb", df, 200L) == 1L)
+    assert(r.readTable("sb").count() == 201L)
+  }
+
+  test("compact preserves visible partition layout (insert_overwrite)") {
+    val w = wh()
+    def spec(rows: Seq[(Long, String, Int)]) = PipelineSpec(Seq(Model(
+      "cio", Nil, Materialization.IncrementalInsertOverwrite(Seq("part")),
+      (sp, _) => { import sp.implicits._; rows.toDF("id", "part", "ver") })))
+    assert(new PipelineRunner(spark,
+      spec(Seq((1L, "A", 1), (2L, "B", 1))), w).run(Seq("run")).success)
+    val r2 = new PipelineRunner(spark, spec(Seq((3L, "B", 2))), w)
+    assert(r2.run(Seq("run")).success)
+    r2.compact("cio")
+    // members stay partition-scoped, so the NEXT incremental run's
+    // layout guard passes and replacement stays partition-granular
+    assert(manifestMembers(r2, "cio").forall(_.contains("part=")),
+      s"compacted members must keep part= dirs: ${manifestMembers(r2, "cio")}")
+    val r3 = new PipelineRunner(spark, spec(Seq((9L, "A", 3))), w)
+    assert(r3.run(Seq("run")).success)
+    val state = r3.readTable("cio").orderBy("id")
+      .select("id", "part", "ver").as[(Long, String, Int)].collect().toSeq
+    assert(state == Seq((3L, "B", 2), (9L, "A", 3)))
+  }
+
+  test("zero-member batches are vacuumable, and gen ids are ordered") {
+    val w = wh()
+    // a no-new-data insert_overwrite run writes a _SUCCESS-only batch
+    // dir that commits ZERO manifest members — it must not stay
+    // "staged" forever and dodge vacuum for the runner's lifetime
+    def spec(rows: Seq[(Long, String)]) = PipelineSpec(Seq(Model(
+      "gv", Nil, Materialization.IncrementalInsertOverwrite(Seq("part")),
+      (sp, _) => { import sp.implicits._; rows.toDF("id", "part") })))
+    val r = new PipelineRunner(spark, spec(Seq((1L, "A"))), w)
+    assert(r.run(Seq("run", "run --select gv")).success)
+    // second run wrote a batch; rerun with no data:
+    val rEmpty = new PipelineRunner(spark, spec(Nil), w)
+    assert(rEmpty.run(Seq("run")).success)
+    val dataDir = java.nio.file.Paths.get(r.tablePath("gv"), "data")
+    def batches() = java.nio.file.Files.list(dataDir).count()
+    assert(batches() >= 3, "empty run leaves a _SUCCESS-only batch dir")
+    rEmpty.vacuum("gv")
+    assert(batches() == 1,
+      "vacuum must GC zero-member and superseded batches")
+    assert(rEmpty.readTable("gv").count() == 1)
+    // generation ids are small monotonic ints (cross-process safe),
+    // not per-boot nanoTime
+    val r2 = new PipelineRunner(spark, spec(Seq((2L, "B"))), w)
+    assert(r2.run(Seq("run")).success)
+    val ids = r2.generations("gv").map(_.stripPrefix("gen_").toLong)
+    assert(ids == ids.sorted && ids.last < 1000000L,
+      s"gen ids must be monotonic counters: $ids")
+  }
+
   test("freshness status transitions on the injected clock") {
     val df = Seq(Tuple1(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("ts")

@@ -95,6 +95,107 @@ object Dedup {
       .filter(col("est_sim") >= threshold)
   }
 
+  /** LSH band rows (id, band, bsig) — the blocking signature shared by
+    * one-shot near-dup pairing and incremental corpus dedup. Map-only:
+    * one native single-pass signature per doc, `bands` rows out.
+    */
+  def bandRows(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 32, bands: Int = 8,
+               shingleLen: Int = 5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    graft.functions.TextSignatures.register(df.sparkSession)
+    df.select(col(idCol).as("id"),
+      graft.functions.TextSignatures.minHashSig(col(textCol), k, shingleLen)
+        .as("sig"))
+      .select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64((lit(b) +: (0 until rows).map(r =>
+            col("sig")(b * rows + r))): _*)): _*))
+          .as(Seq("band", "bsig")))
+  }
+
+  /** Greedy (lexicographically-first) dedup over band rows: a doc is
+    * KEPT iff it shares no band bucket with any kept lower-id doc —
+    * exactly the sequential "process docs in id order, drop anything
+    * near-dup'ing the kept set" semantics, computed distributedly as
+    * parallel first-MIS rounds: each round keeps the docs that are the
+    * minimum of every bucket they occupy (no smaller undecided
+    * neighbor), drops everything sharing a bucket with a new keeper,
+    * and repeats on the rest. The global minimum always wins a round,
+    * so progress is guaranteed; typical convergence is O(log) rounds.
+    * Returns one `id` row per kept doc.
+    */
+  def greedyKeep(bands0: DataFrame, maxIter: Int = 50,
+                 cut: Cut = localCut): DataFrame = {
+    var alive = cut(bands0.select("id", "band", "bsig"))
+    var kept = alive.select("id").limit(0)
+    var i = 0
+    var done = alive.isEmpty
+    while (!done && i < maxIter) {
+      val bucketMin = alive.groupBy("band", "bsig")
+        .agg(min(col("id")).as("bmin"))
+      val winners = cut(alive.join(bucketMin, Seq("band", "bsig"))
+        .groupBy("id").agg(min(col("bmin")).as("mn"))
+        .filter(col("mn") === col("id")).select("id"))
+      kept = kept.unionByName(winners)
+      // a doc sharing ANY bucket with a new keeper is a duplicate —
+      // drop ALL its band rows (not just the colliding ones), or it
+      // could win a later round through its other buckets
+      val winnerBuckets = alive.join(winners, Seq("id"), "left_semi")
+        .select("band", "bsig").distinct()
+      val dominated = alive
+        .join(winnerBuckets, Seq("band", "bsig"), "left_semi")
+        .select("id").distinct()
+      alive = cut(alive.join(dominated, Seq("id"), "left_anti"))
+      done = alive.isEmpty
+      i += 1
+    }
+    require(done, s"greedyKeep: not converged after $maxIter rounds")
+    kept
+  }
+
+  /** Incremental corpus dedup — the production shape of training-data
+    * curation: dedup a NEW document batch against the existing corpus
+    * WITHOUT rescanning it. The warehouse table `table` persists the
+    * band signatures of every kept doc; a new doc colliding with any
+    * stored band is dropped, the rest run `greedyKeep` within the
+    * batch, and the survivors' bands are appended (atomically,
+    * idempotent per `batchId` via the storage layer's exactly-once
+    * append — though a replayed batch recomputes against the
+    * already-updated corpus, so only the first run's return value is
+    * the batch's kept set).
+    *
+    * Semantics equivalence (property-tested): processing batches in
+    * id order, incremental(b1 then b2) ≡ greedyKeep(b1 ∪ b2) —
+    * greedy decisions only ever look at lower-id kept docs, which is
+    * exactly what the persisted band table holds.
+    *
+    * Scale shape: per batch, one map-only signature pass over the NEW
+    * docs, one band anti-join against the corpus table (shuffle is
+    * O(batch bands + corpus bands keys), the corpus text is never
+    * re-read), the in-batch MIS rounds, and one O(batch) append.
+    */
+  def dedupIncremental(runner: graft.pipeline.PipelineRunner,
+                       table: String, batch: DataFrame,
+                       idCol: String, textCol: String, batchId: Long,
+                       k: Int = 32, bands: Int = 8, shingleLen: Int = 5,
+                       maxIter: Int = 50, cut: Cut = localCut): DataFrame = {
+    val nb = cut(bandRows(batch, idCol, textCol, k, bands, shingleLen))
+    val candidates =
+      if (!runner.tableExists(table)) nb
+      else {
+        val corpus = runner.readTable(table).select("band", "bsig")
+        val collide = nb.join(corpus, Seq("band", "bsig"), "left_semi")
+          .select("id").distinct()
+        nb.join(collide, Seq("id"), "left_anti")
+      }
+    val kept = greedyKeep(candidates, maxIter, cut)
+    val keptBands = candidates.join(kept, Seq("id"), "left_semi")
+    runner.appendBatch(table, keptBands, batchId)
+    kept
+  }
+
   /** 64-bit frequency-weighted SimHash over lowercase [a-z0-9] token
     * runs, computed by the native single-pass `graft_simhash`
     * expression — a map-only projection (no token explode, no

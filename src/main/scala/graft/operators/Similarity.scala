@@ -168,28 +168,45 @@ object Similarity {
     * update — matches `ivfTopK`'s cosine assignment; cosine is
     * scale-invariant so the un-normalized mean is a valid centroid).
     *
-    * Determinism: init picks the k vectors with the smallest
-    * `xxhash64(vec_id)` (a seeded pseudo-random draw, identical on
-    * every run) and runs a FIXED `iters` Lloyd iterations — no
-    * data-dependent stopping, so plans and results are reproducible.
+    * Determinism — bit-exact across runs AND cluster layouts: init
+    * picks the k vectors with the smallest `xxhash64(vec_id)` (a
+    * seeded pseudo-random draw, identical on every run), runs a FIXED
+    * `iters` Lloyd iterations, and the per-dimension mean aggregates
+    * component SUMS as fixed-scale DECIMALs (exact, associative —
+    * independent of shuffle merge order) before one final division; a
+    * plain double `avg` depends on partial-merge order and could
+    * drift in the low bits between runs, flipping near-tie
+    * assignments.
+    *
+    * `sampleFraction` trains on a deterministic hash-sample of the
+    * input (`xxhash64(vec_id)` bucketing, so the SAME rows are chosen
+    * every run) — the typed form of the 100 TB guidance: the coarse
+    * quantizer needs the density shape, not every row, so train on a
+    * sample and ship the centroids; assignment of the full corpus
+    * stays map-only.
     *
     * Scale shape: per iteration the centroids are plan literals
     * (k·dims doubles), so assignment is MAP-ONLY (argmax over an array
     * of structs — no crossJoin, no window shuffle); the only shuffle
-    * is the (cid, dim) partial-mean aggregation, k·dims rows to the
-    * driver. The data never moves. At 100 TB train on a small sample
-    * (the quantizer needs the density shape, not every row) and ship
-    * the resulting centroid frame to `ivfTopK`.
+    * is the (cid, dim) partial-sum aggregation, k·dims rows to the
+    * driver. The data never moves.
     */
-  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 5,
+                      sampleFraction: Double = 1.0): DataFrame = {
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1]: $sampleFraction")
     val spark = emb.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
+    val training =
+      if (sampleFraction >= 1.0) emb
+      else emb.filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) <
+        lit((sampleFraction * 1000000L).toLong))
     // precompute the per-row norm ONCE (shared by all k comparisons)
     // and keep dots on the native codegen'd VecDot — the higher-order
     // aggregate(zip_with(...)) form dispatches a lambda per element
     // and made training ~50× slower at sf0.1
-    val vecs = emb.select(col("vec_id"), col("embedding")
+    val vecs = training.select(col("vec_id"), col("embedding")
       .cast(ArrayType(DoubleType)).as("v"))
       .withColumn("vn",
         sqrt(graft.functions.GraftFunctions.vecDot(col("v"), col("v"))))
@@ -198,7 +215,8 @@ object Similarity {
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h", "vec_id").limit(k)
       .select("v").collect().map(_.getSeq[Double](0)).toSeq
-    require(cents.nonEmpty, "kmeansCentroids: no input vectors")
+    require(cents.nonEmpty, "kmeansCentroids: no input vectors " +
+      "(empty input or sampleFraction too small)")
     for (_ <- 0 until iters) {
       val cosArr = array(cents.map { cv =>
         val cn = math.sqrt(cv.map(x => x * x).sum)
@@ -210,7 +228,11 @@ object Similarity {
       val cid = (array_position(cosArr, array_max(cosArr)) - 1).cast("int")
       val means = vecs
         .select(cid.as("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        // exact fixed-scale decimal sum: associative/commutative, so
+        // the result is identical under any shuffle merge order
+        .groupBy("cid", "pos").agg(
+          (sum(col("x").cast(DecimalType(32, 14))) /
+            count(lit(1))).cast(DoubleType).as("m"))
         .collect()
         .groupBy(_.getInt(0))
       cents = cents.zipWithIndex.map { case (old, i) =>

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryGroup, Tables}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, VectorIndex}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -12,6 +12,22 @@ import org.apache.spark.sql.types._
   * Multimodal); these register the driver-checkable query keys.
   */
 object LlmOps extends QueryGroup {
+
+  /** Scratch warehouse/fixture dir under target/ (git-ignored),
+    * deleted at JVM exit — same pattern as PipelineOps.
+    */
+  private def freshDir(key: String): String = {
+    val base = java.nio.file.Paths.get("/root/repo/target/scratch")
+    java.nio.file.Files.createDirectories(base)
+    val dir = java.nio.file.Files.createTempDirectory(base, key)
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(dir)
+      val all = try s.iterator().asScala.toSeq finally s.close()
+      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    dir.toString
+  }
 
   override def queries: Map[String, Q] = Map(
     "llm_exact_dedup" -> ((s, d) =>
@@ -95,6 +111,77 @@ object LlmOps extends QueryGroup {
         cosFn = graft.functions.GraftFunctions.vecCosine)
         .select("qid", "cid", "cos", "rn")
         .orderBy("qid", "rn")
+    }),
+
+    // PERSISTED IVF index — the production ANN shape: the quantizer is
+    // trained once and stored as warehouse tables (centroids +
+    // inverted lists); a later batch of vectors is assigned MAP-ONLY
+    // against the stored centroids and appended (the existing corpus
+    // is never re-read, no k-means reruns); search probes the stored
+    // lists. No oracle (custom index); reuse + from-scratch
+    // equivalence unit-tested in SimilaritySpec.
+    "llm_ann_ivf_persisted" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.pipeline.{PipelineRunner, PipelineSpec}
+      val r = new PipelineRunner(s, PipelineSpec(Nil), freshDir("ivf_idx"))
+      val emb = Tables.embeddings(s, d)
+      val cosFn = graft.functions.GraftFunctions.vecCosine(_, _)
+      // initial corpus → train + assign; later arrivals → incremental
+      VectorIndex.ensureIvf(r, "ivx", emb.filter(col("vec_id") % 10 =!= 0),
+        nlist = 16, iters = 3, cosFn = cosFn)
+      VectorIndex.appendVectors(r, "ivx",
+        emb.filter(col("vec_id") % 10 === 0), batchId = 1L, cosFn)
+      VectorIndex.search(r, "ivx", emb.filter(col("vec_id") < 5),
+        nprobe = 4, k = 5, cosFn)
+        .select("qid", "cid", "cos", "rn")
+        .orderBy("qid", "rn")
+    }),
+
+    // Incremental corpus dedup — dedup a NEW batch against the
+    // existing corpus via the persisted band-signature table, without
+    // rescanning corpus text. Returns every kept doc across both
+    // batches. No oracle (custom hash family); the batch-split ≡
+    // one-shot equivalence is property-tested in DedupSpec.
+    "llm_incremental_dedup" -> ((s, d) => {
+      import graft.pipeline.{PipelineRunner, PipelineSpec}
+      val r = new PipelineRunner(s, PipelineSpec(Nil), freshDir("inc_dedup"))
+      val docs = Tables.documents(s, d)
+      val split = 500L
+      val kept1 = Dedup.dedupIncremental(r, "corpus_bands",
+        docs.filter(col("doc_id") < split), "doc_id", "text", batchId = 0L)
+      val kept2 = Dedup.dedupIncremental(r, "corpus_bands",
+        docs.filter(col("doc_id") >= split), "doc_id", "text", batchId = 1L)
+      kept1.unionByName(kept2).orderBy("id")
+    }),
+
+    // Real-file multimodal ingestion: fixture bytes land as one file
+    // per doc, `binaryFile` reads them back (path/length/content), the
+    // id is parsed from the file name, and the decoder seam runs over
+    // the content column. Content derives from documents.text, so the
+    // whole read path is hash-checkable against the oracle.
+    "mm_binaryfile_source" -> ((s, d) => {
+      val dir = java.nio.file.Paths.get(freshDir("binfiles"))
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select("doc_id", "text").collect()
+        .foreach { r0 =>
+          java.nio.file.Files.write(
+            dir.resolve(f"doc_${r0.getLong(0)}%06d.bin"),
+            r0.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      val files = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin").load(dir.toString)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          col("content"))
+      Multimodal.decodeMeta(files, "doc_id", "content",
+          Multimodal.StubDecoder)
+        .select(col("doc_id"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.format").as("format"))
+        .orderBy("doc_id")
     }),
 
     // Embedding-cosine near-dup on a bounded id range, fully integer-
@@ -397,6 +484,17 @@ object LlmOps extends QueryGroup {
         |  lower(hex(encode(left(text, 8)))) AS head_hex,
         |  md5(text) AS payload_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the binaryFile content IS documents.text as UTF-8 bytes, so the
+    // whole write-files → binaryFile-scan → decode path is hash-checked
+    "mm_binaryfile_source" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |  CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CASE WHEN octet_length(encode(text)) % 2 = 0
+        |       THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
     // the stub decoder's metadata is pure arithmetic on byte length —
     // fully oracle-able, so the mapPartitions plumbing is hash-checked

@@ -130,6 +130,79 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(cached == default)
   }
 
+  /** Sequential greedy reference: process docs in id order, keep a doc
+    * iff it shares no band bucket with an already-kept doc.
+    */
+  private def seqGreedy(bandRows: Seq[(Long, Int, Long)]): Set[Long] = {
+    val byDoc = bandRows.groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    val keptBuckets = scala.collection.mutable.Set.empty[(Int, Long)]
+    val kept = scala.collection.mutable.Set.empty[Long]
+    byDoc.keys.toSeq.sorted.foreach { id =>
+      if (!byDoc(id).exists(keptBuckets)) {
+        kept += id; keptBuckets ++= byDoc(id)
+      }
+    }
+    kept.toSet
+  }
+
+  /** Random docs over a tiny vocab + explicit near-copies so band
+    * collisions actually happen.
+    */
+  private def randomDocs(seed: Int, n: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val out = scala.collection.mutable.Buffer.empty[(Long, String)]
+    (0 until n).foreach { i =>
+      val d =
+        if (i % 3 == 2) out(i - 1)._2 + " tail" + rnd.nextInt(2) // near-copy
+        else Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      out += ((i.toLong, d))
+    }
+    out.toSeq
+  }
+
+  test("greedyKeep equals the sequential greedy reference") {
+    for (seed <- Seq(1, 2, 3)) {
+      val docs = randomDocs(seed, 30).toDF("doc_id", "text")
+      val bands = Dedup.bandRows(docs, "doc_id", "text", k = 16, bands = 4)
+      val collected = bands.as[(Long, Int, Long)].collect().toSeq
+      val expected = seqGreedy(collected)
+      val got = Dedup.greedyKeep(bands).as[Long].collect().toSet
+      assert(got == expected, s"seed=$seed: got=$got expected=$expected")
+    }
+  }
+
+  test("incremental dedup ≡ one-shot greedy over the union (property)") {
+    for (seed <- Seq(11, 12)) {
+      val all = randomDocs(seed, 30)
+      val docs = all.toDF("doc_id", "text")
+      val oneShot = Dedup.greedyKeep(
+        Dedup.bandRows(docs, "doc_id", "text", k = 16, bands = 4))
+        .as[Long].collect().toSet
+      val base = java.nio.file.Paths.get("/root/repo/target/scratch-test")
+      java.nio.file.Files.createDirectories(base)
+      val wh = java.nio.file.Files.createTempDirectory(base, "dd").toString
+      val r = new graft.pipeline.PipelineRunner(spark,
+        graft.pipeline.PipelineSpec(Nil), wh)
+      val split = 15L
+      val b1 = docs.filter(col("doc_id") < split)
+      val b2 = docs.filter(col("doc_id") >= split)
+      val k1 = Dedup.dedupIncremental(r, "cb", b1, "doc_id", "text",
+        batchId = 0L, k = 16, bands = 4).as[Long].collect().toSet
+      val k2 = Dedup.dedupIncremental(r, "cb", b2, "doc_id", "text",
+        batchId = 1L, k = 16, bands = 4).as[Long].collect().toSet
+      assert(k1.union(k2) == oneShot,
+        s"seed=$seed: incremental=${k1.union(k2)} oneShot=$oneShot")
+      // the corpus state holds exactly the kept docs' bands
+      val stored = r.readTable("cb").select("id").distinct()
+        .as[Long].collect().toSet
+      assert(stored == oneShot)
+    }
+  }
+
   test("jaccardForPairs computes exact token-set jaccard") {
     val df = Seq((1L, "a b c d"), (2L, "c d e f")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")

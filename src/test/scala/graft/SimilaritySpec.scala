@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Similarity
+import graft.operators.{Similarity, VectorIndex}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -125,6 +125,53 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.contains((7L, 101L)))
     // a < b invariant, no self-pairs
     assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("kmeans centroids are bit-identical across runs at sampleFraction < 1") {
+    def run() = Similarity
+      .kmeansCentroids(emb, k = 4, iters = 3, sampleFraction = 0.5)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val a = run(); val b = run()
+    assert(a.length == 4)
+    // the decimal-sum mean is order-insensitive → EXACT equality, not
+    // an epsilon — and the hash-sample picks the same rows every run
+    assert(a == b)
+    // the sample is a strict subset: training on it differs from the
+    // full-corpus quantizer (proves the fraction actually applies)
+    val full = Similarity.kmeansCentroids(emb, k = 4, iters = 3)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    assert(a != full)
+  }
+
+  test("persisted IVF index: reuse skips training, search ≡ from-scratch") {
+    val base = java.nio.file.Paths.get("/root/repo/target/scratch-test")
+    java.nio.file.Files.createDirectories(base)
+    val wh = java.nio.file.Files.createTempDirectory(base, "ivf").toString
+    val r = new graft.pipeline.PipelineRunner(spark,
+      graft.pipeline.PipelineSpec(Nil), wh)
+    val oldVecs = emb.filter(col("vec_id") < 30)
+    val newVecs = emb.filter(col("vec_id") >= 30)
+    assert(VectorIndex.ensureIvf(r, "ix", oldVecs, nlist = 4, iters = 3),
+      "first call must train")
+    assert(!VectorIndex.ensureIvf(r, "ix", oldVecs, nlist = 4, iters = 3),
+      "second call must reuse the stored index (no k-means jobs)")
+    // incremental arrival: only the new batch is assigned + appended
+    assert(VectorIndex.appendVectors(r, "ix", newVecs, batchId = 1L) ==
+      newVecs.count())
+    // replayed batch id → exactly-once no-op
+    assert(VectorIndex.appendVectors(r, "ix", newVecs, batchId = 1L) == 0L)
+    val queries = emb.filter(col("vec_id") < 3)
+    val persisted = VectorIndex.search(r, "ix", queries, nprobe = 2, k = 3)
+      .select("qid", "cid", "rn").as[(Long, Long, Int)]
+      .collect().toSet
+    // from-scratch over the FULL corpus with the same stored centroids
+    // (assignment expression is identical → same lists → same top-k)
+    val cents = r.readTable(VectorIndex.centroidsTable("ix"))
+      .select(col("cid").as("vec_id"), col("centroid").as("embedding"))
+    val scratch = Similarity.ivfTopK(queries, emb, cents, nprobe = 2, k = 3)
+      .select("qid", "cid", "rn").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(persisted == scratch && persisted.nonEmpty)
   }
 
   test("double cosine agrees with decimal cosine to 1e-6") {

@@ -867,7 +867,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   /** One dbt-style command — the same argv surface the reference
     * shells out (`dbtoperator.py:35,46,324,334`): "debug",
     * "run [--select sel] [--threads n] [--full-refresh]", "test",
-    * "seed", "snapshot --at <ts>".
+    * "seed", "snapshot --at <ts>", "source freshness --at <ts>".
     */
   def runCommand(command: String): CommandResult = {
     val parts = command.trim.split("\\s+").toSeq
@@ -916,6 +916,27 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             .map(sn => sn.name -> runSnapshot(sn, asOf)).toMap
           CommandResult(command, success = true,
             spec.snapshots.map(_.name), counts, None)
+        // `dbt source freshness` — the standard dbt subcommand the
+        // reference can pass through its arbitrary-argv surface
+        // (`dbtoperator.py:35,46`); `--at` injects the clock so runs
+        // are deterministic. Fails when any source is in error state.
+        case Seq("source", "freshness", "--at", asOf) =>
+          val reports = spec.freshness.map { f =>
+            val df =
+              if (tableExists(f.source)) readTable(f.source)
+              else spark.table(f.source)
+            f.source -> Freshness.check(df, f.source, f.tsCol, asOf,
+              f.warnAfterSec, f.errorAfterSec)
+              .head().getAs[String]("status")
+          }
+          reports.filter(_._2 == "warn").foreach { case (s, _) =>
+            logger.log(LogLevel.WARNING, s"source $s freshness: warn")
+          }
+          val stale = reports.filter(_._2 == "error").map(_._1)
+          CommandResult(command, success = stale.isEmpty,
+            spec.freshness.map(_.source), Map.empty,
+            if (stale.isEmpty) None
+            else Some(s"stale sources: ${stale.mkString(",")}"))
         case other =>
           CommandResult(command, success = false, Nil, Map.empty,
             Some(s"unknown command: ${other.mkString(" ")}"))

@@ -137,9 +137,21 @@ final case class SnapshotDef(
     keyCols: Seq[String],
     compareCols: Seq[String])
 
+/** dbt source-freshness config: warn/error when `max(tsCol)` of
+  * `source` ages past the thresholds (checked by the
+  * `source freshness --at <ts>` command; the clock is injected for
+  * determinism where dbt uses wall-clock).
+  */
+final case class FreshnessDef(
+    source: String,
+    tsCol: String,
+    warnAfterSec: Long,
+    errorAfterSec: Long)
+
 final case class PipelineSpec(
     models: Seq[Model],
     tests: Seq[DataTest] = Nil,
     sources: Map[String, String] = Map.empty,
     seeds: Seq[Seed] = Nil,
-    snapshots: Seq[SnapshotDef] = Nil)
+    snapshots: Seq[SnapshotDef] = Nil,
+    freshness: Seq[FreshnessDef] = Nil)

@@ -126,9 +126,12 @@ object LlmOps extends QueryGroup {
       val r = new PipelineRunner(s, PipelineSpec(Nil), freshDir("ivf_idx"))
       val emb = Tables.embeddings(s, d)
       val cosFn = graft.functions.GraftFunctions.vecCosine(_, _)
-      // initial corpus → train + assign; later arrivals → incremental
+      // initial corpus → train + assign; later arrivals → incremental.
+      // Training samples ~20% (deterministic hash-sample): the coarse
+      // quantizer needs the density shape, not every row — the 100 TB
+      // practice, and the fixture is big enough for 16 centroids.
       VectorIndex.ensureIvf(r, "ivx", emb.filter(col("vec_id") % 10 =!= 0),
-        nlist = 16, iters = 3, cosFn = cosFn)
+        nlist = 16, iters = 3, sampleFraction = 0.2, cosFn = cosFn)
       VectorIndex.appendVectors(r, "ivx",
         emb.filter(col("vec_id") % 10 === 0), batchId = 1L, cosFn)
       VectorIndex.search(r, "ivx", emb.filter(col("vec_id") < 5),
@@ -146,7 +149,9 @@ object LlmOps extends QueryGroup {
       import graft.pipeline.{PipelineRunner, PipelineSpec}
       val r = new PipelineRunner(s, PipelineSpec(Nil), freshDir("inc_dedup"))
       val docs = Tables.documents(s, d)
-      val split = 500L
+      // 250 keeps BOTH batches non-empty at every fixture SF
+      // (documents has 500 rows at sf≤0.01, 5000 at sf0.1)
+      val split = 250L
       val kept1 = Dedup.dedupIncremental(r, "corpus_bands",
         docs.filter(col("doc_id") < split), "doc_id", "text", batchId = 0L)
       val kept2 = Dedup.dedupIncremental(r, "corpus_bands",

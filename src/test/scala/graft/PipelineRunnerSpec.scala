@@ -795,6 +795,25 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       s"gen ids must be monotonic counters: $ids")
   }
 
+  test("source freshness runs as a command: pass/warn ok, error fails") {
+    val w = wh()
+    val spec = PipelineSpec(
+      models = Seq(Model("fs_src", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._
+          Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+            .toDF("id", "ts") })),
+      freshness = Seq(FreshnessDef("fs_src", "ts",
+        warnAfterSec = 3600, errorAfterSec = 7200)))
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.run(Seq("run",
+      "source freshness --at 2024-01-01T00:30:00")).success)
+    // warn ages still succeed (dbt exit code 0 on warn)
+    assert(r.runCommand("source freshness --at 2024-01-01T01:30:00").success)
+    val err = r.runCommand("source freshness --at 2024-01-01T03:00:00")
+    assert(!err.success)
+    assert(err.error.exists(_.contains("fs_src")))
+  }
+
   test("freshness status transitions on the injected clock") {
     val df = Seq(Tuple1(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("ts")

@@ -521,22 +521,32 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   } }
 
   /** Garbage-collect batches and manifests no longer referenced by the
-    * current generation (failed writes, superseded full refreshes).
+    * retained generations (failed writes, superseded full refreshes).
+    * `keepGenerations` is the time-travel retention window (Delta's
+    * RETAIN analogue): the newest N committed generations stay fully
+    * readable via `readTableAt`; older manifests and any batch none of
+    * the retained generations reference are deleted.
     * Serialized with publishes on the per-table lock, so within this
     * runner a `run --threads N` publish cannot commit a generation
     * between the manifest read and the deletes; each delete is
-    * additionally double-checked against a freshly re-read manifest.
+    * additionally double-checked against a freshly re-read keep set.
     * Cross-process writers still need an external lock (single-writer
     * assumption, as in any vanilla-parquet table format).
     */
-  def vacuum(name: String): Unit = lockFor(name).synchronized {
-    currentGenName(name).foreach { gen0 =>
-      val root = Paths.get(tablePath(name))
-      // keep whole batches that own at least one referenced member
-      // (partition-level members live inside their batch dir)
-      def liveBatches(): Option[Set[String]] = currentManifest(name)
-        .map(_.map(m => m.split('/').take(2).mkString("/")).toSet)
-      liveBatches().foreach { keep0 =>
+  def vacuum(name: String, keepGenerations: Int = 1): Unit =
+    lockFor(name).synchronized {
+      require(keepGenerations >= 1, "must retain at least the live generation")
+      currentGenName(name).foreach { gen0 =>
+        val root = Paths.get(tablePath(name))
+        // batches referenced by ANY retained generation (the newest N,
+        // always including the live one even if ids interleave oddly)
+        def retained(): Seq[String] =
+          (generations(name).takeRight(keepGenerations) :+
+            currentGenName(name).getOrElse(gen0)).distinct
+        def liveBatches(): Set[String] = retained()
+          .flatMap(g => genManifest(name, g))
+          .map(m => m.split('/').take(2).mkString("/")).toSet
+        val keep0 = liveBatches()
         val dataDir = root.resolve("data")
         if (Files.exists(dataDir)) {
           val candidates = listDir(dataDir)
@@ -548,16 +558,16 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           if (candidates.nonEmpty) {
             // re-read immediately before deleting: a batch is removed
             // only if BOTH reads agree it is unreferenced
-            val keep1 = liveBatches().getOrElse(Set.empty)
+            val keep1 = liveBatches()
             candidates
               .filterNot(b => keep1.contains(s"data/${b.getFileName}"))
               .foreach(deleteRec)
           }
         }
-        val genNow = currentGenName(name).getOrElse(gen0)
-        // keep the live generation's manifest AND all its sidecars
+        // keep retained generations' manifests AND all their sidecars
         // (.schema, .streamids, …) — match on the gen-name prefix
-        def live(f: String) = Seq(genNow, gen0).exists(g =>
+        val keepGens = retained().toSet + gen0
+        def live(f: String) = keepGens.exists(g =>
           f == g || f.startsWith(s"$g."))
         listDir(root)
           .filter { p =>
@@ -567,7 +577,6 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           .foreach(Files.deleteIfExists(_))
       }
     }
-  }
 
   /** Level-parallel model execution (dbt `--threads`): models whose
     * dependencies are all satisfied run concurrently on the shared

@@ -418,6 +418,29 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(st.drop(2).forall(_._2 == "a"))
   }
 
+  test("vacuum retention keeps the newest N generations time-travelable") {
+    val w = wh()
+    def spec(v: String) = PipelineSpec(Seq(tableModel("rt", Seq((1L, v)))))
+    for (v <- Seq("v1", "v2", "v3"))
+      assert(new PipelineRunner(spark, spec(v), w).run(Seq("run")).success)
+    val r = new PipelineRunner(spark, spec("ignored"), w)
+    val gens = r.generations("rt")
+    assert(gens.size == 3)
+    r.vacuum("rt", keepGenerations = 2)
+    // oldest gone, newest two still readable (manifests AND batches)
+    assert(r.generations("rt") == gens.drop(1))
+    assert(r.readTableAt("rt", gens(1))
+      .as[(Long, String)].collect().toSeq == Seq((1L, "v2")))
+    assert(r.readTable("rt")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "v3")))
+    assertThrows[IllegalArgumentException](r.readTableAt("rt", gens.head))
+    // default retention = live generation only
+    r.vacuum("rt")
+    assert(r.generations("rt") == Seq(gens.last))
+    assert(r.readTable("rt")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "v3")))
+  }
+
   test("vacuum drops superseded generations, current stays readable") {
     val w = wh()
     def spec(v: String) = PipelineSpec(Seq(tableModel("vt", Seq((1L, v)))))

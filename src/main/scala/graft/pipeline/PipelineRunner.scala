@@ -365,6 +365,11 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   /** Atomically commit a new generation made of `members`. Extra
     * `sidecars` are written as `<gen>.<key>` BEFORE the `_CURRENT`
     * flip, so they commit (or vanish) atomically with the generation.
+    * The streaming-batch bookkeeping (`streamids`) is carried forward
+    * from the previous generation when the caller doesn't update it —
+    * otherwise a scheduled model rebuild or compaction on a table that
+    * also receives stream batches would silently drop the
+    * exactly-once ledger and re-accept replayed micro-batches.
     */
   private def publishManifest(name: String, members: Seq[String],
       schema: StructType,
@@ -372,9 +377,13 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     lockFor(name).synchronized {
       val dir = Paths.get(tablePath(name))
       Files.createDirectories(dir)
+      val carried =
+        if (sidecars.contains("streamids")) sidecars
+        else sidecars ++
+          genSidecar(name, "streamids").map("streamids" -> _)
       val gen = nextGenName(name)
       Files.writeString(dir.resolve(s"$gen.schema"), schema.json)
-      sidecars.foreach { case (k, v) =>
+      carried.foreach { case (k, v) =>
         Files.writeString(dir.resolve(s"$gen.$k"), v)
       }
       Files.writeString(dir.resolve(gen), members.mkString("\n"))
@@ -511,12 +520,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             .partitionBy(part: _*).parquet(p))
           partitionMembers(name, b, part.size)
         }
-      // carry generation sidecars forward — dropping the streamids
-      // set would make appendBatch re-accept replayed micro-batches
-      val sidecars = genSidecar(name, "streamids")
-        .map(v => Map("streamids" -> v)).getOrElse(Map.empty[String, String])
-      publishManifest(name, newMembers, schema.getOrElse(df.schema),
-        sidecars)
+      // the streamids ledger carries forward via publishManifest —
+      // dropping it would make appendBatch re-accept replayed batches
+      publishManifest(name, newMembers, schema.getOrElse(df.schema))
     }
   } }
 
@@ -745,63 +751,99 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       // those partitions' buckets (see IncrementalMerge scaladoc for
       // the stable-partition-per-key contract).
       case Materialization.IncrementalMerge(keys, buckets, userParts) =>
-        val partCols = userParts :+ GBucket
-        val depth = partCols.size
-        val newB = df.withColumn(GBucket,
-          pmod(xxhash64(keys.map(col): _*), lit(buckets)))
-        def writePartitioned(data: DataFrame): (String, Seq[String]) = {
-          // cluster rows by partition+bucket before the partitioned
-          // write: without it every write task emits a file into every
-          // leaf dir (tasks × leaves small files per batch — file-count
-          // death at scale); with it each leaf gets one file and
-          // write parallelism = touched leaves
-          val batch = writeBatch(name, p => data
-            .repartition(partCols.map(col): _*).write.mode("overwrite")
-            .partitionBy(partCols: _*).parquet(p))
-          (batch, partitionMembers(name, batch, depth))
-        }
-        if (!tableExists(name) || fullRefresh) {
-          val (batch, members) = writePartitioned(newB)
-          publishManifest(name, members, newB.schema)
-          writtenCount(name, batch, newB.schema)
-        } else {
-          val stored = currentSchema(name).getOrElse(newB.schema)
-          val evolved = evolveSchema(name, stored, newB.schema)
-          val cur = currentManifest(name).get
-          val nonPart = cur.filter(m => m.split('/').length != 2 + depth)
-          require(nonPart.isEmpty,
-            s"merge on $name: existing members are not scoped to " +
-              s"${partCols.mkString("/")} " +
-              s"(e.g. ${nonPart.headOption.getOrElse("")}); full-refresh " +
-              "before switching materialization or partitioning")
-          // Write the new batch FIRST: the model's build lineage runs
-          // exactly once, the written partition dirs name the touched
-          // buckets, and the anti-join keys are re-read from the
-          // written parquet (a key-column footer scan), not recomputed
-          val (newBatch, newMembers) = writePartitioned(newB)
-          def partKey(m: String) = m.split('/').drop(2).mkString("/")
-          val touched = newMembers.map(partKey).toSet
-          val (touchedM, untouchedM) = cur.partition(m => touched(partKey(m)))
-          // carry = existing touched-bucket rows whose key was NOT
-          // upserted; written as a sibling batch (≤ 2 members per
-          // bucket at any time — the next merge of a bucket collapses
-          // them again)
-          val carryMembers =
-            if (touchedM.isEmpty) Nil
-            else {
-              val newKeys = spark.read.schema(evolved)
-                .parquet(s"${tablePath(name)}/$newBatch")
-                .select(keys.map(col): _*)
-              val carry = readMembers(name, touchedM, Some(stored))
-                .join(newKeys, keys, "left_anti")
-              writePartitioned(carry)._2
-            }
-          publishManifest(name,
-            untouchedM ++ newMembers ++ carryMembers, evolved)
-          writtenCount(name, newBatch, evolved)
-        }
+        mergeInto(name, df, keys, buckets, userParts, fullRefresh)
     }
   }
+
+  /** The merge write path (shared by the `IncrementalMerge`
+    * materialization and the streaming `mergeBatch` sink). `sidecars`
+    * commit atomically with the member swap.
+    */
+  private def mergeInto(name: String, df: DataFrame, keys: Seq[String],
+      buckets: Int, userParts: Seq[String], fullRefresh: Boolean,
+      sidecars: Map[String, String] = Map.empty): Long = {
+    val partCols = userParts :+ GBucket
+    val depth = partCols.size
+    val newB = df.withColumn(GBucket,
+      pmod(xxhash64(keys.map(col): _*), lit(buckets)))
+    def writePartitioned(data: DataFrame): (String, Seq[String]) = {
+      // cluster rows by partition+bucket before the partitioned
+      // write: without it every write task emits a file into every
+      // leaf dir (tasks × leaves small files per batch — file-count
+      // death at scale); with it each leaf gets one file and
+      // write parallelism = touched leaves
+      val batch = writeBatch(name, p => data
+        .repartition(partCols.map(col): _*).write.mode("overwrite")
+        .partitionBy(partCols: _*).parquet(p))
+      (batch, partitionMembers(name, batch, depth))
+    }
+    if (!tableExists(name) || fullRefresh) {
+      val (batch, members) = writePartitioned(newB)
+      publishManifest(name, members, newB.schema, sidecars)
+      writtenCount(name, batch, newB.schema)
+    } else {
+      val stored = currentSchema(name).getOrElse(newB.schema)
+      val evolved = evolveSchema(name, stored, newB.schema)
+      val cur = currentManifest(name).get
+      val nonPart = cur.filter(m => m.split('/').length != 2 + depth)
+      require(nonPart.isEmpty,
+        s"merge on $name: existing members are not scoped to " +
+          s"${partCols.mkString("/")} " +
+          s"(e.g. ${nonPart.headOption.getOrElse("")}); full-refresh " +
+          "before switching materialization or partitioning")
+      // Write the new batch FIRST: the model's build lineage runs
+      // exactly once, the written partition dirs name the touched
+      // buckets, and the anti-join keys are re-read from the
+      // written parquet (a key-column footer scan), not recomputed
+      val (newBatch, newMembers) = writePartitioned(newB)
+      def partKey(m: String) = m.split('/').drop(2).mkString("/")
+      val touched = newMembers.map(partKey).toSet
+      val (touchedM, untouchedM) = cur.partition(m => touched(partKey(m)))
+      // carry = existing touched-bucket rows whose key was NOT
+      // upserted; written as a sibling batch (≤ 2 members per
+      // bucket at any time — the next merge of a bucket collapses
+      // them again)
+      val carryMembers =
+        if (touchedM.isEmpty) Nil
+        else {
+          val newKeys = spark.read.schema(evolved)
+            .parquet(s"${tablePath(name)}/$newBatch")
+            .select(keys.map(col): _*)
+          val carry = readMembers(name, touchedM, Some(stored))
+            .join(newKeys, keys, "left_anti")
+          writePartitioned(carry)._2
+        }
+      publishManifest(name,
+        untouchedM ++ newMembers ++ carryMembers, evolved, sidecars)
+      writtenCount(name, newBatch, evolved)
+    }
+  }
+
+  /** foreachBatch-compatible exactly-once streaming MERGE — the
+    * streaming-upsert sink (what Delta's `foreachBatch` + MERGE
+    * pattern does, on this vanilla-parquet storage layer): each
+    * micro-batch upserts on `uniqueKey` into the bucket-scoped merge
+    * layout, the committed-batchId bookkeeping rides in the SAME
+    * atomic manifest flip as the member swap, and a redelivered
+    * micro-batch is a no-op. Composes with a user partition column
+    * exactly like `IncrementalMerge(partitionBy = …)`. Returns rows
+    * upserted (0 for a replayed batch).
+    */
+  def mergeBatch(name: String, df: DataFrame, batchId: Long,
+      uniqueKey: Seq[String], buckets: Int = 16,
+      partitionBy: Seq[String] = Nil): Long =
+    lockFor(name).synchronized {
+      val (hwm, tail) = genSidecar(name, "streamids")
+        .map(parseStreamIds).getOrElse((-1L, Set.empty[Long]))
+      if (batchId <= hwm || tail.contains(batchId)) 0L
+      else tracked {
+        val (h2, t2) = foldStreamIds(hwm, tail + batchId)
+        mergeInto(name, df, uniqueKey, buckets, partitionBy,
+          fullRefresh = false,
+          sidecars = Map("streamids" ->
+            (s"hwm:$h2" +: t2.toSeq.sorted.map(_.toString)).mkString("\n")))
+      }
+    }
 
   /** Load one seed CSV (header + declared schema) and publish it. */
   private def runSeed(seed: Seed): Long = tracked {

@@ -768,6 +768,50 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(r.readTable("sb").count() == 201L)
   }
 
+  test("mergeBatch: exactly-once streaming upsert with bucket-scoped I/O") {
+    val w = wh()
+    val r = new PipelineRunner(spark, PipelineSpec(Nil), w)
+    def df(rows: (Long, String)*) = rows.toDF("id", "v")
+    // batch 0 seeds, batch 1 upserts one key and inserts one
+    assert(r.mergeBatch("su", df((1L, "a"), (2L, "a")), 0L,
+      uniqueKey = Seq("id"), buckets = 4) == 2L)
+    val m1 = manifestMembers(r, "su")
+    assert(r.mergeBatch("su", df((2L, "b"), (3L, "b")), 1L,
+      uniqueKey = Seq("id"), buckets = 4) == 2L)
+    // replayed micro-batch (restart recovery) is a no-op
+    assert(r.mergeBatch("su", df((2L, "XXX"), (3L, "XXX")), 1L,
+      uniqueKey = Seq("id"), buckets = 4) == 0L)
+    val state = r.readTable("su").orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(state == Seq((1L, "a"), (2L, "b"), (3L, "b")))
+    // untouched buckets kept their exact member paths
+    val m2 = manifestMembers(r, "su")
+    assert(m1.exists(m2.contains),
+      s"some untouched bucket must survive verbatim: $m1 vs $m2")
+    // empty micro-batch still records its id (no member churn)
+    assert(r.mergeBatch("su", df().limit(0), 2L,
+      uniqueKey = Seq("id"), buckets = 4) == 0L)
+    assert(r.mergeBatch("su", df((9L, "no")), 2L,
+      uniqueKey = Seq("id"), buckets = 4) == 0L,
+      "an id committed by an empty batch must stay committed")
+  }
+
+  test("a model rebuild preserves the streaming ledger (sidecar carry)") {
+    val w = wh()
+    val r = new PipelineRunner(spark, PipelineSpec(Nil), w)
+    val df = Seq((1L, "x")).toDF("id", "v")
+    assert(r.appendBatch("lc", df, 0L) == 1L)
+    assert(r.appendBatch("lc", df, 1L) == 1L)
+    // a non-streaming publish on the same table (e.g. a scheduled
+    // rebuild): the exactly-once ledger must survive it
+    val spec = PipelineSpec(Seq(Model("lc", Nil, Materialization.Table,
+      (sp, _) => { import sp.implicits._; Seq((9L, "rebuilt")).toDF("id", "v") })))
+    assert(new PipelineRunner(spark, spec, w).run(Seq("run")).success)
+    assert(r.appendBatch("lc", df, 1L) == 0L,
+      "replayed batch must stay a no-op after a model rebuild")
+    assert(r.appendBatch("lc", df, 2L) == 1L)
+  }
+
   test("compact preserves visible partition layout (insert_overwrite)") {
     val w = wh()
     def spec(rows: Seq[(Long, String, Int)]) = PipelineSpec(Seq(Model(

@@ -285,6 +285,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("foreachBatch streaming MERGE sink upserts exactly-once") {
+    implicit val sq = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "stream_mwh").toString
+    val runner = new graft.pipeline.PipelineRunner(
+      spark, graft.pipeline.PipelineSpec(Nil), wh)
+    runner.initialize()
+    val in = MemoryStream[EventRow]
+    // per-user latest-state upsert: the standard streaming-MERGE shape
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val latest = batch.orderBy(org.apache.spark.sql.functions.col("ts").desc)
+          .dropDuplicates("user_id")
+          .select("user_id", "event_type", "ts")
+        runner.mergeBatch("user_state", latest, id,
+          uniqueKey = Seq("user_id"), buckets = 4): Unit
+      }
+      .start()
+    withQuery(q) {
+      in.addData(ev(1, 1, "click", ts(10, 0)), ev(2, 2, "view", ts(10, 1)))
+      q.processAllAvailable()
+      in.addData(ev(3, 1, "purchase", ts(10, 2)))
+      q.processAllAvailable()
+      val state = runner.readTable("user_state")
+        .select("user_id", "event_type")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(state == Map(1L -> "purchase", 2L -> "view"))
+      // replayed micro-batch is a no-op on the merged state
+      val replay = Seq(ev(3, 1, "IGNORED", ts(10, 2))).toDF()
+        .select("user_id", "event_type", "ts")
+      assert(runner.mergeBatch("user_state", replay, 1L,
+        uniqueKey = Seq("user_id"), buckets = 4) == 0L)
+      assert(runner.readTable("user_state")
+        .filter($"event_type" === "IGNORED").count() == 0)
+    }
+  }
+
   test("session windows close after the gap under a watermark") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[EventRow]

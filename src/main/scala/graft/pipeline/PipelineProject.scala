@@ -151,8 +151,23 @@ object PipelineProject {
           }
         }.toSeq
 
+    // freshness.conf: `source:ts_col:warn_after_sec:error_after_sec`
+    // per line — dbt carries the same config in sources.yml
+    val freshFile = root.resolve("freshness.conf")
+    val freshness: Seq[FreshnessDef] =
+      if (!Files.exists(freshFile)) Nil
+      else Files.readString(freshFile).linesIterator
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          l.split(":", -1).toSeq match {
+            case Seq(src, ts, warn, err) =>
+              FreshnessDef(src, ts, warn.trim.toLong, err.trim.toLong)
+            case _ => sys.error(s"freshness.conf: unparseable line: $l")
+          }
+        }.toSeq
+
     PipelineSpec(models = models, tests = tests, sources = sources,
-      seeds = seeds, snapshots = snapshots)
+      seeds = seeds, snapshots = snapshots, freshness = freshness)
   }
 
   /** Unzip (rejecting path-traversal entries) into `scratchDir`, locate

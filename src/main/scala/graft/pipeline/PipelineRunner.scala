@@ -218,8 +218,15 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         }
       else readMembers(name, members, schema)
     // storage-layout columns (merge buckets, snapshot open/closed
-    // split) are not part of the table surface
-    hiddenCols.filter(df0.columns.contains).foldLeft(df0)(_ drop _)
+    // split) are not part of the table surface; and Spark returns
+    // PARTITION columns last regardless of the requested schema, so
+    // re-select in stored-schema order — the storage layout (e.g.
+    // merge partitionBy) must not leak into the column order
+    val visible = df0.columns.filterNot(hiddenCols.contains)
+    val ordered = schema
+      .map(_.fieldNames.filterNot(hiddenCols.contains).filter(visible.contains))
+      .getOrElse(visible)
+    df0.select(ordered.toSeq.map(col): _*)
   }
 
   def tableExists(name: String): Boolean = currentGenName(name).isDefined
@@ -947,14 +954,28 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
               (if (fullRefresh) ", full-refresh" else "") + ")")
           CommandResult(command, success = true, names,
             counts.filter(_._2 >= 0), None)
-        case Seq("test") =>
-          val failures = spec.tests.flatMap { t =>
+        // `test [--select sel]` — selection matches dbt: tests attached
+        // to the selected models run (graph selectors +m/m+ apply when
+        // sel names a model; a bare non-model name, e.g. a seed, runs
+        // that table's tests only)
+        case "test" +: flags if flags.isEmpty ||
+            (flags.length == 2 && flags.head == "--select") =>
+          val chosen = flags match {
+            case Seq("--select", sel) =>
+              val inGraph =
+                byName.contains(sel.stripPrefix("+").stripSuffix("+"))
+              val names: Set[String] =
+                if (inGraph) select(Some(sel)) else Set(sel)
+              spec.tests.filter(t => names(t.model))
+            case _ => spec.tests
+          }
+          val failures = chosen.flatMap { t =>
             val viol = DataTests.violations(spark, this, t)
             val n = viol.limit(1).count()
             if (n > 0) Some(t.name) else None
           }
           CommandResult(command, success = failures.isEmpty,
-            spec.tests.map(_.name),
+            chosen.map(_.name),
             Map.empty,
             if (failures.isEmpty) None
             else Some(s"failing tests: ${failures.mkString(",")}"))

@@ -691,6 +691,36 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(!r2.readTable("pmp").columns.contains("__gbucket"))
   }
 
+  test("partitioned merge ≡ hash-only merge final state (property)") {
+    val rnd = new scala.util.Random(5)
+    def part(id: Long) = "p" + (id % 3) // stable partition per key
+    val batches = (0 until 3).map { b =>
+      (0 until 25).map { _ =>
+        val id = rnd.nextInt(40).toLong
+        (id, part(id), s"b$b-${rnd.nextInt(100)}")
+      }.distinctBy(_._1)
+    }
+    def run(partitioned: Boolean): Seq[(Long, String, String)] = {
+      val w = wh()
+      val mat =
+        if (partitioned)
+          Materialization.IncrementalMerge(Seq("id"), 4, Seq("part"))
+        else Materialization.IncrementalMerge(Seq("id"), 4)
+      batches.foreach { rows =>
+        val spec = PipelineSpec(Seq(Model("pq", Nil, mat,
+          (sp, _) => { import sp.implicits._; rows.toDF("id", "part", "v") })))
+        assert(new PipelineRunner(spark, spec, w).run(Seq("run")).success)
+      }
+      new PipelineRunner(spark, PipelineSpec(Nil), w)
+        .readTable("pq").orderBy("id")
+        .as[(Long, String, String)].collect().toSeq
+    }
+    val a = run(partitioned = true)
+    val b = run(partitioned = false)
+    assert(a == b && a.nonEmpty,
+      s"layouts disagree: partitioned=$a hashOnly=$b")
+  }
+
   test("run --full-refresh rebuilds through a materialization switch") {
     val w = wh()
     // built as incremental append first (whole-batch members) …
@@ -860,6 +890,37 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     val ids = r2.generations("gv").map(_.stripPrefix("gen_").toLong)
     assert(ids == ids.sorted && ids.last < 1000000L,
       s"gen ids must be monotonic counters: $ids")
+  }
+
+  test("test --select scopes generic tests to the selected model") {
+    val w = wh()
+    val spec = PipelineSpec(
+      models = Seq(
+        tableModel("ts_ok", Seq((1L, "a"), (2L, "b"))),
+        tableModel("ts_bad", Seq((1L, "a"), (1L, "b")))), // dup id
+      tests = Seq(
+        DataTest.Unique("ts_ok", Seq("id")),
+        DataTest.Unique("ts_bad", Seq("id"))))
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.run(Seq("run")).success)
+    // scoped to the clean model → passes; unscoped → the dup fails
+    val ok = r.runCommand("test --select ts_ok")
+    assert(ok.success && ok.modelsRun == Seq("unique_ts_ok_id"))
+    val all = r.runCommand("test")
+    assert(!all.success)
+    assert(all.error.exists(_.contains("unique_ts_bad_id")))
+  }
+
+  test("project artifacts carry freshness configs") {
+    val proj = java.nio.file.Paths.get(wh())
+    java.nio.file.Files.createDirectories(proj.resolve("models"))
+    java.nio.file.Files.writeString(proj.resolve("models/m1.sql"),
+      "SELECT 1 AS x")
+    java.nio.file.Files.writeString(proj.resolve("freshness.conf"),
+      "raw_events:ts:3600:7200\n")
+    val spec = PipelineProject.load(proj.toString)
+    assert(spec.freshness ==
+      Seq(FreshnessDef("raw_events", "ts", 3600L, 7200L)))
   }
 
   test("source freshness runs as a command: pass/warn ok, error fails") {

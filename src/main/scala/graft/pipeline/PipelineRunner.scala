@@ -123,6 +123,74 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       res.toSet
   }
 
+  /** Unified resource graph over seeds (no deps) + models (`deps`) +
+    * snapshots (their `source`) — the node set `dbt build` / `dbt ls`
+    * walk. Edges only join nodes that are themselves resources
+    * (sources stay temp views, not nodes).
+    */
+  private def resourceDeps: Map[String, Seq[String]] = {
+    val nodes = (spec.seeds.map(_.name) ++ spec.models.map(_.name) ++
+      spec.snapshots.map(_.name)).toSet
+    spec.seeds.map(_.name -> Seq.empty[String]).toMap ++
+      spec.models.map(m => m.name -> m.deps.filter(nodes)).toMap ++
+      spec.snapshots.map(sn =>
+        sn.name -> Seq(sn.source).filter(nodes)).toMap
+  }
+
+  private def resourceKind(name: String): String =
+    if (byName.contains(name)) "model"
+    else if (spec.seeds.exists(_.name == name)) "seed"
+    else if (spec.snapshots.exists(_.name == name)) "snapshot"
+    else "source"
+
+  /** `select` / `topoOrder` generalized to an arbitrary dep map (the
+    * unified resource graph) — same `+m`/`m+` semantics, same Kahn
+    * order with deterministic name tie-break.
+    */
+  private def selectIn(deps: Map[String, Seq[String]],
+      selector: Option[String]): Set[String] = selector match {
+    case None => deps.keySet
+    case Some(sel) =>
+      val base = sel.stripPrefix("+").stripSuffix("+")
+      require(deps.contains(base), s"unknown resource: $base")
+      val res = mutable.Set(base)
+      if (sel.startsWith("+")) {
+        var grew = true
+        while (grew) {
+          val add = res.flatMap(deps(_)).diff(res)
+          grew = add.nonEmpty; res ++= add
+        }
+      }
+      if (sel.endsWith("+")) {
+        var grew = true
+        while (grew) {
+          val add = deps.collect { case (n, ds)
+            if ds.exists(res) && !res(n) => n }
+          grew = add.nonEmpty; res ++= add
+        }
+      }
+      res.toSet
+  }
+
+  private def topoOrderIn(deps: Map[String, Seq[String]],
+      names: Set[String]): Seq[String] = {
+    val indeg = mutable.Map(names.toSeq.map(n =>
+      n -> deps(n).count(names)): _*)
+    val out = mutable.Buffer.empty[String]
+    val ready = mutable.SortedSet.empty[String] ++ indeg.filter(_._2 == 0).keys
+    while (ready.nonEmpty) {
+      val n = ready.head; ready -= n; out += n
+      names.foreach { m =>
+        if (deps(m).contains(n) && indeg(m) > 0) {
+          indeg(m) -= 1; if (indeg(m) == 0) ready += m
+        }
+      }
+    }
+    require(out.size == names.size,
+      s"cycle among resources: ${names -- out.toSet}")
+    out.toSeq
+  }
+
   def tablePath(name: String): String = s"$warehouse/$name"
 
   /** Storage layout (write-audit-publish, manifest-based): immutable
@@ -922,10 +990,112 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     Some((sel, threads, fullRefresh))
   }
 
+  /** `build` flags: `--select <sel>` (unified-graph selector),
+    * `--full-refresh`, `--at <ts>` (snapshot clock — space-free
+    * timestamp, same as `snapshot --at`).
+    */
+  private def parseBuildFlags(flags: Seq[String])
+      : Option[(Option[String], Boolean, Option[String])] = {
+    var sel: Option[String] = None
+    var fullRefresh = false
+    var at: Option[String] = None
+    var rest = flags.toList
+    while (rest.nonEmpty) rest match {
+      case "--select" :: v :: t => sel = Some(v); rest = t
+      case "--full-refresh" :: t => fullRefresh = true; rest = t
+      case "--at" :: v :: t => at = Some(v); rest = t
+      case _ => return None
+    }
+    Some((sel, fullRefresh, at))
+  }
+
+  private def parseLsFlags(flags: Seq[String])
+      : Option[(Option[String], Option[String])] = {
+    var sel: Option[String] = None
+    var rtype: Option[String] = None
+    var rest = flags.toList
+    while (rest.nonEmpty) rest match {
+      case "--select" :: v :: t => sel = Some(v); rest = t
+      case "--resource-type" :: v :: t => rtype = Some(v); rest = t
+      case _ => return None
+    }
+    Some((sel, rtype))
+  }
+
+  /** `dbt build` — the modern main command: seeds, models, snapshots
+    * AND their attached tests in one DAG-ordered pass. A resource that
+    * fails (or whose test fails) skips every transitive descendant,
+    * while independent subgraphs keep running — dbt's skip-on-failure.
+    * Serial by design: the skip frontier advances node-by-node, and
+    * `run --threads N` remains the parallel path for test-free runs.
+    * Snapshots need the injected clock; without `--at` they (and their
+    * descendants) are skipped, loudly.
+    */
+  private def runBuild(command: String, sel: Option[String],
+      fullRefresh: Boolean, at: Option[String]): CommandResult = {
+    val deps = resourceDeps
+    val order = topoOrderIn(deps, selectIn(deps, sel))
+    val failed = mutable.Set.empty[String]
+    val skipped = mutable.Set.empty[String]
+    val ran = mutable.Buffer.empty[String]
+    val counts = mutable.Map.empty[String, Long]
+    val failedTests = mutable.Buffer.empty[String]
+    order.foreach { n =>
+      val kind = resourceKind(n)
+      if (deps(n).exists(d => failed(d) || skipped(d))) {
+        skipped += n
+        logger.log(LogLevel.WARNING,
+          s"build: skipping $n (upstream failure)")
+      } else if (kind == "snapshot" && at.isEmpty) {
+        skipped += n
+        logger.log(LogLevel.WARNING,
+          s"build: skipping snapshot $n (no --at clock given)")
+      } else {
+        val ok =
+          try {
+            val rows = kind match {
+              case "seed" => runSeed(spec.seeds.find(_.name == n).get)
+              case "snapshot" =>
+                runSnapshot(spec.snapshots.find(_.name == n).get, at.get)
+              case _ => runModel(n, fullRefresh)
+            }
+            ran += n
+            if (rows >= 0) counts(n) = rows
+            true
+          } catch {
+            case e: Exception =>
+              logger.log(LogLevel.ERROR,
+                s"build: $n failed: ${e.getMessage}")
+              false
+          }
+        if (!ok) failed += n
+        else spec.tests.filter(_.model == n).foreach { t =>
+          ran += t.name
+          if (DataTests.violations(spark, this, t).limit(1).count() > 0) {
+            failedTests += t.name
+            failed += n // a failing test gates n's descendants
+            logger.log(LogLevel.ERROR, s"build: test ${t.name} failed")
+          }
+        }
+      }
+    }
+    def list(s: Iterable[String]) = s.toSeq.sorted.mkString(",")
+    CommandResult(command, success = failed.isEmpty, ran.toSeq,
+      counts.toMap,
+      if (failed.isEmpty) None
+      else Some(s"failed: ${list(failed -- failedTests.map(ft =>
+          spec.tests.find(_.name == ft).get.model))}" +
+        (if (failedTests.nonEmpty)
+          s"; failing tests: ${list(failedTests)}" else "") +
+        (if (skipped.nonEmpty) s"; skipped: ${list(skipped)}" else "")))
+  }
+
   /** One dbt-style command — the same argv surface the reference
     * shells out (`dbtoperator.py:35,46,324,334`): "debug",
     * "run [--select sel] [--threads n] [--full-refresh]", "test",
-    * "seed", "snapshot --at <ts>", "source freshness --at <ts>".
+    * "seed", "snapshot --at <ts>", "source freshness --at <ts>",
+    * "build [--select sel] [--full-refresh] [--at ts]",
+    * "ls [--select sel] [--resource-type kind]".
     */
   def runCommand(command: String): CommandResult = {
     val parts = command.trim.split("\\s+").toSeq
@@ -1009,6 +1179,21 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             spec.freshness.map(_.source), Map.empty,
             if (stale.isEmpty) None
             else Some(s"stale sources: ${stale.mkString(",")}"))
+        case "build" +: flags if parseBuildFlags(flags).isDefined =>
+          val (sel, fullRefresh, at) = parseBuildFlags(flags).get
+          runBuild(command, sel, fullRefresh, at)
+        // `dbt ls` — resource listing: `kind.name` rows in DAG order,
+        // each resource's tests right after it (dbt's fqn listing).
+        case "ls" +: flags if parseLsFlags(flags).isDefined =>
+          val (sel, rtype) = parseLsFlags(flags).get
+          val deps = resourceDeps
+          val rows = topoOrderIn(deps, selectIn(deps, sel))
+            .flatMap { n =>
+              s"${resourceKind(n)}.$n" +:
+                spec.tests.filter(_.model == n).map(t => s"test.${t.name}")
+            }
+            .filter(r => rtype.forall(t => r.startsWith(s"$t.")))
+          CommandResult(command, success = true, rows, Map.empty, None)
         case other =>
           CommandResult(command, success = false, Nil, Map.empty,
             Some(s"unknown command: ${other.mkString(" ")}"))

@@ -56,6 +56,19 @@ object EventWindows extends QueryGroup {
         .orderBy("event_type")
     }),
 
+    // Stream-stream interval join, batch-first: the SAME
+    // StreamingOps.intervalJoin powers the streaming form (watermarks
+    // are no-ops in batch), so the oracle checks the one shared
+    // implementation; MemoryStream parity is tested in StreamingSpec.
+    "stream_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.streaming.StreamingOps.intervalJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          delay = "1 hour", horizon = "4 hours")
+        .orderBy("click_id", "purchase_id")
+    }),
+
     // Batch emulation of per-key running state (mapGroupsWithState's
     // semantics over a closed input): per user last-seen ts, event
     // count, exact value total.
@@ -91,6 +104,15 @@ object EventWindows extends QueryGroup {
     "stream_watermark_late" ->
       """SELECT event_type, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id AS user_id, c.ts AS click_ts, p.ts AS purchase_ts
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '4 hours'
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "stream_stateful" ->
       """SELECT user_id, max(ts) AS last_seen, count(*) AS n_events,

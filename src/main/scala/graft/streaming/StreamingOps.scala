@@ -52,6 +52,34 @@ object StreamingOps {
       .select(col("user_id"), col("w.start").as("ss"), col("w.end").as("se"),
         col("n"), col("sv"))
 
+  /** Stream-stream INNER interval join (click→purchase attribution):
+    * each left event joins right events by the same user with
+    * `left.ts <= right.ts < left.ts + horizon`. Both sides carry
+    * watermarks and the join condition bounds the event-time distance,
+    * which is exactly what lets Spark evict buffered join state once
+    * the watermark passes — without both, stream-stream join state
+    * grows forever at 100 TB/day. Inner-join rows are emitted as soon
+    * as both sides have arrived, so on a closed feed the result equals
+    * the batch join (parity-tested in `graft.StreamingSpec`); in batch
+    * the watermarks are no-ops and this IS the batch range join
+    * (`stream_join`'s oracle-checked path — one equi-shuffle on
+    * user_id, range predicate evaluated inside the join).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      delay: String, horizon: String): DataFrame = {
+    val c = left.select(col("event_id").as("click_id"),
+        col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val p = right.select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", delay)
+    c.join(p, col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr(s"INTERVAL '$horizon'"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** Per-user running state, updated each micro-batch. */
   case class EventRow(event_id: Long, user_id: Long, event_type: String,
                       ts: java.sql.Timestamp, value: Double)

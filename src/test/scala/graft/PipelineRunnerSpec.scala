@@ -923,6 +923,90 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       Seq(FreshnessDef("raw_events", "ts", 3600L, 7200L)))
   }
 
+  test("build: DAG order, tests interleaved, skip-on-failure") {
+    val w = wh()
+    val seed = Seed("bs_seed", Seq("id,v", "1,a", "2,b"),
+      org.apache.spark.sql.types.StructType.fromDDL("id LONG, v STRING"))
+    val spec = PipelineSpec(
+      models = Seq(
+        Model("b_m1", Seq("bs_seed"), Materialization.Table,
+          (_, in) => in("bs_seed")),
+        // duplicate ids → its unique test fails → b_m3 must skip
+        Model("b_m2", Seq("b_m1"), Materialization.Table,
+          (sp, _) => { import sp.implicits._
+            Seq((1L, "x"), (1L, "y")).toDF("id", "v") }),
+        Model("b_m3", Seq("b_m2"), Materialization.Table,
+          (_, in) => in("b_m2")),
+        tableModel("b_m4", Seq((9L, "z"))), // independent — still runs
+        Model("b_err", Nil, Materialization.Table,
+          (_, _) => sys.error("boom")),
+        Model("b_err_child", Seq("b_err"), Materialization.Table,
+          (_, in) => in("b_err"))),
+      tests = Seq(
+        DataTest.Unique("b_m1", Seq("id")),
+        DataTest.Unique("b_m2", Seq("id"))),
+      seeds = Seq(seed))
+    val r = new PipelineRunner(spark, spec, w)
+    val res = r.runCommand("build")
+    assert(!res.success)
+    // executed resources + their tests, in DAG order; skipped absent
+    assert(res.modelsRun.containsSlice(
+      Seq("bs_seed", "b_m1", "unique_b_m1_id", "b_m2", "unique_b_m2_id")))
+    assert(res.modelsRun.contains("b_m4"))
+    assert(!res.modelsRun.contains("b_m3") &&
+      !res.modelsRun.contains("b_err_child"))
+    assert(!r.tableExists("b_m3") && !r.tableExists("b_err_child"))
+    assert(r.tableExists("b_m4"))
+    val err = res.error.getOrElse("")
+    assert(err.contains("failing tests: unique_b_m2_id"), err)
+    assert(err.contains("b_err") && err.contains("skipped:"), err)
+    assert(err.contains("b_m3") && err.contains("b_err_child"), err)
+    // rowCounts cover what ran
+    assert(res.rowCounts.get("bs_seed").contains(2L))
+  }
+
+  test("build runs snapshots under --at and skips them without a clock") {
+    val w = wh()
+    val spec = PipelineSpec(
+      models = Seq(tableModel("bsn_dim", Seq((1L, "a")))),
+      snapshots = Seq(SnapshotDef("bsn_snap", "bsn_dim",
+        Seq("id"), Seq("v"))))
+    val r = new PipelineRunner(spark, spec, w)
+    val noClock = r.runCommand("build")
+    assert(noClock.success) // skipping for a missing clock is not a failure
+    assert(!noClock.modelsRun.contains("bsn_snap") &&
+      !r.tableExists("bsn_snap"))
+    val clocked = r.runCommand("build --at 2024-01-01T00:00:00")
+    assert(clocked.success && clocked.modelsRun.contains("bsn_snap"))
+    assert(r.readTable("bsn_snap").count() == 1)
+  }
+
+  test("ls lists kind-qualified resources with selectors") {
+    val spec = PipelineSpec(
+      models = Seq(
+        Model("l_m1", Seq("l_seed"), Materialization.Table,
+          (_, in) => in("l_seed")),
+        Model("l_m2", Seq("l_m1"), Materialization.Table,
+          (_, in) => in("l_m1"))),
+      tests = Seq(DataTest.NotNull("l_m1", "id")),
+      seeds = Seq(Seed("l_seed", Seq("id", "1"),
+        org.apache.spark.sql.types.StructType.fromDDL("id LONG"))),
+      snapshots = Seq(SnapshotDef("l_snap", "l_m2", Seq("id"), Nil)))
+    val r = new PipelineRunner(spark, spec, wh())
+    assert(r.runCommand("ls").modelsRun == Seq("seed.l_seed",
+      "model.l_m1", "test.not_null_l_m1_id", "model.l_m2",
+      "snapshot.l_snap"))
+    // graph selector over the UNIFIED graph: descendants of l_m1
+    // include the snapshot hanging off l_m2
+    assert(r.runCommand("ls --select l_m1+").modelsRun == Seq(
+      "model.l_m1", "test.not_null_l_m1_id", "model.l_m2",
+      "snapshot.l_snap"))
+    assert(r.runCommand("ls --resource-type test").modelsRun ==
+      Seq("test.not_null_l_m1_id"))
+    assert(r.runCommand("ls --select +l_snap --resource-type seed")
+      .modelsRun == Seq("seed.l_seed"))
+  }
+
   test("source freshness runs as a command: pass/warn ok, error fails") {
     val w = wh()
     val spec = PipelineSpec(

@@ -21,21 +21,35 @@ object Bench {
     // which made unchanged queries swing 0.1↔1.0 s between rounds; the
     // median makes a true regression distinguishable from jitter.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        // toRdd.count() materializes every output row of the *full* plan;
-        // df.count() would let Catalyst prune the projections and bench
-        // expression-heavy queries as near-bare scans.
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.size / 2)
+    // Hermetic per-key runs: (a) DETERMINISTIC sorted key order — the
+    // previous hash-map order reshuffled every time a key was added,
+    // so a new round's keys inherited different JIT/GC neighborhoods
+    // and unchanged queries swung >2× between rounds; (b) release
+    // state a key leaves behind (cached/localCheckpoint RDD blocks
+    // from the dedup/cluster/kmeans keys stay pinned in the block
+    // manager otherwise, inflating every later key's GC pressure).
+    def resetSessionState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val times = (1 to reps).map { _ =>
+          resetSessionState()
+          val t0 = System.nanoTime()
+          // toRdd.count() materializes every output row of the *full* plan;
+          // df.count() would let Catalyst prune the projections and bench
+          // expression-heavy queries as near-bare scans.
+          try { fn(spark, sfDir).queryExecution.toRdd.count() }
+          catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // the stdout line gets tail-truncated by harnesses capturing long

@@ -195,35 +195,59 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
 
   /** Storage layout (write-audit-publish, manifest-based): immutable
     * data batches live under `<table>/data/batch_<n>`; a committed
-    * generation is a manifest file `<table>/gen_<n>` listing its
-    * members (one relative path per line — a whole batch dir, or a
+    * generation is a SELF-CONTAINED manifest file `<table>/gen_<n>`:
+    * header lines (`#schema:<json>`, `#sidecar.<key>:<encoded>`)
+    * followed by one member path per line — a whole batch dir, or a
     * single partition dir inside a batch for partition-scoped
-    * replacement), plus a sibling `gen_<n>.schema` carrying the exact
-    * Spark schema. `_CURRENT` names the live manifest and is flipped
-    * atomically. Readers resolve the manifest once and only ever see
-    * fully-written batches — a crash between batch write and pointer
-    * flip leaves the previous generation intact. Reads apply the
-    * stored schema, so partition-column types survive round-trips
-    * (inference would silently turn a "01" string partition into 1).
-    * An append commits O(delta) bytes and an insert_overwrite commits
-    * O(touched partitions); the same manifest scheme works unchanged
-    * on object storage where directory renames aren't atomic.
+    * replacement. The LIVE generation is simply the highest id
+    * present: a generation file appears atomically with its full
+    * content (hard-link of a fully-written temp), so "the commit is
+    * the lock" — two processes racing the same id lose/win on the
+    * O_EXCL link and the loser retries against the freshly-read
+    * state (optimistic concurrency; see commitGen). No mutable
+    * pointer file exists, so there is no pointer flip to regress.
+    * Readers resolve one manifest and only ever see fully-written
+    * batches — a crash between batch write and manifest link leaves
+    * the previous generation live. Reads apply the stored schema, so
+    * partition-column types survive round-trips (inference would
+    * silently turn a "01" string partition into 1). An append commits
+    * O(delta) bytes and an insert_overwrite commits O(touched
+    * partitions); on object storage the atomic link maps to a
+    * conditional put (If-None-Match), the same primitive Delta/
+    * Iceberg commit with.
     */
-  private def currentGenName(name: String): Option[String] = {
-    val marker = Paths.get(tablePath(name), "_CURRENT")
-    if (Files.exists(marker)) Some(Files.readString(marker).trim) else None
-  }
+  private def currentGenName(name: String): Option[String] =
+    generations(name).lastOption
 
-  private def genManifest(name: String, gen: String): Seq[String] =
+  private def genLines(name: String, gen: String): Seq[String] =
     Files.readString(Paths.get(tablePath(name), gen)).linesIterator
       .filter(_.nonEmpty).toSeq
 
-  private def genSchema(name: String, gen: String): Option[StructType] = {
-    val f = Paths.get(tablePath(name), s"$gen.schema")
-    if (Files.exists(f))
-      Some(DataType.fromJson(Files.readString(f)).asInstanceOf[StructType])
-    else None
-  }
+  private def genManifest(name: String, gen: String): Seq[String] =
+    genLines(name, gen).filterNot(_.startsWith("#"))
+
+  private def genHeader(name: String, gen: String, key: String)
+      : Option[String] =
+    genLines(name, gen).collectFirst {
+      case l if l.startsWith(s"#$key:") => l.stripPrefix(s"#$key:")
+    }
+
+  // sidecar values may be multi-line; the header line carries them
+  // percent-encoded (only %, \n, \r — enough to stay one line)
+  private def encodeSidecar(s: String): String =
+    s.replace("%", "%25").replace("\n", "%0A").replace("\r", "%0D")
+  private def decodeSidecar(s: String): String =
+    s.replace("%0D", "\r").replace("%0A", "\n").replace("%25", "%")
+
+  private def genSchema(name: String, gen: String): Option[StructType] =
+    genHeader(name, gen, "schema")
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .orElse { // legacy sibling-file layout (pre-self-contained commits)
+        val f = Paths.get(tablePath(name), s"$gen.schema")
+        if (Files.exists(f))
+          Some(DataType.fromJson(Files.readString(f)).asInstanceOf[StructType])
+        else None
+      }
 
   private def currentManifest(name: String): Option[Seq[String]] =
     currentGenName(name).map(genManifest(name, _))

@@ -47,10 +47,10 @@ final case class RunResult(success: Boolean, results: Seq[CommandResult])
   * for __enter__/__exit__ (`dbtoperator.py:454-461`).
   *
   * Scale note: materialized tables are parquet directories under the
-  * warehouse; a `table` rebuild is write-audit-publish (write to a
-  * fresh generation dir, then atomically repoint), so readers never
-  * see partial output — the same pattern works on object storage with
-  * a manifest instead of a rename.
+  * warehouse; a `table` rebuild is write-audit-publish (write a fresh
+  * data batch, then atomically link a self-contained manifest), so
+  * readers never see partial output — the same pattern works on
+  * object storage with a conditional put instead of a hard link.
   */
 final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     warehouse: String, logger: PipelineLogger = new PipelineLogger()) {
@@ -91,37 +91,99 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     out.toSeq
   }
 
-  /** dbt `--select` subset: "m" (exact), "m+" (m and descendants),
-    * "+m" (m and ancestors), "+m+" (both). (`dbtoperator.py:35,491`
-    * passes selects straight to dbt.)
+  /** dbt node-selection surface (the reference forwards arbitrary dbt
+    * select argv, `dbtoperator.py:35,491`): each `--select`/`--exclude`
+    * VALUE is an intersection of comma-separated atoms; multiple
+    * values union (dbt semantics: space = union, comma = intersection,
+    * per dbt's set-operator docs); `--exclude` subtracts its selection
+    * afterwards. Atom forms: `m` (exact), `m+`/`+m`/`+m+` (graph
+    * closures), `tag:t` (tagged resources — composes with graph ops,
+    * e.g. `+tag:nightly`), `@m` (m, its descendants, and ALL ancestors
+    * of those descendants — dbt's build-everything-needed operator).
     */
-  def select(selector: Option[String]): Set[String] = selector match {
-    case None => spec.models.map(_.name).toSet
-    case Some(sel) =>
-      val plusPre = sel.startsWith("+")
-      val plusPost = sel.endsWith("+")
-      val base = sel.stripPrefix("+").stripSuffix("+")
-      require(byName.contains(base), s"unknown model: $base")
-      val res = mutable.Set(base)
-      if (plusPre) { // ancestors — deps may also name sources
-        // (SQL-text {{ source(...) }}); only models join the selection
-        var grew = true
-        while (grew) {
-          val add = res.flatMap(n =>
-            byName(n).deps.filter(byName.contains)).diff(res)
-          grew = add.nonEmpty; res ++= add
-        }
-      }
-      if (plusPost) { // descendants
-        var grew = true
-        while (grew) {
-          val add = spec.models.filter(m =>
-            m.deps.exists(res) && !res(m.name)).map(_.name)
-          grew = add.nonEmpty; res ++= add
-        }
-      }
-      res.toSet
+  private[pipeline] final case class Selection(
+      include: Seq[String], exclude: Seq[String])
+
+  private def closure(seed: Set[String],
+      step: Set[String] => Set[String]): Set[String] = {
+    var res = seed
+    var grew = true
+    while (grew) {
+      val add = step(res).diff(res)
+      grew = add.nonEmpty; res ++= add
+    }
+    res
   }
+
+  // deps may also name sources (SQL-text {{ source(...) }}); only
+  // graph nodes join the selection
+  private def ancestorsOf(deps: Map[String, Seq[String]],
+      seed: Set[String]): Set[String] =
+    closure(seed, res =>
+      res.flatMap(n => deps.getOrElse(n, Nil).filter(deps.contains)))
+
+  private def descendantsOf(deps: Map[String, Seq[String]],
+      seed: Set[String]): Set[String] =
+    closure(seed, res =>
+      deps.collect { case (n, ds) if ds.exists(res) => n }.toSet)
+
+  /** One selection atom → node set. `lenient` resolves an unknown bare
+    * name to itself (the `test` command accepts table names outside
+    * the resource graph, e.g. a source with attached tests).
+    */
+  private def evalAtom(deps: Map[String, Seq[String]],
+      tags: Map[String, Set[String]], atom: String,
+      lenient: Boolean): Set[String] = {
+    val plusPre = atom.startsWith("+")
+    val plusPost = atom.endsWith("+")
+    val core0 = atom.stripPrefix("+").stripSuffix("+")
+    val isAt = core0.startsWith("@")
+    val core = core0.stripPrefix("@")
+    val base: Set[String] =
+      if (core.startsWith("tag:")) {
+        val t = core.stripPrefix("tag:")
+        deps.keySet.filter(n => tags.getOrElse(n, Set.empty).contains(t))
+      } else if (deps.contains(core)) Set(core)
+      else if (lenient) return Set(core)
+      else sys.error(s"unknown resource: $core")
+    if (isAt) {
+      val down = descendantsOf(deps, base)
+      down ++ ancestorsOf(deps, down)
+    } else {
+      var res = base
+      if (plusPre) res ++= ancestorsOf(deps, base)
+      if (plusPost) res ++= descendantsOf(deps, base)
+      res
+    }
+  }
+
+  private def evalSelection(deps: Map[String, Seq[String]],
+      tags: Map[String, Set[String]], sel: Selection,
+      lenient: Boolean = false): Set[String] = {
+    def union(specs: Seq[String]): Set[String] =
+      specs.flatMap { s =>
+        s.split(',').filter(_.nonEmpty)
+          .map(evalAtom(deps, tags, _, lenient))
+          .reduceOption(_ intersect _).getOrElse(Set.empty)
+      }.toSet
+    val included =
+      if (sel.include.isEmpty) deps.keySet else union(sel.include)
+    included -- union(sel.exclude)
+  }
+
+  private def modelDeps: Map[String, Seq[String]] =
+    spec.models.map(m => m.name -> m.deps.filter(byName.contains)).toMap
+
+  private def modelTags: Map[String, Set[String]] =
+    spec.models.map(m => m.name -> m.tags.toSet).toMap
+
+  /** Model-graph selection (the `run` command's node set). */
+  private[pipeline] def select(sel: Selection): Set[String] =
+    evalSelection(modelDeps, modelTags, sel)
+
+  /** Single-selector convenience (kept for tests / embedders). */
+  def select(selector: Option[String]): Set[String] =
+    select(Selection(selector.toSeq, Nil))
 
   /** Unified resource graph over seeds (no deps) + models (`deps`) +
     * snapshots (their `source`) — the node set `dbt build` / `dbt ls`
@@ -143,34 +205,17 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     else if (spec.snapshots.exists(_.name == name)) "snapshot"
     else "source"
 
-  /** `select` / `topoOrder` generalized to an arbitrary dep map (the
-    * unified resource graph) — same `+m`/`m+` semantics, same Kahn
-    * order with deterministic name tie-break.
+  private def resourceTags: Map[String, Set[String]] =
+    modelTags ++
+      spec.seeds.map(s => s.name -> s.tags.toSet) ++
+      spec.snapshots.map(sn => sn.name -> sn.tags.toSet)
+
+  /** Resource-graph selection (the `build` / `ls` / `test` node set) —
+    * same atom grammar as `select`, over seeds + models + snapshots.
     */
   private def selectIn(deps: Map[String, Seq[String]],
-      selector: Option[String]): Set[String] = selector match {
-    case None => deps.keySet
-    case Some(sel) =>
-      val base = sel.stripPrefix("+").stripSuffix("+")
-      require(deps.contains(base), s"unknown resource: $base")
-      val res = mutable.Set(base)
-      if (sel.startsWith("+")) {
-        var grew = true
-        while (grew) {
-          val add = res.flatMap(deps(_)).diff(res)
-          grew = add.nonEmpty; res ++= add
-        }
-      }
-      if (sel.endsWith("+")) {
-        var grew = true
-        while (grew) {
-          val add = deps.collect { case (n, ds)
-            if ds.exists(res) && !res(n) => n }
-          grew = add.nonEmpty; res ++= add
-        }
-      }
-      res.toSet
-  }
+      sel: Selection, lenient: Boolean = false): Set[String] =
+    evalSelection(deps, resourceTags, sel, lenient)
 
   private def topoOrderIn(deps: Map[String, Seq[String]],
       names: Set[String]): Seq[String] = {
@@ -201,23 +246,41 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * single partition dir inside a batch for partition-scoped
     * replacement. The LIVE generation is simply the highest id
     * present: a generation file appears atomically with its full
-    * content (hard-link of a fully-written temp), so "the commit is
-    * the lock" — two processes racing the same id lose/win on the
-    * O_EXCL link and the loser retries against the freshly-read
-    * state (optimistic concurrency; see commitGen). No mutable
-    * pointer file exists, so there is no pointer flip to regress.
-    * Readers resolve one manifest and only ever see fully-written
-    * batches — a crash between batch write and manifest link leaves
-    * the previous generation live. Reads apply the stored schema, so
-    * partition-column types survive round-trips (inference would
-    * silently turn a "01" string partition into 1). An append commits
-    * O(delta) bytes and an insert_overwrite commits O(touched
+    * content (hard-link of a fully-written temp in `commitGen`), so
+    * "the commit is the lock" — two processes racing the same id
+    * lose/win on the O_EXCL link and the loser retries against the
+    * freshly-read state (optimistic concurrency; see commitGen). No
+    * mutable pointer file exists, so there is no pointer flip to
+    * regress. Readers resolve one manifest and only ever see
+    * fully-written batches — a crash between batch write and manifest
+    * link leaves the previous generation live. Reads apply the stored
+    * schema, so partition-column types survive round-trips (inference
+    * would silently turn a "01" string partition into 1). An append
+    * commits O(delta) bytes and an insert_overwrite commits O(touched
     * partitions); on object storage the atomic link maps to a
     * conditional put (If-None-Match), the same primitive Delta/
     * Iceberg commit with.
+    *
+    * Legacy layout (pre-self-contained commits): schema/sidecars as
+    * sibling `gen_<n>.<key>` files and the live generation named by a
+    * `_CURRENT` pointer file flipped after a NON-atomic manifest
+    * write. Such warehouses are read correctly — while `_CURRENT`
+    * exists it stays authoritative, so a torn/unpublished legacy
+    * `gen_<m>` above the pointer is NOT retroactively committed — and
+    * are migrated by the next publish: orphan gens above the pointer
+    * are quarantined to `_aborted_gen_<m>`, the pointer is removed,
+    * and the table is highest-id-wins from then on.
     */
-  private def currentGenName(name: String): Option[String] =
-    generations(name).lastOption
+  private val LegacyCurrentPointer = "_CURRENT"
+
+  private def currentGenName(name: String): Option[String] = {
+    val gens = generations(name)
+    val ptr = Paths.get(tablePath(name), LegacyCurrentPointer)
+    if (Files.exists(ptr)) {
+      val p = Files.readString(ptr).trim
+      if (gens.contains(p)) Some(p) else gens.lastOption
+    } else gens.lastOption
+  }
 
   private def genLines(name: String, gen: String): Seq[String] =
     Files.readString(Paths.get(tablePath(name), gen)).linesIterator
@@ -240,7 +303,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     s.replace("%0D", "\r").replace("%0A", "\n").replace("%25", "%")
 
   private def genSchema(name: String, gen: String): Option[StructType] =
-    genHeader(name, gen, "schema")
+    genHeader(name, gen, "schema").map(decodeSidecar)
       .map(DataType.fromJson(_).asInstanceOf[StructType])
       .orElse { // legacy sibling-file layout (pre-self-contained commits)
         val f = Paths.get(tablePath(name), s"$gen.schema")
@@ -461,14 +524,22 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   private def lockFor(name: String): Object =
     tableLocks.getOrElseUpdate(name, new Object)
 
-  /** Atomically commit a new generation made of `members`. Extra
-    * `sidecars` are written as `<gen>.<key>` BEFORE the `_CURRENT`
-    * flip, so they commit (or vanish) atomically with the generation.
-    * The streaming-batch bookkeeping (`streamids`) is carried forward
-    * from the previous generation when the caller doesn't update it —
-    * otherwise a scheduled model rebuild or compaction on a table that
-    * also receives stream batches would silently drop the
-    * exactly-once ledger and re-accept replayed micro-batches.
+  /** Atomically commit a new generation made of `members`. Schema and
+    * `sidecars` ride as header lines INSIDE the manifest, so they
+    * commit (or vanish) atomically with it. The streaming-batch
+    * bookkeeping (`streamids`) is carried forward from the previous
+    * generation when the caller doesn't update it — otherwise a
+    * scheduled model rebuild or compaction on a table that also
+    * receives stream batches would silently drop the exactly-once
+    * ledger and re-accept replayed micro-batches.
+    *
+    * Cross-process safety is commitGen's: a lost id race re-runs the
+    * link with a fresh max+1, so racing writers' generations BOTH
+    * survive as committed files. Callers that derive `members` from
+    * the previous manifest (append, merge, insert_overwrite) still
+    * assume one writer per table for the LIVE view — a concurrent
+    * writer's rows land in a surviving but superseded generation,
+    * recoverable via `readTableAt`, never silently overwritten.
     */
   private def publishManifest(name: String, members: Seq[String],
       schema: StructType,
@@ -480,26 +551,84 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         if (sidecars.contains("streamids")) sidecars
         else sidecars ++
           genSidecar(name, "streamids").map("streamids" -> _)
-      val gen = nextGenName(name)
-      Files.writeString(dir.resolve(s"$gen.schema"), schema.json)
-      carried.foreach { case (k, v) =>
-        Files.writeString(dir.resolve(s"$gen.$k"), v)
-      }
-      Files.writeString(dir.resolve(gen), members.mkString("\n"))
-      val tmp = dir.resolve("_CURRENT.tmp")
-      Files.writeString(tmp, gen)
-      Files.move(tmp, dir.resolve("_CURRENT"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      migrateLegacyPointer(name)
+      val header = s"#schema:${encodeSidecar(schema.json)}" +:
+        carried.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"#sidecar.$k:${encodeSidecar(v)}"
+        }
+      commitGen(name, (header ++ members).mkString("\n"))
       // committed members are now manifest-protected from vacuum
       members.map(m => m.split('/').take(2).mkString("/"))
         .foreach(b => stagedBatches.remove((name, b)))
     }
 
+  /** The commit primitive: write the full manifest content to a temp
+    * file in the table dir, then hard-link it to `gen_<max+1>` —
+    * `Files.createLink` is atomic and FAILS if the target exists
+    * (O_EXCL), so a generation file only ever appears fully written
+    * and two processes racing the same id cannot overwrite each
+    * other. The loser catches `FileAlreadyExistsException`, re-reads
+    * the committed state, and retries with the new max+1 (optimistic
+    * concurrency — the commit IS the lock). Returns the committed
+    * generation name. On object storage the link maps to a
+    * conditional put (If-None-Match).
+    */
+  private def commitGen(name: String, content: String): String = {
+    val dir = Paths.get(tablePath(name))
+    val tmp = Files.createTempFile(dir, ".committing_", ".tmp")
+    try {
+      Files.writeString(tmp, content)
+      var committed: Option[String] = None
+      while (committed.isEmpty) {
+        val gen = nextGenName(name)
+        try {
+          Files.createLink(dir.resolve(gen), tmp)
+          committed = Some(gen)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+          // lost the id race to a concurrent process — both manifests
+          // survive (ours under a fresh id next iteration)
+        }
+      }
+      committed.get
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** One-time migration of a legacy `_CURRENT`-pointer warehouse,
+    * called under the table lock before the first new-protocol
+    * commit: gen files ABOVE the pointer are aborted legacy publishes
+    * (a crash between the old non-atomic manifest write and the
+    * pointer flip — possibly torn), so quarantine them (and their
+    * sibling sidecars) to `_aborted_<gen>[.key]` rather than letting
+    * highest-id-wins retroactively commit them; then drop the
+    * pointer. Vacuum deletes quarantined files.
+    */
+  private def migrateLegacyPointer(name: String): Unit = {
+    val dir = Paths.get(tablePath(name))
+    val ptr = dir.resolve(LegacyCurrentPointer)
+    if (Files.exists(ptr)) {
+      val live = Files.readString(ptr).trim
+      val liveId = live.stripPrefix("gen_").toLongOption.getOrElse(-1L)
+      listDir(dir)
+        .filter { p =>
+          val f = p.getFileName.toString
+          f.startsWith("gen_") &&
+            f.takeWhile(_ != '.').stripPrefix("gen_")
+              .toLongOption.exists(_ > liveId)
+        }
+        .foreach(p => Files.move(p,
+          dir.resolve(s"_aborted_${p.getFileName.toString}")))
+      Files.deleteIfExists(ptr)
+    }
+  }
+
   private def genSidecar(name: String, key: String): Option[String] =
     currentGenName(name).flatMap { gen =>
-      val f = Paths.get(tablePath(name), s"$gen.$key")
-      if (Files.exists(f)) Some(Files.readString(f)) else None
+      genHeader(name, gen, s"sidecar.$key").map(decodeSidecar)
+        .orElse { // legacy sibling-file layout
+          val f = Paths.get(tablePath(name), s"$gen.$key")
+          if (Files.exists(f)) Some(Files.readString(f)) else None
+        }
     }
 
   /** Committed-batchId bookkeeping for the streaming sink: a
@@ -530,8 +659,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
 
   /** foreachBatch-compatible idempotent append — the streaming sink
     * onto the warehouse. The committed batchId bookkeeping rides in a
-    * generation sidecar, so "batch data visible" and "batchId marked
-    * done" commit in ONE atomic `_CURRENT` flip: a redelivered
+    * generation sidecar header, so "batch data visible" and "batchId
+    * marked done" commit in ONE atomic manifest link: a redelivered
     * micro-batch (failure/restart replay) is a no-op, giving
     * exactly-once table contents on top of the source's replay.
     * Schema changes follow on_schema_change (append new, fail on
@@ -669,15 +798,20 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
               .foreach(deleteRec)
           }
         }
-        // keep retained generations' manifests AND all their sidecars
-        // (.schema, .streamids, …) — match on the gen-name prefix
+        // keep retained generations' manifests AND all their legacy
+        // sibling sidecars (.schema, .streamids, …) — match on the
+        // gen-name prefix; also GC quarantined legacy aborts and
+        // orphaned commit temp files (crash debris — within this
+        // runner the table lock means no commit is in flight here)
         val keepGens = retained().toSet + gen0
         def live(f: String) = keepGens.exists(g =>
           f == g || f.startsWith(s"$g."))
         listDir(root)
           .filter { p =>
             val f = p.getFileName.toString
-            f.startsWith("gen_") && !live(f)
+            (f.startsWith("gen_") && !live(f)) ||
+              f.startsWith("_aborted_") ||
+              (f.startsWith(".committing_") && f.endsWith(".tmp"))
           }
           .foreach(Files.deleteIfExists(_))
       }
@@ -992,58 +1126,68 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     writtenCount(sn.name, batch, out.schema)
   }
 
-  /** `run` flag parser: `--select <sel>`, `--threads <n>`,
-    * `--full-refresh` (dbt's escape hatch — rebuilds selected
-    * incremental/merge tables from scratch, the command the
-    * materialization-switch guards direct users to). Returns None on
-    * an unrecognized flag so runCommand reports "unknown command".
+  /** Shared select/exclude argv parsing: `--select` / `-s` and
+    * `--exclude` each consume EVERY following non-flag token (dbt's
+    * space-separated union), may repeat, and compose with the
+    * command-specific flags handled by `other`. Returns None on an
+    * unrecognized flag so runCommand reports "unknown command".
     */
-  private def parseRunFlags(flags: Seq[String])
-      : Option[(Option[String], Int, Boolean)] = {
-    var sel: Option[String] = None
-    var threads = 1
-    var fullRefresh = false
+  private def parseSelFlags(flags: Seq[String])(
+      other: PartialFunction[List[String], List[String]])
+      : Option[Selection] = {
+    val inc = mutable.Buffer.empty[String]
+    val exc = mutable.Buffer.empty[String]
     var rest = flags.toList
     while (rest.nonEmpty) rest match {
-      case "--select" :: v :: t => sel = Some(v); rest = t
-      case "--threads" :: v :: t if v.forall(_.isDigit) =>
-        threads = v.toInt; rest = t
-      case "--full-refresh" :: t => fullRefresh = true; rest = t
+      case ("--select" | "-s") :: t =>
+        val (vals, t2) = t.span(!_.startsWith("-"))
+        if (vals.isEmpty) return None
+        inc ++= vals; rest = t2
+      case "--exclude" :: t =>
+        val (vals, t2) = t.span(!_.startsWith("-"))
+        if (vals.isEmpty) return None
+        exc ++= vals; rest = t2
+      case r if other.isDefinedAt(r) => rest = other(r)
       case _ => return None
     }
-    Some((sel, threads, fullRefresh))
+    Some(Selection(inc.toSeq, exc.toSeq))
   }
 
-  /** `build` flags: `--select <sel>` (unified-graph selector),
-    * `--full-refresh`, `--at <ts>` (snapshot clock — space-free
-    * timestamp, same as `snapshot --at`).
+  /** `run` flags: select/exclude plus `--threads <n>` and
+    * `--full-refresh` (dbt's escape hatch — rebuilds selected
+    * incremental/merge tables from scratch, the command the
+    * materialization-switch guards direct users to).
+    */
+  private def parseRunFlags(flags: Seq[String])
+      : Option[(Selection, Int, Boolean)] = {
+    var threads = 1
+    var fullRefresh = false
+    parseSelFlags(flags) {
+      case "--threads" :: v :: t if v.forall(_.isDigit) =>
+        threads = v.toInt; t
+      case "--full-refresh" :: t => fullRefresh = true; t
+    }.map((_, threads, fullRefresh))
+  }
+
+  /** `build` flags: select/exclude, `--full-refresh`, `--at <ts>`
+    * (snapshot clock — space-free timestamp, same as `snapshot --at`).
     */
   private def parseBuildFlags(flags: Seq[String])
-      : Option[(Option[String], Boolean, Option[String])] = {
-    var sel: Option[String] = None
+      : Option[(Selection, Boolean, Option[String])] = {
     var fullRefresh = false
     var at: Option[String] = None
-    var rest = flags.toList
-    while (rest.nonEmpty) rest match {
-      case "--select" :: v :: t => sel = Some(v); rest = t
-      case "--full-refresh" :: t => fullRefresh = true; rest = t
-      case "--at" :: v :: t => at = Some(v); rest = t
-      case _ => return None
-    }
-    Some((sel, fullRefresh, at))
+    parseSelFlags(flags) {
+      case "--full-refresh" :: t => fullRefresh = true; t
+      case "--at" :: v :: t => at = Some(v); t
+    }.map((_, fullRefresh, at))
   }
 
   private def parseLsFlags(flags: Seq[String])
-      : Option[(Option[String], Option[String])] = {
-    var sel: Option[String] = None
+      : Option[(Selection, Option[String])] = {
     var rtype: Option[String] = None
-    var rest = flags.toList
-    while (rest.nonEmpty) rest match {
-      case "--select" :: v :: t => sel = Some(v); rest = t
-      case "--resource-type" :: v :: t => rtype = Some(v); rest = t
-      case _ => return None
-    }
-    Some((sel, rtype))
+    parseSelFlags(flags) {
+      case "--resource-type" :: v :: t => rtype = Some(v); t
+    }.map((_, rtype))
   }
 
   /** `dbt build` — the modern main command: seeds, models, snapshots
@@ -1055,7 +1199,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * Snapshots need the injected clock; without `--at` they (and their
     * descendants) are skipped, loudly.
     */
-  private def runBuild(command: String, sel: Option[String],
+  private def runBuild(command: String, sel: Selection,
       fullRefresh: Boolean, at: Option[String]): CommandResult = {
     val deps = resourceDeps
     val order = topoOrderIn(deps, selectIn(deps, sel))
@@ -1116,10 +1260,13 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
 
   /** One dbt-style command — the same argv surface the reference
     * shells out (`dbtoperator.py:35,46,324,334`): "debug",
-    * "run [--select sel] [--threads n] [--full-refresh]", "test",
+    * "run [--select|-s specs...] [--exclude specs...] [--threads n]
+    * [--full-refresh]", "test [--select ...] [--exclude ...]",
     * "seed", "snapshot --at <ts>", "source freshness --at <ts>",
-    * "build [--select sel] [--full-refresh] [--at ts]",
-    * "ls [--select sel] [--resource-type kind]".
+    * "build [--select ...] [--exclude ...] [--full-refresh] [--at ts]",
+    * "ls [--select ...] [--exclude ...] [--resource-type kind]".
+    * Select specs support the full dbt atom grammar (`m`, `+m+`,
+    * `tag:t`, `@m`; space = union, comma = intersection).
     */
   def runCommand(command: String): CommandResult = {
     val parts = command.trim.split("\\s+").toSeq
@@ -1148,21 +1295,20 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
               (if (fullRefresh) ", full-refresh" else "") + ")")
           CommandResult(command, success = true, names,
             counts.filter(_._2 >= 0), None)
-        // `test [--select sel]` — selection matches dbt: tests attached
-        // to the selected models run (graph selectors +m/m+ apply when
-        // sel names a model; a bare non-model name, e.g. a seed, runs
-        // that table's tests only)
-        case "test" +: flags if flags.isEmpty ||
-            (flags.length == 2 && flags.head == "--select") =>
-          val chosen = flags match {
-            case Seq("--select", sel) =>
-              val inGraph =
-                byName.contains(sel.stripPrefix("+").stripSuffix("+"))
-              val names: Set[String] =
-                if (inGraph) select(Some(sel)) else Set(sel)
+        // `test [--select|--exclude specs...]` — selection matches
+        // dbt: tests attached to the selected nodes run (full atom
+        // grammar over the resource graph; lenient, so a bare name
+        // outside the graph — e.g. a source with attached tests —
+        // selects that table's tests only)
+        case "test" +: flags if parseSelFlags(flags)(
+            PartialFunction.empty).isDefined =>
+          val sel = parseSelFlags(flags)(PartialFunction.empty).get
+          val chosen =
+            if (sel.include.isEmpty && sel.exclude.isEmpty) spec.tests
+            else {
+              val names = selectIn(resourceDeps, sel, lenient = true)
               spec.tests.filter(t => names(t.model))
-            case _ => spec.tests
-          }
+            }
           val failures = chosen.flatMap { t =>
             val viol = DataTests.violations(spark, this, t)
             val n = viol.limit(1).count()

@@ -53,13 +53,15 @@ object Materialization {
 }
 
 /** One model: a named SELECT over sources and upstream models
-  * (dbt `ref()` ⇒ `deps`).
+  * (dbt `ref()` ⇒ `deps`). `tags` feed the `tag:` node-selection
+  * method (dbt config `tags=[...]`).
   */
 final case class Model(
     name: String,
     deps: Seq[String],
     materialization: Materialization,
-    build: (SparkSession, Map[String, DataFrame]) => DataFrame)
+    build: (SparkSession, Map[String, DataFrame]) => DataFrame,
+    tags: Seq[String] = Nil)
 
 object Model {
   private val refRe =
@@ -80,7 +82,8 @@ object Model {
     * alternative `build`.
     */
   def sql(name: String, sqlText: String,
-          materialization: Materialization): Model = {
+          materialization: Materialization,
+          tags: Seq[String] = Nil): Model = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"model name must be a SQL identifier: $name")
     val deps = refRe.findAllMatchIn(sqlText).map(_.group(1)).toSeq.distinct
@@ -92,7 +95,7 @@ object Model {
       def view(dep: String) = s"__graft_ref_${name}_$dep"
       deps.foreach(dep => inputs(dep).createOrReplaceTempView(view(dep)))
       spark.sql(refRe.replaceAllIn(sqlText, m => view(m.group(1))))
-    })
+    }, tags)
   }
 }
 
@@ -125,7 +128,8 @@ object DataTest {
 final case class Seed(
     name: String,
     csvLines: Seq[String],
-    schema: org.apache.spark.sql.types.StructType)
+    schema: org.apache.spark.sql.types.StructType,
+    tags: Seq[String] = Nil)
 
 /** dbt `snapshot`: SCD2-track a source/model under `name`. The
   * snapshot timestamp is injected per run (`snapshot --at <ts>`) so
@@ -135,7 +139,8 @@ final case class SnapshotDef(
     name: String,
     source: String,
     keyCols: Seq[String],
-    compareCols: Seq[String])
+    compareCols: Seq[String],
+    tags: Seq[String] = Nil)
 
 /** dbt source-freshness config: warn/error when `max(tsCol)` of
   * `source` ages past the thresholds (checked by the

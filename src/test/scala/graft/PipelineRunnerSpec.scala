@@ -123,12 +123,25 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(state == Seq((2L, "02"), (9L, "01")))
   }
 
-  private def manifestMembers(r: PipelineRunner, t: String): Set[String] = {
+  // live generation = highest committed id; manifests are
+  // self-contained (header lines + one member path per line)
+  private def liveManifestLines(r: PipelineRunner, t: String): Seq[String] = {
     val root = java.nio.file.Paths.get(r.tablePath(t))
-    val gen = java.nio.file.Files.readString(root.resolve("_CURRENT")).trim
+    val gen = r.generations(t).last
     java.nio.file.Files.readString(root.resolve(gen))
-      .linesIterator.filter(_.nonEmpty).toSet
+      .linesIterator.filter(_.nonEmpty).toSeq
   }
+
+  private def manifestMembers(r: PipelineRunner, t: String): Set[String] =
+    liveManifestLines(r, t).filterNot(_.startsWith("#")).toSet
+
+  private def manifestSidecar(r: PipelineRunner, t: String,
+      key: String): Option[String] =
+    liveManifestLines(r, t).collectFirst {
+      case l if l.startsWith(s"#sidecar.$key:") =>
+        l.stripPrefix(s"#sidecar.$key:")
+          .replace("%0D", "\r").replace("%0A", "\n").replace("%25", "%")
+    }
 
   test("merge is partition-scoped: untouched buckets are not rewritten") {
     val w = wh()
@@ -785,10 +798,7 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(r.appendBatch("sb", df, 2L) == 0L)
     for (id <- 3L until 200L) assert(r.appendBatch("sb", df, id) == 1L)
     assert(r.appendBatch("sb", df, 150L) == 0L)
-    val root = java.nio.file.Paths.get(r.tablePath("sb"))
-    val gen = java.nio.file.Files.readString(root.resolve("_CURRENT")).trim
-    val sidecar = java.nio.file.Files
-      .readString(root.resolve(s"$gen.streamids"))
+    val sidecar = manifestSidecar(r, "sb", "streamids").get
     assert(sidecar.trim == "hwm:199",
       s"sidecar must be a folded hwm, not an id list: '$sidecar'")
     // compaction preserves the bookkeeping
@@ -1035,5 +1045,130 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(status("2024-01-01 00:30:00") == "pass")
     assert(status("2024-01-01 01:30:00") == "warn")
     assert(status("2024-01-01 03:00:00") == "error")
+  }
+
+  test("selectors: tag:, space-union, comma-intersection, --exclude, @model") {
+    val w = wh()
+    def m(name: String, deps: Seq[String], tags: Seq[String]) =
+      Model(name, deps, Materialization.Table,
+        (sp, _) => { import sp.implicits._; Seq((1L, name)).toDF("id", "v") },
+        tags)
+    // DAG: sa -> sb -> sc; sd standalone; seed tagged for build/ls
+    val spec = PipelineSpec(
+      models = Seq(
+        m("sa", Nil, Seq("nightly")),
+        m("sb", Seq("sa"), Seq("nightly")),
+        m("sc", Seq("sb"), Nil),
+        m("sd", Nil, Seq("adhoc"))),
+      seeds = Seq(Seed("sseed",
+        Seq("id,v", "1,x"),
+        org.apache.spark.sql.types.StructType.fromDDL("id LONG, v STRING"),
+        tags = Seq("nightly"))))
+    val r = new PipelineRunner(spark, spec, w)
+    // tag: method, composing with graph operators
+    assert(r.select(Some("tag:nightly")) == Set("sa", "sb"))
+    assert(r.select(Some("tag:nightly+")) == Set("sa", "sb", "sc"))
+    // @m = m + descendants + ancestors of those descendants
+    assert(r.select(Some("@sb")) == Set("sa", "sb", "sc"))
+    // dbt set semantics: space-separated values union...
+    assert(r.runCommand("run --select sa sd").modelsRun.toSet ==
+      Set("sa", "sd"))
+    // ...comma-separated atoms intersect (dbt select-method docs)
+    assert(r.runCommand("run --select tag:nightly,sb+").modelsRun.toSet ==
+      Set("sb"))
+    // --exclude subtracts its selection; -s is the dbt short flag
+    assert(r.runCommand("run -s +sc --exclude sb").modelsRun.toSet ==
+      Set("sa", "sc"))
+    // build and ls speak the same surface, over the resource graph
+    // (the tagged seed joins tag:nightly there)
+    assert(r.runCommand("ls --select tag:nightly --exclude sb").modelsRun
+      .toSet == Set("model.sa", "seed.sseed"))
+    val b = r.runCommand("build --select @sb --exclude sc")
+    assert(b.success && b.modelsRun.toSet == Set("sa", "sb"))
+    // an unknown plain name still fails loudly
+    assert(!r.runCommand("run --select nope").success)
+  }
+
+  test("test --select/--exclude: tags and graph atoms scope the tests") {
+    val w = wh()
+    def m(name: String, tags: Seq[String]) =
+      Model(name, Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._; Seq((1L, "x")).toDF("id", "v") },
+        tags)
+    val spec = PipelineSpec(
+      models = Seq(m("qa_m", Seq("qa")), m("other_m", Nil)),
+      tests = Seq(DataTest.NotNull("qa_m", "id"),
+        DataTest.NotNull("other_m", "id")))
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.run(Seq("run")).success)
+    assert(r.runCommand("test --select tag:qa").modelsRun ==
+      Seq("not_null_qa_m_id"))
+    assert(r.runCommand("test --exclude other_m").modelsRun ==
+      Seq("not_null_qa_m_id"))
+    assert(r.runCommand("test --select qa_m other_m").modelsRun.toSet ==
+      Set("not_null_qa_m_id", "not_null_other_m_id"))
+  }
+
+  test("commitGen: two runner processes racing one table lose no generation") {
+    // two PipelineRunner instances = two JVM-independent lock scopes
+    // (the reference's deployment: one worker process per scheduled
+    // task). The O_EXCL hard-link commit either wins its id or
+    // retries with a fresh max+1 — a lost race may supersede rows in
+    // the LIVE view, but never overwrites a committed manifest.
+    val w = wh()
+    val r1 = new PipelineRunner(spark, PipelineSpec(Nil), w)
+    val r2 = new PipelineRunner(spark, PipelineSpec(Nil), w)
+    val df = Seq((1L, "x")).toDF("id", "v")
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    def appender(r: PipelineRunner, ids: Range) = new Thread(() => {
+      start.await()
+      try ids.foreach(i => r.appendBatch("race", df, i.toLong))
+      catch { case t: Throwable => failed.set(t) }
+    })
+    val ts = Seq(appender(r1, 0 until 15), appender(r2, 100 until 115))
+    ts.foreach(_.start()); start.countDown(); ts.foreach(_.join(180000))
+    assert(failed.get() == null, s"appender failed: ${failed.get()}")
+    assert(r1.generations("race").size == 30,
+      "every commit must survive as its own generation file")
+    // every manifest is fully written and self-contained: schema
+    // header present, all member batches readable
+    r1.generations("race").foreach { g =>
+      assert(r1.readTableAt("race", g).columns.sameElements(
+        Array("id", "v")), s"generation $g unreadable")
+    }
+  }
+
+  test("legacy _CURRENT warehouse: pointer honored, aborted gen quarantined") {
+    val w = wh()
+    // commit gen_1 normally, then hand-craft the legacy layout: a
+    // _CURRENT pointer at gen_1 plus a TORN gen_2 left by a crashed
+    // legacy publisher (manifest written non-atomically, pointer
+    // never flipped — an uncommitted publish)
+    assert(new PipelineRunner(spark,
+      PipelineSpec(Seq(tableModel("leg", Seq((1L, "old"))))), w)
+      .run(Seq("run")).success)
+    val root = java.nio.file.Paths.get(w, "leg")
+    java.nio.file.Files.writeString(root.resolve("_CURRENT"), "gen_1")
+    java.nio.file.Files.writeString(root.resolve("gen_2"), "")
+    // readers must honor the pointer: the torn gen_2 is NOT live
+    val r = new PipelineRunner(spark,
+      PipelineSpec(Seq(tableModel("leg", Seq((2L, "new"))))), w)
+    assert(r.readTable("leg").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "old")))
+    // the next publish migrates: quarantines gen_2, drops the
+    // pointer, commits under the new protocol
+    assert(r.run(Seq("run")).success)
+    assert(!java.nio.file.Files.exists(root.resolve("_CURRENT")))
+    assert(java.nio.file.Files.exists(root.resolve("_aborted_gen_2")))
+    assert(r.readTable("leg").as[(Long, String)].collect().toSeq ==
+      Seq((2L, "new")))
+    // the superseded real generation stays time-travelable
+    assert(r.readTableAt("leg", "gen_1").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "old")))
+    // vacuum GCs the quarantined abort
+    r.vacuum("leg", keepGenerations = 2)
+    assert(!java.nio.file.Files.exists(root.resolve("_aborted_gen_2")))
+    assert(r.readTableAt("leg", "gen_1").count() == 1)
   }
 }

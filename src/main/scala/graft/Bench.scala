@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -33,19 +34,33 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val times = (1 to reps).map { _ =>
-          resetSessionState()
-          val t0 = System.nanoTime()
-          // toRdd.count() materializes every output row of the *full* plan;
-          // df.count() would let Catalyst prune the projections and bench
-          // expression-heavy queries as near-bare scans.
-          try { fn(spark, sfDir).queryExecution.toRdd.count() }
-          catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        name -> times(times.size / 2)
+    // optional key subset for triage runs: comma-separated names
+    val keyFilter = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val keys = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => keyFilter.forall(_.contains(n)) }
+    // INTERLEAVED sweeps: reps of one key are spread across full
+    // passes over all keys, then the per-key MEDIAN is taken across
+    // sweeps. Consecutive same-key reps (the previous shape) let one
+    // transient noise window — GC storm, page-cache eviction, CPU
+    // contention — poison every rep of a key at once, which is what
+    // made unchanged queries (join_broadcast, fn_struct in r5) swing
+    // 4-7× between rounds while isolated reruns showed no regression.
+    val samples = mutable.Map.empty[String, mutable.Buffer[Double]]
+    for (_ <- 1 to reps; (name, fn) <- keys) {
+      resetSessionState()
+      val t0 = System.nanoTime()
+      // toRdd.count() materializes every output row of the *full* plan;
+      // df.count() would let Catalyst prune the projections and bench
+      // expression-heavy queries as near-bare scans.
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
+      samples.getOrElseUpdate(name, mutable.Buffer.empty) +=
+        (System.nanoTime() - t0) / 1e9
+    }
+    val results = keys.map { case (name, _) =>
+      val ts = samples(name).sorted
+      name -> ts(ts.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -322,6 +322,61 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("mergeBatch recovers from a checkpoint restart: replay is a no-op") {
+    // a REAL StreamingQuery stop/restart: q1 commits micro-batch 0,
+    // then the checkpoint's commit marker is removed (the crash
+    // window: sink committed, checkpoint not yet) so the restarted
+    // query REDELIVERS batch 0 through foreachBatch — mergeBatch's
+    // streamids ledger must make the replay a no-op, then keep
+    // accepting genuinely new batches
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "stream_mcp")
+    val (in, cp, wh) = (s"$base/in", s"$base/cp", s"$base/wh")
+    val runner = new graft.pipeline.PipelineRunner(
+      spark, graft.pipeline.PipelineSpec(Nil), wh)
+    runner.initialize()
+    val upserted =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    Seq((1L, "a"), (2L, "a")).toDF("id", "v")
+      .write.mode("append").parquet(in)
+    def startQ() = spark.readStream.schema("id BIGINT, v STRING")
+      .parquet(in)
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val latest = batch.dropDuplicates("id")
+        upserted.add(id -> runner.mergeBatch("ms_state", latest, id,
+          uniqueKey = Seq("id"), buckets = 4)): Unit
+      }
+      .start()
+    val q1 = startQ()
+    q1.processAllAvailable(); q1.stop()
+    assert(runner.readTable("ms_state").count() == 2)
+    assert(upserted.poll() == (0L -> 2L))
+    // simulate the crash window: drop the commit marker, keep offsets
+    // (including its Hadoop checksum shadow — a stale .0.crc fails
+    // the restarted query's commit-log rename)
+    val commit0 = java.nio.file.Paths.get(cp, "commits", "0")
+    assert(java.nio.file.Files.deleteIfExists(commit0),
+      "checkpoint commit marker for batch 0 must exist")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(cp, "commits", ".0.crc")): Unit
+    val q2 = startQ()
+    q2.processAllAvailable()
+    // batch 0 was redelivered and ignored: 0 rows upserted, no dups
+    assert(upserted.poll() == (0L -> 0L),
+      "restarted query must redeliver batch 0 as a no-op")
+    assert(runner.readTable("ms_state").count() == 2)
+    // new data through the SAME restarted query still upserts
+    Seq((2L, "b"), (3L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(in)
+    q2.processAllAvailable(); q2.stop()
+    assert(upserted.poll() == (1L -> 2L))
+    val state = runner.readTable("ms_state")
+      .as[(Long, String)].collect().toMap
+    assert(state == Map(1L -> "a", 2L -> "b", 3L -> "b"),
+      s"post-restart upsert wrong: $state")
+  }
+
   test("session windows close after the gap under a watermark") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[EventRow]

@@ -94,6 +94,38 @@ object VectorIndex {
     runner.appendBatch(listsTable(name), assigned, batchId)
   }
 
+  /** Retrain the coarse quantizer on the CURRENT corpus and reassign
+    * every vector — the answer to centroid drift after many
+    * `appendVectors` batches (recall decays once the corpus outgrows
+    * the quantizer trained on the original vectors). Each table swap
+    * is an atomic generation commit; superseded generations stay
+    * readable via `readTableAt` until `vacuum`, and the exactly-once
+    * append ledger carries forward, so replayed pre-rebuild batch ids
+    * remain no-ops. A crash between the centroid swap and the list
+    * swap leaves lists assigned under the old quantizer — searches
+    * stay well-formed (probe + rank still work), recall is degraded
+    * until `rebuild` is re-run. O(corpus) by nature: schedule it like
+    * OPTIMIZE, never per batch.
+    */
+  def rebuild(runner: PipelineRunner, name: String, nlist: Int,
+              iters: Int = 5, sampleFraction: Double = 1.0,
+              cosFn: (Column, Column) => Column = Similarity.cosine)
+      : Unit = {
+    val corpus = runner.readTable(listsTable(name))
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity
+      .kmeansCentroids(corpus, nlist, iters, sampleFraction)
+      .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+    runner.replaceTable(centroidsTable(name), cents)
+    val fresh = centroidLiterals(runner, name)
+    val assigned = corpus
+      .withColumn("sc", scoreArr(fresh, col("embedding"), cosFn))
+      .withColumn("cidx",
+        array_position(col("sc"), array_max(col("sc"))).cast("int"))
+      .select("cidx", "vec_id", "embedding")
+    runner.replaceTable(listsTable(name), assigned): Unit
+  }
+
   /** ANN top-k over the persisted lists: queries probe their `nprobe`
     * nearest centroids (|Q|·nlist scoring rows — small), then join the
     * stored lists on the centroid index and rank. The corpus is

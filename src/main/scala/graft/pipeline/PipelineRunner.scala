@@ -52,8 +52,20 @@ final case class RunResult(success: Boolean, results: Seq[CommandResult])
   * readers never see partial output — the same pattern works on
   * object storage with a conditional put instead of a hard link.
   */
+/** @param autoCompactMembers opt-in compaction policy (0 = off): when
+  *   an append-style commit (streaming append/merge, incremental
+  *   append, snapshot) leaves a table with more manifest members than
+  *   this AND a compaction would actually reduce the count, the table
+  *   is compacted under its lock right after the commit. Size it
+  *   above the table's partition-leaf count — compaction can never go
+  *   below one member per partition, and a threshold under that would
+  *   trigger a useless O(table) rewrite per run (the no-op guard
+  *   skips those). Explicit `compact` / `compact --select` remains
+  *   the scheduled-OPTIMIZE path.
+  */
 final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
-    warehouse: String, logger: PipelineLogger = new PipelineLogger()) {
+    warehouse: String, logger: PipelineLogger = new PipelineLogger(),
+    autoCompactMembers: Int = 0) {
 
   private val byName = spec.models.map(m => m.name -> m).toMap
   private var initialized = false
@@ -682,7 +694,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           schema,
           Map("streamids" ->
             (s"hwm:$h2" +: t2.toSeq.sorted.map(_.toString)).mkString("\n")))
-        writtenCount(name, rel, df.schema)
+        val n = writtenCount(name, rel, df.schema)
+        maybeAutoCompact(name)
+        n
       }
     }
 
@@ -695,6 +709,21 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     publishManifest(name, Seq(rel), schema)
     rel
   }
+
+  /** Public model-less CTAS: publish `df` as `name`'s next generation
+    * (full refresh). The superseded generation stays time-travelable
+    * until `vacuum`; the streaming ledger carries forward, so a table
+    * fed by `appendBatch` can be rebuilt (index retrain, backfill)
+    * without re-accepting replayed micro-batches. Reading `name`
+    * inside `df`'s own lineage is safe: the write stages a NEW batch
+    * while the read resolves the still-live old generation.
+    */
+  def replaceTable(name: String, df: DataFrame): Long =
+    lockFor(name).synchronized { tracked {
+      val rel = publish(name, df.schema,
+        p => df.write.mode("overwrite").parquet(p))
+      writtenCount(name, rel, df.schema)
+    } }
 
   /** Rows in one just-written batch — the per-run "rows affected"
     * count. O(written batch), where a `readTable(name).count()` would
@@ -716,6 +745,23 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * keep working afterwards. O(table) by nature — schedule it like
     * any OPTIMIZE job, never per-run.
     */
+  /** Compact-if-worthwhile, on the paths that grow one member per
+    * run. Skips when every member already owns its partition key
+    * (compaction would rewrite O(table) for zero member reduction).
+    * Called under the table lock (reentrant) right after a commit.
+    */
+  private def maybeAutoCompact(name: String): Unit =
+    if (autoCompactMembers > 0) {
+      val ms = currentManifest(name).getOrElse(Nil)
+      def partKey(m: String) = m.split('/').drop(2).mkString("/")
+      if (ms.size > autoCompactMembers &&
+          ms.map(partKey).distinct.size < ms.size) {
+        logger.log(LogLevel.INFO,
+          s"auto-compacting $name (${ms.size} members > $autoCompactMembers)")
+        compact(name)
+      }
+    }
+
   def compact(name: String): Unit = lockFor(name).synchronized { tracked {
     // the whole read-modify-write holds the table lock: a concurrent
     // publish between the manifest read and the compacted commit
@@ -934,7 +980,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
               p => delta.write.mode("overwrite").parquet(p))
             publishManifest(name,
               currentManifest(name).get :+ deltaBatch, evolved)
-            writtenCount(name, deltaBatch, df.schema)
+            val n = writtenCount(name, deltaBatch, df.schema)
+            maybeAutoCompact(name)
+            n
           }
         }
 
@@ -1071,10 +1119,12 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       if (batchId <= hwm || tail.contains(batchId)) 0L
       else tracked {
         val (h2, t2) = foldStreamIds(hwm, tail + batchId)
-        mergeInto(name, df, uniqueKey, buckets, partitionBy,
+        val n = mergeInto(name, df, uniqueKey, buckets, partitionBy,
           fullRefresh = false,
           sidecars = Map("streamids" ->
             (s"hwm:$h2" +: t2.toSeq.sorted.map(_.toString)).mkString("\n")))
+        maybeAutoCompact(name)
+        n
       }
     }
 
@@ -1123,7 +1173,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       else currentManifest(sn.name).get
         .filterNot(_.endsWith(s"$OpenCol=true"))
     publishManifest(sn.name, closedM ++ newMembers, out.schema)
-    writtenCount(sn.name, batch, out.schema)
+    val n = writtenCount(sn.name, batch, out.schema)
+    maybeAutoCompact(sn.name)
+    n
   }
 
   /** Shared select/exclude argv parsing: `--select` / `-s` and
@@ -1264,7 +1316,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * [--full-refresh]", "test [--select ...] [--exclude ...]",
     * "seed", "snapshot --at <ts>", "source freshness --at <ts>",
     * "build [--select ...] [--exclude ...] [--full-refresh] [--at ts]",
-    * "ls [--select ...] [--exclude ...] [--resource-type kind]".
+    * "ls [--select ...] [--exclude ...] [--resource-type kind]",
+    * "compact [--select ...] [--exclude ...]" (scheduled OPTIMIZE).
     * Select specs support the full dbt atom grammar (`m`, `+m+`,
     * `tag:t`, `@m`; space = union, comma = intersection).
     */
@@ -1352,6 +1405,21 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         case "build" +: flags if parseBuildFlags(flags).isDefined =>
           val (sel, fullRefresh, at) = parseBuildFlags(flags).get
           runBuild(command, sel, fullRefresh, at)
+        // `compact [--select|--exclude specs...]` — the scheduled
+        // OPTIMIZE pass: rewrite each selected warehouse table's live
+        // generation into one member per partition (bounds file/member
+        // growth from append/merge/snapshot runs). Resources without a
+        // materialized table (views, not-yet-run models) are skipped.
+        case "compact" +: flags if parseSelFlags(flags)(
+            PartialFunction.empty).isDefined =>
+          val sel = parseSelFlags(flags)(PartialFunction.empty).get
+          // lenient: streaming-sink tables (appendBatch/mergeBatch)
+          // live in the warehouse without being graph nodes; no topo
+          // order — compaction is per-table, dependency-free
+          val names = selectIn(resourceDeps, sel, lenient = true)
+            .toSeq.sorted.filter(tableExists)
+          names.foreach(compact)
+          CommandResult(command, success = true, names, Map.empty, None)
         // `dbt ls` — resource listing: `kind.name` rows in DAG order,
         // each resource's tests right after it (dbt's fqn listing).
         case "ls" +: flags if parseLsFlags(flags).isDefined =>

@@ -1109,6 +1109,65 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       Set("not_null_qa_m_id", "not_null_other_m_id"))
   }
 
+  test("auto-compaction bounds manifest members on append-style runs") {
+    val w = wh()
+    val r = new PipelineRunner(spark, PipelineSpec(Nil), w,
+      autoCompactMembers = 3)
+    val df = Seq((1L, "x")).toDF("id", "v")
+    for (id <- 0L until 5L) r.appendBatch("ac", df, id)
+    // the 4th append crossed the threshold and compacted to 1 member
+    assert(manifestMembers(r, "ac").size <= 3,
+      s"members=${manifestMembers(r, "ac")}")
+    assert(r.readTable("ac").count() == 5)
+    // the exactly-once ledger survives auto-compaction
+    assert(r.appendBatch("ac", df, 2L) == 0L)
+    assert(r.appendBatch("ac", df, 5L) == 1L)
+    assert(r.readTable("ac").count() == 6)
+  }
+
+  test("auto-compaction skips when no member reduction is possible") {
+    val w = wh()
+    val r = new PipelineRunner(spark, PipelineSpec(Nil), w,
+      autoCompactMembers = 1)
+    def df(rows: (Long, String)*) = rows.toDF("id", "v")
+    // 4 bucket members, each its own partition key: size > threshold
+    // but compaction cannot reduce — the no-op guard must skip the
+    // O(table) rewrite
+    r.mergeBatch("acm", df((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a")),
+      0L, uniqueKey = Seq("id"), buckets = 4)
+    val m1 = manifestMembers(r, "acm")
+    assert(m1.forall(_.contains("__gbucket=")))
+    // an upsert leaves new+carry siblings in a touched bucket →
+    // reduction possible → auto-compact collapses to one per bucket
+    r.mergeBatch("acm", df((1L, "b")), 1L, uniqueKey = Seq("id"),
+      buckets = 4)
+    val m2 = manifestMembers(r, "acm")
+    def partKey(m: String) = m.split('/').drop(2).mkString("/")
+    assert(m2.map(partKey).toSeq.distinct.size == m2.size,
+      s"post-compact members must own unique partitions: $m2")
+    assert(r.readTable("acm").count() == 4)
+    assert(r.readTable("acm").filter($"id" === 1L && $"v" === "b")
+      .count() == 1)
+  }
+
+  test("compact command: scheduled OPTIMIZE over selected tables") {
+    val w = wh()
+    val r = new PipelineRunner(spark, PipelineSpec(Nil), w)
+    val df = Seq((1L, "x")).toDF("id", "v")
+    for (id <- 0L until 3L) {
+      r.appendBatch("ct1", df, id); r.appendBatch("ct2", df, id)
+    }
+    assert(manifestMembers(r, "ct1").size == 3)
+    val res = r.runCommand("compact --select ct1")
+    assert(res.success && res.modelsRun == Seq("ct1"))
+    assert(manifestMembers(r, "ct1").size == 1)
+    assert(manifestMembers(r, "ct2").size == 3,
+      "unselected table must keep its members")
+    assert(r.readTable("ct1").count() == 3)
+    // ledger still intact through the command path
+    assert(r.appendBatch("ct1", df, 1L) == 0L)
+  }
+
   test("commitGen: two runner processes racing one table lose no generation") {
     // two PipelineRunner instances = two JVM-independent lock scopes
     // (the reference's deployment: one worker process per scheduled

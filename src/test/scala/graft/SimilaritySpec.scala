@@ -174,6 +174,45 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(persisted == scratch && persisted.nonEmpty)
   }
 
+  test("IVF rebuild retrains on the grown corpus; search ≡ from-scratch") {
+    val base = java.nio.file.Paths.get("/root/repo/target/scratch-test")
+    java.nio.file.Files.createDirectories(base)
+    val wh = java.nio.file.Files.createTempDirectory(base, "ivfrb").toString
+    val r = new graft.pipeline.PipelineRunner(spark,
+      graft.pipeline.PipelineSpec(Nil), wh)
+    // train on a skewed slice, then drift the corpus well past it
+    val oldVecs = emb.filter(col("vec_id") < 20)
+    val newVecs = emb.filter(col("vec_id") >= 20)
+    assert(VectorIndex.ensureIvf(r, "rb", oldVecs, nlist = 4, iters = 3))
+    assert(VectorIndex.appendVectors(r, "rb", newVecs, batchId = 1L) ==
+      newVecs.count())
+    val centsTable = VectorIndex.centroidsTable("rb")
+    val preGen = r.generations(centsTable).last
+    val preCents = r.readTable(centsTable).orderBy("cid")
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    VectorIndex.rebuild(r, "rb", nlist = 4, iters = 3)
+    // retraining on the grown corpus must move the quantizer...
+    val postCents = r.readTable(centsTable).orderBy("cid")
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    assert(postCents != preCents, "rebuild must retrain, not reuse")
+    // ...while the pre-rebuild generation stays time-travelable
+    assert(r.readTableAt(centsTable, preGen).orderBy("cid")
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq == preCents)
+    // post-rebuild persisted search ≡ from-scratch ivfTopK over the
+    // grown corpus with the SAME (deterministic) retrained quantizer
+    val queries = emb.filter(col("vec_id") < 3)
+    val persisted = VectorIndex.search(r, "rb", queries, nprobe = 2, k = 3)
+      .select("qid", "cid", "rn").as[(Long, Long, Int)].collect().toSet
+    val scratchCents = r.readTable(centsTable)
+      .select(col("cid").as("vec_id"), col("centroid").as("embedding"))
+    val scratch = Similarity
+      .ivfTopK(queries, emb, scratchCents, nprobe = 2, k = 3)
+      .select("qid", "cid", "rn").as[(Long, Long, Int)].collect().toSet
+    assert(persisted == scratch && persisted.nonEmpty)
+    // pre-rebuild batch ids stay exactly-once after the swap
+    assert(VectorIndex.appendVectors(r, "rb", newVecs, batchId = 1L) == 0L)
+  }
+
   test("double cosine agrees with decimal cosine to 1e-6") {
     val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
       .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("vb")))

@@ -227,6 +227,49 @@ object PipelineOps extends QueryGroup {
       r.readTable("dag_agg").orderBy("o_custkey")
     }),
 
+    // ---- tag/exclude selection (dbt node-selection grammar) ---------------
+    // `run -s tag:daily --exclude tg_skip`: the tagged subgraph runs,
+    // the excluded (poisoned) model does not — tag:, the -s alias and
+    // --exclude subtraction are all exercised end-to-end; the oracle
+    // hash-checks the surviving aggregate.
+    "run_select_tags" -> ((s, d) => {
+      val spec = PipelineSpec(Seq(
+        Model("tg_base", Nil, Materialization.View,
+          (sp, _) => Tables.orders(sp, d)
+            .filter(col("o_orderstatus") === "O"),
+          tags = Seq("daily")),
+        Model("tg_agg", Seq("tg_base"), Materialization.Table,
+          (_, in) => in("tg_base").groupBy("o_custkey")
+            .agg(count(lit(1)).as("n_o"),
+              asDouble(sum(dec2(col("o_totalprice")))).as("sum_o")),
+          tags = Seq("daily")),
+        Model("tg_skip", Seq("tg_base"), Materialization.Table,
+          (_, _) => sys.error("tg_skip must be excluded"),
+          tags = Seq("daily"))))
+      val r = new PipelineRunner(s, spec, freshWh("run_select_tags"))
+      mustSucceed(r.run(Seq("run -s tag:daily --exclude tg_skip")))
+      r.readTable("tg_agg").orderBy("o_custkey")
+    }),
+
+    // ---- compaction (the OPTIMIZE analogue) -------------------------------
+    // Three streamed appends under an autoCompactMembers=2 policy (the
+    // 3rd commit crosses the threshold and auto-compacts), then the
+    // explicit `compact --select` command; the table must hash-match
+    // the plain union of the three slices — compaction changes the
+    // file layout, never the contents.
+    "mat_compact" -> ((s, d) => {
+      val r = new PipelineRunner(s, PipelineSpec(Nil),
+        freshWh("mat_compact"), autoCompactMembers = 2)
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      for (i <- 0 to 2)
+        r.appendBatch("cmp_orders",
+          o.filter(pmod(col("o_orderkey"), lit(3)) === i), i.toLong)
+      require(r.runCommand("compact --select cmp_orders").success,
+        "compact command failed")
+      r.readTable("cmp_orders").orderBy("o_orderkey")
+    }),
+
     // ---- SQL-text model DAG (the reference's actual model format) ---------
     // Models are SQL strings with {{ ref }} / {{ source }} — what dbt
     // compiles and submits (`dbtoperator.py:342-360`). DAG: source
@@ -391,6 +434,16 @@ object PipelineOps extends QueryGroup {
       """SELECT o_custkey, count(*) AS n_f
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "run_select_tags" ->
+      """SELECT o_custkey, count(*) AS n_o,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_o
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "mat_compact" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "run_project_artifact" ->
       """SELECT CASE o_orderstatus WHEN 'O' THEN 'open'

@@ -406,30 +406,50 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   private val OpenCol = "__open"
   private val hiddenCols = Seq(GBucket, OpenCol)
 
-  /** `on_schema_change` semantics for incremental models (dbt
-    * 1.9 config of the same name): columns ADDED by a new batch are
-    * appended to the stored schema (`append_new_columns`) — older
-    * batches surface NULL for them via the stored-schema read path;
-    * a column REMOVED from the new batch fails loudly (`fail`) rather
-    * than silently forking the table's shape; a type change on a
-    * shared column also fails (a scan-time cast surprise otherwise).
+  /** Apply a model's `on_schema_change` policy (dbt 1.9 config, see
+    * [[OnSchemaChange]]) when an incremental batch's columns differ
+    * from the stored table's. Returns (schema to publish, batch to
+    * write) — only `Ignore` rewrites the batch (projection onto the
+    * stored schema); the other modes rely on parquet schema-on-read:
+    * members read under the published schema surface NULL for fields
+    * they lack and project out fields it dropped. A TYPE change on a
+    * shared column fails in every mode — the already-written members
+    * would be mis-read under the re-typed schema.
     */
-  private def evolveSchema(name: String, stored: StructType,
-      incoming: StructType): StructType = {
+  private def applySchemaChange(name: String, mode: OnSchemaChange,
+      stored: StructType, df: DataFrame): (StructType, DataFrame) = {
+    val incoming = df.schema
     val storedByName = stored.fields.map(f => f.name -> f).toMap
-    val removed = storedByName.keySet -- incoming.fieldNames.toSet
-    require(removed.isEmpty,
-      s"on_schema_change on $name: columns removed from incremental " +
-        s"batch: ${removed.mkString(",")} (full-refresh to drop columns)")
     incoming.fields.foreach { f =>
       storedByName.get(f.name).foreach { s =>
         require(s.dataType == f.dataType,
           s"on_schema_change on $name: column ${f.name} changed type " +
-            s"${s.dataType.sql} -> ${f.dataType.sql}")
+            s"${s.dataType.sql} -> ${f.dataType.sql} (full-refresh to " +
+            "change a column's type)")
       }
     }
-    StructType(stored.fields ++
-      incoming.fields.filterNot(f => storedByName.contains(f.name)))
+    val added = incoming.fields.filterNot(f => storedByName.contains(f.name))
+    val removed =
+      stored.fields.filterNot(f => incoming.fieldNames.contains(f.name))
+    mode match {
+      case OnSchemaChange.Fail =>
+        require(added.isEmpty && removed.isEmpty,
+          s"on_schema_change=fail on $name: batch schema differs " +
+            s"(added: ${added.map(_.name).mkString(",")}; removed: " +
+            s"${removed.map(_.name).mkString(",")})")
+        (stored, df)
+      case OnSchemaChange.Ignore =>
+        (stored, df.select(stored.fields.toSeq.map { f =>
+          if (incoming.fieldNames.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*))
+      case OnSchemaChange.AppendNewColumns =>
+        (StructType(stored.fields ++ added), df)
+      case OnSchemaChange.SyncAllColumns =>
+        val dropped = removed.map(_.name).toSet
+        (StructType(stored.fields.filterNot(f => dropped(f.name)) ++ added),
+          df)
+    }
   }
 
   private val batchCounter = new java.util.concurrent.atomic.AtomicLong()
@@ -940,15 +960,14 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           p => df.write.mode("overwrite").parquet(p))
         writtenCount(name, rel, df.schema)
 
-      case Materialization.IncrementalAppend(tsCol) =>
+      case Materialization.IncrementalAppend(tsCol, osc) =>
         if (!tableExists(name) || fullRefresh) {
           val rel = publish(name, df.schema,
             p => df.write.mode("overwrite").parquet(p))
           writtenCount(name, rel, df.schema)
         } else {
-          val evolved =
-            evolveSchema(name, currentSchema(name).getOrElse(df.schema),
-              df.schema)
+          val (evolved, batchDf) = applySchemaChange(name, osc,
+            currentSchema(name).getOrElse(df.schema), df)
           val cur0 = currentManifest(name).get
           // the last-member hwm below relies on whole-batch members
           // (each delta filtered past the previous hwm); a table
@@ -967,7 +986,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           // everything, not nothing.
           val hwm = readMembers(name, Seq(cur0.last), currentSchema(name))
             .agg(max(col(tsCol))).head().get(0)
-          val delta = if (hwm == null) df else df.filter(col(tsCol) > lit(hwm))
+          val delta = if (hwm == null) batchDf
+            else batchDf.filter(col(tsCol) > lit(hwm))
           // an empty delta commits nothing — otherwise a no-new-data
           // schedule grows the manifest (and readTable's path list)
           // by one empty batch per run, forever
@@ -980,7 +1000,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
               p => delta.write.mode("overwrite").parquet(p))
             publishManifest(name,
               currentManifest(name).get :+ deltaBatch, evolved)
-            val n = writtenCount(name, deltaBatch, df.schema)
+            val n = writtenCount(name, deltaBatch, delta.schema)
             maybeAutoCompact(name)
             n
           }

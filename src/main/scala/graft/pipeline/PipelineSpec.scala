@@ -8,6 +8,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `dbtoperator.py:273` pins dbt-core 1.9 whose model/materialization
   * semantics these types mirror).
   */
+/** dbt 1.9 `on_schema_change` config for incremental models: what to
+  * do when a new batch's columns differ from the stored table's.
+  * All modes reject a TYPE change on a shared column — the members
+  * already written are schema-on-read parquet, and re-typing a column
+  * would mis-read every old file (dbt adapters hit the same wall;
+  * `--full-refresh` is the type-change path).
+  *
+  *  - `Ignore` (dbt's default): the stored schema wins — the batch is
+  *    projected onto it (new columns dropped, missing columns NULL).
+  *  - `AppendNewColumns` (OUR default): new columns are appended to
+  *    the stored schema (old rows read NULL); columns missing from
+  *    the batch stay in the table (new rows read NULL). We default
+  *    stricter than dbt because silently DROPPING a column a model
+  *    just started producing (Ignore) is invisible data loss.
+  *  - `SyncAllColumns`: the stored schema follows the batch — new
+  *    columns appended AND missing columns dropped from the surface
+  *    (already-written files keep the bytes; reads project them out).
+  *  - `Fail`: any column-set difference fails the model.
+  */
+sealed trait OnSchemaChange
+object OnSchemaChange {
+  case object Ignore extends OnSchemaChange
+  case object AppendNewColumns extends OnSchemaChange
+  case object SyncAllColumns extends OnSchemaChange
+  case object Fail extends OnSchemaChange
+
+  def parse(s: String): OnSchemaChange = s match {
+    case "ignore"             => Ignore
+    case "append_new_columns" => AppendNewColumns
+    case "sync_all_columns"   => SyncAllColumns
+    case "fail"               => Fail
+    case other => sys.error(s"unknown on_schema_change: $other")
+  }
+}
+
 sealed trait Materialization
 object Materialization {
   /** dbt `view` — registered as a temp view, no data written. */
@@ -19,11 +54,14 @@ object Materialization {
   /** dbt-spark incremental, strategy `append`: insert rows newer than
     * the target's high-water mark on `tsCol`.
     */
-  final case class IncrementalAppend(tsCol: String) extends Materialization
+  final case class IncrementalAppend(tsCol: String,
+      onSchemaChange: OnSchemaChange = OnSchemaChange.AppendNewColumns)
+    extends Materialization
   /** dbt-spark incremental, strategy `insert_overwrite`: replace
     * exactly the partitions present in the new batch.
     */
-  final case class IncrementalInsertOverwrite(partitionCols: Seq[String])
+  final case class IncrementalInsertOverwrite(partitionCols: Seq[String],
+      onSchemaChange: OnSchemaChange = OnSchemaChange.AppendNewColumns)
     extends Materialization
   /** dbt-spark incremental, strategy `merge` on `uniqueKey` — emulated
     * for vanilla parquet (no Delta/Iceberg in this image), scoped to
@@ -49,7 +87,9 @@ object Materialization {
     */
   final case class IncrementalMerge(uniqueKey: Seq[String],
       buckets: Int = 16,
-      partitionBy: Seq[String] = Nil) extends Materialization
+      partitionBy: Seq[String] = Nil,
+      onSchemaChange: OnSchemaChange = OnSchemaChange.AppendNewColumns)
+    extends Materialization
 }
 
 /** One model: a named SELECT over sources and upstream models

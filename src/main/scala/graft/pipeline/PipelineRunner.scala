@@ -444,12 +444,46 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           else lit(null).cast(f.dataType).as(f.name)
         }: _*))
       case OnSchemaChange.AppendNewColumns =>
+        require(removed.isEmpty,
+          s"on_schema_change=append_new_columns on $name: batch is " +
+            s"missing stored columns ${removed.map(_.name).mkString(",")} " +
+            "(use sync_all_columns to drop them, or ignore to null-fill)")
         (StructType(stored.fields ++ added), df)
       case OnSchemaChange.SyncAllColumns =>
         val dropped = removed.map(_.name).toSet
         (StructType(stored.fields.filterNot(f => dropped(f.name)) ++ added),
           df)
     }
+  }
+
+  /** Schema evolution for the mode-less write paths (streaming
+    * `appendBatch`/`mergeBatch` sinks and the merge write path):
+    * the strict default — new columns append to the published schema
+    * (already-written members surface NULL for them via parquet
+    * schema-on-read); a removed or re-typed column fails loudly,
+    * since committed members would otherwise be silently null-filled
+    * or mis-read. Equivalent to `applySchemaChange` with
+    * [[OnSchemaChange.AppendNewColumns]], schema-only.
+    */
+  private def evolveSchema(name: String, stored: StructType,
+      incoming: StructType): StructType = {
+    val storedByName = stored.fields.map(f => f.name -> f).toMap
+    incoming.fields.foreach { f =>
+      storedByName.get(f.name).foreach { s =>
+        require(s.dataType == f.dataType,
+          s"on_schema_change on $name: column ${f.name} changed type " +
+            s"${s.dataType.sql} -> ${f.dataType.sql} (full-refresh to " +
+            "change a column's type)")
+      }
+    }
+    val removed =
+      stored.fields.filterNot(f => incoming.fieldNames.contains(f.name))
+    require(removed.isEmpty,
+      s"on_schema_change on $name: batch is missing stored columns " +
+        s"${removed.map(_.name).mkString(",")} (full-refresh to drop " +
+        "columns)")
+    StructType(stored.fields ++
+      incoming.fields.filterNot(f => storedByName.contains(f.name)))
   }
 
   private val batchCounter = new java.util.concurrent.atomic.AtomicLong()
@@ -1006,19 +1040,24 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           }
         }
 
-      case Materialization.IncrementalInsertOverwrite(parts) =>
+      case Materialization.IncrementalInsertOverwrite(parts, osc) =>
         // insert_overwrite semantics: replace exactly the partitions
         // present in the new batch, keep the rest. The batch is
         // written partitioned and the manifest swaps members at
         // partition granularity — O(touched partitions) I/O, never a
         // table rewrite, and fully atomic via the manifest flip.
+        val fresh = !tableExists(name) || fullRefresh
+        val (schema, batchDf) =
+          if (fresh) (df.schema, df)
+          else applySchemaChange(name, osc,
+            currentSchema(name).getOrElse(df.schema), df)
         val batch = writeBatch(name, p =>
-          df.write.mode("overwrite").partitionBy(parts: _*).parquet(p))
+          batchDf.write.mode("overwrite").partitionBy(parts: _*).parquet(p))
         val newMembers = partitionMembers(name, batch, parts.size)
         def partKey(m: String) = m.split('/').drop(2).mkString("/")
         val newKeys = newMembers.map(partKey).toSet
         val members =
-          if (!tableExists(name) || fullRefresh) newMembers
+          if (fresh) newMembers
           else {
             val cur = currentManifest(name).get
             // a whole-batch member (from a prior table/append
@@ -1034,8 +1073,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
                 "switching materialization")
             cur.filterNot(m => newKeys.contains(partKey(m))) ++ newMembers
           }
-        publishManifest(name, members, df.schema)
-        writtenCount(name, batch, df.schema)
+        publishManifest(name, members, schema)
+        writtenCount(name, batch, batchDf.schema)
 
       // MERGE emulation for vanilla parquet (no Delta/Iceberg in this
       // stack), partition-scoped: rows live under key-hash bucket dirs
@@ -1051,8 +1090,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       // while deltas clustered on a date/tenant partition rewrite only
       // those partitions' buckets (see IncrementalMerge scaladoc for
       // the stable-partition-per-key contract).
-      case Materialization.IncrementalMerge(keys, buckets, userParts) =>
-        mergeInto(name, df, keys, buckets, userParts, fullRefresh)
+      case Materialization.IncrementalMerge(keys, buckets, userParts, osc) =>
+        mergeInto(name, df, keys, buckets, userParts, fullRefresh, osc = osc)
     }
   }
 
@@ -1062,7 +1101,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     */
   private def mergeInto(name: String, df: DataFrame, keys: Seq[String],
       buckets: Int, userParts: Seq[String], fullRefresh: Boolean,
-      sidecars: Map[String, String] = Map.empty): Long = {
+      sidecars: Map[String, String] = Map.empty,
+      osc: OnSchemaChange = OnSchemaChange.AppendNewColumns): Long = {
     val partCols = userParts :+ GBucket
     val depth = partCols.size
     val newB = df.withColumn(GBucket,
@@ -1084,7 +1124,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       writtenCount(name, batch, newB.schema)
     } else {
       val stored = currentSchema(name).getOrElse(newB.schema)
-      val evolved = evolveSchema(name, stored, newB.schema)
+      val (evolved, evolvedB) = applySchemaChange(name, osc, stored, newB)
       val cur = currentManifest(name).get
       val nonPart = cur.filter(m => m.split('/').length != 2 + depth)
       require(nonPart.isEmpty,
@@ -1096,7 +1136,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       // exactly once, the written partition dirs name the touched
       // buckets, and the anti-join keys are re-read from the
       // written parquet (a key-column footer scan), not recomputed
-      val (newBatch, newMembers) = writePartitioned(newB)
+      val (newBatch, newMembers) = writePartitioned(evolvedB)
       def partKey(m: String) = m.split('/').drop(2).mkString("/")
       val touched = newMembers.map(partKey).toSet
       val (touchedM, untouchedM) = cur.partition(m => touched(partKey(m)))

@@ -968,7 +968,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       }
     }.toMap
 
-  private def runEphemeral(m: Model): DataFrame = m.build(spark, inputs(m))
+  private def runEphemeral(m: Model): DataFrame = buildDf(m)
 
   /** Materialize one model; returns rows written (−1 for views).
     *
@@ -981,7 +981,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     */
   def runModel(name: String, fullRefresh: Boolean = false): Long = tracked {
     val m = byName(name)
-    val df = m.build(spark, inputs(m))
+    val df = buildDf(m)
     m.materialization match {
       case Materialization.View =>
         df.createOrReplaceTempView(name); -1L
@@ -1238,6 +1238,96 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     n
   }
 
+  /** The invocation's `--vars` map (dbt `run --vars '{"k": v}'`),
+    * set per command and read by var-aware model builds
+    * ([[Model.sql]]'s `{{ var(...) }}` rendering). Set BEFORE models
+    * run (including `--threads` pool workers) and constant for the
+    * command's duration, so no synchronization is needed.
+    */
+  private var cmdVars: Map[String, String] = Map.empty
+
+  private def buildDf(m: Model): DataFrame = m.buildV match {
+    case Some(f) => f(spark, inputs(m), cmdVars)
+    case None    => m.build(spark, inputs(m))
+  }
+
+  /** Parse dbt's `--vars` payload: a FLAT JSON object of scalars
+    * (string / number / boolean — what `dbt run --vars` carries in
+    * practice; nested collections are rejected loudly). Values render
+    * to their Jinja substitution text: strings bare (unescaped),
+    * numbers and booleans verbatim — the model text supplies SQL
+    * quoting, exactly as in a dbt model file.
+    */
+  private def parseVarsJson(s: String): Map[String, String] = {
+    val t = s.trim
+    require(t.length >= 2 && t.head == '{' && t.last == '}',
+      s"--vars expects a JSON object, got: $s")
+    val end = t.length - 1
+    var i = 1
+    val out = mutable.Map.empty[String, String]
+    def skipWs(): Unit = while (i < end && t(i).isWhitespace) i += 1
+    def parseString(): String = {
+      require(i < end && t(i) == '"',
+        s"--vars: expected a \"quoted\" token at offset $i in $s")
+      i += 1
+      val sb = new StringBuilder
+      while (i < end && t(i) != '"') {
+        if (t(i) == '\\' && i + 1 < end) {
+          i += 1
+          sb += (t(i) match {
+            case 'n' => '\n'
+            case 't' => '\t'
+            case c   => c
+          })
+        } else sb += t(i)
+        i += 1
+      }
+      require(i < end, s"--vars: unterminated string in $s")
+      i += 1
+      sb.result()
+    }
+    skipWs()
+    while (i < end) {
+      val k = parseString()
+      skipWs()
+      require(i < end && t(i) == ':', s"--vars: expected ':' after $k")
+      i += 1; skipWs()
+      val v =
+        if (i < end && t(i) == '"') parseString()
+        else {
+          val j = i
+          while (i < end && t(i) != ',' && !t(i).isWhitespace) i += 1
+          t.substring(j, i)
+        }
+      require(v.nonEmpty && !v.startsWith("{") && !v.startsWith("["),
+        s"--vars: value for $k must be a scalar (got '$v')")
+      out(k) = v
+      skipWs()
+      if (i < end && t(i) == ',') { i += 1; skipWs() }
+    }
+    out.toMap
+  }
+
+  /** argv tokenization with single-quote spans, so
+    * `run --vars '{"k": "a b"}'` arrives as ONE token — the same
+    * grouping a shell hands dbt. Quote-free commands tokenize exactly
+    * as the previous whitespace split did.
+    */
+  private def tokenize(command: String): Seq[String] = {
+    val out = mutable.Buffer.empty[String]
+    val sb = new StringBuilder
+    var quoted = false
+    command.trim.foreach {
+      case '\'' => quoted = !quoted
+      case c if c.isWhitespace && !quoted =>
+        if (sb.nonEmpty) { out += sb.result(); sb.clear() }
+      case c => sb += c
+    }
+    require(!quoted, s"unterminated quote in command: $command")
+    if (sb.nonEmpty) out += sb.result()
+    out.toSeq
+  }
+
   /** Shared select/exclude argv parsing: `--select` / `-s` and
     * `--exclude` each consume EVERY following non-flag token (dbt's
     * space-separated union), may repeat, and compose with the
@@ -1265,33 +1355,39 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     Some(Selection(inc.toSeq, exc.toSeq))
   }
 
-  /** `run` flags: select/exclude plus `--threads <n>` and
+  /** `run` flags: select/exclude plus `--threads <n>`,
     * `--full-refresh` (dbt's escape hatch — rebuilds selected
     * incremental/merge tables from scratch, the command the
-    * materialization-switch guards direct users to).
+    * materialization-switch guards direct users to) and
+    * `--vars <json>`.
     */
   private def parseRunFlags(flags: Seq[String])
-      : Option[(Selection, Int, Boolean)] = {
+      : Option[(Selection, Int, Boolean, Map[String, String])] = {
     var threads = 1
     var fullRefresh = false
+    var vars = Map.empty[String, String]
     parseSelFlags(flags) {
       case "--threads" :: v :: t if v.forall(_.isDigit) =>
         threads = v.toInt; t
       case "--full-refresh" :: t => fullRefresh = true; t
-    }.map((_, threads, fullRefresh))
+      case "--vars" :: v :: t => vars = parseVarsJson(v); t
+    }.map((_, threads, fullRefresh, vars))
   }
 
   /** `build` flags: select/exclude, `--full-refresh`, `--at <ts>`
-    * (snapshot clock — space-free timestamp, same as `snapshot --at`).
+    * (snapshot clock — space-free timestamp, same as `snapshot --at`)
+    * and `--vars <json>`.
     */
   private def parseBuildFlags(flags: Seq[String])
-      : Option[(Selection, Boolean, Option[String])] = {
+      : Option[(Selection, Boolean, Option[String], Map[String, String])] = {
     var fullRefresh = false
     var at: Option[String] = None
+    var vars = Map.empty[String, String]
     parseSelFlags(flags) {
       case "--full-refresh" :: t => fullRefresh = true; t
       case "--at" :: v :: t => at = Some(v); t
-    }.map((_, fullRefresh, at))
+      case "--vars" :: v :: t => vars = parseVarsJson(v); t
+    }.map((_, fullRefresh, at, vars))
   }
 
   private def parseLsFlags(flags: Seq[String])
@@ -1373,7 +1469,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   /** One dbt-style command — the same argv surface the reference
     * shells out (`dbtoperator.py:35,46,324,334`): "debug",
     * "run [--select|-s specs...] [--exclude specs...] [--threads n]
-    * [--full-refresh]", "test [--select ...] [--exclude ...]",
+    * [--full-refresh] [--vars json]", "test [--select ...]
+    * [--exclude ...]",
     * "seed", "snapshot --at <ts>", "source freshness --at <ts>",
     * "build [--select ...] [--exclude ...] [--full-refresh] [--at ts]",
     * "ls [--select ...] [--exclude ...] [--resource-type kind]",
@@ -1382,8 +1479,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * `tag:t`, `@m`; space = union, comma = intersection).
     */
   def runCommand(command: String): CommandResult = {
-    val parts = command.trim.split("\\s+").toSeq
+    cmdVars = Map.empty
     try {
+      val parts = tokenize(command)
       // init failures (e.g. unreadable source) become a failed result
       // envelope, mirroring the reference's init envelope
       // (`dbtoperator.py:168-174`)
@@ -1398,7 +1496,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             if (missing.isEmpty) None
             else Some(s"unresolvable sources: ${missing.mkString(",")}"))
         case "run" +: flags if parseRunFlags(flags).isDefined =>
-          val (sel, threads, fullRefresh) = parseRunFlags(flags).get
+          val (sel, threads, fullRefresh, vars) = parseRunFlags(flags).get
+          cmdVars = vars
           val names = topoOrder(select(sel))
           val counts =
             (if (threads <= 1) names.map(n => n -> runModel(n, fullRefresh))
@@ -1463,7 +1562,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             if (stale.isEmpty) None
             else Some(s"stale sources: ${stale.mkString(",")}"))
         case "build" +: flags if parseBuildFlags(flags).isDefined =>
-          val (sel, fullRefresh, at) = parseBuildFlags(flags).get
+          val (sel, fullRefresh, at, vars) = parseBuildFlags(flags).get
+          cmdVars = vars
           runBuild(command, sel, fullRefresh, at)
         // `compact [--select|--exclude specs...]` — the scheduled
         // OPTIMIZE pass: rewrite each selected warehouse table's live

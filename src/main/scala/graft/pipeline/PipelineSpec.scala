@@ -101,11 +101,47 @@ final case class Model(
     deps: Seq[String],
     materialization: Materialization,
     build: (SparkSession, Map[String, DataFrame]) => DataFrame,
-    tags: Seq[String] = Nil)
+    tags: Seq[String] = Nil,
+    /** Var-aware build, used by the runner when present (SQL-text
+      * models): receives the invocation's `--vars` map (dbt
+      * `run --vars '{"k": v}'`). `build` stays the no-vars view of
+      * the same model so direct callers keep working.
+      */
+    buildV: Option[(SparkSession, Map[String, DataFrame], Map[String, String])
+      => DataFrame] = None)
 
 object Model {
   private val refRe =
     """\{\{\s*(?:ref|source)\(\s*'([^']+)'\s*\)\s*\}\}""".r
+
+  // {{ var('name') }} / {{ var('name', default) }} — single or double
+  // quotes around the name; the default is everything up to the
+  // closing paren (no nested parens — dbt defaults are scalars here)
+  private val varRe =
+    """\{\{\s*var\(\s*['"]([^'"]+)['"]\s*(?:,\s*([^)]*?)\s*)?\)\s*\}\}""".r
+
+  /** Render `{{ var(...) }}` calls in a model's SQL text against the
+    * invocation vars — dbt/Jinja semantics: substitution is TEXTUAL
+    * and string values render bare (the model quotes where SQL needs
+    * a string literal: `... = '{{ var("status") }}'`). A missing var
+    * falls back to the declared default (a default written as a
+    * 'quoted' literal renders its content, like Jinja); no var and no
+    * default fails the model loudly, matching dbt's compile error.
+    */
+  def renderVars(model: String, sqlText: String,
+      vars: Map[String, String]): String =
+    varRe.replaceAllIn(sqlText, m => {
+      val k = m.group(1)
+      val v = vars.getOrElse(k, Option(m.group(2)).filter(_.nonEmpty) match {
+        case Some(d) if d.length >= 2 && d.head == '\'' && d.last == '\'' =>
+          d.substring(1, d.length - 1)
+        case Some(d) => d
+        case None => sys.error(
+          s"model $model: required var '$k' not provided " +
+            "(pass --vars '{\"" + k + "\": ...}' or declare a default)")
+      })
+      scala.util.matching.Regex.quoteReplacement(v)
+    })
 
   /** SQL-text model — the reference's ACTUAL model format. dbt models
     * are Jinja-SQL files whose `{{ ref('m') }}` / `{{ source('s') }}`
@@ -129,13 +165,18 @@ object Model {
     val deps = refRe.findAllMatchIn(sqlText).map(_.group(1)).toSeq.distinct
     deps.foreach(dep => require(dep.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"ref/source name must be a SQL identifier: $dep"))
-    Model(name, deps, materialization, (spark, inputs) => {
+    def run(spark: SparkSession, inputs: Map[String, DataFrame],
+        vars: Map[String, String]): DataFrame = {
       // model-scoped view names: concurrent models in the same DAG
       // level (`run --threads N`) can share a dep without colliding
       def view(dep: String) = s"__graft_ref_${name}_$dep"
       deps.foreach(dep => inputs(dep).createOrReplaceTempView(view(dep)))
-      spark.sql(refRe.replaceAllIn(sqlText, m => view(m.group(1))))
-    }, tags)
+      val rendered = renderVars(name, sqlText, vars)
+      spark.sql(refRe.replaceAllIn(rendered, m => view(m.group(1))))
+    }
+    Model(name, deps, materialization,
+      (spark, inputs) => run(spark, inputs, Map.empty), tags,
+      buildV = Some(run))
   }
 }
 

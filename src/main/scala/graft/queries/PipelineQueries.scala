@@ -251,6 +251,30 @@ object PipelineOps extends QueryGroup {
       r.readTable("tg_agg").orderBy("o_custkey")
     }),
 
+    // ---- --vars / {{ var() }} templating (dbt `run --vars`) ---------------
+    // One SQL model exercises the whole var surface: a string var
+    // spliced bare into SQL quotes (dbt/Jinja textual substitution),
+    // a provided var overriding its declared default, and an
+    // unprovided var falling back to its default — driven through the
+    // command line as a single-quoted JSON span, proving the argv
+    // tokenizer + JSON parsing end-to-end.
+    "run_vars" -> ((s, d) => {
+      val spec = PipelineSpec(
+        models = Seq(Model.sql("vars_out",
+          """SELECT o_orderkey, o_custkey, o_totalprice,
+            |  '{{ var("label", 'vars_ok') }}' AS label
+            |FROM {{ source('orders') }}
+            |WHERE o_orderstatus = '{{ var("status") }}'
+            |  AND o_totalprice < {{ var('max_price', 999999) }}"""
+            .stripMargin,
+          Materialization.Table)),
+        sources = Map("orders" -> s"$d/orders.parquet"))
+      val r = new PipelineRunner(s, spec, freshWh("run_vars"))
+      mustSucceed(r.run(Seq(
+        """run --vars '{"status": "F", "max_price": 50000}'""")))
+      r.readTable("vars_out").orderBy("o_orderkey")
+    }),
+
     // ---- compaction (the OPTIMIZE analogue) -------------------------------
     // Three streamed appends under an autoCompactMembers=2 policy (the
     // 3rd commit crosses the threshold and auto-compacts), then the
@@ -440,6 +464,12 @@ object PipelineOps extends QueryGroup {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_o
         |FROM orders WHERE o_orderstatus = 'O'
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "run_vars" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, 'vars_ok' AS label
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice < 50000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "mat_compact" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice

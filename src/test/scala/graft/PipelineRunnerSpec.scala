@@ -521,6 +521,58 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(r.select(Some("+p_c")) == Set("p_a", "p_b", "p_c"))
   }
 
+  test("{{ var() }} renders textually: override, default, quoted default") {
+    assert(Model.renderVars("m", "x = {{ var('k') }}",
+      Map("k" -> "7")) == "x = 7")
+    // Jinja semantics: a string value renders BARE; the model text
+    // supplies the SQL quotes
+    assert(Model.renderVars("m", "s = '{{ var(\"k\") }}'",
+      Map("k" -> "F")) == "s = 'F'")
+    assert(Model.renderVars("m", "x = {{ var('k', 42) }}",
+      Map.empty) == "x = 42")
+    // a 'quoted' default renders its content, like a Jinja string
+    assert(Model.renderVars("m", "s = '{{ var('k', 'dflt') }}'",
+      Map.empty) == "s = 'dflt'")
+    val e = intercept[RuntimeException](
+      Model.renderVars("m", "{{ var('missing') }}", Map.empty))
+    assert(e.getMessage.contains("missing"))
+  }
+
+  test("run --vars: quoted JSON span drives SQL models; vars reset after") {
+    val spec = PipelineSpec(models = Seq(
+      Model.sql("v_out",
+        "SELECT {{ var('n', 1) }} AS n, '{{ var(\"tag\", 'none') }}' AS tag",
+        Materialization.Table)))
+    val r = new PipelineRunner(spark, spec, wh())
+    assert(r.run(Seq("""run --vars '{"n": 5, "tag": "a b"}'""")).success)
+    val row = r.readTable("v_out").head()
+    assert(row.getInt(0) == 5 && row.getString(1) == "a b")
+    // a later command without --vars must NOT inherit the previous map
+    assert(r.run(Seq("run")).success)
+    val row2 = r.readTable("v_out").head()
+    assert(row2.getInt(0) == 1 && row2.getString(1) == "none")
+  }
+
+  test("run --vars: missing required var fails the command loudly") {
+    val spec = PipelineSpec(models = Seq(
+      Model.sql("v_req", "SELECT {{ var('cutoff') }} AS c",
+        Materialization.Table)))
+    val r = new PipelineRunner(spark, spec, wh())
+    val res = r.runCommand("run")
+    assert(!res.success && res.error.get.contains("cutoff"))
+    assert(r.runCommand("""run --vars '{"cutoff": 3}'""").success)
+  }
+
+  test("--vars payload validation: nested values and torn quotes fail") {
+    val spec = PipelineSpec(models = Seq(
+      Model.sql("v_x", "SELECT {{ var('k', 0) }} AS k",
+        Materialization.Table)))
+    val r = new PipelineRunner(spark, spec, wh())
+    assert(!r.runCommand("""run --vars '{"k": {"nested": 1}}'""").success)
+    assert(!r.runCommand("run --vars '{\"k\": 1}").success) // unterminated
+    assert(!r.runCommand("run --vars notjson").success)
+  }
+
   test("project artifact round-trip: pack → zip → load → run") {
     val proj = java.nio.file.Paths.get(wh())
     java.nio.file.Files.createDirectories(proj.resolve("models"))

@@ -34,18 +34,32 @@ object DataTests {
         col("__fk") === col("__pk"), "left_anti")
       .select(col("__fk").as(childCol))
 
-  /** Resolve a spec-level test against a runner's materialized state. */
+  /** Resolve a spec-level test against a runner's materialized state.
+    * The test's config applies here: `where` filters the TESTED
+    * model's rows before the test compiles (dbt injects the predicate
+    * around the model relation; the relationships parent is NOT
+    * filtered — a where must never manufacture orphans), and `limit`
+    * caps the violating rows returned.
+    */
   def violations(spark: SparkSession, runner: PipelineRunner,
                  t: DataTest): DataFrame = {
-    def frame(name: String): DataFrame =
-      if (runner.tableExists(name)) runner.readTable(name)
-      else spark.table(name)
-    t match {
-      case DataTest.Unique(m, cols)        => unique(frame(m), cols)
-      case DataTest.NotNull(m, c)          => notNull(frame(m), c)
-      case DataTest.AcceptedValues(m, c, v) => acceptedValues(frame(m), c, v)
-      case DataTest.Relationships(m, c, pm, pc) =>
-        relationships(frame(m), c, frame(pm), pc)
+    def frame(name: String): DataFrame = {
+      val df =
+        if (runner.tableExists(name)) runner.readTable(name)
+        else spark.table(name)
+      // `where` scopes the model under test only, not join partners
+      if (name == t.model) t.config.where.fold(df)(df.filter) else df
     }
+    val viol = t match {
+      case DataTest.Unique(m, cols, _)         => unique(frame(m), cols)
+      case DataTest.NotNull(m, c, _)           => notNull(frame(m), c)
+      case DataTest.AcceptedValues(m, c, v, _) => acceptedValues(frame(m), c, v)
+      case DataTest.Relationships(m, c, pm, pc, _) =>
+        relationships(frame(m), c, frame(pm), pc)
+      case DataTest.Singular(name, sql, _) =>
+        Model.runSqlText(s"test_$name", sql,
+          spark, t.refs.map(r => r -> frame(r)).toMap)
+    }
+    t.config.limit.fold(viol)(viol.limit)
   }
 }

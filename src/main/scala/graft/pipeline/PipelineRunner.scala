@@ -1238,6 +1238,23 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     n
   }
 
+  /** Execute one data test under its config: count violations
+    * (limit-capped; a zero-only threshold short-circuits after the
+    * first violating row), judge with dbt's warn_if / error_if
+    * precedence, log the outcome. Returns (Some(name) when the test
+    * FAILS, whether it warned).
+    */
+  private def runTest(t: DataTest): (Option[String], Boolean) = {
+    val viol = DataTests.violations(spark, this, t)
+    val n = if (t.config.zeroOnly) viol.limit(1).count() else viol.count()
+    val (fails, warns) = t.config.judge(n)
+    if (fails)
+      logger.log(LogLevel.ERROR, s"test ${t.name} failed ($n violations)")
+    else if (warns)
+      logger.log(LogLevel.WARNING, s"test ${t.name}: warn ($n violations)")
+    (if (fails) Some(t.name) else None, warns)
+  }
+
   /** The invocation's `--vars` map (dbt `run --vars '{"k": v}'`),
     * set per command and read by var-aware model builds
     * ([[Model.sql]]'s `{{ var(...) }}` rendering). Set BEFORE models
@@ -1447,10 +1464,10 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         if (!ok) failed += n
         else spec.tests.filter(_.model == n).foreach { t =>
           ran += t.name
-          if (DataTests.violations(spark, this, t).limit(1).count() > 0) {
+          runTest(t)._1.foreach { _ =>
             failedTests += t.name
-            failed += n // a failing test gates n's descendants
-            logger.log(LogLevel.ERROR, s"build: test ${t.name} failed")
+            failed += n // a failing ERROR-severity test gates n's
+                        // descendants; warn-severity never does
           }
         }
       }
@@ -1519,13 +1536,12 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             if (sel.include.isEmpty && sel.exclude.isEmpty) spec.tests
             else {
               val names = selectIn(resourceDeps, sel, lenient = true)
-              spec.tests.filter(t => names(t.model))
+              // dbt's attached-node expansion: a test runs when ANY
+              // node it reads is selected (relationships' parent,
+              // every ref of a singular test)
+              spec.tests.filter(_.refs.exists(names))
             }
-          val failures = chosen.flatMap { t =>
-            val viol = DataTests.violations(spark, this, t)
-            val n = viol.limit(1).count()
-            if (n > 0) Some(t.name) else None
-          }
+          val failures = chosen.flatMap(t => runTest(t)._1)
           CommandResult(command, success = failures.isEmpty,
             chosen.map(_.name),
             Map.empty,

@@ -162,43 +162,151 @@ object Model {
           tags: Seq[String] = Nil): Model = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"model name must be a SQL identifier: $name")
-    val deps = refRe.findAllMatchIn(sqlText).map(_.group(1)).toSeq.distinct
-    deps.foreach(dep => require(dep.matches("[A-Za-z_][A-Za-z0-9_]*"),
-      s"ref/source name must be a SQL identifier: $dep"))
+    val deps = parseRefs(sqlText)
     def run(spark: SparkSession, inputs: Map[String, DataFrame],
-        vars: Map[String, String]): DataFrame = {
-      // model-scoped view names: concurrent models in the same DAG
-      // level (`run --threads N`) can share a dep without colliding
-      def view(dep: String) = s"__graft_ref_${name}_$dep"
-      deps.foreach(dep => inputs(dep).createOrReplaceTempView(view(dep)))
-      val rendered = renderVars(name, sqlText, vars)
-      spark.sql(refRe.replaceAllIn(rendered, m => view(m.group(1))))
-    }
+        vars: Map[String, String]): DataFrame =
+      runSqlText(name, renderVars(name, sqlText, vars), spark, inputs)
     Model(name, deps, materialization,
       (spark, inputs) => run(spark, inputs, Map.empty), tags,
       buildV = Some(run))
   }
+
+  /** The distinct `{{ ref }}` / `{{ source }}` names in a SQL text
+    * (declaration order) — the DAG edges the text declares.
+    */
+  def parseRefs(sqlText: String): Seq[String] = {
+    val deps = refRe.findAllMatchIn(sqlText).map(_.group(1)).toSeq.distinct
+    deps.foreach(dep => require(dep.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"ref/source name must be a SQL identifier: $dep"))
+    deps
+  }
+
+  /** Register each resolved input under a scope-qualified temp view
+    * and run the ref-substituted SQL. Scoped view names let
+    * concurrent nodes in the same DAG level (`run --threads N`) share
+    * a dep without colliding.
+    */
+  private[pipeline] def runSqlText(scope: String, sqlText: String,
+      spark: SparkSession, inputs: Map[String, DataFrame]): DataFrame = {
+    def view(dep: String) = s"__graft_ref_${scope}_$dep"
+    parseRefs(sqlText).foreach(dep =>
+      inputs(dep).createOrReplaceTempView(view(dep)))
+    spark.sql(refRe.replaceAllIn(sqlText, m => view(m.group(1))))
+  }
+}
+
+/** dbt test severity: a failing `Warn` test logs a warning but never
+  * fails the command or gates `build` descendants.
+  */
+sealed trait Severity
+object Severity {
+  case object Warn extends Severity
+  case object Error extends Severity
+  def parse(s: String): Severity = s match {
+    case "warn"  => Warn
+    case "error" => Error
+    case other   => sys.error(s"unknown severity: $other")
+  }
+}
+
+/** dbt 1.9 test configs (`severity` / `where` / `limit` /
+  * `warn_if` / `error_if`):
+  *
+  *  - `where`: SQL predicate filtering the TESTED MODEL's rows before
+  *    the test compiles (dbt injects it around the model relation) —
+  *    generic tests only; a singular test embeds its own WHERE.
+  *  - `limit`: cap on violating rows the compiled query returns
+  *    (dbt's stored-failures cap); thresholds see at most `limit`.
+  *  - `warnIf` / `errorIf`: conditions over the violation count
+  *    (`"!=0"`, `">100"`, …). With `severity=error`, `errorIf`
+  *    decides failure and `warnIf` decides a warning otherwise; with
+  *    `severity=warn` only `warnIf` is evaluated, never an error —
+  *    exactly dbt's precedence.
+  */
+final case class TestConfig(
+    severity: Severity = Severity.Error,
+    where: Option[String] = None,
+    limit: Option[Int] = None,
+    warnIf: String = "!=0",
+    errorIf: String = "!=0") {
+  private val condRe = """(!=|>=|<=|=|>|<)\s*(\d+)""".r
+  private def eval(cond: String, n: Long): Boolean = cond.trim match {
+    case condRe(op, v) =>
+      val k = v.toLong
+      op match {
+        case "!=" => n != k
+        case ">"  => n > k
+        case ">=" => n >= k
+        case "<"  => n < k
+        case "<=" => n <= k
+        case "="  => n == k
+      }
+    case other => sys.error(s"unparseable test condition: $other")
+  }
+  /** Count → outcome under dbt precedence: (fails, warns). */
+  def judge(n: Long): (Boolean, Boolean) = severity match {
+    case Severity.Warn  => (false, eval(warnIf, n))
+    case Severity.Error =>
+      val f = eval(errorIf, n)
+      (f, !f && eval(warnIf, n))
+  }
+  /** True when a `limit(1).count` short-circuit is sound: both
+    * thresholds only distinguish zero from non-zero.
+    */
+  def zeroOnly: Boolean = warnIf.trim == "!=0" && errorIf.trim == "!=0"
 }
 
 /** Generic data tests (dbt 1.9 built-ins): each compiles to a SELECT
   * returning violating rows; pass = 0 rows (reference intent:
-  * `dbtoperator.py:334` runs `dbt test`).
+  * `dbtoperator.py:334` runs `dbt test`). `Singular` is dbt's other
+  * test kind — an arbitrary SQL file returning violating rows.
   */
-sealed trait DataTest { def model: String; def name: String }
+sealed trait DataTest {
+  def model: String
+  def name: String
+  def config: TestConfig
+  /** Every node the test reads — selection (`test --select m`) runs
+    * the test when ANY referenced node is selected, like dbt's
+    * attached-node expansion.
+    */
+  def refs: Seq[String] = Seq(model)
+}
 object DataTest {
-  final case class Unique(model: String, cols: Seq[String]) extends DataTest {
+  final case class Unique(model: String, cols: Seq[String],
+      config: TestConfig = TestConfig()) extends DataTest {
     def name = s"unique_${model}_${cols.mkString("_")}"
   }
-  final case class NotNull(model: String, col: String) extends DataTest {
+  final case class NotNull(model: String, col: String,
+      config: TestConfig = TestConfig()) extends DataTest {
     def name = s"not_null_${model}_$col"
   }
   final case class AcceptedValues(model: String, col: String,
-      values: Seq[String]) extends DataTest {
+      values: Seq[String], config: TestConfig = TestConfig())
+      extends DataTest {
     def name = s"accepted_values_${model}_$col"
   }
   final case class Relationships(model: String, col: String,
-      parentModel: String, parentCol: String) extends DataTest {
+      parentModel: String, parentCol: String,
+      config: TestConfig = TestConfig()) extends DataTest {
     def name = s"relationships_${model}_${col}__${parentModel}_$parentCol"
+    override def refs: Seq[String] = Seq(model, parentModel)
+  }
+  /** dbt singular test: arbitrary SQL whose rows are the violations.
+    * `{{ ref('m') }}` / `{{ source('s') }}` declare what it reads
+    * (parsed like [[Model.sql]]); the FIRST ref is the `model` the
+    * test attaches to for `build` gating and `ls` grouping.
+    * `config.where` is rejected here — a singular test owns its SQL
+    * and embeds its own predicates.
+    */
+  final case class Singular(name: String, sql: String,
+      config: TestConfig = TestConfig()) extends DataTest {
+    require(config.where.isEmpty,
+      s"singular test $name: `where` config is undefined for singular " +
+        "tests (embed the predicate in the SQL)")
+    override val refs: Seq[String] = Model.parseRefs(sql)
+    require(refs.nonEmpty,
+      s"singular test $name: SQL must {{ ref(...) }} at least one node")
+    def model: String = refs.head
   }
 }
 

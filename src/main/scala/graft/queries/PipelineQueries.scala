@@ -209,6 +209,27 @@ object PipelineOps extends QueryGroup {
         Tables.customer(s, d).filter(col("c_custkey") % 3 =!= 0), "c_custkey")
         .orderBy("o_custkey")),
 
+    // dbt SINGULAR test: arbitrary SQL whose rows are the violations —
+    // here "orders with no high-quantity lineitem", a two-table
+    // business rule no generic test expresses. The refs are parsed
+    // from the SQL and resolved against the runner's sources.
+    "test_singular" -> ((s, d) => {
+      val spec = PipelineSpec(Nil,
+        tests = Seq(DataTest.Singular("orders_no_bulk_item",
+          """SELECT o.o_orderkey, o.o_totalprice
+            |FROM {{ source('sing_ord') }} o
+            |LEFT JOIN (SELECT DISTINCT l_orderkey
+            |           FROM {{ source('sing_li') }}
+            |           WHERE l_quantity > 30) l
+            |  ON o.o_orderkey = l.l_orderkey
+            |WHERE l.l_orderkey IS NULL""".stripMargin)),
+        sources = Map("sing_ord" -> s"$d/orders.parquet",
+          "sing_li" -> s"$d/lineitem.parquet"))
+      val r = new PipelineRunner(s, spec, freshWh("test_singular"))
+      r.initialize()
+      DataTests.violations(s, r, spec.tests.head).orderBy("o_orderkey")
+    }),
+
     // ---- DAG execution with --select --------------------------------------
     // `run --select +dag_agg` must build dag_base and dag_agg but NOT
     // dag_poison (whose build throws) — selection and topo order are
@@ -453,6 +474,15 @@ object PipelineOps extends QueryGroup {
         |  AND o_custkey NOT IN
         |    (SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0)
         |ORDER BY o_custkey""".stripMargin,
+
+    "test_singular" ->
+      """SELECT o.o_orderkey, o.o_totalprice
+        |FROM orders o
+        |LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem
+        |           WHERE l_quantity > 30) l
+        |  ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_orderkey IS NULL
+        |ORDER BY o.o_orderkey""".stripMargin,
 
     "run_select_dag" ->
       """SELECT o_custkey, count(*) AS n_f

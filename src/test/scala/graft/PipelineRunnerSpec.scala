@@ -1161,6 +1161,72 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       Set("not_null_qa_m_id", "not_null_other_m_id"))
   }
 
+  test("test configs: severity warn, error_if/warn_if thresholds, where, limit") {
+    // tc_m has exactly 3 NULLs in v (ids 2,3,4)
+    def mk(tests: Seq[DataTest]) = {
+      val spec = PipelineSpec(
+        models = Seq(Model("tc_m", Nil, Materialization.Table,
+          (sp, _) => { import sp.implicits._
+            Seq((1, Option("a")), (2, None), (3, None), (4, None),
+              (5, Option("b"))).toDF("id", "v") })),
+        tests = tests)
+      val r = new PipelineRunner(spark, spec, wh())
+      assert(r.runCommand("run").success)
+      r
+    }
+    def nn(cfg: TestConfig) = Seq(DataTest.NotNull("tc_m", "v", cfg))
+    // severity=warn: failing test warns, command still succeeds
+    assert(mk(nn(TestConfig(severity = Severity.Warn)))
+      .runCommand("test").success)
+    // error_if ">3": 3 violations do not cross it; warn_if default fires
+    assert(mk(nn(TestConfig(errorIf = ">3"))).runCommand("test").success)
+    // error_if ">=3" crosses at 3 → fail
+    assert(!mk(nn(TestConfig(errorIf = ">=3"))).runCommand("test").success)
+    // where scopes the tested rows: only id<=2 → 1 violation → ">1" passes
+    assert(mk(nn(TestConfig(where = Some("id <= 2"), errorIf = ">1")))
+      .runCommand("test").success)
+    // limit caps what thresholds see: 3 violations, capped at 2 → ">2" passes
+    assert(mk(nn(TestConfig(limit = Some(2), errorIf = ">2")))
+      .runCommand("test").success)
+    assert(!mk(nn(TestConfig(limit = Some(2), errorIf = ">1")))
+      .runCommand("test").success)
+  }
+
+  test("singular tests: ref-parsed attachment, selection, build gating") {
+    def base = Model("sg_a", Nil, Materialization.Table,
+      (sp, _) => { import sp.implicits._
+        Seq((1, 10.0), (2, -5.0)).toDF("id", "amt") })
+    def other = Model("sg_b", Nil, Materialization.Table,
+      (sp, _) => { import sp.implicits._; Seq((1, 1)).toDF("id", "k") })
+    def child = Model("sg_down", Seq("sg_a"), Materialization.Table,
+      (_, in) => in("sg_a"))
+    val neg = DataTest.Singular("sg_a_nonneg",
+      "SELECT id FROM {{ ref('sg_a') }} WHERE amt < 0")
+    // refs parsed from the SQL; first ref is the attachment point
+    assert(neg.refs == Seq("sg_a") && neg.model == "sg_a")
+    // a where config on a singular test is rejected at construction
+    intercept[IllegalArgumentException](DataTest.Singular("bad",
+      "SELECT id FROM {{ ref('sg_a') }}",
+      TestConfig(where = Some("1=1"))))
+    val spec = PipelineSpec(Seq(base, other, child), tests = Seq(neg))
+    val r = new PipelineRunner(spark, spec, wh())
+    assert(r.runCommand("run").success)
+    // selection runs the singular test when any of its refs is selected
+    assert(r.runCommand("test --select sg_a").modelsRun == Seq("sg_a_nonneg"))
+    assert(r.runCommand("test --select sg_b").modelsRun.isEmpty)
+    assert(!r.runCommand("test").success) // amt=-5 violates
+    // build: the failing singular test gates sg_a's descendants
+    val b = r.runCommand("build")
+    assert(!b.success && b.error.get.contains("sg_down"))
+    // warn severity: build proceeds through the violation
+    val warnSpec = PipelineSpec(Seq(base, other, child), tests = Seq(
+      DataTest.Singular("sg_a_nonneg",
+        "SELECT id FROM {{ ref('sg_a') }} WHERE amt < 0",
+        TestConfig(severity = Severity.Warn))))
+    val r2 = new PipelineRunner(spark, warnSpec, wh())
+    assert(r2.runCommand("build").success)
+  }
+
   test("auto-compaction bounds manifest members on append-style runs") {
     val w = wh()
     val r = new PipelineRunner(spark, PipelineSpec(Nil), w,

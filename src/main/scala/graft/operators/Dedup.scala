@@ -40,6 +40,45 @@ object Dedup {
       .groupBy("h")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
+  /** Word n-grams of a text column: sliding windows of `n` tokens
+    * joined by single spaces (the unit of benchmark decontamination).
+    * Empty array when the doc has fewer than `n` tokens — `sequence`
+    * must not see start > stop (it would count DOWN).
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val tk = TextAnalysis.tokens(text)
+    when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - n + 1),
+        i => concat_ws(" ", slice(tk, i, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Benchmark decontamination (the GPT-3/Gopher n-gram overlap
+    * check): a training doc is contaminated when it shares ≥1 word
+    * n-gram with any benchmark doc. Returns one row per contaminated
+    * doc: (id, n_shared distinct contaminated n-grams).
+    *
+    * 100 TB shape: the benchmark side is small by nature (eval sets,
+    * not corpora), so its DISTINCT hashed n-gram set broadcasts; the
+    * corpus side is a map-only explode → broadcast-semi-filter, and
+    * only SURVIVING (contaminated) grams reach the distinct+count
+    * shuffle — the corpus is never shuffled by raw text. Grams travel
+    * as xxhash64 fingerprints, not strings. Production pipelines use
+    * n=8..13 (13 in GPT-3's report); callers tune `n` to their doc
+    * length.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol).as("id"),
+      explode(wordNgrams(col(textCol), n)).as("gram"))
+    val benchGrams = grams(bench)
+      .select(xxhash64(col("gram")).as("gh")).distinct()
+    grams(train).select(col("id"), xxhash64(col("gram")).as("gh"))
+      .join(broadcast(benchGrams), "gh") // map-only contamination filter
+      .distinct()                        // tiny: contaminated grams only
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+  }
+
   /** MinHash signatures: k seeded permutations over `shingleLen`-char
     * sliding windows, computed by the native single-pass
     * `graft_minhash_sig` expression (graft.functions) — a map-only

@@ -69,6 +69,20 @@ object LlmOps extends QueryGroup {
         .orderBy("doc_a")
     }),
 
+    // Benchmark decontamination: docs with doc_id % 20 == 0 stand in
+    // for the held-out eval set, the rest are the training corpus.
+    // n=3 because the synthetic docs are short random-vocab strings;
+    // real pipelines use n=8..13 (see Dedup.decontaminate).
+    "llm_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // integer-quantized exact form: cross-engine bit-identical with no
     // round() (the rounded-DECIMAL form flipped a 6th-decimal boundary
     // row at sf0.1)
@@ -387,6 +401,19 @@ object LlmOps extends QueryGroup {
          |JOIN cnt na ON na.doc_id = doc_a
          |JOIN cnt nb ON nb.doc_id = doc_a + 1
          |ORDER BY doc_a""".stripMargin,
+
+    "llm_decontaminate" ->
+      s"""WITH grams AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3 + 2),
+         |      i -> array_to_string(tk[i:i+2], ' '))) AS gram
+         |  FROM (SELECT doc_id, $toks AS tk FROM documents) t
+         |  WHERE len(tk) >= 3),
+         |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+         |train AS (
+         |  SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 20 <> 0)
+         |SELECT t.doc_id, count(*) AS n_shared
+         |FROM train t JOIN bench b USING (gram)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "llm_cosine_topk" ->
       """WITH e AS (

@@ -210,4 +210,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out.getAs[Long]("common") == 2L)
     assert(math.abs(out.getAs[Double]("jaccard") - 2.0 / 6.0) < 1e-12)
   }
+
+  test("wordNgrams: sliding windows, short docs yield empty arrays") {
+    val rows = Seq((1L, "a b c d"), (2L, "x y"), (3L, "One, Two THREE!"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.wordNgrams(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rows(1L) == Seq("a b c", "b c d"))
+    assert(rows(2L).isEmpty) // fewer tokens than n — not a DOWN-sequence
+    assert(rows(3L) == Seq("one two three")) // tokenizer lowercases/strips
+  }
+
+  test("decontaminate: n-gram overlap against a benchmark, broadcast plan") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "we saw the quick brown fox yesterday"), // 2 shared 3-grams
+      (2L, "a completely different document here"),  // clean
+      (3L, "quick brown fox jumps high"),            // 2 shared
+      (4L, "fox the brown quick")                    // same words, no 3-gram
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, bench, "doc_id", "text", n = 3)
+    val byId = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares "the quick brown" + "quick brown fox";
+    // doc 3 shares "quick brown fox" + "brown fox jumps"
+    assert(byId == Map(1L -> 2L, 3L -> 2L))
+    // the benchmark side must broadcast — the corpus is never shuffled
+    // into a sort-merge join at scale
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }

@@ -35,6 +35,21 @@ final case class CommandResult(
 
 final case class RunResult(success: Boolean, results: Seq[CommandResult])
 
+/** Per-node outcome of a `run`/`build` command — persisted to
+  * `<warehouse>/run_results.json` (dbt's run_results artifact) and
+  * consumed by the `retry` command.
+  */
+sealed trait NodeStatus { def label: String }
+object NodeStatus {
+  final case class Success(rows: Long) extends NodeStatus {
+    def label = "success"
+  }
+  final case class Failed(msg: String) extends NodeStatus {
+    def label = "failed"
+  }
+  case object Skipped extends NodeStatus { def label = "skipped" }
+}
+
 /** Executes a PipelineSpec: topo-sorted model DAG with `--select`-style
   * filtering, fail-fast command loop, materializations, and generic
   * tests — the engine-native replacement for the reference's
@@ -917,37 +932,120 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       }
     }
 
-  /** Level-parallel model execution (dbt `--threads`): models whose
-    * dependencies are all satisfied run concurrently on the shared
-    * SparkSession; a failure aborts before the next level starts
-    * (fail-fast at level granularity).
+  /** Model execution with dbt's skip-on-failure: a failed model marks
+    * its transitive selected descendants `skipped` while independent
+    * subgraphs keep running (dbt `run` semantics — a run never stops
+    * the world, so `retry` has a precise failed/skipped frontier to
+    * resume from). Serial, or level-parallel under `--threads N`:
+    * each level settles FULLY before the next starts — returning at
+    * the first failure would let sibling futures publish AFTER the
+    * command already reported, and a model whose dep failed in an
+    * earlier level is skipped without occupying a pool slot.
     */
-  private def runLevelled(names: Seq[String], threads: Int,
-      fullRefresh: Boolean): Seq[(String, Long)] = {
+  private def runModels(names: Seq[String], threads: Int,
+      fullRefresh: Boolean): Seq[(String, NodeStatus)] = {
     val selected = names.toSet
-    val level = mutable.Map.empty[String, Int]
-    names.foreach { n => // names are topo-ordered, deps resolved first
-      val depLevels = byName(n).deps.filter(selected).map(level)
-      level(n) = (if (depLevels.isEmpty) -1 else depLevels.max) + 1
-    }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    try {
-      names.groupBy(level).toSeq.sortBy(_._1).flatMap { case (_, lvl) =>
-        val running = lvl.map(n =>
-          scala.concurrent.Future(n -> runModel(n, fullRefresh)))
-        // settle the WHOLE level before surfacing a failure: throwing
-        // at the first failed Await would return the command while
-        // sibling futures keep running on the pool — a sibling could
-        // then publish AFTER the command already reported failure
-        val settled = running.map(f => scala.util.Try(
-          scala.concurrent.Await.result(f,
-            scala.concurrent.duration.Duration.Inf)))
-        settled.collectFirst { case scala.util.Failure(e) => throw e }
-        settled.map(_.get)
+    val status = mutable.Map.empty[String, NodeStatus]
+    def shouldSkip(n: String) = byName(n).deps.exists(d =>
+      selected(d) && (status.get(d) match {
+        case Some(_: NodeStatus.Failed) | Some(NodeStatus.Skipped) => true
+        case _ => false
+      }))
+    def runOne(n: String): NodeStatus =
+      try NodeStatus.Success(runModel(n, fullRefresh))
+      catch {
+        case e: Exception =>
+          logger.log(LogLevel.ERROR, s"run: $n failed: ${e.getMessage}")
+          NodeStatus.Failed(String.valueOf(e.getMessage))
       }
-    } finally pool.shutdown()
+    if (threads <= 1)
+      names.foreach(n =>
+        status(n) = if (shouldSkip(n)) NodeStatus.Skipped else runOne(n))
+    else {
+      val level = mutable.Map.empty[String, Int]
+      names.foreach { n => // names are topo-ordered, deps resolved first
+        val depLevels = byName(n).deps.filter(selected).map(level)
+        level(n) = (if (depLevels.isEmpty) -1 else depLevels.max) + 1
+      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try names.groupBy(level).toSeq.sortBy(_._1).foreach { case (_, lvl) =>
+        val (skips, runs) = lvl.partition(shouldSkip)
+        skips.foreach(status(_) = NodeStatus.Skipped)
+        val running = runs.map(n =>
+          scala.concurrent.Future(n -> runOne(n))) // runOne never throws
+        running.foreach { f =>
+          val (n, st) = scala.concurrent.Await.result(f,
+            scala.concurrent.duration.Duration.Inf)
+          status(n) = st
+        }
+      } finally pool.shutdown()
+    }
+    names.map(n => n -> status(n))
+  }
+
+  /** Write dbt's run_results artifact: the command verbatim plus one
+    * row per touched node, after EVERY run/build (any outcome) —
+    * `retry` tokenizes the stored command and resumes its non-success
+    * frontier.
+    */
+  private def recordRunResults(command: String,
+      rows: Seq[(String, String, NodeStatus)]): Unit = {
+    val items = rows.map { case (kind, name, st) =>
+      s"""{"kind":${jq(kind)},"name":${jq(name)},"status":${jq(st.label)}}"""
+    }
+    Files.writeString(Paths.get(warehouse).resolve("run_results.json"),
+      s"""{"command":${jq(command)},"results":[${items.mkString(",")}]}""")
+  }
+
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case '\n'         => "\\n"
+    case '\r'         => "\\r"
+    case '\t'         => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  } + "\""
+
+  private def junq(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) {
+        i += 1
+        s(i) match {
+          case 'n' => sb += '\n'
+          case 'r' => sb += '\r'
+          case 't' => sb += '\t'
+          case 'u' => sb += Integer.parseInt(s.substring(i + 1, i + 5), 16)
+            .toChar; i += 4
+          case c => sb += c
+        }
+      } else sb += s(i)
+      i += 1
+    }
+    sb.result()
+  }
+
+  /** The last run/build's (command, (kind, name, status) rows), or
+    * None when no artifact exists. Parses only the exact shape
+    * [[recordRunResults]] emits.
+    */
+  private def loadRunResults(): Option[(String, Seq[(String, String, String)])] = {
+    val p = Paths.get(warehouse).resolve("run_results.json")
+    if (!Files.exists(p)) None
+    else {
+      val txt = Files.readString(p)
+      val cmdRe = """"command":"((?:[^"\\]|\\.)*)"""".r
+      val itemRe =
+        """\{"kind":"([^"]*)","name":"([^"]*)","status":"([^"]*)"\}""".r
+      cmdRe.findFirstMatchIn(txt).map { m =>
+        (junq(m.group(1)), itemRe.findAllMatchIn(txt)
+          .map(i => (i.group(1), i.group(2), i.group(3))).toSeq)
+      }
+    }
   }
 
   /** Resolve a model's inputs: sources (temp views already registered)
@@ -1415,6 +1513,37 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     }.map((_, rtype))
   }
 
+  /** The `run` command body (also `retry` of a run, with `names`
+    * restricted to the stored non-success frontier): execute with
+    * skip-on-failure, record the run_results artifact under the
+    * ORIGINAL command (`recordAs`) so a retry-of-a-retry keeps
+    * resuming the same invocation, and report per-model failures with
+    * their messages.
+    */
+  private def runModelsCommand(command: String, recordAs: String,
+      names: Seq[String], threads: Int,
+      fullRefresh: Boolean): CommandResult = {
+    val outcomes = runModels(names, threads, fullRefresh)
+    recordRunResults(recordAs, outcomes.map { case (n, st) =>
+      ("model", n, st)
+    })
+    val counts = outcomes.collect {
+      case (n, NodeStatus.Success(rows)) if rows >= 0 => n -> rows
+    }.toMap
+    val failed = outcomes.collect { case (n, f: NodeStatus.Failed) =>
+      s"$n: ${f.msg}"
+    }
+    val skipped = outcomes.collect { case (n, NodeStatus.Skipped) => n }
+    logger.log(LogLevel.INFO,
+      s"ran ${names.size - failed.size - skipped.size}/${names.size} " +
+        "models" + (if (fullRefresh) " (full-refresh)" else ""))
+    CommandResult(command, failed.isEmpty, outcomes.map(_._1), counts,
+      if (failed.isEmpty) None
+      else Some(s"failed: ${failed.mkString("; ")}" +
+        (if (skipped.nonEmpty)
+          s"; skipped: ${skipped.sorted.mkString(",")}" else "")))
+  }
+
   /** `dbt build` — the modern main command: seeds, models, snapshots
     * AND their attached tests in one DAG-ordered pass. A resource that
     * fails (or whose test fails) skips every transitive descendant,
@@ -1423,22 +1552,45 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * `run --threads N` remains the parallel path for test-free runs.
     * Snapshots need the injected clock; without `--at` they (and their
     * descendants) are skipped, loudly.
+    *
+    * `only` is `retry`'s frontier: resources outside it succeeded in
+    * the invocation being retried, so they are NOT re-executed (their
+    * tables are live) but still count as satisfied deps and may have
+    * individual still-failing tests in `only` that rerun standalone.
     */
-  private def runBuild(command: String, sel: Selection,
-      fullRefresh: Boolean, at: Option[String]): CommandResult = {
+  private def runBuild(command: String, recordAs: String, sel: Selection,
+      fullRefresh: Boolean, at: Option[String],
+      only: Option[Set[String]] = None): CommandResult = {
     val deps = resourceDeps
     val order = topoOrderIn(deps, selectIn(deps, sel))
-    val failed = mutable.Set.empty[String]
+    val failed = mutable.Set.empty[String]     // gating: res + test owners
+    val failedRes = mutable.Set.empty[String]  // resource execution failures
     val skipped = mutable.Set.empty[String]
     val ran = mutable.Buffer.empty[String]
     val counts = mutable.Map.empty[String, Long]
     val failedTests = mutable.Buffer.empty[String]
+    val testsRun = mutable.Buffer.empty[(String, Boolean)] // name -> passed
+    def runTests(n: String, pred: DataTest => Boolean): Unit =
+      spec.tests.filter(t => t.model == n && pred(t)).foreach { t =>
+        ran += t.name
+        val bad = runTest(t)._1.isDefined
+        testsRun += t.name -> !bad
+        if (bad) {
+          failedTests += t.name
+          failed += n // a failing ERROR-severity test gates n's
+                      // descendants; warn-severity never does
+        }
+      }
     order.foreach { n =>
       val kind = resourceKind(n)
       if (deps(n).exists(d => failed(d) || skipped(d))) {
         skipped += n
         logger.log(LogLevel.WARNING,
           s"build: skipping $n (upstream failure)")
+      } else if (only.exists(o => !o(n))) {
+        // retried run: n already succeeded — only its listed
+        // still-failing tests rerun
+        runTests(n, t => only.exists(_(t.name)))
       } else if (kind == "snapshot" && at.isEmpty) {
         skipped += n
         logger.log(LogLevel.WARNING,
@@ -1461,23 +1613,26 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
                 s"build: $n failed: ${e.getMessage}")
               false
           }
-        if (!ok) failed += n
-        else spec.tests.filter(_.model == n).foreach { t =>
-          ran += t.name
-          runTest(t)._1.foreach { _ =>
-            failedTests += t.name
-            failed += n // a failing ERROR-severity test gates n's
-                        // descendants; warn-severity never does
-          }
-        }
+        if (!ok) { failed += n; failedRes += n }
+        else runTests(n, _ => true)
       }
     }
+    recordRunResults(recordAs,
+      order.flatMap { n =>
+        if (skipped(n)) Some((resourceKind(n), n, NodeStatus.Skipped))
+        else if (only.exists(o => !o(n))) None // untouched prior success
+        else if (failedRes(n))
+          Some((resourceKind(n), n, NodeStatus.Failed("")))
+        else Some((resourceKind(n), n, NodeStatus.Success(0)))
+      } ++ testsRun.map { case (name, passed) =>
+        ("test", name,
+          if (passed) NodeStatus.Success(0) else NodeStatus.Failed(""))
+      })
     def list(s: Iterable[String]) = s.toSeq.sorted.mkString(",")
     CommandResult(command, success = failed.isEmpty, ran.toSeq,
       counts.toMap,
       if (failed.isEmpty) None
-      else Some(s"failed: ${list(failed -- failedTests.map(ft =>
-          spec.tests.find(_.name == ft).get.model))}" +
+      else Some(s"failed: ${list(failedRes)}" +
         (if (failedTests.nonEmpty)
           s"; failing tests: ${list(failedTests)}" else "") +
         (if (skipped.nonEmpty) s"; skipped: ${list(skipped)}" else "")))
@@ -1491,7 +1646,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * "seed", "snapshot --at <ts>", "source freshness --at <ts>",
     * "build [--select ...] [--exclude ...] [--full-refresh] [--at ts]",
     * "ls [--select ...] [--exclude ...] [--resource-type kind]",
-    * "compact [--select ...] [--exclude ...]" (scheduled OPTIMIZE).
+    * "compact [--select ...] [--exclude ...]" (scheduled OPTIMIZE),
+    * "retry" (resume the last run/build from its recorded
+    * failed/skipped frontier under the original flags).
     * Select specs support the full dbt atom grammar (`m`, `+m+`,
     * `tag:t`, `@m`; space = union, comma = intersection).
     */
@@ -1515,15 +1672,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         case "run" +: flags if parseRunFlags(flags).isDefined =>
           val (sel, threads, fullRefresh, vars) = parseRunFlags(flags).get
           cmdVars = vars
-          val names = topoOrder(select(sel))
-          val counts =
-            (if (threads <= 1) names.map(n => n -> runModel(n, fullRefresh))
-             else runLevelled(names, threads, fullRefresh)).toMap
-          logger.log(LogLevel.INFO,
-            s"ran ${names.size} models (threads=$threads" +
-              (if (fullRefresh) ", full-refresh" else "") + ")")
-          CommandResult(command, success = true, names,
-            counts.filter(_._2 >= 0), None)
+          runModelsCommand(command, command, topoOrder(select(sel)),
+            threads, fullRefresh)
         // `test [--select|--exclude specs...]` — selection matches
         // dbt: tests attached to the selected nodes run (full atom
         // grammar over the resource graph; lenient, so a bare name
@@ -1580,7 +1730,42 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         case "build" +: flags if parseBuildFlags(flags).isDefined =>
           val (sel, fullRefresh, at, vars) = parseBuildFlags(flags).get
           cmdVars = vars
-          runBuild(command, sel, fullRefresh, at)
+          runBuild(command, command, sel, fullRefresh, at)
+        // `dbt retry` — resume the last run/build from its failure
+        // frontier: previously-succeeded nodes are not re-executed;
+        // failed and skipped ones (and still-failing tests) rerun
+        // under the ORIGINAL command's flags, selection and vars. The
+        // refreshed artifact records only the retried frontier, so a
+        // retry-of-a-retry keeps narrowing.
+        case Seq("retry") =>
+          loadRunResults() match {
+            case None => CommandResult(command, success = false, Nil,
+              Map.empty,
+              Some("nothing to retry: no run_results.json in warehouse"))
+            case Some((prev, rows)) =>
+              val redo = rows.collect {
+                case (_, n, st) if st != "success" => n
+              }.toSet
+              if (redo.isEmpty)
+                CommandResult(command, success = true, Nil, Map.empty, None)
+              else tokenize(prev) match {
+                case "run" +: flags if parseRunFlags(flags).isDefined =>
+                  val (sel, threads, fullRefresh, vars) =
+                    parseRunFlags(flags).get
+                  cmdVars = vars
+                  runModelsCommand(command, prev,
+                    topoOrder(select(sel)).filter(redo), threads,
+                    fullRefresh)
+                case "build" +: flags if parseBuildFlags(flags).isDefined =>
+                  val (sel, fullRefresh, at, vars) =
+                    parseBuildFlags(flags).get
+                  cmdVars = vars
+                  runBuild(command, prev, sel, fullRefresh, at,
+                    only = Some(redo))
+                case _ => CommandResult(command, success = false, Nil,
+                  Map.empty, Some(s"retry: unsupported command: $prev"))
+              }
+          }
         // `compact [--select|--exclude specs...]` — the scheduled
         // OPTIMIZE pass: rewrite each selected warehouse table's live
         // generation into one member per partition (bounds file/member

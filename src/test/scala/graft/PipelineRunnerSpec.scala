@@ -1227,6 +1227,94 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(r2.runCommand("build").success)
   }
 
+  test("run skips a failed model's descendants, independent subgraphs run") {
+    val built = scala.collection.mutable.Buffer.empty[String]
+    def ok(name: String, deps: Seq[String]) =
+      Model(name, deps, Materialization.Table,
+        (sp, _) => { import sp.implicits._
+          built += name; Seq((1L, name)).toDF("id", "v") })
+    var poison = true
+    val spec = PipelineSpec(Seq(
+      Model("rf_a", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._
+          if (poison) sys.error("boom-a")
+          built += "rf_a"; Seq((1L, "a")).toDF("id", "v") }),
+      ok("rf_b", Seq("rf_a")), ok("rf_c", Seq("rf_b")), ok("rf_x", Nil)))
+    val w = wh()
+    val r = new PipelineRunner(spark, spec, w)
+    val res = r.runCommand("run")
+    assert(!res.success)
+    assert(res.error.get.contains("rf_a: boom-a"))
+    assert(res.error.get.contains("skipped: rf_b,rf_c"))
+    assert(built.toSeq == Seq("rf_x")) // independent subgraph still ran
+    // retry: only the failed+skipped frontier reruns
+    poison = false
+    built.clear()
+    assert(r.runCommand("retry").success)
+    assert(built.sorted == Seq("rf_a", "rf_b", "rf_c")) // rf_x untouched
+    // nothing left to retry: success, nothing re-executed
+    built.clear()
+    assert(r.runCommand("retry").success)
+    assert(built.isEmpty)
+  }
+
+  test("retry restores the original command's vars and selection") {
+    var poison = true
+    val spec = PipelineSpec(models = Seq(
+      Model("rv_gate", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._
+          if (poison) sys.error("gate down")
+          Seq((0L, "gate")).toDF("id", "v") }),
+      Model.sql("rv_m", "SELECT {{ var('k') }} AS k", Materialization.Table,
+        tags = Seq("seln")),
+      Model("rv_out", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._; Seq((9L, "x")).toDF("id", "v") })))
+    val r = new PipelineRunner(spark, spec, wh())
+    // select only gate+rv_m; gate fails, rv_m runs (independent)
+    val res =
+      r.runCommand("""run -s rv_gate tag:seln --vars '{"k": 77}'""")
+    assert(!res.success && res.error.get.contains("rv_gate"))
+    assert(r.readTable("rv_m").head().getInt(0) == 77)
+    poison = false
+    // retry must re-apply BOTH the stored --vars and the selection:
+    // rv_gate reruns, rv_out stays outside the original selection
+    assert(r.runCommand("retry").success)
+    assert(r.tableExists("rv_gate") && !r.tableExists("rv_out"))
+  }
+
+  test("build retry reruns a still-failing test standalone (new process)") {
+    val w = wh()
+    val extDir = wh() + "/ext"
+    def spec(flagged: Int) = {
+      Seq((1L, flagged)).toDF("id", "bad").write.mode("overwrite")
+        .parquet(extDir)
+      PipelineSpec(
+        models = Seq(
+          Model("bt_m", Nil, Materialization.Table,
+            (sp, _) => { import sp.implicits._
+              Seq((1L, "v")).toDF("id", "v") }),
+          Model("bt_down", Seq("bt_m"), Materialization.Table,
+            (_, in) => in("bt_m"))),
+        tests = Seq(DataTest.Singular("bt_ext_clean",
+          """SELECT m.id FROM {{ ref('bt_m') }} m
+            |JOIN {{ source('bt_ext') }} f ON f.bad = 1""".stripMargin)),
+        sources = Map("bt_ext" -> extDir))
+    }
+    val r1 = new PipelineRunner(spark, spec(flagged = 1), w)
+    val res = r1.runCommand("build")
+    assert(!res.success && res.error.get.contains("bt_ext_clean"))
+    assert(res.error.get.contains("skipped: bt_down"))
+    val gensBefore = r1.generations("bt_m").size
+    // the external violation clears; a NEW runner (new process, same
+    // warehouse — the reference's scheduled-task shape) retries
+    val r2 = new PipelineRunner(spark, spec(flagged = 0), w)
+    assert(r2.runCommand("retry").success)
+    // the succeeded model was NOT rebuilt — only its test and the
+    // skipped descendant ran
+    assert(r2.generations("bt_m").size == gensBefore)
+    assert(r2.tableExists("bt_down"))
+  }
+
   test("auto-compaction bounds manifest members on append-style runs") {
     val w = wh()
     val r = new PipelineRunner(spark, PipelineSpec(Nil), w,

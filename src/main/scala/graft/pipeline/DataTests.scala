@@ -43,22 +43,29 @@ object DataTests {
     */
   def violations(spark: SparkSession, runner: PipelineRunner,
                  t: DataTest): DataFrame = {
-    def frame(name: String): DataFrame = {
+    // `tested` marks the CHILD role: `where` scopes the model under
+    // test only, never a join partner — keyed per role, not by table
+    // name, so a self-referential Relationships test (parentModel ==
+    // model) still reads an unfiltered parent and a `where` can never
+    // manufacture orphans
+    def frame(name: String, tested: Boolean): DataFrame = {
       val df =
         if (runner.tableExists(name)) runner.readTable(name)
         else spark.table(name)
-      // `where` scopes the model under test only, not join partners
-      if (name == t.model) t.config.where.fold(df)(df.filter) else df
+      if (tested) t.config.where.fold(df)(df.filter) else df
     }
     val viol = t match {
-      case DataTest.Unique(m, cols, _)         => unique(frame(m), cols)
-      case DataTest.NotNull(m, c, _)           => notNull(frame(m), c)
-      case DataTest.AcceptedValues(m, c, v, _) => acceptedValues(frame(m), c, v)
+      case DataTest.Unique(m, cols, _) => unique(frame(m, true), cols)
+      case DataTest.NotNull(m, c, _)   => notNull(frame(m, true), c)
+      case DataTest.AcceptedValues(m, c, v, _) =>
+        acceptedValues(frame(m, true), c, v)
       case DataTest.Relationships(m, c, pm, pc, _) =>
-        relationships(frame(m), c, frame(pm), pc)
+        relationships(frame(m, true), c, frame(pm, false), pc)
       case DataTest.Singular(name, sql, _) =>
+        // a singular test owns its SQL (config.where is rejected at
+        // construction), so every ref reads unfiltered
         Model.runSqlText(s"test_$name", sql,
-          spark, t.refs.map(r => r -> frame(r)).toMap)
+          spark, t.refs.map(r => r -> frame(r, false)).toMap)
     }
     t.config.limit.fold(viol)(viol.limit)
   }

@@ -986,9 +986,12 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   }
 
   /** Write dbt's run_results artifact: the command verbatim plus one
-    * row per touched node, after EVERY run/build (any outcome) —
-    * `retry` tokenizes the stored command and resumes its non-success
-    * frontier.
+    * row per touched node, after EVERY node-executing command (run /
+    * build / test / seed / snapshot, any outcome) — `retry` tokenizes
+    * the stored command and resumes its non-success frontier. dbt
+    * retry resumes the most recent invocation of ANY command type, so
+    * recording only run/build would make a retry issued after a failed
+    * `test` silently replay the older run/build artifact.
     */
   private def recordRunResults(command: String,
       rows: Seq[(String, String, NodeStatus)]): Unit = {
@@ -1408,14 +1411,17 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       require(i < end && t(i) == ':', s"--vars: expected ':' after $k")
       i += 1; skipWs()
       val v =
-        if (i < end && t(i) == '"') parseString()
+        if (i < end && t(i) == '"') parseString() // any quoted string is
+          // a legal scalar — "", "[a-z]+", "{x}" included (dbt accepts
+          // them; the scalar check below applies to UNQUOTED tokens only)
         else {
           val j = i
           while (i < end && t(i) != ',' && !t(i).isWhitespace) i += 1
-          t.substring(j, i)
+          val raw = t.substring(j, i)
+          require(raw.nonEmpty && !raw.startsWith("{") && !raw.startsWith("["),
+            s"--vars: value for $k must be a scalar (got '$raw')")
+          raw
         }
-      require(v.nonEmpty && !v.startsWith("{") && !v.startsWith("["),
-        s"--vars: value for $k must be a scalar (got '$v')")
       out(k) = v
       skipWs()
       if (i < end && t(i) == ',') { i += 1; skipWs() }
@@ -1425,18 +1431,21 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
 
   /** argv tokenization with single-quote spans, so
     * `run --vars '{"k": "a b"}'` arrives as ONE token — the same
-    * grouping a shell hands dbt. Quote-free commands tokenize exactly
-    * as the previous whitespace split did.
+    * grouping a shell hands dbt. A quote only OPENS a span at token
+    * start; an apostrophe inside a token (a selector or `--at` value
+    * containing `'`) is a literal character, so quote-free commands
+    * tokenize exactly as a whitespace split would.
     */
   private def tokenize(command: String): Seq[String] = {
     val out = mutable.Buffer.empty[String]
     val sb = new StringBuilder
     var quoted = false
-    command.trim.foreach {
-      case '\'' => quoted = !quoted
-      case c if c.isWhitespace && !quoted =>
+    command.trim.foreach { c =>
+      if (quoted) { if (c == '\'') quoted = false else sb += c }
+      else if (c == '\'' && sb.isEmpty) quoted = true
+      else if (c.isWhitespace) {
         if (sb.nonEmpty) { out += sb.result(); sb.clear() }
-      case c => sb += c
+      } else sb += c
     }
     require(!quoted, s"unterminated quote in command: $command")
     if (sb.nonEmpty) out += sb.result()
@@ -1542,6 +1551,83 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       else Some(s"failed: ${failed.mkString("; ")}" +
         (if (skipped.nonEmpty)
           s"; skipped: ${skipped.sorted.mkString(",")}" else "")))
+  }
+
+  /** The `test` command body (also `retry` of a test): run each chosen
+    * test under its config, catching per-test errors (dbt's "error"
+    * test status) so one broken test never aborts the rest, and record
+    * the artifact under the ORIGINAL command for retry-of-retry.
+    */
+  private def runTestsCommand(command: String, recordAs: String,
+      chosen: Seq[DataTest]): CommandResult = {
+    val outcomes = chosen.map { t =>
+      val ok =
+        try runTest(t)._1.isEmpty
+        catch {
+          case e: Exception =>
+            logger.log(LogLevel.ERROR,
+              s"test ${t.name} errored: ${e.getMessage}")
+            false
+        }
+      (t.name, ok)
+    }
+    recordRunResults(recordAs, outcomes.map { case (n, ok) =>
+      ("test", n,
+        if (ok) NodeStatus.Success(0): NodeStatus else NodeStatus.Failed(""))
+    })
+    val failures = outcomes.collect { case (n, false) => n }
+    CommandResult(command, failures.isEmpty, outcomes.map(_._1), Map.empty,
+      if (failures.isEmpty) None
+      else Some(s"failing tests: ${failures.mkString(",")}"))
+  }
+
+  /** The `seed` command body (also `retry` of a seed run). */
+  private def runSeedsCommand(command: String, recordAs: String,
+      seeds: Seq[Seed]): CommandResult = {
+    val outcomes = seeds.map { sd =>
+      try (sd.name, NodeStatus.Success(runSeed(sd)): NodeStatus)
+      catch {
+        case e: Exception =>
+          logger.log(LogLevel.ERROR,
+            s"seed ${sd.name} failed: ${e.getMessage}")
+          (sd.name, NodeStatus.Failed(String.valueOf(e.getMessage)): NodeStatus)
+      }
+    }
+    recordRunResults(recordAs, outcomes.map { case (n, st) =>
+      ("seed", n, st)
+    })
+    finishNodeCommand(command, outcomes)
+  }
+
+  /** The `snapshot --at` command body (also `retry` of one). */
+  private def runSnapshotsCommand(command: String, recordAs: String,
+      snaps: Seq[SnapshotDef], asOf: String): CommandResult = {
+    val outcomes = snaps.map { sn =>
+      try (sn.name, NodeStatus.Success(runSnapshot(sn, asOf)): NodeStatus)
+      catch {
+        case e: Exception =>
+          logger.log(LogLevel.ERROR,
+            s"snapshot ${sn.name} failed: ${e.getMessage}")
+          (sn.name, NodeStatus.Failed(String.valueOf(e.getMessage)): NodeStatus)
+      }
+    }
+    recordRunResults(recordAs, outcomes.map { case (n, st) =>
+      ("snapshot", n, st)
+    })
+    finishNodeCommand(command, outcomes)
+  }
+
+  private def finishNodeCommand(command: String,
+      outcomes: Seq[(String, NodeStatus)]): CommandResult = {
+    val counts = outcomes.collect {
+      case (n, NodeStatus.Success(rows)) => n -> rows
+    }.toMap
+    val failed = outcomes.collect { case (n, f: NodeStatus.Failed) =>
+      s"$n: ${f.msg}"
+    }
+    CommandResult(command, failed.isEmpty, outcomes.map(_._1), counts,
+      if (failed.isEmpty) None
+      else Some(s"failed: ${failed.mkString("; ")}"))
   }
 
   /** `dbt build` — the modern main command: seeds, models, snapshots
@@ -1691,21 +1777,11 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
               // every ref of a singular test)
               spec.tests.filter(_.refs.exists(names))
             }
-          val failures = chosen.flatMap(t => runTest(t)._1)
-          CommandResult(command, success = failures.isEmpty,
-            chosen.map(_.name),
-            Map.empty,
-            if (failures.isEmpty) None
-            else Some(s"failing tests: ${failures.mkString(",")}"))
+          runTestsCommand(command, command, chosen)
         case Seq("seed") =>
-          val counts = spec.seeds.map(sd => sd.name -> runSeed(sd)).toMap
-          CommandResult(command, success = true,
-            spec.seeds.map(_.name), counts, None)
+          runSeedsCommand(command, command, spec.seeds)
         case Seq("snapshot", "--at", asOf) =>
-          val counts = spec.snapshots
-            .map(sn => sn.name -> runSnapshot(sn, asOf)).toMap
-          CommandResult(command, success = true,
-            spec.snapshots.map(_.name), counts, None)
+          runSnapshotsCommand(command, command, spec.snapshots, asOf)
         // `dbt source freshness` — the standard dbt subcommand the
         // reference can pass through its arbitrary-argv surface
         // (`dbtoperator.py:35,46`); `--at` injects the clock so runs
@@ -1731,7 +1807,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           val (sel, fullRefresh, at, vars) = parseBuildFlags(flags).get
           cmdVars = vars
           runBuild(command, command, sel, fullRefresh, at)
-        // `dbt retry` — resume the last run/build from its failure
+        // `dbt retry` — resume the most recent node-executing command
+        // (run / build / test / seed / snapshot) from its failure
         // frontier: previously-succeeded nodes are not re-executed;
         // failed and skipped ones (and still-failing tests) rerun
         // under the ORIGINAL command's flags, selection and vars. The
@@ -1762,6 +1839,16 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
                   cmdVars = vars
                   runBuild(command, prev, sel, fullRefresh, at,
                     only = Some(redo))
+                case "test" +: flags if parseSelFlags(flags)(
+                    PartialFunction.empty).isDefined =>
+                  runTestsCommand(command, prev,
+                    spec.tests.filter(t => redo(t.name)))
+                case Seq("seed") =>
+                  runSeedsCommand(command, prev,
+                    spec.seeds.filter(sd => redo(sd.name)))
+                case Seq("snapshot", "--at", asOf) =>
+                  runSnapshotsCommand(command, prev,
+                    spec.snapshots.filter(sn => redo(sn.name)), asOf)
                 case _ => CommandResult(command, success = false, Nil,
                   Map.empty, Some(s"retry: unsupported command: $prev"))
               }
@@ -1831,6 +1918,11 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     // accumulates a stale view (pinning its plan) per model run
     spec.models.foreach(m => m.deps.foreach(dep =>
       spark.catalog.dropTempView(s"__graft_ref_${m.name}_$dep")))
+    // singular tests register __graft_ref_test_<name>_<dep> views via
+    // the same path (DataTests.violations → Model.runSqlText)
+    spec.tests.collect { case t: DataTest.Singular => t }.foreach(t =>
+      t.refs.foreach(ref =>
+        spark.catalog.dropTempView(s"__graft_ref_test_${t.name}_$ref")))
     spec.sources.keys.foreach(spark.catalog.dropTempView(_))
     ephemeralCache.clear()
   }

@@ -1436,4 +1436,106 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(!java.nio.file.Files.exists(root.resolve("_aborted_gen_2")))
     assert(r.readTableAt("leg", "gen_1").count() == 1)
   }
+
+  test("--vars: quoted strings may be empty, regexes, or brace-leading") {
+    val spec = PipelineSpec(models = Seq(Model.sql("vq_m",
+      """SELECT '{{ var("pat") }}' AS pat, '{{ var("empty") }}' AS e,
+        |'{{ var("obj") }}' AS o""".stripMargin,
+      Materialization.Table)))
+    val r = new PipelineRunner(spark, spec, wh())
+    assert(r.runCommand(
+      """run --vars '{"pat": "[a-z]+", "empty": "", "obj": "{x}"}'""").success)
+    val row = r.readTable("vq_m").head()
+    assert(row.getString(0) == "[a-z]+" && row.getString(1) == "" &&
+      row.getString(2) == "{x}")
+    // unquoted tokens keep the scalar guard
+    assert(!r.runCommand("""run --vars '{"k": {"nested": 1}}'""").success)
+  }
+
+  test("tokenize: apostrophe inside a token is literal, not a quote") {
+    val r = new PipelineRunner(spark, PipelineSpec(Nil), wh())
+    // previously any mid-token quote toggled quoting and failed the
+    // whole command as an unterminated span
+    assert(r.runCommand("test --select don't").success)
+  }
+
+  test("retry resumes a failed test command, not the older run artifact") {
+    val built = scala.collection.mutable.Buffer.empty[String]
+    val spec = PipelineSpec(
+      models = Seq(Model("rt_m", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._
+          built += "rt_m"
+          Seq((1L, "x"), (1L, "x")).toDF("id", "v") })),
+      tests = Seq(DataTest.Unique("rt_m", Seq("id"))))
+    val r = new PipelineRunner(spark, spec, wh())
+    assert(r.runCommand("run").success)     // artifact: run, all green
+    assert(!r.runCommand("test").success)   // artifact now: test, failed
+    // fix the table OUT OF BAND (no artifact written), then retry:
+    // it must rerun the FAILED TEST under the stored test command —
+    // the older run artifact (all-success models) is not replayed
+    r.replaceTable("rt_m", Seq((1L, "x")).toDF("id", "v"))
+    built.clear()
+    val res = r.runCommand("retry")
+    assert(res.success, res.error.mkString)
+    assert(res.modelsRun == Seq("unique_rt_m_id"))
+    assert(built.isEmpty, "retry of a test must not rebuild models")
+  }
+
+  test("retry resumes failed seeds and snapshots too") {
+    import org.apache.spark.sql.types._
+    val w = wh()
+    def spec(badCsv: Boolean) = PipelineSpec(Nil,
+      seeds = Seq(
+        Seed("sd_ok", Seq("id,v", "1,a"),
+          StructType(Seq(StructField("id", LongType),
+            StructField("v", StringType)))),
+        Seed("sd_bad", Seq("id,v", "1,a"),
+          // a schema referencing a FAILFAST-violating parse: force an
+          // error by declaring a struct column the CSV can't carry
+          StructType(Seq(StructField("id", LongType),
+            StructField("v",
+              if (badCsv) ArrayType(StructType(Seq(StructField("x", LongType))))
+              else StringType))))))
+    val r1 = new PipelineRunner(spark, spec(badCsv = true), w)
+    val res = r1.runCommand("seed")
+    assert(!res.success && res.error.get.contains("sd_bad"))
+    assert(r1.tableExists("sd_ok"), "good seed still loads")
+    // retry with the schema fixed reruns ONLY the failed seed
+    val g1 = r1.generations("sd_ok").size
+    val r2 = new PipelineRunner(spark, spec(badCsv = false), w)
+    assert(r2.runCommand("retry").success)
+    assert(r2.tableExists("sd_bad"))
+    assert(r2.generations("sd_ok").size == g1, "sd_ok not re-seeded")
+  }
+
+  test("relationships `where` filters only the child of a self-join") {
+    val w = wh()
+    val spec = PipelineSpec(
+      models = Seq(Model("emp", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._
+          Seq((1L, 2L), (2L, 1L)).toDF("id", "mgr") })),
+      tests = Seq(DataTest.Relationships("emp", "mgr", "emp", "id",
+        TestConfig(where = Some("id = 1")))))
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.runCommand("run").success)
+    // child row (1, mgr=2): mgr=2 exists in the UNFILTERED parent —
+    // a name-keyed `where` would filter the parent too and
+    // manufacture an orphan
+    assert(DataTests.violations(spark, r, spec.tests.head).count() == 0)
+  }
+
+  test("cleanup drops singular-test scratch views") {
+    val extDir = wh() + "/ext"
+    Seq((1L, "x")).toDF("id", "v").write.mode("overwrite").parquet(extDir)
+    val spec = PipelineSpec(Nil,
+      tests = Seq(DataTest.Singular("cv_probe",
+        "SELECT id FROM {{ source('cv_src') }} WHERE id < 0")),
+      sources = Map("cv_src" -> extDir))
+    val r = new PipelineRunner(spark, spec, wh())
+    r.initialize()
+    assert(DataTests.violations(spark, r, spec.tests.head).count() == 0)
+    assert(spark.catalog.tableExists("__graft_ref_test_cv_probe_cv_src"))
+    r.cleanup()
+    assert(!spark.catalog.tableExists("__graft_ref_test_cv_probe_cv_src"))
+  }
 }

@@ -1082,7 +1082,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     */
   def runModel(name: String, fullRefresh: Boolean = false): Long = tracked {
     val m = byName(name)
-    val df = buildDf(m)
+    val df = buildDf(m, fullRefresh)
     m.materialization match {
       case Materialization.View =>
         df.createOrReplaceTempView(name); -1L
@@ -1364,10 +1364,30 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     */
   private var cmdVars: Map[String, String] = Map.empty
 
-  private def buildDf(m: Model): DataFrame = m.buildV match {
-    case Some(f) => f(spark, inputs(m), cmdVars)
-    case None    => m.build(spark, inputs(m))
-  }
+  /** True when `is_incremental()` renders true for this model on this
+    * invocation: it IS an incremental materialization, its target
+    * exists, and the run is not `--full-refresh` (dbt-core 1.9).
+    */
+  private def isIncrementalRun(m: Model, fullRefresh: Boolean): Boolean =
+    (m.materialization match {
+      case _: Materialization.IncrementalAppend          => true
+      case _: Materialization.IncrementalInsertOverwrite => true
+      case _: Materialization.IncrementalMerge           => true
+      case _                                             => false
+    }) && !fullRefresh && tableExists(m.name)
+
+  private[pipeline] def buildCtx(m: Model, fullRefresh: Boolean): BuildCtx =
+    BuildCtx(cmdVars, isIncrementalRun(m, fullRefresh),
+      if (tableExists(m.name)) Some(() => readTable(m.name)) else None)
+
+  private def buildDf(m: Model, fullRefresh: Boolean = false): DataFrame =
+    m.buildC match {
+      case Some(f) => f(spark, inputs(m), buildCtx(m, fullRefresh))
+      case None => m.buildV match {
+        case Some(f) => f(spark, inputs(m), cmdVars)
+        case None    => m.build(spark, inputs(m))
+      }
+    }
 
   /** Parse dbt's `--vars` payload: a FLAT JSON object of scalars
     * (string / number / boolean — what `dbt run --vars` carries in
@@ -1918,6 +1938,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     // accumulates a stale view (pinning its plan) per model run
     spec.models.foreach(m => m.deps.foreach(dep =>
       spark.catalog.dropTempView(s"__graft_ref_${m.name}_$dep")))
+    // {{ this }} resolves through a scoped view too
+    spec.models.foreach(m =>
+      spark.catalog.dropTempView(s"__graft_this_${m.name}"))
     // singular tests register __graft_ref_test_<name>_<dep> views via
     // the same path (DataTests.violations → Model.runSqlText)
     spec.tests.collect { case t: DataTest.Singular => t }.foreach(t =>

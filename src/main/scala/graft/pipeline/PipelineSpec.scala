@@ -92,6 +92,23 @@ object Materialization {
     extends Materialization
 }
 
+/** Per-invocation context a SQL-text model's build renders against —
+  * the dbt compile context (dbt-core 1.9 semantics; the reference
+  * compiles exactly this before submitting, `dbtoperator.py:342-360`):
+  *
+  *  - `vars`: the command's `--vars` map (`{{ var(...) }}`).
+  *  - `isIncremental`: what `is_incremental()` returns — true only
+  *    when the model IS an incremental materialization, its target
+  *    table already exists, and the run is not `--full-refresh`.
+  *  - `thisRelation`: lazily reads the model's CURRENT target table
+  *    (`{{ this }}`) — present whenever the table exists. A thunk, so
+  *    models that never mention `this` pay no read.
+  */
+final case class BuildCtx(
+    vars: Map[String, String] = Map.empty,
+    isIncremental: Boolean = false,
+    thisRelation: Option[() => DataFrame] = None)
+
 /** One model: a named SELECT over sources and upstream models
   * (dbt `ref()` ⇒ `deps`). `tags` feed the `tag:` node-selection
   * method (dbt config `tags=[...]`).
@@ -108,11 +125,53 @@ final case class Model(
       * the same model so direct callers keep working.
       */
     buildV: Option[(SparkSession, Map[String, DataFrame], Map[String, String])
-      => DataFrame] = None)
+      => DataFrame] = None,
+    /** Context-aware build (SQL-text models): additionally receives
+      * the incremental compile context ([[BuildCtx]]) so
+      * `{% if is_incremental() %}` / `{{ this }}` render per
+      * invocation. Preferred by the runner when present.
+      */
+    buildC: Option[(SparkSession, Map[String, DataFrame], BuildCtx)
+      => DataFrame] = None,
+    /** The model's raw Jinja-SQL text when it IS a SQL-text model —
+      * what `compile` renders and what the state:modified checksum
+      * hashes (dbt checksums the model file).
+      */
+    sqlText: Option[String] = None)
 
 object Model {
   private val refRe =
     """\{\{\s*(?:ref|source)\(\s*'([^']+)'\s*\)\s*\}\}""".r
+
+  // {% if is_incremental() %} ... [{% else %} ...] {% endif %} — the
+  // dbt incremental guard (non-nested, like real dbt model files);
+  // (?s) so the branch bodies span lines
+  private val ifIncRe =
+    ("""(?s)\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)""" +
+      """(?:\{%\s*else\s*%\}(.*?))?\{%\s*endif\s*%\}""").r
+
+  private[pipeline] val thisRe = """\{\{\s*this\s*\}\}""".r
+
+  /** Render the `{% if is_incremental() %}` guard: keep the if-branch
+    * on incremental runs, the else-branch (or nothing) otherwise —
+    * dbt-core 1.9 semantics, where `is_incremental()` is true only on
+    * a non-full-refresh run of an EXISTING incremental table. A lone
+    * `{%` outside a recognized guard is rejected loudly rather than
+    * submitted to Spark as literal text.
+    */
+  def renderIncremental(model: String, sqlText: String,
+      isIncremental: Boolean): String = {
+    val out = ifIncRe.replaceAllIn(sqlText, m => {
+      val branch =
+        if (isIncremental) m.group(1) else Option(m.group(2)).getOrElse("")
+      scala.util.matching.Regex.quoteReplacement(branch)
+    })
+    require(!out.contains("{%"),
+      s"model $model: unsupported or unterminated {% ... %} block " +
+        "(only non-nested {% if is_incremental() %}[{% else %}]" +
+        "{% endif %} is recognized)")
+    out
+  }
 
   // {{ var('name') }} / {{ var('name', default) }} — single or double
   // quotes around the name; the default is everything up to the
@@ -164,11 +223,32 @@ object Model {
       s"model name must be a SQL identifier: $name")
     val deps = parseRefs(sqlText)
     def run(spark: SparkSession, inputs: Map[String, DataFrame],
-        vars: Map[String, String]): DataFrame =
-      runSqlText(name, renderVars(name, sqlText, vars), spark, inputs)
+        ctx: BuildCtx): DataFrame = {
+      val rendered = renderIncremental(name,
+        renderVars(name, sqlText, ctx.vars), ctx.isIncremental)
+      // {{ this }} → the model's CURRENT target table, via a scoped
+      // temp view (dbt renders it to the target relation name; the
+      // usual use is the delta predicate
+      // `WHERE ts > (SELECT max(ts) FROM {{ this }})` inside an
+      // is_incremental() guard). Reading the live generation while
+      // the new batch stages is safe — see replaceTable's scaladoc.
+      if (thisRe.findFirstIn(rendered).isEmpty)
+        runSqlText(name, rendered, spark, inputs)
+      else {
+        val thisDf = ctx.thisRelation.map(_()).getOrElse(sys.error(
+          s"model $name: {{ this }} used but the target table does " +
+            "not exist yet — guard it with {% if is_incremental() %}"))
+        val view = s"__graft_this_$name"
+        thisDf.createOrReplaceTempView(view)
+        runSqlText(name, thisRe.replaceAllIn(rendered, view), spark, inputs)
+      }
+    }
     Model(name, deps, materialization,
-      (spark, inputs) => run(spark, inputs, Map.empty), tags,
-      buildV = Some(run))
+      (spark, inputs) => run(spark, inputs, BuildCtx()), tags,
+      buildV = Some((spark, inputs, vars) =>
+        run(spark, inputs, BuildCtx(vars = vars))),
+      buildC = Some(run),
+      sqlText = Some(sqlText))
   }
 
   /** The distinct `{{ ref }}` / `{{ source }}` names in a SQL text

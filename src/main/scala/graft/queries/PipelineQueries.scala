@@ -353,6 +353,37 @@ object PipelineOps extends QueryGroup {
       r2.readTable("sqlm_agg").orderBy("o_custkey")
     }),
 
+    // ---- is_incremental() / {{ this }} (dbt incremental model text) -------
+    // A SQL-TEXT incremental model carrying its own delta predicate —
+    // the exact text a dbt incremental model ships
+    // (`WHERE ts > (SELECT max(ts) FROM {{ this }})` inside an
+    // `{% if is_incremental() %}` guard, dbt-core 1.9 semantics that
+    // the reference compiles verbatim, `dbtoperator.py:342-360`). Run
+    // twice over a widening date cut: run 1 renders the guard FALSE
+    // (batch_no=1, no predicate), run 2 renders it TRUE (batch_no=2,
+    // delta above the table's own max). The oracle states the final
+    // two-batch state directly — proving both the guard flip and the
+    // {{ this }} subquery, not just the runner's implicit HWM.
+    "run_sql_incremental_predicate" -> ((s, d) => {
+      val wh = freshWh("run_sql_inc_pred")
+      def spec(cut: String) = PipelineSpec(
+        models = Seq(Model.sql("sip_orders",
+          s"""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+             |  {% if is_incremental() %} 2 {% else %} 1 {% endif %} AS batch_no
+             |FROM {{ source('orders') }}
+             |WHERE o_orderdate < TIMESTAMP '$cut'
+             |{% if is_incremental() %}
+             |  AND o_orderdate > (SELECT max(o_orderdate) FROM {{ this }})
+             |{% endif %}""".stripMargin,
+          Materialization.IncrementalAppend("o_orderdate"))),
+        sources = Map("orders" -> s"$d/orders.parquet"))
+      mustSucceed(new PipelineRunner(s, spec("1997-01-01 00:00:00"), wh)
+        .run(Seq("run")))
+      val r2 = new PipelineRunner(s, spec("1998-01-01 00:00:00"), wh)
+      mustSucceed(r2.run(Seq("run")))
+      r2.readTable("sip_orders").orderBy("o_orderkey")
+    }),
+
     // ---- project-from-artifact (the reference's zip deploy path) ----------
     // A full project (sources.conf + SQL-text models with config
     // headers + a CSV seed with declared schema) is written, packed
@@ -504,6 +535,14 @@ object PipelineOps extends QueryGroup {
     "mat_compact" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "run_sql_incremental_predicate" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+        |  CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |       THEN 1 ELSE 2 END AS batch_no
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "run_project_artifact" ->
       """SELECT CASE o_orderstatus WHEN 'O' THEN 'open'

@@ -1437,6 +1437,68 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(r.readTableAt("leg", "gen_1").count() == 1)
   }
 
+  test("is_incremental()/{{ this }}: guard flips across runs and full-refresh") {
+    val w = wh()
+    val srcDir = wh() + "/src"
+    def load(n: Int): Unit =
+      (1L to n.toLong).map(i => (i, i)).toDF("id", "ts")
+        .write.mode("overwrite").parquet(srcDir)
+    val spec = PipelineSpec(
+      models = Seq(Model.sql("inc_sql",
+        """SELECT id, ts,
+          |  {% if is_incremental() %} 'inc' {% else %} 'full' {% endif %} AS mode
+          |FROM {{ source('inc_src') }}
+          |{% if is_incremental() %}
+          |WHERE ts > (SELECT max(ts) FROM {{ this }})
+          |{% endif %}""".stripMargin,
+        Materialization.IncrementalAppend("ts"))),
+      sources = Map("inc_src" -> srcDir))
+    load(2)
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.runCommand("run").success)
+    assert(r.readTable("inc_sql").select("mode").distinct()
+      .as[String].collect().toSeq == Seq("full"))
+    // source widens; run 2 renders the guard TRUE and appends the delta
+    load(4)
+    val r2 = new PipelineRunner(spark, spec, w)
+    r2.initialize() // re-register the widened source view
+    assert(r2.runCommand("run").success)
+    assert(r2.readTable("inc_sql").orderBy("id")
+      .select("id", "mode").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "full"), (2L, "full"), (3L, "inc"), (4L, "inc")))
+    // --full-refresh flips the guard back to false: one clean load
+    assert(r2.runCommand("run --full-refresh").success)
+    assert(r2.readTable("inc_sql").select("mode").distinct()
+      .as[String].collect().toSeq == Seq("full"))
+    assert(r2.readTable("inc_sql").count() == 4)
+  }
+
+  test("{{ this }} without an existing target fails loudly") {
+    val srcDir = wh() + "/src"
+    Seq((1L, 1L)).toDF("id", "ts").write.mode("overwrite").parquet(srcDir)
+    val spec = PipelineSpec(
+      models = Seq(Model.sql("this_bare",
+        "SELECT id FROM {{ source('tb_src') }} WHERE id IN (SELECT id FROM {{ this }})",
+        Materialization.Table)),
+      sources = Map("tb_src" -> srcDir))
+    val r = new PipelineRunner(spark, spec, wh())
+    val res = r.runCommand("run")
+    assert(!res.success && res.error.get.contains("{{ this }}"))
+  }
+
+  test("unrecognized {% ... %} blocks are rejected, not submitted as SQL") {
+    val srcDir = wh() + "/src"
+    Seq((1L, 1L)).toDF("id", "ts").write.mode("overwrite").parquet(srcDir)
+    val spec = PipelineSpec(
+      models = Seq(Model.sql("bad_jinja",
+        "SELECT id FROM {{ source('bj_src') }} {% for x in y %}{% endfor %}",
+        Materialization.Table)),
+      sources = Map("bj_src" -> srcDir))
+    val r = new PipelineRunner(spark, spec, wh())
+    val res = r.runCommand("run")
+    assert(!res.success && res.error.get.contains("{%"))
+  }
+
   test("--vars: quoted strings may be empty, regexes, or brace-leading") {
     val spec = PipelineSpec(models = Seq(Model.sql("vq_m",
       """SELECT '{{ var("pat") }}' AS pat, '{{ var("empty") }}' AS e,

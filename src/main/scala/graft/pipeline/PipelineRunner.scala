@@ -1542,6 +1542,33 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     }.map((_, rtype))
   }
 
+  /** `compile` flags: select/exclude, `--vars`, `--full-refresh`
+    * (flips `is_incremental()` in the rendered text, like dbt
+    * compile's).
+    */
+  private def parseCompileFlags(flags: Seq[String])
+      : Option[(Selection, Map[String, String], Boolean)] = {
+    var vars = Map.empty[String, String]
+    var fullRefresh = false
+    parseSelFlags(flags) {
+      case "--vars" :: v :: t => vars = parseVarsJson(v); t
+      case "--full-refresh" :: t => fullRefresh = true; t
+    }.map((_, vars, fullRefresh))
+  }
+
+  /** `show` flags: select/exclude, `--limit <n>` (preview rows,
+    * dbt's default 5), `--vars`.
+    */
+  private def parseShowFlags(flags: Seq[String])
+      : Option[(Selection, Int, Map[String, String])] = {
+    var limit = 5
+    var vars = Map.empty[String, String]
+    parseSelFlags(flags) {
+      case "--limit" :: v :: t if v.forall(_.isDigit) => limit = v.toInt; t
+      case "--vars" :: v :: t => vars = parseVarsJson(v); t
+    }.map((_, limit, vars))
+  }
+
   /** The `run` command body (also `retry` of a run, with `names`
     * restricted to the stored non-success frontier): execute with
     * skip-on-failure, record the run_results artifact under the
@@ -1752,9 +1779,12 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * "seed", "snapshot --at <ts>", "source freshness --at <ts>",
     * "build [--select ...] [--exclude ...] [--full-refresh] [--at ts]",
     * "ls [--select ...] [--exclude ...] [--resource-type kind]",
+    * "compile [--select ...] [--vars json] [--full-refresh]"
+    * (render SQL-text models to target/compiled),
+    * "show --select m [--limit n] [--vars json]" (row preview),
     * "compact [--select ...] [--exclude ...]" (scheduled OPTIMIZE),
-    * "retry" (resume the last run/build from its recorded
-    * failed/skipped frontier under the original flags).
+    * "retry" (resume the last node-executing command from its
+    * recorded failed/skipped frontier under the original flags).
     * Select specs support the full dbt atom grammar (`m`, `+m+`,
     * `tag:t`, `@m`; space = union, comma = intersection).
     */
@@ -1872,6 +1902,50 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
                 case _ => CommandResult(command, success = false, Nil,
                   Map.empty, Some(s"retry: unsupported command: $prev"))
               }
+          }
+        // `compile [--select ...] [--vars json] [--full-refresh]` —
+        // dbt compile: render every selected SQL-text model (vars,
+        // is_incremental guard, ref/source/this → relation names) to
+        // `<warehouse>/target/compiled/<name>.sql` without running
+        // anything. Lambda models have no text and are skipped, like
+        // dbt skips non-SQL resources. Basis: ordinary dbt argv the
+        // reference forwards (`dbtoperator.py:35,46`).
+        case "compile" +: flags if parseCompileFlags(flags).isDefined =>
+          val (sel, vars, fullRefresh) = parseCompileFlags(flags).get
+          cmdVars = vars
+          val names = topoOrder(select(sel))
+            .filter(n => byName(n).sqlText.isDefined)
+          val outDir = Paths.get(warehouse, "target", "compiled")
+          Files.createDirectories(outDir)
+          names.foreach { n =>
+            val m = byName(n)
+            Files.writeString(outDir.resolve(s"$n.sql"),
+              Model.compileText(m, vars, isIncrementalRun(m, fullRefresh)))
+          }
+          logger.log(LogLevel.INFO,
+            s"compiled ${names.size} models to $outDir")
+          CommandResult(command, success = true, names, Map.empty, None)
+        // `show --select m [--limit N] [--vars json]` — dbt show: run
+        // each selected model's rendered SELECT (nothing
+        // materialized) and surface a row preview; rowCounts carries
+        // rows-shown per model, the preview rows land in the logger
+        // at INFO (the envelope's stdout analogue).
+        case "show" +: flags if parseShowFlags(flags).isDefined =>
+          val (sel, limit, vars) = parseShowFlags(flags).get
+          cmdVars = vars
+          if (sel.include.isEmpty)
+            CommandResult(command, success = false, Nil, Map.empty,
+              Some("show requires --select"))
+          else {
+            val names = topoOrder(select(sel))
+            val counts = names.map { n =>
+              val preview = buildDf(byName(n)).limit(limit).toJSON
+                .collect()
+              preview.foreach(row =>
+                logger.log(LogLevel.INFO, s"show $n: $row"))
+              n -> preview.length.toLong
+            }.toMap
+            CommandResult(command, success = true, names, counts, None)
           }
         // `compact [--select|--exclude specs...]` — the scheduled
         // OPTIMIZE pass: rewrite each selected warehouse table's live

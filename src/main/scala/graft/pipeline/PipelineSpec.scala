@@ -251,6 +251,24 @@ object Model {
       sqlText = Some(sqlText))
   }
 
+  /** Render a SQL-text model to its COMPILED form — what `dbt compile`
+    * emits to `target/compiled` and what the reference's dbt
+    * invocation submits to Spark (`dbtoperator.py:342-360`): vars
+    * substituted, the `is_incremental()` guard resolved against the
+    * invocation's state, and `{{ ref }}` / `{{ source }}` /
+    * `{{ this }}` rendered to their RELATION names (dbt renders
+    * database.schema.identifier; this engine's relation identity is
+    * the resource name itself).
+    */
+  def compileText(model: Model, vars: Map[String, String],
+      isIncremental: Boolean): String = {
+    val raw = model.sqlText.getOrElse(sys.error(
+      s"model ${model.name} is not a SQL-text model — nothing to compile"))
+    val t = renderIncremental(model.name,
+      renderVars(model.name, raw, vars), isIncremental)
+    thisRe.replaceAllIn(refRe.replaceAllIn(t, m => m.group(1)), model.name)
+  }
+
   /** The distinct `{{ ref }}` / `{{ source }}` names in a SQL text
     * (declaration order) — the DAG edges the text declares.
     */

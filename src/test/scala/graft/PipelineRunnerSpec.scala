@@ -1499,6 +1499,66 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(!res.success && res.error.get.contains("{%"))
   }
 
+  test("compile renders SQL-text models to target/compiled") {
+    val w = wh()
+    val srcDir = wh() + "/src"
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "ts")
+      .write.mode("overwrite").parquet(srcDir)
+    val spec = PipelineSpec(
+      models = Seq(
+        Model.sql("cp_inc",
+          """SELECT id, ts FROM {{ source('cp_src') }}
+            |WHERE ts > {{ var('floor', 0) }}
+            |{% if is_incremental() %}
+            |AND ts > (SELECT max(ts) FROM {{ this }}){% endif %}"""
+            .stripMargin,
+          Materialization.IncrementalAppend("ts")),
+        Model("cp_lambda", Nil, Materialization.Table, // no text: skipped
+          (sp, _) => { import sp.implicits._; Seq(1).toDF("x") })),
+      sources = Map("cp_src" -> srcDir))
+    val r = new PipelineRunner(spark, spec, w)
+    // before any run: target table absent → guard renders FALSE
+    val res = r.runCommand("""compile --vars '{"floor": 5}'""")
+    assert(res.success && res.modelsRun == Seq("cp_inc"))
+    val compiled = java.nio.file.Paths.get(w, "target", "compiled")
+    val txt1 = java.nio.file.Files.readString(compiled.resolve("cp_inc.sql"))
+    assert(txt1 ==
+      """SELECT id, ts FROM cp_src
+        |WHERE ts > 5
+        |""".stripMargin)
+    // after a run the target exists → guard renders TRUE, {{ this }}
+    // compiles to the model's own relation name
+    assert(r.runCommand("run -s cp_inc").success)
+    assert(r.runCommand("""compile -s cp_inc --vars '{"floor": 5}'""").success)
+    val txt2 = java.nio.file.Files.readString(compiled.resolve("cp_inc.sql"))
+    assert(txt2.contains("AND ts > (SELECT max(ts) FROM cp_inc)"))
+    // --full-refresh flips it back
+    assert(r.runCommand(
+      """compile -s cp_inc --vars '{"floor": 5}' --full-refresh""").success)
+    assert(!java.nio.file.Files.readString(compiled.resolve("cp_inc.sql"))
+      .contains("{% if"))
+  }
+
+  test("show previews a model's rows without materializing") {
+    val srcDir = wh() + "/src"
+    (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.mode("overwrite").parquet(srcDir)
+    val spec = PipelineSpec(
+      models = Seq(Model.sql("sh_m",
+        "SELECT id, v FROM {{ source('sh_src') }} ORDER BY id",
+        Materialization.Table)),
+      sources = Map("sh_src" -> srcDir))
+    val logger = new PipelineLogger(LogLevel.INFO)
+    val r = new PipelineRunner(spark, spec, wh(), logger)
+    val res = r.runCommand("show --select sh_m --limit 3")
+    assert(res.success && res.rowCounts == Map("sh_m" -> 3L))
+    assert(!r.tableExists("sh_m"), "show must not materialize")
+    assert(logger.lines.count(_._2.startsWith("show sh_m:")) == 3)
+    // default limit is 5; missing --select is a loud error
+    assert(r.runCommand("show -s sh_m").rowCounts("sh_m") == 5L)
+    assert(!r.runCommand("show").success)
+  }
+
   test("--vars: quoted strings may be empty, regexes, or brace-leading") {
     val spec = PipelineSpec(models = Seq(Model.sql("vq_m",
       """SELECT '{{ var("pat") }}' AS pat, '{{ var("empty") }}' AS e,

@@ -126,10 +126,16 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * afterwards. Atom forms: `m` (exact), `m+`/`+m`/`+m+` (graph
     * closures), `tag:t` (tagged resources — composes with graph ops,
     * e.g. `+tag:nightly`), `@m` (m, its descendants, and ALL ancestors
-    * of those descendants — dbt's build-everything-needed operator).
+    * of those descendants — dbt's build-everything-needed operator),
+    * `result:<status>` (nodes whose last recorded run_results status
+    * matches — `error`/`fail` alias our `failed`), `state:modified` /
+    * `state:new` (checksum diff vs the manifest.json in the command's
+    * `--state <dir>`, dbt's CI slim-run grammar — `modified` includes
+    * new nodes, like dbt's).
     */
   private[pipeline] final case class Selection(
-      include: Seq[String], exclude: Seq[String])
+      include: Seq[String], exclude: Seq[String],
+      state: Option[String] = None)
 
   private def closure(seed: Set[String],
       step: Set[String] => Set[String]): Set[String] = {
@@ -160,7 +166,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     */
   private def evalAtom(deps: Map[String, Seq[String]],
       tags: Map[String, Set[String]], atom: String,
-      lenient: Boolean): Set[String] = {
+      lenient: Boolean, state: Option[String]): Set[String] = {
     val plusPre = atom.startsWith("+")
     val plusPost = atom.endsWith("+")
     val core0 = atom.stripPrefix("+").stripSuffix("+")
@@ -170,6 +176,27 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       if (core.startsWith("tag:")) {
         val t = core.stripPrefix("tag:")
         deps.keySet.filter(n => tags.getOrElse(n, Set.empty).contains(t))
+      } else if (core.startsWith("result:")) {
+        // nodes whose status in the LAST recorded node-executing
+        // command matches; graph ops compose (`result:error+` = the
+        // failures and everything downstream). Tests recorded in the
+        // artifact are not graph nodes and don't join the closure.
+        val want = core.stripPrefix("result:") match {
+          case "error" | "fail" => "failed"
+          case s                => s
+        }
+        val rows = loadRunResults().getOrElse(sys.error(
+          s"selector $core: no run_results.json artifact in warehouse"))._2
+        rows.collect { case (_, n, st) if st == want => n }
+          .toSet.filter(deps.contains)
+      } else if (core == "state:modified" || core == "state:new") {
+        val dir = state.getOrElse(sys.error(
+          s"selector $core requires --state <dir> with a prior manifest.json"))
+        val old = loadManifestChecksums(Paths.get(dir))
+        deps.keySet.filter { n =>
+          if (core == "state:new") !old.contains(n)
+          else !old.get(n).contains(checksumOf(n))
+        }
       } else if (deps.contains(core)) Set(core)
       else if (lenient) return Set(core)
       else sys.error(s"unknown resource: $core")
@@ -190,7 +217,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     def union(specs: Seq[String]): Set[String] =
       specs.flatMap { s =>
         s.split(',').filter(_.nonEmpty)
-          .map(evalAtom(deps, tags, _, lenient))
+          .map(evalAtom(deps, tags, _, lenient, sel.state))
           .reduceOption(_ intersect _).getOrElse(Set.empty)
       }.toSet
     val included =
@@ -1051,6 +1078,62 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     }
   }
 
+  /** A resource's content checksum — what `state:modified` diffs.
+    * Covers everything the spec DECLARES: kind, deps, tags,
+    * materialization config, the SQL text for SQL-text models, seed
+    * lines + schema, snapshot key/compare columns. A lambda model's
+    * Scala body is not observable (dbt checksums the model FILE; a
+    * closure has none) — its checksum tracks the declared shape only.
+    */
+  private def checksumOf(name: String): String = {
+    val parts: Seq[String] = resourceKind(name) match {
+      case "model" =>
+        val m = byName(name)
+        Seq("model", m.name, m.deps.mkString(","), m.tags.mkString(","),
+          m.materialization.toString) ++ m.sqlText.toSeq
+      case "seed" =>
+        val sd = spec.seeds.find(_.name == name).get
+        Seq("seed", sd.name, sd.tags.mkString(","),
+          sd.schema.json) ++ sd.csvLines
+      case "snapshot" =>
+        val sn = spec.snapshots.find(_.name == name).get
+        Seq("snapshot", sn.name, sn.source, sn.keyCols.mkString(","),
+          sn.compareCols.mkString(","), sn.tags.mkString(","))
+      case other => Seq(other, name)
+    }
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(parts.mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Write dbt's OTHER first-class artifact, `manifest.json`: every
+    * resource node with kind, deps, and config checksum — the input
+    * `state:modified --state <dir>` diffs against and what external
+    * orchestrators read for the DAG. Written on every recognized
+    * command (a parse artifact, like dbt's), independent of selection
+    * or outcome.
+    */
+  private def writeManifest(): Unit = {
+    val deps = resourceDeps
+    val nodes = deps.keys.toSeq.sorted.map { n =>
+      s"""{"name":${jq(n)},"kind":${jq(resourceKind(n))},""" +
+        s""""deps":[${deps(n).sorted.map(jq).mkString(",")}],""" +
+        s""""checksum":${jq(checksumOf(n))}}"""
+    }
+    Files.writeString(Paths.get(warehouse).resolve("manifest.json"),
+      s"""{"nodes":[${nodes.mkString(",")}]}""")
+  }
+
+  /** name → checksum from a `--state` dir's manifest.json. */
+  private def loadManifestChecksums(dir: Path): Map[String, String] = {
+    val p = dir.resolve("manifest.json")
+    require(Files.exists(p), s"--state: no manifest.json under $dir")
+    val itemRe =
+      """"name":"((?:[^"\\]|\\.)*)"[^}]*?"checksum":"([a-f0-9]+)"""".r
+    itemRe.findAllMatchIn(Files.readString(p))
+      .map(m => junq(m.group(1)) -> m.group(2)).toMap
+  }
+
   /** Resolve a model's inputs: sources (temp views already registered)
     * + upstream models (ephemeral inlined, others read back) + seed /
     * snapshot tables (dbt's ref() also targets those).
@@ -1475,20 +1558,24 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   /** Shared select/exclude argv parsing: `--select` / `-s` and
     * `--exclude` each consume EVERY following non-flag token (dbt's
     * space-separated union), may repeat, and compose with the
-    * command-specific flags handled by `other`. Returns None on an
-    * unrecognized flag so runCommand reports "unknown command".
+    * command-specific flags handled by `other`; `--state <dir>` feeds
+    * the `state:` selector methods. Returns None on an unrecognized
+    * flag so runCommand reports "unknown command".
     */
   private def parseSelFlags(flags: Seq[String])(
       other: PartialFunction[List[String], List[String]])
       : Option[Selection] = {
     val inc = mutable.Buffer.empty[String]
     val exc = mutable.Buffer.empty[String]
+    var state: Option[String] = None
     var rest = flags.toList
     while (rest.nonEmpty) rest match {
       case ("--select" | "-s") :: t =>
         val (vals, t2) = t.span(!_.startsWith("-"))
         if (vals.isEmpty) return None
         inc ++= vals; rest = t2
+      case "--state" :: v :: t if !v.startsWith("-") =>
+        state = Some(v); rest = t
       case "--exclude" :: t =>
         val (vals, t2) = t.span(!_.startsWith("-"))
         if (vals.isEmpty) return None
@@ -1496,7 +1583,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       case r if other.isDefinedAt(r) => rest = other(r)
       case _ => return None
     }
-    Some(Selection(inc.toSeq, exc.toSeq))
+    Some(Selection(inc.toSeq, exc.toSeq, state))
   }
 
   /** `run` flags: select/exclude plus `--threads <n>`,
@@ -1796,6 +1883,10 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       // envelope, mirroring the reference's init envelope
       // (`dbtoperator.py:168-174`)
       initialize()
+      // manifest.json is a parse artifact: refresh it on every
+      // command so `--state` consumers always diff against the
+      // project as last seen, not only after a run
+      writeManifest()
       parts match {
         // connectivity / environment check (the reference's default
         // command list is [['debug']], `dbtoperator.py:46`)

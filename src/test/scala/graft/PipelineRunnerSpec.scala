@@ -1499,6 +1499,86 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(!res.success && res.error.get.contains("{%"))
   }
 
+  test("state:modified selects exactly the edited model and its descendants") {
+    val w = wh()
+    val stateDir = wh()
+    def spec(bSql: String) = PipelineSpec(models = Seq(
+      Model.sql("st_a", "SELECT 1 AS x", Materialization.Table),
+      Model.sql("st_b", bSql, Materialization.Table),
+      Model.sql("st_c", "SELECT y FROM {{ ref('st_b') }}",
+        Materialization.Table),
+      Model.sql("st_d", "SELECT x FROM {{ ref('st_a') }}",
+        Materialization.Table)))
+    val r1 = new PipelineRunner(spark, spec("SELECT 2 AS y"), w)
+    assert(r1.runCommand("run").success)
+    // freeze the manifest as the CI state artifact
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(w, "manifest.json"),
+      java.nio.file.Paths.get(stateDir, "manifest.json"))
+    // edit st_b only; slim run rebuilds st_b and its descendant st_c
+    val r2 = new PipelineRunner(spark, spec("SELECT 3 AS y"), w)
+    val res = r2.runCommand(s"run -s state:modified+ --state $stateDir")
+    assert(res.success, res.error.mkString)
+    assert(res.modelsRun.sorted == Seq("st_b", "st_c"))
+    assert(r2.generations("st_a").size == 1 &&
+      r2.generations("st_d").size == 1, "unmodified subgraph untouched")
+    assert(r2.generations("st_b").size == 2 &&
+      r2.generations("st_c").size == 2)
+    assert(r2.readTable("st_c").head().getInt(0) == 3)
+    // no edits → empty selection; state:new sees only added nodes
+    val r3 = new PipelineRunner(spark, spec("SELECT 3 AS y"), w)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(w, "manifest.json"),
+      java.nio.file.Paths.get(stateDir, "manifest.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(r3.runCommand(s"run -s state:modified --state $stateDir")
+      .modelsRun.isEmpty)
+    // state: without --state fails loudly
+    assert(!r3.runCommand("run -s state:modified").success)
+  }
+
+  test("result:error+ selects the failures and their descendants") {
+    var poison = true
+    val spec = PipelineSpec(models = Seq(
+      Model("re_a", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._
+          if (poison) sys.error("boom"); Seq(1).toDF("x") }),
+      Model("re_b", Seq("re_a"), Materialization.Table,
+        (_, in) => in("re_a")),
+      Model("re_c", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._; Seq(9).toDF("z") })))
+    val r = new PipelineRunner(spark, spec, wh())
+    assert(!r.runCommand("run").success) // re_a error, re_b skipped, re_c ok
+    poison = false
+    val res = r.runCommand("run -s result:error+")
+    assert(res.success, res.error.mkString)
+    assert(res.modelsRun.sorted == Seq("re_a", "re_b"),
+      "failures + descendants only; re_c untouched")
+    // result:skipped composes with the same artifact... which was
+    // just overwritten by the successful slim run — now empty
+    assert(r.runCommand("run -s result:failed").modelsRun.isEmpty)
+  }
+
+  test("manifest.json records nodes, kinds, deps, and checksums") {
+    import org.apache.spark.sql.types._
+    val w = wh()
+    val spec = PipelineSpec(
+      models = Seq(Model.sql("mf_m", "SELECT 1 AS x",
+        Materialization.Table)),
+      seeds = Seq(Seed("mf_seed", Seq("id", "1"),
+        StructType(Seq(StructField("id", LongType))))),
+      snapshots = Seq(SnapshotDef("mf_snap", "mf_m", Seq("x"), Seq("x"))))
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.runCommand("ls").success)
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(w, "manifest.json"))
+    assert(txt.contains(""""name":"mf_m","kind":"model""""))
+    assert(txt.contains(""""name":"mf_seed","kind":"seed""""))
+    assert(txt.contains(""""name":"mf_snap","kind":"snapshot""""))
+    assert(txt.contains(""""deps":["mf_m"]"""))
+    assert("\"checksum\":\"[a-f0-9]{64}\"".r.findAllIn(txt).size == 3)
+  }
+
   test("compile renders SQL-text models to target/compiled") {
     val w = wh()
     val srcDir = wh() + "/src"

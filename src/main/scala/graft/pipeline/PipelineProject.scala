@@ -34,11 +34,16 @@ import org.apache.spark.sql.types.StructType
   *   {{ config(materialized='incremental', strategy='merge',
   *             unique_key='c1,c2'[, buckets='32'][, partition_by='c3']) }}
   * }}}
-  * No header → `view` (dbt's default materialization).
+  * Any form may add `pre_hook='sql'` / `post_hook='sql'` (`;;` joins
+  * multiple statements — dbt's list form). No header → `view` (dbt's
+  * default materialization).
   */
 object PipelineProject {
 
-  private val configRe = """\{\{\s*config\(([^)]*)\)\s*\}\}""".r
+  // lazy up to the first `) }}` so quoted values may contain parens
+  // (hook SQL like count(*)); a value containing the literal sequence
+  // `) }}` is out of grammar
+  private val configRe = """(?s)\{\{\s*config\((.*?)\)\s*\}\}""".r
   private val kvRe = """(\w+)\s*=\s*'([^']*)'""".r
 
   private def listFiles(p: Path): Seq[Path] = {
@@ -101,7 +106,15 @@ object PipelineProject {
           val text = Files.readString(p)
           val header = configRe.findFirstMatchIn(text).map(_.group(1))
           val body = configRe.replaceAllIn(text, "").trim
-          Model.sql(name, body, parseMat(header, name))
+          // dbt hook configs: pre_hook='sql'/post_hook='sql' (no
+          // embedded single quotes in this conf grammar; `;;` joins
+          // multiple statements, dbt's list form)
+          val kv = header.map(a => kvRe.findAllMatchIn(a)
+            .map(m => m.group(1) -> m.group(2)).toMap).getOrElse(Map.empty)
+          def hooks(k: String): Seq[String] = kv.get(k).toSeq
+            .flatMap(_.split(";;")).map(_.trim).filter(_.nonEmpty)
+          Model.sql(name, body, parseMat(header, name),
+            preHooks = hooks("pre_hook"), postHooks = hooks("post_hook"))
         }
 
     val seedsDir = root.resolve("seeds")

@@ -1090,7 +1090,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       case "model" =>
         val m = byName(name)
         Seq("model", m.name, m.deps.mkString(","), m.tags.mkString(","),
-          m.materialization.toString) ++ m.sqlText.toSeq
+          m.materialization.toString) ++ m.sqlText.toSeq ++
+          m.preHooks ++ m.postHooks
       case "seed" =>
         val sd = spec.seeds.find(_.name == name).get
         Seq("seed", sd.name, sd.tags.mkString(","),
@@ -1154,6 +1155,96 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
 
   private def runEphemeral(m: Model): DataFrame = buildDf(m)
 
+  /** `INSERT INTO <table> <query>` — the hook shape dbt projects use
+    * for audit rows / grants bookkeeping. The query part may itself
+    * carry refs.
+    */
+  private val insertRe =
+    """(?is)\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+(\S[\s\S]*)""".r
+
+  /** Append rows to a warehouse table (created on first use) under
+    * the atomic manifest protocol — the hook-INSERT primitive. Schema
+    * evolves append-only like the streaming sink's.
+    */
+  private def appendRows(name: String, df: DataFrame): Long =
+    lockFor(name).synchronized { tracked {
+      val schema = currentSchema(name)
+        .map(st => evolveSchema(name, st, df.schema))
+        .getOrElse(df.schema)
+      val rel = writeBatch(name, p => df.write.mode("overwrite").parquet(p))
+      publishManifest(name, currentManifest(name).getOrElse(Nil) :+ rel,
+        schema)
+      writtenCount(name, rel, df.schema)
+    } }
+
+  /** Execute one hook statement (dbt pre-hook / post-hook /
+    * on-run-start / on-run-end): render `{{ var }}`; `{{ this }}`
+    * becomes a ref to the owning model (model hooks only); refs
+    * resolve like model inputs. An `INSERT INTO t <query>` appends
+    * the query's rows to warehouse table `t`; any other statement
+    * runs through `spark.sql` for its effect. Exceptions propagate —
+    * the hook's enclosing scope (model or command) owns the failure.
+    */
+  private def runHook(scope: String, hookSql: String,
+      thisName: Option[String]): Unit = {
+    var text = Model.renderVars(s"hook in $scope", hookSql, cmdVars)
+    if (Model.thisRe.findFirstIn(text).isDefined) {
+      val n = thisName.getOrElse(sys.error(
+        s"hook in $scope: {{ this }} is only available on model hooks"))
+      text = Model.thisRe.replaceAllIn(text, s"{{ ref('$n') }}")
+    }
+    def resolve(r: String): DataFrame =
+      byName.get(r) match {
+        case Some(d) if d.materialization == Materialization.View =>
+          spark.table(r)
+        case Some(d) if d.materialization == Materialization.Ephemeral =>
+          ephemeralCache.getOrElseUpdate(r, runEphemeral(d))
+        case _ =>
+          if (tableExists(r)) readTable(r) else spark.table(r)
+      }
+    text match {
+      case insertRe(target, query) =>
+        val ins = Model.parseRefs(query).map(r => r -> resolve(r)).toMap
+        val df = Model.runSqlText(s"hook_$scope", query, spark, ins)
+        appendRows(target, df)
+        ()
+      case other =>
+        val ins = Model.parseRefs(other).map(r => r -> resolve(r)).toMap
+        // Spark executes commands (SET, CREATE VIEW, …) eagerly;
+        // force queries so a SELECT-shaped assertion hook actually
+        // evaluates
+        Model.runSqlText(s"hook_$scope", other, spark, ins).collect()
+        ()
+    }
+  }
+
+  /** Wrap a run/build body in the project-level hooks: on-run-start
+    * before any node (a failure aborts the command), on-run-end after
+    * ALL nodes including failures (its own failure marks the command
+    * failed after the fact) — dbt semantics.
+    */
+  private def withRunHooks(command: String)(body: => CommandResult)
+      : CommandResult = {
+    try spec.onRunStart.foreach(h => runHook("on_run_start", h, None))
+    catch {
+      case e: Exception =>
+        logger.log(LogLevel.ERROR,
+          s"on-run-start hook failed: ${e.getMessage}")
+        return CommandResult(command, success = false, Nil, Map.empty,
+          Some(s"on-run-start hook failed: ${e.getMessage}"))
+    }
+    val res = body
+    try { spec.onRunEnd.foreach(h => runHook("on_run_end", h, None)); res }
+    catch {
+      case e: Exception =>
+        logger.log(LogLevel.ERROR,
+          s"on-run-end hook failed: ${e.getMessage}")
+        res.copy(success = false,
+          error = Some((res.error.toSeq :+
+            s"on-run-end hook failed: ${e.getMessage}").mkString("; ")))
+    }
+  }
+
   /** Materialize one model; returns rows written (−1 for views).
     *
     * `fullRefresh` (dbt `run --full-refresh`) rebuilds incremental /
@@ -1165,8 +1256,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     */
   def runModel(name: String, fullRefresh: Boolean = false): Long = tracked {
     val m = byName(name)
+    m.preHooks.foreach(h => runHook(name, h, Some(name)))
     val df = buildDf(m, fullRefresh)
-    m.materialization match {
+    val rows = m.materialization match {
       case Materialization.View =>
         df.createOrReplaceTempView(name); -1L
 
@@ -1277,6 +1369,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       case Materialization.IncrementalMerge(keys, buckets, userParts, osc) =>
         mergeInto(name, df, keys, buckets, userParts, fullRefresh, osc = osc)
     }
+    m.postHooks.foreach(h => runHook(name, h, Some(name)))
+    rows
   }
 
   /** The merge write path (shared by the `IncrementalMerge`
@@ -1665,7 +1759,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     */
   private def runModelsCommand(command: String, recordAs: String,
       names: Seq[String], threads: Int,
-      fullRefresh: Boolean): CommandResult = {
+      fullRefresh: Boolean): CommandResult = withRunHooks(command) {
     val outcomes = runModels(names, threads, fullRefresh)
     recordRunResults(recordAs, outcomes.map { case (n, st) =>
       ("model", n, st)
@@ -1780,7 +1874,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     */
   private def runBuild(command: String, recordAs: String, sel: Selection,
       fullRefresh: Boolean, at: Option[String],
-      only: Option[Set[String]] = None): CommandResult = {
+      only: Option[Set[String]] = None): CommandResult = withRunHooks(command) {
     val deps = resourceDeps
     val order = topoOrderIn(deps, selectIn(deps, sel))
     val failed = mutable.Set.empty[String]     // gating: res + test owners

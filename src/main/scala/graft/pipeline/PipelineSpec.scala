@@ -137,7 +137,19 @@ final case class Model(
       * what `compile` renders and what the state:modified checksum
       * hashes (dbt checksums the model file).
       */
-    sqlText: Option[String] = None)
+    sqlText: Option[String] = None,
+    /** dbt `pre-hook` / `post-hook` config: SQL statements run
+      * before / after the model materializes, INSIDE its fail-fast
+      * scope (a failing hook fails the model and skips its
+      * descendants — the reference's stop-on-failure contract,
+      * `dbtoperator.py:431-434`). Hook text renders `{{ var }}`,
+      * `{{ ref/source }}` and `{{ this }}` (the model's own
+      * relation); `INSERT INTO <table> <query>` appends the query's
+      * rows to a warehouse table — the audit-row pattern hooks are
+      * usually for.
+      */
+    preHooks: Seq[String] = Nil,
+    postHooks: Seq[String] = Nil)
 
 object Model {
   private val refRe =
@@ -218,7 +230,9 @@ object Model {
     */
   def sql(name: String, sqlText: String,
           materialization: Materialization,
-          tags: Seq[String] = Nil): Model = {
+          tags: Seq[String] = Nil,
+          preHooks: Seq[String] = Nil,
+          postHooks: Seq[String] = Nil): Model = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"model name must be a SQL identifier: $name")
     val deps = parseRefs(sqlText)
@@ -248,7 +262,9 @@ object Model {
       buildV = Some((spark, inputs, vars) =>
         run(spark, inputs, BuildCtx(vars = vars))),
       buildC = Some(run),
-      sqlText = Some(sqlText))
+      sqlText = Some(sqlText),
+      preHooks = preHooks,
+      postHooks = postHooks)
   }
 
   /** Render a SQL-text model to its COMPILED form — what `dbt compile`
@@ -446,4 +462,13 @@ final case class PipelineSpec(
     sources: Map[String, String] = Map.empty,
     seeds: Seq[Seed] = Nil,
     snapshots: Seq[SnapshotDef] = Nil,
-    freshness: Seq[FreshnessDef] = Nil)
+    freshness: Seq[FreshnessDef] = Nil,
+    /** dbt `on-run-start` / `on-run-end` project hooks: run before the
+      * first node / after the last node of every `run` and `build`
+      * (on-run-end runs even when nodes failed, like dbt's). A failing
+      * on-run-start fails the command before any node executes; a
+      * failing on-run-end marks the command failed after the fact.
+      * Same SQL surface as model hooks, minus `{{ this }}`.
+      */
+    onRunStart: Seq[String] = Nil,
+    onRunEnd: Seq[String] = Nil)

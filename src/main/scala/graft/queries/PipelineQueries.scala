@@ -384,6 +384,29 @@ object PipelineOps extends QueryGroup {
       r2.readTable("sip_orders").orderBy("o_orderkey")
     }),
 
+    // ---- model hooks (dbt pre-hook/post-hook) -----------------------------
+    // A post-hook writes the audit row dbt hooks are usually for:
+    // after hk_agg materializes, `INSERT INTO hk_audit SELECT ... FROM
+    // {{ this }}` appends (model, rows) into a warehouse audit table.
+    // The key returns the AUDIT table — proving the hook ran inside
+    // the model's scope, rendered {{ this }}, and appended through the
+    // atomic manifest protocol.
+    "run_hooks_audit" -> ((s, d) => {
+      val spec = PipelineSpec(
+        models = Seq(Model.sql("hk_agg",
+          """SELECT o_orderstatus, count(*) AS n
+            |FROM {{ source('orders') }} GROUP BY o_orderstatus""".stripMargin,
+          Materialization.Table,
+          postHooks = Seq(
+            """INSERT INTO hk_audit
+              |SELECT 'hk_agg' AS model_name, count(*) AS n_rows
+              |FROM {{ this }}""".stripMargin))),
+        sources = Map("orders" -> s"$d/orders.parquet"))
+      val r = new PipelineRunner(s, spec, freshWh("run_hooks_audit"))
+      mustSucceed(r.run(Seq("run")))
+      r.readTable("hk_audit").orderBy("model_name")
+    }),
+
     // ---- project-from-artifact (the reference's zip deploy path) ----------
     // A full project (sources.conf + SQL-text models with config
     // headers + a CSV seed with declared schema) is written, packed
@@ -543,6 +566,11 @@ object PipelineOps extends QueryGroup {
         |FROM orders
         |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "run_hooks_audit" ->
+      """SELECT 'hk_agg' AS model_name,
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_rows
+        |FROM orders ORDER BY model_name""".stripMargin,
 
     "run_project_artifact" ->
       """SELECT CASE o_orderstatus WHEN 'O' THEN 'open'

@@ -1499,6 +1499,83 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(!res.success && res.error.get.contains("{%"))
   }
 
+  test("post-hook INSERT writes audit rows; failing hook skips descendants") {
+    val w = wh()
+    val spec = PipelineSpec(models = Seq(
+      Model.sql("hk_m", "SELECT 1 AS x UNION ALL SELECT 2",
+        Materialization.Table,
+        postHooks = Seq(
+          "INSERT INTO hk_log SELECT 'hk_m' AS m, count(*) AS n FROM {{ this }}")),
+      Model.sql("hk_down", "SELECT x FROM {{ ref('hk_m') }}",
+        Materialization.Table)))
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.runCommand("run").success)
+    assert(r.readTable("hk_log").as[(String, Long)].collect().toSeq ==
+      Seq(("hk_m", 2L)))
+    // second run appends a second audit row
+    assert(r.runCommand("run").success)
+    assert(r.readTable("hk_log").count() == 2)
+
+    // a failing PRE-hook fails the model before it writes, and skips
+    // its descendants
+    val bad = PipelineSpec(models = Seq(
+      Model.sql("hf_m", "SELECT 1 AS x", Materialization.Table,
+        preHooks = Seq("SELECT assert_true(false)")),
+      Model.sql("hf_down", "SELECT x FROM {{ ref('hf_m') }}",
+        Materialization.Table)))
+    val r2 = new PipelineRunner(spark, bad, wh())
+    val res = r2.runCommand("run")
+    assert(!res.success && res.error.get.contains("hf_m"))
+    assert(res.error.get.contains("skipped: hf_down"))
+    assert(!r2.tableExists("hf_m"))
+  }
+
+  test("on-run-start/on-run-end bracket run and build commands") {
+    val w = wh()
+    val spec = PipelineSpec(
+      models = Seq(Model.sql("orh_m", "SELECT 1 AS x",
+        Materialization.Table)),
+      onRunStart = Seq("INSERT INTO orh_log SELECT 'start' AS ev"),
+      onRunEnd = Seq("INSERT INTO orh_log SELECT 'end' AS ev"))
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.runCommand("run").success)
+    assert(r.readTable("orh_log").as[String].collect().sorted.toSeq ==
+      Seq("end", "start"))
+    assert(r.runCommand("build").success)
+    assert(r.readTable("orh_log").count() == 4)
+    // a failing on-run-start aborts before any node executes
+    val badStart = spec.copy(
+      models = Seq(Model.sql("orh_n", "SELECT 2 AS x",
+        Materialization.Table)),
+      onRunStart = Seq("SELECT assert_true(false)"))
+    val r2 = new PipelineRunner(spark, badStart, wh())
+    val res = r2.runCommand("run")
+    assert(!res.success && res.error.get.contains("on-run-start"))
+    assert(!r2.tableExists("orh_n"))
+    // on-run-end runs even when a model failed, and its own failure
+    // marks the command failed
+    val badEnd = PipelineSpec(
+      models = Seq(Model.sql("orh_p", "SELECT 3 AS x",
+        Materialization.Table)),
+      onRunEnd = Seq("SELECT assert_true(false)"))
+    val r3 = new PipelineRunner(spark, badEnd, wh())
+    val res3 = r3.runCommand("run")
+    assert(!res3.success && res3.error.get.contains("on-run-end"))
+    assert(r3.tableExists("orh_p"), "models still ran before on-run-end")
+  }
+
+  test("project files carry pre_hook/post_hook config") {
+    val proj = java.nio.file.Paths.get(wh() + "/proj")
+    java.nio.file.Files.createDirectories(proj.resolve("models"))
+    java.nio.file.Files.writeString(proj.resolve("models/ph_m.sql"),
+      """{{ config(materialized='table', post_hook='INSERT INTO ph_audit SELECT count(*) AS n FROM {{ this }}') }}
+        |SELECT 1 AS id UNION ALL SELECT 2 UNION ALL SELECT 3""".stripMargin)
+    val spec = PipelineProject.load(proj.toString)
+    val r = new PipelineRunner(spark, spec, wh())
+    assert(r.runCommand("run").success)
+    assert(r.readTable("ph_audit").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("state:modified selects exactly the edited model and its descendants") {
     val w = wh()
     val stateDir = wh()

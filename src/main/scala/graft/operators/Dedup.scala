@@ -79,6 +79,59 @@ object Dedup {
       .groupBy("id").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Seed or extend the persisted benchmark gram table that
+    * `decontaminateIncremental` checks new corpus batches against.
+    * Stores one row per DISTINCT xxhash64 gram fingerprint (`gh`);
+    * re-registering an overlapping benchmark batch appends only the
+    * grams not already present (anti-join), so the table stays a set.
+    * The append is exactly-once per `batchId` via the storage layer.
+    * Returns the rows appended.
+    *
+    * Benchmark sets are eval-sized, so this table is small by nature —
+    * it broadcasts at check time and the anti-join here is cheap.
+    */
+  def decontaminateIndex(runner: graft.pipeline.PipelineRunner,
+                         table: String, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int, batchId: Long): Long = {
+    val grams = bench
+      .select(explode(wordNgrams(col(textCol), n)).as("gram"))
+      .select(xxhash64(col("gram")).as("gh")).distinct()
+    val fresh =
+      if (!runner.tableExists(table)) grams
+      else grams.join(runner.readTable(table), Seq("gh"), "left_anti")
+    runner.appendBatch(table, fresh, batchId)
+  }
+
+  /** Incremental benchmark decontamination: check a NEW training batch
+    * against the persisted benchmark gram table (seeded by
+    * `decontaminateIndex`) without recomputing benchmark grams.
+    * Same contract as `decontaminate` — one (id, n_shared) row per
+    * contaminated doc in THIS batch.
+    *
+    * Equivalence (oracle-checked via `llm_decontaminate_incremental`
+    * and property-tested in DedupSpec): contamination is per-doc, so
+    * union(incremental over batches) ≡ one-shot over the union —
+    * for any batch split of the corpus AND any batch split of the
+    * benchmark, since the gram table accumulates a set.
+    *
+    * 100 TB shape: per batch, a map-only explode of the NEW docs, a
+    * broadcast semi-filter against the (small, persisted) gram set,
+    * then distinct+count over surviving grams only. The corpus is
+    * never rescanned and never shuffled by raw text.
+    */
+  def decontaminateIncremental(runner: graft.pipeline.PipelineRunner,
+                               table: String, batch: DataFrame,
+                               idCol: String, textCol: String,
+                               n: Int): DataFrame = {
+    val benchGrams = runner.readTable(table).select("gh")
+    batch.select(col(idCol).as("id"),
+        explode(wordNgrams(col(textCol), n)).as("gram"))
+      .select(col("id"), xxhash64(col("gram")).as("gh"))
+      .join(broadcast(benchGrams), "gh") // map-only contamination filter
+      .distinct()                        // tiny: contaminated grams only
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+  }
+
   /** MinHash signatures: k seeded permutations over `shingleLen`-char
     * sliding windows, computed by the native single-pass
     * `graft_minhash_sig` expression (graft.functions) — a map-only

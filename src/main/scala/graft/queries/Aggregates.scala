@@ -15,6 +15,37 @@ import org.apache.spark.sql.types._
   */
 object Aggregates extends QueryGroup {
 
+  /** THE entry point for (grouped) percentiles — callers choose the
+    * tier explicitly.
+    *
+    * - `exact = false` (DEFAULT, the 100 TB path): `percentile_approx`
+    *   — a mergeable KLL-style sketch with map-side partials; one
+    *   ordinary agg shuffle, no per-group sort, error shrinks with
+    *   `accuracy`. ApproxAndSampleSpec pins the approx-vs-exact
+    *   agreement this wrapper relies on.
+    * - `exact = true` (oracle/small-group only): SQL `percentile` —
+    *   buffers and sorts every group's values; a skewed group at
+    *   100 TB becomes one giant task. This is the tier `agg_stats`
+    *   uses for its hash-compared exact median.
+    *
+    * Returns one row per `by` group (or one global row when `by` is
+    * empty) with an array<double> `percentiles` column aligned with
+    * `ps`.
+    */
+  def percentiles(df: DataFrame, valueCol: String, ps: Seq[Double],
+                  by: Seq[String] = Nil, exact: Boolean = false,
+                  accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      "ps must be fractions in [0, 1]")
+    val arr = ps.mkString(", ")
+    val agg =
+      if (exact) expr(s"percentile($valueCol, array($arr))")
+      else expr(s"approx_percentile($valueCol, array($arr), $accuracy)")
+    val out = agg.cast(ArrayType(DoubleType)).as("percentiles")
+    if (by.isEmpty) df.agg(out)
+    else df.groupBy(by.map(col): _*).agg(out)
+  }
+
   private def dql(c: Column): Column = c.cast(DecimalType(3, 2))
 
   override def queries: Map[String, Q] = Map(
@@ -120,9 +151,10 @@ object Aggregates extends QueryGroup {
     // compare).
     // SCALE WARNING: the exact median sorts each group inside a window
     // — with 3 skewed-by-construction groups that is a giant per-key
-    // sort at 100 TB. This form exists for the oracle only; the scale
-    // path is percentile_approx with documented error bounds
-    // (ApproxAndSampleSpec pins them).
+    // sort at 100 TB. This form exists for the oracle only; callers
+    // wanting percentiles go through `Aggregates.percentiles`
+    // (exact=false default → the percentile_approx sketch tier, with
+    // ApproxAndSampleSpec pinning its error bounds).
     "agg_stats" -> ((s, d) => {
       val base = Tables.lineitem(s, d).select(
         col("l_returnflag").as("rf"),

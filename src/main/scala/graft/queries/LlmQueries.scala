@@ -83,6 +83,34 @@ object LlmOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // Incremental decontamination: the benchmark gram table is seeded
+    // in TWO overlapping-free batches, then the training corpus is
+    // checked in TWO batches against the persisted table — no
+    // benchmark re-gramming, no corpus rescan. Union of batch results
+    // must hash-match the one-shot oracle (same SQL as
+    // llm_decontaminate), proving incremental ≡ one-shot.
+    "llm_decontaminate_incremental" -> ((s, d) => {
+      import graft.pipeline.{PipelineRunner, PipelineSpec}
+      val r = new PipelineRunner(s, PipelineSpec(Nil), freshDir("inc_decon"))
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      val train = docs.filter(col("doc_id") % 20 =!= 0)
+      val split = 250L // both halves non-empty at every fixture SF
+      Dedup.decontaminateIndex(r, "bench_grams",
+        bench.filter(col("doc_id") < split), "doc_id", "text", n = 3,
+        batchId = 0L)
+      Dedup.decontaminateIndex(r, "bench_grams",
+        bench.filter(col("doc_id") >= split), "doc_id", "text", n = 3,
+        batchId = 1L)
+      val c1 = Dedup.decontaminateIncremental(r, "bench_grams",
+        train.filter(col("doc_id") < split), "doc_id", "text", n = 3)
+      val c2 = Dedup.decontaminateIncremental(r, "bench_grams",
+        train.filter(col("doc_id") >= split), "doc_id", "text", n = 3)
+      c1.unionByName(c2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // integer-quantized exact form: cross-engine bit-identical with no
     // round() (the rounded-DECIMAL form flipped a 6th-decimal boundary
     // row at sf0.1)
@@ -403,6 +431,21 @@ object LlmOps extends QueryGroup {
          |ORDER BY doc_a""".stripMargin,
 
     "llm_decontaminate" ->
+      s"""WITH grams AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3 + 2),
+         |      i -> array_to_string(tk[i:i+2], ' '))) AS gram
+         |  FROM (SELECT doc_id, $toks AS tk FROM documents) t
+         |  WHERE len(tk) >= 3),
+         |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+         |train AS (
+         |  SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 20 <> 0)
+         |SELECT t.doc_id, count(*) AS n_shared
+         |FROM train t JOIN bench b USING (gram)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // incremental ≡ one-shot: the batched path must reproduce the
+    // exact one-shot decontamination result
+    "llm_decontaminate_incremental" ->
       s"""WITH grams AS (
          |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3 + 2),
          |      i -> array_to_string(tk[i:i+2], ' '))) AS gram

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryGroup, Tables}
 import graft.Tables.{dec2, asDouble}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -14,6 +15,44 @@ import org.apache.spark.sql.types._
   * result.
   */
 object Windows extends QueryGroup {
+
+  /** THE entry point for global quantile bucketing — callers choose the
+    * tier explicitly instead of discovering the single-task sort the
+    * hard way.
+    *
+    * - `exact = false` (DEFAULT, the 100 TB path): bucket boundaries
+    *   from `approx_percentile` (one pass, mergeable sketch), then a
+    *   map-only broadcast compare — every stage fully parallel.
+    *   Disagreement with the exact form is confined to rows within
+    *   sketch error of a boundary; ApproxAndSampleSpec pins ≥95 %
+    *   row agreement and exact bucket counts within ±accuracy.
+    * - `exact = true` (oracle/small-data only): window `ntile` over a
+    *   global sort — a SINGLE TASK by construction. Never run it on a
+    *   table that does not fit one executor.
+    *
+    * Ties: the approx form assigns equal values to the same bucket
+    * (boundary compare), where exact ntile splits them by row
+    * position — the only systematic divergence between tiers.
+    *
+    * Returns `df` + an integer `bucket` column in [1, n].
+    */
+  def globalNtile(df: DataFrame, valueCol: String, n: Int,
+                  exact: Boolean = false,
+                  accuracy: Int = 10000): DataFrame = {
+    require(n >= 2, "n must be >= 2")
+    if (exact) {
+      df.withColumn("bucket", ntile(n).over(Window.orderBy(col(valueCol))))
+    } else {
+      val ps = (1 until n).map(_.toDouble / n).mkString(", ")
+      val bounds = df.agg(
+        expr(s"approx_percentile($valueCol, array($ps), $accuracy)").as("bs"))
+      df.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          lit(1) + (0 until n - 1).map(i =>
+            when(col(valueCol) > col("bs")(i), 1).otherwise(0)).reduce(_ + _))
+        .drop("bs")
+    }
+  }
 
   override def queries: Map[String, Q] = Map(
     "win_rank" -> ((s, d) => {
@@ -75,9 +114,10 @@ object Windows extends QueryGroup {
 
     // SCALE WARNING: global (un-partitioned) ntile/percent_rank is a
     // single-task sort by construction — inherent to the semantics, do
-    // NOT run on a 100 TB fact table. The scale path is the partitioned
-    // form below (per-key quantiles, fully parallel), or
-    // approx_percentile bucketing for global quantiles.
+    // NOT run on a 100 TB fact table. Callers wanting global quantiles
+    // should go through `Windows.globalNtile` (exact=false default →
+    // the approx_percentile tier); this key is the oracle-checkable
+    // exact form, i.e. globalNtile(…, exact = true) + rank metrics.
     "win_ntile_percent" -> ((s, d) => {
       val total = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
       val byPrice = Window.orderBy(col("o_totalprice"))
@@ -113,25 +153,17 @@ object Windows extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
-    // The drop-in GLOBAL-quantile form for 100 TB: bucket boundaries
-    // come from approx_percentile (one pass, mergeable sketch — no
-    // global sort), then bucketing is a map-only broadcast compare.
-    // Unlike exact global ntile (single-task by construction, above),
-    // every stage here is fully parallel. Disagreement with exact
-    // ntile is confined to rows within sketch error of a boundary —
-    // bound asserted in ApproxAndSampleSpec. No oracle (sketch is
+    // The drop-in GLOBAL-quantile form for 100 TB — the default tier
+    // of `Windows.globalNtile` (see its scaladoc for the full scale
+    // argument and tie semantics). Disagreement with exact ntile is
+    // confined to rows within sketch error of a boundary — bound
+    // asserted in ApproxAndSampleSpec. No oracle (sketch is
     // engine-specific); rows-only check.
-    "win_ntile_approx" -> ((s, d) => {
-      val bounds = Tables.orders(s, d).agg(expr(
-        "approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)")
-        .as("bs"))
-      Tables.orders(s, d).crossJoin(broadcast(bounds))
-        .select(col("o_orderkey"), col("o_totalprice"),
-          (lit(1) + (0 until 3).map(i =>
-            when(col("o_totalprice") > col("bs")(i), 1).otherwise(0))
-            .reduce(_ + _)).as("bucket"))
-        .orderBy("o_orderkey")
-    })
+    "win_ntile_approx" -> ((s, d) =>
+      globalNtile(
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+        "o_totalprice", 4)
+        .orderBy("o_orderkey"))
   )
 
   override def oracles: Map[String, String] = Map(

@@ -61,6 +61,47 @@ class ApproxAndSampleSpec extends AnyFunSuite with SparkTestBase {
       s"approx ntile agreement ${agree.toDouble / total} < 0.95")
   }
 
+  test("globalNtile: default (approx) tier agrees with exact=true tier") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val approx = queries.Windows.globalNtile(orders, "o_totalprice", 4)
+      .withColumnRenamed("bucket", "ab")
+    val exact = queries.Windows
+      .globalNtile(orders, "o_totalprice", 4, exact = true)
+      .withColumnRenamed("bucket", "eb")
+    val joined = approx.select("o_orderkey", "ab")
+      .join(exact.select("o_orderkey", "eb"), "o_orderkey")
+    val total = joined.count()
+    val agree = joined.filter(col("ab") === col("eb")).count()
+    assert(agree.toDouble / total >= 0.95,
+      s"tier agreement ${agree.toDouble / total} < 0.95")
+    // both tiers must produce every bucket in [1, n] and nothing else
+    val buckets = approx.select(col("ab").as("b"))
+      .union(exact.select(col("eb").as("b"))).distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(buckets.sameElements(Array(1, 2, 3, 4)), buckets.mkString(","))
+  }
+
+  test("percentiles: default (approx) tier tracks exact=true per group") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val ps = Seq(0.25, 0.5, 0.75)
+    def byFlag(exact: Boolean) = queries.Aggregates
+      .percentiles(li, "l_quantity", ps, by = Seq("l_returnflag"),
+        exact = exact)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val a = byFlag(exact = false)
+    val e = byFlag(exact = true)
+    assert(a.keySet == e.keySet)
+    for (k <- e.keySet; i <- ps.indices)
+      // l_quantity spans 1..50; accuracy 10000 lands within one step
+      assert(math.abs(a(k)(i) - e(k)(i)) <= 1.0,
+        s"group $k p=${ps(i)}: approx=${a(k)(i)} exact=${e(k)(i)}")
+    // global (no `by`) shape: one row, array aligned with ps
+    val g = queries.Aggregates.percentiles(li, "l_quantity", ps)
+      .head().getSeq[Double](0)
+    assert(g.length == 3 && g.sorted == g, g.mkString(","))
+  }
+
   test("stratified sample hits per-stratum fractions, deterministic seed") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val fracs = Map("en" -> 0.5, "es" -> 0.25)

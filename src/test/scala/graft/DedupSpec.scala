@@ -239,4 +239,43 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("incremental decontamination ≡ one-shot over any batch split") {
+    for (seed <- Seq(21, 22)) {
+      val docs = randomDocs(seed, 40).toDF("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 5 === 0)
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val oneShot = Dedup.decontaminate(train, bench, "doc_id", "text", n = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val base = java.nio.file.Paths.get("/root/repo/target/scratch-test")
+      java.nio.file.Files.createDirectories(base)
+      val wh = java.nio.file.Files.createTempDirectory(base, "dc").toString
+      val r = new graft.pipeline.PipelineRunner(spark,
+        graft.pipeline.PipelineSpec(Nil), wh)
+      // benchmark seeded in two batches (second anti-joins the first),
+      // corpus checked in two batches — any split must reproduce the
+      // one-shot result exactly
+      val split = 20L
+      Dedup.decontaminateIndex(r, "bg",
+        bench.filter(col("doc_id") < split), "doc_id", "text", n = 2,
+        batchId = 0L)
+      Dedup.decontaminateIndex(r, "bg",
+        bench.filter(col("doc_id") >= split), "doc_id", "text", n = 2,
+        batchId = 1L)
+      val inc = Seq(
+        train.filter(col("doc_id") < split),
+        train.filter(col("doc_id") >= split))
+        .zipWithIndex
+        .flatMap { case (b, _) =>
+          Dedup.decontaminateIncremental(r, "bg", b, "doc_id", "text", n = 2)
+            .collect().map(row => row.getLong(0) -> row.getLong(1))
+        }.toMap
+      assert(inc == oneShot, s"seed=$seed: inc=$inc oneShot=$oneShot")
+      // the gram table is a SET: re-seeding batch 0's benchmark docs
+      // under a new batch id appends zero rows
+      assert(Dedup.decontaminateIndex(r, "bg",
+        bench.filter(col("doc_id") < split), "doc_id", "text", n = 2,
+        batchId = 2L) == 0L)
+    }
+  }
 }

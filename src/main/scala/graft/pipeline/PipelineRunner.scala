@@ -1103,7 +1103,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       case other => Seq(other, name)
     }
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(parts.mkString(" ").getBytes("UTF-8"))
+    md.digest(parts.mkString("\u0000").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
   }
 

@@ -1522,9 +1522,16 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * precedence, log the outcome. Returns (Some(name) when the test
     * FAILS, whether it warned).
     */
-  private def runTest(t: DataTest): (Option[String], Boolean) = {
+  private def runTest(t: DataTest,
+      storeAll: Boolean = false): (Option[String], Boolean) = {
     val viol = DataTests.violations(spark, this, t)
-    val n = if (t.config.zeroOnly) viol.limit(1).count() else viol.count()
+    val n =
+      if (storeAll || t.config.storeFailures)
+        // the stored audit rows ARE the judged count (and the write
+        // already knows it — no second scan of the violations query)
+        replaceTable(s"dbt_test__audit_${t.name}", viol)
+      else if (t.config.zeroOnly) viol.limit(1).count()
+      else viol.count()
     val (fails, warns) = t.config.judge(n)
     if (fails)
       logger.log(LogLevel.ERROR, s"test ${t.name} failed ($n violations)")
@@ -1532,6 +1539,68 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       logger.log(LogLevel.WARNING, s"test ${t.name}: warn ($n violations)")
     (if (fails) Some(t.name) else None, warns)
   }
+
+  private def loadFixture(f: Fixture): DataFrame =
+    spark.read.option("header", "true").schema(f.schema)
+      .csv(spark.createDataset(f.csvLines)(
+        org.apache.spark.sql.Encoders.STRING))
+
+  /** Execute one unit test ([[UnitTest]] semantics): build the model
+    * against its mocked inputs only and multiset-compare the output's
+    * expect-columns to the expected rows. Returns Some(message) on a
+    * failure, None on pass. Model state (warehouse tables, temp
+    * views) is never read or written — the mocked build goes through
+    * the model's own `buildC`, so `{{ var }}` rendering and the
+    * is_incremental guard (always FALSE here) behave exactly as a
+    * real initial run.
+    */
+  private def runUnitTest(u: UnitTest): Option[String] = {
+    val m = spec.models.find(_.name == u.model).getOrElse(
+      sys.error(s"unit test ${u.name}: unknown model ${u.model}"))
+    val unmocked = m.deps.filterNot(u.given.contains)
+    require(unmocked.isEmpty,
+      s"unit test ${u.name}: every input of ${u.model} must be mocked " +
+        s"in `given` (missing: ${unmocked.mkString(",")})")
+    val mocked = u.given.map { case (k, f) => k -> loadFixture(f) }
+    val ctx = BuildCtx(vars = u.vars) // isIncremental=false, no {{this}}
+    val actual = m.buildC match {
+      case Some(f) => f(spark, mocked, ctx)
+      case None => m.buildV match {
+        case Some(f) => f(spark, mocked, u.vars)
+        case None    => m.build(spark, mocked)
+      }
+    }
+    val expected = loadFixture(u.expect)
+    val cols = expected.columns.toSeq
+    val absentCols = cols.filterNot(actual.columns.contains)
+    if (absentCols.nonEmpty)
+      return Some(s"output lacks expected columns: " +
+        absentCols.mkString(","))
+    val proj = actual.select(cols.map(col): _*)
+    val typed = expected.select(cols.map(c =>
+      col(c).cast(proj.schema(c).dataType).as(c)): _*)
+    // one job for both directions; fixture-sized data, so the
+    // driver-side collect is bounded by the fixtures themselves
+    val extra  = proj.exceptAll(typed).count()
+    val absent = typed.exceptAll(proj).count()
+    if (extra == 0 && absent == 0) None
+    else Some(s"$extra unexpected rows, $absent missing rows " +
+      s"(compared on: ${cols.mkString(",")})")
+  }
+
+  /** Run `units` with per-test error capture, logging failures —
+    * shared by `test`, `build` and `retry`. Returns
+    * (name, passed) per test.
+    */
+  private def runUnitTests(units: Seq[UnitTest]): Seq[(String, Boolean)] =
+    units.map { u =>
+      val failure =
+        try runUnitTest(u)
+        catch { case e: Exception => Some(String.valueOf(e.getMessage)) }
+      failure.foreach(msg => logger.log(LogLevel.ERROR,
+        s"unit test ${u.name} failed: $msg"))
+      (u.name, failure.isEmpty)
+    }
 
   /** The invocation's `--vars` map (dbt `run --vars '{"k": v}'`),
     * set per command and read by var-aware model builds
@@ -1680,6 +1749,17 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     Some(Selection(inc.toSeq, exc.toSeq, state))
   }
 
+  /** `test` flags: select/exclude plus `--store-failures` (dbt's
+    * flag forcing every run test to persist its violating rows).
+    */
+  private def parseTestFlags(flags: Seq[String])
+      : Option[(Selection, Boolean)] = {
+    var store = false
+    parseSelFlags(flags) {
+      case "--store-failures" :: t => store = true; t
+    }.map((_, store))
+  }
+
   /** `run` flags: select/exclude plus `--threads <n>`,
     * `--full-refresh` (dbt's escape hatch — rebuilds selected
     * incremental/merge tables from scratch, the command the
@@ -1787,24 +1867,25 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * the artifact under the ORIGINAL command for retry-of-retry.
     */
   private def runTestsCommand(command: String, recordAs: String,
-      chosen: Seq[DataTest]): CommandResult = {
+      chosen: Seq[DataTest], units: Seq[UnitTest] = Nil,
+      storeAll: Boolean = false): CommandResult = {
     val outcomes = chosen.map { t =>
       val ok =
-        try runTest(t)._1.isEmpty
+        try runTest(t, storeAll)._1.isEmpty
         catch {
           case e: Exception =>
             logger.log(LogLevel.ERROR,
               s"test ${t.name} errored: ${e.getMessage}")
             false
         }
-      (t.name, ok)
-    }
-    recordRunResults(recordAs, outcomes.map { case (n, ok) =>
-      ("test", n,
+      ("test", t.name, ok)
+    } ++ runUnitTests(units).map { case (n, ok) => ("unit_test", n, ok) }
+    recordRunResults(recordAs, outcomes.map { case (kind, n, ok) =>
+      (kind, n,
         if (ok) NodeStatus.Success(0): NodeStatus else NodeStatus.Failed(""))
     })
-    val failures = outcomes.collect { case (n, false) => n }
-    CommandResult(command, failures.isEmpty, outcomes.map(_._1), Map.empty,
+    val failures = outcomes.collect { case (_, n, false) => n }
+    CommandResult(command, failures.isEmpty, outcomes.map(_._2), Map.empty,
       if (failures.isEmpty) None
       else Some(s"failing tests: ${failures.mkString(",")}"))
   }
@@ -1884,6 +1965,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     val counts = mutable.Map.empty[String, Long]
     val failedTests = mutable.Buffer.empty[String]
     val testsRun = mutable.Buffer.empty[(String, Boolean)] // name -> passed
+    val unitsRun = mutable.Buffer.empty[(String, Boolean)]
     def runTests(n: String, pred: DataTest => Boolean): Unit =
       spec.tests.filter(t => t.model == n && pred(t)).foreach { t =>
         ran += t.name
@@ -1895,6 +1977,17 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
                       // descendants; warn-severity never does
         }
       }
+    // dbt 1.8 gating: a model's unit tests run BEFORE it materializes;
+    // any failure skips the model (and, via `failed`, descendants)
+    def runUnits(n: String, pred: UnitTest => Boolean): Boolean = {
+      val outcomes =
+        runUnitTests(spec.unitTests.filter(u => u.model == n && pred(u)))
+      ran ++= outcomes.map(_._1)
+      unitsRun ++= outcomes
+      val bad = outcomes.collect { case (name, false) => name }
+      failedTests ++= bad
+      bad.isEmpty
+    }
     order.foreach { n =>
       val kind = resourceKind(n)
       if (deps(n).exists(d => failed(d) || skipped(d))) {
@@ -1904,11 +1997,17 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       } else if (only.exists(o => !o(n))) {
         // retried run: n already succeeded — only its listed
         // still-failing tests rerun
+        runUnits(n, u => only.exists(_(u.name)))
         runTests(n, t => only.exists(_(t.name)))
       } else if (kind == "snapshot" && at.isEmpty) {
         skipped += n
         logger.log(LogLevel.WARNING,
           s"build: skipping snapshot $n (no --at clock given)")
+      } else if (kind == "model" && !runUnits(n, _ => true)) {
+        failed += n
+        skipped += n
+        logger.log(LogLevel.WARNING,
+          s"build: skipping $n (failing unit test)")
       } else {
         val ok =
           try {
@@ -1940,6 +2039,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         else Some((resourceKind(n), n, NodeStatus.Success(0)))
       } ++ testsRun.map { case (name, passed) =>
         ("test", name,
+          if (passed) NodeStatus.Success(0) else NodeStatus.Failed(""))
+      } ++ unitsRun.map { case (name, passed) =>
+        ("unit_test", name,
           if (passed) NodeStatus.Success(0) else NodeStatus.Failed(""))
       })
     def list(s: Iterable[String]) = s.toSeq.sorted.mkString(",")
@@ -2000,19 +2102,21 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         // grammar over the resource graph; lenient, so a bare name
         // outside the graph — e.g. a source with attached tests —
         // selects that table's tests only)
-        case "test" +: flags if parseSelFlags(flags)(
-            PartialFunction.empty).isDefined =>
-          val sel = parseSelFlags(flags)(PartialFunction.empty).get
-          val chosen =
-            if (sel.include.isEmpty && sel.exclude.isEmpty) spec.tests
+        case "test" +: flags if parseTestFlags(flags).isDefined =>
+          val (sel, storeAll) = parseTestFlags(flags).get
+          val (chosen, units) =
+            if (sel.include.isEmpty && sel.exclude.isEmpty)
+              (spec.tests, spec.unitTests)
             else {
               val names = selectIn(resourceDeps, sel, lenient = true)
               // dbt's attached-node expansion: a test runs when ANY
               // node it reads is selected (relationships' parent,
-              // every ref of a singular test)
-              spec.tests.filter(_.refs.exists(names))
+              // every ref of a singular test); a unit test attaches
+              // to its model only — its mocks are not graph reads
+              (spec.tests.filter(_.refs.exists(names)),
+                spec.unitTests.filter(u => names(u.model)))
             }
-          runTestsCommand(command, command, chosen)
+          runTestsCommand(command, command, chosen, units, storeAll)
         case Seq("seed") =>
           runSeedsCommand(command, command, spec.seeds)
         case Seq("snapshot", "--at", asOf) =>
@@ -2074,10 +2178,11 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
                   cmdVars = vars
                   runBuild(command, prev, sel, fullRefresh, at,
                     only = Some(redo))
-                case "test" +: flags if parseSelFlags(flags)(
-                    PartialFunction.empty).isDefined =>
+                case "test" +: flags if parseTestFlags(flags).isDefined =>
                   runTestsCommand(command, prev,
-                    spec.tests.filter(t => redo(t.name)))
+                    spec.tests.filter(t => redo(t.name)),
+                    spec.unitTests.filter(u => redo(u.name)),
+                    parseTestFlags(flags).get._2)
                 case Seq("seed") =>
                   runSeedsCommand(command, prev,
                     spec.seeds.filter(sd => redo(sd.name)))
@@ -2155,7 +2260,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           val rows = topoOrderIn(deps, selectIn(deps, sel))
             .flatMap { n =>
               s"${resourceKind(n)}.$n" +:
-                spec.tests.filter(_.model == n).map(t => s"test.${t.name}")
+                (spec.unitTests.filter(_.model == n)
+                  .map(u => s"unit_test.${u.name}") ++
+                 spec.tests.filter(_.model == n).map(t => s"test.${t.name}"))
             }
             .filter(r => rtype.forall(t => r.startsWith(s"$t.")))
           CommandResult(command, success = true, rows, Map.empty, None)

@@ -336,13 +336,23 @@ object Severity {
   *    decides failure and `warnIf` decides a warning otherwise; with
   *    `severity=warn` only `warnIf` is evaluated, never an error —
   *    exactly dbt's precedence.
+  *  - `storeFailures`: persist the violating rows (limit-capped) to
+  *    the warehouse table `dbt_test__audit_<test_name>` each run —
+  *    dbt's `store_failures` config, whose audit table an on-call
+  *    debugs from instead of re-running the test query. The table is
+  *    (re)written even on a pass (zero rows), so its presence always
+  *    reflects the LAST run; the `test --store-failures` flag forces
+  *    storing for every test in the invocation. The threshold count
+  *    is taken from the stored rows, so what's judged is exactly
+  *    what's auditable.
   */
 final case class TestConfig(
     severity: Severity = Severity.Error,
     where: Option[String] = None,
     limit: Option[Int] = None,
     warnIf: String = "!=0",
-    errorIf: String = "!=0") {
+    errorIf: String = "!=0",
+    storeFailures: Boolean = false) {
   private val condRe = """(!=|>=|<=|=|>|<)\s*(\d+)""".r
   private def eval(cond: String, n: Long): Boolean = cond.trim match {
     case condRe(op, v) =>
@@ -424,6 +434,44 @@ object DataTest {
   }
 }
 
+/** Inline fixture rows for a unit test: CSV lines (header + data —
+  * the Seed format) with a declared schema. dbt 1.8+ expresses these
+  * as YAML dict rows; the content is the same.
+  */
+final case class Fixture(csvLines: Seq[String],
+    schema: org.apache.spark.sql.types.StructType)
+
+/** dbt 1.8+/1.9 unit test (`unit_tests:` in schema YAML): run one
+  * model's LOGIC against mocked inputs and compare to declared
+  * expected rows — no warehouse state involved. Semantics mirrored
+  * from dbt-core 1.9 (the reference's pin, `dbtoperator.py:273`):
+  *
+  *  - `given` mocks the model's inputs by ref/source name. EVERY
+  *    input the model reads must be mocked — a real relation leaking
+  *    into a unit test makes it environment-dependent, so a missing
+  *    mock fails loudly (dbt defaults unmocked inputs to empty rows;
+  *    we reject instead — an empty default silently vacuously-passes
+  *    join-shaped models).
+  *  - `expect` is compared on ITS columns only (dbt compares just the
+  *    columns the fixture declares), order-insensitive, as a multiset
+  *    (duplicate rows must match in count). Expected values are cast
+  *    to the model output's types before comparing, like dbt's
+  *    union-based compare.
+  *  - `vars` feeds `{{ var(...) }}` rendering (dbt `overrides:`).
+  *    `is_incremental()` renders FALSE — dbt unit-tests incremental
+  *    models in their initial-build form unless overridden.
+  *
+  * In `build`, a model's unit tests run BEFORE it materializes and a
+  * failure SKIPS the model and its descendants (dbt 1.8 gating); in
+  * `test`, unit tests run alongside data tests.
+  */
+final case class UnitTest(
+    name: String,
+    model: String,
+    given: Map[String, Fixture],
+    expect: Fixture,
+    vars: Map[String, String] = Map.empty)
+
 /** dbt `seed`: a CSV (embedded lines + declared schema) loaded as a
   * table (reference surface: seeds are just another dbt argv,
   * `dbtoperator.py:46,324`).
@@ -459,6 +507,7 @@ final case class FreshnessDef(
 final case class PipelineSpec(
     models: Seq[Model],
     tests: Seq[DataTest] = Nil,
+    unitTests: Seq[UnitTest] = Nil,
     sources: Map[String, String] = Map.empty,
     seeds: Seq[Seed] = Nil,
     snapshots: Seq[SnapshotDef] = Nil,

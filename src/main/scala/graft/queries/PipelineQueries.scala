@@ -407,6 +407,57 @@ object PipelineOps extends QueryGroup {
       r.readTable("hk_audit").orderBy("model_name")
     }),
 
+    // ---- store_failures (dbt test audit tables) ---------------------------
+    // A warn-severity accepted_values test with store_failures runs
+    // via the RUNNER (not DataTests directly): its violating rows are
+    // persisted to dbt_test__audit_<name> through the atomic publish
+    // protocol, and the key returns that audit table — so storage,
+    // threshold-from-stored-count, and warn-not-fail semantics are all
+    // oracle-checked.
+    "test_store_failures" -> ((s, d) => {
+      val spec = PipelineSpec(Nil,
+        tests = Seq(DataTest.AcceptedValues("orders", "o_orderstatus",
+          Seq("O", "F"),
+          TestConfig(severity = Severity.Warn, storeFailures = true))),
+        sources = Map("orders" -> s"$d/orders.parquet"))
+      val r = new PipelineRunner(s, spec, freshWh("test_store_failures"))
+      mustSucceed(r.run(Seq("test")))
+      r.readTable("dbt_test__audit_accepted_values_orders_o_orderstatus")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- unit tests (dbt 1.8+/1.9 `unit_tests:`) --------------------------
+    // A unit test mocks the model's source with fixture rows and
+    // declares the expected aggregate BEFORE anything materializes;
+    // `build` runs it first and a failure would SKIP the model (dbt
+    // gating), making the readTable below throw. The key returns the
+    // model's REAL output, so the oracle checks both the gate fired
+    // green and the model's logic over the actual table.
+    "test_unit" -> ((s, d) => {
+      val m = Model.sql("ut_status_agg",
+        """SELECT o_orderstatus, count(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+          |    AS total
+          |FROM {{ source('orders') }} GROUP BY o_orderstatus""".stripMargin,
+        Materialization.Table)
+      val given = Fixture(
+        Seq("o_orderstatus,o_totalprice", "O,10.5", "O,4.5", "F,1.0"),
+        StructType(Seq(StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType))))
+      val expect = Fixture(
+        Seq("o_orderstatus,n,total", "O,2,15.0", "F,1,1.0"),
+        StructType(Seq(StructField("o_orderstatus", StringType),
+          StructField("n", LongType), StructField("total", DoubleType))))
+      val spec = PipelineSpec(Seq(m),
+        unitTests = Seq(UnitTest("ut_status_agg_basic", "ut_status_agg",
+          Map("orders" -> given), expect)),
+        sources = Map("orders" -> s"$d/orders.parquet"))
+      val r = new PipelineRunner(s, spec, freshWh("test_unit"))
+      mustSucceed(r.run(Seq("build")))
+      r.readTable("ut_status_agg").orderBy("o_orderstatus")
+    }),
+
     // ---- project-from-artifact (the reference's zip deploy path) ----------
     // A full project (sources.conf + SQL-text models with config
     // headers + a CSV seed with declared schema) is written, packed
@@ -571,6 +622,17 @@ object PipelineOps extends QueryGroup {
       """SELECT 'hk_agg' AS model_name,
         |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_rows
         |FROM orders ORDER BY model_name""".stripMargin,
+
+    "test_store_failures" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderstatus NOT IN ('O', 'F') OR o_orderstatus IS NULL
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "test_unit" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "run_project_artifact" ->
       """SELECT CASE o_orderstatus WHEN 'O' THEN 'open'

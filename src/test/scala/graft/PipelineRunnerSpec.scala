@@ -1817,4 +1817,184 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     r.cleanup()
     assert(!spark.catalog.tableExists("__graft_ref_test_cv_probe_cv_src"))
   }
+
+  // ---------------- unit tests (dbt 1.8+/1.9 `unit_tests:`) ---------------
+
+  import org.apache.spark.sql.types._
+
+  private val utOrders = Fixture(
+    Seq("id,amount,ccy", "1,10.0,EUR", "2,20.0,USD", "3,5.0,EUR"),
+    StructType(Seq(StructField("id", LongType),
+      StructField("amount", DoubleType), StructField("ccy", StringType))))
+  private val utRates = Fixture(
+    Seq("ccy,rate", "EUR,2.0", "USD,1.0"),
+    StructType(Seq(StructField("ccy", StringType),
+      StructField("rate", DoubleType))))
+  private def utModel = Model.sql("ut_enriched",
+    """SELECT o.id, o.amount * r.rate AS usd, r.ccy
+      |FROM {{ ref('ut_orders') }} o
+      |JOIN {{ ref('ut_rates') }} r ON o.ccy = r.ccy""".stripMargin,
+    Materialization.Table)
+
+  test("unit test: passing mock compare, expect-columns only") {
+    // expect declares a SUBSET of output columns (no ccy) and INT-typed
+    // usd values — subset-compare and cast-to-actual are dbt semantics
+    val ut = UnitTest("ut_enriched_happy", "ut_enriched",
+      given = Map("ut_orders" -> utOrders, "ut_rates" -> utRates),
+      expect = Fixture(Seq("id,usd", "1,20", "2,20", "3,10"),
+        StructType(Seq(StructField("id", LongType),
+          StructField("usd", IntegerType)))))
+    val r = new PipelineRunner(spark,
+      PipelineSpec(Seq(utModel), unitTests = Seq(ut)), wh())
+    val res = r.run(Seq("test"))
+    assert(res.success, res.results.flatMap(_.error).mkString("; "))
+    assert(res.results.head.modelsRun == Seq("ut_enriched_happy"))
+  }
+
+  test("unit test: multiset diff fails and is reported") {
+    val ut = UnitTest("ut_enriched_sad", "ut_enriched",
+      given = Map("ut_orders" -> utOrders, "ut_rates" -> utRates),
+      // wrong value for id=3 AND a duplicated row that the output
+      // has only once — both must count as diffs
+      expect = Fixture(Seq("id,usd", "1,20.0", "1,20.0", "2,20.0", "3,11.0"),
+        StructType(Seq(StructField("id", LongType),
+          StructField("usd", DoubleType)))))
+    val r = new PipelineRunner(spark,
+      PipelineSpec(Seq(utModel), unitTests = Seq(ut)), wh())
+    val res = r.run(Seq("test"))
+    assert(!res.success)
+    assert(res.results.head.error.get.contains("ut_enriched_sad"))
+  }
+
+  test("unit test: an unmocked input fails loudly, not vacuously") {
+    val ut = UnitTest("ut_enriched_missing", "ut_enriched",
+      given = Map("ut_orders" -> utOrders), // ut_rates NOT mocked
+      expect = Fixture(Seq("id", "1"),
+        StructType(Seq(StructField("id", LongType)))))
+    val r = new PipelineRunner(spark,
+      PipelineSpec(Seq(utModel), unitTests = Seq(ut)), wh())
+    val res = r.run(Seq("test"))
+    assert(!res.success)
+  }
+
+  test("unit test: vars override renders {{ var }} in the model") {
+    val m = Model.sql("ut_vars_m",
+      """SELECT id FROM {{ ref('ut_orders') }}
+        |WHERE amount >= {{ var('min_amount', 0) }}""".stripMargin,
+      Materialization.Table)
+    val ut = UnitTest("ut_vars_cut", "ut_vars_m",
+      given = Map("ut_orders" -> utOrders),
+      expect = Fixture(Seq("id", "1", "2"),
+        StructType(Seq(StructField("id", LongType)))),
+      vars = Map("min_amount" -> "10"))
+    val r = new PipelineRunner(spark,
+      PipelineSpec(Seq(m), unitTests = Seq(ut)), wh())
+    val res = r.run(Seq("test"))
+    assert(res.success, res.results.flatMap(_.error).mkString("; "))
+  }
+
+  test("build: a failing unit test skips the model and its descendants") {
+    val w = wh()
+    val parent = tableModel("utb_parent", Seq((1L, "a")))
+    val mid = Model.sql("utb_mid",
+      "SELECT id, v FROM {{ ref('utb_parent') }}", Materialization.Table)
+    val child = Model.sql("utb_child",
+      "SELECT id FROM {{ ref('utb_mid') }}", Materialization.Table)
+    val badUt = UnitTest("utb_mid_ut", "utb_mid",
+      given = Map("utb_parent" -> Fixture(Seq("id,v", "1,a"),
+        StructType(Seq(StructField("id", LongType),
+          StructField("v", StringType))))),
+      expect = Fixture(Seq("id,v", "99,zz"),
+        StructType(Seq(StructField("id", LongType),
+          StructField("v", StringType)))))
+    val r = new PipelineRunner(spark,
+      PipelineSpec(Seq(parent, mid, child), unitTests = Seq(badUt)), w)
+    val res = r.run(Seq("build"))
+    assert(!res.success)
+    assert(r.tableExists("utb_parent"), "independent parent still builds")
+    assert(!r.tableExists("utb_mid"), "unit-test failure must gate the model")
+    assert(!r.tableExists("utb_child"), "descendants skip")
+    // passing unit test → everything builds
+    val goodUt = badUt.copy(expect = Fixture(Seq("id,v", "1,a"),
+      StructType(Seq(StructField("id", LongType),
+        StructField("v", StringType)))))
+    val r2 = new PipelineRunner(spark,
+      PipelineSpec(Seq(parent, mid, child), unitTests = Seq(goodUt)), wh())
+    assert(r2.run(Seq("build")).success)
+    assert(r2.tableExists("utb_child"))
+  }
+
+  test("test --select picks a model's unit tests; retry reruns failures") {
+    val w = wh()
+    val goodUt = UnitTest("uts_good", "ut_enriched",
+      given = Map("ut_orders" -> utOrders, "ut_rates" -> utRates),
+      expect = Fixture(Seq("id,usd", "1,20.0", "2,20.0", "3,10.0"),
+        StructType(Seq(StructField("id", LongType),
+          StructField("usd", DoubleType)))))
+    val other = Model.sql("ut_other",
+      "SELECT id FROM {{ ref('ut_orders') }}", Materialization.Table)
+    val badUt = UnitTest("uts_bad", "ut_other",
+      given = Map("ut_orders" -> utOrders),
+      expect = Fixture(Seq("id", "42"),
+        StructType(Seq(StructField("id", LongType)))))
+    val spec = PipelineSpec(Seq(utModel, other),
+      unitTests = Seq(goodUt, badUt))
+    val r = new PipelineRunner(spark, spec, w)
+    // selection scopes to the model's unit tests only
+    val selRes = r.run(Seq("test --select ut_enriched"))
+    assert(selRes.success)
+    assert(selRes.results.head.modelsRun == Seq("uts_good"))
+    // full test records both; retry reruns exactly the failing one
+    assert(!r.run(Seq("test")).success)
+    val retry = new PipelineRunner(spark, spec, w).run(Seq("retry"))
+    assert(!retry.success)
+    assert(retry.results.head.modelsRun == Seq("uts_bad"))
+  }
+
+  test("store_failures persists limit-capped violations; pass overwrites") {
+    val w = wh()
+    def spec(vals: Seq[(Long, String)]) = PipelineSpec(
+      Seq(tableModel("sf_m", vals)),
+      tests = Seq(DataTest.AcceptedValues("sf_m", "v", Seq("ok"),
+        TestConfig(severity = Severity.Warn, storeFailures = true,
+          limit = Some(2)))))
+    val bad = Seq((1L, "ok"), (2L, "bad"), (3L, "bad"), (4L, "worse"))
+    val r = new PipelineRunner(spark, spec(bad), w)
+    val res = r.run(Seq("build"))
+    assert(res.success, "warn severity never fails the command")
+    val audit = "dbt_test__audit_accepted_values_sf_m_v"
+    assert(r.tableExists(audit))
+    assert(r.readTable(audit).count() == 2, "limit caps stored rows")
+    // a later passing run REPLACES the audit table with zero rows
+    val r2 = new PipelineRunner(spark, spec(Seq((1L, "ok"))), w)
+    assert(r2.run(Seq("build")).success)
+    assert(r2.readTable(audit).count() == 0)
+  }
+
+  test("test --store-failures forces storing without the config") {
+    val w = wh()
+    val spec = PipelineSpec(
+      Seq(tableModel("sff_m", Seq((1L, "a"), (1L, "b")))),
+      tests = Seq(DataTest.Unique("sff_m", Seq("id"),
+        TestConfig(severity = Severity.Warn))))
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.run(Seq("run", "test")).success)
+    assert(!r.tableExists("dbt_test__audit_unique_sff_m_id"))
+    assert(r.run(Seq("test --store-failures")).success)
+    assert(r.readTable("dbt_test__audit_unique_sff_m_id").count() == 1)
+  }
+
+  test("ls lists unit tests under their model") {
+    val spec = PipelineSpec(Seq(utModel),
+      unitTests = Seq(UnitTest("ut_ls_probe", "ut_enriched",
+        given = Map("ut_orders" -> utOrders, "ut_rates" -> utRates),
+        expect = Fixture(Seq("id", "1"),
+          StructType(Seq(StructField("id", LongType)))))))
+    val r = new PipelineRunner(spark, spec, wh())
+    val rows = r.run(Seq("ls")).results.head.modelsRun
+    assert(rows.contains("model.ut_enriched"))
+    assert(rows.contains("unit_test.ut_ls_probe"))
+    val only = r.run(Seq("ls --resource-type unit_test")).results.head.modelsRun
+    assert(only == Seq("unit_test.ut_ls_probe"))
+  }
 }

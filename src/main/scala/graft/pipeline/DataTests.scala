@@ -49,9 +49,9 @@ object DataTests {
     // model) still reads an unfiltered parent and a `where` can never
     // manufacture orphans
     def frame(name: String, tested: Boolean): DataFrame = {
-      val df =
-        if (runner.tableExists(name)) runner.readTable(name)
-        else spark.table(name)
+      // testRelation: local table, else session view, else the
+      // `--defer --state` environment's table (dbt test --defer)
+      val df = runner.testRelation(name)
       if (tested) t.config.where.fold(df)(df.filter) else df
     }
     val viol = t match {

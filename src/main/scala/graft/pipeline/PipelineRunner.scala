@@ -1139,6 +1139,50 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * + upstream models (ephemeral inlined, others read back) + seed /
     * snapshot tables (dbt's ref() also targets those).
     */
+  /** `--defer --state <dir>` context for the current command:
+    * (selected node set, read-only runner over the state warehouse).
+    * dbt defer semantics: a ref to a node that is NOT selected and
+    * has NO local relation resolves to the state environment's table
+    * (favor-local, dbt's default). Only table-backed kinds can defer
+    * (table / incremental / seed / snapshot) — views and ephemerals
+    * are session-scoped here, not stored relations.
+    */
+  private var deferCtx: Option[(Set[String], PipelineRunner)] = None
+
+  private def setDefer(defer: Boolean, sel: Selection,
+      selected: => Set[String]): Unit =
+    deferCtx =
+      if (!defer) None
+      else {
+        val dir = sel.state.getOrElse(sys.error(
+          "--defer requires --state <dir> with a prior warehouse"))
+        Some((selected, new PipelineRunner(spark, spec, dir)))
+      }
+
+  /** A stored dep's frame under defer precedence: local generation if
+    * one exists, else the state warehouse's (when deferrable), else
+    * the natural does-not-exist error.
+    */
+  private def storedRelation(dep: String): DataFrame =
+    if (tableExists(dep)) readTable(dep)
+    else deferCtx match {
+      case Some((selected, st)) if !selected(dep) && st.tableExists(dep) =>
+        logger.log(LogLevel.INFO, s"defer: reading $dep from state")
+        st.readTable(dep)
+      case _ => readTable(dep)
+    }
+
+  /** Resolve any node name to a frame for TESTS (dbt `test --defer`):
+    * local table, else session view/source, else the state table.
+    */
+  private[pipeline] def testRelation(name: String): DataFrame =
+    if (tableExists(name)) readTable(name)
+    else if (spark.catalog.tableExists(name)) spark.table(name)
+    else deferCtx match {
+      case Some((_, st)) if st.tableExists(name) => st.readTable(name)
+      case _ => spark.table(name)
+    }
+
   private def inputs(m: Model): Map[String, DataFrame] =
     m.deps.map { dep =>
       byName.get(dep) match {
@@ -1146,9 +1190,13 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           dep -> ephemeralCache.getOrElseUpdate(dep, runEphemeral(d))
         case Some(d) if d.materialization == Materialization.View =>
           dep -> spark.table(dep)
-        case Some(_) => dep -> readTable(dep)
+        case Some(_) => dep -> storedRelation(dep)
         case None if tableExists(dep) =>
           dep -> readTable(dep) // seed or snapshot table
+        case None if deferCtx.exists { case (selected, st) =>
+          !selected(dep) && !spark.catalog.tableExists(dep) &&
+            st.tableExists(dep) } =>
+          dep -> deferCtx.get._2.readTable(dep) // state seed/snapshot
         case None => dep -> spark.table(dep) // source view
       }
     }.toMap
@@ -1753,11 +1801,13 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * flag forcing every run test to persist its violating rows).
     */
   private def parseTestFlags(flags: Seq[String])
-      : Option[(Selection, Boolean)] = {
+      : Option[(Selection, Boolean, Boolean)] = {
     var store = false
+    var defer = false
     parseSelFlags(flags) {
       case "--store-failures" :: t => store = true; t
-    }.map((_, store))
+      case "--defer" :: t => defer = true; t
+    }.map((_, store, defer))
   }
 
   /** `run` flags: select/exclude plus `--threads <n>`,
@@ -1767,16 +1817,18 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * `--vars <json>`.
     */
   private def parseRunFlags(flags: Seq[String])
-      : Option[(Selection, Int, Boolean, Map[String, String])] = {
+      : Option[(Selection, Int, Boolean, Map[String, String], Boolean)] = {
     var threads = 1
     var fullRefresh = false
     var vars = Map.empty[String, String]
+    var defer = false
     parseSelFlags(flags) {
       case "--threads" :: v :: t if v.forall(_.isDigit) =>
         threads = v.toInt; t
       case "--full-refresh" :: t => fullRefresh = true; t
       case "--vars" :: v :: t => vars = parseVarsJson(v); t
-    }.map((_, threads, fullRefresh, vars))
+      case "--defer" :: t => defer = true; t
+    }.map((_, threads, fullRefresh, vars, defer))
   }
 
   /** `build` flags: select/exclude, `--full-refresh`, `--at <ts>`
@@ -1784,15 +1836,18 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * and `--vars <json>`.
     */
   private def parseBuildFlags(flags: Seq[String])
-      : Option[(Selection, Boolean, Option[String], Map[String, String])] = {
+      : Option[(Selection, Boolean, Option[String], Map[String, String],
+        Boolean)] = {
     var fullRefresh = false
     var at: Option[String] = None
     var vars = Map.empty[String, String]
+    var defer = false
     parseSelFlags(flags) {
       case "--full-refresh" :: t => fullRefresh = true; t
       case "--at" :: v :: t => at = Some(v); t
       case "--vars" :: v :: t => vars = parseVarsJson(v); t
-    }.map((_, fullRefresh, at, vars))
+      case "--defer" :: t => defer = true; t
+    }.map((_, fullRefresh, at, vars, defer))
   }
 
   private def parseLsFlags(flags: Seq[String])
@@ -2079,6 +2134,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       // envelope, mirroring the reference's init envelope
       // (`dbtoperator.py:168-174`)
       initialize()
+      deferCtx = None // only run/build/test (re)arm --defer
       // manifest.json is a parse artifact: refresh it on every
       // command so `--state` consumers always diff against the
       // project as last seen, not only after a run
@@ -2093,9 +2149,12 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             if (missing.isEmpty) None
             else Some(s"unresolvable sources: ${missing.mkString(",")}"))
         case "run" +: flags if parseRunFlags(flags).isDefined =>
-          val (sel, threads, fullRefresh, vars) = parseRunFlags(flags).get
+          val (sel, threads, fullRefresh, vars, defer) =
+            parseRunFlags(flags).get
           cmdVars = vars
-          runModelsCommand(command, command, topoOrder(select(sel)),
+          val chosen = select(sel)
+          setDefer(defer, sel, chosen)
+          runModelsCommand(command, command, topoOrder(chosen),
             threads, fullRefresh)
         // `test [--select|--exclude specs...]` — selection matches
         // dbt: tests attached to the selected nodes run (full atom
@@ -2103,7 +2162,10 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         // outside the graph — e.g. a source with attached tests —
         // selects that table's tests only)
         case "test" +: flags if parseTestFlags(flags).isDefined =>
-          val (sel, storeAll) = parseTestFlags(flags).get
+          val (sel, storeAll, defer) = parseTestFlags(flags).get
+          // tests build nothing, so every missing relation is
+          // deferrable — the selected set is empty by construction
+          setDefer(defer, sel, Set.empty)
           val (chosen, units) =
             if (sel.include.isEmpty && sel.exclude.isEmpty)
               (spec.tests, spec.unitTests)
@@ -2143,8 +2205,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             if (stale.isEmpty) None
             else Some(s"stale sources: ${stale.mkString(",")}"))
         case "build" +: flags if parseBuildFlags(flags).isDefined =>
-          val (sel, fullRefresh, at, vars) = parseBuildFlags(flags).get
+          val (sel, fullRefresh, at, vars, defer) = parseBuildFlags(flags).get
           cmdVars = vars
+          setDefer(defer, sel, selectIn(resourceDeps, sel))
           runBuild(command, command, sel, fullRefresh, at)
         // `dbt retry` — resume the most recent node-executing command
         // (run / build / test / seed / snapshot) from its failure
@@ -2166,23 +2229,28 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
                 CommandResult(command, success = true, Nil, Map.empty, None)
               else tokenize(prev) match {
                 case "run" +: flags if parseRunFlags(flags).isDefined =>
-                  val (sel, threads, fullRefresh, vars) =
+                  val (sel, threads, fullRefresh, vars, defer) =
                     parseRunFlags(flags).get
                   cmdVars = vars
+                  val chosen = select(sel)
+                  setDefer(defer, sel, chosen)
                   runModelsCommand(command, prev,
-                    topoOrder(select(sel)).filter(redo), threads,
+                    topoOrder(chosen).filter(redo), threads,
                     fullRefresh)
                 case "build" +: flags if parseBuildFlags(flags).isDefined =>
-                  val (sel, fullRefresh, at, vars) =
+                  val (sel, fullRefresh, at, vars, defer) =
                     parseBuildFlags(flags).get
                   cmdVars = vars
+                  setDefer(defer, sel, selectIn(resourceDeps, sel))
                   runBuild(command, prev, sel, fullRefresh, at,
                     only = Some(redo))
                 case "test" +: flags if parseTestFlags(flags).isDefined =>
+                  val (sel, storeAll, defer) = parseTestFlags(flags).get
+                  setDefer(defer, sel, Set.empty)
                   runTestsCommand(command, prev,
                     spec.tests.filter(t => redo(t.name)),
                     spec.unitTests.filter(u => redo(u.name)),
-                    parseTestFlags(flags).get._2)
+                    storeAll)
                 case Seq("seed") =>
                   runSeedsCommand(command, prev,
                     spec.seeds.filter(sd => redo(sd.name)))

@@ -407,6 +407,37 @@ object PipelineOps extends QueryGroup {
       r.readTable("hk_audit").orderBy("model_name")
     }),
 
+    // ---- --defer --state (dbt slim CI) ------------------------------------
+    // A "prod" warehouse materializes the base model; a fresh "CI"
+    // warehouse then runs ONLY the downstream aggregate with
+    // `--defer --state <prod>`, so its ref resolves to prod's table
+    // (favor-local precedence, dbt defer). The key returns the CI
+    // aggregate — the oracle states the full chain over orders, so a
+    // defer that silently read nothing (or the wrong env) would
+    // hash-mismatch; the require proves the base never built locally.
+    "run_defer_state" -> ((s, d) => {
+      val prod = freshWh("defer_prod")
+      val base = Model.sql("dfo_base",
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM {{ source('orders') }} WHERE o_orderstatus = 'F'""".stripMargin,
+        Materialization.Table)
+      val agg = Model.sql("dfo_agg",
+        """SELECT o_custkey, count(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+          |    AS total
+          |FROM {{ ref('dfo_base') }} GROUP BY o_custkey""".stripMargin,
+        Materialization.Table)
+      val spec = PipelineSpec(Seq(base, agg),
+        sources = Map("orders" -> s"$d/orders.parquet"))
+      mustSucceed(new PipelineRunner(s, spec, prod)
+        .run(Seq("run -s dfo_base")))
+      val r = new PipelineRunner(s, spec, freshWh("defer_ci"))
+      mustSucceed(r.run(Seq(s"run -s dfo_agg --defer --state $prod")))
+      require(!r.tableExists("dfo_base"),
+        "deferred dep must not materialize in the CI warehouse")
+      r.readTable("dfo_agg").orderBy("o_custkey")
+    }),
+
     // ---- store_failures (dbt test audit tables) ---------------------------
     // A warn-severity accepted_values test with store_failures runs
     // via the RUNNER (not DataTests directly): its violating rows are
@@ -622,6 +653,12 @@ object PipelineOps extends QueryGroup {
       """SELECT 'hk_agg' AS model_name,
         |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_rows
         |FROM orders ORDER BY model_name""".stripMargin,
+
+    "run_defer_state" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "test_store_failures" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice

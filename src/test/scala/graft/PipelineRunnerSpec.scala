@@ -1984,6 +1984,95 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(r.readTable("dbt_test__audit_unique_sff_m_id").count() == 1)
   }
 
+  // ---------------- --defer --state (dbt slim CI) -------------------------
+
+  test("run --defer reads unselected upstreams from the state warehouse") {
+    val prod = wh()
+    val parent = tableModel("df_parent", Seq((1L, "a"), (2L, "b")))
+    val child = Model.sql("df_child",
+      "SELECT id, v FROM {{ ref('df_parent') }} WHERE id = 1",
+      Materialization.Table)
+    val spec = PipelineSpec(Seq(parent, child))
+    assert(new PipelineRunner(spark, spec, prod).run(Seq("run")).success)
+
+    // CI warehouse: empty; select ONLY the child and defer the parent
+    val ci = wh()
+    val r = new PipelineRunner(spark, spec, ci)
+    val res = r.run(Seq(s"run -s df_child --defer --state $prod"))
+    assert(res.success, res.results.flatMap(_.error).mkString("; "))
+    assert(r.tableExists("df_child"))
+    assert(!r.tableExists("df_parent"), "deferred dep must not build locally")
+    assert(r.readTable("df_child").as[(Long, String)].collect()
+      .toSeq == Seq((1L, "a")))
+    // without --defer the same selection fails (parent missing)
+    assert(!new PipelineRunner(spark, spec, wh())
+      .run(Seq("run -s df_child")).success)
+    // --defer without --state fails loudly
+    assert(!new PipelineRunner(spark, spec, wh())
+      .run(Seq("run -s df_child --defer")).success)
+  }
+
+  test("defer favors the local relation when one exists") {
+    val prod = wh()
+    val mkSpec = (rows: Seq[(Long, String)]) => PipelineSpec(Seq(
+      tableModel("dfl_parent", rows),
+      Model.sql("dfl_child", "SELECT id, v FROM {{ ref('dfl_parent') }}",
+        Materialization.Table)))
+    assert(new PipelineRunner(spark, mkSpec(Seq((1L, "prod"))), prod)
+      .run(Seq("run")).success)
+    // CI warehouse where the parent WAS built (with different rows):
+    // favor-local means the child reads the local parent
+    val ci = wh()
+    val spec = mkSpec(Seq((1L, "local")))
+    assert(new PipelineRunner(spark, spec, ci)
+      .run(Seq("run -s dfl_parent")).success)
+    val r = new PipelineRunner(spark, spec, ci)
+    assert(r.run(Seq(s"run -s dfl_child --defer --state $prod")).success)
+    assert(r.readTable("dfl_child").as[(Long, String)].collect()
+      .toSeq == Seq((1L, "local")))
+  }
+
+  test("test --defer resolves an unbuilt model from state") {
+    val prod = wh()
+    val spec = PipelineSpec(
+      Seq(tableModel("dft_m", Seq((1L, "a"), (1L, "b")))),
+      tests = Seq(DataTest.Unique("dft_m", Seq("id"),
+        TestConfig(severity = Severity.Warn))))
+    assert(new PipelineRunner(spark, spec, prod).run(Seq("run")).success)
+    // CI warehouse has no dft_m; the test runs against prod's
+    val r = new PipelineRunner(spark, spec, wh())
+    val res = r.run(Seq(s"test --defer --state $prod"))
+    assert(res.success)
+    // and it actually SAW rows: store under --store-failures proves it
+    val r2 = new PipelineRunner(spark, spec, wh())
+    assert(r2.run(
+      Seq(s"test --defer --state $prod --store-failures")).success)
+    assert(r2.readTable("dbt_test__audit_unique_dft_m_id").count() == 1)
+  }
+
+  test("slim CI: state:modified selection + defer builds only the edit") {
+    val prod = wh()
+    val parent = tableModel("ci_parent", Seq((1L, "a"), (2L, "b")))
+    def child(pred: String) = Model.sql("ci_child",
+      s"SELECT id, v FROM {{ ref('ci_parent') }} WHERE $pred",
+      Materialization.Table)
+    val v1 = PipelineSpec(Seq(parent, child("id = 1")))
+    assert(new PipelineRunner(spark, v1, prod).run(Seq("run")).success)
+
+    // edit the child; run exactly dbt's slim-CI invocation
+    val v2 = PipelineSpec(Seq(parent, child("id = 2")))
+    val ci = wh()
+    val r = new PipelineRunner(spark, v2, ci)
+    val res = r.run(
+      Seq(s"run -s state:modified --defer --state $prod"))
+    assert(res.success, res.results.flatMap(_.error).mkString("; "))
+    assert(res.results.head.modelsRun == Seq("ci_child"),
+      "only the edited model runs")
+    assert(!r.tableExists("ci_parent"))
+    assert(r.readTable("ci_child").as[(Long, String)].collect()
+      .toSeq == Seq((2L, "b")))
+  }
+
   test("ls lists unit tests under their model") {
     val spec = PipelineSpec(Seq(utModel),
       unitTests = Seq(UnitTest("ut_ls_probe", "ut_enriched",

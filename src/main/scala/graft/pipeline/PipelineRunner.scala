@@ -2320,6 +2320,53 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             .toSeq.sorted.filter(tableExists)
           names.foreach(compact)
           CommandResult(command, success = true, names, Map.empty, None)
+        // `dbt docs generate` — write the catalog artifact
+        // (<warehouse>/target/catalog.json): per MATERIALIZED
+        // relation its kind, ordered columns with Spark SQL types,
+        // and stats (row count + on-disk bytes of the live
+        // generation's members). Columns and bytes come from stored
+        // metadata (schema file + member file sizes — no data scan);
+        // the row count is the only per-table job, over footer
+        // metadata. Basis: ordinary dbt argv the reference forwards
+        // (`dbtoperator.py:35,46`).
+        case "docs" +: "generate" +: flags if parseSelFlags(flags)(
+            PartialFunction.empty).isDefined =>
+          val sel = parseSelFlags(flags)(PartialFunction.empty).get
+          val deps = resourceDeps
+          val names = topoOrderIn(deps, selectIn(deps, sel))
+            .filter(tableExists)
+          val counts = mutable.Map.empty[String, Long]
+          val entries = names.map { n =>
+            val schema = currentSchema(n).getOrElse(StructType(Nil))
+            val cols = schema.fields.filterNot(f =>
+              hiddenCols.contains(f.name)).zipWithIndex.map {
+              case (f, i) =>
+                s"""{"name":${jq(f.name)},"type":${jq(f.dataType.sql)},""" +
+                  s""""index":$i}"""
+            }
+            val members = currentManifest(n).getOrElse(Nil)
+            val bytes = members.map { m =>
+              import scala.jdk.CollectionConverters._
+              val p = Paths.get(tablePath(n), m)
+              val s = Files.walk(p)
+              try s.iterator().asScala
+                .filter(f => f.toString.endsWith(".parquet"))
+                .map(Files.size).sum
+              finally s.close()
+            }.sum
+            val rows = readTable(n).count()
+            counts(n) = rows
+            s"""{"name":${jq(n)},"kind":${jq(resourceKind(n))},""" +
+              s""""columns":[${cols.mkString(",")}],""" +
+              s""""stats":{"row_count":$rows,"bytes":$bytes}}"""
+          }
+          val outDir = Paths.get(warehouse, "target")
+          Files.createDirectories(outDir)
+          Files.writeString(outDir.resolve("catalog.json"),
+            s"""{"nodes":[${entries.mkString(",")}]}""")
+          logger.log(LogLevel.INFO,
+            s"catalog: ${names.size} relations -> $outDir/catalog.json")
+          CommandResult(command, success = true, names, counts.toMap, None)
         // `dbt ls` — resource listing: `kind.name` rows in DAG order,
         // each resource's tests right after it (dbt's fqn listing).
         case "ls" +: flags if parseLsFlags(flags).isDefined =>

@@ -438,6 +438,34 @@ object PipelineOps extends QueryGroup {
       r.readTable("dfo_agg").orderBy("o_custkey")
     }),
 
+    // ---- docs generate (dbt catalog artifact) -----------------------------
+    // Two models materialize from orders, `docs generate` writes
+    // target/catalog.json, and the key returns the catalog's
+    // (name, kind, row_count) rows read back from the ARTIFACT — so
+    // the oracle checks the stats dbt's catalog carries, not the
+    // tables themselves.
+    "run_docs_catalog" -> ((s, d) => {
+      val w = freshWh("docs_cat")
+      val spec = PipelineSpec(Seq(
+        Model.sql("dc_f",
+          """SELECT o_orderkey, o_totalprice
+            |FROM {{ source('orders') }}
+            |WHERE o_orderstatus = 'F'""".stripMargin,
+          Materialization.Table),
+        Model.sql("dc_agg",
+          """SELECT o_custkey, count(*) AS n
+            |FROM {{ source('orders') }} GROUP BY o_custkey""".stripMargin,
+          Materialization.Table)),
+        sources = Map("orders" -> s"$d/orders.parquet"))
+      val r = new PipelineRunner(s, spec, w)
+      mustSucceed(r.run(Seq("run", "docs generate")))
+      s.read.option("multiLine", "true").json(s"$w/target/catalog.json")
+        .select(explode(col("nodes")).as("node"))
+        .select(col("node.name").as("name"), col("node.kind").as("kind"),
+          col("node.stats.row_count").as("row_count"))
+        .orderBy("name")
+    }),
+
     // ---- store_failures (dbt test audit tables) ---------------------------
     // A warn-severity accepted_values test with store_failures runs
     // via the RUNNER (not DataTests directly): its violating rows are
@@ -653,6 +681,16 @@ object PipelineOps extends QueryGroup {
       """SELECT 'hk_agg' AS model_name,
         |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_rows
         |FROM orders ORDER BY model_name""".stripMargin,
+
+    "run_docs_catalog" ->
+      """SELECT * FROM (
+        |  SELECT 'dc_agg' AS name, 'model' AS kind,
+        |    (SELECT count(DISTINCT o_custkey) FROM orders) AS row_count
+        |  UNION ALL
+        |  SELECT 'dc_f' AS name, 'model' AS kind,
+        |    (SELECT count(*) FROM orders WHERE o_orderstatus = 'F')
+        |      AS row_count
+        |) ORDER BY name""".stripMargin,
 
     "run_defer_state" ->
       """SELECT o_custkey, count(*) AS n,

@@ -2073,6 +2073,27 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       .toSeq == Seq((2L, "b")))
   }
 
+  test("docs generate writes a catalog of materialized relations") {
+    val w = wh()
+    val spec = PipelineSpec(Seq(
+      tableModel("dg_t", Seq((1L, "a"), (2L, "b"), (3L, "c"))),
+      Model("dg_view", Nil, Materialization.View,
+        (sp, _) => { import sp.implicits._; Seq(1).toDF("x") })))
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.run(Seq("run", "docs generate")).success)
+    val res = r.run(Seq("docs generate")).results.head
+    assert(res.modelsRun == Seq("dg_t"), "views are not stored relations")
+    assert(res.rowCounts("dg_t") == 3L)
+    val cat = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(w, "target", "catalog.json"))
+    assert(cat.contains(""""name":"dg_t""""))
+    assert(cat.contains(""""name":"id","type":"BIGINT","index":0"""))
+    assert(cat.contains(""""name":"v","type":"STRING","index":1"""))
+    assert(cat.contains(""""row_count":3"""))
+    assert("""\"bytes\":(\d+)""".r.findFirstMatchIn(cat)
+      .exists(_.group(1).toLong > 0), s"bytes must be real: $cat")
+  }
+
   test("ls lists unit tests under their model") {
     val spec = PipelineSpec(Seq(utModel),
       unitTests = Seq(UnitTest("ut_ls_probe", "ut_enriched",

@@ -1203,6 +1203,48 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
 
   private def runEphemeral(m: Model): DataFrame = buildDf(m)
 
+  /** `dbt clone`: materialize the state warehouse's live generation
+    * of `name` into THIS warehouse. Parquet members are immutable, so
+    * the copy is file-verbatim — no decode/re-encode job, O(bytes)
+    * I/O and zero cluster compute (the Delta/Iceberg shallow-clone
+    * analogue, minus cross-warehouse pointer sharing: a clone must
+    * survive the source's vacuum, so files are copied, not
+    * referenced). One local batch per source batch keeps partition
+    * dirs directly under their batch root, as readMembers requires;
+    * the manifest publishes atomically like any other write.
+    */
+  private def cloneTable(st: PipelineRunner, name: String): Long =
+    lockFor(name).synchronized { tracked {
+      val srcMembers = st.currentManifest(name).getOrElse(
+        sys.error(s"clone: $name has no committed generation in state"))
+      val schema = st.currentSchema(name).getOrElse(StructType(Nil))
+      def copyRec(from: Path, to: Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        val s = Files.walk(from)
+        try s.iterator().asScala.foreach { p =>
+          val dst = to.resolve(from.relativize(p))
+          if (Files.isDirectory(p)) Files.createDirectories(dst)
+          else {
+            Files.createDirectories(dst.getParent)
+            Files.copy(p, dst)
+          }
+        } finally s.close()
+      }
+      val srcBatches = srcMembers.map(_.split('/').take(2).mkString("/"))
+        .distinct.sorted
+      val batchMap = srcBatches.map { sb =>
+        sb -> writeBatch(name, dst =>
+          copyRec(Paths.get(st.tablePath(name), sb), Paths.get(dst)))
+      }.toMap
+      val newMembers = srcMembers.map { m =>
+        val parts = m.split('/')
+        (batchMap(parts.take(2).mkString("/")) +: parts.drop(2))
+          .mkString("/")
+      }
+      publishManifest(name, newMembers, schema)
+      readTable(name).count()
+    } }
+
   /** `INSERT INTO <table> <query>` — the hook shape dbt projects use
     * for audit rows / grants bookkeeping. The query part may itself
     * carry refs.
@@ -1810,6 +1852,17 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     }.map((_, store, defer))
   }
 
+  /** `clone` flags: select/exclude (with `--state`, required) plus
+    * `--full-refresh` to overwrite existing local relations.
+    */
+  private def parseCloneFlags(flags: Seq[String])
+      : Option[(Selection, Boolean)] = {
+    var fullRefresh = false
+    parseSelFlags(flags) {
+      case "--full-refresh" :: t => fullRefresh = true; t
+    }.map((_, fullRefresh))
+  }
+
   /** `run` flags: select/exclude plus `--threads <n>`,
     * `--full-refresh` (dbt's escape hatch — rebuilds selected
     * incremental/merge tables from scratch, the command the
@@ -2320,6 +2373,22 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             .toSeq.sorted.filter(tableExists)
           names.foreach(compact)
           CommandResult(command, success = true, names, Map.empty, None)
+        // `dbt clone` — copy each selected node's live relation from
+        // the `--state` warehouse into this one (dbt's CI-bootstrap
+        // command: stand up a dev/CI environment from prod without
+        // recomputing). Existing local relations are kept unless
+        // `--full-refresh`; nodes without a state table are skipped.
+        case "clone" +: flags if parseCloneFlags(flags).isDefined =>
+          val (sel, fullRefresh) = parseCloneFlags(flags).get
+          val dir = sel.state.getOrElse(sys.error(
+            "clone requires --state <dir> with a prior warehouse"))
+          val st = new PipelineRunner(spark, spec, dir)
+          val deps = resourceDeps
+          val names = topoOrderIn(deps, selectIn(deps, sel))
+            .filter(st.tableExists)
+            .filter(n => fullRefresh || !tableExists(n))
+          val counts = names.map(n => n -> cloneTable(st, n)).toMap
+          CommandResult(command, success = true, names, counts, None)
         // `dbt docs generate` — write the catalog artifact
         // (<warehouse>/target/catalog.json): per MATERIALIZED
         // relation its kind, ordered columns with Spark SQL types,

@@ -438,6 +438,26 @@ object PipelineOps extends QueryGroup {
       r.readTable("dfo_agg").orderBy("o_custkey")
     }),
 
+    // ---- clone (dbt CI-bootstrap from a state warehouse) ------------------
+    // A prod warehouse materializes a filtered projection; `clone
+    // --state <prod>` copies the live generation file-verbatim into a
+    // fresh warehouse (no recompute — parquet members are immutable),
+    // and the key returns the CLONED table, oracle-checked against
+    // the chain over orders.
+    "run_clone_state" -> ((s, d) => {
+      val prod = freshWh("clone_prod")
+      val spec = PipelineSpec(Seq(Model.sql("cl_open",
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM {{ source('orders') }}
+          |WHERE o_orderstatus = 'O'""".stripMargin,
+        Materialization.Table)),
+        sources = Map("orders" -> s"$d/orders.parquet"))
+      mustSucceed(new PipelineRunner(s, spec, prod).run(Seq("run")))
+      val r = new PipelineRunner(s, spec, freshWh("clone_ci"))
+      mustSucceed(r.run(Seq(s"clone --state $prod")))
+      r.readTable("cl_open").orderBy("o_orderkey")
+    }),
+
     // ---- docs generate (dbt catalog artifact) -----------------------------
     // Two models materialize from orders, `docs generate` writes
     // target/catalog.json, and the key returns the catalog's
@@ -681,6 +701,11 @@ object PipelineOps extends QueryGroup {
       """SELECT 'hk_agg' AS model_name,
         |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_rows
         |FROM orders ORDER BY model_name""".stripMargin,
+
+    "run_clone_state" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "run_docs_catalog" ->
       """SELECT * FROM (

@@ -2073,6 +2073,40 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       .toSeq == Seq((2L, "b")))
   }
 
+  test("clone copies state relations file-verbatim; keeps local unless full-refresh") {
+    val prod = wh()
+    // a merge-bucketed table exercises hidden-partition member paths
+    val mkSpec = (rows: Seq[(Long, String)]) => PipelineSpec(Seq(
+      Model("cl_m", Nil, Materialization.IncrementalMerge(Seq("id"),
+        buckets = 4),
+        (sp, _) => { import sp.implicits._; rows.toDF("id", "v") }),
+      tableModel("cl_t", rows)))
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+    assert(new PipelineRunner(spark, mkSpec(rows), prod)
+      .run(Seq("run")).success)
+
+    val ci = wh()
+    val r = new PipelineRunner(spark, mkSpec(Nil), ci)
+    val res = r.run(Seq(s"clone --state $prod"))
+    assert(res.success)
+    assert(res.results.head.modelsRun.toSet == Set("cl_m", "cl_t"))
+    assert(r.readTable("cl_m").orderBy("id").as[(Long, String)].collect()
+      .toSeq == rows)
+    assert(r.readTable("cl_t").count() == 3)
+    // a clone is independent: merging new rows locally works and
+    // does not touch prod
+    assert(r.run(Seq("run -s cl_m")).success) // empty batch merge no-op
+    // existing local relations are kept on re-clone...
+    val prod2 = wh()
+    assert(new PipelineRunner(spark,
+      mkSpec(Seq((9L, "z"))), prod2).run(Seq("run")).success)
+    assert(r.run(Seq(s"clone --state $prod2")).success)
+    assert(r.readTable("cl_t").count() == 3, "no overwrite without flag")
+    // ...and replaced under --full-refresh
+    assert(r.run(Seq(s"clone --state $prod2 --full-refresh")).success)
+    assert(r.readTable("cl_t").count() == 1)
+  }
+
   test("docs generate writes a catalog of materialized relations") {
     val w = wh()
     val spec = PipelineSpec(Seq(

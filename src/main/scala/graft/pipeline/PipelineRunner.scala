@@ -1241,7 +1241,12 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         (batchMap(parts.take(2).mkString("/")) +: parts.drop(2))
           .mkString("/")
       }
-      publishManifest(name, newMembers, schema)
+      // carry the SOURCE's exactly-once stream ledger: a cloned
+      // streaming-sink table must not re-accept micro-batches the
+      // source already committed
+      val sidecars = st.genSidecar(name, "streamids")
+        .map("streamids" -> _).toMap
+      publishManifest(name, newMembers, schema, sidecars)
       readTable(name).count()
     } }
 
@@ -1863,6 +1868,18 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     }.map((_, fullRefresh))
   }
 
+  /** `vacuum` flags: select/exclude plus `--keep <n>` retained
+    * generations (default 1 — live only).
+    */
+  private def parseVacuumFlags(flags: Seq[String])
+      : Option[(Selection, Int)] = {
+    var keep = 1
+    parseSelFlags(flags) {
+      case "--keep" :: v :: t if v.forall(_.isDigit) && v.nonEmpty =>
+        keep = v.toInt; t
+    }.map((_, keep))
+  }
+
   /** `run` flags: select/exclude plus `--threads <n>`,
     * `--full-refresh` (dbt's escape hatch — rebuilds selected
     * incremental/merge tables from scratch, the command the
@@ -2372,6 +2389,20 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           val names = selectIn(resourceDeps, sel, lenient = true)
             .toSeq.sorted.filter(tableExists)
           names.foreach(compact)
+          CommandResult(command, success = true, names, Map.empty, None)
+        // `vacuum [--select ...] [--keep N]` — storage reclaim over
+        // selected warehouse tables (Delta VACUUM / Iceberg
+        // expire_snapshots analogue): drop generations beyond the
+        // newest N (default 1 = live only) and every batch none of
+        // the retained generations reference. Time travel via
+        // readTableAt works within the retention window; per-table
+        // locking and the staged-batch guard make it safe next to
+        // `run --threads N` publishes.
+        case "vacuum" +: flags if parseVacuumFlags(flags).isDefined =>
+          val (sel, keep) = parseVacuumFlags(flags).get
+          val names = selectIn(resourceDeps, sel, lenient = true)
+            .toSeq.sorted.filter(tableExists)
+          names.foreach(vacuum(_, keep))
           CommandResult(command, success = true, names, Map.empty, None)
         // `dbt clone` — copy each selected node's live relation from
         // the `--state` warehouse into this one (dbt's CI-bootstrap

@@ -2107,6 +2107,30 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(r.readTable("cl_t").count() == 1)
   }
 
+  test("vacuum command reclaims superseded generations per retention") {
+    val w = wh()
+    def spec(rows: Seq[(Long, String)]) =
+      PipelineSpec(Seq(tableModel("vc_t", rows)))
+    // three full refreshes → three generations
+    assert(new PipelineRunner(spark, spec(Seq((1L, "a"))), w)
+      .run(Seq("run")).success)
+    assert(new PipelineRunner(spark, spec(Seq((2L, "b"))), w)
+      .run(Seq("run")).success)
+    val r = new PipelineRunner(spark, spec(Seq((3L, "c"))), w)
+    assert(r.run(Seq("run")).success)
+    val dataDir = java.nio.file.Paths.get(w, "vc_t", "data")
+    def batches() = java.nio.file.Files.list(dataDir).count()
+    assert(batches() == 3)
+    // keep 2: one superseded generation survives for time travel
+    assert(r.run(Seq("vacuum -s vc_t --keep 2")).success)
+    assert(batches() == 2)
+    // default keep 1: only the live generation's batch remains
+    assert(r.run(Seq("vacuum")).success)
+    assert(batches() == 1)
+    assert(r.readTable("vc_t").as[(Long, String)].collect()
+      .toSeq == Seq((3L, "c")))
+  }
+
   test("docs generate writes a catalog of materialized relations") {
     val w = wh()
     val spec = PipelineSpec(Seq(

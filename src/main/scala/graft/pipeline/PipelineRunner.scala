@@ -2051,6 +2051,35 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     finishNodeCommand(command, outcomes)
   }
 
+  /** The `clone` command body (also `retry` of one): per-node error
+    * capture + run_results artifact, so a partial clone failure
+    * (disk full mid-copy) is retryable like any node command.
+    */
+  private def runCloneCommand(command: String, recordAs: String,
+      sel: Selection, fullRefresh: Boolean,
+      only: Option[Set[String]]): CommandResult = {
+    val dir = sel.state.getOrElse(sys.error(
+      "clone requires --state <dir> with a prior warehouse"))
+    val st = new PipelineRunner(spark, spec, dir)
+    val deps = resourceDeps
+    val names = topoOrderIn(deps, selectIn(deps, sel))
+      .filter(st.tableExists)
+      .filter(n => fullRefresh || !tableExists(n))
+      .filter(n => only.forall(_(n)))
+    val outcomes = names.map { n =>
+      try (n, NodeStatus.Success(cloneTable(st, n)): NodeStatus)
+      catch {
+        case e: Exception =>
+          logger.log(LogLevel.ERROR, s"clone: $n failed: ${e.getMessage}")
+          (n, NodeStatus.Failed(String.valueOf(e.getMessage)): NodeStatus)
+      }
+    }
+    recordRunResults(recordAs, outcomes.map { case (n, s0) =>
+      (resourceKind(n), n, s0)
+    })
+    finishNodeCommand(command, outcomes)
+  }
+
   private def finishNodeCommand(command: String,
       outcomes: Seq[(String, NodeStatus)]): CommandResult = {
     val counts = outcomes.collect {
@@ -2327,6 +2356,10 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
                 case Seq("snapshot", "--at", asOf) =>
                   runSnapshotsCommand(command, prev,
                     spec.snapshots.filter(sn => redo(sn.name)), asOf)
+                case "clone" +: flags if parseCloneFlags(flags).isDefined =>
+                  val (sel, fullRefresh) = parseCloneFlags(flags).get
+                  runCloneCommand(command, prev, sel, fullRefresh,
+                    Some(redo))
                 case _ => CommandResult(command, success = false, Nil,
                   Map.empty, Some(s"retry: unsupported command: $prev"))
               }
@@ -2411,15 +2444,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         // `--full-refresh`; nodes without a state table are skipped.
         case "clone" +: flags if parseCloneFlags(flags).isDefined =>
           val (sel, fullRefresh) = parseCloneFlags(flags).get
-          val dir = sel.state.getOrElse(sys.error(
-            "clone requires --state <dir> with a prior warehouse"))
-          val st = new PipelineRunner(spark, spec, dir)
-          val deps = resourceDeps
-          val names = topoOrderIn(deps, selectIn(deps, sel))
-            .filter(st.tableExists)
-            .filter(n => fullRefresh || !tableExists(n))
-          val counts = names.map(n => n -> cloneTable(st, n)).toMap
-          CommandResult(command, success = true, names, counts, None)
+          runCloneCommand(command, command, sel, fullRefresh, None)
         // `dbt docs generate` — write the catalog artifact
         // (<warehouse>/target/catalog.json): per MATERIALIZED
         // relation its kind, ordered columns with Spark SQL types,

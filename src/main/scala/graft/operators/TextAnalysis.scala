@@ -22,6 +22,45 @@ object TextAnalysis {
     size(filter(split(lower(text), "\\s+"), t => t =!= "")) +
       size(filter(split(lower(text), "[a-z0-9\\s]+"), t => t =!= ""))
 
+  /** Corpus TF-IDF, top-k terms per document — the classic keyword /
+    * topic-signal extractor over a training corpus.
+    *
+    * 100 TB shape: tokenize-explode is map-only; tf is one shuffle on
+    * (doc, term) with map-side partial counts; document frequency
+    * reuses the tf pairs (partial-agg on term); the doc count rides
+    * in as a broadcast scalar; tf⋈idf shuffles on term (the vocab can
+    * be large — no broadcast assumption); the final top-k is a
+    * per-doc window. No driver-side actions, no data rescans.
+    *
+    * Determinism across engines: idf = ln(N/df) is quantized per TERM
+    * to a BIGINT (`round(ln·1e6)`) before scoring, so the score is
+    * exact integer math (`tf * idf_q`) and the top-k ranking (score
+    * desc, term asc) cannot flip on last-ulp libm differences — the
+    * same trick as the embedding ops' fixed-point dot products.
+    */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val nDocs = docs.select(
+      countDistinct(col(idCol)).cast("double").as("n_docs"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"),
+        round(log(col("n_docs") / col("df")) * 1e6).cast("long")
+          .as("idf_q"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_q").desc, col("term"))
+    tf.join(idf, "term")
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf") * col("idf_q")).as("score_q"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).drop("rk")
+  }
+
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 

@@ -287,6 +287,12 @@ object LlmOps extends QueryGroup {
         TextAnalysis.langId(col("text")).as("lang_guess"))
         .orderBy("doc_id")),
 
+    // top-5 TF-IDF terms per document; integer-quantized idf keeps
+    // the ranking engine-portable (see TextAnalysis.tfIdfTopK)
+    "llm_tfidf_topk" -> ((s, d) =>
+      TextAnalysis.tfIdfTopK(Tables.documents(s, d), "doc_id", "text", 5)
+        .orderBy(col("doc_id"), col("score_q").desc, col("term"))),
+
     "llm_quality_score" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -523,6 +529,29 @@ object LlmOps extends QueryGroup {
       s"""SELECT tok, count(*) AS n
          |FROM (SELECT unnest($toks) AS tok FROM documents) t
          |GROUP BY tok ORDER BY n DESC, tok LIMIT 100""".stripMargin,
+
+    "llm_tfidf_topk" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest($toks) AS term FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM terms GROUP BY doc_id, term
+         |), dft AS (
+         |  SELECT term,
+         |    CAST(round(ln(CAST((SELECT count(DISTINCT doc_id)
+         |                        FROM documents) AS DOUBLE)
+         |                  / count(*)) * 1e6) AS BIGINT) AS idf_q
+         |  FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf,
+         |    tf.tf * dft.idf_q AS score_q
+         |  FROM tf JOIN dft ON tf.term = dft.term
+         |)
+         |SELECT doc_id, term, tf, score_q FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score_q DESC, term) AS rk
+         |  FROM scored) WHERE rk <= 5
+         |ORDER BY doc_id, score_q DESC, term""".stripMargin,
 
     "llm_langid" -> {
       def h(words: Seq[String]) =

@@ -17,18 +17,17 @@ import org.apache.spark.sql.types._
 object Windows extends QueryGroup {
 
   /** THE entry point for global quantile bucketing — callers choose the
-    * tier explicitly instead of discovering the single-task sort the
-    * hard way.
+    * tier explicitly.
     *
-    * - `exact = false` (DEFAULT, the 100 TB path): bucket boundaries
-    *   from `approx_percentile` (one pass, mergeable sketch), then a
+    * - `exact = false` (DEFAULT, the one-pass 100 TB path): bucket
+    *   boundaries from `approx_percentile` (mergeable sketch), then a
     *   map-only broadcast compare — every stage fully parallel.
     *   Disagreement with the exact form is confined to rows within
     *   sketch error of a boundary; ApproxAndSampleSpec pins ≥95 %
     *   row agreement and exact bucket counts within ±accuracy.
-    * - `exact = true` (oracle/small-data only): window `ntile` over a
-    *   global sort — a SINGLE TASK by construction. Never run it on a
-    *   table that does not fit one executor.
+    * - `exact = true`: EXACT global ntile, still distributed — a
+    *   range-partitioned sort plus a per-partition offset pass (see
+    *   [[globalRankExact]]); no single-task window anywhere.
     *
     * Ties: the approx form assigns equal values to the same bucket
     * (boundary compare), where exact ntile splits them by row
@@ -41,7 +40,8 @@ object Windows extends QueryGroup {
                   accuracy: Int = 10000): DataFrame = {
     require(n >= 2, "n must be >= 2")
     if (exact) {
-      df.withColumn("bucket", ntile(n).over(Window.orderBy(col(valueCol))))
+      globalRankExact(df, valueCol, Nil, n)
+        .drop("pr", "cd")
     } else {
       val ps = (1 until n).map(_.toDouble / n).mkString(", ")
       val bounds = df.agg(
@@ -52,6 +52,76 @@ object Windows extends QueryGroup {
             when(col(valueCol) > col("bs")(i), 1).otherwise(0)).reduce(_ + _))
         .drop("bs")
     }
+  }
+
+  /** EXACT global `ntile` / `percent_rank` / `cume_dist` WITHOUT the
+    * single-task global window: semantically identical to
+    * `ntile(n) OVER (ORDER BY value[, ties...])`,
+    * `percent_rank()/cume_dist() OVER (ORDER BY value)`, but every
+    * stage is distributed — the 100 TB form of an exact global rank.
+    *
+    * Mechanism (the classic scalable global row-number):
+    *  1. range-repartition + in-partition sort on (value, ties) — a
+    *     total order spread over P partitions;
+    *  2. `localCheckpoint` pins the sorted data so the two passes
+    *     below see identical row order (and the lineage isn't
+    *     recomputed per pass);
+    *  3. per-partition row COUNTS (a P-sized array on the driver) →
+    *     prefix-sum offsets;
+    *  4. a map-only pass attaches the exact global 0-based index.
+    * `ntile` follows SQL semantics (first N%n buckets get the extra
+    * row) computed arithmetically from (index, N). `percent_rank` =
+    * first-index(value)/(N-1) and `cume_dist` =
+    * (last-index(value)+1)/N share ranks across ties like the SQL
+    * functions — computed by a per-VALUE min/max aggregation joined
+    * back, one extra shuffle on value.
+    *
+    * Cost vs the window form: one range exchange + checkpoint write +
+    * two passes + one value-shuffle — all O(rows/P) per task, where
+    * the window form is O(rows) on ONE task (a non-starter past one
+    * executor's memory).
+    */
+  def globalRankExact(df: DataFrame, valueCol: String,
+      tieCols: Seq[String], n: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = df.sparkSession
+    val sortCols = (valueCol +: tieCols).map(col)
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val sorted = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .localCheckpoint()
+    val counts = sorted.rdd
+      .mapPartitions(it => Iterator(it.size.toLong), true).collect()
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val withIdx = sorted.rdd.mapPartitionsWithIndex({ (pi, it) =>
+      var i = offsets(pi)
+      it.map { r => val out = Row.fromSeq(r.toSeq :+ i); i += 1; out }
+    }, true)
+    val idxDf = spark.createDataFrame(withIdx,
+      sorted.schema.add("__gidx", LongType))
+    // SQL NTILE: base = N/n rows per bucket, the first N%n buckets
+    // take one extra
+    val base = lit(total / n)
+    val rem = lit(total % n)
+    val idx = col("__gidx")
+    val bucket =
+      when(idx < rem * (base + 1), (idx / (base + 1)).cast(IntegerType) + 1)
+        .otherwise(
+          (rem + (idx - rem * (base + 1)) / base).cast(IntegerType) + 1)
+    // ties share percent_rank/cume_dist: per-VALUE first/last index
+    val byValue = idxDf.groupBy(col(valueCol).as("__v"))
+      .agg(min("__gidx").as("__mn"), max("__gidx").as("__mx"))
+    val pr =
+      if (total <= 1L) lit(0.0)
+      else col("__mn").cast(DoubleType) / lit((total - 1).toDouble)
+    idxDf
+      .join(byValue, idxDf(valueCol) === col("__v"))
+      .withColumn("bucket", bucket)
+      .withColumn("pr", pr)
+      .withColumn("cd",
+        (col("__mx") + 1).cast(DoubleType) / lit(total.toDouble))
+      .drop("__v", "__mn", "__mx", "__gidx")
   }
 
   override def queries: Map[String, Q] = Map(
@@ -112,22 +182,16 @@ object Windows extends QueryGroup {
         .orderBy("event_id")
     }),
 
-    // SCALE WARNING: global (un-partitioned) ntile/percent_rank is a
-    // single-task sort by construction — inherent to the semantics, do
-    // NOT run on a 100 TB fact table. Callers wanting global quantiles
-    // should go through `Windows.globalNtile` (exact=false default →
-    // the approx_percentile tier); this key is the oracle-checkable
-    // exact form, i.e. globalNtile(…, exact = true) + rank metrics.
-    "win_ntile_percent" -> ((s, d) => {
-      val total = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      val byPrice = Window.orderBy(col("o_totalprice"))
-      Tables.orders(s, d).select(
-        col("o_orderkey"),
-        ntile(4).over(total).as("bucket"),
-        percent_rank().over(byPrice).as("pr"),
-        cume_dist().over(byPrice).as("cd"))
-        .orderBy("o_orderkey")
-    }),
+    // EXACT global ntile/percent_rank/cume_dist — DISTRIBUTED (no
+    // single-task window): range-partitioned sort + per-partition
+    // offset indexing, SQL semantics reproduced arithmetically; see
+    // globalRankExact. The former single-task-window form survives
+    // only as the semantic contract this is oracle-checked against.
+    "win_ntile_percent" -> ((s, d) =>
+      globalRankExact(Tables.orders(s, d), "o_totalprice",
+        Seq("o_orderkey"), 4)
+        .select(col("o_orderkey"), col("bucket"), col("pr"), col("cd"))
+        .orderBy("o_orderkey")),
 
     "win_first_last" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")

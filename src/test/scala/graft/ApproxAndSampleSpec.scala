@@ -119,6 +119,30 @@ class ApproxAndSampleSpec extends AnyFunSuite with SparkTestBase {
       "strata without a declared fraction must be excluded")
   }
 
+  test("globalRankExact matches the single-task window semantics") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // ties (30.0 ×3), N=10 not divisible by n=3 — both the ntile
+    // remainder logic and tie-shared pr/cd are exercised
+    val df = Seq(10.0, 20.0, 30.0, 30.0, 30.0, 40.0, 50.0, 60.0, 70.0,
+      80.0).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val got = queries.Windows.globalRankExact(df, "v", Seq("id"), 3)
+      .select("id", "bucket", "pr", "cd").orderBy("id").collect()
+    val total = Window.orderBy(col("v"), col("id"))
+    val byV = Window.orderBy(col("v"))
+    val want = df.select(col("id"),
+      ntile(3).over(total).as("bucket"),
+      percent_rank().over(byV).as("pr"),
+      cume_dist().over(byV).as("cd")).orderBy("id").collect()
+    assert(got.toSeq.map(_.toSeq) == want.toSeq.map(_.toSeq))
+    // and the plan really is distributed: no empty-partition-spec
+    // window anywhere
+    val plan = queries.Windows.globalRankExact(df, "v", Seq("id"), 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window ["), s"unexpected window op:\n$plan")
+  }
+
   test("agg_collect raw (unstringified) array output stays covered") {
     import spark.implicits._
     val df = Seq((1L, 3L), (1L, 1L), (2L, 5L)).toDF("k", "v")

@@ -23,10 +23,12 @@ object Aggregates extends QueryGroup {
     *   ordinary agg shuffle, no per-group sort, error shrinks with
     *   `accuracy`. ApproxAndSampleSpec pins the approx-vs-exact
     *   agreement this wrapper relies on.
-    * - `exact = true` (oracle/small-group only): SQL `percentile` —
-    *   buffers and sorts every group's values; a skewed group at
-    *   100 TB becomes one giant task. This is the tier `agg_stats`
-    *   uses for its hash-compared exact median.
+    * - `exact = true` (small-group only): SQL `percentile` — buffers
+    *   and sorts every group's values; a skewed group at 100 TB
+    *   becomes one giant task. For exact rank statistics at scale use
+    *   `Windows.groupedRankExact` (range-partitioned, no per-group
+    *   buffer) — `agg_stats` computes its hash-compared exact median
+    *   that way.
     *
     * Returns one row per `by` group (or one global row when `by` is
     * empty) with an array<double> `percentiles` column aligned with
@@ -149,12 +151,12 @@ object Aggregates extends QueryGroup {
     // identically in Spark and DuckDB (SURVEY §2.4 agg_stats; built-in
     // stddev/corr are float-order-dependent, unusable for hash
     // compare).
-    // SCALE WARNING: the exact median sorts each group inside a window
-    // — with 3 skewed-by-construction groups that is a giant per-key
-    // sort at 100 TB. This form exists for the oracle only; callers
-    // wanting percentiles go through `Aggregates.percentiles`
-    // (exact=false default → the percentile_approx sketch tier, with
-    // ApproxAndSampleSpec pinning its error bounds).
+    // The exact median is computed DISTRIBUTED (groupedRankExact —
+    // no per-group window buffer, a skewed group spreads over many
+    // tasks). Callers wanting general percentiles go through
+    // `Aggregates.percentiles` (exact=false default → the
+    // percentile_approx sketch tier, with ApproxAndSampleSpec pinning
+    // its error bounds).
     "agg_stats" -> ((s, d) => {
       val base = Tables.lineitem(s, d).select(
         col("l_returnflag").as("rf"),
@@ -167,14 +169,31 @@ object Aggregates extends QueryGroup {
         asDouble(sum(col("p"))).as("sp"),
         asDouble(sum(col("p") * col("p"))).as("sp2"),
         asDouble(sum(col("q") * col("p"))).as("spq"))
-      val w = Window.partitionBy("rf").orderBy("q")
-      val med = base
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("rf")))
-        .filter(col("rn") === expr("(cnt+1) div 2") ||
-          col("rn") === expr("(cnt+2) div 2"))
+      // exact median at scale WITHOUT buffering rows: l_quantity has a
+      // BOUNDED value domain, so the weighted median comes from a
+      // per-(group, value) histogram — one partial-agg shuffle over
+      // the data (map-side combine), then cumulative positions over
+      // the TINY histogram (≤ groups × distinct values rows, window
+      // cost independent of table size). The middle position(s)
+      // resolve to their covering values; (qLo+qHi) is an exact
+      // DECIMAL sum and /2 is exact in binary, so the result is
+      // bit-identical to averaging the two middle rows. For unbounded
+      // value domains use Windows.groupedRankExact instead.
+      val hist = base.groupBy("rf", "q").agg(count(lit(1)).as("c"))
+      val cumW = Window.partitionBy("rf").orderBy("q")
+      val posed = hist
+        .withColumn("cum", sum("c").over(cumW))
+        .withColumn("m", sum("c").over(Window.partitionBy("rf")))
+        .withColumn("lo", expr("(m+1) div 2"))
+        .withColumn("hi", expr("(m+2) div 2"))
+      // a value's rows cover positions (cum-c+1)..cum
+      def at(p: Column) = col("cum") - col("c") < p && p <= col("cum")
+      val med = posed
         .groupBy("rf")
-        .agg((asDouble(sum(col("q"))) / count(lit(1))).as("median_qty"))
+        .agg((asDouble(
+          sum(when(at(col("lo")), col("q"))) +
+          sum(when(at(col("hi")), col("q"))))
+          / lit(2.0)).as("median_qty"))
       stats.join(med, "rf")
         .select(
           col("rf").as("l_returnflag"),

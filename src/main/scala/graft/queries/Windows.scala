@@ -81,25 +81,55 @@ object Windows extends QueryGroup {
     * the window form is O(rows) on ONE task (a non-starter past one
     * executor's memory).
     */
-  def globalRankExact(df: DataFrame, valueCol: String,
-      tieCols: Seq[String], n: Int): DataFrame = {
+  /** Attach an exact 0-based global index over `sortCols` order,
+    * distributed: range-repartition + in-partition sort (a total
+    * order spread over P partitions), `localCheckpoint` so both
+    * passes see identical row order, per-partition counts →
+    * prefix-sum offsets (a P-sized driver array), then a map-only
+    * index pass. Returns (df + `__gidx` long column, total rows).
+    */
+  private def attachGlobalIndex(df: DataFrame,
+      sortCols: Seq[String]): (DataFrame, Long) = {
     import org.apache.spark.sql.Row
     val spark = df.sparkSession
-    val sortCols = (valueCol +: tieCols).map(col)
+    val cols = sortCols.map(col)
     val parts = math.max(spark.sparkContext.defaultParallelism, 1)
-    val sorted = df.repartitionByRange(parts, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
+    val sorted = df.repartitionByRange(parts, cols: _*)
+      .sortWithinPartitions(cols: _*)
       .localCheckpoint()
     val counts = sorted.rdd
       .mapPartitions(it => Iterator(it.size.toLong), true).collect()
     val offsets = counts.scanLeft(0L)(_ + _)
-    val total = offsets.last
     val withIdx = sorted.rdd.mapPartitionsWithIndex({ (pi, it) =>
       var i = offsets(pi)
       it.map { r => val out = Row.fromSeq(r.toSeq :+ i); i += 1; out }
     }, true)
-    val idxDf = spark.createDataFrame(withIdx,
-      sorted.schema.add("__gidx", LongType))
+    (spark.createDataFrame(withIdx, sorted.schema.add("__gidx", LongType)),
+      offsets.last)
+  }
+
+  /** Exact per-GROUP rank over `valueCol` order WITHOUT a per-group
+    * window: the grouped analogue of [[globalRankExact]]. A per-group
+    * window task buffers its whole group (a skewed group at 100 TB is
+    * one giant task); here the sort is range-partitioned over
+    * (group, value) so a huge group spreads across many tasks.
+    * Returns df + `__w` (1-based rank in group, ties in checkpointed
+    * order) + `__m` (group size) — enough for exact medians,
+    * quantiles, top-k.
+    */
+  def groupedRankExact(df: DataFrame, by: Seq[String],
+      valueCol: String): DataFrame = {
+    val (idxDf, _) = attachGlobalIndex(df, by :+ valueCol)
+    val g = idxDf.groupBy(by.map(col): _*)
+      .agg(min("__gidx").as("__mn"), count(lit(1)).as("__m"))
+    idxDf.join(g, by)
+      .withColumn("__w", col("__gidx") - col("__mn") + 1)
+      .drop("__gidx", "__mn")
+  }
+
+  def globalRankExact(df: DataFrame, valueCol: String,
+      tieCols: Seq[String], n: Int): DataFrame = {
+    val (idxDf, total) = attachGlobalIndex(df, valueCol +: tieCols)
     // SQL NTILE: base = N/n rows per bucket, the first N%n buckets
     // take one extra
     val base = lit(total / n)

@@ -143,6 +143,22 @@ class ApproxAndSampleSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Window ["), s"unexpected window op:\n$plan")
   }
 
+  test("groupedRankExact matches the per-group window rank") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = Seq(("a", 3.0), ("a", 1.0), ("a", 2.0), ("a", 2.0),
+      ("b", 9.0), ("b", 5.0), ("c", 7.0)).toDF("g", "v")
+    val got = queries.Windows.groupedRankExact(df, Seq("g"), "v")
+      .select("g", "v", "__w", "__m")
+      .orderBy("g", "__w").collect().map(_.toSeq)
+    val w = Window.partitionBy("g").orderBy("v")
+    val want = df.select(col("g"), col("v"),
+      row_number().over(w).cast("long").as("__w"),
+      count(lit(1)).over(Window.partitionBy("g")).as("__m"))
+      .orderBy("g", "__w").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("agg_collect raw (unstringified) array output stays covered") {
     import spark.implicits._
     val df = Seq((1L, 3L), (1L, 1L), (2L, 5L)).toDF("k", "v")

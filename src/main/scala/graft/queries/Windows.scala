@@ -218,8 +218,11 @@ object Windows extends QueryGroup {
     // globalRankExact. The former single-task-window form survives
     // only as the semantic contract this is oracle-checked against.
     "win_ntile_percent" -> ((s, d) =>
-      globalRankExact(Tables.orders(s, d), "o_totalprice",
-        Seq("o_orderkey"), 4)
+      // project to the rank inputs BEFORE indexing: the checkpoint
+      // and both shuffles then carry 2 columns, not the whole table
+      globalRankExact(
+        Tables.orders(s, d).select("o_totalprice", "o_orderkey"),
+        "o_totalprice", Seq("o_orderkey"), 4)
         .select(col("o_orderkey"), col("bucket"), col("pr"), col("cd"))
         .orderBy("o_orderkey")),
 

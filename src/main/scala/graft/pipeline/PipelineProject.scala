@@ -20,6 +20,14 @@ import org.apache.spark.sql.types.StructType
   *                         #   not_null:model:col
   *                         #   accepted_values:model:col:v1|v2
   *                         #   relationships:model:col:parent:pcol
+  *                         # each may append `:severity=warn|error`
+  *   tests/<name>.sql      # dbt SINGULAR test: SQL whose rows are
+  *                         # violations; {{ ref }}/{{ source }} declare
+  *                         # what it reads
+  *   unit_tests/<name>/    # dbt unit test (dbt-core >=1.8):
+  *     model               #   the model under test (one line)
+  *     given_<dep>.csv/.ddl#   fixture rows per mocked input
+  *     expect.csv/.ddl     #   expected output rows
   *   snapshots.conf        # SCD2 snapshots, one per line:
   *                         #   name:source:key1,key2:cmp1,cmp2
   * }}}
@@ -35,7 +43,8 @@ import org.apache.spark.sql.types.StructType
   *             unique_key='c1,c2'[, buckets='32'][, partition_by='c3']) }}
   * }}}
   * Any form may add `pre_hook='sql'` / `post_hook='sql'` (`;;` joins
-  * multiple statements — dbt's list form). No header → `view` (dbt's
+  * multiple statements — dbt's list form) and `tags='t1,t2'` (dbt
+  * config tags, feeding `--select tag:`). No header → `view` (dbt's
   * default materialization).
   */
 object PipelineProject {
@@ -114,6 +123,8 @@ object PipelineProject {
           def hooks(k: String): Seq[String] = kv.get(k).toSeq
             .flatMap(_.split(";;")).map(_.trim).filter(_.nonEmpty)
           Model.sql(name, body, parseMat(header, name),
+            tags = kv.get("tags").toSeq
+              .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
             preHooks = hooks("pre_hook"), postHooks = hooks("post_hook"))
         }
 
@@ -134,22 +145,75 @@ object PipelineProject {
         }
 
     val testsFile = root.resolve("tests.conf")
-    val tests: Seq[DataTest] =
+    def cfg(extra: Seq[String], line: String): TestConfig = extra match {
+      case Nil => TestConfig()
+      case Seq(s) if s.startsWith("severity=") =>
+        TestConfig(severity = Severity.parse(s.stripPrefix("severity=")))
+      case _ => sys.error(s"tests.conf: unparseable line: $line")
+    }
+    val generic: Seq[DataTest] =
       if (!Files.exists(testsFile)) Nil
       else Files.readString(testsFile).linesIterator
         .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
         .map { l =>
           l.split(":", -1).toSeq match {
-            case Seq("unique", m, cols) =>
-              DataTest.Unique(m, cols.split(',').map(_.trim).toSeq)
-            case Seq("not_null", m, c) => DataTest.NotNull(m, c)
-            case Seq("accepted_values", m, c, vs) =>
-              DataTest.AcceptedValues(m, c, vs.split('|').map(_.trim).toSeq)
-            case Seq("relationships", m, c, pm, pc) =>
-              DataTest.Relationships(m, c, pm, pc)
+            case "unique" +: m +: cols +: extra =>
+              DataTest.Unique(m, cols.split(',').map(_.trim).toSeq,
+                cfg(extra, l))
+            case "not_null" +: m +: c +: extra =>
+              DataTest.NotNull(m, c, cfg(extra, l))
+            case "accepted_values" +: m +: c +: vs +: extra =>
+              DataTest.AcceptedValues(m, c,
+                vs.split('|').map(_.trim).toSeq, cfg(extra, l))
+            case "relationships" +: m +: c +: pm +: pc +: extra =>
+              DataTest.Relationships(m, c, pm, pc, cfg(extra, l))
             case _ => sys.error(s"tests.conf: unparseable line: $l")
           }
         }.toSeq
+    // dbt singular tests: tests/<name>.sql, rows = violations
+    val testsDir = root.resolve("tests")
+    val singular: Seq[DataTest] =
+      if (!Files.isDirectory(testsDir)) Nil
+      else listFiles(testsDir)
+        .filter(_.getFileName.toString.endsWith(".sql"))
+        .sortBy(_.getFileName.toString)
+        .map { p =>
+          DataTest.Singular(p.getFileName.toString.stripSuffix(".sql"),
+            Files.readString(p))
+        }
+    val tests = generic ++ singular
+
+    // dbt unit tests (>=1.8): unit_tests/<name>/ with a `model` file,
+    // given_<dep>.csv/.ddl fixtures, expect.csv/.ddl
+    val unitDir = root.resolve("unit_tests")
+    def fixture(csv: Path, name: String): Fixture = {
+      val ddl = csv.resolveSibling(
+        csv.getFileName.toString.stripSuffix(".csv") + ".ddl")
+      require(Files.exists(ddl),
+        s"unit test fixture ${csv.getFileName}: missing schema ${ddl.getFileName}")
+      Fixture(Files.readString(csv).linesIterator.filter(_.nonEmpty).toSeq,
+        StructType.fromDDL(Files.readString(ddl).trim))
+    }
+    val unitTests: Seq[UnitTest] =
+      if (!Files.isDirectory(unitDir)) Nil
+      else listFiles(unitDir).filter(Files.isDirectory(_))
+        .sortBy(_.getFileName.toString)
+        .map { d =>
+          val name = d.getFileName.toString
+          val modelFile = d.resolve("model")
+          require(Files.exists(modelFile),
+            s"unit test $name: missing `model` file")
+          val given = listFiles(d)
+            .filter(_.getFileName.toString
+              .matches("given_.*\\.csv"))
+            .map { p =>
+              val dep = p.getFileName.toString
+                .stripPrefix("given_").stripSuffix(".csv")
+              dep -> fixture(p, name)
+            }.toMap
+          UnitTest(name, Files.readString(modelFile).trim, given,
+            fixture(d.resolve("expect.csv"), name))
+        }
 
     val snapsFile = root.resolve("snapshots.conf")
     val snapshots: Seq[SnapshotDef] =
@@ -179,8 +243,9 @@ object PipelineProject {
           }
         }.toSeq
 
-    PipelineSpec(models = models, tests = tests, sources = sources,
-      seeds = seeds, snapshots = snapshots, freshness = freshness)
+    PipelineSpec(models = models, tests = tests, unitTests = unitTests,
+      sources = sources, seeds = seeds, snapshots = snapshots,
+      freshness = freshness)
   }
 
   /** Unzip (rejecting path-traversal entries) into `scratchDir`, locate

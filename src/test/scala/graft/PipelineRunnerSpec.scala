@@ -639,6 +639,58 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(mats("m_d") == Materialization.View)
   }
 
+  test("project loads singular tests, unit tests, tags and severity") {
+    val proj = java.nio.file.Paths.get(wh())
+    import java.nio.file.{Files => F}
+    F.createDirectories(proj.resolve("models"))
+    F.createDirectories(proj.resolve("tests"))
+    F.createDirectories(proj.resolve("unit_tests/prj_ut"))
+    F.writeString(proj.resolve("models/prj_m.sql"),
+      """{{ config(materialized='table', tags='gold,daily') }}
+        |SELECT code, label FROM {{ ref('prj_codes') }}""".stripMargin)
+    F.createDirectories(proj.resolve("seeds"))
+    F.writeString(proj.resolve("seeds/prj_codes.csv"),
+      "code,label\n1,one\n2,two\n")
+    F.writeString(proj.resolve("seeds/prj_codes.ddl"),
+      "code INT, label STRING")
+    // generic test with a severity config
+    F.writeString(proj.resolve("tests.conf"),
+      "accepted_values:prj_m:label:one|three:severity=warn\n")
+    // singular test: labels must be lowercase (none violate)
+    F.writeString(proj.resolve("tests/prj_lower.sql"),
+      "SELECT * FROM {{ ref('prj_m') }} WHERE label <> lower(label)")
+    // unit test over a mocked seed
+    F.writeString(proj.resolve("unit_tests/prj_ut/model"), "prj_m\n")
+    F.writeString(proj.resolve("unit_tests/prj_ut/given_prj_codes.csv"),
+      "code,label\n7,seven\n")
+    F.writeString(proj.resolve("unit_tests/prj_ut/given_prj_codes.ddl"),
+      "code INT, label STRING")
+    F.writeString(proj.resolve("unit_tests/prj_ut/expect.csv"),
+      "code,label\n7,seven\n")
+    F.writeString(proj.resolve("unit_tests/prj_ut/expect.ddl"),
+      "code INT, label STRING")
+
+    val spec = PipelineProject.load(proj.toString)
+    assert(spec.models.head.tags == Seq("gold", "daily"))
+    assert(spec.tests.map(_.name).toSet ==
+      Set("accepted_values_prj_m_label", "prj_lower"))
+    assert(spec.tests.collectFirst {
+      case t: DataTest.AcceptedValues => t.config.severity
+    }.contains(Severity.Warn))
+    assert(spec.unitTests.map(_.name) == Seq("prj_ut"))
+
+    val r = new PipelineRunner(spark, spec, wh())
+    // build: seed -> unit test gate -> model -> tests; the warn-
+    // severity accepted_values violation ('two') must NOT fail it
+    val res = r.run(Seq("build"))
+    assert(res.success, res.results.flatMap(_.error).mkString("; "))
+    assert(r.readTable("prj_m").count() == 2)
+    // tag selection reaches project models
+    val r2 = new PipelineRunner(spark, spec, wh())
+    assert(r2.run(Seq("seed", "run -s tag:gold")).success)
+    assert(r2.tableExists("prj_m"))
+  }
+
   test("zip entries escaping the extraction dir are rejected") {
     val zip = s"${wh()}/evil.zip"
     val zos = new java.util.zip.ZipOutputStream(

@@ -120,11 +120,15 @@ object Windows extends QueryGroup {
   def groupedRankExact(df: DataFrame, by: Seq[String],
       valueCol: String): DataFrame = {
     val (idxDf, _) = attachGlobalIndex(df, by :+ valueCol)
+    // null-safe group equality: a NULL group key is a group like any
+    // other (groupBy semantics) — a plain === join would drop it
     val g = idxDf.groupBy(by.map(col): _*)
       .agg(min("__gidx").as("__mn"), count(lit(1)).as("__m"))
-    idxDf.join(g, by)
+      .select(by.map(c => col(c).as(s"__g_$c")) :+
+        col("__mn") :+ col("__m"): _*)
+    idxDf.join(g, by.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _))
       .withColumn("__w", col("__gidx") - col("__mn") + 1)
-      .drop("__gidx", "__mn")
+      .drop(by.map(c => s"__g_$c") :+ "__gidx" :+ "__mn": _*)
   }
 
   def globalRankExact(df: DataFrame, valueCol: String,
@@ -139,14 +143,16 @@ object Windows extends QueryGroup {
       when(idx < rem * (base + 1), (idx / (base + 1)).cast(IntegerType) + 1)
         .otherwise(
           (rem + (idx - rem * (base + 1)) / base).cast(IntegerType) + 1)
-    // ties share percent_rank/cume_dist: per-VALUE first/last index
+    // ties share percent_rank/cume_dist: per-VALUE first/last index.
+    // Null-safe equality — NULL values sort first and rank like any
+    // other tie group; a plain === join would drop them
     val byValue = idxDf.groupBy(col(valueCol).as("__v"))
       .agg(min("__gidx").as("__mn"), max("__gidx").as("__mx"))
     val pr =
       if (total <= 1L) lit(0.0)
       else col("__mn").cast(DoubleType) / lit((total - 1).toDouble)
     idxDf
-      .join(byValue, idxDf(valueCol) === col("__v"))
+      .join(byValue, idxDf(valueCol) <=> col("__v"))
       .withColumn("bucket", bucket)
       .withColumn("pr", pr)
       .withColumn("cd",

@@ -146,8 +146,14 @@ class ApproxAndSampleSpec extends AnyFunSuite with SparkTestBase {
   test("groupedRankExact matches the per-group window rank") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
+    // includes a NULL group key and a NULL value — both rank like any
+    // other group/tie (nulls first), not silently dropped
     val df = Seq(("a", 3.0), ("a", 1.0), ("a", 2.0), ("a", 2.0),
-      ("b", 9.0), ("b", 5.0), ("c", 7.0)).toDF("g", "v")
+      ("b", 9.0), ("b", 5.0), ("c", 7.0))
+      .map { case (g, v) => (g, Option(v)) }
+      .toDF("g", "v")
+      .union(Seq((null.asInstanceOf[String], Some(1.0)),
+        ("a", Option.empty[Double])).toDF("g", "v"))
     val got = queries.Windows.groupedRankExact(df, Seq("g"), "v")
       .select("g", "v", "__w", "__m")
       .orderBy("g", "__w").collect().map(_.toSeq)

@@ -1868,6 +1868,32 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     }.map((_, fullRefresh))
   }
 
+  /** `snapshot` flags: `--at <ts>` (required, the injected clock)
+    * plus select/exclude.
+    */
+  private def parseSnapshotFlags(flags: Seq[String])
+      : Option[(Selection, Option[String])] = {
+    var at: Option[String] = None
+    parseSelFlags(flags) {
+      case "--at" :: v :: t => at = Some(v); t
+    }.map((_, at))
+  }
+
+  /** dbt `seed/snapshot --select`: an empty selection means all. */
+  private def chosenSeeds(sel: Selection): Seq[Seed] =
+    if (sel.include.isEmpty && sel.exclude.isEmpty) spec.seeds
+    else {
+      val names = selectIn(resourceDeps, sel, lenient = true)
+      spec.seeds.filter(sd => names(sd.name))
+    }
+
+  private def chosenSnapshots(sel: Selection): Seq[SnapshotDef] =
+    if (sel.include.isEmpty && sel.exclude.isEmpty) spec.snapshots
+    else {
+      val names = selectIn(resourceDeps, sel, lenient = true)
+      spec.snapshots.filter(sn => names(sn.name))
+    }
+
   /** `vacuum` flags: select/exclude plus `--keep <n>` retained
     * generations (default 1 — live only).
     */
@@ -2278,10 +2304,14 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
                 spec.unitTests.filter(u => names(u.model)))
             }
           runTestsCommand(command, command, chosen, units, storeAll)
-        case Seq("seed") =>
-          runSeedsCommand(command, command, spec.seeds)
-        case Seq("snapshot", "--at", asOf) =>
-          runSnapshotsCommand(command, command, spec.snapshots, asOf)
+        case "seed" +: flags if parseSelFlags(flags)(
+            PartialFunction.empty).isDefined =>
+          val sel = parseSelFlags(flags)(PartialFunction.empty).get
+          runSeedsCommand(command, command, chosenSeeds(sel))
+        case "snapshot" +: flags if parseSnapshotFlags(flags).isDefined =>
+          val (sel, at) = parseSnapshotFlags(flags).get
+          runSnapshotsCommand(command, command, chosenSnapshots(sel),
+            at.getOrElse(sys.error("snapshot requires --at <ts>")))
         // `dbt source freshness` — the standard dbt subcommand the
         // reference can pass through its arbitrary-argv surface
         // (`dbtoperator.py:35,46`); `--at` injects the clock so runs
@@ -2350,12 +2380,17 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
                     spec.tests.filter(t => redo(t.name)),
                     spec.unitTests.filter(u => redo(u.name)),
                     storeAll)
-                case Seq("seed") =>
+                case "seed" +: flags if parseSelFlags(flags)(
+                    PartialFunction.empty).isDefined =>
+                  val sel = parseSelFlags(flags)(PartialFunction.empty).get
                   runSeedsCommand(command, prev,
-                    spec.seeds.filter(sd => redo(sd.name)))
-                case Seq("snapshot", "--at", asOf) =>
+                    chosenSeeds(sel).filter(sd => redo(sd.name)))
+                case "snapshot" +: flags
+                    if parseSnapshotFlags(flags).isDefined =>
+                  val (sel, at) = parseSnapshotFlags(flags).get
                   runSnapshotsCommand(command, prev,
-                    spec.snapshots.filter(sn => redo(sn.name)), asOf)
+                    chosenSnapshots(sel).filter(sn => redo(sn.name)),
+                    at.get)
                 case "clone" +: flags if parseCloneFlags(flags).isDefined =>
                   val (sel, fullRefresh) = parseCloneFlags(flags).get
                   runCloneCommand(command, prev, sel, fullRefresh,

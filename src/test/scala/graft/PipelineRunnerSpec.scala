@@ -2159,6 +2159,24 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(r.readTable("cl_t").count() == 1)
   }
 
+  test("seed and snapshot honor --select") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    val spec = PipelineSpec(Nil,
+      seeds = Seq(Seed("sd_a", Seq("id,v", "1,x"), sch),
+        Seed("sd_b", Seq("id,v", "2,y"), sch)),
+      snapshots = Seq(SnapshotDef("sn_a", "sd_a", Seq("id"), Seq("v")),
+        SnapshotDef("sn_b", "sd_b", Seq("id"), Seq("v"))))
+    val r = new PipelineRunner(spark, spec, wh())
+    assert(r.run(Seq("seed --select sd_a")).success)
+    assert(r.tableExists("sd_a") && !r.tableExists("sd_b"))
+    assert(r.run(Seq("seed")).success) // no selection = all
+    assert(r.run(
+      Seq("snapshot --at 2024-01-01T00:00:00 -s sn_b")).success)
+    assert(r.tableExists("sn_b") && !r.tableExists("sn_a"))
+  }
+
   test("vacuum command reclaims superseded generations per retention") {
     val w = wh()
     def spec(rows: Seq[(Long, String)]) =

@@ -970,14 +970,21 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * earlier level is skipped without occupying a pool slot.
     */
   private def runModels(names: Seq[String], threads: Int,
-      fullRefresh: Boolean): Seq[(String, NodeStatus)] = {
+      fullRefresh: Boolean, failFast: Boolean = false)
+      : Seq[(String, NodeStatus)] = {
     val selected = names.toSet
     val status = mutable.Map.empty[String, NodeStatus]
-    def shouldSkip(n: String) = byName(n).deps.exists(d =>
-      selected(d) && (status.get(d) match {
-        case Some(_: NodeStatus.Failed) | Some(NodeStatus.Skipped) => true
-        case _ => false
-      }))
+    // dbt --fail-fast: after ANY failure, no further node starts —
+    // everything unstarted is marked skipped (vs the default, where
+    // only descendants skip and independent subgraphs keep running)
+    def anyFailed = failFast &&
+      status.values.exists(_.isInstanceOf[NodeStatus.Failed])
+    def shouldSkip(n: String) = anyFailed ||
+      byName(n).deps.exists(d =>
+        selected(d) && (status.get(d) match {
+          case Some(_: NodeStatus.Failed) | Some(NodeStatus.Skipped) => true
+          case _ => false
+        }))
     def runOne(n: String): NodeStatus =
       try NodeStatus.Success(runModel(n, fullRefresh))
       catch {
@@ -1913,18 +1920,21 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * `--vars <json>`.
     */
   private def parseRunFlags(flags: Seq[String])
-      : Option[(Selection, Int, Boolean, Map[String, String], Boolean)] = {
+      : Option[(Selection, Int, Boolean, Map[String, String], Boolean,
+        Boolean)] = {
     var threads = 1
     var fullRefresh = false
     var vars = Map.empty[String, String]
     var defer = false
+    var failFast = false
     parseSelFlags(flags) {
       case "--threads" :: v :: t if v.forall(_.isDigit) =>
         threads = v.toInt; t
       case "--full-refresh" :: t => fullRefresh = true; t
       case "--vars" :: v :: t => vars = parseVarsJson(v); t
       case "--defer" :: t => defer = true; t
-    }.map((_, threads, fullRefresh, vars, defer))
+      case "--fail-fast" :: t => failFast = true; t
+    }.map((_, threads, fullRefresh, vars, defer, failFast))
   }
 
   /** `build` flags: select/exclude, `--full-refresh`, `--at <ts>`
@@ -1990,8 +2000,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     */
   private def runModelsCommand(command: String, recordAs: String,
       names: Seq[String], threads: Int,
-      fullRefresh: Boolean): CommandResult = withRunHooks(command) {
-    val outcomes = runModels(names, threads, fullRefresh)
+      fullRefresh: Boolean,
+      failFast: Boolean = false): CommandResult = withRunHooks(command) {
+    val outcomes = runModels(names, threads, fullRefresh, failFast)
     recordRunResults(recordAs, outcomes.map { case (n, st) =>
       ("model", n, st)
     })
@@ -2274,13 +2285,13 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             if (missing.isEmpty) None
             else Some(s"unresolvable sources: ${missing.mkString(",")}"))
         case "run" +: flags if parseRunFlags(flags).isDefined =>
-          val (sel, threads, fullRefresh, vars, defer) =
+          val (sel, threads, fullRefresh, vars, defer, failFast) =
             parseRunFlags(flags).get
           cmdVars = vars
           val chosen = select(sel)
           setDefer(defer, sel, chosen)
           runModelsCommand(command, command, topoOrder(chosen),
-            threads, fullRefresh)
+            threads, fullRefresh, failFast)
         // `test [--select|--exclude specs...]` — selection matches
         // dbt: tests attached to the selected nodes run (full atom
         // grammar over the resource graph; lenient, so a bare name
@@ -2358,14 +2369,14 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
                 CommandResult(command, success = true, Nil, Map.empty, None)
               else tokenize(prev) match {
                 case "run" +: flags if parseRunFlags(flags).isDefined =>
-                  val (sel, threads, fullRefresh, vars, defer) =
+                  val (sel, threads, fullRefresh, vars, defer, failFast) =
                     parseRunFlags(flags).get
                   cmdVars = vars
                   val chosen = select(sel)
                   setDefer(defer, sel, chosen)
                   runModelsCommand(command, prev,
                     topoOrder(chosen).filter(redo), threads,
-                    fullRefresh)
+                    fullRefresh, failFast)
                 case "build" +: flags if parseBuildFlags(flags).isDefined =>
                   val (sel, fullRefresh, at, vars, defer) =
                     parseBuildFlags(flags).get

@@ -2159,6 +2159,27 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(r.readTable("cl_t").count() == 1)
   }
 
+  test("run --fail-fast skips independent nodes after the first failure") {
+    // two INDEPENDENT chains; bad_a fails first (topo order is
+    // name-sorted within a level)
+    def spec = PipelineSpec(Seq(
+      Model("a_bad", Nil, Materialization.Table,
+        (_, _) => sys.error("boom")),
+      tableModel("b_ok", Seq((1L, "x"))),
+      Model.sql("c_down", "SELECT * FROM {{ ref('b_ok') }}",
+        Materialization.Table)))
+    // default: independent subgraph still runs
+    val r1 = new PipelineRunner(spark, spec, wh())
+    assert(!r1.run(Seq("run")).success)
+    assert(r1.tableExists("b_ok") && r1.tableExists("c_down"))
+    // --fail-fast: nothing after the failure starts
+    val r2 = new PipelineRunner(spark, spec, wh())
+    val res = r2.run(Seq("run --fail-fast"))
+    assert(!res.success)
+    assert(!r2.tableExists("b_ok") && !r2.tableExists("c_down"))
+    assert(res.results.head.error.get.contains("skipped: b_ok,c_down"))
+  }
+
   test("seed and snapshot honor --select") {
     import org.apache.spark.sql.types._
     val sch = StructType(Seq(StructField("id", LongType),

@@ -90,6 +90,7 @@ object ScalarFuncs extends QueryGroup {
         .withColumn("arr", array(col("l_orderkey"), col("l_partkey"), col("l_suppkey")))
         .select(
           col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
           aj(col("arr")).as("arr_s"),
           size(col("arr")).as("sz"),
           array_contains(col("arr"), 42L).as("has42"),
@@ -101,8 +102,12 @@ object ScalarFuncs extends QueryGroup {
           aj(flatten(array(col("arr"), array(lit(0L))))).as("flat"),
           aj(zip_with(col("arr"), col("arr"), (x, y) => x + y)).as("zp"))
         // (l_orderkey, l_linenumber) is NOT unique in the synthetic
-        // lineitem; arr_s breaks the remaining ties deterministically
-        .orderBy("l_orderkey", "l_linenumber", "arr_s")),
+        // lineitem; partkey/suppkey break the remaining ties — NUMERIC
+        // sort keys (a tie on all four means an identical arr, hence
+        // an identical row), dropped after the sort so the output
+        // schema matches the oracle's
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .drop("l_partkey", "l_suppkey")),
 
     "fn_map" -> ((s, d) =>
       Tables.events(s, d)
@@ -223,7 +228,7 @@ object ScalarFuncs extends QueryGroup {
         |  array_to_string(flatten([[l_orderkey, l_partkey, l_suppkey], [0]]), ',') AS flat,
         |  array_to_string(list_transform([l_orderkey, l_partkey, l_suppkey], x -> x + x), ',') AS zp
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, arr_s""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
 
     "fn_map" ->
       """SELECT event_id,

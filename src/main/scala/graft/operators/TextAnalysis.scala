@@ -27,10 +27,12 @@ object TextAnalysis {
     *
     * 100 TB shape: tokenize-explode is map-only; tf is one shuffle on
     * (doc, term) with map-side partial counts; document frequency
-    * reuses the tf pairs (partial-agg on term); the doc count rides
-    * in as a broadcast scalar; tf⋈idf shuffles on term (the vocab can
-    * be large — no broadcast assumption); the final top-k is a
-    * per-doc window. No driver-side actions, no data rescans.
+    * reuses the tf pairs (partial-agg on term); the doc count is a
+    * SECOND full scan of `docs` (it cannot come from tf — token-less
+    * docs still count toward N), riding in as a broadcast scalar;
+    * tf⋈idf shuffles on term (the vocab can be large — no broadcast
+    * assumption); the final top-k is a per-doc window. No driver-side
+    * actions.
     *
     * Determinism across engines: idf = ln(N/df) is quantized per TERM
     * to a BIGINT (`round(ln·1e6)`) before scoring, so the score is

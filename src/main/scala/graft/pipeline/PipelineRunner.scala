@@ -974,11 +974,16 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       : Seq[(String, NodeStatus)] = {
     val selected = names.toSet
     val status = mutable.Map.empty[String, NodeStatus]
-    // dbt --fail-fast: after ANY failure, no further node starts —
+    // dbt --fail-fast: after ANY failure, no further node STARTS —
     // everything unstarted is marked skipped (vs the default, where
-    // only descendants skip and independent subgraphs keep running)
-    def anyFailed = failFast &&
-      status.values.exists(_.isInstanceOf[NodeStatus.Failed])
+    // only descendants skip and independent subgraphs keep running).
+    // The flag is an AtomicBoolean because under --threads N the
+    // check happens at TASK start on pool threads (a queued future
+    // whose level-mate already failed must skip, not run — the level
+    // submits all its futures up front), while `status` is only ever
+    // written on the scheduler thread.
+    val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def anyFailed = failFast && failed.get()
     def shouldSkip(n: String) = anyFailed ||
       byName(n).deps.exists(d =>
         selected(d) && (status.get(d) match {
@@ -986,12 +991,17 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           case _ => false
         }))
     def runOne(n: String): NodeStatus =
-      try NodeStatus.Success(runModel(n, fullRefresh))
-      catch {
-        case e: Exception =>
-          logger.log(LogLevel.ERROR, s"run: $n failed: ${e.getMessage}")
-          NodeStatus.Failed(String.valueOf(e.getMessage))
-      }
+      if (anyFailed) {
+        logger.log(LogLevel.WARNING, s"run: skipping $n (--fail-fast)")
+        NodeStatus.Skipped
+      } else
+        try NodeStatus.Success(runModel(n, fullRefresh))
+        catch {
+          case e: Exception =>
+            logger.log(LogLevel.ERROR, s"run: $n failed: ${e.getMessage}")
+            failed.set(true)
+            NodeStatus.Failed(String.valueOf(e.getMessage))
+        }
     if (threads <= 1)
       names.foreach(n =>
         status(n) = if (shouldSkip(n)) NodeStatus.Skipped else runOne(n))
@@ -1181,12 +1191,19 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
 
   /** Resolve any node name to a frame for TESTS (dbt `test --defer`):
     * local table, else session view/source, else the state table.
+    * Like [[storedRelation]], only UNSELECTED nodes defer — a node
+    * the command selected but failed to build must error loudly, not
+    * silently read the state environment's stale relation (`test`
+    * arms defer with an empty selected set, so everything defers
+    * there; `build --defer` passes its real selection).
     */
   private[pipeline] def testRelation(name: String): DataFrame =
     if (tableExists(name)) readTable(name)
     else if (spark.catalog.tableExists(name)) spark.table(name)
     else deferCtx match {
-      case Some((_, st)) if st.tableExists(name) => st.readTable(name)
+      case Some((selected, st))
+          if !selected(name) && st.tableExists(name) =>
+        st.readTable(name)
       case _ => spark.table(name)
     }
 
@@ -1224,7 +1241,10 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     lockFor(name).synchronized { tracked {
       val srcMembers = st.currentManifest(name).getOrElse(
         sys.error(s"clone: $name has no committed generation in state"))
-      val schema = st.currentSchema(name).getOrElse(StructType(Nil))
+      // fail loudly rather than publish an empty schema — readTable
+      // of a '#schema:<empty struct>' generation returns 0-column rows
+      val schema = st.currentSchema(name).getOrElse(sys.error(
+        s"clone: $name has no stored schema in state (legacy layout?)"))
       def copyRec(from: Path, to: Path): Unit = {
         import scala.jdk.CollectionConverters._
         val s = Files.walk(from)
@@ -1239,9 +1259,20 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       }
       val srcBatches = srcMembers.map(_.split('/').take(2).mkString("/"))
         .distinct.sorted
+      // copy per MEMBER, not per batch dir: a rewritten batch can hold
+      // partition dirs its live manifest no longer references (kept
+      // for time travel in the SOURCE) — batch-level copies would bake
+      // that unreferenced data into the clone as garbage its own
+      // vacuum could never reclaim (the batch stays referenced)
+      val byBatch = srcMembers.groupBy(_.split('/').take(2).mkString("/"))
       val batchMap = srcBatches.map { sb =>
-        sb -> writeBatch(name, dst =>
-          copyRec(Paths.get(st.tablePath(name), sb), Paths.get(dst)))
+        sb -> writeBatch(name, dst => byBatch(sb).foreach { m =>
+          val sub = m.split('/').drop(2).mkString("/")
+          val from = Paths.get(st.tablePath(name), m)
+          val to =
+            if (sub.isEmpty) Paths.get(dst) else Paths.get(dst, sub)
+          copyRec(from, to)
+        })
       }.toMap
       val newMembers = srcMembers.map { m =>
         val parts = m.split('/')
@@ -1570,9 +1601,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
 
   /** Load one seed CSV (header + declared schema) and publish it. */
   private def runSeed(seed: Seed): Long = tracked {
-    import spark.implicits._
-    val df = spark.read.option("header", "true").schema(seed.schema)
-      .csv(spark.createDataset(seed.csvLines))
+    val df = csvRows(seed.csvLines, seed.schema)
     val rel = publish(seed.name, df.schema,
       p => df.write.mode("overwrite").parquet(p))
     writtenCount(seed.name, rel, df.schema)
@@ -1642,10 +1671,17 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     (if (fails) Some(t.name) else None, warns)
   }
 
-  private def loadFixture(f: Fixture): DataFrame =
-    spark.read.option("header", "true").schema(f.schema)
-      .csv(spark.createDataset(f.csvLines)(
+  /** Header+schema CSV-lines loading shared by seeds and unit-test
+    * fixtures — one parser, so fixture semantics can never diverge
+    * from seed semantics.
+    */
+  private def csvRows(lines: Seq[String], schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema)
+      .csv(spark.createDataset(lines)(
         org.apache.spark.sql.Encoders.STRING))
+
+  private def loadFixture(f: Fixture): DataFrame =
+    csvRows(f.csvLines, f.schema)
 
   /** Execute one unit test ([[UnitTest]] semantics): build the model
     * against its mocked inputs only and multiset-compare the output's

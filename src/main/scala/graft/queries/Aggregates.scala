@@ -25,10 +25,11 @@ object Aggregates extends QueryGroup {
     *   agreement this wrapper relies on.
     * - `exact = true` (small-group only): SQL `percentile` — buffers
     *   and sorts every group's values; a skewed group at 100 TB
-    *   becomes one giant task. For exact rank statistics at scale use
-    *   `Windows.groupedRankExact` (range-partitioned, no per-group
-    *   buffer) — `agg_stats` computes its hash-compared exact median
-    *   that way.
+    *   becomes one giant task. For exact rank statistics at scale:
+    *   bounded value domains → a per-(group,value) histogram (how
+    *   `agg_stats` computes its hash-compared exact median); unbounded
+    *   domains → `Windows.groupedRankExact` (range-partitioned,
+    *   no per-group buffer).
     *
     * Returns one row per `by` group (or one global row when `by` is
     * empty) with an array<double> `percentiles` column aligned with
@@ -151,9 +152,10 @@ object Aggregates extends QueryGroup {
     // identically in Spark and DuckDB (SURVEY §2.4 agg_stats; built-in
     // stddev/corr are float-order-dependent, unusable for hash
     // compare).
-    // The exact median is computed DISTRIBUTED (groupedRankExact —
-    // no per-group window buffer, a skewed group spreads over many
-    // tasks). Callers wanting general percentiles go through
+    // The exact median is computed DISTRIBUTED via a per-(group,value)
+    // HISTOGRAM (no per-group buffer — see the block comment below;
+    // for unbounded value domains use Windows.groupedRankExact).
+    // Callers wanting general percentiles go through
     // `Aggregates.percentiles` (exact=false default → the
     // percentile_approx sketch tier, with ApproxAndSampleSpec pinning
     // its error bounds).

@@ -2180,6 +2180,67 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(res.results.head.error.get.contains("skipped: b_ok,c_down"))
   }
 
+  test("run --fail-fast stops queued level-mates under --threads") {
+    // flat DAG, 2 pool threads: a_bad fails in ms while c_1 (300 ms)
+    // occupies the other thread; c_2..c_4 are queued and must SKIP at
+    // task start (in-flight c_1 finishes — dbt semantics)
+    def slow(name: String) = Model(name, Nil, Materialization.Table,
+      (sp, _) => { import sp.implicits._
+        Thread.sleep(300); Seq((1L, name)).toDF("id", "v") })
+    val spec = PipelineSpec(Seq(
+      Model("a_bad", Nil, Materialization.Table,
+        (_, _) => sys.error("boom")),
+      slow("c_1"), slow("c_2"), slow("c_3"), slow("c_4")))
+    val r = new PipelineRunner(spark, spec, wh())
+    val res = r.run(Seq("run --threads 2 --fail-fast"))
+    assert(!res.success)
+    assert(!r.tableExists("c_2") && !r.tableExists("c_3") &&
+      !r.tableExists("c_4"),
+      "queued tasks must not run after the failure")
+  }
+
+  test("clone copies only live members, not superseded bucket dirs") {
+    val prod = wh()
+    def spec(rows: Seq[(Long, String)]) = PipelineSpec(Seq(
+      Model("clg_m", Nil, Materialization.IncrementalMerge(Seq("id"),
+        buckets = 2),
+        (sp, _) => { import sp.implicits._; rows.toDF("id", "v") })))
+    // run 1: keys hashing to both buckets; run 2: delta touching ONE
+    // bucket → batch1's rewritten bucket dir stays on disk for time
+    // travel but leaves the live manifest
+    val r1 = new PipelineRunner(spark,
+      spec(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))), prod)
+    assert(r1.run(Seq("run")).success)
+    val r2 = new PipelineRunner(spark, spec(Seq((1L, "A"))), prod)
+    assert(r2.run(Seq("run")).success)
+    val prodBuckets = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(prod, "clg_m", "data"))
+    val prodGbDirs = try {
+      import scala.jdk.CollectionConverters._
+      prodBuckets.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("__gbucket="))
+        .size
+    } finally prodBuckets.close()
+
+    val ci = wh()
+    val rc = new PipelineRunner(spark, spec(Nil), ci)
+    assert(rc.run(Seq(s"clone --state $prod")).success)
+    assert(rc.readTable("clg_m").orderBy("id").as[(Long, String)]
+      .collect().toSeq ==
+      Seq((1L, "A"), (2L, "b"), (3L, "c"), (4L, "d")))
+    val s = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(ci, "clg_m", "data"))
+    val cloneGbDirs = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("__gbucket="))
+        .size
+    } finally s.close()
+    assert(cloneGbDirs < prodGbDirs,
+      s"clone must not carry superseded bucket dirs " +
+        s"(clone=$cloneGbDirs, prod=$prodGbDirs)")
+  }
+
   test("seed and snapshot honor --select") {
     import org.apache.spark.sql.types._
     val sch = StructType(Seq(StructField("id", LongType),

@@ -224,6 +224,14 @@ object PipelineProject {
           l.split(":", -1).toSeq match {
             case Seq(n, src, ks, cs) => SnapshotDef(n, src,
               ks.split(',').map(_.trim).toSeq, cs.split(',').map(_.trim).toSeq)
+            // optional 5th field: `timestamp=<col>` selects dbt's
+            // updated_at strategy (default is `check`)
+            case Seq(n, src, ks, cs, ts) if ts.startsWith("timestamp=") =>
+              SnapshotDef(n, src,
+                ks.split(',').map(_.trim).toSeq,
+                cs.split(',').map(_.trim).toSeq,
+                strategy = SnapshotStrategy.Timestamp(
+                  ts.stripPrefix("timestamp=").trim))
             case _ => sys.error(s"snapshots.conf: unparseable line: $l")
           }
         }.toSeq

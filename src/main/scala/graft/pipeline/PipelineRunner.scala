@@ -1630,8 +1630,14 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         else Some(readMembers(sn.name, openM, currentSchema(sn.name))
           .drop(OpenCol))
       }
-    val (closedDelta, nextOpen) =
-      Snapshot.scd2Step(prevOpen, source, sn.keyCols, sn.compareCols, asOf)
+    val (closedDelta, nextOpen) = sn.strategy match {
+      case SnapshotStrategy.Check =>
+        Snapshot.scd2Step(prevOpen, source, sn.keyCols, sn.compareCols,
+          asOf)
+      case SnapshotStrategy.Timestamp(tsCol) =>
+        Snapshot.scd2StepTimestamp(prevOpen, source, sn.keyCols,
+          sn.compareCols, tsCol, asOf)
+    }
     val out = closedDelta.unionByName(nextOpen)
       .withColumn(OpenCol, col("valid_to").isNull)
     val batch = writeBatch(sn.name, p => out.repartition(col(OpenCol))

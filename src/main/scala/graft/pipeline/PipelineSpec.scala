@@ -482,6 +482,22 @@ final case class Seed(
     schema: org.apache.spark.sql.types.StructType,
     tags: Seq[String] = Nil)
 
+/** dbt snapshot change-detection strategy (dbt-core 1.9):
+  *  - `Check`: a row changed when any tracked column differs
+  *    (null-safe); `valid_from`/`valid_to` carry the injected run
+  *    clock.
+  *  - `Timestamp(tsCol)`: a row changed when its `tsCol` is STRICTLY
+  *    newer than the open row's — dbt's `updated_at` strategy;
+  *    `valid_from` is the row version's own `tsCol` and a superseded
+  *    row closes at its successor's `tsCol` (hard deletes close at
+  *    the run clock, dbt's `invalidate_hard_deletes`).
+  */
+sealed trait SnapshotStrategy
+object SnapshotStrategy {
+  case object Check extends SnapshotStrategy
+  final case class Timestamp(tsCol: String) extends SnapshotStrategy
+}
+
 /** dbt `snapshot`: SCD2-track a source/model under `name`. The
   * snapshot timestamp is injected per run (`snapshot --at <ts>`) so
   * history is deterministic.
@@ -491,7 +507,8 @@ final case class SnapshotDef(
     source: String,
     keyCols: Seq[String],
     compareCols: Seq[String],
-    tags: Seq[String] = Nil)
+    tags: Seq[String] = Nil,
+    strategy: SnapshotStrategy = SnapshotStrategy.Check)
 
 /** dbt source-freshness config: warn/error when `max(tsCol)` of
   * `source` ages past the thresholds (checked by the

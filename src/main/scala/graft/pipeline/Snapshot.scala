@@ -67,6 +67,60 @@ object Snapshot {
     }
   }
 
+  /** One snapshot step under dbt's TIMESTAMP strategy: a row changed
+    * when its `tsCol` is STRICTLY newer than the open row's. Unlike
+    * `check`, validity carries ROW time, not run time: a new version
+    * opens at its own `tsCol` and closes its predecessor at that same
+    * instant; only hard deletes (key absent from `current`) close at
+    * the injected run clock `asOf`. Same (closedDelta, nextOpen)
+    * contract and O(open + new) cost as [[scd2Step]]; `payloadCols`
+    * must include `tsCol`.
+    */
+  def scd2StepTimestamp(prevOpen: Option[DataFrame], current: DataFrame,
+      keyCols: Seq[String], payloadCols: Seq[String], tsCol: String,
+      asOf: String): (DataFrame, DataFrame) = {
+    require(payloadCols.contains(tsCol),
+      s"timestamp strategy: tracked columns must include $tsCol")
+    val asOfTs = lit(asOf).cast(TimestampType)
+    val newState = current.select((keyCols ++ payloadCols).map(col): _*)
+      .withColumn("valid_from", col(tsCol).cast(TimestampType))
+      .withColumn("valid_to", lit(null).cast(TimestampType))
+
+    prevOpen match {
+      case None => (newState.filter(lit(false)), newState)
+      case Some(open) =>
+        val cur = current.select(
+          keyCols.map(col) :+
+            col(tsCol).cast(TimestampType).as("__new_ts"): _*)
+        val joined = open.join(cur, keyCols, "left")
+        val newer = col("__new_ts") > col(tsCol) // null-safe: null → false
+        val stillOpen = joined
+          .filter(col("__new_ts").isNotNull && !newer)
+          .select(open.columns.map(col).toIndexedSeq: _*)
+        val toClose = joined
+          .filter(col("__new_ts").isNull || newer)
+          // superseded rows close at their successor's row time; hard
+          // deletes at the run clock
+          .withColumn("valid_to",
+            when(col("__new_ts").isNotNull, col("__new_ts"))
+              .otherwise(asOfTs))
+          .select(open.columns.map(col).toIndexedSeq: _*)
+
+        // explicit presence marker (not __old_ts nullness): a key is
+        // brand NEW only when no open row exists for it
+        val openKeyed = open.select(
+          keyCols.map(col) ++ Seq(
+            col(tsCol).cast(TimestampType).as("__old_ts"),
+            lit(true).as("__had_open")): _*)
+        val fresh = newState.join(openKeyed, keyCols, "left")
+          .filter(col("__had_open").isNull ||
+            col(tsCol).cast(TimestampType) > col("__old_ts"))
+          .select(newState.columns.map(col).toIndexedSeq: _*)
+
+        (toClose, stillOpen.unionByName(fresh))
+    }
+  }
+
   /** Apply one snapshot step over a FULL history frame. `prev` must
     * have `keyCols ++ compareCols ++ (valid_from, valid_to)`; pass
     * None for the first snapshot. `asOf` is the logical snapshot

@@ -186,6 +186,33 @@ object PipelineOps extends QueryGroup {
       r2.readTable("cust_snap").orderBy("c_custkey", "valid_from")
     }),
 
+    // dbt's TIMESTAMP (updated_at) strategy: per-customer rolling
+    // state (latest order date + order count) snapshotted at two
+    // widening date cuts. A customer whose max(o_orderdate) advanced
+    // between cuts versions with ROW-time validity (closes at the
+    // successor's updated_at, not the run clock); unchanged customers
+    // keep one open row. The oracle reconstructs the full history
+    // from the two states directly.
+    "snapshot_scd2_timestamp" -> ((s, d) => {
+      val wh = freshWh("snapshot_ts")
+      def spec(cut: String) = PipelineSpec(
+        models = Seq(Model("cust_state", Nil, Materialization.Table,
+          (sp, _) => Tables.orders(sp, d)
+            .filter(col("o_orderdate") < lit(cut).cast(TimestampType))
+            .groupBy("o_custkey")
+            .agg(max(col("o_orderdate")).as("updated_at"),
+              count(lit(1)).as("n_orders")))),
+        snapshots = Seq(SnapshotDef("cust_state_snap", "cust_state",
+          Seq("o_custkey"), Seq("updated_at", "n_orders"),
+          strategy = SnapshotStrategy.Timestamp("updated_at"))))
+      mustSucceed(new PipelineRunner(s, spec("1997-01-01 00:00:00"), wh)
+        .run(Seq("run", "snapshot --at 2024-01-01T00:00:00")))
+      val r2 = new PipelineRunner(s, spec("1998-01-01 00:00:00"), wh)
+      mustSucceed(r2.run(Seq("run", "snapshot --at 2024-02-01T00:00:00")))
+      r2.readTable("cust_state_snap")
+        .orderBy("o_custkey", "valid_from")
+    }),
+
     // ---- generic data tests (violating-rows SELECTs; dbt `test`) ----------
     "test_unique" -> ((s, d) =>
       DataTests.unique(Tables.lineitem(s, d), Seq("l_orderkey"))
@@ -621,6 +648,33 @@ object PipelineOps extends QueryGroup {
       """SELECT o_orderkey, o_orderstatus,
         |  CASE WHEN o_orderstatus = 'O' THEN 2 ELSE 1 END AS ver
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "snapshot_scd2_timestamp" ->
+      """WITH s1 AS (
+        |  SELECT o_custkey, max(o_orderdate) AS updated_at,
+        |    count(*) AS n_orders
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY o_custkey),
+        |s2 AS (
+        |  SELECT o_custkey, max(o_orderdate) AS updated_at,
+        |    count(*) AS n_orders
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY o_custkey)
+        |SELECT * FROM (
+        |  -- v1 rows: closed at s2's row time when the state advanced,
+        |  -- open otherwise (keys never vanish — cumulative source)
+        |  SELECT s1.o_custkey, s1.updated_at, s1.n_orders,
+        |    s1.updated_at AS valid_from,
+        |    CASE WHEN s2.updated_at > s1.updated_at THEN s2.updated_at
+        |         ELSE CAST(NULL AS TIMESTAMP) END AS valid_to
+        |  FROM s1 JOIN s2 ON s1.o_custkey = s2.o_custkey
+        |  UNION ALL
+        |  -- v2 open rows: changed keys and brand-new keys
+        |  SELECT s2.o_custkey, s2.updated_at, s2.n_orders,
+        |    s2.updated_at AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM s2 LEFT JOIN s1 ON s1.o_custkey = s2.o_custkey
+        |  WHERE s1.o_custkey IS NULL OR s2.updated_at > s1.updated_at
+        |) ORDER BY o_custkey, valid_from""".stripMargin,
 
     "snapshot_scd2" ->
       """SELECT c_custkey, c_mktsegment AS seg,

@@ -81,4 +81,49 @@ class SnapshotSpec extends AnyFunSuite with SparkTestBase {
     assert(s2.count() == 2)
     assert(openRows(s2).head.getAs[String]("v") == "now-set")
   }
+
+  // ---------------- timestamp strategy (dbt updated_at) ------------------
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("timestamp strategy: validity carries ROW time, not run time") {
+    def src(rows: Seq[(Long, String, String)]) =
+      rows.map { case (id, v, u) => (id, v, ts(u)) }
+        .toDF("id", "v", "updated_at")
+    // step 1: two keys, row times differ from the run clock t1
+    val (c1, o1) = Snapshot.scd2StepTimestamp(None,
+      src(Seq((1L, "a", "2023-12-01 00:00:00"),
+        (2L, "b", "2023-12-15 00:00:00"))),
+      Seq("id"), Seq("v", "updated_at"), "updated_at", t1)
+    assert(c1.count() == 0)
+    assert(o1.filter(col("id") === 1L).head()
+      .getAs[java.sql.Timestamp]("valid_from")
+      == ts("2023-12-01 00:00:00"), "valid_from = the row's own time")
+    // step 2: key 1 updated (newer ts), key 2 same ts but DIFFERENT
+    // value (must NOT reopen — timestamp strategy ignores values),
+    // key 3 new
+    val (c2, o2) = Snapshot.scd2StepTimestamp(Some(o1),
+      src(Seq((1L, "a2", "2024-01-10 00:00:00"),
+        (2L, "B-IGNORED", "2023-12-15 00:00:00"),
+        (3L, "c", "2024-01-20 00:00:00"))),
+      Seq("id"), Seq("v", "updated_at"), "updated_at", t2)
+    val closed = c2.collect()
+    assert(closed.length == 1 && closed(0).getAs[Long]("id") == 1L)
+    assert(closed(0).getAs[java.sql.Timestamp]("valid_to")
+      == ts("2024-01-10 00:00:00"),
+      "superseded row closes at its successor's row time")
+    val open = o2.orderBy("id").collect()
+    assert(open.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 3L))
+    assert(open(0).getAs[String]("v") == "a2")
+    assert(open(1).getAs[String]("v") == "b",
+      "same-ts value change must not create a version")
+    // step 3: key 2 hard-deleted → closes at the RUN clock
+    val (c3, _) = Snapshot.scd2StepTimestamp(Some(o2),
+      src(Seq((1L, "a2", "2024-01-10 00:00:00"),
+        (3L, "c", "2024-01-20 00:00:00"))),
+      Seq("id"), Seq("v", "updated_at"), "updated_at", t3)
+    val del = c3.collect()
+    assert(del.length == 1 && del(0).getAs[Long]("id") == 2L)
+    assert(del(0).getAs[java.sql.Timestamp]("valid_to") == ts(t3))
+  }
 }

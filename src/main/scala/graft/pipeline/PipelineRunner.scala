@@ -1207,6 +1207,12 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       case _ => spark.table(name)
     }
 
+  /** dbt `--empty`: build every model against LIMIT-0 inputs — a
+    * schema-only dry run that materializes empty relations, the CI
+    * smoke for model SQL + schema contracts without paying for data.
+    */
+  private var cmdEmpty: Boolean = false
+
   private def inputs(m: Model): Map[String, DataFrame] =
     m.deps.map { dep =>
       byName.get(dep) match {
@@ -1223,6 +1229,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           dep -> deferCtx.get._2.readTable(dep) // state seed/snapshot
         case None => dep -> spark.table(dep) // source view
       }
+    }.map { case (dep, df) =>
+      dep -> (if (cmdEmpty) df.limit(0) else df)
     }.toMap
 
   private def runEphemeral(m: Model): DataFrame = buildDf(m)
@@ -1961,14 +1969,17 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * materialization-switch guards direct users to) and
     * `--vars <json>`.
     */
-  private def parseRunFlags(flags: Seq[String])
-      : Option[(Selection, Int, Boolean, Map[String, String], Boolean,
-        Boolean)] = {
+  private final case class RunFlags(sel: Selection, threads: Int,
+      fullRefresh: Boolean, vars: Map[String, String], defer: Boolean,
+      failFast: Boolean, empty: Boolean)
+
+  private def parseRunFlags(flags: Seq[String]): Option[RunFlags] = {
     var threads = 1
     var fullRefresh = false
     var vars = Map.empty[String, String]
     var defer = false
     var failFast = false
+    var empty = false
     parseSelFlags(flags) {
       case "--threads" :: v :: t if v.forall(_.isDigit) =>
         threads = v.toInt; t
@@ -1976,26 +1987,31 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       case "--vars" :: v :: t => vars = parseVarsJson(v); t
       case "--defer" :: t => defer = true; t
       case "--fail-fast" :: t => failFast = true; t
-    }.map((_, threads, fullRefresh, vars, defer, failFast))
+      case "--empty" :: t => empty = true; t
+    }.map(RunFlags(_, threads, fullRefresh, vars, defer, failFast, empty))
   }
 
   /** `build` flags: select/exclude, `--full-refresh`, `--at <ts>`
     * (snapshot clock — space-free timestamp, same as `snapshot --at`)
     * and `--vars <json>`.
     */
-  private def parseBuildFlags(flags: Seq[String])
-      : Option[(Selection, Boolean, Option[String], Map[String, String],
-        Boolean)] = {
+  private final case class BuildFlags(sel: Selection,
+      fullRefresh: Boolean, at: Option[String],
+      vars: Map[String, String], defer: Boolean, empty: Boolean)
+
+  private def parseBuildFlags(flags: Seq[String]): Option[BuildFlags] = {
     var fullRefresh = false
     var at: Option[String] = None
     var vars = Map.empty[String, String]
     var defer = false
+    var empty = false
     parseSelFlags(flags) {
       case "--full-refresh" :: t => fullRefresh = true; t
       case "--at" :: v :: t => at = Some(v); t
       case "--vars" :: v :: t => vars = parseVarsJson(v); t
       case "--defer" :: t => defer = true; t
-    }.map((_, fullRefresh, at, vars, defer))
+      case "--empty" :: t => empty = true; t
+    }.map(BuildFlags(_, fullRefresh, at, vars, defer, empty))
   }
 
   private def parseLsFlags(flags: Seq[String])
@@ -2024,13 +2040,15 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * dbt's default 5), `--vars`.
     */
   private def parseShowFlags(flags: Seq[String])
-      : Option[(Selection, Int, Map[String, String])] = {
+      : Option[(Selection, Int, Map[String, String], Option[String])] = {
     var limit = 5
     var vars = Map.empty[String, String]
+    var inline: Option[String] = None
     parseSelFlags(flags) {
       case "--limit" :: v :: t if v.forall(_.isDigit) => limit = v.toInt; t
       case "--vars" :: v :: t => vars = parseVarsJson(v); t
-    }.map((_, limit, vars))
+      case "--inline" :: v :: t => inline = Some(v); t
+    }.map((_, limit, vars, inline))
   }
 
   /** The `run` command body (also `retry` of a run, with `names`
@@ -2313,6 +2331,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       // (`dbtoperator.py:168-174`)
       initialize()
       deferCtx = None // only run/build/test (re)arm --defer
+      cmdEmpty = false // only run/build (re)arm --empty
       // manifest.json is a parse artifact: refresh it on every
       // command so `--state` consumers always diff against the
       // project as last seen, not only after a run
@@ -2327,13 +2346,13 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             if (missing.isEmpty) None
             else Some(s"unresolvable sources: ${missing.mkString(",")}"))
         case "run" +: flags if parseRunFlags(flags).isDefined =>
-          val (sel, threads, fullRefresh, vars, defer, failFast) =
-            parseRunFlags(flags).get
-          cmdVars = vars
-          val chosen = select(sel)
-          setDefer(defer, sel, chosen)
+          val f = parseRunFlags(flags).get
+          cmdVars = f.vars
+          cmdEmpty = f.empty
+          val chosen = select(f.sel)
+          setDefer(f.defer, f.sel, chosen)
           runModelsCommand(command, command, topoOrder(chosen),
-            threads, fullRefresh, failFast)
+            f.threads, f.fullRefresh, f.failFast)
         // `test [--select|--exclude specs...]` — selection matches
         // dbt: tests attached to the selected nodes run (full atom
         // grammar over the resource graph; lenient, so a bare name
@@ -2387,10 +2406,11 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             if (stale.isEmpty) None
             else Some(s"stale sources: ${stale.mkString(",")}"))
         case "build" +: flags if parseBuildFlags(flags).isDefined =>
-          val (sel, fullRefresh, at, vars, defer) = parseBuildFlags(flags).get
-          cmdVars = vars
-          setDefer(defer, sel, selectIn(resourceDeps, sel))
-          runBuild(command, command, sel, fullRefresh, at)
+          val f = parseBuildFlags(flags).get
+          cmdVars = f.vars
+          cmdEmpty = f.empty
+          setDefer(f.defer, f.sel, selectIn(resourceDeps, f.sel))
+          runBuild(command, command, f.sel, f.fullRefresh, f.at)
         // `dbt retry` — resume the most recent node-executing command
         // (run / build / test / seed / snapshot) from its failure
         // frontier: previously-succeeded nodes are not re-executed;
@@ -2411,20 +2431,20 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
                 CommandResult(command, success = true, Nil, Map.empty, None)
               else tokenize(prev) match {
                 case "run" +: flags if parseRunFlags(flags).isDefined =>
-                  val (sel, threads, fullRefresh, vars, defer, failFast) =
-                    parseRunFlags(flags).get
-                  cmdVars = vars
-                  val chosen = select(sel)
-                  setDefer(defer, sel, chosen)
+                  val f = parseRunFlags(flags).get
+                  cmdVars = f.vars
+                  cmdEmpty = f.empty
+                  val chosen = select(f.sel)
+                  setDefer(f.defer, f.sel, chosen)
                   runModelsCommand(command, prev,
-                    topoOrder(chosen).filter(redo), threads,
-                    fullRefresh, failFast)
+                    topoOrder(chosen).filter(redo), f.threads,
+                    f.fullRefresh, f.failFast)
                 case "build" +: flags if parseBuildFlags(flags).isDefined =>
-                  val (sel, fullRefresh, at, vars, defer) =
-                    parseBuildFlags(flags).get
-                  cmdVars = vars
-                  setDefer(defer, sel, selectIn(resourceDeps, sel))
-                  runBuild(command, prev, sel, fullRefresh, at,
+                  val f = parseBuildFlags(flags).get
+                  cmdVars = f.vars
+                  cmdEmpty = f.empty
+                  setDefer(f.defer, f.sel, selectIn(resourceDeps, f.sel))
+                  runBuild(command, prev, f.sel, f.fullRefresh, f.at,
                     only = Some(redo))
                 case "test" +: flags if parseTestFlags(flags).isDefined =>
                   val (sel, storeAll, defer) = parseTestFlags(flags).get
@@ -2480,11 +2500,24 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         // rows-shown per model, the preview rows land in the logger
         // at INFO (the envelope's stdout analogue).
         case "show" +: flags if parseShowFlags(flags).isDefined =>
-          val (sel, limit, vars) = parseShowFlags(flags).get
+          val (sel, limit, vars, inline) = parseShowFlags(flags).get
           cmdVars = vars
-          if (sel.include.isEmpty)
+          if (inline.isDefined) {
+            // dbt `show --inline 'select …'`: arbitrary SQL whose
+            // {{ ref }}/{{ source }} calls resolve against the
+            // warehouse/session relations — the ad-hoc query door
+            val sqlText = Model.renderVars("__inline", inline.get, vars)
+            val refs = Model.parseRefs(sqlText)
+            val out = Model.runSqlText("__inline", sqlText, spark,
+              refs.map(r => r -> testRelation(r)).toMap)
+            val preview = out.limit(limit).toJSON.collect()
+            preview.foreach(row =>
+              logger.log(LogLevel.INFO, s"show inline: $row"))
+            CommandResult(command, success = true, Seq("inline"),
+              Map("inline" -> preview.length.toLong), None)
+          } else if (sel.include.isEmpty)
             CommandResult(command, success = false, Nil, Map.empty,
-              Some("show requires --select"))
+              Some("show requires --select or --inline"))
           else {
             val names = topoOrder(select(sel))
             val counts = names.map { n =>

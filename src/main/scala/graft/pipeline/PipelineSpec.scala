@@ -152,8 +152,11 @@ final case class Model(
     postHooks: Seq[String] = Nil)
 
 object Model {
+  // single- or double-quoted name — dbt/Jinja accepts both, and
+  // `show --inline '…'` NEEDS the double form (the argv tokenizer
+  // owns single quotes there)
   private val refRe =
-    """\{\{\s*(?:ref|source)\(\s*'([^']+)'\s*\)\s*\}\}""".r
+    """\{\{\s*(?:ref|source)\(\s*['"]([^'"]+)['"]\s*\)\s*\}\}""".r
 
   // {% if is_incremental() %} ... [{% else %} ...] {% endif %} — the
   // dbt incremental guard (non-nested, like real dbt model files);

@@ -2241,6 +2241,35 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
         s"(clone=$cloneGbDirs, prod=$prodGbDirs)")
   }
 
+  test("run --empty materializes schema-only relations") {
+    val w = wh()
+    val parent = tableModel("em_p", Seq((1L, "a"), (2L, "b")))
+    val child = Model.sql("em_c",
+      "SELECT id, upper(v) AS vu FROM {{ ref('em_p') }}",
+      Materialization.Table)
+    val spec = PipelineSpec(Seq(parent, child))
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.run(Seq("run --empty")).success)
+    assert(r.readTable("em_c").count() == 0)
+    assert(r.readTable("em_c").columns.toSeq == Seq("id", "vu"),
+      "schema must survive the empty build")
+    // a later REAL run replaces the empty relations
+    assert(new PipelineRunner(spark, spec, w).run(Seq("run")).success)
+    assert(r.readTable("em_c").count() == 2)
+  }
+
+  test("show --inline runs ad-hoc SQL against warehouse relations") {
+    val w = wh()
+    val spec = PipelineSpec(Seq(tableModel("si_t",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))))
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.run(Seq("run")).success)
+    val res = r.run(Seq(
+      "show --inline 'SELECT count(*) AS n FROM {{ ref(\"si_t\") }} WHERE id > 1'"))
+    assert(res.success, res.results.flatMap(_.error).mkString("; "))
+    assert(res.results.head.rowCounts("inline") == 1L)
+  }
+
   test("seed and snapshot honor --select") {
     import org.apache.spark.sql.types._
     val sch = StructType(Seq(StructField("id", LongType),

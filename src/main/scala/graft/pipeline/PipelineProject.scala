@@ -125,7 +125,10 @@ object PipelineProject {
           Model.sql(name, body, parseMat(header, name),
             tags = kv.get("tags").toSeq
               .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
-            preHooks = hooks("pre_hook"), postHooks = hooks("post_hook"))
+            preHooks = hooks("pre_hook"), postHooks = hooks("post_hook"),
+            // dbt contract: `contract='id BIGINT, v STRING'` (DDL) —
+            // the output schema must match exactly or the build fails
+            contract = kv.get("contract").map(StructType.fromDDL))
         }
 
     val seedsDir = root.resolve("seeds")

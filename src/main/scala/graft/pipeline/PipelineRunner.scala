@@ -1395,10 +1395,35 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * This is the escape hatch the materialization-switch guards point
     * at ("full-refresh the table before switching materialization").
     */
+  /** dbt contract enforcement: the built frame's (name, type) set
+    * must equal the declared one — checked on the PLAN's schema, so a
+    * violation fails before any data moves.
+    */
+  private def enforceContract(name: String, m: Model,
+      df: DataFrame): Unit = m.contract.foreach { c =>
+    def shape(st: StructType) =
+      st.fields.map(f => f.name -> f.dataType).toMap
+    val (want, got) = (shape(c), shape(df.schema))
+    val missing = want.keySet -- got.keySet
+    val extra = got.keySet -- want.keySet
+    val retyped = want.keySet.intersect(got.keySet)
+      .filter(k => want(k) != got(k))
+      .map(k => s"$k: ${got(k).sql} (contract: ${want(k).sql})")
+    require(missing.isEmpty && extra.isEmpty && retyped.isEmpty,
+      s"model $name violates its contract" +
+        (if (missing.nonEmpty)
+          s"; missing: ${missing.toSeq.sorted.mkString(",")}" else "") +
+        (if (extra.nonEmpty)
+          s"; undeclared: ${extra.toSeq.sorted.mkString(",")}" else "") +
+        (if (retyped.nonEmpty)
+          s"; retyped: ${retyped.toSeq.sorted.mkString(",")}" else ""))
+  }
+
   def runModel(name: String, fullRefresh: Boolean = false): Long = tracked {
     val m = byName(name)
     m.preHooks.foreach(h => runHook(name, h, Some(name)))
     val df = buildDf(m, fullRefresh)
+    enforceContract(name, m, df)
     val rows = m.materialization match {
       case Materialization.View =>
         df.createOrReplaceTempView(name); -1L

@@ -138,6 +138,14 @@ final case class Model(
       * hashes (dbt checksums the model file).
       */
     sqlText: Option[String] = None,
+    /** dbt model contract (`contract: enforced` + column specs): the
+      * model's OUTPUT schema must carry exactly these (name, type)
+      * pairs — extra, missing, or re-typed columns fail the build
+      * BEFORE anything materializes, so downstream consumers can bind
+      * to the declared shape. Order-insensitive and nullability-
+      * agnostic, like dbt's checks.
+      */
+    contract: Option[org.apache.spark.sql.types.StructType] = None,
     /** dbt `pre-hook` / `post-hook` config: SQL statements run
       * before / after the model materializes, INSIDE its fail-fast
       * scope (a failing hook fails the model and skips its
@@ -235,7 +243,9 @@ object Model {
           materialization: Materialization,
           tags: Seq[String] = Nil,
           preHooks: Seq[String] = Nil,
-          postHooks: Seq[String] = Nil): Model = {
+          postHooks: Seq[String] = Nil,
+          contract: Option[org.apache.spark.sql.types.StructType] = None)
+          : Model = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"model name must be a SQL identifier: $name")
     val deps = parseRefs(sqlText)
@@ -266,6 +276,7 @@ object Model {
         run(spark, inputs, BuildCtx(vars = vars))),
       buildC = Some(run),
       sqlText = Some(sqlText),
+      contract = contract,
       preHooks = preHooks,
       postHooks = postHooks)
   }

@@ -533,6 +533,28 @@ object PipelineOps extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // ---- model contracts (dbt contract: enforced) -------------------------
+    // A contracted model: the declared (name, type) set is checked on
+    // the PLAN's schema before materializing (a violation fails the
+    // build with nothing written — spec-tested); the key returns the
+    // built table, so the oracle also pins the declared shape.
+    "run_contract_enforced" -> ((s, d) => {
+      val m = Model.sql("ctr_orders",
+        """SELECT o_orderkey, o_orderstatus,
+          |  CAST(o_totalprice AS DOUBLE) AS price
+          |FROM {{ source('orders') }} WHERE o_orderstatus = 'P'""".stripMargin,
+        Materialization.Table,
+        contract = Some(StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("price", DoubleType)))))
+      val spec = PipelineSpec(Seq(m),
+        sources = Map("orders" -> s"$d/orders.parquet"))
+      val r = new PipelineRunner(s, spec, freshWh("run_contract"))
+      mustSucceed(r.run(Seq("run")))
+      r.readTable("ctr_orders").orderBy("o_orderkey")
+    }),
+
     // ---- unit tests (dbt 1.8+/1.9 `unit_tests:`) --------------------------
     // A unit test mocks the model's source with fixture rows and
     // declares the expected aggregate BEFORE anything materializes;
@@ -781,6 +803,12 @@ object PipelineOps extends QueryGroup {
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders
         |WHERE o_orderstatus NOT IN ('O', 'F') OR o_orderstatus IS NULL
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "run_contract_enforced" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders WHERE o_orderstatus = 'P'
         |ORDER BY o_orderkey""".stripMargin,
 
     "test_unit" ->

@@ -2270,6 +2270,39 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(res.results.head.rowCounts("inline") == 1L)
   }
 
+  test("model contract: schema mismatch fails before materializing") {
+    import org.apache.spark.sql.types._
+    val w = wh()
+    val good = StructType(Seq(StructField("id", LongType),
+      StructField("vu", StringType)))
+    def m(contract: StructType) = PipelineSpec(Seq(
+      tableModel("ct_p", Seq((1L, "a"))),
+      Model.sql("ct_c", "SELECT id, upper(v) AS vu FROM {{ ref('ct_p') }}",
+        Materialization.Table, contract = Some(contract))))
+    assert(new PipelineRunner(spark, m(good), w).run(Seq("run")).success)
+    // retyped column → loud failure, nothing materializes
+    val bad = StructType(Seq(StructField("id", IntegerType),
+      StructField("vu", StringType)))
+    val r = new PipelineRunner(spark, m(bad), wh())
+    val res = r.run(Seq("run"))
+    assert(!res.success)
+    assert(res.results.head.error.get.contains("retyped"))
+    assert(!r.tableExists("ct_c"))
+    // undeclared extra column also fails
+    val narrow = StructType(Seq(StructField("id", LongType)))
+    assert(!new PipelineRunner(spark, m(narrow), wh())
+      .run(Seq("run")).success)
+    // project config header carries the contract as DDL
+    val proj = java.nio.file.Paths.get(wh())
+    java.nio.file.Files.createDirectories(proj.resolve("models"))
+    java.nio.file.Files.writeString(proj.resolve("models/ct_m.sql"),
+      """{{ config(materialized='table', contract='x BIGINT') }}
+        |SELECT CAST(1 AS INT) AS x""".stripMargin)
+    val spec = PipelineProject.load(proj.toString)
+    assert(!new PipelineRunner(spark, spec, wh()).run(Seq("run")).success,
+      "INT output vs BIGINT contract must fail")
+  }
+
   test("seed and snapshot honor --select") {
     import org.apache.spark.sql.types._
     val sch = StructType(Seq(StructField("id", LongType),

@@ -1401,8 +1401,21 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     */
   private def enforceContract(name: String, m: Model,
       df: DataFrame): Unit = m.contract.foreach { c =>
+    // nullability-agnostic at EVERY nesting level: an inferred
+    // ARRAY<BIGINT> with containsNull=false must equal the DDL form's
+    // containsNull=true, or the mismatch error would print two
+    // identical-looking type names
+    def denull(dt: DataType): DataType = dt match {
+      case StructType(fs) => StructType(fs.map(f =>
+        f.copy(dataType = denull(f.dataType), nullable = true)))
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        org.apache.spark.sql.types.ArrayType(denull(et), true)
+      case org.apache.spark.sql.types.MapType(kt, vt, _) =>
+        org.apache.spark.sql.types.MapType(denull(kt), denull(vt), true)
+      case other => other
+    }
     def shape(st: StructType) =
-      st.fields.map(f => f.name -> f.dataType).toMap
+      st.fields.map(f => f.name -> denull(f.dataType)).toMap
     val (want, got) = (shape(c), shape(df.schema))
     val missing = want.keySet -- got.keySet
     val extra = got.keySet -- want.keySet
@@ -2279,6 +2292,14 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         skipped += n
         logger.log(LogLevel.WARNING,
           s"build: skipping snapshot $n (no --at clock given)")
+      } else if (kind == "snapshot" && cmdEmpty) {
+        // an --empty dry run must NEVER touch snapshot history: the
+        // snapshot would read the just-emptied models and close every
+        // open row as a spurious hard delete — permanently, since
+        // closed history is append-only
+        skipped += n
+        logger.log(LogLevel.WARNING,
+          s"build: skipping snapshot $n (--empty is schema-only)")
       } else if (kind == "model" && !runUnits(n, _ => true)) {
         failed += n
         skipped += n
@@ -2357,6 +2378,10 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       initialize()
       deferCtx = None // only run/build/test (re)arm --defer
       cmdEmpty = false // only run/build (re)arm --empty
+      // ephemeral frames are per-COMMAND: a cached frame built under a
+      // previous command's context (--empty inputs, different --vars)
+      // must not leak into the next command's builds
+      ephemeralCache.clear()
       // manifest.json is a parse artifact: refresh it on every
       // command so `--state` consumers always diff against the
       // project as last seen, not only after a run
@@ -2527,7 +2552,10 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         case "show" +: flags if parseShowFlags(flags).isDefined =>
           val (sel, limit, vars, inline) = parseShowFlags(flags).get
           cmdVars = vars
-          if (inline.isDefined) {
+          if (inline.isDefined && sel.include.nonEmpty)
+            CommandResult(command, success = false, Nil, Map.empty,
+              Some("show: --select and --inline are mutually exclusive"))
+          else if (inline.isDefined) {
             // dbt `show --inline 'select …'`: arbitrary SQL whose
             // {{ ref }}/{{ source }} calls resolve against the
             // warehouse/session relations — the ad-hoc query door
@@ -2538,6 +2566,10 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             val preview = out.limit(limit).toJSON.collect()
             preview.foreach(row =>
               logger.log(LogLevel.INFO, s"show inline: $row"))
+            // the preview is already collected — drop the scratch
+            // views now (cleanup() only knows spec-declared scopes)
+            refs.foreach(r =>
+              spark.catalog.dropTempView(s"__graft_ref___inline_$r"))
             CommandResult(command, success = true, Seq("inline"),
               Map("inline" -> preview.length.toLong), None)
           } else if (sel.include.isEmpty)

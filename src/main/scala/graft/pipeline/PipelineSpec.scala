@@ -160,11 +160,16 @@ final case class Model(
     postHooks: Seq[String] = Nil)
 
 object Model {
-  // single- or double-quoted name — dbt/Jinja accepts both, and
+  // single- or double-quoted name (quotes must MATCH — `'m"` is a
+  // typo, not a ref) — dbt/Jinja accepts both forms, and
   // `show --inline '…'` NEEDS the double form (the argv tokenizer
   // owns single quotes there)
   private val refRe =
-    """\{\{\s*(?:ref|source)\(\s*['"]([^'"]+)['"]\s*\)\s*\}\}""".r
+    """\{\{\s*(?:ref|source)\(\s*(?:'([^'"]+)'|"([^'"]+)")\s*\)\s*\}\}""".r
+
+  /** The ref name from a [[refRe]] match, whichever quote form hit. */
+  private def refName(m: scala.util.matching.Regex.Match): String =
+    Option(m.group(1)).getOrElse(m.group(2))
 
   // {% if is_incremental() %} ... [{% else %} ...] {% endif %} — the
   // dbt incremental guard (non-nested, like real dbt model files);
@@ -296,14 +301,14 @@ object Model {
       s"model ${model.name} is not a SQL-text model — nothing to compile"))
     val t = renderIncremental(model.name,
       renderVars(model.name, raw, vars), isIncremental)
-    thisRe.replaceAllIn(refRe.replaceAllIn(t, m => m.group(1)), model.name)
+    thisRe.replaceAllIn(refRe.replaceAllIn(t, m => refName(m)), model.name)
   }
 
   /** The distinct `{{ ref }}` / `{{ source }}` names in a SQL text
     * (declaration order) — the DAG edges the text declares.
     */
   def parseRefs(sqlText: String): Seq[String] = {
-    val deps = refRe.findAllMatchIn(sqlText).map(_.group(1)).toSeq.distinct
+    val deps = refRe.findAllMatchIn(sqlText).map(refName).toSeq.distinct
     deps.foreach(dep => require(dep.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"ref/source name must be a SQL identifier: $dep"))
     deps
@@ -319,7 +324,7 @@ object Model {
     def view(dep: String) = s"__graft_ref_${scope}_$dep"
     parseRefs(sqlText).foreach(dep =>
       inputs(dep).createOrReplaceTempView(view(dep)))
-    spark.sql(refRe.replaceAllIn(sqlText, m => view(m.group(1))))
+    spark.sql(refRe.replaceAllIn(sqlText, m => view(refName(m))))
   }
 }
 

@@ -86,35 +86,45 @@ object Snapshot {
       .withColumn("valid_from", col(tsCol).cast(TimestampType))
       .withColumn("valid_to", lit(null).cast(TimestampType))
 
+    // "strictly newer", total over NULLs (Spark filters DROP null
+    // predicates — they never coerce to false, so every branch below
+    // needs a never-null expression): a non-null ts beats a null one;
+    // a null ts never beats anything (a never-updated incoming row
+    // cannot supersede, and is not a hard delete either).
+    def newerThan(newTs: Column, oldTs: Column): Column =
+      coalesce(newTs > oldTs, newTs.isNotNull && oldTs.isNull)
+
     prevOpen match {
       case None => (newState.filter(lit(false)), newState)
       case Some(open) =>
+        // explicit presence marker (not ts nullness): key presence and
+        // ts comparability are independent — scd2Step's NULL-compare
+        // trap, same fix
         val cur = current.select(
-          keyCols.map(col) :+
-            col(tsCol).cast(TimestampType).as("__new_ts"): _*)
+          keyCols.map(col) ++ Seq(
+            col(tsCol).cast(TimestampType).as("__new_ts"),
+            lit(true).as("__present")): _*)
         val joined = open.join(cur, keyCols, "left")
-        val newer = col("__new_ts") > col(tsCol) // null-safe: null → false
+        val newer = newerThan(col("__new_ts"), col(tsCol))
         val stillOpen = joined
-          .filter(col("__new_ts").isNotNull && !newer)
+          .filter(col("__present").isNotNull && !newer)
           .select(open.columns.map(col).toIndexedSeq: _*)
         val toClose = joined
-          .filter(col("__new_ts").isNull || newer)
+          .filter(col("__present").isNull || newer)
           // superseded rows close at their successor's row time; hard
           // deletes at the run clock
           .withColumn("valid_to",
-            when(col("__new_ts").isNotNull, col("__new_ts"))
+            when(col("__present").isNotNull, col("__new_ts"))
               .otherwise(asOfTs))
           .select(open.columns.map(col).toIndexedSeq: _*)
 
-        // explicit presence marker (not __old_ts nullness): a key is
-        // brand NEW only when no open row exists for it
         val openKeyed = open.select(
           keyCols.map(col) ++ Seq(
             col(tsCol).cast(TimestampType).as("__old_ts"),
             lit(true).as("__had_open")): _*)
         val fresh = newState.join(openKeyed, keyCols, "left")
           .filter(col("__had_open").isNull ||
-            col(tsCol).cast(TimestampType) > col("__old_ts"))
+            newerThan(col(tsCol).cast(TimestampType), col("__old_ts")))
           .select(newState.columns.map(col).toIndexedSeq: _*)
 
         (toClose, stillOpen.unionByName(fresh))

@@ -2268,6 +2268,27 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       "show --inline 'SELECT count(*) AS n FROM {{ ref(\"si_t\") }} WHERE id > 1'"))
     assert(res.success, res.results.flatMap(_.error).mkString("; "))
     assert(res.results.head.rowCounts("inline") == 1L)
+    assert(!spark.catalog.tableExists("__graft_ref___inline_si_t"),
+      "inline scratch views must not leak")
+    assert(!r.run(Seq("show --select si_t --inline 'SELECT 1'")).success,
+      "--select and --inline are mutually exclusive")
+  }
+
+  test("build --empty never touches snapshot history") {
+    import org.apache.spark.sql.types._
+    val w = wh()
+    val spec = PipelineSpec(
+      Seq(tableModel("es_m", Seq((1L, "a"), (2L, "b")))),
+      snapshots = Seq(SnapshotDef("es_snap", "es_m",
+        Seq("id"), Seq("v"))))
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.run(Seq("build --at 2024-01-01T00:00:00")).success)
+    assert(r.readTable("es_snap").filter(col("valid_to").isNull)
+      .count() == 2)
+    // the schema-only dry run must not close every open row
+    assert(r.run(Seq("build --empty --at 2024-02-01T00:00:00")).success)
+    assert(r.readTable("es_snap").filter(col("valid_to").isNotNull)
+      .count() == 0, "--empty must not record hard deletes")
   }
 
   test("model contract: schema mismatch fails before materializing") {

@@ -126,4 +126,33 @@ class SnapshotSpec extends AnyFunSuite with SparkTestBase {
     assert(del.length == 1 && del(0).getAs[Long]("id") == 2L)
     assert(del(0).getAs[java.sql.Timestamp]("valid_to") == ts(t3))
   }
+
+  test("timestamp strategy: NULL updated_at neither deletes nor vanishes") {
+    def src(rows: Seq[(Long, String, Option[String])]) =
+      rows.map { case (id, v, u) => (id, v, u.map(ts)) }
+        .toDF("id", "v", "updated_at")
+    // open rows: key 1 has a ts, key 2 has NULL ts (first insert of a
+    // never-updated record)
+    val (_, o1) = Snapshot.scd2StepTimestamp(None,
+      src(Seq((1L, "a", Some("2024-01-01 00:00:00")),
+        (2L, "b", None))),
+      Seq("id"), Seq("v", "updated_at"), "updated_at", t1)
+    assert(o1.count() == 2)
+    // incoming: key 1 with NULL ts (must NOT read as a hard delete or
+    // a new version), key 2 with a real ts (non-null beats null →
+    // versions), key 2's open NULL row must close at the new row time
+    val (c2, o2) = Snapshot.scd2StepTimestamp(Some(o1),
+      src(Seq((1L, "a-IGNORED", None),
+        (2L, "b2", Some("2024-02-15 00:00:00")))),
+      Seq("id"), Seq("v", "updated_at"), "updated_at", t2)
+    val closed = c2.collect()
+    assert(closed.length == 1 && closed(0).getAs[Long]("id") == 2L)
+    assert(closed(0).getAs[java.sql.Timestamp]("valid_to")
+      == ts("2024-02-15 00:00:00"))
+    val open = o2.orderBy("id").collect()
+    assert(open.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L),
+      "no key may vanish on NULL ts")
+    assert(open(0).getAs[String]("v") == "a")
+    assert(open(1).getAs[String]("v") == "b2")
+  }
 }

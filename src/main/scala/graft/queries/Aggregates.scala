@@ -28,8 +28,9 @@ object Aggregates extends QueryGroup {
     *   becomes one giant task. For exact rank statistics at scale:
     *   bounded value domains → a per-(group,value) histogram (how
     *   `agg_stats` computes its hash-compared exact median); unbounded
-    *   domains → `Windows.groupedRankExact` (range-partitioned,
-    *   no per-group buffer).
+    *   domains → [[percentilesExactAtScale]] (range-partitioned rank,
+    *   no per-group buffer, same interpolation as SQL `percentile` —
+    *   equivalence property-tested in ApproxAndSampleSpec).
     *
     * Returns one row per `by` group (or one global row when `by` is
     * empty) with an array<double> `percentiles` column aligned with
@@ -47,6 +48,53 @@ object Aggregates extends QueryGroup {
     val out = agg.cast(ArrayType(DoubleType)).as("percentiles")
     if (by.isEmpty) df.agg(out)
     else df.groupBy(by.map(col): _*).agg(out)
+  }
+
+  /** EXACT (grouped) percentiles WITHOUT per-group buffering — the
+    * unbounded-value-domain scale path the [[percentiles]] scaladoc
+    * points at. Semantics match SQL `percentile` exactly: for group
+    * size m, position = p·(m−1), result = vLo + (position − ⌊position⌋)
+    * ·(vHi − vLo) over the 0-based sorted values.
+    *
+    * Mechanism: `Windows.groupedRankExact` (range-partitioned sort +
+    * offset indexing — a huge group spreads over many tasks), then ONE
+    * aggregation that picks each percentile's bracketing values with
+    * conditional min()s (the target ranks are row-computable from the
+    * group size column). Returns one row per group with an
+    * array<double> `percentiles` aligned with `ps`.
+    */
+  def percentilesExactAtScale(df: DataFrame, valueCol: String,
+      ps: Seq[Double], by: Seq[String]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      "ps must be fractions in [0, 1]")
+    require(by.nonEmpty, "grouped form — pass the group columns")
+    val ranked = graft.queries.Windows.groupedRankExact(
+      df.select((by :+ valueCol).map(col): _*).na.drop(Seq(valueCol)),
+      by, valueCol)
+    val v = col(valueCol).cast(DoubleType)
+    def pos(p: Double): Column = lit(p) * (col("__m") - 1).cast(DoubleType)
+    val aggs = ps.zipWithIndex.flatMap { case (p, i) =>
+      Seq(
+        min(when((col("__w") - 1).cast(DoubleType) === floor(pos(p)),
+          v)).as(s"__lo_$i"),
+        min(when((col("__w") - 1).cast(DoubleType) === ceil(pos(p)),
+          v)).as(s"__hi_$i"))
+    } :+ first(col("__m")).as("__m")
+    val picked = ranked.groupBy(by.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val outs = ps.zipWithIndex.map { case (p, i) =>
+      val position = lit(p) * (col("__m") - 1).cast(DoubleType)
+      val lower = floor(position).cast(DoubleType)
+      val higher = ceil(position).cast(DoubleType)
+      // Spark Percentile's own formula, REPRODUCED BITWISE: the
+      // weighted form (higher−pos)·lo + (pos−lower)·hi, with the
+      // on-a-rank short-circuit — `lo + d·(hi−lo)` differs in the
+      // last ulp and would fail exact compares
+      when(lower === higher, col(s"__lo_$i")).otherwise(
+        (higher - position) * col(s"__lo_$i") +
+          (position - lower) * col(s"__hi_$i"))
+    }
+    picked.select(by.map(col) :+ array(outs: _*).as("percentiles"): _*)
   }
 
   private def dql(c: Column): Column = c.cast(DecimalType(3, 2))

@@ -165,6 +165,29 @@ class ApproxAndSampleSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("percentilesExactAtScale equals SQL percentile per group") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // random sizes per group, ties included (values quantized to .5)
+    val rows = for {
+      g <- Seq("a", "b", "c", "d")
+      _ <- 1 to (rnd.nextInt(40) + 1)
+    } yield (g, math.floor(rnd.nextDouble() * 20) / 2.0)
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val got = queries.Aggregates
+      .percentilesExactAtScale(df, "v", ps, Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val want = df.groupBy("g")
+      .agg(expr(s"percentile(v, array(${ps.mkString(",")}))")
+        .cast("array<double>").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got.keySet == want.keySet)
+    for (k <- want.keySet; i <- ps.indices)
+      assert(got(k)(i) == want(k)(i),
+        s"group $k p=${ps(i)}: got ${got(k)(i)} want ${want(k)(i)}")
+  }
+
   test("agg_collect raw (unstringified) array output stays covered") {
     import spark.implicits._
     val df = Seq((1L, 3L), (1L, 1L), (2L, 5L)).toDF("k", "v")

@@ -53,6 +53,41 @@ object Dedup {
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
+  /** xxhash64 fingerprints of word n-grams over an ALREADY-TOKENIZED
+    * array column, WITHOUT materializing gram strings: each gram
+    * hashes its token-array slice directly (xxhash64 folds over array
+    * elements). Distinct token tuples ↔ distinct hashes (modulo
+    * 64-bit collisions), same contract the string form had after
+    * hashing. FORMAT NOTE: these values persist in decontaminateIndex
+    * gram tables — changing the hashing invalidates existing tables.
+    *
+    * Takes the TOKEN column, not the text: inlining `tokens(text)` (a
+    * regex split) here would re-evaluate it inside the per-gram
+    * lambda — O(tokens²) regex work per doc, measured 10× slower at
+    * sf0.1. Callers materialize tokens once per row via a projection
+    * boundary ([[gramHashFrame]]); Catalyst keeps it (CollapseProject
+    * refuses to duplicate non-cheap multiply-referenced expressions).
+    */
+  def wordNgramHashes(tk: Column, n: Int): Column =
+    when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - n + 1),
+        i => xxhash64(slice(tk, i, lit(n)))))
+      .otherwise(array().cast(ArrayType(LongType)))
+
+  /** (`id`,) `gh` — one row per word n-gram of `textCol` — the shared
+    * gram-explode of the decontamination paths, with the
+    * tokens-materialized-once structure described on
+    * [[wordNgramHashes]].
+    */
+  private def gramHashFrame(df: DataFrame, textCol: String, n: Int,
+      idCol: Option[String]): DataFrame = {
+    val base = df.select(
+      idCol.map(c => col(c).as("id")).toSeq :+
+        TextAnalysis.tokens(col(textCol)).as("__tk"): _*)
+    base.select(idCol.map(_ => col("id")).toSeq :+
+      explode(wordNgramHashes(col("__tk"), n)).as("gh"): _*)
+  }
+
   /** Benchmark decontamination (the GPT-3/Gopher n-gram overlap
     * check): a training doc is contaminated when it shares ≥1 word
     * n-gram with any benchmark doc. Returns one row per contaminated
@@ -69,11 +104,9 @@ object Dedup {
     */
   def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame = {
-    def grams(df: DataFrame) = df.select(col(idCol).as("id"),
-      explode(wordNgrams(col(textCol), n)).as("gram"))
-    val benchGrams = grams(bench)
-      .select(xxhash64(col("gram")).as("gh")).distinct()
-    grams(train).select(col("id"), xxhash64(col("gram")).as("gh"))
+    val benchGrams =
+      gramHashFrame(bench, textCol, n, None).distinct()
+    gramHashFrame(train, textCol, n, Some(idCol))
       .join(broadcast(benchGrams), "gh") // map-only contamination filter
       .distinct()                        // tiny: contaminated grams only
       .groupBy("id").agg(count(lit(1)).as("n_shared"))
@@ -93,9 +126,7 @@ object Dedup {
   def decontaminateIndex(runner: graft.pipeline.PipelineRunner,
                          table: String, bench: DataFrame, idCol: String,
                          textCol: String, n: Int, batchId: Long): Long = {
-    val grams = bench
-      .select(explode(wordNgrams(col(textCol), n)).as("gram"))
-      .select(xxhash64(col("gram")).as("gh")).distinct()
+    val grams = gramHashFrame(bench, textCol, n, None).distinct()
     val fresh =
       if (!runner.tableExists(table)) grams
       else grams.join(runner.readTable(table), Seq("gh"), "left_anti")
@@ -124,9 +155,7 @@ object Dedup {
                                idCol: String, textCol: String,
                                n: Int): DataFrame = {
     val benchGrams = runner.readTable(table).select("gh")
-    batch.select(col(idCol).as("id"),
-        explode(wordNgrams(col(textCol), n)).as("gram"))
-      .select(col("id"), xxhash64(col("gram")).as("gh"))
+    gramHashFrame(batch, textCol, n, Some(idCol))
       .join(broadcast(benchGrams), "gh") // map-only contamination filter
       .distinct()                        // tiny: contaminated grams only
       .groupBy("id").agg(count(lit(1)).as("n_shared"))

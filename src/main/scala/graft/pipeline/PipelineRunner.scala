@@ -446,7 +446,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     */
   private val GBucket = "__gbucket"
   private val OpenCol = "__open"
-  private val hiddenCols = Seq(GBucket, OpenCol)
+  private val GWindow = "__gwindow"
+  private val hiddenCols = Seq(GBucket, OpenCol, GWindow)
 
   /** Apply a model's `on_schema_change` policy (dbt 1.9 config, see
     * [[OnSchemaChange]]) when an incremental batch's columns differ
@@ -1213,7 +1214,16 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     */
   private var cmdEmpty: Boolean = false
 
-  private def inputs(m: Model): Map[String, DataFrame] =
+  private def inputs(m: Model): Map[String, DataFrame] = inputs(m, None)
+
+  /** `window` (microbatch): half-open `[lo, hi)` SQL-timestamp bounds
+    * — deps that DECLARE an event-time column are pre-filtered to it
+    * (dbt's automatic input filtering; a plain comparison predicate,
+    * so it pushes into the scan and prunes time-partitioned storage).
+    * Deps with no declared event time pass through whole.
+    */
+  private def inputs(m: Model, window: Option[(String, String)])
+      : Map[String, DataFrame] =
     m.deps.map { dep =>
       byName.get(dep) match {
         case Some(d) if d.materialization == Materialization.Ephemeral =>
@@ -1229,9 +1239,27 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           dep -> deferCtx.get._2.readTable(dep) // state seed/snapshot
         case None => dep -> spark.table(dep) // source view
       }
-    }.map { case (dep, df) =>
+    }.map { case (dep, df0) =>
+      val df = (window, depEventTime(dep)) match {
+        case (Some((lo, hi)), Some(c)) => df0.filter(
+          col(c) >= to_timestamp(lit(lo)) && col(c) < to_timestamp(lit(hi)))
+        case _ => df0
+      }
       dep -> (if (cmdEmpty) df.limit(0) else df)
     }.toMap
+
+  /** A dep's declared event-time column: model-level `eventTime`
+    * config (a microbatch model's strategy column counts), or the
+    * source-level declaration for sources/seeds.
+    */
+  private def depEventTime(dep: String): Option[String] =
+    byName.get(dep) match {
+      case Some(d) => d.eventTime.orElse(d.materialization match {
+        case mb: Materialization.IncrementalMicrobatch => Some(mb.eventTime)
+        case _ => None
+      })
+      case None => spec.sourceEventTime.get(dep)
+    }
 
   private def runEphemeral(m: Model): DataFrame = buildDf(m)
 
@@ -1435,8 +1463,13 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   def runModel(name: String, fullRefresh: Boolean = false): Long = tracked {
     val m = byName(name)
     m.preHooks.foreach(h => runHook(name, h, Some(name)))
-    val df = buildDf(m, fullRefresh)
-    enforceContract(name, m, df)
+    // lazy: the microbatch path builds once PER WINDOW with filtered
+    // inputs instead of one whole-history build
+    lazy val df = {
+      val d = buildDf(m, fullRefresh)
+      enforceContract(name, m, d)
+      d
+    }
     val rows = m.materialization match {
       case Materialization.View =>
         df.createOrReplaceTempView(name); -1L
@@ -1547,9 +1580,146 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       // the stable-partition-per-key contract).
       case Materialization.IncrementalMerge(keys, buckets, userParts, osc) =>
         mergeInto(name, df, keys, buckets, userParts, fullRefresh, osc = osc)
+
+      case mb: Materialization.IncrementalMicrobatch =>
+        runMicrobatch(m, mb, fullRefresh)
     }
     m.postHooks.foreach(h => runHook(name, h, Some(name)))
     rows
+  }
+
+  /** Event-time window arithmetic for the microbatch strategy.
+    * Boundaries parse as `yyyy-MM-dd` or ISO `yyyy-MM-dd'T'HH:mm[:ss]`
+    * (space-free, so they survive argv tokenization like
+    * `snapshot --at`); all comparisons happen in SQL-timestamp text
+    * space via `to_timestamp`, i.e. the session time zone — the same
+    * space the data's own timestamp literals live in.
+    */
+  private object Microbatch {
+    import java.time.{LocalDate, LocalDateTime}
+    import java.time.temporal.ChronoUnit
+    private val sqlFmt =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    private val dirFmtP =
+      java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmm")
+    def parseTs(flag: String, s: String): LocalDateTime =
+      try {
+        if (s.length == 10) LocalDate.parse(s).atStartOfDay
+        else LocalDateTime.parse(s)
+      } catch {
+        case e: java.time.format.DateTimeParseException => sys.error(
+          s"$flag: unparseable timestamp '$s' " +
+            "(expect yyyy-MM-dd or yyyy-MM-dd'T'HH:mm[:ss]): " + e.getMessage)
+      }
+    def trunc(t: LocalDateTime, unit: String): LocalDateTime = unit match {
+      case "hour"  => t.truncatedTo(ChronoUnit.HOURS)
+      case "day"   => t.toLocalDate.atStartOfDay
+      case "month" => t.toLocalDate.withDayOfMonth(1).atStartOfDay
+      case "year"  => t.toLocalDate.withDayOfYear(1).atStartOfDay
+      case other => sys.error(
+        s"unknown microbatch batch_size: $other (hour|day|month|year)")
+    }
+    def plus(t: LocalDateTime, unit: String, n: Int): LocalDateTime =
+      unit match {
+        case "hour"  => t.plusHours(n.toLong)
+        case "day"   => t.plusDays(n.toLong)
+        case "month" => t.plusMonths(n.toLong)
+        case "year"  => t.plusYears(n.toLong)
+        case other => sys.error(
+          s"unknown microbatch batch_size: $other (hour|day|month|year)")
+      }
+    def sql(t: LocalDateTime): String = sqlFmt.format(t)
+    def dirLabel(t: LocalDateTime): String = dirFmtP.format(t)
+  }
+
+  /** The microbatch write path: one independent, idempotent,
+    * atomically-committed job per event-time window (dbt-core 1.9
+    * `incremental_strategy='microbatch'`; see
+    * [[Materialization.IncrementalMicrobatch]] for the semantics and
+    * the 100 TB rationale).
+    *
+    * Window plan (dbt's): initial build / `--full-refresh` processes
+    * `begin` → `--event-time-end`; a scheduled incremental run
+    * processes the current window plus `lookback` closed ones;
+    * `--event-time-start` overrides the start for explicit backfills.
+    * The final window is clamped to the end clock, so a mid-window
+    * run loads a partial batch that the next run's lookback
+    * re-processes in full — exactly dbt's late-data healing.
+    *
+    * Storage: each window's rows live under a `__gwindow=<start>`
+    * partition member; a batch commit swaps exactly that window's
+    * members in the manifest (the insert_overwrite mechanics at
+    * window granularity), so each window commits atomically and
+    * INDEPENDENTLY — a failure mid-backfill keeps every completed
+    * window, and re-running any window replaces it byte-for-byte
+    * idempotently. An empty window still swaps (to nothing): a
+    * re-processed window whose rows vanished upstream must lose its
+    * stale member, not keep it.
+    */
+  private def runMicrobatch(m: Model,
+      mb: Materialization.IncrementalMicrobatch,
+      fullRefresh: Boolean): Long = {
+    import Microbatch._
+    val name = m.name
+    val unit = mb.batchSize
+    val end = cmdEventTime._2
+      .map(parseTs("--event-time-end", _))
+      .getOrElse(sys.error(
+        s"microbatch model $name requires run --event-time-end <ts> — " +
+          "the injected event clock (dbt uses wall-clock 'now'; this " +
+          "engine injects it for deterministic runs, like snapshot --at)"))
+    val fresh = !tableExists(name) || fullRefresh
+    val start = cmdEventTime._1.map(parseTs("--event-time-start", _))
+      .getOrElse(
+        if (fresh) parseTs(s"microbatch begin on $name", mb.begin)
+        else plus(trunc(end, unit), unit, -mb.lookback))
+    require(start.isBefore(end),
+      s"microbatch on $name: empty window [$start, $end)")
+    val windows = Iterator.iterate(trunc(start, unit))(plus(_, unit, 1))
+      .takeWhile(_.isBefore(end)).toSeq
+    var total = 0L
+    windows.zipWithIndex.foreach { case (w, i) =>
+      val wEnd = plus(w, unit, 1)
+      val hi = if (wEnd.isAfter(end)) end else wEnd
+      val bounds = (sql(w), sql(hi))
+      val built = buildDfWith(m, inputs(m, Some(bounds)), fullRefresh)
+      enforceContract(name, m, built)
+      // bound the OUTPUT to the window too — batch replacement is
+      // only idempotent when every row lands in its window's member
+      val batchDf = built
+        .filter(col(mb.eventTime) >= to_timestamp(lit(bounds._1)) &&
+          col(mb.eventTime) < to_timestamp(lit(bounds._2)))
+        .withColumn(GWindow, lit(dirLabel(w)))
+      val freshNow = fresh && i == 0 // later windows extend this run's
+      val (schema, outDf) =
+        if (freshNow) (batchDf.schema, batchDf)
+        else applySchemaChange(name, mb.onSchemaChange,
+          currentSchema(name).getOrElse(batchDf.schema), batchDf)
+      // no repartition: the batch holds exactly one window, so the
+      // partitioned write has a single leaf dir — every task writes
+      // its own file there in parallel (no small-file explosion, and
+      // a constant-column repartition would collapse the write to
+      // one task)
+      val batch = writeBatch(name, p => outDf.write.mode("overwrite")
+        .partitionBy(GWindow).parquet(p))
+      val newMembers = partitionMembers(name, batch, 1)
+      val winKey = s"$GWindow=${dirLabel(w)}"
+      def partKey(mm: String) = mm.split('/').drop(2).mkString("/")
+      val members =
+        if (freshNow) newMembers
+        else {
+          val cur = currentManifest(name).get
+          val nonPart = cur.filter(mm => mm.split('/').length != 3)
+          require(nonPart.isEmpty,
+            s"microbatch on $name: existing members are not " +
+              s"window-scoped (e.g. ${nonPart.head}); full-refresh " +
+              "the table before switching materialization")
+          cur.filterNot(mm => partKey(mm) == winKey) ++ newMembers
+        }
+      publishManifest(name, members, schema)
+      total += writtenCount(name, batch, outDf.schema)
+    }
+    total
   }
 
   /** The merge write path (shared by the `IncrementalMerge`
@@ -1800,6 +1970,13 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     */
   private var cmdVars: Map[String, String] = Map.empty
 
+  /** The invocation's `--event-time-start` / `--event-time-end`
+    * bounds (dbt's microbatch backfill flags) — the injected event
+    * clock microbatch models window against. Same lifecycle as
+    * [[cmdVars]]: set per command, constant for its duration.
+    */
+  private var cmdEventTime: (Option[String], Option[String]) = (None, None)
+
   /** True when `is_incremental()` renders true for this model on this
     * invocation: it IS an incremental materialization, its target
     * exists, and the run is not `--full-refresh` (dbt-core 1.9).
@@ -1809,6 +1986,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       case _: Materialization.IncrementalAppend          => true
       case _: Materialization.IncrementalInsertOverwrite => true
       case _: Materialization.IncrementalMerge           => true
+      case _: Materialization.IncrementalMicrobatch      => true
       case _                                             => false
     }) && !fullRefresh && tableExists(m.name)
 
@@ -1817,11 +1995,19 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       if (tableExists(m.name)) Some(() => readTable(m.name)) else None)
 
   private def buildDf(m: Model, fullRefresh: Boolean = false): DataFrame =
+    buildDfWith(m, inputs(m), fullRefresh)
+
+  /** Build against explicit input frames — the microbatch path passes
+    * window-filtered inputs; everything else routes through
+    * [[buildDf]] with the plain resolution.
+    */
+  private def buildDfWith(m: Model, ins: Map[String, DataFrame],
+      fullRefresh: Boolean): DataFrame =
     m.buildC match {
-      case Some(f) => f(spark, inputs(m), buildCtx(m, fullRefresh))
+      case Some(f) => f(spark, ins, buildCtx(m, fullRefresh))
       case None => m.buildV match {
-        case Some(f) => f(spark, inputs(m), cmdVars)
-        case None    => m.build(spark, inputs(m))
+        case Some(f) => f(spark, ins, cmdVars)
+        case None    => m.build(spark, ins)
       }
     }
 
@@ -2009,7 +2195,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     */
   private final case class RunFlags(sel: Selection, threads: Int,
       fullRefresh: Boolean, vars: Map[String, String], defer: Boolean,
-      failFast: Boolean, empty: Boolean)
+      failFast: Boolean, empty: Boolean,
+      eventTime: (Option[String], Option[String]))
 
   private def parseRunFlags(flags: Seq[String]): Option[RunFlags] = {
     var threads = 1
@@ -2018,6 +2205,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     var defer = false
     var failFast = false
     var empty = false
+    var etStart: Option[String] = None
+    var etEnd: Option[String] = None
     parseSelFlags(flags) {
       case "--threads" :: v :: t if v.forall(_.isDigit) =>
         threads = v.toInt; t
@@ -2026,7 +2215,10 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       case "--defer" :: t => defer = true; t
       case "--fail-fast" :: t => failFast = true; t
       case "--empty" :: t => empty = true; t
-    }.map(RunFlags(_, threads, fullRefresh, vars, defer, failFast, empty))
+      case "--event-time-start" :: v :: t => etStart = Some(v); t
+      case "--event-time-end" :: v :: t => etEnd = Some(v); t
+    }.map(RunFlags(_, threads, fullRefresh, vars, defer, failFast, empty,
+      (etStart, etEnd)))
   }
 
   /** `build` flags: select/exclude, `--full-refresh`, `--at <ts>`
@@ -2035,7 +2227,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     */
   private final case class BuildFlags(sel: Selection,
       fullRefresh: Boolean, at: Option[String],
-      vars: Map[String, String], defer: Boolean, empty: Boolean)
+      vars: Map[String, String], defer: Boolean, empty: Boolean,
+      eventTime: (Option[String], Option[String]))
 
   private def parseBuildFlags(flags: Seq[String]): Option[BuildFlags] = {
     var fullRefresh = false
@@ -2043,13 +2236,18 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     var vars = Map.empty[String, String]
     var defer = false
     var empty = false
+    var etStart: Option[String] = None
+    var etEnd: Option[String] = None
     parseSelFlags(flags) {
       case "--full-refresh" :: t => fullRefresh = true; t
       case "--at" :: v :: t => at = Some(v); t
       case "--vars" :: v :: t => vars = parseVarsJson(v); t
       case "--defer" :: t => defer = true; t
       case "--empty" :: t => empty = true; t
-    }.map(BuildFlags(_, fullRefresh, at, vars, defer, empty))
+      case "--event-time-start" :: v :: t => etStart = Some(v); t
+      case "--event-time-end" :: v :: t => etEnd = Some(v); t
+    }.map(BuildFlags(_, fullRefresh, at, vars, defer, empty,
+      (etStart, etEnd)))
   }
 
   private def parseLsFlags(flags: Seq[String])
@@ -2354,8 +2552,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   /** One dbt-style command — the same argv surface the reference
     * shells out (`dbtoperator.py:35,46,324,334`): "debug",
     * "run [--select|-s specs...] [--exclude specs...] [--threads n]
-    * [--full-refresh] [--vars json]", "test [--select ...]
-    * [--exclude ...]",
+    * [--full-refresh] [--vars json] [--event-time-start ts]
+    * [--event-time-end ts]" (the event-time flags drive microbatch
+    * windows), "test [--select ...] [--exclude ...]",
     * "seed", "snapshot --at <ts>", "source freshness --at <ts>",
     * "build [--select ...] [--exclude ...] [--full-refresh] [--at ts]",
     * "ls [--select ...] [--exclude ...] [--resource-type kind]",
@@ -2370,6 +2569,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     */
   def runCommand(command: String): CommandResult = {
     cmdVars = Map.empty
+    cmdEventTime = (None, None)
     try {
       val parts = tokenize(command)
       // init failures (e.g. unreadable source) become a failed result
@@ -2399,6 +2599,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           val f = parseRunFlags(flags).get
           cmdVars = f.vars
           cmdEmpty = f.empty
+          cmdEventTime = f.eventTime
           val chosen = select(f.sel)
           setDefer(f.defer, f.sel, chosen)
           runModelsCommand(command, command, topoOrder(chosen),
@@ -2459,6 +2660,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           val f = parseBuildFlags(flags).get
           cmdVars = f.vars
           cmdEmpty = f.empty
+          cmdEventTime = f.eventTime
           setDefer(f.defer, f.sel, selectIn(resourceDeps, f.sel))
           runBuild(command, command, f.sel, f.fullRefresh, f.at)
         // `dbt retry` — resume the most recent node-executing command
@@ -2484,6 +2686,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
                   val f = parseRunFlags(flags).get
                   cmdVars = f.vars
                   cmdEmpty = f.empty
+                  cmdEventTime = f.eventTime
                   val chosen = select(f.sel)
                   setDefer(f.defer, f.sel, chosen)
                   runModelsCommand(command, prev,
@@ -2493,6 +2696,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
                   val f = parseBuildFlags(flags).get
                   cmdVars = f.vars
                   cmdEmpty = f.empty
+                  cmdEventTime = f.eventTime
                   setDefer(f.defer, f.sel, selectIn(resourceDeps, f.sel))
                   runBuild(command, prev, f.sel, f.fullRefresh, f.at,
                     only = Some(redo))

@@ -90,6 +90,46 @@ object Materialization {
       partitionBy: Seq[String] = Nil,
       onSchemaChange: OnSchemaChange = OnSchemaChange.AppendNewColumns)
     extends Materialization
+  /** dbt-core 1.9 `microbatch` incremental strategy (the headline 1.9
+    * materialization; the reference's pin at `dbtoperator.py:273-274`
+    * carries it): the model is built and stored in INDEPENDENT
+    * event-time batches. Config mirrors dbt's: `eventTime` is the
+    * model's event-time column, `batchSize` the window granularity
+    * (`hour`/`day`/`month`/`year`), `begin` the model's epoch (first
+    * build processes `begin` → the injected end clock), `lookback`
+    * how many closed batches a scheduled run re-processes besides the
+    * current one (late-arrival healing).
+    *
+    * Per-batch, upstream refs/sources that DECLARE an event-time
+    * column ([[Model.eventTime]] / [[PipelineSpec.sourceEventTime]])
+    * are pre-filtered to the batch window before the model builds —
+    * dbt's automatic input filtering, and the property that makes the
+    * strategy the 100 TB backfill shape: each batch reads O(window)
+    * input (partition-pruned at the scan when the input is stored
+    * partitioned on time), never the full history, and a year-long
+    * backfill is N independent idempotent window jobs instead of one
+    * giant run. Inputs with no declared event time (dimension tables)
+    * pass through whole, like dbt.
+    *
+    * Each batch replaces exactly its window's storage partition
+    * (`__gwindow=<start>` member swap, atomic per batch) — re-running
+    * a window is idempotent, and a mid-backfill failure keeps every
+    * completed batch. The model's OUTPUT is also bounded to the
+    * window on `eventTime`, which is what makes the replace
+    * idempotent regardless of what the model text returns.
+    *
+    * DIVERGENCE (determinism): dbt derives the current batch from
+    * wall-clock "now"; this engine requires the clock injected via
+    * `run --event-time-end <ts>` (dbt's own backfill flag), like
+    * `snapshot --at`. `--event-time-start` overrides the window start
+    * for explicit backfills, exactly as in dbt.
+    */
+  final case class IncrementalMicrobatch(eventTime: String,
+      batchSize: String,
+      begin: String,
+      lookback: Int = 1,
+      onSchemaChange: OnSchemaChange = OnSchemaChange.AppendNewColumns)
+    extends Materialization
 }
 
 /** Per-invocation context a SQL-text model's build renders against —
@@ -157,7 +197,16 @@ final case class Model(
       * usually for.
       */
     preHooks: Seq[String] = Nil,
-    postHooks: Seq[String] = Nil)
+    postHooks: Seq[String] = Nil,
+    /** dbt `event_time` config: the column that places each row in
+      * event time. When a microbatch model refs this one, its input
+      * frame is pre-filtered to the batch window on this column
+      * (dbt's automatic input filtering). A microbatch model's own
+      * [[Materialization.IncrementalMicrobatch.eventTime]] doubles as
+      * its declared event time — set this only on non-microbatch
+      * upstream models.
+      */
+    eventTime: Option[String] = None)
 
 object Model {
   // single- or double-quoted name (quotes must MATCH — `'m"` is a
@@ -249,7 +298,8 @@ object Model {
           tags: Seq[String] = Nil,
           preHooks: Seq[String] = Nil,
           postHooks: Seq[String] = Nil,
-          contract: Option[org.apache.spark.sql.types.StructType] = None)
+          contract: Option[org.apache.spark.sql.types.StructType] = None,
+          eventTime: Option[String] = None)
           : Model = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"model name must be a SQL identifier: $name")
@@ -283,7 +333,8 @@ object Model {
       sqlText = Some(sqlText),
       contract = contract,
       preHooks = preHooks,
-      postHooks = postHooks)
+      postHooks = postHooks,
+      eventTime = eventTime)
   }
 
   /** Render a SQL-text model to its COMPILED form — what `dbt compile`
@@ -545,6 +596,11 @@ final case class PipelineSpec(
     tests: Seq[DataTest] = Nil,
     unitTests: Seq[UnitTest] = Nil,
     sources: Map[String, String] = Map.empty,
+    /** dbt source-level `event_time` config: source name → event-time
+      * column, consulted by microbatch input filtering exactly like
+      * [[Model.eventTime]] on model refs.
+      */
+    sourceEventTime: Map[String, String] = Map.empty,
     seeds: Seq[Seed] = Nil,
     snapshots: Seq[SnapshotDef] = Nil,
     freshness: Seq[FreshnessDef] = Nil,

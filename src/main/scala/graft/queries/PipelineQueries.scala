@@ -411,6 +411,32 @@ object PipelineOps extends QueryGroup {
       r2.readTable("sip_orders").orderBy("o_orderkey")
     }),
 
+    // ---- microbatch incremental strategy (dbt-core 1.9) -------------------
+    // The headline 1.9 materialization: event-time-windowed independent
+    // batches. Run 1 backfills begin → Mar 15 12:00 (month batches,
+    // the last one partial); run 2 advances the clock to Apr 10 —
+    // its current window (April) plus lookback=1 (March) re-process,
+    // healing March's partial batch by atomic window replacement. The
+    // oracle states the final half-open interval directly, so a missed
+    // window, a non-replaced partial batch, or a leaked out-of-window
+    // row all hash-mismatch.
+    "mat_incremental_microbatch" -> ((s, d) => {
+      val wh = freshWh("mat_inc_microbatch")
+      val spec = PipelineSpec(
+        models = Seq(Model.sql("mbt_orders",
+          """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+            |FROM {{ source('orders') }}""".stripMargin,
+          Materialization.IncrementalMicrobatch(
+            eventTime = "o_orderdate", batchSize = "month",
+            begin = "1997-01-01"))),
+        sources = Map("orders" -> s"$d/orders.parquet"),
+        sourceEventTime = Map("orders" -> "o_orderdate"))
+      val r = new PipelineRunner(s, spec, wh)
+      mustSucceed(r.run(Seq("run --event-time-end 1997-03-15T12:00:00")))
+      mustSucceed(r.run(Seq("run --event-time-end 1997-04-10T00:00:00")))
+      r.readTable("mbt_orders").orderBy("o_orderkey")
+    }),
+
     // ---- model hooks (dbt pre-hook/post-hook) -----------------------------
     // A post-hook writes the audit row dbt hooks are usually for:
     // after hk_agg materializes, `INSERT INTO hk_audit SELECT ... FROM
@@ -771,6 +797,13 @@ object PipelineOps extends QueryGroup {
         |       THEN 1 ELSE 2 END AS batch_no
         |FROM orders
         |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "mat_incremental_microbatch" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-10 00:00:00'
         |ORDER BY o_orderkey""".stripMargin,
 
     "run_hooks_audit" ->

@@ -2400,4 +2400,116 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     val only = r.run(Seq("ls --resource-type unit_test")).results.head.modelsRun
     assert(only == Seq("unit_test.ut_ls_probe"))
   }
+
+  // ---- microbatch incremental strategy (dbt-core 1.9) ---------------------
+
+  private def mbTs(d: Int, h: Int) =
+    java.sql.Timestamp.valueOf(f"2024-01-0$d $h%02d:00:00")
+
+  private def mbSpec(rows: Seq[(Long, java.sql.Timestamp)],
+      lookback: Int = 1) = PipelineSpec(Seq(Model(
+    "mb", Nil,
+    Materialization.IncrementalMicrobatch("ts", "day", "2024-01-01",
+      lookback = lookback),
+    (sp, _) => { import sp.implicits._; rows.toDF("id", "ts") })))
+
+  private def mbIds(r: PipelineRunner): Seq[Long] =
+    r.readTable("mb").select("id").as[Long].collect().toSeq.sorted
+
+  test("microbatch: backfill windows, clamp to clock, lookback healing") {
+    val w = wh()
+    val rows1 = Seq((1L, mbTs(1, 5)), (2L, mbTs(2, 10)), (3L, mbTs(3, 8)),
+      (4L, mbTs(3, 20)))
+    val r1 = new PipelineRunner(spark, mbSpec(rows1), w)
+    assert(r1.run(Seq("run --event-time-end 2024-01-03T12:00:00")).success)
+    // row 4 (Jan 3 20:00) is past the injected clock → clamped out
+    assert(mbIds(r1) == Seq(1L, 2L, 3L))
+    assert(!r1.readTable("mb").columns.contains("__gwindow"),
+      "storage window column must not leak into the table surface")
+    // scheduled run at Jan 4 06:00, lookback=1 → exactly the Jan 3 +
+    // Jan 4 windows re-process: row 4 appears (healed partial batch),
+    // row 5 appears (current window), row 6 (Jan 1, OUTSIDE the
+    // lookback) must NOT — batch independence, dbt semantics
+    val rows2 = rows1 ++ Seq((5L, mbTs(4, 2)), (6L, mbTs(1, 9)))
+    val r2 = new PipelineRunner(spark, mbSpec(rows2), w)
+    assert(r2.run(Seq("run --event-time-end 2024-01-04T06:00:00")).success)
+    assert(mbIds(r2) == Seq(1L, 2L, 3L, 4L, 5L))
+    // explicit backfill of the Jan 1 window picks up row 6 and leaves
+    // every other window untouched
+    assert(r2.run(Seq("run --event-time-start 2024-01-01" +
+      " --event-time-end 2024-01-02T00:00:00")).success)
+    assert(mbIds(r2) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("microbatch: re-processed window drops rows that vanished upstream") {
+    val w = wh()
+    val rows = Seq((1L, mbTs(1, 5)), (2L, mbTs(2, 10)), (3L, mbTs(2, 11)))
+    val r1 = new PipelineRunner(spark, mbSpec(rows), w)
+    assert(r1.run(Seq("run --event-time-end 2024-01-03T00:00:00")).success)
+    assert(mbIds(r1) == Seq(1L, 2L, 3L))
+    // row 3 disappears upstream; backfilling its window must REPLACE
+    // the window's member (not keep the stale row), and an upstream
+    // row outside the backfilled window must survive
+    val r2 = new PipelineRunner(spark, mbSpec(Seq((1L, mbTs(1, 5)),
+      (2L, mbTs(2, 10)))), w)
+    assert(r2.run(Seq("run --event-time-start 2024-01-02" +
+      " --event-time-end 2024-01-03T00:00:00")).success)
+    assert(mbIds(r2) == Seq(1L, 2L))
+  }
+
+  test("microbatch: --full-refresh rebuilds from begin; end clock required") {
+    val w = wh()
+    val rows = Seq((1L, mbTs(1, 5)), (2L, mbTs(2, 10)))
+    val r1 = new PipelineRunner(spark, mbSpec(rows), w)
+    assert(r1.run(Seq("run --event-time-end 2024-01-02T00:00:00")).success)
+    assert(mbIds(r1) == Seq(1L))
+    // missing --event-time-end fails loudly, old table intact
+    val res = r1.run(Seq("run"))
+    assert(!res.success)
+    assert(res.results.head.error.exists(_.contains("--event-time-end")))
+    assert(mbIds(r1) == Seq(1L))
+    // --full-refresh re-windows from begin under the new clock
+    assert(r1.run(Seq("run --full-refresh" +
+      " --event-time-end 2024-01-03T00:00:00")).success)
+    assert(mbIds(r1) == Seq(1L, 2L))
+  }
+
+  test("microbatch: declared-event-time inputs are filtered per window") {
+    val w = wh()
+    // upstream model DECLARES ts as its event time; the downstream
+    // microbatch model records how many input rows each build SAW —
+    // if input filtering works, every row's n_seen equals its own
+    // window's row count (2 for Jan 1, 1 for Jan 2), never the total
+    val src = Model("mb_src", Nil, Materialization.Table,
+      (sp, _) => { import sp.implicits._
+        Seq((1L, mbTs(1, 3)), (2L, mbTs(1, 7)), (3L, mbTs(2, 9)))
+          .toDF("id", "ts") },
+      eventTime = Some("ts"))
+    val mb = Model("mb", Seq("mb_src"),
+      Materialization.IncrementalMicrobatch("ts", "day", "2024-01-01"),
+      (sp, ins) => ins("mb_src")
+        .withColumn("n_seen", lit(ins("mb_src").count())))
+    val r = new PipelineRunner(spark, PipelineSpec(Seq(src, mb)), w)
+    assert(r.run(Seq("run --event-time-end 2024-01-03T00:00:00")).success)
+    val got = r.readTable("mb").select("id", "n_seen").as[(Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 1L)))
+  }
+
+  test("microbatch: dimension inputs (no event time) pass through whole") {
+    val w = wh()
+    val dim = Model("mb_dim", Nil, Materialization.Table,
+      (sp, _) => { import sp.implicits._
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "label") })
+    val mb = Model("mb", Seq("mb_dim"),
+      Materialization.IncrementalMicrobatch("ts", "day", "2024-01-01"),
+      (sp, ins) => { import sp.implicits._
+        Seq((1L, mbTs(1, 3)), (2L, mbTs(2, 9))).toDF("id", "ts")
+          .join(ins("mb_dim"), "id") })
+    val r = new PipelineRunner(spark, PipelineSpec(Seq(dim, mb)), w)
+    assert(r.run(Seq("run --event-time-end 2024-01-03T00:00:00")).success)
+    assert(r.readTable("mb").select("id", "label")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      == Seq((1L, "a"), (2L, "b")))
+  }
 }

@@ -225,16 +225,25 @@ object PipelineProject {
         .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
         .map { l =>
           l.split(":", -1).toSeq match {
-            case Seq(n, src, ks, cs) => SnapshotDef(n, src,
-              ks.split(',').map(_.trim).toSeq, cs.split(',').map(_.trim).toSeq)
-            // optional 5th field: `timestamp=<col>` selects dbt's
-            // updated_at strategy (default is `check`)
-            case Seq(n, src, ks, cs, ts) if ts.startsWith("timestamp=") =>
+            // required `name:source:keys:compare`, then optional
+            // `timestamp=<col>` (dbt's updated_at strategy; default
+            // `check`) and `hard_deletes=<mode>` (dbt 1.9;
+            // ignore|invalidate|new_record) fields in any order
+            case n +: src +: ks +: cs +: rest if rest.forall(f =>
+                f.startsWith("timestamp=") || f.startsWith("hard_deletes=")) =>
+              var strategy: SnapshotStrategy = SnapshotStrategy.Check
+              var hd: HardDeletes = HardDeletes.Invalidate
+              rest.foreach {
+                case f if f.startsWith("timestamp=") =>
+                  strategy = SnapshotStrategy.Timestamp(
+                    f.stripPrefix("timestamp=").trim)
+                case f =>
+                  hd = HardDeletes.parse(f.stripPrefix("hard_deletes=").trim)
+              }
               SnapshotDef(n, src,
                 ks.split(',').map(_.trim).toSeq,
                 cs.split(',').map(_.trim).toSeq,
-                strategy = SnapshotStrategy.Timestamp(
-                  ts.stripPrefix("timestamp=").trim))
+                strategy = strategy, hardDeletes = hd)
             case _ => sys.error(s"snapshots.conf: unparseable line: $l")
           }
         }.toSeq

@@ -1117,7 +1117,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       case "snapshot" =>
         val sn = spec.snapshots.find(_.name == name).get
         Seq("snapshot", sn.name, sn.source, sn.keyCols.mkString(","),
-          sn.compareCols.mkString(","), sn.tags.mkString(","))
+          sn.compareCols.mkString(","), sn.tags.mkString(","),
+          sn.strategy.toString, sn.hardDeletes.toString)
       case other => Seq(other, name)
     }
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -1167,8 +1168,18 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     */
   private var deferCtx: Option[(Set[String], PipelineRunner)] = None
 
+  /** dbt `--favor-state`: flip defer precedence — an UNSELECTED node
+    * present in the state warehouse resolves there even when a local
+    * relation exists (dbt's flag for CI runs whose scratch schema may
+    * hold stale leftovers). Selected nodes always resolve locally.
+    */
+  private var deferFavorState: Boolean = false
+
   private def setDefer(defer: Boolean, sel: Selection,
-      selected: => Set[String]): Unit =
+      selected: => Set[String], favorState: Boolean = false): Unit = {
+    require(defer || !favorState,
+      "--favor-state requires --defer")
+    deferFavorState = favorState
     deferCtx =
       if (!defer) None
       else {
@@ -1176,15 +1187,17 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           "--defer requires --state <dir> with a prior warehouse"))
         Some((selected, new PipelineRunner(spark, spec, dir)))
       }
+  }
 
   /** A stored dep's frame under defer precedence: local generation if
-    * one exists, else the state warehouse's (when deferrable), else
-    * the natural does-not-exist error.
+    * one exists (unless `--favor-state` flips it), else the state
+    * warehouse's (when deferrable), else the natural does-not-exist
+    * error.
     */
   private def storedRelation(dep: String): DataFrame =
-    if (tableExists(dep)) readTable(dep)
-    else deferCtx match {
-      case Some((selected, st)) if !selected(dep) && st.tableExists(dep) =>
+    deferCtx match {
+      case Some((selected, st)) if !selected(dep) && st.tableExists(dep) &&
+          (deferFavorState || !tableExists(dep)) =>
         logger.log(LogLevel.INFO, s"defer: reading $dep from state")
         st.readTable(dep)
       case _ => readTable(dep)
@@ -1199,13 +1212,14 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * there; `build --defer` passes its real selection).
     */
   private[pipeline] def testRelation(name: String): DataFrame =
-    if (tableExists(name)) readTable(name)
-    else if (spark.catalog.tableExists(name)) spark.table(name)
-    else deferCtx match {
-      case Some((selected, st))
-          if !selected(name) && st.tableExists(name) =>
+    deferCtx match {
+      case Some((selected, st)) if !selected(name) && st.tableExists(name) &&
+          (deferFavorState ||
+            (!tableExists(name) && !spark.catalog.tableExists(name))) =>
         st.readTable(name)
-      case _ => spark.table(name)
+      case _ =>
+        if (tableExists(name)) readTable(name)
+        else spark.table(name)
     }
 
   /** dbt `--empty`: build every model against LIMIT-0 inputs — a
@@ -1213,6 +1227,13 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * smoke for model SQL + schema contracts without paying for data.
     */
   private var cmdEmpty: Boolean = false
+
+  /** dbt `--warn-error`: promote warnings to errors for the command's
+    * duration — a warn-severity test outcome (or warn_if hit) FAILS
+    * the test, and a warn-fresh source fails `source freshness`.
+    * Same lifecycle as [[cmdVars]].
+    */
+  private var cmdWarnError: Boolean = false
 
   private def inputs(m: Model): Map[String, DataFrame] = inputs(m, None)
 
@@ -1231,12 +1252,13 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         case Some(d) if d.materialization == Materialization.View =>
           dep -> spark.table(dep)
         case Some(_) => dep -> storedRelation(dep)
+        case None if deferCtx.exists { case (selected, st) =>
+          !selected(dep) && st.tableExists(dep) &&
+            (deferFavorState ||
+              (!tableExists(dep) && !spark.catalog.tableExists(dep))) } =>
+          dep -> deferCtx.get._2.readTable(dep) // state seed/snapshot
         case None if tableExists(dep) =>
           dep -> readTable(dep) // seed or snapshot table
-        case None if deferCtx.exists { case (selected, st) =>
-          !selected(dep) && !spark.catalog.tableExists(dep) &&
-            st.tableExists(dep) } =>
-          dep -> deferCtx.get._2.readTable(dep) // state seed/snapshot
         case None => dep -> spark.table(dep) // source view
       }
     }.map { case (dep, df0) =>
@@ -1849,10 +1871,10 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     val (closedDelta, nextOpen) = sn.strategy match {
       case SnapshotStrategy.Check =>
         Snapshot.scd2Step(prevOpen, source, sn.keyCols, sn.compareCols,
-          asOf)
+          asOf, sn.hardDeletes)
       case SnapshotStrategy.Timestamp(tsCol) =>
         Snapshot.scd2StepTimestamp(prevOpen, source, sn.keyCols,
-          sn.compareCols, tsCol, asOf)
+          sn.compareCols, tsCol, asOf, sn.hardDeletes)
     }
     val out = closedDelta.unionByName(nextOpen)
       .withColumn(OpenCol, col("valid_to").isNull)
@@ -1885,12 +1907,15 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         replaceTable(s"dbt_test__audit_${t.name}", viol)
       else if (t.config.zeroOnly) viol.limit(1).count()
       else viol.count()
-    val (fails, warns) = t.config.judge(n)
+    val (judgedFails, warns) = t.config.judge(n)
+    // dbt --warn-error: a warning IS a failure for this invocation
+    val fails = judgedFails || (warns && cmdWarnError)
     if (fails)
-      logger.log(LogLevel.ERROR, s"test ${t.name} failed ($n violations)")
+      logger.log(LogLevel.ERROR, s"test ${t.name} failed ($n violations)" +
+        (if (judgedFails) "" else " [--warn-error]"))
     else if (warns)
       logger.log(LogLevel.WARNING, s"test ${t.name}: warn ($n violations)")
-    (if (fails) Some(t.name) else None, warns)
+    (if (fails) Some(t.name) else None, warns && !fails)
   }
 
   /** Header+schema CSV-lines loading shared by seeds and unit-test
@@ -2129,13 +2154,17 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * flag forcing every run test to persist its violating rows).
     */
   private def parseTestFlags(flags: Seq[String])
-      : Option[(Selection, Boolean, Boolean)] = {
+      : Option[(Selection, Boolean, Boolean, Boolean, Boolean)] = {
     var store = false
     var defer = false
+    var warnError = false
+    var favorState = false
     parseSelFlags(flags) {
       case "--store-failures" :: t => store = true; t
       case "--defer" :: t => defer = true; t
-    }.map((_, store, defer))
+      case "--warn-error" :: t => warnError = true; t
+      case "--favor-state" :: t => favorState = true; t
+    }.map((_, store, defer, warnError, favorState))
   }
 
   /** `clone` flags: select/exclude (with `--state`, required) plus
@@ -2196,7 +2225,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   private final case class RunFlags(sel: Selection, threads: Int,
       fullRefresh: Boolean, vars: Map[String, String], defer: Boolean,
       failFast: Boolean, empty: Boolean,
-      eventTime: (Option[String], Option[String]))
+      eventTime: (Option[String], Option[String]),
+      favorState: Boolean)
 
   private def parseRunFlags(flags: Seq[String]): Option[RunFlags] = {
     var threads = 1
@@ -2207,6 +2237,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     var empty = false
     var etStart: Option[String] = None
     var etEnd: Option[String] = None
+    var favorState = false
     parseSelFlags(flags) {
       case "--threads" :: v :: t if v.forall(_.isDigit) =>
         threads = v.toInt; t
@@ -2217,8 +2248,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       case "--empty" :: t => empty = true; t
       case "--event-time-start" :: v :: t => etStart = Some(v); t
       case "--event-time-end" :: v :: t => etEnd = Some(v); t
+      case "--favor-state" :: t => favorState = true; t
     }.map(RunFlags(_, threads, fullRefresh, vars, defer, failFast, empty,
-      (etStart, etEnd)))
+      (etStart, etEnd), favorState))
   }
 
   /** `build` flags: select/exclude, `--full-refresh`, `--at <ts>`
@@ -2228,7 +2260,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   private final case class BuildFlags(sel: Selection,
       fullRefresh: Boolean, at: Option[String],
       vars: Map[String, String], defer: Boolean, empty: Boolean,
-      eventTime: (Option[String], Option[String]))
+      eventTime: (Option[String], Option[String]),
+      warnError: Boolean, favorState: Boolean)
 
   private def parseBuildFlags(flags: Seq[String]): Option[BuildFlags] = {
     var fullRefresh = false
@@ -2238,6 +2271,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     var empty = false
     var etStart: Option[String] = None
     var etEnd: Option[String] = None
+    var warnError = false
+    var favorState = false
     parseSelFlags(flags) {
       case "--full-refresh" :: t => fullRefresh = true; t
       case "--at" :: v :: t => at = Some(v); t
@@ -2246,8 +2281,10 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       case "--empty" :: t => empty = true; t
       case "--event-time-start" :: v :: t => etStart = Some(v); t
       case "--event-time-end" :: v :: t => etEnd = Some(v); t
+      case "--warn-error" :: t => warnError = true; t
+      case "--favor-state" :: t => favorState = true; t
     }.map(BuildFlags(_, fullRefresh, at, vars, defer, empty,
-      (etStart, etEnd)))
+      (etStart, etEnd), warnError, favorState))
   }
 
   private def parseLsFlags(flags: Seq[String])
@@ -2554,7 +2591,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * "run [--select|-s specs...] [--exclude specs...] [--threads n]
     * [--full-refresh] [--vars json] [--event-time-start ts]
     * [--event-time-end ts]" (the event-time flags drive microbatch
-    * windows), "test [--select ...] [--exclude ...]",
+    * windows), "test [--select ...] [--exclude ...] [--warn-error]"
+    * (--warn-error promotes warn outcomes to failures, also accepted
+    * on build and source freshness),
     * "seed", "snapshot --at <ts>", "source freshness --at <ts>",
     * "build [--select ...] [--exclude ...] [--full-refresh] [--at ts]",
     * "ls [--select ...] [--exclude ...] [--resource-type kind]",
@@ -2570,6 +2609,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   def runCommand(command: String): CommandResult = {
     cmdVars = Map.empty
     cmdEventTime = (None, None)
+    cmdWarnError = false
     try {
       val parts = tokenize(command)
       // init failures (e.g. unreadable source) become a failed result
@@ -2601,7 +2641,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           cmdEmpty = f.empty
           cmdEventTime = f.eventTime
           val chosen = select(f.sel)
-          setDefer(f.defer, f.sel, chosen)
+          setDefer(f.defer, f.sel, chosen, f.favorState)
           runModelsCommand(command, command, topoOrder(chosen),
             f.threads, f.fullRefresh, f.failFast)
         // `test [--select|--exclude specs...]` — selection matches
@@ -2610,10 +2650,12 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         // outside the graph — e.g. a source with attached tests —
         // selects that table's tests only)
         case "test" +: flags if parseTestFlags(flags).isDefined =>
-          val (sel, storeAll, defer) = parseTestFlags(flags).get
+          val (sel, storeAll, defer, warnError, favorState) =
+            parseTestFlags(flags).get
+          cmdWarnError = warnError
           // tests build nothing, so every missing relation is
           // deferrable — the selected set is empty by construction
-          setDefer(defer, sel, Set.empty)
+          setDefer(defer, sel, Set.empty, favorState)
           val (chosen, units) =
             if (sel.include.isEmpty && sel.exclude.isEmpty)
               (spec.tests, spec.unitTests)
@@ -2639,7 +2681,16 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         // reference can pass through its arbitrary-argv surface
         // (`dbtoperator.py:35,46`); `--at` injects the clock so runs
         // are deterministic. Fails when any source is in error state.
-        case Seq("source", "freshness", "--at", asOf) =>
+        // `source freshness --at <ts> [--warn-error]` — flags in any
+        // order; exactly one non-flag token (the clock value)
+        case "source" +: "freshness" +: rest
+            if rest.indexOf("--at") >= 0 &&
+              rest.indexOf("--at") + 1 < rest.length &&
+              !rest(rest.indexOf("--at") + 1).startsWith("--") &&
+              rest.forall(t => t == "--at" || t == "--warn-error" ||
+                t == rest(rest.indexOf("--at") + 1)) =>
+          val asOf = rest(rest.indexOf("--at") + 1)
+          cmdWarnError = rest.contains("--warn-error")
           val reports = spec.freshness.map { f =>
             val df =
               if (tableExists(f.source)) readTable(f.source)
@@ -2651,7 +2702,10 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           reports.filter(_._2 == "warn").foreach { case (s, _) =>
             logger.log(LogLevel.WARNING, s"source $s freshness: warn")
           }
-          val stale = reports.filter(_._2 == "error").map(_._1)
+          // dbt --warn-error: warn-fresh sources fail the command too
+          val stale = reports.filter { case (_, st) =>
+            st == "error" || (st == "warn" && cmdWarnError)
+          }.map(_._1)
           CommandResult(command, success = stale.isEmpty,
             spec.freshness.map(_.source), Map.empty,
             if (stale.isEmpty) None
@@ -2661,7 +2715,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           cmdVars = f.vars
           cmdEmpty = f.empty
           cmdEventTime = f.eventTime
-          setDefer(f.defer, f.sel, selectIn(resourceDeps, f.sel))
+          cmdWarnError = f.warnError
+          setDefer(f.defer, f.sel, selectIn(resourceDeps, f.sel),
+            f.favorState)
           runBuild(command, command, f.sel, f.fullRefresh, f.at)
         // `dbt retry` — resume the most recent node-executing command
         // (run / build / test / seed / snapshot) from its failure
@@ -2688,7 +2744,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
                   cmdEmpty = f.empty
                   cmdEventTime = f.eventTime
                   val chosen = select(f.sel)
-                  setDefer(f.defer, f.sel, chosen)
+                  setDefer(f.defer, f.sel, chosen, f.favorState)
                   runModelsCommand(command, prev,
                     topoOrder(chosen).filter(redo), f.threads,
                     f.fullRefresh, f.failFast)
@@ -2697,12 +2753,16 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
                   cmdVars = f.vars
                   cmdEmpty = f.empty
                   cmdEventTime = f.eventTime
-                  setDefer(f.defer, f.sel, selectIn(resourceDeps, f.sel))
+                  cmdWarnError = f.warnError
+                  setDefer(f.defer, f.sel, selectIn(resourceDeps, f.sel),
+                    f.favorState)
                   runBuild(command, prev, f.sel, f.fullRefresh, f.at,
                     only = Some(redo))
                 case "test" +: flags if parseTestFlags(flags).isDefined =>
-                  val (sel, storeAll, defer) = parseTestFlags(flags).get
-                  setDefer(defer, sel, Set.empty)
+                  val (sel, storeAll, defer, warnError, favorState) =
+                    parseTestFlags(flags).get
+                  cmdWarnError = warnError
+                  setDefer(defer, sel, Set.empty, favorState)
                   runTestsCommand(command, prev,
                     spec.tests.filter(t => redo(t.name)),
                     spec.unitTests.filter(u => redo(u.name)),

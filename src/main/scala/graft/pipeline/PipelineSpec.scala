@@ -568,6 +568,35 @@ object SnapshotStrategy {
   final case class Timestamp(tsCol: String) extends SnapshotStrategy
 }
 
+/** dbt-core 1.9 snapshot `hard_deletes` config — what happens to a
+  * key absent from the source:
+  *
+  *  - `Ignore`: nothing; the stale row stays open (dbt's default).
+  *  - `Invalidate`: close the open row at the run clock — the old
+  *    `invalidate_hard_deletes: true` (this engine's historical
+  *    behavior, kept as ITS default for compatibility with existing
+  *    snapshot tables).
+  *  - `NewRecord`: close the open row AND insert a deletion-marker
+  *    row (same values, `valid_from` = run clock, open) carrying
+  *    `dbt_is_deleted = true`; every row then carries the flag
+  *    (false for live rows). A key that reappears re-versions even
+  *    with unchanged values: the marker closes and a fresh live row
+  *    opens — dbt 1.9's resurrection semantics.
+  */
+sealed trait HardDeletes
+object HardDeletes {
+  case object Ignore extends HardDeletes
+  case object Invalidate extends HardDeletes
+  case object NewRecord extends HardDeletes
+  def parse(s: String): HardDeletes = s match {
+    case "ignore"     => Ignore
+    case "invalidate" => Invalidate
+    case "new_record" => NewRecord
+    case other => sys.error(s"unknown hard_deletes: $other " +
+      "(ignore|invalidate|new_record)")
+  }
+}
+
 /** dbt `snapshot`: SCD2-track a source/model under `name`. The
   * snapshot timestamp is injected per run (`snapshot --at <ts>`) so
   * history is deterministic.
@@ -578,7 +607,8 @@ final case class SnapshotDef(
     keyCols: Seq[String],
     compareCols: Seq[String],
     tags: Seq[String] = Nil,
-    strategy: SnapshotStrategy = SnapshotStrategy.Check)
+    strategy: SnapshotStrategy = SnapshotStrategy.Check,
+    hardDeletes: HardDeletes = HardDeletes.Invalidate)
 
 /** dbt source-freshness config: warn/error when `max(tsCol)` of
   * `source` ages past the thresholds (checked by the

@@ -22,31 +22,66 @@ object Snapshot {
     * as compute (the runner's snapshot storage does exactly this; a
     * full-history rewrite per scheduled snapshot would be O(table)).
     */
+  /** The `dbt_is_deleted` flag column carried by every row of a
+    * `hard_deletes = new_record` snapshot (dbt 1.9's column name).
+    */
+  val DeletedCol = "dbt_is_deleted"
+
+  /** `hardDeletes` (dbt 1.9 `hard_deletes`, see [[HardDeletes]]):
+    * `Ignore` keeps vanished keys open, `Invalidate` (default)
+    * closes them at `asOf`, `NewRecord` additionally opens a
+    * deletion-marker row flagged `dbt_is_deleted = true` and
+    * re-versions resurrected keys.
+    */
   def scd2Step(prevOpen: Option[DataFrame], current: DataFrame,
                keyCols: Seq[String], compareCols: Seq[String],
-               asOf: String): (DataFrame, DataFrame) = {
+               asOf: String,
+               hardDeletes: HardDeletes = HardDeletes.Invalidate)
+      : (DataFrame, DataFrame) = {
+    val newRec = hardDeletes == HardDeletes.NewRecord
     val asOfTs = lit(asOf).cast(TimestampType)
-    val newState = current.select((keyCols ++ compareCols).map(col): _*)
+    val newState0 = current.select((keyCols ++ compareCols).map(col): _*)
       .withColumn("valid_from", asOfTs)
       .withColumn("valid_to", lit(null).cast(TimestampType))
+    val newState =
+      if (newRec) newState0.withColumn(DeletedCol, lit(false)) else newState0
 
     prevOpen match {
       case None => (newState.filter(lit(false)), newState)
-      case Some(open) =>
+      case Some(open0) =>
+        // a table snapshotted before a switch TO new_record lacks the
+        // flag column — its rows are all live
+        val open =
+          if (newRec && !open0.columns.contains(DeletedCol))
+            open0.withColumn(DeletedCol, lit(false))
+          else open0
+        // never-null: stored flags could hold NULLs
+        val isMarker: Column =
+          if (newRec) coalesce(col(DeletedCol), lit(false)) else lit(false)
         val cur = current.select(
           keyCols.map(col) ++
             compareCols.map(c => col(c).as(s"__new_$c")) :+
             lit(true).as("__present"): _*)
         val joined = open.join(cur, keyCols, "left")
-        val changedPred: Column = compareCols.map(c =>
+        val valueChanged: Column = compareCols.map(c =>
           !(col(c) <=> col(s"__new_$c"))).reduce(_ || _)
-        // close when the key vanished (hard delete) or tracked values
-        // changed; otherwise the row stays open
+        // a present key whose open row is the deletion marker must
+        // re-version even with unchanged values (resurrection)
+        val changedPred = valueChanged || isMarker
+        val present = col("__present").isNotNull
+        // vanished keys: Ignore keeps them open; NewRecord keeps an
+        // EXISTING marker open (a key deleted two snapshots ago must
+        // not re-close / re-mark every run)
+        val keepOpenOnDelete: Column = hardDeletes match {
+          case HardDeletes.Ignore     => lit(true)
+          case HardDeletes.Invalidate => lit(false)
+          case HardDeletes.NewRecord  => isMarker
+        }
         val stillOpen = joined
-          .filter(col("__present").isNotNull && !changedPred)
+          .filter((present && !changedPred) || (!present && keepOpenOnDelete))
           .select(open.columns.map(col).toIndexedSeq: _*)
         val toClose = joined
-          .filter(col("__present").isNull || changedPred)
+          .filter((present && changedPred) || (!present && !keepOpenOnDelete))
           .select(open.columns.map(col).toIndexedSeq: _*)
           .withColumn("valid_to", asOfTs)
 
@@ -56,14 +91,29 @@ object Snapshot {
         // unchanged) must NOT be misread as brand new, or it would get
         // a second open row.
         val openKeyed = open.select(
-          keyCols.map(col) ++ compareCols.map(c => col(c).as(s"__old_$c")) :+
-            lit(true).as("__had_open"): _*)
+          keyCols.map(col) ++
+            compareCols.map(c => col(c).as(s"__old_$c")) ++ Seq(
+            (if (newRec) coalesce(col(DeletedCol), lit(false))
+             else lit(false)).as("__old_marker"),
+            lit(true).as("__had_open")): _*)
         val fresh = newState.join(openKeyed, keyCols, "left")
-          .filter(col("__had_open").isNull ||
+          .filter(col("__had_open").isNull || col("__old_marker") ||
             compareCols.map(c => !(col(c) <=> col(s"__old_$c"))).reduce(_ || _))
           .select(newState.columns.map(col).toIndexedSeq: _*)
 
-        (toClose, stillOpen.unionByName(fresh))
+        // deletion markers: the vanished key's last values live on in
+        // an open row flagged deleted, valid_from = the run clock
+        val nextOpen =
+          if (!newRec) stillOpen.unionByName(fresh)
+          else {
+            val markers = joined.filter(!present && !isMarker)
+              .select(open.columns.map(col).toIndexedSeq: _*)
+              .withColumn("valid_from", asOfTs)
+              .withColumn("valid_to", lit(null).cast(TimestampType))
+              .withColumn(DeletedCol, lit(true))
+            stillOpen.unionByName(fresh).unionByName(markers)
+          }
+        (toClose, nextOpen)
     }
   }
 
@@ -78,13 +128,18 @@ object Snapshot {
     */
   def scd2StepTimestamp(prevOpen: Option[DataFrame], current: DataFrame,
       keyCols: Seq[String], payloadCols: Seq[String], tsCol: String,
-      asOf: String): (DataFrame, DataFrame) = {
+      asOf: String,
+      hardDeletes: HardDeletes = HardDeletes.Invalidate)
+      : (DataFrame, DataFrame) = {
     require(payloadCols.contains(tsCol),
       s"timestamp strategy: tracked columns must include $tsCol")
+    val newRec = hardDeletes == HardDeletes.NewRecord
     val asOfTs = lit(asOf).cast(TimestampType)
-    val newState = current.select((keyCols ++ payloadCols).map(col): _*)
+    val newState0 = current.select((keyCols ++ payloadCols).map(col): _*)
       .withColumn("valid_from", col(tsCol).cast(TimestampType))
       .withColumn("valid_to", lit(null).cast(TimestampType))
+    val newState =
+      if (newRec) newState0.withColumn(DeletedCol, lit(false)) else newState0
 
     // "strictly newer", total over NULLs (Spark filters DROP null
     // predicates — they never coerce to false, so every branch below
@@ -96,7 +151,13 @@ object Snapshot {
 
     prevOpen match {
       case None => (newState.filter(lit(false)), newState)
-      case Some(open) =>
+      case Some(open0) =>
+        val open =
+          if (newRec && !open0.columns.contains(DeletedCol))
+            open0.withColumn(DeletedCol, lit(false))
+          else open0
+        val isMarker: Column =
+          if (newRec) coalesce(col(DeletedCol), lit(false)) else lit(false)
         // explicit presence marker (not ts nullness): key presence and
         // ts comparability are independent — scd2Step's NULL-compare
         // trap, same fix
@@ -106,28 +167,49 @@ object Snapshot {
             lit(true).as("__present")): _*)
         val joined = open.join(cur, keyCols, "left")
         val newer = newerThan(col("__new_ts"), col(tsCol))
+        val present = col("__present").isNotNull
+        // a resurrected key (open marker, key present) re-versions
+        // even when its ts did not advance
+        val supersede = newer || isMarker
+        val keepOpenOnDelete: Column = hardDeletes match {
+          case HardDeletes.Ignore     => lit(true)
+          case HardDeletes.Invalidate => lit(false)
+          case HardDeletes.NewRecord  => isMarker
+        }
         val stillOpen = joined
-          .filter(col("__present").isNotNull && !newer)
+          .filter((present && !supersede) || (!present && keepOpenOnDelete))
           .select(open.columns.map(col).toIndexedSeq: _*)
         val toClose = joined
-          .filter(col("__present").isNull || newer)
-          // superseded rows close at their successor's row time; hard
-          // deletes at the run clock
+          .filter((present && supersede) || (!present && !keepOpenOnDelete))
+          // superseded rows close at their successor's row time (the
+          // run clock for a no-newer-ts resurrection); hard deletes
+          // at the run clock
           .withColumn("valid_to",
-            when(col("__present").isNotNull, col("__new_ts"))
-              .otherwise(asOfTs))
+            when(present && newer, col("__new_ts")).otherwise(asOfTs))
           .select(open.columns.map(col).toIndexedSeq: _*)
 
         val openKeyed = open.select(
           keyCols.map(col) ++ Seq(
             col(tsCol).cast(TimestampType).as("__old_ts"),
+            (if (newRec) coalesce(col(DeletedCol), lit(false))
+             else lit(false)).as("__old_marker"),
             lit(true).as("__had_open")): _*)
         val fresh = newState.join(openKeyed, keyCols, "left")
-          .filter(col("__had_open").isNull ||
+          .filter(col("__had_open").isNull || col("__old_marker") ||
             newerThan(col(tsCol).cast(TimestampType), col("__old_ts")))
           .select(newState.columns.map(col).toIndexedSeq: _*)
 
-        (toClose, stillOpen.unionByName(fresh))
+        val nextOpen =
+          if (!newRec) stillOpen.unionByName(fresh)
+          else {
+            val markers = joined.filter(!present && !isMarker)
+              .select(open.columns.map(col).toIndexedSeq: _*)
+              .withColumn("valid_from", asOfTs)
+              .withColumn("valid_to", lit(null).cast(TimestampType))
+              .withColumn(DeletedCol, lit(true))
+            stillOpen.unionByName(fresh).unionByName(markers)
+          }
+        (toClose, nextOpen)
     }
   }
 

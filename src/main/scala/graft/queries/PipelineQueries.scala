@@ -213,6 +213,34 @@ object PipelineOps extends QueryGroup {
         .orderBy("o_custkey", "valid_from")
     }),
 
+    // dbt 1.9 `hard_deletes=new_record`: between the two snapshot runs
+    // custkey%7=0 keys VANISH (close + open deletion marker carrying
+    // the last values, dbt_is_deleted=true) and custkey%5=0 survivors
+    // change segment (ordinary re-version). The oracle reconstructs
+    // the exact three-branch history, so a missing marker, a re-closed
+    // marker, or a mis-flagged live row all hash-mismatch.
+    "snapshot_scd2_hard_deletes" -> ((s, d) => {
+      val wh = freshWh("snapshot_hd")
+      def spec(second: Boolean) = PipelineSpec(
+        models = Seq(Model("cust_dim_hd", Nil, Materialization.Table,
+          (sp, _) => {
+            val base = Tables.customer(sp, d).select(col("c_custkey"),
+              (if (second)
+                when(col("c_custkey") % 5 === 0, lit("MOVED"))
+                  .otherwise(col("c_mktsegment"))
+              else col("c_mktsegment")).as("seg"))
+            if (second) base.filter(col("c_custkey") % 7 =!= 0) else base
+          })),
+        snapshots = Seq(SnapshotDef("cust_snap_hd", "cust_dim_hd",
+          Seq("c_custkey"), Seq("seg"),
+          hardDeletes = HardDeletes.NewRecord)))
+      mustSucceed(new PipelineRunner(s, spec(second = false), wh)
+        .run(Seq("run", "snapshot --at 2024-01-01T00:00:00")))
+      val r2 = new PipelineRunner(s, spec(second = true), wh)
+      mustSucceed(r2.run(Seq("run", "snapshot --at 2024-02-01T00:00:00")))
+      r2.readTable("cust_snap_hd").orderBy("c_custkey", "valid_from")
+    }),
+
     // ---- generic data tests (violating-rows SELECTs; dbt `test`) ----------
     "test_unique" -> ((s, d) =>
       DataTests.unique(Tables.lineitem(s, d), Seq("l_orderkey"))
@@ -735,6 +763,28 @@ object PipelineOps extends QueryGroup {
         |  TIMESTAMP '2024-02-01 00:00:00' AS valid_from,
         |  CAST(NULL AS TIMESTAMP) AS valid_to
         |FROM customer WHERE c_custkey % 5 = 0
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "snapshot_scd2_hard_deletes" ->
+      """SELECT c_custkey, c_mktsegment AS seg,
+        |  TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+        |  CASE WHEN c_custkey % 7 = 0 OR c_custkey % 5 = 0
+        |       THEN TIMESTAMP '2024-02-01 00:00:00'
+        |       ELSE CAST(NULL AS TIMESTAMP) END AS valid_to,
+        |  false AS dbt_is_deleted
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment AS seg,
+        |  TIMESTAMP '2024-02-01 00:00:00' AS valid_from,
+        |  CAST(NULL AS TIMESTAMP) AS valid_to,
+        |  true AS dbt_is_deleted
+        |FROM customer WHERE c_custkey % 7 = 0
+        |UNION ALL
+        |SELECT c_custkey, 'MOVED' AS seg,
+        |  TIMESTAMP '2024-02-01 00:00:00' AS valid_from,
+        |  CAST(NULL AS TIMESTAMP) AS valid_to,
+        |  false AS dbt_is_deleted
+        |FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 0
         |ORDER BY c_custkey, valid_from""".stripMargin,
 
     "test_unique" ->

@@ -1140,6 +1140,36 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(err.error.exists(_.contains("fs_src")))
   }
 
+  test("--warn-error promotes warnings to failures (tests + freshness)") {
+    val w = wh()
+    val spec = PipelineSpec(
+      models = Seq(Model("we_m", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._
+          Seq((1L, Option.empty[String]), (2L, Some("x")))
+            .toDF("id", "v") })),
+      tests = Seq(DataTest.NotNull("we_m", "v",
+        TestConfig(severity = Severity.Warn))),
+      freshness = Seq(FreshnessDef("we_m_ts", "ts", 3600, 7200)))
+    val specOk = spec.copy(models = spec.models :+ Model("we_m_ts", Nil,
+      Materialization.Table, (sp, _) => { import sp.implicits._
+        Seq(Tuple1(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+          .toDF("ts") }))
+    val r = new PipelineRunner(spark, specOk, w)
+    assert(r.run(Seq("run")).success)
+    // warn severity: plain test passes (exit 0, dbt semantics) ...
+    assert(r.runCommand("test").success)
+    // ... but --warn-error fails it
+    val failed = r.runCommand("test --warn-error")
+    assert(!failed.success)
+    assert(failed.error.exists(_.contains("not_null_we_m_v")))
+    // freshness: warn age passes plainly, fails under --warn-error
+    assert(r.runCommand("source freshness --at 2024-01-01T01:30:00").success)
+    assert(!r.runCommand(
+      "source freshness --at 2024-01-01T01:30:00 --warn-error").success)
+    // the flag resets per command
+    assert(r.runCommand("test").success)
+  }
+
   test("freshness status transitions on the injected clock") {
     val df = Seq(Tuple1(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("ts")
@@ -2082,6 +2112,21 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(r.run(Seq(s"run -s dfl_child --defer --state $prod")).success)
     assert(r.readTable("dfl_child").as[(Long, String)].collect()
       .toSeq == Seq((1L, "local")))
+    // --favor-state flips the precedence: the SAME selection now reads
+    // the state parent despite the local relation (dbt --favor-state)
+    val r2 = new PipelineRunner(spark, spec, ci)
+    assert(r2.run(
+      Seq(s"run -s dfl_child --defer --state $prod --favor-state")).success)
+    assert(r2.readTable("dfl_child").as[(Long, String)].collect()
+      .toSeq == Seq((1L, "prod")))
+    // a SELECTED node never defers, favor-state or not
+    val r3 = new PipelineRunner(spark, spec, ci)
+    assert(r3.run(Seq(s"run --defer --state $prod --favor-state")).success)
+    assert(r3.readTable("dfl_child").as[(Long, String)].collect()
+      .toSeq == Seq((1L, "local")))
+    // --favor-state without --defer fails loudly
+    assert(!new PipelineRunner(spark, spec, ci)
+      .run(Seq("run -s dfl_child --favor-state")).success)
   }
 
   test("test --defer resolves an unbuilt model from state") {

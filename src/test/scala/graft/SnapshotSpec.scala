@@ -155,4 +155,94 @@ class SnapshotSpec extends AnyFunSuite with SparkTestBase {
     assert(open(0).getAs[String]("v") == "a")
     assert(open(1).getAs[String]("v") == "b2")
   }
+
+  // ---------------- hard_deletes modes (dbt 1.9) -------------------------
+
+  import graft.pipeline.HardDeletes
+
+  private def stepHd(prev: Option[DataFrame], rows: Seq[(Long, String)],
+      asOf: String, hd: HardDeletes): (DataFrame, DataFrame) =
+    Snapshot.scd2Step(prev, rows.toDF("id", "v"), Seq("id"), Seq("v"),
+      asOf, hd)
+
+  test("hard_deletes=ignore: vanished keys stay open, unclosed") {
+    val (_, o1) = stepHd(None, Seq((1L, "a"), (2L, "b")), t1,
+      HardDeletes.Ignore)
+    val (c2, o2) = stepHd(Some(o1), Seq((1L, "a")), t2, HardDeletes.Ignore)
+    assert(c2.count() == 0, "nothing closes on a hard delete")
+    assert(o2.orderBy("id").select("id", "v").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("hard_deletes=new_record: marker row, idempotent absence, resurrection") {
+    val hd = HardDeletes.NewRecord
+    val (_, o1) = stepHd(None, Seq((1L, "a"), (2L, "b")), t1, hd)
+    assert(o1.columns.contains(Snapshot.DeletedCol))
+    assert(o1.filter(col(Snapshot.DeletedCol)).count() == 0)
+    // key 2 vanishes: its live row closes at the clock AND a marker
+    // row opens with the same values, flagged deleted
+    val (c2, o2) = stepHd(Some(o1), Seq((1L, "a")), t2, hd)
+    assert(c2.count() == 1 && c2.head.getAs[Long]("id") == 2L)
+    val marker = o2.filter(col(Snapshot.DeletedCol)).collect()
+    assert(marker.length == 1)
+    assert(marker(0).getAs[Long]("id") == 2L)
+    assert(marker(0).getAs[String]("v") == "b", "marker keeps last values")
+    assert(marker(0).getAs[java.sql.Timestamp]("valid_from") == ts(t2))
+    // still absent next run: the existing marker stays open untouched
+    // (no re-close, no second marker)
+    val (c3, o3) = stepHd(Some(o2), Seq((1L, "a")), t3, hd)
+    assert(c3.count() == 0)
+    assert(o3.filter(col(Snapshot.DeletedCol)).count() == 1)
+    assert(o3.filter(col("id") === 2L).head()
+      .getAs[java.sql.Timestamp]("valid_from") == ts(t2))
+    // resurrection with UNCHANGED values: marker closes, a live row
+    // opens (dbt 1.9 re-appearing record semantics)
+    val (c4, o4) = stepHd(Some(o3), Seq((1L, "a"), (2L, "b")),
+      "2024-04-01 00:00:00", hd)
+    assert(c4.count() == 1 && c4.head.getAs[Boolean](Snapshot.DeletedCol))
+    val back = o4.filter(col("id") === 2L).collect()
+    assert(back.length == 1 && !back(0).getAs[Boolean](Snapshot.DeletedCol))
+    assert(back(0).getAs[java.sql.Timestamp]("valid_from")
+      == ts("2024-04-01 00:00:00"))
+  }
+
+  test("hard_deletes=new_record: pre-switch open rows default to live") {
+    // a table snapshotted WITHOUT the flag column, then switched
+    val (_, o1) = stepHd(None, Seq((1L, "a"), (2L, "b")), t1,
+      HardDeletes.Invalidate)
+    assert(!o1.columns.contains(Snapshot.DeletedCol))
+    val (c2, o2) = stepHd(Some(o1), Seq((1L, "a")), t2,
+      HardDeletes.NewRecord)
+    assert(c2.count() == 1)
+    assert(o2.filter(col(Snapshot.DeletedCol)).count() == 1)
+    assert(o2.filter(!col(Snapshot.DeletedCol)).count() == 1)
+  }
+
+  test("timestamp strategy + new_record: delete marks, resurrection versions") {
+    def src(rows: Seq[(Long, String, String)]) =
+      rows.map { case (id, v, u) => (id, v, ts(u)) }
+        .toDF("id", "v", "updated_at")
+    val hd = HardDeletes.NewRecord
+    val (_, o1) = Snapshot.scd2StepTimestamp(None,
+      src(Seq((1L, "a", "2023-12-01 00:00:00"),
+        (2L, "b", "2023-12-15 00:00:00"))),
+      Seq("id"), Seq("v", "updated_at"), "updated_at", t1, hd)
+    // key 2 hard-deleted → closes at run clock, marker opens
+    val (c2, o2) = Snapshot.scd2StepTimestamp(Some(o1),
+      src(Seq((1L, "a", "2023-12-01 00:00:00"))),
+      Seq("id"), Seq("v", "updated_at"), "updated_at", t2, hd)
+    assert(c2.count() == 1 && c2.head.getAs[java.sql.Timestamp]("valid_to")
+      == ts(t2))
+    assert(o2.filter(col(Snapshot.DeletedCol)).count() == 1)
+    // resurrection with the SAME row ts: marker closes at the run
+    // clock, live row reopens even though updated_at didn't advance
+    val (c3, o3) = Snapshot.scd2StepTimestamp(Some(o2),
+      src(Seq((1L, "a", "2023-12-01 00:00:00"),
+        (2L, "b", "2023-12-15 00:00:00"))),
+      Seq("id"), Seq("v", "updated_at"), "updated_at", t3, hd)
+    assert(c3.count() == 1 && c3.head.getAs[Boolean](Snapshot.DeletedCol))
+    assert(c3.head.getAs[java.sql.Timestamp]("valid_to") == ts(t3))
+    val back = o3.filter(col("id") === 2L).collect()
+    assert(back.length == 1 && !back(0).getAs[Boolean](Snapshot.DeletedCol))
+  }
 }

@@ -30,6 +30,8 @@ import org.apache.spark.sql.types.StructType
   *     expect.csv/.ddl     #   expected output rows
   *   snapshots.conf        # SCD2 snapshots, one per line:
   *                         #   name:source:key1,key2:cmp1,cmp2
+  *   exposures.conf        # dbt exposures, one per line:
+  *                         #   name:type:ref1,ref2[:owner[:url]]
   * }}}
   *
   * Model config grammar — dbt's `config()` call, the subset dbt-spark
@@ -41,11 +43,17 @@ import org.apache.spark.sql.types.StructType
   *             partition_by='c1,c2') }}
   *   {{ config(materialized='incremental', strategy='merge',
   *             unique_key='c1,c2'[, buckets='32'][, partition_by='c3']) }}
+  *   {{ config(materialized='incremental', strategy='microbatch',
+  *             event_time='c', batch_size='day', begin='2024-01-01'
+  *             [, lookback='1']) }}
   * }}}
   * Any form may add `pre_hook='sql'` / `post_hook='sql'` (`;;` joins
-  * multiple statements — dbt's list form) and `tags='t1,t2'` (dbt
-  * config tags, feeding `--select tag:`). No header → `view` (dbt's
-  * default materialization).
+  * multiple statements — dbt's list form), `tags='t1,t2'` (dbt
+  * config tags, feeding `--select tag:`), and `event_time='c'` (dbt's
+  * model-level event-time declaration — microbatch refs to this model
+  * filter it per window). No header → `view` (dbt's default
+  * materialization). A `sources.conf` value may carry
+  * `|event_time=c` after the path — dbt's source-level event_time.
   */
 object PipelineProject {
 
@@ -82,6 +90,9 @@ object PipelineProject {
               kv.get("buckets").map(_.toInt).getOrElse(16),
               kv.get("partition_by")
                 .map(_.split(',').map(_.trim).toSeq).getOrElse(Nil))
+            case "microbatch" => Materialization.IncrementalMicrobatch(
+              need("event_time"), need("batch_size"), need("begin"),
+              kv.get("lookback").map(_.toInt).getOrElse(1))
             case other => sys.error(s"model $name: unknown strategy '$other'")
           }
           case other =>
@@ -95,14 +106,25 @@ object PipelineProject {
     require(Files.isDirectory(root), s"not a project directory: $dir")
 
     val sourcesFile = root.resolve("sources.conf")
-    val sources: Map[String, String] =
-      if (!Files.exists(sourcesFile)) Map.empty
+    // `name=path` with an optional `|event_time=col` suffix (dbt's
+    // source-level event_time config, read by microbatch filtering)
+    val sourceLines: Seq[(String, String, Option[String])] =
+      if (!Files.exists(sourcesFile)) Nil
       else Files.readString(sourcesFile).linesIterator
         .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
         .map { l =>
-          val Array(k, v) = l.split("=", 2)
-          k.trim -> v.trim
-        }.toMap
+          val Array(k, v0) = l.split("=", 2)
+          v0.split("\\|", 2) match {
+            case Array(path, et) if et.trim.startsWith("event_time=") =>
+              (k.trim, path.trim,
+                Some(et.trim.stripPrefix("event_time=").trim))
+            case _ => (k.trim, v0.trim, None)
+          }
+        }.toSeq
+    val sources: Map[String, String] =
+      sourceLines.map(s => s._1 -> s._2).toMap
+    val sourceEventTime: Map[String, String] =
+      sourceLines.collect { case (n, _, Some(c)) => n -> c }.toMap
 
     val modelsDir = root.resolve("models")
     val models: Seq[Model] =
@@ -128,7 +150,9 @@ object PipelineProject {
             preHooks = hooks("pre_hook"), postHooks = hooks("post_hook"),
             // dbt contract: `contract='id BIGINT, v STRING'` (DDL) —
             // the output schema must match exactly or the build fails
-            contract = kv.get("contract").map(StructType.fromDDL))
+            contract = kv.get("contract").map(StructType.fromDDL),
+            // dbt model-level event_time (microbatch input filtering)
+            eventTime = kv.get("event_time"))
         }
 
     val seedsDir = root.resolve("seeds")
@@ -263,9 +287,29 @@ object PipelineProject {
           }
         }.toSeq
 
+    // exposures.conf: `name:type:ref1,ref2[:owner[:url]]` — dbt's
+    // exposures: block (declared downstream consumers)
+    val expoFile = root.resolve("exposures.conf")
+    val exposures: Seq[ExposureDef] =
+      if (!Files.exists(expoFile)) Nil
+      else Files.readString(expoFile).linesIterator
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          // split capped at 5: the trailing url field may itself
+          // contain colons (https://…)
+          l.split(":", 5).toSeq match {
+            case n +: tpe +: refs +: rest =>
+              ExposureDef(n.trim, tpe.trim,
+                refs.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+                owner = rest.headOption.map(_.trim).getOrElse(""),
+                url = rest.drop(1).headOption.map(_.trim).getOrElse(""))
+            case _ => sys.error(s"exposures.conf: unparseable line: $l")
+          }
+        }.toSeq
+
     PipelineSpec(models = models, tests = tests, unitTests = unitTests,
-      sources = sources, seeds = seeds, snapshots = snapshots,
-      freshness = freshness)
+      sources = sources, sourceEventTime = sourceEventTime, seeds = seeds,
+      snapshots = snapshots, freshness = freshness, exposures = exposures)
   }
 
   /** Unzip (rejecting path-traversal entries) into `scratchDir`, locate

@@ -250,13 +250,17 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     spec.seeds.map(_.name -> Seq.empty[String]).toMap ++
       spec.models.map(m => m.name -> m.deps.filter(nodes)).toMap ++
       spec.snapshots.map(sn =>
-        sn.name -> Seq(sn.source).filter(nodes)).toMap
+        sn.name -> Seq(sn.source).filter(nodes)).toMap ++
+      // exposures: leaf consumer nodes — their refs are real edges,
+      // so `+exposure_name` selects exactly what the consumer reads
+      spec.exposures.map(e => e.name -> e.refs.filter(nodes)).toMap
   }
 
   private def resourceKind(name: String): String =
     if (byName.contains(name)) "model"
     else if (spec.seeds.exists(_.name == name)) "seed"
     else if (spec.snapshots.exists(_.name == name)) "snapshot"
+    else if (spec.exposures.exists(_.name == name)) "exposure"
     else "source"
 
   private def resourceTags: Map[String, Set[String]] =
@@ -1119,6 +1123,10 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         Seq("snapshot", sn.name, sn.source, sn.keyCols.mkString(","),
           sn.compareCols.mkString(","), sn.tags.mkString(","),
           sn.strategy.toString, sn.hardDeletes.toString)
+      case "exposure" =>
+        val e = spec.exposures.find(_.name == name).get
+        Seq("exposure", e.name, e.exposureType, e.refs.mkString(","),
+          e.owner, e.url)
       case other => Seq(other, name)
     }
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -2523,6 +2531,11 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         // still-failing tests rerun
         runUnits(n, u => only.exists(_(u.name)))
         runTests(n, t => only.exists(_(t.name)))
+      } else if (kind == "exposure") {
+        // exposures are declarative consumers — nothing executes;
+        // they exist for lineage, selection (+exposure pulls its
+        // ancestors), ls, and the manifest artifact
+        ()
       } else if (kind == "snapshot" && at.isEmpty) {
         skipped += n
         logger.log(LogLevel.WARNING,

@@ -610,6 +610,20 @@ final case class SnapshotDef(
     strategy: SnapshotStrategy = SnapshotStrategy.Check,
     hardDeletes: HardDeletes = HardDeletes.Invalidate)
 
+/** dbt exposure (`exposures:` in schema YAML): a DECLARED downstream
+  * consumer — dashboard, notebook, ML job, application — whose
+  * `refs` are real graph edges. Exposures never execute; they exist
+  * for lineage (`ls`, manifest.json) and selection: `build -s
+  * +exposure_name` materializes exactly what the consumer needs,
+  * dbt's "refresh this dashboard's inputs" invocation.
+  */
+final case class ExposureDef(
+    name: String,
+    exposureType: String = "dashboard",
+    refs: Seq[String] = Nil,
+    owner: String = "",
+    url: String = "")
+
 /** dbt source-freshness config: warn/error when `max(tsCol)` of
   * `source` ages past the thresholds (checked by the
   * `source freshness --at <ts>` command; the clock is injected for
@@ -634,6 +648,7 @@ final case class PipelineSpec(
     seeds: Seq[Seed] = Nil,
     snapshots: Seq[SnapshotDef] = Nil,
     freshness: Seq[FreshnessDef] = Nil,
+    exposures: Seq[ExposureDef] = Nil,
     /** dbt `on-run-start` / `on-run-end` project hooks: run before the
       * first node / after the last node of every `run` and `build`
       * (on-run-end runs even when nodes failed, like dbt's). A failing

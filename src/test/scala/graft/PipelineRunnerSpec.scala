@@ -624,8 +624,14 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       "partition_by='p1,p2'")
     m("m_m", "materialized='incremental', strategy='merge', " +
       "unique_key='k1,k2', buckets='32'")
+    m("m_mb", "materialized='incremental', strategy='microbatch', " +
+      "event_time='ts', batch_size='day', begin='2024-01-01', lookback='2'")
+    m("m_et", "materialized='table', event_time='ts'")
     java.nio.file.Files.writeString(proj.resolve("models/m_d.sql"),
       "SELECT 1 AS x") // no header → dbt default (view)
+    // source with a declared event_time
+    java.nio.file.Files.writeString(proj.resolve("sources.conf"),
+      "ev=/tmp/ev.parquet|event_time=ts\nplain=/tmp/plain.parquet\n")
     val spec = PipelineProject.load(proj.toString)
     val mats = spec.models.map(mo => mo.name -> mo.materialization).toMap
     assert(mats("m_v") == Materialization.View)
@@ -636,7 +642,13 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       Materialization.IncrementalInsertOverwrite(Seq("p1", "p2")))
     assert(mats("m_m") ==
       Materialization.IncrementalMerge(Seq("k1", "k2"), 32))
+    assert(mats("m_mb") == Materialization.IncrementalMicrobatch(
+      "ts", "day", "2024-01-01", lookback = 2))
+    assert(spec.models.find(_.name == "m_et").get.eventTime == Some("ts"))
     assert(mats("m_d") == Materialization.View)
+    assert(spec.sources == Map("ev" -> "/tmp/ev.parquet",
+      "plain" -> "/tmp/plain.parquet"))
+    assert(spec.sourceEventTime == Map("ev" -> "ts"))
   }
 
   test("project loads singular tests, unit tests, tags and severity") {
@@ -2444,6 +2456,49 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.contains("unit_test.ut_ls_probe"))
     val only = r.run(Seq("ls --resource-type unit_test")).results.head.modelsRun
     assert(only == Seq("unit_test.ut_ls_probe"))
+  }
+
+  test("exposures: lineage nodes for ls and +selection, never executed") {
+    val w = wh()
+    val spec = PipelineSpec(
+      models = Seq(
+        tableModel("ex_a", Seq((1L, "a"))),
+        Model.sql("ex_b", "SELECT id, v FROM {{ ref('ex_a') }}",
+          Materialization.Table),
+        tableModel("ex_other", Seq((2L, "x")))),
+      exposures = Seq(ExposureDef("ex_dash", "dashboard", Seq("ex_b"),
+        owner = "analytics")))
+    val r = new PipelineRunner(spark, spec, w)
+    // `build -s +ex_dash` materializes exactly the consumer's ancestry
+    assert(r.run(Seq("build -s +ex_dash")).success)
+    assert(r.tableExists("ex_a") && r.tableExists("ex_b"))
+    assert(!r.tableExists("ex_other"), "unrelated model must not build")
+    assert(!r.tableExists("ex_dash"), "exposures never materialize")
+    // ls lists it kind-qualified, and --resource-type scopes to it
+    val ls = r.run(Seq("ls")).results.head.modelsRun
+    assert(ls.contains("exposure.ex_dash"))
+    assert(r.run(Seq("ls --resource-type exposure")).results.head.modelsRun
+      == Seq("exposure.ex_dash"))
+    // manifest.json carries the exposure with its edges
+    val man = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(w, "manifest.json"))
+    assert(man.contains(""""name":"ex_dash","kind":"exposure"""))
+    assert(man.contains(""""deps":["ex_b"]"""))
+  }
+
+  test("project artifact loads exposures.conf") {
+    val proj = java.nio.file.Paths.get(wh())
+    import java.nio.file.{Files => F}
+    F.createDirectories(proj.resolve("models"))
+    F.writeString(proj.resolve("models/pe_m.sql"), "SELECT 1 AS x")
+    F.writeString(proj.resolve("exposures.conf"),
+      "pe_dash:dashboard:pe_m:analytics:https://bi.example/d/1\n" +
+        "pe_nb:notebook:pe_m\n")
+    val spec = PipelineProject.load(proj.toString)
+    assert(spec.exposures == Seq(
+      ExposureDef("pe_dash", "dashboard", Seq("pe_m"), "analytics",
+        "https://bi.example/d/1"),
+      ExposureDef("pe_nb", "notebook", Seq("pe_m"))))
   }
 
   // ---- microbatch incremental strategy (dbt-core 1.9) ---------------------

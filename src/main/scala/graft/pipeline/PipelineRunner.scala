@@ -197,6 +197,24 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           if (core == "state:new") !old.contains(n)
           else !old.get(n).contains(checksumOf(n))
         }
+      } else if (core.startsWith("config.materialized:")) {
+        // dbt config selection method: models whose materialization
+        // name matches (all incremental strategies answer to
+        // `incremental`, like dbt's)
+        val want = core.stripPrefix("config.materialized:")
+        def matName(m: Materialization): String = m match {
+          case Materialization.View      => "view"
+          case Materialization.Table     => "table"
+          case Materialization.Ephemeral => "ephemeral"
+          case _                         => "incremental"
+        }
+        deps.keySet.filter(n =>
+          byName.get(n).exists(m => matName(m.materialization) == want))
+      } else if (core.startsWith("exposure:")) {
+        // dbt's exposure method prefix — same node the bare name hits
+        val e = core.stripPrefix("exposure:")
+        if (deps.contains(e) && resourceKind(e) == "exposure") Set(e)
+        else sys.error(s"unknown exposure: $e")
       } else if (deps.contains(core)) Set(core)
       else if (lenient) return Set(core)
       else sys.error(s"unknown resource: $core")

@@ -2484,6 +2484,14 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       java.nio.file.Paths.get(w, "manifest.json"))
     assert(man.contains(""""name":"ex_dash","kind":"exposure"""))
     assert(man.contains(""""deps":["ex_b"]"""))
+    // dbt method prefixes: exposure: names the same node;
+    // config.materialized: selects by materialization name
+    assert(r.run(Seq("ls -s +exposure:ex_dash")).results.head.modelsRun
+      .filter(_.startsWith("model.")).toSet
+      == Set("model.ex_a", "model.ex_b"))
+    assert(r.run(Seq("ls -s config.materialized:table")).results.head
+      .modelsRun.toSet
+      == Set("model.ex_a", "model.ex_b", "model.ex_other"))
   }
 
   test("project artifact loads exposures.conf") {

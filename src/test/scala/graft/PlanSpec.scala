@@ -41,6 +41,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("microbatch window filter pushes into the parquet scan") {
+    // the exact predicate shape runMicrobatch puts on event-time
+    // inputs: to_timestamp of a literal folds to a constant, so both
+    // bounds must reach the scan as pushed filters — this is what
+    // makes a window's input read O(window) on time-sorted storage
+    import org.apache.spark.sql.functions._
+    val p = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") >=
+          to_timestamp(lit("1997-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-02-01 00:00:00")))
+      .queryExecution.executedPlan.toString
+    val pushed = p.split("PushedFilters: ").last.takeWhile(_ != ']')
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate") &&
+      pushed.contains("LessThan(o_orderdate"),
+      s"window bounds not pushed: $pushed")
+  }
+
   test("join_theta_range avoids BroadcastNestedLoopJoin") {
     val p = plan("join_theta_range")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))

@@ -152,7 +152,11 @@ object PipelineProject {
             // the output schema must match exactly or the build fails
             contract = kv.get("contract").map(StructType.fromDDL),
             // dbt model-level event_time (microbatch input filtering)
-            eventTime = kv.get("event_time"))
+            eventTime = kv.get("event_time"),
+            // dbt governance: group='g', access='private' — a private
+            // model may only be ref'd within its group
+            group = kv.get("group"),
+            access = kv.getOrElse("access", "protected"))
         }
 
     val seedsDir = root.resolve("seeds")

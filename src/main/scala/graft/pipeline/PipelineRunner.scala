@@ -83,6 +83,23 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     autoCompactMembers: Int = 0) {
 
   private val byName = spec.models.map(m => m.name -> m).toMap
+
+  // dbt model governance (group/access): validated at CONSTRUCTION —
+  // dbt's parse-time DbtReferenceError, so an illegal ref fails before
+  // any command executes. `private` models may only be ref'd within
+  // their own group; `protected`/`public` are unrestricted in a
+  // single-package engine.
+  spec.models.foreach { m =>
+    require(Seq("public", "protected", "private").contains(m.access),
+      s"model ${m.name}: unknown access '${m.access}'")
+    m.deps.flatMap(byName.get).filter(_.access == "private").foreach { d =>
+      require(d.group.isDefined && m.group == d.group,
+        s"model ${m.name} (group ${m.group.getOrElse("<none>")}) cannot " +
+          s"ref private model ${d.name} " +
+          s"(group ${d.group.getOrElse("<none>")}) — dbt access rules")
+    }
+  }
+
   private var initialized = false
   // concurrent: models in the same dependency level may build in
   // parallel under `run --threads N`
@@ -1130,7 +1147,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       case "model" =>
         val m = byName(name)
         Seq("model", m.name, m.deps.mkString(","), m.tags.mkString(","),
-          m.materialization.toString) ++ m.sqlText.toSeq ++
+          m.materialization.toString, m.eventTime.getOrElse(""),
+          m.group.getOrElse(""), m.access) ++ m.sqlText.toSeq ++
           m.preHooks ++ m.postHooks
       case "seed" =>
         val sd = spec.seeds.find(_.name == name).get
@@ -1712,10 +1730,17 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     val unit = mb.batchSize
     val end = cmdEventTime._2
       .map(parseTs("--event-time-end", _))
-      .getOrElse(sys.error(
-        s"microbatch model $name requires run --event-time-end <ts> — " +
-          "the injected event clock (dbt uses wall-clock 'now'; this " +
-          "engine injects it for deterministic runs, like snapshot --at)"))
+      .getOrElse {
+        // --empty is a schema-only dry run: no event clock needed —
+        // synthesize one window at `begin` (its inputs are LIMIT 0,
+        // so it materializes the empty relation like any other kind)
+        if (cmdEmpty)
+          plus(parseTs(s"microbatch begin on $name", mb.begin), unit, 1)
+        else sys.error(
+          s"microbatch model $name requires run --event-time-end <ts> — " +
+            "the injected event clock (dbt uses wall-clock 'now'; this " +
+            "engine injects it for deterministic runs, like snapshot --at)")
+      }
     val fresh = !tableExists(name) || fullRefresh
     val start = cmdEventTime._1.map(parseTs("--event-time-start", _))
       .getOrElse(

@@ -206,7 +206,16 @@ final case class Model(
       * its declared event time — set this only on non-microbatch
       * upstream models.
       */
-    eventTime: Option[String] = None)
+    eventTime: Option[String] = None,
+    /** dbt model governance (dbt-core ≥1.5, in the 1.9 pin): `group`
+      * names the owning group; `access` is who may ref this model —
+      * `public` (anyone), `protected` (same package; a single-package
+      * engine, so equivalent to public here), `private` (same group
+      * only). A ref that violates access fails at runner construction
+      * — dbt's parse-time DbtReferenceError, before anything runs.
+      */
+    group: Option[String] = None,
+    access: String = "protected")
 
 object Model {
   // single- or double-quoted name (quotes must MATCH — `'m"` is a
@@ -299,7 +308,9 @@ object Model {
           preHooks: Seq[String] = Nil,
           postHooks: Seq[String] = Nil,
           contract: Option[org.apache.spark.sql.types.StructType] = None,
-          eventTime: Option[String] = None)
+          eventTime: Option[String] = None,
+          group: Option[String] = None,
+          access: String = "protected")
           : Model = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"model name must be a SQL identifier: $name")
@@ -334,7 +345,9 @@ object Model {
       contract = contract,
       preHooks = preHooks,
       postHooks = postHooks,
-      eventTime = eventTime)
+      eventTime = eventTime,
+      group = group,
+      access = access)
   }
 
   /** Render a SQL-text model to its COMPILED form — what `dbt compile`

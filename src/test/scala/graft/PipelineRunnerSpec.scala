@@ -2458,6 +2458,40 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(only == Seq("unit_test.ut_ls_probe"))
   }
 
+  test("model access: private refs enforced at construction (dbt groups)") {
+    def m(name: String, deps: Seq[String], group: Option[String],
+        access: String = "protected") =
+      Model(name, deps, Materialization.Table,
+        (sp, _) => { import sp.implicits._; Seq((1L, name)).toDF("id", "v") },
+        group = group, access = access)
+    // same-group private ref: fine
+    new PipelineRunner(spark, PipelineSpec(Seq(
+      m("ga_core", Nil, Some("finance"), "private"),
+      m("ga_rpt", Seq("ga_core"), Some("finance")))), wh())
+    // cross-group private ref: parse-time failure, dbt access rules
+    val e = intercept[IllegalArgumentException] {
+      new PipelineRunner(spark, PipelineSpec(Seq(
+        m("gb_core", Nil, Some("finance"), "private"),
+        m("gb_leak", Seq("gb_core"), Some("marketing")))), wh())
+    }
+    assert(e.getMessage.contains("cannot ref private model gb_core"))
+    // no-group ref of a private model also fails
+    intercept[IllegalArgumentException] {
+      new PipelineRunner(spark, PipelineSpec(Seq(
+        m("gc_core", Nil, Some("finance"), "private"),
+        m("gc_leak", Seq("gc_core"), None))), wh())
+    }
+    // public model: anyone may ref
+    new PipelineRunner(spark, PipelineSpec(Seq(
+      m("gd_core", Nil, Some("finance"), "public"),
+      m("gd_rpt", Seq("gd_core"), Some("marketing")))), wh())
+    // unknown access string fails loudly
+    intercept[IllegalArgumentException] {
+      new PipelineRunner(spark, PipelineSpec(Seq(
+        m("ge_core", Nil, None, "internal"))), wh())
+    }
+  }
+
   test("exposures: lineage nodes for ls and +selection, never executed") {
     val w = wh()
     val spec = PipelineSpec(
@@ -2580,6 +2614,26 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(r1.run(Seq("run --full-refresh" +
       " --event-time-end 2024-01-03T00:00:00")).success)
     assert(mbIds(r1) == Seq(1L, 2L))
+  }
+
+  test("microbatch: run --empty is schema-only and needs no event clock") {
+    val w = wh()
+    val src = Model("mbe_src", Nil, Materialization.Table,
+      (sp, _) => { import sp.implicits._
+        Seq((1L, mbTs(1, 5)), (2L, mbTs(2, 10))).toDF("id", "ts") },
+      eventTime = Some("ts"))
+    val mb = Model("mbe", Seq("mbe_src"),
+      Materialization.IncrementalMicrobatch("ts", "day", "2024-01-01"),
+      (sp, ins) => ins("mbe_src"))
+    val r = new PipelineRunner(spark, PipelineSpec(Seq(src, mb)), w)
+    assert(r.run(Seq("run --empty")).success)
+    assert(r.readTable("mbe").count() == 0)
+    assert(r.readTable("mbe").columns.toSeq == Seq("id", "ts"))
+    // a real run afterwards backfills normally from begin
+    assert(r.run(Seq("run --full-refresh" +
+      " --event-time-end 2024-01-03T00:00:00")).success)
+    assert(r.readTable("mbe").select("id").as[Long].collect().toSeq.sorted
+      == Seq(1L, 2L))
   }
 
   test("microbatch: declared-event-time inputs are filtered per window") {

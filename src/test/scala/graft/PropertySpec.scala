@@ -144,6 +144,56 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // ---- microbatch: any gap-free run schedule ≡ one-shot backfill -------
+
+  test("microbatch run schedules converge to the one-shot interval") {
+    import graft.pipeline._
+    // random event rows over ten days + a random schedule of
+    // advancing end clocks, each advancing ≤ 24h so consecutive runs'
+    // windows overlap (lookback=1 keeps the coverage gap-free — dbt's
+    // scheduling contract); the final table must equal the plain
+    // interval filter [begin, lastEnd) regardless of HOW the clocks
+    // landed (mid-window partial batches re-healed, replays, etc.)
+    val caseGen = for {
+      n <- Gen.choose(5, 30)
+      rows <- Gen.listOfN(n, for {
+        day <- Gen.choose(1, 10)
+        hour <- Gen.choose(0, 23)
+      } yield (day, hour))
+      steps <- Gen.choose(2, 4)
+      advances <- Gen.listOfN(steps, Gen.choose(1, 24))
+    } yield (rows, advances)
+
+    sample(caseGen, 4, seed = 777L).zipWithIndex.foreach {
+      case (((rows, advances)), i) =>
+        val data = rows.zipWithIndex.map { case ((d, h), id) =>
+          (id.toLong,
+            java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00"))
+        }
+        val spec = PipelineSpec(Seq(Model("pmb", Nil,
+          Materialization.IncrementalMicrobatch("ts", "day", "2024-01-01"),
+          (sp, _) => { import sp.implicits._; data.toDF("id", "ts") })))
+        val base = java.nio.file.Paths.get("/root/repo/target/scratch-test")
+        java.nio.file.Files.createDirectories(base)
+        val w = java.nio.file.Files.createTempDirectory(base, "pmb").toString
+        val r = new PipelineRunner(spark, spec, w)
+        var clock = java.time.LocalDateTime.parse("2024-01-02T06:00:00")
+        advances.foreach { h =>
+          clock = clock.plusHours(h.toLong)
+          val res = r.run(Seq(s"run --event-time-end $clock"))
+          assert(res.success, s"case $i: run at $clock failed")
+        }
+        val lastEnd = java.sql.Timestamp.valueOf(
+          clock.format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss")))
+        val got = r.readTable("pmb").select("id").as[Long]
+          .collect().toSeq.sorted
+        val want = data.filter(_._2.before(lastEnd)).map(_._1).sorted
+        assert(got == want,
+          s"case $i: advances=$advances lastEnd=$lastEnd")
+    }
+  }
+
   // ---- MinHash estimate vs true Jaccard --------------------------------
 
   test("MinHash estimate tracks true shingle Jaccard on random docs") {

@@ -92,7 +92,9 @@ object PipelineProject {
                 .map(_.split(',').map(_.trim).toSeq).getOrElse(Nil))
             case "microbatch" => Materialization.IncrementalMicrobatch(
               need("event_time"), need("batch_size"), need("begin"),
-              kv.get("lookback").map(_.toInt).getOrElse(1))
+              kv.get("lookback").map(_.toInt).getOrElse(1),
+              concurrentBatches =
+                kv.get("concurrent_batches").contains("true"))
             case other => sys.error(s"model $name: unknown strategy '$other'")
           }
           case other =>

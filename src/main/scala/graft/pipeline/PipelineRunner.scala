@@ -1750,8 +1750,14 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       s"microbatch on $name: empty window [$start, $end)")
     val windows = Iterator.iterate(trunc(start, unit))(plus(_, unit, 1))
       .takeWhile(_.isBefore(end)).toSeq
-    var total = 0L
-    windows.zipWithIndex.foreach { case (w, i) =>
+
+    // one window job: build against window-filtered inputs, clamp the
+    // output, write the batch, and swap the window's members as an
+    // atomic read-modify-publish under the table lock (safe for
+    // concurrent windows). `resetManifest` = this commit IS the
+    // fresh/full-refresh baseline and discards all prior members.
+    def runWindow(w: java.time.LocalDateTime,
+        resetManifest: Boolean): Long = tracked {
       val wEnd = plus(w, unit, 1)
       val hi = if (wEnd.isAfter(end)) end else wEnd
       val bounds = (sql(w), sql(hi))
@@ -1763,9 +1769,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         .filter(col(mb.eventTime) >= to_timestamp(lit(bounds._1)) &&
           col(mb.eventTime) < to_timestamp(lit(bounds._2)))
         .withColumn(GWindow, lit(dirLabel(w)))
-      val freshNow = fresh && i == 0 // later windows extend this run's
       val (schema, outDf) =
-        if (freshNow) (batchDf.schema, batchDf)
+        if (resetManifest) (batchDf.schema, batchDf)
         else applySchemaChange(name, mb.onSchemaChange,
           currentSchema(name).getOrElse(batchDf.schema), batchDf)
       // no repartition: the batch holds exactly one window, so the
@@ -1778,19 +1783,50 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       val newMembers = partitionMembers(name, batch, 1)
       val winKey = s"$GWindow=${dirLabel(w)}"
       def partKey(mm: String) = mm.split('/').drop(2).mkString("/")
-      val members =
-        if (freshNow) newMembers
-        else {
-          val cur = currentManifest(name).get
-          val nonPart = cur.filter(mm => mm.split('/').length != 3)
-          require(nonPart.isEmpty,
-            s"microbatch on $name: existing members are not " +
-              s"window-scoped (e.g. ${nonPart.head}); full-refresh " +
-              "the table before switching materialization")
-          cur.filterNot(mm => partKey(mm) == winKey) ++ newMembers
-        }
-      publishManifest(name, members, schema)
-      total += writtenCount(name, batch, outDf.schema)
+      lockFor(name).synchronized {
+        val members =
+          if (resetManifest) newMembers
+          else {
+            val cur = currentManifest(name).get
+            val nonPart = cur.filter(mm => mm.split('/').length != 3)
+            require(nonPart.isEmpty,
+              s"microbatch on $name: existing members are not " +
+                s"window-scoped (e.g. ${nonPart.head}); full-refresh " +
+                "the table before switching materialization")
+            cur.filterNot(mm => partKey(mm) == winKey) ++ newMembers
+          }
+        publishManifest(name, members, schema)
+      }
+      writtenCount(name, batch, outDf.schema)
+    }
+
+    // the first window always runs alone: when fresh it ESTABLISHES
+    // the new baseline manifest the remaining windows extend
+    var total = runWindow(windows.head, resetManifest = fresh)
+    val rest = windows.tail
+    if (rest.nonEmpty) {
+      if (!mb.concurrentBatches) rest.foreach(w => total += runWindow(w, false))
+      else {
+        // dbt 1.9 concurrent_batches: windows are independent and
+        // each commits atomically, so a pool just overlaps their
+        // (cluster-parallel) jobs; per-window failure still keeps
+        // every completed window
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(rest.size, 8))
+        try {
+          val futs = rest.map(w => pool.submit(
+            new java.util.concurrent.Callable[Long] {
+              def call(): Long = runWindow(w, resetManifest = false)
+            }))
+          futs.foreach(f =>
+            try total += f.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                pool.shutdownNow()
+                throw e.getCause
+            })
+        } finally pool.shutdown()
+      }
     }
     total
   }

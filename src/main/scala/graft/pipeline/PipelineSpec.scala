@@ -128,7 +128,15 @@ object Materialization {
       batchSize: String,
       begin: String,
       lookback: Int = 1,
-      onSchemaChange: OnSchemaChange = OnSchemaChange.AppendNewColumns)
+      onSchemaChange: OnSchemaChange = OnSchemaChange.AppendNewColumns,
+      /** dbt 1.9 `concurrent_batches`: windows are independent jobs,
+        * so a backfill may run them in parallel — each still commits
+        * its own atomic member swap, so correctness is unchanged and
+        * a failure still keeps every completed window. Batch schema
+        * must be stable across concurrent windows (dbt's contract
+        * too); leave false when batches must see each other's writes.
+        */
+      concurrentBatches: Boolean = false)
     extends Materialization
 }
 

@@ -2636,6 +2636,26 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       == Seq(1L, 2L))
   }
 
+  test("microbatch: concurrent_batches backfill matches the interval") {
+    val w = wh()
+    val rows = (1 to 9).flatMap(d =>
+      Seq((d.toLong * 10, mbTs(d, 3)), (d.toLong * 10 + 1, mbTs(d, 15))))
+    def spec = PipelineSpec(Seq(Model("mbc", Nil,
+      Materialization.IncrementalMicrobatch("ts", "day", "2024-01-01",
+        concurrentBatches = true),
+      (sp, _) => { import sp.implicits._; rows.toDF("id", "ts") })))
+    val r = new PipelineRunner(spark, spec, w)
+    // 9-window backfill, 8 of them racing through the pool — every
+    // atomic member swap must survive the contention
+    assert(r.run(Seq("run --event-time-end 2024-01-09T12:00:00")).success)
+    def ids = r.readTable("mbc").select("id").as[Long].collect().toSeq.sorted
+    val cut = java.sql.Timestamp.valueOf("2024-01-09 12:00:00")
+    assert(ids == rows.filter(_._2.before(cut)).map(_._1).sorted)
+    // a later concurrent incremental run heals the partial window
+    assert(r.run(Seq("run --event-time-end 2024-01-10T00:00:00")).success)
+    assert(ids == rows.map(_._1).sorted)
+  }
+
   test("microbatch: declared-event-time inputs are filtered per window") {
     val w = wh()
     // upstream model DECLARES ts as its event time; the downstream

@@ -32,6 +32,8 @@ import org.apache.spark.sql.types.StructType
   *                         #   name:source:key1,key2:cmp1,cmp2
   *   exposures.conf        # dbt exposures, one per line:
   *                         #   name:type:ref1,ref2[:owner[:url]]
+  *   versions.conf         # dbt versioned models, one per line:
+  *                         #   name:latest  (instances are <name>_v<k>.sql)
   * }}}
   *
   * Model config grammar — dbt's `config()` call, the subset dbt-spark
@@ -293,6 +295,22 @@ object PipelineProject {
           }
         }.toSeq
 
+    // versions.conf: `name:latest` per line — dbt's versioned-model
+    // declaration (`latest_version:` in schema YAML); instances are
+    // ordinary model files named `<name>_v<k>.sql`
+    val verFile = root.resolve("versions.conf")
+    val modelVersions: Map[String, Int] =
+      if (!Files.exists(verFile)) Map.empty
+      else Files.readString(verFile).linesIterator
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          l.split(":", -1).toSeq match {
+            case Seq(n, v) if v.trim.forall(_.isDigit) && v.trim.nonEmpty =>
+              n.trim -> v.trim.toInt
+            case _ => sys.error(s"versions.conf: unparseable line: $l")
+          }
+        }.toMap
+
     // exposures.conf: `name:type:ref1,ref2[:owner[:url]]` — dbt's
     // exposures: block (declared downstream consumers)
     val expoFile = root.resolve("exposures.conf")
@@ -313,7 +331,8 @@ object PipelineProject {
           }
         }.toSeq
 
-    PipelineSpec(models = models, tests = tests, unitTests = unitTests,
+    PipelineSpec(models = models, modelVersions = modelVersions,
+      tests = tests, unitTests = unitTests,
       sources = sources, sourceEventTime = sourceEventTime, seeds = seeds,
       snapshots = snapshots, freshness = freshness, exposures = exposures)
   }

@@ -84,6 +84,39 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
 
   private val byName = spec.models.map(m => m.name -> m).toMap
 
+  /** dbt model versions: symbolic name → latest version INSTANCE
+    * (`dim` → `dim_v2`). A bare `ref('dim')` resolves through this;
+    * `ref('dim', v=1)` already textualized to `dim_v1` at parse.
+    */
+  private val versionAlias: Map[String, String] =
+    spec.modelVersions.map { case (n, latest) => n -> s"${n}_v$latest" }
+
+  spec.modelVersions.foreach { case (n, latest) =>
+    require(byName.contains(s"${n}_v$latest"),
+      s"modelVersions: latest version ${n}_v$latest is not a model")
+    require(!byName.contains(n),
+      s"modelVersions: '$n' names both a versioned family and a model")
+  }
+
+  private def resolveDep(dep: String): String =
+    versionAlias.getOrElse(dep, dep)
+
+  // dbt's version-deprecation warning: a ref PINNED below the latest
+  // version still works but is called out, once, at parse time
+  spec.models.foreach { m =>
+    m.deps.foreach { dep =>
+      spec.modelVersions.foreach { case (n, latest) =>
+        if (dep.startsWith(s"${n}_v")) {
+          val v = dep.stripPrefix(s"${n}_v")
+          if (v.forall(_.isDigit) && v.nonEmpty && v.toInt < latest)
+            logger.log(LogLevel.WARNING,
+              s"model ${m.name} refs deprecated version $dep " +
+                s"(latest is ${n}_v$latest)")
+        }
+      }
+    }
+  }
+
   // dbt model governance (group/access): validated at CONSTRUCTION —
   // dbt's parse-time DbtReferenceError, so an illegal ref fails before
   // any command executes. `private` models may only be ref'd within
@@ -92,7 +125,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   spec.models.foreach { m =>
     require(Seq("public", "protected", "private").contains(m.access),
       s"model ${m.name}: unknown access '${m.access}'")
-    m.deps.flatMap(byName.get).filter(_.access == "private").foreach { d =>
+    m.deps.map(resolveDep).flatMap(byName.get)
+      .filter(_.access == "private").foreach { d =>
       require(d.group.isDefined && m.group == d.group,
         s"model ${m.name} (group ${m.group.getOrElse("<none>")}) cannot " +
           s"ref private model ${d.name} " +
@@ -227,6 +261,11 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         }
         deps.keySet.filter(n =>
           byName.get(n).exists(m => matName(m.materialization) == want))
+      } else if (versionAlias.contains(core)) {
+        // dbt versioned models: selecting the bare family name
+        // selects EVERY version instance (dbt's documented behavior)
+        deps.keySet.filter(n => n.startsWith(s"${core}_v") &&
+          n.stripPrefix(s"${core}_v").forall(_.isDigit))
       } else if (core.startsWith("exposure:")) {
         // dbt's exposure method prefix — same node the bare name hits
         val e = core.stripPrefix("exposure:")
@@ -261,7 +300,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   }
 
   private def modelDeps: Map[String, Seq[String]] =
-    spec.models.map(m => m.name -> m.deps.filter(byName.contains)).toMap
+    spec.models.map(m =>
+      m.name -> m.deps.map(resolveDep).filter(byName.contains)).toMap
 
   private def modelTags: Map[String, Set[String]] =
     spec.models.map(m => m.name -> m.tags.toSet).toMap
@@ -283,7 +323,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     val nodes = (spec.seeds.map(_.name) ++ spec.models.map(_.name) ++
       spec.snapshots.map(_.name)).toSet
     spec.seeds.map(_.name -> Seq.empty[String]).toMap ++
-      spec.models.map(m => m.name -> m.deps.filter(nodes)).toMap ++
+      spec.models.map(m =>
+        m.name -> m.deps.map(resolveDep).filter(nodes)).toMap ++
       spec.snapshots.map(sn =>
         sn.name -> Seq(sn.source).filter(nodes)).toMap ++
       // exposures: leaf consumer nodes — their refs are real edges,
@@ -1290,20 +1331,23 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   private def inputs(m: Model, window: Option[(String, String)])
       : Map[String, DataFrame] =
     m.deps.map { dep =>
-      byName.get(dep) match {
+      // the ref TEXT stays the key (it names the SQL-side view); a
+      // versioned bare ref resolves to its latest instance here
+      val t = resolveDep(dep)
+      byName.get(t) match {
         case Some(d) if d.materialization == Materialization.Ephemeral =>
-          dep -> ephemeralCache.getOrElseUpdate(dep, runEphemeral(d))
+          dep -> ephemeralCache.getOrElseUpdate(t, runEphemeral(d))
         case Some(d) if d.materialization == Materialization.View =>
-          dep -> spark.table(dep)
-        case Some(_) => dep -> storedRelation(dep)
+          dep -> spark.table(t)
+        case Some(_) => dep -> storedRelation(t)
         case None if deferCtx.exists { case (selected, st) =>
-          !selected(dep) && st.tableExists(dep) &&
+          !selected(t) && st.tableExists(t) &&
             (deferFavorState ||
-              (!tableExists(dep) && !spark.catalog.tableExists(dep))) } =>
-          dep -> deferCtx.get._2.readTable(dep) // state seed/snapshot
-        case None if tableExists(dep) =>
-          dep -> readTable(dep) // seed or snapshot table
-        case None => dep -> spark.table(dep) // source view
+              (!tableExists(t) && !spark.catalog.tableExists(t))) } =>
+          dep -> deferCtx.get._2.readTable(t) // state seed/snapshot
+        case None if tableExists(t) =>
+          dep -> readTable(t) // seed or snapshot table
+        case None => dep -> spark.table(t) // source view
       }
     }.map { case (dep, df0) =>
       val df = (window, depEventTime(dep)) match {
@@ -1319,7 +1363,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * source-level declaration for sources/seeds.
     */
   private def depEventTime(dep: String): Option[String] =
-    byName.get(dep) match {
+    byName.get(resolveDep(dep)) match {
       case Some(d) => d.eventTime.orElse(d.materialization match {
         case mb: Materialization.IncrementalMicrobatch => Some(mb.eventTime)
         case _ => None

@@ -229,13 +229,22 @@ object Model {
   // single- or double-quoted name (quotes must MATCH — `'m"` is a
   // typo, not a ref) — dbt/Jinja accepts both forms, and
   // `show --inline '…'` NEEDS the double form (the argv tokenizer
-  // owns single quotes there)
+  // owns single quotes there). The optional `, v=N` is dbt's
+  // versioned-model pin: `ref('m', v=2)`.
   private val refRe =
-    """\{\{\s*(?:ref|source)\(\s*(?:'([^'"]+)'|"([^'"]+)")\s*\)\s*\}\}""".r
+    ("""\{\{\s*(?:ref|source)\(\s*(?:'([^'"]+)'|"([^'"]+)")""" +
+      """\s*(?:,\s*v\s*=\s*(\d+)\s*)?\)\s*\}\}""").r
 
-  /** The ref name from a [[refRe]] match, whichever quote form hit. */
-  private def refName(m: scala.util.matching.Regex.Match): String =
-    Option(m.group(1)).getOrElse(m.group(2))
+  /** The ref name from a [[refRe]] match, whichever quote form hit.
+    * A version pin textualizes to the version instance's node name
+    * (`ref('m', v=2)` → `m_v2`, dbt's versioned-relation naming); a
+    * bare ref of a versioned model stays symbolic and the runner
+    * resolves it to the latest version.
+    */
+  private def refName(m: scala.util.matching.Regex.Match): String = {
+    val base = Option(m.group(1)).getOrElse(m.group(2))
+    Option(m.group(3)).map(v => s"${base}_v$v").getOrElse(base)
+  }
 
   // {% if is_incremental() %} ... [{% else %} ...] {% endif %} — the
   // dbt incremental guard (non-nested, like real dbt model files);
@@ -658,6 +667,15 @@ final case class FreshnessDef(
 
 final case class PipelineSpec(
     models: Seq[Model],
+    /** dbt model versions (dbt-core ≥1.5): versioned-model name →
+      * latest version number. The version INSTANCES are ordinary
+      * models named `<name>_v<k>`; `ref('name')` resolves to the
+      * latest instance, `ref('name', v=k)` pins one (a pin below
+      * latest logs dbt's deprecation warning), and selecting the bare
+      * name selects every version, all per dbt's versioned-model
+      * semantics.
+      */
+    modelVersions: Map[String, Int] = Map.empty,
     tests: Seq[DataTest] = Nil,
     unitTests: Seq[UnitTest] = Nil,
     sources: Map[String, String] = Map.empty,

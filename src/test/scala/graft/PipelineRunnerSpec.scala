@@ -2458,6 +2458,36 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(only == Seq("unit_test.ut_ls_probe"))
   }
 
+  test("model versions: ref resolves latest, v= pins, bare name selects all") {
+    val w = wh()
+    def inst(name: String, v: String) = Model.sql(name,
+      s"SELECT 1 AS id, '$v' AS ver", Materialization.Table)
+    val spec = PipelineSpec(
+      models = Seq(
+        inst("dimv_v1", "one"), inst("dimv_v2", "two"),
+        Model.sql("use_latest", "SELECT ver FROM {{ ref('dimv') }}",
+          Materialization.Table),
+        Model.sql("use_pinned", "SELECT ver FROM {{ ref('dimv', v=1) }}",
+          Materialization.Table)),
+      modelVersions = Map("dimv" -> 2))
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.run(Seq("run")).success)
+    assert(r.readTable("use_latest").head.getString(0) == "two",
+      "bare ref must resolve to the latest version")
+    assert(r.readTable("use_pinned").head.getString(0) == "one",
+      "v= pin must resolve to that instance")
+    // bare family name selects every version (dbt's behavior)
+    assert(r.select(Some("dimv")) == Set("dimv_v1", "dimv_v2"))
+    // graph closure follows the resolved alias edge
+    assert(r.select(Some("+use_latest")) == Set("dimv_v2", "use_latest"))
+    // declaring a latest that doesn't exist fails at construction
+    intercept[IllegalArgumentException] {
+      new PipelineRunner(spark, PipelineSpec(
+        models = Seq(inst("solo_v1", "x")),
+        modelVersions = Map("solo" -> 3)), wh())
+    }
+  }
+
   test("model access: private refs enforced at construction (dbt groups)") {
     def m(name: String, deps: Seq[String], group: Option[String],
         access: String = "protected") =

@@ -360,6 +360,30 @@ object LlmOps extends QueryGroup {
             .as("top_token_share"))
         .orderBy("doc_id")),
 
+    // Corpus duplication report — the pre-dedup audit: per source,
+    // what fraction of 8-gram occurrences are repeats (the number
+    // near-dedup could reclaim). Tokens materialize once per row,
+    // grams explode map-only, then ONE hash-agg with map-side
+    // partials; at 100 TB swap the gram string for xxhash64(gram)
+    // before the distinct (the llm_decontaminate trick) — the string
+    // form here is what the cross-engine oracle can state.
+    "llm_dup_gram_rate" -> ((s, d) => {
+      val n = 8
+      Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("__toks"))
+        .select(col("source"), explode(expr(
+          s"CASE WHEN size(__toks) >= $n THEN " +
+            s"transform(sequence(1, size(__toks) - ${n - 1}), " +
+            s"i -> array_join(slice(__toks, i, $n), ' ')) " +
+            "ELSE array() END")).as("gram"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("gram")).as("n_distinct"))
+        .withColumn("dup_rate",
+          lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_grams"))
+        .orderBy("source")
+    }),
+
     // Stratified sampling — per-language quotas, the standard rebalance
     // step in training-data curation. sampleBy is a map-only seeded
     // Bernoulli filter per stratum: no shuffle, scales linearly. No
@@ -626,6 +650,19 @@ object LlmOps extends QueryGroup {
          |    AS dup_token_ratio,
          |  CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_token_share
          |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_dup_gram_rate" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(text, ' ') AS t FROM documents
+        |), grams AS (
+        |  SELECT source, array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM toks, UNNEST(CASE WHEN len(t) >= 8 THEN range(1, len(t)-8+2)
+        |                         ELSE CAST([] AS BIGINT[]) END) AS u(i)
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+        |  1.0 - CAST(count(DISTINCT gram) AS DOUBLE) / count(*) AS dup_rate
+        |FROM grams GROUP BY source ORDER BY source""".stripMargin,
 
     "llm_pack_chunks" ->
       """WITH t AS (

@@ -240,12 +240,17 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           s"selector $core: no run_results.json artifact in warehouse"))._2
         rows.collect { case (_, n, st) if st == want => n }
           .toSet.filter(deps.contains)
-      } else if (core == "state:modified" || core == "state:new") {
+      } else if (core == "state:modified" || core == "state:new" ||
+          core == "state:unmodified") {
         val dir = state.getOrElse(sys.error(
           s"selector $core requires --state <dir> with a prior manifest.json"))
         val old = loadManifestChecksums(Paths.get(dir))
         deps.keySet.filter { n =>
           if (core == "state:new") !old.contains(n)
+          // dbt 1.9 state:unmodified — the exclusion complement for
+          // `--exclude state:unmodified` CI runs
+          else if (core == "state:unmodified")
+            old.get(n).contains(checksumOf(n))
           else !old.get(n).contains(checksumOf(n))
         }
       } else if (core.startsWith("config.materialized:")) {
@@ -261,11 +266,42 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         }
         deps.keySet.filter(n =>
           byName.get(n).exists(m => matName(m.materialization) == want))
+      } else if (core.startsWith("group:")) {
+        // dbt group selection method: models declared in the group
+        val g = core.stripPrefix("group:")
+        deps.keySet.filter(n => byName.get(n).exists(_.group.contains(g)))
       } else if (versionAlias.contains(core)) {
         // dbt versioned models: selecting the bare family name
         // selects EVERY version instance (dbt's documented behavior)
         deps.keySet.filter(n => n.startsWith(s"${core}_v") &&
           n.stripPrefix(s"${core}_v").forall(_.isDigit))
+      } else if (core.startsWith("source_status:")) {
+        // dbt's fresher-sources CI grammar: `-s source_status:fresher+
+        // --state <dir>` selects sources whose max_loaded_at in the
+        // warehouse's sources.json advanced past the --state dir's
+        // copy (a new source, or null→value, counts as fresher), then
+        // the graph ops expand as usual. A freshness target that is
+        // not itself a graph node can't execute — its DIRECT readers
+        // stand in for it under `+`/`@` (they are its descendants).
+        val mode = core.stripPrefix("source_status:")
+        require(mode == "fresher",
+          s"selector source_status: supports only 'fresher', got $mode")
+        val cur = loadSourcesJson(Paths.get(warehouse)).getOrElse(
+          sys.error("selector source_status:fresher: no sources.json " +
+            "in warehouse — run `source freshness` first"))
+        val dir = state.getOrElse(sys.error(
+          "selector source_status: requires --state <dir> with a " +
+            "prior sources.json"))
+        val prev = loadSourcesJson(Paths.get(dir)).getOrElse(
+          sys.error(s"--state: no sources.json under $dir"))
+        val fresher = cur.collect {
+          case (s, Some(t)) if prev.get(s).flatten.forall(_ < t) => s
+        }.toSet
+        fresher.filter(deps.contains) ++
+          (if (plusPost || isAt)
+            fresher.filterNot(deps.contains)
+              .flatMap(directReadersOf).filter(deps.contains)
+          else Set.empty[String])
       } else if (core.startsWith("exposure:")) {
         // dbt's exposure method prefix — same node the bare name hits
         val e = core.stripPrefix("exposure:")
@@ -331,6 +367,15 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       // so `+exposure_name` selects exactly what the consumer reads
       spec.exposures.map(e => e.name -> e.refs.filter(nodes)).toMap
   }
+
+  /** Executable nodes that read a non-node source directly: models
+    * whose declared deps name it, snapshots over it. (Sources stay
+    * temp views, not graph nodes — see [[resourceDeps]].)
+    */
+  private def directReadersOf(src: String): Set[String] =
+    (spec.models.filter(_.deps.map(resolveDep).contains(src))
+      .map(_.name) ++
+      spec.snapshots.filter(_.source == src).map(_.name)).toSet
 
   private def resourceKind(name: String): String =
     if (byName.contains(name)) "model"
@@ -1227,6 +1272,40 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     }
     Files.writeString(Paths.get(warehouse).resolve("manifest.json"),
       s"""{"nodes":[${nodes.mkString(",")}]}""")
+  }
+
+  /** Write dbt's `sources.json` artifact after `source freshness`:
+    * one row per checked source with its max_loaded_at (epoch sec,
+    * null when the source is empty) and status — the input the
+    * `source_status:fresher+` selector diffs against a `--state`
+    * dir's copy (dbt's fresher-sources-only CI grammar).
+    */
+  private def writeSourcesJson(command: String,
+      rows: Seq[(String, String, Option[Long])]): Unit = {
+    val items = rows.map { case (name, status, loadedSec) =>
+      s"""{"name":${jq(name)},""" +
+        s""""max_loaded_at_sec":${loadedSec.map(_.toString).getOrElse("null")},""" +
+        s""""status":${jq(status)}}"""
+    }
+    Files.writeString(Paths.get(warehouse).resolve("sources.json"),
+      s"""{"command":${jq(command)},"sources":[${items.mkString(",")}]}""")
+  }
+
+  /** name → Some(max_loaded_at_sec) | None-for-null from a dir's
+    * sources.json; None overall when no artifact exists. Parses only
+    * the exact shape [[writeSourcesJson]] emits.
+    */
+  private def loadSourcesJson(dir: Path): Option[Map[String, Option[Long]]] = {
+    val p = dir.resolve("sources.json")
+    if (!Files.exists(p)) None
+    else {
+      val itemRe =
+        """\{"name":"((?:[^"\\]|\\.)*)","max_loaded_at_sec":(null|-?\d+),""".r
+      Some(itemRe.findAllMatchIn(Files.readString(p)).map { m =>
+        junq(m.group(1)) ->
+          (if (m.group(2) == "null") None else Some(m.group(2).toLong))
+      }.toMap)
+    }
   }
 
   /** name → checksum from a `--state` dir's manifest.json. */
@@ -2827,14 +2906,22 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
                 t == rest(rest.indexOf("--at") + 1)) =>
           val asOf = rest(rest.indexOf("--at") + 1)
           cmdWarnError = rest.contains("--warn-error")
-          val reports = spec.freshness.map { f =>
+          val full = spec.freshness.map { f =>
             val df =
               if (tableExists(f.source)) readTable(f.source)
               else spark.table(f.source)
-            f.source -> Freshness.check(df, f.source, f.tsCol, asOf,
+            val row = Freshness.check(df, f.source, f.tsCol, asOf,
               f.warnAfterSec, f.errorAfterSec)
-              .head().getAs[String]("status")
+              .select(col("status"), col("max_loaded_at")
+                .cast(org.apache.spark.sql.types.LongType).as("sec"))
+              .head()
+            (f.source, row.getAs[String]("status"),
+              if (row.isNullAt(1)) None else Some(row.getLong(1)))
           }
+          // dbt writes sources.json on every freshness invocation —
+          // the source_status:fresher selector diffs it vs --state
+          writeSourcesJson(command, full)
+          val reports = full.map { case (s, st, _) => (s, st) }
           reports.filter(_._2 == "warn").foreach { case (s, _) =>
             logger.log(LogLevel.WARNING, s"source $s freshness: warn")
           }

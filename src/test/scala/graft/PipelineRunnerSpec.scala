@@ -2724,4 +2724,90 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, String)].collect().toSeq.sortBy(_._1)
       == Seq((1L, "a"), (2L, "b")))
   }
+
+  test("source freshness writes sources.json; source_status:fresher+ " +
+      "selects readers of sources that advanced") {
+    val w = wh()
+    val stateDir = wh()
+    val srcDir = wh() + "/fresh_src"
+    def writeSrc(upTo: Int): Unit =
+      (1 to upTo).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(s"2024-01-0$i 00:00:00")))
+        .toDF("id", "ts").write.mode("overwrite").parquet(srcDir)
+    writeSrc(2)
+    def spec = PipelineSpec(
+      models = Seq(
+        Model.sql("sf_reader",
+          "SELECT id FROM {{ source('fresh_src') }}",
+          Materialization.Table),
+        Model.sql("sf_down",
+          "SELECT count(*) AS n FROM {{ ref('sf_reader') }}",
+          Materialization.Table),
+        Model.sql("sf_other", "SELECT 1 AS x", Materialization.Table)),
+      sources = Map("fresh_src" -> srcDir),
+      freshness = Seq(FreshnessDef("fresh_src", "ts",
+        warnAfterSec = 864000, errorAfterSec = 8640000)))
+    val r1 = new PipelineRunner(spark, spec, w)
+    assert(r1.runCommand("run").success)
+    assert(r1.runCommand("source freshness --at 2024-01-05T00:00:00")
+      .success)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(w, "sources.json")))
+    // freeze sources.json as the CI state artifact
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(w, "sources.json"),
+      java.nio.file.Paths.get(stateDir, "sources.json"))
+    // nothing advanced → empty selection
+    val r2 = new PipelineRunner(spark, spec, w)
+    assert(r2.runCommand("source freshness --at 2024-01-05T00:00:00")
+      .success)
+    assert(r2.runCommand(s"run -s source_status:fresher+ --state $stateDir")
+      .modelsRun.isEmpty)
+    // the source gains a newer row; next freshness run records it,
+    // and the selector picks the reader + its descendants (never the
+    // unrelated model)
+    writeSrc(3)
+    val r3 = new PipelineRunner(spark, spec, w)
+    assert(r3.runCommand("source freshness --at 2024-01-05T00:00:00")
+      .success)
+    val res = r3.runCommand(s"run -s source_status:fresher+ --state $stateDir")
+    assert(res.success, res.error.mkString)
+    assert(res.modelsRun.sorted == Seq("sf_down", "sf_reader"))
+    // state-less use fails loudly
+    assert(!r3.runCommand("run -s source_status:fresher+").success)
+  }
+
+  test("state:unmodified is the exclusion complement of state:modified") {
+    val w = wh()
+    val stateDir = wh()
+    def spec(bSql: String) = PipelineSpec(models = Seq(
+      Model.sql("su_a", "SELECT 1 AS x", Materialization.Table),
+      Model.sql("su_b", bSql, Materialization.Table)))
+    val r1 = new PipelineRunner(spark, spec("SELECT 2 AS y"), w)
+    assert(r1.runCommand("run").success)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(w, "manifest.json"),
+      java.nio.file.Paths.get(stateDir, "manifest.json"))
+    val r2 = new PipelineRunner(spark, spec("SELECT 3 AS y"), w)
+    val res = r2.runCommand(
+      s"run --exclude state:unmodified --state $stateDir")
+    assert(res.success, res.error.mkString)
+    assert(res.modelsRun == Seq("su_b"))
+  }
+
+  test("group: selector method picks exactly the group's models") {
+    val w = wh()
+    val spec = PipelineSpec(models = Seq(
+      Model.sql("gs_fin1", "SELECT 1 AS x", Materialization.Table,
+        group = Some("finance")),
+      Model.sql("gs_fin2", "SELECT 2 AS x", Materialization.Table,
+        group = Some("finance")),
+      Model.sql("gs_mkt", "SELECT 3 AS x", Materialization.Table,
+        group = Some("marketing")),
+      Model.sql("gs_none", "SELECT 4 AS x", Materialization.Table)))
+    val r = new PipelineRunner(spark, spec, w)
+    val res = r.runCommand("run -s group:finance")
+    assert(res.success, res.error.mkString)
+    assert(res.modelsRun.sorted == Seq("gs_fin1", "gs_fin2"))
+  }
 }

@@ -2363,18 +2363,41 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   /** `test` flags: select/exclude plus `--store-failures` (dbt's
     * flag forcing every run test to persist its violating rows).
     */
-  private def parseTestFlags(flags: Seq[String])
-      : Option[(Selection, Boolean, Boolean, Boolean, Boolean)] = {
+  private final case class TestFlags(sel: Selection, store: Boolean,
+      defer: Boolean, warnError: Boolean, favorState: Boolean,
+      indirect: String)
+
+  private def parseTestFlags(flags: Seq[String]): Option[TestFlags] = {
     var store = false
     var defer = false
     var warnError = false
     var favorState = false
+    var indirect = "eager"
     parseSelFlags(flags) {
       case "--store-failures" :: t => store = true; t
       case "--defer" :: t => defer = true; t
       case "--warn-error" :: t => warnError = true; t
       case "--favor-state" :: t => favorState = true; t
-    }.map((_, store, defer, warnError, favorState))
+      case "--indirect-selection" :: v :: t => indirect = v; t
+    }.map(TestFlags(_, store, defer, warnError, favorState, indirect))
+  }
+
+  /** dbt `--indirect-selection` (1.9): which ATTACHED tests join a
+    * node selection. eager (default) — any referenced node selected;
+    * cautious — every referenced node selected; buildable — every
+    * referenced node selected or an ancestor of the selection;
+    * empty — only tests selected directly by their own name.
+    */
+  private def indirectTestPred(deps: Map[String, Seq[String]],
+      names: Set[String], mode: String): DataTest => Boolean = mode match {
+    case "eager"    => t => names(t.name) || t.refs.exists(names)
+    case "cautious" => t => names(t.name) || t.refs.forall(names)
+    case "buildable" =>
+      val ok = names ++ ancestorsOf(deps, names.filter(deps.contains))
+      t => names(t.name) || t.refs.forall(ok)
+    case "empty" => t => names(t.name)
+    case other => sys.error(s"unknown --indirect-selection mode: " +
+      s"$other (eager|cautious|buildable|empty)")
   }
 
   /** `clone` flags: select/exclude (with `--state`, required) plus
@@ -2471,7 +2494,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       fullRefresh: Boolean, at: Option[String],
       vars: Map[String, String], defer: Boolean, empty: Boolean,
       eventTime: (Option[String], Option[String]),
-      warnError: Boolean, favorState: Boolean)
+      warnError: Boolean, favorState: Boolean,
+      indirect: String = "eager")
 
   private def parseBuildFlags(flags: Seq[String]): Option[BuildFlags] = {
     var fullRefresh = false
@@ -2483,6 +2507,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     var etEnd: Option[String] = None
     var warnError = false
     var favorState = false
+    var indirect = "eager"
     parseSelFlags(flags) {
       case "--full-refresh" :: t => fullRefresh = true; t
       case "--at" :: v :: t => at = Some(v); t
@@ -2493,8 +2518,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       case "--event-time-end" :: v :: t => etEnd = Some(v); t
       case "--warn-error" :: t => warnError = true; t
       case "--favor-state" :: t => favorState = true; t
+      case "--indirect-selection" :: v :: t => indirect = v; t
     }.map(BuildFlags(_, fullRefresh, at, vars, defer, empty,
-      (etStart, etEnd), warnError, favorState))
+      (etStart, etEnd), warnError, favorState, indirect))
   }
 
   private def parseLsFlags(flags: Seq[String])
@@ -2689,9 +2715,17 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     */
   private def runBuild(command: String, recordAs: String, sel: Selection,
       fullRefresh: Boolean, at: Option[String],
-      only: Option[Set[String]] = None): CommandResult = withRunHooks(command) {
+      only: Option[Set[String]] = None,
+      indirect: String = "eager"): CommandResult = withRunHooks(command) {
     val deps = resourceDeps
     val order = topoOrderIn(deps, selectIn(deps, sel))
+    // --indirect-selection scope for node-attached tests: under
+    // eager the attached node being built is enough; cautious /
+    // buildable also require the test's OTHER refs (relationships'
+    // parent, singular-test reads) in or above the built set; empty
+    // runs no indirectly-selected tests at all
+    val builtSet = order.toSet
+    val indirectPred = indirectTestPred(deps, builtSet, indirect)
     val failed = mutable.Set.empty[String]     // gating: res + test owners
     val failedRes = mutable.Set.empty[String]  // resource execution failures
     val skipped = mutable.Set.empty[String]
@@ -2750,7 +2784,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         skipped += n
         logger.log(LogLevel.WARNING,
           s"build: skipping snapshot $n (--empty is schema-only)")
-      } else if (kind == "model" && !runUnits(n, _ => true)) {
+      } else if (kind == "model" &&
+          !runUnits(n, u => indirect != "empty" || builtSet(u.name))) {
         failed += n
         skipped += n
         logger.log(LogLevel.WARNING,
@@ -2774,7 +2809,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
               false
           }
         if (!ok) { failed += n; failedRes += n }
-        else runTests(n, _ => true)
+        else runTests(n, indirectPred)
       }
     }
     recordRunResults(recordAs,
@@ -2865,25 +2900,29 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         // outside the graph — e.g. a source with attached tests —
         // selects that table's tests only)
         case "test" +: flags if parseTestFlags(flags).isDefined =>
-          val (sel, storeAll, defer, warnError, favorState) =
-            parseTestFlags(flags).get
-          cmdWarnError = warnError
+          val f = parseTestFlags(flags).get
+          cmdWarnError = f.warnError
           // tests build nothing, so every missing relation is
           // deferrable — the selected set is empty by construction
-          setDefer(defer, sel, Set.empty, favorState)
+          setDefer(f.defer, f.sel, Set.empty, f.favorState)
           val (chosen, units) =
-            if (sel.include.isEmpty && sel.exclude.isEmpty)
+            if (f.sel.include.isEmpty && f.sel.exclude.isEmpty)
               (spec.tests, spec.unitTests)
             else {
-              val names = selectIn(resourceDeps, sel, lenient = true)
-              // dbt's attached-node expansion: a test runs when ANY
-              // node it reads is selected (relationships' parent,
-              // every ref of a singular test); a unit test attaches
-              // to its model only — its mocks are not graph reads
-              (spec.tests.filter(_.refs.exists(names)),
-                spec.unitTests.filter(u => names(u.model)))
+              val deps = resourceDeps
+              val names = selectIn(deps, f.sel, lenient = true)
+              // dbt's attached-node expansion, scoped by
+              // --indirect-selection: eager (default) runs a test
+              // when ANY node it reads is selected (relationships'
+              // parent, every ref of a singular test); cautious /
+              // buildable / empty narrow it. A unit test attaches
+              // to its model only — its mocks are not graph reads.
+              (spec.tests.filter(indirectTestPred(deps, names, f.indirect)),
+                spec.unitTests.filter(u =>
+                  if (f.indirect == "empty") names(u.name)
+                  else names(u.model)))
             }
-          runTestsCommand(command, command, chosen, units, storeAll)
+          runTestsCommand(command, command, chosen, units, f.store)
         case "seed" +: flags if parseSelFlags(flags)(
             PartialFunction.empty).isDefined =>
           val sel = parseSelFlags(flags)(PartialFunction.empty).get
@@ -2941,7 +2980,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           cmdWarnError = f.warnError
           setDefer(f.defer, f.sel, selectIn(resourceDeps, f.sel),
             f.favorState)
-          runBuild(command, command, f.sel, f.fullRefresh, f.at)
+          runBuild(command, command, f.sel, f.fullRefresh, f.at,
+            indirect = f.indirect)
         // `dbt retry` — resume the most recent node-executing command
         // (run / build / test / seed / snapshot) from its failure
         // frontier: previously-succeeded nodes are not re-executed;
@@ -2980,16 +3020,15 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
                   setDefer(f.defer, f.sel, selectIn(resourceDeps, f.sel),
                     f.favorState)
                   runBuild(command, prev, f.sel, f.fullRefresh, f.at,
-                    only = Some(redo))
+                    only = Some(redo), indirect = f.indirect)
                 case "test" +: flags if parseTestFlags(flags).isDefined =>
-                  val (sel, storeAll, defer, warnError, favorState) =
-                    parseTestFlags(flags).get
-                  cmdWarnError = warnError
-                  setDefer(defer, sel, Set.empty, favorState)
+                  val f = parseTestFlags(flags).get
+                  cmdWarnError = f.warnError
+                  setDefer(f.defer, f.sel, Set.empty, f.favorState)
                   runTestsCommand(command, prev,
                     spec.tests.filter(t => redo(t.name)),
                     spec.unitTests.filter(u => redo(u.name)),
-                    storeAll)
+                    f.store)
                 case "seed" +: flags if parseSelFlags(flags)(
                     PartialFunction.empty).isDefined =>
                   val sel = parseSelFlags(flags)(PartialFunction.empty).get

@@ -2795,6 +2795,53 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(res.modelsRun == Seq("su_b"))
   }
 
+  test("--indirect-selection: eager/cautious/buildable/empty scope " +
+      "attached tests") {
+    val w = wh()
+    def m(name: String, deps: Seq[String] = Nil) =
+      Model(name, deps, Materialization.Table,
+        (sp, _) => { import sp.implicits._
+          Seq((1L, 1L)).toDF("id", "parent_id") })
+    val spec = PipelineSpec(
+      models = Seq(m("is_parent"), m("is_child", Seq("is_parent"))),
+      tests = Seq(
+        DataTest.NotNull("is_child", "id"),
+        DataTest.Relationships("is_child", "parent_id",
+          "is_parent", "id")))
+    val rel = "relationships_is_child_parent_id__is_parent_id"
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.runCommand("run").success)
+    // eager (default): ANY referenced node selected → both tests
+    assert(r.runCommand("test -s is_child").modelsRun.toSet ==
+      Set("not_null_is_child_id", rel))
+    // cautious: the relationships test also reads is_parent, which
+    // is not selected → only the single-ref test runs
+    assert(r.runCommand(
+      "test -s is_child --indirect-selection cautious").modelsRun ==
+      Seq("not_null_is_child_id"))
+    assert(r.runCommand(
+      "test -s is_child is_parent --indirect-selection cautious")
+      .modelsRun.toSet == Set("not_null_is_child_id", rel))
+    // buildable: refs may also be ANCESTORS of the selection —
+    // is_parent is is_child's dep, so the relationships test runs
+    assert(r.runCommand(
+      "test -s is_child --indirect-selection buildable")
+      .modelsRun.toSet == Set("not_null_is_child_id", rel))
+    // empty: only tests selected by their own name
+    assert(r.runCommand(
+      "test -s is_child --indirect-selection empty").modelsRun.isEmpty)
+    assert(r.runCommand(
+      s"test -s $rel --indirect-selection empty").modelsRun == Seq(rel))
+    // build honors the same scoping: cautious over the child-only
+    // subgraph skips the cross-ref test, empty runs no tests
+    assert(r.runCommand(
+      "build -s is_child --indirect-selection cautious").modelsRun ==
+      Seq("is_child", "not_null_is_child_id"))
+    assert(r.runCommand(
+      "build -s is_child --indirect-selection empty").modelsRun ==
+      Seq("is_child"))
+  }
+
   test("group: selector method picks exactly the group's models") {
     val w = wh()
     val spec = PipelineSpec(models = Seq(

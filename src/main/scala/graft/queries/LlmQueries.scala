@@ -261,6 +261,28 @@ object LlmOps extends QueryGroup {
         .orderBy("a", "b")
     }),
 
+    // Per-label centroid of the embedding column in exact fixed
+    // point: elements quantized to 1e-7 BIGINTs, then INTEGER sums —
+    // order-insensitive, so the result is engine-portable
+    // (llm_embed_neardup's trick) and, at scale, never depends on
+    // which executor added first. posexplode is map-only; ONE
+    // hash-agg on (label, pos) with map-side partials; the division
+    // to DOUBLE happens on exact integer inputs, deterministic under
+    // IEEE754. This is the semantic-clustering primitive (per-class
+    // mean vector) used for embedding-space diagnostics and IVF-style
+    // seeding.
+    "llm_embed_centroid" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos").cast(LongType).as("pos"),
+          round(col("col").cast(DoubleType) * 1e7).cast(LongType).as("q"))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sum_q"))
+        .withColumn("centroid",
+          col("sum_q").cast(DoubleType) / col("n_vecs").cast(DoubleType)
+            / lit(1e7))
+        .orderBy("label", "pos")),
+
     "llm_text_stats" -> ((s, d) => {
       val t = TextAnalysis.tokens(col("text"))
       Tables.documents(s, d).select(
@@ -382,6 +404,50 @@ object LlmOps extends QueryGroup {
         .withColumn("dup_rate",
           lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_grams"))
         .orderBy("source")
+    }),
+
+    // Training-mixture weighting: per source (domain), document and
+    // token totals plus the share of the corpus' token mass — the
+    // numbers a data-mixture plan (e.g. domain upsampling weights)
+    // starts from. Per-doc token counts are computed map-only
+    // (size(split), no explode), then ONE hash-agg to #sources rows;
+    // the global total joins back via an explicit broadcast, so
+    // nothing about this plan changes at 100 TB. token_share divides
+    // exact integers, so the double is engine-portable.
+    "llm_domain_mix" -> ((s, d) => {
+      val perDoc = Tables.documents(s, d)
+        .select(col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast(LongType).as("toks"))
+      val agg = perDoc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      agg.crossJoin(broadcast(
+          perDoc.agg(sum(col("toks")).as("total"))))
+        .withColumn("token_share",
+          col("n_tokens").cast(DoubleType) / col("total").cast(DoubleType))
+        .select("source", "n_docs", "n_tokens", "token_share")
+        .orderBy("source")
+    }),
+
+    // Vocabulary coverage — the tokenizer-design analysis: top-100
+    // terms by occurrence with the CUMULATIVE share of all token
+    // occurrences they cover. The corpus-wide work is explode →
+    // hash-agg (map-side partials) → TakeOrdered(100); only the
+    // 100-row result sees a window, so the single-task running sum
+    // is bounded by the limit, not the corpus. Ties break by token
+    // so ranks are deterministic cross-engine.
+    "llm_vocab_coverage" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      val top = counts.orderBy(col("n").desc, col("token")).limit(100)
+      val w = Window.orderBy(col("n").desc, col("token"))
+      top.crossJoin(broadcast(counts.agg(sum(col("n")).as("total"))))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .withColumn("cum_share",
+          sum(col("n")).over(w).cast(DoubleType) /
+            col("total").cast(DoubleType))
+        .select("rank", "token", "n", "cum_share")
+        .orderBy("rank")
     }),
 
     // Stratified sampling — per-language quotas, the standard rebalance
@@ -548,6 +614,45 @@ object LlmOps extends QueryGroup {
          |  CAST(len(list_filter($toks, x -> x IN $stopEnList)) AS DOUBLE)
          |    / nullif(CAST(len($toks) AS INTEGER), 0) AS stop_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_embed_centroid" ->
+      """WITH q AS (
+        |  SELECT label, u.i - 1 AS pos,
+        |    CAST(round(CAST(embedding[u.i] AS DOUBLE) * 10000000)
+        |      AS BIGINT) AS q
+        |  FROM embeddings,
+        |    UNNEST(range(1, len(embedding) + 1)) AS u(i))
+        |SELECT label, pos, count(*) AS n_vecs,
+        |  CAST(sum(q) AS BIGINT) AS sum_q,
+        |  CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 10000000.0
+        |    AS centroid
+        |FROM q GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "llm_domain_mix" ->
+      s"""WITH per AS (
+         |  SELECT source, CAST(len($toks) AS BIGINT) AS toks
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(toks) AS DOUBLE) /
+         |    (SELECT CAST(sum(toks) AS DOUBLE) FROM per) AS token_share
+         |FROM per GROUP BY source ORDER BY source""".stripMargin,
+
+    "llm_vocab_coverage" ->
+      s"""WITH counts AS (
+         |  SELECT token, count(*) AS n
+         |  FROM (SELECT unnest($toks) AS token FROM documents) t
+         |  GROUP BY token),
+         |top AS (
+         |  SELECT token, n,
+         |    CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+         |      AS rank
+         |  FROM counts ORDER BY n DESC, token LIMIT 100)
+         |SELECT rank, token, n,
+         |  CAST(sum(n) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+         |      AS DOUBLE) /
+         |    (SELECT CAST(sum(n) AS DOUBLE) FROM counts) AS cum_share
+         |FROM top ORDER BY rank""".stripMargin,
 
     "llm_tokenize_explode" ->
       s"""SELECT tok, count(*) AS n

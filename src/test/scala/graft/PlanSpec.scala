@@ -121,4 +121,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // partial + final HashAggregate = two occurrences
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
+
+  test("llm_vocab_coverage takes top-100 via TakeOrdered; only the " +
+      "100-row tail sees a window") {
+    val p = plan("llm_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // the global total joins back by broadcast, never a shuffle join
+    assert(p.contains("Broadcast"), p.take(2000))
+  }
+
+  test("llm_domain_mix broadcasts the one-row global total") {
+    val p = plan("llm_domain_mix")
+    assert(p.contains("Broadcast"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
 }

@@ -121,6 +121,31 @@ object LlmOps extends QueryGroup {
         .orderBy("qid", "rn")
     }),
 
+    // kNN label vote — the standard embedding-space eval/labeling
+    // step (classify held-out vectors by their neighbors' labels).
+    // Reuses the exact brute-force tier (the declared oracle tier;
+    // llm_ann_lsh / llm_ann_ivf are the 100 TB path for the same
+    // neighbor search): queries vec_id<50 broadcast against the rest
+    // of the corpus, top-5 neighbors vote, ties break to the smaller
+    // label so the prediction is deterministic cross-engine. The
+    // label join-back broadcasts the tiny top-k frame, never
+    // shuffling the corpus.
+    "llm_knn_classify" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val top = Similarity.bruteForceTopKExact(
+        emb.filter(col("vec_id") < 50),
+        emb.filter(col("vec_id") >= 50), k = 5)
+      emb.select(col("vec_id").as("cid"), col("label"))
+        .join(broadcast(top), "cid")
+        .groupBy("qid", "label").agg(count(lit(1)).as("votes"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid")
+            .orderBy(col("votes").desc, col("label"))))
+        .filter(col("rk") === 1)
+        .select(col("qid"), col("label").as("pred_label"), col("votes"))
+        .orderBy("qid")
+    }),
+
     // ANN paths score with the native codegen'd VecDot expression
     // (graft.functions) — a tight primitive loop in WholeStageCodegen
     // instead of per-element lambda dispatch.
@@ -320,6 +345,33 @@ object LlmOps extends QueryGroup {
         col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("score"))
         .orderBy("doc_id")),
+
+    // Gopher-style rule filter (Rae et al. 2021 §A1.1 shape): keep a
+    // doc unless a rule trips, and say WHICH rule — the audit trail a
+    // curation pipeline needs. Rules here: word count in [30, 100k],
+    // mean word length in [3, 10], ≥2 stopwords. Entirely map-only
+    // codegen'd expressions; every signal divides exact integers, so
+    // the doubles compare identically cross-engine.
+    "llm_gopher_filter" -> ((s, d) => {
+      val t = TextAnalysis.tokens(col("text"))
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          size(t).cast(LongType).as("n_words"),
+          (length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+            .cast(DoubleType) / nullif(size(t), lit(0)))
+            .as("mean_wlen"),
+          size(filter(t, x => x.isin(TextAnalysis.stopEn.map(lit): _*)))
+            .cast(LongType).as("stop_count"))
+        .withColumn("reason",
+          when(col("n_words") < 30, "too_short")
+            .when(col("n_words") > 100000, "too_long")
+            .when(col("mean_wlen") < 3.0 || col("mean_wlen") > 10.0,
+              "word_length")
+            .when(col("stop_count") < 2, "stopwords")
+            .otherwise("pass"))
+        .withColumn("keep", col("reason") === "pass")
+        .orderBy("doc_id")
+    }),
 
     "llm_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -614,6 +666,64 @@ object LlmOps extends QueryGroup {
          |  CAST(len(list_filter($toks, x -> x IN $stopEnList)) AS DOUBLE)
          |    / nullif(CAST(len($toks) AS INTEGER), 0) AS stop_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_knn_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid, c.label AS clabel,
+        |    q.qv AS qvec, c.qv AS cvec
+        |  FROM e q CROSS JOIN e c
+        |  WHERE q.vec_id < 50 AND c.vec_id >= 50),
+        |sums AS (
+        |  SELECT qid, cid, clabel,
+        |    CAST(SUM(z[1] * z[2]) AS BIGINT) AS dot,
+        |    CAST(SUM(z[1] * z[1]) AS BIGINT) AS n2q,
+        |    CAST(SUM(z[2] * z[2]) AS BIGINT) AS n2c
+        |  FROM (SELECT qid, cid, clabel, unnest(list_zip(qvec, cvec)) AS z
+        |        FROM pairs) t
+        |  GROUP BY qid, cid, clabel),
+        |ranked AS (
+        |  SELECT qid, cid, clabel,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      CAST(dot AS DOUBLE) /
+        |        (sqrt(CAST(n2q AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE)))
+        |      DESC, cid) AS rn
+        |  FROM sums),
+        |votes AS (
+        |  SELECT qid, clabel, count(*) AS votes
+        |  FROM ranked WHERE rn <= 5 GROUP BY qid, clabel)
+        |SELECT qid, clabel AS pred_label, votes FROM (
+        |  SELECT qid, clabel, votes,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY votes DESC, clabel) AS rk
+        |  FROM votes) v
+        |WHERE rk = 1 ORDER BY qid""".stripMargin,
+
+    "llm_gopher_filter" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(len($toks) AS BIGINT) AS n_words,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+         |        AS DOUBLE) /
+         |      nullif(CAST(len($toks) AS INTEGER), 0) AS mean_wlen,
+         |    CAST(len(list_filter($toks, x -> x IN $stopEnList))
+         |      AS BIGINT) AS stop_count
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_words, mean_wlen, stop_count,
+         |    CASE WHEN n_words < 30 THEN 'too_short'
+         |         WHEN n_words > 100000 THEN 'too_long'
+         |         WHEN mean_wlen < 3.0 OR mean_wlen > 10.0 THEN 'word_length'
+         |         WHEN stop_count < 2 THEN 'stopwords'
+         |         ELSE 'pass' END AS reason
+         |  FROM f)
+         |SELECT doc_id, n_words, mean_wlen, stop_count, reason,
+         |  reason = 'pass' AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "llm_embed_centroid" ->
       """WITH q AS (

@@ -462,23 +462,24 @@ object LlmOps extends QueryGroup {
     // token totals plus the share of the corpus' token mass — the
     // numbers a data-mixture plan (e.g. domain upsampling weights)
     // starts from. Per-doc token counts are computed map-only
-    // (size(split), no explode), then ONE hash-agg to #sources rows;
-    // the global total joins back via an explicit broadcast, so
-    // nothing about this plan changes at 100 TB. token_share divides
-    // exact integers, so the double is engine-portable.
-    "llm_domain_mix" -> ((s, d) => {
-      val perDoc = Tables.documents(s, d)
+    // (size(split), no explode), then ONE hash-agg to #sources rows.
+    // The global total is a window over that ALREADY-AGGREGATED
+    // frame — #sources rows, so the unpartitioned window is a
+    // trivial single task and the corpus is scanned exactly once.
+    // token_share divides exact integers, so the double is
+    // engine-portable.
+    "llm_domain_mix" -> ((s, d) =>
+      Tables.documents(s, d)
         .select(col("source"),
           size(TextAnalysis.tokens(col("text"))).cast(LongType).as("toks"))
-      val agg = perDoc.groupBy("source")
+        .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
-      agg.crossJoin(broadcast(
-          perDoc.agg(sum(col("toks")).as("total"))))
         .withColumn("token_share",
-          col("n_tokens").cast(DoubleType) / col("total").cast(DoubleType))
+          col("n_tokens").cast(DoubleType) /
+            sum(col("n_tokens")).over(Window.partitionBy())
+              .cast(DoubleType))
         .select("source", "n_docs", "n_tokens", "token_share")
-        .orderBy("source")
-    }),
+        .orderBy("source")),
 
     // Vocabulary coverage — the tokenizer-design analysis: top-100
     // terms by occurrence with the CUMULATIVE share of all token
@@ -486,11 +487,15 @@ object LlmOps extends QueryGroup {
     // hash-agg (map-side partials) → TakeOrdered(100); only the
     // 100-row result sees a window, so the single-task running sum
     // is bounded by the limit, not the corpus. Ties break by token
-    // so ranks are deterministic cross-engine.
+    // so ranks are deterministic cross-engine. The counts frame
+    // feeds BOTH the top-100 and the global total, so it is
+    // checkpointed: the corpus is read once, and the re-read is of
+    // the vocabulary (≪ corpus at any scale).
     "llm_vocab_coverage" -> ((s, d) => {
       val counts = Tables.documents(s, d)
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
       val top = counts.orderBy(col("n").desc, col("token")).limit(100)
       val w = Window.orderBy(col("n").desc, col("token"))
       top.crossJoin(broadcast(counts.agg(sum(col("n")).as("total"))))

@@ -160,7 +160,10 @@ object PipelineProject {
             // dbt governance: group='g', access='private' — a private
             // model may only be ref'd within its group
             group = kv.get("group"),
-            access = kv.getOrElse("access", "protected"))
+            access = kv.getOrElse("access", "protected"),
+            // dbt description/persist_docs: free text carried into
+            // manifest.json and docs generate's catalog.json
+            description = kv.get("description"))
         }
 
     val seedsDir = root.resolve("seeds")

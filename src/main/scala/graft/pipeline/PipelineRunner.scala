@@ -1234,7 +1234,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         val m = byName(name)
         Seq("model", m.name, m.deps.mkString(","), m.tags.mkString(","),
           m.materialization.toString, m.eventTime.getOrElse(""),
-          m.group.getOrElse(""), m.access) ++ m.sqlText.toSeq ++
+          m.group.getOrElse(""), m.access,
+          m.description.getOrElse("")) ++ m.sqlText.toSeq ++
           m.preHooks ++ m.postHooks
       case "seed" =>
         val sd = spec.seeds.find(_.name == name).get
@@ -1266,7 +1267,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   private def writeManifest(): Unit = {
     val deps = resourceDeps
     val nodes = deps.keys.toSeq.sorted.map { n =>
-      s"""{"name":${jq(n)},"kind":${jq(resourceKind(n))},""" +
+      val desc = byName.get(n).flatMap(_.description)
+        .map(d => s""""description":${jq(d)},""").getOrElse("")
+      s"""{"name":${jq(n)},"kind":${jq(resourceKind(n))},$desc""" +
         s""""deps":[${deps(n).sorted.map(jq).mkString(",")}],""" +
         s""""checksum":${jq(checksumOf(n))}}"""
     }
@@ -2885,6 +2888,14 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           CommandResult(command, success = missing.isEmpty, Nil, Map.empty,
             if (missing.isEmpty) None
             else Some(s"unresolvable sources: ${missing.mkString(",")}"))
+        // `dbt parse` — parse the project and refresh manifest.json
+        // without executing anything. Our spec is parsed at
+        // construction and the manifest refreshes on every command
+        // (see the writeManifest call above), so this just reports
+        // the node inventory like dbt's "Found N models..." summary.
+        case Seq("parse") =>
+          CommandResult(command, success = true,
+            resourceDeps.keys.toSeq.sorted, Map.empty, None)
         case "run" +: flags if parseRunFlags(flags).isDefined =>
           val f = parseRunFlags(flags).get
           cmdVars = f.vars
@@ -3185,7 +3196,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             }.sum
             val rows = readTable(n).count()
             counts(n) = rows
-            s"""{"name":${jq(n)},"kind":${jq(resourceKind(n))},""" +
+            val desc = byName.get(n).flatMap(_.description)
+              .map(d => s""""description":${jq(d)},""").getOrElse("")
+            s"""{"name":${jq(n)},"kind":${jq(resourceKind(n))},$desc""" +
               s""""columns":[${cols.mkString(",")}],""" +
               s""""stats":{"row_count":$rows,"bytes":$bytes}}"""
           }

@@ -223,7 +223,13 @@ final case class Model(
       * — dbt's parse-time DbtReferenceError, before anything runs.
       */
     group: Option[String] = None,
-    access: String = "protected")
+    access: String = "protected",
+    /** dbt `description` (persist_docs surface): free-text doc for
+      * the model, carried into `manifest.json` and `docs generate`'s
+      * catalog.json, and part of the state:modified checksum (dbt
+      * checksums the model file, which includes its docs).
+      */
+    description: Option[String] = None)
 
 object Model {
   // single- or double-quoted name (quotes must MATCH — `'m"` is a
@@ -327,7 +333,8 @@ object Model {
           contract: Option[org.apache.spark.sql.types.StructType] = None,
           eventTime: Option[String] = None,
           group: Option[String] = None,
-          access: String = "protected")
+          access: String = "protected",
+          description: Option[String] = None)
           : Model = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"model name must be a SQL identifier: $name")
@@ -364,7 +371,8 @@ object Model {
       postHooks = postHooks,
       eventTime = eventTime,
       group = group,
-      access = access)
+      access = access,
+      description = description)
   }
 
   /** Render a SQL-text model to its COMPILED form — what `dbt compile`

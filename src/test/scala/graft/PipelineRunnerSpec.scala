@@ -2842,6 +2842,48 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       Seq("is_child"))
   }
 
+  test("model description flows into manifest.json and catalog.json; " +
+      "parse reports the inventory") {
+    val w = wh()
+    val stateDir = wh()
+    def spec(desc: String) = PipelineSpec(models = Seq(
+      Model.sql("doc_m", "SELECT 1 AS x", Materialization.Table,
+        description = Some(desc))))
+    val r = new PipelineRunner(spark, spec("counts widgets"), w)
+    assert(r.runCommand("run").success)
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(w, "manifest.json"))
+    assert(manifest.contains("\"description\":\"counts widgets\""))
+    assert(r.runCommand("docs generate").success)
+    val catalog = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(w, "target", "catalog.json"))
+    assert(catalog.contains("\"description\":\"counts widgets\""))
+    // a docs-only edit is a state:modified change (dbt checksums the
+    // model file, docs included)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(w, "manifest.json"),
+      java.nio.file.Paths.get(stateDir, "manifest.json"))
+    val r2 = new PipelineRunner(spark, spec("counts gadgets"), w)
+    assert(r2.runCommand(s"run -s state:modified --state $stateDir")
+      .modelsRun == Seq("doc_m"))
+    // parse: no execution, full inventory reported
+    val p = r2.runCommand("parse")
+    assert(p.success && p.modelsRun == Seq("doc_m"))
+    assert(r2.generations("doc_m").size == 2, "parse must not build")
+  }
+
+  test("project artifacts: description config parses into the model") {
+    val proj = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"), "proj")
+    java.nio.file.Files.createDirectories(proj.resolve("models"))
+    java.nio.file.Files.writeString(
+      proj.resolve("models/desc_m.sql"),
+      """{{ config(materialized='table', description='daily widget rollup') }}
+        |SELECT 1 AS id""".stripMargin)
+    val spec = PipelineProject.load(proj.toString)
+    assert(spec.models.head.description.contains("daily widget rollup"))
+  }
+
   test("group: selector method picks exactly the group's models") {
     val w = wh()
     val spec = PipelineSpec(models = Seq(

@@ -334,10 +334,21 @@ object PipelineProject {
           }
         }.toSeq
 
+    // operations/: one .sql per named `run-operation` statement
+    // (dbt's macro-invocation surface; hook SQL grammar)
+    val opsDir = root.resolve("operations")
+    val operations: Map[String, String] =
+      if (!Files.isDirectory(opsDir)) Map.empty
+      else listFiles(opsDir)
+        .filter(_.getFileName.toString.endsWith(".sql"))
+        .map(p => p.getFileName.toString.stripSuffix(".sql") ->
+          Files.readString(p).trim).toMap
+
     PipelineSpec(models = models, modelVersions = modelVersions,
       tests = tests, unitTests = unitTests,
       sources = sources, sourceEventTime = sourceEventTime, seeds = seeds,
-      snapshots = snapshots, freshness = freshness, exposures = exposures)
+      snapshots = snapshots, freshness = freshness, exposures = exposures,
+      operations = operations)
   }
 
   /** Unzip (rejecting path-traversal entries) into `scratchDir`, locate

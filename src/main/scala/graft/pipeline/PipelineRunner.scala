@@ -2888,6 +2888,28 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           CommandResult(command, success = missing.isEmpty, Nil, Map.empty,
             if (missing.isEmpty) None
             else Some(s"unresolvable sources: ${missing.mkString(",")}"))
+        // `dbt run-operation <name> [--args '{...}']` — execute one
+        // named project operation (dbt invokes a macro; a single-
+        // engine runner's analog is a named SQL statement with the
+        // hook grammar: {{ var }}/{{ ref }} render, `INSERT INTO t
+        // <query>` appends under the atomic manifest protocol).
+        // `--args` feeds the same renderer as `--vars` — dbt's
+        // kwargs analog. Basis: ordinary dbt argv the reference
+        // forwards (`dbtoperator.py:35,46`).
+        case "run-operation" +: op +: rest if !op.startsWith("-") =>
+          val vars = rest match {
+            case Seq() => Map.empty[String, String]
+            case Seq("--args", v) => parseVarsJson(v)
+            case Seq("--vars", v) => parseVarsJson(v)
+            case other => sys.error(
+              s"run-operation: unrecognized flags: ${other.mkString(" ")}")
+          }
+          val sql = spec.operations.getOrElse(op, sys.error(
+            s"unknown operation: $op (declared: " +
+              s"${spec.operations.keys.toSeq.sorted.mkString(",")})"))
+          cmdVars = vars
+          runHook(s"run_operation_$op", sql, None)
+          CommandResult(command, success = true, Seq(op), Map.empty, None)
         // `dbt parse` — parse the project and refresh manifest.json
         // without executing anything. Our spec is parsed at
         // construction and the manifest refreshes on every command

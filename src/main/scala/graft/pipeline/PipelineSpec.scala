@@ -704,4 +704,12 @@ final case class PipelineSpec(
       * Same SQL surface as model hooks, minus `{{ this }}`.
       */
     onRunStart: Seq[String] = Nil,
-    onRunEnd: Seq[String] = Nil)
+    onRunEnd: Seq[String] = Nil,
+    /** dbt `run-operation` surface: named maintenance/admin
+      * statements invoked on demand (`run-operation <name>
+      * [--args '{...}']`), with the hook SQL grammar — `{{ var }}` /
+      * `{{ ref }}` render, `INSERT INTO t <query>` appends. dbt runs
+      * a macro here; a single-engine runner's analog is a named
+      * statement.
+      */
+    operations: Map[String, String] = Map.empty)

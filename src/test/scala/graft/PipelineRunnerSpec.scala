@@ -2884,6 +2884,44 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(spec.models.head.description.contains("daily widget rollup"))
   }
 
+  test("project artifacts: operations/ dir loads run-operation statements") {
+    val proj = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"), "proj")
+    java.nio.file.Files.createDirectories(proj.resolve("models"))
+    java.nio.file.Files.createDirectories(proj.resolve("operations"))
+    java.nio.file.Files.writeString(proj.resolve("models/opa_m.sql"),
+      "SELECT 1 AS id")
+    java.nio.file.Files.writeString(
+      proj.resolve("operations/audit.sql"),
+      "INSERT INTO opa_audit SELECT count(*) AS n FROM {{ ref('opa_m') }}")
+    val spec = PipelineProject.load(proj.toString)
+    val r = new PipelineRunner(spark, spec, wh())
+    assert(r.runCommand("run").success)
+    assert(r.runCommand("run-operation audit").success)
+    assert(r.readTable("opa_audit").head().getLong(0) == 1L)
+  }
+
+  test("run-operation executes a named statement with vars and refs") {
+    val w = wh()
+    val spec = PipelineSpec(
+      models = Seq(Model.sql("op_m",
+        "SELECT 1 AS id UNION ALL SELECT 2", Materialization.Table)),
+      operations = Map("log_audit" ->
+        ("INSERT INTO op_audit SELECT count(*) AS n, " +
+          "'{{ var(\"tag\") }}' AS tag FROM {{ ref('op_m') }}")))
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.runCommand("run").success)
+    val res = r.runCommand("""run-operation log_audit --args '{"tag": "nightly"}'""")
+    assert(res.success, res.error.mkString)
+    assert(res.modelsRun == Seq("log_audit"))
+    val row = r.readTable("op_audit").head()
+    assert(row.getLong(0) == 2L && row.getString(1) == "nightly")
+    // unknown operation and unknown flags fail loudly
+    val bad = r.runCommand("run-operation nope")
+    assert(!bad.success && bad.error.exists(_.contains("unknown operation")))
+    assert(!r.runCommand("run-operation log_audit --frobnicate x").success)
+  }
+
   test("group: selector method picks exactly the group's models") {
     val w = wh()
     val spec = PipelineSpec(models = Seq(

@@ -130,9 +130,22 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("Broadcast"), p.take(2000))
   }
 
-  test("llm_domain_mix broadcasts the one-row global total") {
-    val p = plan("llm_domain_mix")
+  test("llm_knn_classify broadcasts query vectors and the top-k frame " +
+      "(corpus is never shuffle-joined)") {
+    val p = plan("llm_knn_classify")
     assert(p.contains("Broadcast"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("llm_domain_mix aggregates with map-side partials and joins " +
+      "nothing (single corpus scan)") {
+    val p = plan("llm_domain_mix")
+    // partial + final HashAggregate; the global total is a window
+    // over the already-aggregated #sources-row frame, not a second
+    // scan or a join
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert("FileScan|Scan parquet".r.findAllIn(p).size <= 1,
+      p.take(2000))
   }
 }

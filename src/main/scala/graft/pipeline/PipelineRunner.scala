@@ -2081,13 +2081,20 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         else Some(readMembers(sn.name, openM, currentSchema(sn.name))
           .drop(OpenCol))
       }
+    // dbt `check_cols: all` — track every non-key source column;
+    // resolved here against the live source schema so column
+    // additions are picked up on the next snapshot run
+    val compareCols =
+      if (sn.compareCols == Seq("all"))
+        source.columns.toSeq.filterNot(sn.keyCols.contains)
+      else sn.compareCols
     val (closedDelta, nextOpen) = sn.strategy match {
       case SnapshotStrategy.Check =>
-        Snapshot.scd2Step(prevOpen, source, sn.keyCols, sn.compareCols,
+        Snapshot.scd2Step(prevOpen, source, sn.keyCols, compareCols,
           asOf, sn.hardDeletes)
       case SnapshotStrategy.Timestamp(tsCol) =>
         Snapshot.scd2StepTimestamp(prevOpen, source, sn.keyCols,
-          sn.compareCols, tsCol, asOf, sn.hardDeletes)
+          compareCols, tsCol, asOf, sn.hardDeletes)
     }
     val out = closedDelta.unionByName(nextOpen)
       .withColumn(OpenCol, col("valid_to").isNull)

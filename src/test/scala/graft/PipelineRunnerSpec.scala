@@ -756,6 +756,27 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(hist(0)._2.isDefined && hist(1)._2.isEmpty)
   }
 
+  test("snapshot check_cols=all tracks every non-key column") {
+    val w = wh()
+    def spec(v: String, extra: Long) = PipelineSpec(
+      models = Seq(Model("adim", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._
+          Seq((1L, v, extra)).toDF("id", "v", "extra") })),
+      snapshots = Seq(SnapshotDef("adim_snap", "adim", Seq("id"),
+        Seq("all"))))
+    assert(new PipelineRunner(spark, spec("a", 10L), w)
+      .run(Seq("run", "snapshot --at 2024-01-01T00:00:00")).success)
+    // change only `extra` — an explicit Seq("v") config would miss it;
+    // check_cols=all closes the old row
+    val r2 = new PipelineRunner(spark, spec("a", 20L), w)
+    assert(r2.run(Seq("run", "snapshot --at 2024-02-01T00:00:00")).success)
+    val hist = r2.readTable("adim_snap").orderBy("valid_from")
+      .select("extra", "valid_to")
+      .as[(Long, Option[java.sql.Timestamp])].collect().toSeq
+    assert(hist.map(_._1) == Seq(10L, 20L))
+    assert(hist(0)._2.isDefined && hist(1)._2.isEmpty)
+  }
+
   test("snapshot closed history is append-only (members never rewritten)") {
     val w = wh()
     def spec(v: String) = PipelineSpec(

@@ -1278,23 +1278,23 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   }
 
   /** Write dbt's `sources.json` artifact after `source freshness`:
-    * one row per checked source with its max_loaded_at (epoch sec,
+    * one row per checked source with its max_loaded_at (epoch MILLIS,
     * null when the source is empty) and status — the input the
     * `source_status:fresher+` selector diffs against a `--state`
     * dir's copy (dbt's fresher-sources-only CI grammar).
     */
   private def writeSourcesJson(command: String,
       rows: Seq[(String, String, Option[Long])]): Unit = {
-    val items = rows.map { case (name, status, loadedSec) =>
+    val items = rows.map { case (name, status, loadedMs) =>
       s"""{"name":${jq(name)},""" +
-        s""""max_loaded_at_sec":${loadedSec.map(_.toString).getOrElse("null")},""" +
+        s""""max_loaded_at_ms":${loadedMs.map(_.toString).getOrElse("null")},""" +
         s""""status":${jq(status)}}"""
     }
     Files.writeString(Paths.get(warehouse).resolve("sources.json"),
       s"""{"command":${jq(command)},"sources":[${items.mkString(",")}]}""")
   }
 
-  /** name → Some(max_loaded_at_sec) | None-for-null from a dir's
+  /** name → Some(max_loaded_at_ms) | None-for-null from a dir's
     * sources.json; None overall when no artifact exists. Parses only
     * the exact shape [[writeSourcesJson]] emits.
     */
@@ -1303,7 +1303,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     if (!Files.exists(p)) None
     else {
       val itemRe =
-        """\{"name":"((?:[^"\\]|\\.)*)","max_loaded_at_sec":(null|-?\d+),""".r
+        """\{"name":"((?:[^"\\]|\\.)*)","max_loaded_at_ms":(null|-?\d+),""".r
       Some(itemRe.findAllMatchIn(Files.readString(p)).map { m =>
         junq(m.group(1)) ->
           (if (m.group(2) == "null") None else Some(m.group(2).toLong))
@@ -1315,8 +1315,11 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   private def loadManifestChecksums(dir: Path): Map[String, String] = {
     val p = dir.resolve("manifest.json")
     require(Files.exists(p), s"--state: no manifest.json under $dir")
+    // lazy .*? (not [^}]*?): a description containing '}' must not
+    // break the name→checksum pairing; checksum is always the last
+    // field of a node, so the lazy scan cannot cross into the next
     val itemRe =
-      """"name":"((?:[^"\\]|\\.)*)"[^}]*?"checksum":"([a-f0-9]+)"""".r
+      """"name":"((?:[^"\\]|\\.)*)",.*?"checksum":"([a-f0-9]+)"""".r
     itemRe.findAllMatchIn(Files.readString(p))
       .map(m => junq(m.group(1)) -> m.group(2)).toMap
   }
@@ -2081,9 +2084,22 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         else Some(readMembers(sn.name, openM, currentSchema(sn.name))
           .drop(OpenCol))
       }
-    // dbt `check_cols: all` — track every non-key source column;
-    // resolved here against the live source schema so column
-    // additions are picked up on the next snapshot run
+    // Snapshot history is append-only: closed rows are never
+    // rewritten, so a source schema change cannot be absorbed — fail
+    // loudly with the diff instead of crashing later inside the
+    // SCD2 join/union with an unresolved-column error.
+    prevOpen.foreach { po =>
+      val stored = po.columns.toSet -- Set("valid_from", "valid_to")
+      val live = source.columns.toSet
+      if (stored != live) sys.error(
+        s"snapshot ${sn.name}: source schema changed (stored: " +
+          s"${stored.toSeq.sorted.mkString(",")}; live: " +
+          s"${live.toSeq.sorted.mkString(",")}) — snapshot history " +
+          "is append-only; declare a new snapshot for the new shape")
+    }
+    // dbt `check_cols: all` — track every non-key source column,
+    // resolved against the live schema (guarded identical to the
+    // stored one above)
     val compareCols =
       if (sn.compareCols == Seq("all"))
         source.columns.toSeq.filterNot(sn.keyCols.contains)
@@ -2388,8 +2404,19 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       case "--defer" :: t => defer = true; t
       case "--warn-error" :: t => warnError = true; t
       case "--favor-state" :: t => favorState = true; t
-      case "--indirect-selection" :: v :: t => indirect = v; t
+      case "--indirect-selection" :: v :: t => indirect = checkIndirect(v); t
     }.map(TestFlags(_, store, defer, warnError, favorState, indirect))
+  }
+
+  /** Validate an `--indirect-selection` mode at PARSE time, so a typo
+    * fails the command even when no selection follows (the
+    * no-selection fast path never builds the predicate).
+    */
+  private def checkIndirect(v: String): String = {
+    require(Set("eager", "cautious", "buildable", "empty")(v),
+      s"unknown --indirect-selection mode: $v " +
+        "(eager|cautious|buildable|empty)")
+    v
   }
 
   /** dbt `--indirect-selection` (1.9): which ATTACHED tests join a
@@ -2399,16 +2426,15 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * empty — only tests selected directly by their own name.
     */
   private def indirectTestPred(deps: Map[String, Seq[String]],
-      names: Set[String], mode: String): DataTest => Boolean = mode match {
-    case "eager"    => t => names(t.name) || t.refs.exists(names)
-    case "cautious" => t => names(t.name) || t.refs.forall(names)
-    case "buildable" =>
-      val ok = names ++ ancestorsOf(deps, names.filter(deps.contains))
-      t => names(t.name) || t.refs.forall(ok)
-    case "empty" => t => names(t.name)
-    case other => sys.error(s"unknown --indirect-selection mode: " +
-      s"$other (eager|cautious|buildable|empty)")
-  }
+      names: Set[String], mode: String): DataTest => Boolean =
+    checkIndirect(mode) match {
+      case "eager"    => t => names(t.name) || t.refs.exists(names)
+      case "cautious" => t => names(t.name) || t.refs.forall(names)
+      case "buildable" =>
+        val ok = names ++ ancestorsOf(deps, names.filter(deps.contains))
+        t => names(t.name) || t.refs.forall(ok)
+      case _ => t => names(t.name) // empty
+    }
 
   /** `clone` flags: select/exclude (with `--state`, required) plus
     * `--full-refresh` to overwrite existing local relations.
@@ -2528,7 +2554,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       case "--event-time-end" :: v :: t => etEnd = Some(v); t
       case "--warn-error" :: t => warnError = true; t
       case "--favor-state" :: t => favorState = true; t
-      case "--indirect-selection" :: v :: t => indirect = v; t
+      case "--indirect-selection" :: v :: t => indirect = checkIndirect(v); t
     }.map(BuildFlags(_, fullRefresh, at, vars, defer, empty,
       (etStart, etEnd), warnError, favorState, indirect))
   }
@@ -2650,6 +2676,42 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   }
 
   /** The `snapshot --at` command body (also `retry` of one). */
+  private def parseOperationArgs(rest: Seq[String]): Map[String, String] =
+    rest match {
+      case Seq()            => Map.empty
+      case Seq("--args", v) => parseVarsJson(v)
+      case Seq("--vars", v) => parseVarsJson(v)
+      case other => sys.error(
+        s"run-operation: unrecognized flags: ${other.mkString(" ")}")
+    }
+
+  /** Execute one named operation, RECORDING run_results (kind
+    * `operation`) whatever the outcome — `retry` after a failed
+    * run-operation must re-run it, not silently replay the previous
+    * node-executing command's artifact.
+    */
+  private def runOperationCommand(command: String, recordAs: String,
+      op: String): CommandResult = {
+    val sql = spec.operations.getOrElse(op, sys.error(
+      s"unknown operation: $op (declared: " +
+        s"${spec.operations.keys.toSeq.sorted.mkString(",")})"))
+    val status: NodeStatus =
+      try { runHook(s"run_operation_$op", sql, None); NodeStatus.Success(0L) }
+      catch {
+        case e: Exception =>
+          logger.log(LogLevel.ERROR,
+            s"run-operation $op failed: ${e.getMessage}")
+          NodeStatus.Failed(e.getMessage)
+      }
+    recordRunResults(recordAs, Seq(("operation", op, status)))
+    status match {
+      case NodeStatus.Failed(m) => CommandResult(command, success = false,
+        Seq(op), Map.empty, Some(s"run-operation $op failed: $m"))
+      case _ => CommandResult(command, success = true, Seq(op),
+        Map.empty, None)
+    }
+  }
+
   private def runSnapshotsCommand(command: String, recordAs: String,
       snaps: Seq[SnapshotDef], asOf: String): CommandResult = {
     val outcomes = snaps.map { sn =>
@@ -2904,19 +2966,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         // kwargs analog. Basis: ordinary dbt argv the reference
         // forwards (`dbtoperator.py:35,46`).
         case "run-operation" +: op +: rest if !op.startsWith("-") =>
-          val vars = rest match {
-            case Seq() => Map.empty[String, String]
-            case Seq("--args", v) => parseVarsJson(v)
-            case Seq("--vars", v) => parseVarsJson(v)
-            case other => sys.error(
-              s"run-operation: unrecognized flags: ${other.mkString(" ")}")
-          }
-          val sql = spec.operations.getOrElse(op, sys.error(
-            s"unknown operation: $op (declared: " +
-              s"${spec.operations.keys.toSeq.sorted.mkString(",")})"))
-          cmdVars = vars
-          runHook(s"run_operation_$op", sql, None)
-          CommandResult(command, success = true, Seq(op), Map.empty, None)
+          cmdVars = parseOperationArgs(rest)
+          runOperationCommand(command, command, op)
         // `dbt parse` — parse the project and refresh manifest.json
         // without executing anything. Our spec is parsed at
         // construction and the manifest refreshes on every command
@@ -2991,8 +3042,13 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
               else spark.table(f.source)
             val row = Freshness.check(df, f.source, f.tsCol, asOf,
               f.warnAfterSec, f.errorAfterSec)
-              .select(col("status"), col("max_loaded_at")
-                .cast(org.apache.spark.sql.types.LongType).as("sec"))
+              // millisecond precision: an epoch-SECOND floor would
+              // hide sub-second freshness advances from
+              // source_status:fresher diffs
+              .select(col("status"),
+                (col("max_loaded_at")
+                  .cast(org.apache.spark.sql.types.DoubleType) * 1000)
+                  .cast(org.apache.spark.sql.types.LongType).as("ms"))
               .head()
             (f.source, row.getAs[String]("status"),
               if (row.isNullAt(1)) None else Some(row.getLong(1)))
@@ -3084,6 +3140,14 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
                   val (sel, fullRefresh) = parseCloneFlags(flags).get
                   runCloneCommand(command, prev, sel, fullRefresh,
                     Some(redo))
+                // single-statement command: rerun it whole when it
+                // was the recorded failure (under its original args)
+                case "run-operation" +: op +: rest
+                    if !op.startsWith("-") =>
+                  cmdVars = parseOperationArgs(rest)
+                  if (redo(op)) runOperationCommand(command, prev, op)
+                  else CommandResult(command, success = true, Nil,
+                    Map.empty, None)
                 case _ => CommandResult(command, success = false, Nil,
                   Map.empty, Some(s"retry: unsupported command: $prev"))
               }

@@ -643,6 +643,12 @@ final case class SnapshotDef(
     name: String,
     source: String,
     keyCols: Seq[String],
+    /** Tracked columns. The single-element form `Seq("all")` is dbt's
+      * `check_cols: all` sentinel — every non-key source column,
+      * resolved per run. (A source column literally named `all` can't
+      * be tracked alone under this grammar; list it alongside another
+      * tracked column.)
+      */
     compareCols: Seq[String],
     tags: Seq[String] = Nil,
     strategy: SnapshotStrategy = SnapshotStrategy.Check,

@@ -2943,6 +2943,79 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(!r.runCommand("run-operation log_audit --frobnicate x").success)
   }
 
+  test("retry reruns a failed run-operation instead of replaying the " +
+      "previous command's artifact") {
+    val w = wh()
+    def spec(opSql: String) = PipelineSpec(
+      models = Seq(Model.sql("ro_m",
+        "SELECT 1 AS id UNION ALL SELECT 2", Materialization.Table)),
+      operations = Map("audit" -> opSql))
+    val good = "INSERT INTO ro_audit SELECT count(*) AS n FROM {{ ref('ro_m') }}"
+    val r1 = new PipelineRunner(spark,
+      spec("INSERT INTO ro_audit SELECT boom FROM {{ ref('ro_m') }}"), w)
+    assert(r1.runCommand("run").success)
+    assert(!r1.runCommand("run-operation audit").success)
+    // fix the operation; retry resumes THE OPERATION, not the old run
+    val r2 = new PipelineRunner(spark, spec(good), w)
+    val res = r2.runCommand("retry")
+    assert(res.success, res.error.mkString)
+    assert(res.modelsRun == Seq("audit"))
+    assert(r2.readTable("ro_audit").head().getLong(0) == 2L)
+    assert(r2.generations("ro_m").size == 1, "retry must not rebuild ro_m")
+    // a retry after the success is a no-op for the operation
+    assert(r2.runCommand("retry").modelsRun.isEmpty)
+  }
+
+  test("--indirect-selection mode typo fails even without a selection") {
+    val w = wh()
+    val spec = PipelineSpec(models = Seq(
+      Model.sql("iv_m", "SELECT 1 AS x", Materialization.Table)))
+    val r = new PipelineRunner(spark, spec, w)
+    val res = r.runCommand("test --indirect-selection cautios")
+    assert(!res.success &&
+      res.error.exists(_.contains("unknown --indirect-selection")))
+    assert(!r.runCommand("build --indirect-selection eagerly").success)
+  }
+
+  test("snapshot fails loudly (not with an unresolved column) when the " +
+      "source schema changes") {
+    val w = wh()
+    def spec(withExtra: Boolean) = PipelineSpec(
+      models = Seq(Model("scdim", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._
+          if (withExtra) Seq((1L, "a", 9L)).toDF("id", "v", "extra")
+          else Seq((1L, "a")).toDF("id", "v") })),
+      snapshots = Seq(SnapshotDef("scdim_snap", "scdim", Seq("id"),
+        Seq("all"))))
+    assert(new PipelineRunner(spark, spec(false), w)
+      .run(Seq("run", "snapshot --at 2024-01-01T00:00:00")).success)
+    val r2 = new PipelineRunner(spark, spec(true), w)
+    assert(r2.runCommand("run").success)
+    val res = r2.runCommand("snapshot --at 2024-02-01T00:00:00")
+    assert(!res.success)
+    assert(res.error.exists(_.contains("schema changed")), res.error)
+  }
+
+  test("a description containing '}' does not corrupt state:modified " +
+      "checksum pairing") {
+    val w = wh()
+    val stateDir = wh()
+    val spec = PipelineSpec(models = Seq(
+      Model.sql("br_m", "SELECT 1 AS x", Materialization.Table,
+        description = Some("renders {a: b} blocks"))))
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.runCommand("run").success)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(w, "manifest.json"),
+      java.nio.file.Paths.get(stateDir, "manifest.json"))
+    // unedited project: nothing is modified, nothing is new
+    val r2 = new PipelineRunner(spark, spec, w)
+    assert(r2.runCommand(s"run -s state:modified --state $stateDir")
+      .modelsRun.isEmpty)
+    assert(r2.runCommand(s"run -s state:new --state $stateDir")
+      .modelsRun.isEmpty)
+  }
+
   test("group: selector method picks exactly the group's models") {
     val w = wh()
     val spec = PipelineSpec(models = Seq(

@@ -87,10 +87,20 @@ object ScalarFuncs extends QueryGroup {
 
     "fn_array" -> ((s, d) =>
       Tables.lineitem(s, d)
+        // sort FIRST on the four narrow long keys, derive the wide
+        // string columns AFTER: the range-partition exchange then
+        // moves 32 bytes/row instead of ~10 derived strings (order
+        // is preserved through the downstream projection).
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // lineitem; partkey/suppkey break the remaining ties — NUMERIC
+        // sort keys (a tie on all four means an identical arr, hence
+        // an identical row), dropped after so the output schema
+        // matches the oracle's
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
         .withColumn("arr", array(col("l_orderkey"), col("l_partkey"), col("l_suppkey")))
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          col("l_partkey"), col("l_suppkey"),
           aj(col("arr")).as("arr_s"),
           size(col("arr")).as("sz"),
           array_contains(col("arr"), 42L).as("has42"),
@@ -100,14 +110,7 @@ object ScalarFuncs extends QueryGroup {
           aj(filter(col("arr"), x => x % 2 === 0)).as("evens"),
           aggregate(col("arr"), lit(0L), (a, x) => a + x).as("sm"),
           aj(flatten(array(col("arr"), array(lit(0L))))).as("flat"),
-          aj(zip_with(col("arr"), col("arr"), (x, y) => x + y)).as("zp"))
-        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
-        // lineitem; partkey/suppkey break the remaining ties — NUMERIC
-        // sort keys (a tie on all four means an identical arr, hence
-        // an identical row), dropped after the sort so the output
-        // schema matches the oracle's
-        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
-        .drop("l_partkey", "l_suppkey")),
+          aj(zip_with(col("arr"), col("arr"), (x, y) => x + y)).as("zp"))),
 
     "fn_map" -> ((s, d) =>
       Tables.events(s, d)

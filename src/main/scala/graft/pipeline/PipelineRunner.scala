@@ -1232,10 +1232,14 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     val parts: Seq[String] = resourceKind(name) match {
       case "model" =>
         val m = byName(name)
+        // description joins the checksum ONLY when present (prefixed
+        // so it can't alias another optional field): undocumented
+        // models keep their pre-description checksums, so adding this
+        // field does not force a one-time full state:modified rebuild
         Seq("model", m.name, m.deps.mkString(","), m.tags.mkString(","),
           m.materialization.toString, m.eventTime.getOrElse(""),
-          m.group.getOrElse(""), m.access,
-          m.description.getOrElse("")) ++ m.sqlText.toSeq ++
+          m.group.getOrElse(""), m.access) ++
+          m.description.map("desc:" + _).toSeq ++ m.sqlText.toSeq ++
           m.preHooks ++ m.postHooks
       case "seed" =>
         val sd = spec.seeds.find(_.name == name).get

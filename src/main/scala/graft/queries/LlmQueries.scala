@@ -494,8 +494,12 @@ object LlmOps extends QueryGroup {
     "llm_vocab_coverage" -> ((s, d) => {
       val counts = Tables.documents(s, d)
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        // lazy: materializes on the query's FIRST action (then both
+        // the top-100 and the total reuse it) — eager would run a
+        // corpus scan as a construction-time side effect, e.g. when
+        // a caller only wants the plan
         .groupBy("token").agg(count(lit(1)).as("n"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val top = counts.orderBy(col("n").desc, col("token")).limit(100)
       val w = Window.orderBy(col("n").desc, col("token"))
       top.crossJoin(broadcast(counts.agg(sum(col("n")).as("total"))))

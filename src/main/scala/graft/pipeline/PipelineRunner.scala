@@ -2462,6 +2462,20 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     }.map((_, at))
   }
 
+  /** `source freshness` flags: `--at <ts>` (required, the injected
+    * clock), `--warn-error`, plus select/exclude (dbt's
+    * `source freshness --select <source>` narrowing).
+    */
+  private def parseFreshnessFlags(flags: Seq[String])
+      : Option[(Selection, Option[String], Boolean)] = {
+    var at: Option[String] = None
+    var warnError = false
+    parseSelFlags(flags) {
+      case "--at" :: v :: t => at = Some(v); t
+      case "--warn-error" :: t => warnError = true; t
+    }.map((_, at, warnError))
+  }
+
   /** dbt `seed/snapshot --select`: an empty selection means all. */
   private def chosenSeeds(sel: Selection): Seq[Seed] =
     if (sel.include.isEmpty && sel.exclude.isEmpty) spec.seeds
@@ -2972,6 +2986,20 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         case "run-operation" +: op +: rest if !op.startsWith("-") =>
           cmdVars = parseOperationArgs(rest)
           runOperationCommand(command, command, op)
+        // `dbt clean` — delete the target/ artifact dir (compiled
+        // SQL, catalog.json). Warehouse DATA and the run_results /
+        // manifest / sources artifacts it sits beside are untouched,
+        // matching dbt's clean-targets default of target/ only.
+        case Seq("clean") =>
+          val target = Paths.get(warehouse, "target")
+          if (Files.isDirectory(target)) {
+            import scala.jdk.CollectionConverters._
+            val s = Files.walk(target)
+            try s.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(Files.delete)
+            finally s.close()
+          }
+          CommandResult(command, success = true, Nil, Map.empty, None)
         // `dbt parse` — parse the project and refresh manifest.json
         // without executing anything. Our spec is parsed at
         // construction and the manifest refreshes on every command
@@ -3033,14 +3061,20 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         // `source freshness --at <ts> [--warn-error]` — flags in any
         // order; exactly one non-flag token (the clock value)
         case "source" +: "freshness" +: rest
-            if rest.indexOf("--at") >= 0 &&
-              rest.indexOf("--at") + 1 < rest.length &&
-              !rest(rest.indexOf("--at") + 1).startsWith("--") &&
-              rest.forall(t => t == "--at" || t == "--warn-error" ||
-                t == rest(rest.indexOf("--at") + 1)) =>
-          val asOf = rest(rest.indexOf("--at") + 1)
-          cmdWarnError = rest.contains("--warn-error")
-          val full = spec.freshness.map { f =>
+            if parseFreshnessFlags(rest).exists(_._2.isDefined) =>
+          val (sel, atOpt, warnErr) = parseFreshnessFlags(rest).get
+          val asOf = atOpt.get
+          cmdWarnError = warnErr
+          // dbt: `source freshness --select <source>` narrows the
+          // check; lenient resolution, since sources are temp views,
+          // not graph nodes
+          val chosen =
+            if (sel.include.isEmpty && sel.exclude.isEmpty) spec.freshness
+            else {
+              val names = selectIn(resourceDeps, sel, lenient = true)
+              spec.freshness.filter(f => names(f.source))
+            }
+          val full = chosen.map { f =>
             val df =
               if (tableExists(f.source)) readTable(f.source)
               else spark.table(f.source)
@@ -3069,7 +3103,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             st == "error" || (st == "warn" && cmdWarnError)
           }.map(_._1)
           CommandResult(command, success = stale.isEmpty,
-            spec.freshness.map(_.source), Map.empty,
+            chosen.map(_.source), Map.empty,
             if (stale.isEmpty) None
             else Some(s"stale sources: ${stale.mkString(",")}"))
         case "build" +: flags if parseBuildFlags(flags).isDefined =>

@@ -3016,6 +3016,44 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       .modelsRun.isEmpty)
   }
 
+  test("source freshness --select narrows the check; clean removes " +
+      "only target/") {
+    val w = wh()
+    val spec = PipelineSpec(
+      models = Seq(
+        Model("fr_a", Nil, Materialization.Table,
+          (sp, _) => { import sp.implicits._
+            Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+              .toDF("id", "ts") }),
+        Model("fr_b", Nil, Materialization.Table,
+          (sp, _) => { import sp.implicits._
+            Seq((1L, java.sql.Timestamp.valueOf("2023-01-01 00:00:00")))
+              .toDF("id", "ts") })),
+      freshness = Seq(
+        FreshnessDef("fr_a", "ts", 3600, 7200),
+        FreshnessDef("fr_b", "ts", 3600, 7200)))
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.runCommand("run").success)
+    // fr_b is a year stale — checking everything fails...
+    assert(!r.runCommand("source freshness --at 2024-01-01T00:30:00")
+      .success)
+    // ...but narrowing to the fresh source passes, and reports only it
+    val sel = r.runCommand(
+      "source freshness --at 2024-01-01T00:30:00 -s fr_a")
+    assert(sel.success, sel.error.mkString)
+    assert(sel.modelsRun == Seq("fr_a"))
+    // clean: target/ artifacts go, warehouse data and manifest stay
+    assert(r.runCommand("compile").success)
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(w, "target")))
+    assert(r.runCommand("clean").success)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(w, "target")))
+    assert(r.readTable("fr_a").count() == 1L)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(w, "manifest.json")))
+  }
+
   test("group: selector method picks exactly the group's models") {
     val w = wh()
     val spec = PipelineSpec(models = Seq(

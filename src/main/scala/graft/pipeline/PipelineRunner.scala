@@ -2093,7 +2093,10 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     // loudly with the diff instead of crashing later inside the
     // SCD2 join/union with an unresolved-column error.
     prevOpen.foreach { po =>
-      val stored = po.columns.toSet -- Set("valid_from", "valid_to")
+      // engine-added columns (SCD2 validity range, the
+      // hard_deletes=new_record deletion flag) are not source shape
+      val stored = po.columns.toSet --
+        Set("valid_from", "valid_to", Snapshot.DeletedCol)
       val live = source.columns.toSet
       if (stored != live) sys.error(
         s"snapshot ${sn.name}: source schema changed (stored: " +

@@ -2996,6 +2996,25 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(res.error.exists(_.contains("schema changed")), res.error)
   }
 
+  test("schema guard ignores the hard_deletes=new_record marker column") {
+    val w = wh()
+    def spec(rows: Seq[(Long, String)]) = PipelineSpec(
+      models = Seq(Model("hdim", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._; rows.toDF("id", "v") })),
+      snapshots = Seq(SnapshotDef("hdim_snap", "hdim", Seq("id"),
+        Seq("v"), hardDeletes = HardDeletes.NewRecord)))
+    assert(new PipelineRunner(spark, spec(Seq((1L, "a"), (2L, "b"))), w)
+      .run(Seq("run", "snapshot --at 2024-01-01T00:00:00")).success)
+    // key 2 hard-deleted: the stored open rows now carry
+    // dbt_is_deleted, which the source never has — the schema guard
+    // must not read that as drift
+    val r2 = new PipelineRunner(spark, spec(Seq((1L, "a"))), w)
+    assert(r2.run(Seq("run", "snapshot --at 2024-02-01T00:00:00"))
+      .success)
+    val r3 = new PipelineRunner(spark, spec(Seq((1L, "a"))), w)
+    assert(r3.runCommand("snapshot --at 2024-03-01T00:00:00").success)
+  }
+
   test("a description containing '}' does not corrupt state:modified " +
       "checksum pairing") {
     val w = wh()

@@ -3073,6 +3073,39 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       java.nio.file.Paths.get(w, "manifest.json")))
   }
 
+  test("indirect-selection modes nest: empty ⊆ cautious ⊆ buildable ⊆ " +
+      "eager for every selection") {
+    val w = wh()
+    def m(name: String, deps: Seq[String] = Nil) =
+      Model(name, deps, Materialization.Table,
+        (sp, _) => { import sp.implicits._
+          Seq((1L, 1L)).toDF("id", "pid") })
+    // diamond + a cross-branch relationships test and a singular
+    // test reading both legs
+    val spec = PipelineSpec(
+      models = Seq(m("nn_root"), m("nn_l", Seq("nn_root")),
+        m("nn_r", Seq("nn_root")), m("nn_sink", Seq("nn_l", "nn_r"))),
+      tests = Seq(
+        DataTest.NotNull("nn_l", "id"),
+        DataTest.Relationships("nn_l", "pid", "nn_r", "id"),
+        DataTest.Singular("nn_both",
+          "SELECT l.id FROM {{ ref('nn_l') }} l JOIN {{ ref('nn_r') }} r ON l.id = r.id WHERE 1 = 0")))
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.runCommand("run").success)
+    for (sel <- Seq("nn_l", "nn_r", "+nn_sink", "nn_l,nn_l", "@nn_root",
+        "nn_l nn_r")) {
+      val got = Seq("empty", "cautious", "buildable", "eager").map { mode =>
+        mode -> r.runCommand(
+          s"test -s $sel --indirect-selection $mode").modelsRun.toSet
+      }.toMap
+      assert(got("empty").subsetOf(got("cautious")), s"$sel empty⊄cautious")
+      assert(got("cautious").subsetOf(got("buildable")),
+        s"$sel cautious⊄buildable: ${got("cautious")} vs ${got("buildable")}")
+      assert(got("buildable").subsetOf(got("eager")),
+        s"$sel buildable⊄eager: ${got("buildable")} vs ${got("eager")}")
+    }
+  }
+
   test("group: selector method picks exactly the group's models") {
     val w = wh()
     val spec = PipelineSpec(models = Seq(

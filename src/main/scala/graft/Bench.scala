@@ -62,11 +62,12 @@ object Bench {
       val ts = samples(name).sorted
       name -> ts(ts.size / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def sec(v: Double) = "%.4f".format(v) // 0.1ms grain, short lines
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // the stdout line gets tail-truncated by harnesses capturing long
     // output (half the per-key timings were lost in past rounds) — the
     // file is the durable, machine-parseable artifact
@@ -74,6 +75,17 @@ object Bench {
       "/root/repo/bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line)
     println(line)
+    // the full line above exceeds a 2000-char capture tail at 140+
+    // keys (its head — the headline total — was lost in rounds 8/9),
+    // so ALSO print a short self-contained summary LAST: it fits any
+    // tail window whole, and points at the durable per-key artifact
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + sec(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
+        s""""n_queries":${results.size},"slowest_queries":$slowest,""" +
+        s""""queries_file":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -59,7 +59,10 @@ object Dedup {
     * elements). Distinct token tuples ↔ distinct hashes (modulo
     * 64-bit collisions), same contract the string form had after
     * hashing. FORMAT NOTE: these values persist in decontaminateIndex
-    * gram tables — changing the hashing invalidates existing tables.
+    * gram tables — changing the hashing invalidates existing tables,
+    * so the format is stamped in a [[GramHashFormatVersion]] table
+    * sidecar and readers fail loudly on mismatch (bump the version
+    * whenever this function's output changes).
     *
     * Takes the TOKEN column, not the text: inlining `tokens(text)` (a
     * regex split) here would re-evaluate it inside the per-gram
@@ -123,14 +126,40 @@ object Dedup {
     * Benchmark sets are eval-sized, so this table is small by nature —
     * it broadcasts at check time and the anti-join here is cheap.
     */
+  /** Version stamp of the persisted gram-hash format, stored as a
+    * table sidecar: "2" = xxhash64 over the token-array slice (current
+    * [[wordNgramHashes]]); "1" (or an unstamped pre-versioning table)
+    * = xxhash64 over the space-joined gram STRING. The two produce
+    * disjoint hash values for the same grams, so a format mismatch
+    * would silently report ZERO contamination — a safety-relevant
+    * false negative — which is why readers fail loudly instead.
+    */
+  val GramHashFormatVersion = "2"
+  private val GramFormatKey = "gramhash_format"
+
+  private def requireGramFormat(runner: graft.pipeline.PipelineRunner,
+                                table: String): Unit =
+    if (runner.tableExists(table)) {
+      val got = runner.tableSidecar(table, GramFormatKey)
+      require(got.contains(GramHashFormatVersion),
+        s"gram table '$table' uses hash format " +
+          s"${got.getOrElse("<unstamped: pre-v2 joined-string hashing>")} " +
+          s"but this build produces format $GramHashFormatVersion — a " +
+          "mismatched read would match NOTHING (silent decontamination " +
+          "false negatives). Drop the table and rebuild it with " +
+          "decontaminateIndex.")
+    }
+
   def decontaminateIndex(runner: graft.pipeline.PipelineRunner,
                          table: String, bench: DataFrame, idCol: String,
                          textCol: String, n: Int, batchId: Long): Long = {
+    requireGramFormat(runner, table)
     val grams = gramHashFrame(bench, textCol, n, None).distinct()
     val fresh =
       if (!runner.tableExists(table)) grams
       else grams.join(runner.readTable(table), Seq("gh"), "left_anti")
-    runner.appendBatch(table, fresh, batchId)
+    runner.appendBatch(table, fresh, batchId,
+      sidecars = Map(GramFormatKey -> GramHashFormatVersion))
   }
 
   /** Incremental benchmark decontamination: check a NEW training batch
@@ -154,6 +183,7 @@ object Dedup {
                                table: String, batch: DataFrame,
                                idCol: String, textCol: String,
                                n: Int): DataFrame = {
+    requireGramFormat(runner, table)
     val benchGrams = runner.readTable(table).select("gh")
     gramHashFrame(batch, textCol, n, Some(idCol))
       .join(broadcast(benchGrams), "gh") // map-only contamination filter

@@ -150,16 +150,22 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     logger.log(LogLevel.INFO, s"initialized warehouse=$warehouse")
   }
 
-  /** Kahn topo-sort with deterministic (name) tie order; cycles fail. */
+  /** Kahn topo-sort with deterministic (name) tie order; cycles fail.
+    * Edges come from modelDeps (version-RESOLVED: a bare ref('dim') to
+    * a versioned family is an edge to dim_v<latest>), matching the
+    * resolved instance names that selection produces — raw m.deps
+    * would drop those edges and order consumers before their dep.
+    */
   def topoOrder(names: Set[String]): Seq[String] = {
+    val deps = modelDeps
     val indeg = mutable.Map(names.toSeq.map(n =>
-      n -> byName(n).deps.count(names)): _*)
+      n -> deps(n).count(names)): _*)
     val out = mutable.Buffer.empty[String]
     val ready = mutable.SortedSet.empty[String] ++ indeg.filter(_._2 == 0).keys
     while (ready.nonEmpty) {
       val n = ready.head; ready -= n; out += n
       names.foreach { m =>
-        if (byName(m).deps.contains(n) && indeg(m) > 0) {
+        if (deps(m).contains(n) && indeg(m) > 0) {
           indeg(m) -= 1; if (indeg(m) == 0) ready += m
         }
       }
@@ -244,14 +250,27 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           core == "state:unmodified") {
         val dir = state.getOrElse(sys.error(
           s"selector $core requires --state <dir> with a prior manifest.json"))
-        val old = loadManifestChecksums(Paths.get(dir))
+        val (oldScheme, old) = loadManifestChecksums(Paths.get(dir))
+        // a manifest written under a DIFFERENT checksum scheme is
+        // incomparable: every value differs by construction, so diffing
+        // raw strings would silently select everything. Keep the safe
+        // outcome (existing nodes count as modified — a full rebuild
+        // can only over-build, never miss a change) but say why, once.
+        val incomparable = oldScheme != ChecksumScheme
+        if (incomparable)
+          logger.log(LogLevel.WARNING,
+            s"$core: state manifest uses checksum scheme $oldScheme, " +
+              s"this build writes $ChecksumScheme — checksums are " +
+              "incomparable, so all previously-known nodes count as " +
+              "modified (one-time full selection until the state dir " +
+              "is refreshed by this build)")
         deps.keySet.filter { n =>
           if (core == "state:new") !old.contains(n)
           // dbt 1.9 state:unmodified — the exclusion complement for
           // `--exclude state:unmodified` CI runs
           else if (core == "state:unmodified")
-            old.get(n).contains(checksumOf(n))
-          else !old.get(n).contains(checksumOf(n))
+            !incomparable && old.get(n).contains(checksumOf(n))
+          else incomparable || !old.get(n).contains(checksumOf(n))
         }
       } else if (core.startsWith("config.materialized:")) {
         // dbt config selection method: models whose materialization
@@ -493,6 +512,31 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
 
   private def currentManifest(name: String): Option[Seq[String]] =
     currentGenName(name).map(genManifest(name, _))
+
+  /** All sidecar key→value pairs of the live generation (header lines
+    * plus the legacy sibling-file streamids layout). Sidecars are
+    * TABLE-level metadata: publishManifest carries every key forward
+    * into the next generation unless the writer overrides it.
+    */
+  private def currentSidecars(name: String): Map[String, String] = {
+    val fromHeader = currentGenName(name).map { gen =>
+      genLines(name, gen).collect {
+        case l if l.startsWith("#sidecar.") =>
+          val body = l.stripPrefix("#sidecar.")
+          val i = body.indexOf(':')
+          body.take(i) -> decodeSidecar(body.drop(i + 1))
+      }.toMap
+    }.getOrElse(Map.empty)
+    if (fromHeader.contains("streamids")) fromHeader
+    else fromHeader ++ genSidecar(name, "streamids").map("streamids" -> _)
+  }
+
+  /** Read a table-level sidecar value (e.g. a format-version stamp an
+    * operator persisted next to its table). None when the table or the
+    * key does not exist.
+    */
+  def tableSidecar(name: String, key: String): Option[String] =
+    genSidecar(name, key)
 
   private def currentSchema(name: String): Option[StructType] =
     currentGenName(name).flatMap(genSchema(name, _))
@@ -781,10 +825,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     lockFor(name).synchronized {
       val dir = Paths.get(tablePath(name))
       Files.createDirectories(dir)
-      val carried =
-        if (sidecars.contains("streamids")) sidecars
-        else sidecars ++
-          genSidecar(name, "streamids").map("streamids" -> _)
+      val carried = currentSidecars(name) ++ sidecars
       migrateLegacyPointer(name)
       val header = s"#schema:${encodeSidecar(schema.json)}" +:
         carried.toSeq.sortBy(_._1).map { case (k, v) =>
@@ -900,7 +941,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * Schema changes follow on_schema_change (append new, fail on
     * removed). Returns rows appended (0 for a replayed batch).
     */
-  def appendBatch(name: String, df: DataFrame, batchId: Long): Long =
+  def appendBatch(name: String, df: DataFrame, batchId: Long,
+      sidecars: Map[String, String] = Map.empty): Long =
     lockFor(name).synchronized {
       val (hwm, tail) = genSidecar(name, "streamids")
         .map(parseStreamIds).getOrElse((-1L, Set.empty[Long]))
@@ -914,7 +956,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         val (h2, t2) = foldStreamIds(hwm, tail + batchId)
         publishManifest(name, currentManifest(name).getOrElse(Nil) :+ rel,
           schema,
-          Map("streamids" ->
+          sidecars ++ Map("streamids" ->
             (s"hwm:$h2" +: t2.toSeq.sorted.map(_.toString)).mkString("\n")))
         val n = writtenCount(name, rel, df.schema)
         maybeAutoCompact(name)
@@ -1110,8 +1152,12 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     // written on the scheduler thread.
     val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
     def anyFailed = failFast && failed.get()
+    // version-RESOLVED deps: selected holds resolved instance names
+    // (dim_v2), so a bare ref('dim') must map to dim_v2 here or a
+    // failed dim_v2 would not skip its consumers (stale reads).
+    val rdeps = modelDeps
     def shouldSkip(n: String) = anyFailed ||
-      byName(n).deps.exists(d =>
+      rdeps(n).exists(d =>
         selected(d) && (status.get(d) match {
           case Some(_: NodeStatus.Failed) | Some(NodeStatus.Skipped) => true
           case _ => false
@@ -1134,7 +1180,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     else {
       val level = mutable.Map.empty[String, Int]
       names.foreach { n => // names are topo-ordered, deps resolved first
-        val depLevels = byName(n).deps.filter(selected).map(level)
+        val depLevels = rdeps(n).filter(selected).map(level)
         level(n) = (if (depLevels.isEmpty) -1 else depLevels.max) + 1
       }
       val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
@@ -1221,6 +1267,16 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     }
   }
 
+  /** Version of the checksum FORMULA below, stamped into
+    * manifest.json: two manifests diff node-by-node only when their
+    * schemes match — values from different schemes differ for every
+    * node by construction, which is an incomparability, not 100%
+    * modification. Bump whenever checksumOf's input layout changes
+    * (scheme 1 = the pre-stamp era: comma separator, no
+    * eventTime/group/access fields).
+    */
+  private val ChecksumScheme = 2
+
   /** A resource's content checksum — what `state:modified` diffs.
     * Covers everything the spec DECLARES: kind, deps, tags,
     * materialization config, the SQL text for SQL-text models, seed
@@ -1233,9 +1289,10 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       case "model" =>
         val m = byName(name)
         // description joins the checksum ONLY when present (prefixed
-        // so it can't alias another optional field): undocumented
-        // models keep their pre-description checksums, so adding this
-        // field does not force a one-time full state:modified rebuild
+        // so it can't alias another optional field): WITHIN a scheme,
+        // undocumented models keep their pre-description checksums, so
+        // documenting one model doesn't dirty the rest (cross-scheme
+        // comparisons are handled by the ChecksumScheme stamp above)
         Seq("model", m.name, m.deps.mkString(","), m.tags.mkString(","),
           m.materialization.toString, m.eventTime.getOrElse(""),
           m.group.getOrElse(""), m.access) ++
@@ -1278,7 +1335,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         s""""checksum":${jq(checksumOf(n))}}"""
     }
     Files.writeString(Paths.get(warehouse).resolve("manifest.json"),
-      s"""{"nodes":[${nodes.mkString(",")}]}""")
+      s"""{"checksum_scheme":$ChecksumScheme,""" +
+        s""""nodes":[${nodes.mkString(",")}]}""")
   }
 
   /** Write dbt's `sources.json` artifact after `source freshness`:
@@ -1315,17 +1373,24 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     }
   }
 
-  /** name → checksum from a `--state` dir's manifest.json. */
-  private def loadManifestChecksums(dir: Path): Map[String, String] = {
+  /** (checksum scheme, name → checksum) from a `--state` dir's
+    * manifest.json. An unstamped manifest predates scheme stamping →
+    * scheme 1.
+    */
+  private def loadManifestChecksums(dir: Path): (Int, Map[String, String]) = {
     val p = dir.resolve("manifest.json")
     require(Files.exists(p), s"--state: no manifest.json under $dir")
+    val text = Files.readString(p)
+    val scheme = """"checksum_scheme":(\d+)""".r
+      .findFirstMatchIn(text).map(_.group(1).toInt).getOrElse(1)
     // lazy .*? (not [^}]*?): a description containing '}' must not
     // break the name→checksum pairing; checksum is always the last
     // field of a node, so the lazy scan cannot cross into the next
     val itemRe =
       """"name":"((?:[^"\\]|\\.)*)",.*?"checksum":"([a-f0-9]+)"""".r
-    itemRe.findAllMatchIn(Files.readString(p))
-      .map(m => junq(m.group(1)) -> m.group(2)).toMap
+    (scheme,
+      itemRe.findAllMatchIn(text)
+        .map(m => junq(m.group(1)) -> m.group(2)).toMap)
   }
 
   /** Resolve a model's inputs: sources (temp views already registered)

@@ -194,9 +194,19 @@ object Snapshot {
             (if (newRec) coalesce(col(DeletedCol), lit(false))
              else lit(false)).as("__old_marker"),
             lit(true).as("__had_open")): _*)
+        // a resurrection whose ts did NOT advance (admitted via the
+        // marker, not a newer ts) opens at the run clock, mirroring
+        // the marker's valid_to — opening at its own tsCol would
+        // predate the deletion interval and overlap the closed
+        // pre-delete version (duplicate key for as-of queries inside
+        // the deleted window)
         val fresh = newState.join(openKeyed, keyCols, "left")
           .filter(col("__had_open").isNull || col("__old_marker") ||
             newerThan(col(tsCol).cast(TimestampType), col("__old_ts")))
+          .withColumn("valid_from",
+            when(coalesce(col("__old_marker"), lit(false)) &&
+              !newerThan(col(tsCol).cast(TimestampType), col("__old_ts")),
+              asOfTs).otherwise(col("valid_from")))
           .select(newState.columns.map(col).toIndexedSeq: _*)
 
         val nextOpen =

@@ -278,4 +278,36 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
         batchId = 2L) == 0L)
     }
   }
+
+  test("gram table is format-stamped; mismatched tables fail loudly") {
+    val docs = randomDocs(31, 10).toDF("doc_id", "text")
+    val base = java.nio.file.Paths.get("/root/repo/target/scratch-test")
+    java.nio.file.Files.createDirectories(base)
+    val wh = java.nio.file.Files.createTempDirectory(base, "gf").toString
+    val r = new graft.pipeline.PipelineRunner(spark,
+      graft.pipeline.PipelineSpec(Nil), wh)
+    Dedup.decontaminateIndex(r, "gt", docs, "doc_id", "text", n = 2,
+      batchId = 0L)
+    // stamped on create, carried across a subsequent append
+    assert(r.tableSidecar("gt", "gramhash_format")
+      .contains(Dedup.GramHashFormatVersion))
+    Dedup.decontaminateIndex(r, "gt", docs.filter(col("doc_id") < 5),
+      "doc_id", "text", n = 2, batchId = 1L)
+    assert(r.tableSidecar("gt", "gramhash_format")
+      .contains(Dedup.GramHashFormatVersion))
+    // an UNSTAMPED table (written by the pre-versioning string-hash
+    // build) must be rejected by both the reader and the extender —
+    // a silent read would report zero contamination
+    r.appendBatch("legacy", docs.select(col("doc_id").as("gh")), 0L)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.decontaminateIncremental(r, "legacy", docs, "doc_id", "text",
+        n = 2).collect()
+    }
+    assert(e1.getMessage.contains("unstamped"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.decontaminateIndex(r, "legacy", docs, "doc_id", "text", n = 2,
+        batchId = 1L)
+    }
+    assert(e2.getMessage.contains("rebuild"), e2.getMessage)
+  }
 }

@@ -1727,6 +1727,21 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       .modelsRun.isEmpty)
     // state: without --state fails loudly
     assert(!r3.runCommand("run -s state:modified").success)
+    // a state manifest from a DIFFERENT checksum scheme is
+    // incomparable: all known nodes count as modified (safe full
+    // selection, warned), none as unmodified — not a silent per-node
+    // diff of formula-incompatible strings
+    val manifest = java.nio.file.Paths.get(stateDir, "manifest.json")
+    java.nio.file.Files.writeString(manifest,
+      java.nio.file.Files.readString(manifest)
+        .replaceFirst(""""checksum_scheme":\d+""", """"checksum_scheme":1"""))
+    assert(r3.runCommand(s"run -s state:modified --state $stateDir")
+      .modelsRun.sorted == Seq("st_a", "st_b", "st_c", "st_d"))
+    // nothing may claim to be verified-unmodified cross-scheme, so
+    // the exclusion complement excludes nothing
+    assert(r3.runCommand(
+        s"run --exclude state:unmodified --state $stateDir")
+      .modelsRun.sorted == Seq("st_a", "st_b", "st_c", "st_d"))
   }
 
   test("result:error+ selects the failures and their descendants") {
@@ -2506,6 +2521,40 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       new PipelineRunner(spark, PipelineSpec(
         models = Seq(inst("solo_v1", "x")),
         modelVersions = Map("solo" -> 3)), wh())
+    }
+  }
+
+  test("versioned family: bare-ref edges drive topo order and skip") {
+    // consumer is named to sort BEFORE the dep instance so a lost
+    // graph edge (raw deps instead of version-resolved) would emit it
+    // first from the Kahn tie-break — regression for the bug where
+    // topoOrder/shouldSkip/level used byName(n).deps without resolveDep
+    def spec(depFails: Boolean) = PipelineSpec(
+      models = Seq(
+        Model("vd_dim_v1", Nil, Materialization.Table,
+          (sp, _) => { import sp.implicits._; Seq((1L, "one")).toDF("id", "ver") }),
+        Model("vd_dim_v2", Nil, Materialization.Table,
+          (sp, _) => if (depFails) sys.error("boom")
+            else { import sp.implicits._; Seq((1L, "two")).toDF("id", "ver") }),
+        Model("vd_a_use", Seq("vd_dim"), Materialization.Table,
+          (_, in) => in("vd_dim"))),
+      modelVersions = Map("vd_dim" -> 2))
+    val ok = new PipelineRunner(spark, spec(depFails = false), wh())
+    assert(ok.topoOrder(Set("vd_a_use", "vd_dim_v2")) ==
+      Seq("vd_dim_v2", "vd_a_use"),
+      "bare family ref must order the latest instance first")
+    assert(ok.run(Seq("run")).success)
+    assert(ok.readTable("vd_a_use").select("ver").head.getString(0) == "two")
+    // a failed latest instance must SKIP its bare-ref consumers — both
+    // serial and under --threads (the level map shares the same edges)
+    for (cmd <- Seq("run", "run --threads 2")) {
+      val r = new PipelineRunner(spark, spec(depFails = true), wh())
+      val res = r.run(Seq(cmd))
+      assert(!res.success)
+      val err = res.results.head.error.get
+      assert(err.contains("vd_dim_v2"), err)
+      assert(err.contains("skipped") && err.contains("vd_a_use"),
+        s"consumer must skip, not read stale data: $err")
     }
   }
 

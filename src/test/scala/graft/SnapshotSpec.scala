@@ -244,5 +244,26 @@ class SnapshotSpec extends AnyFunSuite with SparkTestBase {
     assert(c3.head.getAs[java.sql.Timestamp]("valid_to") == ts(t3))
     val back = o3.filter(col("id") === 2L).collect()
     assert(back.length == 1 && !back(0).getAs[Boolean](Snapshot.DeletedCol))
+    // the resurrected row opens at the RUN CLOCK (mirroring the
+    // marker's valid_to), not at its own unchanged updated_at — the
+    // row ts predates the deletion, so opening there would overlap
+    // the closed pre-delete version: an as-of query inside the
+    // deleted window would see the key twice
+    assert(back(0).getAs[java.sql.Timestamp]("valid_from") == ts(t3),
+      s"resurrection must not backdate into the deleted interval: " +
+        back(0).toString)
+    // full history for key 2 tiles without overlap: [t_row, t2) closed,
+    // marker [t2, t3) closed, live [t3, ∞)
+    val hist = (c2.unionByName(c3).unionByName(
+        o3.filter(col("id") === 2L)))
+      .filter(col("id") === 2L)
+      .select("valid_from", "valid_to").collect()
+      .map(r => (r.getTimestamp(0), Option(r.getTimestamp(1))))
+      .sortBy(_._1.getTime)
+    hist.sliding(2).foreach {
+      case Array((_, Some(to)), (from2, _)) =>
+        assert(!from2.before(to), s"overlapping validity: ${hist.toSeq}")
+      case _ =>
+    }
   }
 }

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators a training-data pipeline runs between
+  * filtering and batch assembly: deterministic holdout splits, shard
+  * assignment, mixture (domain-reweighting) rates, text
+  * normalization, and length histograms. The reference's dbt layer
+  * has no analogue (`dbtoperator.py` orchestrates only); these follow
+  * the published curation recipes (GPT-3 §2.2 data mixtures, The
+  * Pile, CCNet normalization).
+  *
+  * Every decision here derives from md5 or exact integer arithmetic,
+  * never from engine RNG or float rounding, for two reasons that
+  * matter at 100 TB: (a) re-runs and backfills MUST route a doc to
+  * the same split/shard or train/test contamination creeps in when
+  * the corpus grows; (b) the DuckDB oracle replays the same formula,
+  * so portability is proof of determinism. All ops are map-only or
+  * one hash-agg — no joins, no windows over corpus-sized frames.
+  */
+object Curation {
+
+  /** First 8 md5 hex chars of (`id` + salt) as an unsigned 32-bit
+    * value — the deterministic, engine-portable hash every routing
+    * decision below derives from. Spark `conv(hex,16,10)` ≡ DuckDB
+    * `('0x' || hex)::BIGINT`; both operate on the same md5 string.
+    * The salt keeps independent decisions (split vs shard) from
+    * correlating: without it a doc's shard would be a function of
+    * its split bucket.
+    */
+  def hashBucket(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast(StringType), lit(salt))), 1, 8),
+      16, 10).cast(LongType)
+
+  /** Deterministic train/val/test split on a STABLE id: bucket =
+    * hash % 100, `[0,trainPct)` → train, `[trainPct,trainPct+valPct)`
+    * → val, rest → test. Hash-routed (not row-sampled) so membership
+    * is a pure function of the id — growing the corpus or re-running
+    * a backfill never moves an existing doc across the split (the
+    * property that keeps eval sets uncontaminated over a pipeline's
+    * lifetime). Map-only; adds `split_bucket` and `split`.
+    */
+  def holdoutSplit(df: DataFrame, idCol: String,
+                   trainPct: Int = 90, valPct: Int = 5,
+                   salt: String = "split"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percentages: train=$trainPct val=$valPct")
+    val b = hashBucket(col(idCol), salt) % 100
+    df.withColumn("split_bucket", b)
+      .withColumn("split",
+        when(col("split_bucket") < trainPct, "train")
+          .otherwise(when(col("split_bucket") < trainPct + valPct, "val")
+            .otherwise("test")))
+  }
+
+  /** Deterministic shard assignment for training-data layout: shard =
+    * hash % n, plus a `shard_order` hash that gives a stable
+    * pseudo-random WITHIN-shard order (the corpus-shuffle step of
+    * batch assembly — sorting by a hash is a deterministic shuffle).
+    * Map-only; the writer partitions by `shard` and sorts by
+    * `shard_order`, so the one shuffle is the write's own exchange.
+    */
+  def shardAssign(df: DataFrame, idCol: String, numShards: Int,
+                  salt: String = "shard"): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    df.withColumn("shard", hashBucket(col(idCol), salt) % numShards)
+      .withColumn("shard_order", hashBucket(col(idCol), salt + ".order"))
+  }
+
+  /** Domain-mixture sampling rates (the GPT-3/Pile data-mixing step):
+    * given per-domain token masses, the DOWNSAMPLING rate per domain
+    * that hits `targets` (domain → share summing to ≤1; None =
+    * uniform) without upsampling anything. The achievable budget is
+    * B = min over domains of tokens_d / share_d; rate_d =
+    * share_d · B / tokens_d ∈ (0, 1], with the binding domain at
+    * exactly 1.0. Uniform targets reduce to rate_d =
+    * min(tokens)/tokens_d.
+    *
+    * Input `df` is the raw corpus; tokens are counted map-only
+    * (size(split), no explode) and aggregated to #domains rows —
+    * everything after the one hash-agg runs on that tiny frame, so
+    * the unpartitioned window is a single trivial task (the
+    * llm_domain_mix shape). Returns one row per domain:
+    * (domain, n_docs, n_tokens, target_share, rate).
+    */
+  def mixtureRates(df: DataFrame, domainCol: String, textCol: String,
+                   targets: Option[Map[String, Double]] = None)
+      : DataFrame = {
+    targets.foreach { t =>
+      require(t.values.forall(_ > 0), "target shares must be positive")
+      require(t.values.sum <= 1.0 + 1e-9, "target shares must sum to <= 1")
+    }
+    val perDomain = df
+      .select(col(domainCol).as("domain"),
+        size(TextAnalysis.tokens(col(textCol))).cast(LongType).as("toks"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+    val share: Column = targets match {
+      case Some(t) =>
+        val m = map(t.toSeq.flatMap { case (k, v) =>
+          Seq(lit(k), lit(v)) }: _*)
+        m(col("domain"))
+      case None =>
+        lit(1.0) / count(lit(1)).over(Window.partitionBy())
+          .cast(DoubleType)
+    }
+    val w = Window.partitionBy() // #domains rows — trivial single task
+    perDomain
+      .withColumn("target_share", share)
+      .filter(col("target_share").isNotNull) // domains absent from targets
+      .withColumn("__budget",
+        min(col("n_tokens").cast(DoubleType) / col("target_share")).over(w))
+      .withColumn("rate",
+        col("target_share") * col("__budget") /
+          col("n_tokens").cast(DoubleType))
+      .select("domain", "n_docs", "n_tokens", "target_share", "rate")
+  }
+
+  /** CCNet-style text normalization: lowercase, non-alphanumerics to
+    * spaces, whitespace runs collapsed, trimmed — the canonical form
+    * exact-dedup and fingerprinting hash. Pure codegen'd
+    * expressions, map-only.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9]", " "), " +", " "))
+
+  /** Power-of-2 token-length histogram per `by` group — the
+    * doc-length diagnostic that drives packing budgets and truncation
+    * policy. Buckets are an explicit integer CASE chain (16/32/64/…)
+    * rather than floor(log2(double)): an exact power of two must not
+    * fall into the lower bucket through float error, and the integer
+    * compare replays identically in the oracle. One map-only pass +
+    * one hash-agg to (#groups × #buckets) rows.
+    */
+  def lengthHistogram(df: DataFrame, textCol: String, by: String)
+      : DataFrame = {
+    val caps = Seq(16L, 32L, 64L, 128L, 256L, 512L)
+    val toks = size(TextAnalysis.tokens(col(textCol))).cast(LongType)
+    val bucket = caps.reverse
+      .foldLeft(lit(Long.MaxValue): Column)((acc, cap) =>
+        when(toks <= cap, cap).otherwise(acc))
+    df.select(col(by), bucket.as("len_cap"))
+      .groupBy(by, "len_cap")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryGroup, Tables}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, VectorIndex}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis, VectorIndex}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -556,6 +556,53 @@ object LlmOps extends QueryGroup {
         scrubbed.as("scrubbed"),
         (scrubbed =!= col("text")).as("redacted"))
         .orderBy("doc_id")
+    }),
+
+    // Deterministic holdout split — hash-routed on the stable doc_id
+    // (md5 bucket, not row sampling), so corpus growth and backfill
+    // re-runs never move a doc across train/val/test: the property
+    // that keeps eval sets uncontaminated over a pipeline's
+    // lifetime. Map-only.
+    "llm_split_holdout" -> ((s, d) =>
+      Curation.holdoutSplit(
+        Tables.documents(s, d).select("doc_id"), "doc_id")
+        .orderBy("doc_id")),
+
+    // Deterministic shard assignment + stable pseudo-random
+    // within-shard order (sorting by an id-hash IS the corpus
+    // shuffle, reproducibly). Map-only; the writer's partitionBy
+    // is the only exchange.
+    "llm_shard_assign" -> ((s, d) =>
+      Curation.shardAssign(
+        Tables.documents(s, d).select("doc_id"), "doc_id", 8)
+        .orderBy("doc_id")),
+
+    // Domain-mixture rates — the data-mixing step: per-source
+    // downsampling rate toward a UNIFORM token mixture (the binding
+    // domain keeps rate 1.0). One corpus scan + one hash-agg to
+    // #domains rows; see Curation.mixtureRates for the budget math.
+    "llm_mixture_weights" -> ((s, d) =>
+      Curation.mixtureRates(Tables.documents(s, d), "source", "text")
+        .orderBy("domain")),
+
+    // Token-length histogram per source (power-of-2 caps) — the
+    // doc-length diagnostic behind packing budgets and truncation
+    // policy. Integer CASE buckets, one map pass + one hash-agg.
+    "llm_length_histogram" -> ((s, d) =>
+      Curation.lengthHistogram(Tables.documents(s, d), "text", "source")
+        .orderBy("source", "len_cap")),
+
+    // CCNet-style normalization + canonical fingerprint — the
+    // normalize-then-hash step ahead of exact dedup. Map-only
+    // codegen'd expressions.
+    "llm_normalize_text" -> ((s, d) => {
+      val norm = Curation.normalize(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        norm.as("norm"),
+        md5(norm).as("fp"),
+        (norm =!= col("text")).as("changed"))
+        .orderBy("doc_id")
     })
   )
 
@@ -918,6 +965,69 @@ object LlmOps extends QueryGroup {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') <> text AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // md5-hex → unsigned-int bucket: Spark conv(hex,16,10) ≡ DuckDB
+    // ('0x'||hex)::BIGINT over the identical md5 string
+    "llm_split_holdout" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 8))::BIGINT
+        |    % 100 AS split_bucket,
+        |  CASE
+        |    WHEN ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 8))
+        |      ::BIGINT % 100 < 90 THEN 'train'
+        |    WHEN ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 8))
+        |      ::BIGINT % 100 < 95 THEN 'val'
+        |    ELSE 'test'
+        |  END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_shard_assign" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5(doc_id::VARCHAR || 'shard'), 1, 8))::BIGINT
+        |    % 8 AS shard,
+        |  ('0x' || substr(md5(doc_id::VARCHAR || 'shard.order'), 1, 8))
+        |    ::BIGINT AS shard_order
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_mixture_weights" ->
+      s"""WITH per AS (
+         |  SELECT source AS domain, count(*) AS n_docs,
+         |    CAST(sum(CAST(len($toks) AS BIGINT)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |t AS (
+         |  SELECT *, 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM per)
+         |    AS target_share
+         |  FROM per)
+         |SELECT domain, n_docs, n_tokens, target_share,
+         |  target_share *
+         |    (SELECT min(CAST(n_tokens AS DOUBLE) / target_share) FROM t)
+         |    / CAST(n_tokens AS DOUBLE) AS rate
+         |FROM t ORDER BY domain""".stripMargin,
+
+    "llm_length_histogram" ->
+      s"""SELECT source,
+         |  CASE
+         |    WHEN len($toks) <= 16 THEN 16
+         |    WHEN len($toks) <= 32 THEN 32
+         |    WHEN len($toks) <= 64 THEN 64
+         |    WHEN len($toks) <= 128 THEN 128
+         |    WHEN len($toks) <= 256 THEN 256
+         |    WHEN len($toks) <= 512 THEN 512
+         |    ELSE 9223372036854775807
+         |  END AS len_cap,
+         |  count(*) AS n_docs
+         |FROM documents GROUP BY source, len_cap
+         |ORDER BY source, len_cap""".stripMargin,
+
+    "llm_normalize_text" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(
+        |      regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'),
+        |      ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, norm, md5(norm) AS fp, norm <> text AS changed
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "llm_token_count" ->
       s"""SELECT doc_id,

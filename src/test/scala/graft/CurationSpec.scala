@@ -1,0 +1,133 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Curation operators (SURVEY §2.12 additions): deterministic
+  * hash-routed splits/shards, mixture rates, normalization,
+  * length histograms.
+  */
+class CurationSpec extends AnyFunSuite with SparkTestBase {
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("holdoutSplit: hash-routed, stable under corpus growth") {
+    val full = Curation.holdoutSplit(docs.select("doc_id"), "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // membership is a pure function of the id: a SUBSET corpus (the
+    // pipeline before new data arrived) assigns identically — the
+    // anti-contamination property row sampling does not have
+    val subset = Curation.holdoutSplit(
+      docs.filter(col("doc_id") % 3 === 0).select("doc_id"), "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    subset.foreach { case (id, s) => assert(full(id) == s) }
+    // buckets land in [0,100) and labels follow the thresholds
+    val rows = Curation.holdoutSplit(docs.select("doc_id"), "doc_id")
+      .collect()
+    rows.foreach { r =>
+      val b = r.getAs[Long]("split_bucket")
+      assert(b >= 0 && b < 100)
+      val want = if (b < 90) "train" else if (b < 95) "val" else "test"
+      assert(r.getAs[String]("split") == want)
+    }
+    // md5 is uniform enough that 500 docs put train near 90%
+    val train = rows.count(_.getAs[String]("split") == "train").toDouble
+    assert(train / rows.length > 0.8 && train / rows.length < 0.98,
+      s"train fraction ${train / rows.length}")
+  }
+
+  test("shardAssign: every shard populated, assignment deterministic") {
+    val a = Curation.shardAssign(docs.select("doc_id"), "doc_id", 8)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getAs[Long]("shard"),
+          r.getAs[Long]("shard_order"))).toMap
+    val b = Curation.shardAssign(docs.select("doc_id"), "doc_id", 8)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getAs[Long]("shard"),
+          r.getAs[Long]("shard_order"))).toMap
+    assert(a == b, "assignment must be deterministic across runs")
+    assert(a.values.forall { case (s, _) => s >= 0 && s < 8 })
+    assert(a.values.map(_._1).toSet.size == 8,
+      "500 uniform docs must touch all 8 shards")
+    // split and shard hashes are salted apart: shard must not be a
+    // function of the split bucket (correlation breaks stratification)
+    val split = Curation.holdoutSplit(docs.select("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("split_bucket") % 8)
+      .toMap
+    assert(a.exists { case (id, (s, _)) => split(id) != s },
+      "salts must decorrelate shard from split")
+  }
+
+  test("holdoutSplit and shardAssign plan no exchange (map-only)") {
+    for (df <- Seq(
+      Curation.holdoutSplit(docs.select("doc_id"), "doc_id"),
+      Curation.shardAssign(docs.select("doc_id"), "doc_id", 8))) {
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.isEmpty,
+        s"routing must be map-only: ${exchanges.map(_.nodeName)}")
+    }
+  }
+
+  test("mixtureRates uniform: binding domain at 1.0, rate=min/tokens") {
+    val rows = Curation.mixtureRates(docs, "source", "text").collect()
+    val tokens = rows.map(r =>
+      r.getAs[String]("domain") -> r.getAs[Long]("n_tokens")).toMap
+    val minTok = tokens.values.min
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      assert(rate > 0 && rate <= 1.0 + 1e-12, s"rate out of range: $r")
+      val expect = minTok.toDouble / tokens(r.getAs[String]("domain"))
+      assert(math.abs(rate - expect) < 1e-9, s"$r expected $expect")
+    }
+    assert(rows.exists(r => r.getAs[Double]("rate") == 1.0),
+      "the smallest domain must keep everything")
+  }
+
+  test("mixtureRates explicit targets: sampled mass hits the mixture") {
+    val targets = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val rows = Curation.mixtureRates(docs, "source", "text", Some(targets))
+      .collect()
+    assert(rows.map(_.getAs[String]("domain")).toSet == targets.keySet,
+      "domains absent from the target mixture are dropped")
+    val sampled = rows.map(r => r.getAs[String]("domain") ->
+      r.getAs[Double]("rate") * r.getAs[Long]("n_tokens")).toMap
+    val total = sampled.values.sum
+    targets.foreach { case (d, share) =>
+      assert(math.abs(sampled(d) / total - share / targets.values.sum)
+        < 1e-9, s"$d share ${sampled(d) / total}")
+    }
+    assert(rows.map(_.getAs[Double]("rate")).max > 1.0 - 1e-12,
+      "the binding domain must keep (essentially) everything")
+  }
+
+  test("normalize is idempotent and canonicalizes") {
+    import spark.implicits._
+    val cases = Seq(
+      "  Hello,   WORLD!  " -> "hello world",
+      "a--b__c" -> "a b c",
+      "" -> "")
+    val got = cases.map(_._1).toDF("text")
+      .select(Curation.normalize(col("text")).as("n"))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+    // idempotence over the real corpus
+    val twice = docs.select(
+      Curation.normalize(col("text")).as("once"),
+      Curation.normalize(Curation.normalize(col("text"))).as("twice"))
+      .filter(col("once") =!= col("twice")).count()
+    assert(twice == 0L)
+  }
+
+  test("lengthHistogram partitions the corpus exactly") {
+    val rows = Curation.lengthHistogram(docs, "text", "source").collect()
+    val caps = Set(16L, 32L, 64L, 128L, 256L, 512L, Long.MaxValue)
+    rows.foreach(r => assert(caps.contains(r.getAs[Long]("len_cap"))))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count(),
+      "every doc lands in exactly one bucket")
+  }
+}

@@ -2106,7 +2106,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     */
   def mergeBatch(name: String, df: DataFrame, batchId: Long,
       uniqueKey: Seq[String], buckets: Int = 16,
-      partitionBy: Seq[String] = Nil): Long =
+      partitionBy: Seq[String] = Nil,
+      sidecars: Map[String, String] = Map.empty): Long =
     lockFor(name).synchronized {
       val (hwm, tail) = genSidecar(name, "streamids")
         .map(parseStreamIds).getOrElse((-1L, Set.empty[Long]))
@@ -2115,7 +2116,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         val (h2, t2) = foldStreamIds(hwm, tail + batchId)
         val n = mergeInto(name, df, uniqueKey, buckets, partitionBy,
           fullRefresh = false,
-          sidecars = Map("streamids" ->
+          sidecars = sidecars ++ Map("streamids" ->
             (s"hwm:$h2" +: t2.toSeq.sorted.map(_.toString)).mkString("\n")))
         maybeAutoCompact(name)
         n

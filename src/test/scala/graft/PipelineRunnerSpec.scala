@@ -1430,6 +1430,34 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(r2.tableExists("bt_down"))
   }
 
+  test("table sidecars survive appends, merges, and compaction") {
+    val w = wh()
+    val r = new PipelineRunner(spark, PipelineSpec(Nil), w)
+    val df = Seq((1L, "x")).toDF("id", "v")
+    r.appendBatch("sc_t", df, 0L, sidecars = Map("fmt" -> "v2"))
+    assert(r.tableSidecar("sc_t", "fmt").contains("v2"))
+    // a plain append (no sidecars passed) carries the key forward
+    r.appendBatch("sc_t", Seq((2L, "y")).toDF("id", "v"), 1L)
+    assert(r.tableSidecar("sc_t", "fmt").contains("v2"))
+    // compaction rewrites members but publishes through the same
+    // carry path — table-level metadata must not vanish
+    r.compact("sc_t")
+    assert(r.tableSidecar("sc_t", "fmt").contains("v2"))
+    assert(r.readTable("sc_t").count() == 2)
+    assert(r.appendBatch("sc_t", df, 0L) == 0L,
+      "replayed batch ids must still no-op after carries")
+    // a merge publish (the other streaming sink, bucket-scoped
+    // layout) stamps and carries sidecars across its member swaps too
+    r.mergeBatch("sc_m", df, 0L, Seq("id"),
+      sidecars = Map("fmt" -> "v2"))
+    r.mergeBatch("sc_m", Seq((1L, "z")).toDF("id", "v"), 1L, Seq("id"))
+    assert(r.tableSidecar("sc_m", "fmt").contains("v2"))
+    assert(r.tableSidecar("sc_m", "streamids").isDefined,
+      "streamids bookkeeping must ride alongside carried keys")
+    assert(r.readTable("sc_m").filter(col("id") === 1L)
+      .head.getString(1) == "z")
+  }
+
   test("auto-compaction bounds manifest members on append-style runs") {
     val w = wh()
     val r = new PipelineRunner(spark, PipelineSpec(Nil), w,

@@ -603,6 +603,37 @@ object LlmOps extends QueryGroup {
         md5(norm).as("fp"),
         (norm =!= col("text")).as("changed"))
         .orderBy("doc_id")
+    }),
+
+    // END-TO-END curation: Gopher quality filter → normalize →
+    // exact dedup (keep min id per canonical fingerprint) → holdout
+    // split + shard assignment — the composed pipeline a curation
+    // run actually executes, as ONE declarative plan. 100 TB shape:
+    // the filter and normalization are map-only over the scan, dedup
+    // is the single shuffle (hash-agg on fp with map-side partials),
+    // and split/shard routing is map-only arithmetic on the
+    // surviving keys — Catalyst fuses the whole pre-shuffle stage
+    // into one codegen'd pass over the corpus.
+    "llm_curation_pipeline" -> ((s, d) => {
+      val t = TextAnalysis.tokens(col("text"))
+      val filtered = Tables.documents(s, d)
+        .withColumn("n_words", size(t).cast(LongType))
+        .withColumn("mean_wlen",
+          length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+            .cast(DoubleType) / nullif(size(t), lit(0)))
+        .withColumn("stop_count",
+          size(filter(t, x => x.isin(TextAnalysis.stopEn.map(lit): _*)))
+            .cast(LongType))
+        .filter(col("n_words") >= 30 && col("n_words") <= 100000 &&
+          col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0 &&
+          col("stop_count") >= 2)
+      val deduped = filtered
+        .withColumn("fp", md5(Curation.normalize(col("text"))))
+        .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      Curation.shardAssign(
+        Curation.holdoutSplit(deduped, "doc_id"), "doc_id", 8)
+        .select("doc_id", "fp", "split", "shard")
+        .orderBy("doc_id")
     })
   )
 
@@ -1028,6 +1059,39 @@ object LlmOps extends QueryGroup {
         |  FROM documents)
         |SELECT doc_id, norm, md5(norm) AS fp, norm <> text AS changed
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "llm_curation_pipeline" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text,
+         |    CAST(len($toks) AS BIGINT) AS n_words,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+         |        AS DOUBLE) /
+         |      nullif(CAST(len($toks) AS INTEGER), 0) AS mean_wlen,
+         |    CAST(len(list_filter($toks, x -> x IN $stopEnList))
+         |      AS BIGINT) AS stop_count
+         |  FROM documents),
+         |kept AS (
+         |  SELECT doc_id, text FROM f
+         |  WHERE n_words >= 30 AND n_words <= 100000
+         |    AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+         |    AND stop_count >= 2),
+         |dd AS (
+         |  SELECT md5(trim(regexp_replace(
+         |      regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'),
+         |      ' +', ' ', 'g'))) AS fp,
+         |    min(doc_id) AS doc_id
+         |  FROM kept GROUP BY 1)
+         |SELECT doc_id, fp,
+         |  CASE
+         |    WHEN ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 8))
+         |      ::BIGINT % 100 < 90 THEN 'train'
+         |    WHEN ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 8))
+         |      ::BIGINT % 100 < 95 THEN 'val'
+         |    ELSE 'test'
+         |  END AS split,
+         |  ('0x' || substr(md5(doc_id::VARCHAR || 'shard'), 1, 8))::BIGINT
+         |    % 8 AS shard
+         |FROM dd ORDER BY doc_id""".stripMargin,
 
     "llm_token_count" ->
       s"""SELECT doc_id,

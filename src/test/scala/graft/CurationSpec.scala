@@ -123,6 +123,21 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(twice == 0L)
   }
 
+  test("curation pipeline: dedup's fp agg is the only corpus shuffle") {
+    val p = SparkEntry.queries("llm_curation_pipeline")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // one hash exchange for the fp dedup agg + the output orderBy's
+    // range exchange (verify protocol) — filter/normalize/split/shard
+    // must all stay map-side
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).size
+    val range = "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(hash == 1 && range == 1,
+      s"expected 1 hash + 1 range exchange, got $hash/$range:\n" +
+        p.take(3000))
+    assert(p.split("Exchange hashpartitioning").last.take(20).contains("fp"),
+      "dedup must shuffle on fp")
+  }
+
   test("lengthHistogram partitions the corpus exactly") {
     val rows = Curation.lengthHistogram(docs, "text", "source").collect()
     val caps = Set(16L, 32L, 64L, 128L, 256L, 512L, Long.MaxValue)

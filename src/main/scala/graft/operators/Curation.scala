@@ -119,6 +119,28 @@ object Curation {
       .select("domain", "n_docs", "n_tokens", "target_share", "rate")
   }
 
+  /** APPLY mixture rates as a deterministic per-doc sample: keep a
+    * doc iff hash(id) < rate_d · 2³² — the Bernoulli(rate) decision
+    * routed by the id hash instead of RNG, so re-runs/backfills keep
+    * exactly the same docs (and the DuckDB oracle replays the
+    * decision bit-for-bit; hash and 2³²-scaled rate are both exact
+    * doubles, so the compare is engine-portable). The rates frame is
+    * #domains rows → broadcast join; the corpus side is scan +
+    * map-only filter. Two corpus scans total (one to weigh, one to
+    * sample) — inherent to any aggregate-then-filter.
+    */
+  def mixtureSample(df: DataFrame, domainCol: String, textCol: String,
+                    idCol: String,
+                    targets: Option[Map[String, Double]] = None,
+                    salt: String = "mix"): DataFrame = {
+    val rates = mixtureRates(df, domainCol, textCol, targets)
+      .select(col("domain"), col("rate"))
+    df.join(broadcast(rates), col(domainCol) === col("domain"))
+      .filter(hashBucket(col(idCol), salt).cast(DoubleType) <
+        col("rate") * lit(4294967296.0))
+      .drop("domain", "rate")
+  }
+
   /** CCNet-style text normalization: lowercase, non-alphanumerics to
     * spaces, whitespace runs collapsed, trimmed — the canonical form
     * exact-dedup and fingerprinting hash. Pure codegen'd

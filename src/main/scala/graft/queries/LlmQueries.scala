@@ -605,6 +605,17 @@ object LlmOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // Mixture APPLICATION — the sampling step the rates feed:
+    // deterministic hash-routed Bernoulli per doc (no RNG: re-runs
+    // keep the same docs, the oracle replays the exact decision).
+    // Rates broadcast (#domains rows); the corpus side is map-only.
+    "llm_mixture_sample" -> ((s, d) =>
+      Curation.mixtureSample(
+        Tables.documents(s, d).select("doc_id", "source", "text"),
+        "source", "text", "doc_id")
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     // END-TO-END curation: Gopher quality filter → normalize →
     // exact dedup (keep min id per canonical fingerprint) → holdout
     // split + shard assignment — the composed pipeline a curation
@@ -1059,6 +1070,27 @@ object LlmOps extends QueryGroup {
         |  FROM documents)
         |SELECT doc_id, norm, md5(norm) AS fp, norm <> text AS changed
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "llm_mixture_sample" ->
+      s"""WITH per AS (
+         |  SELECT source AS domain, count(*) AS n_docs,
+         |    CAST(sum(CAST(len($toks) AS BIGINT)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |t AS (
+         |  SELECT *, 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM per)
+         |    AS target_share
+         |  FROM per),
+         |r AS (
+         |  SELECT domain,
+         |    target_share *
+         |      (SELECT min(CAST(n_tokens AS DOUBLE) / target_share) FROM t)
+         |      / CAST(n_tokens AS DOUBLE) AS rate
+         |  FROM t)
+         |SELECT doc_id, source
+         |FROM documents d JOIN r ON d.source = r.domain
+         |WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || 'mix'), 1, 8))
+         |    ::BIGINT AS DOUBLE) < rate * 4294967296.0
+         |ORDER BY doc_id""".stripMargin,
 
     "llm_curation_pipeline" ->
       s"""WITH f AS (

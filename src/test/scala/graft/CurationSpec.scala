@@ -105,6 +105,30 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       "the binding domain must keep (essentially) everything")
   }
 
+  test("mixtureSample: deterministic, rate-faithful hash sampling") {
+    val kept = Curation.mixtureSample(docs, "source", "text", "doc_id")
+    val again = Curation.mixtureSample(docs, "source", "text", "doc_id")
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == again.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "hash routing must be deterministic across runs")
+    assert(ids.nonEmpty && ids.size < docs.count(),
+      "a non-uniform corpus must be downsampled somewhere")
+    // per-domain keep fraction tracks the computed rate (hash-uniform
+    // Bernoulli over ~25 docs/domain: loose tolerance)
+    val rates = Curation.mixtureRates(docs, "source", "text")
+      .select("domain", "rate").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val keptBySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totBySrc = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rates.foreach { case (src, rate) =>
+      val frac = keptBySrc.getOrElse(src, 0L).toDouble / totBySrc(src)
+      assert(math.abs(frac - rate) < 0.35,
+        s"$src kept $frac but rate is $rate")
+    }
+  }
+
   test("normalize is idempotent and canonicalizes") {
     import spark.implicits._
     val cases = Seq(

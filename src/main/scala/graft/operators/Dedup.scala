@@ -146,8 +146,8 @@ object Dedup {
           s"${got.getOrElse("<unstamped: pre-v2 joined-string hashing>")} " +
           s"but this build produces format $GramHashFormatVersion — a " +
           "mismatched read would match NOTHING (silent decontamination " +
-          "false negatives). Drop the table and rebuild it with " +
-          "decontaminateIndex.")
+          "false negatives). Drop the table (PipelineRunner.dropTable) " +
+          "and rebuild it with decontaminateIndex.")
     }
 
   def decontaminateIndex(runner: graft.pipeline.PipelineRunner,

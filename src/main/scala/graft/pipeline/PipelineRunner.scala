@@ -989,6 +989,28 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       writtenCount(name, rel, df.schema)
     } }
 
+  /** Drop a warehouse table entirely: every generation, batch, and
+    * sidecar under its dir — the reset that clears table-level
+    * metadata (format stamps, the exactly-once stream ledger) which
+    * `replaceTable` deliberately carries forward. The escape hatch a
+    * format-version mismatch (e.g. Dedup's gram tables) points at:
+    * drop, then rebuild from scratch. Irreversible — time travel goes
+    * with it.
+    */
+  def dropTable(name: String): Unit = lockFor(name).synchronized {
+    val dir = Paths.get(tablePath(name))
+    if (Files.exists(dir)) {
+      val s = Files.walk(dir)
+      val all = try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq
+      } finally s.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
+    stagedBatches.removeIf(_._1 == name)
+    logger.log(LogLevel.INFO, s"dropped table $name")
+  }
+
   /** Rows in one just-written batch — the per-run "rows affected"
     * count. O(written batch), where a `readTable(name).count()` would
     * be an O(table) scan per model run (a full-table pass per

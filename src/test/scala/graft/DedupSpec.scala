@@ -309,5 +309,16 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
         batchId = 1L)
     }
     assert(e2.getMessage.contains("rebuild"), e2.getMessage)
+    // the escape hatch the error names: drop clears the table AND its
+    // metadata (stamp, stream ledger), then a rebuild re-stamps and
+    // re-accepts batch ids from zero
+    r.dropTable("legacy")
+    assert(!r.tableExists("legacy"))
+    assert(Dedup.decontaminateIndex(r, "legacy", docs, "doc_id", "text",
+      n = 2, batchId = 0L) > 0L, "post-drop batch 0 must not replay-skip")
+    assert(r.tableSidecar("legacy", "gramhash_format")
+      .contains(Dedup.GramHashFormatVersion))
+    Dedup.decontaminateIncremental(r, "legacy", docs, "doc_id", "text",
+      n = 2).collect() // reader accepts the rebuilt table
   }
 }

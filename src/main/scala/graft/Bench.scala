@@ -62,7 +62,10 @@ object Bench {
       val ts = samples(name).sorted
       name -> ts(ts.size / 2)
     }
-    def sec(v: Double) = "%.4f".format(v) // 0.1ms grain, short lines
+    // 0.1ms grain, short lines; Locale.ROOT — a comma-decimal default
+    // locale would emit invalid JSON
+    def sec(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

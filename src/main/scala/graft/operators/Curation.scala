@@ -93,11 +93,18 @@ object Curation {
       require(t.values.forall(_ > 0), "target shares must be positive")
       require(t.values.sum <= 1.0 + 1e-9, "target shares must sum to <= 1")
     }
+    // a zero-token domain (all docs tokenize empty — punctuation-only
+    // or non-Latin text under the [a-z0-9] tokenizer) holds no token
+    // mass to mix, but left in it would collapse the budget min() to
+    // 0 and zero EVERY domain's rate — drop it from the rates frame
+    // instead (its docs carry no tokens; mixtureSample's inner join
+    // then drops them too)
     val perDomain = df
       .select(col(domainCol).as("domain"),
         size(TextAnalysis.tokens(col(textCol))).cast(LongType).as("toks"))
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
     val share: Column = targets match {
       case Some(t) =>
         val m = map(t.toSeq.flatMap { case (k, v) =>
@@ -133,12 +140,15 @@ object Curation {
                     idCol: String,
                     targets: Option[Map[String, Double]] = None,
                     salt: String = "mix"): DataFrame = {
+    // frame-qualified join refs: a corpus whose domain column is
+    // itself named "domain" (or "rate") must not collide with the
+    // rates frame's columns
     val rates = mixtureRates(df, domainCol, textCol, targets)
-      .select(col("domain"), col("rate"))
-    df.join(broadcast(rates), col(domainCol) === col("domain"))
+      .select(col("domain").as("__mix_domain"), col("rate").as("__mix_rate"))
+    df.join(broadcast(rates), col(domainCol) === col("__mix_domain"))
       .filter(hashBucket(col(idCol), salt).cast(DoubleType) <
-        col("rate") * lit(4294967296.0))
-      .drop("domain", "rate")
+        col("__mix_rate") * lit(4294967296.0))
+      .drop("__mix_domain", "__mix_rate")
   }
 
   /** CCNet-style text normalization: lowercase, non-alphanumerics to

@@ -22,6 +22,37 @@ object TextAnalysis {
     size(filter(split(lower(text), "\\s+"), t => t =!= "")) +
       size(filter(split(lower(text), "[a-z0-9\\s]+"), t => t =!= ""))
 
+  /** Gopher quality-rule signals (Rae et al. 2021 variant) — the ONE
+    * definition the standalone filter key and the composed curation
+    * pipeline both build on, so a threshold tweak cannot make them
+    * silently diverge. All map-only codegen'd expressions; every
+    * signal divides exact integers, so keep decisions are
+    * engine-portable.
+    */
+  def gopherNWords(text: Column): Column =
+    size(tokens(text)).cast(org.apache.spark.sql.types.LongType)
+
+  def gopherMeanWlen(text: Column): Column =
+    length(regexp_replace(lower(text), "[^a-z0-9]", ""))
+      .cast(org.apache.spark.sql.types.DoubleType) /
+      nullif(size(tokens(text)), lit(0))
+
+  def gopherStopCount(text: Column): Column =
+    size(filter(tokens(text), x => x.isin(stopEn.map(lit): _*)))
+      .cast(org.apache.spark.sql.types.LongType)
+
+  /** First-failing-rule audit over ALREADY-COMPUTED signal columns
+    * (pass named columns, not raw text — the signals are multiply
+    * referenced and should be materialized once by a projection).
+    */
+  def gopherReason(nWords: Column, meanWlen: Column,
+                   stopCount: Column): Column =
+    when(nWords < 30, "too_short")
+      .when(nWords > 100000, "too_long")
+      .when(meanWlen < 3.0 || meanWlen > 10.0, "word_length")
+      .when(stopCount < 2, "stopwords")
+      .otherwise("pass")
+
   /** Corpus TF-IDF, top-k terms per document — the classic keyword /
     * topic-signal extractor over a training corpus.
     *

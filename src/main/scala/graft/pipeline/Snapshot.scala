@@ -179,34 +179,49 @@ object Snapshot {
         val stillOpen = joined
           .filter((present && !supersede) || (!present && keepOpenOnDelete))
           .select(open.columns.map(col).toIndexedSeq: _*)
+        // a DELETION MARKER's successor transitions at the incoming
+        // row ts only when that ts is AFTER the deletion instant (the
+        // marker's valid_from); otherwise at the run clock. Comparing
+        // against the carried pre-delete tsCol instead would let a
+        // row ts inside the deleted window (u1 < ts < delete-time)
+        // close the marker BEFORE it opened (inverted interval) and
+        // overlap the closed pre-delete version.
+        val markerHandoff =
+          when(col("__new_ts") > col("valid_from"), col("__new_ts"))
+            .otherwise(asOfTs)
         val toClose = joined
           .filter((present && supersede) || (!present && !keepOpenOnDelete))
           // superseded rows close at their successor's row time (the
-          // run clock for a no-newer-ts resurrection); hard deletes
-          // at the run clock
+          // marker-handoff clock for resurrections); hard deletes at
+          // the run clock
           .withColumn("valid_to",
-            when(present && newer, col("__new_ts")).otherwise(asOfTs))
+            when(present && isMarker, markerHandoff)
+              .when(present && newer, col("__new_ts"))
+              .otherwise(asOfTs))
           .select(open.columns.map(col).toIndexedSeq: _*)
 
         val openKeyed = open.select(
           keyCols.map(col) ++ Seq(
             col(tsCol).cast(TimestampType).as("__old_ts"),
+            col("valid_from").as("__old_from"),
             (if (newRec) coalesce(col(DeletedCol), lit(false))
              else lit(false)).as("__old_marker"),
             lit(true).as("__had_open")): _*)
-        // a resurrection whose ts did NOT advance (admitted via the
-        // marker, not a newer ts) opens at the run clock, mirroring
-        // the marker's valid_to — opening at its own tsCol would
-        // predate the deletion interval and overlap the closed
-        // pre-delete version (duplicate key for as-of queries inside
-        // the deleted window)
+        // a resurrected row opens at the SAME instant its marker
+        // closes (markerHandoff): its own tsCol only when that is
+        // after the deletion instant (__old_from = the marker's
+        // valid_from), else the run clock. Opening at a tsCol inside
+        // the deleted window would predate the deletion interval and
+        // overlap the closed pre-delete version (duplicate key for
+        // as-of queries inside the deleted window).
         val fresh = newState.join(openKeyed, keyCols, "left")
           .filter(col("__had_open").isNull || col("__old_marker") ||
             newerThan(col(tsCol).cast(TimestampType), col("__old_ts")))
           .withColumn("valid_from",
-            when(coalesce(col("__old_marker"), lit(false)) &&
-              !newerThan(col(tsCol).cast(TimestampType), col("__old_ts")),
-              asOfTs).otherwise(col("valid_from")))
+            when(coalesce(col("__old_marker"), lit(false)),
+              when(col(tsCol).cast(TimestampType) > col("__old_from"),
+                col(tsCol).cast(TimestampType)).otherwise(asOfTs))
+              .otherwise(col("valid_from")))
           .select(newState.columns.map(col).toIndexedSeq: _*)
 
         val nextOpen =

@@ -352,26 +352,16 @@ object LlmOps extends QueryGroup {
     // mean word length in [3, 10], ≥2 stopwords. Entirely map-only
     // codegen'd expressions; every signal divides exact integers, so
     // the doubles compare identically cross-engine.
-    "llm_gopher_filter" -> ((s, d) => {
-      val t = TextAnalysis.tokens(col("text"))
+    "llm_gopher_filter" -> ((s, d) =>
       Tables.documents(s, d).select(
           col("doc_id"),
-          size(t).cast(LongType).as("n_words"),
-          (length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
-            .cast(DoubleType) / nullif(size(t), lit(0)))
-            .as("mean_wlen"),
-          size(filter(t, x => x.isin(TextAnalysis.stopEn.map(lit): _*)))
-            .cast(LongType).as("stop_count"))
-        .withColumn("reason",
-          when(col("n_words") < 30, "too_short")
-            .when(col("n_words") > 100000, "too_long")
-            .when(col("mean_wlen") < 3.0 || col("mean_wlen") > 10.0,
-              "word_length")
-            .when(col("stop_count") < 2, "stopwords")
-            .otherwise("pass"))
+          TextAnalysis.gopherNWords(col("text")).as("n_words"),
+          TextAnalysis.gopherMeanWlen(col("text")).as("mean_wlen"),
+          TextAnalysis.gopherStopCount(col("text")).as("stop_count"))
+        .withColumn("reason", TextAnalysis.gopherReason(
+          col("n_words"), col("mean_wlen"), col("stop_count")))
         .withColumn("keep", col("reason") === "pass")
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     "llm_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -626,18 +616,12 @@ object LlmOps extends QueryGroup {
     // surviving keys — Catalyst fuses the whole pre-shuffle stage
     // into one codegen'd pass over the corpus.
     "llm_curation_pipeline" -> ((s, d) => {
-      val t = TextAnalysis.tokens(col("text"))
       val filtered = Tables.documents(s, d)
-        .withColumn("n_words", size(t).cast(LongType))
-        .withColumn("mean_wlen",
-          length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
-            .cast(DoubleType) / nullif(size(t), lit(0)))
-        .withColumn("stop_count",
-          size(filter(t, x => x.isin(TextAnalysis.stopEn.map(lit): _*)))
-            .cast(LongType))
-        .filter(col("n_words") >= 30 && col("n_words") <= 100000 &&
-          col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0 &&
-          col("stop_count") >= 2)
+        .withColumn("n_words", TextAnalysis.gopherNWords(col("text")))
+        .withColumn("mean_wlen", TextAnalysis.gopherMeanWlen(col("text")))
+        .withColumn("stop_count", TextAnalysis.gopherStopCount(col("text")))
+        .filter(TextAnalysis.gopherReason(
+          col("n_words"), col("mean_wlen"), col("stop_count")) === "pass")
       val deduped = filtered
         .withColumn("fp", md5(Curation.normalize(col("text"))))
         .groupBy("fp").agg(min("doc_id").as("doc_id"))
@@ -652,6 +636,27 @@ object LlmOps extends QueryGroup {
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
   private val stopEnList =
     TextAnalysis.stopEn.map(w => s"'$w'").mkString("(", ",", ")")
+
+  // shared Gopher oracle fragments — ONE definition feeding both the
+  // standalone llm_gopher_filter key and the composed
+  // llm_curation_pipeline, mirroring TextAnalysis.gopher* on the
+  // Spark side (a threshold tweak lands in exactly two places: the
+  // Scala helper and this pair)
+  private val gopherSignalsSql =
+    s"""SELECT doc_id, text,
+       |    CAST(len($toks) AS BIGINT) AS n_words,
+       |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+       |        AS DOUBLE) /
+       |      nullif(CAST(len($toks) AS INTEGER), 0) AS mean_wlen,
+       |    CAST(len(list_filter($toks, x -> x IN $stopEnList))
+       |      AS BIGINT) AS stop_count
+       |  FROM documents""".stripMargin
+  private val gopherReasonSql =
+    """CASE WHEN n_words < 30 THEN 'too_short'
+      |       WHEN n_words > 100000 THEN 'too_long'
+      |       WHEN mean_wlen < 3.0 OR mean_wlen > 10.0 THEN 'word_length'
+      |       WHEN stop_count < 2 THEN 'stopwords'
+      |       ELSE 'pass' END""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "llm_exact_dedup" ->
@@ -803,21 +808,10 @@ object LlmOps extends QueryGroup {
 
     "llm_gopher_filter" ->
       s"""WITH f AS (
-         |  SELECT doc_id,
-         |    CAST(len($toks) AS BIGINT) AS n_words,
-         |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
-         |        AS DOUBLE) /
-         |      nullif(CAST(len($toks) AS INTEGER), 0) AS mean_wlen,
-         |    CAST(len(list_filter($toks, x -> x IN $stopEnList))
-         |      AS BIGINT) AS stop_count
-         |  FROM documents),
+         |  $gopherSignalsSql),
          |r AS (
          |  SELECT doc_id, n_words, mean_wlen, stop_count,
-         |    CASE WHEN n_words < 30 THEN 'too_short'
-         |         WHEN n_words > 100000 THEN 'too_long'
-         |         WHEN mean_wlen < 3.0 OR mean_wlen > 10.0 THEN 'word_length'
-         |         WHEN stop_count < 2 THEN 'stopwords'
-         |         ELSE 'pass' END AS reason
+         |    $gopherReasonSql AS reason
          |  FROM f)
          |SELECT doc_id, n_words, mean_wlen, stop_count, reason,
          |  reason = 'pass' AS keep
@@ -1094,19 +1088,10 @@ object LlmOps extends QueryGroup {
 
     "llm_curation_pipeline" ->
       s"""WITH f AS (
-         |  SELECT doc_id, text,
-         |    CAST(len($toks) AS BIGINT) AS n_words,
-         |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
-         |        AS DOUBLE) /
-         |      nullif(CAST(len($toks) AS INTEGER), 0) AS mean_wlen,
-         |    CAST(len(list_filter($toks, x -> x IN $stopEnList))
-         |      AS BIGINT) AS stop_count
-         |  FROM documents),
+         |  $gopherSignalsSql),
          |kept AS (
          |  SELECT doc_id, text FROM f
-         |  WHERE n_words >= 30 AND n_words <= 100000
-         |    AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
-         |    AND stop_count >= 2),
+         |  WHERE ($gopherReasonSql) = 'pass'),
          |dd AS (
          |  SELECT md5(trim(regexp_replace(
          |      regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'),

@@ -105,6 +105,21 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       "the binding domain must keep (essentially) everything")
   }
 
+  test("mixtureRates: a zero-token domain cannot zero the budget") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "alpha words here"), ("a", "more alpha text"),
+      ("b", "beta corpus line"),
+      ("z", "!!! ... ???")) // tokenizes empty under [a-z0-9]
+      .toDF("source", "text")
+    val rows = Curation.mixtureRates(df, "source", "text").collect()
+    assert(rows.map(_.getAs[String]("domain")).toSet == Set("a", "b"),
+      "token-less domains hold no mixable mass and must drop out")
+    assert(rows.forall(r => r.getAs[Double]("rate") > 0),
+      s"a degenerate domain must not zero real domains: ${rows.toSeq}")
+    assert(rows.exists(r => r.getAs[Double]("rate") == 1.0))
+  }
+
   test("mixtureSample: deterministic, rate-faithful hash sampling") {
     val kept = Curation.mixtureSample(docs, "source", "text", "doc_id")
     val again = Curation.mixtureSample(docs, "source", "text", "doc_id")

@@ -266,4 +266,53 @@ class SnapshotSpec extends AnyFunSuite with SparkTestBase {
       case _ =>
     }
   }
+
+  test("timestamp + new_record: resurrection ts inside/after the " +
+      "deleted window") {
+    def src(rows: Seq[(Long, String, String)]) =
+      rows.map { case (id, v, u) => (id, v, ts(u)) }
+        .toDF("id", "v", "updated_at")
+    val hd = HardDeletes.NewRecord
+    val cols = Seq("v", "updated_at")
+    val (_, o1) = Snapshot.scd2StepTimestamp(None,
+      src(Seq((1L, "a", "2023-12-01 00:00:00"))),
+      Seq("id"), cols, "updated_at", t1, hd)
+    // delete at t2: marker opens with valid_from = t2
+    val (_, o2) = Snapshot.scd2StepTimestamp(Some(o1), src(Nil),
+      Seq("id"), cols, "updated_at", t2, hd)
+    // resurrection whose ts ADVANCED past the carried tsCol but still
+    // predates the deletion instant (restore-from-backup / late
+    // update): u1 < u2 < t2. Must hand off at the RUN CLOCK — the
+    // row ts would invert the marker interval and overlap the closed
+    // pre-delete version
+    val (c3, o3) = Snapshot.scd2StepTimestamp(Some(o2),
+      src(Seq((1L, "b", "2024-01-15 00:00:00"))),
+      Seq("id"), cols, "updated_at", t3, hd)
+    val marker3 = c3.head
+    assert(marker3.getAs[Boolean](Snapshot.DeletedCol))
+    assert(marker3.getAs[java.sql.Timestamp]("valid_to") == ts(t3),
+      s"marker must close at the run clock, not inside the deleted " +
+        s"window: $marker3")
+    assert(!marker3.getAs[java.sql.Timestamp]("valid_to")
+      .before(marker3.getAs[java.sql.Timestamp]("valid_from")),
+      s"inverted marker interval: $marker3")
+    val live3 = o3.head
+    assert(live3.getAs[java.sql.Timestamp]("valid_from") == ts(t3),
+      s"resurrected row must not backdate into the deleted window: " +
+        s"$live3")
+    // second delete + resurrection whose ts is AFTER that deletion
+    // instant: row-time semantics apply — marker closes and the live
+    // row opens at the row's own updated_at
+    val t4 = "2024-04-01 00:00:00"
+    val t5 = "2024-05-01 00:00:00"
+    val (_, o4) = Snapshot.scd2StepTimestamp(Some(o3), src(Nil),
+      Seq("id"), cols, "updated_at", t4, hd)
+    val (c5, o5) = Snapshot.scd2StepTimestamp(Some(o4),
+      src(Seq((1L, "c", "2024-04-20 00:00:00"))),
+      Seq("id"), cols, "updated_at", t5, hd)
+    assert(c5.head.getAs[java.sql.Timestamp]("valid_to")
+      == ts("2024-04-20 00:00:00"))
+    assert(o5.head.getAs[java.sql.Timestamp]("valid_from")
+      == ts("2024-04-20 00:00:00"))
+  }
 }

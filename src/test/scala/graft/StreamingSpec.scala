@@ -3,6 +3,7 @@ package graft
 import graft.streaming.StreamingOps
 import graft.streaming.StreamingOps.EventRow
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -282,6 +283,59 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       runner.vacuum("ev_sink")
       assert(runner.appendBatch("ev_sink", replay, 1L) == 0L,
         "vacuum must not forget committed batch ids")
+    }
+  }
+
+  test("streaming curation: split-routed exactly-once sinks") {
+    // the streaming form of llm_curation_pipeline's routing stage: a
+    // doc stream fans out to per-split warehouse tables inside ONE
+    // foreachBatch (all three appends share the batch id, each
+    // exactly-once). Hash routing means a replay routes identically,
+    // so the no-op guarantee composes per table.
+    implicit val sq = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "cur_wh").toString
+    val runner = new graft.pipeline.PipelineRunner(
+      spark, graft.pipeline.PipelineSpec(Nil), wh)
+    runner.initialize()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val routed = graft.operators.Curation
+          .holdoutSplit(batch, "doc_id").localCheckpoint()
+        for (s <- Seq("train", "val", "test"))
+          runner.appendBatch(s"docs_$s",
+            routed.filter(col("split") === s).drop("split", "split_bucket"),
+            id): Unit
+      }
+      .start()
+    withQuery(q) {
+      val docs = (0L until 200L).map(i => (i, s"doc number $i"))
+      in.addData(docs.take(100): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(100): _*)
+      q.processAllAvailable()
+      val counts = Seq("train", "val", "test")
+        .map(s => s -> runner.readTable(s"docs_$s").count()).toMap
+      assert(counts.values.sum == 200, s"routing must partition: $counts")
+      assert(counts("train") > 150, s"~90% routes to train: $counts")
+      // replayed batch: every split table no-ops under the shared id
+      val replay = docs.take(100).toDF("doc_id", "text")
+      val routed = graft.operators.Curation.holdoutSplit(replay, "doc_id")
+      for (s <- Seq("train", "val", "test"))
+        assert(runner.appendBatch(s"docs_$s",
+          routed.filter(col("split") === s).drop("split", "split_bucket"),
+          0L) == 0L, s"replay must no-op for docs_$s")
+      assert(Seq("train", "val", "test")
+        .map(s => runner.readTable(s"docs_$s").count()).sum == 200)
+      // batch ≡ stream: the streamed split equals the batch split
+      val batchSplit = graft.operators.Curation
+        .holdoutSplit(docs.toDF("doc_id", "text"), "doc_id")
+        .filter(col("split") === "train")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val streamed = runner.readTable("docs_train")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == batchSplit)
     }
   }
 

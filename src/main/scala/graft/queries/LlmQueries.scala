@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryGroup, Tables}
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis, VectorIndex}
+import graft.operators.{Curation, Dedup, Multimodal, QualityClassifier, Similarity, TextAnalysis, VectorIndex}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -605,6 +605,27 @@ object LlmOps extends QueryGroup {
         "source", "text", "doc_id")
         .select("doc_id", "source")
         .orderBy("doc_id")),
+
+    // Classifier-based quality filter (the GPT-3/CCNet LR step):
+    // train on a weakly-supervised label (Gopher pass/fail standing
+    // in for the curated positive set), then score the corpus as ONE
+    // map-only codegen'd projection — the weights inline as plan
+    // literals, no ML runtime on executors. No oracle (LBFGS weights
+    // are engine-specific); agreement with the teacher rule is
+    // property-tested in CurationSpec.
+    "llm_quality_classifier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labeled = docs.withColumn("label",
+        TextAnalysis.gopherReason(
+          TextAnalysis.gopherNWords(col("text")),
+          TextAnalysis.gopherMeanWlen(col("text")),
+          TextAnalysis.gopherStopCount(col("text"))) === "pass")
+      val w = QualityClassifier.train(labeled, "text", "label")
+      QualityClassifier.score(docs, "text", w)
+        .select(col("doc_id"), col("quality_prob"),
+          (col("quality_prob") > 0.5).as("keep"))
+        .orderBy("doc_id")
+    }),
 
     // END-TO-END curation: Gopher quality filter → normalize →
     // exact dedup (keep min id per canonical fingerprint) → holdout

@@ -177,6 +177,35 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       "dedup must shuffle on fp")
   }
 
+  test("quality classifier learns its weak teacher; scoring is map-only") {
+    import graft.operators.{QualityClassifier, TextAnalysis}
+    val labeled = docs.withColumn("label",
+      TextAnalysis.gopherReason(
+        TextAnalysis.gopherNWords(col("text")),
+        TextAnalysis.gopherMeanWlen(col("text")),
+        TextAnalysis.gopherStopCount(col("text"))) === "pass")
+    val w = QualityClassifier.train(labeled, "text", "label")
+    assert(w.coefficients.exists(_ != 0.0), "degenerate fit")
+    val scored = QualityClassifier.score(labeled, "text", w)
+      .select(col("doc_id"), col("label"),
+        (col("quality_prob") > 0.5).as("pred"))
+      .collect()
+    // the features embed the teacher's signals, so the LR must
+    // reproduce the rule on a large majority of the corpus
+    val agree = scored.count(r =>
+      r.getAs[Boolean]("label") == r.getAs[Boolean]("pred")).toDouble
+    assert(agree / scored.length > 0.85,
+      s"classifier agrees on only ${agree / scored.length}")
+    assert(scored.exists(_.getAs[Boolean]("pred")) &&
+      scored.exists(!_.getAs[Boolean]("pred")),
+      "must not collapse to a constant prediction")
+    // scoring is a single codegen'd projection: no exchange, no
+    // ML-runtime nodes in the plan
+    val plan = QualityClassifier.score(docs, "text", w)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
   test("lengthHistogram partitions the corpus exactly") {
     val rows = Curation.lengthHistogram(docs, "text", "source").collect()
     val caps = Set(16L, 32L, 64L, 128L, 256L, 512L, Long.MaxValue)

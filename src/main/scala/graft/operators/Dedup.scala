@@ -449,6 +449,118 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Duplicated-line removal (the CCNet / Dolma paragraph-dedup step:
+    * Wenzek et al. 2020 §3.1 dedup every corpus at the paragraph
+    * level before LM filtering; Dolma mirrors it line-wise): split
+    * each doc into lines on `sepRegex`, keep only the GLOBALLY FIRST
+    * occurrence of every distinct line — first = smallest
+    * (doc id, line position), so re-runs are deterministic and
+    * within-doc repeats dedup too — and reassemble the surviving
+    * lines in original order.
+    *
+    * Returns one row per doc: (idCol, n_lines, n_kept, text) where
+    * `text` is the kept lines joined by `joinSep` (NULL when every
+    * line of the doc occurred earlier — the exact-duplicate-doc
+    * case).
+    *
+    * 100 TB shape: TWO shuffles total and the corpus text moves
+    * through each exactly once — (1) a window partitioned by the line
+    * to rank occurrences (partition by `xxhash64(line)` instead when
+    * the exchange should carry 8 bytes per row, not the text; the
+    * string form here is what a cross-engine oracle can replay), and
+    * (2) the per-doc reassembly hash-agg. No join: the first-occurrence
+    * flag rides the line row out of the window, so there is no
+    * kept-set join-back. Line groups are tiny (occurrence counts), so
+    * the window never sees a skewed single task the way a global
+    * window would.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                sepRegex: String = "\n", joinSep: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), sepRegex))
+        .as(Seq("pos", "line")))
+      .filter(trim(col("line")) =!= "")
+    val firstOcc = Window.partitionBy(col("line"))
+      .orderBy(col(idCol), col("pos"))
+    lines
+      .withColumn("rk", row_number().over(firstOcc))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        // surviving lines back in document order; NULL (not "") when
+        // nothing survives, matching SQL string_agg-over-empty
+        nullif(
+          array_join(
+            transform(
+              array_sort(collect_list(when(col("rk") === 1,
+                struct(col("pos"), col("line"))))),
+              x => x.getField("line")),
+            joinSep),
+          lit("")).as("text"))
+  }
+
+  /** Exact duplicated-substring spans (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * ExactSubstr signal, re-expressed relationally): a token position
+    * is duplicated when some word `n`-gram covering it occurs more
+    * than once in the corpus (any doc, including its own). Returns
+    * the MAXIMAL contiguous duplicated regions per doc — one row per
+    * span: (idCol, span_start, span_end, span_len, n_grams), token
+    * positions 1-based inclusive, `n_grams` = duplicated gram starts
+    * merged into the span. Lee et al. mine these spans with a suffix
+    * array; the fixed-`n` gram formulation trades their
+    * arbitrary-length matches for a pure dataflow plan (their own
+    * production setting uses spans ≥ 50 tokens ≈ this with n=50).
+    *
+    * 100 TB shape: tokens materialize once per row, grams explode
+    * map-only, then TWO shuffles — (1) a window partitioned by the
+    * gram counts occurrences (at scale partition by the gram's
+    * xxhash64 — [[wordNgramHashes]] — so the exchange carries a long;
+    * the string form is what the oracle replays), and (2) the island
+    * merge: the doc-partitioned running-max window and the
+    * (doc, island) hash-agg share ONE exchange, because
+    * HashPartitioning(doc) already satisfies the agg's clustering.
+    * Only duplicated gram starts — not the corpus — reach shuffle (2).
+    * Splitting on a single space (not the tokenizer regex) keeps
+    * positions aligned with the raw token stream.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, s"dupSpans: n must be >= 2, got $n")
+    val grams = df
+      .select(col(idCol), split(col(textCol), " ").as("__tk"))
+      .select(col(idCol), posexplode(
+        when(size(col("__tk")) >= n,
+          transform(sequence(lit(1), size(col("__tk")) - n + 1),
+            i => concat_ws(" ", slice(col("__tk"), i, lit(n)))))
+          .otherwise(array().cast(ArrayType(StringType))))
+        .as(Seq("p0", "gram")))
+      .select(col(idCol), (col("p0") + 1).cast(LongType).as("p"), col("gram"))
+    val occ = count(lit(1)).over(Window.partitionBy(col("gram")))
+    val dup = grams.withColumn("cnt", occ).filter(col("cnt") > 1)
+      .select(col(idCol), col("p"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    val prevEnd = max(col("p") + lit(n - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    // gaps-and-islands: a new span starts when this gram's coverage
+    // [p, p+n-1] neither overlaps nor abuts the running coverage end
+    val brk = when(prevEnd.isNull || col("p") > prevEnd + 1, 1L)
+      .otherwise(0L)
+    dup
+      .withColumn("island",
+        sum(brk).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + lit(n - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"),
+        col("n_grams"))
+  }
+
   /** Token-set Jaccard between doc pairs given a (docA, docB) pair
     * frame. Distinct-token frames joined per pair — linear in the
     * candidate pair count (callers supply blocked/LSH candidates, not

@@ -448,6 +448,33 @@ object LlmOps extends QueryGroup {
         .orderBy("source")
     }),
 
+    // CCNet/Dolma paragraph-level dedup: keep the globally-first
+    // occurrence of every distinct line, reassemble docs from the
+    // survivors. The testdata has no newlines, so the key FIRST
+    // re-chunks each doc into 4-token pseudo-lines (the oracle
+    // replays the chunking) and then runs the real operator with its
+    // '\n' separator — lineDedup itself is the generic corpus form.
+    "llm_line_dedup" -> ((s, d) => {
+      val L = 4
+      val chunked = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("__tk"))
+        .select(col("doc_id"),
+          array_join(
+            when(size(col("__tk")) > 0,
+              transform(sequence(lit(1), expr(s"(size(__tk) + ${L - 1}) div $L")),
+                i => concat_ws(" ", slice(col("__tk"), (i - 1) * L + 1, lit(L)))))
+              .otherwise(array().cast(ArrayType(StringType))),
+            "\n").as("text"))
+      Dedup.lineDedup(chunked, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // Lee et al. exact duplicated-substring spans: the maximal
+    // contiguous token regions covered by a corpus-duplicated 8-gram
+    // (n=8 matches llm_dup_gram_rate's audit unit), one row per span.
+    "llm_substring_dedup" -> ((s, d) =>
+      Dedup.dupSpans(Tables.documents(s, d), "doc_id", "text", n = 8)
+        .orderBy("doc_id", "span_start")),
+
     // Training-mixture weighting: per source (domain), document and
     // token totals plus the share of the corpus' token mass — the
     // numbers a data-mixture plan (e.g. domain upsampling weights)
@@ -991,6 +1018,59 @@ object LlmOps extends QueryGroup {
         |  CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
         |  1.0 - CAST(count(DISTINCT gram) AS DOUBLE) / count(*) AS dup_rate
         |FROM grams GROUP BY source ORDER BY source""".stripMargin,
+
+    "llm_line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), lines AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |    array_to_string(t[(i-1)*4+1:(i-1)*4+4], ' ') AS line
+        |  FROM toks, UNNEST(CASE WHEN len(t) > 0
+        |      THEN range(1, (len(t)+3)//4 + 1)
+        |      ELSE CAST([] AS BIGINT[]) END) AS u(i)
+        |  WHERE trim(array_to_string(t[(i-1)*4+1:(i-1)*4+4], ' ')) <> ''
+        |), rk AS (
+        |  SELECT doc_id, pos, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+        |  FROM lines
+        |)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(*) FILTER (WHERE rk = 1) AS BIGINT) AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE rk = 1) AS text
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_substring_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), grams AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |    array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM toks, UNNEST(CASE WHEN len(t) >= 8 THEN range(1, len(t)-8+2)
+        |                         ELSE CAST([] AS BIGINT[]) END) AS u(i)
+        |), dup AS (
+        |  SELECT doc_id, p FROM (
+        |    SELECT doc_id, p, count(*) OVER (PARTITION BY gram) AS cnt
+        |    FROM grams)
+        |  WHERE cnt > 1
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN max(p + 7) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |           OR p > max(p + 7) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM dup
+        |), grp AS (
+        |  SELECT doc_id, p,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl
+        |)
+        |SELECT doc_id, MIN(p) AS span_start, MAX(p) + 7 AS span_end,
+        |  MAX(p) + 7 - MIN(p) + 1 AS span_len,
+        |  CAST(count(*) AS BIGINT) AS n_grams
+        |FROM grp GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
 
     "llm_pack_chunks" ->
       """WITH t AS (

@@ -203,6 +203,70 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("lineDedup keeps globally-first occurrences and rebuilds docs") {
+    val df = Seq(
+      (1L, "alpha\nbeta\nalpha"), // within-doc repeat of alpha
+      (2L, "beta\ngamma"),        // beta already seen in doc 1
+      (3L, "alpha\nbeta")         // every line seen before
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df, "doc_id", "text").orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, "alpha\nbeta"),
+      (2L, 2L, 1L, "gamma"),
+      (3L, 2L, 0L, null)))
+  }
+
+  test("lineDedup ignores empty lines and is idempotent on survivors") {
+    val df = Seq((1L, "a\n\n\nb"), (2L, "c\n\nb")).toDF("doc_id", "text")
+    val once = Dedup.lineDedup(df, "doc_id", "text")
+    assert(once.orderBy("doc_id").collect().map(_.getLong(1)).toSeq ==
+      Seq(2L, 2L)) // blank lines never count
+    val again = Dedup.lineDedup(
+      once.filter(col("text").isNotNull).select("doc_id", "text"),
+      "doc_id", "text")
+    assert(again.agg(sum(col("n_lines") - col("n_kept"))).head.getLong(0) == 0L)
+  }
+
+  test("dupSpans merges overlapping duplicated grams into maximal spans") {
+    // docs share the run "a b c d": with n=3 the starts 2,3 (doc 1)
+    // overlap and must merge into one [2,5] span
+    val df = Seq((1L, "x a b c d y"), (2L, "a b c d z w"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpans(df, "doc_id", "text", n = 3)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 5L, 4L, 2L),
+      (2L, 1L, 4L, 4L, 2L)))
+  }
+
+  test("dupSpans splits on gaps, merges abutting coverage") {
+    // "a b" and "c d" duplicated, "b x"/"b c" unique. In doc 1 the
+    // coverages [1,2] and [4,5] have a gap → two spans; in doc 3 the
+    // coverages [1,2] and [3,4] abut → one contiguous region
+    val df = Seq(
+      (1L, "a b x c d"),
+      (2L, "a b y c d"),
+      (3L, "a b c d"),
+      (4L, "a b z c d")).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(df, "doc_id", "text", n = 2)
+      .filter(col("doc_id").isin(1L, 3L))
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 2L, 1L), (1L, 4L, 5L, 1L),
+      (3L, 1L, 4L, 2L)))
+  }
+
+  test("dupSpans: docs shorter than n and unique docs yield no rows") {
+    val df = Seq((1L, "a b"), (2L, "p q r s t"), (3L, "u v w x y"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dupSpans(df, "doc_id", "text", n = 3).count() == 0L)
+  }
+
   test("jaccardForPairs computes exact token-set jaccard") {
     val df = Seq((1L, "a b c d"), (2L, "c d e f")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")

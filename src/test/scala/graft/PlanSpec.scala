@@ -148,4 +148,27 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert("FileScan|Scan parquet".r.findAllIn(p).size <= 1,
       p.take(2000))
   }
+
+  test("lineDedup and dupSpans move the corpus through exactly two " +
+      "exchanges (no join-back, island agg reuses the doc exchange)") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables.documents(spark, sf)
+      for ((name, df) <- Seq(
+          "lineDedup" -> graft.operators.Dedup
+            .lineDedup(docs, "doc_id", "text", sepRegex = " "),
+          "dupSpans" -> graft.operators.Dedup
+            .dupSpans(docs, "doc_id", "text", n = 8))) {
+        val plan = df.queryExecution.executedPlan
+        val exchanges = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.Exchange => e
+        }
+        assert(exchanges.size == 2,
+          s"$name: ${exchanges.size} exchanges\n${plan.toString.take(3000)}")
+        assert(!plan.toString.contains("Join"),
+          s"$name joins back:\n${plan.toString.take(3000)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

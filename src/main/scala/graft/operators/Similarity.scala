@@ -295,4 +295,59 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): semantic dedup of
+    * an embedding corpus. Vectors are k-means-clustered; within each
+    * cluster, pairs with cosine ≥ `tau` are semantic duplicates;
+    * duplicate groups are their connected components and the kept
+    * representative is the group's min id (the paper keeps one
+    * arbitrary item per group — min id makes re-runs deterministic).
+    *
+    * Returns one row per vector: (vec_id, cid — the k-means cluster,
+    * dup_group — min id of the vector's duplicate component, itself
+    * when it has no duplicate, keep — dup_group == vec_id).
+    *
+    * 100 TB shape (the paper's own argument): all-pairs cosine is
+    * quadratic, but WITHIN-cluster pairs are quadratic only in the
+    * cluster size (corpus/nlist on average) — so candidate pairs come
+    * from a cid equi-join, never a cross product. The trained
+    * centroids are plan LITERALS ([[kmeansCentroids]] — train on a
+    * hash-sample via `sampleFraction` at scale), so cluster
+    * assignment is map-only: the corpus reaches its first shuffle
+    * already bucketed by cid. Component labeling runs on the pair
+    * set only (near-dups, ≪ corpus).
+    */
+  def semDedup(emb: DataFrame, nlist: Int, tau: Double,
+               iters: Int = 5, sampleFraction: Double = 1.0,
+               cosFn: (Column, Column) => Column = cosine): DataFrame = {
+    val centRows: Seq[Seq[Double]] =
+      kmeansCentroids(emb, nlist, iters, sampleFraction)
+        .select(col("vec_id").cast(LongType),
+          col("embedding").cast(ArrayType(DoubleType)))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+        .sortBy(_._1).map(_._2)
+    val scoreArr = (vc: Column) => array(centRows.map { cv =>
+      cosFn(vc, array(cv.map(lit): _*))
+    }: _*)
+    val assigned = emb
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("sc", scoreArr(col("embedding")))
+      .withColumn("cid",
+        array_position(col("sc"), array_max(col("sc"))).cast("int"))
+      .drop("sc")
+    val a = assigned.select(col("cid"), col("vec_id").as("a"),
+      col("embedding").as("va"))
+    val b = assigned.select(col("cid"), col("vec_id").as("b"),
+      col("embedding").as("vb"))
+    val pairs = a.join(b, Seq("cid")).filter(col("a") < col("b"))
+      .filter(cosFn(col("va"), col("vb")) >= tau)
+      .select("a", "b")
+    val comps = graft.operators.Dedup.clusters(pairs)
+    assigned.select(col("vec_id"), col("cid"))
+      .join(comps.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("cluster_id"), col("vec_id")).as("dup_group"))
+      .withColumn("keep", col("dup_group") === col("vec_id"))
+  }
 }

@@ -163,6 +163,23 @@ object LlmOps extends QueryGroup {
     // (Similarity.kmeansCentroids) — recall@k vs brute force is
     // asserted in SimilaritySpec; nprobe=nlist ≡ brute force remains
     // the exactness backstop.
+    // SemDeDup (Abbas et al. 2023): k-means cluster the embeddings,
+    // within-cluster cosine ≥ tau pairs are semantic duplicates, keep
+    // the min-id representative per duplicate component. No oracle
+    // (seeded k-means is engine-specific); invariants — one keeper
+    // per group, identical vectors always co-group, tau monotonicity
+    // — are property-tested in SimilaritySpec. Production tau is
+    // ≈0.95+; the synthetic embeddings are uniform-random (max
+    // pairwise cosine ≈0.51), so the demo threshold sits below that
+    // to exercise non-trivial grouping.
+    "llm_semdedup" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Similarity.semDedup(Tables.embeddings(s, d), nlist = 8,
+        tau = 0.40, iters = 3,
+        cosFn = graft.functions.GraftFunctions.vecCosine)
+        .orderBy("vec_id")
+    }),
+
     "llm_ann_ivf" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d)

@@ -225,4 +225,42 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(r.getAs[Double]("cd") - r.getAs[Double]("cx")) <= 2e-6)
     }
   }
+
+  test("semDedup: identical vectors co-group, exactly one keeper each") {
+    // clone vectors 0 and 1 under fresh ids: {0,100,101} and {1,102}
+    // are identical groups; everything else is random and far apart
+    val clones = Seq(
+      (100L, vecs(0)._2), (101L, vecs(0)._2), (102L, vecs(1)._2))
+    val df = (vecs ++ clones).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, nlist = 4, tau = 0.999999)
+      .collect()
+    assert(out.length == vecs.length + clones.length) // one row per vector
+    val byId = out.map(r => r.getAs[Long]("vec_id") ->
+      (r.getAs[Long]("dup_group"), r.getAs[Boolean]("keep"))).toMap
+    assert(byId(0L) == (0L, true))
+    assert(byId(100L) == (0L, false) && byId(101L) == (0L, false))
+    assert(byId(1L) == (1L, true) && byId(102L) == (1L, false))
+    // every group keeps exactly its min id
+    out.groupBy(_.getAs[Long]("dup_group")).foreach { case (g, rows) =>
+      assert(rows.map(_.getAs[Long]("vec_id")).min == g)
+      assert(rows.count(_.getAs[Boolean]("keep")) == 1)
+    }
+  }
+
+  test("semDedup: tau above any cosine keeps everything; dedup is " +
+      "monotone in tau") {
+    val all = Similarity.semDedup(emb, nlist = 4, tau = 1.1).collect()
+    assert(all.forall(_.getAs[Boolean]("keep")))
+    val loose = Similarity.semDedup(emb, nlist = 1, tau = -1.0)
+    // tau = -1 with one cluster pairs everything: single survivor
+    assert(loose.filter(col("keep")).count() == 1L)
+  }
+
+  test("semDedup is deterministic across runs") {
+    def run() = Similarity.semDedup(emb, nlist = 4, tau = 0.5)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("cid"),
+        r.getAs[Long]("dup_group"))).toSeq
+    assert(run() == run())
+  }
 }

@@ -179,4 +179,55 @@ object Curation {
       .groupBy(by, "len_cap")
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** C4 cleaning heuristics (Raffel et al. 2020 §2.2, the rules that
+    * produced C4 from Common Crawl), line-level then doc-level:
+    * lines survive when they have ≥ `minWordsPerLine` words and (when
+    * `requireTerminalPunct`) end in terminal punctuation; the doc is
+    * dropped when it contains any `badWords` phrase (their "List of
+    * Dirty, Naughty…" stand-in, matched case-insensitively), contains
+    * a curly brace (their code marker), or keeps fewer than
+    * `minLines` lines (their ≥-3-sentences rule).
+    *
+    * One row per doc: (idCol, n_lines, n_kept, keep, reason, text) —
+    * `reason` is the first failing doc rule ('bad_word' | 'brace' |
+    * 'too_few_lines' | 'kept') with a fixed precedence so re-runs and
+    * the oracle agree; `text` is the surviving lines joined by
+    * `joinSep` (NULL when none survive). Callers filter `keep`.
+    *
+    * 100 TB shape: entirely MAP-ONLY — every rule is an array/string
+    * expression inside whole-stage codegen; no explode, no shuffle,
+    * nothing leaves the scan stage (plan-asserted no Exchange).
+    */
+  def c4Filter(df: DataFrame, idCol: String, textCol: String,
+               sepRegex: String = "\n", joinSep: String = "\n",
+               minWordsPerLine: Int = 5,
+               requireTerminalPunct: Boolean = true,
+               minLines: Int = 3,
+               badWords: Seq[String] = Seq("lorem ipsum", "javascript"),
+               dropBraces: Boolean = true): DataFrame = {
+    val lines = filter(split(col(textCol), sepRegex),
+      l => trim(l) =!= "")
+    def lineOk(l: Column): Column = {
+      val words = size(filter(split(trim(l), "\\s+"), w => w =!= "")) >=
+        minWordsPerLine
+      if (requireTerminalPunct) words && l.rlike("[.!?\"']\\s*$")
+      else words
+    }
+    val kept = filter(lines, lineOk(_))
+    val lowered = lower(col(textCol))
+    val hasBad = badWords.map(w => lowered.contains(w.toLowerCase))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val hasBrace =
+      if (dropBraces) col(textCol).contains("{") else lit(false)
+    val tooFew = size(kept) < minLines
+    df.select(
+      col(idCol),
+      size(lines).cast(LongType).as("n_lines"),
+      size(kept).cast(LongType).as("n_kept"),
+      (!hasBad && !hasBrace && !tooFew).as("keep"),
+      when(hasBad, "bad_word").when(hasBrace, "brace")
+        .when(tooFew, "too_few_lines").otherwise("kept").as("reason"),
+      nullif(array_join(kept, joinSep), lit("")).as("text"))
+  }
 }

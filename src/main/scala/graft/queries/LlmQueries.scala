@@ -629,6 +629,26 @@ object LlmOps extends QueryGroup {
     // CCNet-style normalization + canonical fingerprint — the
     // normalize-then-hash step ahead of exact dedup. Map-only
     // codegen'd expressions.
+    // C4 cleaning rules (Raffel et al. 2020 §2.2) over 6-token
+    // pseudo-lines (testdata has no newlines or punctuation, so the
+    // key chunks tokens and disables the terminal-punctuation rule —
+    // both stand-ins replayed by the oracle; CurationSpec exercises
+    // every rule, including punctuation, on structured fixtures).
+    "llm_c4_filter" -> ((s, d) => {
+      val L = 6
+      val chunked = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("__tk"))
+        .select(col("doc_id"),
+          array_join(
+            when(size(col("__tk")) > 0,
+              transform(sequence(lit(1), expr(s"(size(__tk) + ${L - 1}) div $L")),
+                i => concat_ws(" ", slice(col("__tk"), (i - 1) * L + 1, lit(L)))))
+              .otherwise(array().cast(ArrayType(StringType))),
+            "\n").as("text"))
+      Curation.c4Filter(chunked, "doc_id", "text",
+        requireTerminalPunct = false).orderBy("doc_id")
+    }),
+
     "llm_normalize_text" -> ((s, d) => {
       val norm = Curation.normalize(col("text"))
       Tables.documents(s, d).select(
@@ -1172,6 +1192,37 @@ object LlmOps extends QueryGroup {
          |  count(*) AS n_docs
          |FROM documents GROUP BY source, len_cap
          |ORDER BY source, len_cap""".stripMargin,
+
+    "llm_c4_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+        |), ls AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(t) > 0 THEN
+        |      list_transform(range(1, (len(t)+5)//6 + 1),
+        |        i -> array_to_string(t[(i-1)*6+1:(i-1)*6+6], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END AS lines
+        |  FROM toks
+        |), f AS (
+        |  SELECT doc_id, text, lines,
+        |    list_filter(lines, l ->
+        |      len(list_filter(string_split_regex(trim(l), '\s+'),
+        |        w -> w <> '')) >= 5) AS kept
+        |  FROM ls
+        |)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  NOT (contains(lower(text), 'lorem ipsum')
+        |       OR contains(lower(text), 'javascript')
+        |       OR contains(text, '{') OR len(kept) < 3) AS keep,
+        |  CASE WHEN contains(lower(text), 'lorem ipsum')
+        |         OR contains(lower(text), 'javascript') THEN 'bad_word'
+        |       WHEN contains(text, '{') THEN 'brace'
+        |       WHEN len(kept) < 3 THEN 'too_few_lines'
+        |       ELSE 'kept' END AS reason,
+        |  nullif(array_to_string(kept, chr(10)), '') AS text
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "llm_normalize_text" ->
       """WITH n AS (

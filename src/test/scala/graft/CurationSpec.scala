@@ -213,4 +213,57 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count(),
       "every doc lands in exactly one bucket")
   }
+
+  test("c4Filter applies every C4 rule with fixed reason precedence") {
+    import spark.implicits._
+    val good = "this line has five good words.\nanother line of five words!\na third line of words?"
+    val df = Seq(
+      (1L, good),                                       // survives
+      (2L, good + "\nLorem Ipsum dolor sit amet."),     // bad word
+      (3L, good + "\nfunction() { return 1; }"),        // brace
+      (4L, "only two good lines here now.\nso the doc cannot survive."),
+      (5L, "no terminal punctuation on this line\n" + good), // line dropped, doc ok
+      (6L, "short line.\n" + good)                      // <5 words line dropped
+    ).toDF("doc_id", "text")
+    val out = Curation.c4Filter(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3L, true, "kept"),
+      (2L, 4L, 4L, false, "bad_word"),
+      (3L, 4L, 3L, false, "brace"),
+      (4L, 2L, 2L, false, "too_few_lines"),
+      (5L, 4L, 3L, true, "kept"),
+      (6L, 4L, 3L, true, "kept")))
+    // surviving text contains only the lines that passed
+    val t5 = Curation.c4Filter(df, "doc_id", "text")
+      .filter(col("doc_id") === 5L).head.getAs[String]("text")
+    assert(t5 == good)
+  }
+
+  test("c4Filter: empty doc yields NULL text; rules can be disabled") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "brace { but allowed here ok."))
+      .toDF("doc_id", "text")
+    val out = Curation.c4Filter(df, "doc_id", "text",
+      dropBraces = false, minLines = 1).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("text") == null)
+    assert(!out(0).getAs[Boolean]("keep") &&
+      out(0).getAs[String]("reason") == "too_few_lines")
+    assert(out(1).getAs[Boolean]("keep"))
+  }
+
+  test("c4Filter is map-only (no exchange in the plan)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Curation.c4Filter(docs, "doc_id", "text",
+        sepRegex = " ", requireTerminalPunct = false)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.isEmpty, plan.toString.take(2000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

@@ -180,6 +180,82 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Hashed n-gram feature buckets for DSIR (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling" §3.2):
+    * unigrams and word bigrams, each feature-hashed into `k` buckets
+    * by the same md5 bucket [[hashBucket]] routes on — deterministic
+    * and engine-portable, never engine RNG. Map-only (a transform
+    * over the token array; no explode until the caller aggregates).
+    */
+  def dsirFeatures(text: Column, k: Int): Column = {
+    val tk = TextAnalysis.tokens(text)
+    val bi = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => concat_ws(" ", slice(tk, i, lit(2)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    transform(concat(tk, bi),
+      f => conv(substring(md5(f), 1, 8), 16, 10).cast(LongType) % k)
+  }
+
+  /** DSIR importance weights: per hash-bucket
+    * log(p_target(b) / p_raw(b)) with add-1 smoothing, quantized to
+    * BIGINT (`round(ln·1e6)`, the tfIdfTopK trick) so downstream
+    * scoring is exact integer math. `targetPred` marks the target
+    * distribution (the small high-quality slice — e.g. one curated
+    * domain); raw is the whole input.
+    *
+    * One corpus scan: features explode map-only, ONE hash-agg keyed
+    * on the bucket carries both counts (target via a conditional
+    * sum), and all ratio math runs on the k-row result — the totals
+    * window is a trivial single task over k rows, never the corpus.
+    * Returns (bucket, n_target, n_raw, logw_q), k rows at most.
+    */
+  def dsirWeights(df: DataFrame, textCol: String, targetPred: Column,
+                  k: Int = 1024): DataFrame = {
+    require(k > 0, "k must be positive")
+    val dist = df
+      .select(targetPred.as("__t"),
+        explode(dsirFeatures(col(textCol), k)).as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("n_target"),
+        count(lit(1)).as("n_raw"))
+    val w = Window.partitionBy() // k rows — trivial single task
+    dist
+      .withColumn("__nt", sum(col("n_target")).over(w))
+      .withColumn("__nr", sum(col("n_raw")).over(w))
+      .select(col("bucket"), col("n_target"), col("n_raw"),
+        round((log((col("n_target") + 1).cast(DoubleType) /
+                   (col("__nt") + k).cast(DoubleType)) -
+               log((col("n_raw") + 1).cast(DoubleType) /
+                   (col("__nr") + k).cast(DoubleType))) * 1e6)
+          .cast(LongType).as("logw_q"))
+  }
+
+  /** Per-document DSIR importance score: the sum of its hashed
+    * features' log-weights — documents whose n-gram profile looks
+    * like the target distribution score high and get kept by the
+    * importance resample. Returns (idCol, n_feats, dsir_logw_q);
+    * docs that tokenize empty have no features and drop out (they
+    * carry no evidence either way).
+    *
+    * 100 TB shape: the weight table is ≤ k rows → broadcast; the
+    * corpus side is a map-only feature explode + one per-doc
+    * hash-agg with map-side partials. Two corpus scans total (one to
+    * weigh, one to score) — inherent to any aggregate-then-apply,
+    * the mixtureSample shape.
+    */
+  def dsirScore(df: DataFrame, idCol: String, textCol: String,
+                targetPred: Column, k: Int = 1024): DataFrame = {
+    val wtab = dsirWeights(df, textCol, targetPred, k)
+      .select(col("bucket"), col("logw_q"))
+    df.select(col(idCol),
+        explode(dsirFeatures(col(textCol), k)).as("bucket"))
+      .join(broadcast(wtab), "bucket")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("logw_q")).as("dsir_logw_q"))
+  }
+
   /** C4 cleaning heuristics (Raffel et al. 2020 §2.2, the rules that
     * produced C4 from Common Crawl), line-level then doc-level:
     * lines survive when they have ≥ `minWordsPerLine` words and (when

@@ -561,6 +561,60 @@ object Dedup {
         col("n_grams"))
   }
 
+  /** APPLY the [[dupSpans]] signal (Lee et al. 2022's removal step):
+    * drop every token covered by a corpus-duplicated span and
+    * reassemble the document from the survivors. One row per doc:
+    * (idCol, n_tokens, n_removed, text) — `text` is the kept tokens
+    * joined by a single space, NULL when the whole doc was covered
+    * (the fully-duplicated-document case). Docs with no duplicated
+    * span pass through with n_removed = 0.
+    *
+    * Lee et al. keep one occurrence of each duplicated substring;
+    * this removes EVERY covered region — the conservative form whose
+    * output is a pure per-doc function of the span set, so re-runs
+    * and the cross-engine oracle agree without a global
+    * which-copy-wins tie-break.
+    *
+    * 100 TB shape: on top of dupSpans' two exchanges, the token
+    * stream shuffles ONCE on the doc id — the span join
+    * (sort-merge on idCol; spans are corpus-sized in the worst case,
+    * so no broadcast assumption) and the per-doc reassembly hash-agg
+    * share that one HashPartitioning(idCol) exchange. Spans are
+    * maximal and disjoint per doc, so the range predicate matches
+    * each token at most once — the join cannot fan out.
+    */
+  def dupSpanRemove(df: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    val spans = dupSpans(df, idCol, textCol, n)
+      .select(col(idCol).as("__sid"), col("span_start"), col("span_end"))
+    // split on the single space, positions 1-based — the exact token
+    // frame dupSpans' grams were built from, so coverage aligns
+    val toks = df
+      .select(col(idCol), posexplode(split(col(textCol), " "))
+        .as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).cast(LongType).as("p"),
+        col("tok"))
+    toks
+      .join(spans, toks(idCol) === col("__sid") &&
+        col("p") >= col("span_start") && col("p") <= col("span_end"),
+        "left")
+      .withColumn("__covered", col("span_start").isNotNull)
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__covered"), 1L).otherwise(0L)).as("n_removed"),
+        // survivors back in token order; NULL (not "") when nothing
+        // survives, matching SQL string_agg-over-empty
+        nullif(
+          array_join(
+            transform(
+              array_sort(collect_list(when(!col("__covered"),
+                struct(col("p"), col("tok"))))),
+              x => x.getField("tok")),
+            " "),
+          lit("")).as("text"))
+  }
+
   /** Token-set Jaccard between doc pairs given a (docA, docB) pair
     * frame. Distinct-token frames joined per pair — linear in the
     * candidate pair count (callers supply blocked/LSH candidates, not

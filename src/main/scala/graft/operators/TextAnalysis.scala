@@ -94,6 +94,66 @@ object TextAnalysis {
       .filter(col("rk") <= k).drop("rk")
   }
 
+  /** Corpus unigram language model: per-token
+    * log p(token) = ln(count / total), quantized to BIGINT
+    * (`round(ln·1e6)`, the tfIdfTopK trick) so every downstream sum
+    * and comparison is exact integer math. One explode + one
+    * hash-agg; the total-token count rides in as a broadcast scalar
+    * (the vocab frame is never globally windowed — at corpus scale
+    * the vocabulary is still millions of rows).
+    */
+  def unigramLogProbs(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.select(
+      sum(col("cnt")).cast("double").as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("token"), col("cnt"),
+        round(log(col("cnt").cast("double") / col("total")) * 1e6)
+          .cast("long").as("lp_q"))
+  }
+
+  /** CCNet-style perplexity scoring and bucketing (Wenzek et al.
+    * 2020 §3.3): score every document by its mean per-token negative
+    * log-likelihood under the corpus unigram LM ([[unigramLogProbs]]
+    * — their KenLM 5-gram stands in; the plumbing, not the LM, is
+    * the operator), then split each language into `head` / `middle` /
+    * `tail` terciles — head = most fluent, the slice CCNet keeps.
+    * Returns (idCol, langCol, n_toks, nll_q, nll_mean, ppl_bucket);
+    * docs that tokenize empty drop out (no tokens to score).
+    *
+    * 100 TB shape: the token→logprob join shuffles on the token (no
+    * small-vocab broadcast assumption — same stance as tfIdfTopK),
+    * the per-doc agg shuffles on the id, both with map-side
+    * partials. The tercile split is an EXACT per-language ntile —
+    * one task per language, the win_ntile_partitioned shape; when a
+    * single language dominates the corpus, swap the bucket column
+    * for the approx-quantile boundary form (`Windows.globalNtile`
+    * with `exact=false` per language — disagreement confined to the
+    * boundary neighborhoods). Ordering is (nll_mean, id): nll_mean
+    * divides exact integers, so the order — and the oracle's — is
+    * engine-portable.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String,
+                        textCol: String, langCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lp = unigramLogProbs(docs, textCol).select("token", "lp_q")
+    val scored = docs
+      .select(col(idCol), col(langCol),
+        explode(tokens(col(textCol))).as("token"))
+      .join(lp, "token")
+      .groupBy(idCol, langCol)
+      .agg(count(lit(1)).as("n_toks"), sum(-col("lp_q")).as("nll_q"))
+      .withColumn("nll_mean",
+        col("nll_q").cast("double") / col("n_toks") / 1e6)
+    val byLang = Window.partitionBy(langCol)
+      .orderBy(col("nll_mean"), col(idCol))
+    scored.withColumn("ppl_bucket",
+      element_at(array(lit("head"), lit("middle"), lit("tail")),
+        ntile(3).over(byLang)))
+  }
+
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 

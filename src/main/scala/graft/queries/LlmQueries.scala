@@ -492,6 +492,13 @@ object LlmOps extends QueryGroup {
       Dedup.dupSpans(Tables.documents(s, d), "doc_id", "text", n = 8)
         .orderBy("doc_id", "span_start")),
 
+    // Lee et al.'s REMOVAL step applied to the spans above: drop
+    // every token covered by a corpus-duplicated 8-gram span,
+    // reassemble the survivors (text NULL for fully-covered docs).
+    "llm_substring_remove" -> ((s, d) =>
+      Dedup.dupSpanRemove(Tables.documents(s, d), "doc_id", "text", n = 8)
+        .orderBy("doc_id")),
+
     // Training-mixture weighting: per source (domain), document and
     // token totals plus the share of the corpus' token mass — the
     // numbers a data-mixture plan (e.g. domain upsampling weights)
@@ -677,6 +684,26 @@ object LlmOps extends QueryGroup {
     // literals, no ML runtime on executors. No oracle (LBFGS weights
     // are engine-specific); agreement with the teacher rule is
     // property-tested in CurationSpec.
+    // DSIR (Xie et al. 2023): hashed-n-gram importance weights
+    // toward a target slice (here lang='en' stands in for the
+    // curated target corpus). k=64 keeps the weight table readable;
+    // production k is 10k+ — still broadcast-sized either way.
+    "llm_dsir_weights" -> ((s, d) =>
+      Curation.dsirWeights(Tables.documents(s, d), "text",
+        col("lang") === "en", k = 64).orderBy("bucket")),
+
+    // Per-doc DSIR importance score: sum of the doc's hashed-feature
+    // log-weights — the ranking importance resampling draws from.
+    "llm_dsir_score" -> ((s, d) =>
+      Curation.dsirScore(Tables.documents(s, d), "doc_id", "text",
+        col("lang") === "en", k = 64).orderBy("doc_id")),
+
+    // CCNet-style perplexity scoring: corpus unigram LM, mean
+    // per-token NLL per doc, head/middle/tail terciles per language.
+    "llm_perplexity" -> ((s, d) =>
+      TextAnalysis.perplexityBuckets(Tables.documents(s, d), "doc_id",
+        "text", "lang").orderBy("doc_id")),
+
     "llm_quality_classifier" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val labeled = docs.withColumn("label",
@@ -1108,6 +1135,135 @@ object LlmOps extends QueryGroup {
         |  MAX(p) + 7 - MIN(p) + 1 AS span_len,
         |  CAST(count(*) AS BIGINT) AS n_grams
         |FROM grp GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    "llm_substring_remove" ->
+      """WITH toksrc AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), grams AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |    array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM toksrc, UNNEST(CASE WHEN len(t) >= 8 THEN range(1, len(t)-8+2)
+        |                         ELSE CAST([] AS BIGINT[]) END) AS u(i)
+        |), dup AS (
+        |  SELECT doc_id, p FROM (
+        |    SELECT doc_id, p, count(*) OVER (PARTITION BY gram) AS cnt
+        |    FROM grams)
+        |  WHERE cnt > 1
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN max(p + 7) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |           OR p > max(p + 7) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM dup
+        |), grp AS (
+        |  SELECT doc_id, p,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl
+        |), spans AS (
+        |  SELECT doc_id, MIN(p) AS s, MAX(p) + 7 AS e
+        |  FROM grp GROUP BY doc_id, island
+        |), tk AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p, t[i] AS tok
+        |  FROM toksrc, UNNEST(CASE WHEN len(t) > 0 THEN range(1, len(t)+1)
+        |                        ELSE CAST([] AS BIGINT[]) END) AS u(i)
+        |)
+        |SELECT tk.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(s.s) AS BIGINT) AS n_removed,
+        |  nullif(string_agg(CASE WHEN s.s IS NULL THEN tok END, ' '
+        |    ORDER BY tk.p), '') AS text
+        |FROM tk LEFT JOIN spans s
+        |  ON tk.doc_id = s.doc_id AND tk.p BETWEEN s.s AND s.e
+        |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin,
+
+    "llm_dsir_weights" ->
+      s"""WITH t AS (
+         |  SELECT lang = 'en' AS tgt, $toks AS tk FROM documents
+         |), f AS (
+         |  SELECT tgt, x AS feat FROM t, UNNEST(tk) AS u(x)
+         |  UNION ALL
+         |  SELECT tgt, tk[i] || ' ' || tk[i+1] AS feat
+         |  FROM t, UNNEST(CASE WHEN len(tk) >= 2 THEN range(1, len(tk))
+         |                      ELSE CAST([] AS BIGINT[]) END) AS u(i)
+         |), b AS (
+         |  SELECT ('0x' || substr(md5(feat), 1, 8))::BIGINT % 64 AS bucket,
+         |    CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS n_target,
+         |    CAST(count(*) AS BIGINT) AS n_raw
+         |  FROM f GROUP BY 1
+         |), tot AS (
+         |  SELECT sum(n_target) AS nt, sum(n_raw) AS nr FROM b
+         |)
+         |SELECT bucket, n_target, n_raw,
+         |  CAST(round((ln(CAST(n_target + 1 AS DOUBLE)
+         |                 / CAST(nt + 64 AS DOUBLE))
+         |            - ln(CAST(n_raw + 1 AS DOUBLE)
+         |                 / CAST(nr + 64 AS DOUBLE))) * 1e6) AS BIGINT)
+         |    AS logw_q
+         |FROM b, tot ORDER BY bucket""".stripMargin,
+
+    "llm_dsir_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang = 'en' AS tgt, $toks AS tk FROM documents
+         |), f AS (
+         |  SELECT doc_id, tgt, x AS feat FROM t, UNNEST(tk) AS u(x)
+         |  UNION ALL
+         |  SELECT doc_id, tgt, tk[i] || ' ' || tk[i+1] AS feat
+         |  FROM t, UNNEST(CASE WHEN len(tk) >= 2 THEN range(1, len(tk))
+         |                      ELSE CAST([] AS BIGINT[]) END) AS u(i)
+         |), fb AS (
+         |  SELECT doc_id, tgt,
+         |    ('0x' || substr(md5(feat), 1, 8))::BIGINT % 64 AS bucket
+         |  FROM f
+         |), b AS (
+         |  SELECT bucket,
+         |    CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS n_target,
+         |    CAST(count(*) AS BIGINT) AS n_raw
+         |  FROM fb GROUP BY 1
+         |), tot AS (
+         |  SELECT sum(n_target) AS nt, sum(n_raw) AS nr FROM b
+         |), w AS (
+         |  SELECT bucket,
+         |    CAST(round((ln(CAST(n_target + 1 AS DOUBLE)
+         |                   / CAST(nt + 64 AS DOUBLE))
+         |              - ln(CAST(n_raw + 1 AS DOUBLE)
+         |                   / CAST(nr + 64 AS DOUBLE))) * 1e6) AS BIGINT)
+         |      AS logw_q
+         |  FROM b, tot
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |  CAST(sum(w.logw_q) AS BIGINT) AS dsir_logw_q
+         |FROM fb JOIN w USING (bucket)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_perplexity" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, unnest($toks) AS token FROM documents
+         |), cnt AS (
+         |  SELECT token, count(*) AS cnt FROM tok GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM cnt
+         |), lp AS (
+         |  SELECT token,
+         |    CAST(round(ln(CAST(cnt AS DOUBLE) / total) * 1e6) AS BIGINT)
+         |      AS lp_q
+         |  FROM cnt, tot
+         |), doc AS (
+         |  SELECT t.doc_id, t.lang, CAST(count(*) AS BIGINT) AS n_toks,
+         |    CAST(sum(-lp_q) AS BIGINT) AS nll_q
+         |  FROM tok t JOIN lp USING (token) GROUP BY 1, 2
+         |), b AS (
+         |  SELECT *, CAST(nll_q AS DOUBLE) / n_toks / 1e6 AS nll_mean,
+         |    ntile(3) OVER (PARTITION BY lang
+         |      ORDER BY CAST(nll_q AS DOUBLE) / n_toks / 1e6, doc_id) AS nt
+         |  FROM doc
+         |)
+         |SELECT doc_id, lang, n_toks, nll_q, nll_mean,
+         |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+         |  END AS ppl_bucket
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     "llm_pack_chunks" ->
       """WITH t AS (

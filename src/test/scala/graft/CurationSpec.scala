@@ -254,6 +254,89 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1).getAs[Boolean]("keep"))
   }
 
+  test("dsirWeights: target ≡ raw collapses every log-weight to zero") {
+    // when the target predicate admits everything, p_target = p_raw
+    // bucket-for-bucket and the smoothed log-ratio is exactly 0
+    val w = Curation.dsirWeights(docs, "text", lit(true), k = 64)
+      .collect()
+    assert(w.nonEmpty)
+    w.foreach { r =>
+      assert(r.getAs[Long]("n_target") == r.getAs[Long]("n_raw"))
+      assert(r.getAs[Long]("logw_q") == 0L)
+    }
+  }
+
+  test("dsirScore separates disjoint-vocabulary domains") {
+    import spark.implicits._
+    val a = (1 to 40).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta", "tgt"))
+    val b = (41 to 80).map(i =>
+      (i.toLong, "uno dos tres cuatro cinco seis", "other"))
+    val df = (a ++ b).toDF("doc_id", "text", "dom")
+    val s = Curation.dsirScore(df, "doc_id", "text",
+        col("dom") === "tgt", k = 256)
+      .join(df.select("doc_id", "dom"), "doc_id").collect()
+    val ts = s.filter(_.getAs[String]("dom") == "tgt")
+      .map(_.getAs[Long]("dsir_logw_q"))
+    val os = s.filter(_.getAs[String]("dom") == "other")
+      .map(_.getAs[Long]("dsir_logw_q"))
+    // the importance weight must rank every target-profile doc above
+    // every off-target doc, with the right signs
+    assert(ts.min > os.max)
+    assert(ts.min > 0L && os.max < 0L)
+  }
+
+  test("dsirScore plan: weight table broadcast, per-doc agg partial") {
+    val plan = Curation.dsirScore(docs, "doc_id", "text",
+      col("lang") === "en", k = 64).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "k-row weight table must broadcast:\n" + plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("perplexityBuckets: corpus-frequency drives the tercile order") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // 9 docs, one language: three all-common, three mixed, three of
+    // unique tokens — mean NLL orders them head < middle < tail
+    val common = (1 to 3).map(i =>
+      (i.toLong, "ord ord ord ord ord ord", "xx"))
+    val mixed = (4 to 6).map(i =>
+      (i.toLong, s"ord ord ord mid$i mid$i mid$i", "xx"))
+    val rare = (7 to 9).map(i =>
+      (i.toLong, s"r${i}a r${i}b r${i}c r${i}d r${i}e r${i}f", "xx"))
+    val df = (common ++ mixed ++ rare).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.perplexityBuckets(df, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect()
+    val buckets = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("ppl_bucket")).toMap
+    (1L to 3L).foreach(i => assert(buckets(i) == "head", s"doc $i"))
+    (4L to 6L).foreach(i => assert(buckets(i) == "middle", s"doc $i"))
+    (7L to 9L).foreach(i => assert(buckets(i) == "tail", s"doc $i"))
+    // quantized unigram logprob matches the closed form
+    val lp = TextAnalysis.unigramLogProbs(df, "text")
+      .filter(col("token") === "ord").head()
+    val total = 3 * 6 + 3 * 6 + 3 * 6 // 54 tokens overall
+    val want = math.round(math.log(lp.getAs[Long]("cnt").toDouble / total) * 1e6)
+    assert(lp.getAs[Long]("lp_q") == want)
+  }
+
+  test("perplexityBuckets: terciles are per-language and exhaustive") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.perplexityBuckets(docs, "doc_id", "text", "lang")
+    val n = out.count()
+    assert(n > 0 && n <= docs.count()) // token-less docs drop out
+    // per language, bucket sizes differ by at most 1 (ntile(3))
+    val sizes = out.groupBy("lang", "ppl_bucket").count()
+      .collect().groupBy(_.getString(0))
+    sizes.foreach { case (lang, rows) =>
+      assert(rows.length == 3 || rows.map(_.getLong(2)).sum < 3,
+        s"$lang missing a bucket")
+      val cs = rows.map(_.getLong(2))
+      assert(cs.max - cs.min <= 1, s"$lang unbalanced: ${cs.toSeq}")
+    }
+  }
+
   test("c4Filter is map-only (no exchange in the plan)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

@@ -267,6 +267,39 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.dupSpans(df, "doc_id", "text", n = 3).count() == 0L)
   }
 
+  test("dupSpanRemove drops exactly the covered tokens, keeps the rest") {
+    // same fixture as the merge test: doc 1 loses [2,5], doc 2 [1,4]
+    val df = Seq((1L, "x a b c d y"), (2L, "a b c d z w"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpanRemove(df, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq((1L, 6L, 4L, "x y"), (2L, 6L, 4L, "z w")))
+  }
+
+  test("dupSpanRemove: unique docs pass through, full coverage → NULL") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpanRemove(df, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).isNullAt(3) && out(0).getAs[Long]("n_removed") == 3L)
+    assert(out(1).isNullAt(3))
+    assert(out(2).getAs[Long]("n_removed") == 0L &&
+      out(2).getAs[String]("text") == "p q r s t")
+  }
+
+  test("dupSpanRemove removal count ≡ dupSpans coverage on the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val removed = Dedup.dupSpanRemove(docs, "doc_id", "text", n = 8)
+      .select(col("doc_id"), col("n_removed"))
+    val spanSum = Dedup.dupSpans(docs, "doc_id", "text", n = 8)
+      .groupBy("doc_id").agg(sum("span_len").as("cov"))
+    val bad = removed.join(spanSum, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), lit(0L)))
+      .filter(col("n_removed") =!= col("cov"))
+    assert(bad.count() == 0L)
+  }
+
   test("jaccardForPairs computes exact token-set jaccard") {
     val df = Seq((1L, "a b c d"), (2L, "c d e f")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")

@@ -90,6 +90,76 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Scalar 8-bit quantization (SQ8) — the classic compressed-vector
+    * tier (Faiss `SQ8` / Milvus `IVF_SQ8` shape): each vector stores a
+    * per-vector scale plus one signed byte per dimension, 4× smaller
+    * than float32 (28× smaller than the oracle's quantized-BIGINT
+    * form). At 100 TB of embeddings the code table is what makes the
+    * candidate scan cache-resident.
+    *
+    * Returns (idCol, qmax, code) where `code[i] ∈ [-127, 127]` (stored
+    * as TINYINT — the actual byte layout) and `qmax` is the per-vector
+    * scale (max |round(x·1e7)|). The whole encode is EXACT integer
+    * math — floats lift to `round(x·1e7)` BIGINTs (float→double is
+    * exact binary, half-up agrees cross-engine), and the byte code is
+    * an integer rounding `sign(q)·⌊(|q|·254 + qmax) / (2·qmax)⌋`
+    * (round-half-away-from-zero without ever rounding a noisy double)
+    * — so encode, and everything ranked on it, is engine-portable and
+    * oracle-checkable, unlike float k-means codebooks. Map-only: three
+    * stacked projections, no exchange (plan-asserted in
+    * SimilaritySpec).
+    */
+  def sq8Encode(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val q = transform(col(vecCol), x =>
+      round(x.cast(DoubleType) * 1e7).cast(LongType))
+    df.select(col(idCol), q.as("__q"))
+      .select(col(idCol), col("__q"),
+        greatest(array_max(col("__q")), -array_min(col("__q")), lit(1L))
+          .as("qmax"))
+      .select(col(idCol), col("qmax"),
+        transform(col("__q"), qi => {
+          // numerator ≤ ~2.5e9 — exact in double, division correctly
+          // rounded, floor of positives == truncation on every engine
+          val mag = floor((abs(qi) * 254 + col("qmax")).cast(DoubleType) /
+            (col("qmax") * 2).cast(DoubleType)).cast(LongType)
+          when(qi < 0, -mag).otherwise(mag).cast(ByteType)
+        }).as("code"))
+  }
+
+  /** SQ8 approximate cosine top-k (asymmetric ranking on the byte
+    * codes): score = byte-dot / (√byte-norm² · √byte-norm²). The
+    * per-vector scales CANCEL out of the cosine — code_i ≈
+    * q_i·127/qmax, so (qmaxA·qmaxB) appears in both numerator and
+    * denominator — which keeps the whole score a function of exact
+    * integers (the final IEEE division of identical integers is
+    * bit-identical cross-engine, the `bruteForceTopKExact` argument).
+    * Approximation error comes only from the 8-bit rounding.
+    *
+    * 100 TB shape: candidates scan their (1 byte/dim) codes once,
+    * query codes broadcast; one window per query partition keeps k.
+    * Embeddings must be non-zero (zero-norm → NaN, as in the exact
+    * tier).
+    */
+  def sq8TopK(queries: DataFrame, candidates: DataFrame,
+              k: Int): DataFrame = {
+    def idot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y,
+        (a, b) => a.cast(LongType) * b.cast(LongType)),
+        lit(0L), (acc, v) => acc + v)
+    val q = sq8Encode(queries, "vec_id", "embedding")
+      .select(col("vec_id").as("qid"), col("code").as("qc"))
+    val c = sq8Encode(candidates, "vec_id", "embedding")
+      .select(col("vec_id").as("cid"), col("code").as("cc"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        (idot(col("qc"), col("cc")).cast(DoubleType) /
+          (sqrt(idot(col("qc"), col("qc")).cast(DoubleType)) *
+            sqrt(idot(col("cc"), col("cc")).cast(DoubleType)))).as("acos"))
+    val w = Window.partitionBy("qid").orderBy(col("acos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Brute-force cosine top-k: query rows broadcast against the
     * candidate scan; per-query window keeps k.
     */

@@ -159,6 +159,17 @@ object LlmOps extends QueryGroup {
         .orderBy("qid", "rn")
     }),
 
+    // SQ8 compressed-vector tier: byte codes (4× smaller than
+    // float32), per-vector scale, approximate-cosine ranking on
+    // exact integer byte-dots — the one ANN compression whose entire
+    // pipeline is engine-portable, hence a full hash-checked oracle.
+    "llm_ann_sq8" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.sq8TopK(emb.filter(col("vec_id") < 5), emb, k = 5)
+        .select("qid", "cid", "acos", "rn")
+        .orderBy("qid", "rn")
+    }),
+
     // Coarse quantizer trained by deterministic seeded k-means
     // (Similarity.kmeansCentroids) — recall@k vs brute force is
     // asserted in SimilaritySpec; nprobe=nlist ≡ brute force remains
@@ -848,6 +859,46 @@ object LlmOps extends QueryGroup {
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
         |  FROM scored)
         |SELECT qid, cid, cos, rn FROM ranked WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin,
+
+    "llm_ann_sq8" ->
+      """WITH q0 AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |enc AS (
+        |  SELECT vec_id,
+        |    list_transform(q, v -> CASE WHEN v < 0
+        |      THEN -CAST(floor(CAST((-v)*254 + qmax AS DOUBLE)
+        |                       / (2.0*qmax)) AS BIGINT)
+        |      ELSE CAST(floor(CAST(v*254 + qmax AS DOUBLE)
+        |                      / (2.0*qmax)) AS BIGINT) END) AS code
+        |  FROM (SELECT vec_id, q,
+        |          greatest(list_max(q), -list_min(q), 1) AS qmax
+        |        FROM q0) t),
+        |pairs AS (
+        |  SELECT qe.vec_id AS qid, c.vec_id AS cid,
+        |    qe.code AS qc, c.code AS cc
+        |  FROM enc qe CROSS JOIN enc c
+        |  WHERE qe.vec_id < 5 AND c.vec_id <> qe.vec_id),
+        |sums AS (
+        |  SELECT qid, cid,
+        |    CAST(SUM(z[1] * z[2]) AS BIGINT) AS dot,
+        |    CAST(SUM(z[1] * z[1]) AS BIGINT) AS n2q,
+        |    CAST(SUM(z[2] * z[2]) AS BIGINT) AS n2c
+        |  FROM (SELECT qid, cid, unnest(list_zip(qc, cc)) AS z FROM pairs) t
+        |  GROUP BY qid, cid),
+        |ranked AS (
+        |  SELECT qid, cid,
+        |    CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(n2q AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE))) AS acos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      CAST(dot AS DOUBLE) /
+        |        (sqrt(CAST(n2q AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE))) DESC,
+        |      cid) AS rn
+        |  FROM sums)
+        |SELECT qid, cid, acos, rn FROM ranked WHERE rn <= 5
         |ORDER BY qid, rn""".stripMargin,
 
     "llm_embed_neardup" ->

@@ -263,4 +263,55 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
         r.getAs[Long]("dup_group"))).toSeq
     assert(run() == run())
   }
+
+  test("sq8Encode: byte codes, full-scale max element, map-only plan") {
+    import org.apache.spark.sql.types.{ArrayType, ByteType}
+    val enc = Similarity.sq8Encode(emb, "vec_id", "embedding")
+    assert(enc.schema("code").dataType == ArrayType(ByteType))
+    val rows = enc.collect()
+    assert(rows.length == vecs.length)
+    rows.foreach { r =>
+      val code = r.getSeq[Byte](r.fieldIndex("code")).map(_.toInt)
+      assert(code.forall(c => c >= -127 && c <= 127))
+      // the max-|q| element must hit full scale exactly:
+      // |q|=qmax → ⌊(qmax·254 + qmax)/(2·qmax)⌋ = ⌊127.5⌋ = 127
+      assert(code.map(math.abs).max == 127,
+        s"vec ${r.getLong(0)} not full-scale: $code")
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try assert(!enc.queryExecution.executedPlan.toString.contains("Exchange"),
+      "sq8Encode must be map-only")
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("sq8: an identical candidate ranks first; encode+rank deterministic") {
+    val withClone = emb.unionByName(
+      Seq((99L, vecs.head._2)).toDF("vec_id", "embedding"))
+    def run() = Similarity.sq8TopK(
+      withClone.filter(col("vec_id") === 0L), withClone, k = 3)
+      .orderBy("rn").collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Double]("acos"))).toSeq
+    val top = run()
+    // identical vector → identical codes → acos = n/(√n·√n) ≈ 1
+    assert(top.head._1 == 99L)
+    assert(top.head._2 > 0.9999)
+    assert(run() == top)
+  }
+
+  test("sq8 top-k recall vs the exact brute force") {
+    val queries = emb.filter(col("vec_id") < 8L)
+    val exact = Similarity.bruteForceTopKExact(queries, emb, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sq = Similarity.sq8TopK(queries, emb, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, want) =>
+      sq.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 8-bit rounding perturbs cosines by ~1e-2 relative; on 16-dim
+    // random vectors the top-5 sets stay largely stable
+    assert(mean >= 0.8, s"mean sq8 recall@5 = $mean < 0.8")
+  }
 }

@@ -366,6 +366,152 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the embedding space
+    * splits into `m` contiguous subspaces of dims/m dimensions; each
+    * subspace gets its own `ksub`-centroid L2 k-means codebook. A
+    * vector then stores just `m` small code ids ([[pqEncode]]) —
+    * m·log2(ksub) bits instead of dims·32 — the compression that makes
+    * a 100 TB corpus searchable from memory.
+    *
+    * Training mirrors [[kmeansCentroids]]' determinism contract
+    * (hash-seeded init, fixed Lloyd iterations, order-insensitive
+    * DECIMAL mean sums, `sampleFraction` hash-sampling) but runs ALL
+    * m subspaces JOINTLY: subvectors explode to (sub, sv) rows once,
+    * every iteration is ONE assignment pass + ONE (sub, cid, pos)
+    * hash-agg — m× fewer jobs than looping k-means per subspace, and
+    * the only driver traffic is the m·ksub·dsub centroid means.
+    * Assignment is argmin ‖sv−c‖² ≡ argmin(|c|²−2·sv·c) over literal
+    * centroids — map-only, native codegen'd VecDot. Empty clusters
+    * keep their previous centroid. Returns codebooks(s)(j) = centroid
+    * j of subspace s (j < min(ksub, n_train)).
+    */
+  def pqTrain(emb: DataFrame, m: Int, ksub: Int, iters: Int = 5,
+              sampleFraction: Double = 1.0): Seq[Seq[Seq[Double]]] = {
+    require(m > 0 && ksub > 0, s"m=$m, ksub=$ksub must be positive")
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1]: $sampleFraction")
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val training =
+      if (sampleFraction >= 1.0) emb
+      else emb.filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) <
+        lit((sampleFraction * 1000000L).toLong))
+    val dims = training.select(size(col("embedding"))).head().getInt(0)
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val dsub = dims / m
+    val svArr = array((0 until m).map(s =>
+      slice(col("embedding").cast(ArrayType(DoubleType)),
+        s * dsub + 1, dsub)): _*)
+    val subs = training
+      .select(col("vec_id"), posexplode(svArr).as(Seq("sub", "sv")))
+      .localCheckpoint()
+    // init: per subspace the ksub subvectors with the smallest seeded
+    // hash — same deterministic draw as kmeansCentroids
+    val wi = Window.partitionBy("sub").orderBy(col("h"), col("vec_id"))
+    val initRows = subs.withColumn("h", xxhash64(col("vec_id")))
+      .withColumn("rk", row_number().over(wi)).filter(col("rk") <= ksub)
+      .select("sub", "rk", "sv").collect()
+    require(initRows.nonEmpty, "pqTrain: no training vectors")
+    var books: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      initRows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toSeq).toSeq
+    }
+    def argminExpr(s: Int): Column = {
+      val scores = array(books(s).map { cv =>
+        lit(cv.map(x => x * x).sum) - lit(2.0) *
+          graft.functions.GraftFunctions.vecDot(col("sv"),
+            array(cv.map(lit): _*))
+      }: _*)
+      (array_position(scores, array_min(scores)) - 1).cast("int")
+    }
+    for (_ <- 0 until iters) {
+      val cid = (0 until m).foldLeft(lit(-1): Column) { (acc, s) =>
+        when(col("sub") === s, argminExpr(s)).otherwise(acc)
+      }
+      val means = subs
+        .select(col("sub"), cid.as("cid"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "cid", "pos").agg(
+          (sum(col("x").cast(DecimalType(32, 14))) /
+            count(lit(1))).cast(DoubleType).as("mean"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = books.zipWithIndex.map { case (book, s) =>
+        book.zipWithIndex.map { case (old, j) =>
+          means.get((s, j)) match {
+            case Some(rows) =>
+              rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+            case None => old // empty cluster keeps its centroid
+          }
+        }
+      }
+    }
+    books
+  }
+
+  /** PQ encode: each vector → `m` code ids, the argmin-L2 centroid of
+    * each subspace's codebook. Centroids are plan LITERALS, so this is
+    * MAP-ONLY (plan-asserted) — the 100 TB corpus is encoded in one
+    * scan with no shuffle, and the stored `codes` column is
+    * m·log2(ksub) bits of the original vector.
+    */
+  def pqEncode(emb: DataFrame, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val v = col("embedding").cast(ArrayType(DoubleType))
+    val codes = array((0 until m).map { s =>
+      val sv = slice(v, s * dsub + 1, dsub)
+      val scores = array(codebooks(s).map { cv =>
+        lit(cv.map(x => x * x).sum) - lit(2.0) *
+          graft.functions.GraftFunctions.vecDot(sv, array(cv.map(lit): _*))
+      }: _*)
+      (array_position(scores, array_min(scores)) - 1).cast("int")
+    }: _*)
+    emb.select(col("vec_id"), codes.as("codes"))
+  }
+
+  /** PQ ADC top-k (asymmetric distance computation): each query
+    * precomputes its m×ksub lookup table of exact subspace distances
+    * ‖qsub_s − c_{s,j}‖²; a candidate's approximate distance is then m
+    * table lookups summed over its codes — no candidate vector is ever
+    * decoded. Ranked ascending (L2), ties to the lower id.
+    *
+    * 100 TB shape: the LUT rides the broadcast query frame (|Q|·m·ksub
+    * doubles); candidates scan only their code column — the scored
+    * side never touches float vectors, and the whole score is
+    * expression-level (zip codes with 1..m, element_at into the LUT)
+    * inside whole-stage codegen.
+    */
+  def pqTopK(queries: DataFrame, candidates: DataFrame,
+             codebooks: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val qv = col("embedding").cast(ArrayType(DoubleType))
+    val lut = array((0 until m).map { s =>
+      val sv = slice(qv, s * dsub + 1, dsub)
+      array(codebooks(s).map { cv =>
+        graft.functions.GraftFunctions.vecDot(sv, sv) - lit(2.0) *
+          graft.functions.GraftFunctions.vecDot(sv, array(cv.map(lit): _*)) +
+          lit(cv.map(x => x * x).sum)
+      }: _*)
+    }: _*)
+    val q = queries.select(col("vec_id").as("qid"), lut.as("lut"))
+    val c = pqEncode(candidates, codebooks)
+      .select(col("vec_id").as("cid"), col("codes"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(1), lit(m)),
+            (code, s) => element_at(element_at(col("lut"), s), code + 1)),
+          lit(0.0), (acc, v) => acc + v).as("adist"))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication"): semantic dedup of
     * an embedding corpus. Vectors are k-means-clustered; within each

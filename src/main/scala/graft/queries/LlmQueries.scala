@@ -208,6 +208,21 @@ object LlmOps extends QueryGroup {
         .orderBy("qid", "rn")
     }),
 
+    // PQ (Jégou et al. 2011): m=8 subspaces × ksub=16 codes — vectors
+    // compress 64×float32 → 8 code ids; search is ADC lookups over the
+    // code column only. No oracle (L2 k-means codebooks are
+    // engine-specific); exactness under a perfect codebook, recall vs
+    // exact L2, determinism, and the map-only encode plan are
+    // property-tested in SimilaritySpec.
+    "llm_ann_pq" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val books = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 3)
+      Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb, books, k = 5)
+        .select("qid", "cid", "adist", "rn")
+        .orderBy("qid", "rn")
+    }),
+
     // PERSISTED IVF index — the production ANN shape: the quantizer is
     // trained once and stored as warehouse tables (centroids +
     // inverted lists); a later batch of vectors is assigned MAP-ONLY

@@ -298,6 +298,63 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(run() == top)
   }
 
+  test("pq with a perfect codebook is exact: ADC ≡ true L2 ranking") {
+    // every subspace draws from 4 known subvectors → a codebook that
+    // contains them reconstructs exactly, so ADC = exact distance
+    val dsub = 4; val m = 4
+    val parts = Seq(
+      Seq(0.1f, 0.2f, 0.3f, 0.4f), Seq(-0.5f, 0.1f, 0.0f, 0.2f),
+      Seq(0.9f, -0.3f, 0.5f, -0.1f), Seq(0.0f, 0.0f, 1.0f, 0.0f))
+    val r = new scala.util.Random(11)
+    val data = (0L until 30L).map(i =>
+      (i, (0 until m).flatMap(_ => parts(r.nextInt(4)))))
+    val df = data.toDF("vec_id", "embedding")
+    val books: Seq[Seq[Seq[Double]]] =
+      Seq.fill(m)(parts.map(_.map(_.toDouble)))
+    val got = Similarity.pqTopK(df.filter(col("vec_id") < 3L), df, books, k = 5)
+      .select("qid", "cid", "rn").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    def l2sq(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => val d = x.toDouble - y; d * d }.sum
+    data.take(3).foreach { case (qid, qvec) =>
+      val want = data.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, l2sq(qvec, cv)) }
+        .sortBy { case (cid, dist) => (dist, cid) }.take(5).map(_._1)
+      assert(got(qid) == want, s"query $qid: ${got(qid)} != $want")
+    }
+  }
+
+  test("pqTrain is deterministic; pqEncode is map-only with in-range codes") {
+    val books = Similarity.pqTrain(emb, m = 4, ksub = 8, iters = 3)
+    assert(books.length == 4)
+    assert(books.forall(b => b.length == 8 && b.forall(_.length == dims / 4)))
+    assert(Similarity.pqTrain(emb, m = 4, ksub = 8, iters = 3) == books)
+    val enc = Similarity.pqEncode(emb, books)
+    val codes = enc.collect().map(_.getSeq[Int](1))
+    assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try assert(!enc.queryExecution.executedPlan.toString.contains("Exchange"),
+      "pqEncode must be map-only")
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("pq recall against the exact L2 ranking on trained codebooks") {
+    val books = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 5)
+    val got = Similarity.pqTopK(emb.filter(col("vec_id") < 8L), emb, books, 5)
+      .select("qid", "cid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def l2sq(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => val d = x.toDouble - y; d * d }.sum
+    val recalls = vecs.take(8).map { case (qid, qvec) =>
+      val want = vecs.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, l2sq(qvec, cv)) }
+        .sortBy { case (cid, dist) => (dist, cid) }.take(5).map(_._1).toSet
+      got.getOrElse(qid, Set.empty).intersect(want).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean pq recall@5 = $mean < 0.5")
+  }
+
   test("sq8 top-k recall vs the exact brute force") {
     val queries = emb.filter(col("vec_id") < 8L)
     val exact = Similarity.bruteForceTopKExact(queries, emb, k = 5)

@@ -115,6 +115,45 @@ object Dedup {
       .groupBy("id").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** [[decontaminate]] with a BLOOM pre-filter — the tier for when the
+    * benchmark gram set outgrows a comfortable broadcast hash relation
+    * (a hash set costs ~16+ bytes per distinct gram; a 1%-fpp bloom
+    * filter ~1.2 bytes — at billions of eval-set grams that is the
+    * difference between a 2 GB and a 150 MB broadcast). The filter is
+    * built once on the driver (`stat.bloomFilter`, a distributed
+    * aggregation), ships as a plan literal, and the corpus scan drops
+    * clean documents MAP-ONLY via the codegen'd
+    * [[graft.functions.BloomMightContain]] before any join: only docs
+    * with ≥1 bloom-hit gram reach the exact confirm join. Bloom
+    * filters have NO false negatives, so the result is exactly
+    * [[decontaminate]]'s (same oracle); false positives only cost a
+    * little extra confirm work (bounded by `fpp`).
+    */
+  def decontaminateBloom(train: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String, n: Int,
+                         fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    graft.functions.BloomFunctions.register(train.sparkSession)
+    val benchGrams = gramHashFrame(bench, textCol, n, None)
+      .distinct().localCheckpoint()
+    val bf = benchGrams.stat.bloomFilter("gh",
+      math.max(benchGrams.count(), 1L), fpp)
+    val bytes = graft.functions.BloomFunctions.serialize(bf)
+    // tokens → grams each behind a projection boundary (the
+    // wordNgramHashes O(tokens²) note), grams computed ONCE and shared
+    // by the bloom filter and the explode
+    val candidates = train
+      .select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("id"), wordNgramHashes(col("__tk"), n).as("__g"))
+      .filter(exists(col("__g"), g =>
+        graft.functions.BloomFunctions.mightContain(g, bytes)))
+    candidates.select(col("id"), explode(col("__g")).as("gh"))
+      .join(broadcast(benchGrams), "gh") // exact confirm: kills bloom FPs
+      .distinct()
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Seed or extend the persisted benchmark gram table that
     * `decontaminateIncremental` checks new corpus batches against.
     * Stores one row per DISTINCT xxhash64 gram fingerprint (`gh`);

@@ -27,11 +27,15 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** `events.ts` is parquet timestamp[ns] (FIXTURES.md). Spark's
-    * TimestampType is µs; depending on the session config Spark either
-    * reads NANOS natively (truncating) or needs
-    * `spark.sql.legacy.parquet.nanosAsLong`. DuckDB (the oracle)
-    * truncates ns→µs on read, so we floor-divide to match exactly.
+  /** `events.ts` has been generated as parquet timestamp[ns] in some
+    * rounds and timestamp[us] (no UTC flag → TIMESTAMP_NTZ in Spark 4)
+    * in others; DuckDB (the oracle) reads both as its naive µs
+    * TIMESTAMP. Normalize every variant to Spark's TimestampType so
+    * downstream epoch arithmetic (`cast(LongType)`, range frames,
+    * watermarks) works identically: ns longs floor-divide to µs
+    * exactly like DuckDB's truncation, and NTZ casts to TimestampType
+    * instant-preservingly under the UTC session timezone every entry
+    * point sets.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/events.parquet"
@@ -41,6 +45,7 @@ object Tables {
     val df = s.read.parquet(path)
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _        => df
     }
   }

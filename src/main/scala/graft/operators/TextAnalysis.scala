@@ -193,4 +193,130 @@ object TextAnalysis {
   /** 64-bit-hex document fingerprint over whitespace-normalized text. */
   def fingerprint(text: Column): Column =
     substring(md5(trim(regexp_replace(lower(text), "\\s+", " "))), 1, 16)
+
+  /** WIMBD-style corpus n-gram analysis (Elazar et al. 2023 "What's
+    * In My Big Data?"): the `k` most frequent word `n`-grams
+    * corpus-wide, with occurrence and document-frequency counts —
+    * the first report run over a new crawl (boilerplate, license
+    * headers, and template spam surface at the top).
+    *
+    * 100 TB shape: grams explode map-only; the (gram, doc) pre-agg
+    * and the per-gram rollup are two hash-aggs with map-side
+    * partials (the pre-agg caps any gram's shuffle fan-in at
+    * n_docs); the top-k is TakeOrderedAndProject (plan-asserted in
+    * PlanSpec) — no global sort ever materializes. Ties break by
+    * gram text so ranks are engine-portable. At the extreme, swap
+    * the gram string for xxhash64 in the aggregation and join the
+    * winners back for display (the llm_decontaminate trick).
+    */
+  def ngramTopK(docs: DataFrame, idCol: String, textCol: String,
+                n: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = docs
+      .select(col(idCol).as("doc"),
+        explode(Dedup.wordNgrams(col(textCol), n)).as("gram"))
+      .groupBy("gram", "doc").agg(count(lit(1)).as("c"))
+    val top = perDoc.groupBy("gram")
+      .agg(sum(col("c")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("gram")).limit(k)
+    val w = Window.orderBy(col("n_occurrences").desc, col("gram"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "gram", "n_occurrences", "n_docs")
+  }
+
+  /** Per-document unigram token entropy — the classic
+    * information-density quality signal (near-zero entropy = keyboard
+    * mash / repeated boilerplate; used alongside Gopher's repetition
+    * rules). H = ln N − (Σ c·ln c)/N over per-doc token counts c.
+    *
+    * Determinism across engines: each distinct count's ln quantizes
+    * to a BIGINT (`round(ln·1e6)`, the tfIdfTopK trick), the per-doc
+    * Σ c·ln_q(c) is an exact integer sum (order-insensitive), and the
+    * closing arithmetic is a fixed chain of double ops on exact
+    * integers — portable. One explode + two hash-aggs with map-side
+    * partials; token-less docs drop out (nothing to score), matching
+    * [[perplexityBuckets]].
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") *
+          round(log(col("c").cast("double")) * 1e6).cast("long"))
+          .as("s_q"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        round(log(col("n_tokens").cast("double")) -
+          col("s_q").cast("double") / col("n_tokens") / 1e6, 6)
+          .as("entropy"))
+
+  /** Gopher's n-gram repetition signals (Rae et al. 2021 Table A1,
+    * occurrence-fraction variant): per doc, the share of 2-gram
+    * occurrences taken by the single most frequent 2-gram
+    * (`top_2gram_share`) and the fraction of 3-gram occurrences that
+    * are within-doc repeats (`dup_3gram_frac`) — the companions to
+    * [[gopherReason]]'s token-level rules ([[tokens]]-based like the
+    * rest of the Gopher suite; the paper weights by characters).
+    *
+    * Both gram sizes ride ONE explode (each gram tagged with its n),
+    * then two hash-aggs with map-side partials — the corpus is
+    * scanned once. Docs with a 2-gram but no 3-gram get a NULL
+    * dup_3gram_frac; docs under 2 tokens drop out.
+    */
+  def repetitionNgrams(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    def tagged(n: Int) =
+      transform(Dedup.wordNgrams(col(textCol), n),
+        g => struct(lit(n).as("gn"), g.as("gram")))
+    docs.select(col(idCol),
+        explode(concat(tagged(2), tagged(3))).as("g"))
+      .select(col(idCol), col("g.gn").as("gn"), col("g.gram").as("gram"))
+      .groupBy(idCol, "gn", "gram").agg(count(lit(1)).as("c"))
+      .groupBy(idCol, "gn").agg(
+        max(col("c")).as("mx"), sum(col("c")).as("tot"),
+        count(lit(1)).as("dst"))
+      .groupBy(idCol).agg(
+        max(when(col("gn") === 2,
+          col("mx").cast("double") / col("tot"))).as("top_2gram_share"),
+        max(when(col("gn") === 3,
+          lit(1.0) - col("dst").cast("double") / col("tot")))
+          .as("dup_3gram_frac"))
+  }
+
+  /** Zipf-law fit over the corpus vocabulary — the tokenizer/corpus
+    * health diagnostic: least-squares slope of ln(frequency) against
+    * ln(rank) for the top `k` terms (natural text ≈ −1; template spam
+    * and mode-collapsed synthetic data bend it). Returns one row
+    * (n_terms, zipf_slope).
+    *
+    * The corpus-wide work is explode → hash-agg → TakeOrdered(k);
+    * regression inputs quantize to BIGINTs (x = round(ln rank·1e6),
+    * y = round(ln count·1e6)) so all five regression sums are exact
+    * integer math and the closing slope is one deterministic double
+    * division — engine-portable, the tfIdfTopK trick applied to
+    * least squares.
+    */
+  def zipfSlope(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k)
+    val w = Window.orderBy(col("n").desc, col("token"))
+    top
+      .select(round(log(row_number().over(w).cast("double")) * 1e6)
+          .cast("long").as("x"),
+        round(log(col("n").cast("double")) * 1e6).cast("long").as("y"))
+      .agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("k").as("n_terms"),
+        round((col("k") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("k") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), 6).as("zipf_slope"))
+  }
 }

@@ -578,6 +578,37 @@ object LlmOps extends QueryGroup {
         .orderBy("rank")
     }),
 
+    // WIMBD-style corpus n-gram report (Elazar et al. 2023): the 20
+    // most frequent word 3-grams with occurrence + document-frequency
+    // counts — the boilerplate/template-spam detector run over a new
+    // crawl. Explode → two hash-aggs → TakeOrderedAndProject
+    // (plan-asserted); only the 20-row result sees a window.
+    "llm_ngram_topk" -> ((s, d) =>
+      TextAnalysis.ngramTopK(Tables.documents(s, d), "doc_id", "text",
+        n = 3, k = 20).orderBy("rank")),
+
+    // Per-doc unigram token entropy — the information-density quality
+    // signal. Exact-integer formulation (quantized ln, BIGINT sums)
+    // so the doubles are engine-portable; token-less docs drop out.
+    "llm_token_entropy" -> ((s, d) =>
+      TextAnalysis.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Gopher's n-gram repetition companions to llm_repetition: per
+    // doc top-2-gram occurrence share and duplicated-3-gram fraction.
+    // Both gram sizes ride one explode; docs under 2 tokens drop out.
+    "llm_repetition_ngram" -> ((s, d) =>
+      TextAnalysis.repetitionNgrams(
+        Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Zipf-law fit over the top-100 vocabulary: least-squares slope
+    // of ln(freq) vs ln(rank) — tokenizer/corpus health in one
+    // number (natural text ≈ −1). All regression sums are exact
+    // integer math on quantized logs.
+    "llm_zipf_fit" -> ((s, d) =>
+      TextAnalysis.zipfSlope(Tables.documents(s, d), "text", k = 100)),
+
     // Stratified sampling — per-language quotas, the standard rebalance
     // step in training-data curation. sampleBy is a map-only seeded
     // Bernoulli filter per stratum: no shuffle, scales linearly. No
@@ -1148,6 +1179,80 @@ object LlmOps extends QueryGroup {
         |  CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
         |  1.0 - CAST(count(DISTINCT gram) AS DOUBLE) / count(*) AS dup_rate
         |FROM grams GROUP BY source ORDER BY source""".stripMargin,
+
+    "llm_ngram_topk" ->
+      s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
+         |grams AS (
+         |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+         |  FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN range(1, len(t)-3+2)
+         |                         ELSE CAST([] AS BIGINT[]) END) AS u(i)
+         |), agg AS (
+         |  SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |  FROM grams GROUP BY gram
+         |), top AS (
+         |  SELECT * FROM agg ORDER BY n_occurrences DESC, gram LIMIT 20
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, gram)
+         |    AS BIGINT) AS rank, gram, n_occurrences, n_docs
+         |FROM top ORDER BY rank""".stripMargin,
+
+    "llm_token_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_distinct,
+         |    CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT))
+         |      AS BIGINT) AS s_q
+         |  FROM cnt GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |  round(ln(CAST(n_tokens AS DOUBLE))
+         |    - CAST(s_q AS DOUBLE) / n_tokens / 1e6, 6) AS entropy
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "llm_repetition_ngram" ->
+      s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
+         |grams AS (
+         |  SELECT doc_id, 2 AS gn, array_to_string(t[i:i+1], ' ') AS gram
+         |  FROM toks, UNNEST(CASE WHEN len(t) >= 2 THEN range(1, len(t)-2+2)
+         |                         ELSE CAST([] AS BIGINT[]) END) AS u(i)
+         |  UNION ALL
+         |  SELECT doc_id, 3 AS gn, array_to_string(t[i:i+2], ' ') AS gram
+         |  FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN range(1, len(t)-3+2)
+         |                         ELSE CAST([] AS BIGINT[]) END) AS u(i)
+         |), cnt AS (
+         |  SELECT doc_id, gn, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3
+         |), per AS (
+         |  SELECT doc_id, gn, max(c) AS mx, sum(c) AS tot, count(*) AS dst
+         |  FROM cnt GROUP BY 1, 2
+         |)
+         |SELECT doc_id,
+         |  max(CASE WHEN gn = 2 THEN CAST(mx AS DOUBLE) / tot END)
+         |    AS top_2gram_share,
+         |  max(CASE WHEN gn = 3 THEN 1.0 - CAST(dst AS DOUBLE) / tot END)
+         |    AS dup_3gram_frac
+         |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_zipf_fit" ->
+      s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),
+         |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+         |        FROM tok GROUP BY token),
+         |top AS (SELECT * FROM cnt ORDER BY n DESC, token LIMIT 100),
+         |xy AS (
+         |  SELECT
+         |    CAST(round(ln(CAST(row_number()
+         |        OVER (ORDER BY n DESC, token) AS DOUBLE)) * 1e6) AS BIGINT)
+         |      AS x,
+         |    CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS y
+         |  FROM top
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         |  round(CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE) /
+         |        CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE), 6)
+         |    AS zipf_slope
+         |FROM xy""".stripMargin,
 
     "llm_line_dedup" ->
       """WITH toks AS (

@@ -323,6 +323,7 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
 
   test("perplexityBuckets: terciles are per-language and exhaustive") {
     import graft.operators.TextAnalysis
+    import spark.implicits._
     val out = TextAnalysis.perplexityBuckets(docs, "doc_id", "text", "lang")
     val n = out.count()
     assert(n > 0 && n <= docs.count()) // token-less docs drop out
@@ -348,5 +349,74 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       }
       assert(exchanges.isEmpty, plan.toString.take(2000))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("tokenEntropy: uniform doc = ln(n_distinct), constant doc = 0, " +
+      "token-less docs drop") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"),     // 4 distinct, uniform → ln 4
+      (2L, "a a a a a"),   // constant → 0
+      (3L, "...!!!")       // tokenizes empty → dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(math.abs(got(0).getDouble(3) - math.log(4)) < 1e-5)
+    assert(got(0).getLong(1) == 4 && got(0).getLong(2) == 4)
+    assert(got(1).getDouble(3) == 0.0 && got(1).getLong(2) == 1)
+  }
+
+  test("repetitionNgrams: fully repeated text maxes both signals; " +
+      "all-distinct grams zero the dup fraction") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x y x y x y x y"), // 2-grams: "x y"×4,"y x"×3 → top 4/7;
+                               // 3-grams: 2 distinct over 6 → dup 4/6
+      (2L, "a b c d e"),       // all grams distinct → dup 0
+      (3L, "p q")              // one 2-gram, no 3-gram → NULL dup
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionNgrams(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(math.abs(got(0).getDouble(1) - 4.0 / 7) < 1e-9)
+    assert(math.abs(got(0).getDouble(2) - 4.0 / 6) < 1e-9)
+    assert(got(1).getDouble(2) == 0.0)
+    assert(math.abs(got(1).getDouble(1) - 1.0 / 4) < 1e-9)
+    assert(got(2).getDouble(1) == 1.0 && got(2).isNullAt(2))
+  }
+
+  test("ngramTopK: counts occurrences and doc frequency, ranks with " +
+      "gram tie-break") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c a b c"),  // "a b c"×2, "b c a"×1
+      (2L, "a b c z z z")   // "a b c"×1, "c z z", "z z z", "b c z"
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramTopK(df, "doc_id", "text", n = 3, k = 3)
+      .orderBy("rank").collect()
+    assert(got(0).getString(1) == "a b c")
+    assert(got(0).getLong(2) == 3 && got(0).getLong(3) == 2)
+    assert(got(1).getLong(2) == 1) // ties at 1 occurrence, gram order
+    assert(got(1).getString(1) < got(2).getString(1))
+  }
+
+  test("zipfSlope: an exact power-law vocabulary recovers its exponent") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // counts 64,32,16,8,4,2,1 at ranks 1..7 → ln f = ln 64 − ln2·ln r/…
+    // freq(r) = 2^(7−r) is NOT a pure power law in r; use f(r)=c/r:
+    // tokens t1..t8 with counts 840/r → slope ≈ −1
+    val rows = (1 to 8).flatMap { r =>
+      Seq.fill(840 / r)((r.toLong, f"t$r%02d"))
+    }
+    val df = rows.toDF("doc_id", "text")
+    val got = TextAnalysis.zipfSlope(df, "text", k = 8).collect()(0)
+    assert(got.getLong(0) == 8)
+    // 840/r isn't exactly c·r^-1 after integer floor; tolerance 2%
+    assert(math.abs(got.getDouble(1) + 1.0) < 0.02,
+      s"slope ${got.getDouble(1)}")
   }
 }

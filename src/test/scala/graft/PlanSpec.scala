@@ -171,4 +171,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("llm_ngram_topk and llm_zipf_fit take their top-k via " +
+      "TakeOrdered — no global sort of the vocabulary/gram frame") {
+    for (key <- Seq("llm_ngram_topk", "llm_zipf_fit")) {
+      val p = plan(key)
+      assert(p.contains("TakeOrderedAndProject"), s"$key: ${p.take(2000)}")
+    }
+  }
+
+  test("llm_repetition_ngram scans the corpus once (both gram sizes " +
+      "ride one explode, no self-join)") {
+    val p = plan("llm_repetition_ngram")
+    assert(!p.contains("Join"), p.take(2000))
+    assert("FileScan|Scan parquet".r.findAllIn(p).size <= 1, p.take(2000))
+  }
 }

@@ -306,4 +306,42 @@ object Curation {
         .when(tooFew, "too_few_lines").otherwise("kept").as("reason"),
       nullif(array_join(kept, joinSep), lit("")).as("text"))
   }
+
+  /** Sliding-window chunking with overlap — the retrieval-corpus /
+    * context-window prep step (RAG ingestion, long-doc training
+    * splits): each doc becomes windows of up to `chunkSize` tokens
+    * whose starts step by `stride` (stride < chunkSize ⇒ consecutive
+    * chunks share `chunkSize − stride` boundary tokens, so no answer
+    * span is ever cut without a copy that contains it whole).
+    *
+    * One row per chunk: (id, chunk_id, start_tok, n_chunk_tokens,
+    * chunk_text); chunk starts are 0-based multiples of `stride`
+    * strictly below the doc's token count, so token-less docs emit
+    * nothing and every token lands in ≥1 chunk. Entirely MAP-ONLY
+    * (tokens → transform over a start sequence → posexplode);
+    * the only shuffle a pipeline sees is its writer's partitionBy.
+    * Deterministic integer arithmetic end-to-end — the DuckDB oracle
+    * replays chunk boundaries and text exactly.
+    */
+  def chunkSliding(df: DataFrame, idCol: String, textCol: String,
+                   chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1: $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize]: $stride")
+    val tk = col("__tk")
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .filter(size(tk) >= 1)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), size(tk) - 1, lit(stride)),
+          s => struct(
+            s.cast(LongType).as("start_tok"),
+            least(lit(chunkSize), size(tk) - s).cast(LongType)
+              .as("n_chunk_tokens"),
+            concat_ws(" ", slice(tk, s + 1, lit(chunkSize)))
+              .as("chunk_text")))))
+      .select(col(idCol), col("pos").cast(LongType).as("chunk_id"),
+        col("col.start_tok"), col("col.n_chunk_tokens"),
+        col("col.chunk_text"))
+  }
 }

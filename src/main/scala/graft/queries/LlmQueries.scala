@@ -111,6 +111,22 @@ object LlmOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // Bloom-prefilter decontamination tier: the benchmark gram set
+    // ships as a ~1.2-byte-per-gram bloom literal instead of a hash
+    // relation, clean docs drop map-only inside the scan stage, and
+    // only bloom-hit docs reach the exact confirm join. Blooms have no
+    // false negatives and the confirm join kills false positives, so
+    // the result — and the oracle — are exactly llm_decontaminate's.
+    "llm_decontaminate_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // integer-quantized exact form: cross-engine bit-identical with no
     // round() (the rounded-DECIMAL form flipped a 6th-decimal boundary
     // row at sf0.1)
@@ -620,6 +636,16 @@ object LlmOps extends QueryGroup {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // Sliding-window chunking with overlap — RAG / long-doc-training
+    // prep: windows of up to 8 tokens stepping by 6, so consecutive
+    // chunks share 2 boundary tokens. Map-only (plan-asserted in
+    // CurationSpec); chunk boundaries are exact integer arithmetic
+    // the oracle replays verbatim.
+    "llm_chunk_sliding" -> ((s, d) =>
+      Curation.chunkSliding(Tables.documents(s, d), "doc_id", "text",
+        chunkSize = 8, stride = 6)
+        .orderBy("doc_id", "chunk_id")),
+
     // Sequence packing — contiguous docs binned into ~512-token packs,
     // the step before training-batch assembly. Shards (doc_id ranges)
     // pack independently, so the running-sum window is per-shard and
@@ -851,6 +877,20 @@ object LlmOps extends QueryGroup {
          |ORDER BY doc_a""".stripMargin,
 
     "llm_decontaminate" ->
+      s"""WITH grams AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3 + 2),
+         |      i -> array_to_string(tk[i:i+2], ' '))) AS gram
+         |  FROM (SELECT doc_id, $toks AS tk FROM documents) t
+         |  WHERE len(tk) >= 3),
+         |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+         |train AS (
+         |  SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 20 <> 0)
+         |SELECT t.doc_id, count(*) AS n_shared
+         |FROM train t JOIN bench b USING (gram)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // bloom prefilter ≡ exact: no false negatives, FPs confirmed away
+    "llm_decontaminate_bloom" ->
       s"""WITH grams AS (
          |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3 + 2),
          |      i -> array_to_string(tk[i:i+2], ' '))) AS gram
@@ -1435,6 +1475,18 @@ object LlmOps extends QueryGroup {
          |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
          |  END AS ppl_bucket
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "llm_chunk_sliding" ->
+      s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
+         |st AS (
+         |  SELECT doc_id, t, u.s FROM toks,
+         |  UNNEST(range(0, len(t), 6)) AS u(s)
+         |)
+         |SELECT doc_id, CAST(s // 6 AS BIGINT) AS chunk_id,
+         |  CAST(s AS BIGINT) AS start_tok,
+         |  CAST(LEAST(8, len(t) - s) AS BIGINT) AS n_chunk_tokens,
+         |  array_to_string(t[s+1:s+8], ' ') AS chunk_text
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
 
     "llm_pack_chunks" ->
       """WITH t AS (

@@ -403,6 +403,41 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1).getString(1) < got(2).getString(1))
   }
 
+  test("chunkSliding: overlap, boundaries, tails, and empty docs") {
+    import graft.operators.Curation
+    import spark.implicits._
+    val df = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6"), // 7 toks, size 4 stride 2 → 4 chunks
+      (2L, "a b"),                  // shorter than one chunk → 1 chunk
+      (3L, "...")                   // tokenizes empty → no chunks
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkSliding(df, "doc_id", "text", 4, 2)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 2L, 4L, "t2 t3 t4 t5"),
+      (1L, 2L, 4L, 3L, "t4 t5 t6"),
+      (1L, 3L, 6L, 1L, "t6"),
+      (2L, 0L, 0L, 2L, "a b")))
+    // consecutive chunks overlap by chunkSize − stride tokens, and
+    // every token of doc 1 appears in at least one chunk
+    val covered = got.filter(_._1 == 1L)
+      .flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (0L until 7L).toSet)
+    intercept[IllegalArgumentException] {
+      Curation.chunkSliding(df, "doc_id", "text", 4, 5) // stride > size
+    }
+  }
+
+  test("chunkSliding is map-only: no exchange anywhere in the plan") {
+    import graft.operators.Curation
+    val out = Curation.chunkSliding(docs, "doc_id", "text", 8, 6)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
   test("zipfSlope: an exact power-law vocabulary recovers its exponent") {
     import graft.operators.TextAnalysis
     import spark.implicits._

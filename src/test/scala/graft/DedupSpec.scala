@@ -337,6 +337,49 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("decontaminateBloom ≡ decontaminate (no false negatives, FPs " +
+      "killed by the confirm join) at loose and tight fpp") {
+    for (seed <- Seq(41, 42); fpp <- Seq(0.5, 0.01)) {
+      val docs = randomDocs(seed, 40).toDF("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 5 === 0)
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val exact = Dedup.decontaminate(train, bench, "doc_id", "text", n = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val bloom = Dedup.decontaminateBloom(train, bench, "doc_id", "text",
+        n = 2, fpp = fpp)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(bloom == exact, s"seed=$seed fpp=$fpp")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.decontaminateBloom(
+        Seq((1L, "a b c")).toDF("doc_id", "text"),
+        Seq((2L, "a b c")).toDF("doc_id", "text"),
+        "doc_id", "text", n = 2, fpp = 1.5)
+    }
+  }
+
+  test("decontaminateBloom prefilter is a codegen'd scan-stage filter " +
+      "ahead of the broadcast confirm join") {
+    // parquet-backed fixture: over a local Seq relation the optimizer
+    // would constant-fold the whole map-only prefilter away
+    val base = java.nio.file.Paths.get("/root/repo/target/scratch-test")
+    java.nio.file.Files.createDirectories(base)
+    val dir = java.nio.file.Files.createTempDirectory(base, "bloom").toString
+    randomDocs(43, 30).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val out = Dedup.decontaminateBloom(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", n = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    // the bloom membership test runs as a Filter expression (inside
+    // whole-stage codegen), and the exact confirm is still a broadcast
+    // join — the corpus is never shuffled by gram
+    assert(plan.contains("graft_bloom_might_contain"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("incremental decontamination ≡ one-shot over any batch split") {
     for (seed <- Seq(21, 22)) {
       val docs = randomDocs(seed, 40).toDF("doc_id", "text")

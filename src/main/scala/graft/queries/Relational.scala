@@ -95,6 +95,37 @@ object Scans extends QueryGroup {
         .orderBy("event_type")
     }),
 
+    // Z-order-clustered write (the Delta/Iceberg OPTIMIZE ZORDER
+    // layout): lineitem rewritten along a Morton curve over
+    // (l_partkey, l_suppkey) so every output file covers a small
+    // rectangle of the key space — parquet min/max stats then prune
+    // scans filtered on EITHER column (a single-column sort prunes
+    // only its own). One range exchange + per-partition sort; bounds
+    // ride a 1-row broadcast. ZOrderSpec asserts the skipping
+    // actually works (per-file extents shrink on both dims). The
+    // oracle replays quantize+interleave bit-for-bit and the
+    // round-trip proves the written data is intact.
+    "sink_zorder" -> ((s, d) => {
+      import graft.operators.ZOrder
+      val out = tmpDir("graft_sink_zorder")
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      val bounds = li.agg(
+        min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+        min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+      val z = ZOrder.interleave(Seq(
+        ZOrder.quantize(col("l_partkey"), col("pmin"), col("pmax"), 8),
+        ZOrder.quantize(col("l_suppkey"), col("smin"), col("smax"), 8)),
+        bits = 8)
+      ZOrder.clusteredWrite(li.crossJoin(broadcast(bounds)), z,
+        s"$out/t", numFiles = 8)
+      s.read.parquet(s"$out/t")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "zval")
+        .orderBy("zval", "l_orderkey", "l_linenumber", "l_partkey",
+          "l_suppkey")
+    }),
+
     // Other dbt-spark file formats (model config `file_format`): each
     // writes the format, re-reads, and aggregates — proving the full
     // round-trip, with the oracle computed from the source table.
@@ -183,6 +214,24 @@ object Scans extends QueryGroup {
     "create_view" ->
       """SELECT n_name, r_name FROM nation
         |JOIN region ON n_regionkey = r_regionkey ORDER BY n_name""".stripMargin,
+
+    "sink_zorder" -> {
+      import graft.operators.ZOrder
+      val q = (c: String, lo: String, hi: String) =>
+        s"CASE WHEN $hi = $lo THEN 0 ELSE " +
+          s"CAST(FLOOR(($c - $lo) * 255 / ($hi - $lo)) AS BIGINT) END"
+      s"""WITH b AS (
+         |  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         |    min(l_suppkey) AS smin, max(l_suppkey) AS smax
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  ${ZOrder.interleaveSql(Seq(
+               q("l_partkey", "pmin", "pmax"),
+               q("l_suppkey", "smin", "smax")), bits = 8)} AS zval
+         |FROM lineitem, b
+         |ORDER BY zval, l_orderkey, l_linenumber, l_partkey,
+         |  l_suppkey""".stripMargin
+    },
 
     "sink_orc" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -142,6 +142,29 @@ object Aggregates extends QueryGroup {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))),
 
+    // Mergeable-sketch pre-aggregation — the Druid/Snowflake rollup
+    // pattern that makes distinct counts incremental at 100 TB: a
+    // small persisted table of per-(flag, month) HLL sketches answers
+    // ANY coarser distinct-count query by sketch UNION, never
+    // rescanning the fact table (a new month appends one sketch row;
+    // partials also make the distinct-count commutative across
+    // late/backfilled partitions). No oracle (Datasketches binary is
+    // engine-specific); ApproxAndSampleSpec proves merged ≡ direct
+    // sketch estimates and bounds the error vs exact.
+    "agg_hll_partial" -> ((s, d) => {
+      val partials = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          date_trunc("month", col("l_shipdate")).as("m"))
+        .agg(hll_sketch_agg(col("l_partkey"), 12).as("sk"))
+      partials
+        .groupBy("l_returnflag")
+        .agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"), false))
+            .as("approx_parts"),
+          count(lit(1)).as("n_partials"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_having" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_suppkey")

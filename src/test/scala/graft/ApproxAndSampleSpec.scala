@@ -20,6 +20,32 @@ class ApproxAndSampleSpec extends AnyFunSuite with SparkTestBase {
       s"approx=$approx exact=$exact")
   }
 
+  test("hll sketch partials merge losslessly: union-of-partials ≡ " +
+      "direct sketch, estimate within bound of exact") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    // partial: one sketch per (flag, month); merged: union per flag —
+    // must equal sketching the flag's rows directly (register-max is
+    // associative), proving a new month can append without a rescan
+    val merged = li
+      .groupBy(col("l_returnflag"),
+        date_trunc("month", col("l_shipdate")).as("m"))
+      .agg(hll_sketch_agg(col("l_partkey"), 12).as("sk"))
+      .groupBy("l_returnflag")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), false)).as("est"))
+    val direct = li.groupBy("l_returnflag")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), 12))
+        .as("est"))
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n"))
+    val m = merged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dir = direct.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ex = exact.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == dir, s"merged=$m direct=$dir")
+    for ((k, e) <- ex)
+      assert(math.abs(m(k) - e).toDouble / e <= 0.10,
+        s"$k: merged=${m(k)} exact=$e")
+  }
+
   test("sample with a fixed seed is deterministic") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val a = li.sample(withReplacement = false, 0.1, seed = 42).count()

@@ -186,9 +186,15 @@ object Curation {
     * by the same md5 bucket [[hashBucket]] routes on — deterministic
     * and engine-portable, never engine RNG. Map-only (a transform
     * over the token array; no explode until the caller aggregates).
+    *
+    * Takes the TOKEN ARRAY column, not the text: the bigram lambda
+    * references the array per element, so an inlined `tokens(text)`
+    * would re-run the tokenizer regex per bigram — O(tokens²) per
+    * doc, the [[Dedup.wordNgramHashes]] pathology (measured ~5× on
+    * llm_dsir_score at sf0.1). Callers materialize tokens once
+    * behind a projection boundary.
     */
-  def dsirFeatures(text: Column, k: Int): Column = {
-    val tk = TextAnalysis.tokens(text)
+  def dsirFeatures(tk: Column, k: Int): Column = {
     val bi = when(size(tk) >= 2,
       transform(sequence(lit(1), size(tk) - 1),
         i => concat_ws(" ", slice(tk, i, lit(2)))))
@@ -215,7 +221,9 @@ object Curation {
     require(k > 0, "k must be positive")
     val dist = df
       .select(targetPred.as("__t"),
-        explode(dsirFeatures(col(textCol), k)).as("bucket"))
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("__t"),
+        explode(dsirFeatures(col("__tk"), k)).as("bucket"))
       .groupBy("bucket")
       .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("n_target"),
         count(lit(1)).as("n_raw"))
@@ -248,8 +256,9 @@ object Curation {
                 targetPred: Column, k: Int = 1024): DataFrame = {
     val wtab = dsirWeights(df, textCol, targetPred, k)
       .select(col("bucket"), col("logw_q"))
-    df.select(col(idCol),
-        explode(dsirFeatures(col(textCol), k)).as("bucket"))
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol),
+        explode(dsirFeatures(col("__tk"), k)).as("bucket"))
       .join(broadcast(wtab), "bucket")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_feats"),

@@ -121,13 +121,22 @@ object Dedup {
     * filter ~1.2 bytes — at billions of eval-set grams that is the
     * difference between a 2 GB and a 150 MB broadcast). The filter is
     * built once on the driver (`stat.bloomFilter`, a distributed
-    * aggregation), ships as a plan literal, and the corpus scan drops
-    * clean documents MAP-ONLY via the codegen'd
-    * [[graft.functions.BloomMightContain]] before any join: only docs
-    * with ≥1 bloom-hit gram reach the exact confirm join. Bloom
+    * aggregation), ships as a plan literal, and every exploded corpus
+    * gram is membership-tested MAP-ONLY via the codegen'd
+    * [[graft.functions.BloomMightContain]] before any join: only
+    * bloom-hit grams reach the exact confirm join's hash probe. Bloom
     * filters have NO false negatives, so the result is exactly
     * [[decontaminate]]'s (same oracle); false positives only cost a
     * little extra confirm work (bounded by `fpp`).
+    *
+    * The filter sits AFTER the explode (per gram), not on the per-doc
+    * gram array: an array-level `exists` prefilter references the
+    * gram array from both the filter and the downstream explode,
+    * and predicate pushdown inlines the gram computation into the
+    * filter — re-running the tokenizer regex per doc twice and
+    * defeating the tokens-materialized-once boundary (measured >10×
+    * at sf0.1). Per-gram filtering keeps one linear computation and
+    * the same no-false-negative guarantee.
     */
   def decontaminateBloom(train: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String, n: Int,
@@ -139,16 +148,8 @@ object Dedup {
     val bf = benchGrams.stat.bloomFilter("gh",
       math.max(benchGrams.count(), 1L), fpp)
     val bytes = graft.functions.BloomFunctions.serialize(bf)
-    // tokens → grams each behind a projection boundary (the
-    // wordNgramHashes O(tokens²) note), grams computed ONCE and shared
-    // by the bloom filter and the explode
-    val candidates = train
-      .select(col(idCol).as("id"),
-        TextAnalysis.tokens(col(textCol)).as("__tk"))
-      .select(col("id"), wordNgramHashes(col("__tk"), n).as("__g"))
-      .filter(exists(col("__g"), g =>
-        graft.functions.BloomFunctions.mightContain(g, bytes)))
-    candidates.select(col("id"), explode(col("__g")).as("gh"))
+    gramHashFrame(train, textCol, n, Some(idCol))
+      .filter(graft.functions.BloomFunctions.mightContain(col("gh"), bytes))
       .join(broadcast(benchGrams), "gh") // exact confirm: kills bloom FPs
       .distinct()
       .groupBy("id").agg(count(lit(1)).as("n_shared"))

@@ -265,16 +265,26 @@ object TextAnalysis {
     * then two hash-aggs with map-side partials — the corpus is
     * scanned once. Docs with a 2-gram but no 3-gram get a NULL
     * dup_3gram_frac; docs under 2 tokens drop out.
+    *
+    * Grams travel as xxhash64 fingerprints of the token-array slice,
+    * never as strings (counting only needs identity; the string form
+    * measured 5× slower at sf0.1 — [[Dedup.wordNgramHashes]]'s
+    * trick), and tokens materialize ONCE behind a projection
+    * boundary so the per-gram lambda never re-runs the tokenizer.
     */
   def repetitionNgrams(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
+    val tk = col("__tk")
     def tagged(n: Int) =
-      transform(Dedup.wordNgrams(col(textCol), n),
-        g => struct(lit(n).as("gn"), g.as("gram")))
-    docs.select(col(idCol),
-        explode(concat(tagged(2), tagged(3))).as("g"))
-      .select(col(idCol), col("g.gn").as("gn"), col("g.gram").as("gram"))
-      .groupBy(idCol, "gn", "gram").agg(count(lit(1)).as("c"))
+      when(size(tk) >= n,
+        transform(sequence(lit(1), size(tk) - n + 1),
+          i => struct(lit(n).as("gn"),
+            xxhash64(slice(tk, i, lit(n))).as("gh"))))
+        .otherwise(array().cast("array<struct<gn:int,gh:bigint>>"))
+    docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), explode(concat(tagged(2), tagged(3))).as("g"))
+      .select(col(idCol), col("g.gn").as("gn"), col("g.gh").as("gh"))
+      .groupBy(idCol, "gn", "gh").agg(count(lit(1)).as("c"))
       .groupBy(idCol, "gn").agg(
         max(col("c")).as("mx"), sum(col("c")).as("tot"),
         count(lit(1)).as("dst"))
@@ -284,6 +294,55 @@ object TextAnalysis {
         max(when(col("gn") === 3,
           lit(1.0) - col("dst").cast("double") / col("tot")))
           .as("dup_3gram_frac"))
+  }
+
+  /** PMI collocation mining — the classic corpus-analysis tool for
+    * multiword expressions ("new york", "machine learning"):
+    * adjacent-token bigrams scored by pointwise mutual information
+    * ln(p(a,b) / (p(a)·p(b))), high-PMI pairs co-occur far more than
+    * their unigram frequencies predict. `minCount` floors the bigram
+    * count (PMI is noise-maximal at count 1); top `k` by PMI.
+    *
+    * Engine-portable scoring: every ln quantizes to a BIGINT
+    * (`round(ln·1e6)`) and PMI assembles as exact integer
+    * addition — pmi_q = ln_q(c_ab) − ln_q(N_bi) − ln_q(c_a) −
+    * ln_q(c_b) + 2·ln_q(N_uni) — so ranking never compares noisy
+    * doubles. 100 TB shape: one corpus scan feeds both explodes
+    * (map-only); unigram and bigram counts are hash-aggs with
+    * map-side partials; the two count-attach joins shuffle only
+    * VOCABULARY-sized frames on the token (no small-vocab broadcast
+    * assumption — same discipline as tfIdfTopK); the scalar totals
+    * ride a 1-row broadcast; the final top-k is
+    * TakeOrderedAndProject (plan-asserted), never a global sort.
+    */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long,
+                   k: Int): DataFrame = {
+    val lnQ = (c: Column) => round(log(c.cast("double")) * 1e6).cast("long")
+    val tk = col("__tk")
+    val toks = docs.select(tokens(col(textCol)).as("__tk"))
+    val uni = toks.select(explode(tk).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    // adjacent-token pairs: one transform over positions, map-only
+    val pairs = toks.filter(size(tk) >= 2)
+      .select(explode(transform(sequence(lit(1), size(tk) - 1),
+        i => struct(element_at(tk, i).as("a"),
+          element_at(tk, i + 1).as("b")))).as("g"))
+      .select(col("g.a").as("a"), col("g.b").as("b"))
+    val bi = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    // scalar totals from ONE tiny agg over the token arrays — no
+    // second explode: N_uni = Σ len, N_bi = Σ (len − 1)
+    val totals = broadcast(toks.agg(
+      lnQ(sum(size(tk))).as("ln_nu"),
+      lnQ(sum(greatest(size(tk) - 1, lit(0)))).as("ln_nb")))
+    bi
+      .join(uni.select(col("t").as("a"), lnQ(col("c")).as("ln_ca")), "a")
+      .join(uni.select(col("t").as("b"), lnQ(col("c")).as("ln_cb")), "b")
+      .crossJoin(totals)
+      .select(col("a"), col("b"), col("c_ab"),
+        (lnQ(col("c_ab")) - col("ln_nb") - col("ln_ca") - col("ln_cb") +
+          lit(2L) * col("ln_nu")).as("pmi_q"))
+      .orderBy(col("pmi_q").desc, col("a"), col("b")).limit(k)
   }
 
   /** Zipf-law fit over the corpus vocabulary — the tokenizer/corpus

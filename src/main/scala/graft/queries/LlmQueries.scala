@@ -618,6 +618,16 @@ object LlmOps extends QueryGroup {
         Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // PMI collocation mining: adjacent-token bigrams scored by
+    // pointwise mutual information — multiword-expression discovery.
+    // Quantized-ln integer scoring (engine-portable ranking); top-50
+    // via TakeOrderedAndProject; count-attach joins shuffle only
+    // vocabulary-sized frames.
+    "llm_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(Tables.documents(s, d), "text",
+        minCount = 5, k = 50)
+        .orderBy(col("pmi_q").desc, col("a"), col("b"))),
+
     // Zipf-law fit over the top-100 vocabulary: least-squares slope
     // of ln(freq) vs ln(rank) — tokenizer/corpus health in one
     // number (natural text ≈ −1). All regression sums are exact
@@ -1274,6 +1284,30 @@ object LlmOps extends QueryGroup {
          |  max(CASE WHEN gn = 3 THEN 1.0 - CAST(dst AS DOUBLE) / tot END)
          |    AS dup_3gram_frac
          |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_collocations" ->
+      s"""WITH toks AS (SELECT $toks AS t FROM documents),
+         |uni AS (SELECT u.t AS tok, count(*) AS c
+         |        FROM toks, UNNEST(t) AS u(t) GROUP BY 1),
+         |p AS (SELECT t[i] AS a, t[i+1] AS b
+         |      FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+         |bi AS (SELECT a, b, count(*) AS c_ab FROM p GROUP BY 1, 2
+         |       HAVING count(*) >= 5),
+         |tot AS (SELECT
+         |  CAST(round(ln(sum(len(t))) * 1e6) AS BIGINT) AS ln_nu,
+         |  CAST(round(ln(sum(GREATEST(len(t) - 1, 0))) * 1e6) AS BIGINT)
+         |    AS ln_nb
+         |  FROM toks),
+         |s AS (
+         |  SELECT bi.a, bi.b, bi.c_ab,
+         |    CAST(round(ln(bi.c_ab) * 1e6) AS BIGINT) - tot.ln_nb
+         |      - CAST(round(ln(ua.c) * 1e6) AS BIGINT)
+         |      - CAST(round(ln(ub.c) * 1e6) AS BIGINT)
+         |      + 2 * tot.ln_nu AS pmi_q
+         |  FROM bi JOIN uni ua ON ua.tok = bi.a
+         |           JOIN uni ub ON ub.tok = bi.b, tot)
+         |SELECT a, b, c_ab, pmi_q FROM s
+         |ORDER BY pmi_q DESC, a, b LIMIT 50""".stripMargin,
 
     "llm_zipf_fit" ->
       s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),

@@ -438,6 +438,39 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("collocations: bound pairs outrank frequent-but-independent " +
+      "pairs; minCount floors the noise") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // "aa bb" always co-occur (8×, each token only in the pair);
+    // "xx yy" co-occur 2× but both tokens are common everywhere
+    val fill = (1 to 10).map(i => s"xx f$i yy g$i").mkString(" ")
+    val df = Seq(
+      (1L, Seq.fill(8)("aa bb").mkString(" ") + " " + fill),
+      (2L, "xx yy " + fill),
+      (3L, "xx yy rare1 rare2")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(df, "text", minCount = 2, k = 100)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.head._1 == "aa" && got.head._2 == "bb" && got.head._3 == 8L)
+    assert(got.exists(p => p._1 == "xx" && p._2 == "yy"))
+    // rare1/rare2 co-occur once — under minCount, never emitted
+    assert(!got.exists(p => p._1 == "rare1"))
+    // PMI(aa,bb) hand-check: c_ab=8, c_a=c_b=8 (each aa/bb token
+    // only ever appears in the repeated pair) — quantized-integer
+    // assembly recomputed from the data
+    val nUni = df.select(TextAnalysis.tokens(col("text"))).collect()
+      .map(_.getSeq[String](0).size).sum
+    val nBi = df.select(TextAnalysis.tokens(col("text"))).collect()
+      .map(r => math.max(r.getSeq[String](0).size - 1, 0)).sum
+    def q(x: Double) = math.round(math.log(x) * 1e6)
+    val expected = q(8) - q(nBi.toDouble) - q(8) - q(8) +
+      2 * q(nUni.toDouble)
+    val gotPmi = TextAnalysis.collocations(df, "text", 2, 100)
+      .filter(col("a") === "aa").collect()(0).getLong(3)
+    assert(gotPmi == expected, s"got $gotPmi expected $expected")
+  }
+
   test("zipfSlope: an exact power-law vocabulary recovers its exponent") {
     import graft.operators.TextAnalysis
     import spark.implicits._

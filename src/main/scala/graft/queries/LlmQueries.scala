@@ -324,6 +324,41 @@ object LlmOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // SEMANTIC decontamination — the embedding-space companion to the
+    // n-gram suite (paraphrased eval leakage that shares no 8-gram):
+    // a training vector is contaminated when its cosine to ANY
+    // benchmark embedding reaches tau. Per train vec: hit count +
+    // first hit id. Exact integer quantization (llm_embed_neardup's
+    // trick: round(x·10⁷) values; products/sums stay < 2^53 so the
+    // codegen'd vecDot on those doubles is EXACT integer arithmetic,
+    // engine-portable). Norms precompute per side — one dot per
+    // pair. Bench side broadcasts (eval sets are small); only hits
+    // reach the shuffle. Declared brute-force tier; the unbounded
+    // scale path is LSH bucketing (Similarity.cosineNearDupPairs).
+    "llm_decontaminate_semantic" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val dot = graft.functions.GraftFunctions.vecDot(_, _)
+      def q(v: org.apache.spark.sql.Column) =
+        transform(v, x => round(x.cast(DoubleType) * 1e7))
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), q(col("embedding")).as("qv"))
+      val bench = emb.filter(col("vec_id") % 200 === 0)
+        .select(col("vec_id").as("b"), col("qv").as("vb"),
+          dot(col("qv"), col("qv")).as("n2b"))
+      val train = emb.filter(col("vec_id") % 200 =!= 0)
+        .select(col("vec_id"), col("qv").as("va"),
+          dot(col("qv"), col("qv")).as("n2a"))
+      train.crossJoin(broadcast(bench))
+        .select(col("vec_id"), col("b"), dot(col("va"), col("vb")).as("d"),
+          col("n2a"), col("n2b"))
+        .filter(col("d") > 0 &&
+          col("d") * col("d") >= lit(0.04) * col("n2a") * col("n2b"))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("n_bench_hits"),
+          min(col("b")).as("first_bench_id"))
+        .orderBy("vec_id")
+    }),
+
     // Embedding-cosine near-dup on a bounded id range, fully integer-
     // exact for the oracle: each float is quantized to a scaled BIGINT
     // (round(x·10⁷) — float→double is exact binary on both engines and
@@ -1005,6 +1040,32 @@ object LlmOps extends QueryGroup {
         |  FROM sums)
         |SELECT qid, cid, acos, rn FROM ranked WHERE rn <= 5
         |ORDER BY qid, rn""".stripMargin,
+
+    // hits are integer-exact (sums < 2^53); the comparison squares
+    // mirror Spark's IEEE double multiplies via explicit DOUBLE casts
+    "llm_decontaminate_semantic" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT t.vec_id, b.vec_id AS b, t.qv AS qa, b.qv AS qb
+        |  FROM e t JOIN e b ON t.vec_id % 200 <> 0 AND b.vec_id % 200 = 0),
+        |scored AS (
+        |  SELECT vec_id, b,
+        |    CAST(SUM(z[1] * z[2]) AS BIGINT) AS dot,
+        |    CAST(SUM(z[1] * z[1]) AS BIGINT) AS n2a,
+        |    CAST(SUM(z[2] * z[2]) AS BIGINT) AS n2b
+        |  FROM (SELECT vec_id, b, unnest(list_zip(qa, qb)) AS z FROM pairs) t
+        |  GROUP BY vec_id, b)
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+        |  min(b) AS first_bench_id
+        |FROM scored
+        |WHERE dot > 0
+        |  AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) >=
+        |      0.04 * (CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE))
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "llm_embed_neardup" ->
       """WITH e AS (

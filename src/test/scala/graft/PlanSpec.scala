@@ -180,6 +180,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("llm_decontaminate_semantic broadcasts the benchmark side — " +
+      "the corpus is never shuffled for the pair scoring") {
+    val p = plan("llm_decontaminate_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("llm_repetition_ngram scans the corpus once (both gram sizes " +
       "ride one explode, no self-join)") {
     val p = plan("llm_repetition_ngram")

@@ -265,6 +265,39 @@ object Curation {
         sum(col("logw_q")).as("dsir_logw_q"))
   }
 
+  /** DSIR importance RESAMPLING — the selection step the scores
+    * exist for (Xie et al. 2023 §3.3): draw `keep` documents without
+    * replacement with probability proportional to their importance
+    * weight, via the Gumbel-top-k identity (argtop-k of
+    * log w + Gumbel(0,1) ≡ weighted sampling without replacement).
+    * The Gumbel noise is DETERMINISTIC — u derives from the same
+    * salted md5 bucket every other routing decision uses, so re-runs
+    * and backfills select the identical set, and the DuckDB oracle
+    * replays the draw (never engine RNG).
+    *
+    * Quantization: g quantizes to BIGINT (`round(g·1e6)`) on the
+    * same 1e6 nat scale as `dsir_logw_q`, so the selection key is an
+    * exact integer sum. 100 TB shape: everything rides
+    * [[dsirScore]]'s plan plus one map-only projection; the top-keep
+    * is TakeOrderedAndProject — no global sort.
+    */
+  def dsirResample(df: DataFrame, idCol: String, textCol: String,
+                   targetPred: Column, k: Int = 1024,
+                   keep: Int = 100): DataFrame = {
+    require(keep > 0, s"keep must be positive: $keep")
+    // u in (0,1): 32-bit hash + 0.5 over 2^32 (never exactly 0 or 1,
+    // so -ln(-ln u) is finite)
+    val u = (hashBucket(col(idCol), "|dsir-gumbel").cast(DoubleType) +
+      lit(0.5)) / lit(4294967296.0)
+    val gq = round(-log(-log(u)) * 1e6).cast(LongType)
+    dsirScore(df, idCol, textCol, targetPred, k)
+      .withColumn("gumbel_q", gq)
+      .withColumn("key_q", col("dsir_logw_q") + col("gumbel_q"))
+      .orderBy(col("key_q").desc, col(idCol)).limit(keep)
+      .select(col(idCol), col("dsir_logw_q"), col("gumbel_q"),
+        col("key_q"))
+  }
+
   /** C4 cleaning heuristics (Raffel et al. 2020 §2.2, the rules that
     * produced C4 from Common Crawl), line-level then doc-level:
     * lines survive when they have ≥ `minWordsPerLine` words and (when

@@ -835,6 +835,15 @@ object LlmOps extends QueryGroup {
       Curation.dsirScore(Tables.documents(s, d), "doc_id", "text",
         col("lang") === "en", k = 64).orderBy("doc_id")),
 
+    // DSIR importance RESAMPLING via deterministic Gumbel-top-k:
+    // keep=100 drawn without replacement w.p. ∝ importance weight;
+    // the Gumbel noise derives from the salted md5 route (no engine
+    // RNG) so the oracle replays the draw exactly.
+    "llm_dsir_resample" -> ((s, d) =>
+      Curation.dsirResample(Tables.documents(s, d), "doc_id", "text",
+        col("lang") === "en", k = 64, keep = 100)
+        .orderBy(col("key_q").desc, col("doc_id"))),
+
     // CCNet-style perplexity scoring: corpus unigram LM, mean
     // per-token NLL per doc, head/middle/tail terciles per language.
     "llm_perplexity" -> ((s, d) =>
@@ -1552,6 +1561,50 @@ object LlmOps extends QueryGroup {
          |  CAST(sum(w.logw_q) AS BIGINT) AS dsir_logw_q
          |FROM fb JOIN w USING (bucket)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // dsir_score's pipeline + the deterministic Gumbel draw
+    "llm_dsir_resample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang = 'en' AS tgt, $toks AS tk FROM documents
+         |), f AS (
+         |  SELECT doc_id, tgt, x AS feat FROM t, UNNEST(tk) AS u(x)
+         |  UNION ALL
+         |  SELECT doc_id, tgt, tk[i] || ' ' || tk[i+1] AS feat
+         |  FROM t, UNNEST(CASE WHEN len(tk) >= 2 THEN range(1, len(tk))
+         |                      ELSE CAST([] AS BIGINT[]) END) AS u(i)
+         |), fb AS (
+         |  SELECT doc_id, tgt,
+         |    ('0x' || substr(md5(feat), 1, 8))::BIGINT % 64 AS bucket
+         |  FROM f
+         |), b AS (
+         |  SELECT bucket,
+         |    CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS n_target,
+         |    CAST(count(*) AS BIGINT) AS n_raw
+         |  FROM fb GROUP BY 1
+         |), tot AS (
+         |  SELECT sum(n_target) AS nt, sum(n_raw) AS nr FROM b
+         |), w AS (
+         |  SELECT bucket,
+         |    CAST(round((ln(CAST(n_target + 1 AS DOUBLE)
+         |                   / CAST(nt + 64 AS DOUBLE))
+         |              - ln(CAST(n_raw + 1 AS DOUBLE)
+         |                   / CAST(nr + 64 AS DOUBLE))) * 1e6) AS BIGINT)
+         |      AS logw_q
+         |  FROM b, tot
+         |), sc AS (
+         |  SELECT doc_id, CAST(sum(w.logw_q) AS BIGINT) AS dsir_logw_q
+         |  FROM fb JOIN w USING (bucket) GROUP BY doc_id
+         |), g AS (
+         |  SELECT doc_id, dsir_logw_q,
+         |    CAST(round(-ln(-ln(
+         |      ((('0x' || substr(md5(doc_id::VARCHAR || '|dsir-gumbel'),
+         |          1, 8))::BIGINT) + 0.5) / 4294967296.0)) * 1e6) AS BIGINT)
+         |      AS gumbel_q
+         |  FROM sc
+         |)
+         |SELECT doc_id, dsir_logw_q, gumbel_q,
+         |  dsir_logw_q + gumbel_q AS key_q
+         |FROM g ORDER BY key_q DESC, doc_id LIMIT 100""".stripMargin,
 
     "llm_perplexity" ->
       s"""WITH tok AS (

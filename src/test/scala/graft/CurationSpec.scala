@@ -403,6 +403,33 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1).getString(1) < got(2).getString(1))
   }
 
+  test("dsirResample: deterministic Gumbel-top-k, importance-weighted " +
+      "toward target-like docs") {
+    import spark.implicits._
+    // disjoint vocabularies; the target predicate marks domain A —
+    // A-looking docs carry positive log-weights and dominate the draw
+    val rows = (0L until 100L).map(i => (i, s"alpha beta gamma delta a$i")) ++
+      (100L until 200L).map(i => (i, s"omega psi chi phi b$i"))
+    val df = rows.toDF("doc_id", "text")
+    val pick = Curation.dsirResample(df, "doc_id", "text",
+      col("doc_id") < 100, k = 64, keep = 50)
+    val ids = pick.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.size == 50)
+    val again = Curation.dsirResample(df, "doc_id", "text",
+      col("doc_id") < 100, k = 64, keep = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == again, "the draw must be deterministic")
+    val fromA = ids.count(_ < 100L)
+    assert(fromA >= 40, s"importance weighting must favor A: $fromA/50")
+    // but it IS a sample, not a top-k by score: with equal weights
+    // the gumbel keys decide, and both domains appear
+    val uniform = Curation.dsirResample(df, "doc_id", "text",
+      lit(true), k = 64, keep = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(uniform.exists(_ < 100L) && uniform.exists(_ >= 100L),
+      "degenerate target (everything) ⇒ near-uniform draw across domains")
+  }
+
   test("chunkSliding: overlap, boundaries, tails, and empty docs") {
     import graft.operators.Curation
     import spark.implicits._

@@ -194,6 +194,65 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // ---- chunking covers every token exactly -----------------------------
+
+  test("chunkSliding: random (size, stride, doc) — full coverage, " +
+      "correct overlap, reassembly round-trips") {
+    import graft.operators.Curation
+    val gen = for {
+      size <- Gen.choose(1, 10)
+      stride <- Gen.choose(1, size)
+      nTok <- Gen.choose(0, 40)
+    } yield (size, stride, nTok)
+    sample(gen, 8, 991L).foreach { case (size, stride, nTok) =>
+      val text = (0 until nTok).map(i => s"w$i").mkString(" ")
+      val chunks = Curation.chunkSliding(
+        Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", size, stride)
+        .orderBy("chunk_id").collect()
+      if (nTok == 0) assert(chunks.isEmpty)
+      else {
+        // starts are exactly the stride multiples below nTok
+        val starts = chunks.map(_.getLong(2)).toSeq
+        assert(starts == (0L until nTok.toLong by stride.toLong).toSeq,
+          s"size=$size stride=$stride n=$nTok starts=$starts")
+        // every token covered; adjacent chunks overlap by size−stride
+        val covered = chunks.flatMap(c =>
+          c.getLong(2) until (c.getLong(2) + c.getLong(3))).toSet
+        assert(covered == (0L until nTok.toLong).toSet)
+        // chunk text round-trips against the source tokens
+        chunks.foreach { c =>
+          val want = (c.getLong(2) until
+            math.min(c.getLong(2) + size, nTok.toLong))
+            .map(i => s"w$i").mkString(" ")
+          assert(c.getString(4) == want)
+        }
+      }
+    }
+  }
+
+  // ---- z-order interleave is a bijection on the quantized grid ---------
+
+  test("ZOrder.interleave: random bit widths — bijective, " +
+      "sql replay agrees, contiguous z-ranges stay spatially bounded") {
+    import graft.operators.ZOrder
+    val gen = Gen.choose(2, 6)
+    sample(gen, 3, 313L).foreach { bits =>
+      val n = 1 << bits
+      val grid = (0L until (n.toLong * n)).map(i => (i / n, i % n))
+        .toDF("x", "y")
+      val zs = grid.select(
+        ZOrder.interleave(Seq(col("x"), col("y")), bits).as("z"),
+        expr(ZOrder.interleaveSql(Seq("x", "y"), bits)).as("z2"))
+        .collect()
+      assert(zs.forall(r => r.getLong(0) == r.getLong(1)),
+        s"bits=$bits: sql replay diverged")
+      val set = zs.map(_.getLong(0)).toSet
+      assert(set.size == n * n && set.min == 0L &&
+        set.max == (n.toLong * n) - 1, s"bits=$bits: not a bijection")
+    }
+  }
+
   // ---- MinHash estimate vs true Jaccard --------------------------------
 
   test("MinHash estimate tracks true shingle Jaccard on random docs") {

@@ -261,6 +261,43 @@ object TextAnalysis {
         i => concat_ws(" ", slice(tk, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Winnowing fingerprints (Schleimer et al. 2003 — the MOSS
+    * algorithm): per doc, the distinct minima of every `w`-window of
+    * `k`-gram hashes. The winnowing guarantee: any two docs sharing a
+    * token run of ≥ `w + k − 1` tokens share at least one
+    * fingerprint, while fingerprint density stays ~2/(w+1) of the
+    * gram count — the bounded-size alternative to shipping every
+    * gram into an index (copy/plagiarism/near-dup candidate
+    * generation at a fraction of full-gram cost).
+    *
+    * One row per (doc, fingerprint), distinct. Entirely MAP-ONLY
+    * (plan-asserted): grams, hashes, window minima, and the distinct
+    * all run as array expressions inside the scan stage — a doc
+    * never leaves its partition to be fingerprinted. Hashes are the
+    * md5-derived 32-bit bucket every routing decision uses
+    * (engine-portable; the oracle replays the whole selection).
+    * Docs shorter than `w` grams yield their single global minimum
+    * (the standard short-doc rule); gram-less docs yield nothing.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"k=$k and w=$w must be >= 1")
+    val gh = col("__gh")
+    val hash32 = (g: Column) =>
+      conv(substring(md5(g), 1, 8), 16, 10)
+        .cast(org.apache.spark.sql.types.LongType)
+    val mins =
+      when(size(gh) === 0, array().cast("array<bigint>"))
+        .when(size(gh) < w, array(array_min(gh)))
+        .otherwise(transform(sequence(lit(1), size(gh) - w + 1),
+          i => array_min(slice(gh, i, lit(w)))))
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol),
+        transform(wordNgramStrings(col("__tk"), k), hash32).as("__gh"))
+      .select(col(idCol), explode(array_distinct(mins)).as("fp"))
+  }
+
   /** Per-document unigram token entropy — the classic
     * information-density quality signal (near-zero entropy = keyboard
     * mash / repeated boilerplate; used alongside Gopher's repetition

@@ -662,6 +662,15 @@ object LlmOps extends QueryGroup {
         Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Winnowing fingerprints (MOSS): distinct minima of 4-windows of
+    // 3-gram hashes — guaranteed shared-fingerprint for any shared
+    // run of ≥ 6 tokens at ~2/(w+1) the gram-index size. Map-only
+    // (plan-asserted); md5-derived hashes replayed by the oracle.
+    "llm_winnow_fingerprint" -> ((s, d) =>
+      TextAnalysis.winnowFingerprints(Tables.documents(s, d),
+        "doc_id", "text", k = 3, w = 4)
+        .orderBy("doc_id", "fp")),
+
     // PMI collocation mining: adjacent-token bigrams scored by
     // pointwise mutual information — multiword-expression discovery.
     // Quantized-ln integer scoring (engine-portable ranking); top-50
@@ -1363,6 +1372,28 @@ object LlmOps extends QueryGroup {
          |  max(CASE WHEN gn = 3 THEN 1.0 - CAST(dst AS DOUBLE) / tot END)
          |    AS dup_3gram_frac
          |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_winnow_fingerprint" ->
+      s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) >= 3 THEN
+         |      list_transform(range(1, len(t) - 3 + 2),
+         |        i -> ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')),
+         |              1, 8))::BIGINT)
+         |    ELSE CAST([] AS BIGINT[]) END AS gh
+         |  FROM toks),
+         |m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[])
+         |         WHEN len(gh) < 4 THEN [list_aggregate(gh, 'min')]
+         |         ELSE list_transform(range(1, len(gh) - 4 + 2),
+         |                i -> list_aggregate(gh[i:i+3], 'min'))
+         |    END AS mins
+         |  FROM g)
+         |SELECT DISTINCT doc_id, u.fp
+         |FROM m, UNNEST(list_distinct(mins)) AS u(fp)
+         |ORDER BY doc_id, fp""".stripMargin,
 
     "llm_collocations" ->
       s"""WITH toks AS (SELECT $toks AS t FROM documents),

@@ -465,6 +465,38 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("winnowFingerprints: the winnowing guarantee — docs sharing a " +
+      "run of ≥ w+k−1 tokens share a fingerprint; density is bounded") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 = w+k−1 tokens
+    val df = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"nine eight seven $shared"),
+      (3L, "totally unrelated content here entirely"),
+      (4L, "ab"), // 1 gram-less short doc (< k tokens)
+      (5L, "p q r s")  // 2 grams < w → single global min
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(df, "doc_id", "text",
+      k = 3, w = 4).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val by = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((by(1L) intersect by(2L)).nonEmpty,
+      "shared 6-token run must share a fingerprint")
+    assert((by(1L) intersect by.getOrElse(3L, Set())).isEmpty ||
+      by(3L).nonEmpty) // doc 3 fingerprints exist and are its own
+    assert(!by.contains(4L), "gram-less docs yield nothing")
+    assert(by(5L).size == 1, "short doc → single global-min fingerprint")
+    // density: ≤ number of windows, and distinct
+    val g1 = 9 // doc 1: 11 tokens → 9 grams → 6 windows
+    assert(by(1L).size <= g1 - 4 + 1)
+  }
+
+  test("winnowFingerprints is map-only: no exchange in the plan") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", 3, 4)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("collocations: bound pairs outrank frequent-but-independent " +
       "pairs; minCount floors the noise") {
     import graft.operators.TextAnalysis

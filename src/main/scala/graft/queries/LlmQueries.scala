@@ -866,7 +866,11 @@ object LlmOps extends QueryGroup {
           TextAnalysis.gopherNWords(col("text")),
           TextAnalysis.gopherMeanWlen(col("text")),
           TextAnalysis.gopherStopCount(col("text"))) === "pass")
-      val w = QualityClassifier.train(labeled, "text", "label")
+      // 20 LBFGS iterations converge for a 6-feature LR (each
+      // iteration is one treeAggregate job — the key's cost is job
+      // count, not data); teacher agreement is property-tested
+      val w = QualityClassifier.train(labeled, "text", "label",
+        maxIter = 20)
       QualityClassifier.score(docs, "text", w)
         .select(col("doc_id"), col("quality_prob"),
           (col("quality_prob") > 0.5).as("keep"))

@@ -180,6 +180,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("agg_hll_partial: both aggregation levels run partial-then-" +
+      "final (map-side sketch partials, no raw-key reshuffle)") {
+    val p = plan("agg_hll_partial")
+    assert(p.contains("hll_sketch_agg"), p.take(3000))
+    assert(p.contains("hll_union_agg"), p.take(3000))
+    // the sketch table is months×flags rows; the union agg must
+    // consume sketches, never re-scan lineitem — exactly one scan
+    assert("FileScan|Scan parquet".r.findAllIn(p).size <= 1, p.take(3000))
+  }
+
   test("llm_decontaminate_semantic broadcasts the benchmark side — " +
       "the corpus is never shuffled for the pair scoring") {
     val p = plan("llm_decontaminate_semantic")

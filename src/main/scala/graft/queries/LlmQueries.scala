@@ -859,6 +859,38 @@ object LlmOps extends QueryGroup {
       TextAnalysis.perplexityBuckets(Tables.documents(s, d), "doc_id",
         "text", "lang").orderBy("doc_id")),
 
+    // Per-source curation pre-flight report — the audit a pipeline
+    // runs BEFORE committing to a filter/dedup configuration: doc and
+    // token volume, Gopher pass rate, and exact-dup rate (by the
+    // normalized fingerprint) in ONE corpus scan + one hash-agg
+    // (count distinct expands inside the same agg). All rates are
+    // exact integer ratios — engine-portable.
+    "llm_curation_report" -> ((s, d) => {
+      val sig = Tables.documents(s, d).select(
+        col("source"),
+        TextAnalysis.gopherNWords(col("text")).as("nw"),
+        TextAnalysis.gopherMeanWlen(col("text")).as("mw"),
+        TextAnalysis.gopherStopCount(col("text")).as("sc"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      sig
+        .withColumn("pass",
+          TextAnalysis.gopherReason(col("nw"), col("mw"), col("sc"))
+            === "pass")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("n_tokens"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_gopher_pass"),
+          countDistinct(col("fp")).as("n_distinct"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_gopher_pass"),
+          (col("n_gopher_pass").cast(DoubleType) / col("n_docs"))
+            .as("gopher_pass_rate"),
+          col("n_distinct"),
+          (lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_docs"))
+            .as("dup_rate"))
+        .orderBy("source")
+    }),
+
     "llm_quality_classifier" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val labeled = docs.withColumn("label",
@@ -914,7 +946,7 @@ object LlmOps extends QueryGroup {
   // Spark side (a threshold tweak lands in exactly two places: the
   // Scala helper and this pair)
   private val gopherSignalsSql =
-    s"""SELECT doc_id, text,
+    s"""SELECT doc_id, source, text,
        |    CAST(len($toks) AS BIGINT) AS n_words,
        |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
        |        AS DOUBLE) /
@@ -1167,6 +1199,29 @@ object LlmOps extends QueryGroup {
          |SELECT doc_id, n_words, mean_wlen, stop_count, reason,
          |  reason = 'pass' AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "llm_curation_report" ->
+      s"""WITH f AS (
+         |  $gopherSignalsSql),
+         |r AS (
+         |  SELECT source, text, n_words,
+         |    $gopherReasonSql AS reason
+         |  FROM f),
+         |g AS (
+         |  SELECT source,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_words) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) FILTER (WHERE reason = 'pass') AS BIGINT)
+         |      AS n_gopher_pass,
+         |    CAST(count(DISTINCT substring(md5(trim(regexp_replace(
+         |      lower(text), '\\s+', ' ', 'g'))), 1, 16)) AS BIGINT)
+         |      AS n_distinct
+         |  FROM r GROUP BY source)
+         |SELECT source, n_docs, n_tokens, n_gopher_pass,
+         |  CAST(n_gopher_pass AS DOUBLE) / n_docs AS gopher_pass_rate,
+         |  n_distinct,
+         |  1.0 - CAST(n_distinct AS DOUBLE) / n_docs AS dup_rate
+         |FROM g ORDER BY source""".stripMargin,
 
     "llm_embed_centroid" ->
       """WITH q AS (

@@ -339,6 +339,59 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("streaming decontamination: each micro-batch checks the " +
+      "persisted gram table; union ≡ one-shot; replay no-ops") {
+    implicit val sq = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "sdecon_wh").toString
+    val runner = new graft.pipeline.PipelineRunner(
+      spark, graft.pipeline.PipelineSpec(Nil), wh)
+    runner.initialize()
+    val rnd = new scala.util.Random(17)
+    def doc(i: Long) = {
+      val words = (0 until 12).map(_ => s"w${rnd.nextInt(30)}")
+      (i, words.mkString(" "))
+    }
+    val all = (0L until 120L).map(doc)
+    val bench = all.filter(_._1 % 4 === 0)
+    val corpus = all.filterNot(_._1 % 4 === 0)
+    // benchmark gram table persisted ONCE, before the stream starts
+    graft.operators.Dedup.decontaminateIndex(runner, "bg",
+      bench.toDF("doc_id", "text"), "doc_id", "text", n = 2,
+      batchId = 0L): Unit
+    // the stream: every micro-batch of new corpus docs is checked
+    // against the persisted grams and hits append exactly-once
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val hits = graft.operators.Dedup.decontaminateIncremental(
+          runner, "bg", batch, "doc_id", "text", n = 2)
+        runner.appendBatch("contaminated", hits, id): Unit
+      }
+      .start()
+    withQuery(q) {
+      in.addData(corpus.take(45): _*)
+      q.processAllAvailable()
+      in.addData(corpus.drop(45): _*)
+      q.processAllAvailable()
+      val streamed = runner.readTable("contaminated")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val oneShot = graft.operators.Dedup.decontaminate(
+        corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+        "doc_id", "text", n = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == oneShot,
+        s"stream-union must equal one-shot: ${streamed.size} vs ${oneShot.size}")
+      assert(streamed.nonEmpty, "fixture must actually contaminate")
+      // a replayed micro-batch appends nothing under its original id
+      val replayHits = graft.operators.Dedup.decontaminateIncremental(
+        runner, "bg", corpus.take(45).toDF("doc_id", "text"),
+        "doc_id", "text", n = 2)
+      assert(runner.appendBatch("contaminated", replayHits, 0L) == 0L)
+      assert(runner.readTable("contaminated").count() == oneShot.size)
+    }
+  }
+
   test("foreachBatch streaming MERGE sink upserts exactly-once") {
     implicit val sq = spark.sqlContext
     val wh = java.nio.file.Files.createTempDirectory(

@@ -51,6 +51,21 @@ object SqlSurface extends QueryGroup {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // LATERAL correlated subquery with per-row ORDER BY/LIMIT — the
+    // SQL-text top-N-per-group a dbt model ships (Catalyst rewrites
+    // the lateral to a decorrelated ranked join; the DataFrame
+    // equivalent is win_topk_per_group). Ties broken by o_orderkey.
+    "sql_lateral_join" -> ((s, d) => {
+      withViews(s, d)
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM sqls_customer c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM sqls_orders o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+    }),
+
     // Spark 4 recursive CTE: generated month spine left-joined to
     // facts (the calendar-dimension pattern dbt models build)
     "sql_cte_recursive" -> ((s, d) => {
@@ -85,6 +100,14 @@ object SqlSurface extends QueryGroup {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
+
+    "sql_lateral_join" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "sql_cte_recursive" ->
       """WITH RECURSIVE months(m) AS (

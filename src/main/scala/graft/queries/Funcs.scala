@@ -155,6 +155,18 @@ object ScalarFuncs extends QueryGroup {
         to_json(struct(col("event_id"))).as("tj"))
         .orderBy("event_id")),
 
+    // Spark 4 VARIANT type: parse once, typed path extraction —
+    // the open-schema semi-structured path (vs fn_json's per-access
+    // string parsing). At scale the parse happens once per row and
+    // every variant_get is a binary-encoded path walk, not a re-parse.
+    "fn_variant" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+        .withColumn("k_bucket", col("k") - pmod(col("k"), lit(10)))
+        .filter(col("k").isNotNull && col("k") >= 50)
+        .orderBy("event_id")),
+
     "fn_hash" -> ((s, d) =>
       Tables.customer(s, d).select(
         col("c_custkey"),
@@ -264,6 +276,16 @@ object ScalarFuncs extends QueryGroup {
         |  json_extract_string(props, '$.k') AS k2,
         |  to_json(struct_pack(event_id := event_id)) AS tj
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "fn_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+        |  CAST(json_extract(props, '$.k') AS INTEGER)
+        |    - CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket
+        |FROM events
+        |WHERE json_extract(props, '$.k') IS NOT NULL
+        |  AND CAST(json_extract(props, '$.k') AS INTEGER) >= 50
+        |ORDER BY event_id""".stripMargin,
 
     "fn_hash" ->
       """SELECT c_custkey, md5(c_name) AS hm, sha256(c_name) AS hs

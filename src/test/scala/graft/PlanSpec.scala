@@ -190,6 +190,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert("FileScan|Scan parquet".r.findAllIn(p).size <= 1, p.take(3000))
   }
 
+  test("llm_curation_report aggregates the corpus in a single scan " +
+      "(count distinct expands inside the one hash-agg)") {
+    val p = plan("llm_curation_report")
+    assert("FileScan|Scan parquet".r.findAllIn(p).size <= 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("events.ts filter pushes into the parquet scan through the " +
+      "NTZ normalization cast") {
+    val df = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("ts") >=
+        org.apache.spark.sql.functions.lit("1995-06-01").cast("timestamp"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual"),
+      p.take(2000))
+  }
+
   test("llm_decontaminate_semantic broadcasts the benchmark side — " +
       "the corpus is never shuffled for the pair scoring") {
     val p = plan("llm_decontaminate_semantic")

@@ -348,12 +348,11 @@ object TextAnalysis {
   def repetitionNgrams(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val tk = col("__tk")
+    // ONE windowing definition for the whole codebase: tag
+    // wordNgramHashes' output rather than re-deriving the slices
     def tagged(n: Int) =
-      when(size(tk) >= n,
-        transform(sequence(lit(1), size(tk) - n + 1),
-          i => struct(lit(n).as("gn"),
-            xxhash64(slice(tk, i, lit(n))).as("gh"))))
-        .otherwise(array().cast("array<struct<gn:int,gh:bigint>>"))
+      transform(Dedup.wordNgramHashes(tk, n),
+        h => struct(lit(n).as("gn"), h.as("gh")))
     docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
       .select(col(idCol), explode(concat(tagged(2), tagged(3))).as("g"))
       .select(col(idCol), col("g.gn").as("gn"), col("g.gh").as("gh"))
@@ -380,13 +379,19 @@ object TextAnalysis {
     * (`round(ln·1e6)`) and PMI assembles as exact integer
     * addition — pmi_q = ln_q(c_ab) − ln_q(N_bi) − ln_q(c_a) −
     * ln_q(c_b) + 2·ln_q(N_uni) — so ranking never compares noisy
-    * doubles. 100 TB shape: one corpus scan feeds both explodes
-    * (map-only); unigram and bigram counts are hash-aggs with
-    * map-side partials; the two count-attach joins shuffle only
-    * VOCABULARY-sized frames on the token (no small-vocab broadcast
-    * assumption — same discipline as tfIdfTopK); the scalar totals
-    * ride a 1-row broadcast; the final top-k is
-    * TakeOrderedAndProject (plan-asserted), never a global sort.
+    * doubles. 100 TB shape: the corpus is scanned exactly TWICE —
+    * once per explode path (unigrams, adjacent pairs), each a
+    * hash-agg with map-side partials; both count frames are
+    * VOCABULARY-sized and localCheckpoint once, so the count-attach
+    * joins (both sides of the bigram), the scalar totals
+    * (N_uni = Σ c, N_bi = Σ c_ab before the minCount filter), and
+    * every other consumer read the materialized frames instead of
+    * re-running corpus lineage (multi-consumer DataFrames re-execute
+    * their whole lineage per consumer otherwise). Joins shuffle only
+    * vocab-sized frames on the token (no small-vocab broadcast
+    * assumption — same discipline as tfIdfTopK); the totals ride a
+    * 1-row broadcast; the final top-k is TakeOrderedAndProject,
+    * never a global sort.
     */
   def collocations(docs: DataFrame, textCol: String, minCount: Long,
                    k: Int): DataFrame = {
@@ -395,19 +400,21 @@ object TextAnalysis {
     val toks = docs.select(tokens(col(textCol)).as("__tk"))
     val uni = toks.select(explode(tk).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     // adjacent-token pairs: one transform over positions, map-only
     val pairs = toks.filter(size(tk) >= 2)
       .select(explode(transform(sequence(lit(1), size(tk) - 1),
         i => struct(element_at(tk, i).as("a"),
           element_at(tk, i + 1).as("b")))).as("g"))
       .select(col("g.a").as("a"), col("g.b").as("b"))
-    val bi = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-      .filter(col("c_ab") >= minCount)
-    // scalar totals from ONE tiny agg over the token arrays — no
-    // second explode: N_uni = Σ len, N_bi = Σ (len − 1)
-    val totals = broadcast(toks.agg(
-      lnQ(sum(size(tk))).as("ln_nu"),
-      lnQ(sum(greatest(size(tk) - 1, lit(0)))).as("ln_nb")))
+    val bi0 = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint()
+    val bi = bi0.filter(col("c_ab") >= minCount)
+    // scalar totals from the checkpointed frames: N_uni = Σ c over
+    // uni, N_bi = Σ c_ab over the unfiltered bi0
+    val totals = broadcast(
+      uni.agg(lnQ(sum(col("c"))).as("ln_nu"))
+        .crossJoin(bi0.agg(lnQ(sum(col("c_ab"))).as("ln_nb"))))
     bi
       .join(uni.select(col("t").as("a"), lnQ(col("c")).as("ln_ca")), "a")
       .join(uni.select(col("t").as("b"), lnQ(col("c")).as("ln_cb")), "b")

@@ -32,6 +32,13 @@ object ZOrder {
     * are exact integers ≪ 2^53 and the quotient's fractional part is
     * a multiple of 1/(max−min) ≫ one ulp), so DuckDB's replay of the
     * same formula agrees bit-for-bit.
+    *
+    * PRECONDITION: `(max − min) · (2^bits − 1)` must fit a long —
+    * the caller's range/bits combination owns this (e.g. a ns-epoch
+    * column spanning decades needs bits ≤ 12, or pre-scaling to
+    * µs/s). Spark 4's default ANSI mode makes a violation a loud
+    * ARITHMETIC_OVERFLOW error, never silent wraparound; DuckDB
+    * promotes to HUGEINT and errors on the final cast instead.
     */
   def quantize(c: Column, min: Column, max: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")

@@ -351,8 +351,11 @@ object LlmOps extends QueryGroup {
       train.crossJoin(broadcast(bench))
         .select(col("vec_id"), col("b"), dot(col("va"), col("vb")).as("d"),
           col("n2a"), col("n2b"))
+        // parenthesization mirrors the oracle's 0.04*(n2a*n2b) — IEEE
+        // association matters at the tau boundary (llm_embed_neardup's
+        // convention)
         .filter(col("d") > 0 &&
-          col("d") * col("d") >= lit(0.04) * col("n2a") * col("n2b"))
+          col("d") * col("d") >= lit(0.04) * (col("n2a") * col("n2b")))
         .groupBy("vec_id")
         .agg(count(lit(1)).as("n_bench_hits"),
           min(col("b")).as("first_bench_id"))

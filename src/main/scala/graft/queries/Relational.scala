@@ -117,8 +117,13 @@ object Scans extends QueryGroup {
         ZOrder.quantize(col("l_partkey"), col("pmin"), col("pmax"), 8),
         ZOrder.quantize(col("l_suppkey"), col("smin"), col("smax"), 8)),
         bits = 8)
-      ZOrder.clusteredWrite(li.crossJoin(broadcast(bounds)), z,
-        s"$out/t", numFiles = 8)
+      // compute zval, then project the broadcast bounds away — the
+      // sink must carry only the data columns + the curve value
+      val withZ = li.crossJoin(broadcast(bounds))
+        .withColumn("zval", z)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "zval")
+      ZOrder.clusteredWrite(withZ, col("zval"), s"$out/t", numFiles = 8)
       s.read.parquet(s"$out/t")
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
           "zval")

@@ -482,8 +482,8 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     val by = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert((by(1L) intersect by(2L)).nonEmpty,
       "shared 6-token run must share a fingerprint")
-    assert((by(1L) intersect by.getOrElse(3L, Set())).isEmpty ||
-      by(3L).nonEmpty) // doc 3 fingerprints exist and are its own
+    // the unrelated doc fingerprints on its own, sharing nothing
+    assert(by(3L).nonEmpty && (by(1L) intersect by(3L)).isEmpty)
     assert(!by.contains(4L), "gram-less docs yield nothing")
     assert(by(5L).size == 1, "short doc → single global-min fingerprint")
     // density: ≤ number of windows, and distinct

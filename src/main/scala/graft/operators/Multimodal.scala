@@ -79,4 +79,73 @@ object Multimodal {
       explode(sequence(lit(0),
         floor(length(col(binCol)) / everyNBytes).cast(IntegerType)))
         .as("frame_idx"))
+
+  /** Pluggable binary→binary transform — the resize/transcode seam.
+    * One instance per partition, like [[Decoder]].
+    */
+  trait BinaryTransform extends Serializable {
+    def apply(payload: Array[Byte]): Array[Byte]
+  }
+
+  /** Deterministic stand-in for a 2× downscale: keeps every second
+    * byte (a real implementation wraps an image scaler; the byte
+    * arithmetic here is chosen so the oracle can replay it).
+    */
+  object StubHalve extends BinaryTransform {
+    override def apply(payload: Array[Byte]): Array[Byte] = {
+      if (payload == null) return Array.emptyByteArray
+      val out = new Array[Byte]((payload.length + 1) / 2)
+      var i = 0
+      while (i < out.length) { out(i) = payload(2 * i); i += 1 }
+      out
+    }
+  }
+
+  /** Apply a binary transform per partition — the mapPartitions
+    * resize stage: (id, payload) → (id, payload_out). Decode
+    * parallelism scales with partitions; nothing shuffles.
+    */
+  def transformBinary(df: DataFrame, idCol: String, binCol: String,
+                      t: BinaryTransform): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("payload_out", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      val tr = t // one transform instance per partition
+      rows.map(r => Row(r.get(idIdx), tr(r.getAs[Array[Byte]](binIdx))))
+    }
+  }
+
+  /** Per-payload byte-histogram features — the feature-extraction
+    * seam feeding the embedding/ANN path: `dims` exact integer
+    * counts of `byte % dims`, emitted as a CSV string (array-typed
+    * result columns are hostile to cross-engine compares; exact
+    * integers serialize identically everywhere). A real extractor
+    * would run a vision/audio model per partition batch — the
+    * mapPartitions shape is identical.
+    */
+  def byteHistogramFeatures(df: DataFrame, idCol: String,
+                            binCol: String, dims: Int): DataFrame = {
+    require(dims >= 1 && dims <= 256, s"dims must be in [1,256]: $dims")
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("n_bytes", LongType),
+      StructField("feat_csv", StringType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]](binIdx)
+        val hist = new Array[Long](dims)
+        var i = 0
+        val n = if (p == null) 0 else p.length
+        while (i < n) { hist((p(i) & 0xff) % dims) += 1; i += 1 }
+        Row(r.get(idIdx), n.toLong, hist.mkString(","))
+      }
+    }
+  }
 }

@@ -487,6 +487,28 @@ object LlmOps extends QueryGroup {
           md5(col("payload")).as("payload_md5"))
         .orderBy("doc_id")),
 
+    // resize seam: per-partition binary→binary transform (stub keeps
+    // every second byte so the oracle replays it); derived columns
+    // only — raw blobs never reach the compare
+    "mm_resize_stub" -> ((s, d) =>
+      Multimodal.transformBinary(
+        Tables.documents(s, d)
+          .withColumn("payload", col("text").cast(BinaryType)),
+        "doc_id", "payload", Multimodal.StubHalve)
+        .select(col("doc_id"),
+          length(col("payload_out")).as("n_bytes_out"),
+          lower(hex(substring(col("payload_out"), 1, 4))).as("head_hex"))
+        .orderBy("doc_id")),
+
+    // feature-extraction seam: byte-histogram features as exact
+    // integer counts (the embedding-model stand-in), CSV-serialized
+    "mm_feature_stub" -> ((s, d) =>
+      Multimodal.byteHistogramFeatures(
+        Tables.documents(s, d)
+          .withColumn("payload", col("text").cast(BinaryType)),
+        "doc_id", "payload", dims = 8)
+        .orderBy("doc_id")),
+
     "mm_decode_stub" -> ((s, d) =>
       Multimodal.decodeMeta(
         Tables.documents(s, d)
@@ -1327,6 +1349,26 @@ object LlmOps extends QueryGroup {
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
         |  lower(hex(encode(left(text, 8)))) AS head_hex,
         |  md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every-second-byte stub resize: ascii text ⇒ byte i = char i
+    "mm_resize_stub" ->
+      """SELECT doc_id,
+        |  CAST((octet_length(encode(text)) + 1) // 2 AS INTEGER)
+        |    AS n_bytes_out,
+        |  lower(hex(encode(
+        |    substring(text, 1, 1) || substring(text, 3, 1) ||
+        |    substring(text, 5, 1) || substring(text, 7, 1)))) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_feature_stub" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  array_to_string(
+        |    list_transform(range(0, 8), b ->
+        |      len(list_filter(range(1, length(text) + 1),
+        |        i -> ord(substring(text, i, 1)) % 8 = b))), ',')
+        |    AS feat_csv
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the binaryFile content IS documents.text as UTF-8 bytes, so the

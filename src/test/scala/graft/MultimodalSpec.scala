@@ -47,4 +47,32 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long)].collect().toSeq
     assert(counts == Seq((1L, 3L), (2L, 1L))) // 250/100→idx 0..2, 99/100→idx 0
   }
+
+  test("transformBinary + StubHalve keeps every second byte; " +
+      "null and odd-length payloads behave") {
+    val df = Seq((1L, "abcdef"), (2L, "abcde"), (3L, "x"), (4L, ""))
+      .toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast(BinaryType))
+    val out = Multimodal.transformBinary(df, "doc_id", "payload",
+      Multimodal.StubHalve)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> new String(r.getAs[Array[Byte]](1)))
+    assert(out.toSeq == Seq(1L -> "ace", 2L -> "ace", 3L -> "x", 4L -> ""))
+  }
+
+  test("byteHistogramFeatures: exact counts of byte % dims, " +
+      "CSV-serialized; totals equal n_bytes") {
+    val df = Seq((1L, "aab"), (2L, ""))
+      .toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast(BinaryType))
+    val rows = Multimodal.byteHistogramFeatures(df, "doc_id", "payload", 4)
+      .orderBy("doc_id").collect()
+    // 'a' = 97 → 97 % 4 = 1; 'b' = 98 → 2
+    assert(rows(0).getLong(1) == 3L)
+    assert(rows(0).getString(2) == "0,2,1,0")
+    assert(rows(1).getLong(1) == 0L && rows(1).getString(2) == "0,0,0,0")
+    val sums = rows.map(r =>
+      r.getString(2).split(",").map(_.toLong).sum == r.getLong(1))
+    assert(sums.forall(identity))
+  }
 }

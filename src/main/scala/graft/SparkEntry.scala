@@ -42,6 +42,7 @@ object SparkEntry {
     _root_.graft.queries.UdfOps,
     _root_.graft.queries.EventWindows,
     _root_.graft.queries.LlmOps,
+    _root_.graft.queries.BpeOps,
     _root_.graft.queries.PipelineOps,
     _root_.graft.queries.SqlSurface
   )

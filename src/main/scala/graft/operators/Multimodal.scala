@@ -148,4 +148,34 @@ object Multimodal {
       }
     }
   }
+
+  /** WebDataset-style shard packing: route each binary payload to one
+    * of `writers` writer shards, then lay payloads out into
+    * byte-budgeted archive files within the shard — each row gets
+    * (writer, file_seq, offset), i.e. WHICH tar file and WHERE in it
+    * the blob starts. A blob lands in the file where its start byte
+    * falls, so files overflow by at most one payload (standard tar
+    * sharding; members are never split).
+    *
+    * 100 TB shape: routing is map-only (`pmod` on the stable id — a
+    * doc never migrates across re-runs); the ONLY shuffle is the
+    * per-writer window, and its partition size is corpus/writers —
+    * pick `writers` ≫ executor count and no single task sees more
+    * than a shard. Never a global sort.
+    */
+  def packShards(df: DataFrame, idCol: String, binCol: String,
+                 writers: Int, maxBytes: Long): DataFrame = {
+    require(writers > 0 && maxBytes > 0, "writers and maxBytes positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("writer").orderBy(idCol)
+    df.select(col(idCol), length(col(binCol)).cast(LongType).as("byte_len"),
+        pmod(col(idCol), lit(writers)).cast(LongType).as("writer"))
+      .withColumn("cum", sum(col("byte_len")).over(w))
+      .select(col(idCol), col("writer"), col("byte_len"),
+        floor((col("cum") - col("byte_len")) / lit(maxBytes).cast(DoubleType))
+          .cast(LongType).as("file_seq"),
+        (col("cum") - col("byte_len") -
+          floor((col("cum") - col("byte_len")) / lit(maxBytes).cast(DoubleType))
+            .cast(LongType) * maxBytes).as("offset"))
+  }
 }

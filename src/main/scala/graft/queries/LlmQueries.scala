@@ -529,6 +529,17 @@ object LlmOps extends QueryGroup {
         "doc_id", "payload", everyNBytes = 100)
         .orderBy("doc_id", "frame_idx")),
 
+    // WebDataset-style shard packing: writer routing is map-only, the
+    // only shuffle is the per-writer layout window (corpus/writers per
+    // task — never a global sort). file_seq/offset = which tar file
+    // and where in it each payload starts.
+    "mm_shard_pack" -> ((s, d) =>
+      Multimodal.packShards(
+        Tables.documents(s, d)
+          .withColumn("payload", col("text").cast(BinaryType)),
+        "doc_id", "payload", writers = 4, maxBytes = 4096L)
+        .orderBy("doc_id")),
+
     // BPE-ish token-count approximation (words + punctuation runs).
     "llm_token_count" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -1370,6 +1381,23 @@ object LlmOps extends QueryGroup {
         |        i -> ord(substring(text, i, 1)) % 8 = b))), ',')
         |    AS feat_csv
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_shard_pack" ->
+      """WITH sized AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |    doc_id % 4 AS writer
+        |  FROM documents
+        |), laid AS (
+        |  SELECT *, sum(byte_len) OVER (PARTITION BY writer
+        |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM sized)
+        |SELECT doc_id, writer, byte_len,
+        |  CAST(floor((cum - byte_len) / 4096.0) AS BIGINT) AS file_seq,
+        |  cum - byte_len -
+        |    CAST(floor((cum - byte_len) / 4096.0) AS BIGINT) * 4096
+        |    AS offset
+        |FROM laid ORDER BY doc_id""".stripMargin,
 
     // the binaryFile content IS documents.text as UTF-8 bytes, so the
     // whole write-files → binaryFile-scan → decode path is hash-checked

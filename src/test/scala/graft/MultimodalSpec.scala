@@ -75,4 +75,36 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       r.getString(2).split(",").map(_.toLong).sum == r.getLong(1))
     assert(sums.forall(identity))
   }
+
+  test("packShards: byte-budget layout — offsets advance by byte_len " +
+      "within a file, files overflow by at most one payload") {
+    // one writer so the layout is a single sequence; budget 10 bytes
+    val df = (1L to 6L).map(i => (i, "x" * (i.toInt * 3)))
+      .toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast(BinaryType))
+    val rows = Multimodal.packShards(df, "doc_id", "payload",
+      writers = 1, maxBytes = 10L).orderBy("doc_id").collect()
+    // lens 3,6,9,12,15,18; cum-starts 0,3,9,18,30,45
+    assert(rows.map(_.getLong(3)).toSeq == Seq(0L, 0L, 0L, 1L, 3L, 4L))
+    assert(rows.map(_.getLong(4)).toSeq == Seq(0L, 3L, 9L, 8L, 0L, 5L))
+    // start byte of each payload falls inside its assigned file
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 0 && r.getLong(4) < 10)
+    }
+  }
+
+  test("packShards: writer routing is stable and the full corpus is " +
+      "covered exactly once") {
+    val df = (0L until 40L).map(i => (i, "y" * 5)).toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast(BinaryType))
+    val rows = Multimodal.packShards(df, "doc_id", "payload",
+      writers = 4, maxBytes = 12L).collect()
+    assert(rows.length == 40)
+    assert(rows.forall(r => r.getLong(1) == r.getLong(0) % 4))
+    // within a writer, 12-byte budget holds 2 full 5-byte payloads and
+    // the third starts at offset 10 (overflows into the file)
+    val w0 = rows.filter(_.getLong(1) == 0L).sortBy(_.getLong(0))
+    assert(w0.map(r => (r.getLong(3), r.getLong(4))).take(3).toSeq ==
+      Seq((0L, 0L), (0L, 5L), (0L, 10L)))
+  }
 }

@@ -255,11 +255,26 @@ object Dedup {
     * pairs *before* signatures are joined back and scored — a pair
     * colliding in several bands is scored once, and the band join
     * never carries the k-long signature arrays on both sides.
+    *
+    * `maxBucket` is the 100 TB skew fence: a band bucket of m docs
+    * emits m·(m−1)/2 pairs, so ONE giant duplicate cluster (the
+    * boilerplate page repeated a million times) would quadratically
+    * blow up a single join task. Buckets larger than `maxBucket`
+    * switch to STAR pairing — every member pairs with the bucket's
+    * min id only, linear in m. Connectivity (what `clusters` /
+    * `greedyKeep` consume) is preserved exactly; the price is that
+    * member↔member pairs of oversized buckets are not listed
+    * individually (and a member scoring < threshold against the
+    * representative drops out) — run exact dedup first so identical
+    * payloads never form the giant bucket. Property-tested: capped
+    * and uncapped pair sets yield identical connected components.
     */
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
-                      shingleLen: Int = 5, cut: Cut = localCut): DataFrame = {
+                      shingleLen: Int = 5, cut: Cut = localCut,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, "bands must divide k")
+    require(maxBucket >= 2, "maxBucket must be >= 2")
     val rows = k / bands
     // signatures feed three consumers (band explode + both sides of
     // the score join) — materialize once instead of re-scanning the
@@ -272,10 +287,28 @@ object Dedup {
       posexplode(array((0 until bands).map(b =>
         xxhash64((lit(b) +: (0 until rows).map(r => col(s"sig")(b * rows + r))): _*)): _*))
         .as(Seq("band", "bsig")))
-    val a = banded.select(col("band"), col("bsig"), col("id").as("a"))
-    val b = banded.select(col("band"), col("bsig"), col("id").as("b"))
-    val pairs = a.join(b, Seq("band", "bsig")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    val pairs: DataFrame =
+      if (maxBucket == Int.MaxValue) {
+        val a = banded.select(col("band"), col("bsig"), col("id").as("a"))
+        val b = banded.select(col("band"), col("bsig"), col("id").as("b"))
+        a.join(b, Seq("band", "bsig")).filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+      } else {
+        // bucket stats ride the same (band, bsig) shuffle key as the
+        // pair join, so AQE reuses the exchange
+        val stats = banded.groupBy("band", "bsig")
+          .agg(count(lit(1)).as("bsz"), min("id").as("minid"))
+        val tagged = banded.join(stats, Seq("band", "bsig"))
+        val small = tagged.filter(col("bsz") <= maxBucket)
+        val a = small.select(col("band"), col("bsig"), col("id").as("a"))
+        val b = small.select(col("band"), col("bsig"), col("id").as("b"))
+        val allPairs = a.join(b, Seq("band", "bsig"))
+          .filter(col("a") < col("b")).select("a", "b")
+        val starPairs = tagged
+          .filter(col("bsz") > maxBucket && col("id") =!= col("minid"))
+          .select(col("minid").as("a"), col("id").as("b"))
+        allPairs.union(starPairs).distinct()
+      }
     pairs
       .join(sigs.select(col("id").as("a"), col("sig").as("siga")), "a")
       .join(sigs.select(col("id").as("b"), col("sig").as("sigb")), "b")

@@ -54,6 +54,38 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.filter(col("a") >= col("b")).count() == 0)
   }
 
+  test("minhash maxBucket star cap: same connected components, " +
+      "linear pair count inside oversized buckets") {
+    // 8 identical docs (one giant bucket in every band) + 2 singletons
+    val big = "the same boilerplate page body repeated across the crawl"
+    val df = ((1L to 8L).map(i => (i, big)) ++
+      Seq((100L, "unique text one entirely"), (200L, "another unique doc")))
+      .toDF("doc_id", "text")
+    val full = Dedup.minHashNearDups(df, "doc_id", "text",
+      k = 32, bands = 8, threshold = 0.0)
+    val capped = Dedup.minHashNearDups(df, "doc_id", "text",
+      k = 32, bands = 8, threshold = 0.0, maxBucket = 3)
+    // star pairing bounds the blowup: 8 identical docs → 7 star pairs
+    // instead of C(8,2)=28
+    assert(full.count() == 28L)
+    assert(capped.count() == 7L)
+    assert(capped.filter(col("a") =!= 1L).count() == 0L) // all via min id
+    // downstream clustering sees identical components
+    val cf = Dedup.clusters(full.select("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cc = Dedup.clusters(capped.select("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cf == cc)
+    // mixed regime: small buckets still enumerate all pairs
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val mixed = ((1L to 5L).map(i => (i, big)) ++
+      Seq((10L, base + " tail0"), (11L, base + " tail0")))
+      .toDF("doc_id", "text")
+    val m = Dedup.minHashNearDups(mixed, "doc_id", "text",
+      k = 32, bands = 8, threshold = 0.0, maxBucket = 3).collect()
+    assert(m.exists(r => r.getLong(0) == 10L && r.getLong(1) == 11L))
+  }
+
   test("minhash estimate tracks true Jaccard loosely") {
     // two docs sharing roughly half their shingles
     val shared = "aaaa bbbb cccc dddd eeee ffff gggg hhhh"

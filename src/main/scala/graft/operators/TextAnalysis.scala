@@ -94,6 +94,51 @@ object TextAnalysis {
       .filter(col("rk") <= k).drop("rk")
   }
 
+  /** Per-doc interior bigrams (u, v) derived MAP-ONLY from the token
+    * array (`transform(sequence…)` — no window, no positional
+    * self-join). Docs with < 2 tokens contribute nothing.
+    */
+  private def bigrams(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("ts")) - 2),
+        i => struct(element_at(col("ts"), i + 1).as("u"),
+          element_at(col("ts"), i + 2).as("v")))).as("bg"))
+      .select(col(idCol), col("bg.u").as("u"), col("bg.v").as("v"))
+
+  /** Bigram LM scoring with add-one (Laplace) smoothing over the
+    * corpus vocabulary — one conditional-probability step past
+    * [[unigramLogProbs]] toward the KenLM n-gram scoring CCNet uses:
+    * p(v|u) = (c(u,v)+1) / (c(u·)+|V|), log-quantized to BIGINT so
+    * per-doc sums hash-compare across engines. Returns one row per
+    * scoreable doc: (idCol, n_bigrams, nll_q) with
+    * nll_q = Σ −round(ln p · 1e6) — exact integer math end to end.
+    *
+    * 100 TB shape: bigram derivation is map-only from the token
+    * array; the count tables shuffle on token keys with map-side
+    * partials (bigram-distinct-sized, ≪ corpus); |V| rides in as a
+    * 1-row broadcast (never a driver collect); the score join
+    * shuffles on (u, v) and the final agg on the doc id.
+    */
+  def bigramNll(docs: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    val bg = bigrams(docs, idCol, textCol)
+    val cuv = bg.groupBy("u", "v").agg(count(lit(1)).as("c"))
+    val cu = cuv.groupBy("u").agg(sum(col("c")).as("cn"))
+    val vsz = docs.select(explode(tokens(col(textCol))).as("w"))
+      .agg(countDistinct(col("w")).as("vsz"))
+    val lp = cuv.join(cu, "u").crossJoin(broadcast(vsz))
+      .select(col("u"), col("v"),
+        round(log((col("c") + lit(1)).cast("double") /
+          (col("cn") + col("vsz")).cast("double")) * 1e6)
+          .cast("long").as("lp_q"))
+    bg.join(lp, Seq("u", "v"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(-col("lp_q")).as("nll_q"))
+  }
+
   /** Corpus unigram language model: per-token
     * log p(token) = ln(count / total), quantized to BIGINT
     * (`round(ln·1e6)`, the tfIdfTopK trick) so every downstream sum

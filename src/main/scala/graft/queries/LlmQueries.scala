@@ -895,6 +895,13 @@ object LlmOps extends QueryGroup {
       TextAnalysis.perplexityBuckets(Tables.documents(s, d), "doc_id",
         "text", "lang").orderBy("doc_id")),
 
+    // Add-one-smoothed bigram LM scoring (one conditional step past
+    // the unigram stand-in toward CCNet's KenLM): exact quantized
+    // integer NLL per doc, map-only bigram derivation.
+    "llm_perplexity_bigram" -> ((s, d) =>
+      TextAnalysis.bigramNll(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Per-source curation pre-flight report — the audit a pipeline
     // runs BEFORE committing to a filter/dedup configuration: doc and
     // token volume, Gopher pass rate, and exact-dup rate (by the
@@ -1795,6 +1802,32 @@ object LlmOps extends QueryGroup {
          |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
          |  END AS ppl_bucket
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "llm_perplexity_bigram" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $toks AS ts FROM documents
+         |), bg AS (
+         |  SELECT doc_id, ts[CAST(i AS INT)] AS u,
+         |         ts[CAST(i AS INT) + 1] AS v
+         |  FROM tok, unnest(generate_series(1, len(ts) - 1)) AS t(i)
+         |  WHERE len(ts) >= 2
+         |), cuv AS (
+         |  SELECT u, v, count(*) AS c FROM bg GROUP BY u, v
+         |), cu AS (
+         |  SELECT u, CAST(sum(c) AS BIGINT) AS cn FROM cuv GROUP BY u
+         |), vc AS (
+         |  SELECT count(DISTINCT w) AS vsz
+         |  FROM (SELECT unnest($toks) AS w FROM documents)
+         |), lp AS (
+         |  SELECT cuv.u, cuv.v,
+         |    CAST(round(ln((cuv.c + 1.0) / (cu.cn + vc.vsz)) * 1e6)
+         |      AS BIGINT) AS lp_q
+         |  FROM cuv JOIN cu ON cuv.u = cu.u CROSS JOIN vc
+         |)
+         |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(-lp.lp_q) AS BIGINT) AS nll_q
+         |FROM bg JOIN lp ON bg.u = lp.u AND bg.v = lp.v
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "llm_chunk_sliding" ->
       s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),

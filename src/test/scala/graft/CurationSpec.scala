@@ -321,6 +321,28 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(lp.getAs[Long]("lp_q") == want)
   }
 
+  test("bigramNll: add-one-smoothed bigram NLL matches the closed form") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // corpus: "a b a b", "a b c", "z"; vocab {a,b,c,z} → V=4
+    // bigrams: doc1: (a,b),(b,a),(a,b)  doc2: (a,b),(b,c)
+    // c(a,b)=3, c(b,a)=1, c(b,c)=1 ; c(a·)=3, c(b·)=2
+    val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNll(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def lpq(c: Long, cn: Long) =
+      math.round(math.log((c + 1.0) / (cn + 4.0)) * 1e6)
+    val pAB = lpq(3, 3); val pBA = lpq(1, 2); val pBC = lpq(1, 2)
+    assert(out.length == 2) // single-token doc 3 drops out
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 3L)
+    assert(out(0).getLong(2) == -(pAB + pBA + pAB))
+    assert(out(1).getLong(0) == 2L && out(1).getLong(1) == 2L)
+    assert(out(1).getLong(2) == -(pAB + pBC))
+    // smoothing: every NLL is strictly positive (probs < 1)
+    assert(out.forall(_.getLong(2) > 0))
+  }
+
   test("perplexityBuckets: terciles are per-language and exhaustive") {
     import graft.operators.TextAnalysis
     import spark.implicits._

@@ -229,4 +229,37 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Join"), p.take(2000))
     assert("FileScan|Scan parquet".r.findAllIn(p).size <= 1, p.take(2000))
   }
+
+  test("llm_bpe_pairs: map-only pair explode after the one wordFreq " +
+      "shuffle; both aggs run partial-then-final, top-k via TakeOrdered") {
+    val p = plan("llm_bpe_pairs")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert("partial_count|partial_sum|HashAggregate".r.findAllIn(p)
+      .nonEmpty, p.take(2000))
+    // no window, no global sort anywhere
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("mm_shard_pack: the per-writer layout window is the only " +
+      "exchange — routing stays in the scan stage, no global sort") {
+    val p = plan("mm_shard_pack")
+    assert(p.contains("Window"), p.take(2000))
+    // one hashpartitioning exchange for the window; the trailing
+    // orderBy is the oracle determinism sort, rangepartitioned
+    val hashEx = "hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx\n" +
+      p.take(3000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("llm_perplexity_bigram: bigram derivation is map-only (no " +
+      "window, no positional self-join of the corpus)") {
+    val p = plan("llm_perplexity_bigram")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // |V| rides a broadcast, never a driver collect re-plan
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(3000))
+  }
 }

@@ -253,6 +253,33 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("runtime bloom-filter join pruning injects on a selective dim " +
+      "join once scan thresholds reflect cluster scale") {
+    // At 100 TB the lineitem side is far over the 10 GiB
+    // application-side threshold and Spark injects a bloom filter
+    // built from the filtered orders keys into the big-side scan —
+    // the runtime row-group pruning this engine relies on for
+    // selective dim joins. Local data is tiny, so lower the
+    // thresholds to make the same decision observable here.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val p = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") &&
+        p.contains("bloom_filter_agg"), p.take(3000))
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("llm_perplexity_bigram: bigram derivation is map-only (no " +
       "window, no positional self-join of the corpus)") {
     val p = plan("llm_perplexity_bigram")

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryGroup, Tables}
 import graft.Tables.{dec2, asDouble}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.11 event-time windows, batch-first on `events.ts` so the
@@ -42,6 +43,28 @@ object EventWindows extends QueryGroup {
         .select(col("user_id"), col("w.start").as("ss"),
           col("w.end").as("se"), col("n"), col("sv"))
         .orderBy("user_id", "ss")),
+
+    // Per-EVENT sessionization (the funnel-analysis shape, vs
+    // stream_session's aggregated windows): lag-gap flag + running sum
+    // assigns each event its user-relative session ordinal. Both
+    // window functions share ONE (user_id) partition spec — a single
+    // shuffle, per-user task size bounded by a user's history. Gap
+    // compare in exact µs so engines agree on boundary events.
+    "win_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = 1800L * 1000000L // 30 min
+      val prev = lag(col("ts"), 1).over(w)
+      val newS = when(prev.isNull ||
+        unix_micros(col("ts")) - unix_micros(prev) >= gapUs, 1L)
+        .otherwise(0L)
+      Tables.events(s, d)
+        .withColumn("new_s", newS)
+        .withColumn("session_seq", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("session_seq"), (col("new_s") === 1L).as("is_session_start"))
+        .orderBy("event_id")
+    }),
 
     // Streaming-only semantics (watermark + stateful dedup) are unit-
     // tested with MemoryStream in graft.streaming; this batch
@@ -118,6 +141,21 @@ object EventWindows extends QueryGroup {
       """SELECT user_id, max(ts) AS last_seen, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "win_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, ts,
+        |  CAST(SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS session_seq,
+        |  new_s = 1 AS is_session_start
+        |FROM e ORDER BY event_id""".stripMargin,
 
     "stream_session" ->
       """WITH e AS (

@@ -66,6 +66,30 @@ object EventWindows extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // Funnel conversion (ordered view → click → purchase): each stage
+    // timestamp is a conditional min over the user's events with a
+    // strictly-later-than-previous-stage guard — the MATCH_RECOGNIZE
+    // subsequence shape, computed with three unbounded-frame window
+    // aggregates that share ONE (user_id) shuffle (no sort needed,
+    // no self-join of the event log).
+    "win_funnel" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" &&
+            col("ts") > col("t1"), col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" &&
+            col("ts") > col("t2"), col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(max(col("t1")).as("view_ts"), max(col("t2")).as("click_ts"),
+          max(col("t3")).as("purchase_ts"))
+        .withColumn("converted", col("purchase_ts").isNotNull)
+        .orderBy("user_id")
+    }),
+
     // Streaming-only semantics (watermark + stateful dedup) are unit-
     // tested with MemoryStream in graft.streaming; this batch
     // emulation exercises the same dedup logic deterministically:
@@ -141,6 +165,24 @@ object EventWindows extends QueryGroup {
       """SELECT user_id, max(ts) AS last_seen, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "win_funnel" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN u USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > u.t1 GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT u.user_id, u.t1 AS view_ts, c.t2 AS click_ts,
+        |  p.t3 AS purchase_ts, p.t3 IS NOT NULL AS converted
+        |FROM u LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "win_sessionize" ->
       """WITH e AS (

@@ -34,6 +34,18 @@ object LlmOps extends QueryGroup {
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")
         .orderBy("h")),
 
+    // Dedup observability: cluster-size histogram over exact-dup
+    // groups — duplicate-rate audit BEFORE committing to a dedup run
+    // (how much volume dedup removes, and whether one giant cluster
+    // dominates — the skew signal for minHashNearDups' maxBucket).
+    // Two vocabulary-sized hash-aggs after the one corpus shuffle.
+    "llm_dup_cluster_hist" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+        .groupBy(col("n").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("n")).as("n_docs"))
+        .orderBy("cluster_size")),
+
     // MinHash+LSH near-dup pairs — algorithmic (custom hash family),
     // no ANSI oracle; property-tested in the unit suite.
     "llm_minhash_neardup" -> ((s, d) =>
@@ -1009,6 +1021,14 @@ object LlmOps extends QueryGroup {
       """SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id,
         |  count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+
+    "llm_dup_cluster_hist" ->
+      """WITH g AS (
+        |  SELECT md5(lower(trim(text))) AS h, count(*) AS n
+        |  FROM documents GROUP BY 1)
+        |SELECT n AS cluster_size, count(*) AS n_clusters,
+        |  CAST(sum(n) AS BIGINT) AS n_docs
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "llm_ngram_jaccard" ->
       s"""WITH tok AS (

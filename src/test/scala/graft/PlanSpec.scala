@@ -280,6 +280,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("win_funnel: all three stage windows and the per-user agg share " +
+      "one (user_id) exchange — no event-log self-join") {
+    val p = plan("win_funnel")
+    assert(!p.contains("Join"), p.take(3000))
+    val hashEx = "hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx\n" +
+      p.take(3000))
+  }
+
   test("llm_perplexity_bigram: bigram derivation is map-only (no " +
       "window, no positional self-join of the corpus)") {
     val p = plan("llm_perplexity_bigram")

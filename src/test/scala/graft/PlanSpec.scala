@@ -104,6 +104,35 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(pf.contains("event_type"), s"no partition pruning: $pf")
   }
 
+  test("dynamic partition pruning: a dim-filtered join prunes the " +
+      "partitioned fact scan at runtime") {
+    // The 100 TB shape: fact partitioned on the join key, selective
+    // dim filter — Spark injects a dynamicpruning subquery into the
+    // fact scan's partition filters so only matching partitions are
+    // read. Broadcast reuse makes the pruning subquery free.
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/root/repo/target"),
+        "dpp").toString
+    Tables.events(spark, sf)
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val fact = spark.read.parquet(out)
+    val dimPath = s"$out/_dim"
+    spark.createDataFrame(Seq(
+      ("click", "interactive"), ("view", "interactive"),
+      ("error", "ops"), ("purchase", "revenue"), ("signup", "growth")))
+      .toDF("event_type", "family")
+      .write.mode("overwrite").parquet(dimPath)
+    // the dim filter must survive as a Filter over a scan (a folded
+    // LocalRelation carries no selective predicate for DPP to use)
+    val dim = spark.read.parquet(dimPath)
+      .filter(col("family") === "revenue")
+    val p = fact.join(dim, "event_type").groupBy("family").count()
+      .queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning") ||
+      p.contains("DynamicPruning"), p.take(3000))
+  }
+
   test("win_ntile_approx plans no window operator (no global sort-by-value)") {
     // the whole point of the approx form: bucketing is a broadcast
     // compare, not a single-task WindowExec over a global ORDER BY

@@ -710,4 +710,30 @@ object Dedup {
         (col("common").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
   }
+
+  /** Levenshtein distance between doc pairs given a (docA, docB) pair
+    * frame, on `prefixLen`-char prefixes — the title/head near-match
+    * signal (edit distance is O(len²) per pair, so production use is
+    * ALWAYS (a) on blocked candidate pairs, never the full product,
+    * and (b) on bounded prefixes, never whole documents). Two id
+    * equi-joins to attach prefixes, then a map-only codegen'd
+    * `levenshtein`; sim = 1 − dist/maxlen.
+    */
+  def editDistanceForPairs(docs: DataFrame, pairs: DataFrame,
+                           idCol: String, textCol: String,
+                           prefixLen: Int = 64): DataFrame = {
+    val pref = docs.select(col(idCol).as("id"),
+      substring(col(textCol), 1, prefixLen).as("pref"))
+    pairs
+      .join(pref.withColumnRenamed("id", "doc_a")
+        .withColumnRenamed("pref", "pref_a"), "doc_a")
+      .join(pref.withColumnRenamed("id", "doc_b")
+        .withColumnRenamed("pref", "pref_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pref_a"), col("pref_b")).as("dist"),
+        greatest(length(col("pref_a")), length(col("pref_b"))).as("maxlen"))
+      .withColumn("sim",
+        when(col("maxlen") === 0, 1.0)
+          .otherwise(lit(1.0) - col("dist").cast(DoubleType) / col("maxlen")))
+  }
 }

@@ -81,6 +81,17 @@ object LlmOps extends QueryGroup {
         .orderBy("doc_a")
     }),
 
+    // Edit-distance near-match on 64-char prefixes over blocked
+    // (adjacent-id) pairs — the title/head fuzzy-dup signal. O(len²)
+    // per pair bounded by the prefix cap; never the full product.
+    "llm_edit_distance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = docs.select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 1).as("doc_b"))
+      Dedup.editDistanceForPairs(docs, pairs, "doc_id", "text")
+        .orderBy("doc_a")
+    }),
+
     // Benchmark decontamination: docs with doc_id % 20 == 0 stand in
     // for the held-out eval set, the rest are the training corpus.
     // n=3 because the synthetic docs are short random-vocab strings;
@@ -1021,6 +1032,24 @@ object LlmOps extends QueryGroup {
       """SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id,
         |  count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+
+    "llm_edit_distance" ->
+      """WITH pref AS (
+        |  SELECT doc_id, substring(text, 1, 64) AS pref FROM documents),
+        |pairs AS (
+        |  SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents)
+        |SELECT p.doc_a, p.doc_b,
+        |  CAST(levenshtein(a.pref, b.pref) AS INTEGER) AS dist,
+        |  CAST(greatest(length(a.pref), length(b.pref)) AS INTEGER)
+        |    AS maxlen,
+        |  CASE WHEN greatest(length(a.pref), length(b.pref)) = 0 THEN 1.0
+        |       ELSE 1.0 - CAST(levenshtein(a.pref, b.pref) AS DOUBLE)
+        |              / greatest(length(a.pref), length(b.pref))
+        |  END AS sim
+        |FROM pairs p
+        |JOIN pref a ON p.doc_a = a.doc_id
+        |JOIN pref b ON p.doc_b = b.doc_id
+        |ORDER BY doc_a""".stripMargin,
 
     "llm_dup_cluster_hist" ->
       """WITH g AS (

@@ -154,6 +154,71 @@ object Bpe {
       .toDF("rank", "left", "right", "cnt")
   }
 
+  def mergesTable(name: String): String = s"${name}_merges"
+
+  /** Version stamp of the persisted merge-table layout + tokenizer
+    * normalization. A tokenizer trained under one normalization MUST
+    * NOT silently encode text normalized differently — bump on any
+    * change to [[TextAnalysis.tokens]]/merge semantics and retrain
+    * (same stance as Dedup's gram-format stamp).
+    */
+  private[graft] val BpeFormatVersion = "bpe-v1:chars-xxlower-alnum"
+  private val BpeFormatKey = "bpe_format"
+
+  private def requireFormat(runner: graft.pipeline.PipelineRunner,
+                            name: String): Unit =
+    if (runner.tableExists(mergesTable(name))) {
+      val got = runner.tableSidecar(mergesTable(name), BpeFormatKey)
+      require(got.contains(BpeFormatVersion),
+        s"merge table '${mergesTable(name)}' uses tokenizer format " +
+          s"${got.getOrElse("<unstamped>")}, this build expects " +
+          s"'$BpeFormatVersion' — encoding with it would silently " +
+          "mis-tokenize. dropTable the index and retrain with " +
+          "ensureIndex.")
+    }
+
+  /** Train-or-reuse: trains `numMerges` merges and persists them as a
+    * warehouse table on first call (atomic generation commit,
+    * format-stamped); later calls run NO training jobs — the reuse
+    * path a scheduled pipeline takes every run. Returns whether
+    * training happened. The tokenizer artifact then outlives the
+    * corpus scan that produced it, exactly like the persisted IVF
+    * index (`VectorIndex.ensureIvf`).
+    */
+  def ensureIndex(runner: graft.pipeline.PipelineRunner, name: String,
+                  docs: DataFrame, textCol: String,
+                  numMerges: Int): Boolean = {
+    requireFormat(runner, name)
+    if (runner.tableExists(mergesTable(name))) false
+    else {
+      runner.appendBatch(mergesTable(name),
+        train(docs, textCol, numMerges), 0L,
+        sidecars = Map(BpeFormatKey -> BpeFormatVersion))
+      true
+    }
+  }
+
+  /** The persisted merge list, in merge order — the driver-side vocab
+    * artifact (numMerges rows by construction; never corpus-sized).
+    */
+  def storedMerges(runner: graft.pipeline.PipelineRunner,
+                   name: String): Seq[(String, String)] = {
+    requireFormat(runner, name)
+    runner.readTable(mergesTable(name)).orderBy("rank")
+      .select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
+  /** Encode a (new) doc batch with the PERSISTED tokenizer: no
+    * training jobs, no read of the original training corpus — one
+    * vocab-artifact read plus a map-only encode pass. The incremental
+    * path a production pipeline runs per arriving batch.
+    */
+  def encodeWithIndex(runner: graft.pipeline.PipelineRunner,
+                      name: String, docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    encode(docs, idCol, textCol, storedMerges(runner, name))
+
   /** Apply a learned merge table to a corpus: per-doc tokenization
     * into BPE subwords. The merge list is driver-side (vocab artifact,
     * thousands of rows) and travels in the closure — the corpus pass

@@ -38,6 +38,24 @@ object BpeOps extends QueryGroup {
       Bpe.encode(docs, "doc_id", "text", merges)
         .select(col("doc_id"), col("n_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // PERSISTED tokenizer: train once on the head of the corpus into
+    // a format-stamped warehouse table (atomic generation commit),
+    // then encode a later batch with the stored merges — no training
+    // jobs, no re-read of the training corpus. The per-batch
+    // production path (same shape as llm_ann_ivf_persisted).
+    "llm_bpe_persisted" -> ((s, d) => {
+      import graft.pipeline.{PipelineRunner, PipelineSpec}
+      val r = new PipelineRunner(s, PipelineSpec(Nil),
+        graft.queries.LlmOps.scratchDir("bpe_idx"))
+      val docs = Tables.documents(s, d)
+      Bpe.ensureIndex(r, "tok", docs.filter(col("doc_id") % 10 =!= 0),
+        "text", numMerges = 16)
+      Bpe.encodeWithIndex(r, "tok",
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy("doc_id")
     })
   )
 

@@ -16,6 +16,11 @@ object LlmOps extends QueryGroup {
   /** Scratch warehouse/fixture dir under target/ (git-ignored),
     * deleted at JVM exit — same pattern as PipelineOps.
     */
+  /** Scratch warehouse/fixture dir under target/ (git-ignored),
+    * deleted at JVM exit — shared with sibling query groups (BpeOps).
+    */
+  def scratchDir(key: String): String = freshDir(key)
+
   private def freshDir(key: String): String = {
     val base = java.nio.file.Paths.get("/root/repo/target/scratch")
     java.nio.file.Files.createDirectories(base)

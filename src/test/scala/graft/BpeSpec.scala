@@ -127,6 +127,53 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Seq("a", "b", "c", "d"))
   }
 
+  private def freshRunner(tag: String): graft.pipeline.PipelineRunner = {
+    val base = java.nio.file.Paths.get("/root/repo/target/scratch-test")
+    java.nio.file.Files.createDirectories(base)
+    val wh = java.nio.file.Files.createTempDirectory(base, tag).toString
+    new graft.pipeline.PipelineRunner(spark,
+      graft.pipeline.PipelineSpec(Nil), wh)
+  }
+
+  test("persisted tokenizer: reuse skips training; encodeWithIndex ≡ " +
+      "encode with the in-memory merge list") {
+    val r = freshRunner("bpe")
+    val corpus = Seq((1L, "low lower lowest"), (2L, "new newer newest"),
+      (3L, "low low new new")).toDF("doc_id", "text")
+    val batch = Seq((10L, "lower newest unseen"), (11L, "low new"))
+      .toDF("doc_id", "text")
+    assert(Bpe.ensureIndex(r, "tok", corpus, "text", 8),
+      "first call must train")
+    assert(!Bpe.ensureIndex(r, "tok", corpus, "text", 8),
+      "second call must reuse the stored merges")
+    val inMem = Bpe.train(corpus, "text", 8).orderBy("rank").collect()
+      .map(x => (x.getString(1), x.getString(2))).toSeq
+    assert(Bpe.storedMerges(r, "tok") == inMem)
+    val a = Bpe.encodeWithIndex(r, "tok", batch, "doc_id", "text")
+      .select("doc_id", "tokens").as[(Long, Seq[String])].collect().toMap
+    val b = Bpe.encode(batch, "doc_id", "text", inMem)
+      .select("doc_id", "tokens").as[(Long, Seq[String])].collect().toMap
+    assert(a == b)
+  }
+
+  test("persisted tokenizer: an unstamped or mismatched merge table " +
+      "fails loudly instead of silently mis-tokenizing") {
+    val corpus = Seq((1L, "aa bb aa")).toDF("doc_id", "text")
+    // a merge table that EXISTS but carries no format stamp (written
+    // by some other path / an older build) must be rejected by every
+    // consumer — ensureIndex, storedMerges, encodeWithIndex
+    val r = freshRunner("bpefmt")
+    r.replaceTable(Bpe.mergesTable("tok"), Bpe.train(corpus, "text", 2))
+    val e = intercept[IllegalArgumentException] {
+      Bpe.storedMerges(r, "tok")
+    }
+    assert(e.getMessage.contains("tokenizer format"))
+    val e2 = intercept[IllegalArgumentException] {
+      Bpe.ensureIndex(r, "tok", corpus, "text", 2)
+    }
+    assert(e2.getMessage.contains("tokenizer format"))
+  }
+
   test("mergeOnce handles overlapping runs left-to-right") {
     assert(Bpe.mergeOnce(Vector("a", "a", "a"), "a", "a") ==
       Vector("aa", "a"))

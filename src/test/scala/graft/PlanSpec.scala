@@ -133,6 +133,42 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       p.contains("DynamicPruning"), p.take(3000))
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in " +
+      "the final plan)") {
+    // The 100 TB reality: one hot key (the empty referer, the
+    // boilerplate doc) concentrates a shuffle partition; AQE's skew
+    // join splits it into subpartitions at runtime. Thresholds are
+    // lowered so the same decision is observable on local data.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "30KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      import spark.implicits._
+      // 50k rows, 90% on one hot key vs a uniform right side
+      val left = spark.range(50000)
+        .select((when(col("id") % 10 =!= 0, 7L)
+          .otherwise(col("id") % 100)).as("k"),
+          col("id").as("payload"))
+      val right = spark.range(100).select(col("id").as("k"),
+        (col("id") * 2).as("attr"))
+      // global agg downstream: a keyed agg on k would REUSE the join
+      // partitioning and AQE would decline to split the skew (it
+      // never adds an exchange unless forceOptimizeSkewedJoin)
+      val joined = left.join(right, "k").agg(sum(col("payload")).as("s"))
+      joined.collect() // run so AQE finalizes with real sizes
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p.take(2000))
+      assert(p.contains("skew=true"), p.take(4000))
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("win_ntile_approx plans no window operator (no global sort-by-value)") {
     // the whole point of the approx form: bucketing is a broadcast
     // compare, not a single-task WindowExec over a global ORDER BY

@@ -504,4 +504,50 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(sessions.contains((1L, 2L)), s"merged session missing: $sessions")
     }
   }
+
+  test("streaming BPE encode with the persisted tokenizer ≡ batch " +
+      "encode; appends are exactly-once") {
+    implicit val sq = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "sbpe_wh").toString
+    val runner = new graft.pipeline.PipelineRunner(
+      spark, graft.pipeline.PipelineSpec(Nil), wh)
+    runner.initialize()
+    val train = Seq((1L, "low lower lowest"), (2L, "new newer newest"),
+      (3L, "low low new new wide")).toDF("doc_id", "text")
+    // tokenizer trained ONCE, before the stream starts — each
+    // micro-batch is a pure map-only encode against the stored merges
+    assert(graft.operators.Bpe.ensureIndex(runner, "tok", train,
+      "text", numMerges = 8))
+    val arrivals = (10L until 40L).map(i =>
+      (i, s"lower newest wide$i low new"))
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val enc = graft.operators.Bpe.encodeWithIndex(
+          runner, "tok", batch, "doc_id", "text")
+          .select("doc_id", "n_tokens")
+        runner.appendBatch("encoded", enc, id): Unit
+      }
+      .start()
+    withQuery(q) {
+      in.addData(arrivals.take(15): _*)
+      q.processAllAvailable()
+      in.addData(arrivals.drop(15): _*)
+      q.processAllAvailable()
+      val streamed = runner.readTable("encoded")
+        .as[(Long, Long)].collect().toMap
+      val merges = graft.operators.Bpe.storedMerges(runner, "tok")
+      val batchEnc = graft.operators.Bpe.encode(
+        arrivals.toDF("doc_id", "text"), "doc_id", "text", merges)
+        .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+      assert(streamed == batchEnc)
+      assert(streamed.size == 30)
+      // replayed micro-batch id → exactly-once no-op
+      val replay = graft.operators.Bpe.encodeWithIndex(runner, "tok",
+        arrivals.take(15).toDF("doc_id", "text"), "doc_id", "text")
+        .select("doc_id", "n_tokens")
+      assert(runner.appendBatch("encoded", replay, 0L) == 0L)
+    }
+  }
 }

@@ -66,6 +66,21 @@ object SqlSurface extends QueryGroup {
           |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
     }),
 
+    // SQL-text PIVOT clause (the wide-report shape dbt marts ship as
+    // SQL; the DataFrame equivalent is agg_pivot). DECIMAL-exact sums
+    // surfaced as DOUBLE.
+    "sql_pivot" -> ((s, d) => {
+      withViews(s, d)
+      s.sql(
+        """SELECT * FROM (
+          |  SELECT o_orderpriority, o_orderstatus,
+          |         CAST(o_totalprice AS DECIMAL(12,2)) AS p
+          |  FROM sqls_orders)
+          |PIVOT (CAST(SUM(p) AS DOUBLE)
+          |       FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS pp))
+          |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // Spark 4 recursive CTE: generated month spine left-joined to
     // facts (the calendar-dimension pattern dbt models build)
     "sql_cte_recursive" -> ((s, d) => {
@@ -108,6 +123,20 @@ object SqlSurface extends QueryGroup {
         |         WHERE o.o_custkey = c.c_custkey
         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "sql_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |        THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
+        |    AS f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |        THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
+        |    AS o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |        THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
+        |    AS pp
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "sql_cte_recursive" ->
       """WITH RECURSIVE months(m) AS (

@@ -319,6 +319,54 @@ object Dedup {
       .filter(col("est_sim") >= threshold)
   }
 
+  /** Cross-corpus RECORD LINKAGE: MinHash/LSH fuzzy join between TWO
+    * document sets (dedup's self-join generalized — match news
+    * articles to wiki pages, crawl snapshots to each other, vendor
+    * catalogs to a master list). Each side is signed once (map-only
+    * native expression, cut so the text is not re-scanned for
+    * scoring), band buckets equi-join ACROSS the sides, and surviving
+    * pairs are scored once. Returns (left_id, right_id, est_sim) with
+    * est_sim >= threshold.
+    *
+    * 100 TB shape: identical to [[minHashNearDups]] — candidates only
+    * ever come from band-bucket equi-joins, signatures travel as
+    * k-int arrays, pairs are deduped to bare ids before the score
+    * join. There is no a<b filter (the sides are distinct keyspaces);
+    * linkage of a frame with itself returns both mirrors and the
+    * diagonal, which the self-dedup form filters.
+    */
+  def minHashLinkage(left: DataFrame, right: DataFrame, idCol: String,
+                     textCol: String, k: Int = 32, bands: Int = 8,
+                     threshold: Double = 0.5, shingleLen: Int = 5,
+                     cut: Cut = localCut): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    graft.functions.TextSignatures.register(left.sparkSession)
+    def sigs(df: DataFrame) = cut(df.select(col(idCol).as("id"),
+      graft.functions.TextSignatures.minHashSig(col(textCol), k, shingleLen)
+        .as("sig")))
+    def banded(s: DataFrame) = s.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64((lit(b) +: (0 until rows).map(r =>
+          col("sig")(b * rows + r))): _*)): _*))
+        .as(Seq("band", "bsig")))
+    val (ls, rs) = (sigs(left), sigs(right))
+    val pairs = banded(ls).withColumnRenamed("id", "left_id")
+      .join(banded(rs).withColumnRenamed("id", "right_id"),
+        Seq("band", "bsig"))
+      .select("left_id", "right_id").distinct()
+    pairs
+      .join(ls.select(col("id").as("left_id"), col("sig").as("siga")),
+        "left_id")
+      .join(rs.select(col("id").as("right_id"), col("sig").as("sigb")),
+        "right_id")
+      .select(col("left_id"), col("right_id"),
+        (aggregate(zip_with(col("siga"), col("sigb"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+          (acc, v) => acc + v).cast(DoubleType) / k).as("est_sim"))
+      .filter(col("est_sim") >= threshold)
+  }
+
   /** LSH band rows (id, band, bsig) — the blocking signature shared by
     * one-shot near-dup pairing and incremental corpus dedup. Map-only:
     * one native single-pass signature per doc, `bands` rows out.

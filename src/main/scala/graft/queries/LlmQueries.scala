@@ -86,6 +86,19 @@ object LlmOps extends QueryGroup {
         .orderBy("doc_a")
     }),
 
+    // Cross-corpus record linkage: evens vs odds stand in for two
+    // document sets; LSH bands equi-join ACROSS the sides. No oracle
+    // (custom hash family); self-linkage ≡ near-dup pairs is
+    // property-tested in DedupSpec.
+    "llm_record_linkage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.minHashLinkage(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", k = 32, bands = 8, threshold = 0.5)
+        .orderBy("left_id", "right_id")
+    }),
+
     // Edit-distance near-match on 64-char prefixes over blocked
     // (adjacent-id) pairs — the title/head fuzzy-dup signal. O(len²)
     // per pair bounded by the prefix cap; never the full product.

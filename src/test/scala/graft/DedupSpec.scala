@@ -86,6 +86,35 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(m.exists(r => r.getLong(0) == 10L && r.getLong(1) == 11L))
   }
 
+  test("record linkage: self-linkage ≡ near-dup pairs plus mirrors " +
+      "and diagonal; cross-corpus finds identical docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val df = (1L to 6L).map(i => (i, base + " suffix" + (i % 2)))
+      .toDF("doc_id", "text")
+    val self = Dedup.minHashLinkage(df, df, "doc_id", "text",
+      k = 32, bands = 8, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = Dedup.minHashNearDups(df, "doc_id", "text",
+      k = 32, bands = 8, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // dedup pairs = linkage above the diagonal
+    assert(pairs == self.filter { case (a, b) => a < b })
+    // linkage is symmetric and reflexive on identical signatures
+    assert(self.map(_.swap) == self)
+    (1L to 6L).foreach(i => assert(self.contains((i, i))))
+    // two disjoint corpora: the shared doc links across sides
+    val leftC = Seq((1L, base + " left"), (2L, "completely other words"))
+      .toDF("doc_id", "text")
+    val rightC = Seq((10L, base + " left"), (11L, "unrelated content"))
+      .toDF("doc_id", "text")
+    val linked = Dedup.minHashLinkage(leftC, rightC, "doc_id", "text",
+      k = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getDouble(2))).toMap
+    assert(linked.contains((1L, 10L)) && linked((1L, 10L)) == 1.0)
+    assert(!linked.keySet.exists { case (a, b) => a == 2L || b == 11L })
+  }
+
   test("minhash estimate tracks true Jaccard loosely") {
     // two docs sharing roughly half their shingles
     val shared = "aaaa bbbb cccc dddd eeee ffff gggg hhhh"

@@ -30,7 +30,7 @@ object SparkEntry {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  private val groups: Seq[QueryGroup] = Seq(
+  private[graft] val groups: Seq[QueryGroup] = Seq(
     _root_.graft.queries.Scans,
     _root_.graft.queries.Projections,
     _root_.graft.queries.Joins,

@@ -822,6 +822,25 @@ object LlmOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // Token-BUDGET mixture sampling: pretraining mixtures are
+    // specified in tokens, not docs — per source, take docs in a
+    // stable pseudo-random order (md5 of the id: reproducible across
+    // runs AND engines) until the source's token budget is filled.
+    // One (source) shuffle; per-source window size bounded by the
+    // source's docs.
+    "llm_token_budget_sample" -> ((s, d) => {
+      val budget = 800L
+      val ord = md5(col("doc_id").cast(StringType).cast(BinaryType))
+      val w = Window.partitionBy("source").orderBy("ord", "doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("toks"), ord.as("ord"))
+        .withColumn("cum", sum(col("toks")).over(w))
+        .filter(col("cum") <= budget)
+        .select("doc_id", "source", "toks", "cum")
+        .orderBy("doc_id")
+    }),
+
     // Deterministic holdout split — hash-routed on the stable doc_id
     // (md5 bucket, not row sampling), so corpus growth and backfill
     // re-runs never move a doc across train/val/test: the property
@@ -1907,6 +1926,23 @@ object LlmOps extends QueryGroup {
          |  CAST(LEAST(8, len(t) - s) AS BIGINT) AS n_chunk_tokens,
          |  array_to_string(t[s+1:s+8], ' ') AS chunk_text
          |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "llm_token_budget_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> x <> '')) AS INTEGER)
+        |    + CAST(len(list_filter(string_split_regex(lower(text), '[a-z0-9\s]+'),
+        |           x -> x <> '')) AS INTEGER) AS toks,
+        |    md5(CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, toks,
+        |    SUM(toks) OVER (PARTITION BY source ORDER BY ord, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, toks, CAST(cum AS BIGINT) AS cum
+        |FROM c WHERE cum <= 800 ORDER BY doc_id""".stripMargin,
 
     "llm_pack_chunks" ->
       """WITH t AS (

@@ -178,6 +178,21 @@ object LlmOps extends QueryGroup {
         .orderBy("qid", "rn")
     }),
 
+    // METADATA-FILTERED vector search (the vector-db `filter=` knob):
+    // the corpus predicate applies BEFORE scoring — pushed into the
+    // parquet scan, so at 100 TB only matching rows are even read
+    // (with a partitioned/clustered corpus the filter prunes files).
+    // Exact tier for the oracle; the same filter composes with the
+    // LSH/IVF keys for the ANN path.
+    "llm_ann_filtered" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopKExact(
+        emb.filter(col("vec_id") < 5),
+        emb.filter(col("label") === 3), k = 5)
+        .select("qid", "cid", "cos", "rn")
+        .orderBy("qid", "rn")
+    }),
+
     // kNN label vote — the standard embedding-space eval/labeling
     // step (classify held-out vectors by their neighbors' labels).
     // Reuses the exact brute-force tier (the declared oracle tier;
@@ -1165,6 +1180,35 @@ object LlmOps extends QueryGroup {
         |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.qv AS qvec, c.qv AS cvec
         |  FROM e q CROSS JOIN e c
         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |sums AS (
+        |  SELECT qid, cid,
+        |    CAST(SUM(z[1] * z[2]) AS BIGINT) AS dot,
+        |    CAST(SUM(z[1] * z[1]) AS BIGINT) AS n2q,
+        |    CAST(SUM(z[2] * z[2]) AS BIGINT) AS n2c
+        |  FROM (SELECT qid, cid, unnest(list_zip(qvec, cvec)) AS z FROM pairs) t
+        |  GROUP BY qid, cid),
+        |scored AS (
+        |  SELECT qid, cid,
+        |    CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(n2q AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE))) AS cos
+        |  FROM sums),
+        |ranked AS (
+        |  SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+        |  FROM scored)
+        |SELECT qid, cid, cos, rn FROM ranked WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin,
+
+    "llm_ann_filtered" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.qv AS qvec, c.qv AS cvec
+        |  FROM e q CROSS JOIN e c
+        |  WHERE q.vec_id < 5 AND c.label = 3 AND c.vec_id <> q.vec_id),
         |sums AS (
         |  SELECT qid, cid,
         |    CAST(SUM(z[1] * z[2]) AS BIGINT) AS dot,

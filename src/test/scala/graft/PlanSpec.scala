@@ -345,6 +345,13 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("llm_ann_filtered: the metadata predicate pushes into the " +
+      "corpus parquet scan — filtered rows are never scored") {
+    val p = plan("llm_ann_filtered")
+    assert(p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)]")
+      || p.contains("EqualTo(label,3)"), p.take(3000))
+  }
+
   test("win_funnel: all three stage windows and the per-user agg share " +
       "one (user_id) exchange — no event-log self-join") {
     val p = plan("win_funnel")

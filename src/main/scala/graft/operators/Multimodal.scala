@@ -149,13 +149,20 @@ object Multimodal {
     }
   }
 
-  /** WebDataset-style shard packing: route each binary payload to one
-    * of `writers` writer shards, then lay payloads out into
-    * byte-budgeted archive files within the shard — each row gets
-    * (writer, file_seq, offset), i.e. WHICH tar file and WHERE in it
-    * the blob starts. A blob lands in the file where its start byte
-    * falls, so files overflow by at most one payload (standard tar
-    * sharding; members are never split).
+  /** Shard packing for binary payloads: route each payload to one of
+    * `writers` writer shards, then lay the shard's payloads out as one
+    * contiguous byte stream cut into fixed `maxBytes` volumes — each
+    * row gets (writer, file_seq, offset): the VOLUME its first byte
+    * falls in and the position within that volume. This is the
+    * multi-volume layout (`tar --multi-volume` / fixed-size chunked
+    * object uploads): volume sizes are exact, and a payload whose
+    * window straddles a boundary CONTINUES into the next volume —
+    * consumers read `byte_len` bytes from (file_seq, offset) across
+    * volume boundaries. (A never-split WebDataset-style writer instead
+    * closes each tar early at a member boundary — that layout's file
+    * assignment is an inherently sequential per-writer fold, not a
+    * prefix sum; this operator trades it for the window-computable,
+    * engine-replayable volume layout.)
     *
     * 100 TB shape: routing is map-only (`pmod` on the stable id — a
     * doc never migrates across re-runs); the ONLY shuffle is the

@@ -59,8 +59,7 @@ object BpeOps extends QueryGroup {
     })
   )
 
-  private val toks =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+  private def toks = LlmOps.toks // the one oracle-side tokenizer
 
   override def oracles: Map[String, String] = Map(
     "llm_bpe_pairs" ->

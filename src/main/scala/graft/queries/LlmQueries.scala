@@ -14,10 +14,8 @@ import org.apache.spark.sql.types._
 object LlmOps extends QueryGroup {
 
   /** Scratch warehouse/fixture dir under target/ (git-ignored),
-    * deleted at JVM exit — same pattern as PipelineOps.
-    */
-  /** Scratch warehouse/fixture dir under target/ (git-ignored),
-    * deleted at JVM exit — shared with sibling query groups (BpeOps).
+    * deleted at JVM exit — same pattern as PipelineOps; shared with
+    * sibling query groups (BpeOps).
     */
   def scratchDir(key: String): String = freshDir(key)
 
@@ -585,10 +583,10 @@ object LlmOps extends QueryGroup {
         "doc_id", "payload", everyNBytes = 100)
         .orderBy("doc_id", "frame_idx")),
 
-    // WebDataset-style shard packing: writer routing is map-only, the
+    // Multi-volume shard packing: writer routing is map-only, the
     // only shuffle is the per-writer layout window (corpus/writers per
-    // task — never a global sort). file_seq/offset = which tar file
-    // and where in it each payload starts.
+    // task — never a global sort). file_seq/offset = which fixed-size
+    // volume each payload's first byte falls in and where.
     "mm_shard_pack" -> ((s, d) =>
       Multimodal.packShards(
         Tables.documents(s, d)
@@ -1053,7 +1051,11 @@ object LlmOps extends QueryGroup {
     })
   )
 
-  private val toks =
+  /** DuckDB replica of [[graft.operators.TextAnalysis.tokens]] — the
+    * ONE oracle-side tokenizer definition; shared with BpeOps (and in
+    * lockstep with Bpe.BpeFormatVersion's normalization stamp).
+    */
+  private[queries] val toks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
   private val stopEnList =
     TextAnalysis.stopEn.map(w => s"'$w'").mkString("(", ",", ")")
@@ -1531,9 +1533,9 @@ object LlmOps extends QueryGroup {
         |  FROM sized)
         |SELECT doc_id, writer, byte_len,
         |  CAST(floor((cum - byte_len) / 4096.0) AS BIGINT) AS file_seq,
-        |  cum - byte_len -
+        |  CAST(cum - byte_len -
         |    CAST(floor((cum - byte_len) / 4096.0) AS BIGINT) * 4096
-        |    AS offset
+        |    AS BIGINT) AS offset
         |FROM laid ORDER BY doc_id""".stripMargin,
 
     // the binaryFile content IS documents.text as UTF-8 bytes, so the

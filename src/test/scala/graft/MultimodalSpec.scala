@@ -76,19 +76,24 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(sums.forall(identity))
   }
 
-  test("packShards: byte-budget layout — offsets advance by byte_len " +
-      "within a file, files overflow by at most one payload") {
-    // one writer so the layout is a single sequence; budget 10 bytes
+  test("packShards: multi-volume layout — (file_seq, offset) is the " +
+      "exact position of each payload's first byte in the stream") {
+    // one writer so the layout is a single sequence; 10-byte volumes
     val df = (1L to 6L).map(i => (i, "x" * (i.toInt * 3)))
       .toDF("doc_id", "text")
       .withColumn("payload", col("text").cast(BinaryType))
     val rows = Multimodal.packShards(df, "doc_id", "payload",
       writers = 1, maxBytes = 10L).orderBy("doc_id").collect()
-    // lens 3,6,9,12,15,18; cum-starts 0,3,9,18,30,45
+    // lens 3,6,9,12,15,18; stream starts 0,3,9,18,30,45 →
+    // volume floor(start/10) and offset start%10 (a payload straddling
+    // a boundary continues into the next volume; volumes 2 holds only
+    // payload-4's tail, so no payload STARTS in it)
     assert(rows.map(_.getLong(3)).toSeq == Seq(0L, 0L, 0L, 1L, 3L, 4L))
     assert(rows.map(_.getLong(4)).toSeq == Seq(0L, 3L, 9L, 8L, 0L, 5L))
-    // start byte of each payload falls inside its assigned file
-    rows.foreach { r =>
+    // invariant: file_seq * maxBytes + offset == running byte start
+    val starts = rows.map(_.getLong(2)).scanLeft(0L)(_ + _)
+    rows.zip(starts).foreach { case (r, start) =>
+      assert(r.getLong(3) * 10 + r.getLong(4) == start)
       assert(r.getLong(4) >= 0 && r.getLong(4) < 10)
     }
   }
@@ -101,8 +106,8 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       writers = 4, maxBytes = 12L).collect()
     assert(rows.length == 40)
     assert(rows.forall(r => r.getLong(1) == r.getLong(0) % 4))
-    // within a writer, 12-byte budget holds 2 full 5-byte payloads and
-    // the third starts at offset 10 (overflows into the file)
+    // within a writer, the first three 5-byte payloads start at stream
+    // bytes 0, 5, 10 — the third straddles the 12-byte volume boundary
     val w0 = rows.filter(_.getLong(1) == 0L).sortBy(_.getLong(0))
     assert(w0.map(r => (r.getLong(3), r.getLong(4))).take(3).toSeq ==
       Seq((0L, 0L), (0L, 5L), (0L, 10L)))

@@ -8,6 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * join degrading to SMJ shows up as a NEW shuffle, which is exactly
   * what this catches) in its initial physical plan at sf0.001.
   *
+  * Cost note: keys that do eager driver-side work in their lambda
+  * (BPE training rounds, pipeline-runner materializations) pay that
+  * work here before the residual plan is inspected — the gate still
+  * covers their final read plan, and the whole sweep runs in ~1 min
+  * at sf0.001. If that ever grows unacceptable, exempt eager keys
+  * explicitly rather than weakening the sweep.
+  *
   * A failure here means an edit added an exchange somewhere — at
   * 100 TB an extra shuffle is the difference between a map-only stage
   * and re-clustering the corpus, so a regression must be a conscious,

@@ -151,6 +151,78 @@ object Curation {
       .drop("__mix_domain", "__mix_rate")
   }
 
+  /** UniMax language-sampling allocation (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining", ICLR 2023, Algorithm 1): given a
+    * token budget B and a per-language epoch cap N, walk languages in
+    * ASCENDING token-mass order; each language takes
+    * min(N · tokens_l, remaining / languages_left) — low-resource
+    * languages are capped at N epochs (never oversampled into
+    * memorization), and whatever budget they leave spreads uniformly
+    * over the larger languages. The result is the closest-to-uniform
+    * mixture that respects the epoch cap — the published alternative
+    * to temperature sampling for multilingual pretraining.
+    *
+    * Budget is `budgetNum/budgetDen` of the corpus's total tokens
+    * (default half). ALL arithmetic is exact integer math — Long
+    * floor-division for the fair share, parts-per-million outputs
+    * (`epochs_ppm` = allocated epochs · 1e6, `rate_ppm` = share of
+    * the realized budget · 1e6) — so the DuckDB oracle replays the
+    * walk bit-for-bit via a recursive CTE and re-runs are stable
+    * across engines.
+    *
+    * 100 TB shape: the corpus is touched by ONE map-only token count
+    * + hash-agg to #languages rows (the [[mixtureRates]] /
+    * llm_domain_mix shape). The sequential walk is inherent to the
+    * algorithm (each step's fair share depends on what smaller
+    * languages left behind) but runs over ≤ #languages rows on the
+    * driver — the nlist ≪ N pattern, same as k-means centroids.
+    * Zero-token languages are dropped (no mass to allocate; keeping
+    * them would still be fine — min(0, fair) = 0 — but the rates
+    * frame mirrors mixtureRates' contract).
+    *
+    * Returns one row per language: (lang, n_docs, n_tokens,
+    * alloc_tokens, epochs_ppm, rate_ppm), ordered by lang.
+    */
+  def unimaxAllocation(df: DataFrame, langCol: String, textCol: String,
+                       maxEpochs: Int,
+                       budgetNum: Long = 1L, budgetDen: Long = 2L)
+      : DataFrame = {
+    require(maxEpochs > 0, s"maxEpochs must be positive: $maxEpochs")
+    require(budgetNum > 0 && budgetDen > 0 && budgetNum <= budgetDen,
+      s"budget fraction must be in (0,1]: $budgetNum/$budgetDen")
+    val spark = df.sparkSession
+    val perLang = df
+      .select(col(langCol).as("lang"),
+        size(TextAnalysis.tokens(col(textCol))).cast(LongType).as("toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (lang, _, tok) => (tok, lang) } // UniMax walk order
+    val total = perLang.map(_._3).sum
+    var remaining = total / budgetDen * budgetNum +
+      total % budgetDen * budgetNum / budgetDen // overflow-safe B = total·num/den
+    val n = perLang.length
+    val allocs = perLang.zipWithIndex.map { case ((lang, docs, tok), i) =>
+      val fair = remaining / (n - i)
+      val u = math.min(tok * maxEpochs, fair)
+      remaining -= u
+      (lang, docs, tok, u)
+    }
+    val realized = allocs.map(_._4).sum
+    import spark.implicits._
+    allocs.toSeq
+      .map { case (lang, docs, tok, u) =>
+        (lang, docs, tok, u, u * 1000000L / tok,
+          if (realized == 0) 0L else u * 1000000L / realized)
+      }
+      .toDF("lang", "n_docs", "n_tokens", "alloc_tokens",
+        "epochs_ppm", "rate_ppm")
+      .orderBy("lang")
+  }
+
   /** CCNet-style text normalization: lowercase, non-alphanumerics to
     * spaces, whitespace runs collapsed, trimmed — the canonical form
     * exact-dedup and fingerprinting hash. Pure codegen'd

@@ -172,7 +172,33 @@ object ScalarFuncs extends QueryGroup {
         col("c_custkey"),
         md5(col("c_name")).as("hm"),
         sha2(col("c_name"), 256).as("hs"))
-        .orderBy("c_custkey"))
+        .orderBy("c_custkey")),
+
+    // URL parsing family — the web-corpus curation workhorse (host
+    // extraction feeds domain dedup/blocklists, path/query feed
+    // boilerplate detection). URLs are synthesized deterministically
+    // from doc columns so the oracle replays the EXPECTED parts and
+    // the compare proves Spark's parse_url/url_decode semantics
+    // against ground truth. All codegen'd expressions, map-only.
+    "fn_url" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("url",
+          concat(lit("https://www."), col("source"),
+            lit(".example.com/"), col("lang"), lit("/doc-"),
+            col("doc_id"), lit("?id="), col("doc_id"), lit("&q=a%20b")))
+        .select(
+          col("doc_id"),
+          col("url"),
+          expr("parse_url(url, 'PROTOCOL')").as("proto"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("query"),
+          expr("parse_url(url, 'QUERY', 'id')").as("qid"),
+          expr("url_decode(parse_url(url, 'QUERY', 'q'))").as("q_dec"),
+          expr("concat(element_at(split(parse_url(url, 'HOST'), '\\\\.'), -2)," +
+            " '.', element_at(split(parse_url(url, 'HOST'), '\\\\.'), -1))")
+            .as("reg_domain"))
+        .orderBy("doc_id"))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -289,7 +315,23 @@ object ScalarFuncs extends QueryGroup {
 
     "fn_hash" ->
       """SELECT c_custkey, md5(c_name) AS hm, sha256(c_name) AS hs
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // expected-part replay: the URL is built from doc columns, so the
+    // oracle reconstructs each component directly — agreement proves
+    // Spark's parse_url/url_decode return ground truth.
+    "fn_url" ->
+      """SELECT doc_id,
+        |  'https://www.' || source || '.example.com/' || lang || '/doc-'
+        |    || doc_id || '?id=' || doc_id || '&q=a%20b' AS url,
+        |  'https' AS proto,
+        |  'www.' || source || '.example.com' AS host,
+        |  '/' || lang || '/doc-' || doc_id AS path,
+        |  'id=' || doc_id || '&q=a%20b' AS query,
+        |  CAST(doc_id AS VARCHAR) AS qid,
+        |  'a b' AS q_dec,
+        |  'example.com' AS reg_domain
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
 

@@ -822,6 +822,31 @@ object LlmOps extends QueryGroup {
     // PII scrubbing — email/phone redaction before training. Pure
     // codegen'd regexp_replace, map-only. Patterns kept to the
     // Java/RE2-common dialect so the oracle replays them verbatim.
+    // URL-domain blocklist filtering (the UT1-blocklist stage of
+    // RefinedWeb/FineWeb §3.1): each doc's host checked against a
+    // blocklist, keep/drop audit per doc. Hosts are synthesized
+    // deterministically from `source` (testdata has no URL column) so
+    // the oracle replays the decision; the Spark-side plumbing —
+    // parse-host, broadcast the blocklist, left-join + null-test — is
+    // the production shape. 100 TB note: UT1 is ~4M domains ≈ tens of
+    // MB, comfortably broadcastable; a blocklist past ~1 GB switches
+    // to a shuffled left join on host with the identical plan text.
+    "llm_url_filter" -> ((s, d) => {
+      import s.implicits._
+      val blocked = Seq("www.src3.example.com", "www.src7.example.com",
+        "www.src12.example.com").toDF("blocked_host")
+      Tables.documents(s, d)
+        .withColumn("url",
+          concat(lit("https://www."), col("source"),
+            lit(".example.com/doc-"), col("doc_id")))
+        .withColumn("host", expr("parse_url(url, 'HOST')"))
+        .join(broadcast(blocked), col("host") === col("blocked_host"),
+          "left")
+        .select(col("doc_id"), col("host"),
+          col("blocked_host").isNull.as("keep"))
+        .orderBy("doc_id")
+    }),
+
     "llm_pii_scrub" -> ((s, d) => {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val phone = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
@@ -880,6 +905,15 @@ object LlmOps extends QueryGroup {
     "llm_mixture_weights" -> ((s, d) =>
       Curation.mixtureRates(Tables.documents(s, d), "source", "text")
         .orderBy("domain")),
+
+    // UniMax (Chung et al. 2023): epoch-capped language sampling —
+    // ascending-size walk gives every language min(cap·mass, fair
+    // share of what's left). One corpus hash-agg to #langs rows; the
+    // sequential walk is exact Long math on the driver (nlist ≪ N
+    // pattern), so the oracle replays it with a recursive CTE.
+    "llm_unimax_alloc" -> ((s, d) =>
+      Curation.unimaxAllocation(Tables.documents(s, d), "lang", "text",
+        maxEpochs = 3)),
 
     // Token-length histogram per source (power-of-2 caps) — the
     // doc-length diagnostic behind packing budgets and truncation
@@ -2009,6 +2043,14 @@ object LlmOps extends QueryGroup {
         |    CAST(FLOOR((cum - toks) / CAST(512 AS DOUBLE)) AS BIGINT) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // host replay + NOT IN over the blocked sources — agreement
+    // proves the parse + broadcast-left-join + null-test decision.
+    "llm_url_filter" ->
+      """SELECT doc_id,
+        |  'www.' || source || '.example.com' AS host,
+        |  source NOT IN ('src3', 'src7', 'src12') AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "llm_pii_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(
@@ -2058,6 +2100,42 @@ object LlmOps extends QueryGroup {
          |    (SELECT min(CAST(n_tokens AS DOUBLE) / target_share) FROM t)
          |    / CAST(n_tokens AS DOUBLE) AS rate
          |FROM t ORDER BY domain""".stripMargin,
+
+    // full replay of the UniMax walk: the recursive CTE steps
+    // through languages in ascending (n_tokens, lang) order carrying
+    // the remaining budget; every step is BIGINT floor-division, so
+    // the compare is exact.
+    "llm_unimax_alloc" ->
+      s"""WITH RECURSIVE per AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(CAST(len($toks) AS BIGINT)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1
+         |  HAVING sum(CAST(len($toks) AS BIGINT)) > 0),
+         |ranked AS (
+         |  SELECT p.*, t.nl, t.total,
+         |    CAST(row_number() OVER (ORDER BY p.n_tokens, p.lang) AS BIGINT)
+         |      AS rk
+         |  FROM per p CROSS JOIN
+         |    (SELECT count(*) AS nl, CAST(sum(n_tokens) AS BIGINT) AS total
+         |     FROM per) t),
+         |walk AS (
+         |  SELECT CAST(0 AS BIGINT) AS rk, total * 1 // 2 AS remaining,
+         |    CAST(0 AS BIGINT) AS alloc
+         |  FROM ranked WHERE rk = 1
+         |  UNION ALL
+         |  SELECT r.rk,
+         |    w.remaining - least(r.n_tokens * 3, w.remaining // (r.nl - w.rk)),
+         |    least(r.n_tokens * 3, w.remaining // (r.nl - w.rk))
+         |  FROM walk w JOIN ranked r ON r.rk = w.rk + 1),
+         |alloc AS (
+         |  SELECT r.lang, r.n_docs, r.n_tokens, w.alloc AS alloc_tokens
+         |  FROM walk w JOIN ranked r ON r.rk = w.rk WHERE w.rk > 0)
+         |SELECT lang, n_docs, n_tokens, alloc_tokens,
+         |  alloc_tokens * 1000000 // n_tokens AS epochs_ppm,
+         |  alloc_tokens * 1000000 //
+         |    (SELECT CAST(sum(alloc_tokens) AS BIGINT) FROM alloc)
+         |    AS rate_ppm
+         |FROM alloc ORDER BY lang""".stripMargin,
 
     "llm_length_histogram" ->
       s"""SELECT source,

@@ -105,6 +105,54 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       "the binding domain must keep (essentially) everything")
   }
 
+  test("unimaxAllocation: exact walk on a hand-checked fixture") {
+    import spark.implicits._
+    // tokens: a=10, b=100, c=100. N=2, B=210/2=105. Ascending walk:
+    //   a: fair=105/3=35, cap=2·10=20  → 20, remaining 85
+    //   b: fair= 85/2=42, cap=200      → 42, remaining 43
+    //   c: fair= 43/1=43, cap=200      → 43
+    val df = Seq(
+      ("a", Seq.fill(10)("w").mkString(" ")),
+      ("b", Seq.fill(100)("w").mkString(" ")),
+      ("c", Seq.fill(100)("w").mkString(" ")))
+      .toDF("lang", "text")
+    val rows = Curation.unimaxAllocation(df, "lang", "text", maxEpochs = 2)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("alloc_tokens"), r.getAs[Long]("epochs_ppm"),
+          r.getAs[Long]("rate_ppm"))).toMap
+    assert(rows("a") == ((20L, 2000000L, 20L * 1000000 / 105)))
+    assert(rows("b") == ((42L, 420000L, 42L * 1000000 / 105)))
+    assert(rows("c") == ((43L, 430000L, 43L * 1000000 / 105)))
+  }
+
+  test("unimaxAllocation: epoch cap and budget invariants on testdata") {
+    val rows = Curation.unimaxAllocation(docs, "lang", "text", maxEpochs = 3)
+      .collect()
+    val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val realized = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(realized <= totalTokens / 2, "allocation must respect the budget")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc_tokens") <= 3 * r.getAs[Long]("n_tokens"),
+        s"epoch cap violated: $r")
+      assert(r.getAs[Long]("epochs_ppm") <= 3000000L)
+    }
+    // UniMax's point: no language oversamples past the cap, and the
+    // budget that low-resource languages leave behind spreads over
+    // the rest — with 5 same-order-of-magnitude languages at B=T/2
+    // nothing should hit the cap and allocations should be near-equal
+    // (floor-division drift only)
+    val allocs = rows.map(_.getAs[Long]("alloc_tokens"))
+    if (rows.forall(r =>
+        r.getAs[Long]("alloc_tokens") < 3 * r.getAs[Long]("n_tokens"))) {
+      assert(allocs.max - allocs.min <= rows.length,
+        s"uncapped languages must share equally: ${allocs.toSeq}")
+    }
+    // deterministic across runs
+    val again = Curation.unimaxAllocation(docs, "lang", "text", maxEpochs = 3)
+      .collect().map(_.getAs[Long]("alloc_tokens"))
+    assert(allocs.toSeq == again.toSeq)
+  }
+
   test("mixtureRates: a zero-token domain cannot zero the budget") {
     import spark.implicits._
     val df = Seq(

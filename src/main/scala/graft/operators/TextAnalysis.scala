@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-data pipelines (north-star,
@@ -217,6 +218,88 @@ object TextAnalysis {
       .when(de >= fr && de > 0, "de")
       .when(fr > 0, "fr")
       .otherwise("und")
+  }
+
+  /** Char-trigram array of CCNet-normalized text — [[Curation
+    * .normalize]]'s exact chain (lower, non-alnum→space, collapse,
+    * trim) so spaces act as word boundaries inside grams, the
+    * Cavnar–Trenkle setup. Empty array under 3 chars (Spark's
+    * `sequence(1,0)` would step DOWNWARD, so the short-text guard is
+    * explicit; DuckDB's `generate_series(1,0)` is empty — the oracle
+    * needs no guard). Pure codegen'd array expressions, map-only.
+    */
+  private[operators] def charTrigramsImpl(text: Column): Column = {
+    val nt = Curation.normalize(text)
+    when(length(nt) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(nt) - 2),
+        i => nt.substr(i, lit(3))))
+  }
+
+  /** Rank-profile language ID (Cavnar & Trenkle 1994, "N-Gram-Based
+    * Text Categorization") — the real training-data language
+    * classifier behind the [[langId]] stopword heuristic: per
+    * language, the top-`topP` char trigrams by frequency form a rank
+    * profile; a doc is classified by OUT-OF-PLACE distance — for each
+    * of the doc's own top-`topP` trigrams, |doc rank − profile rank|,
+    * or `topP` when the profile lacks the gram — to the nearest
+    * profile (ties to the lexically-first language).
+    *
+    * Self-supervised here: profiles train on the corpus's own `lang`
+    * labels and every doc is re-classified (the closed-world audit a
+    * pipeline runs to find mislabeled docs). All ranks and distances
+    * are exact integer math with lexical tie-breaks, so the DuckDB
+    * oracle replays the full train + classify pipeline bit-for-bit.
+    *
+    * 100 TB shape: the profile side is one explode → (lang, gram)
+    * hash-agg (map-side partials) → per-lang rank window — the window
+    * runs on #langs partitions but each holds ≤ |charset|³ distinct
+    * grams (46k for [a-z0-9 ]), bounded regardless of corpus size —
+    * and the ≤ #langs·topP-row result BROADCASTS. The classify side
+    * is explode → (doc, gram) hash-agg → per-doc top-P window (task
+    * size bounded by a doc's vocabulary) → broadcast join + (doc,
+    * lang) hash-agg → per-doc argmin window over #langs rows. No
+    * corpus-sized join or sort anywhere.
+    *
+    * Returns (doc id, pred_lang, dist), one row per doc with ≥1
+    * trigram.
+    */
+  def langIdNgram(df: DataFrame, idCol: String, langCol: String,
+                  textCol: String, topP: Int = 40): DataFrame = {
+    require(topP > 0, s"topP must be positive: $topP")
+    val grams = df.select(col(idCol).as("__id"), col(langCol).as("__lang"),
+      explode(charTrigramsImpl(col(textCol))).as("g"))
+    val wLang = Window.partitionBy("__lang")
+      .orderBy(col("n").desc, col("g"))
+    val profile = grams.groupBy("__lang", "g")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rl", row_number().over(wLang))
+      .filter(col("rl") <= topP)
+      .select(col("__lang").as("plang"), col("g"), col("rl"))
+    val wDoc = Window.partitionBy("__id").orderBy(col("n").desc, col("g"))
+    val docG = grams.groupBy("__id", "g")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rd", row_number().over(wDoc))
+      .filter(col("rd") <= topP)
+      .select("__id", "g", "rd")
+      .localCheckpoint() // feeds the present-join AND the per-doc count
+    val present = docG.join(broadcast(profile), "g")
+      .groupBy("__id", "plang")
+      .agg(sum(abs(col("rd") - col("rl"))).as("s"),
+        count(lit(1)).as("c"))
+    val nGrams = docG.groupBy("__id").agg(count(lit(1)).as("ng"))
+    val langs = profile.select(col("plang")).distinct()
+    val dist = nGrams.crossJoin(broadcast(langs))
+      .join(present, Seq("__id", "plang"), "left")
+      .select(col("__id"),
+        col("plang"),
+        (coalesce(col("s"), lit(0L)) +
+          (col("ng") - coalesce(col("c"), lit(0L))) * topP).as("dist"))
+    val wBest = Window.partitionBy("__id")
+      .orderBy(col("dist"), col("plang"))
+    dist.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("__id").as(idCol), col("plang").as("pred_lang"),
+        col("dist"))
   }
 
   /** Doc-quality score in [−0.1, 0.9]: length saturation + lexical

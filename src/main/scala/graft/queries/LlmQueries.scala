@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryGroup, Tables}
-import graft.operators.{Curation, Dedup, Multimodal, QualityClassifier, Similarity, TextAnalysis, VectorIndex}
+import graft.operators.{Curation, Dedup, Multimodal, QualityClassifier, Similarity, Sketches, TextAnalysis, VectorIndex}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -494,6 +494,16 @@ object LlmOps extends QueryGroup {
         TextAnalysis.langId(col("text")).as("lang_guess"))
         .orderBy("doc_id")),
 
+    // Rank-profile language ID (Cavnar–Trenkle 1994) — the trainable
+    // trigram classifier behind the stopword heuristic: per-language
+    // top-40 trigram rank profiles, docs classified by out-of-place
+    // distance. Exact integer ranks/distances with lexical
+    // tie-breaks; the oracle replays train + classify end-to-end.
+    "llm_langid_ngram" -> ((s, d) =>
+      TextAnalysis.langIdNgram(Tables.documents(s, d), "doc_id", "lang",
+        "text", topP = 40)
+        .orderBy("doc_id")),
+
     // top-5 TF-IDF terms per document; integer-quantized idf keeps
     // the ranking engine-portable (see TextAnalysis.tfIdfTopK)
     "llm_tfidf_topk" -> ((s, d) =>
@@ -788,6 +798,25 @@ object LlmOps extends QueryGroup {
         Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.25, "fr" -> 1.0), 42L)
         .select("doc_id", "lang")
         .orderBy("doc_id")),
+
+    // Per-source distinct-token cardinality via MERGEABLE HLL
+    // sketches — the incremental form of count distinct: the corpus
+    // arrives as batches (simulated by an id-parity split), each
+    // batch aggregates to a few-KB sketch per source, and the merge
+    // runs on sketch rows only. Register-wise union is exact, so the
+    // merged estimate ≡ the one-shot estimate (property-tested in
+    // ApproxAndSampleSpec along with a rel-err bound vs exact). No
+    // oracle (DataSketches HLL state is engine-specific).
+    "llm_cardinality_sketch" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val batches = (0 to 1).map(i =>
+        Sketches.tokenCardinality(
+          docs.filter(pmod(col("doc_id"), lit(2)) === i),
+          "source", "text"))
+      Sketches.estimateCardinality(batches.reduce(_.union(_)))
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
+    }),
 
     // Sliding-window chunking with overlap — RAG / long-doc-training
     // prep: windows of up to 8 tokens stepping by 6, so consecutive
@@ -1512,6 +1541,50 @@ object LlmOps extends QueryGroup {
          |       ELSE 'und' END AS lang_guess
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    // full train+classify replay: normalize → trigrams → per-lang and
+    // per-doc rank windows (count DESC, gram — lexical ties) →
+    // out-of-place distance with topP penalty → per-doc argmin.
+    "llm_langid_ngram" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lang,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(
+        |      generate_series(1, greatest(length(nt) - 2, 0)),
+        |      i -> substring(nt, CAST(i AS INTEGER), 3))) AS g
+        |  FROM norm),
+        |prof AS (
+        |  SELECT * FROM (
+        |    SELECT lang AS plang, g,
+        |      CAST(row_number() OVER (PARTITION BY lang
+        |        ORDER BY count(*) DESC, g) AS BIGINT) AS rl
+        |    FROM grams GROUP BY lang, g) WHERE rl <= 40),
+        |docg AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, g,
+        |      CAST(row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY count(*) DESC, g) AS BIGINT) AS rd
+        |    FROM grams GROUP BY doc_id, g) WHERE rd <= 40),
+        |present AS (
+        |  SELECT d.doc_id, p.plang,
+        |    CAST(sum(abs(d.rd - p.rl)) AS BIGINT) AS s,
+        |    count(*) AS c
+        |  FROM docg d JOIN prof p USING (g) GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT n.doc_id, l.plang,
+        |    coalesce(p.s, 0) + (n.ng - coalesce(p.c, 0)) * 40 AS dist
+        |  FROM (SELECT doc_id, count(*) AS ng FROM docg GROUP BY 1) n
+        |  CROSS JOIN (SELECT DISTINCT plang FROM prof) l
+        |  LEFT JOIN present p
+        |    ON p.doc_id = n.doc_id AND p.plang = l.plang)
+        |SELECT doc_id, plang AS pred_lang, CAST(dist AS BIGINT) AS dist
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY dist, plang) AS rn FROM dist)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "llm_quality_score" ->
       s"""SELECT doc_id,

@@ -46,6 +46,30 @@ class ApproxAndSampleSpec extends AnyFunSuite with SparkTestBase {
         s"$k: merged=${m(k)} exact=$e")
   }
 
+  test("Sketches.tokenCardinality: batch sketches merge ≡ one-shot, " +
+      "estimate tracks exact distinct tokens") {
+    import graft.operators.{Sketches, TextAnalysis}
+    val docs = Tables.documents(spark, sf)
+    val batches = (0 to 2).map(i =>
+      Sketches.tokenCardinality(
+        docs.filter(pmod(col("doc_id"), lit(3)) === i), "source", "text"))
+    val merged = Sketches.estimateCardinality(batches.reduce(_.union(_)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = Sketches.estimateCardinality(
+      Sketches.tokenCardinality(docs, "source", "text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == oneShot,
+      "register-wise union over ANY batch split must equal the one-shot sketch")
+    val exact = docs
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("source").agg(countDistinct(col("t")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, e) <- exact)
+      assert(math.abs(merged(k) - e).toDouble / e <= 0.10,
+        s"source=$k est=${merged(k)} exact=$e")
+  }
+
   test("sample with a fixed seed is deterministic") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val a = li.sample(withReplacement = false, 0.1, seed = 42).count()

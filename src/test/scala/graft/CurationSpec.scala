@@ -105,6 +105,37 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       "the binding domain must keep (essentially) everything")
   }
 
+  test("langIdNgram: recovers labels on trigram-separable languages, " +
+      "deterministic, missing-gram penalty bounded") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // two synthetic "languages" with disjoint character inventories —
+    // profiles must separate them perfectly
+    val aa = Seq("abba abab baba", "abab abba bbaa", "aabb abab")
+    val zz = Seq("zyzzy zyzy yzzy", "zyzy yzyz zzyy", "yyzz zyzy")
+    val docs = (aa.map(("aa", _)) ++ zz.map(("zz", _))).zipWithIndex
+      .map { case ((l, t), i) => (i.toLong, l, t) }
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.langIdNgram(docs, "doc_id", "lang", "text",
+      topP = 10).collect()
+    val truth = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[String]("pred_lang") == truth(r.getAs[Long]("doc_id")),
+        s"misclassified: $r")
+      // distance never exceeds nGrams · penalty
+      assert(r.getAs[Long]("dist") >= 0)
+    }
+    assert(out.length == docs.count(), "every doc with grams classified")
+    val again = TextAnalysis.langIdNgram(docs, "doc_id", "lang", "text",
+      topP = 10).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == out.map(r => (r.getLong(0), r.getString(1))).toSet)
+    // sub-3-char docs produce no grams and drop out (both engines)
+    val short = Seq((99L, "aa", "ab")).toDF("doc_id", "lang", "text")
+    assert(TextAnalysis.langIdNgram(docs.union(short), "doc_id", "lang",
+      "text", topP = 10).filter(col("doc_id") === 99L).count() == 0)
+  }
+
   test("unimaxAllocation: exact walk on a hand-checked fixture") {
     import spark.implicits._
     // tokens: a=10, b=100, c=100. N=2, B=210/2=105. Ascending walk:

@@ -876,6 +876,28 @@ object LlmOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // Link-graph centrality for crawl-seed quality (what Common
+    // Crawl publishes as host-level PageRank): a deterministic
+    // citation graph over sources (doc i "cites" doc (31i+7) mod N —
+    // testdata has no link column; the mapping replays in the
+    // oracle), then 3 exact-integer power iterations. Ranks in 1e-9
+    // units; every division a pinned floor, so the unrolled-CTE
+    // oracle replays the run bit-for-bit.
+    "llm_pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+      val total = docs.count()
+      val cited = docs.select(col("doc_id").as("cid"),
+        col("source").as("dst"))
+      val edges = docs
+        .withColumn("cite", (col("doc_id") * 31 + 7) % lit(total))
+        .join(cited, col("cite") === col("cid"))
+        .select(col("source").as("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.operators.Graphs.pageRank(edges, iters = 3)
+        .select(col("node"), col("rq").as("rank_q"))
+        .orderBy("node")
+    }),
+
     "llm_pii_scrub" -> ((s, d) => {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val phone = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
@@ -2115,6 +2137,42 @@ object LlmOps extends QueryGroup {
         |  shard * 1000 +
         |    CAST(FLOOR((cum - toks) / CAST(512 AS DOUBLE)) AS BIGINT) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // full replay: same edge synthesis, then the 3 power iterations
+    // UNROLLED as CTE layers (standard SQL forbids aggregation over a
+    // recursive reference; a fixed iteration count needs no
+    // recursion). Every op BIGINT floor math — bit-exact compare.
+    "llm_pagerank" -> {
+      def iter(prev: String, name: String) =
+        s"""$name AS (
+           |  SELECT nd.node,
+           |    (15 * CAST(1000000000 AS BIGINT))
+           |      // (100 * (SELECT c FROM n)) +
+           |    (85 * coalesce(s.t, 0)) // 100 AS rq
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT e.dst, CAST(sum(r.rq // o.deg) AS BIGINT) AS t
+           |    FROM edges e JOIN $prev r ON r.node = e.src
+           |    JOIN outdeg o ON o.src = e.src GROUP BY e.dst) s
+           |  ON s.dst = nd.node)"""
+      s"""WITH d AS (SELECT doc_id, source FROM documents),
+         |tot AS (SELECT count(*) AS c FROM d),
+         |edges AS (
+         |  SELECT DISTINCT a.source AS src, b.source AS dst
+         |  FROM d a CROSS JOIN tot t
+         |  JOIN d b ON b.doc_id = (a.doc_id * 31 + 7) % t.c
+         |  WHERE a.source <> b.source),
+         |nodes AS (
+         |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |n AS (SELECT count(*) AS c FROM nodes),
+         |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (
+         |  SELECT node, 1000000000 // (SELECT c FROM n) AS rq FROM nodes),
+         |${iter("r0", "i1")},
+         |${iter("i1", "i2")},
+         |${iter("i2", "i3")}
+         |SELECT node, CAST(rq AS BIGINT) AS rank_q
+         |FROM i3 ORDER BY node""".stripMargin
+    },
 
     // host replay + NOT IN over the blocked sources — agreement
     // proves the parse + broadcast-left-join + null-test decision.

@@ -151,6 +151,43 @@ object Curation {
       .drop("__mix_domain", "__mix_rate")
   }
 
+  /** Temperature-smoothed mixture rates at α = 0.5 (the exponentiated
+    * smoothing of mBERT / XLM-R — Conneau et al. 2020 §3.1 sample
+    * languages ∝ p_l^α): weight_l = √tokens_l, rate_l = weight_l /
+    * Σ weights — upweights low-resource domains relative to their raw
+    * share without the hard epoch cap of [[unimaxAllocation]].
+    *
+    * α is PINNED at 0.5 because √ is the one exponent IEEE 754
+    * requires correctly rounded: sqrt of the same BIGINT-derived
+    * double is bit-identical in every engine, so quantizing it
+    * (`round(√tokens · 1e6)` → BIGINT) yields exact integer weights
+    * and a floor-division `rate_ppm` the oracle replays bit-for-bit.
+    * A general p^α runs through `pow`, which is NOT correctly-rounded
+    * portable — callers wanting other temperatures accept engine
+    * drift or precompute weights upstream.
+    *
+    * Same 100 TB shape as [[mixtureRates]]: one corpus hash-agg to
+    * #domains rows, all mixture math on that tiny frame. Returns
+    * (domain, n_docs, n_tokens, weight_q, rate_ppm) ordered by the
+    * caller.
+    */
+  def temperatureRates(df: DataFrame, domainCol: String, textCol: String)
+      : DataFrame = {
+    val perDomain = df
+      .select(col(domainCol).as("domain"),
+        size(TextAnalysis.tokens(col(textCol))).cast(LongType).as("toks"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val w = Window.partitionBy() // #domains rows — trivial single task
+    perDomain
+      .withColumn("weight_q",
+        round(sqrt(col("n_tokens").cast(DoubleType)) * 1e6)
+          .cast(LongType))
+      .withColumn("rate_ppm",
+        expr("(weight_q * 1000000) div sum(weight_q) over ()"))
+  }
+
   /** UniMax language-sampling allocation (Chung et al. 2023, "UniMax:
     * Fairer and More Effective Language Sampling for Large-Scale
     * Multilingual Pretraining", ICLR 2023, Algorithm 1): given a

@@ -90,6 +90,44 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Hard-negative mining for contrastive training (Karpukhin et al.
+    * 2020, DPR; the standard embedding-model training-data step):
+    * for each query vector, the top-k most-similar candidates whose
+    * label DIFFERS from the query's — maximally-confusable wrong
+    * answers, the negatives that actually teach the model. The label
+    * inequality is a per-query predicate, so it lives in the join
+    * filter (a pre-filter of the candidate side cannot express it).
+    *
+    * Same exact-integer tier as [[bruteForceTopKExact]] (quantized
+    * BIGINT dots, IEEE-mirrored sqrt/divide — oracle replays in
+    * full); the LSH/IVF keys are the 100 TB path and compose the same
+    * label predicate post-bucketing. Query side broadcasts.
+    *
+    * Returns (qid, qlabel, cid, neg_label, cos, rn), rn ≤ k ranked
+    * (cos desc, cid).
+    */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame,
+                    k: Int): DataFrame = {
+    def quant(v: Column): Column =
+      transform(v, x => round(x.cast(DoubleType) * 1e7).cast(LongType))
+    def idot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (a, b) => a * b), lit(0L), (acc, v) => acc + v)
+    val q = queries.select(col("vec_id").as("qid"),
+      col("label").as("qlabel"), quant(col("embedding")).as("qvec"))
+    val c = candidates.select(col("vec_id").as("cid"),
+      col("label").as("neg_label"), quant(col("embedding")).as("cvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid") &&
+        col("neg_label") =!= col("qlabel"))
+      .select(col("qid"), col("qlabel"), col("cid"), col("neg_label"),
+        (idot(col("qvec"), col("cvec")).cast(DoubleType) /
+          (sqrt(idot(col("qvec"), col("qvec")).cast(DoubleType)) *
+            sqrt(idot(col("cvec"), col("cvec")).cast(DoubleType))))
+          .as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Scalar 8-bit quantization (SQ8) — the classic compressed-vector
     * tier (Faiss `SQ8` / Milvus `IVF_SQ8` shape): each vector stores a
     * per-vector scale plus one signed byte per dimension, 4× smaller

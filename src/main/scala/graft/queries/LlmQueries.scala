@@ -191,6 +191,18 @@ object LlmOps extends QueryGroup {
         .orderBy("qid", "rn")
     }),
 
+    // Hard-negative mining (DPR, Karpukhin et al. 2020): per query,
+    // top-5 most-similar WRONG-label candidates — the confusable
+    // negatives contrastive training needs. Label inequality lives in
+    // the join filter (per-query predicate); exact-integer oracle
+    // tier, LSH/IVF compose the same predicate at 100 TB.
+    "llm_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 5), emb, k = 5)
+        .select("qid", "qlabel", "cid", "neg_label", "cos", "rn")
+        .orderBy("qid", "rn")
+    }),
+
     // kNN label vote — the standard embedding-space eval/labeling
     // step (classify held-out vectors by their neighbors' labels).
     // Reuses the exact brute-force tier (the declared oracle tier;
@@ -957,6 +969,15 @@ object LlmOps extends QueryGroup {
       Curation.mixtureRates(Tables.documents(s, d), "source", "text")
         .orderBy("domain")),
 
+    // Temperature-smoothed mixture at α=0.5 (mBERT/XLM-R
+    // exponentiated smoothing): √-weights upweight low-resource
+    // domains; α pinned at 0.5 because sqrt is the one
+    // IEEE-correctly-rounded exponent, making the quantized weights
+    // and floor-div rates engine-portable.
+    "llm_temperature_mix" -> ((s, d) =>
+      Curation.temperatureRates(Tables.documents(s, d), "source", "text")
+        .orderBy("domain")),
+
     // UniMax (Chung et al. 2023): epoch-capped language sampling —
     // ascending-size walk gives every language min(cap·mass, fair
     // share of what's left). One corpus hash-agg to #langs rows; the
@@ -1314,6 +1335,41 @@ object LlmOps extends QueryGroup {
         |  FROM scored)
         |SELECT qid, cid, cos, rn FROM ranked WHERE rn <= 5
         |ORDER BY qid, rn""".stripMargin,
+
+    // ann_filtered's quantized replay with the label-inequality
+    // predicate and labels carried through.
+    "llm_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, q.label AS qlabel,
+        |    c.vec_id AS cid, c.label AS neg_label,
+        |    q.qv AS qvec, c.qv AS cvec
+        |  FROM e q CROSS JOIN e c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+        |    AND c.label <> q.label),
+        |sums AS (
+        |  SELECT qid, qlabel, cid, neg_label,
+        |    CAST(SUM(z[1] * z[2]) AS BIGINT) AS dot,
+        |    CAST(SUM(z[1] * z[1]) AS BIGINT) AS n2q,
+        |    CAST(SUM(z[2] * z[2]) AS BIGINT) AS n2c
+        |  FROM (SELECT qid, qlabel, cid, neg_label,
+        |          unnest(list_zip(qvec, cvec)) AS z FROM pairs) t
+        |  GROUP BY qid, qlabel, cid, neg_label),
+        |scored AS (
+        |  SELECT qid, qlabel, cid, neg_label,
+        |    CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(n2q AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE))) AS cos
+        |  FROM sums),
+        |ranked AS (
+        |  SELECT qid, qlabel, cid, neg_label, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+        |  FROM scored)
+        |SELECT qid, qlabel, cid, neg_label, cos, rn
+        |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
 
     "llm_ann_sq8" ->
       """WITH q0 AS (
@@ -2231,6 +2287,25 @@ object LlmOps extends QueryGroup {
          |    (SELECT min(CAST(n_tokens AS DOUBLE) / target_share) FROM t)
          |    / CAST(n_tokens AS DOUBLE) AS rate
          |FROM t ORDER BY domain""".stripMargin,
+
+    // √-weight replay: sqrt is IEEE-correctly-rounded in both
+    // engines, so the 1e6-quantized weights and floor-div ppm rates
+    // compare exactly.
+    "llm_temperature_mix" ->
+      s"""WITH per AS (
+         |  SELECT source AS domain, count(*) AS n_docs,
+         |    CAST(sum(CAST(len($toks) AS BIGINT)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1
+         |  HAVING sum(CAST(len($toks) AS BIGINT)) > 0),
+         |w AS (
+         |  SELECT *,
+         |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000)
+         |      AS BIGINT) AS weight_q
+         |  FROM per)
+         |SELECT domain, n_docs, n_tokens, weight_q,
+         |  (weight_q * 1000000) //
+         |    (SELECT CAST(sum(weight_q) AS BIGINT) FROM w) AS rate_ppm
+         |FROM w ORDER BY domain""".stripMargin,
 
     // full replay of the UniMax walk: the recursive CTE steps
     // through languages in ascending (n_tokens, lang) order carrying

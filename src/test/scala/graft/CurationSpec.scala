@@ -136,6 +136,26 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       "text", topP = 10).filter(col("doc_id") === 99L).count() == 0)
   }
 
+  test("temperatureRates: sqrt-weights upweight low-resource domains") {
+    import spark.implicits._
+    val df = Seq(
+      ("small", Seq.fill(100)("w").mkString(" ")),
+      ("big", Seq.fill(10000)("w").mkString(" ")))
+      .toDF("source", "text")
+    val rows = Curation.temperatureRates(df, "source", "text")
+      .collect().map(r => r.getAs[String]("domain") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("weight_q"),
+          r.getAs[Long]("rate_ppm"))).toMap
+    // exact sqrt quantization: √100·1e6 = 10_000_000, √10000·1e6 = 1e8
+    assert(rows("small")._2 == 10000000L)
+    assert(rows("big")._2 == 100000000L)
+    // raw share of small = 100/10100 ≈ 0.99%; α=0.5 share = 1/11 ≈ 9%
+    assert(rows("small")._3 == 10000000L * 1000000L / 110000000L)
+    val rawShare = 100.0 / 10100.0
+    assert(rows("small")._3 / 1e6 > 5 * rawShare,
+      "temperature smoothing must upweight the small domain")
+  }
+
   test("unimaxAllocation: exact walk on a hand-checked fixture") {
     import spark.implicits._
     // tokens: a=10, b=100, c=100. N=2, B=210/2=105. Ascending walk:

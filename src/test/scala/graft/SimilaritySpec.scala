@@ -45,6 +45,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(top.getAs[Double]("cos") == 1.0)
   }
 
+  test("hardNegatives: wrong-label only, ranked like the exact tier") {
+    val labeled = emb.withColumn("label", pmod(col("vec_id"), lit(3)))
+    val q = labeled.filter(col("vec_id") < 3)
+    val out = Similarity.hardNegatives(q, labeled, k = 5).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("neg_label") != r.getAs[Long]("qlabel"),
+        s"negative shares the query's label: $r")
+      assert(r.getAs[Long]("cid") != r.getAs[Long]("qid"))
+    }
+    assert(out.groupBy(_.getAs[Long]("qid")).forall(_._2.length == 5))
+    // agreement with the unrestricted exact tier: hardNegatives(q) ==
+    // bruteForceTopKExact(q, candidates-with-other-labels) per query
+    for (qid <- 0L until 3L) {
+      val ql = qid % 3
+      val ref = Similarity.bruteForceTopKExact(
+        labeled.filter(col("vec_id") === qid),
+        labeled.filter(col("label") =!= ql), k = 5)
+        .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Int]("rn"))).toSet
+      val got = out.filter(_.getAs[Long]("qid") == qid)
+        .map(r => (r.getAs[Long]("cid"), r.getAs[Int]("rn"))).toSet
+      assert(got == ref, s"qid=$qid: $got vs $ref")
+    }
+  }
+
   test("lsh: identical vectors always share a bucket and are found") {
     val withClone = emb.unionByName(
       Seq((99L, vecs.head._2)).toDF("vec_id", "embedding"))

@@ -339,6 +339,57 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("streaming cardinality sketches: per-micro-batch HLL partials " +
+      "appended exactly-once roll up to the one-shot estimate") {
+    implicit val sq = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "sketch_wh").toString
+    val runner = new graft.pipeline.PipelineRunner(
+      spark, graft.pipeline.PipelineSpec(Nil), wh)
+    runner.initialize()
+    val rnd = new scala.util.Random(23)
+    val all = (0L until 90L).map { i =>
+      val words = (0 until 10).map(_ => s"w${rnd.nextInt(200)}")
+      (i, s"s${i % 3}", words.mkString(" "))
+    }
+    // the stream: each micro-batch aggregates to per-group sketch
+    // rows (few KB) and APPENDS those — the corpus itself is never
+    // persisted or rescanned
+    val in = MemoryStream[(Long, String, String)]
+    val q = in.toDF().toDF("doc_id", "source", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        runner.appendBatch("sketches",
+          graft.operators.Sketches.tokenCardinality(batch, "source",
+            "text"), id): Unit
+      }
+      .start()
+    withQuery(q) {
+      in.addData(all.take(40): _*)
+      q.processAllAvailable()
+      in.addData(all.drop(40): _*)
+      q.processAllAvailable()
+      val merged = graft.operators.Sketches.estimateCardinality(
+        runner.readTable("sketches"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      import spark.implicits._
+      val oneShot = graft.operators.Sketches.estimateCardinality(
+        graft.operators.Sketches.tokenCardinality(
+          all.toDF("doc_id", "source", "text"), "source", "text"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(merged == oneShot,
+        s"streamed partials must roll up exactly: $merged vs $oneShot")
+      // replayed micro-batch appends nothing under its original id
+      assert(runner.appendBatch("sketches",
+        graft.operators.Sketches.tokenCardinality(
+          all.take(40).toDF("doc_id", "source", "text"), "source",
+          "text"), 0L) == 0L)
+      assert(graft.operators.Sketches.estimateCardinality(
+        runner.readTable("sketches"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        == oneShot, "replay must not perturb the estimates")
+    }
+  }
+
   test("streaming decontamination: each micro-batch checks the " +
       "persisted gram table; union ≡ one-shot; replay no-ops") {
     implicit val sq = spark.sqlContext

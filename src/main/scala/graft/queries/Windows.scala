@@ -244,6 +244,25 @@ object Windows extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // Forward-fill (the IGNORE NULLS window surface): carry the most
+    // recent non-null value down each user's event stream — the
+    // sensor/event gap-fill op. Nulls are synthesized deterministically
+    // (event_id % 3) since events.value is dense; `last(_, ignoreNulls
+    // = true)` over a running frame shares the one (user_id) shuffle.
+    // The filled value is SELECTED, never computed — doubles compare
+    // bitwise.
+    "win_fill_forward" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nv = when(pmod(col("event_id"), lit(3)) === 0, lit(null))
+        .otherwise(col("value"))
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"), col("ts"),
+        nv.as("nv"),
+        last(nv, ignoreNulls = true).over(w).as("filled"))
+        .orderBy("event_id")
+    }),
+
     // The 100-TB-safe form: quantiles within each partition key —
     // parallelism = #keys, no global sort anywhere.
     "win_ntile_partitioned" -> ((s, d) => {
@@ -333,6 +352,16 @@ object Windows extends QueryGroup {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+
+    "win_fill_forward" ->
+      """SELECT event_id, user_id, ts,
+        |  CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS nv,
+        |  last_value(CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END
+        |    IGNORE NULLS) OVER w AS filled
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
     "win_ntile_partitioned" ->

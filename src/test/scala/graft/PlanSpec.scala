@@ -370,4 +370,46 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastExchange"), p.take(3000))
   }
+
+  test("llm_langid_ngram: the language profiles broadcast to the " +
+      "classify side (the corpus is never shuffle-joined to them)") {
+    val p = plan("llm_langid_ngram")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("llm_url_filter: the blocklist broadcasts; no sort-merge join") {
+    val p = plan("llm_url_filter")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("llm_hard_negatives: query side broadcasts; corpus side is " +
+      "never sort-merge-joined") {
+    val p = plan("llm_hard_negatives")
+    assert(p.contains("Broadcast"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("llm_temperature_mix: single corpus scan, no join, " +
+      "partial+final aggregation") {
+    val p = plan("llm_temperature_mix")
+    assert(!p.contains("Join"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+    assert("FileScan|Scan parquet".r.findAllIn(p).size <= 1, p.take(3000))
+  }
+
+  test("llm_cardinality_sketch: sketch aggregation runs " +
+      "partial-then-merge (ObjectHashAggregate at both levels)") {
+    val p = plan("llm_cardinality_sketch")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("win_fill_forward: the fill window and null synthesis share " +
+      "one (user_id) exchange — no self-join") {
+    val p = plan("win_fill_forward")
+    assert(!p.contains("Join"), p.take(3000))
+    val hashEx = "hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx\n" +
+      p.take(3000))
+  }
 }

@@ -235,6 +235,47 @@ object TextAnalysis {
         i => nt.substr(i, lit(3))))
   }
 
+  /** Persisted inverted index — the corpus-search infrastructure
+    * behind WIMBD-style "what's in my big data?" auditing (Elazar et
+    * al. 2023): a warehouse table of (term, doc) postings, appended
+    * per ingest batch exactly-once (idempotent batchId via the
+    * runner's write-audit-publish ledger), so term lookups never
+    * rescan raw text. Postings are ROWS, not collected arrays —
+    * appendable, and a term's posting list can exceed any single
+    * array's practical size at 100 TB.
+    *
+    * Per batch: one map-only explode + a (doc, term) distinct — the
+    * only shuffle, carrying the batch's postings. At 100 TB the table
+    * would be written bucketed/partitioned by a term hash so lookups
+    * prune files; here the term predicate pushes into the parquet
+    * scan (plan-asserted in the spec).
+    */
+  def invertedIndexAppend(runner: graft.pipeline.PipelineRunner,
+                          table: String, batch: DataFrame, idCol: String,
+                          textCol: String, batchId: Long): Long = {
+    val postings = batch
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .distinct()
+    runner.appendBatch(table, postings, batchId)
+  }
+
+  /** AND-query over the persisted index: docs containing EVERY term in
+    * `terms`. The term filter (`isin`) pushes into the postings scan;
+    * the count-distinct agg runs on matching postings only (≤ |terms|
+    * rows per doc), never the corpus.
+    */
+  def invertedIndexSearch(runner: graft.pipeline.PipelineRunner,
+                          table: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "invertedIndexSearch: empty term set")
+    runner.readTable(table)
+      .filter(col("term").isin(terms.map(lit): _*))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("term")).as("nt"))
+      .filter(col("nt") === terms.length)
+      .select("doc_id")
+  }
+
   /** Rank-profile language ID (Cavnar & Trenkle 1994, "N-Gram-Based
     * Text Categorization") — the real training-data language
     * classifier behind the [[langId]] stopword heuristic: per

@@ -341,6 +341,29 @@ object LlmOps extends QueryGroup {
         .orderBy("qid", "rn")
     }),
 
+    // Persisted inverted index (WIMBD corpus-search infra): postings
+    // appended per ingest batch exactly-once, then an AND-query for
+    // the corpus's two most frequent tokens — text never rescanned at
+    // query time, the term predicate pushes into the postings scan.
+    // The query terms derive deterministically from the corpus (top-2
+    // by count, ties lexical), so the oracle replays end-to-end.
+    "llm_inverted_index" -> ((s, d) => {
+      import graft.pipeline.{PipelineRunner, PipelineSpec}
+      val r = new PipelineRunner(s, PipelineSpec(Nil), freshDir("inv_idx"))
+      val docs = Tables.documents(s, d)
+      TextAnalysis.invertedIndexAppend(r, "postings",
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 0L): Unit
+      TextAnalysis.invertedIndexAppend(r, "postings",
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", 1L): Unit
+      val top2 = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(2)
+        .collect().map(_.getString(0)).toSeq
+      TextAnalysis.invertedIndexSearch(r, "postings", top2)
+        .orderBy("doc_id")
+    }),
+
     // Incremental corpus dedup — dedup a NEW batch against the
     // existing corpus via the persisted band-signature table, without
     // rescanning corpus text. Returns every kept doc across both
@@ -1582,6 +1605,25 @@ object LlmOps extends QueryGroup {
       s"""SELECT tok, count(*) AS n
          |FROM (SELECT unnest($toks) AS tok FROM documents) t
          |GROUP BY tok ORDER BY n DESC, tok LIMIT 100""".stripMargin,
+
+    // postings + top-2-term AND-query replay straight off the text —
+    // agreement proves the persisted index returns exactly what a
+    // fresh corpus scan would.
+    "llm_inverted_index" ->
+      s"""WITH top2 AS (
+         |  SELECT token FROM (
+         |    SELECT token, count(*) AS n FROM (
+         |      SELECT unnest($toks) AS token FROM documents) t
+         |    GROUP BY token)
+         |  ORDER BY n DESC, token LIMIT 2),
+         |posting AS (
+         |  SELECT DISTINCT doc_id, token FROM (
+         |    SELECT doc_id, unnest($toks) AS token FROM documents) t)
+         |SELECT doc_id FROM posting
+         |WHERE token IN (SELECT token FROM top2)
+         |GROUP BY doc_id
+         |HAVING count(DISTINCT token) = 2
+         |ORDER BY doc_id""".stripMargin,
 
     "llm_tfidf_topk" ->
       s"""WITH terms AS (

@@ -522,4 +522,49 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     Dedup.decontaminateIncremental(r, "legacy", docs, "doc_id", "text",
       n = 2).collect() // reader accepts the rebuilt table
   }
+
+  test("inverted index: batch-split appends ≡ one-shot postings, " +
+      "replay no-ops, term filter pushes into the postings scan") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = randomDocs(31, 40).toDF("doc_id", "text")
+    val base = java.nio.file.Paths.get("/root/repo/target/scratch-test")
+    java.nio.file.Files.createDirectories(base)
+    def build(splits: Seq[org.apache.spark.sql.DataFrame]) = {
+      val wh = java.nio.file.Files.createTempDirectory(base, "inv").toString
+      val r = new graft.pipeline.PipelineRunner(spark,
+        graft.pipeline.PipelineSpec(Nil), wh)
+      splits.zipWithIndex.foreach { case (b, i) =>
+        TextAnalysis.invertedIndexAppend(r, "p", b, "doc_id", "text",
+          i.toLong): Unit
+      }
+      r
+    }
+    val rOne = build(Seq(docs))
+    val rTwo = build(Seq(docs.filter(col("doc_id") < 20),
+      docs.filter(col("doc_id") >= 20)))
+    def postings(r: graft.pipeline.PipelineRunner) =
+      r.readTable("p").select("term", "doc_id").collect()
+        .map(x => (x.getString(0), x.getLong(1))).toSet
+    assert(postings(rOne) == postings(rTwo),
+      "any batch split must build the same posting set")
+    // replayed batch appends nothing under its original id
+    assert(TextAnalysis.invertedIndexAppend(rTwo, "p",
+      docs.filter(col("doc_id") < 20), "doc_id", "text", 0L) == 0L)
+    // AND-search equals a direct predicate over the docs
+    val hits = TextAnalysis.invertedIndexSearch(rTwo, "p",
+      Seq("alpha", "beta")).collect().map(_.getLong(0)).toSet
+    val want = docs.collect().collect {
+      case row if {
+        val t = row.getString(1).split("[^a-z0-9]+").toSet
+        t.contains("alpha") && t.contains("beta")
+      } => row.getLong(0)
+    }.toSet
+    assert(hits == want && hits.nonEmpty, s"$hits vs $want")
+    // the term predicate reaches the parquet scan of the postings
+    val plan = TextAnalysis.invertedIndexSearch(rTwo, "p",
+      Seq("alpha", "beta")).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term, [alpha,beta])]") ||
+      plan.contains("In(term"), plan.take(2000))
+  }
 }

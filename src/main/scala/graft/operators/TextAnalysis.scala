@@ -228,12 +228,17 @@ object TextAnalysis {
     * explicit; DuckDB's `generate_series(1,0)` is empty — the oracle
     * needs no guard). Pure codegen'd array expressions, map-only.
     */
-  private[operators] def charTrigramsImpl(text: Column): Column = {
-    val nt = Curation.normalize(text)
+  /** `nt` MUST be a materialized column (an attribute reference, not
+    * the normalize() expression tree): the lambda evaluates its input
+    * once per element, so an embedded regexp chain would re-normalize
+    * the whole doc per trigram — O(len²) regex work per doc (the
+    * quadratic-tokenizer pitfall; callers project normalize() into a
+    * column first).
+    */
+  private[operators] def charTrigramsImpl(nt: Column): Column =
     when(length(nt) < 3, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), length(nt) - 2),
         i => nt.substr(i, lit(3))))
-  }
 
   /** Persisted inverted index — the corpus-search infrastructure
     * behind WIMBD-style "what's in my big data?" auditing (Elazar et
@@ -307,8 +312,16 @@ object TextAnalysis {
   def langIdNgram(df: DataFrame, idCol: String, langCol: String,
                   textCol: String, topP: Int = 40): DataFrame = {
     require(topP > 0, s"topP must be positive: $topP")
-    val grams = df.select(col(idCol).as("__id"), col(langCol).as("__lang"),
-      explode(charTrigramsImpl(col(textCol))).as("g"))
+    // normalize ONCE per doc into a column, gram the attribute ref
+    // (see charTrigramsImpl), and checkpoint the exploded frame: it
+    // feeds BOTH the profile and the classify side — without the cut
+    // each consumer would re-run the explode lineage
+    val grams = df
+      .select(col(idCol).as("__id"), col(langCol).as("__lang"),
+        Curation.normalize(col(textCol)).as("__nt"))
+      .select(col("__id"), col("__lang"),
+        explode(charTrigramsImpl(col("__nt"))).as("g"))
+      .localCheckpoint()
     val wLang = Window.partitionBy("__lang")
       .orderBy(col("n").desc, col("g"))
     val profile = grams.groupBy("__lang", "g")

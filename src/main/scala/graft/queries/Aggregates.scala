@@ -334,7 +334,19 @@ object Aggregates extends QueryGroup {
           Array(asDouble(dec2(col("l_quantity"))).as("qty"),
             asDouble(dec2(col("l_extendedprice"))).as("price")),
           "metric", "val")
-        .orderBy("l_orderkey", "l_linenumber", "metric", "val"))
+        .orderBy("l_orderkey", "l_linenumber", "metric", "val")),
+
+    // SQL:2023 LISTAGG (Spark 4) — ordered string aggregation with an
+    // explicit WITHIN GROUP, the deterministic form (an unordered
+    // listagg would hash-mismatch by construction). Tiny groups here;
+    // at scale the per-group string is bounded by the group, and
+    // agg_collect's sorted-array form is the unbounded-safe variant.
+    "agg_listagg" -> ((s, d) =>
+      Tables.nation(s, d)
+        .groupBy("n_regionkey")
+        .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+          .as("names"))
+        .orderBy("n_regionkey"))
   )
 
   private val sumQty =
@@ -461,6 +473,11 @@ object Aggregates extends QueryGroup {
         |  max(CASE WHEN rd = 1 THEN o_orderkey END) AS biggest_order,
         |  max(CASE WHEN ra = 1 THEN o_orderkey END) AS smallest_order
         |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "agg_listagg" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "agg_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'qty' AS metric,

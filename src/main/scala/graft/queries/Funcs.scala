@@ -174,6 +174,22 @@ object ScalarFuncs extends QueryGroup {
         sha2(col("c_name"), 256).as("hs"))
         .orderBy("c_custkey")),
 
+    // Spark 4 collations: comparisons/distinct under UTF8_LCASE
+    // (case-insensitive) vs binary semantics. Mixed-case values are
+    // synthesized deterministically; the distinct-count pair proves
+    // the collation actually changed equality (binary sees 2× the
+    // values, LCASE folds them). Output is collation-free (counts +
+    // lower() canonical) so the compare is engine-neutral.
+    "fn_collation" -> ((s, d) => {
+      val mixed = when(pmod(col("c_custkey"), lit(2)) === 0,
+        lower(col("c_mktsegment"))).otherwise(col("c_mktsegment"))
+      Tables.customer(s, d)
+        .select(mixed.as("seg"))
+        .agg(
+          countDistinct(col("seg")).as("n_binary"),
+          countDistinct(expr("collate(seg, 'UTF8_LCASE')")).as("n_ci"))
+    }),
+
     // URL parsing family — the web-corpus curation workhorse (host
     // extraction feeds domain dedup/blocklists, path/query feed
     // boilerplate detection). URLs are synthesized deterministically
@@ -316,6 +332,12 @@ object ScalarFuncs extends QueryGroup {
     "fn_hash" ->
       """SELECT c_custkey, md5(c_name) AS hm, sha256(c_name) AS hs
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_collation" ->
+      """SELECT count(DISTINCT CASE WHEN c_custkey % 2 = 0
+        |    THEN lower(c_mktsegment) ELSE c_mktsegment END) AS n_binary,
+        |  count(DISTINCT lower(c_mktsegment)) AS n_ci
+        |FROM customer""".stripMargin,
 
     // expected-part replay: the URL is built from doc columns, so the
     // oracle reconstructs each component directly — agreement proves

@@ -378,6 +378,22 @@ object Joins extends QueryGroup {
       Tables.region(s, d).crossJoin(Tables.nation(s, d))
         .select("r_name", "n_name").orderBy("r_name", "n_name")),
 
+    // Null-safe equality (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    // match each other — the join SQL's `=` silently drops. Nulls are
+    // synthesized deterministically (region 2 → NULL on both sides)
+    // so the null-match rows are part of the hash-checked result.
+    // Planned as a hash join (null-safe equi-keys are still
+    // hashable), not a nested loop.
+    "join_null_safe" -> ((s, d) => {
+      val n = Tables.nation(s, d).select(col("n_nationkey"),
+        col("n_name"), nullif(col("n_regionkey"), lit(2L)).as("k"))
+      val r = Tables.region(s, d).select(col("r_name"),
+        nullif(col("r_regionkey"), lit(2L)).as("k2"))
+      n.join(r, col("k") <=> col("k2"))
+        .select("n_nationkey", "n_name", "r_name", "k")
+        .orderBy("n_nationkey")
+    }),
+
     // Small dims explicitly broadcast — at 100 TB the fact side never
     // shuffles for these joins. A plan test asserts
     // BroadcastHashJoinExec.
@@ -539,6 +555,13 @@ object Joins extends QueryGroup {
     "join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+
+    "join_null_safe" ->
+      """SELECT n_nationkey, n_name, r_name, nullif(n_regionkey, 2) AS k
+        |FROM nation JOIN region
+        |  ON nullif(n_regionkey, 2) IS NOT DISTINCT FROM
+        |     nullif(r_regionkey, 2)
+        |ORDER BY n_nationkey""".stripMargin,
 
     "join_broadcast" ->
       s"""SELECT n_name, $revenueSql AS revenue

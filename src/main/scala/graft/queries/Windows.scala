@@ -437,7 +437,17 @@ object SetOps extends QueryGroup {
       urgent(s, d).intersect(highValue(s, d)).orderBy("o_custkey")),
 
     "set_except" -> ((s, d) =>
-      urgent(s, d).except(highValue(s, d)).orderBy("o_custkey"))
+      urgent(s, d).except(highValue(s, d)).orderBy("o_custkey")),
+
+    // Multiset (bag) semantics — INTERSECT ALL / EXCEPT ALL keep
+    // duplicate multiplicities (min / difference of counts), the
+    // SQL-standard forms Spark plans as aggregated joins rather than
+    // the distinct-based set ops above.
+    "set_intersect_all" -> ((s, d) =>
+      urgent(s, d).intersectAll(highValue(s, d)).orderBy("o_custkey")),
+
+    "set_except_all" -> ((s, d) =>
+      urgent(s, d).exceptAll(highValue(s, d)).orderBy("o_custkey"))
   )
 
   private val u = "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'"
@@ -446,6 +456,10 @@ object SetOps extends QueryGroup {
   override def oracles: Map[String, String] = Map(
     "set_union_all" -> s"SELECT * FROM ($u UNION ALL $h) t ORDER BY o_custkey",
     "set_union_distinct" -> s"SELECT * FROM ($u UNION $h) t ORDER BY o_custkey",
+    "set_intersect_all" ->
+      s"SELECT * FROM ($u INTERSECT ALL $h) t ORDER BY o_custkey",
+    "set_except_all" ->
+      s"SELECT * FROM ($u EXCEPT ALL $h) t ORDER BY o_custkey",
     "set_intersect" -> s"SELECT * FROM ($u INTERSECT $h) t ORDER BY o_custkey",
     "set_except" -> s"SELECT * FROM ($u EXCEPT $h) t ORDER BY o_custkey"
   )

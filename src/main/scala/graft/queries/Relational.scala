@@ -40,6 +40,13 @@ object Scans extends QueryGroup {
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** This build ships Avro's FileFormat inside spark-sql but without
+    * the `avro` short-name service registration (it normally rides
+    * the external spark-avro module), so the datasource is addressed
+    * by class name.
+    */
+  private val AvroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+
   override def queries: Map[String, Q] = Map(
     "scan_parquet" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -178,6 +185,36 @@ object Scans extends QueryGroup {
         .orderBy("n_name")
     }),
 
+    // Avro (row-oriented, schema'd — the Kafka-adjacent interchange
+    // format; Spark 4 ships the datasource in core). Write, re-read,
+    // aggregate: proves schema fidelity incl. BIGINT/DOUBLE.
+    "sink_avro_roundtrip" -> ((s, d) => {
+      val out = tmpDir("graft_sink_avro")
+      Tables.supplier(s, d)
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+        .write.mode("overwrite").format(AvroFmt).save(s"$out/t")
+      s.read.format(AvroFmt).load(s"$out/t")
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec2(col("s_acctbal")))).as("sum_bal"))
+        .orderBy("s_nationkey")
+    }),
+
+    // XML (Spark 4 built-in datasource, rowTag framing). Values are
+    // XML-escaped on write and recovered exactly on read; the re-read
+    // declares the schema so types survive the text encoding.
+    "sink_xml_roundtrip" -> ((s, d) => {
+      val out = tmpDir("graft_sink_xml")
+      Tables.nation(s, d)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").format("xml")
+        .option("rowTag", "nation").save(s"$out/t")
+      s.read.format("xml").option("rowTag", "nation")
+        .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+        .load(s"$out/t")
+        .orderBy("n_nationkey")
+    }),
+
     // dbt `view` materialization → temp view + SQL over it.
     "create_view" -> ((s, d) => {
       val nr = Tables.nation(s, d).join(Tables.region(s, d),
@@ -252,7 +289,16 @@ object Scans extends QueryGroup {
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin,
 
     "sink_text_roundtrip" ->
-      "SELECT n_name FROM nation ORDER BY n_name"
+      "SELECT n_name FROM nation ORDER BY n_name",
+
+    "sink_avro_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "sink_xml_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin
   )
 }
 

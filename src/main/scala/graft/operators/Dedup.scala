@@ -759,6 +759,39 @@ object Dedup {
           (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
   }
 
+  /** N-gram CONTAINMENT between doc pairs (Broder 1997's asymmetric
+    * resemblance): `cont_ab` = |grams(A) ∩ grams(B)| / |grams(A)| —
+    * near 1.0 when A is substantially contained IN B even when B is
+    * much longer (the quote/boilerplate/doc-in-doc signal symmetric
+    * Jaccard misses, since a big |B| dilutes the union). Returns both
+    * directions plus the raw counts.
+    *
+    * Same scale shape as [[jaccardForPairs]]: distinct hashed-gram
+    * frames joined per candidate pair — linear in the pair count, and
+    * grams travel as xxhash64 longs ([[wordNgramHashes]]), never
+    * strings. Docs with fewer than `n` tokens have no grams and drop
+    * from the result (no 0/0 rows).
+    */
+  def containmentForPairs(docs: DataFrame, pairs: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 3): DataFrame = {
+    val grams = gramHashFrame(docs, textCol, n, Some(idCol)).distinct()
+    val counts = grams.groupBy("id").agg(count(lit(1)).as("cnt"))
+    val common = pairs
+      .join(grams.withColumnRenamed("id", "doc_a"), "doc_a")
+      .join(grams.withColumnRenamed("id", "doc_b"), Seq("doc_b", "gh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(counts.withColumnRenamed("id", "doc_a")
+        .withColumnRenamed("cnt", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("id", "doc_b")
+        .withColumnRenamed("cnt", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        col("n_a"), col("n_b"),
+        (col("common").cast(DoubleType) / col("n_a")).as("cont_ab"),
+        (col("common").cast(DoubleType) / col("n_b")).as("cont_ba"))
+  }
+
   /** Levenshtein distance between doc pairs given a (docA, docB) pair
     * frame, on `prefixLen`-char prefixes — the title/head near-match
     * signal (edit distance is O(len²) per pair, so production use is

@@ -313,6 +313,23 @@ object Aggregates extends QueryGroup {
         .orderBy("o_custkey")
     }),
 
+    // Deterministic MODE per group: the most frequent value, lowest
+    // value on frequency ties (bare `mode()` is tie-nondeterministic
+    // — unusable under a hash-compared oracle). Two map-side-partial
+    // aggregations, no window: counts per (group, value), then a
+    // struct-ranked min_by picks (max count, min value) per group.
+    "agg_mode" -> ((s, d) => {
+      val cnts = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity").cast("int").as("qty"))
+        .groupBy("l_returnflag", "qty").agg(count(lit(1)).as("cnt"))
+      cnts.groupBy("l_returnflag")
+        .agg(min_by(struct(col("qty"), col("cnt")),
+          struct((-col("cnt")).as("nc"), col("qty"))).as("m"))
+        .select(col("l_returnflag"), col("m.qty").as("mode_qty"),
+          col("m.cnt").as("mode_cnt"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_custom_udaf" -> ((s, d) =>
       Tables.lineitem(s, d)
         .select(col("l_returnflag"),
@@ -473,6 +490,19 @@ object Aggregates extends QueryGroup {
         |  max(CASE WHEN rd = 1 THEN o_orderkey END) AS biggest_order,
         |  max(CASE WHEN ra = 1 THEN o_orderkey END) AS smallest_order
         |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "agg_mode" ->
+      """WITH cnt AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS INTEGER) AS qty,
+        |    count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT l_returnflag, qty, c,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY c DESC, qty ASC) AS rn
+        |  FROM cnt)
+        |SELECT l_returnflag, qty AS mode_qty, CAST(c AS BIGINT) AS mode_cnt
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
 
     "agg_listagg" ->
       """SELECT n_regionkey,

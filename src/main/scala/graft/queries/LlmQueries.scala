@@ -84,6 +84,17 @@ object LlmOps extends QueryGroup {
         .orderBy("doc_a")
     }),
 
+    // Asymmetric n-gram containment over the same blocked pairs —
+    // the doc-contained-in-doc signal (quotes/boilerplate) symmetric
+    // Jaccard dilutes. Grams travel hashed; counts compare exactly.
+    "llm_containment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = docs.select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 1).as("doc_b"))
+      Dedup.containmentForPairs(docs, pairs, "doc_id", "text", n = 3)
+        .orderBy("doc_a")
+    }),
+
     // Cross-corpus record linkage: evens vs odds stand in for two
     // document sets; LSH bands equi-join ACROSS the sides. No oracle
     // (custom hash family); self-linkage ≡ near-dup pairs is
@@ -1271,6 +1282,27 @@ object LlmOps extends QueryGroup {
          |SELECT t.doc_id, count(*) AS n_shared
          |FROM train t JOIN bench b USING (gram)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "llm_containment" ->
+      s"""WITH grams AS (
+         |  SELECT DISTINCT doc_id, gram FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3 + 2),
+         |        i -> array_to_string(tk[i:i+2], ' '))) AS gram
+         |    FROM (SELECT doc_id, $toks AS tk FROM documents) t
+         |    WHERE len(tk) >= 3) g),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+         |com AS (
+         |  SELECT a.doc_id AS doc_a, count(*) AS common
+         |  FROM grams a JOIN grams b
+         |    ON b.doc_id = a.doc_id + 1 AND b.gram = a.gram
+         |  GROUP BY 1)
+         |SELECT doc_a, doc_a + 1 AS doc_b, common, na.n AS n_a, nb.n AS n_b,
+         |  CAST(common AS DOUBLE) / na.n AS cont_ab,
+         |  CAST(common AS DOUBLE) / nb.n AS cont_ba
+         |FROM com
+         |JOIN cnt na ON na.doc_id = doc_a
+         |JOIN cnt nb ON nb.doc_id = doc_a + 1
+         |ORDER BY doc_a""".stripMargin,
 
     // bloom prefilter ≡ exact: no false negatives, FPs confirmed away
     "llm_decontaminate_bloom" ->

@@ -369,6 +369,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(out.getAs[Double]("jaccard") - 2.0 / 6.0) < 1e-12)
   }
 
+  test("containmentForPairs: asymmetric, self-containment = 1, " +
+    "sub-n-token docs drop") {
+    // doc 1's grams: {a b c, b c d} — both appear in doc 2 (A ⊂ B,
+    // cont_ab = 1.0 while cont_ba < 1); doc 3 has < 3 tokens → no
+    // grams → its pair vanishes rather than emitting 0/0
+    val df = Seq((1L, "a b c d"), (2L, "a b c d e f"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 1L), (3L, 1L)).toDF("doc_a", "doc_b")
+    val rows = Dedup.containmentForPairs(df, pairs, "doc_id", "text", n = 3)
+      .collect().map(r =>
+        (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r).toMap
+    assert(rows.keySet == Set((1L, 2L), (1L, 1L)))
+    val ab = rows((1L, 2L))
+    assert(ab.getAs[Long]("common") == 2L && ab.getAs[Long]("n_a") == 2L)
+    assert(ab.getAs[Double]("cont_ab") == 1.0)
+    assert(math.abs(ab.getAs[Double]("cont_ba") - 2.0 / 4.0) < 1e-12)
+    assert(rows((1L, 1L)).getAs[Double]("cont_ab") == 1.0)
+  }
+
   test("wordNgrams: sliding windows, short docs yield empty arrays") {
     val rows = Seq((1L, "a b c d"), (2L, "x y"), (3L, "One, Two THREE!"))
       .toDF("doc_id", "text")

@@ -23,6 +23,55 @@ object TextAnalysis {
     size(filter(split(lower(text), "\\s+"), t => t =!= "")) +
       size(filter(split(lower(text), "[a-z0-9\\s]+"), t => t =!= ""))
 
+  /** ROUGE-L F1 between doc pairs given a (doc_a, doc_b) candidate
+    * frame (Lin 2004) — the SEQUENCE-aware overlap signal: LCS credits
+    * tokens only in order, so shuffled bags that fool n-gram overlap
+    * score low. With β=1, F = 2·LCS/(|A|+|B|).
+    *
+    * Scale shape mirrors [[graft.operators.Dedup.editDistanceForPairs]]:
+    * two id equi-joins attach `maxTokens`-capped token prefixes, then a
+    * per-pair LCS. The O(len²) DP runs in a Scala UDF — Spark has no
+    * subsequence built-in (`levenshtein` is edit distance) — bounded by
+    * the cap and by the CANDIDATE pair count, never a corpus product;
+    * a UDF at pair granularity is off the per-token hot path.
+    */
+  def rougeLForPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+                     textCol: String, maxTokens: Int = 64): DataFrame = {
+    val lcsUdf = udf { (a: Seq[String], b: Seq[String]) =>
+      // single-row DP: dp(j) = LCS(a[0..i), b[0..j)), prev = diagonal
+      val dp = new Array[Int](b.length + 1)
+      var i = 1
+      while (i <= a.length) {
+        var prev = 0
+        var j = 1
+        while (j <= b.length) {
+          val tmp = dp(j)
+          dp(j) =
+            if (a(i - 1) == b(j - 1)) prev + 1
+            else math.max(dp(j), dp(j - 1))
+          prev = tmp
+          j += 1
+        }
+        i += 1
+      }
+      dp(b.length)
+    }
+    val tk = docs.select(col(idCol).as("id"),
+      coalesce(slice(tokens(col(textCol)), 1, maxTokens),
+        array().cast("array<string>")).as("tk"))
+    pairs
+      .join(tk.withColumnRenamed("id", "doc_a")
+        .withColumnRenamed("tk", "tk_a"), "doc_a")
+      .join(tk.withColumnRenamed("id", "doc_b")
+        .withColumnRenamed("tk", "tk_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        lcsUdf(col("tk_a"), col("tk_b")).as("lcs"),
+        size(col("tk_a")).as("n_a"), size(col("tk_b")).as("n_b"))
+      .withColumn("rouge_l",
+        when(col("n_a") + col("n_b") === 0, lit(0.0))
+          .otherwise(lit(2.0) * col("lcs") / (col("n_a") + col("n_b"))))
+  }
+
   /** Gopher quality-rule signals (Rae et al. 2021 variant) — the ONE
     * definition the standalone filter key and the composed curation
     * pipeline both build on, so a threshold tweak cannot make them

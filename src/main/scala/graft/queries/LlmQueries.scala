@@ -119,6 +119,19 @@ object LlmOps extends QueryGroup {
         .orderBy("doc_a")
     }),
 
+    // ROUGE-L F1 over the same blocked pairs — the sequence-aware
+    // overlap (LCS credits in-order tokens only; a shuffled bag that
+    // fools n-gram overlap scores low). No oracle (DuckDB has no LCS);
+    // DP identities + bounds are unit-tested in CurationSpec.
+    "llm_rouge_l" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = docs.select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 1).as("doc_b"))
+      TextAnalysis.rougeLForPairs(docs, pairs, "doc_id", "text",
+        maxTokens = 64)
+        .orderBy("doc_a")
+    }),
+
     // Benchmark decontamination: docs with doc_id % 20 == 0 stand in
     // for the held-out eval set, the rest are the training corpus.
     // n=3 because the synthetic docs are short random-vocab strings;

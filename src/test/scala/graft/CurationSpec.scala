@@ -667,4 +667,27 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(got.getDouble(1) + 1.0) < 0.02,
       s"slope ${got.getDouble(1)}")
   }
+
+  test("rougeLForPairs: LCS identities — self=1, disjoint=0, order " +
+    "sensitivity vs bag overlap") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d"),   // identical → F1 = 1
+      (3L, "x y z w"),   // disjoint → 0
+      (4L, "d c b a"),   // same BAG reversed → LCS = 1, F1 = 0.25
+      (5L, "a b x c d")  // a b c d in order + 1 extra → LCS=4, F1=8/9
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("doc_a", "doc_b")
+    val got = TextAnalysis.rougeLForPairs(docs, pairs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_b") ->
+        (r.getAs[Int]("lcs"), r.getAs[Double]("rouge_l"))).toMap
+    assert(got(2L) == ((4, 1.0)))
+    assert(got(3L) == ((0, 0.0)))
+    assert(got(4L) == ((1, 0.25)))
+    assert(got(5L)._1 == 4 &&
+      math.abs(got(5L)._2 - 8.0 / 9.0) < 1e-12)
+  }
 }

@@ -72,6 +72,69 @@ object TextAnalysis {
           .otherwise(lit(2.0) * col("lcs") / (col("n_a") + col("n_b"))))
   }
 
+  /** BLEU-2 components between doc pairs (Papineni et al. 2002):
+    * MODIFIED (clipped) n-gram precision — candidate gram occurrences
+    * count only up to the reference's multiplicity, the repetition
+    * fence plain overlap lacks. doc_a is the reference, doc_b the
+    * candidate. Emits exact-integer clipped/total counts per order
+    * (n=1,2) and `bleu2` = √(p1·p2) — the geometric mean via sqrt,
+    * which IEEE rounds exactly and thus compares bit-identically
+    * cross-engine (the brevity penalty's `exp` does NOT; callers
+    * apply BP from `n_a`/`n_b` when they need the headline number).
+    *
+    * Scale shape: per-doc (gram, count) frames — grouped once, grams
+    * as values not positions — joined per CANDIDATE pair with
+    * `sum(min(cnt_a, cnt_b))`; linear in pair count, never a corpus
+    * product. Docs with no grams at an order contribute p_n = 0.
+    */
+  def bleuForPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    // (id, gram-hash, cnt) at order n — multiplicity retained (BLEU
+    // clips on counts, unlike the distinct frames of Jaccard)
+    def gramCounts(n: Int): DataFrame = {
+      val tk = docs.select(col(idCol).as("id"),
+        tokens(col(textCol)).as("__tk"))
+      tk.select(col("id"), explode(when(size(col("__tk")) >= n,
+          transform(sequence(lit(1), size(col("__tk")) - n + 1),
+            i => xxhash64(slice(col("__tk"), i, lit(n)))))
+          .otherwise(array().cast("array<bigint>"))).as("gh"))
+        .groupBy("id", "gh").agg(count(lit(1)).as("cnt"))
+    }
+    // per-pair clipped + total counts at order n
+    def order(n: Int): DataFrame = {
+      val g = gramCounts(n)
+      val tot = g.groupBy("id").agg(sum("cnt").as(s"tot$n"))
+      val clip = pairs
+        .join(g.withColumnRenamed("id", "doc_a")
+          .withColumnRenamed("cnt", "ca"), "doc_a")
+        .join(g.withColumnRenamed("id", "doc_b")
+          .withColumnRenamed("cnt", "cb"), Seq("doc_b", "gh"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(least(col("ca"), col("cb"))).as(s"clip$n"))
+      pairs
+        .join(clip, Seq("doc_a", "doc_b"), "left")
+        .join(tot.withColumnRenamed("id", "doc_b"), Seq("doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"),
+          coalesce(col(s"clip$n"), lit(0L)).as(s"clip$n"),
+          coalesce(col(s"tot$n"), lit(0L)).as(s"tot$n"))
+    }
+    val lens = docs.select(col(idCol).as("id"),
+      size(tokens(col(textCol))).as("len"))
+    order(1).join(order(2), Seq("doc_a", "doc_b"))
+      .join(lens.withColumnRenamed("id", "doc_a")
+        .withColumnRenamed("len", "n_a"), "doc_a")
+      .join(lens.withColumnRenamed("id", "doc_b")
+        .withColumnRenamed("len", "n_b"), "doc_b")
+      .withColumn("bleu2",
+        when(col("tot1") === 0 || col("tot2") === 0 ||
+          col("clip1") === 0 || col("clip2") === 0, lit(0.0))
+          .otherwise(sqrt(
+            (col("clip1").cast("double") / col("tot1")) *
+              (col("clip2").cast("double") / col("tot2")))))
+      .select("doc_a", "doc_b", "clip1", "tot1", "clip2", "tot2",
+        "n_a", "n_b", "bleu2")
+  }
+
   /** Gopher quality-rule signals (Rae et al. 2021 variant) — the ONE
     * definition the standalone filter key and the composed curation
     * pipeline both build on, so a threshold tweak cannot make them

@@ -119,6 +119,19 @@ object LlmOps extends QueryGroup {
         .orderBy("doc_a")
     }),
 
+    // BLEU-2 components over the same blocked pairs — CLIPPED n-gram
+    // precision (candidate grams credit only up to the reference's
+    // multiplicity: the repetition fence). bleu2 = sqrt(p1·p2) is
+    // engine-portable (sqrt IEEE-rounds exactly; the BP's exp would
+    // not be, so the exponent inputs n_a/n_b ship instead).
+    "llm_bleu_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = docs.select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 1).as("doc_b"))
+      TextAnalysis.bleuForPairs(docs, pairs, "doc_id", "text")
+        .orderBy("doc_a")
+    }),
+
     // ROUGE-L F1 over the same blocked pairs — the sequence-aware
     // overlap (LCS credits in-order tokens only; a shuffled bag that
     // fools n-gram overlap scores low). No oracle (DuckDB has no LCS);
@@ -1295,6 +1308,58 @@ object LlmOps extends QueryGroup {
          |SELECT t.doc_id, count(*) AS n_shared
          |FROM train t JOIN bench b USING (gram)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "llm_bleu_pairs" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS tk FROM documents),
+         |c1 AS (
+         |  SELECT doc_id, gram, count(*) AS cnt
+         |  FROM (SELECT doc_id, unnest(tk) AS gram FROM tk) g
+         |  GROUP BY 1, 2),
+         |t1 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS tot
+         |  FROM c1 GROUP BY 1),
+         |c2 AS (
+         |  SELECT doc_id, gram, count(*) AS cnt
+         |  FROM (SELECT doc_id,
+         |      unnest(list_transform(range(1, len(tk)),
+         |        i -> array_to_string(tk[i:i+1], ' '))) AS gram
+         |    FROM tk WHERE len(tk) >= 2) g
+         |  GROUP BY 1, 2),
+         |t2 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS tot
+         |  FROM c2 GROUP BY 1),
+         |lens AS (SELECT doc_id, CAST(len(tk) AS INTEGER) AS len FROM tk),
+         |pairs AS (SELECT doc_id AS doc_a, doc_id + 1 AS doc_b
+         |  FROM documents),
+         |k1 AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS clip
+         |  FROM pairs p
+         |  JOIN c1 a ON a.doc_id = p.doc_a
+         |  JOIN c1 b ON b.doc_id = p.doc_b AND b.gram = a.gram
+         |  GROUP BY 1, 2),
+         |k2 AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS clip
+         |  FROM pairs p
+         |  JOIN c2 a ON a.doc_id = p.doc_a
+         |  JOIN c2 b ON b.doc_id = p.doc_b AND b.gram = a.gram
+         |  GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b,
+         |  coalesce(k1.clip, 0) AS clip1, coalesce(tb1.tot, 0) AS tot1,
+         |  coalesce(k2.clip, 0) AS clip2, coalesce(tb2.tot, 0) AS tot2,
+         |  la.len AS n_a, lb.len AS n_b,
+         |  CASE WHEN coalesce(tb1.tot, 0) = 0 OR coalesce(tb2.tot, 0) = 0
+         |         OR coalesce(k1.clip, 0) = 0 OR coalesce(k2.clip, 0) = 0
+         |    THEN 0.0
+         |    ELSE sqrt((CAST(k1.clip AS DOUBLE) / tb1.tot) *
+         |              (CAST(k2.clip AS DOUBLE) / tb2.tot)) END AS bleu2
+         |FROM pairs p
+         |JOIN lens la ON la.doc_id = p.doc_a
+         |JOIN lens lb ON lb.doc_id = p.doc_b
+         |LEFT JOIN k1 ON k1.doc_a = p.doc_a AND k1.doc_b = p.doc_b
+         |LEFT JOIN t1 tb1 ON tb1.doc_id = p.doc_b
+         |LEFT JOIN k2 ON k2.doc_a = p.doc_a AND k2.doc_b = p.doc_b
+         |LEFT JOIN t2 tb2 ON tb2.doc_id = p.doc_b
+         |ORDER BY p.doc_a""".stripMargin,
 
     "llm_containment" ->
       s"""WITH grams AS (

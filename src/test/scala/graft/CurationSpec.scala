@@ -668,6 +668,31 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       s"slope ${got.getDouble(1)}")
   }
 
+  test("bleuForPairs: clipped precision — repeated candidate grams " +
+    "credit only up to reference multiplicity") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // ref has one 'the'; candidate 'the the the' holds 3 → clip1 = 1
+    // (the classic degenerate-candidate example BLEU's clipping fixes)
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the the the"),
+      (3L, "the cat sat")  // identical to ref → bleu2 = 1
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val got = TextAnalysis.bleuForPairs(docs, pairs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_b") -> r).toMap
+    val degen = got(2L)
+    assert(degen.getAs[Long]("clip1") == 1L &&
+      degen.getAs[Long]("tot1") == 3L)
+    assert(degen.getAs[Long]("clip2") == 0L) // 'the the' not in ref
+    assert(degen.getAs[Double]("bleu2") == 0.0)
+    val ident = got(3L)
+    assert(ident.getAs[Long]("clip1") == 3L &&
+      ident.getAs[Long]("clip2") == 2L &&
+      ident.getAs[Double]("bleu2") == 1.0)
+  }
+
   test("rougeLForPairs: LCS identities — self=1, disjoint=0, order " +
     "sensitivity vs bag overlap") {
     import graft.operators.TextAnalysis

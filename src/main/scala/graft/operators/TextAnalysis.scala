@@ -100,39 +100,43 @@ object TextAnalysis {
           .otherwise(array().cast("array<bigint>"))).as("gh"))
         .groupBy("id", "gh").agg(count(lit(1)).as("cnt"))
     }
-    // per-pair clipped + total counts at order n
-    def order(n: Int): DataFrame = {
+    // per-pair clipped count at order n. The precision DENOMINATOR
+    // needs no gram frame at all: the candidate's total n-gram
+    // multiplicity is arithmetically len−n+1, so only the clipped
+    // numerator pays gram joins.
+    def clipped(n: Int): DataFrame = {
       val g = gramCounts(n)
-      val tot = g.groupBy("id").agg(sum("cnt").as(s"tot$n"))
-      val clip = pairs
+      pairs
         .join(g.withColumnRenamed("id", "doc_a")
           .withColumnRenamed("cnt", "ca"), "doc_a")
         .join(g.withColumnRenamed("id", "doc_b")
           .withColumnRenamed("cnt", "cb"), Seq("doc_b", "gh"))
         .groupBy("doc_a", "doc_b")
         .agg(sum(least(col("ca"), col("cb"))).as(s"clip$n"))
-      pairs
-        .join(clip, Seq("doc_a", "doc_b"), "left")
-        .join(tot.withColumnRenamed("id", "doc_b"), Seq("doc_b"), "left")
-        .select(col("doc_a"), col("doc_b"),
-          coalesce(col(s"clip$n"), lit(0L)).as(s"clip$n"),
-          coalesce(col(s"tot$n"), lit(0L)).as(s"tot$n"))
     }
     val lens = docs.select(col(idCol).as("id"),
       size(tokens(col(textCol))).as("len"))
-    order(1).join(order(2), Seq("doc_a", "doc_b"))
+    def tot(len: Column, n: Int): Column =
+      greatest(len - (n - 1), lit(0)).cast("long")
+    pairs
+      .join(clipped(1), Seq("doc_a", "doc_b"), "left")
+      .join(clipped(2), Seq("doc_a", "doc_b"), "left")
       .join(lens.withColumnRenamed("id", "doc_a")
         .withColumnRenamed("len", "n_a"), "doc_a")
       .join(lens.withColumnRenamed("id", "doc_b")
         .withColumnRenamed("len", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("clip1"), lit(0L)).as("clip1"),
+        tot(col("n_b"), 1).as("tot1"),
+        coalesce(col("clip2"), lit(0L)).as("clip2"),
+        tot(col("n_b"), 2).as("tot2"),
+        col("n_a"), col("n_b"))
       .withColumn("bleu2",
         when(col("tot1") === 0 || col("tot2") === 0 ||
           col("clip1") === 0 || col("clip2") === 0, lit(0.0))
           .otherwise(sqrt(
             (col("clip1").cast("double") / col("tot1")) *
               (col("clip2").cast("double") / col("tot2")))))
-      .select("doc_a", "doc_b", "clip1", "tot1", "clip2", "tot2",
-        "n_a", "n_b", "bleu2")
   }
 
   /** Gopher quality-rule signals (Rae et al. 2021 variant) — the ONE

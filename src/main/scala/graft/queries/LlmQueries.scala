@@ -1315,8 +1315,6 @@ object LlmOps extends QueryGroup {
          |  SELECT doc_id, gram, count(*) AS cnt
          |  FROM (SELECT doc_id, unnest(tk) AS gram FROM tk) g
          |  GROUP BY 1, 2),
-         |t1 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS tot
-         |  FROM c1 GROUP BY 1),
          |c2 AS (
          |  SELECT doc_id, gram, count(*) AS cnt
          |  FROM (SELECT doc_id,
@@ -1324,8 +1322,6 @@ object LlmOps extends QueryGroup {
          |        i -> array_to_string(tk[i:i+1], ' '))) AS gram
          |    FROM tk WHERE len(tk) >= 2) g
          |  GROUP BY 1, 2),
-         |t2 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS tot
-         |  FROM c2 GROUP BY 1),
          |lens AS (SELECT doc_id, CAST(len(tk) AS INTEGER) AS len FROM tk),
          |pairs AS (SELECT doc_id AS doc_a, doc_id + 1 AS doc_b
          |  FROM documents),
@@ -1344,21 +1340,21 @@ object LlmOps extends QueryGroup {
          |  JOIN c2 b ON b.doc_id = p.doc_b AND b.gram = a.gram
          |  GROUP BY 1, 2)
          |SELECT p.doc_a, p.doc_b,
-         |  coalesce(k1.clip, 0) AS clip1, coalesce(tb1.tot, 0) AS tot1,
-         |  coalesce(k2.clip, 0) AS clip2, coalesce(tb2.tot, 0) AS tot2,
+         |  coalesce(k1.clip, 0) AS clip1,
+         |  CAST(greatest(lb.len, 0) AS BIGINT) AS tot1,
+         |  coalesce(k2.clip, 0) AS clip2,
+         |  CAST(greatest(lb.len - 1, 0) AS BIGINT) AS tot2,
          |  la.len AS n_a, lb.len AS n_b,
-         |  CASE WHEN coalesce(tb1.tot, 0) = 0 OR coalesce(tb2.tot, 0) = 0
+         |  CASE WHEN lb.len <= 1
          |         OR coalesce(k1.clip, 0) = 0 OR coalesce(k2.clip, 0) = 0
          |    THEN 0.0
-         |    ELSE sqrt((CAST(k1.clip AS DOUBLE) / tb1.tot) *
-         |              (CAST(k2.clip AS DOUBLE) / tb2.tot)) END AS bleu2
+         |    ELSE sqrt((CAST(k1.clip AS DOUBLE) / lb.len) *
+         |              (CAST(k2.clip AS DOUBLE) / (lb.len - 1))) END AS bleu2
          |FROM pairs p
          |JOIN lens la ON la.doc_id = p.doc_a
          |JOIN lens lb ON lb.doc_id = p.doc_b
          |LEFT JOIN k1 ON k1.doc_a = p.doc_a AND k1.doc_b = p.doc_b
-         |LEFT JOIN t1 tb1 ON tb1.doc_id = p.doc_b
          |LEFT JOIN k2 ON k2.doc_a = p.doc_a AND k2.doc_b = p.doc_b
-         |LEFT JOIN t2 tb2 ON tb2.doc_id = p.doc_b
          |ORDER BY p.doc_a""".stripMargin,
 
     "llm_containment" ->

@@ -890,6 +890,15 @@ object LlmOps extends QueryGroup {
         .orderBy("source")
     }),
 
+    // EXACT heavy hitters (tokens with > N/ratio of all occurrences)
+    // via the two-pass Misra–Gries pattern: a mergeable capacity-2k
+    // summary finds candidates (no-false-negative guarantee), an
+    // exact count over ONLY those candidates confirms — never a
+    // vocabulary-wide shuffle. Oracle replays the exact definition.
+    "llm_heavy_hitters" -> ((s, d) =>
+      Sketches.heavyHitters(Tables.documents(s, d), "text",
+        ratio = 200)),
+
     // Sliding-window chunking with overlap — RAG / long-doc-training
     // prep: windows of up to 8 tokens stepping by 6, so consecutive
     // chunks share 2 boundary tokens. Map-only (plan-asserted in
@@ -2293,6 +2302,15 @@ object LlmOps extends QueryGroup {
          |  CAST(sum(-lp.lp_q) AS BIGINT) AS nll_q
          |FROM bg JOIN lp ON bg.u = lp.u AND bg.v = lp.v
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "llm_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest($toks) AS token FROM documents),
+         |tot AS (SELECT count(*) AS n FROM t)
+         |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+         |FROM t, tot
+         |GROUP BY token, tot.n
+         |HAVING count(*) * 200 > tot.n
+         |ORDER BY token""".stripMargin,
 
     "llm_chunk_sliding" ->
       s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),

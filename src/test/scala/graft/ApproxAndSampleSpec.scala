@@ -238,6 +238,32 @@ class ApproxAndSampleSpec extends AnyFunSuite with SparkTestBase {
         s"group $k p=${ps(i)}: got ${got(k)(i)} want ${want(k)(i)}")
   }
 
+  test("Misra–Gries guarantee: every token above N/(k+1) survives the " +
+    "summary under adversarial partitioning; heavyHitters is exact") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    // 3 hot tokens (freqs 400/300/200 of N=1000) + 100 cold ones at ~1
+    // each; k=9 → threshold N/10 = 100: all three hot tokens MUST
+    // survive no matter how partitions split the stream
+    val hot = Seq.fill(400)("alpha") ++ Seq.fill(300)("beta") ++
+      Seq.fill(200)("gamma")
+    val cold = (0 until 100).map(i => f"cold$i%03d")
+    // worst-case-ish layout: hot tokens scattered between cold runs
+    val stream = new scala.util.Random(7).shuffle(hot ++ cold)
+    val df = stream.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .repartition(13) // many partitions → many partial merges
+    val mg = new Sketches.MisraGries(9)
+    val summary = df.select(col("text")).as[String]
+      .select(mg.toColumn).head()
+    assert(Set("alpha", "beta", "gamma").subsetOf(summary.keySet),
+      s"guarantee violated: $summary")
+    // two-pass exact heavy hitters: > N/5 → alpha(400), beta(300)
+    val hh = Sketches.heavyHitters(df, "text", ratio = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == Map("alpha" -> 400L, "beta" -> 300L), s"got $hh")
+  }
+
   test("agg_collect raw (unstringified) array output stays covered") {
     import spark.implicits._
     val df = Seq((1L, 3L), (1L, 1L), (2L, 5L)).toDF("k", "v")

@@ -165,6 +165,29 @@ object Aggregates extends QueryGroup {
         .orderBy("l_returnflag")
     }),
 
+    // EXACT distinct-count rollup via Spark 4 bitmap aggregates — the
+    // exact counterpart of agg_hll_partial's sketch pattern: per
+    // (group, batch, bucket) bitmaps are small mergeable partials
+    // (bucket = id/32768 keeps each bitmap ≤4 KB regardless of id
+    // range), OR-merge is exact and associative, and the final count
+    // is a sum of per-bucket popcounts. At 100 TB this turns exact
+    // COUNT(DISTINCT) maintenance into a bitmap-rows-only rollup —
+    // no re-shuffle of raw ids when batches arrive.
+    "agg_bitmap_distinct" -> ((s, d) => {
+      val partials = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          date_trunc("month", col("l_shipdate")).as("m"),
+          bitmap_bucket_number(col("l_partkey")).as("bucket"))
+        .agg(bitmap_construct_agg(bitmap_bit_position(col("l_partkey")))
+          .as("bm"))
+      partials
+        .groupBy("l_returnflag", "bucket")
+        .agg(bitmap_or_agg(col("bm")).as("bm"))
+        .groupBy("l_returnflag")
+        .agg(sum(bitmap_count(col("bm"))).cast("long").as("n_parts"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_having" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_suppkey")
@@ -490,6 +513,12 @@ object Aggregates extends QueryGroup {
         |  max(CASE WHEN rd = 1 THEN o_orderkey END) AS biggest_order,
         |  max(CASE WHEN ra = 1 THEN o_orderkey END) AS smallest_order
         |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // bitmap distinct is EXACT — the oracle is plain COUNT(DISTINCT)
+    "agg_bitmap_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_mode" ->
       """WITH cnt AS (

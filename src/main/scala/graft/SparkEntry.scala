@@ -44,7 +44,8 @@ object SparkEntry {
     _root_.graft.queries.LlmOps,
     _root_.graft.queries.BpeOps,
     _root_.graft.queries.PipelineOps,
-    _root_.graft.queries.SqlSurface
+    _root_.graft.queries.SqlSurface,
+    _root_.graft.queries.Analytics
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -412,4 +412,24 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx\n" +
       p.take(3000))
   }
+
+  test("q_shipping_priority: customer broadcasts, both fact filters " +
+      "push to their scans, top-10 is a TakeOrderedAndProject") {
+    val p = plan("q_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    // the date filters must reach parquet on BOTH fact sides
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined,
+      p.take(3000))
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(p).isDefined,
+      p.take(3000))
+  }
+
+  test("q_local_supplier_volume: region/nation ride broadcasts — " +
+      "no sort-merge join against a tiny dim") {
+    val p = plan("q_local_supplier_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p.take(3000))
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(p).isDefined,
+      p.take(3000))
+  }
 }

@@ -557,6 +557,24 @@ object Joins extends QueryGroup {
         .leftAsOf(clicks, purchases, "user_id", "ts", Seq("purchase_id"))
         .select("event_id", "user_id", "purchase_id")
         .orderBy("event_id")
+    }),
+
+    // Forward as-of with a tolerance bound (pandas merge_asof
+    // direction='forward', tolerance=1h): for each click, the NEXT
+    // purchase by the same user within an hour — the
+    // click-to-conversion attribution shape. Same single-shuffle
+    // union+window plan, descending time order.
+    "join_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      graft.operators.AsOfJoin
+        .leftAsOf(clicks, purchases, "user_id", "ts", Seq("purchase_id"),
+          direction = "forward", tolerance = Some(3600L))
+        .select("event_id", "user_id", "purchase_id")
+        .orderBy("event_id")
     })
   )
 
@@ -642,6 +660,15 @@ object Joins extends QueryGroup {
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "join_asof_forward" ->
+      """SELECT c.event_id, c.user_id,
+        |  CASE WHEN p.ts <= c.ts + INTERVAL 3600 SECOND
+        |       THEN p.event_id END AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts >= c.ts
         |ORDER BY c.event_id""".stripMargin,
 
     "join_bucketed" ->

@@ -53,4 +53,34 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
       (101L, Some("r@15")), // latest at-or-before 00:20
       (102L, None)))        // key 2 has no right rows
   }
+
+  test("forward as-of takes the earliest at-or-after row; tolerance " +
+    "nulls matches beyond the bound") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val left = Seq((1L, ts(10), 100L), (1L, ts(20), 101L),
+      (1L, ts(40), 102L), (2L, ts(5), 103L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, ts(10), "r@10"), (1L, ts(25), "r@25"),
+      (1L, ts(55), "r@55")).toDF("k", "ts", "payload")
+    val fwd = AsOfJoin.leftAsOf(left, right, "k", "ts", Seq("payload"),
+        direction = "forward")
+      .orderBy("lid")
+      .select("lid", "payload").as[(Long, Option[String])].collect().toSeq
+    assert(fwd == Seq(
+      (100L, Some("r@10")), // equal ts inclusive in forward too
+      (101L, Some("r@25")), // earliest at-or-after 00:20
+      (102L, Some("r@55")),
+      (103L, None)))
+    // tolerance 600s: 00:40 → r@55 is 15 min away → nulled; the
+    // 5-min gaps survive
+    val tol = AsOfJoin.leftAsOf(left, right, "k", "ts", Seq("payload"),
+        direction = "forward", tolerance = Some(600L))
+      .orderBy("lid")
+      .select("lid", "payload").as[(Long, Option[String])].collect().toSeq
+    assert(tol == Seq(
+      (100L, Some("r@10")),
+      (101L, Some("r@25")),
+      (102L, None),
+      (103L, None)))
+  }
 }

@@ -336,6 +336,39 @@ object Aggregates extends QueryGroup {
         .orderBy("o_custkey")
     }),
 
+    // Correlation / least-squares regression per group, derived from
+    // EXACT integer moments: built-in corr()/regr_slope() stream
+    // double updates in engine-specific order (hash-unstable), so the
+    // 2-dp inputs quantize to BIGINT (×100, exact), the five moments
+    // sum in DECIMAL(38,0) (exact, overflow-safe at any SF), and the
+    // statistics derive in double from bit-identical inputs with the
+    // same formula both engines — deterministic end to end.
+    "agg_corr_regression" -> ((s, d) => {
+      val qx = round(col("l_quantity") * 100).cast("long")
+      val qy = round(col("l_extendedprice") * 100).cast("long")
+      val dec38 = DecimalType(38, 0)
+      val g = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), qx.as("x"), qy.as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec38)).as("sx"),
+          sum(col("y").cast(dec38)).as("sy"),
+          sum((col("x") * col("y")).cast(dec38)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec38)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec38)).as("syy"))
+      val n = col("n").cast("double")
+      val (sx, sy, sxy, sxx, syy) = (col("sx").cast("double"),
+        col("sy").cast("double"), col("sxy").cast("double"),
+        col("sxx").cast("double"), col("syy").cast("double"))
+      val covN = n * sxy - sx * sy // n²·cov — shared numerator
+      g.select(col("l_returnflag"), col("n"),
+          covN.as("cov_n"),
+          (covN / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+            .as("corr"),
+          (covN / (n * sxx - sx * sx)).as("slope"))
+        .orderBy("l_returnflag")
+    }),
+
     // Deterministic MODE per group: the most frequent value, lowest
     // value on frequency ties (bare `mode()` is tie-nondeterministic
     // — unusable under a hash-compared oracle). Two map-side-partial
@@ -513,6 +546,37 @@ object Aggregates extends QueryGroup {
         |  max(CASE WHEN rd = 1 THEN o_orderkey END) AS biggest_order,
         |  max(CASE WHEN ra = 1 THEN o_orderkey END) AS smallest_order
         |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // same exact-moment derivation, same formula shape — the doubles
+    // agree bitwise because the inputs and expression tree do
+    "agg_corr_regression" ->
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(x AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(y AS DECIMAL(38,0))) AS sy,
+        |    sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+        |    sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+        |    sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+        |  FROM q GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS cov_n,
+        |  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |   (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |    sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS corr,
+        |  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |   (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS slope
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     // bitmap distinct is EXACT — the oracle is plain COUNT(DISTINCT)
     "agg_bitmap_distinct" ->

@@ -238,6 +238,19 @@ class ApproxAndSampleSpec extends AnyFunSuite with SparkTestBase {
         s"group $k p=${ps(i)}: got ${got(k)(i)} want ${want(k)(i)}")
   }
 
+  test("agg_corr_regression's exact-moment corr matches built-in corr") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val builtin = li.groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val derived = SparkEntry.queries("agg_corr_regression")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("corr")).toMap
+    assert(builtin.keySet == derived.keySet)
+    builtin.foreach { case (k, c) =>
+      assert(math.abs(c - derived(k)) < 1e-9, s"$k: $c vs ${derived(k)}")
+    }
+  }
+
   test("Misra–Gries guarantee: every token above N/(k+1) survives the " +
     "summary under adversarial partitioning; heavyHitters is exact") {
     import graft.operators.Sketches

@@ -42,6 +42,29 @@ object ScalarFuncs extends QueryGroup {
         col("c_name").like("Customer#%").as("lk"))
         .orderBy("c_custkey")),
 
+    // dbt-utils `date_spine` + gap fill: a generated month calendar
+    // (sequence/explode over the observed [min,max] — rows that exist
+    // NOWHERE in the data appear with n=0) left-joined to monthly
+    // order counts. The spine generates from a 1-row aggregate, so
+    // the explode is driver-light and the join broadcasts the counts'
+    // month dimension — no month can vanish just because no order
+    // landed in it, which is the whole point of a spine.
+    "fn_date_spine" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val spine = o.agg(
+          date_trunc("month", min(col("o_orderdate"))).as("lo"),
+          date_trunc("month", max(col("o_orderdate"))).as("hi"))
+        .select(explode(expr(
+          "sequence(lo, hi, INTERVAL 1 MONTH)")).as("month"))
+      val counts = o
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"))
+      spine.join(counts, Seq("month"), "left")
+        .select(col("month"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("month")
+    }),
+
     "fn_date" -> ((s, d) =>
       Tables.orders(s, d).select(
         col("o_orderkey"),
@@ -233,6 +256,24 @@ object ScalarFuncs extends QueryGroup {
         |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS rrep,
         |  c_name LIKE 'Customer#%' AS lk
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_date_spine" ->
+      """WITH b AS (
+        |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |         date_trunc('month', max(o_orderdate)) AS hi
+        |  FROM orders),
+        |spine AS (
+        |  SELECT unnest(generate_series(
+        |    CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+        |    INTERVAL 1 MONTH)) AS month FROM b),
+        |cnt AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+        |      AS month,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT s.month, CAST(coalesce(c.n_orders, 0) AS BIGINT) AS n_orders
+        |FROM spine s LEFT JOIN cnt c ON s.month = c.month
+        |ORDER BY s.month""".stripMargin,
 
     "fn_date" ->
       """SELECT o_orderkey,

@@ -90,6 +90,29 @@ object EventWindows extends QueryGroup {
         .orderBy("user_id")
     }),
 
+    // Cohort retention: users bucketed by first-seen day, activity
+    // counted per (cohort, day offset) — the classic product-
+    // analytics triangle (daily grain: the fixture spans one month).
+    // Two shuffles total: the per-user first-day aggregate rides the
+    // same (user_id) key as the distinct activity-day frame it joins,
+    // then one rollup on (cohort, offset). Offsets are exact day
+    // arithmetic on truncated days — engines agree on boundaries.
+    "win_cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).as("m"))
+      val firstSeen = ev.groupBy("user_id")
+        .agg(min(col("m")).as("cohort"))
+      ev.distinct()
+        .join(firstSeen, "user_id")
+        .select(col("cohort"),
+          datediff(col("m"), col("cohort")).as("day_offset"),
+          col("user_id"))
+        .groupBy("cohort", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort", "day_offset")
+    }),
+
     // Streaming-only semantics (watermark + stateful dedup) are unit-
     // tested with MemoryStream in graft.streaming; this batch
     // emulation exercises the same dedup logic deterministically:
@@ -183,6 +206,20 @@ object EventWindows extends QueryGroup {
         |  p.t3 AS purchase_ts, p.t3 IS NOT NULL AS converted
         |FROM u LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "win_cohort_retention" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS m
+        |  FROM events),
+        |f AS (SELECT user_id, min(m) AS cohort FROM m GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, m FROM m)
+        |SELECT f.cohort,
+        |  CAST(date_diff('day', f.cohort, a.m) AS INTEGER)
+        |    AS day_offset,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "win_sessionize" ->
       """WITH e AS (

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval-overlap join (SURVEY §2.3 family): all (left, right) pairs
+  * whose half-open time intervals intersect — `sL < eR AND sR < eL`.
+  * The naive formulation is a pure inequality join, which Spark plans
+  * as a broadcast-nested-loop (O(|L|·|R|) compares — a scale killer).
+  *
+  * Scale shape (the standard banding trick, same family as
+  * `join_theta_range`): each interval explodes into the fixed-width
+  * time buckets it covers, the join is an EQUI-join on bucket id
+  * (hash-partitionable, skew = bucket occupancy), the exact overlap
+  * predicate filters candidates, and each surviving pair is kept only
+  * in the single bucket containing `max(sL, sR)` — overlapping
+  * intervals share that bucket by construction, so every true pair
+  * appears exactly once without a distinct. Cost is linear in
+  * (intervals × buckets-per-interval) + true-pair count; `bucketSec`
+  * trades explode factor against per-bucket candidate density.
+  */
+object IntervalJoin {
+
+  /** `left`/`right` carry id + [start, end) timestamp columns; output
+    * is (leftId, rightId) for every overlapping pair.
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+                  idL: String, startL: String, endL: String,
+                  idR: String, startR: String, endR: String,
+                  bucketSec: Long): DataFrame = {
+    val w = bucketSec * 1000000L // work in exact epoch µs
+    def banded(df: DataFrame, id: String, s: String, e: String,
+               side: String) =
+      df.select(col(id).as(s"${side}_id"),
+          unix_micros(col(s)).as(s"s_$side"),
+          unix_micros(col(e)).as(s"e_$side"))
+        // a half-open [s, e) touches buckets floor(s/w)..floor((e-1)/w)
+        .withColumn("bucket", explode(sequence(
+          floor(col(s"s_$side") / w),
+          floor((col(s"e_$side") - 1) / w))))
+    banded(left, idL, startL, endL, "l")
+      .join(banded(right, idR, startR, endR, "r"), "bucket")
+      .filter(col("s_l") < col("e_r") && col("s_r") < col("e_l") &&
+        col("bucket") === floor(greatest(col("s_l"), col("s_r")) / w))
+      .select(col("l_id"), col("r_id"))
+  }
+}

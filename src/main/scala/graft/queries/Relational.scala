@@ -559,6 +559,25 @@ object Joins extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // Interval-overlap join: click 30-min windows × purchase 30-min
+    // windows that intersect — banded into 1-hour buckets so the plan
+    // is a hash EQUI-join on bucket id, never a nested-loop over the
+    // inequality (plan-asserted in PlanSpec). Each true pair emitted
+    // exactly once via the max-start-bucket rule.
+    "join_interval_overlap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def win(t: String) = ev.filter(col("event_type") === t)
+        .select(col("event_id"), col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("e"))
+      graft.operators.IntervalJoin.overlapJoin(
+          win("click"), win("purchase"),
+          "event_id", "s", "e", "event_id", "s", "e",
+          bucketSec = 3600L)
+        .withColumnRenamed("l_id", "click_id")
+        .withColumnRenamed("r_id", "purchase_id")
+        .orderBy("click_id", "purchase_id")
+    }),
+
     // Forward as-of with a tolerance bound (pandas merge_asof
     // direction='forward', tolerance=1h): for each click, the NEXT
     // purchase by the same user within an hour — the
@@ -661,6 +680,14 @@ object Joins extends QueryGroup {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND p.ts <= c.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "join_interval_overlap" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.ts < p.ts + INTERVAL 30 MINUTE
+        | AND p.ts < c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "join_asof_forward" ->
       """SELECT c.event_id, c.user_id,

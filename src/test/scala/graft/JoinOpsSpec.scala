@@ -54,6 +54,27 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
       (102L, None)))        // key 2 has no right rows
   }
 
+  test("interval overlap join: exactly-once pairs across bucket " +
+    "boundaries, touching endpoints excluded (half-open)") {
+    import graft.operators.IntervalJoin
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 0${m / 60}%d:${m % 60}%02d:00")
+    // intervals in minutes; bucket = 60s → many buckets per interval
+    val left = Seq((1L, ts(0), ts(90)),   // spans 2 hour-buckets
+      (2L, ts(100), ts(110))).toDF("id", "s", "e")
+    val right = Seq((10L, ts(80), ts(120)), // overlaps BOTH
+      (11L, ts(90), ts(95)),   // touches 1's end exactly → NOT a pair
+      (12L, ts(200), ts(210))) // disjoint
+      .toDF("id", "s", "e")
+    val got = IntervalJoin.overlapJoin(left, right,
+        "id", "s", "e", "id", "s", "e", bucketSec = 60L)
+      .as[(Long, Long)].collect().toSeq.sorted
+    // 1×10 (80<90), 2×10 (100<120); 1×11 touches at 90 (half-open, no);
+    // 2×11 disjoint (95 ≤ 100)
+    assert(got == Seq((1L, 10L), (2L, 10L)), s"$got")
+    // exactly-once: no duplicates even though pairs share many buckets
+    assert(got.distinct == got)
+  }
+
   test("forward as-of takes the earliest at-or-after row; tolerance " +
     "nulls matches beyond the bound") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")

@@ -413,6 +413,13 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       p.take(3000))
   }
 
+  test("join_interval_overlap plans a hash equi-join on bucket id — " +
+      "never a nested-loop over the inequality") {
+    val p = plan("join_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("Join") || p.contains("HashJoin"), p.take(3000))
+  }
+
   test("q_shipping_priority: customer broadcasts, both fact filters " +
       "push to their scans, top-10 is a TakeOrderedAndProject") {
     val p = plan("q_shipping_priority")

@@ -282,4 +282,34 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  // ---- banded interval join ≡ quadratic reference ----------------------
+
+  test("interval overlap join equals the quadratic reference on " +
+    "random interval sets (exactly-once, any bucket width)") {
+    val ivGen = for {
+      n <- Gen.choose(1, 12)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.choose(0L, 5000L)
+        len <- Gen.choose(1L, 900L)
+      } yield (s, s + len))
+    } yield rows.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+    def toDf(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("id", "ss", "es").select(col("id"),
+        timestamp_seconds(col("ss")).as("s"),
+        timestamp_seconds(col("es")).as("e"))
+    sample(Gen.zip(ivGen, ivGen, Gen.oneOf(7L, 60L, 1000L)), 6, 4242L)
+      .foreach { case (ls, rs, w) =>
+        val got = graft.operators.IntervalJoin.overlapJoin(
+            toDf(ls), toDf(rs), "id", "s", "e", "id", "s", "e",
+            bucketSec = w)
+          .as[(Long, Long)].collect().toSeq.sorted
+        val want = (for {
+          (il, sl, el) <- ls
+          (ir, sr, er) <- rs
+          if sl < er && sr < el
+        } yield (il, ir)).sorted
+        assert(got == want, s"w=$w\n got=$got\nwant=$want")
+      }
+  }
 }

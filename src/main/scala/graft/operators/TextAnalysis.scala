@@ -226,6 +226,56 @@ object TextAnalysis {
       .filter(col("rk") <= k).drop("rk")
   }
 
+  /** BM25 retrieval ranking (Robertson–Spärck Jones) for a fixed
+    * query-term set: score(d) = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1−b+b·dl/avgdl)). Uses the RATIONAL idf variant
+    * idf = (N−df+0.5)/(df+0.5) — no logarithm, so every factor is an
+    * IEEE-exact rational of integer counts (N, df, tf, dl exact;
+    * 0.5-halves exactly representable) and scores are BIT-IDENTICAL
+    * cross-engine without quantization (ln's last-ulp drift is why
+    * [[tfIdfTopK]] must quantize; this variant doesn't).
+    *
+    * 100 TB shape: one corpus pass builds (doc, term, tf) for the
+    * query terms ONLY (the filter pushes into the explode side before
+    * the aggregation); df/avgdl are scalar aggregates broadcast onto
+    * the score; top-k is a `TakeOrderedAndProject`, never a global
+    * sort.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("__tk"))
+    val lens = toks.select(col("doc_id"), size(col("__tk")).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("__tk")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        // every operand below is an exact rational of integers
+        ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) *
+            col("dl") / (col("sum_dl").cast("double") / col("n_docs")))))
+          .as("part"), col("term"))
+      // plain sum(double) is accumulation-order-dependent — fold the
+      // per-term parts in SORTED TERM ORDER so both engines add the
+      // same doubles in the same sequence (bit-identical totals)
+      .groupBy("doc_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("part")))),
+        lit(0.0), (acc, x) => acc + x.getField("part")).as("bm25"))
+    scored.orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  }
+
   /** Per-doc interior bigrams (u, v) derived MAP-ONLY from the token
     * array (`transform(sequence…)` — no window, no positional
     * self-join). Docs with < 2 tokens contribute nothing.

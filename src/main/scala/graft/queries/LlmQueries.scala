@@ -890,6 +890,15 @@ object LlmOps extends QueryGroup {
         .orderBy("source")
     }),
 
+    // BM25 retrieval for a fixed 3-term query — the ranking the
+    // inverted index serves. Rational-idf variant: every factor is an
+    // IEEE-exact rational of integer counts, and per-doc totals fold
+    // in sorted term order, so scores are BIT-identical cross-engine
+    // with no quantization.
+    "llm_bm25_topk" -> ((s, d) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        queryTerms = Seq("hash", "join", "scan"), k = 20)),
+
     // EXACT heavy hitters (tokens with > N/ratio of all occurrences)
     // via the two-pass Misra–Gries pattern: a mergeable capacity-2k
     // summary finds candidates (no-false-negative guarantee), an
@@ -2302,6 +2311,45 @@ object LlmOps extends QueryGroup {
          |  CAST(sum(-lp.lp_q) AS BIGINT) AS nll_q
          |FROM bg JOIN lp ON bg.u = lp.u AND bg.v = lp.v
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // constants appear as the same source literals Spark bakes
+    // ((1.2 + 1), 0.25, 0.75) and the expression tree mirrors the
+    // Spark parenthesization exactly — IEEE ops on identical inputs
+    // in identical order ⇒ bit-identical scores, no quantization
+    "llm_bm25_topk" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS tk FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tk),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl
+         |  FROM lens),
+         |tf AS (
+         |  SELECT doc_id, tok AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tk) t
+         |  WHERE tok IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |part AS (
+         |  -- every constant CAST to DOUBLE: DuckDB otherwise parses
+         |  -- 1.2 as DECIMAL and folds (1.2+1)*tf in exact decimal,
+         |  -- drifting one ulp from Spark's float literals
+         |  SELECT f.doc_id, f.term,
+         |    ((s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+         |       / (d.df + CAST(0.5 AS DOUBLE))
+         |       * (f.tf * (CAST(1.2 AS DOUBLE) + 1)))
+         |      / (f.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+         |          + CAST(0.75 AS DOUBLE) * l.dl /
+         |          (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS part
+         |  FROM tf f JOIN df d USING (term) JOIN lens l USING (doc_id),
+         |    stats s),
+         |agg AS (
+         |  SELECT doc_id,
+         |    coalesce(max(CASE WHEN term = 'hash' THEN part END), 0.0)
+         |      AS ph,
+         |    coalesce(max(CASE WHEN term = 'join' THEN part END), 0.0)
+         |      AS pj,
+         |    coalesce(max(CASE WHEN term = 'scan' THEN part END), 0.0)
+         |      AS ps
+         |  FROM part GROUP BY 1)
+         |SELECT doc_id, ((0.0 + ph) + pj) + ps AS bm25
+         |FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
     "llm_heavy_hitters" ->
       s"""WITH t AS (SELECT unnest($toks) AS token FROM documents),

@@ -668,6 +668,30 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       s"slope ${got.getDouble(1)}")
   }
 
+  test("bm25TopK: tf raises the score sublinearly, rarity raises it, " +
+    "long docs are penalized") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "rare common pad1 pad2"),          // rare ×1
+      (2L, "rare rare common pad1"),          // rare ×2 → ranks above 1
+      (3L, "common common common pad1"),      // only the common term
+      (4L, "rare " + Seq.fill(40)("pad").mkString(" ")) // long doc
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        queryTerms = Seq("rare", "common"), k = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("bm25")).toMap
+    // doc 2 (tf=2 of the rarer term) beats doc 1 (tf=1)
+    assert(got(2L) > got(1L))
+    // the long doc's single 'rare' is length-penalized below doc 1's
+    assert(got(1L) > got(4L))
+    // common-only doc scores lowest of the rare-bearing docs
+    assert(got(3L) < got(1L))
+    // sublinearity: doubling tf less than doubles the contribution
+    assert(got(2L) < 2 * got(1L))
+  }
+
   test("bleuForPairs: clipped precision — repeated candidate grams " +
     "credit only up to reference multiplicity") {
     import graft.operators.TextAnalysis

@@ -34,6 +34,9 @@ object IntervalJoin {
       df.select(col(id).as(s"${side}_id"),
           unix_micros(col(s)).as(s"s_$side"),
           unix_micros(col(e)).as(s"e_$side"))
+        // degenerate [s, s) intervals overlap nothing — and would
+        // otherwise feed sequence() a descending bucket range
+        .filter(col(s"s_$side") < col(s"e_$side"))
         // a half-open [s, e) touches buckets floor(s/w)..floor((e-1)/w)
         .withColumn("bucket", explode(sequence(
           floor(col(s"s_$side") / w),

@@ -36,47 +36,43 @@ object AsOfJoin {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward: $direction")
     val leftCols = left.columns
-    // carry the matched right ts alongside the payload so tolerance
-    // can bound the gap without a second join
-    val carryCols = payload :+ tsCol
-    // kind 0 = right (sorts first on ts tie → the match is inclusive)
+    // the payload columns AND the matched right ts ride ONE struct —
+    // last(ignoreNulls) over separate columns could take each from a
+    // DIFFERENT right row when a payload value is NULL (the tolerance
+    // gate would then bound a newer row's ts while emitting an older
+    // row's value); a struct is non-null whenever the right row
+    // exists, so the whole match is atomic
     val taggedRight = right.select(
-      Seq(col(keyCol), col(tsCol), lit(0).as("__kind")) ++
-        payload.map(c => col(c).as(s"__p_$c")) ++
-        Seq(col(tsCol).as(s"__p_$tsCol")) ++
+      Seq(col(keyCol), col(tsCol), lit(0).as("__kind"),
+        struct(col(tsCol).as("__ts") +: payload.map(col): _*)
+          .as("__match")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val matchType = taggedRight.schema("__match").dataType
     val taggedLeft = left.select(
-      Seq(col(keyCol), col(tsCol), lit(1).as("__kind")) ++
-        payload.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"__p_$c")) ++
-        Seq(lit(null).cast(right.schema(tsCol).dataType).as(s"__p_$tsCol")) ++
+      Seq(col(keyCol), col(tsCol), lit(1).as("__kind"),
+        lit(null).cast(matchType).as("__match")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol).map(col): _*)
     val ord =
       if (direction == "backward") col(tsCol).asc else col(tsCol).desc
     val w = Window.partitionBy(keyCol)
       .orderBy(ord, col("__kind"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = carryCols.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      case (df, c) =>
-        df.withColumn(s"__last_$c",
-          last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = taggedRight.unionByName(taggedLeft)
+      .withColumn("__last", last(col("__match"), ignoreNulls = true).over(w))
     // interval arithmetic, not unix_timestamp subtraction — exact at
     // µs resolution and identical across engines (no per-side floor)
     val inBound: Column = tolerance match {
       case None => lit(true)
       case Some(sec) =>
         if (direction == "backward")
-          col(s"__last_$tsCol") >=
-            col(tsCol) - expr(s"INTERVAL $sec SECONDS")
+          col("__last.__ts") >= col(tsCol) - expr(s"INTERVAL $sec SECONDS")
         else
-          col(s"__last_$tsCol") <=
-            col(tsCol) + expr(s"INTERVAL $sec SECONDS")
+          col("__last.__ts") <= col(tsCol) + expr(s"INTERVAL $sec SECONDS")
     }
     carried.filter(col("__kind") === 1)
       .select((leftCols.map(col) ++
         payload.map(c =>
-          when(inBound, col(s"__last_$c")).as(c))).toIndexedSeq: _*)
+          when(inBound, col(s"__last.$c")).as(c))).toIndexedSeq: _*)
   }
 }

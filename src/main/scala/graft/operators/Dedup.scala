@@ -741,22 +741,35 @@ object Dedup {
     * candidate pair count (callers supply blocked/LSH candidates, not
     * the full product).
     */
+  /** Shared pair-overlap scaffolding: given a DISTINCT per-doc
+    * feature frame (`id`, `f`) and a (doc_a, doc_b) candidate frame,
+    * returns (doc_a, doc_b, common, n_a, n_b) — the raw counts every
+    * set-overlap metric (Jaccard, containment, overlap coefficient)
+    * derives from. Feature frames joined per pair — linear in the
+    * candidate pair count, never a corpus product.
+    */
+  private def pairOverlapCounts(features: DataFrame,
+                                pairs: DataFrame): DataFrame = {
+    val counts = features.groupBy("id").agg(count(lit(1)).as("n"))
+    val common = pairs
+      .join(features.withColumnRenamed("id", "doc_a"), "doc_a")
+      .join(features.withColumnRenamed("id", "doc_b"), Seq("doc_b", "f"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(counts.withColumnRenamed("id", "doc_a")
+        .withColumnRenamed("n", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("id", "doc_b")
+        .withColumnRenamed("n", "n_b"), "doc_b")
+      .select("doc_a", "doc_b", "common", "n_a", "n_b")
+  }
+
   def jaccardForPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
-      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
-    val counts = toks.groupBy("id").agg(count(lit(1)).as("n"))
-    val common = pairs
-      .join(toks.withColumnRenamed("id", "doc_a").withColumnRenamed("tok", "ta"), "doc_a")
-      .join(toks.withColumnRenamed("id", "doc_b").withColumnRenamed("tok", "tb")
-        .withColumnRenamed("tb", "ta"), Seq("doc_b", "ta"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    common
-      .join(counts.withColumnRenamed("id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
-      .join(counts.withColumnRenamed("id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"), col("n_b"),
-        (col("common").cast(DoubleType) /
-          (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("f"))
+    pairOverlapCounts(toks, pairs)
+      .withColumn("jaccard", col("common").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("common")))
   }
 
   /** N-gram CONTAINMENT between doc pairs (Broder 1997's asymmetric
@@ -776,20 +789,12 @@ object Dedup {
                           idCol: String, textCol: String,
                           n: Int = 3): DataFrame = {
     val grams = gramHashFrame(docs, textCol, n, Some(idCol)).distinct()
-    val counts = grams.groupBy("id").agg(count(lit(1)).as("cnt"))
-    val common = pairs
-      .join(grams.withColumnRenamed("id", "doc_a"), "doc_a")
-      .join(grams.withColumnRenamed("id", "doc_b"), Seq("doc_b", "gh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    common
-      .join(counts.withColumnRenamed("id", "doc_a")
-        .withColumnRenamed("cnt", "n_a"), "doc_a")
-      .join(counts.withColumnRenamed("id", "doc_b")
-        .withColumnRenamed("cnt", "n_b"), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("common"),
-        col("n_a"), col("n_b"),
-        (col("common").cast(DoubleType) / col("n_a")).as("cont_ab"),
-        (col("common").cast(DoubleType) / col("n_b")).as("cont_ba"))
+      .withColumnRenamed("gh", "f")
+    pairOverlapCounts(grams, pairs)
+      .withColumn("cont_ab",
+        col("common").cast(DoubleType) / col("n_a"))
+      .withColumn("cont_ba",
+        col("common").cast(DoubleType) / col("n_b"))
   }
 
   /** Levenshtein distance between doc pairs given a (docA, docB) pair

@@ -108,9 +108,11 @@ object Sketches {
       explode(TextAnalysis.tokens(col(textCol))).as("token"))
     val mg = new MisraGries(cap)
     import docs.sparkSession.implicits._
-    val candidates =
-      toks.as[String].select(mg.toColumn).head().keys.toSeq
-    val total = toks.count()
+    // sketch + total N in the SAME pass — the corpus tokenizes twice
+    // total (sketch, then verify), not three times
+    val (summary, total) = toks.as[String]
+      .select(mg.toColumn, count(lit(1)).as[Long]).head()
+    val candidates = summary.keys.toSeq
     toks.filter(col("token").isin(candidates: _*))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * ratio > lit(total))

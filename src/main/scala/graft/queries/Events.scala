@@ -108,8 +108,11 @@ object EventWindows extends QueryGroup {
         .select(col("cohort"),
           datediff(col("m"), col("cohort")).as("day_offset"),
           col("user_id"))
+        // rows are already unique per (cohort, offset, user): the
+        // activity frame is distinct on (user, m) and m = cohort +
+        // offset — plain count avoids countDistinct's expand phase
         .groupBy("cohort", "day_offset")
-        .agg(countDistinct(col("user_id")).as("n_users"))
+        .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort", "day_offset")
     }),
 

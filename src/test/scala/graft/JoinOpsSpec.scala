@@ -75,6 +75,41 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.distinct == got)
   }
 
+  test("as-of tolerance gates the MATCHED row even when its payload " +
+    "is NULL (gate ts and value must come from the same right row)") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // latest right row at 00:59 has a NULL payload; the older 00:00
+    // row holds 'A'. A per-column carry would pass the gate on 00:59's
+    // ts but emit 00:00's out-of-tolerance 'A'.
+    val left = Seq((1L, ts(59), 100L)).toDF("k", "ts", "lid")
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 MINUTE")) // 01:00
+    val right = Seq((1L, ts(0), Some("A")), (1L, ts(59), None))
+      .toDF("k", "ts", "payload")
+    val out = AsOfJoin.leftAsOf(left, right, "k", "ts", Seq("payload"),
+        tolerance = Some(120L))
+      .select("lid", "payload").as[(Long, Option[String])].collect().toSeq
+    // the matched row IS in tolerance (00:59 vs 01:00) — its payload
+    // is genuinely NULL, so NULL must come out, never the stale 'A'
+    assert(out == Seq((100L, None)), s"$out")
+    // and without tolerance the same match still yields NULL
+    val noTol = AsOfJoin.leftAsOf(left, right, "k", "ts", Seq("payload"))
+      .select("lid", "payload").as[(Long, Option[String])].collect().toSeq
+    assert(noTol == Seq((100L, None)), s"$noTol")
+  }
+
+  test("degenerate [s,s) intervals pair with nothing and do not feed " +
+    "sequence() a descending bucket range") {
+    import graft.operators.IntervalJoin
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val left = Seq((1L, ts(10), ts(10)), // empty interval
+      (2L, ts(10), ts(20))).toDF("id", "s", "e")
+    val right = Seq((10L, ts(5), ts(15))).toDF("id", "s", "e")
+    val got = IntervalJoin.overlapJoin(left, right,
+        "id", "s", "e", "id", "s", "e", bucketSec = 60L)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((2L, 10L)), s"$got")
+  }
+
   test("forward as-of takes the earliest at-or-after row; tolerance " +
     "nulls matches beyond the bound") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")

@@ -417,7 +417,10 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "never a nested-loop over the inequality") {
     val p = plan("join_interval_overlap")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
-    assert(p.contains("Join") || p.contains("HashJoin"), p.take(3000))
+    // the join must key on the synthesized bucket column — a real
+    // equi-join, not a residual-only comparison
+    assert(("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) " +
+      "\\[bucket").r.findFirstIn(p).isDefined, p.take(3000))
   }
 
   test("q_shipping_priority: customer broadcasts, both fact filters " +

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryGroup, Tables}
 import graft.Tables.{dec2, one2, asDouble}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Composite analytics — TPC-H-shaped multi-operator queries run as
   * ONE plan each, the workload an analyst actually ships (the
@@ -76,6 +77,49 @@ object Analytics extends QueryGroup {
       out.groupBy("n_name")
         .agg(asDouble(revenue).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q18 shape (large-volume customers): aggregate-then-join —
+    // the qualifying order keys come from a grouped HAVING over the
+    // fact table, then re-join to attach customer/order attributes.
+    // The HAVING side aggregates BEFORE joining (map-side partials on
+    // the orderkey shuffle), so the join input is already one row per
+    // qualifying order.
+    "q_large_volume_customers" -> ((s, d) => {
+      val bigOrders = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(asDouble(sum(dec2(col("l_quantity")))).as("total_qty"))
+        .filter(col("total_qty") > 300.0)
+      bigOrders
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+          "total_qty")
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q14 shape (promotion effect): conditional-aggregation
+    // ratio — promo revenue share per order month. Revenue stays in
+    // exact DECIMAL through both sums; only the final ratio divides
+    // as double (exact-decimal inputs ⇒ engine-identical quotient).
+    "q_promo_revenue_share" -> ((s, d) => {
+      val rev = dec2(col("l_extendedprice")) *
+        (one2 - dec2(col("l_discount")))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+        .agg(
+          asDouble(sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast(DecimalType(12, 2))))).as("promo_rev"),
+          asDouble(sum(rev)).as("total_rev"))
+        .withColumn("promo_share",
+          col("promo_rev") / col("total_rev"))
+        .orderBy("month")
     })
   )
 
@@ -111,6 +155,41 @@ object Analytics extends QueryGroup {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
         |GROUP BY 1
-        |ORDER BY revenue DESC, n_name""".stripMargin
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_large_volume_customers" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |      AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |    > 300.0)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+        |FROM big
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q_promo_revenue_share" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+        |    AS month,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |         (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_rev,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS total_rev,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |         (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY month""".stripMargin
   )
 }

@@ -186,6 +186,37 @@ object PipelineOps extends QueryGroup {
       r2.readTable("cust_snap").orderBy("c_custkey", "valid_from")
     }),
 
+    // SCD2 TEMPORAL JOIN — the pattern snapshots exist FOR: each fact
+    // row joins the dimension version valid AT ITS OWN event time
+    // (equi on the key + validity-range residual: still a hash join,
+    // the range is a post-probe filter, never a BNLJ). Events before
+    // the second cut see segment v1; later ones see the MOVED v2.
+    "q_scd2_temporal_join" -> ((s, d) => {
+      val wh = freshWh("scd2_tjoin")
+      def spec(mutate: Boolean) = PipelineSpec(
+        models = Seq(Model("cust_dim", Nil, Materialization.Table,
+          (sp, _) => Tables.customer(sp, d).select(col("c_custkey"),
+            (if (mutate)
+              when(col("c_custkey") % 5 === 0, lit("MOVED"))
+                .otherwise(col("c_mktsegment"))
+            else col("c_mktsegment")).as("seg")))),
+        snapshots = Seq(SnapshotDef("cust_snap", "cust_dim",
+          Seq("c_custkey"), Seq("seg"))))
+      mustSucceed(new PipelineRunner(s, spec(mutate = false), wh)
+        .run(Seq("run", "snapshot --at 2024-01-01T00:00:00")))
+      val r2 = new PipelineRunner(s, spec(mutate = true), wh)
+      mustSucceed(r2.run(Seq("run", "snapshot --at 2024-01-15T00:00:00")))
+      val dim = r2.readTable("cust_snap")
+      Tables.events(s, d)
+        .join(dim, col("user_id") === col("c_custkey") &&
+          col("valid_from") <= col("ts") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("seg")
+    }),
+
     // dbt's TIMESTAMP (updated_at) strategy: per-customer rolling
     // state (latest order date + order count) snapshotted at two
     // widening date cuts. A customer whose max(o_orderdate) advanced
@@ -764,6 +795,19 @@ object PipelineOps extends QueryGroup {
         |  CAST(NULL AS TIMESTAMP) AS valid_to
         |FROM customer WHERE c_custkey % 5 = 0
         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    // replay: version valid at each event's ts — before the second
+    // cut every user sees v1; at-or-after it, %5 users see MOVED
+    "q_scd2_temporal_join" ->
+      """SELECT seg, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM (
+        |  SELECT e.user_id,
+        |    CASE WHEN c.c_custkey % 5 = 0
+        |           AND e.ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |         THEN 'MOVED' ELSE c.c_mktsegment END AS seg
+        |  FROM events e JOIN customer c ON e.user_id = c.c_custkey) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "snapshot_scd2_hard_deletes" ->
       """SELECT c_custkey, c_mktsegment AS seg,

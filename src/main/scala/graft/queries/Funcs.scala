@@ -42,6 +42,19 @@ object ScalarFuncs extends QueryGroup {
         col("c_name").like("Customer#%").as("lk"))
         .orderBy("c_custkey")),
 
+    // ANSI-safe TRY arithmetic (Spark 4 error-handling surface):
+    // try_divide nulls division-by-zero instead of failing the job,
+    // try_element_at nulls out-of-range access — the graceful-
+    // degradation forms ETL needs under ANSI mode. DuckDB nulls both
+    // natively, so the oracle is plain SQL.
+    "fn_try_arith" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("try_divide(l_quantity, l_linenumber - 1)").as("td"),
+        expr("try_element_at(array(l_orderkey, l_linenumber), " +
+          "l_linenumber)").as("tea"))
+        .orderBy("l_orderkey", "l_linenumber", "td", "tea")),
+
     // dbt-utils `date_spine` + gap fill: a generated month calendar
     // (sequence/explode over the observed [min,max] — rows that exist
     // NOWHERE in the data appear with n=0) left-joined to monthly
@@ -256,6 +269,14 @@ object ScalarFuncs extends QueryGroup {
         |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS rrep,
         |  c_name LIKE 'Customer#%' AS lk
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_try_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_quantity / (l_linenumber - 1) AS td,
+        |  ([l_orderkey, CAST(l_linenumber AS BIGINT)])[l_linenumber]
+        |    AS tea
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, td, tea""".stripMargin,
 
     "fn_date_spine" ->
       """WITH b AS (

@@ -277,10 +277,52 @@ object Model {
     })
     require(!out.contains("{%"),
       s"model $model: unsupported or unterminated {% ... %} block " +
-        "(only non-nested {% if is_incremental() %}[{% else %}]" +
-        "{% endif %} is recognized)")
+        "(recognized: non-nested {% if is_incremental() %}[{% else %}]" +
+        "{% endif %} and {% for x in ['a','b'] %}...{% endfor %} with " +
+        "an optional {% if not loop.last %} separator guard)")
     out
   }
+
+  // {% for x in ['a', 'b'] %} body {% endfor %} — the Jinja loop real
+  // dbt models lean on to generate UNION branches / repeated CASE
+  // arms over a literal list. Non-nested; the body may use
+  // {{ x }} and the canonical separator guard
+  // {% if not loop.last %}...{% endif %}.
+  private val forRe =
+    ("""(?s)\{%\s*for\s+(\w+)\s+in\s+\[([^\]]*)\]\s*%\}(.*?)""" +
+      """\{%\s*endfor\s*%\}""").r
+  private def notLastRe(v: String) =
+    ("""(?s)\{%\s*if\s+not\s+loop\.last\s*%\}(.*?)\{%\s*endif\s*%\}""").r
+
+  /** Expand `{% for %}` loops over literal lists — each iteration
+    * substitutes `{{ var }}` in the body (quoted items render their
+    * content, like Jinja) and resolves `{% if not loop.last %}`
+    * separator guards. Runs BEFORE the incremental-guard renderer so
+    * loop bodies may contain plain SQL only (a for inside an
+    * incremental branch works; the converse nesting does not, and
+    * the leftover `{%` is rejected loudly downstream).
+    */
+  def renderFor(model: String, sqlText: String): String =
+    forRe.replaceAllIn(sqlText, m => {
+      val (v, items, body) = (m.group(1), m.group(2), m.group(3))
+      val vals = items.split(",").map(_.trim).filter(_.nonEmpty).map { it =>
+        if (it.length >= 2 &&
+          ((it.head == '\'' && it.last == '\'') ||
+            (it.head == '"' && it.last == '"')))
+          it.substring(1, it.length - 1)
+        else it
+      }
+      require(vals.nonEmpty, s"model $model: empty {% for %} list")
+      val itemRe = ("""\{\{\s*""" + v + """\s*\}\}""").r
+      val expanded = vals.zipWithIndex.map { case (value, i) =>
+        val withSep = notLastRe(v).replaceAllIn(m.group(3), g =>
+          scala.util.matching.Regex.quoteReplacement(
+            if (i < vals.length - 1) g.group(1) else ""))
+        itemRe.replaceAllIn(withSep,
+          scala.util.matching.Regex.quoteReplacement(value))
+      }.mkString("")
+      scala.util.matching.Regex.quoteReplacement(expanded)
+    })
 
   // {{ var('name') }} / {{ var('name', default) }} — single or double
   // quotes around the name; the default is everything up to the
@@ -342,7 +384,8 @@ object Model {
     def run(spark: SparkSession, inputs: Map[String, DataFrame],
         ctx: BuildCtx): DataFrame = {
       val rendered = renderIncremental(name,
-        renderVars(name, sqlText, ctx.vars), ctx.isIncremental)
+        renderFor(name, renderVars(name, sqlText, ctx.vars)),
+        ctx.isIncremental)
       // {{ this }} → the model's CURRENT target table, via a scoped
       // temp view (dbt renders it to the target relation name; the
       // usual use is the delta predicate
@@ -389,7 +432,8 @@ object Model {
     val raw = model.sqlText.getOrElse(sys.error(
       s"model ${model.name} is not a SQL-text model — nothing to compile"))
     val t = renderIncremental(model.name,
-      renderVars(model.name, raw, vars), isIncremental)
+      renderFor(model.name, renderVars(model.name, raw, vars)),
+      isIncremental)
     thisRe.replaceAllIn(refRe.replaceAllIn(t, m => refName(m)), model.name)
   }
 

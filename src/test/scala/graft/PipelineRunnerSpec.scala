@@ -538,6 +538,33 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("missing"))
   }
 
+  test("{% for %} expands literal lists with {{ x }} and the " +
+    "loop.last separator guard; an end-to-end UNION model runs") {
+    // pure-renderer checks
+    assert(Model.renderFor("m",
+      "{% for t in ['a', 'b'] %}<{{ t }}>{% endfor %}") == "<a><b>")
+    assert(Model.renderFor("m",
+      "{% for s in [1, 2, 3] %}{{ s }}" +
+        "{% if not loop.last %},{% endif %}{% endfor %}") == "1,2,3")
+    // the canonical dbt use: generated UNION ALL branches
+    val spec = PipelineSpec(models = Seq(
+      Model.sql("u_out",
+        """{% for seg in ['A', 'B'] %}
+          |SELECT '{{ seg }}' AS seg
+          |{% if not loop.last %}UNION ALL{% endif %}
+          |{% endfor %}""".stripMargin,
+        Materialization.Table)))
+    val r = new PipelineRunner(spark, spec, wh())
+    assert(r.run(Seq("run")).success)
+    assert(r.readTable("u_out").orderBy("seg")
+      .collect().map(_.getString(0)).toSeq == Seq("A", "B"))
+    // an unterminated for is rejected loudly, not submitted to Spark
+    val bad = PipelineSpec(models = Seq(
+      Model.sql("u_bad", "{% for x in ['a'] %}SELECT 1",
+        Materialization.Table)))
+    assert(!new PipelineRunner(spark, bad, wh()).run(Seq("run")).success)
+  }
+
   test("run --vars: quoted JSON span drives SQL models; vars reset after") {
     val spec = PipelineSpec(models = Seq(
       Model.sql("v_out",

@@ -890,6 +890,26 @@ object LlmOps extends QueryGroup {
         .orderBy("source")
     }),
 
+    // Dataset-card summary: the one-row corpus observability report a
+    // curation run publishes — exact integer stats only (counts,
+    // token totals, length extremes, per-source spread), single scan
+    // with map-side partial aggregation.
+    "llm_corpus_summary" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokens(col("text")).as("tk"),
+          length(col("text")).as("chars"))
+      docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(size(col("tk")).cast("long")).as("total_tokens"),
+        sum(col("chars").cast("long")).as("total_chars"),
+        min(size(col("tk"))).as("min_tokens"),
+        max(size(col("tk"))).as("max_tokens"),
+        sum(when(size(col("tk")) < 5, 1L).otherwise(0L))
+          .as("n_short_docs"))
+    }),
+
     // BM25 retrieval for a fixed 3-term query — the ranking the
     // inverted index serves. Rational-idf variant: every factor is an
     // IEEE-exact rational of integer counts, and per-doc totals fold
@@ -2311,6 +2331,18 @@ object LlmOps extends QueryGroup {
          |  CAST(sum(-lp.lp_q) AS BIGINT) AS nll_q
          |FROM bg JOIN lp ON bg.u = lp.u AND bg.v = lp.v
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "llm_corpus_summary" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(sum(len(tk)) AS BIGINT) AS total_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         |  CAST(min(len(tk)) AS INTEGER) AS min_tokens,
+         |  CAST(max(len(tk)) AS INTEGER) AS max_tokens,
+         |  CAST(sum(CASE WHEN len(tk) < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_short_docs
+         |FROM (SELECT doc_id, source, text, $toks AS tk
+         |      FROM documents) t""".stripMargin,
 
     // constants appear as the same source literals Spark bakes
     // ((1.2 + 1), 0.25, 0.75) and the expression tree mirrors the

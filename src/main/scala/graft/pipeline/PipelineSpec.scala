@@ -291,8 +291,8 @@ object Model {
   private val forRe =
     ("""(?s)\{%\s*for\s+(\w+)\s+in\s+\[([^\]]*)\]\s*%\}(.*?)""" +
       """\{%\s*endfor\s*%\}""").r
-  private def notLastRe(v: String) =
-    ("""(?s)\{%\s*if\s+not\s+loop\.last\s*%\}(.*?)\{%\s*endif\s*%\}""").r
+  private val notLastRe =
+    """(?s)\{%\s*if\s+not\s+loop\.last\s*%\}(.*?)\{%\s*endif\s*%\}""".r
 
   /** Expand `{% for %}` loops over literal lists — each iteration
     * substitutes `{{ var }}` in the body (quoted items render their
@@ -315,7 +315,7 @@ object Model {
       require(vals.nonEmpty, s"model $model: empty {% for %} list")
       val itemRe = ("""\{\{\s*""" + v + """\s*\}\}""").r
       val expanded = vals.zipWithIndex.map { case (value, i) =>
-        val withSep = notLastRe(v).replaceAllIn(m.group(3), g =>
+        val withSep = notLastRe.replaceAllIn(m.group(3), g =>
           scala.util.matching.Regex.quoteReplacement(
             if (i < vals.length - 1) g.group(1) else ""))
         itemRe.replaceAllIn(withSep,

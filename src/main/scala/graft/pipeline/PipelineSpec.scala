@@ -294,28 +294,63 @@ object Model {
   private val notLastRe =
     """(?s)\{%\s*if\s+not\s+loop\.last\s*%\}(.*?)\{%\s*endif\s*%\}""".r
 
+  /** Parse a `{% for %}` literal list quote-aware — a naive
+    * comma-split would shred a quoted item containing a comma into
+    * stray-quote fragments and SUBMIT the corrupted SQL (violating
+    * the module's loud-failure contract). Items are 'single'- or
+    * "double"-quoted strings (commas inside are literal) or bare
+    * unquoted tokens; anything else fails the model loudly.
+    */
+  private def parseForItems(model: String, items: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    def skipWs(): Unit = while (i < items.length && items(i).isWhitespace) i += 1
+    while ({ skipWs(); i < items.length }) {
+      items(i) match {
+        case q @ ('\'' | '"') =>
+          val end = items.indexOf(q, i + 1)
+          require(end >= 0, s"model $model: unterminated string in " +
+            s"{% for %} list: ${items.substring(i)}")
+          out += items.substring(i + 1, end)
+          i = end + 1
+        case _ =>
+          var j = i
+          while (j < items.length && items(j) != ',') j += 1
+          val tok = items.substring(i, j).trim
+          require(tok.nonEmpty && !tok.exists(c => c == '\'' || c == '"'),
+            s"model $model: malformed {% for %} list item: '$tok'")
+          out += tok
+          i = j
+      }
+      skipWs()
+      if (i < items.length) {
+        require(items(i) == ',', s"model $model: expected ',' in " +
+          s"{% for %} list before: ${items.substring(i)}")
+        i += 1
+      }
+    }
+    val vals = out.result()
+    require(vals.nonEmpty, s"model $model: empty {% for %} list")
+    vals
+  }
+
   /** Expand `{% for %}` loops over literal lists — each iteration
     * substitutes `{{ var }}` in the body (quoted items render their
     * content, like Jinja) and resolves `{% if not loop.last %}`
-    * separator guards. Runs BEFORE the incremental-guard renderer so
-    * loop bodies may contain plain SQL only (a for inside an
-    * incremental branch works; the converse nesting does not, and
-    * the leftover `{%` is rejected loudly downstream).
+    * separator guards. Runs BEFORE the incremental-guard renderer, so
+    * both nestings compose: a `{% for %}` inside an incremental
+    * branch expands first and the surviving branch keeps its copy,
+    * and an `{% if is_incremental() %}` inside a for body is
+    * duplicated per iteration and then resolved per copy. Any OTHER
+    * leftover `{%` is rejected loudly downstream.
     */
   def renderFor(model: String, sqlText: String): String =
     forRe.replaceAllIn(sqlText, m => {
       val (v, items, body) = (m.group(1), m.group(2), m.group(3))
-      val vals = items.split(",").map(_.trim).filter(_.nonEmpty).map { it =>
-        if (it.length >= 2 &&
-          ((it.head == '\'' && it.last == '\'') ||
-            (it.head == '"' && it.last == '"')))
-          it.substring(1, it.length - 1)
-        else it
-      }
-      require(vals.nonEmpty, s"model $model: empty {% for %} list")
+      val vals = parseForItems(model, items)
       val itemRe = ("""\{\{\s*""" + v + """\s*\}\}""").r
       val expanded = vals.zipWithIndex.map { case (value, i) =>
-        val withSep = notLastRe.replaceAllIn(m.group(3), g =>
+        val withSep = notLastRe.replaceAllIn(body, g =>
           scala.util.matching.Regex.quoteReplacement(
             if (i < vals.length - 1) g.group(1) else ""))
         itemRe.replaceAllIn(withSep,

@@ -558,6 +558,15 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(r.run(Seq("run")).success)
     assert(r.readTable("u_out").orderBy("seg")
       .collect().map(_.getString(0)).toSeq == Seq("A", "B"))
+    // quoted items keep literal commas (a naive comma-split would
+    // shred them into corrupted SQL)
+    assert(Model.renderFor("m",
+      "{% for t in ['a,b', 'c'] %}<{{ t }}>{% endfor %}") == "<a,b><c>")
+    // malformed lists fail loudly, never render corrupted text
+    intercept[IllegalArgumentException](
+      Model.renderFor("m", "{% for t in ['a] %}{{ t }}{% endfor %}"))
+    intercept[IllegalArgumentException](
+      Model.renderFor("m", "{% for t in [a'b] %}{{ t }}{% endfor %}"))
     // an unterminated for is rejected loudly, not submitted to Spark
     val bad = PipelineSpec(models = Seq(
       Model.sql("u_bad", "{% for x in ['a'] %}SELECT 1",

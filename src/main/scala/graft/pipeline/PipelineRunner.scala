@@ -989,6 +989,34 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       writtenCount(name, rel, df.schema)
     } }
 
+  /** Delta-`RESTORE`-style rollback: re-publish generation `gen`'s
+    * exact member list and schema as the table's NEXT generation — a
+    * metadata-only commit (zero data copied or moved; batches are
+    * immutable and shared between generations). The bad generation
+    * stays time-travelable, and the restore itself is an ordinary
+    * atomic `commitGen` link, so a crash mid-restore changes nothing.
+    * Current sidecars (the exactly-once streaming ledger, format
+    * stamps) carry forward via `publishManifest` — restoring table
+    * CONTENT must not re-open already-committed stream batch ids.
+    * Fails loudly when `gen` or any batch it references was already
+    * vacuumed (vacuum retains batches only for the newest
+    * `keepGenerations` manifests).
+    */
+  def restoreTable(name: String, gen: String): Unit =
+    lockFor(name).synchronized {
+      require(Files.exists(Paths.get(tablePath(name), gen)),
+        s"unknown generation $gen for table $name (vacuumed?)")
+      val members = genManifest(name, gen)
+      members.foreach { m =>
+        require(Files.exists(Paths.get(tablePath(name)).resolve(m)),
+          s"restore $name @ $gen: member $m no longer exists (vacuumed)")
+      }
+      val schema = genSchema(name, gen).getOrElse(sys.error(
+        s"restore $name @ $gen: manifest carries no schema header " +
+          "(legacy layout) — read + replaceTable instead"))
+      publishManifest(name, members, schema)
+    }
+
   /** Drop a warehouse table entirely: every generation, batch, and
     * sidecar under its dir — the reset that clears table-level
     * metadata (format stamps, the exactly-once stream ledger) which

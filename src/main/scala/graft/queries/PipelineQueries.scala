@@ -570,6 +570,105 @@ object PipelineOps extends QueryGroup {
       r.readTable("cl_open").orderBy("o_orderkey")
     }),
 
+    // ---- time travel (generation-store reads) -----------------------------
+    // Two full-refresh runs commit two generations; the key reads the
+    // table AS OF the first one — the superseded manifest and its
+    // batches are immutable until vacuum, so the read reproduces
+    // batch-1 content exactly (hash-checked against the batch-1 SQL).
+    "mat_time_travel" -> ((s, d) => {
+      val wh = freshWh("mat_time_travel")
+      def spec(cut: String) = PipelineSpec(Seq(Model.sql("tt_orders",
+        s"""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM {{ source('orders') }}
+           |WHERE o_orderdate < TIMESTAMP '$cut'""".stripMargin,
+        Materialization.Table)),
+        sources = Map("orders" -> s"$d/orders.parquet"))
+      mustSucceed(new PipelineRunner(s, spec("1997-01-01 00:00:00"), wh)
+        .run(Seq("run")))
+      val r2 = new PipelineRunner(s, spec("1998-01-01 00:00:00"), wh)
+      mustSucceed(r2.run(Seq("run")))
+      val gens = r2.generations("tt_orders")
+      require(gens.size == 2, s"expected 2 generations, got $gens")
+      r2.readTableAt("tt_orders", gens.head).orderBy("o_orderkey")
+    }),
+
+    // ---- restore (Delta RESTORE semantics) --------------------------------
+    // Generation 1 is correct, generation 2 is a "bad deploy" (wrong
+    // filter); restoreTable republishes gen-1's member list as gen 3 —
+    // metadata-only, no data copied — and the LIVE read must equal
+    // batch-1 content again while history keeps all three generations.
+    "mat_restore" -> ((s, d) => {
+      val wh = freshWh("mat_restore")
+      def spec(status: String) = PipelineSpec(Seq(Model.sql("rs_orders",
+        s"""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM {{ source('orders') }}
+           |WHERE o_orderstatus = '$status'""".stripMargin,
+        Materialization.Table)),
+        sources = Map("orders" -> s"$d/orders.parquet"))
+      mustSucceed(new PipelineRunner(s, spec("F"), wh).run(Seq("run")))
+      val r2 = new PipelineRunner(s, spec("P"), wh)
+      mustSucceed(r2.run(Seq("run")))
+      r2.restoreTable("rs_orders", r2.generations("rs_orders").head)
+      require(r2.generations("rs_orders").size == 3,
+        "restore must commit a NEW generation, not rewrite history")
+      r2.readTable("rs_orders").orderBy("o_orderkey")
+    }),
+
+    // ---- vacuum (retention GC) --------------------------------------------
+    // Three generations accumulate; vacuum(keep=1) must delete the two
+    // superseded manifests and every batch only they referenced, while
+    // the LIVE generation stays byte-identical (hash-checked). The
+    // requires prove the GC actually happened — history is gone, a
+    // time-travel read of a vacuumed generation fails loudly.
+    "mat_vacuum" -> ((s, d) => {
+      val wh = freshWh("mat_vacuum")
+      def spec(cut: String) = PipelineSpec(Seq(Model.sql("vc_orders",
+        s"""SELECT o_orderkey, o_orderstatus, o_totalprice
+           |FROM {{ source('orders') }}
+           |WHERE o_orderdate < TIMESTAMP '$cut'""".stripMargin,
+        Materialization.Table)),
+        sources = Map("orders" -> s"$d/orders.parquet"))
+      Seq("1996-01-01", "1997-01-01", "1998-01-01").foreach(cut =>
+        mustSucceed(new PipelineRunner(s, spec(s"$cut 00:00:00"), wh)
+          .run(Seq("run"))))
+      val r = new PipelineRunner(s, spec("1998-01-01 00:00:00"), wh)
+      val before = r.generations("vc_orders")
+      require(before.size == 3, s"expected 3 generations, got $before")
+      r.vacuum("vc_orders", keepGenerations = 1)
+      val after = r.generations("vc_orders")
+      require(after == Seq(before.last),
+        s"vacuum(keep=1) must leave only the live generation: $after")
+      require(
+        scala.util.Try(r.readTableAt("vc_orders", before.head)).isFailure,
+        "time travel to a vacuumed generation must fail loudly")
+      r.readTable("vc_orders").orderBy("o_orderkey")
+    }),
+
+    // ---- on_schema_change=append_new_columns (dbt 1.9) --------------------
+    // An incremental-append model gains a column between batches: the
+    // evolved table surface appends the new column, rows written
+    // before it READ AS NULL (schema-on-read parquet; no rewrite of
+    // old batches), and the appended batch carries real values.
+    "mat_schema_evolution" -> ((s, d) => {
+      val wh = freshWh("mat_schema_evo")
+      def spec(cut: String, withPrice: Boolean) = PipelineSpec(Seq(Model(
+        "se_orders", Nil,
+        Materialization.IncrementalAppend("o_orderdate"),
+        (sp, _) => {
+          val base = Tables.orders(sp, d)
+            .filter(col("o_orderdate") < lit(cut).cast(TimestampType))
+          if (withPrice)
+            base.select("o_orderkey", "o_custkey", "o_orderdate",
+              "o_totalprice")
+          else base.select("o_orderkey", "o_custkey", "o_orderdate")
+        })))
+      mustSucceed(new PipelineRunner(s,
+        spec("1997-01-01", withPrice = false), wh).run(Seq("run")))
+      val r2 = new PipelineRunner(s, spec("1998-01-01", withPrice = true), wh)
+      mustSucceed(r2.run(Seq("run")))
+      r2.readTable("se_orders").orderBy("o_orderkey")
+    }),
+
     // ---- docs generate (dbt catalog artifact) -----------------------------
     // Two models materialize from orders, `docs generate` writes
     // target/catalog.json, and the key returns the catalog's
@@ -745,6 +844,28 @@ object PipelineOps extends QueryGroup {
       """SELECT o_orderkey, o_orderstatus,
         |  CASE WHEN o_orderstatus = 'O' THEN 2 ELSE 1 END AS ver
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "mat_time_travel" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "mat_restore" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "mat_vacuum" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "mat_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |       THEN o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "mat_incremental_merge" ->
       """SELECT c_custkey, c_mktsegment,

@@ -392,6 +392,47 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assertThrows[IllegalArgumentException](r2.readTableAt("tt", gens.head))
   }
 
+  test("restoreTable: metadata-only rollback, refuses vacuumed targets") {
+    val w = wh()
+    def spec(v: String) = PipelineSpec(Seq(tableModel("rs", Seq((1L, v)))))
+    assert(new PipelineRunner(spark, spec("good"), w).run(Seq("run")).success)
+    val r = new PipelineRunner(spark, spec("bad"), w)
+    assert(r.run(Seq("run")).success)
+    val gens = r.generations("rs")
+    val dataDir = java.nio.file.Paths.get(r.tablePath("rs"), "data")
+    def batches() = java.nio.file.Files.list(dataDir).count()
+    val nBefore = batches()
+    r.restoreTable("rs", gens.head)
+    assert(batches() == nBefore, "restore must not copy or write data")
+    assert(r.generations("rs").size == 3,
+      "restore commits a new generation; history is append-only")
+    assert(r.readTable("rs")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "good")))
+    // the rolled-back "bad" generation stays time-travelable
+    assert(r.readTableAt("rs", gens.last)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "bad")))
+    // restoring to a vacuumed generation fails loudly, nothing commits
+    r.vacuum("rs", keepGenerations = 1)
+    val before = r.generations("rs")
+    assertThrows[IllegalArgumentException](r.restoreTable("rs", gens.head))
+    assert(r.generations("rs") == before)
+  }
+
+  test("restoreTable carries the exactly-once stream ledger forward") {
+    val w = wh()
+    val r = new PipelineRunner(spark, PipelineSpec(Nil), w)
+    val df = Seq((1L, "a")).toDF("id", "v")
+    assert(r.appendBatch("sl", df, 0L) == 1L)
+    assert(r.appendBatch("sl", df, 1L) == 1L)
+    r.restoreTable("sl", r.generations("sl").head)
+    assert(r.readTable("sl").count() == 1,
+      "content rolled back to the batch-0-only generation")
+    // replayed micro-batch ids must STILL be no-ops after the rollback
+    assert(r.appendBatch("sl", df, 0L) == 0L)
+    assert(r.appendBatch("sl", df, 1L) == 0L)
+    assert(r.appendBatch("sl", df, 2L) == 1L)
+  }
+
   test("compact collapses members, preserves data and merge layout") {
     val w = wh()
     val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")

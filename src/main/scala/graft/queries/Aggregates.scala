@@ -386,6 +386,47 @@ object Aggregates extends QueryGroup {
         .orderBy("l_returnflag")
     }),
 
+    // Per-group z-score outlier screen (the data-cleaning pass a
+    // curation pipeline runs before training): group moments from
+    // EXACT decimal sums (order-insensitive), μ/σ derived in double
+    // from bit-identical inputs with the same formula both engines,
+    // then one broadcast join flags |x−μ| > 2σ rows — two passes over
+    // the fact, the second map-only (the per-group stats frame is
+    // O(groups) and broadcasts at any scale).
+    "agg_outlier_zscore" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"), col("l_quantity").as("x"))
+      val stats = li.groupBy("g").agg(
+          count(lit(1)).as("n"),
+          asDouble(sum(dec2(col("x")))).as("sx"),
+          asDouble(sum(dec2(col("x")) * dec2(col("x")))).as("sxx"))
+        .withColumn("mu", col("sx") / col("n"))
+        .withColumn("sigma",
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1)))
+      li.join(broadcast(stats), "g")
+        .groupBy("g")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(abs(col("x") - col("mu")) > lit(2.0) * col("sigma"),
+            1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("g")
+    }),
+
+    // FILTER-clause conditional aggregates (count_if / bool_and /
+    // bool_or / sum DISTINCT) — the SQL:2023 surface dbt models use
+    // for one-pass multi-metric rollups instead of N self-joins. All
+    // map-side-partial; the DISTINCT sum adds the one Expand phase.
+    "agg_filtered_conditional" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .agg(
+          expr("count_if(l_quantity > 25.0)").as("n_big"),
+          expr("bool_and(l_quantity > 0.0)").as("all_pos"),
+          expr("bool_or(l_discount > 0.08)").as("any_deep_disc"),
+          asDouble(sum_distinct(dec2(col("l_quantity"))))
+            .as("sum_dist_qty"))
+        .orderBy("l_linestatus")),
+
     "agg_custom_udaf" -> ((s, d) =>
       Tables.lineitem(s, d)
         .select(col("l_returnflag"),
@@ -428,6 +469,30 @@ object Aggregates extends QueryGroup {
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)"
 
   override def oracles: Map[String, String] = Map(
+    "agg_outlier_zscore" ->
+      """WITH s AS (
+        |  SELECT l_returnflag AS g, count(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) *
+        |             CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY 1)
+        |SELECT g, count(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN abs(l_quantity - sx / n) >
+        |    CAST(2.0 AS DOUBLE) * sqrt((sxx - sx * sx / n) / (n - 1))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM lineitem JOIN s ON l_returnflag = g
+        |GROUP BY g ORDER BY g""".stripMargin,
+
+    "agg_filtered_conditional" ->
+      """SELECT l_linestatus,
+        |  CAST(count(*) FILTER (WHERE l_quantity > 25.0) AS BIGINT)
+        |    AS n_big,
+        |  bool_and(l_quantity > 0.0) AS all_pos,
+        |  bool_or(l_discount > 0.08) AS any_deep_disc,
+        |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_dist_qty
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
     "agg_group" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  $sumQty AS sum_qty,

@@ -101,6 +101,47 @@ object Analytics extends QueryGroup {
         .limit(100)
     }),
 
+    // TPC-H Q10 shape (returned-item report): which customers
+    // returned the most revenue in a half-year — 4-way join with
+    // selective filters on both fact sides pushed to the scans,
+    // grouped decimal-exact revenue over customer attributes, top-20.
+    // nation broadcasts (tiny); orders⋈lineitem shuffles on orderkey,
+    // then one shuffle on custkey for the customer join + group.
+    "q_returned_item_report" -> ((s, d) => {
+      val y0 = lit("1997-01-01").cast("timestamp")
+      val y1 = lit("1997-07-01").cast("timestamp")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= y0 && col("o_orderdate") < y1)
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(asDouble(revenue).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q6 shape (forecast revenue change): the pure
+    // scan-predicate aggregate — every filter (date range, discount
+    // band, quantity cap) reaches the parquet scan as a pushed
+    // predicate, the surviving rows fold into ONE exact-decimal sum
+    // with map-side partials. The plan is a single codegen'd
+    // scan→filter→partial-agg stage + a 1-row final agg.
+    "q_forecast_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24.0)
+        .agg(asDouble(sum(dec2(col("l_extendedprice")) *
+          dec2(col("l_discount")))).as("revenue"))),
+
     // TPC-H Q14 shape (promotion effect): conditional-aggregation
     // ratio — promo revenue share per order month. Revenue stays in
     // exact DECIMAL through both sums; only the final ratio divides
@@ -171,6 +212,33 @@ object Analytics extends QueryGroup {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey
         |LIMIT 100""".stripMargin,
+
+    "q_returned_item_report" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-07-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND l_discount >= CAST(0.05 AS DOUBLE)
+        |  AND l_discount <= CAST(0.07 AS DOUBLE)
+        |  AND l_quantity < 24.0""".stripMargin,
 
     "q_promo_revenue_share" ->
       """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)

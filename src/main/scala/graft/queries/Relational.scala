@@ -542,6 +542,34 @@ object Joins extends QueryGroup {
           asDouble(sum(dec2(col("o_totalprice")))).as("sum_price"))
         .orderBy("c_mktsegment")),
 
+    // Bloom-prefiltered join (the runtime-filter pattern Spark's own
+    // AQE applies to shuffle joins, made explicit): the selective dim
+    // subset's keys build a ~1.2-byte-per-key Bloom filter on the
+    // driver, which ships as a plan literal; the fact side is
+    // membership-tested MAP-ONLY (codegen'd BloomMightContain) BEFORE
+    // any join, so at 100 TB only probable-match rows reach the join
+    // shuffle/probe at all. Blooms have no false negatives and the
+    // exact join kills false positives, so the result is identical to
+    // the plain join (the oracle replays it join-only).
+    "join_bloom_prefilter" -> ((s, d) => {
+      graft.functions.BloomFunctions.register(s)
+      val dim = Tables.part(s, d).filter(col("p_size") <= 5)
+        .select("p_partkey", "p_type")
+        .localCheckpoint() // feeds the bloom build AND the confirm join
+      val bf = dim.stat.bloomFilter("p_partkey",
+        math.max(dim.count(), 1L), 0.01)
+      val bytes = graft.functions.BloomFunctions.serialize(bf)
+      Tables.lineitem(s, d)
+        .select("l_partkey", "l_extendedprice")
+        .filter(graft.functions.BloomFunctions
+          .mightContain(col("l_partkey"), bytes))
+        .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_type")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec2(col("l_extendedprice")))).as("rev"))
+        .orderBy("p_type")
+    }),
+
     // As-of join (north-star; no native batch as-of in Spark 4): for
     // each click, the latest purchase by the same user at-or-before
     // its timestamp. Delegates to operators.AsOfJoin — the union+window
@@ -673,6 +701,14 @@ object Joins extends QueryGroup {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "join_bloom_prefilter" ->
+      """SELECT p_type, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS rev
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 5
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
 
     "join_asof" ->
       """SELECT c.event_id, c.user_id, p.event_id AS purchase_id

@@ -345,6 +345,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("join_bloom_prefilter: the membership test filters the fact " +
+      "side BEFORE the join; the join itself is a broadcast hash join") {
+    val p = plan("join_bloom_prefilter")
+    assert(p.contains("graft_bloom_might_contain"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      p.take(3000))
+    // the prefilter must sit under the join (fact-scan side), not above
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val bloomIdx = p.indexOf("graft_bloom_might_contain")
+    assert(bloomIdx > joinIdx,
+      "bloom membership test should be in the join's child (printed " +
+        "below the join operator), filtering rows before the probe")
+  }
+
   test("llm_ann_filtered: the metadata predicate pushes into the " +
       "corpus parquet scan — filtered rows are never scored") {
     val p = plan("llm_ann_filtered")

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Interval-overlap join (SURVEY §2.3 family): all (left, right) pairs
   * whose half-open time intervals intersect — `sL < eR AND sR < eL`.
@@ -46,5 +47,38 @@ object IntervalJoin {
       .filter(col("s_l") < col("e_r") && col("s_r") < col("e_l") &&
         col("bucket") === floor(greatest(col("s_l"), col("s_r")) / w))
       .select(col("l_id"), col("r_id"))
+  }
+
+  /** Point-in-interval lookup join (the IP→geo range-table / price-
+    * band / keyless temporal-validity shape): each left POINT joins
+    * every right half-open interval `[start, end)` containing it.
+    * A point falls in exactly ONE fixed-width bucket, so the plan is
+    * a hash EQUI-join on bucket id — the point side stays MAP-ONLY
+    * (no explode, no dedup needed), only intervals replicate to their
+    * covering buckets — never a nested loop over the inequality.
+    *
+    * Columns are the caller's NUMERIC representation (epoch µs via
+    * `unix_micros` for timestamps); `bucketWidth` is in the same
+    * units — size it near the typical interval length so interval
+    * replication stays O(1) per row at any corpus size.
+    */
+  def pointInRangeJoin(points: DataFrame, ranges: DataFrame,
+                       idP: String, pCol: String,
+                       idR: String, startR: String, endR: String,
+                       bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val p = points
+      .select(col(idP).as("p_id"), col(pCol).cast(LongType).as("p"))
+      .withColumn("bucket", floor(col("p") / bucketWidth))
+    val r = ranges
+      .select(col(idR).as("r_id"), col(startR).cast(LongType).as("s"),
+        col(endR).cast(LongType).as("e"))
+      .filter(col("s") < col("e")) // degenerate [s, s) contains nothing
+      .withColumn("bucket", explode(sequence(
+        floor(col("s") / bucketWidth),
+        floor((col("e") - 1) / bucketWidth))))
+    p.join(r, "bucket")
+      .filter(col("s") <= col("p") && col("p") < col("e"))
+      .select(col("p_id"), col("r_id"))
   }
 }

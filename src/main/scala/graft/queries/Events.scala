@@ -90,6 +90,31 @@ object EventWindows extends QueryGroup {
         .orderBy("user_id")
     }),
 
+    // Gaps-and-islands: maximal runs of CONSECUTIVE activity days per
+    // user (streak detection — the classic tabibitosan trick): within
+    // one (user_id) window, day − row_number is constant exactly on a
+    // consecutive run, so it is the island key. Two data shuffles:
+    // the distinct dedups map-side on (user_id, day) partials, the
+    // window clusters on user_id — and the island groupBy REUSES that
+    // partitioning (user_id ⊂ its keys, zero extra exchange,
+    // plan-verified); the only other exchange is the oracle-mandated
+    // output ORDER BY.
+    "win_gaps_islands" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days
+        .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+        .groupBy("user_id", "anchor")
+        .agg(min(col("day")).as("streak_start"),
+          max(col("day")).as("streak_end"),
+          count(lit(1)).as("streak_days"))
+        .select("user_id", "streak_start", "streak_end", "streak_days")
+        .orderBy("user_id", "streak_start")
+    }),
+
     // Cohort retention: users bucketed by first-seen day, activity
     // counted per (cohort, day offset) — the classic product-
     // analytics triangle (daily grain: the fixture spans one month).
@@ -209,6 +234,21 @@ object EventWindows extends QueryGroup {
         |  p.t3 AS purchase_ts, p.t3 IS NOT NULL AS converted
         |FROM u LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "win_gaps_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE)
+        |    AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER
+        |      (PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+        |  FROM days)
+        |SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+        |  CAST(count(*) AS BIGINT) AS streak_days
+        |FROM isl GROUP BY user_id, anchor
+        |ORDER BY user_id, streak_start""".stripMargin,
 
     "win_cohort_retention" ->
       """WITH m AS (

@@ -606,6 +606,26 @@ object Joins extends QueryGroup {
         .orderBy("click_id", "purchase_id")
     }),
 
+    // Point-in-interval lookup join (IP→geo / price-band shape): each
+    // purchase instant joins every 45-min click window containing it.
+    // The point side is MAP-ONLY (one bucket per point, no explode);
+    // only intervals replicate to covering buckets; hash equi-join on
+    // bucket + exact containment — never a BNLJ (plan-asserted).
+    "join_point_in_range" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val pts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), unix_micros(col("ts")).as("p"))
+      val rng = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("rid"),
+          unix_micros(col("ts")).as("s0"),
+          (unix_micros(col("ts")) + 2700L * 1000000L).as("e0"))
+      graft.operators.IntervalJoin.pointInRangeJoin(pts, rng,
+          "pid", "p", "rid", "s0", "e0", bucketWidth = 3600L * 1000000L)
+        .withColumnRenamed("p_id", "purchase_id")
+        .withColumnRenamed("r_id", "click_id")
+        .orderBy("purchase_id", "click_id")
+    }),
+
     // Forward as-of with a tolerance bound (pandas merge_asof
     // direction='forward', tolerance=1h): for each click, the NEXT
     // purchase by the same user within an hour — the
@@ -724,6 +744,13 @@ object Joins extends QueryGroup {
         |  ON c.ts < p.ts + INTERVAL 30 MINUTE
         | AND p.ts < c.ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "join_point_in_range" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.ts <= p.ts AND p.ts < c.ts + INTERVAL 45 MINUTE
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     "join_asof_forward" ->
       """SELECT c.event_id, c.user_id,

@@ -75,6 +75,40 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.distinct == got)
   }
 
+  test("point-in-range join: half-open boundaries, bucket-crossing " +
+    "intervals, degenerate ranges; equals the quadratic reference") {
+    import graft.operators.IntervalJoin
+    val pts = Seq((1L, 0L), (2L, 59L), (3L, 60L), (4L, 150L))
+      .toDF("pid", "p")
+    val rng = Seq(
+      (10L, 0L, 60L),    // covers p=0, p=59; NOT p=60 (half-open)
+      (11L, 50L, 200L),  // spans 3 buckets: covers 59, 60, 150
+      (12L, 150L, 150L), // degenerate — contains nothing
+      (13L, 151L, 160L)) // just after p=150
+      .toDF("rid", "s", "e")
+    val got = IntervalJoin.pointInRangeJoin(pts, rng,
+        "pid", "p", "rid", "s", "e", bucketWidth = 60L)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L),
+      (4L, 11L)), s"$got")
+    assert(got.distinct == got, "exactly-once per true pair")
+    // randomized agreement with the quadratic reference
+    val rnd = new scala.util.Random(7)
+    val rp = Seq.tabulate(60)(i => (i.toLong, rnd.nextInt(500).toLong))
+    val rr = Seq.tabulate(40) { i =>
+      val s = rnd.nextInt(500).toLong
+      (1000L + i, s, s + rnd.nextInt(120).toLong)
+    }
+    val gotR = IntervalJoin.pointInRangeJoin(
+        rp.toDF("pid", "p"), rr.toDF("rid", "s", "e"),
+        "pid", "p", "rid", "s", "e", bucketWidth = 64L)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val want = (for {
+      (pid, p) <- rp; (rid, s, e) <- rr if s <= p && p < e
+    } yield (pid, rid)).sorted
+    assert(gotR == want)
+  }
+
   test("as-of tolerance gates the MATCHED row even when its payload " +
     "is NULL (gate ts and value must come from the same right row)") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")

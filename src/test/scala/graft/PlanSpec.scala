@@ -359,6 +359,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         "below the join operator), filtering rows before the probe")
   }
 
+  test("join_point_in_range: hash equi-join on bucket, never a " +
+      "nested loop; the point side has no generator") {
+    val p = plan("join_point_in_range")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("Join") || p.contains("HashJoin"), p.take(3000))
+    // exactly ONE explode (the interval side); the point side is
+    // map-only — a second generator would mean points replicated too
+    assert("Generate explode".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
   test("llm_ann_filtered: the metadata predicate pushes into the " +
       "corpus parquet scan — filtered rows are never scored") {
     val p = plan("llm_ann_filtered")

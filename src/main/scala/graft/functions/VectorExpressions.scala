@@ -134,9 +134,14 @@ object GraftFunctions {
   * available to pure-SQL users on a cluster.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.dotName),
       new ExpressionInfo(classOf[VecDot].getName, GraftFunctions.dotName),
       (args: Seq[Expression]) => VecDot(args.head, args(1))))
+    // auto-rewrite naive interval-overlap inequality joins (which
+    // would plan as BroadcastNestedLoopJoin) into the banded hash
+    // equi-join — see graft.plans.BandedIntervalJoinRule
+    ext.injectOptimizerRule(_ => graft.plans.BandedIntervalJoinRule)
+  }
 }

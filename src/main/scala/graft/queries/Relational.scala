@@ -606,6 +606,26 @@ object Joins extends QueryGroup {
         .orderBy("click_id", "purchase_id")
     }),
 
+    // The OPTIMIZER-rewritten form of join_interval_overlap: the
+    // NAIVE inequality condition a SQL author would write, with
+    // graft.plans.BandedIntervalJoinRule installed — Catalyst rewrites
+    // the BNLJ-bound logical join into the banded hash equi-join
+    // (Generate + hash join, plan-asserted in PlanSpec) while the
+    // result stays row-identical (oracle replays the inequality).
+    "join_interval_auto_banded" -> ((s, d) => {
+      graft.plans.BandedIntervalJoinRule.install(s)
+      val ev = Tables.events(s, d)
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("cs"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("ce"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("ps"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("pe"))
+      c.join(p, col("cs") < col("pe") && col("ps") < col("ce"))
+        .select("click_id", "purchase_id")
+        .orderBy("click_id", "purchase_id")
+    }),
+
     // Point-in-interval lookup join (IP→geo / price-band shape): each
     // purchase instant joins every 45-min click window containing it.
     // The point side is MAP-ONLY (one bucket per point, no explode);
@@ -738,6 +758,14 @@ object Joins extends QueryGroup {
         |ORDER BY c.event_id""".stripMargin,
 
     "join_interval_overlap" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.ts < p.ts + INTERVAL 30 MINUTE
+        | AND p.ts < c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "join_interval_auto_banded" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p

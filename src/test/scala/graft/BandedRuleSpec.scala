@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft.plans.BandedIntervalJoinRule — the optimizer rewrite that
+  * turns a NAIVE interval-overlap inequality join (BNLJ-bound) into
+  * the banded hash equi-join. Asserts (a) the plan actually changes
+  * shape, (b) results are row-identical to the un-rewritten join on
+  * adversarial data (inverted/empty intervals, NULL bounds, bucket-
+  * boundary touches), (c) the rule leaves equi-key joins alone.
+  */
+class BandedRuleSpec extends AnyFunSuite with SparkTestBase {
+
+  // fresh session state: extraOptimizations is session-scoped, so the
+  // rule installed here never leaks into the other suites' plans
+  private lazy val s2 = {
+    val s = spark.newSession()
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+ graft.plans.BandedIntervalJoinRule
+    s
+  }
+
+  private def ts(m: Int) =
+    java.sql.Timestamp.valueOf(f"2024-01-01 0${m / 60}%d:${m % 60}%02d:00")
+
+  private def overlap(a: DataFrame, b: DataFrame) =
+    a.join(b, a("s1") < b("e2") && b("s2") < a("e1"))
+
+  test("naive timestamp overlap join rewrites to a hash equi-join " +
+      "with identical results") {
+    import s2.implicits._
+    val rnd = new scala.util.Random(11)
+    val left = Seq.tabulate(80) { i =>
+      val st = rnd.nextInt(600)
+      (i.toLong, ts(st), ts(st + rnd.nextInt(150)))
+    }.toDF("lid", "s1", "e1")
+    val right = (Seq.tabulate(60) { i =>
+      val st = rnd.nextInt(600)
+      (1000L + i, Some(ts(st)), Some(ts(st + rnd.nextInt(150))))
+    } :+ ((2000L, None: Option[java.sql.Timestamp], Some(ts(10)))))
+      .toDF("rid", "s2", "e2")
+
+    val joined = overlap(left, right).select("lid", "rid")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("Generate explode"), plan.take(3000))
+
+    val got = joined.as[(Long, Long)].collect().toSeq.sorted
+    // reference: the same naive join in the UN-extended base session
+    val want = {
+      import spark.implicits._
+      val l = left.collect(); val r = right.collect()
+      (for {
+        lr <- l; rr <- r
+        if !rr.isNullAt(1) && !rr.isNullAt(2)
+        if lr.getTimestamp(1).before(rr.getTimestamp(2)) &&
+          rr.getTimestamp(1).before(lr.getTimestamp(2))
+      } yield (lr.getLong(0), rr.getLong(0))).toSeq.sorted
+    }
+    assert(got == want)
+    assert(got.distinct == got, "exactly-once per pair")
+  }
+
+  test("inverted and empty intervals keep the naive join's semantics " +
+      "through the rewrite") {
+    import s2.implicits._
+    // left 1: inverted [30, 10) — still satisfies s1<e2 && s2<e1 for
+    // right 10 ([0, 40)): 30<40 && 0<10. A rewrite that dropped
+    // degenerate intervals would lose this pair.
+    val left = Seq((1L, ts(30), ts(10)), (2L, ts(50), ts(50)))
+      .toDF("lid", "s1", "e1")
+    val right = Seq((10L, ts(0), ts(40)), (11L, ts(45), ts(55)))
+      .toDF("rid", "s2", "e2")
+    val got = overlap(left, right).select("lid", "rid")
+      .as[(Long, Long)].collect().toSeq.sorted
+    // 1×10 as above; 1×11: 30<55 but 45<10 fails; 2×10: 50<40 fails;
+    // 2×11: 50<55 && 45<50 — empty [50,50) still pairs, like the BNLJ
+    assert(got == Seq((1L, 10L), (2L, 11L)), s"$got")
+  }
+
+  test("a join that also has an equi key is left alone") {
+    import s2.implicits._
+    val left = Seq((1L, 7L, ts(0), ts(20))).toDF("lid", "k1", "s1", "e1")
+    val right = Seq((2L, 7L, ts(10), ts(30))).toDF("rid", "k2", "s2", "e2")
+    val j = left.join(right,
+      col("k1") === col("k2") && col("s1") < col("e2") &&
+        col("s2") < col("e1"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate explode"), plan.take(3000))
+    assert(j.count() == 1)
+  }
+
+  test("integer-typed bounds band on their own scale") {
+    import s2.implicits._
+    val left = Seq((1L, 0L, 5000L), (2L, 9000L, 9500L))
+      .toDF("lid", "s1", "e1")
+    val right = Seq((10L, 4000L, 4500L), (11L, 9400L, 12000L))
+      .toDF("rid", "s2", "e2")
+    val got = overlap(left, right).select("lid", "rid")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 10L), (2L, 11L)), s"$got")
+  }
+}

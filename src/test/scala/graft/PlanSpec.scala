@@ -359,6 +359,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         "below the join operator), filtering rows before the probe")
   }
 
+  test("join_interval_auto_banded: the optimizer rule turns the naive " +
+      "inequality join into a banded hash equi-join (no BNLJ)") {
+    val p = plan("join_interval_auto_banded")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+    assert("Generate explode".r.findAllIn(p).size == 2, p.take(3000))
+  }
+
   test("join_point_in_range: hash equi-join on bucket, never a " +
       "nested loop; the point side has no generator") {
     val p = plan("join_point_in_range")

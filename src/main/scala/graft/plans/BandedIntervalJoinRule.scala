@@ -6,18 +6,22 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
 
-/** Catalyst rewrite for interval-overlap joins (SURVEY §2.3 family,
-  * the auto-applied form of `operators.IntervalJoin`): an INNER join
-  * whose condition is EXACTLY the overlap conjunction
+/** Catalyst rewrite for range joins (SURVEY §2.3 family, the
+  * auto-applied form of `operators.IntervalJoin`): an INNER join
+  * whose condition is EXACTLY one of
   *
-  * {{{ sL < eR  AND  sR < eL }}}
+  * {{{ sL < eR  AND  sR < eL          // interval overlap
+  *     lo (<|≤) p  AND  p (<|≤) hi    // point-in-range lookup }}}
   *
-  * (each `[s, e)` pair computed from one child) has no equi-key, so
-  * Spark plans a BroadcastNestedLoopJoin — O(|L|·|R|) compares, the
-  * scale killer this library's manual `overlapJoin` exists to avoid.
-  * This rule rewrites the logical join into the banded form
+  * (bounds computed from one child each; `p` shared between the two
+  * conjuncts) has no equi-key, so Spark plans a
+  * BroadcastNestedLoopJoin — O(|L|·|R|) compares, the scale killer
+  * this library's manual `overlapJoin`/`pointInRangeJoin` exist to
+  * avoid. This rule rewrites the logical join into the banded form
   * automatically, so a user can write the NAIVE condition and still
-  * get the hash equi-join plan:
+  * get the hash equi-join plan (for point-in-range the point side
+  * stays map-only — one bucket per row, no exactly-once conjunct
+  * needed). For the overlap shape:
   *
   *  - each side explodes into the fixed-width buckets its interval
   *    covers (`floor(s/w) .. floor(greatest(e-1, s)/w)` — the
@@ -95,28 +99,76 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan]
     case _                                             => None
   }
 
+  /** Normalize any of `< ≤ > ≥` to (lo, hi, strictHi) meaning
+    * `lo < hi` / `lo ≤ hi`, regardless of how it was written.
+    */
+  private def cmpNorm(c: Expression)
+      : Option[(Expression, Expression, Boolean)] = c match {
+    case LessThan(a, b)           => Some((a, b, true))
+    case GreaterThan(b, a)        => Some((a, b, true))
+    case LessThanOrEqual(a, b)    => Some((a, b, false))
+    case GreaterThanOrEqual(b, a) => Some((a, b, false))
+    case _                        => None
+  }
+
+  /** Point-in-range shape: `lo (<|≤) p AND p (<|≤) hi` with `p`
+    * computed from one child and `lo`/`hi` from the other — the
+    * keyless lookup join (IP→geo range table, price band, temporal
+    * validity). Returns (point, pointOnLeft, lo, hiInclusive) in Long
+    * space, `hi` already adjusted for strictness so the covering
+    * bucket range is `floor(lo/w) .. floor(greatest(hiIncl, lo)/w)`.
+    */
+  private def pointRange(conjs: Seq[Expression], l: LogicalPlan,
+      r: LogicalPlan)
+      : Option[(Expression, Boolean, Expression, Expression)] =
+    Seq(conjs, conjs.reverse).view.flatMap { cs =>
+      for {
+        (lo, p1, _) <- cmpNorm(cs.head)
+        (p2, hi, hiStrict) <- cmpNorm(cs(1))
+        if p1.semanticEquals(p2)
+        pointOnLeft <-
+          if (from(l, p1) && from(r, lo) && from(r, hi)) Some(true)
+          else if (from(r, p1) && from(l, lo) && from(l, hi)) Some(false)
+          else None
+      } yield {
+        val hiL = asLong(hi)
+        val hiIncl = if (hiStrict) Subtract(hiL, Literal(1L)) else hiL
+        (asLong(p1), pointOnLeft, asLong(lo), hiIncl)
+      }
+    }.headOption
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case j @ Join(l, r, Inner, Some(cond), hint)
         if j.resolved && splitConjunctivePredicates(cond).size == 2 =>
       val conjs = splitConjunctivePredicates(cond)
-      // sL < eR (left start vs right end) and sR < eL (right start vs
-      // left end) — in either conjunct order
-      val matched = Seq(conjs, conjs.reverse).view.flatMap { cs =>
-        for {
-          (sL, eR) <- ltAcross(cs.head, l, r)
-          (sR, eL) <- ltAcross(cs(1), r, l)
-        } yield (Bounds(asLong(sL), asLong(eL)),
-          Bounds(asLong(sR), asLong(eR)))
-      }.headOption
-      matched match {
-        case Some((bl, br)) =>
-          val w = Literal(conf.getConfString(BucketWidthConf,
-            DefaultWidthMicros.toString).toLong, LongType)
-          val rewritten = banded(j, l, r, bl, br, cond, w, hint)
-          logInfo(s"graft: rewrote interval-overlap BNLJ join to the " +
+      val w = Literal(conf.getConfString(BucketWidthConf,
+        DefaultWidthMicros.toString).toLong, LongType)
+      // 1) point-in-range first — the cheaper rewrite (the point side
+      //    stays MAP-ONLY and needs no exactly-once conjunct, a point
+      //    being in exactly one bucket); the shared `p` operand
+      //    distinguishes it from the two-interval overlap shape
+      pointRange(conjs, l, r) match {
+        case Some((p, pointOnLeft, lo, hiIncl)) =>
+          logInfo("graft: rewrote point-in-range BNLJ join to a " +
             s"banded hash equi-join (bucket width ${w.value})")
-          rewritten
-        case None => j
+          bandedPoint(j, l, r, p, pointOnLeft, lo, hiIncl, cond, w, hint)
+        case None =>
+          // 2) interval overlap: sL < eR AND sR < eL (either conjunct
+          //    order, either operand orientation)
+          val matched = Seq(conjs, conjs.reverse).view.flatMap { cs =>
+            for {
+              (sL, eR) <- ltAcross(cs.head, l, r)
+              (sR, eL) <- ltAcross(cs(1), r, l)
+            } yield (Bounds(asLong(sL), asLong(eL)),
+              Bounds(asLong(sR), asLong(eR)))
+          }.headOption
+          matched match {
+            case Some((bl, br)) =>
+              logInfo("graft: rewrote interval-overlap BNLJ join to " +
+                s"the banded hash equi-join (bucket width ${w.value})")
+              banded(j, l, r, bl, br, cond, w, hint)
+            case None => j
+          }
       }
   }
 
@@ -127,25 +179,15 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan]
   private def bucketOf(x: Expression, w: Expression): Expression =
     Cast(Floor(Divide(Cast(x, DoubleType), Cast(w, DoubleType))), LongType)
 
-  /** Explode `child` into its interval's covering buckets as a new
-    * column; returns (plan, bucketAttr).
+  /** Explode `child` into its half-open interval's covering buckets
+    * — `floor(s/w) .. floor(greatest(e-1, s)/w)`: never descending,
+    * and an inverted/empty interval still lands in its start bucket
+    * (it can pair with partners whose start precedes its own —
+    * semantics identical to the un-rewritten join).
     */
   private def explodeBuckets(child: LogicalPlan, b: Bounds,
-      w: Expression): (LogicalPlan, Attribute) = {
-    // covers floor(s/w) .. floor(greatest(e-1, s)/w): never
-    // descending, and an inverted/empty interval still lands in its
-    // start bucket (it can pair with partners whose start precedes
-    // its own — semantics identical to the un-rewritten join)
-    // explicit step + session tz: Sequence is TimeZoneAwareExpression
-    // and stays UNRESOLVED without a timeZoneId, even for longs
-    val seq = Sequence(
-      bucketOf(b.s, w),
-      bucketOf(Greatest(Seq(Subtract(b.e, Literal(1L)), b.s)), w),
-      Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone))
-    val bucket = AttributeReference("__graft_bucket", LongType)()
-    (Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
-      qualifier = None, generatorOutput = Seq(bucket), child), bucket)
-  }
+      w: Expression): (LogicalPlan, Attribute) =
+    explodeBucketRange(child, b.s, Subtract(b.e, Literal(1L)), w)
 
   private def banded(j: Join, l: LogicalPlan, r: LogicalPlan,
       bl: Bounds, br: Bounds, cond: Expression, w: Expression,
@@ -159,5 +201,45 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan]
     val dedup = EqualTo(bL, bucketOf(Greatest(Seq(bl.s, br.s)), w))
     val newCond = And(EqualTo(bL, bR), And(cond, dedup))
     Project(j.output, Join(lg, rg, Inner, Some(newCond), hint))
+  }
+
+  /** Point-in-range rewrite: the point side gains its ONE bucket via
+    * a map-only Project; only the range side explodes to covering
+    * buckets (`floor(lo/w) .. floor(greatest(hiIncl, lo)/w)` — the
+    * greatest keeps empty ranges representable; their rows can never
+    * satisfy the predicate, identical to the naive join). No dedup
+    * conjunct: each true pair meets in exactly one bucket.
+    */
+  private def bandedPoint(j: Join, l: LogicalPlan, r: LogicalPlan,
+      p: Expression, pointOnLeft: Boolean, lo: Expression,
+      hiIncl: Expression, cond: Expression, w: Expression,
+      hint: JoinHint): LogicalPlan = {
+    val (pointChild, rangeChild) = if (pointOnLeft) (l, r) else (r, l)
+    val bucketAlias = Alias(bucketOf(p, w), "__graft_pbucket")()
+    val pointPlan =
+      Project(pointChild.output :+ bucketAlias, pointChild)
+    val pAttr = bucketAlias.toAttribute
+    val (rangePlan, rAttr) =
+      explodeBucketRange(rangeChild, lo, hiIncl, w)
+    val newCond = And(EqualTo(pAttr, rAttr), cond)
+    val (nl, nr) = if (pointOnLeft) (pointPlan, rangePlan)
+      else (rangePlan, pointPlan)
+    Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+  }
+
+  /** Explode `child` into buckets `floor(lo/w)..floor(max(hiIncl,
+    * lo)/w)` (inclusive hi, never descending). Explicit step +
+    * session tz: Sequence is TimeZoneAwareExpression and stays
+    * UNRESOLVED without a timeZoneId, even over longs.
+    */
+  private def explodeBucketRange(child: LogicalPlan, lo: Expression,
+      hiIncl: Expression, w: Expression): (LogicalPlan, Attribute) = {
+    val seq = Sequence(
+      bucketOf(lo, w),
+      bucketOf(Greatest(Seq(hiIncl, lo)), w),
+      Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone))
+    val bucket = AttributeReference("__graft_bucket", LongType)()
+    (Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
+      qualifier = None, generatorOutput = Seq(bucket), child), bucket)
   }
 }

@@ -92,6 +92,43 @@ class BandedRuleSpec extends AnyFunSuite with SparkTestBase {
     assert(j.count() == 1)
   }
 
+  test("point-in-range lookups rewrite with a MAP-ONLY point side, " +
+      "inclusive and strict bounds both preserved") {
+    import s2.implicits._
+    val rnd = new scala.util.Random(23)
+    val pts = Seq.tabulate(70)(i => (i.toLong, rnd.nextInt(800).toLong))
+      .toDF("pid", "p")
+    val rngRows = Seq.tabulate(50) { i =>
+      val s = rnd.nextInt(800).toLong
+      (1000L + i, s, s + rnd.nextInt(200).toLong)
+    }
+    val rng = rngRows.toDF("rid", "s", "e")
+    // s <= p AND p < e (SCD2-validity style)
+    val j = pts.join(rng, col("s") <= col("p") && col("p") < col("e"))
+      .select("pid", "rid")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert("Generate explode".r.findAllIn(plan).size == 1,
+      "only the range side may explode:\n" + plan.take(3000))
+    val got = j.as[(Long, Long)].collect().toSeq.sorted
+    val want = (for {
+      (pid, p) <- pts.as[(Long, Long)].collect().toSeq
+      (rid, s, e) <- rngRows if s <= p && p < e
+    } yield (pid, rid)).sorted
+    assert(got == want)
+    // fully inclusive bounds (BETWEEN) rewrite too, boundary kept
+    val j2 = pts.join(rng, col("p") >= col("s") && col("p") <= col("e"))
+      .select("pid", "rid")
+    assert(!j2.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val got2 = j2.as[(Long, Long)].collect().toSeq.sorted
+    val want2 = (for {
+      (pid, p) <- pts.as[(Long, Long)].collect().toSeq
+      (rid, s, e) <- rngRows if s <= p && p <= e
+    } yield (pid, rid)).sorted
+    assert(got2 == want2)
+  }
+
   test("integer-typed bounds band on their own scale") {
     import s2.implicits._
     val left = Seq((1L, 0L, 5000L), (2L, 9000L, 9500L))

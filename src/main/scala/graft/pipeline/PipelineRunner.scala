@@ -595,16 +595,19 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           case None => sys.error(s"table $name is empty with no schema")
         }
       else readMembers(name, members, schema)
+    // merge-on-read tables reconcile latest-version-wins BEFORE the
+    // surface projection (the version column is itself hidden)
+    val dfm = reconcileMor(name, gen, df0)
     // storage-layout columns (merge buckets, snapshot open/closed
     // split) are not part of the table surface; and Spark returns
     // PARTITION columns last regardless of the requested schema, so
     // re-select in stored-schema order — the storage layout (e.g.
     // merge partitionBy) must not leak into the column order
-    val visible = df0.columns.filterNot(hiddenCols.contains)
+    val visible = dfm.columns.filterNot(hiddenCols.contains)
     val ordered = schema
       .map(_.fieldNames.filterNot(hiddenCols.contains).filter(visible.contains))
       .getOrElse(visible)
-    df0.select(ordered.toSeq.map(col): _*)
+    dfm.select(ordered.toSeq.map(col): _*)
   }
 
   def tableExists(name: String): Boolean = currentGenName(name).isDefined
@@ -616,7 +619,32 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   private val GBucket = "__gbucket"
   private val OpenCol = "__open"
   private val GWindow = "__gwindow"
-  private val hiddenCols = Seq(GBucket, OpenCol, GWindow)
+  private val GVer = "__gver"
+  private val hiddenCols = Seq(GBucket, OpenCol, GWindow, GVer)
+
+  /** Merge-on-read sidecar keys: the reconciliation key list and the
+    * last version stamp (monotonic per merge).
+    */
+  private val MorKeys = "mor_keys"
+  private val MorVer = "mor_ver"
+
+  /** Latest-version-wins reconciliation for merge-on-read tables: one
+    * row per key, the row from the highest `__gver` member (base /
+    * compacted members may lack the column — schema-on-read NULL
+    * reads as version 0). A no-op on tables without the sidecar.
+    */
+  private def reconcileMor(name: String, gen: String,
+      df: DataFrame): DataFrame =
+    genHeader(name, gen, s"sidecar.$MorKeys").map(decodeSidecar) match {
+      case Some(ks) if ks.nonEmpty && df.columns.nonEmpty =>
+        val keys = ks.split(',').toSeq
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(coalesce(col(GVer), lit(0L)).desc)
+        df.withColumn("__graft_rn", row_number().over(w))
+          .filter(col("__graft_rn") === 1).drop("__graft_rn")
+      case _ => df
+    }
 
   /** Apply a model's `on_schema_change` policy (dbt 1.9 config, see
     * [[OnSchemaChange]]) when an incremental batch's columns differ
@@ -1097,7 +1125,12 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       require(members.forall(partsOf(_) == part),
         s"compact $name: members disagree on partition layout " +
           s"(${members.map(partsOf).distinct.mkString(" vs ")})")
-      val df = readMembers(name, members, schema) // keeps layout cols
+      val df0c = readMembers(name, members, schema) // keeps layout cols
+      // merge-on-read: folding superseded key versions away IS the
+      // compaction (the kept rows retain their __gver — reads stay
+      // correct before and after)
+      val df = currentGenName(name)
+        .map(g => reconcileMor(name, g, df0c)).getOrElse(df0c)
       val newMembers =
         if (part.isEmpty)
           Seq(writeBatch(name,
@@ -1895,6 +1928,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       case Materialization.IncrementalMerge(keys, buckets, userParts, osc) =>
         mergeInto(name, df, keys, buckets, userParts, fullRefresh, osc = osc)
 
+      case Materialization.IncrementalMergeOnRead(keys, osc) =>
+        mergeOnRead(name, df, keys, fullRefresh, osc)
+
       case mb: Materialization.IncrementalMicrobatch =>
         runMicrobatch(m, mb, fullRefresh)
     }
@@ -2077,6 +2113,55 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       }
     }
     total
+  }
+
+  /** Merge-on-read write path (see
+    * [[Materialization.IncrementalMergeOnRead]]): append the batch as
+    * ONE new member stamped `__gver = prev + 1` — no existing member
+    * is read, rewritten, or moved (O(delta) I/O unconditionally,
+    * where copy-on-write merge rewrites touched buckets). The key
+    * list and version stamp ride as sidecars INSIDE the manifest, so
+    * read-side reconciliation config commits atomically with the
+    * data; `reconcileMor` resolves latest-version-wins at read time
+    * and `compact` folds superseded versions away.
+    */
+  private def mergeOnRead(name: String, df: DataFrame, keys: Seq[String],
+      fullRefresh: Boolean, osc: OnSchemaChange): Long = {
+    require(keys.nonEmpty, s"merge_on_read on $name needs a unique_key")
+    if (!tableExists(name) || fullRefresh) {
+      val base = df.withColumn(GVer, lit(0L))
+      val rel = writeBatch(name,
+        p => base.write.mode("overwrite").parquet(p))
+      publishManifest(name, Seq(rel), base.schema, sidecars = Map(
+        MorKeys -> keys.mkString(","), MorVer -> "0"))
+      writtenCount(name, rel, base.schema)
+    } else {
+      require(genSidecar(name, MorKeys).contains(keys.mkString(",")),
+        s"merge_on_read on $name: stored table reconciles on " +
+          s"${genSidecar(name, MorKeys).getOrElse("<none>")}, model " +
+          s"declares ${keys.mkString(",")} — full-refresh to change " +
+          "the unique_key (or the source materialization)")
+      // schema evolution against the SURFACE schema — the hidden
+      // version column must survive every on_schema_change mode
+      // (sync_all_columns would otherwise drop it: absent from batch)
+      val stored = currentSchema(name).getOrElse(df.schema)
+      val storedSurface = StructType(stored.fields.filterNot(_.name == GVer))
+      val (evolvedSurface, batchDf) =
+        applySchemaChange(name, osc, storedSurface, df)
+      val ver = genSidecar(name, MorVer).map(_.toLong).getOrElse(0L) + 1
+      val delta = batchDf.withColumn(GVer, lit(ver))
+      val evolved = StructType(evolvedSurface.fields :+
+        stored.fields.find(_.name == GVer).getOrElse(
+          org.apache.spark.sql.types.StructField(GVer,
+            org.apache.spark.sql.types.LongType)))
+      val deltaBatch = writeBatch(name,
+        p => delta.write.mode("overwrite").parquet(p))
+      publishManifest(name, currentManifest(name).get :+ deltaBatch,
+        evolved, sidecars = Map(MorVer -> ver.toString))
+      val n = writtenCount(name, deltaBatch, delta.schema)
+      maybeAutoCompact(name)
+      n
+    }
   }
 
   /** The merge write path (shared by the `IncrementalMerge`
@@ -2370,6 +2455,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       case _: Materialization.IncrementalAppend          => true
       case _: Materialization.IncrementalInsertOverwrite => true
       case _: Materialization.IncrementalMerge           => true
+      case _: Materialization.IncrementalMergeOnRead     => true
       case _: Materialization.IncrementalMicrobatch      => true
       case _                                             => false
     }) && !fullRefresh && tableExists(m.name)

@@ -90,6 +90,26 @@ object Materialization {
       partitionBy: Seq[String] = Nil,
       onSchemaChange: OnSchemaChange = OnSchemaChange.AppendNewColumns)
     extends Materialization
+  /** MERGE-ON-READ upsert on `uniqueKey` — the Iceberg/Hudi MoR
+    * counterpart to [[IncrementalMerge]]'s copy-on-write: each merge
+    * APPENDS its batch as a new member stamped with a monotonically
+    * increasing hidden `__gver` (O(delta) write I/O, ZERO existing
+    * files touched — no bucket rewrite at all), and READS reconcile
+    * latest-version-wins per key (one window pass over the scanned
+    * members). `compact` (and the `autoCompactMembers` threshold)
+    * folds superseded versions away, returning reads to scan speed.
+    *
+    * The 100 TB trade vs copy-on-write merge: MoR wins when upserts
+    * are frequent relative to reads (streaming CDC, hourly upsert
+    * feeds) — writes never amplify and never stall on bucket
+    * rewrites, and read overhead is bounded by compaction cadence;
+    * CoW wins for read-heavy tables. CONTRACT (same as dbt merge /
+    * Delta MERGE): each batch is unique per `uniqueKey` — duplicate
+    * keys within one batch have no defined winner.
+    */
+  final case class IncrementalMergeOnRead(uniqueKey: Seq[String],
+      onSchemaChange: OnSchemaChange = OnSchemaChange.AppendNewColumns)
+    extends Materialization
   /** dbt-core 1.9 `microbatch` incremental strategy (the headline 1.9
     * materialization; the reference's pin at `dbtoperator.py:273-274`
     * carries it): the model is built and stored in INDEPENDENT

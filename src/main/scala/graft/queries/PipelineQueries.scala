@@ -135,6 +135,29 @@ object PipelineOps extends QueryGroup {
       r2.readTable("mim_cust").orderBy("c_custkey")
     }),
 
+    // MERGE-ON-READ variant of the same scenario: batch 2 APPENDS its
+    // upsert as a versioned member (zero base files rewritten —
+    // spec-asserted) and the READ reconciles latest-version-wins, so
+    // the oracle-checked final state must equal copy-on-write merge's.
+    "mat_incremental_merge_on_read" -> ((s, d) => {
+      val wh = freshWh("mat_inc_mor")
+      def spec(build: SparkSession => DataFrame) = PipelineSpec(Seq(Model(
+        "mor_cust", Nil,
+        Materialization.IncrementalMergeOnRead(Seq("c_custkey")),
+        (sp, _) => build(sp))))
+      mustSucceed(new PipelineRunner(s,
+        spec(sp => Tables.customer(sp, d)
+          .select(col("c_custkey"), col("c_mktsegment"), lit(0.0).as("bal"))),
+        wh).run(Seq("run")))
+      val r2 = new PipelineRunner(s,
+        spec(sp => Tables.customer(sp, d)
+          .filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").as("bal"))), wh)
+      mustSucceed(r2.run(Seq("run")))
+      r2.readTable("mor_cust").orderBy("c_custkey")
+    }),
+
     // Merge composed with a user partition column (the 100 TB shape:
     // storage is o_orderstatus=…/__gbucket=…, so a delta confined to
     // one status rewrites only that partition's touched buckets, never
@@ -868,6 +891,11 @@ object PipelineOps extends QueryGroup {
         |ORDER BY o_orderkey""".stripMargin,
 
     "mat_incremental_merge" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "mat_incremental_merge_on_read" ->
       """SELECT c_custkey, c_mktsegment,
         |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
         |FROM customer ORDER BY c_custkey""".stripMargin,

@@ -392,6 +392,67 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assertThrows[IllegalArgumentException](r2.readTableAt("tt", gens.head))
   }
 
+  test("merge-on-read: O(delta) append, base files byte-untouched, " +
+      "latest-wins reads, compact folds, key-change guard") {
+    val w = wh()
+    def spec(rows: Seq[(Long, String)]) = PipelineSpec(Seq(Model("mr", Nil,
+      Materialization.IncrementalMergeOnRead(Seq("id")),
+      (sp, _) => { import sp.implicits._; rows.toDF("id", "v") })))
+    assert(new PipelineRunner(spark, spec((1L to 20L).map((_, "a"))), w)
+      .run(Seq("run")).success)
+    val r = new PipelineRunner(spark, spec(Seq((1L, "b"), (21L, "c"))), w)
+    val baseMember = manifestMembers(r, "mr").head
+    val basePath = java.nio.file.Paths.get(r.tablePath("mr"), baseMember)
+    def baseFiles() = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(basePath)
+      try s.iterator().asScala
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.getLastModifiedTime(p)).toMap
+      finally s.close()
+    }
+    val before = baseFiles()
+    assert(r.run(Seq("run")).success)
+    assert(manifestMembers(r, "mr").size == 2,
+      "a MoR merge appends exactly one member")
+    assert(baseFiles() == before,
+      "MoR must not touch a single existing file")
+    val st = r.readTable("mr").orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(st.size == 21 && st.head == ((1L, "b")) &&
+      st.last == ((21L, "c")), s"$st")
+    assert(st.slice(1, 20).forall(_._2 == "a"))
+    assert(!r.readTable("mr").columns.contains("__gver"),
+      "the version column is storage layout, not surface")
+    // compaction folds superseded versions; reads identical after
+    r.compact("mr")
+    assert(manifestMembers(r, "mr").size == 1)
+    assert(r.readTable("mr").orderBy("id")
+      .as[(Long, String)].collect().toSeq == st)
+    // merging keeps working after compaction (version stays monotonic)
+    val r3 = new PipelineRunner(spark, spec(Seq((2L, "d"))), w)
+    assert(r3.run(Seq("run")).success)
+    val st3 = r3.readTable("mr").orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(st3.size == 21 && st3(0) == ((1L, "b")) &&
+      st3(1) == ((2L, "d")), s"$st3")
+    // changing the unique_key without --full-refresh fails loudly
+    val bad = PipelineSpec(Seq(Model("mr", Nil,
+      Materialization.IncrementalMergeOnRead(Seq("v")),
+      (sp, _) => { import sp.implicits._
+        Seq((99L, "x")).toDF("id", "v") })))
+    assert(!new PipelineRunner(spark, bad, w).run(Seq("run")).success)
+    // full refresh resets table and version ledger
+    val r5 = new PipelineRunner(spark, spec(Seq((9L, "z"))), w)
+    assert(r5.run(Seq("run --full-refresh")).success)
+    assert(r5.readTable("mr")
+      .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    val r6 = new PipelineRunner(spark, spec(Seq((9L, "y"))), w)
+    assert(r6.run(Seq("run")).success)
+    assert(r6.readTable("mr")
+      .as[(Long, String)].collect().toSeq == Seq((9L, "y")))
+  }
+
   test("restoreTable: metadata-only rollback, refuses vacuumed targets") {
     val w = wh()
     def spec(v: String) = PipelineSpec(Seq(tableModel("rs", Seq((1L, v)))))
@@ -701,6 +762,8 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       "partition_by='p1,p2'")
     m("m_m", "materialized='incremental', strategy='merge', " +
       "unique_key='k1,k2', buckets='32'")
+    m("m_mr", "materialized='incremental', strategy='merge_on_read', " +
+      "unique_key='k1'")
     m("m_mb", "materialized='incremental', strategy='microbatch', " +
       "event_time='ts', batch_size='day', begin='2024-01-01', lookback='2'")
     m("m_et", "materialized='table', event_time='ts'")
@@ -719,6 +782,8 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       Materialization.IncrementalInsertOverwrite(Seq("p1", "p2")))
     assert(mats("m_m") ==
       Materialization.IncrementalMerge(Seq("k1", "k2"), 32))
+    assert(mats("m_mr") ==
+      Materialization.IncrementalMergeOnRead(Seq("k1")))
     assert(mats("m_mb") == Materialization.IncrementalMicrobatch(
       "ts", "day", "2024-01-01", lookback = 2))
     assert(spec.models.find(_.name == "m_et").get.eventTime == Some("ts"))

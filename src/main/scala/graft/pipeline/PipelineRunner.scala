@@ -2126,14 +2126,15 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * and `compact` folds superseded versions away.
     */
   private def mergeOnRead(name: String, df: DataFrame, keys: Seq[String],
-      fullRefresh: Boolean, osc: OnSchemaChange): Long = {
+      fullRefresh: Boolean, osc: OnSchemaChange,
+      sidecars: Map[String, String] = Map.empty): Long = {
     require(keys.nonEmpty, s"merge_on_read on $name needs a unique_key")
     if (!tableExists(name) || fullRefresh) {
       val base = df.withColumn(GVer, lit(0L))
       val rel = writeBatch(name,
         p => base.write.mode("overwrite").parquet(p))
-      publishManifest(name, Seq(rel), base.schema, sidecars = Map(
-        MorKeys -> keys.mkString(","), MorVer -> "0"))
+      publishManifest(name, Seq(rel), base.schema, sidecars = sidecars ++
+        Map(MorKeys -> keys.mkString(","), MorVer -> "0"))
       writtenCount(name, rel, base.schema)
     } else {
       require(genSidecar(name, MorKeys).contains(keys.mkString(",")),
@@ -2157,7 +2158,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       val deltaBatch = writeBatch(name,
         p => delta.write.mode("overwrite").parquet(p))
       publishManifest(name, currentManifest(name).get :+ deltaBatch,
-        evolved, sidecars = Map(MorVer -> ver.toString))
+        evolved, sidecars = sidecars ++ Map(MorVer -> ver.toString))
       val n = writtenCount(name, deltaBatch, delta.schema)
       maybeAutoCompact(name)
       n
@@ -2255,6 +2256,33 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             (s"hwm:$h2" +: t2.toSeq.sorted.map(_.toString)).mkString("\n")))
         maybeAutoCompact(name)
         n
+      }
+    }
+
+  /** foreachBatch-compatible exactly-once MERGE-ON-READ sink — the
+    * streaming-CDC shape: each micro-batch APPENDS one versioned
+    * member (zero write amplification at any upsert frequency, where
+    * `mergeBatch`'s copy-on-write rewrites touched buckets per
+    * micro-batch); reads reconcile latest-version-wins and
+    * auto-compaction bounds the member count. The committed-batchId
+    * ledger rides the same manifest sidecar as `appendBatch`, so a
+    * replayed micro-batch is a no-op — exactly-once contents on top
+    * of the source's replay.
+    */
+  def mergeBatchOnRead(name: String, df: DataFrame, batchId: Long,
+      uniqueKey: Seq[String],
+      sidecars: Map[String, String] = Map.empty): Long =
+    lockFor(name).synchronized {
+      val (hwm, tail) = genSidecar(name, "streamids")
+        .map(parseStreamIds).getOrElse((-1L, Set.empty[Long]))
+      if (batchId <= hwm || tail.contains(batchId)) 0L
+      else tracked {
+        val (h2, t2) = foldStreamIds(hwm, tail + batchId)
+        mergeOnRead(name, df, uniqueKey, fullRefresh = false,
+          osc = OnSchemaChange.AppendNewColumns,
+          sidecars = sidecars ++ Map("streamids" ->
+            (s"hwm:$h2" +: t2.toSeq.sorted.map(_.toString))
+              .mkString("\n")))
       }
     }
 

@@ -453,6 +453,33 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, String)].collect().toSeq == Seq((9L, "y")))
   }
 
+  test("mergeBatchOnRead: exactly-once versioned upserts, one member " +
+      "per micro-batch, replay is a no-op") {
+    val w = wh()
+    val r = new PipelineRunner(spark, PipelineSpec(Nil), w)
+    assert(r.mergeBatchOnRead("ms",
+      Seq((1L, "a"), (2L, "a")).toDF("id", "v"), 0L, Seq("id")) == 2L)
+    assert(r.mergeBatchOnRead("ms",
+      Seq((1L, "b")).toDF("id", "v"), 1L, Seq("id")) == 1L)
+    // a replayed micro-batch commits nothing — even with new content
+    assert(r.mergeBatchOnRead("ms",
+      Seq((1L, "z")).toDF("id", "v"), 1L, Seq("id")) == 0L)
+    assert(r.readTable("ms").orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "b"), (2L, "a")))
+    assert(manifestMembers(r, "ms").size == 2,
+      "one appended member per committed micro-batch")
+    // out-of-order delivery folds into the ledger like appendBatch
+    assert(r.mergeBatchOnRead("ms",
+      Seq((2L, "c")).toDF("id", "v"), 3L, Seq("id")) == 1L)
+    assert(r.mergeBatchOnRead("ms",
+      Seq((3L, "d")).toDF("id", "v"), 2L, Seq("id")) == 1L)
+    assert(r.mergeBatchOnRead("ms",
+      Seq((3L, "x")).toDF("id", "v"), 2L, Seq("id")) == 0L)
+    assert(r.readTable("ms").orderBy("id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "b"), (2L, "c"), (3L, "d")))
+  }
+
   test("restoreTable: metadata-only rollback, refuses vacuumed targets") {
     val w = wh()
     def spec(v: String) = PipelineSpec(Seq(tableModel("rs", Seq((1L, v)))))

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryGroup, Tables}
 import graft.Tables.{dec2, one2, asDouble}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -142,6 +143,25 @@ object Analytics extends QueryGroup {
         .agg(asDouble(sum(dec2(col("l_extendedprice")) *
           dec2(col("l_discount")))).as("revenue"))),
 
+    // Period-over-period reporting (the dashboard staple): monthly
+    // revenue + lag-derived month-over-month growth. The unpartitioned
+    // lag window runs over the AGGREGATED frame — O(months) rows, a
+    // size that does not grow with the corpus, so the single-task
+    // window is safe at any SF (unlike a row-level global window; see
+    // win_ntile_percent's distributed form for that case). Growth
+    // divides two identical-formula doubles — engine-deterministic.
+    "q_revenue_mom_growth" -> ((s, d) => {
+      val monthly = Tables.lineitem(s, d)
+        .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+        .agg(asDouble(revenue).as("revenue"))
+      val w = Window.orderBy("month")
+      monthly
+        .withColumn("prev_rev", lag(col("revenue"), 1).over(w))
+        .withColumn("mom_growth",
+          (col("revenue") - col("prev_rev")) / col("prev_rev"))
+        .orderBy("month")
+    }),
+
     // TPC-H Q14 shape (promotion effect): conditional-aggregation
     // ratio — promo revenue share per order month. Revenue stays in
     // exact DECIMAL through both sums; only the final ratio divides
@@ -239,6 +259,20 @@ object Analytics extends QueryGroup {
         |  AND l_discount >= CAST(0.05 AS DOUBLE)
         |  AND l_discount <= CAST(0.07 AS DOUBLE)
         |  AND l_quantity < 24.0""".stripMargin,
+
+    "q_revenue_mom_growth" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+        |      AS month,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |      AS revenue
+        |  FROM lineitem GROUP BY 1)
+        |SELECT month, revenue,
+        |  lag(revenue) OVER (ORDER BY month) AS prev_rev,
+        |  (revenue - lag(revenue) OVER (ORDER BY month)) /
+        |    lag(revenue) OVER (ORDER BY month) AS mom_growth
+        |FROM m ORDER BY month""".stripMargin,
 
     "q_promo_revenue_share" ->
       """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)

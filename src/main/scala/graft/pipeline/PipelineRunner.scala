@@ -1847,6 +1847,13 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             s"incremental append on $name: existing members are " +
               s"partition-scoped (e.g. ${nonWhole.head}); full-refresh " +
               "the table before switching materialization")
+          // a merge_on_read table's members are whole-batch too, but
+          // carry superseded key versions — appending to it would
+          // surface duplicates after reconciliation stops applying
+          require(genSidecar(name, MorKeys).isEmpty,
+            s"incremental append on $name: table is merge_on_read " +
+              "(version-reconciled); full-refresh before switching " +
+              "materialization")
           // High-water mark from the LAST manifest member only: every
           // earlier delta was filtered to ts > the then-hwm, so the
           // global max lives in the newest batch — O(last batch), not

@@ -636,7 +636,11 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   private def reconcileMor(name: String, gen: String,
       df: DataFrame): DataFrame =
     genHeader(name, gen, s"sidecar.$MorKeys").map(decodeSidecar) match {
-      case Some(ks) if ks.nonEmpty && df.columns.nonEmpty =>
+      // the GVer-column check is defense in depth: a generation whose
+      // schema has no version column (published by a non-MoR
+      // materialization) needs no reconciliation even if a stale
+      // sidecar survived — never fail the read over bookkeeping
+      case Some(ks) if ks.nonEmpty && df.columns.contains(GVer) =>
         val keys = ks.split(',').toSeq
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keys.map(col): _*)
@@ -849,11 +853,12 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     */
   private def publishManifest(name: String, members: Seq[String],
       schema: StructType,
-      sidecars: Map[String, String] = Map.empty): Unit =
+      sidecars: Map[String, String] = Map.empty,
+      dropSidecars: Set[String] = Set.empty): Unit =
     lockFor(name).synchronized {
       val dir = Paths.get(tablePath(name))
       Files.createDirectories(dir)
-      val carried = currentSidecars(name) ++ sidecars
+      val carried = (currentSidecars(name) -- dropSidecars) ++ sidecars
       migrateLegacyPointer(name)
       val header = s"#schema:${encodeSidecar(schema.json)}" +:
         carried.toSeq.sortBy(_._1).map { case (k, v) =>
@@ -972,33 +977,55 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   def appendBatch(name: String, df: DataFrame, batchId: Long,
       sidecars: Map[String, String] = Map.empty): Long =
     lockFor(name).synchronized {
-      val (hwm, tail) = genSidecar(name, "streamids")
-        .map(parseStreamIds).getOrElse((-1L, Set.empty[Long]))
-      if (batchId <= hwm || tail.contains(batchId)) 0L
-      else tracked {
-        val schema = currentSchema(name)
-          .map(st => evolveSchema(name, st, df.schema))
-          .getOrElse(df.schema)
-        val rel = writeBatch(name,
-          p => df.write.mode("overwrite").parquet(p))
-        val (h2, t2) = foldStreamIds(hwm, tail + batchId)
-        publishManifest(name, currentManifest(name).getOrElse(Nil) :+ rel,
-          schema,
-          sidecars ++ Map("streamids" ->
-            (s"hwm:$h2" +: t2.toSeq.sorted.map(_.toString)).mkString("\n")))
-        val n = writtenCount(name, rel, df.schema)
-        maybeAutoCompact(name)
-        n
+      withStreamLedger(name, batchId) { ledger =>
+        tracked {
+          val schema = currentSchema(name)
+            .map(st => evolveSchema(name, st, df.schema))
+            .getOrElse(df.schema)
+          val rel = writeBatch(name,
+            p => df.write.mode("overwrite").parquet(p))
+          publishManifest(name,
+            currentManifest(name).getOrElse(Nil) :+ rel, schema,
+            sidecars ++ ledger)
+          val n = writtenCount(name, rel, df.schema)
+          maybeAutoCompact(name)
+          n
+        }
       }
     }
 
+  /** The exactly-once micro-batch ledger shared by every streaming
+    * sink (`appendBatch` / `mergeBatch` / `mergeBatchOnRead`): parse
+    * the committed-id state, no-op on replayed ids, otherwise run
+    * `commit` with the updated ledger sidecar — which MUST ride the
+    * same atomic manifest publish as the batch's data. Call under the
+    * table lock.
+    */
+  private def withStreamLedger(name: String, batchId: Long)
+      (commit: Map[String, String] => Long): Long = {
+    val (hwm, tail) = genSidecar(name, "streamids")
+      .map(parseStreamIds).getOrElse((-1L, Set.empty[Long]))
+    if (batchId <= hwm || tail.contains(batchId)) 0L
+    else {
+      val (h2, t2) = foldStreamIds(hwm, tail + batchId)
+      commit(Map("streamids" ->
+        (s"hwm:$h2" +: t2.toSeq.sorted.map(_.toString)).mkString("\n")))
+    }
+  }
+
   /** Full-refresh publish: one new batch becomes the whole table.
-    * Returns the batch's manifest-relative path.
+    * Returns the batch's manifest-relative path. Clears the
+    * merge-on-read sidecars: a full refresh from a non-MoR
+    * materialization replaces the table's semantics too — carrying
+    * `mor_keys` forward would leave reads reconciling on a key the
+    * new content never declared and permanently trip the
+    * append-onto-MoR guard (whose remedy IS full-refresh).
     */
   private def publish(name: String, schema: StructType,
       write: String => Unit): String = {
     val rel = writeBatch(name, write)
-    publishManifest(name, Seq(rel), schema)
+    publishManifest(name, Seq(rel), schema,
+      dropSidecars = Set(MorKeys, MorVer))
     rel
   }
 
@@ -1915,7 +1942,11 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
                 "switching materialization")
             cur.filterNot(m => newKeys.contains(partKey(m))) ++ newMembers
           }
-        publishManifest(name, members, schema)
+        // fresh path may be a materialization switch away from MoR —
+        // clear its sidecars (non-fresh is unreachable for MoR tables:
+        // the layout guard above rejects whole-batch members)
+        publishManifest(name, members, schema,
+          dropSidecars = Set(MorKeys, MorVer))
         writtenCount(name, batch, batchDf.schema)
 
       // MERGE emulation for vanilla parquet (no Delta/Iceberg in this
@@ -2197,7 +2228,10 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     }
     if (!tableExists(name) || fullRefresh) {
       val (batch, members) = writePartitioned(newB)
-      publishManifest(name, members, newB.schema, sidecars)
+      // may be a full-refresh switch away from merge_on_read — clear
+      // its sidecars with the content they described
+      publishManifest(name, members, newB.schema, sidecars,
+        dropSidecars = Set(MorKeys, MorVer))
       writtenCount(name, batch, newB.schema)
     } else {
       val stored = currentSchema(name).getOrElse(newB.schema)
@@ -2252,17 +2286,13 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       partitionBy: Seq[String] = Nil,
       sidecars: Map[String, String] = Map.empty): Long =
     lockFor(name).synchronized {
-      val (hwm, tail) = genSidecar(name, "streamids")
-        .map(parseStreamIds).getOrElse((-1L, Set.empty[Long]))
-      if (batchId <= hwm || tail.contains(batchId)) 0L
-      else tracked {
-        val (h2, t2) = foldStreamIds(hwm, tail + batchId)
-        val n = mergeInto(name, df, uniqueKey, buckets, partitionBy,
-          fullRefresh = false,
-          sidecars = sidecars ++ Map("streamids" ->
-            (s"hwm:$h2" +: t2.toSeq.sorted.map(_.toString)).mkString("\n")))
-        maybeAutoCompact(name)
-        n
+      withStreamLedger(name, batchId) { ledger =>
+        tracked {
+          val n = mergeInto(name, df, uniqueKey, buckets, partitionBy,
+            fullRefresh = false, sidecars = sidecars ++ ledger)
+          maybeAutoCompact(name)
+          n
+        }
       }
     }
 
@@ -2280,16 +2310,12 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       uniqueKey: Seq[String],
       sidecars: Map[String, String] = Map.empty): Long =
     lockFor(name).synchronized {
-      val (hwm, tail) = genSidecar(name, "streamids")
-        .map(parseStreamIds).getOrElse((-1L, Set.empty[Long]))
-      if (batchId <= hwm || tail.contains(batchId)) 0L
-      else tracked {
-        val (h2, t2) = foldStreamIds(hwm, tail + batchId)
-        mergeOnRead(name, df, uniqueKey, fullRefresh = false,
-          osc = OnSchemaChange.AppendNewColumns,
-          sidecars = sidecars ++ Map("streamids" ->
-            (s"hwm:$h2" +: t2.toSeq.sorted.map(_.toString))
-              .mkString("\n")))
+      withStreamLedger(name, batchId) { ledger =>
+        tracked {
+          mergeOnRead(name, df, uniqueKey, fullRefresh = false,
+            osc = OnSchemaChange.AppendNewColumns,
+            sidecars = sidecars ++ ledger)
+        }
       }
     }
 

@@ -58,6 +58,17 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan]
   val BucketWidthConf = "spark.graft.intervalJoin.bucketWidth"
   private val DefaultWidthMicros = 3600L * 1000000L
 
+  /** Hard per-row explode cap. Open-ended intervals with a sentinel
+    * bound (`valid_to = 9999-12-31` over hour buckets ≈ 7e7 buckets
+    * PER ROW) would otherwise amplify into runaway row counts or a
+    * Sequence allocation failure. Exceeding the cap fails LOUDLY with
+    * the remedy (raise the bucket width, or cap the sentinel) instead
+    * of silently OOMing — correctness is never affected, only whether
+    * the query runs.
+    */
+  val MaxBucketsConf = "spark.graft.intervalJoin.maxBucketsPerRow"
+  private val DefaultMaxBuckets = 100000L
+
   /** Idempotently add the rule to a running session (the
     * `spark.sql.extensions=graft.functions.GraftExtensions` config is
     * the cluster path; this is the REPL/notebook path).
@@ -234,12 +245,24 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan]
     */
   private def explodeBucketRange(child: LogicalPlan, lo: Expression,
       hiIncl: Expression, w: Expression): (LogicalPlan, Attribute) = {
-    val seq = Sequence(
-      bucketOf(lo, w),
-      bucketOf(Greatest(Seq(hiIncl, lo)), w),
+    val loB = bucketOf(lo, w)
+    val hiB = bucketOf(Greatest(Seq(hiIncl, lo)), w)
+    val maxB = Literal(conf.getConfString(MaxBucketsConf,
+      DefaultMaxBuckets.toString).toLong, LongType)
+    val seq = Sequence(loB, hiB,
       Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone))
+    // fail loudly on pathological ranges (open-ended sentinel bounds)
+    // instead of materializing millions of bucket rows per input row
+    val guarded = If(
+      LessThanOrEqual(Subtract(hiB, loB), maxB),
+      seq,
+      Cast(RaiseError(Literal(
+        s"graft banded range join: an interval covers more than " +
+          s"${maxB.value} buckets — raise $BucketWidthConf (or " +
+          s"$MaxBucketsConf), or bound the interval's sentinel end")),
+        seq.dataType))
     val bucket = AttributeReference("__graft_bucket", LongType)()
-    (Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
+    (Generate(Explode(guarded), unrequiredChildIndex = Nil, outer = false,
       qualifier = None, generatorOutput = Seq(bucket), child), bucket)
   }
 }

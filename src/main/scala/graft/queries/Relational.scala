@@ -613,8 +613,13 @@ object Joins extends QueryGroup {
     // (Generate + hash join, plan-asserted in PlanSpec) while the
     // result stays row-identical (oracle replays the inequality).
     "join_interval_auto_banded" -> ((s, d) => {
-      graft.plans.BandedIntervalJoinRule.install(s)
-      val ev = Tables.events(s, d)
+      // a CHILD session keeps the rule out of the shared session:
+      // installing on `s` would silently re-plan every later-built
+      // query in the same JVM (bench keys, other suites) — plan
+      // shapes must not depend on key execution order
+      val s2 = s.newSession()
+      graft.plans.BandedIntervalJoinRule.install(s2)
+      val ev = Tables.events(s2, d)
       val c = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("ts").as("cs"),
           (col("ts") + expr("INTERVAL 30 MINUTES")).as("ce"))

@@ -129,6 +129,27 @@ class BandedRuleSpec extends AnyFunSuite with SparkTestBase {
     assert(got2 == want2)
   }
 
+  test("pathological interval spans fail loudly instead of exploding " +
+      "millions of bucket rows") {
+    import s2.implicits._
+    s2.conf.set(graft.plans.BandedIntervalJoinRule.MaxBucketsConf, "10")
+    try {
+      val wide = Seq((1L, 0L, 3600L * 1000000L * 50L))
+        .toDF("lid", "s1", "e1") // 50 hour-buckets > cap of 10
+      val pts = Seq((9L, 5L, 6L)).toDF("rid", "s2", "e2")
+      val j = overlap(wide, pts).select("lid", "rid")
+      val e = intercept[Exception](j.count())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("covers more than")),
+        s"expected the loud bucket-cap error, got: ${msgs(e)}")
+      // within the cap the same shape still runs
+      s2.conf.set(graft.plans.BandedIntervalJoinRule.MaxBucketsConf, "100")
+      assert(overlap(wide, pts).count() == 1)
+    } finally s2.conf.unset(graft.plans.BandedIntervalJoinRule.MaxBucketsConf)
+  }
+
   test("integer-typed bounds band on their own scale") {
     import s2.implicits._
     val left = Seq((1L, 0L, 5000L), (2L, 9000L, 9500L))

@@ -453,6 +453,38 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, String)].collect().toSeq == Seq((9L, "y")))
   }
 
+  test("full-refresh away from merge_on_read clears its sidecars; " +
+      "reads and later appends work") {
+    val w = wh()
+    def mor(rows: Seq[(Long, String)]) = PipelineSpec(Seq(Model("sw", Nil,
+      Materialization.IncrementalMergeOnRead(Seq("id")),
+      (sp, _) => { import sp.implicits._; rows.toDF("id", "v") })))
+    assert(new PipelineRunner(spark, mor(Seq((1L, "a"))), w)
+      .run(Seq("run")).success)
+    assert(new PipelineRunner(spark, mor(Seq((1L, "b"))), w)
+      .run(Seq("run")).success)
+    // switch to a plain table materialization (full refresh by nature)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+    val r = new PipelineRunner(spark,
+      PipelineSpec(Seq(Model("sw", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._
+          Seq((7L, t0)).toDF("id", "ts") }))), w)
+    assert(r.run(Seq("run")).success)
+    assert(r.readTable("sw")
+      .as[(Long, java.sql.Timestamp)].collect().toSeq == Seq((7L, t0)),
+      "reads must not try to version-reconcile a non-MoR generation")
+    assert(manifestSidecar(r, "sw", "mor_keys").isEmpty,
+      "mor sidecars must not survive a non-MoR full refresh")
+    // the append-onto-MoR guard is satisfied again after the refresh
+    val app = PipelineSpec(Seq(Model("sw", Nil,
+      Materialization.IncrementalAppend("ts"),
+      (sp, _) => { import sp.implicits._
+        Seq((8L, t1)).toDF("id", "ts") })))
+    assert(new PipelineRunner(spark, app, w).run(Seq("run")).success)
+    assert(new PipelineRunner(spark, app, w).readTable("sw").count() == 2)
+  }
+
   test("mergeBatchOnRead: exactly-once versioned upserts, one member " +
       "per micro-batch, replay is a no-op") {
     val w = wh()

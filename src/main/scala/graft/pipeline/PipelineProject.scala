@@ -44,7 +44,7 @@ import org.apache.spark.sql.types.StructType
   *   {{ config(materialized='incremental', strategy='insert_overwrite',
   *             partition_by='c1,c2') }}
   *   {{ config(materialized='incremental', strategy='merge_on_read',
-  *             unique_key='k1[,k2]') }}
+  *             unique_key='k1[,k2]'[, delete_col='is_deleted']) }}
   *   {{ config(materialized='incremental', strategy='merge',
   *             unique_key='c1,c2'[, buckets='32'][, partition_by='c3']) }}
   *   {{ config(materialized='incremental', strategy='microbatch',
@@ -95,7 +95,8 @@ object PipelineProject {
               kv.get("partition_by")
                 .map(_.split(',').map(_.trim).toSeq).getOrElse(Nil))
             case "merge_on_read" => Materialization.IncrementalMergeOnRead(
-              need("unique_key").split(',').map(_.trim).toSeq)
+              need("unique_key").split(',').map(_.trim).toSeq,
+              deleteCol = kv.get("delete_col"))
             case "microbatch" => Materialization.IncrementalMicrobatch(
               need("event_time"), need("batch_size"), need("begin"),
               kv.get("lookback").map(_.toInt).getOrElse(1),

@@ -620,7 +620,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   private val OpenCol = "__open"
   private val GWindow = "__gwindow"
   private val GVer = "__gver"
-  private val hiddenCols = Seq(GBucket, OpenCol, GWindow, GVer)
+  private val GDel = "__gdel"
+  private val hiddenCols = Seq(GBucket, OpenCol, GWindow, GVer, GDel)
 
   /** Merge-on-read sidecar keys: the reconciliation key list and the
     * last version stamp (monotonic per merge).
@@ -645,8 +646,13 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keys.map(col): _*)
           .orderBy(coalesce(col(GVer), lit(0L)).desc)
-        df.withColumn("__graft_rn", row_number().over(w))
+        val latest = df.withColumn("__graft_rn", row_number().over(w))
           .filter(col("__graft_rn") === 1).drop("__graft_rn")
+        // a winning CDC tombstone hides its key (members written
+        // before delete support lack the marker — read as kept)
+        if (latest.columns.contains(GDel))
+          latest.filter(!coalesce(col(GDel), lit(false)))
+        else latest
       case _ => df
     }
 
@@ -1966,8 +1972,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       case Materialization.IncrementalMerge(keys, buckets, userParts, osc) =>
         mergeInto(name, df, keys, buckets, userParts, fullRefresh, osc = osc)
 
-      case Materialization.IncrementalMergeOnRead(keys, osc) =>
-        mergeOnRead(name, df, keys, fullRefresh, osc)
+      case Materialization.IncrementalMergeOnRead(keys, osc, delCol) =>
+        mergeOnRead(name, df, keys, fullRefresh, osc, deleteCol = delCol)
 
       case mb: Materialization.IncrementalMicrobatch =>
         runMicrobatch(m, mb, fullRefresh)
@@ -2165,10 +2171,22 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     */
   private def mergeOnRead(name: String, df: DataFrame, keys: Seq[String],
       fullRefresh: Boolean, osc: OnSchemaChange,
-      sidecars: Map[String, String] = Map.empty): Long = {
+      sidecars: Map[String, String] = Map.empty,
+      deleteCol: Option[String] = None): Long = {
     require(keys.nonEmpty, s"merge_on_read on $name needs a unique_key")
+    import org.apache.spark.sql.types.{BooleanType, LongType, StructField}
+    // consume the CDC delete flag into the hidden tombstone marker
+    // BEFORE any schema handling — the flag column itself never
+    // reaches the table surface
+    val delFlag = deleteCol
+      .map(c => coalesce(col(c).cast(BooleanType), lit(false)))
+      .getOrElse(lit(false))
+    val tagged = {
+      val t = df.withColumn(GDel, delFlag)
+      deleteCol.map(t.drop(_)).getOrElse(t)
+    }
     if (!tableExists(name) || fullRefresh) {
-      val base = df.withColumn(GVer, lit(0L))
+      val base = tagged.withColumn(GVer, lit(0L))
       val rel = writeBatch(name,
         p => base.write.mode("overwrite").parquet(p))
       publishManifest(name, Seq(rel), base.schema, sidecars = sidecars ++
@@ -2180,19 +2198,23 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           s"${genSidecar(name, MorKeys).getOrElse("<none>")}, model " +
           s"declares ${keys.mkString(",")} — full-refresh to change " +
           "the unique_key (or the source materialization)")
-      // schema evolution against the SURFACE schema — the hidden
-      // version column must survive every on_schema_change mode
-      // (sync_all_columns would otherwise drop it: absent from batch)
-      val stored = currentSchema(name).getOrElse(df.schema)
-      val storedSurface = StructType(stored.fields.filterNot(_.name == GVer))
-      val (evolvedSurface, batchDf) =
-        applySchemaChange(name, osc, storedSurface, df)
+      // schema evolution over surface + tombstone marker: declaring
+      // GDel as part of the compared stored shape keeps it through
+      // EVERY on_schema_change mode (Ignore's projection onto the
+      // stored schema would otherwise silently drop tombstones; a
+      // pre-delete-support table gains the column, its old members
+      // read NULL → kept). Only GVer stays outside the comparison.
+      val stored = currentSchema(name).getOrElse(tagged.schema)
+      val storedCmp = StructType(stored.fields
+        .filterNot(f => f.name == GVer || f.name == GDel) :+
+        StructField(GDel, BooleanType))
+      val (evolvedCmp, batchDf) =
+        applySchemaChange(name, osc, storedCmp, tagged)
       val ver = genSidecar(name, MorVer).map(_.toLong).getOrElse(0L) + 1
       val delta = batchDf.withColumn(GVer, lit(ver))
-      val evolved = StructType(evolvedSurface.fields :+
-        stored.fields.find(_.name == GVer).getOrElse(
-          org.apache.spark.sql.types.StructField(GVer,
-            org.apache.spark.sql.types.LongType)))
+      val evolved = StructType(evolvedCmp.fields :+
+        stored.fields.find(_.name == GVer)
+          .getOrElse(StructField(GVer, LongType)))
       val deltaBatch = writeBatch(name,
         p => delta.write.mode("overwrite").parquet(p))
       publishManifest(name, currentManifest(name).get :+ deltaBatch,
@@ -2308,13 +2330,14 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     */
   def mergeBatchOnRead(name: String, df: DataFrame, batchId: Long,
       uniqueKey: Seq[String],
-      sidecars: Map[String, String] = Map.empty): Long =
+      sidecars: Map[String, String] = Map.empty,
+      deleteCol: Option[String] = None): Long =
     lockFor(name).synchronized {
       withStreamLedger(name, batchId) { ledger =>
         tracked {
           mergeOnRead(name, df, uniqueKey, fullRefresh = false,
             osc = OnSchemaChange.AppendNewColumns,
-            sidecars = sidecars ++ ledger)
+            sidecars = sidecars ++ ledger, deleteCol = deleteCol)
         }
       }
     }

@@ -106,9 +106,18 @@ object Materialization {
     * CoW wins for read-heavy tables. CONTRACT (same as dbt merge /
     * Delta MERGE): each batch is unique per `uniqueKey` — duplicate
     * keys within one batch have no defined winner.
+    *
+    * `deleteCol` (CDC tombstones): names a BOOLEAN batch column; rows
+    * where it is true DELETE their key (the column is consumed into a
+    * hidden tombstone marker, not part of the table surface). A
+    * tombstone winning the version race hides the key from reads;
+    * `compact` drops folded tombstones entirely (the deletion becomes
+    * physical). Re-upserting the key later resurrects it — Debezium
+    * op='d' semantics.
     */
   final case class IncrementalMergeOnRead(uniqueKey: Seq[String],
-      onSchemaChange: OnSchemaChange = OnSchemaChange.AppendNewColumns)
+      onSchemaChange: OnSchemaChange = OnSchemaChange.AppendNewColumns,
+      deleteCol: Option[String] = None)
     extends Materialization
   /** dbt-core 1.9 `microbatch` incremental strategy (the headline 1.9
     * materialization; the reference's pin at `dbtoperator.py:273-274`

@@ -158,6 +158,39 @@ object PipelineOps extends QueryGroup {
       r2.readTable("mor_cust").orderBy("c_custkey")
     }),
 
+    // CDC ingestion onto the MoR table: batch 2 is a Debezium-style
+    // change feed — upserts AND tombstones (is_deleted=true) in one
+    // batch. Deleted keys disappear from reads; the flag column is
+    // consumed, never part of the surface. Oracle states the net
+    // final state directly over customer.
+    "mat_merge_on_read_cdc" -> ((s, d) => {
+      val wh = freshWh("mat_mor_cdc")
+      def spec(build: SparkSession => DataFrame) = PipelineSpec(Seq(Model(
+        "cdc_cust", Nil,
+        Materialization.IncrementalMergeOnRead(Seq("c_custkey"),
+          deleteCol = Some("is_deleted")),
+        (sp, _) => build(sp))))
+      mustSucceed(new PipelineRunner(s,
+        spec(sp => Tables.customer(sp, d)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").as("bal"))
+          .withColumn("is_deleted", lit(false))), wh).run(Seq("run")))
+      val r2 = new PipelineRunner(s, spec(sp => {
+        val c = Tables.customer(sp, d)
+        val ups = c
+          .filter(col("c_custkey") % 3 === 0 && col("c_custkey") % 10 =!= 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            lit(0.0).as("bal"), lit(false).as("is_deleted"))
+        val dels = c.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            lit(null).cast(DoubleType).as("bal"),
+            lit(true).as("is_deleted"))
+        ups.unionByName(dels)
+      }), wh)
+      mustSucceed(r2.run(Seq("run")))
+      r2.readTable("cdc_cust").orderBy("c_custkey")
+    }),
+
     // Merge composed with a user partition column (the 100 TB shape:
     // storage is o_orderstatus=…/__gbucket=…, so a delta confined to
     // one status rewrites only that partition's touched buckets, never
@@ -899,6 +932,12 @@ object PipelineOps extends QueryGroup {
       """SELECT c_custkey, c_mktsegment,
         |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "mat_merge_on_read_cdc" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 3 = 0 THEN 0.0 ELSE c_acctbal END AS bal
+        |FROM customer WHERE c_custkey % 10 <> 0
+        |ORDER BY c_custkey""".stripMargin,
 
     "mat_incremental_merge_partitioned" ->
       """SELECT o_orderkey, o_orderstatus,

@@ -485,6 +485,37 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(new PipelineRunner(spark, app, w).readTable("sw").count() == 2)
   }
 
+  test("merge-on-read CDC tombstones: delete hides the key, compact " +
+      "makes it physical, a later upsert resurrects") {
+    val w = wh()
+    def spec(rows: Seq[(Long, String, Boolean)]) = PipelineSpec(Seq(Model(
+      "cd", Nil,
+      Materialization.IncrementalMergeOnRead(Seq("id"),
+        deleteCol = Some("del")),
+      (sp, _) => { import sp.implicits._; rows.toDF("id", "v", "del") })))
+    assert(new PipelineRunner(spark,
+      spec(Seq((1L, "a", false), (2L, "a", false))), w)
+      .run(Seq("run")).success)
+    val r = new PipelineRunner(spark, spec(Seq((1L, "x", true))), w)
+    assert(r.run(Seq("run")).success)
+    assert(r.readTable("cd").orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq((2L, "a")),
+      "a winning tombstone hides its key")
+    assert(!r.readTable("cd").columns.contains("del"),
+      "the CDC flag column is consumed, never surfaced")
+    // compaction drops the tombstone AND its key physically
+    r.compact("cd")
+    val folded = spark.read.parquet(
+      s"${r.tablePath("cd")}/${manifestMembers(r, "cd").head}")
+    assert(folded.filter(col("id") === 1L).count() == 0,
+      "compact must not retain deleted keys in the folded base")
+    // resurrection: a later upsert brings the key back
+    val r2 = new PipelineRunner(spark, spec(Seq((1L, "c", false))), w)
+    assert(r2.run(Seq("run")).success)
+    assert(r2.readTable("cd").orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "c"), (2L, "a")))
+  }
+
   test("mergeBatchOnRead: exactly-once versioned upserts, one member " +
       "per micro-batch, replay is a no-op") {
     val w = wh()

@@ -985,6 +985,15 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     lockFor(name).synchronized {
       withStreamLedger(name, batchId) { ledger =>
         tracked {
+          // same guard as the incremental-append materialization: a
+          // merge_on_read table's reads reconcile latest-`__gver`-wins;
+          // an appended member has no version column (schema-on-read
+          // NULL → version 0), so its rows would tie nondeterministically
+          // with base rows and be silently deduped instead of appended
+          require(genSidecar(name, MorKeys).isEmpty,
+            s"appendBatch on $name: table is merge_on_read " +
+              "(version-reconciled); use mergeBatchOnRead, or " +
+              "full-refresh before switching materialization")
           val schema = currentSchema(name)
             .map(st => evolveSchema(name, st, df.schema))
             .getOrElse(df.schema)
@@ -1059,6 +1068,14 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * Current sidecars (the exactly-once streaming ledger, format
     * stamps) carry forward via `publishManifest` — restoring table
     * CONTENT must not re-open already-committed stream batch ids.
+    * EXCEPT the merge-on-read pair: `mor_keys`/`mor_ver` describe the
+    * restored MEMBERS (which key `__gver` versions reconcile on), not
+    * the table, so they are taken from the restored generation's own
+    * header. Carrying the live pair would e.g. restore a MoR
+    * generation without its reconciliation key after a full refresh
+    * dropped it — reads would silently surface superseded versions as
+    * duplicates — or reconcile on a unique_key the restored content
+    * never declared.
     * Fails loudly when `gen` or any batch it references was already
     * vacuumed (vacuum retains batches only for the newest
     * `keepGenerations` manifests).
@@ -1075,7 +1092,11 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       val schema = genSchema(name, gen).getOrElse(sys.error(
         s"restore $name @ $gen: manifest carries no schema header " +
           "(legacy layout) — read + replaceTable instead"))
-      publishManifest(name, members, schema)
+      val restoredMor = Seq(MorKeys, MorVer).flatMap(k =>
+        genHeader(name, gen, s"sidecar.$k").map(decodeSidecar)
+          .map(k -> _)).toMap
+      publishManifest(name, members, schema, sidecars = restoredMor,
+        dropSidecars = Set(MorKeys, MorVer))
     }
 
   /** Drop a warehouse table entirely: every generation, batch, and
@@ -2256,6 +2277,14 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         dropSidecars = Set(MorKeys, MorVer))
       writtenCount(name, batch, newB.schema)
     } else {
+      // explicit MoR check before the layout check: a merge_on_read
+      // table's whole-batch members would fail the member-shape
+      // require below anyway, but with a misleading "not scoped to
+      // __gbucket" message — name the real conflict
+      require(genSidecar(name, MorKeys).isEmpty,
+        s"merge on $name: table is merge_on_read (version-reconciled); " +
+          "use mergeBatchOnRead / merge_on_read materialization, or " +
+          "full-refresh before switching to copy-on-write merge")
       val stored = currentSchema(name).getOrElse(newB.schema)
       val (evolved, evolvedB) = applySchemaChange(name, osc, stored, newB)
       val cur = currentManifest(name).get

@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution._
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
   QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike,
+  ReusedExchangeExec, ShuffleExchangeLike}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
   BroadcastNestedLoopJoinExec, CartesianProductExec,
   ShuffledHashJoinExec, SortMergeJoinExec}
@@ -84,6 +85,11 @@ object PlanAudit {
       codegenOperators = inCodegen,
       operators = nodes.count {
         case _: WholeStageCodegenExec | _: InputAdapter => false
+        // exchanges / reuse wrappers are plan plumbing, never inside a
+        // codegen stage — counting them would deflate codegenCoverage
+        // relative to its documented "fraction of operators" meaning
+        case _: ShuffleExchangeLike | _: BroadcastExchangeLike => false
+        case _: ReusedExchangeExec | _: QueryStageExec => false
         case _ => true
       })
   }

@@ -152,15 +152,19 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan]
     case j @ Join(l, r, Inner, Some(cond), hint)
         if j.resolved && splitConjunctivePredicates(cond).size == 2 =>
       val conjs = splitConjunctivePredicates(cond)
-      val width = conf.getConfString(BucketWidthConf,
-        DefaultWidthMicros.toString).toLong
       // width=0 would divide-by-zero into one global bucket (silent
       // O(n·m) degeneration); a negative width makes the per-row
       // Sequence bounds descend and throw mid-query — fail at plan
-      // time with the conf key, same contract as the manual operator
-      require(width > 0,
-        s"$BucketWidthConf must be > 0 (got $width)")
-      val w = Literal(width, LongType)
+      // time with the conf key, same contract as the manual operator.
+      // Lazy so a bad conf only fails joins the rule actually
+      // rewrites, not every 2-conjunct inner join in the session.
+      lazy val w: Literal = {
+        val width = conf.getConfString(BucketWidthConf,
+          DefaultWidthMicros.toString).toLong
+        require(width > 0,
+          s"$BucketWidthConf must be > 0 (got $width)")
+        Literal(width, LongType)
+      }
       // 1) point-in-range first — the cheaper rewrite (the point side
       //    stays MAP-ONLY and needs no exactly-once conjunct, a point
       //    being in exactly one bucket); the shared `p` operand

@@ -87,9 +87,11 @@ object PlanAudit {
         case _: WholeStageCodegenExec | _: InputAdapter => false
         // exchanges / reuse wrappers are plan plumbing, never inside a
         // codegen stage — counting them would deflate codegenCoverage
-        // relative to its documented "fraction of operators" meaning
+        // relative to its documented "fraction of operators" meaning.
+        // (QueryStageExec never appears here: collectNodes unwraps it
+        // into q.plan and drops the wrapper itself.)
         case _: ShuffleExchangeLike | _: BroadcastExchangeLike => false
-        case _: ReusedExchangeExec | _: QueryStageExec => false
+        case _: ReusedExchangeExec => false
         case _ => true
       })
   }

@@ -150,6 +150,40 @@ class BandedRuleSpec extends AnyFunSuite with SparkTestBase {
     } finally s2.conf.unset(graft.plans.BandedIntervalJoinRule.MaxBucketsConf)
   }
 
+  test("bucketWidth<=0 fails at plan time naming the conf key, and " +
+      "only for joins the rule would rewrite") {
+    import s2.implicits._
+    s2.conf.set(graft.plans.BandedIntervalJoinRule.BucketWidthConf, "0")
+    try {
+      val left = Seq((1L, 0L, 20L)).toDF("lid", "s1", "e1")
+      val right = Seq((2L, 10L, 30L)).toDF("rid", "s2", "e2")
+      // an overlap join WOULD be rewritten → must fail at plan time
+      // (explain/executedPlan), before any task runs, naming the conf
+      val e = intercept[Exception](
+        overlap(left, right).queryExecution.executedPlan)
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(e).exists(
+        _.contains(graft.plans.BandedIntervalJoinRule.BucketWidthConf)),
+        s"expected the conf key in the error, got: ${msgs(e)}")
+      // a plain 2-conjunct equi-join is never rewritten — the bad
+      // conf must NOT poison it (ADVICE r11: the require used to run
+      // before band-shape matching)
+      val a = Seq((1L, 5L)).toDF("k1", "x1")
+      val b = Seq((1L, 7L)).toDF("k2", "x2")
+      assert(a.join(b, col("k1") === col("k2") &&
+        col("x1") < col("x2")).count() == 1)
+      // negative width fails the same way
+      s2.conf.set(graft.plans.BandedIntervalJoinRule.BucketWidthConf, "-5")
+      val e2 = intercept[Exception](
+        overlap(left, right).queryExecution.executedPlan)
+      assert(msgs(e2).exists(
+        _.contains(graft.plans.BandedIntervalJoinRule.BucketWidthConf)))
+    } finally
+      s2.conf.unset(graft.plans.BandedIntervalJoinRule.BucketWidthConf)
+  }
+
   test("integer-typed bounds band on their own scale") {
     import s2.implicits._
     val left = Seq((1L, 0L, 5000L), (2L, 9000L, 9500L))

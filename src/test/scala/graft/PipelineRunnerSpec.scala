@@ -584,6 +584,82 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(r.appendBatch("sl", df, 2L) == 1L)
   }
 
+  test("MoR guards: appendBatch and copy-on-write merge refuse a " +
+      "merge_on_read table, nothing commits") {
+    val w = wh()
+    val r = new PipelineRunner(spark, PipelineSpec(Nil), w)
+    assert(r.mergeBatchOnRead("mg",
+      Seq((1L, "a")).toDF("id", "v"), 0L, Seq("id")) == 1L)
+    val gensBefore = r.generations("mg")
+    // version-less appended rows would tie with base rows in the
+    // latest-wins reconcile instead of appending — refused loudly
+    val ex = intercept[IllegalArgumentException](
+      r.appendBatch("mg", Seq((2L, "b")).toDF("id", "v"), 1L))
+    assert(ex.getMessage.contains("merge_on_read"))
+    assert(r.generations("mg") == gensBefore,
+      "a refused append must not commit a generation")
+    // the refused batchId must NOT have been marked committed — the
+    // same batch still lands via the sanctioned MoR path
+    assert(r.mergeBatchOnRead("mg",
+      Seq((2L, "b")).toDF("id", "v"), 1L, Seq("id")) == 1L)
+    assert(r.readTable("mg").orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("copy-on-write merge onto a merge_on_read table fails the run, " +
+      "table content is untouched") {
+    val w = wh()
+    val r0 = new PipelineRunner(spark, PipelineSpec(Nil), w)
+    assert(r0.mergeBatchOnRead("cw",
+      Seq((1L, "a")).toDF("id", "v"), 0L, Seq("id")) == 1L)
+    val gensBefore = r0.generations("cw")
+    val cow = PipelineSpec(Seq(Model("cw", Nil,
+      Materialization.IncrementalMerge(Seq("id")),
+      (sp, _) => { import sp.implicits._
+        Seq((2L, "c")).toDF("id", "v") })))
+    assert(!new PipelineRunner(spark, cow, w).run(Seq("run")).success,
+      "copy-on-write merge must refuse a version-reconciled table")
+    assert(r0.generations("cw") == gensBefore)
+    assert(r0.readTable("cw")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    // full refresh IS the sanctioned escape hatch
+    assert(new PipelineRunner(spark, cow, w)
+      .run(Seq("run --full-refresh")).success)
+    assert(r0.readTable("cw")
+      .as[(Long, String)].collect().toSeq == Seq((2L, "c")))
+  }
+
+  test("restoreTable re-publishes a MoR generation's own sidecars " +
+      "after a full refresh away from merge_on_read") {
+    val w = wh()
+    def mor(rows: Seq[(Long, String)]) = PipelineSpec(Seq(Model("rm", Nil,
+      Materialization.IncrementalMergeOnRead(Seq("id")),
+      (sp, _) => { import sp.implicits._; rows.toDF("id", "v") })))
+    assert(new PipelineRunner(spark, mor(Seq((1L, "a"), (2L, "a"))), w)
+      .run(Seq("run")).success)
+    assert(new PipelineRunner(spark, mor(Seq((1L, "b"))), w)
+      .run(Seq("run")).success)
+    // full-refresh switch to a plain table drops the MoR sidecars
+    val r = new PipelineRunner(spark,
+      PipelineSpec(Seq(tableModel("rm", Seq((9L, "t"))))), w)
+    assert(r.run(Seq("run")).success)
+    assert(manifestSidecar(r, "rm", "mor_keys").isEmpty)
+    val gens = r.generations("rm")
+    // restore the 2-member MoR generation: its OWN sidecars must come
+    // back, so reads version-reconcile instead of surfacing raw rows
+    r.restoreTable("rm", gens(1))
+    assert(manifestSidecar(r, "rm", "mor_keys").nonEmpty,
+      "restore must re-publish the restored generation's MoR sidecars")
+    assert(r.readTable("rm").orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "b"), (2L, "a")),
+      "the restored MoR generation must reconcile latest-version-wins")
+    // and restoring the non-MoR generation drops them again
+    r.restoreTable("rm", gens(2))
+    assert(manifestSidecar(r, "rm", "mor_keys").isEmpty)
+    assert(r.readTable("rm")
+      .as[(Long, String)].collect().toSeq == Seq((9L, "t")))
+  }
+
   test("compact collapses members, preserves data and merge layout") {
     val w = wh()
     val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")

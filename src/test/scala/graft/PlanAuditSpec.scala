@@ -50,6 +50,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(rep.shuffles == 0, rep.summary)
   }
 
+  test("exchanges and AQE stage wrappers stay out of the operators " +
+      "denominator") {
+    // final AQE plan: WSCG(2){HashAggregate} ← AQEShuffleRead ←
+    // ShuffleQueryStage ← Exchange ← WSCG(1){HashAggregate,
+    // ColumnarToRow} ← FileScan. Real operators = 5 (2 aggs, C2R,
+    // scan, AQEShuffleRead); in-codegen = 3. The Exchange and the
+    // QueryStage wrappers must NOT inflate the denominator (3/6 or
+    // worse would misreport the honest 3/5)
+    val df = spark.read.parquet(s"$sf/nation.parquet")
+      .groupBy("n_regionkey").agg(count(lit(1)).as("n"))
+    df.queryExecution.toRdd.count() // materialize AQE stages
+    val rep = PlanAudit.audit(df)
+    assert(rep.shuffles == 1, rep.summary)
+    assert(rep.codegenOperators == 3, rep.summary)
+    assert(rep.operators == 5,
+      s"exchange/wrapper leaked into the denominator: ${rep.summary}")
+  }
+
   test("every registered query key passes the nested-loop gate except " +
       "the declared brute-force tiers") {
     // the declared exceptions: oracle-exactness brute-force tiers and

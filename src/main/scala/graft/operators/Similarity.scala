@@ -310,14 +310,11 @@ object Similarity {
       if (sampleFraction >= 1.0) emb
       else emb.filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) <
         lit((sampleFraction * 1000000L).toLong))
-    // precompute the per-row norm ONCE (shared by all k comparisons)
-    // and keep dots on the native codegen'd VecDot — the higher-order
-    // aggregate(zip_with(...)) form dispatches a lambda per element
-    // and made training ~50× slower at sf0.1
+    // keep math on the native codegen'd expressions — the
+    // higher-order aggregate(zip_with(...)) form dispatches a lambda
+    // per element and made training ~50× slower at sf0.1
     val vecs = training.select(col("vec_id"), col("embedding")
       .cast(ArrayType(DoubleType)).as("v"))
-      .withColumn("vn",
-        sqrt(graft.functions.GraftFunctions.vecDot(col("v"), col("v"))))
       .localCheckpoint()
     var cents: Seq[Seq[Double]] = vecs
       .withColumn("h", xxhash64(col("vec_id")))
@@ -326,14 +323,15 @@ object Similarity {
     require(cents.nonEmpty, "kmeansCentroids: no input vectors " +
       "(empty input or sampleFraction too small)")
     for (_ <- 0 until iters) {
-      val cosArr = array(cents.map { cv =>
-        val cn = math.sqrt(cv.map(x => x * x).sum)
-        graft.functions.GraftFunctions.vecDot(col("v"),
-          array(cv.map(lit): _*)) / (col("vn") * lit(cn))
-      }: _*)
-      // argmax = 1-based position of the max cosine; ties break to the
-      // lowest cid (first occurrence) — deterministic
-      val cid = (array_position(cosArr, array_max(cosArr)) - 1).cast("int")
+      // fused native argmax (norm + k dots + first-max-wins argmax in
+      // one pass); the centroid matrix rides the plan as a LITERAL
+      // reaching generated code via `references`, so every Lloyd
+      // iteration produces byte-identical codegen source and reuses
+      // the iteration-1 compiled class instead of recompiling — the
+      // dominant per-iteration cost of the old k-unrolled
+      // array(vecDot(v, array(lit…))/…) form
+      val cid = graft.functions.GraftFunctions.vecCosArgmax(col("v"),
+        typedLit(cents))
       val means = vecs
         .select(cid.as("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         // exact fixed-scale decimal sum: associative/commutative, so
@@ -455,14 +453,13 @@ object Similarity {
       initRows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
         .map(_.getSeq[Double](2).toSeq).toSeq
     }
-    def argminExpr(s: Int): Column = {
-      val scores = array(books(s).map { cv =>
-        lit(cv.map(x => x * x).sum) - lit(2.0) *
-          graft.functions.GraftFunctions.vecDot(col("sv"),
-            array(cv.map(lit): _*))
-      }: _*)
-      (array_position(scores, array_min(scores)) - 1).cast("int")
-    }
+    // fused native argmin ‖c‖²−2·sv·c with the codebook as a
+    // references-loaded literal — codegen source is iteration-stable,
+    // so the m-subspace assignment stage compiles once (see
+    // kmeansCentroids)
+    def argminExpr(s: Int): Column =
+      graft.functions.GraftFunctions.vecL2Argmin(col("sv"),
+        typedLit(books(s)))
     for (_ <- 0 until iters) {
       val cid = (0 until m).foldLeft(lit(-1): Column) { (acc, s) =>
         when(col("sub") === s, argminExpr(s)).otherwise(acc)
@@ -500,12 +497,8 @@ object Similarity {
     val dsub = codebooks.head.head.length
     val v = col("embedding").cast(ArrayType(DoubleType))
     val codes = array((0 until m).map { s =>
-      val sv = slice(v, s * dsub + 1, dsub)
-      val scores = array(codebooks(s).map { cv =>
-        lit(cv.map(x => x * x).sum) - lit(2.0) *
-          graft.functions.GraftFunctions.vecDot(sv, array(cv.map(lit): _*))
-      }: _*)
-      (array_position(scores, array_min(scores)) - 1).cast("int")
+      graft.functions.GraftFunctions.vecL2Argmin(
+        slice(v, s * dsub + 1, dsub), typedLit(codebooks(s)))
     }: _*)
     emb.select(col("vec_id"), codes.as("codes"))
   }
@@ -584,12 +577,16 @@ object Similarity {
     val scoreArr = (vc: Column) => array(centRows.map { cv =>
       cosFn(vc, array(cv.map(lit): _*))
     }: _*)
+    // consumed 3× (both pair-join sides + the final join-back) —
+    // materialize once or the whole assignment lineage (scan + k-wide
+    // scored projection) re-runs and re-codegens per consumer
     val assigned = emb
       .select(col("vec_id"), col("embedding"))
       .withColumn("sc", scoreArr(col("embedding")))
       .withColumn("cid",
         array_position(col("sc"), array_max(col("sc"))).cast("int"))
       .drop("sc")
+      .localCheckpoint()
     val a = assigned.select(col("cid"), col("vec_id").as("a"),
       col("embedding").as("va"))
     val b = assigned.select(col("cid"), col("vec_id").as("b"),

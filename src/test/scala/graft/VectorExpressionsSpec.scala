@@ -72,6 +72,96 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase {
       s"expected a clear type error, got: ${messages(e).mkString(" | ")}")
   }
 
+  test("vecCosArgmax == array_position(argmax) over the unrolled " +
+      "literal form, bitwise, incl. zero-vector NaN rows") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val cents: Seq[Seq[Double]] =
+      Seq.tabulate(5)(_ => Seq.fill(8)(rnd.nextGaussian()))
+    val rows = Seq.tabulate(200)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian())))
+    val df = rows.toDF("vec_id", "v").repartition(4)
+    // the reference: the exact expression kmeansCentroids used before
+    val cosArr = array(cents.map { cv =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      GraftFunctions.vecDot(col("v"), array(cv.map(lit): _*)) /
+        (sqrt(GraftFunctions.vecDot(col("v"), col("v"))) * lit(cn))
+    }: _*)
+    val want = df.select(col("vec_id"),
+      (array_position(cosArr, array_max(cosArr)) - 1).cast("int").as("cid"))
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    val got = df.select(col("vec_id"),
+      GraftFunctions.vecCosArgmax(col("v"), typedLit(cents)).as("cid"))
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq == want.toSeq)
+    // a zero vector cosines to NaN everywhere; under ANSI the old `/`
+    // form would even throw DIVIDE_BY_ZERO — the native expression
+    // instead lands it deterministically on centroid 0 (first NaN
+    // wins, matching Spark's NaN-is-largest double order)
+    val z = Seq((0L, Seq.fill(8)(0.0))).toDF("vec_id", "v")
+    assert(z.select(GraftFunctions.vecCosArgmax(col("v"),
+      typedLit(cents))).head().getInt(0) == 0)
+  }
+
+  test("vecL2Argmin == array_position(argmin) over the unrolled " +
+      "literal form; float vectors read natively") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(19)
+    val cents: Seq[Seq[Double]] =
+      Seq.tabulate(6)(_ => Seq.fill(4)(rnd.nextGaussian()))
+    val rows = Seq.tabulate(150)(i =>
+      (i.toLong, Seq.fill(4)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "v").repartition(3)
+    val dv = col("v").cast("array<double>")
+    val scores = array(cents.map { cv =>
+      lit(cv.map(x => x * x).sum) - lit(2.0) *
+        GraftFunctions.vecDot(dv, array(cv.map(lit): _*))
+    }: _*)
+    val want = df.select(col("vec_id"),
+      (array_position(scores, array_min(scores)) - 1).cast("int").as("c"))
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    // float input path: float→double per lane is exact, so the argmin
+    // must agree with the cast-to-double reference
+    val got = df.select(col("vec_id"),
+      GraftFunctions.vecL2Argmin(col("v"), typedLit(cents)).as("c"))
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("centroid-scan expressions demand a literal matrix and keep " +
+      "codegen source value-independent across literal changes") {
+    GraftFunctions.register(spark)
+    val df = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "v")
+    // a column (non-foldable) centroid arg is rejected loudly
+    val e = intercept[Exception] {
+      df.select(GraftFunctions.vecCosArgmax(col("v"),
+        array(col("v")))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("must be a literal")),
+      messages(e).mkString(" | "))
+    // Lloyd-iteration cache-stability: two plans differing ONLY in
+    // centroid values generate identical codegen source (values ride
+    // `references`, not the source text) — the compile-once property
+    // the k-means loop relies on
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    def source(cents: Seq[Seq[Double]]): String = {
+      val plan = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(GraftFunctions.vecCosArgmax(
+          col("embedding").cast("array<double>"), typedLit(cents)).as("c"))
+        .queryExecution.executedPlan
+      val wscg = plan.collectFirst { case w: WholeStageCodegenExec => w }
+      assert(wscg.nonEmpty, plan.toString.take(500))
+      wscg.get.doCodeGen()._2.body
+    }
+    val s1 = source(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val s2 = source(Seq(Seq(2.5, 3.5), Seq(4.5, 5.5)))
+    assert(s1 == s2,
+      "codegen source must not embed centroid values")
+  }
+
   test("expression participates in WholeStageCodegen") {
     GraftFunctions.register(spark)
     // a parquet scan keeps the projection in the physical plan (a

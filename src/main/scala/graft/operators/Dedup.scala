@@ -479,28 +479,42 @@ object Dedup {
       graft.functions.TextSignatures.simHash(col(textCol)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs with a *guaranteed-recall* blocking scheme:
-    * the 64-bit signature is split into `maxDist + 1` chunks, so by
-    * pigeonhole any pair at hamming distance ≤ maxDist must agree on at
-    * least one whole chunk (maxDist differing bits cannot touch all
-    * maxDist+1 chunks). Candidates come from a chunk equi-join, are
-    * deduped to bare pairs, then verified by exact `bit_count(xor)`.
-    * 100 % recall within maxDist; cost grows as chunks narrow
-    * (64/(d+1) bits each), so keep maxDist small (≤ 7 ⇒ ≥ 8-bit chunks).
+  /** SimHash near-dup pairs with a *guaranteed-recall* blocking scheme
+    * (multi-index Hamming search): the 64-bit signature is split into
+    * `maxDist + 2` chunks and candidates block on every PAIR of
+    * chunks — at hamming distance ≤ maxDist at most maxDist chunks
+    * are dirty, leaving ≥ 2 clean chunks, so every true pair agrees
+    * on at least one whole chunk-pair key. Candidates come from the
+    * chunk-pair equi-join, are verified by exact `bit_count(xor)`,
+    * then deduped to bare pairs. 100 % recall within maxDist.
+    *
+    * Why pairs and not the classic single-chunk pigeonhole
+    * (maxDist + 1 chunks, key = one chunk): single-chunk keys are
+    * only 64/(d+1) bits wide — 8 bits at d=7 — so bucket occupancy
+    * (and the candidate-pair quadratic) saturates at a few thousand
+    * docs; the sf1 soak measured 105× wall growth for 10× docs.
+    * Chunk-pair keys are twice as wide (14 bits at d=7) for a
+    * C(d+2,2)/(d+1) ≈ 4.5× row-replication trade — candidate pairs
+    * shrink ~14× at 50k docs and keep shrinking quadratically in the
+    * key-width gain as the corpus grows.
     */
   def simHashNearDups(sigs: DataFrame, idCol: String,
                       maxDist: Int = 7, cut: Cut = localCut): DataFrame = {
     require(maxDist >= 0 && maxDist < 32, "maxDist must be in [0, 31]")
-    val nChunks = maxDist + 1
+    val nChunks = maxDist + 2
     // chunk i covers bits [i*64/nChunks, (i+1)*64/nChunks)
     val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
+    def chunkExpr(c: Int): String = {
+      val lo = bounds(c); val width = bounds(c + 1) - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      s"((simhash >> $lo) & $mask)"
+    }
+    val keys = for {
+      i <- 0 until nChunks; j <- (i + 1) until nChunks
+    } yield expr(s"(${chunkExpr(i)} << 32) | ${chunkExpr(j)}")
     val sh = cut(sigs)
     val chunked = sh.select(col(idCol).as("id"), col("simhash"),
-      posexplode(array((0 until nChunks).map { c =>
-        val lo = bounds(c); val width = bounds(c + 1) - lo
-        val mask = if (width >= 64) -1L else (1L << width) - 1L
-        expr(s"(simhash >> $lo) & $mask")
-      }: _*)).as(Seq("chunk", "cval")))
+      posexplode(array(keys: _*)).as(Seq("chunk", "cval")))
     // Unlike MinHash (wide signature arrays, pricier scoring), the
     // SimHash signature is ONE long — so carry it through the chunk
     // join and popcount-filter BEFORE deduplicating. Correlated bits

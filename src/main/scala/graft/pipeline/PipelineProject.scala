@@ -135,6 +135,31 @@ object PipelineProject {
     val sourceEventTime: Map[String, String] =
       sourceLines.collect { case (n, _, Some(c)) => n -> c }.toMap
 
+    // macros/*.sql: {% macro %} definitions shared by every model
+    // (dbt's project macro namespace — real dbt projects ship these,
+    // which the reference loads wholesale, `dbtoperator.py:286-312`).
+    // Name collisions across macro files fail loudly at load.
+    val macrosDir = root.resolve("macros")
+    val macroLib: Map[String, Model.MacroDef] =
+      if (!Files.isDirectory(macrosDir)) Map.empty
+      else {
+        val defs = listFiles(macrosDir)
+          .filter(_.getFileName.toString.endsWith(".sql"))
+          .sortBy(_.getFileName.toString)
+          .flatMap { p =>
+            val (ds, rest) = Model.parseMacros(
+              s"macros/${p.getFileName}", Files.readString(p))
+            require(rest.trim.isEmpty,
+              s"macros/${p.getFileName}: only {% macro %} definitions " +
+                s"are allowed in a macro file, found: ${rest.trim.take(80)}")
+            ds
+          }
+        defs.groupBy(_.name).foreach { case (n, ds) =>
+          require(ds.size == 1, s"macro '$n' defined ${ds.size} times")
+        }
+        defs.map(d => d.name -> d).toMap
+      }
+
     val modelsDir = root.resolve("models")
     val models: Seq[Model] =
       if (!Files.isDirectory(modelsDir)) Nil
@@ -168,7 +193,8 @@ object PipelineProject {
             access = kv.getOrElse("access", "protected"),
             // dbt description/persist_docs: free text carried into
             // manifest.json and docs generate's catalog.json
-            description = kv.get("description"))
+            description = kv.get("description"),
+            macros = macroLib)
         }
 
     val seedsDir = root.resolve("seeds")

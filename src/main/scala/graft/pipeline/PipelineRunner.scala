@@ -1211,12 +1211,24 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * runner a `run --threads N` publish cannot commit a generation
     * between the manifest read and the deletes; each delete is
     * additionally double-checked against a freshly re-read keep set.
-    * Cross-process writers still need an external lock (single-writer
-    * assumption, as in any vanilla-parquet table format).
+    *
+    * Cross-process safety rides `minAgeMs` (Delta's VACUUM retention
+    * analogue): only objects OLDER than the grace window are
+    * deletable, so another JVM's just-staged batch or in-flight
+    * `.committing_` temp — invisible to this JVM's `stagedBatches` /
+    * table lock — cannot be swept out from under its commit. The
+    * default comfortably exceeds any materialization's stage→publish
+    * window; genuine crash debris ages past it and is then collected.
+    * (Hammer-tested with two racing JVMs in `WarehouseStressSpec`.)
     */
-  def vacuum(name: String, keepGenerations: Int = 1): Unit =
+  def vacuum(name: String, keepGenerations: Int = 1,
+      minAgeMs: Long = PipelineRunner.DefaultVacuumGraceMs): Unit =
     lockFor(name).synchronized {
       require(keepGenerations >= 1, "must retain at least the live generation")
+      val cutoff = System.currentTimeMillis() - math.max(0L, minAgeMs)
+      def oldEnough(p: java.nio.file.Path): Boolean =
+        try Files.getLastModifiedTime(p).toMillis <= cutoff
+        catch { case _: java.io.IOException => false } // gone already
       currentGenName(name).foreach { gen0 =>
         val root = Paths.get(tablePath(name))
         // batches referenced by ANY retained generation (the newest N,
@@ -1236,6 +1248,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             // hasn't committed its manifest yet (run --threads N)
             .filterNot(b =>
               stagedBatches.contains((name, s"data/${b.getFileName}")))
+            // cross-process grace: another JVM's staged batch is not
+            // in OUR stagedBatches — age is the only safe signal
+            .filter(oldEnough)
           if (candidates.nonEmpty) {
             // re-read immediately before deleting: a batch is removed
             // only if BOTH reads agree it is unreferenced
@@ -1248,8 +1263,11 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         // keep retained generations' manifests AND all their legacy
         // sibling sidecars (.schema, .streamids, …) — match on the
         // gen-name prefix; also GC quarantined legacy aborts and
-        // orphaned commit temp files (crash debris — within this
-        // runner the table lock means no commit is in flight here)
+        // orphaned commit temp files. Commit temps and aborts pass
+        // the cross-process age grace too: another JVM's in-flight
+        // `.committing_` temp is milliseconds old — only true crash
+        // debris ages past the window (committed gen_ files appear
+        // atomically via link, so age is irrelevant for them)
         val keepGens = retained().toSet + gen0
         def live(f: String) = keepGens.exists(g =>
           f == g || f.startsWith(s"$g."))
@@ -1257,8 +1275,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           .filter { p =>
             val f = p.getFileName.toString
             (f.startsWith("gen_") && !live(f)) ||
-              f.startsWith("_aborted_") ||
-              (f.startsWith(".committing_") && f.endsWith(".tmp"))
+              ((f.startsWith("_aborted_") ||
+                (f.startsWith(".committing_") && f.endsWith(".tmp"))) &&
+                oldEnough(p))
           }
           .foreach(Files.deleteIfExists(_))
       }
@@ -2813,12 +2832,17 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * generations (default 1 — live only).
     */
   private def parseVacuumFlags(flags: Seq[String])
-      : Option[(Selection, Int)] = {
+      : Option[(Selection, Int, Long)] = {
     var keep = 1
+    var minAge = PipelineRunner.DefaultVacuumGraceMs
     parseSelFlags(flags) {
       case "--keep" :: v :: t if v.forall(_.isDigit) && v.nonEmpty =>
         keep = v.toInt; t
-    }.map((_, keep))
+      // Delta `VACUUM ... RETAIN` analogue: lower ONLY when no other
+      // process can be mid-publish (CI teardown, single-writer batch)
+      case "--min-age-ms" :: v :: t if v.forall(_.isDigit) && v.nonEmpty =>
+        minAge = v.toLong; t
+    }.map((_, keep, minAge))
   }
 
   /** `run` flags: select/exclude plus `--threads <n>`,
@@ -3596,10 +3620,10 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         // locking and the staged-batch guard make it safe next to
         // `run --threads N` publishes.
         case "vacuum" +: flags if parseVacuumFlags(flags).isDefined =>
-          val (sel, keep) = parseVacuumFlags(flags).get
+          val (sel, keep, minAge) = parseVacuumFlags(flags).get
           val names = selectIn(resourceDeps, sel, lenient = true)
             .toSeq.sorted.filter(tableExists)
-          names.foreach(vacuum(_, keep))
+          names.foreach(vacuum(_, keep, minAge))
           CommandResult(command, success = true, names, Map.empty, None)
         // `dbt clone` — copy each selected node's live relation from
         // the `--state` warehouse into this one (dbt's CI-bootstrap
@@ -3724,6 +3748,14 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
 }
 
 object PipelineRunner {
+  /** Default cross-process vacuum retention (Delta VACUUM-retention
+    * analogue): objects younger than this are never swept, so another
+    * JVM's stage→publish window can't lose its batch. 15 minutes —
+    * orders of magnitude above any single materialization's staging
+    * time, small enough that crash debris collects within the hour.
+    */
+  val DefaultVacuumGraceMs: Long = 15L * 60L * 1000L
+
   /** Loan pattern mirroring the reference's context manager
     * (`dbtoperator.py:454-461`): init on entry, cleanup on exit even
     * on failure.

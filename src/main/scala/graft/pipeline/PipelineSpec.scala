@@ -417,6 +417,161 @@ object Model {
       scala.util.matching.Regex.quoteReplacement(v)
     })
 
+  /** A parsed `{% macro name(p1, p2='default') %} body {% endmacro %}`
+    * definition (dbt `macros/` surface). Params are positional with
+    * optional literal defaults; the body substitutes `{{ param }}`
+    * occurrences and may itself use `{{ var/ref/source }}`,
+    * `{% for %}` and `{% if is_incremental() %}` — macro expansion
+    * runs FIRST, so the existing render passes see the expanded text.
+    */
+  final case class MacroDef(name: String,
+      params: Seq[(String, Option[String])], body: String)
+
+  // {% macro name(params) %} body {% endmacro %} — non-nested, like
+  // real dbt macro files
+  private val macroDefRe =
+    ("""(?s)\{%\s*macro\s+(\w+)\s*\(([^)]*)\)\s*%\}(.*?)""" +
+      """\{%\s*endmacro\s*%\}""").r
+  // a param: `name` or `name='default'` / `name="default"` / `name=42`
+  private val macroParamRe =
+    """\s*(\w+)\s*(?:=\s*(?:'([^']*)'|"([^"]*)"|([^,\s]+)))?\s*""".r
+
+  /** Collect macro definitions from a text and return them with the
+    * text STRIPPED of the definitions (what remains is the renderable
+    * model body — dbt macro files are all-defs, model files may embed
+    * file-local macros).
+    */
+  def parseMacros(scope: String, text: String): (Seq[MacroDef], String) = {
+    val defs = macroDefRe.findAllMatchIn(text).map { m =>
+      val params = m.group(2).split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty).map {
+          case macroParamRe(n, sq, dq, bare) =>
+            n -> Option(sq).orElse(Option(dq)).orElse(Option(bare))
+          case other => sys.error(
+            s"$scope: malformed macro parameter '$other'")
+        }
+      MacroDef(m.group(1), params, m.group(3))
+    }.toSeq
+    (defs, macroDefRe.replaceAllIn(text, ""))
+  }
+
+  /** Quote-aware split of a macro invocation's argument list: items
+    * are 'single'-/"double"-quoted literals (commas inside stay
+    * literal, quotes strip like Jinja) or bare paren-free tokens,
+    * optionally as `name=value` keyword form. Returns
+    * (positional, keyword) argument texts.
+    */
+  private def parseMacroArgs(scope: String, macroName: String,
+      argText: String): (Seq[String], Map[String, String]) = {
+    // split on commas outside quotes
+    val items = scala.collection.mutable.ListBuffer.empty[String]
+    var quote = ' ' // current quote char, or space for none
+    val cur = new StringBuilder
+    argText.foreach { c =>
+      if (quote != ' ') { cur += c; if (c == quote) quote = ' ' }
+      else if (c == '\'' || c == '"') { cur += c; quote = c }
+      else if (c == ',') { items += cur.result(); cur.clear() }
+      else cur += c
+    }
+    require(quote == ' ',
+      s"$scope: unterminated string in arguments of $macroName(...)")
+    if (cur.result().trim.nonEmpty || items.nonEmpty)
+      items += cur.result()
+    def unquote(s: String): String = {
+      val t = s.trim
+      if (t.length >= 2 && (t.head == '\'' || t.head == '"') &&
+        t.last == t.head) t.substring(1, t.length - 1)
+      else t
+    }
+    val kwRe = """(?s)\s*(\w+)\s*=\s*(.+)""".r
+    val (kw, pos) = items.toList.filter(_.trim.nonEmpty)
+      .partition(i => kwRe.pattern.matcher(i).matches() &&
+        // a quoted value starting the item is positional ('a=b' is a
+        // literal, not a kwarg)
+        !i.trim.startsWith("'") && !i.trim.startsWith("\""))
+    val kwargs = kw.map { case kwRe(k, v) => k -> unquote(v) }.toMap
+    (pos.map(unquote), kwargs)
+  }
+
+  /** Expand macro invocations `{{ name(args) }}` against a macro
+    * library, innermost-first up to a fixed depth so macros may call
+    * macros without unbounded recursion. Unknown names are left
+    * untouched (they may be engine functions rendered later, e.g.
+    * `{{ var(...) }}`); arity/unknown-kwarg violations on a KNOWN
+    * macro fail loudly like dbt's compile error.
+    */
+  def renderMacros(scope: String, text: String,
+      macros: Map[String, MacroDef]): String = {
+    if (macros.isEmpty) return text
+    // args may not contain parens outside quotes (pass complex
+    // expressions via {% set %} or a var); lazily to the first `)`
+    val callRe = ("""\{\{\s*(""" + macros.keys.map(
+      java.util.regex.Pattern.quote).mkString("|") +
+      """)\(([^)]*)\)\s*\}\}""").r
+    var out = text
+    var depth = 0
+    while (callRe.findFirstIn(out).isDefined) {
+      require(depth < 8,
+        s"$scope: macro expansion exceeded depth 8 (recursive macro?)")
+      depth += 1
+      out = callRe.replaceAllIn(out, m => {
+        val mac = macros(m.group(1))
+        val (pos, kwargs) = parseMacroArgs(scope, mac.name, m.group(2))
+        require(pos.length <= mac.params.length,
+          s"$scope: macro ${mac.name} takes at most " +
+            s"${mac.params.length} arguments, got ${pos.length}")
+        kwargs.keys.foreach(k => require(mac.params.exists(_._1 == k),
+          s"$scope: macro ${mac.name} has no parameter '$k'"))
+        val bound = mac.params.zipWithIndex.map { case ((p, dflt), i) =>
+          val v = if (i < pos.length) pos(i)
+          else kwargs.getOrElse(p, dflt.getOrElse(sys.error(
+            s"$scope: macro ${mac.name} missing argument '$p'")))
+          p -> v
+        }
+        val bodyOut = bound.foldLeft(mac.body) { case (b, (p, v)) =>
+          ("""\{\{\s*""" + p + """\s*\}\}""").r.replaceAllIn(b,
+            scala.util.matching.Regex.quoteReplacement(v))
+        }
+        scala.util.matching.Regex.quoteReplacement(bodyOut.trim)
+      })
+    }
+    out
+  }
+
+  // {% set name = value %} — value: 'string' / "string" / number /
+  // bare token / [literal list]
+  private val setRe =
+    """\{%\s*set\s+(\w+)\s*=\s*('[^']*'|"[^"]*"|\[[^\]]*\]|[^%]+?)\s*%\}""".r
+
+  /** Bind `{% set %}` literals: the statement is stripped, scalar
+    * values substitute `{{ name }}` occurrences, and list values
+    * substitute `{% for x in name %}` loop sources (the common dbt
+    * `{% set cols = [...] %} … {% for c in cols %}` shape). Runs
+    * after macro expansion (macro bodies may emit sets) and before
+    * `{% for %}` / var rendering.
+    */
+  def renderSet(scope: String, text: String): String = {
+    var out = text
+    setRe.findAllMatchIn(text).foreach { m =>
+      val (name, raw) = (m.group(1), m.group(2).trim)
+      if (raw.startsWith("[")) {
+        // list: substitute into for-loop sources
+        val forUse = ("""(\{%\s*for\s+\w+\s+in\s+)""" + name +
+          """(\s*%\})""").r
+        out = forUse.replaceAllIn(out, fm =>
+          scala.util.matching.Regex.quoteReplacement(
+            fm.group(1) + raw + fm.group(2)))
+      } else {
+        val v = if (raw.length >= 2 && (raw.head == '\'' || raw.head == '"')
+          && raw.last == raw.head) raw.substring(1, raw.length - 1)
+        else raw
+        out = ("""\{\{\s*""" + name + """\s*\}\}""").r.replaceAllIn(out,
+          scala.util.matching.Regex.quoteReplacement(v))
+      }
+    }
+    setRe.replaceAllIn(out, "")
+  }
+
   /** SQL-text model — the reference's ACTUAL model format. dbt models
     * are Jinja-SQL files whose `{{ ref('m') }}` / `{{ source('s') }}`
     * calls both declare the DAG edges and are compiled to relation
@@ -440,15 +595,26 @@ object Model {
           eventTime: Option[String] = None,
           group: Option[String] = None,
           access: String = "protected",
-          description: Option[String] = None)
+          description: Option[String] = None,
+          macros: Map[String, MacroDef] = Map.empty)
           : Model = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"model name must be a SQL identifier: $name")
-    val deps = parseRefs(sqlText)
+    // macro + {% set %} expansion runs ONCE, at parse time (dbt
+    // compiles macros before everything else): file-local {% macro %}
+    // defs override the project library under the same name; the
+    // expanded text is what declares deps (a ref inside a macro body
+    // IS a DAG edge, as in dbt), renders downstream, and checksums
+    // for state:modified (a macro edit modifies its callers).
+    val (localMacros, stripped) = parseMacros(s"model $name", sqlText)
+    val expandedText = renderSet(s"model $name",
+      renderMacros(s"model $name", stripped,
+        macros ++ localMacros.map(d => d.name -> d).toMap)).trim
+    val deps = parseRefs(expandedText)
     def run(spark: SparkSession, inputs: Map[String, DataFrame],
         ctx: BuildCtx): DataFrame = {
       val rendered = renderIncremental(name,
-        renderFor(name, renderVars(name, sqlText, ctx.vars)),
+        renderFor(name, renderVars(name, expandedText, ctx.vars)),
         ctx.isIncremental)
       // {{ this }} → the model's CURRENT target table, via a scoped
       // temp view (dbt renders it to the target relation name; the
@@ -472,7 +638,7 @@ object Model {
       buildV = Some((spark, inputs, vars) =>
         run(spark, inputs, BuildCtx(vars = vars))),
       buildC = Some(run),
-      sqlText = Some(sqlText),
+      sqlText = Some(expandedText),
       contract = contract,
       preHooks = preHooks,
       postHooks = postHooks,

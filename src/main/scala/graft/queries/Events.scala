@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryGroup, Tables}
 import graft.Tables.{dec2, asDouble}
+import graft.pipeline.{PipelineRunner, PipelineSpec}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -176,11 +177,76 @@ object EventWindows extends QueryGroup {
         .agg(max(col("ts")).as("last_seen"),
           count(lit(1)).as("n_events"),
           asDouble(sum(dec2(col("value")))).as("total_value"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // REAL readStream file-source end-to-end (SURVEY §7 Phase S): the
+    // events table is fed to a parquet-directory source in two
+    // time-ordered chunks with a full query STOP + checkpoint RESTART
+    // between them, through a watermarked tumbling agg whose
+    // finalized windows land in the warehouse via the exactly-once
+    // appendBatch ledger. A far-future sentinel row then advances the
+    // watermark past every real window, so the table holds exactly
+    // the full batch tumbling agg — which is what the oracle checks.
+    // No-dup/no-loss across the restart is thereby hash-verified, not
+    // just asserted.
+    "stream_file_ingest" -> ((s, d) => {
+      val base = java.nio.file.Paths.get("/root/repo/target/scratch")
+      java.nio.file.Files.createDirectories(base)
+      val dir = java.nio.file.Files
+        .createTempDirectory(base, "stream_file_ingest")
+      val (in, cp, wh) = (s"$dir/in", s"$dir/cp", s"$dir/wh")
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val Seq(median, maxTs) = ev
+        .select(expr("percentile_approx(unix_micros(ts), 0.5)"),
+          max(unix_micros(col("ts"))))
+        .head().toSeq.map(_.asInstanceOf[Long]).toSeq
+      // chunks split BY TIME so the restarted query never sees data
+      // behind its recovered watermark; one file per chunk = one
+      // deterministic micro-batch per chunk
+      ev.filter(unix_micros(col("ts")) < median)
+        .coalesce(1).write.mode("append").parquet(in)
+      val runner = new PipelineRunner(s, PipelineSpec(Nil), wh)
+      // oracle-portable agg: exact DECIMAL(12,2) sums (Tables.dec2)
+      val agg = (df: org.apache.spark.sql.DataFrame, delay: String) => df
+        .withWatermark("ts", delay)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec2(col("value")))).as("sv"))
+        .select(col("w.start").as("ws"), col("w.end").as("we"),
+          col("event_type"), col("n"), col("sv"))
+      def start() = graft.streaming.StreamingOps.startFileIngest(
+        s, runner, in, cp, "ingest", delay = "0 seconds",
+        transform = agg)
+      val q1 = start()
+      q1.processAllAvailable(); q1.stop()
+      ev.filter(unix_micros(col("ts")) >= median)
+        .coalesce(1).write.mode("append").parquet(in)
+      val q2 = start() // checkpoint restart picks up only chunk 2
+      q2.processAllAvailable()
+      // sentinel far past the last event: advances the watermark so
+      // every REAL window finalizes; its own (open) window never emits
+      s.range(1).select(lit(-1L).as("event_id"),
+          timestamp_micros(lit(maxTs + 2L * 3600L * 1000000L)).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"))
+        .coalesce(1).write.mode("append").parquet(in)
+      q2.processAllAvailable(); q2.stop()
+      runner.readTable("ingest").orderBy("ws", "event_type")
+    })
   )
 
   override def oracles: Map[String, String] = Map(
     "stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+        |  time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+        |FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type""".stripMargin,
+
+    // the streamed-through-restart warehouse table must equal the
+    // plain batch tumbling agg (the sentinel closes all real windows)
+    "stream_file_ingest" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
         |  time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we,
         |  event_type, count(*) AS n,

@@ -690,7 +690,7 @@ object PipelineOps extends QueryGroup {
       val r = new PipelineRunner(s, spec("1998-01-01 00:00:00"), wh)
       val before = r.generations("vc_orders")
       require(before.size == 3, s"expected 3 generations, got $before")
-      r.vacuum("vc_orders", keepGenerations = 1)
+      r.vacuum("vc_orders", keepGenerations = 1, minAgeMs = 0L)
       val after = r.generations("vc_orders")
       require(after == Seq(before.last),
         s"vacuum(keep=1) must leave only the live generation: $after")
@@ -844,15 +844,25 @@ object PipelineOps extends QueryGroup {
         """{{ config(materialized='view') }}
           |SELECT o_orderkey, o_orderstatus, o_totalprice
           |FROM {{ source('raw_orders') }}""".stripMargin)
+      // the agg model renders through a project {% macro %} and a
+      // {% set %} binding — the fixture's oracle is unchanged, so the
+      // hash-match proves macro expansion compiles to the same SQL
+      java.nio.file.Files.createDirectories(proj.resolve("macros"))
+      java.nio.file.Files.writeString(
+        proj.resolve("macros/money.sql"),
+        """{% macro money_sum(col, alias='total') %}
+          |CAST(SUM(CAST({{ col }} AS DECIMAL(12,2))) AS DOUBLE)
+          |  AS {{ alias }}
+          |{% endmacro %}""".stripMargin)
       java.nio.file.Files.writeString(
         proj.resolve("models/po_agg.sql"),
         """{{ config(materialized='table') }}
-          |SELECT sn.status_name, count(*) AS n,
-          |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
-          |    AS total
+          |{% set dim = 'sn.status_name' %}
+          |SELECT {{ dim }}, count(*) AS n,
+          |  {{ money_sum('o.o_totalprice') }}
           |FROM {{ ref('po_base') }} o
           |JOIN {{ ref('status_names') }} sn ON o.o_orderstatus = sn.code
-          |GROUP BY sn.status_name""".stripMargin)
+          |GROUP BY {{ dim }}""".stripMargin)
       java.nio.file.Files.writeString(
         proj.resolve("seeds/status_names.csv"),
         "code,status_name\nO,open\nF,filled\nP,pending\n")

@@ -53,6 +53,26 @@ object Scans extends QueryGroup {
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
 
+    // Delta-format read interop (graft.sources.DeltaRead — the public
+    // delta.io log protocol, no Delta jar): a two-commit Delta table
+    // is generated from `nation` (commit 1 REMOVES commit 0's file
+    // and re-adds the rows split across two files), then scanned via
+    // the log replay. The oracle is plain `nation` — a reader that
+    // ignored the remove tombstone would dup 10 rows and hash-fail.
+    "scan_delta" -> ((s, d) => {
+      val dir = tmpDir("graft_scan_delta")
+      val nat = Tables.nation(s, d)
+      graft.sources.DeltaWrite.commit(dir, 0L, Seq(
+        "part-000.parquet" -> nat.filter(col("n_nationkey") < 10)))
+      graft.sources.DeltaWrite.commit(dir, 1L,
+        adds = Seq(
+          "part-001.parquet" -> nat.filter(col("n_nationkey") < 15),
+          "part-002.parquet" -> nat.filter(col("n_nationkey") >= 15)),
+        removes = Seq("part-000.parquet"))
+      graft.sources.DeltaRead.readDeltaTable(s, dir)
+        .orderBy("n_nationkey")
+    }),
+
     // Routed through the runner's `seed` command (the reference's dbt
     // argv surface), not a bare csv read — the oracle checks the
     // loaded table's content after the publish round-trip.
@@ -229,6 +249,12 @@ object Scans extends QueryGroup {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
+
+    // the Delta fixture's post-replay content IS nation (DuckDB's
+    // delta extension can't install offline, so the source table is
+    // the ground truth — the log replay still hash-verifies)
+    "scan_delta" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
 
     "scan_csv_seed" -> {
       val rows = seedCsvLines.drop(1).map { l =>
@@ -452,26 +478,36 @@ object Joins extends QueryGroup {
         .groupBy("n_name").agg(revenue.as("revenue"))
         .orderBy("n_name")),
 
-    // Range/theta join via band-bucketing: replicate one side to the
-    // 3 adjacent price bands and equi-join on the band key, then apply
-    // the exact range predicate. |Δprice| ≤ 5 with band width 5 ⇒ the
-    // bands differ by at most 1, so each qualifying pair matches
-    // exactly once. This keeps the op a shuffled hash join (linear)
-    // instead of a O(n²) BroadcastNestedLoopJoin at scale.
+    // Range/theta join via band-bucketing: equi-join on the price
+    // band (the build side replicated to the 3 adjacent bands), then
+    // apply the exact range predicate — a shuffled hash join, never a
+    // O(n²) BroadcastNestedLoopJoin. The build side is the DISTINCT-
+    // price histogram, not the row set: a count-within-range theta
+    // join is quadratic in BAND OCCUPANCY if rows pair with rows
+    // (the sf1 soak measured 128× wall for 10× rows — density
+    // squared), but only |distinct prices| values can ever exist per
+    // band, so pairing rows with (price, count) and summing counts
+    // keeps the join linear in rows + distinct values at any scale.
+    // `sum(cnt) − 1` drops the row's self-pair (its own price bucket
+    // always qualifies at Δ=0), preserving the pk <> qk semantics.
     "join_theta_range" -> ((s, d) => {
       val p = Tables.part(s, d)
         .select(col("p_partkey").as("pk"), col("p_retailprice").as("pp"))
         .withColumn("band", floor(col("pp") / 5))
       val q = Tables.part(s, d)
-        .select(col("p_partkey").as("qk"), col("p_retailprice").as("qp"))
+        .groupBy(col("p_retailprice").as("qp"))
+        .agg(count(lit(1)).as("cnt"))
         .withColumn("qband", floor(col("qp") / 5))
         .withColumn("band", explode(array(col("qband") - 1, col("qband"),
           col("qband") + 1)))
         .drop("qband")
       p.join(q, Seq("band"))
-        .filter(col("qp") >= col("pp") - 5 && col("qp") <= col("pp") + 5
-          && col("pk") =!= col("qk"))
-        .groupBy(col("pk").as("p_partkey")).agg(count(lit(1)).as("n"))
+        .filter(col("qp") >= col("pp") - 5 && col("qp") <= col("pp") + 5)
+        .groupBy(col("pk").as("p_partkey"))
+        .agg((sum(col("cnt")) - 1).as("n"))
+        // a part with NO other part in range has n=0 here (its own
+        // price always matched) — the pair-join form emits no row
+        .filter(col("n") > 0)
         .orderBy("p_partkey")
     }),
 

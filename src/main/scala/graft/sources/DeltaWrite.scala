@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods.{compact, render}
+
+/** Minimal protocol-correct Delta Lake COMMIT writer (delta.io
+  * PROTOCOL.md): enough of the write path to export a table other
+  * Delta readers (and [[DeltaRead]]) can scan — protocol (1, 2),
+  * `metaData` with the Spark-JSON schema, per-file `add` actions
+  * (no stats), `remove` tombstones. Unpartitioned, single-writer,
+  * no checkpoints: the EXPORT/fixture grade of interop, not a
+  * transactional store — the engine's own warehouse
+  * (`PipelineRunner`) remains the real write path, this is the
+  * boundary adapter for tools that only speak Delta.
+  */
+object DeltaWrite {
+
+  /** Write one parquet file with `df`'s rows as `<dir>/<name>`. */
+  private def writeOne(df: DataFrame, dir: String, name: String): Long = {
+    val dest = java.nio.file.Paths.get(dir, name)
+    val tmp = java.nio.file.Files.createTempDirectory(
+      dest.getParent, ".delta_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(tmp)
+    val part = try s.iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no parquet part written under $tmp"))
+    finally s.close()
+    java.nio.file.Files.move(part, dest,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val walk = java.nio.file.Files.walk(tmp)
+    val all = try walk.iterator().asScala.toSeq finally walk.close()
+    all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    java.nio.file.Files.size(dest)
+  }
+
+  /** Append commit `version`: write each `(fileName, rows)` as a data
+    * file + `add` action, tombstone each `removes` path. Commit 0
+    * additionally carries `protocol` + `metaData` (from the first
+    * add's schema). Timestamps are fixed at 0 so fixtures are
+    * byte-deterministic; Delta readers treat them as metadata only.
+    */
+  def commit(dir: String, version: Long,
+      adds: Seq[(String, DataFrame)],
+      removes: Seq[String] = Nil): Unit = {
+    require(adds.nonEmpty || removes.nonEmpty, "empty Delta commit")
+    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    val commitFile = logDir.resolve(f"$version%020d.json")
+    require(!java.nio.file.Files.exists(commitFile),
+      s"Delta commit $version already exists in $dir")
+    val lines = scala.collection.mutable.ListBuffer.empty[String]
+    if (version == 0L) {
+      val schema = adds.headOption.map(_._2.schema).getOrElse(
+        sys.error("commit 0 must add at least one file (for metaData)"))
+      lines += compact(render(
+        ("protocol" -> (("minReaderVersion" -> 1) ~
+          ("minWriterVersion" -> 2)))))
+      lines += compact(render(
+        ("metaData" -> (("id" -> "graft-delta-export") ~
+          ("format" -> (("provider" -> "parquet") ~
+            ("options" -> Map.empty[String, String]))) ~
+          ("schemaString" -> schema.json) ~
+          ("partitionColumns" -> Seq.empty[String]) ~
+          ("configuration" -> Map.empty[String, String]) ~
+          ("createdTime" -> 0L)))))
+    }
+    adds.foreach { case (name, df) =>
+      val size = writeOne(df, dir, name)
+      lines += compact(render(
+        ("add" -> (("path" -> name) ~
+          ("partitionValues" -> Map.empty[String, String]) ~
+          ("size" -> size) ~
+          ("modificationTime" -> 0L) ~
+          ("dataChange" -> true)))))
+    }
+    removes.foreach { p =>
+      lines += compact(render(
+        ("remove" -> (("path" -> p) ~
+          ("deletionTimestamp" -> 0L) ~
+          ("dataChange" -> true)))))
+    }
+    java.nio.file.Files.writeString(commitFile,
+      lines.mkString("", "\n", "\n"))
+  }
+}

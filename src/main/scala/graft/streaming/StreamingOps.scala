@@ -110,4 +110,49 @@ object StreamingOps {
             next.totalValue))
       }
   }
+
+  /** Events-table streaming source schema (the file-ingest contract —
+    * `props` is deliberately absent: an ingest pipeline declares the
+    * columns it consumes so later producer-side additions can't
+    * change its behavior silently).
+    */
+  val EventFileSchema: String =
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE"
+
+  /** End-to-end file-source ingestion (SURVEY §7 Phase S): a
+    * parquet-directory `readStream` feeds a WATERMARKED transform
+    * whose finalized append-mode rows land in a warehouse table via
+    * the exactly-once `PipelineRunner.appendBatch` ledger. The
+    * returned query is restart-safe: source offsets + watermark live
+    * in `checkpoint`, and a micro-batch redelivered after a crash in
+    * the sink-committed/checkpoint-not-yet window is a ledger no-op
+    * (spec-tested with a real stop → commit-marker removal →
+    * restart).
+    *
+    * Scale notes: the file source lists only NEW files per trigger
+    * (bounded by `maxFilesPerTrigger` for backpressure); state held
+    * by the transform is watermark-bounded; the sink appends one
+    * member per micro-batch with no table rewrite, so steady-state
+    * ingest cost is O(new data), independent of table size.
+    */
+  def startFileIngest(spark: org.apache.spark.sql.SparkSession,
+      runner: graft.pipeline.PipelineRunner,
+      inDir: String, checkpoint: String, table: String,
+      delay: String = "10 minutes",
+      transform: (DataFrame, String) => DataFrame = tumblingAgg,
+      maxFilesPerTrigger: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val src = spark.readStream
+      .schema(EventFileSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+    transform(src, delay).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        runner.appendBatch(table, batch, id): Unit
+      }
+      .start()
+  }
 }

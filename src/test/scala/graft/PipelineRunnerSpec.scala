@@ -387,7 +387,7 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, String)].collect().toSeq == Seq((1L, "v1")))
     assert(r2.readTable("tt")
       .as[(Long, String)].collect().toSeq == Seq((1L, "v2")))
-    r2.vacuum("tt")
+    r2.vacuum("tt", minAgeMs = 0L)
     assert(r2.generations("tt") == Seq(gens.last))
     assertThrows[IllegalArgumentException](r2.readTableAt("tt", gens.head))
   }
@@ -563,7 +563,7 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(r.readTableAt("rs", gens.last)
       .as[(Long, String)].collect().toSeq == Seq((1L, "bad")))
     // restoring to a vacuumed generation fails loudly, nothing commits
-    r.vacuum("rs", keepGenerations = 1)
+    r.vacuum("rs", keepGenerations = 1, minAgeMs = 0L)
     val before = r.generations("rs")
     assertThrows[IllegalArgumentException](r.restoreTable("rs", gens.head))
     assert(r.generations("rs") == before)
@@ -707,7 +707,7 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     val r = new PipelineRunner(spark, spec("ignored"), w)
     val gens = r.generations("rt")
     assert(gens.size == 3)
-    r.vacuum("rt", keepGenerations = 2)
+    r.vacuum("rt", keepGenerations = 2, minAgeMs = 0L)
     // oldest gone, newest two still readable (manifests AND batches)
     assert(r.generations("rt") == gens.drop(1))
     assert(r.readTableAt("rt", gens(1))
@@ -716,7 +716,7 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, String)].collect().toSeq == Seq((1L, "v3")))
     assertThrows[IllegalArgumentException](r.readTableAt("rt", gens.head))
     // default retention = live generation only
-    r.vacuum("rt")
+    r.vacuum("rt", minAgeMs = 0L)
     assert(r.generations("rt") == Seq(gens.last))
     assert(r.readTable("rt")
       .as[(Long, String)].collect().toSeq == Seq((1L, "v3")))
@@ -731,7 +731,7 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     val dataDir = java.nio.file.Paths.get(r2.tablePath("vt"), "data")
     def batches() = java.nio.file.Files.list(dataDir).count()
     assert(batches() == 2) // superseded v1 batch still on disk
-    r2.vacuum("vt")
+    r2.vacuum("vt", minAgeMs = 0L)
     assert(batches() == 1)
     assert(r2.readTable("vt").as[(Long, String)].collect()
       .toSeq == Seq((1L, "v2")))
@@ -840,6 +840,73 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       Model.sql("u_bad", "{% for x in ['a'] %}SELECT 1",
         Materialization.Table)))
     assert(!new PipelineRunner(spark, bad, wh()).run(Seq("run")).success)
+  }
+
+  test("{% macro %} defs expand with positional/keyword/default args, " +
+      "compose with for/var passes, and fail loudly on misuse") {
+    val lib = Map("money" -> Model.MacroDef("money",
+      Seq("col" -> None, "alias" -> Some("total")),
+      "CAST(SUM({{ col }}) AS DOUBLE) AS {{ alias }}"))
+    // positional + default
+    assert(Model.renderMacros("m", "SELECT {{ money('x') }}", lib)
+      == "SELECT CAST(SUM(x) AS DOUBLE) AS total")
+    // keyword override
+    assert(Model.renderMacros("m", "SELECT {{ money('x', alias=sx) }}", lib)
+      == "SELECT CAST(SUM(x) AS DOUBLE) AS sx")
+    // macro calling macro expands within depth
+    val lib2 = lib + ("money2" -> Model.MacroDef("money2",
+      Seq("c" -> None), "{{ money('{{ c }}') }}"))
+    assert(Model.renderMacros("m", "{{ money2('y') }}", lib2)
+      .contains("CAST(SUM(y) AS DOUBLE)"))
+    // missing required arg / unknown kwarg fail loudly
+    intercept[RuntimeException](
+      Model.renderMacros("m", "{{ money() }}", lib))
+    intercept[IllegalArgumentException](
+      Model.renderMacros("m", "{{ money('x', nope=1) }}", lib))
+    // unknown names are untouched (rendered later: var(), ref(), …)
+    assert(Model.renderMacros("m", "{{ var('k') }}", lib)
+      == "{{ var('k') }}")
+    // file-local macro end-to-end through a SQL-text model
+    val spec = PipelineSpec(models = Seq(
+      Model.sql("mac_out",
+        """{% macro double(c) %}({{ c }} + {{ c }}){% endmacro %}
+          |SELECT {{ double(2) }} AS v""".stripMargin,
+        Materialization.Table)))
+    val r = new PipelineRunner(spark, spec, wh())
+    assert(r.run(Seq("run")).success)
+    assert(r.readTable("mac_out").head().getInt(0) == 4)
+    // a ref inside a macro body declares the DAG edge
+    val (defs, _) = Model.parseMacros("t",
+      "{% macro src() %}{{ ref('up') }}{% endmacro %}")
+    val m2 = Model.sql("down", "SELECT * FROM {{ src() }}",
+      Materialization.Table, macros = defs.map(d => d.name -> d).toMap)
+    assert(m2.deps == Seq("up"),
+      s"macro-body ref must declare the dep: ${m2.deps}")
+  }
+
+  test("{% set %} binds scalars into {{ name }} and lists into " +
+      "{% for %} sources") {
+    assert(Model.renderSet("m",
+      "{% set x = 'abc' %}SELECT '{{ x }}'") == "SELECT 'abc'")
+    assert(Model.renderSet("m",
+      "{% set n = 42 %}LIMIT {{ n }}") == "LIMIT 42")
+    val listForm = Model.renderSet("m",
+      "{% set cols = ['a', 'b'] %}" +
+        "{% for c in cols %}<{{ c }}>{% endfor %}")
+    assert(Model.renderFor("m", listForm) == "<a><b>", listForm)
+    // end-to-end through a model with the for pass
+    val spec = PipelineSpec(models = Seq(
+      Model.sql("set_out",
+        """{% set segs = ['A', 'B'] %}
+          |{% for seg in segs %}
+          |SELECT '{{ seg }}' AS seg
+          |{% if not loop.last %}UNION ALL{% endif %}
+          |{% endfor %}""".stripMargin,
+        Materialization.Table)))
+    val r = new PipelineRunner(spark, spec, wh())
+    assert(r.run(Seq("run")).success)
+    assert(r.readTable("set_out").orderBy("seg")
+      .collect().map(_.getString(0)).toSeq == Seq("A", "B"))
   }
 
   test("run --vars: quoted JSON span drives SQL models; vars reset after") {
@@ -1334,7 +1401,7 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     val dataDir = java.nio.file.Paths.get(r.tablePath("gv"), "data")
     def batches() = java.nio.file.Files.list(dataDir).count()
     assert(batches() >= 3, "empty run leaves a _SUCCESS-only batch dir")
-    rEmpty.vacuum("gv")
+    rEmpty.vacuum("gv", minAgeMs = 0L)
     assert(batches() == 1,
       "vacuum must GC zero-member and superseded batches")
     assert(rEmpty.readTable("gv").count() == 1)
@@ -1883,7 +1950,7 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(r.readTableAt("leg", "gen_1").as[(Long, String)]
       .collect().toSeq == Seq((1L, "old")))
     // vacuum GCs the quarantined abort
-    r.vacuum("leg", keepGenerations = 2)
+    r.vacuum("leg", keepGenerations = 2, minAgeMs = 0L)
     assert(!java.nio.file.Files.exists(root.resolve("_aborted_gen_2")))
     assert(r.readTableAt("leg", "gen_1").count() == 1)
   }
@@ -2786,10 +2853,14 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     def batches() = java.nio.file.Files.list(dataDir).count()
     assert(batches() == 3)
     // keep 2: one superseded generation survives for time travel
-    assert(r.run(Seq("vacuum -s vc_t --keep 2")).success)
+    assert(r.run(Seq("vacuum -s vc_t --keep 2 --min-age-ms 0")).success)
     assert(batches() == 2)
-    // default keep 1: only the live generation's batch remains
+    // fresh batches survive the default cross-process grace window
     assert(r.run(Seq("vacuum")).success)
+    assert(batches() == 2,
+      "a fresh batch must survive the default vacuum grace")
+    // keep 1 + no grace: only the live generation's batch remains
+    assert(r.run(Seq("vacuum --min-age-ms 0")).success)
     assert(batches() == 1)
     assert(r.readTable("vc_t").as[(Long, String)].collect()
       .toSeq == Seq((3L, "c")))

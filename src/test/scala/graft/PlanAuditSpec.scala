@@ -87,15 +87,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "llm_ngram_topk", "llm_perplexity", "llm_perplexity_bigram",
       "llm_tfidf_topk", "llm_vocab_coverage")
     val bad = scala.collection.mutable.Buffer.empty[String]
+    val unauditable = scala.collection.mutable.Buffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (k, _) => allowed(k) }
       .foreach { case (name, fn) =>
+        // eager pipeline keys EXECUTE here and return their final
+        // read frame — that read plan is audited like any other, so
+        // a BNLJ behind a materializing key cannot hide
         try {
           val rep = PlanAudit.audit(fn(spark, sf))
           if (!rep.noNestedLoops) bad += s"$name: ${rep.summary}"
-        } catch { case _: Throwable => () } // eager keys covered by suites
+        } catch {
+          case e: Throwable =>
+            unauditable += s"$name: ${e.getClass.getSimpleName} " +
+              String.valueOf(e.getMessage).linesIterator
+                .take(1).mkString.take(160)
+        }
       }
     assert(bad.isEmpty, "unexpected nested-loop plans:\n" +
       bad.mkString("\n"))
+    // the gate is CLOSED: a key that cannot be audited is a gate
+    // escape, not a pass — fix the key or declare it in `allowed`
+    // with a reason
+    assert(unauditable.isEmpty,
+      "keys whose plans could not be audited (BNLJ-gate escape):\n" +
+        unauditable.mkString("\n"))
   }
 }

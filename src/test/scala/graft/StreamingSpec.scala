@@ -280,7 +280,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         Seq(ev(4, 2, "view", ts(10, 3))).toDF(), 2L) == 1L)
       assert(runner.readTable("ev_sink").count() == 4)
       // vacuum keeps the streamids sidecar with the live generation
-      runner.vacuum("ev_sink")
+      runner.vacuum("ev_sink", minAgeMs = 0L)
       assert(runner.appendBatch("ev_sink", replay, 1L) == 0L,
         "vacuum must not forget committed batch ids")
     }
@@ -533,6 +533,75 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, String)].collect().toMap
     assert(state == Map(1L -> "a", 2L -> "b", 3L -> "b"),
       s"post-restart upsert wrong: $state")
+  }
+
+  test("file-source ingest pipeline: watermarked agg + appendBatch " +
+      "survives kill-and-restart AND a crash-window redelivery") {
+    // the full Phase-S shape: readStream(files) → watermark tumbling
+    // agg → exactly-once warehouse append. Two time-ordered chunks
+    // with a real query stop between them; then the crash window
+    // (sink committed, checkpoint commit marker lost) forces a
+    // redelivery through foreachBatch that the ledger must absorb.
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "stream_fi")
+    val (in, cp, wh) = (s"$base/in", s"$base/cp", s"$base/wh")
+    val runner = new graft.pipeline.PipelineRunner(
+      spark, graft.pipeline.PipelineSpec(Nil), wh)
+    runner.initialize()
+    def writeChunk(rows: (Long, Int, Int, Double)*): Unit =
+      rows.map { case (id, h, m, v) => (id, ts(h, m), id % 3, "click", v) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+    def start() = StreamingOps.startFileIngest(
+      spark, runner, in, cp, "fi", delay = "0 seconds")
+    // hour 0 + a row in hour 1 → watermark passes hour 0's window end
+    writeChunk((1L, 0, 10, 1.0), (2L, 0, 40, 2.0), (3L, 1, 5, 4.0))
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    def table() = runner.readTable("fi")
+      .select("ws", "event_type", "n", "sv").orderBy("ws")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSeq
+    assert(table() == Seq((ts(0, 0), "click", 2L, 3.0)),
+      s"hour-0 window must have finalized: ${table()}")
+    // kill happened; new data arrives while no query runs. The
+    // restarted query recovers offsets AND the watermark from cp.
+    writeChunk((4L, 1, 30, 8.0), (5L, 2, 1, 16.0))
+    val q2 = start()
+    q2.processAllAvailable()
+    assert(table() == Seq(
+      (ts(0, 0), "click", 2L, 3.0), (ts(1, 0), "click", 2L, 12.0)),
+      s"restart lost or duplicated windows: ${table()}")
+    // crash-window: drop the LAST commit marker (keep offsets), so
+    // restarting redelivers that batch — appendBatch must no-op it
+    q2.stop()
+    val commits = java.nio.file.Paths.get(cp, "commits")
+    val last = java.nio.file.Files.list(commits).iterator()
+    import scala.jdk.CollectionConverters._
+    val lastBatch = last.asScala.map(_.getFileName.toString)
+      .filterNot(_.startsWith(".")).map(_.toLong).max
+    java.nio.file.Files.delete(commits.resolve(lastBatch.toString))
+    java.nio.file.Files.deleteIfExists(
+      commits.resolve(s".$lastBatch.crc")): Unit
+    // Spark 4's state-store commit validation flags the replayed
+    // batch as a zombie commit — which is exactly the crash we are
+    // simulating (state+sink committed, offsets-log commit lost), so
+    // disable it for the recovery run only
+    val cvConf = "spark.sql.streaming.stateStore.commitValidation.enabled"
+    spark.conf.set(cvConf, "false")
+    try {
+      val q3 = start()
+      q3.processAllAvailable()
+      assert(table() == Seq(
+        (ts(0, 0), "click", 2L, 3.0), (ts(1, 0), "click", 2L, 12.0)),
+        s"redelivered batch must be a ledger no-op: ${table()}")
+      // and the SAME recovered query keeps ingesting new data
+      writeChunk((6L, 2, 30, 32.0), (7L, 3, 1, 64.0))
+      q3.processAllAvailable(); q3.stop()
+      assert(table() == Seq(
+        (ts(0, 0), "click", 2L, 3.0), (ts(1, 0), "click", 2L, 12.0),
+        (ts(2, 0), "click", 2L, 48.0)),
+        s"post-recovery ingest wrong: ${table()}")
+    } finally spark.conf.set(cvConf, "true")
   }
 
   test("session windows close after the gap under a watermark") {

@@ -102,11 +102,23 @@ object ScaleGen {
     out("documents", replicate(Tables.documents(spark, src), 4) {
       (df, r) =>
         val words = split(col("text"), " ")
-        val rewritten = array_join(
-          transform(words, (w, i) =>
-            when(pmod(xxhash64(w, i, lit(r)), lit(2)) === 0,
-              concat(w, lit("~" + r))).otherwise(w)),
-          " ")
+        // unconditional replica-tag word: short/empty docs have no
+        // words to rewrite and would otherwise stay byte-identical
+        // ACROSS replicas, merging their dup groups 10× (the sf1 soak
+        // saw 2,400-doc identical-signature groups from exactly this)
+        // ALPHANUMERIC suffixes: analysis tokenizers split on
+        // [a-z0-9] runs, so a punctuation marker ("w~3") would leave
+        // the original token intact and replicas correlated under
+        // token-level signatures (SimHash et al.)
+        // keyed on the WORD alone (not its position): a consistent
+        // per-replica dictionary substitution, so within-replica
+        // near-dup structure is preserved (shared words stay shared)
+        // while replicas still diverge on ~half their vocabulary
+        val rewritten = concat(array_join(
+          transform(words, w =>
+            when(pmod(xxhash64(w, lit(r)), lit(2)) === 0,
+              concat(w, lit("x" + r))).otherwise(w)),
+          " "), lit(" xx" + r))
         df.withColumn("doc_id", col("doc_id") + lit(r * Stride))
           .withColumn("text", rewritten)
           .withColumn("n_chars", length(col("text")).cast("long"))

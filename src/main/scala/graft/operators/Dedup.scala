@@ -512,24 +512,49 @@ object Dedup {
     val keys = for {
       i <- 0 until nChunks; j <- (i + 1) until nChunks
     } yield expr(s"(${chunkExpr(i)} << 32) | ${chunkExpr(j)}")
-    val sh = cut(sigs)
-    val chunked = sh.select(col(idCol).as("id"), col("simhash"),
+    // Collapse identical signatures FIRST: template-heavy corpora
+    // carry huge identical-signature groups (boilerplate/empty docs —
+    // the sf1 soak saw single signatures shared by 2,400 docs), and
+    // running the chunk join over member ROWS is quadratic in group
+    // size on top of the blocking scheme. The join instead runs over
+    // DISTINCT signatures (each represented once); member ids are
+    // re-attached by signature equi-joins only to EMIT pairs, so
+    // everything above the final output is sized by distinct
+    // signatures, and the output-expansion joins are output-bound by
+    // definition (same histogram trick as the theta-range join).
+    val members = cut(sigs.select(col(idCol).as("id"), col("simhash")))
+    val distinctSigs = cut(members.groupBy("simhash")
+      .agg(count(lit(1)).as("grp")))
+    val chunked = distinctSigs.select(col("simhash"),
       posexplode(array(keys: _*)).as(Seq("chunk", "cval")))
-    // Unlike MinHash (wide signature arrays, pricier scoring), the
-    // SimHash signature is ONE long — so carry it through the chunk
-    // join and popcount-filter BEFORE deduplicating. Correlated bits
-    // make chunk buckets collide heavily (millions of raw candidates
-    // on template-like corpora); filtering first means only true
-    // near-dups reach the distinct, instead of shuffling every
-    // collision through a distinct + two signature re-joins.
+    // The SimHash signature is ONE long — carry it through the chunk
+    // join and popcount-filter BEFORE deduplicating, so only true
+    // near-dup signature pairs reach the distinct.
     val a = chunked.select(col("chunk"), col("cval"),
-      col("id").as("a"), col("simhash").as("sa"))
+      col("simhash").as("sa"))
     val b = chunked.select(col("chunk"), col("cval"),
-      col("id").as("b"), col("simhash").as("sb"))
-    a.join(b, Seq("chunk", "cval")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), bit_count(expr("sa ^ sb")).as("dist"))
+      col("simhash").as("sb"))
+    val sigPairs = a.join(b, Seq("chunk", "cval"))
+      .filter(col("sa") < col("sb"))
+      .select(col("sa"), col("sb"),
+        bit_count(expr("sa ^ sb")).as("dist"))
       .filter(col("dist") <= maxDist)
       .distinct()
+    // cross-signature pairs: expand both sides by signature equi-join
+    val cross = sigPairs
+      .join(members.select(col("simhash").as("sa"), col("id").as("ia")), "sa")
+      .join(members.select(col("simhash").as("sb"), col("id").as("ib")), "sb")
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("dist"))
+    // within-group pairs (dist = 0): a signature equi-self-join over
+    // only the signatures that HAVE ≥ 2 members
+    val dup = members.join(
+      distinctSigs.filter(col("grp") >= 2).select("simhash"), "simhash")
+    val within = dup.select(col("simhash"), col("id").as("a"))
+      .join(dup.select(col("simhash"), col("id").as("b")), "simhash")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), lit(0).as("dist"))
+    cross.unionByName(within)
   }
 
   /** Connected components over near-dup candidate pairs → one

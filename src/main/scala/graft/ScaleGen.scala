@@ -69,37 +69,34 @@ object ScaleGen {
       * untouched source (so key-hardcoded bench filters, e.g.
       * `vec_id < 5` query sets, still select real rows).
       */
-    def replicate(df: DataFrame, files: Int)(
-        rewrite: (DataFrame, Int) => DataFrame): DataFrame = {
-      val parts = (0 until factor).map { r =>
-        if (r == 0) df else rewrite(df, r)
-      }
-      parts.reduce(_.unionByName(_)).repartition(files)
-    }
+    def replicate(df: DataFrame)(
+        rewrite: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(r => if (r == 0) df else rewrite(df, r))
+        .reduce(_.unionByName(_)) // out() repartitions the union
     def shiftKeys(keys: String*)(df: DataFrame, r: Int): DataFrame =
       keys.foldLeft(df)((d, k) =>
         d.withColumn(k, col(k) + lit(r * Stride)))
 
-    out("customer", replicate(Tables.customer(spark, src), 2)(
+    out("customer", replicate(Tables.customer(spark, src))(
       shiftKeys("c_custkey")), 2)
-    out("supplier", replicate(Tables.supplier(spark, src), 1)(
+    out("supplier", replicate(Tables.supplier(spark, src))(
       shiftKeys("s_suppkey")), 1)
-    out("part", replicate(Tables.part(spark, src), 2)(
+    out("part", replicate(Tables.part(spark, src))(
       shiftKeys("p_partkey")), 2)
-    out("orders", replicate(Tables.orders(spark, src), 4)(
+    out("orders", replicate(Tables.orders(spark, src))(
       shiftKeys("o_orderkey", "o_custkey")), 4)
-    out("lineitem", replicate(Tables.lineitem(spark, src), 8)(
+    out("lineitem", replicate(Tables.lineitem(spark, src))(
       shiftKeys("l_orderkey", "l_partkey", "l_suppkey")), 8)
-    out("events", replicate(Tables.events(spark, src), 4)(
+    out("events", replicate(Tables.events(spark, src))(
       shiftKeys("event_id", "user_id")), 4)
 
     // documents: shift the key and decorrelate the text per replica —
-    // each word is kept or suffixed by a seeded hash of (word, pos,
-    // replica); ~half the words change, so shingle overlap with the
-    // source drops to ~0.5^n (n-gram) while within-replica dup
-    // structure (exact copies stay exact copies of each other)
-    // is preserved. n_chars tracks the rewritten text.
-    out("documents", replicate(Tables.documents(spark, src), 4) {
+    // each word is kept or suffixed by a seeded hash of (word,
+    // replica); ~half the vocabulary changes, so cross-replica
+    // shingle overlap collapses while within-replica dup/near-dup
+    // structure is preserved (a consistent dictionary substitution).
+    // n_chars tracks the rewritten text.
+    out("documents", replicate(Tables.documents(spark, src)) {
       (df, r) =>
         val words = split(col("text"), " ")
         // unconditional replica-tag word: short/empty docs have no
@@ -124,10 +121,12 @@ object ScaleGen {
           .withColumn("n_chars", length(col("text")).cast("long"))
     }, 4)
 
-    // embeddings: orthogonal per-replica transform (see scaladoc)
-    out("embeddings", replicate(Tables.embeddings(spark, src), 2) {
+    // embeddings: orthogonal per-replica transform (see scaladoc);
+    // dims is a constant — computed ONCE, not per replica closure
+    val emb = Tables.embeddings(spark, src)
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    out("embeddings", replicate(emb) {
       (df, r) =>
-        val dims = df.select(size(col("embedding"))).head().getInt(0)
         val rot = (r * 7) % dims
         val signs: Seq[Column] = (0 until dims).map(i =>
           if (java.lang.Long.remainderUnsigned(

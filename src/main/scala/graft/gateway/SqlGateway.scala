@@ -49,14 +49,19 @@ final class SqlGateway(spark: SparkSession,
     running = true
     pool.submit(new Runnable {
       override def run(): Unit =
-        while (running) {
+        while (running && !server.isClosed) {
           try {
             val conn = server.accept()
             pool.submit(new Runnable {
               override def run(): Unit = handle(conn)
             }): Unit
           } catch {
-            case _: java.net.SocketException if !running => () // closed
+            case _: Throwable if !running || server.isClosed => () // stop()
+            case _: Throwable =>
+              // transient accept failure (fd exhaustion, submit
+              // rejection) must not kill the acceptor — the socket
+              // stays bound and clients would hang in the backlog
+              Thread.sleep(50)
           }
         }
     })
@@ -94,8 +99,15 @@ final class SqlGateway(spark: SparkSession,
         case _ => sys.error("request must carry a string 'sql' field")
       }
       val limit = (req \ "limit") match {
-        case JInt(n) => math.min(n.toInt, maxRows)
-        case _ => maxRows
+        // clamp in BigInt space (a > Int.MaxValue limit must cap at
+        // maxRows, not wrap through toInt); whole JSON doubles are
+        // accepted — many clients emit 7.0 for integers
+        case JInt(n) if n >= 0 => n.min(BigInt(maxRows)).toInt
+        case JDouble(d) if d >= 0 && d.isWhole =>
+          math.min(d.toLong, maxRows.toLong).toInt
+        case JNothing | JNull => maxRows
+        case other => sys.error(
+          s"'limit' must be a non-negative integer, got $other")
       }
       val df = spark.sql(sql).limit(limit)
       val rows = df.toJSON.collect()

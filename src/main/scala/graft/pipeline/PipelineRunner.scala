@@ -1263,21 +1263,24 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         // keep retained generations' manifests AND all their legacy
         // sibling sidecars (.schema, .streamids, …) — match on the
         // gen-name prefix; also GC quarantined legacy aborts and
-        // orphaned commit temp files. Commit temps and aborts pass
-        // the cross-process age grace too: another JVM's in-flight
-        // `.committing_` temp is milliseconds old — only true crash
-        // debris ages past the window (committed gen_ files appear
-        // atomically via link, so age is irrelevant for them)
+        // orphaned commit temp files. EVERYTHING here passes the
+        // cross-process age grace: a gen_ file commits atomically,
+        // but another JVM can link gen_{max+1} BETWEEN this pass's
+        // retained() snapshot and the delete loop — without the age
+        // check that freshly-committed generation (not in keepGens)
+        // would be deleted, losing the publish. In-flight
+        // `.committing_` temps are milliseconds old; only true crash
+        // debris ages past the window.
         val keepGens = retained().toSet + gen0
         def live(f: String) = keepGens.exists(g =>
           f == g || f.startsWith(s"$g."))
         listDir(root)
           .filter { p =>
             val f = p.getFileName.toString
-            (f.startsWith("gen_") && !live(f)) ||
-              ((f.startsWith("_aborted_") ||
-                (f.startsWith(".committing_") && f.endsWith(".tmp"))) &&
-                oldEnough(p))
+            ((f.startsWith("gen_") && !live(f)) ||
+              f.startsWith("_aborted_") ||
+              (f.startsWith(".committing_") && f.endsWith(".tmp"))) &&
+              oldEnough(p)
           }
           .foreach(Files.deleteIfExists(_))
       }

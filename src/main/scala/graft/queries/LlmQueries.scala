@@ -56,9 +56,12 @@ object LlmOps extends QueryGroup {
         k = 32, bands = 8, threshold = 0.5)
         .orderBy("a", "b")),
 
-    // maxDist=7 keeps the recall guarantee honest: 8 chunks of 8 bits
-    // each ⇒ any pair within hamming distance 7 shares a chunk
-    // (pigeonhole), so blocking loses nothing. Property-tested.
+    // maxDist=7 keeps the recall guarantee honest: the signature
+    // splits into 9 (= maxDist+2) chunks and candidates block on
+    // chunk PAIRS — ≤7 dirty chunks always leave ≥2 clean ones, so
+    // any pair within hamming distance 7 shares a whole chunk-pair
+    // key (multi-index pigeonhole; see Dedup.simHashNearDups).
+    // Property-tested.
     "llm_simhash" -> ((s, d) => {
       val sigs = Dedup.simHash(Tables.documents(s, d), "doc_id", "text")
       Dedup.simHashNearDups(sigs, "doc_id", maxDist = 7)

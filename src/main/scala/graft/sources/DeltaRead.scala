@@ -141,8 +141,18 @@ object DeltaRead {
 
     val dataSchema = StructType(
       fullSchema.filterNot(f => state.partitionCols.contains(f.name)))
+    // the protocol stores add/remove paths RFC-2396 percent-encoded
+    // (a partition value with a space writes `seg=a%20b/...`) —
+    // decode relative paths before resolving; absolute URIs pass
+    // through for the filesystem layer to interpret
     def abs(p: String): String =
-      if (p.startsWith("/") || p.contains("://")) p else s"$path/$p"
+      if (p.contains("://")) p
+      else {
+        val decoded =
+          try new java.net.URI(p).getPath
+          catch { case _: java.net.URISyntaxException => p }
+        if (decoded.startsWith("/")) decoded else s"$path/$decoded"
+      }
 
     if (state.adds.isEmpty) {
       spark.createDataFrame(

@@ -87,6 +87,25 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
       s"log partition values not attached: $got")
   }
 
+  test("percent-encoded add paths decode per the protocol") {
+    val d = dir()
+    // stage the data file under its DECODED name, log the encoded form
+    DeltaWrite.commit(d, 0L, Seq(
+      "tmp.parquet" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(d, "tmp.parquet"),
+      java.nio.file.Paths.get(d, "f a.parquet"))
+    val log = java.nio.file.Paths.get(d, "_delta_log")
+    java.nio.file.Files.writeString(log.resolve(f"${1L}%020d.json"),
+      """{"add":{"path":"f%20a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}
+        |{"remove":{"path":"tmp.parquet","deletionTimestamp":0,"dataChange":true}}
+        |""".stripMargin)
+    val got = DeltaRead.readDeltaTable(spark, d)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")),
+      s"encoded path not decoded: $got")
+  }
+
   test("single-file checkpoint bounds the replay") {
     val d = dir()
     DeltaWrite.commit(d, 0L, Seq(

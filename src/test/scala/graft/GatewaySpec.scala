@@ -61,6 +61,19 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
       val nRows = (org.json4s.jackson.JsonMethods.parse(lim) \ "rows")
         .children.size
       assert(nRows == 7, s"limit not applied: $nRows")
+
+      // limit hygiene: > Int.MaxValue clamps to maxRows (no Int
+      // wrap to 0), whole JSON doubles are accepted, junk rejected
+      def rowsOf(line: String): Int =
+        (org.json4s.jackson.JsonMethods.parse(request(gw.port, line))
+          \ "rows").children.size
+      assert(rowsOf(
+        """{"sql": "SELECT 1 AS one", "limit": 4294967296}""") == 1)
+      assert(rowsOf(
+        """{"sql": "SELECT * FROM lineitem", "limit": 5.0}""") == 5)
+      val junk = request(gw.port,
+        """{"sql": "SELECT 1", "limit": "ten"}""")
+      assert(junk.contains("\"error\""), junk.take(200))
     } finally gw.stop()
   }
 }

@@ -699,6 +699,29 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(st.drop(2).forall(_._2 == "a"))
   }
 
+  test("vacuum grace protects FRESH generations and batches from a " +
+      "stale keep-set (cross-JVM commit race)") {
+    val w = wh()
+    def spec(v: String) = PipelineSpec(Seq(tableModel("vg", Seq((1L, v)))))
+    (1 to 3).foreach(i => assert(
+      new PipelineRunner(spark, spec(s"v$i"), w).run(Seq("run")).success))
+    val r = new PipelineRunner(spark, spec("x"), w)
+    val gensBefore = r.generations("vg")
+    assert(gensBefore.size == 3)
+    // DEFAULT grace: everything here is seconds old — keep=1 must
+    // delete NOTHING (a freshly committed generation from another
+    // JVM would be invisible to the keep-set snapshot; age is the
+    // only cross-process signal)
+    r.vacuum("vg", keepGenerations = 1)
+    assert(r.generations("vg") == gensBefore,
+      "a fresh generation must survive the default vacuum grace")
+    // explicit no-grace: the single-writer CI path still reclaims
+    r.vacuum("vg", keepGenerations = 1, minAgeMs = 0L)
+    assert(r.generations("vg").size == 1)
+    assert(r.readTable("vg")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "v3")))
+  }
+
   test("vacuum retention keeps the newest N generations time-travelable") {
     val w = wh()
     def spec(v: String) = PipelineSpec(Seq(tableModel("rt", Seq((1L, v)))))

@@ -189,7 +189,15 @@ object EventWindows extends QueryGroup {
     // the full batch tumbling agg — which is what the oracle checks.
     // No-dup/no-loss across the restart is thereby hash-verified, not
     // just asserted.
-    "stream_file_ingest" -> ((s, d) => {
+    "stream_file_ingest" -> ((s0, d) => {
+      // a dedicated session scoped to this pipeline: streaming aggs
+      // fix their STATE partition count from the session's shuffle
+      // partitions at first checkpoint — a handful of window×type
+      // groups doesn't need 32 state stores per micro-batch (the
+      // per-query sizing any real deployment does; results are
+      // partitioning-independent, which the oracle proves)
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val base = java.nio.file.Paths.get("/root/repo/target/scratch")
       java.nio.file.Files.createDirectories(base)
       val dir = java.nio.file.Files

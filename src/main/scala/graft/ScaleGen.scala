@@ -87,8 +87,22 @@ object ScaleGen {
       shiftKeys("o_orderkey", "o_custkey")), 4)
     out("lineitem", replicate(Tables.lineitem(spark, src))(
       shiftKeys("l_orderkey", "l_partkey", "l_suppkey")), 8)
-    out("events", replicate(Tables.events(spark, src))(
-      shiftKeys("event_id", "user_id")), 4)
+    // events: besides key strides, replicas TILE along the timeline
+    // (+replica × (span + 1h)): N× events over an N×-longer history,
+    // the way real scale accrues. Piling replicas into the SAME
+    // window instead would multiply event DENSITY — interval-join
+    // outputs then grow ~quadratically (pairs ∝ density²) and the
+    // soak measures the data artifact, not the engine.
+    val evSrc = Tables.events(spark, src)
+    val Seq(tsMin, tsMax) = evSrc
+      .select(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toSeq
+    val tileMicros = tsMax - tsMin + 3600L * 1000000L
+    out("events", replicate(evSrc) { (df, r) =>
+      shiftKeys("event_id", "user_id")(df, r)
+        .withColumn("ts", timestamp_micros(
+          unix_micros(col("ts")) + lit(r * tileMicros)))
+    }, 4)
 
     // documents: shift the key and decorrelate the text per replica —
     // each word is kept or suffixed by a seeded hash of (word,

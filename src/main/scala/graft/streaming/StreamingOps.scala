@@ -128,7 +128,13 @@ object StreamingOps {
     * in `checkpoint`, and a micro-batch redelivered after a crash in
     * the sink-committed/checkpoint-not-yet window is a ledger no-op
     * (spec-tested with a real stop → commit-marker removal →
-    * restart).
+    * restart). Recovery caveat: Spark 4's state-store commit
+    * validation treats a replayed stateful batch as a zombie commit
+    * and fails the restart — recovering from exactly that crash
+    * window requires
+    * `spark.sql.streaming.stateStore.commitValidation.enabled=false`
+    * for the recovery run (the ledger, not the validator, is what
+    * guarantees exactly-once here).
     *
     * Scale notes: the file source lists only NEW files per trigger
     * (bounded by `maxFilesPerTrigger` for backpressure); state held

@@ -73,6 +73,28 @@ object Scans extends QueryGroup {
         .orderBy("n_nationkey")
     }),
 
+    // Deletion-vector read interop: `nation` lands as ONE sorted
+    // data file, then a second commit attaches a DV masking the rows
+    // whose n_nationkey is divisible by 5 (protocol reader 3 +
+    // deletionVectors feature, roaring-bitmap sidecar). A reader that
+    // ignored the DV would return 5 extra rows and hash-fail.
+    "scan_delta_dv" -> ((s, d) => {
+      val dir = tmpDir("graft_scan_delta_dv")
+      val nat = Tables.nation(s, d)
+      graft.sources.DeltaWrite.commit(dir, 0L, Seq(
+        "part-000.parquet" ->
+          nat.coalesce(1).sortWithinPartitions("n_nationkey")))
+      // physical row order in the single sorted file = key order
+      val keys = nat.select("n_nationkey").orderBy("n_nationkey")
+        .collect().map(_.getAs[Number](0).longValue)
+      val deleted = keys.zipWithIndex
+        .collect { case (k, i) if k % 5 == 0 => i.toLong }.toSeq
+      graft.sources.DeltaWrite.commitDeletionVector(
+        dir, 1L, "part-000.parquet", deleted)
+      graft.sources.DeltaRead.readDeltaTable(s, dir)
+        .orderBy("n_nationkey")
+    }),
+
     // Routed through the runner's `seed` command (the reference's dbt
     // argv surface), not a bare csv read — the oracle checks the
     // loaded table's content after the publish round-trip.
@@ -255,6 +277,10 @@ object Scans extends QueryGroup {
     // the ground truth — the log replay still hash-verifies)
     "scan_delta" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+
+    // the DV masks rows with n_nationkey % 5 == 0 out of the snapshot
+    "scan_delta_dv" ->
+      "SELECT * FROM nation WHERE n_nationkey % 5 <> 0 ORDER BY n_nationkey",
 
     "scan_csv_seed" -> {
       val rows = seedCsvLines.drop(1).map { l =>

@@ -85,4 +85,53 @@ object DeltaWrite {
     java.nio.file.Files.writeString(commitFile,
       lines.mkString("", "\n", "\n"))
   }
+
+  /** Commit `version`: attach a deletion vector masking `rowIndexes`
+    * (0-based physical row positions) to the existing data file
+    * `fileName`. Per the protocol this upgrades to reader 3/writer 7
+    * with the `deletionVectors` feature, writes the bitmap as a
+    * UUID-named sidecar ([[DeletionVectors.writeDvFile]]), re-adds
+    * the file WITH the DV and removes the DV-less pairing — file
+    * actions are keyed by (path, dvUniqueId), so both live in one
+    * commit.
+    */
+  def commitDeletionVector(dir: String, version: Long, fileName: String,
+      rowIndexes: Seq[Long]): Unit = {
+    require(rowIndexes.nonEmpty, "empty deletion vector commit")
+    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
+    val commitFile = logDir.resolve(f"$version%020d.json")
+    require(java.nio.file.Files.isDirectory(logDir) &&
+      !java.nio.file.Files.exists(commitFile),
+      s"Delta commit $version not writable in $dir")
+    val dataFile = java.nio.file.Paths.get(dir, fileName)
+    require(java.nio.file.Files.isRegularFile(dataFile),
+      s"no such data file to mask: $dataFile")
+    val uuid = java.util.UUID.randomUUID()
+    val (off, size) = DeletionVectors.writeDvFile(
+      java.nio.file.Paths.get(dir, s"deletion_vector_$uuid.bin"),
+      rowIndexes)
+    val lines = Seq(
+      compact(render(
+        ("protocol" -> (("minReaderVersion" -> 3) ~
+          ("minWriterVersion" -> 7) ~
+          ("readerFeatures" -> Seq("deletionVectors")) ~
+          ("writerFeatures" -> Seq("deletionVectors")))))),
+      compact(render(
+        ("add" -> (("path" -> fileName) ~
+          ("partitionValues" -> Map.empty[String, String]) ~
+          ("size" -> java.nio.file.Files.size(dataFile)) ~
+          ("modificationTime" -> 0L) ~
+          ("dataChange" -> false) ~
+          ("deletionVector" -> (("storageType" -> "u") ~
+            ("pathOrInlineDv" -> DeletionVectors.encodeUuid(uuid)) ~
+            ("offset" -> off) ~
+            ("sizeInBytes" -> size) ~
+            ("cardinality" -> rowIndexes.distinct.length))))))),
+      compact(render(
+        ("remove" -> (("path" -> fileName) ~
+          ("deletionTimestamp" -> 0L) ~
+          ("dataChange" -> false))))))
+    java.nio.file.Files.writeString(commitFile,
+      lines.mkString("", "\n", "\n"))
+  }
 }

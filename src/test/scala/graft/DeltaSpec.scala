@@ -138,19 +138,8 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq((2L, "b")), s"checkpoint replay wrong: $got")
   }
 
-  test("deletion vectors and column mapping are rejected loudly, " +
-      "never silently misread") {
-    val d = dir()
-    DeltaWrite.commit(d, 0L, Seq(
-      "f0.parquet" -> Seq((1L, "a")).toDF("id", "v")))
-    val log = java.nio.file.Paths.get(d, "_delta_log")
-    java.nio.file.Files.writeString(log.resolve(f"${1L}%020d.json"),
-      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}}}
-        |""".stripMargin)
-    val e = intercept[IllegalArgumentException](
-      DeltaRead.readDeltaTable(spark, d))
-    assert(e.getMessage.contains("deletion vectors"))
-
+  test("column mapping and unknown reader features are rejected " +
+      "loudly, never silently misread") {
     val d2 = dir()
     DeltaWrite.commit(d2, 0L, Seq(
       "f0.parquet" -> Seq((1L, "a")).toDF("id", "v")))
@@ -161,5 +150,208 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
     val e2 = intercept[IllegalArgumentException](
       DeltaRead.readDeltaTable(spark, d2))
     assert(e2.getMessage.contains("column mapping"))
+
+    val d3 = dir()
+    DeltaWrite.commit(d3, 0L, Seq(
+      "f0.parquet" -> Seq((1L, "a")).toDF("id", "v")))
+    val log3 = java.nio.file.Paths.get(d3, "_delta_log")
+    java.nio.file.Files.writeString(log3.resolve(f"${1L}%020d.json"),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}
+        |""".stripMargin)
+    val e3 = intercept[IllegalArgumentException](
+      DeltaRead.readDeltaTable(spark, d3))
+    assert(e3.getMessage.contains("v2Checkpoint"))
+  }
+
+  // ---- deletion vectors (delta.io PROTOCOL.md + RoaringFormatSpec) ----
+
+  test("DV codec: Z85 and RoaringBitmapArray round-trip; run and " +
+      "bitset containers deserialize") {
+    import graft.sources.DeletionVectors._
+    // ZeroMQ spec test vector: 0x86 0x4F 0xD2 0x6F 0xB5 0x59 0xF7 0x5B
+    // encodes to "HelloWorld"
+    val zmq = Array(0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B)
+      .map(_.toByte)
+    assert(z85Encode(zmq) == "HelloWorld")
+    assert(z85Decode("HelloWorld").toSeq == zmq.toSeq)
+    val uuid = java.util.UUID.fromString(
+      "00112233-4455-6677-8899-aabbccddeeff")
+    val enc = encodeUuid(uuid)
+    assert(enc.length == 20)
+    val bb = java.nio.ByteBuffer.wrap(z85Decode(enc))
+    assert(new java.util.UUID(bb.getLong, bb.getLong) == uuid)
+
+    // serialize → deserialize round-trip incl. cross-64k-block and
+    // cross-32-bit-key values
+    val rows = Seq(0L, 3L, 70000L, (1L << 32) + 5L, (1L << 32) + 99999L)
+    assert(deserialize(serialize(rows)) == rows)
+
+    // hand-crafted RUN container (cookie 12347, 1 container, run 5..8)
+    val run = java.nio.ByteBuffer.allocate(4 + 8 + 4 + 4 + 1 + 4 + 2 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    run.putInt(1681511377).putLong(1L).putInt(0) // magic, 1 bitmap, key 0
+    run.putInt(12347 | (0 << 16)) // SERIAL_COOKIE, size-1=0
+    run.put(1.toByte) // run flag bitset: container 0 is a run
+    run.putShort(0.toShort).putShort(3.toShort) // key 0, card-1 = 3
+    // size < 4 with runs → no offset header
+    run.putShort(1.toShort) // 1 run
+    run.putShort(5.toShort).putShort(3.toShort) // start 5, 3 more
+    assert(deserialize(run.array()) == Seq(5L, 6L, 7L, 8L))
+
+    // hand-crafted BITSET container (card 5000 > 4096)
+    val bs = java.nio.ByteBuffer
+      .allocate(4 + 8 + 4 + 4 + 4 + 4 + 4 + 8192)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bs.putInt(1681511377).putLong(1L).putInt(0)
+    bs.putInt(12346).putInt(1) // no-run cookie, 1 container
+    bs.putShort(0.toShort).putShort(4999.toShort) // card-1
+    bs.putInt(4 + 4 + 4 + 4) // offset header
+    var w = 0
+    while (w < 1024) {
+      var word = 0L
+      var b = 0
+      while (b < 64) {
+        if (w * 64 + b < 5000) word |= (1L << b)
+        b += 1
+      }
+      bs.putLong(word)
+      w += 1
+    }
+    assert(deserialize(bs.array()) == (0L until 5000L))
+  }
+
+  test("DV file round-trip: size, CRC and cardinality are verified") {
+    import graft.sources.DeletionVectors._
+    val d = dir()
+    val uuid = java.util.UUID.randomUUID()
+    val rows = Seq(1L, 3L, 4L, 70001L)
+    val (off, size) = writeDvFile(
+      java.nio.file.Paths.get(d, s"deletion_vector_$uuid.bin"), rows)
+    val desc = Descriptor("u", encodeUuid(uuid), Some(off), size, rows.length.toLong)
+    assert(deletedRows(d, desc) == rows)
+    // wrong cardinality fails loudly
+    intercept[IllegalArgumentException](
+      deletedRows(d, desc.copy(cardinality = 2L)))
+    // corrupt a data byte → CRC mismatch
+    val f = java.nio.file.Paths.get(d, s"deletion_vector_$uuid.bin")
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    bytes(7) = (bytes(7) ^ 0x5A).toByte
+    java.nio.file.Files.write(f, bytes)
+    val e = intercept[IllegalArgumentException](deletedRows(d, desc))
+    assert(e.getMessage.contains("checksum"))
+  }
+
+  test("adds with deletion vectors scan correct: masked rows absent, " +
+      "time travel to the pre-DV version restores them") {
+    import graft.sources.DeletionVectors
+    val d = dir()
+    DeltaWrite.commit(d, 0L, Seq(
+      "f0.parquet" -> Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+        .toDF("id", "v"),
+      "f1.parquet" -> Seq((5L, "e"), (6L, "f")).toDF("id", "v")))
+    // commit 1: attach a DV to f0 deleting physical rows 1 and 3
+    // (ids 2 and 4) — protocol shape: remove (f0, no DV) + add (f0, DV)
+    val uuid = java.util.UUID.randomUUID()
+    val (off, size) = DeletionVectors.writeDvFile(
+      java.nio.file.Paths.get(d, s"deletion_vector_$uuid.bin"), Seq(1L, 3L))
+    val dvJson = s"""{"storageType":"u","pathOrInlineDv":"${DeletionVectors.encodeUuid(uuid)}","offset":$off,"sizeInBytes":$size,"cardinality":2}"""
+    val log = java.nio.file.Paths.get(d, "_delta_log")
+    java.nio.file.Files.writeString(log.resolve(f"${1L}%020d.json"),
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}
+         |{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":$dvJson}}
+         |{"remove":{"path":"f0.parquet","deletionTimestamp":0,"dataChange":true}}
+         |""".stripMargin)
+    val now = DeltaRead.readDeltaTable(spark, d)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(now == Seq((1L, "a"), (3L, "c"), (5L, "e"), (6L, "f")),
+      s"DV mask not applied: $now")
+    val v0 = DeltaRead.readDeltaTable(spark, d, versionAsOf = Some(0L))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(v0.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      s"pre-DV time travel wrong: $v0")
+  }
+
+  test("inline ('i') deletion vectors decode from the action itself") {
+    import graft.sources.DeletionVectors
+    val d = dir()
+    DeltaWrite.commit(d, 0L, Seq(
+      "f0.parquet" -> Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")))
+    val data = DeletionVectors.serialize(Seq(0L))
+    val pad = (4 - data.length % 4) % 4
+    val payload = DeletionVectors.z85Encode(data ++ Array.fill(pad)(0.toByte))
+    // cardinality counts SET rows; Z85 zero-padding adds none
+    val dvJson = s"""{"storageType":"i","pathOrInlineDv":"$payload","sizeInBytes":${data.length + pad},"cardinality":1}"""
+    val log = java.nio.file.Paths.get(d, "_delta_log")
+    java.nio.file.Files.writeString(log.resolve(f"${1L}%020d.json"),
+      s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":$dvJson}}
+         |{"remove":{"path":"f0.parquet","deletionTimestamp":0,"dataChange":true}}
+         |""".stripMargin)
+    val got = DeltaRead.readDeltaTable(spark, d)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((2L, "b"), (3L, "c")), s"inline DV not applied: $got")
+  }
+
+  test("partitioned reads above unionGroupMax plan as ONE scan node " +
+      "with a broadcast partition-value map, values identical") {
+    val d = dir()
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("x", "double").add("seg", "string")
+    Seq(("A", Seq((1L, 1.5), (2L, 2.5))), ("B", Seq((3L, 3.5))),
+        ("C", Seq((4L, 4.5))))
+      .zipWithIndex.foreach { case ((_, rows), i) =>
+        DeltaWrite.commit(s"$d-stage$i", 0L,
+          Seq(s"f$i.parquet" -> rows.toDF("id", "x")))
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(s"$d-stage$i", s"f$i.parquet"),
+          { val t = java.nio.file.Paths.get(d, s"f$i.parquet")
+            java.nio.file.Files.createDirectories(t.getParent); t })
+      }
+    val log = java.nio.file.Paths.get(d, "_delta_log")
+    java.nio.file.Files.createDirectories(log)
+    java.nio.file.Files.writeString(log.resolve(f"${0L}%020d.json"),
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+         |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(org.json4s.JString(schema.json)))},"partitionColumns":["seg"],"configuration":{},"createdTime":0}}
+         |{"add":{"path":"f0.parquet","partitionValues":{"seg":"A"},"size":1,"modificationTime":0,"dataChange":true}}
+         |{"add":{"path":"f1.parquet","partitionValues":{"seg":"B"},"size":1,"modificationTime":0,"dataChange":true}}
+         |{"add":{"path":"f2.parquet","partitionValues":{"seg":"C"},"size":1,"modificationTime":0,"dataChange":true}}
+         |""".stripMargin)
+    val expected = Seq((1L, 1.5, "A"), (2L, 2.5, "A"), (3L, 3.5, "B"),
+      (4L, 4.5, "C"))
+    def scanCount(df: org.apache.spark.sql.DataFrame): Int = {
+      val p = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      p.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.size
+    }
+    // 3 live partitions > unionGroupMax=1 → broadcast-map path
+    val wide = DeltaRead.readDeltaTable(spark, d, unionGroupMax = 1)
+    assert(scanCount(wide) == 1,
+      s"expected ONE scan node, plan:\n${wide.queryExecution.executedPlan}")
+    val gotWide = wide.orderBy("id")
+      .as[(Long, Double, String)].collect().toSeq
+    assert(gotWide == expected, s"broadcast-map path wrong: $gotWide")
+    // default threshold keeps the cheap literal-union plan for 3 groups
+    val narrow = DeltaRead.readDeltaTable(spark, d)
+    assert(scanCount(narrow) == 3)
+    assert(narrow.orderBy("id").as[(Long, Double, String)].collect().toSeq
+      == expected)
+  }
+
+  test("percent-decoding handles ':' in the first segment and " +
+      "'?'/'#' escapes exactly (java.net.URI would scheme-parse or " +
+      "truncate; end-to-end reads of such names are then up to the " +
+      "filesystem — Hadoop local FS itself rejects ':' file names)") {
+    // the ADVICE NPE case: URI("t:a%20b.parquet").getPath is null
+    assert(DeltaRead.pctDecode("t:a%20b.parquet") == "t:a b.parquet")
+    // '?'/'#' are escapes to decode, not query/fragment separators
+    assert(DeltaRead.pctDecode("x%3Fy%23z/a%25.parquet") == "x?y#z/a%.parquet")
+    // multi-byte UTF-8 escapes decode as one code point
+    assert(DeltaRead.pctDecode("caf%C3%A9=1/f.parquet") == "café=1/f.parquet")
+    // no escapes → identity (fast path)
+    assert(DeltaRead.pctDecode("seg=a/f.parquet") == "seg=a/f.parquet")
   }
 }

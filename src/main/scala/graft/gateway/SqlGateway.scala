@@ -7,11 +7,12 @@ import org.json4s.jackson.JsonMethods
 /** Minimal SQL submission gateway — the engine's analogue of the
   * reference's ACTUAL execution boundary: SQL text submitted over a
   * network connection, rows back (the reference drives Spark through
-  * a PyHive/Thrift pin, `dbtoperator.py:273-274,342-360`). One
-  * newline-delimited JSON request per line on a local TCP socket:
+  * a PyHive/Thrift pin, `dbtoperator.py:273-274,342-360`; see
+  * [[ThriftGateway]] for the wire-compatible HiveServer2 endpoint).
+  * One newline-delimited JSON request per line on a TCP socket:
   *
   * {{{
-  *   → {"sql": "SELECT ...", "limit": 1000}
+  *   → {"token": "…", "sql": "SELECT ...", "limit": 1000}
   *   ← {"schema": "col1 TYPE, ...", "rows": [{...}, ...]}
   *   ← {"error": "..."}                          // on failure
   * }}}
@@ -21,50 +22,91 @@ import org.json4s.jackson.JsonMethods
   * (default/ceiling `maxRows`) — a gateway must never buffer an
   * unbounded result into one response; paginate with SQL.
   *
-  * Scale/posture notes: binds 127.0.0.1 by default (a cluster
-  * deployment fronts it the way Spark's own Thrift server is
-  * fronted); queries execute on the shared session so temp views
-  * registered by the host are visible — the dbt-over-Thrift usage
-  * shape. Each connection handles requests sequentially; concurrent
-  * CLIENTS get concurrent Spark jobs (fair scheduling applies).
+  * Security posture — anything that reaches this socket gets full
+  * Spark SQL on the shared session (filesystem reads/writes via
+  * `parquet.`-style table paths, session-state mutation), so:
+  *
+  *  - EVERY request must carry the shared-secret `token` (supplied
+  *    by the host or generated at construction — read it back via
+  *    [[authToken]]); mismatches get `{"error": …}` and no execution,
+  *    compared constant-time;
+  *  - the bind host must be loopback unless `allowNonLoopback = true`
+  *    is passed explicitly (a cluster deployment fronts it the way
+  *    Spark's own Thrift server is fronted);
+  *  - concurrent connections are bounded by `maxConnections` — the
+  *    acceptor runs on its own thread and over-cap clients get an
+  *    immediate error line instead of an unbounded thread pile-up.
+  *
+  * Queries execute on the shared session so temp views registered by
+  * the host — including `PipelineRunner`-published warehouse tables —
+  * are visible, the dbt-over-Thrift usage shape. Each connection
+  * handles requests sequentially; concurrent CLIENTS get concurrent
+  * Spark jobs (fair scheduling applies).
   */
 final class SqlGateway(spark: SparkSession,
     host: String = "127.0.0.1", requestedPort: Int = 0,
-    maxRows: Int = 10000) {
+    maxRows: Int = 10000,
+    token: Option[String] = None,
+    allowNonLoopback: Boolean = false,
+    maxConnections: Int = 64) {
+
+  require(allowNonLoopback ||
+    java.net.InetAddress.getByName(host).isLoopbackAddress,
+    s"refusing to bind non-loopback host $host without " +
+      "allowNonLoopback=true — this socket executes arbitrary SQL")
+
+  /** The shared secret every request must present. */
+  val authToken: String = token.getOrElse {
+    val bytes = new Array[Byte](24)
+    new java.security.SecureRandom().nextBytes(bytes)
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
+  }
+  require(authToken.nonEmpty, "auth token must be non-empty")
 
   private val server = new java.net.ServerSocket(
     requestedPort, 50, java.net.InetAddress.getByName(host))
   @volatile private var running = false
-  private val pool = java.util.concurrent.Executors.newCachedThreadPool(
-    (r: Runnable) => {
-      val t = new Thread(r, "graft-sql-gateway")
-      t.setDaemon(true)
-      t
-    })
+  private def namedThread(r: Runnable): Thread = {
+    val t = new Thread(r, "graft-sql-gateway")
+    t.setDaemon(true)
+    t
+  }
+  // handler pool is HARD-bounded: SynchronousQueue + AbortPolicy means
+  // the (maxConnections+1)th concurrent client is rejected at submit,
+  // answered with an error line, and closed — never an unbounded pile
+  private val pool = new java.util.concurrent.ThreadPoolExecutor(
+    maxConnections, maxConnections, 30L, java.util.concurrent.TimeUnit.SECONDS,
+    new java.util.concurrent.SynchronousQueue[Runnable](),
+    namedThread(_),
+    new java.util.concurrent.ThreadPoolExecutor.AbortPolicy())
+  pool.allowCoreThreadTimeOut(true)
+  @volatile private var acceptor: Thread = _
 
   /** The bound port (useful with requestedPort=0). */
   def port: Int = server.getLocalPort
 
   def start(): this.type = {
     running = true
-    pool.submit(new Runnable {
-      override def run(): Unit =
-        while (running && !server.isClosed) {
-          try {
-            val conn = server.accept()
-            pool.submit(new Runnable {
-              override def run(): Unit = handle(conn)
-            }): Unit
-          } catch {
-            case _: Throwable if !running || server.isClosed => () // stop()
-            case _: Throwable =>
-              // transient accept failure (fd exhaustion, submit
-              // rejection) must not kill the acceptor — the socket
-              // stays bound and clients would hang in the backlog
-              Thread.sleep(50)
+    acceptor = namedThread { () =>
+      while (running && !server.isClosed) {
+        try {
+          val conn = server.accept()
+          try pool.execute(() => handle(conn))
+          catch {
+            case _: java.util.concurrent.RejectedExecutionException =>
+              refuse(conn, "too many concurrent connections")
           }
+        } catch {
+          case _: Throwable if !running || server.isClosed => () // stop()
+          case _: Throwable =>
+            // transient accept failure (fd exhaustion) must not kill
+            // the acceptor — the socket stays bound and clients would
+            // hang in the backlog
+            Thread.sleep(50)
         }
-    })
+      }
+    }
+    acceptor.start()
     this
   }
 
@@ -73,6 +115,14 @@ final class SqlGateway(spark: SparkSession,
     server.close()
     pool.shutdownNow(): Unit
   }
+
+  private def refuse(conn: java.net.Socket, msg: String): Unit =
+    try {
+      val out = new java.io.PrintWriter(
+        new java.io.OutputStreamWriter(conn.getOutputStream, "UTF-8"), true)
+      out.println(s"""{"error":${JsonMethods.compact(JsonMethods.render(JString(msg)))}}""")
+    } catch { case _: java.io.IOException => () }
+    finally conn.close()
 
   private def handle(conn: java.net.Socket): Unit = {
     val in = new java.io.BufferedReader(
@@ -90,10 +140,18 @@ final class SqlGateway(spark: SparkSession,
     } finally conn.close()
   }
 
+  private def tokenOk(req: JValue): Boolean = (req \ "token") match {
+    case JString(t) => java.security.MessageDigest.isEqual(
+      t.getBytes("UTF-8"), authToken.getBytes("UTF-8"))
+    case _ => false
+  }
+
   private[gateway] def respond(requestLine: String): String = {
     implicit val fmts: Formats = DefaultFormats
     try {
       val req = JsonMethods.parse(requestLine)
+      if (!tokenOk(req))
+        sys.error("missing or invalid 'token' (shared-secret auth is required)")
       val sql = (req \ "sql") match {
         case JString(s) => s
         case _ => sys.error("request must carry a string 'sql' field")

@@ -146,6 +146,13 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     spec.sources.foreach { case (name, path) =>
       spark.read.parquet(path).createOrReplaceTempView(name)
     }
+    // tables already in the warehouse (a fresh session over an
+    // existing store) become queryable by name immediately
+    listDir(Paths.get(warehouse))
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).sorted
+      .filter(tableExists)
+      .foreach(registerSessionView)
     initialized = true
     logger.log(LogLevel.INFO, s"initialized warehouse=$warehouse")
   }
@@ -874,6 +881,24 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       // committed members are now manifest-protected from vacuum
       members.map(m => m.split('/').take(2).mkString("/"))
         .foreach(b => stagedBatches.remove((name, b)))
+      registerSessionView(name)
+    }
+
+  /** Register the table as a session temp view so SQL sessions
+    * (SqlGateway, ThriftGateway, `spark.sql`) can query it by bare
+    * name without host plumbing — the dbt-over-Thrift usage shape
+    * (`dbtoperator.py:274`). Re-registered on every publish so the
+    * view always resolves the LIVE generation; a registration
+    * failure (e.g. a table name that is not a valid SQL identifier)
+    * warns instead of failing the publish. When two runners on
+    * different warehouses share one session, same-named tables are
+    * last-publish-wins — qualify names upstream if that matters.
+    */
+  private def registerSessionView(name: String): Unit =
+    try readTable(name).createOrReplaceTempView(name)
+    catch {
+      case e: Exception => logger.log(LogLevel.WARNING,
+        s"session view for $name not registered: ${e.getMessage}")
     }
 
   /** The commit primitive: write the full manifest content to a temp
@@ -1118,6 +1143,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       all.reverse.foreach(Files.deleteIfExists(_))
     }
     stagedBatches.removeIf(_._1 == name)
+    spark.catalog.dropTempView(name): Unit
     logger.log(LogLevel.INFO, s"dropped table $name")
   }
 

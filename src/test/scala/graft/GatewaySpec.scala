@@ -1,13 +1,16 @@
 package graft
 
-import graft.gateway.SqlGateway
+import graft.gateway.{SqlGateway, ThriftGateway}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** graft.gateway.SqlGateway — the SQL-text submission boundary
-  * (reference: dbt drives Spark over PyHive/Thrift,
-  * `dbtoperator.py:342-360`): a real TCP round-trip submitting
-  * `q_shipping_priority` as SQL text must reproduce the registered
-  * key's rows exactly.
+/** graft.gateway.{SqlGateway, ThriftGateway} — the SQL-text
+  * submission boundary (reference: dbt drives Spark over
+  * PyHive/Thrift, `dbtoperator.py:342-360`): a real TCP round-trip
+  * submitting `q_shipping_priority` as SQL text must reproduce the
+  * registered key's rows exactly, shared-secret auth must gate every
+  * request, and the wire-compatible HS2 endpoint must serve
+  * unmodified hive-jdbc and beeline clients — including
+  * `PipelineRunner`-published warehouse tables by bare name.
   */
 class GatewaySpec extends AnyFunSuite with SparkTestBase {
 
@@ -23,6 +26,13 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
     } finally sock.close()
   }
 
+  private def withToken(gw: SqlGateway, body: String): String = {
+    val tok = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        org.json4s.JString(gw.authToken)))
+    s"""{"token": $tok, ${body.trim.stripPrefix("{")}"""
+  }
+
   test("q_shipping_priority submitted as SQL text over the socket " +
       "matches the registered key row-for-row") {
     Seq("customer", "orders", "lineitem").foreach(t =>
@@ -34,7 +44,9 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
       val sql = SparkEntry.oracleSql("q_shipping_priority")
       val body = org.json4s.jackson.JsonMethods.compact(
         org.json4s.jackson.JsonMethods.render(
-          org.json4s.JObject("sql" -> org.json4s.JString(sql))))
+          org.json4s.JObject(
+            "token" -> org.json4s.JString(gw.authToken),
+            "sql" -> org.json4s.JString(sql))))
       val resp = request(gw.port, body)
       val parsed = org.json4s.jackson.JsonMethods.parse(resp)
       assert((parsed \ "error") == org.json4s.JNothing, resp.take(500))
@@ -52,12 +64,12 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
 
       // errors come back as structured JSON, not dropped connections
       val bad = request(gw.port,
-        """{"sql": "SELECT * FROM no_such_table"}""")
+        withToken(gw, """{"sql": "SELECT * FROM no_such_table"}"""))
       assert(bad.contains("\"error\""), bad.take(300))
 
       // limit caps the result
       val lim = request(gw.port,
-        """{"sql": "SELECT * FROM lineitem", "limit": 7}""")
+        withToken(gw, """{"sql": "SELECT * FROM lineitem", "limit": 7}"""))
       val nRows = (org.json4s.jackson.JsonMethods.parse(lim) \ "rows")
         .children.size
       assert(nRows == 7, s"limit not applied: $nRows")
@@ -65,15 +77,139 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
       // limit hygiene: > Int.MaxValue clamps to maxRows (no Int
       // wrap to 0), whole JSON doubles are accepted, junk rejected
       def rowsOf(line: String): Int =
-        (org.json4s.jackson.JsonMethods.parse(request(gw.port, line))
-          \ "rows").children.size
+        (org.json4s.jackson.JsonMethods.parse(
+          request(gw.port, withToken(gw, line))) \ "rows").children.size
       assert(rowsOf(
         """{"sql": "SELECT 1 AS one", "limit": 4294967296}""") == 1)
       assert(rowsOf(
         """{"sql": "SELECT * FROM lineitem", "limit": 5.0}""") == 5)
       val junk = request(gw.port,
-        """{"sql": "SELECT 1", "limit": "ten"}""")
+        withToken(gw, """{"sql": "SELECT 1", "limit": "ten"}"""))
       assert(junk.contains("\"error\""), junk.take(200))
     } finally gw.stop()
+  }
+
+  test("auth: requests without the shared-secret token are rejected " +
+      "and never executed; non-loopback binds are refused") {
+    val gw = new SqlGateway(spark).start()
+    try {
+      // no token
+      val noTok = request(gw.port, """{"sql": "SELECT 1 AS one"}""")
+      assert(noTok.contains("token"), noTok.take(300))
+      assert(!noTok.contains("\"rows\""), noTok.take(300))
+      // wrong token
+      val wrong = request(gw.port,
+        """{"token": "nope", "sql": "SELECT 1 AS one"}""")
+      assert(wrong.contains("\"error\""), wrong.take(300))
+      // right token works
+      val ok = request(gw.port,
+        withToken(gw, """{"sql": "SELECT 1 AS one"}"""))
+      assert(ok.contains("\"rows\""), ok.take(300))
+      // a host-supplied token is honored verbatim
+      val gw2 = new SqlGateway(spark, token = Some("s3cret")).start()
+      try {
+        val r = request(gw2.port,
+          """{"token": "s3cret", "sql": "SELECT 2 AS two"}""")
+        assert(r.contains("\"rows\""), r.take(300))
+      } finally gw2.stop()
+    } finally gw.stop()
+    // binding a non-loopback host requires the explicit insecure flag
+    intercept[IllegalArgumentException](
+      new SqlGateway(spark, host = "0.0.0.0"))
+  }
+
+  test("connection bound: the (max+1)th concurrent client gets an " +
+      "immediate error line instead of an unbounded thread pile-up") {
+    val gw = new SqlGateway(spark, maxConnections = 2).start()
+    try {
+      // hold two connections open (no request sent — handler blocks
+      // on readLine, occupying both pool slots)
+      val held = (1 to 2).map(_ => new java.net.Socket("127.0.0.1", gw.port))
+      try {
+        Thread.sleep(200) // let the acceptor hand both to the pool
+        val over = request(gw.port,
+          withToken(gw, """{"sql": "SELECT 1 AS one"}"""))
+        assert(over != null && over.contains("too many"), String.valueOf(over))
+      } finally held.foreach(_.close())
+      // slots free up after the held connections close
+      Thread.sleep(200)
+      val ok = request(gw.port, withToken(gw, """{"sql": "SELECT 1 AS one"}"""))
+      assert(ok.contains("\"rows\""), String.valueOf(ok))
+    } finally gw.stop()
+  }
+
+  test("HS2 wire compatibility: unmodified hive-jdbc and an " +
+      "external-process beeline run q_shipping_priority through the " +
+      "Thrift endpoint; runner-published warehouse tables resolve " +
+      "by bare name") {
+    Seq("customer", "orders", "lineitem").foreach(t =>
+      spark.read.parquet(s"$sf/$t.parquet").createOrReplaceTempView(t))
+    // a warehouse table published by the runner — no manual view step
+    val wh = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"),
+      "thrift_wh").toString
+    val runner = new graft.pipeline.PipelineRunner(
+      spark, graft.pipeline.PipelineSpec(models = Nil), wh)
+    import spark.implicits._
+    runner.replaceTable("gateway_pub",
+      Seq((1L, "alpha"), (2L, "beta")).toDF("id", "tag"))
+
+    val port = ThriftGateway.freePort()
+    val srv = ThriftGateway.start(spark, port)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val conn = java.sql.DriverManager.getConnection(
+        s"jdbc:hive2://127.0.0.1:$port", "anon", "")
+      try {
+        // the flagship analytic through the real wire == direct run
+        val sql = SparkEntry.oracleSql("q_shipping_priority")
+        val rs = conn.createStatement().executeQuery(sql)
+        val got = Iterator.continually(rs)
+          .takeWhile(_.next())
+          .map(r => (r.getLong("l_orderkey"), r.getString("o_orderpriority"),
+            math.round(r.getDouble("revenue") * 100)))
+          .toSeq
+        val want = SparkEntry.queries("q_shipping_priority")(spark, sf)
+          .collect().map(r => (r.getLong(0), r.getString(2),
+            math.round(r.getDouble(3) * 100))).toSeq
+        assert(got == want, s"thrift rows != registered key: got=$got")
+
+        // the runner-published table is visible by bare name
+        val rs2 = conn.createStatement().executeQuery(
+          "SELECT id, tag FROM gateway_pub ORDER BY id")
+        val pub = Iterator.continually(rs2).takeWhile(_.next())
+          .map(r => (r.getLong(1), r.getString(2))).toSeq
+        assert(pub == Seq((1L, "alpha"), (2L, "beta")),
+          s"published table not visible through thrift: $pub")
+      } finally conn.close()
+
+      // external-process client: beeline over the same socket (the
+      // script feeds stdin and quits — `-e` with an open stdin pipe
+      // leaves beeline parked at its prompt)
+      val script = java.nio.file.Files.createTempFile(
+        java.nio.file.Paths.get("/root/repo/target/scratch-test"),
+        "beeline", ".sql")
+      java.nio.file.Files.writeString(script,
+        "SELECT tag FROM gateway_pub WHERE id = 2;\n!quit\n")
+      val pb = new ProcessBuilder(
+        "/opt/spark/bin/beeline",
+        "-u", s"jdbc:hive2://127.0.0.1:$port", "-n", "anon",
+        "--outputformat=csv2")
+      pb.redirectInput(script.toFile)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val outBytes = new java.io.ByteArrayOutputStream()
+      val pump = new Thread(() => proc.getInputStream.transferTo(outBytes))
+      pump.start()
+      val done = proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) proc.destroyForcibly()
+      pump.join(5000)
+      val outStr = outBytes.toString("UTF-8")
+      assert(done, s"beeline timed out; output:\n${outStr.takeRight(2000)}")
+      assert(proc.exitValue() == 0,
+        s"beeline exit ${proc.exitValue()}; output:\n${outStr.takeRight(2000)}")
+      assert(outStr.contains("beta"),
+        s"beeline did not return the row; output:\n${outStr.takeRight(2000)}")
+    } finally srv.close()
   }
 }

@@ -128,13 +128,22 @@ object StreamingOps {
     * in `checkpoint`, and a micro-batch redelivered after a crash in
     * the sink-committed/checkpoint-not-yet window is a ledger no-op
     * (spec-tested with a real stop → commit-marker removal →
-    * restart). Recovery caveat: Spark 4's state-store commit
-    * validation treats a replayed stateful batch as a zombie commit
-    * and fails the restart — recovering from exactly that crash
-    * window requires
-    * `spark.sql.streaming.stateStore.commitValidation.enabled=false`
-    * for the recovery run (the ledger, not the validator, is what
-    * guarantees exactly-once here).
+    * restart).
+    *
+    * Crash-window recovery is SELF-HEALING: a checkpoint whose last
+    * offsets entry has no matching commit marker means the next run
+    * must REPLAY that batch, and when the state store already
+    * committed it (crash after state+sink commit, before the
+    * offsets-log commit), Spark 4's state-store commit validation
+    * would fail the restart as a zombie commit. The ledger
+    * (`appendBatch`), not the validator, is what guarantees
+    * exactly-once here — so exactly that restart shape runs on a
+    * session CLONE with
+    * `spark.sql.streaming.stateStore.commitValidation.enabled=false`,
+    * scoped to the recovering query; the host session and every
+    * healthy start keep the validator on. When the state store did
+    * NOT commit (plain crash), the replay recomputes state and the
+    * disabled validator has nothing to validate away.
     *
     * Scale notes: the file source lists only NEW files per trigger
     * (bounded by `maxFilesPerTrigger` for backpressure); state held
@@ -149,7 +158,14 @@ object StreamingOps {
       transform: (DataFrame, String) => DataFrame = tumblingAgg,
       maxFilesPerTrigger: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val src = spark.readStream
+    val sess =
+      if (pendingReplay(checkpoint)) {
+        val recovery = spark.newSession()
+        recovery.conf.set(
+          "spark.sql.streaming.stateStore.commitValidation.enabled", "false")
+        recovery
+      } else spark
+    val src = sess.readStream
       .schema(EventFileSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inDir)
@@ -160,5 +176,26 @@ object StreamingOps {
         runner.appendBatch(table, batch, id): Unit
       }
       .start()
+  }
+
+  /** True iff the checkpoint's newest offsets entry lacks its commit
+    * marker — the restart will redeliver that micro-batch.
+    */
+  private def pendingReplay(checkpoint: String): Boolean = {
+    import scala.jdk.CollectionConverters._
+    def maxBatch(dir: java.nio.file.Path): Option[Long] =
+      if (!java.nio.file.Files.isDirectory(dir)) None
+      else {
+        val s = java.nio.file.Files.list(dir)
+        try s.iterator().asScala
+          .map(_.getFileName.toString)
+          .filterNot(_.startsWith("."))
+          .flatMap(n => scala.util.Try(n.toLong).toOption)
+          .maxOption
+        finally s.close()
+      }
+    val base = java.nio.file.Paths.get(checkpoint)
+    maxBatch(base.resolve("offsets")).exists(off =>
+      maxBatch(base.resolve("commits")).forall(_ < off))
   }
 }

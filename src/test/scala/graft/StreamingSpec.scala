@@ -582,26 +582,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     java.nio.file.Files.delete(commits.resolve(lastBatch.toString))
     java.nio.file.Files.deleteIfExists(
       commits.resolve(s".$lastBatch.crc")): Unit
-    // Spark 4's state-store commit validation flags the replayed
+    // Spark 4's state-store commit validation would flag the replayed
     // batch as a zombie commit — which is exactly the crash we are
-    // simulating (state+sink committed, offsets-log commit lost), so
-    // disable it for the recovery run only
+    // simulating (state+sink committed, offsets-log commit lost).
+    // startFileIngest must SELF-HEAL: detect the pending replay and
+    // recover WITHOUT the host session touching the validation conf
     val cvConf = "spark.sql.streaming.stateStore.commitValidation.enabled"
-    spark.conf.set(cvConf, "false")
-    try {
-      val q3 = start()
-      q3.processAllAvailable()
-      assert(table() == Seq(
-        (ts(0, 0), "click", 2L, 3.0), (ts(1, 0), "click", 2L, 12.0)),
-        s"redelivered batch must be a ledger no-op: ${table()}")
-      // and the SAME recovered query keeps ingesting new data
-      writeChunk((6L, 2, 30, 32.0), (7L, 3, 1, 64.0))
-      q3.processAllAvailable(); q3.stop()
-      assert(table() == Seq(
-        (ts(0, 0), "click", 2L, 3.0), (ts(1, 0), "click", 2L, 12.0),
-        (ts(2, 0), "click", 2L, 48.0)),
-        s"post-recovery ingest wrong: ${table()}")
-    } finally spark.conf.set(cvConf, "true")
+    val hostCv = spark.conf.get(cvConf, "true")
+    val q3 = start()
+    q3.processAllAvailable()
+    assert(table() == Seq(
+      (ts(0, 0), "click", 2L, 3.0), (ts(1, 0), "click", 2L, 12.0)),
+      s"redelivered batch must be a ledger no-op: ${table()}")
+    // and the SAME recovered query keeps ingesting new data
+    writeChunk((6L, 2, 30, 32.0), (7L, 3, 1, 64.0))
+    q3.processAllAvailable(); q3.stop()
+    assert(table() == Seq(
+      (ts(0, 0), "click", 2L, 3.0), (ts(1, 0), "click", 2L, 12.0),
+      (ts(2, 0), "click", 2L, 48.0)),
+      s"post-recovery ingest wrong: ${table()}")
+    // the recovery never mutated the HOST session's validation conf
+    assert(spark.conf.get(cvConf, "true") == hostCv,
+      "self-healing recovery must be scoped to the recovering query")
   }
 
   test("session windows close after the gap under a watermark") {

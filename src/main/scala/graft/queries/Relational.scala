@@ -95,6 +95,39 @@ object Scans extends QueryGroup {
         .orderBy("n_nationkey")
     }),
 
+    // Iceberg-format read interop (graft.sources.IcebergRead — the
+    // public iceberg.apache.org table spec, no Iceberg jar): three
+    // commits build a table from `nation` (commit 2 REMOVES commit
+    // 1's file and re-adds split files; commit 3 masks the rows with
+    // n_nationkey % 6 == 0 via v2 POSITION DELETES), then the
+    // metadata/manifest replay scans it. A reader that ignored remove
+    // status or delete manifests would dup or resurrect rows and
+    // hash-fail.
+    "scan_iceberg" -> ((s, d) => {
+      val dir = tmpDir("graft_scan_iceberg")
+      val nat = Tables.nation(s, d)
+      def sorted(df: org.apache.spark.sql.DataFrame) =
+        df.coalesce(1).sortWithinPartitions("n_nationkey")
+      graft.sources.IcebergWrite.commit(dir, Seq(
+        "f0.parquet" -> sorted(nat.filter(col("n_nationkey") < 10))))
+      graft.sources.IcebergWrite.commit(dir,
+        adds = Seq(
+          "f1.parquet" -> sorted(nat.filter(col("n_nationkey") < 15)),
+          "f2.parquet" -> sorted(nat.filter(col("n_nationkey") >= 15))),
+        removes = Seq("f0.parquet"))
+      val keys = nat.select("n_nationkey").orderBy("n_nationkey")
+        .collect().map(_.getAs[Number](0).longValue).toSeq
+      def posOf(ks: Seq[Long]) = ks.zipWithIndex
+        .collect { case (k, i) if k % 6 == 0 => i.toLong }
+      val dels = Map(
+        "f1.parquet" -> posOf(keys.filter(_ < 15)),
+        "f2.parquet" -> posOf(keys.filter(_ >= 15)))
+        .filter(_._2.nonEmpty)
+      graft.sources.IcebergWrite.commit(dir, Nil, positionDeletes = dels)
+      graft.sources.IcebergRead.readIcebergTable(s, dir)
+        .orderBy("n_nationkey")
+    }),
+
     // Routed through the runner's `seed` command (the reference's dbt
     // argv surface), not a bare csv read — the oracle checks the
     // loaded table's content after the publish round-trip.
@@ -281,6 +314,10 @@ object Scans extends QueryGroup {
     // the DV masks rows with n_nationkey % 5 == 0 out of the snapshot
     "scan_delta_dv" ->
       "SELECT * FROM nation WHERE n_nationkey % 5 <> 0 ORDER BY n_nationkey",
+
+    // position deletes mask rows with n_nationkey % 6 == 0
+    "scan_iceberg" ->
+      "SELECT * FROM nation WHERE n_nationkey % 6 <> 0 ORDER BY n_nationkey",
 
     "scan_csv_seed" -> {
       val rows = seedCsvLines.drop(1).map { l =>

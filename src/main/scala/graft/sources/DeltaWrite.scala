@@ -16,8 +16,10 @@ import org.json4s.jackson.JsonMethods.{compact, render}
   */
 object DeltaWrite {
 
-  /** Write one parquet file with `df`'s rows as `<dir>/<name>`. */
-  private def writeOne(df: DataFrame, dir: String, name: String): Long = {
+  /** Write one parquet file with `df`'s rows as `<dir>/<name>`
+    * (shared with [[IcebergWrite]]'s fixture data-file writer).
+    */
+  private[sources] def writeOne(df: DataFrame, dir: String, name: String): Long = {
     val dest = java.nio.file.Paths.get(dir, name)
     val tmp = java.nio.file.Files.createTempDirectory(
       dest.getParent, ".delta_stage")

@@ -1,0 +1,303 @@
+package graft.sources
+
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.JsonMethods.{pretty, render}
+
+/** Minimal spec-correct Apache Iceberg COMMIT writer
+  * (iceberg.apache.org/spec/, format-version 2, Hadoop-catalog
+  * layout): enough of the write path to export a table other Iceberg
+  * readers (and [[IcebergRead]]) can scan — `vN.metadata.json` +
+  * `version-hint.text`, avro manifest lists and manifests, parquet
+  * data files, and v2 POSITION delete files. Unpartitioned,
+  * single-writer, each commit writes one fresh data manifest carrying
+  * the full live file set (added entries status=1, carried-forward
+  * status=0; files dropped by `removes` are simply not carried — the
+  * rewritten-manifest form the spec allows) plus one delete manifest
+  * when position deletes exist. The EXPORT/fixture grade of interop,
+  * not a transactional store — the engine's own warehouse
+  * (`PipelineRunner`) remains the real write path.
+  */
+object IcebergWrite {
+
+  private val EntrySchema = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |  {"name":"status","type":"int","field-id":0},
+      |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |  {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |    {"name":"content","type":"int","field-id":134},
+      |    {"name":"file_path","type":"string","field-id":100},
+      |    {"name":"file_format","type":"string","field-id":101},
+      |    {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      |    {"name":"record_count","type":"long","field-id":103},
+      |    {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |  ]}}
+      |]}""".stripMargin)
+
+  private val ListSchema = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |  {"name":"manifest_path","type":"string","field-id":500},
+      |  {"name":"manifest_length","type":"long","field-id":501},
+      |  {"name":"partition_spec_id","type":"int","field-id":502},
+      |  {"name":"content","type":"int","field-id":517},
+      |  {"name":"sequence_number","type":"long","field-id":515},
+      |  {"name":"min_sequence_number","type":"long","field-id":516},
+      |  {"name":"added_snapshot_id","type":"long","field-id":503},
+      |  {"name":"added_files_count","type":"int","field-id":504},
+      |  {"name":"existing_files_count","type":"int","field-id":505},
+      |  {"name":"deleted_files_count","type":"int","field-id":506},
+      |  {"name":"added_rows_count","type":"long","field-id":512},
+      |  {"name":"existing_rows_count","type":"long","field-id":513},
+      |  {"name":"deleted_rows_count","type":"long","field-id":514}
+      |]}""".stripMargin)
+
+  private def writeAvro(path: java.nio.file.Path,
+      schema: org.apache.avro.Schema,
+      records: Seq[GenericRecord],
+      meta: Map[String, String]): Long = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    try {
+      meta.foreach { case (k, v) => w.setMeta(k, v) }
+      w.create(schema, path.toFile): Unit
+      records.foreach(w.append)
+    } finally w.close()
+    java.nio.file.Files.size(path)
+  }
+
+  // ---- Spark → Iceberg schema JSON (unique field ids via counter) ----
+
+  private def icebergType(dt: DataType, nextId: () => Int): JValue = dt match {
+    case st: StructType =>
+      // ids must be assigned to THIS level's fields before recursing
+      // (Iceberg assigns parent ids first)
+      val withIds = st.fields.map(f => (f, nextId()))
+      ("type" -> "struct") ~ ("fields" -> withIds.toList.map { case (f, id) =>
+        ("id" -> id) ~ ("name" -> f.name) ~ ("required" -> !f.nullable) ~
+          ("type" -> icebergType(f.dataType, nextId))
+      })
+    case ArrayType(et, containsNull) =>
+      val id = nextId()
+      ("type" -> "list") ~ ("element-id" -> id) ~
+        ("element-required" -> !containsNull) ~
+        ("element" -> icebergType(et, nextId))
+    case MapType(kt, vt, valueContainsNull) =>
+      val kid = nextId(); val vid = nextId()
+      ("type" -> "map") ~ ("key-id" -> kid) ~ ("value-id" -> vid) ~
+        ("value-required" -> !valueContainsNull) ~
+        ("key" -> icebergType(kt, nextId)) ~
+        ("value" -> icebergType(vt, nextId))
+    case BooleanType => JString("boolean")
+    case IntegerType | ShortType | ByteType => JString("int")
+    case LongType => JString("long")
+    case FloatType => JString("float")
+    case DoubleType => JString("double")
+    case DateType => JString("date")
+    case StringType => JString("string")
+    case BinaryType => JString("binary")
+    case TimestampType => JString("timestamptz")
+    case _: TimestampNTZType => JString("timestamp")
+    case d: DecimalType => JString(s"decimal(${d.precision},${d.scale})")
+    case other => sys.error(s"cannot export Spark type $other to Iceberg")
+  }
+
+  private def fileUri(p: java.nio.file.Path): String =
+    "file://" + p.toAbsolutePath.toString
+
+  /** Append commit: write each `(fileName, rows)` under `<dir>/data/`
+    * as a live data file, drop previously-live files named in
+    * `removes`, and mask `(dataFileName -> physical row positions)`
+    * via v2 position-delete files. Returns the new snapshot id.
+    * Timestamps are fixed at 0 so fixtures are byte-deterministic.
+    */
+  def commit(dir: String,
+      adds: Seq[(String, DataFrame)],
+      removes: Seq[String] = Nil,
+      positionDeletes: Map[String, Seq[Long]] = Map.empty): Long = {
+    require(adds.nonEmpty || removes.nonEmpty || positionDeletes.nonEmpty,
+      "empty Iceberg commit")
+    val metaDir = java.nio.file.Paths.get(dir, "metadata")
+    val dataDir = java.nio.file.Paths.get(dir, "data")
+    java.nio.file.Files.createDirectories(metaDir)
+    java.nio.file.Files.createDirectories(dataDir)
+
+    val hintFile = metaDir.resolve("version-hint.text")
+    val priorVersion =
+      if (java.nio.file.Files.isRegularFile(hintFile))
+        java.nio.file.Files.readString(hintFile).trim.toInt
+      else 0
+    val prior =
+      if (priorVersion == 0) IcebergRead.SnapshotState(
+        adds.headOption.map(_._2.schema).getOrElse(
+          sys.error("first Iceberg commit must add at least one file")),
+        Nil, Nil)
+      else IcebergRead.snapshotState(dir, None)
+    val snapshotId = priorVersion + 1L
+    val seq = snapshotId
+
+    def localOf(uri: String): java.nio.file.Path = java.nio.file.Paths.get(
+      "/" + uri.stripPrefix("file:").dropWhile(_ == '/'))
+
+    // carried-forward live data files minus removes (matched on the
+    // data-file NAME, parallel to DeltaWrite's remove contract)
+    val removedSet = removes.toSet
+    val carried = prior.dataFiles.filterNot(f =>
+      removedSet.contains(localOf(f.path).getFileName.toString))
+    removes.foreach(r => require(
+      prior.dataFiles.exists(f => localOf(f.path).getFileName.toString == r),
+      s"remove of unknown Iceberg data file: $r"))
+
+    val added = adds.map { case (name, df) =>
+      val rows = df.count()
+      DeltaWrite.writeOne(df, dataDir.toString, name)
+      IcebergRead.DataFileEntry(fileUri(dataDir.resolve(name)), "PARQUET", rows)
+    }
+
+    // position-delete files: parquet of (file_path, pos), paths as
+    // recorded in the manifests
+    val liveByName = (carried ++ added)
+      .map(f => localOf(f.path).getFileName.toString -> f).toMap
+    val newDeletes = if (positionDeletes.isEmpty) Nil else {
+      val spark = adds.headOption.map(_._2.sparkSession).getOrElse(
+        org.apache.spark.sql.SparkSession.active)
+      import spark.implicits._
+      val rows = positionDeletes.toSeq.sortBy(_._1).flatMap { case (name, ps) =>
+        val target = liveByName.getOrElse(name, sys.error(
+          s"position delete for unknown data file: $name"))
+        ps.sorted.map(p => (target.path, p))
+      }
+      val delName = f"delete-$snapshotId%05d.parquet"
+      DeltaWrite.writeOne(rows.toDF("file_path", "pos"),
+        dataDir.toString, delName)
+      Seq(IcebergRead.DataFileEntry(
+        fileUri(dataDir.resolve(delName)), "PARQUET", rows.length.toLong))
+    }
+    val allDeletes = prior.positionDeleteFiles ++ newDeletes
+
+    def entryRec(f: IcebergRead.DataFileEntry, status: Int,
+        content: Int): GenericRecord = {
+      val df = new GenericData.Record(
+        EntrySchema.getField("data_file").schema())
+      df.put("content", content)
+      df.put("file_path", f.path)
+      df.put("file_format", f.format)
+      df.put("partition", new GenericData.Record(
+        df.getSchema.getField("partition").schema()))
+      df.put("record_count", f.recordCount)
+      df.put("file_size_in_bytes", java.nio.file.Files.size(localOf(f.path)))
+      val e = new GenericData.Record(EntrySchema)
+      e.put("status", status)
+      e.put("snapshot_id", snapshotId)
+      e.put("data_file", df)
+      e
+    }
+
+    // one rewritten DATA manifest with the full live set
+    val dataManifest = metaDir.resolve(f"manifest-$snapshotId%05d-data.avro")
+    val dataLen = writeAvro(dataManifest, EntrySchema,
+      carried.map(entryRec(_, 0, 0)) ++ added.map(entryRec(_, 1, 0)),
+      Map("content" -> "data", "format-version" -> "2"))
+    // one DELETE manifest when any position deletes are live
+    val deleteManifest =
+      if (allDeletes.isEmpty) None
+      else {
+        val p = metaDir.resolve(f"manifest-$snapshotId%05d-deletes.avro")
+        val carriedDel = prior.positionDeleteFiles.map(entryRec(_, 0, 1))
+        val addedDel = newDeletes.map(entryRec(_, 1, 1))
+        Some(p -> writeAvro(p, EntrySchema, carriedDel ++ addedDel,
+          Map("content" -> "deletes", "format-version" -> "2")))
+      }
+
+    def listRec(path: java.nio.file.Path, len: Long, content: Int,
+        addedFiles: Int, existingFiles: Int, addedRows: Long,
+        existingRows: Long): GenericRecord = {
+      val r = new GenericData.Record(ListSchema)
+      r.put("manifest_path", fileUri(path))
+      r.put("manifest_length", len)
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", seq)
+      r.put("min_sequence_number", seq)
+      r.put("added_snapshot_id", snapshotId)
+      r.put("added_files_count", addedFiles)
+      r.put("existing_files_count", existingFiles)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", addedRows)
+      r.put("existing_rows_count", existingRows)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
+    val manifestList = metaDir.resolve(
+      f"snap-$snapshotId%05d-manifest-list.avro")
+    writeAvro(manifestList, ListSchema,
+      Seq(listRec(dataManifest, dataLen, 0, added.size, carried.size,
+        added.map(_.recordCount).sum, carried.map(_.recordCount).sum)) ++
+        deleteManifest.map { case (p, len) =>
+          listRec(p, len, 1, newDeletes.size,
+            prior.positionDeleteFiles.size,
+            newDeletes.map(_.recordCount).sum,
+            prior.positionDeleteFiles.map(_.recordCount).sum)
+        },
+      Map("format-version" -> "2")): Unit
+
+    // metadata JSON: schema is fixed at the first commit's (this
+    // writer does not evolve schemas), snapshots accumulate so every
+    // retained snapshot stays time-travelable
+    val schemaJson = {
+      var id = 0
+      val next = () => { id += 1; id }
+      icebergType(prior.schema, next) match {
+        case o: JObject =>
+          o ~ ("schema-id" -> 0) ~ ("identifier-field-ids" -> JArray(Nil))
+        case other => sys.error(s"struct schema expected, got $other")
+      }
+    }
+    val priorSnapshots =
+      if (priorVersion == 0) Nil
+      else (JsonMethods.parse(java.nio.file.Files.readString(
+        metaDir.resolve(s"v$priorVersion.metadata.json"))) \ "snapshots")
+        .children
+    val newSnapshot: JValue =
+      ("snapshot-id" -> snapshotId) ~
+        ("sequence-number" -> seq) ~
+        ("timestamp-ms" -> 0L) ~
+        ("summary" -> (("operation" -> "append"): JObject)) ~
+        ("manifest-list" -> fileUri(manifestList)) ~
+        ("schema-id" -> 0)
+    val lastColumnId = {
+      var id = 0
+      val next = () => { id += 1; id }
+      icebergType(prior.schema, next)
+      id
+    }
+    val meta: JValue =
+      ("format-version" -> 2) ~
+        ("table-uuid" -> "00000000-0000-0000-0000-000000000000") ~
+        ("location" -> ("file://" +
+          java.nio.file.Paths.get(dir).toAbsolutePath.toString)) ~
+        ("last-sequence-number" -> seq) ~
+        ("last-updated-ms" -> 0L) ~
+        ("last-column-id" -> lastColumnId) ~
+        ("current-schema-id" -> 0) ~
+        ("schemas" -> JArray(List(schemaJson))) ~
+        ("default-spec-id" -> 0) ~
+        ("partition-specs" -> JArray(List(
+          ("spec-id" -> 0) ~ ("fields" -> JArray(Nil))))) ~
+        ("last-partition-id" -> 999) ~
+        ("default-sort-order-id" -> 0) ~
+        ("sort-orders" -> JArray(List(
+          ("order-id" -> 0) ~ ("fields" -> JArray(Nil))))) ~
+        ("current-snapshot-id" -> snapshotId) ~
+        ("snapshots" -> JArray(priorSnapshots :+ newSnapshot))
+    java.nio.file.Files.writeString(
+      metaDir.resolve(s"v$snapshotId.metadata.json"),
+      pretty(render(meta)))
+    java.nio.file.Files.writeString(hintFile, snapshotId.toString)
+    snapshotId
+  }
+}

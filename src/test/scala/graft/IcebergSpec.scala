@@ -1,0 +1,180 @@
+package graft
+
+import graft.sources.{IcebergRead, IcebergWrite}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft.sources.IcebergRead/IcebergWrite — read-only interop with
+  * the public Apache Iceberg table spec: metadata JSON + avro
+  * manifest-list/manifest replay, snapshot time travel, v2 position
+  * deletes, and LOUD rejection of features this reader would
+  * otherwise misread (equality deletes, unknown types, future format
+  * versions).
+  */
+class IcebergSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def dir(): String = {
+    val base = java.nio.file.Paths.get("/root/repo/target/scratch-test")
+    java.nio.file.Files.createDirectories(base)
+    java.nio.file.Files.createTempDirectory(base, "iceberg").toString
+  }
+
+  test("add/remove commits yield the live snapshot; snapshot ids " +
+      "time-travel; unknown snapshot fails loudly") {
+    val d = dir()
+    val s1 = IcebergWrite.commit(d, Seq(
+      "f0.parquet" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+    val s2 = IcebergWrite.commit(d,
+      adds = Seq("f1.parquet" -> Seq((1L, "a2"), (3L, "c")).toDF("id", "v")),
+      removes = Seq("f0.parquet"))
+    assert(s1 == 1L && s2 == 2L)
+    val now = IcebergRead.readIcebergTable(spark, d)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(now == Seq((1L, "a2"), (3L, "c")), s"live snapshot wrong: $now")
+    val v1 = IcebergRead.readIcebergTable(spark, d, snapshotId = Some(s1))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(v1 == Seq((1L, "a"), (2L, "b")), s"time travel wrong: $v1")
+    intercept[IllegalArgumentException](
+      IcebergRead.readIcebergTable(spark, d, snapshotId = Some(99L)))
+    // removing an unknown file fails loudly, not silently
+    intercept[IllegalArgumentException](
+      IcebergWrite.commit(d, Nil, removes = Seq("nope.parquet")))
+  }
+
+  test("v2 position deletes mask physical rows; deletes carry " +
+      "forward across later commits") {
+    val d = dir()
+    IcebergWrite.commit(d, Seq(
+      "f0.parquet" -> Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+        .toDF("id", "v")))
+    // mask physical rows 1 and 3 of f0 (ids 2 and 4)
+    IcebergWrite.commit(d, Nil,
+      positionDeletes = Map("f0.parquet" -> Seq(1L, 3L)))
+    val got = IcebergRead.readIcebergTable(spark, d)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (3L, "c")), s"position deletes lost: $got")
+    // a later plain append must keep the existing deletes live
+    IcebergWrite.commit(d, Seq(
+      "f1.parquet" -> Seq((5L, "e")).toDF("id", "v")))
+    val after = IcebergRead.readIcebergTable(spark, d)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(after == Seq((1L, "a"), (3L, "c"), (5L, "e")),
+      s"deletes not carried forward: $after")
+    // pre-delete snapshot still shows all rows
+    val v1 = IcebergRead.readIcebergTable(spark, d, snapshotId = Some(1L))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(v1.map(_._1) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("schema fidelity: metadata-declared types round-trip and the " +
+      "scan prunes/pushes down") {
+    val d = dir()
+    val df = Seq(
+      (1L, 10, "x", 1.5, BigDecimal("12.34"), java.sql.Date.valueOf("2024-01-02")),
+      (2L, 20, "y", 2.5, BigDecimal("56.78"), java.sql.Date.valueOf("2024-03-04")))
+      .toDF("id", "n", "s", "x", "dec", "dt")
+      .withColumn("dec", col("dec").cast("decimal(10,2)"))
+    IcebergWrite.commit(d, Seq("f0.parquet" -> df))
+    val back = IcebergRead.readIcebergTable(spark, d)
+    assert(back.schema("dec").dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 2))
+    assert(back.schema("dt").dataType ==
+      org.apache.spark.sql.types.DateType)
+    assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val q = back.filter(col("n") === 20).select("s")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n), EqualTo(n,20)]"),
+      plan.take(2000))
+    assert(q.as[String].collect().toSeq == Seq("y"))
+  }
+
+  test("unsupported surfaces are rejected loudly: format-version 3, " +
+      "unknown types, equality deletes") {
+    val d = dir()
+    IcebergWrite.commit(d, Seq(
+      "f0.parquet" -> Seq((1L, "a")).toDF("id", "v")))
+    val metaFile = java.nio.file.Paths.get(d, "metadata", "v1.metadata.json")
+    val metaText = java.nio.file.Files.readString(metaFile)
+
+    // future format version
+    java.nio.file.Files.writeString(metaFile,
+      metaText.replace("\"format-version\" : 2", "\"format-version\" : 3"))
+    val e1 = intercept[RuntimeException](
+      IcebergRead.readIcebergTable(spark, d))
+    assert(e1.getMessage.contains("format-version"), e1.getMessage)
+
+    // unknown column type
+    java.nio.file.Files.writeString(metaFile,
+      metaText.replace("\"type\" : \"string\"", "\"type\" : \"uuid\""))
+    val e2 = intercept[RuntimeException](
+      IcebergRead.readIcebergTable(spark, d))
+    assert(e2.getMessage.contains("uuid"), e2.getMessage)
+    java.nio.file.Files.writeString(metaFile, metaText) // restore
+
+    // equality deletes: hand-craft a delete manifest with
+    // data_file.content=2 and splice it into a new snapshot
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |  {"name":"status","type":"int"},
+        |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |    {"name":"content","type":"int"},
+        |    {"name":"file_path","type":"string"},
+        |    {"name":"file_format","type":"string"},
+        |    {"name":"record_count","type":"long"}
+        |  ]}}
+        |]}""".stripMargin)
+    val eqMan = java.nio.file.Paths.get(d, "metadata", "manifest-eq.avro")
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](entrySchema))
+    w.create(entrySchema, eqMan.toFile)
+    val rec = new org.apache.avro.generic.GenericData.Record(entrySchema)
+    val dfr = new org.apache.avro.generic.GenericData.Record(
+      entrySchema.getField("data_file").schema())
+    dfr.put("content", 2) // EQUALITY_DELETES
+    dfr.put("file_path", s"file://$d/data/eq-del.parquet")
+    dfr.put("file_format", "PARQUET")
+    dfr.put("record_count", 1L)
+    rec.put("status", 1)
+    rec.put("data_file", dfr)
+    w.append(rec)
+    w.close()
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |  {"name":"manifest_path","type":"string"},
+        |  {"name":"manifest_length","type":"long"},
+        |  {"name":"partition_spec_id","type":"int"},
+        |  {"name":"content","type":"int"},
+        |  {"name":"added_snapshot_id","type":"long"}
+        |]}""".stripMargin)
+    val eqList = java.nio.file.Paths.get(d, "metadata", "snap-eq-list.avro")
+    val lw = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](listSchema))
+    lw.create(listSchema, eqList.toFile)
+    val lr = new org.apache.avro.generic.GenericData.Record(listSchema)
+    lr.put("manifest_path", s"file://$eqMan")
+    lr.put("manifest_length", java.nio.file.Files.size(eqMan))
+    lr.put("partition_spec_id", 0)
+    lr.put("content", 1)
+    lr.put("added_snapshot_id", 2L)
+    lw.append(lr)
+    lw.close()
+    val spliced = metaText
+      .replace("\"current-snapshot-id\" : 1", "\"current-snapshot-id\" : 2")
+      .replace("\"snapshots\" : [ {",
+        s"""\"snapshots\" : [ {
+           |    "snapshot-id" : 2,
+           |    "sequence-number" : 2,
+           |    "timestamp-ms" : 0,
+           |    "summary" : { "operation" : "append" },
+           |    "manifest-list" : "file://$eqList",
+           |    "schema-id" : 0
+           |  }, {""".stripMargin)
+    java.nio.file.Files.writeString(metaFile, spliced)
+    val e3 = intercept[RuntimeException](
+      IcebergRead.readIcebergTable(spark, d))
+    assert(e3.getMessage.contains("equality deletes"), e3.getMessage)
+  }
+}

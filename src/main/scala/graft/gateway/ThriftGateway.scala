@@ -55,6 +55,12 @@ object ThriftGateway {
         "set at SparkSession BUILD time (static conf) — without it each " +
         "Thrift connection gets fresh session state and cannot see the " +
         "host's temp views / published warehouse tables")
+    // With singleSession=true, HS2 session setup mutates the SHARED
+    // session conf (it forces spark.sql.datetime.java8API.enabled=true
+    // for Thrift result encoding, among others). Snapshot the runtime
+    // conf now and roll back any drift on close, so stopping the
+    // gateway returns the host session to exactly its prior state.
+    val before = spark.conf.getAll
     spark.conf.set("hive.server2.thrift.bind.host", bindHost)
     spark.conf.set("hive.server2.thrift.port", port.toString)
     val server = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
@@ -72,6 +78,20 @@ object ThriftGateway {
       }
     }
     require(up, s"Thrift endpoint did not come up on $bindHost:$port")
-    () => server.stop()
+    () => {
+      server.stop()
+      val after = spark.conf.getAll
+      after.foreach { case (k, v) =>
+        before.get(k) match {
+          case Some(old) if old != v =>
+            try spark.conf.set(k, old)
+            catch { case _: Exception => () } // static conf — leave it
+          case None =>
+            try spark.conf.unset(k)
+            catch { case _: Exception => () }
+          case _ => ()
+        }
+      }
+    }
   }
 }

@@ -499,8 +499,10 @@ object Dedup {
     * key-width gain as the corpus grows.
     */
   def simHashNearDups(sigs: DataFrame, idCol: String,
-                      maxDist: Int = 7, cut: Cut = localCut): DataFrame = {
+                      maxDist: Int = 7, cut: Cut = localCut,
+                      maxGroupPairs: Option[Long] = None): DataFrame = {
     require(maxDist >= 0 && maxDist < 32, "maxDist must be in [0, 31]")
+    require(maxGroupPairs.forall(_ >= 1), "maxGroupPairs must be >= 1")
     val nChunks = maxDist + 2
     // chunk i covers bits [i*64/nChunks, (i+1)*64/nChunks)
     val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
@@ -524,9 +526,10 @@ object Dedup {
     // definition (same histogram trick as the theta-range join).
     val members = cut(sigs.select(col(idCol).as("id"), col("simhash")))
     val distinctSigs = cut(members.groupBy("simhash")
-      .agg(count(lit(1)).as("grp")))
+      .agg(count(lit(1)).as("grp"), min(col("id")).as("rep")))
     val chunked = distinctSigs.select(col("simhash"),
       posexplode(array(keys: _*)).as(Seq("chunk", "cval")))
+    val cap = maxGroupPairs.map(lit(_))
     // The SimHash signature is ONE long — carry it through the chunk
     // join and popcount-filter BEFORE deduplicating, so only true
     // near-dup signature pairs reach the distinct.
@@ -540,21 +543,63 @@ object Dedup {
         bit_count(expr("sa ^ sb")).as("dist"))
       .filter(col("dist") <= maxDist)
       .distinct()
-    // cross-signature pairs: expand both sides by signature equi-join
-    val cross = sigPairs
+    // cross-signature pairs: expand both sides by signature equi-join.
+    // An id carrying TWO near signatures (or duplicated input rows)
+    // would otherwise surface as a self-pair — filter (a = b) out; a
+    // pair reachable through two signature pairs may still emit twice
+    // (downstream `clusters` dedups edges; a strict-set consumer adds
+    // its own distinct). With `maxGroupPairs`, signature pairs whose
+    // member expansion exceeds the cap emit ONE representative pair
+    // (min-id of each group) instead — the within-group star below
+    // spans each capped group, so connected components are preserved
+    // exactly while a pathological template corpus (one signature
+    // shared by thousands of docs near another such group) stays
+    // linear in members instead of O(n²) in pairs.
+    val spWide = sigPairs
+      .join(distinctSigs.select(col("simhash").as("sa"),
+        col("grp").as("ga"), col("rep").as("ra")), "sa")
+      .join(distinctSigs.select(col("simhash").as("sb"),
+        col("grp").as("gb"), col("rep").as("rb")), "sb")
+    def expand(sp: DataFrame): DataFrame = sp
       .join(members.select(col("simhash").as("sa"), col("id").as("ia")), "sa")
       .join(members.select(col("simhash").as("sb"), col("id").as("ib")), "sb")
       .select(least(col("ia"), col("ib")).as("a"),
         greatest(col("ia"), col("ib")).as("b"), col("dist"))
+      .filter(col("a") =!= col("b"))
+    val cross = cap match {
+      case None => expand(spWide)
+      case Some(c) =>
+        expand(spWide.filter(col("ga") * col("gb") <= c)).unionByName(
+          spWide.filter(col("ga") * col("gb") > c)
+            .select(least(col("ra"), col("rb")).as("a"),
+              greatest(col("ra"), col("rb")).as("b"), col("dist"))
+            .filter(col("a") =!= col("b")))
+    }
     // within-group pairs (dist = 0): a signature equi-self-join over
-    // only the signatures that HAVE ≥ 2 members
+    // only the signatures that HAVE ≥ 2 members; groups above the cap
+    // emit a min-id STAR (n-1 edges, same component) instead of all
+    // C(n,2) pairs
+    val bigSel = cap.map(c =>
+      (col("grp") * (col("grp") - 1)) / 2 > c).getOrElse(lit(false))
     val dup = members.join(
-      distinctSigs.filter(col("grp") >= 2).select("simhash"), "simhash")
+      distinctSigs.filter(col("grp") >= 2 && !bigSel).select("simhash"),
+      "simhash")
     val within = dup.select(col("simhash"), col("id").as("a"))
       .join(dup.select(col("simhash"), col("id").as("b")), "simhash")
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), lit(0).as("dist"))
-    cross.unionByName(within)
+    val starred = cap match {
+      case None => within
+      case Some(_) =>
+        val bigs = distinctSigs.filter(col("grp") >= 2 && bigSel)
+          .select(col("simhash"), col("rep"))
+        within.unionByName(
+          members.join(bigs, "simhash")
+            .filter(col("id") =!= col("rep"))
+            .select(col("rep").as("a"), col("id").as("b"),
+              lit(0).as("dist")))
+    }
+    cross.unionByName(starred)
   }
 
   /** Connected components over near-dup candidate pairs → one

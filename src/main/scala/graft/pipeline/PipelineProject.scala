@@ -139,26 +139,56 @@ object PipelineProject {
     // (dbt's project macro namespace — real dbt projects ship these,
     // which the reference loads wholesale, `dbtoperator.py:286-312`).
     // Name collisions across macro files fail loudly at load.
-    val macrosDir = root.resolve("macros")
-    val macroLib: Map[String, Model.MacroDef] =
-      if (!Files.isDirectory(macrosDir)) Map.empty
-      else {
-        val defs = listFiles(macrosDir)
-          .filter(_.getFileName.toString.endsWith(".sql"))
-          .sortBy(_.getFileName.toString)
-          .flatMap { p =>
-            val (ds, rest) = Model.parseMacros(
-              s"macros/${p.getFileName}", Files.readString(p))
-            require(rest.trim.isEmpty,
-              s"macros/${p.getFileName}: only {% macro %} definitions " +
-                s"are allowed in a macro file, found: ${rest.trim.take(80)}")
-            ds
-          }
-        defs.groupBy(_.name).foreach { case (n, ds) =>
-          require(ds.size == 1, s"macro '$n' defined ${ds.size} times")
+    def loadMacroDir(dir: Path, scope: String): Seq[Model.MacroDef] =
+      if (!Files.isDirectory(dir)) Nil
+      else listFiles(dir)
+        .filter(_.getFileName.toString.endsWith(".sql"))
+        .sortBy(_.getFileName.toString)
+        .flatMap { p =>
+          val (ds, rest) = Model.parseMacros(
+            s"$scope/${p.getFileName}", Files.readString(p))
+          require(rest.trim.isEmpty,
+            s"$scope/${p.getFileName}: only {% macro %} definitions " +
+              s"are allowed in a macro file, found: ${rest.trim.take(80)}")
+          ds
         }
-        defs.map(d => d.name -> d).toMap
-      }
+    val projectDefs = loadMacroDir(root.resolve("macros"), "macros")
+    projectDefs.groupBy(_.name).foreach { case (n, ds) =>
+      require(ds.size == 1, s"macro '$n' defined ${ds.size} times")
+    }
+
+    // packages/<pkg>/macros/*.sql: dbt package macros (`packages.yml`
+    // installs — dbt_utils and friends). Every package macro is
+    // callable QUALIFIED as `{{ pkg.name(...) }}` (dbt's explicit
+    // package call form); the bare name also resolves when nothing
+    // shadows it — project macros win over packages, and a bare name
+    // exported by TWO packages stays qualified-only (calling it bare
+    // fails at render like dbt's ambiguity error).
+    val packagesDir = root.resolve("packages")
+    val packageDefs: Seq[(String, Model.MacroDef)] =
+      if (!Files.isDirectory(packagesDir)) Nil
+      else listFiles(packagesDir).filter(Files.isDirectory(_))
+        .sortBy(_.getFileName.toString)
+        .flatMap { pkgDir =>
+          val pkg = pkgDir.getFileName.toString
+          val defs = loadMacroDir(pkgDir.resolve("macros"),
+            s"packages/$pkg/macros")
+          defs.groupBy(_.name).foreach { case (n, ds) =>
+            require(ds.size == 1,
+              s"package $pkg: macro '$n' defined ${ds.size} times")
+          }
+          defs.map(d => pkg -> d)
+        }
+    val qualified = packageDefs.map { case (pkg, d) =>
+      s"$pkg.${d.name}" -> d.copy(name = s"$pkg.${d.name}")
+    }.toMap
+    val projectNames = projectDefs.map(_.name).toSet
+    val bareFromPackages = packageDefs.groupBy(_._2.name).collect {
+      // unambiguous and not shadowed by a project macro
+      case (n, Seq((_, d))) if !projectNames.contains(n) => n -> d
+    }
+    val macroLib: Map[String, Model.MacroDef] =
+      qualified ++ bareFromPackages ++ projectDefs.map(d => d.name -> d)
 
     val modelsDir = root.resolve("models")
     val models: Seq[Model] =

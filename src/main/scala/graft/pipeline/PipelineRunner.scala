@@ -1246,6 +1246,14 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * default comfortably exceeds any materialization's stage→publish
     * window; genuine crash debris ages past it and is then collected.
     * (Hammer-tested with two racing JVMs in `WarehouseStressSpec`.)
+    *
+    * Retention caveat (Delta VACUUM's RESTORE race, same class): age
+    * cannot protect an OLD batch that another process RE-references
+    * mid-vacuum (a cross-process `restoreTable` committing a new
+    * generation over ancient batches). A post-delete re-check detects
+    * exactly that collision and QUARANTINES the referencing
+    * generation(s) — the table falls back to the newest intact
+    * generation with an ERROR log, never a silent missing-file read.
     */
   def vacuum(name: String, keepGenerations: Int = 1,
       minAgeMs: Long = PipelineRunner.DefaultVacuumGraceMs): Unit =
@@ -1281,9 +1289,24 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
             // re-read immediately before deleting: a batch is removed
             // only if BOTH reads agree it is unreferenced
             val keep1 = liveBatches()
-            candidates
+            val toDelete = candidates
               .filterNot(b => keep1.contains(s"data/${b.getFileName}"))
-              .foreach(deleteRec)
+            toDelete.foreach(deleteRec)
+            // Residual cross-process race the age grace CANNOT cover:
+            // an OLD batch newly re-referenced by another JVM (e.g. a
+            // restoreTable committing gen_{max+1} that points at
+            // ancient batches) between the keep1 re-read and the
+            // deletes — age is no signal for re-referenced old files.
+            // Re-check once more AFTER the deletes and QUARANTINE any
+            // generation that references a now-deleted batch: the
+            // table falls back to the newest intact generation
+            // (loudly) instead of surfacing missing-file read errors
+            // later. Same class of caveat as Delta VACUUM racing a
+            // time-travel-based RESTORE.
+            if (toDelete.nonEmpty)
+              quarantineClobberedGens(name,
+                toDelete.map(b => s"data/${b.getFileName}").toSet,
+                retained()): Unit
           }
         }
         // keep retained generations' manifests AND all their legacy
@@ -1311,6 +1334,41 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           .foreach(Files.deleteIfExists(_))
       }
     }
+
+  /** The vacuum post-delete collision check: if any CURRENTLY
+    * referenced batch is in `deletedBatches` (a concurrent commit —
+    * e.g. a cross-process restore — re-referenced old batches inside
+    * the delete window), quarantine the referencing generation(s) as
+    * `_aborted_<gen>` so the table falls back to the newest intact
+    * generation, and log ERROR. Returns the quarantined generation
+    * names (empty = no collision).
+    */
+  private[graft] def quarantineClobberedGens(name: String,
+      deletedBatches: Set[String],
+      retainedGens: Seq[String]): Seq[String] = {
+    val root = Paths.get(tablePath(name))
+    def batchesOf(g: String): Set[String] =
+      genManifest(name, g).map(_.split('/').take(2).mkString("/")).toSet
+    // only RETAINED generations matter: non-retained manifests are
+    // about to be GC'd anyway and legitimately reference swept batches
+    val bad = retainedGens.distinct.filter(g =>
+      Files.exists(root.resolve(g)) &&
+        batchesOf(g).exists(deletedBatches.contains))
+    bad.foreach { g =>
+      val src = root.resolve(g)
+      if (Files.exists(src))
+        Files.move(src, root.resolve(s"_aborted_$g"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+    if (bad.nonEmpty)
+      logger.log(LogLevel.ERROR,
+        s"vacuum($name) raced a concurrent commit that re-referenced " +
+          s"vacuumed batches ${deletedBatches.toSeq.sorted.mkString(", ")}; " +
+          s"quarantined generation(s) ${bad.mkString(", ")} — table " +
+          "falls back to the newest intact generation (re-run the " +
+          "restore/build)")
+    bad
+  }
 
   /** Model execution with dbt's skip-on-failure: a failed model marks
     * its transitive selected descendants `skipped` while independent

@@ -535,6 +535,16 @@ object Model {
         scala.util.matching.Regex.quoteReplacement(bodyOut.trim)
       })
     }
+    // fail-loudly contract: a call to a KNOWN macro whose argument
+    // list contains a paren (nested call, or ')' inside a quoted
+    // literal) can never match callRe and would otherwise surface
+    // later as an opaque Spark parse error on the literal '{{ … }}'
+    val leftoverRe = ("""\{\{\s*(""" + macros.keys.map(
+      java.util.regex.Pattern.quote).mkString("|") + """)\s*\(""").r
+    leftoverRe.findFirstMatchIn(out).foreach(m => sys.error(
+      s"$scope: call to macro ${m.group(1)} was not expanded — macro " +
+        "argument lists may not contain parentheses (pass the value " +
+        "through {% set %} or a var instead)"))
     out
   }
 

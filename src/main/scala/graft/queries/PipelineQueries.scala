@@ -844,9 +844,11 @@ object PipelineOps extends QueryGroup {
         """{{ config(materialized='view') }}
           |SELECT o_orderkey, o_orderstatus, o_totalprice
           |FROM {{ source('raw_orders') }}""".stripMargin)
-      // the agg model renders through a project {% macro %} and a
-      // {% set %} binding — the fixture's oracle is unchanged, so the
-      // hash-match proves macro expansion compiles to the same SQL
+      // the agg model renders through a project {% macro %}, a
+      // {% set %} binding, AND a PACKAGE macro (packages/<pkg>/macros,
+      // dbt's packages.yml install surface) called both qualified and
+      // bare — the fixture's oracle is unchanged, so the hash-match
+      // proves macro expansion compiles to the same SQL
       java.nio.file.Files.createDirectories(proj.resolve("macros"))
       java.nio.file.Files.writeString(
         proj.resolve("macros/money.sql"),
@@ -854,14 +856,25 @@ object PipelineOps extends QueryGroup {
           |CAST(SUM(CAST({{ col }} AS DECIMAL(12,2))) AS DOUBLE)
           |  AS {{ alias }}
           |{% endmacro %}""".stripMargin)
+      java.nio.file.Files.createDirectories(
+        proj.resolve("packages/metrics_utils/macros"))
+      java.nio.file.Files.writeString(
+        proj.resolve("packages/metrics_utils/macros/counts.sql"),
+        """{% macro row_count(alias='n') %}
+          |count(*) AS {{ alias }}
+          |{% endmacro %}
+          |{% macro eq_cond(l, r) %}
+          |{{ l }} = {{ r }}
+          |{% endmacro %}""".stripMargin)
       java.nio.file.Files.writeString(
         proj.resolve("models/po_agg.sql"),
         """{{ config(materialized='table') }}
           |{% set dim = 'sn.status_name' %}
-          |SELECT {{ dim }}, count(*) AS n,
+          |SELECT {{ dim }}, {{ row_count() }},
           |  {{ money_sum('o.o_totalprice') }}
           |FROM {{ ref('po_base') }} o
-          |JOIN {{ ref('status_names') }} sn ON o.o_orderstatus = sn.code
+          |JOIN {{ ref('status_names') }} sn
+          |  ON {{ metrics_utils.eq_cond('o.o_orderstatus', 'sn.code') }}
           |GROUP BY {{ dim }}""".stripMargin)
       java.nio.file.Files.writeString(
         proj.resolve("seeds/status_names.csv"),

@@ -162,6 +162,55 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.simHashNearDups(sigs, "doc_id", maxDist = 7).count() == 0)
   }
 
+  test("simhash emits no self-pairs and tolerates duplicate input " +
+      "rows / one id under two near signatures") {
+    // id 7 appears with TWO signatures one bit apart (a re-ingested
+    // doc after a near-identical edit) and id 1's row is duplicated;
+    // id 7's signatures sit far (>maxDist) from the id-1/2 group
+    val far = 0xFFFF00000000F000L
+    val sigs = Seq((1L, 10L), (1L, 10L), (7L, far), (7L, far ^ 1L),
+      (2L, 10L)).toDF("doc_id", "simhash")
+    val pairs = Dedup.simHashNearDups(sigs, "doc_id", maxDist = 7)
+      .select("a", "b").as[(Long, Long)].collect().toSeq
+    assert(pairs.forall { case (a, b) => a != b },
+      s"self-pairs leaked: ${pairs.filter(p => p._1 == p._2)}")
+    assert(pairs.toSet == Set((1L, 2L)), s"pairs wrong: $pairs")
+  }
+
+  test("simhash maxGroupPairs star cap: same connected components, " +
+      "linear pair count on a template corpus") {
+    // a pathological template corpus: signature S shared by 60 docs,
+    // signature S^1 (one bit away) shared by 40 — exact emission is
+    // C(60,2)+C(40,2)+60*40 = 1770+780+2400 pairs for one component
+    val s = 0x0F0F0F0F0F0F0F0FL
+    val rows = (0 until 60).map(i => (i.toLong, s)) ++
+      (100 until 140).map(i => (i.toLong, s ^ 1L)) ++
+      // a separate small near-pair component + a singleton
+      Seq((500L, 0x7000000000000000L), (501L, 0x7000000000000001L),
+        (900L, 0x123456789abcdefL))
+    val sigs = rows.toDF("doc_id", "simhash")
+    val exact = Dedup.simHashNearDups(sigs, "doc_id", maxDist = 7)
+    val capped = Dedup.simHashNearDups(sigs, "doc_id", maxDist = 7,
+      maxGroupPairs = Some(100L))
+    val nExact = exact.count()
+    val nCapped = capped.count()
+    assert(nExact == 1770L + 780L + 2400L + 1L, s"exact count $nExact")
+    // star cap: 59 + 39 edges for the two big groups, ONE rep pair
+    // across them, and the small component's true pair
+    assert(nCapped == 59L + 39L + 1L + 1L, s"capped count $nCapped")
+    def comps(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    val (ce, cc) = (comps(exact), comps(capped))
+    assert(ce.keySet == cc.keySet,
+      "cap must not drop nodes from the pair graph")
+    // identical partition into components (same label sets)
+    assert(ce.groupBy(_._2).view.mapValues(_.keySet).toMap ==
+      cc.groupBy(_._2).view.mapValues(_.keySet).toMap,
+      "connected components must be preserved under the cap")
+    // capped output still never self-pairs
+    assert(capped.filter(col("a") === col("b")).count() == 0)
+  }
+
   test("simhash signature is deterministic") {
     val df = Seq((1L, "some stable text about weather and climate"))
       .toDF("doc_id", "text")

@@ -155,6 +155,8 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
       Seq((1L, "alpha"), (2L, "beta")).toDF("id", "tag"))
 
     val port = ThriftGateway.freePort()
+    val java8Conf = "spark.sql.datetime.java8API.enabled"
+    val java8Before = spark.conf.get(java8Conf, "false")
     val srv = ThriftGateway.start(spark, port)
     try {
       Class.forName("org.apache.hive.jdbc.HiveDriver")
@@ -211,5 +213,10 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
       assert(outStr.contains("beta"),
         s"beeline did not return the row; output:\n${outStr.takeRight(2000)}")
     } finally srv.close()
+    // HS2 sessions mutate the SHARED session conf under singleSession
+    // (java8 datetime API etc.) — close() must roll the drift back so
+    // the host session (and later suites) see their own semantics
+    assert(spark.conf.get(java8Conf, "false") == java8Before,
+      "ThriftGateway.close must restore the shared session conf")
   }
 }

@@ -760,6 +760,47 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       .toSeq == Seq((1L, "v2")))
   }
 
+  test("vacuum post-delete collision check quarantines a racing " +
+      "generation that re-referenced swept batches; table falls back " +
+      "to the newest intact generation") {
+    val w = wh()
+    def spec(v: String) = PipelineSpec(Seq(tableModel("qt", Seq((1L, v)))))
+    val r1 = new PipelineRunner(spark, spec("v1"), w)
+    assert(r1.run(Seq("run")).success)
+    val r2 = new PipelineRunner(spark, spec("v2"), w)
+    assert(r2.run(Seq("run")).success)
+    val root = java.nio.file.Paths.get(r2.tablePath("qt"))
+    def membersOf(gen: String): Set[String] =
+      java.nio.file.Files.readString(root.resolve(gen)).linesIterator
+        .filterNot(_.startsWith("#")).filter(_.nonEmpty)
+        .map(_.split('/').take(2).mkString("/")).toSet
+    val gen1Batches = membersOf("gen_1")
+    assert(gen1Batches.nonEmpty && membersOf("gen_2") != gen1Batches)
+    // the race, replayed deterministically: a cross-process restore
+    // commits gen_3 pointing back at gen_1's ancient batches while
+    // vacuum (keep=1) is sweeping them — by the time the post-delete
+    // check runs, gen_3 exists and its batches are gone
+    r2.restoreTable("qt", "gen_1") // commits gen_3 = gen_1's members
+    gen1Batches.foreach { b =>
+      val dir = root.resolve(b)
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(dir)
+      val all = try s.iterator().asScala.toSeq finally s.close()
+      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val bad = r2.quarantineClobberedGens("qt", gen1Batches,
+      Seq("gen_2", "gen_3"))
+    assert(bad == Seq("gen_3"), s"quarantined: $bad")
+    assert(!java.nio.file.Files.exists(root.resolve("gen_3")))
+    assert(java.nio.file.Files.exists(root.resolve("_aborted_gen_3")))
+    // the table is READABLE again, at the newest intact generation
+    assert(r2.readTable("qt").as[(Long, String)].collect()
+      .toSeq == Seq((1L, "v2")))
+    // an intact generation set is left alone
+    assert(r2.quarantineClobberedGens("qt", gen1Batches,
+      Seq("gen_2")).isEmpty)
+  }
+
   test("SQL-text models: {{ ref }}/{{ source }} resolve through spark.sql") {
     val w = wh()
     val srcDir = wh() + "/src_orders"
@@ -905,6 +946,63 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       Materialization.Table, macros = defs.map(d => d.name -> d).toMap)
     assert(m2.deps == Seq("up"),
       s"macro-body ref must declare the dep: ${m2.deps}")
+  }
+
+  test("a KNOWN macro call with parens in its arguments fails the " +
+      "compile loudly instead of leaking '{{ … }}' into Spark SQL") {
+    val (lib, _) = Model.parseMacros("t",
+      "{% macro money(col) %}SUM({{ col }}){% endmacro %}")
+    val macros = lib.map(d => d.name -> d).toMap
+    val e = intercept[RuntimeException](Model.renderMacros("m",
+      "SELECT {{ money(round(x)) }}", macros))
+    assert(e.getMessage.contains("money") &&
+      e.getMessage.contains("parenthes"), e.getMessage)
+    // unknown names with parens stay untouched (engine functions
+    // rendered later, e.g. {{ var(...) }})
+    assert(Model.renderMacros("m", "{{ other(f(x)) }}", macros)
+      == "{{ other(f(x)) }}")
+  }
+
+  test("package macros (packages/<pkg>/macros) resolve qualified " +
+      "always and bare when unshadowed; project macros win; two-" +
+      "package bare names stay qualified-only") {
+    val proj = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"), "pkgm")
+    def write(rel: String, text: String): Unit = {
+      val p = proj.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, text): Unit
+    }
+    write("macros/local.sql",
+      "{% macro tag() %}'project'{% endmacro %}")
+    write("packages/pkg_a/macros/m.sql",
+      "{% macro tag() %}'pkg_a'{% endmacro %}\n" +
+        "{% macro only_a() %}'only_a'{% endmacro %}\n" +
+        "{% macro both() %}'a_both'{% endmacro %}")
+    write("packages/pkg_b/macros/m.sql",
+      "{% macro both() %}'b_both'{% endmacro %}")
+    write("models/out.sql",
+      """{{ config(materialized='table') }}
+        |SELECT {{ tag() }} AS t_project,
+        |  {{ pkg_a.tag() }} AS t_qual,
+        |  {{ only_a() }} AS t_bare,
+        |  {{ pkg_a.both() }} AS t_a, {{ pkg_b.both() }} AS t_b""".stripMargin)
+    val spec = PipelineProject.load(proj.toString)
+    val r = new PipelineRunner(spark, spec, wh())
+    assert(r.run(Seq("run")).success)
+    val row = r.readTable("out").head()
+    assert(row.getString(0) == "project") // project shadows pkg_a.tag
+    assert(row.getString(1) == "pkg_a")   // qualified reaches it anyway
+    assert(row.getString(2) == "only_a")  // unambiguous bare resolves
+    assert(row.getString(3) == "a_both" && row.getString(4) == "b_both")
+    // an AMBIGUOUS bare name is not bound: the call stays unexpanded
+    // and the model fails at compile/run, not silently wrong
+    write("models/amb.sql",
+      "{{ config(materialized='table') }}\nSELECT {{ both() }} AS x")
+    val spec2 = PipelineProject.load(proj.toString)
+    val r2 = new PipelineRunner(spark, spec2, wh())
+    val res = r2.run(Seq("run", "--select", "amb"))
+    assert(!res.success, "ambiguous bare package macro must not build")
   }
 
   test("{% set %} binds scalars into {{ name }} and lists into " +

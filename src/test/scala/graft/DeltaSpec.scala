@@ -138,14 +138,14 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq((2L, "b")), s"checkpoint replay wrong: $got")
   }
 
-  test("column mapping and unknown reader features are rejected " +
-      "loudly, never silently misread") {
+  test("id-mode column mapping and unknown reader features are " +
+      "rejected loudly, never silently misread") {
     val d2 = dir()
     DeltaWrite.commit(d2, 0L, Seq(
       "f0.parquet" -> Seq((1L, "a")).toDF("id", "v")))
     val log2 = java.nio.file.Paths.get(d2, "_delta_log")
     java.nio.file.Files.writeString(log2.resolve(f"${1L}%020d.json"),
-      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(org.json4s.JString(Seq((1L, "a")).toDF("id", "v").schema.json)))},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(org.json4s.JString(Seq((1L, "a")).toDF("id", "v").schema.json)))},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":0}}
          |""".stripMargin)
     val e2 = intercept[IllegalArgumentException](
       DeltaRead.readDeltaTable(spark, d2))
@@ -339,6 +339,104 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
     assert(scanCount(narrow) == 3)
     assert(narrow.orderBy("id").as[(Long, Double, String)].collect().toSeq
       == expected)
+  }
+
+  test("column mapping 'name' mode: physical col-uuid names (nested " +
+      "included) and physical-keyed partition values read back " +
+      "logical; a DV composes on top") {
+    import org.apache.spark.sql.types._
+    val d = dir()
+    def meta(phys: String, id: Int) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id.toLong).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("col-aaa", 1)),
+      StructField("info", StructType(Seq(
+        StructField("tag", StringType, nullable = true, meta("col-ccc", 3)))),
+        nullable = true, meta("col-bbb", 2)),
+      StructField("seg", StringType, nullable = true, meta("col-ddd", 4))))
+    // the data file stores PHYSICAL names, partition col absent
+    val data = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("a", "b")
+      .select(col("a").as("col-aaa"),
+        struct(col("b").as("col-ccc")).as("col-bbb"))
+      .coalesce(1).sortWithinPartitions("col-aaa")
+    DeltaWrite.commit(s"$d-stage", 0L, Seq("f0.parquet" -> data))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$d-stage", "f0.parquet"),
+      java.nio.file.Paths.get(d, "f0.parquet"))
+    val log = java.nio.file.Paths.get(d, "_delta_log")
+    java.nio.file.Files.createDirectories(log)
+    val schemaJson = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        org.json4s.JString(logical.json)))
+    java.nio.file.Files.writeString(log.resolve(f"${0L}%020d.json"),
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+         |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":["seg"],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}
+         |{"add":{"path":"f0.parquet","partitionValues":{"col-ddd":"A"},"size":1,"modificationTime":0,"dataChange":true}}
+         |""".stripMargin)
+    val got = DeltaRead.readDeltaTable(spark, d)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "info", "seg"))
+    assert(got.schema("info").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("tag"), "nested field must be logical")
+    val rows = got.orderBy("id")
+      .select(col("id"), col("info.tag"), col("seg"))
+      .as[(Long, String, String)].collect().toSeq
+    assert(rows == Seq((1L, "x", "A"), (2L, "y", "A"), (3L, "z", "A")),
+      s"mapped read wrong: $rows")
+    // a deletion vector composes with the mapping (both default-on
+    // in modern writers): mask physical row 1 (id 2)
+    val uuid = java.util.UUID.randomUUID()
+    val (off, size) = graft.sources.DeletionVectors.writeDvFile(
+      java.nio.file.Paths.get(d, s"deletion_vector_$uuid.bin"), Seq(1L))
+    java.nio.file.Files.writeString(log.resolve(f"${1L}%020d.json"),
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","columnMapping"],"writerFeatures":["deletionVectors","columnMapping"]}}
+         |{"add":{"path":"f0.parquet","partitionValues":{"col-ddd":"A"},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"${graft.sources.DeletionVectors.encodeUuid(uuid)}","offset":$off,"sizeInBytes":$size,"cardinality":1}}}
+         |{"remove":{"path":"f0.parquet","deletionTimestamp":0,"dataChange":true}}
+         |""".stripMargin)
+    val masked = DeltaRead.readDeltaTable(spark, d).orderBy("id")
+      .select(col("id"), col("info.tag"), col("seg"))
+      .as[(Long, String, String)].collect().toSeq
+    assert(masked == Seq((1L, "x", "A"), (3L, "z", "A")),
+      s"DV over mapped table wrong: $masked")
+  }
+
+  test("a complete multi-part checkpoint bounds the replay like a " +
+      "single-file one") {
+    val d = dir()
+    DeltaWrite.commit(d, 0L, Seq(
+      "f0.parquet" -> Seq((1L, "a")).toDF("id", "v")))
+    DeltaWrite.commit(d, 1L,
+      adds = Seq("f1.parquet" -> Seq((2L, "b")).toDF("id", "v"),
+        "f2.parquet" -> Seq((3L, "c")).toDF("id", "v")),
+      removes = Seq("f0.parquet"))
+    val log = java.nio.file.Paths.get(d, "_delta_log")
+    val part1 = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(org.json4s.JString(Seq((1L, "a")).toDF("id", "v").schema.json)))},"partitionColumns":[],"configuration":{},"createdTime":0}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val part2 = Seq(
+      """{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    def writePart(rows: Seq[String], idx: Int): Unit = {
+      val stage = s"$d/_ck_stage$idx"
+      spark.read.json(rows.toDS()).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+      val f = try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+      java.nio.file.Files.move(f, log.resolve(
+        f"${1L}%020d.checkpoint.$idx%010d.${2}%010d.parquet")): Unit
+    }
+    writePart(part1, 1)
+    writePart(part2, 2)
+    java.nio.file.Files.delete(log.resolve(f"${0L}%020d.json"))
+    java.nio.file.Files.delete(log.resolve(f"${1L}%020d.json"))
+    val got = DeltaRead.readDeltaTable(spark, d)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((2L, "b"), (3L, "c")),
+      s"multi-part checkpoint replay wrong: $got")
   }
 
   test("percent-decoding handles ':' in the first segment and " +

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.avro.file.DataFileReader
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, regexp_replace}
+import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -22,9 +22,13 @@ import org.json4s.jackson.JsonMethods
   * snapshot time travel by id, PARQUET data files, v2 POSITION
   * deletes (applied as a distributed anti-join on
   * `_metadata.file_path`/`row_index` — delete files stay distributed,
-  * never driver-materialized). Rejected LOUDLY, never silently
-  * misread: equality deletes, non-parquet data files, unsupported
-  * types (`time`, `uuid`).
+  * never driver-materialized), and v2 EQUALITY deletes on top-level
+  * columns (null-safe match, applied only to data files with a
+  * STRICTLY smaller data sequence number — the spec's ordering rule,
+  * with per-entry sequence numbers inheriting from the manifest when
+  * null). Rejected LOUDLY, never silently misread: nested/unknown
+  * equality ids, non-parquet data files, unsupported types
+  * (`time`, `uuid`).
   *
   * Scale notes: metadata/manifest replay is driver-side over
   * METADATA, mirroring Iceberg's own planning (manifest lists exist
@@ -41,11 +45,14 @@ object IcebergRead {
   private implicit val fmts: Formats = DefaultFormats
 
   private[sources] case class DataFileEntry(
-      path: String, format: String, recordCount: Long)
+      path: String, format: String, recordCount: Long,
+      seq: Long = 0L, equalityIds: Seq[Int] = Nil)
   private[sources] case class SnapshotState(
       schema: StructType,
       dataFiles: Seq[DataFileEntry],
-      positionDeleteFiles: Seq[DataFileEntry])
+      positionDeleteFiles: Seq[DataFileEntry],
+      equalityDeleteFiles: Seq[DataFileEntry] = Nil,
+      fieldNameById: Map[Int, String] = Map.empty)
 
   // ---- avro (manifest list + manifest files are small avro files;
   // read driver-side with the file's own writer schema) ----
@@ -60,12 +67,16 @@ object IcebergRead {
     } finally rdr.close()
   }
 
+  // a field absent from the record's (writer's) schema reads as None
+  // — v1 manifests lack v2 fields and avro's Record.get(name) throws
+  private def raw(r: GenericRecord, field: String): Option[AnyRef] =
+    if (r.getSchema.getField(field) == null) None else Option(r.get(field))
   private def str(r: GenericRecord, field: String): Option[String] =
-    Option(r.get(field)).map(_.toString)
+    raw(r, field).map(_.toString)
   private def int(r: GenericRecord, field: String): Option[Int] =
-    Option(r.get(field)).map(_.asInstanceOf[Number].intValue)
+    raw(r, field).map(_.asInstanceOf[Number].intValue)
   private def long(r: GenericRecord, field: String): Option[Long] =
-    Option(r.get(field)).map(_.asInstanceOf[Number].longValue)
+    raw(r, field).map(_.asInstanceOf[Number].longValue)
 
   // ---- Iceberg schema JSON → Spark types ----
 
@@ -162,6 +173,15 @@ object IcebergRead {
       s"snapshot $id does not exist in $path (have: " +
         snapshots.flatMap(s => (s \ "snapshot-id").extractOpt[Long])
           .mkString(", ") + ")"))
+    // field-id → top-level column name (equality delete resolution);
+    // nested ids are absent on purpose — a nested equality id rejects
+    val fieldNameById: Map[Int, String] = schemaJson match {
+      case o: JObject => (o \ "fields").children.flatMap(f =>
+        (f \ "id").extractOpt[Int].map(_ -> (f \ "name").extract[String]))
+        .toMap
+      case _ => Map.empty
+    }
+
     snap match {
       case None => SnapshotState(schema, Nil, Nil) // empty table
       case Some(s) =>
@@ -170,28 +190,46 @@ object IcebergRead {
         require(java.nio.file.Files.isRegularFile(mlPath),
           s"manifest list missing: $mlPath")
         val dataFiles = scala.collection.mutable.ArrayBuffer.empty[DataFileEntry]
-        val deleteFiles = scala.collection.mutable.ArrayBuffer.empty[DataFileEntry]
+        val posDeletes = scala.collection.mutable.ArrayBuffer.empty[DataFileEntry]
+        val eqDeletes = scala.collection.mutable.ArrayBuffer.empty[DataFileEntry]
         avroRecords(mlPath).foreach { mf =>
           val manPath = java.nio.file.Paths.get(localPath(
             str(mf, "manifest_path").getOrElse(
               sys.error(s"manifest list entry without manifest_path: $mlPath"))))
           val manContent = int(mf, "content").getOrElse(0) // v1: data
+          val manSeq = long(mf, "sequence_number").getOrElse(0L)
           avroRecords(manPath).foreach { entry =>
             val status = int(entry, "status").getOrElse(0)
             if (status != 2) { // 2 = DELETED (tombstone for history)
               val df = entry.get("data_file").asInstanceOf[GenericRecord]
               val fileContent = int(df, "content").getOrElse(0)
+              val eqIds = raw(df, "equality_ids").toSeq.flatMap {
+                case c: java.util.Collection[_] =>
+                  import scala.jdk.CollectionConverters._
+                  c.asScala.toSeq.map(_.asInstanceOf[Number].intValue)
+                case _ => Nil
+              }
               val fe = DataFileEntry(
                 str(df, "file_path").getOrElse(
                   sys.error(s"data_file without file_path in $manPath")),
                 str(df, "file_format").getOrElse("PARQUET").toUpperCase,
-                long(df, "record_count").getOrElse(0L))
+                long(df, "record_count").getOrElse(0L),
+                // explicit sequence number wins; null inherits the
+                // manifest's (the spec's inheritance rule)
+                long(entry, "sequence_number").getOrElse(manSeq),
+                eqIds)
               (manContent, fileContent) match {
                 case (0, 0) => dataFiles += fe
-                case (1, 1) => deleteFiles += fe // position deletes
-                case (1, 2) => sys.error(
-                  s"Iceberg equality deletes are unsupported by this " +
-                    s"reader: ${fe.path}")
+                case (1, 1) => posDeletes += fe
+                case (1, 2) =>
+                  require(fe.equalityIds.nonEmpty,
+                    s"equality delete without equality_ids: ${fe.path}")
+                  fe.equalityIds.foreach(id => require(
+                    fieldNameById.contains(id),
+                    s"equality delete ${fe.path} references field id " +
+                      s"$id which is not a TOP-LEVEL column (nested " +
+                      "equality deletes unsupported)"))
+                  eqDeletes += fe
                 case (mc, fc) => sys.error(
                   s"inconsistent manifest/file content ($mc, $fc) for " +
                     s"${fe.path}")
@@ -199,10 +237,11 @@ object IcebergRead {
             }
           }
         }
-        (dataFiles ++ deleteFiles).foreach(f => require(
+        (dataFiles ++ posDeletes ++ eqDeletes).foreach(f => require(
           f.format == "PARQUET",
           s"non-parquet Iceberg file unsupported: ${f.path} (${f.format})"))
-        SnapshotState(schema, dataFiles.toSeq, deleteFiles.toSeq)
+        SnapshotState(schema, dataFiles.toSeq, posDeletes.toSeq,
+          eqDeletes.toSeq, fieldNameById)
     }
   }
 
@@ -215,26 +254,62 @@ object IcebergRead {
     if (st.dataFiles.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st.schema)
     } else {
-      val base = spark.read.schema(st.schema)
+      def normFp(c: org.apache.spark.sql.Column) =
+        regexp_replace(c, "^file:/+", "file:/")
+      var df = spark.read.schema(st.schema)
         .parquet(st.dataFiles.map(f => localPath(f.path)).sorted: _*)
-      if (st.positionDeleteFiles.isEmpty) base
-      else {
+      val needMeta =
+        st.positionDeleteFiles.nonEmpty || st.equalityDeleteFiles.nonEmpty
+      if (needMeta)
+        df = df.withColumn("__graft_file", normFp(col("_metadata.file_path")))
+      if (st.positionDeleteFiles.nonEmpty) {
         // v2 position deletes: parquet files of (file_path, pos) rows
         // naming deleted physical positions. Both sides normalize the
         // file URI (file:///a vs Hadoop's file:/a) before the
         // anti-join; deletes remain a distributed frame.
-        def normFp(c: org.apache.spark.sql.Column) =
-          regexp_replace(c, "^file:/+", "file:/")
         val dels = spark.read
           .parquet(st.positionDeleteFiles.map(f => localPath(f.path)).sorted: _*)
           .select(normFp(col("file_path")).as("__graft_file"),
             col("pos").cast(LongType).as("__graft_row"))
-        base
-          .withColumn("__graft_file", normFp(col("_metadata.file_path")))
-          .withColumn("__graft_row", col("_metadata.row_index"))
+        df = df.withColumn("__graft_row", col("_metadata.row_index"))
           .join(dels, Seq("__graft_file", "__graft_row"), "left_anti")
-          .select(st.schema.map(f => col(f.name)): _*)
+          .drop("__graft_row")
       }
+      if (st.equalityDeleteFiles.nonEmpty) {
+        // v2 equality deletes: each file holds rows of values for its
+        // equality-id columns; a data row is deleted when some delete
+        // row null-safe-equals it on those columns AND the delete's
+        // sequence number is STRICTLY greater than the data file's
+        // (same-commit data survives, per spec). The per-file data
+        // sequence number attaches via a broadcast file→seq map; the
+        // delete frames stay distributed, one anti-join per distinct
+        // equality-column set.
+        val seqRows = st.dataFiles.map { f =>
+          val p = localPath(f.path)
+          Row("file:" + java.nio.file.Paths.get(p).toAbsolutePath.toString,
+            f.seq)
+        }
+        val seqDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(seqRows, 1),
+          StructType(Seq(StructField("__graft_file", StringType),
+            StructField("__graft_seq", LongType))))
+        df = df.join(broadcast(seqDf), Seq("__graft_file"), "left")
+        st.equalityDeleteFiles.groupBy(_.equalityIds.sorted).toSeq
+          .sortBy(_._1.mkString(","))
+          .foreach { case (ids, files) =>
+            val cols = ids.map(st.fieldNameById)
+            val dels = files.map { f =>
+              spark.read
+                .parquet(localPath(f.path))
+                .select(cols.map(c => col(c).as(s"__graft_eq_$c")): _*)
+                .withColumn("__graft_dseq", lit(f.seq))
+            }.reduce(_ unionByName _)
+            val cond = cols.map(c => col(c) <=> col(s"__graft_eq_$c"))
+              .reduce(_ && _) && (col("__graft_dseq") > col("__graft_seq"))
+            df = df.join(dels, cond, "left_anti")
+          }
+      }
+      if (needMeta) df.select(st.schema.map(f => col(f.name)): _*) else df
     }
   }
 }

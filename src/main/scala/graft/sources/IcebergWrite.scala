@@ -29,13 +29,15 @@ object IcebergWrite {
     """{"type":"record","name":"manifest_entry","fields":[
       |  {"name":"status","type":"int","field-id":0},
       |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |  {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
       |  {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
       |    {"name":"content","type":"int","field-id":134},
       |    {"name":"file_path","type":"string","field-id":100},
       |    {"name":"file_format","type":"string","field-id":101},
       |    {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       |    {"name":"record_count","type":"long","field-id":103},
-      |    {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |    {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
       |  ]}}
       |]}""".stripMargin)
 
@@ -111,15 +113,20 @@ object IcebergWrite {
 
   /** Append commit: write each `(fileName, rows)` under `<dir>/data/`
     * as a live data file, drop previously-live files named in
-    * `removes`, and mask `(dataFileName -> physical row positions)`
-    * via v2 position-delete files. Returns the new snapshot id.
-    * Timestamps are fixed at 0 so fixtures are byte-deterministic.
+    * `removes`, mask `(dataFileName -> physical row positions)` via
+    * v2 position-delete files, and/or write a v2 EQUALITY delete
+    * (`equalityDelete = Some(columns -> valueRows)`) deleting every
+    * earlier-sequence data row matching a value row on those
+    * top-level columns. Returns the new snapshot id. Timestamps are
+    * fixed at 0 so fixtures are byte-deterministic.
     */
   def commit(dir: String,
       adds: Seq[(String, DataFrame)],
       removes: Seq[String] = Nil,
-      positionDeletes: Map[String, Seq[Long]] = Map.empty): Long = {
-    require(adds.nonEmpty || removes.nonEmpty || positionDeletes.nonEmpty,
+      positionDeletes: Map[String, Seq[Long]] = Map.empty,
+      equalityDelete: Option[(Seq[String], DataFrame)] = None): Long = {
+    require(adds.nonEmpty || removes.nonEmpty ||
+      positionDeletes.nonEmpty || equalityDelete.nonEmpty,
       "empty Iceberg commit")
     val metaDir = java.nio.file.Paths.get(dir, "metadata")
     val dataDir = java.nio.file.Paths.get(dir, "data")
@@ -155,7 +162,8 @@ object IcebergWrite {
     val added = adds.map { case (name, df) =>
       val rows = df.count()
       DeltaWrite.writeOne(df, dataDir.toString, name)
-      IcebergRead.DataFileEntry(fileUri(dataDir.resolve(name)), "PARQUET", rows)
+      IcebergRead.DataFileEntry(fileUri(dataDir.resolve(name)), "PARQUET",
+        rows, seq = snapshotId)
     }
 
     // position-delete files: parquet of (file_path, pos), paths as
@@ -175,9 +183,36 @@ object IcebergWrite {
       DeltaWrite.writeOne(rows.toDF("file_path", "pos"),
         dataDir.toString, delName)
       Seq(IcebergRead.DataFileEntry(
-        fileUri(dataDir.resolve(delName)), "PARQUET", rows.length.toLong))
+        fileUri(dataDir.resolve(delName)), "PARQUET", rows.length.toLong,
+        seq = snapshotId))
     }
-    val allDeletes = prior.positionDeleteFiles ++ newDeletes
+
+    // equality-delete file: parquet of value rows over the named
+    // TOP-LEVEL columns; field ids resolve through the same numbering
+    // the metadata schema uses
+    val newEqDeletes = equalityDelete.toSeq.map { case (cols, valueRows) =>
+      val ids = {
+        implicit val fmts: Formats = DefaultFormats
+        var id = 0
+        val next = () => { id += 1; id }
+        val rendered = icebergType(prior.schema, next)
+        val byName = (rendered \ "fields").children.map(f =>
+          (f \ "name").extract[String] -> (f \ "id").extract[Int]).toMap
+        cols.map(c => byName.getOrElse(c, sys.error(
+          s"equality delete column '$c' is not a top-level column")))
+      }
+      require(valueRows.columns.toSeq == cols,
+        s"equality delete rows must carry exactly $cols")
+      val delName = f"eq-delete-$snapshotId%05d.parquet"
+      val n = valueRows.count()
+      DeltaWrite.writeOne(valueRows, dataDir.toString, delName)
+      IcebergRead.DataFileEntry(
+        fileUri(dataDir.resolve(delName)), "PARQUET", n,
+        seq = snapshotId, equalityIds = ids)
+    }
+    val anyDeletes = prior.positionDeleteFiles.nonEmpty ||
+      prior.equalityDeleteFiles.nonEmpty ||
+      newDeletes.nonEmpty || newEqDeletes.nonEmpty
 
     def entryRec(f: IcebergRead.DataFileEntry, status: Int,
         content: Int): GenericRecord = {
@@ -190,9 +225,18 @@ object IcebergWrite {
         df.getSchema.getField("partition").schema()))
       df.put("record_count", f.recordCount)
       df.put("file_size_in_bytes", java.nio.file.Files.size(localOf(f.path)))
+      if (content == 2) {
+        import scala.jdk.CollectionConverters._
+        df.put("equality_ids",
+          f.equalityIds.map(Integer.valueOf).asJava)
+      }
       val e = new GenericData.Record(EntrySchema)
       e.put("status", status)
       e.put("snapshot_id", snapshotId)
+      // explicit sequence numbers everywhere: carried entries keep
+      // the sequence they were ADDED at (required for EXISTING rows;
+      // equality-delete strictness depends on it)
+      e.put("sequence_number", f.seq)
       e.put("data_file", df)
       e
     }
@@ -202,13 +246,15 @@ object IcebergWrite {
     val dataLen = writeAvro(dataManifest, EntrySchema,
       carried.map(entryRec(_, 0, 0)) ++ added.map(entryRec(_, 1, 0)),
       Map("content" -> "data", "format-version" -> "2"))
-    // one DELETE manifest when any position deletes are live
+    // one DELETE manifest when any position/equality deletes are live
     val deleteManifest =
-      if (allDeletes.isEmpty) None
+      if (!anyDeletes) None
       else {
         val p = metaDir.resolve(f"manifest-$snapshotId%05d-deletes.avro")
-        val carriedDel = prior.positionDeleteFiles.map(entryRec(_, 0, 1))
-        val addedDel = newDeletes.map(entryRec(_, 1, 1))
+        val carriedDel = prior.positionDeleteFiles.map(entryRec(_, 0, 1)) ++
+          prior.equalityDeleteFiles.map(entryRec(_, 0, 2))
+        val addedDel = newDeletes.map(entryRec(_, 1, 1)) ++
+          newEqDeletes.map(entryRec(_, 1, 2))
         Some(p -> writeAvro(p, EntrySchema, carriedDel ++ addedDel,
           Map("content" -> "deletes", "format-version" -> "2")))
       }
@@ -238,10 +284,12 @@ object IcebergWrite {
       Seq(listRec(dataManifest, dataLen, 0, added.size, carried.size,
         added.map(_.recordCount).sum, carried.map(_.recordCount).sum)) ++
         deleteManifest.map { case (p, len) =>
-          listRec(p, len, 1, newDeletes.size,
-            prior.positionDeleteFiles.size,
-            newDeletes.map(_.recordCount).sum,
-            prior.positionDeleteFiles.map(_.recordCount).sum)
+          val carriedDel =
+            prior.positionDeleteFiles ++ prior.equalityDeleteFiles
+          val addedDel = newDeletes ++ newEqDeletes
+          listRec(p, len, 1, addedDel.size, carriedDel.size,
+            addedDel.map(_.recordCount).sum,
+            carriedDel.map(_.recordCount).sum)
         },
       Map("format-version" -> "2")): Unit
 

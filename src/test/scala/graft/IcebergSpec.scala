@@ -89,8 +89,49 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
     assert(q.as[String].collect().toSeq == Seq("y"))
   }
 
+  test("v2 equality deletes: matching earlier-sequence rows vanish, " +
+      "same/later-sequence rows survive (strict ordering), deletes " +
+      "carry forward and time travel restores") {
+    val d = dir()
+    IcebergWrite.commit(d, Seq(
+      "f0.parquet" -> Seq((1L, "x"), (2L, "y"), (3L, "x"), (4L, "z"))
+        .toDF("id", "cat")))
+    // snapshot 2: delete every row with cat = 'x'
+    IcebergWrite.commit(d, Nil,
+      equalityDelete = Some(Seq("cat") -> Seq(Tuple1("x")).toDF("cat")))
+    val got = IcebergRead.readIcebergTable(spark, d)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((2L, "y"), (4L, "z")), s"equality delete wrong: $got")
+    // snapshot 3: a NEW 'x' row lands AFTER the delete's sequence —
+    // the strict < rule must keep it while still masking the old ones
+    IcebergWrite.commit(d, Seq(
+      "f1.parquet" -> Seq((5L, "x")).toDF("id", "cat")))
+    val after = IcebergRead.readIcebergTable(spark, d)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(after == Seq((2L, "y"), (4L, "z"), (5L, "x")),
+      s"sequence strictness violated: $after")
+    // pre-delete snapshot shows everything
+    val v1 = IcebergRead.readIcebergTable(spark, d, snapshotId = Some(1L))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(v1.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    // NULL-safe matching: deleting cat IS NULL rows works too
+    IcebergWrite.commit(d, Seq(
+      "f2.parquet" -> Seq((6L, Option.empty[String]), (7L, Some("w")))
+        .toDF("id", "cat")))
+    IcebergWrite.commit(d, Nil,
+      equalityDelete = Some(
+        Seq("cat") -> Seq(Tuple1(Option.empty[String])).toDF("cat")))
+    val nulls = IcebergRead.readIcebergTable(spark, d)
+      .orderBy("id").as[(Long, Option[String])].collect().toSeq
+    assert(nulls.map(_._1) == Seq(2L, 4L, 5L, 7L),
+      s"null-safe equality delete wrong: $nulls")
+    // unknown equality column fails loudly at write
+    intercept[RuntimeException](IcebergWrite.commit(d, Nil,
+      equalityDelete = Some(Seq("nope") -> Seq(Tuple1("a")).toDF("nope"))))
+  }
+
   test("unsupported surfaces are rejected loudly: format-version 3, " +
-      "unknown types, equality deletes") {
+      "unknown types, malformed equality deletes") {
     val d = dir()
     IcebergWrite.commit(d, Seq(
       "f0.parquet" -> Seq((1L, "a")).toDF("id", "v")))
@@ -112,8 +153,8 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
     assert(e2.getMessage.contains("uuid"), e2.getMessage)
     java.nio.file.Files.writeString(metaFile, metaText) // restore
 
-    // equality deletes: hand-craft a delete manifest with
-    // data_file.content=2 and splice it into a new snapshot
+    // a malformed equality delete (content=2 without equality_ids):
+    // hand-craft the delete manifest and splice it into a snapshot
     val entrySchema = new org.apache.avro.Schema.Parser().parse(
       """{"type":"record","name":"manifest_entry","fields":[
         |  {"name":"status","type":"int"},
@@ -175,6 +216,6 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
     java.nio.file.Files.writeString(metaFile, spliced)
     val e3 = intercept[RuntimeException](
       IcebergRead.readIcebergTable(spark, d))
-    assert(e3.getMessage.contains("equality deletes"), e3.getMessage)
+    assert(e3.getMessage.contains("equality_ids"), e3.getMessage)
   }
 }

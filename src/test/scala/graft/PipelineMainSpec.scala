@@ -56,6 +56,39 @@ class PipelineMainSpec extends AnyFunSuite with SparkTestBase {
       "run"), existing = Some(spark)) == 0)
   }
 
+  test("serve mode: after the build, the SQL gateway serves the " +
+      "published tables by bare name until the serve window ends") {
+    val wh = scratch("pm_wh_srv").toString
+    val port = graft.gateway.ThriftGateway.freePort()
+    val exit = new java.util.concurrent.CompletableFuture[Integer]()
+    val t = new Thread(() => exit.complete(PipelineMain.run(Seq(
+      "--project", writeProject(), "--warehouse", wh,
+      "--log-level", "ERROR", "run",
+      "--serve-sql-port", port.toString,
+      "--serve-token", "s3cret", "--serve-ms", "8000"),
+      existing = Some(spark))))
+    t.start()
+    // wait for the socket, then query the model table BY NAME
+    val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+    var resp: String = null
+    while (resp == null && System.nanoTime() < deadline) {
+      try {
+        val sock = new java.net.Socket("127.0.0.1", port)
+        try {
+          val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+            sock.getOutputStream, "UTF-8"), true)
+          val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+            sock.getInputStream, "UTF-8"))
+          out.println("""{"token": "s3cret", "sql": "SELECT sum(n) AS s FROM pm_top"}""")
+          resp = in.readLine()
+        } finally sock.close()
+      } catch { case _: java.io.IOException => Thread.sleep(100) }
+    }
+    assert(resp != null && resp.contains("\"s\":25"), String.valueOf(resp))
+    assert(exit.get(30, java.util.concurrent.TimeUnit.SECONDS) == 0)
+    t.join(1000)
+  }
+
   test("argument hygiene: missing flags and unknown levels exit 2") {
     assert(PipelineMain.run(Seq("--warehouse", "/tmp/x", "run"),
       existing = Some(spark)) == 2)

@@ -128,6 +128,14 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
     // unknown equality column fails loudly at write
     intercept[RuntimeException](IcebergWrite.commit(d, Nil,
       equalityDelete = Some(Seq("nope") -> Seq(Tuple1("a")).toDF("nope"))))
+    // plan shape: the equality anti-join is a HASH join on the
+    // null-safe keys with the sequence bound as residual condition —
+    // never a nested-loop scan of data × deletes
+    val planDf = IcebergRead.readIcebergTable(spark, d)
+    planDf.count()
+    val plan = planDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
   }
 
   test("unsupported surfaces are rejected loudly: format-version 3, " +

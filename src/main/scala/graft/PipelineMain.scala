@@ -147,7 +147,13 @@ object PipelineMain {
       h
     }
     val done = new java.util.concurrent.CountDownLatch(1)
-    val hook = new Thread(() => done.countDown())
+    val cleaned = new java.util.concurrent.CountDownLatch(1)
+    // on SIGTERM the hook must WAIT for the main thread's gateway
+    // stop — a bare countDown would let the JVM halt mid-cleanup
+    val hook = new Thread(() => {
+      done.countDown()
+      cleaned.await(10, java.util.concurrent.TimeUnit.SECONDS): Unit
+    })
     Runtime.getRuntime.addShutdownHook(hook)
     try {
       a.serveMs match {
@@ -161,6 +167,7 @@ object PipelineMain {
       sql.foreach(_.stop())
       thrift.foreach(_.close())
       logger.log(LogLevel.INFO, "gateways stopped")
+      cleaned.countDown()
     }
   }
 

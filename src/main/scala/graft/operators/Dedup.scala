@@ -555,11 +555,6 @@ object Dedup {
     // exactly while a pathological template corpus (one signature
     // shared by thousands of docs near another such group) stays
     // linear in members instead of O(n²) in pairs.
-    val spWide = sigPairs
-      .join(distinctSigs.select(col("simhash").as("sa"),
-        col("grp").as("ga"), col("rep").as("ra")), "sa")
-      .join(distinctSigs.select(col("simhash").as("sb"),
-        col("grp").as("gb"), col("rep").as("rb")), "sb")
     def expand(sp: DataFrame): DataFrame = sp
       .join(members.select(col("simhash").as("sa"), col("id").as("ia")), "sa")
       .join(members.select(col("simhash").as("sb"), col("id").as("ib")), "sb")
@@ -567,8 +562,13 @@ object Dedup {
         greatest(col("ia"), col("ib")).as("b"), col("dist"))
       .filter(col("a") =!= col("b"))
     val cross = cap match {
-      case None => expand(spWide)
+      case None => expand(sigPairs) // no cap → no group-size joins
       case Some(c) =>
+        val spWide = sigPairs
+          .join(distinctSigs.select(col("simhash").as("sa"),
+            col("grp").as("ga"), col("rep").as("ra")), "sa")
+          .join(distinctSigs.select(col("simhash").as("sb"),
+            col("grp").as("gb"), col("rep").as("rb")), "sb")
         expand(spWide.filter(col("ga") * col("gb") <= c)).unionByName(
           spWide.filter(col("ga") * col("gb") > c)
             .select(least(col("ra"), col("rb")).as("a"),

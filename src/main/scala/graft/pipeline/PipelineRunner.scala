@@ -147,10 +147,14 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       spark.read.parquet(path).createOrReplaceTempView(name)
     }
     // tables already in the warehouse (a fresh session over an
-    // existing store) become queryable by name immediately
+    // existing store) become queryable by name immediately — but a
+    // DECLARED source name always wins over a same-named leftover
+    // table (registering the table after the source would silently
+    // shadow the source for every model and gateway query)
     listDir(Paths.get(warehouse))
       .filter(Files.isDirectory(_))
       .map(_.getFileName.toString).sorted
+      .filterNot(spec.sources.contains)
       .filter(tableExists)
       .foreach(registerSessionView)
     initialized = true

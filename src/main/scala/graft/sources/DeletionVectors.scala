@@ -77,6 +77,9 @@ object DeletionVectors {
         v = v * 85 + d
         j += 1
       }
+      // a 5-char group encodes exactly 4 bytes — out-of-range groups
+      // are corruption, not something to silently truncate
+      require(v <= 0xFFFFFFFFL, s"Z85 group out of range at offset $i")
       out(o) = (v >>> 24).toByte
       out(o + 1) = (v >>> 16).toByte
       out(o + 2) = (v >>> 8).toByte

@@ -169,7 +169,10 @@ object IcebergRead {
       (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L))
     val snap = targetId.flatMap(id => snapshots.find(s =>
       (s \ "snapshot-id").extractOpt[Long].contains(id)))
-    snapshotId.foreach(id => require(snap.isDefined,
+    // a resolved target (explicit OR the metadata's own
+    // current-snapshot-id) that is missing from the snapshots array
+    // is corruption/expiry — reject loudly, never an empty scan
+    targetId.foreach(id => require(snap.isDefined,
       s"snapshot $id does not exist in $path (have: " +
         snapshots.flatMap(s => (s \ "snapshot-id").extractOpt[Long])
           .mkString(", ") + ")"))

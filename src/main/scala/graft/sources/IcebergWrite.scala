@@ -159,6 +159,14 @@ object IcebergWrite {
       prior.dataFiles.exists(f => localOf(f.path).getFileName.toString == r),
       s"remove of unknown Iceberg data file: $r"))
 
+    // an add whose file name collides with a LIVE carried file would
+    // silently overwrite the parquet while the old entry stays live
+    // (duplicated rows now, corrupted time travel later) — reject
+    adds.foreach { case (name, _) =>
+      require(!carried.exists(f => localOf(f.path).getFileName.toString == name),
+        s"add of '$name' collides with a live data file — remove it " +
+          "in the same commit or use a fresh name")
+    }
     val added = adds.map { case (name, df) =>
       val rows = df.count()
       DeltaWrite.writeOne(df, dataDir.toString, name)
@@ -261,14 +269,17 @@ object IcebergWrite {
 
     def listRec(path: java.nio.file.Path, len: Long, content: Int,
         addedFiles: Int, existingFiles: Int, addedRows: Long,
-        existingRows: Long): GenericRecord = {
+        existingRows: Long, minSeq: Long): GenericRecord = {
       val r = new GenericData.Record(ListSchema)
       r.put("manifest_path", fileUri(path))
       r.put("manifest_length", len)
       r.put("partition_spec_id", 0)
       r.put("content", content)
       r.put("sequence_number", seq)
-      r.put("min_sequence_number", seq)
+      // the spec's min over the manifest's LIVE entries — carried
+      // entries keep older sequences, and an external reader prunes
+      // delete application against this bound
+      r.put("min_sequence_number", minSeq)
       r.put("added_snapshot_id", snapshotId)
       r.put("added_files_count", addedFiles)
       r.put("existing_files_count", existingFiles)
@@ -282,14 +293,16 @@ object IcebergWrite {
       f"snap-$snapshotId%05d-manifest-list.avro")
     writeAvro(manifestList, ListSchema,
       Seq(listRec(dataManifest, dataLen, 0, added.size, carried.size,
-        added.map(_.recordCount).sum, carried.map(_.recordCount).sum)) ++
+        added.map(_.recordCount).sum, carried.map(_.recordCount).sum,
+        minSeq = ((carried ++ added).map(_.seq) :+ seq).min)) ++
         deleteManifest.map { case (p, len) =>
           val carriedDel =
             prior.positionDeleteFiles ++ prior.equalityDeleteFiles
           val addedDel = newDeletes ++ newEqDeletes
           listRec(p, len, 1, addedDel.size, carriedDel.size,
             addedDel.map(_.recordCount).sum,
-            carriedDel.map(_.recordCount).sum)
+            carriedDel.map(_.recordCount).sum,
+            minSeq = ((carriedDel ++ addedDel).map(_.seq) :+ seq).min)
         },
       Map("format-version" -> "2")): Unit
 

@@ -161,6 +161,14 @@ object StreamingOps {
     val sess =
       if (pendingReplay(checkpoint)) {
         val recovery = spark.newSession()
+        // newSession starts from SparkConf defaults — copy the host's
+        // RUNTIME session confs over so the recovery run computes with
+        // identical semantics (timezone, state-store provider, …),
+        // then scope the one deliberate difference
+        spark.conf.getAll.foreach { case (k, v) =>
+          try recovery.conf.set(k, v)
+          catch { case _: Exception => () } // static conf — already equal
+        }
         recovery.conf.set(
           "spark.sql.streaming.stateStore.commitValidation.enabled", "false")
         recovery

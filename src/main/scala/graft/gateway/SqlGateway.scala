@@ -124,16 +124,33 @@ final class SqlGateway(spark: SparkSession,
     } catch { case _: java.io.IOException => () }
     finally conn.close()
 
+  /** Read one request line, bounded: an UNAUTHENTICATED client must
+    * not be able to buffer an arbitrarily long line into heap before
+    * the token check even runs. Over-limit → null (connection drops).
+    */
+  private def boundedLine(in: java.io.Reader, max: Int): String = {
+    val sb = new StringBuilder
+    var c = in.read()
+    while (c != -1 && c != '\n') {
+      if (c != '\r') sb.append(c.toChar)
+      if (sb.length > max) return null
+      c = in.read()
+    }
+    if (c == -1 && sb.isEmpty) null else sb.toString
+  }
+
+  private val MaxRequestBytes = 4 * 1024 * 1024 // fits any sane SQL text
+
   private def handle(conn: java.net.Socket): Unit = {
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
     val out = new java.io.PrintWriter(
       new java.io.OutputStreamWriter(conn.getOutputStream, "UTF-8"), true)
     try {
-      var line = in.readLine()
+      var line = boundedLine(in, MaxRequestBytes)
       while (line != null) {
         if (line.trim.nonEmpty) out.println(respond(line))
-        line = in.readLine()
+        line = boundedLine(in, MaxRequestBytes)
       }
     } catch {
       case _: java.io.IOException => () // client went away

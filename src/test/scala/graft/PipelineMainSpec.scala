@@ -56,16 +56,19 @@ class PipelineMainSpec extends AnyFunSuite with SparkTestBase {
       "run"), existing = Some(spark)) == 0)
   }
 
-  test("serve mode: after the build, the SQL gateway serves the " +
-      "published tables by bare name until the serve window ends") {
+  test("serve mode: after the build, the SQL gateway AND the Thrift " +
+      "endpoint serve the published tables by bare name until the " +
+      "serve window ends") {
     val wh = scratch("pm_wh_srv").toString
     val port = graft.gateway.ThriftGateway.freePort()
+    val thriftPort = graft.gateway.ThriftGateway.freePort()
     val exit = new java.util.concurrent.CompletableFuture[Integer]()
     val t = new Thread(() => exit.complete(PipelineMain.run(Seq(
       "--project", writeProject(), "--warehouse", wh,
       "--log-level", "ERROR", "run",
       "--serve-sql-port", port.toString,
-      "--serve-token", "s3cret", "--serve-ms", "8000"),
+      "--serve-thrift-port", thriftPort.toString,
+      "--serve-token", "s3cret", "--serve-ms", "12000"),
       existing = Some(spark))))
     t.start()
     // wait for the socket, then query the model table BY NAME
@@ -85,6 +88,15 @@ class PipelineMainSpec extends AnyFunSuite with SparkTestBase {
       } catch { case _: java.io.IOException => Thread.sleep(100) }
     }
     assert(resp != null && resp.contains("\"s\":25"), String.valueOf(resp))
+    // and the HS2 wire serves the same table by name
+    Class.forName("org.apache.hive.jdbc.HiveDriver")
+    val conn = java.sql.DriverManager.getConnection(
+      s"jdbc:hive2://127.0.0.1:$thriftPort", "anon", "")
+    try {
+      val rs = conn.createStatement()
+        .executeQuery("SELECT sum(n) AS s FROM pm_top")
+      assert(rs.next() && rs.getLong(1) == 25L)
+    } finally conn.close()
     assert(exit.get(30, java.util.concurrent.TimeUnit.SECONDS) == 0)
     t.join(1000)
   }

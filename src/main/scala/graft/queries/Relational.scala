@@ -95,6 +95,40 @@ object Scans extends QueryGroup {
         .orderBy("n_nationkey")
     }),
 
+    // Change-Data-Feed read interop: a three-commit Delta table with
+    // `delta.enableChangeDataFeed=true` — commit 0 inserts nation in
+    // two files, commit 1 removes one (derived deletes), commit 2 is
+    // an UPDATE with `cdc` pre/post-image files under `_change_data/`
+    // (whose add/remove rewrite actions a CDF reader must IGNORE).
+    // readChanges replays the range into typed change rows; a reader
+    // that double-counted the cdc commit's rewrite would emit the
+    // whole table again as inserts+deletes and hash-fail.
+    "scan_delta_cdf" -> ((s, d) => {
+      val dir = tmpDir("graft_scan_delta_cdf")
+      val nat = Tables.nation(s, d)
+      val low = nat.filter(col("n_nationkey") < 20)
+      graft.sources.DeltaWrite.commit(dir, 0L, Seq(
+        "part-000.parquet" -> low,
+        "part-001.parquet" -> nat.filter(col("n_nationkey") >= 20)),
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      graft.sources.DeltaWrite.commit(dir, 1L, adds = Nil,
+        removes = Seq("part-001.parquet"))
+      val hit = low.filter(col("n_nationkey") % 7 === 0)
+      val pre = hit.withColumn("_change_type", lit("update_preimage"))
+      val post = hit
+        .withColumn("n_regionkey", (col("n_regionkey") + lit(10)).cast(IntegerType))
+        .withColumn("_change_type", lit("update_postimage"))
+      val rewritten = low.withColumn("n_regionkey",
+        when(col("n_nationkey") % 7 === 0, col("n_regionkey") + lit(10))
+          .otherwise(col("n_regionkey")).cast(IntegerType))
+      graft.sources.DeltaWrite.commitCdc(dir, 2L,
+        cdcFiles = Seq("cdc-000.parquet" -> pre.unionByName(post)),
+        adds = Seq("part-002.parquet" -> rewritten),
+        removes = Seq("part-000.parquet"))
+      graft.sources.DeltaRead.readChanges(s, dir, 0L)
+        .orderBy("_commit_version", "_change_type", "n_nationkey")
+    }),
+
     // Iceberg-format read interop (graft.sources.IcebergRead — the
     // public iceberg.apache.org table spec, no Iceberg jar): three
     // commits build a table from `nation` (commit 2 REMOVES commit
@@ -314,6 +348,24 @@ object Scans extends QueryGroup {
     // the DV masks rows with n_nationkey % 5 == 0 out of the snapshot
     "scan_delta_dv" ->
       "SELECT * FROM nation WHERE n_nationkey % 5 <> 0 ORDER BY n_nationkey",
+
+    // the change history the three-commit CDF fixture encodes:
+    // inserts @0, deletes of the >=20 file @1, pre/post images of the
+    // %7 rows @2 (the cdc commit's rewrite actions must NOT appear)
+    "scan_delta_cdf" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |  'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+        |FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 'delete', CAST(1 AS BIGINT)
+        |FROM nation WHERE n_nationkey >= 20
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 'update_preimage', CAST(2 AS BIGINT)
+        |FROM nation WHERE n_nationkey < 20 AND n_nationkey % 7 = 0
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey + 10, 'update_postimage', CAST(2 AS BIGINT)
+        |FROM nation WHERE n_nationkey < 20 AND n_nationkey % 7 = 0
+        |ORDER BY _commit_version, _change_type, n_nationkey""".stripMargin,
 
     // position deletes mask rows with n_nationkey % 6 == 0
     "scan_iceberg" ->

@@ -30,6 +30,8 @@ import org.json4s.jackson.JsonMethods
   * (authoritative — the spec says data files need not encode them;
   * physical-keyed under mapping, logical keys tolerated).
   * `versionAsOf` replays the log only up to that commit.
+  * [[readChanges]] exposes the table's Change Data Feed (row-level
+  * `_change_type`/`_commit_version` history over a commit range).
   *
   * Scale notes: log + DV replay is driver-side over METADATA (one
   * small JSON doc per commit; DV bitmaps are bounded by deleted-row
@@ -161,15 +163,11 @@ object DeltaRead {
     new String(bytes.toArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  /** Current (or `versionAsOf`) snapshot of the Delta table at `path`.
-    *
-    * `unionGroupMax`: live-partition count up to which the partition
-    * columns attach as per-group literal unions; above it (or with
-    * DVs present) a single scan + broadcast file-map join is used.
-    */
-  def readDeltaTable(spark: SparkSession, path: String,
-      versionAsOf: Option[Long] = None,
-      unionGroupMax: Int = 32): DataFrame = {
+  private final case class DeltaLogDir(path: String,
+      logDir: java.nio.file.Path, commits: Seq[Long],
+      singles: Set[Long], multiparts: Map[Long, Seq[String]])
+
+  private def openLog(path: String): DeltaLogDir = {
     val logDir = java.nio.file.Paths.get(path, "_delta_log")
     require(java.nio.file.Files.isDirectory(logDir),
       s"not a Delta table (no _delta_log): $path")
@@ -180,16 +178,9 @@ object DeltaRead {
       finally s.close()
     }
     val commitRe = """(\d{20})\.json""".r
-    val commits = entries.collect { case commitRe(v) => v.toLong }.sorted
-      .filter(v => versionAsOf.forall(v <= _))
-    versionAsOf.foreach(v => require(commits.contains(v),
-      s"version $v does not exist in $path (have: " +
-        s"${commits.headOption.getOrElse("-")}..${commits.lastOption.getOrElse("-")})"))
-
-    // checkpoint bound: start replay from the newest complete
-    // checkpoint at or below the target version — either the classic
-    // single file or a multi-part set (all N parts present; parts are
-    // plain parquet shards of the same action rows)
+    // checkpoints: either the classic single file or a multi-part set
+    // (all N parts present; parts are plain parquet shards of the
+    // same action rows)
     val ckRe = """(\d{20})\.checkpoint\.parquet""".r
     val ckPartRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
     val singles = entries.collect { case ckRe(v) => v.toLong }.toSet
@@ -201,7 +192,24 @@ object DeltaRead {
             parts.map(_._3).distinct.size == 1 =>
         v -> parts.sortBy(_._2).map(_._4)
       }
-    val ckVersion = (singles ++ multiparts.keySet).toSeq
+    DeltaLogDir(path,
+      logDir, entries.collect { case commitRe(v) => v.toLong }.sorted,
+      singles, multiparts)
+  }
+
+  /** Replay the log (checkpoint-bounded) up to `versionAsOf`
+    * (or the latest commit) into the snapshot's [[LogState]].
+    */
+  private def stateAt(spark: SparkSession, log: DeltaLogDir,
+      versionAsOf: Option[Long]): LogState = {
+    val commits = log.commits.filter(v => versionAsOf.forall(v <= _))
+    versionAsOf.foreach(v => require(commits.contains(v),
+      s"version $v does not exist in ${log.path} (have: " +
+        s"${log.commits.headOption.getOrElse("-")}..${log.commits.lastOption.getOrElse("-")})"))
+
+    // checkpoint bound: start replay from the newest complete
+    // checkpoint at or below the target version
+    val ckVersion = (log.singles ++ log.multiparts.keySet).toSeq
       .filter(v => versionAsOf.forall(v <= _))
       .sorted.lastOption
 
@@ -209,12 +217,12 @@ object DeltaRead {
       case None => LogState()
       case Some(v) =>
         val ckFiles =
-          if (singles.contains(v)) Seq(f"$v%020d.checkpoint.parquet")
-          else multiparts(v)
+          if (log.singles.contains(v)) Seq(f"$v%020d.checkpoint.parquet")
+          else log.multiparts(v)
         // parts of a multi-part checkpoint may carry disjoint action
         // columns (one part all adds, another the metaData row)
         val ck = spark.read.option("mergeSchema", "true").parquet(
-          ckFiles.map(f => logDir.resolve(f).toString): _*)
+          ckFiles.map(f => log.logDir.resolve(f).toString): _*)
         val cols = ck.columns.toSet
         def rowsOf(c: String) =
           if (cols.contains(c)) ck.filter(col(c).isNotNull).select(col(c))
@@ -227,13 +235,18 @@ object DeltaRead {
     }
 
     val replay = commits.filter(v => ckVersion.forall(v > _))
-    val state = replay.foldLeft(fromCheckpoint) { (s, v) =>
+    replay.foldLeft(fromCheckpoint) { (s, v) =>
       val text = java.nio.file.Files.readString(
-        logDir.resolve(f"$v%020d.json"))
+        log.logDir.resolve(f"$v%020d.json"))
       text.linesIterator.filter(_.trim.nonEmpty)
         .foldLeft(s)((st, line) => applyAction(st, JsonMethods.parse(line)))
     }
+  }
 
+  /** Gate on protocol version/features + column mapping; returns the
+    * mapping mode (`none` or `name`).
+    */
+  private def checkReadable(state: LogState, path: String): String = {
     if (state.minReader >= 3) {
       val unknown = state.readerFeatures -- SupportedReaderFeatures
       require(unknown.isEmpty,
@@ -245,6 +258,29 @@ object DeltaRead {
     require(mappingMode == "none" || mappingMode == "name",
       s"Delta column mapping mode '$mappingMode' is unsupported by " +
         s"this reader (only 'none'/'name'): $path")
+    mappingMode
+  }
+
+  // log paths are RFC-2396 percent-encoded and relative to the table
+  // root unless they carry a scheme
+  private def absPath(tableDir: String, p: String): String =
+    if (p.contains("://")) p
+    else {
+      val decoded = pctDecode(p)
+      if (decoded.startsWith("/")) decoded else s"$tableDir/$decoded"
+    }
+
+  /** Current (or `versionAsOf`) snapshot of the Delta table at `path`.
+    *
+    * `unionGroupMax`: live-partition count up to which the partition
+    * columns attach as per-group literal unions; above it (or with
+    * DVs present) a single scan + broadcast file-map join is used.
+    */
+  def readDeltaTable(spark: SparkSession, path: String,
+      versionAsOf: Option[Long] = None,
+      unionGroupMax: Int = 32): DataFrame = {
+    val state = stateAt(spark, openLog(path), versionAsOf)
+    val mappingMode = checkReadable(state, path)
     val fullSchema = DataType.fromJson(state.schemaJson.getOrElse(
       sys.error(s"Delta log has no metaData action: $path")))
       .asInstanceOf[StructType]
@@ -264,12 +300,7 @@ object DeltaRead {
 
     val dataSchema = StructType(physFull.fields
       .filterNot(f => physPartitionCols.contains(f.name)))
-    def abs(p: String): String =
-      if (p.contains("://")) p
-      else {
-        val decoded = pctDecode(p)
-        if (decoded.startsWith("/")) decoded else s"$path/$decoded"
-      }
+    def abs(p: String): String = absPath(path, p)
     // physical → logical projection: a struct cast renames nested
     // fields positionally, so one cast per top-level column restores
     // the full logical schema (no-op when unmapped)
@@ -347,5 +378,160 @@ object DeltaRead {
       }
       logicalProjection(df)
     }
+  }
+
+  /** Change Data Feed over commits `fromVersion..toVersion`
+    * (inclusive; default latest): the table's row-level change
+    * history as rows of the logical schema plus `_change_type`
+    * (`insert` / `delete` / `update_preimage` / `update_postimage`)
+    * and `_commit_version`. Follows the protocol's CDF contract:
+    * when a commit carries `cdc` actions those are authoritative
+    * (their `_change_data/` files store `_change_type` per row) and
+    * the commit's file actions are ignored; otherwise changes derive
+    * from the commit's `dataChange=true` file actions — added files
+    * are inserts, removed files deletes (their rows re-read from the
+    * not-yet-vacuumed data file). Requires
+    * `delta.enableChangeDataFeed=true` on the table. DV-carrying
+    * file actions in a derived commit and column-mapped tables are
+    * rejected loudly rather than misread.
+    *
+    * Scale: commit metadata replays driver-side like the snapshot
+    * path; data-side the whole range reads as AT MOST TWO multi-file
+    * scan nodes (cdc files; derived files). Commit version, change
+    * type and partition values attach via a broadcast
+    * `_metadata.file_path` map join, so a 10⁴-commit range is not a
+    * 10⁴-branch union — and a file inserted then deleted in-range is
+    * scanned ONCE, fanning out into both change rows through the
+    * (non-unique) map join.
+    */
+  def readChanges(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    val log = openLog(path)
+    require(log.commits.nonEmpty, s"empty Delta log: $path")
+    val end = toVersion.getOrElse(log.commits.last)
+    require(fromVersion <= end,
+      s"readChanges range [$fromVersion, $end] is empty: $path")
+    val missing = (fromVersion to end).filterNot(log.commits.contains)
+    require(missing.isEmpty,
+      s"Delta commits ${missing.mkString(", ")} absent from $path " +
+        "(expired or never written)")
+    val state = stateAt(spark, log, Some(end))
+    val mappingMode = checkReadable(state, path)
+    require(state.configuration.getOrElse(
+        "delta.enableChangeDataFeed", "false") == "true",
+      s"change data feed is not enabled on $path " +
+        "(set delta.enableChangeDataFeed=true)")
+    require(mappingMode == "none",
+      s"readChanges supports unmapped tables only " +
+        s"(delta.columnMapping.mode=$mappingMode): $path")
+    val fullSchema = DataType.fromJson(state.schemaJson.getOrElse(
+      sys.error(s"Delta log has no metaData action: $path")))
+      .asInstanceOf[StructType]
+    val partCols = state.partitionCols
+    val dataSchema = StructType(
+      fullSchema.fields.filterNot(f => partCols.contains(f.name)))
+
+    // per-file change descriptor; changeType None = stored in the
+    // cdc file's own _change_type column
+    case class Chg(relPath: String, version: Long,
+        changeType: Option[String], pv: Map[String, String])
+    val cdcFiles = scala.collection.mutable.ListBuffer.empty[Chg]
+    val derived = scala.collection.mutable.ListBuffer.empty[Chg]
+    def isTrue(j: JValue): Boolean =
+      j match { case JBool(b) => b; case _ => false }
+    (fromVersion to end).foreach { v =>
+      val text = java.nio.file.Files.readString(
+        log.logDir.resolve(f"$v%020d.json"))
+      val actions = text.linesIterator.filter(_.trim.nonEmpty)
+        .map(JsonMethods.parse(_)).toSeq
+      val cdc = actions.flatMap(a => (a \ "cdc") match {
+        case JNothing | JNull => None
+        case c => Some(Chg((c \ "path").extract[String], v, None,
+          strMap(c \ "partitionValues")))
+      })
+      if (cdc.nonEmpty) cdcFiles ++= cdc
+      else actions.foreach { a =>
+        def act(kind: String): Option[JValue] = (a \ kind) match {
+          case JNothing | JNull => None
+          case x => Some(x)
+        }
+        // ANY DV-carrying file action (regardless of its dataChange
+        // flag) makes the commit underivable: a DV attach deletes
+        // rows at row-index granularity, which add/remove derivation
+        // cannot express — refusing loudly beats silently emitting no
+        // (or whole-file) changes
+        (act("add") ++ act("remove")).foreach(x =>
+          require(dvOf(x).isEmpty,
+            s"cannot derive CDF from a deletion-vector commit " +
+              s"without cdc actions (commit $v): $path"))
+        act("add").filter(ad => isTrue(ad \ "dataChange")).foreach(ad =>
+          derived += Chg((ad \ "path").extract[String], v,
+            Some("insert"), strMap(ad \ "partitionValues")))
+        act("remove").filter(rm => isTrue(rm \ "dataChange")).foreach(rm =>
+          derived += Chg((rm \ "path").extract[String], v,
+            Some("delete"), strMap(rm \ "partitionValues")))
+      }
+    }
+
+    val outSchema = StructType(fullSchema.fields ++ Seq(
+      StructField("_change_type", StringType),
+      StructField("_commit_version",
+        org.apache.spark.sql.types.LongType)))
+    if (cdcFiles.isEmpty && derived.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], outSchema)
+
+    // derived deletes of a partitioned table need the remove action's
+    // (optional per protocol) partitionValues — refuse to emit null
+    // partition columns silently
+    if (partCols.nonEmpty)
+      derived.foreach(c => require(
+        partCols.forall(c.pv.contains),
+        s"derived ${c.changeType.get} for ${c.relPath} (commit " +
+          s"${c.version}) lacks partitionValues for ${partCols.mkString(", ")}: $path"))
+
+    val hconf = spark.sessionState.newHadoopConf()
+    def qualified(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).makeQualified(hp).toString
+    }
+    // one scan node per group; version/type/partition values ride a
+    // broadcast file-map whose key is intentionally NON-unique (a
+    // file with several change rows in range fans out through it)
+    def group(files: Seq[Chg], storedType: Boolean): DataFrame = {
+      val readSchema =
+        if (storedType) StructType(dataSchema.fields :+
+          StructField("_change_type", StringType))
+        else dataSchema
+      val scan = spark.read.schema(readSchema)
+        .parquet(files.map(f => absPath(path, f.relPath)).distinct.sorted: _*)
+        .withColumn("__graft_file", col("_metadata.file_path"))
+      val mapRows = files.map { f =>
+        Row.fromSeq(Seq(qualified(absPath(path, f.relPath)), f.version) ++
+          f.changeType.toSeq ++ partCols.map(pc => f.pv.getOrElse(pc, null)))
+      }
+      val mapSchema = StructType(
+        Seq(StructField("__graft_file", StringType),
+          StructField("_commit_version",
+            org.apache.spark.sql.types.LongType)) ++
+        (if (storedType) Nil
+         else Seq(StructField("_change_type", StringType))) ++
+        partCols.map(pc => StructField(s"__graft_pv_$pc", StringType)))
+      var df = scan.join(broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(mapRows, 1), mapSchema)),
+        Seq("__graft_file"))
+      partCols.foreach { pc =>
+        df = df.withColumn(pc,
+          col(s"`__graft_pv_$pc`").cast(fullSchema(pc).dataType))
+      }
+      df.select(fullSchema.map(f => col(f.name)) ++
+        Seq(col("_change_type"), col("_commit_version")): _*)
+    }
+    Seq(
+      if (cdcFiles.nonEmpty) Some(group(cdcFiles.toSeq, storedType = true))
+      else None,
+      if (derived.nonEmpty) Some(group(derived.toSeq, storedType = false))
+      else None)
+      .flatten.reduce(_.unionByName(_))
   }
 }

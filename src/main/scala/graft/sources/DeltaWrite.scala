@@ -41,12 +41,15 @@ object DeltaWrite {
   /** Append commit `version`: write each `(fileName, rows)` as a data
     * file + `add` action, tombstone each `removes` path. Commit 0
     * additionally carries `protocol` + `metaData` (from the first
-    * add's schema). Timestamps are fixed at 0 so fixtures are
-    * byte-deterministic; Delta readers treat them as metadata only.
+    * add's schema, with `configuration` as the table properties —
+    * e.g. `delta.enableChangeDataFeed`). Timestamps are fixed at 0 so
+    * fixtures are byte-deterministic; Delta readers treat them as
+    * metadata only.
     */
   def commit(dir: String, version: Long,
       adds: Seq[(String, DataFrame)],
-      removes: Seq[String] = Nil): Unit = {
+      removes: Seq[String] = Nil,
+      configuration: Map[String, String] = Map.empty): Unit = {
     require(adds.nonEmpty || removes.nonEmpty, "empty Delta commit")
     val logDir = java.nio.file.Paths.get(dir, "_delta_log")
     java.nio.file.Files.createDirectories(logDir)
@@ -66,7 +69,7 @@ object DeltaWrite {
             ("options" -> Map.empty[String, String]))) ~
           ("schemaString" -> schema.json) ~
           ("partitionColumns" -> Seq.empty[String]) ~
-          ("configuration" -> Map.empty[String, String]) ~
+          ("configuration" -> configuration) ~
           ("createdTime" -> 0L)))))
     }
     adds.foreach { case (name, df) =>
@@ -133,6 +136,58 @@ object DeltaWrite {
         ("remove" -> (("path" -> fileName) ~
           ("deletionTimestamp" -> 0L) ~
           ("dataChange" -> false))))))
+    java.nio.file.Files.writeString(commitFile,
+      lines.mkString("", "\n", "\n"))
+  }
+
+  /** Commit `version` as an UPDATE-style change-data commit: the
+    * usual rewrite actions (`adds`/`removes`, dataChange=true) plus
+    * `cdc` actions pointing at `_change_data/` files that carry the
+    * row-level images with a per-row `_change_type` column
+    * (`update_preimage`/`update_postimage`/...). Per the protocol,
+    * when a commit contains `cdc` actions a Change Data Feed reader
+    * uses ONLY those and ignores the commit's file actions.
+    */
+  def commitCdc(dir: String, version: Long,
+      cdcFiles: Seq[(String, DataFrame)],
+      adds: Seq[(String, DataFrame)] = Nil,
+      removes: Seq[String] = Nil): Unit = {
+    require(cdcFiles.nonEmpty, "commitCdc without cdc files")
+    cdcFiles.foreach { case (_, df) =>
+      require(df.columns.contains("_change_type"),
+        "cdc files must carry a _change_type column") }
+    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
+    val commitFile = logDir.resolve(f"$version%020d.json")
+    require(java.nio.file.Files.isDirectory(logDir) &&
+      !java.nio.file.Files.exists(commitFile),
+      s"Delta commit $version not writable in $dir")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "_change_data"))
+    val lines = scala.collection.mutable.ListBuffer.empty[String]
+    adds.foreach { case (name, df) =>
+      val size = writeOne(df, dir, name)
+      lines += compact(render(
+        ("add" -> (("path" -> name) ~
+          ("partitionValues" -> Map.empty[String, String]) ~
+          ("size" -> size) ~
+          ("modificationTime" -> 0L) ~
+          ("dataChange" -> true)))))
+    }
+    removes.foreach { p =>
+      lines += compact(render(
+        ("remove" -> (("path" -> p) ~
+          ("deletionTimestamp" -> 0L) ~
+          ("dataChange" -> true)))))
+    }
+    cdcFiles.foreach { case (name, df) =>
+      val rel = s"_change_data/$name"
+      val size = writeOne(df, dir, rel)
+      lines += compact(render(
+        ("cdc" -> (("path" -> rel) ~
+          ("partitionValues" -> Map.empty[String, String]) ~
+          ("size" -> size) ~
+          ("dataChange" -> false)))))
+    }
     java.nio.file.Files.writeString(commitFile,
       lines.mkString("", "\n", "\n"))
   }

@@ -478,4 +478,112 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
     // no escapes → identity (fast path)
     assert(DeltaRead.pctDecode("seg=a/f.parquet") == "seg=a/f.parquet")
   }
+
+  test("CDF: cdc actions are authoritative, other commits derive " +
+      "insert/delete from dataChange file actions") {
+    val d = dir()
+    DeltaWrite.commit(d, 0L, Seq(
+      "f0.parquet" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      "f1.parquet" -> Seq((3L, "c")).toDF("id", "v")),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWrite.commit(d, 1L, adds = Nil, removes = Seq("f1.parquet"))
+    // v2: UPDATE id=2 via cdc images; the rewrite actions must be
+    // ignored by the CDF reader but still drive the snapshot
+    DeltaWrite.commitCdc(d, 2L,
+      cdcFiles = Seq("cdc0.parquet" -> Seq(
+        (2L, "b", "update_preimage"),
+        (2L, "B2", "update_postimage")).toDF("id", "v", "_change_type")),
+      adds = Seq("f2.parquet" -> Seq((1L, "a"), (2L, "B2")).toDF("id", "v")),
+      removes = Seq("f0.parquet"))
+    val changes = DeltaRead.readChanges(spark, d, 0L)
+      .select("id", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(changes == Set(
+      (1L, "a", "insert", 0L), (2L, "b", "insert", 0L),
+      (3L, "c", "insert", 0L),
+      (3L, "c", "delete", 1L),
+      (2L, "b", "update_preimage", 2L),
+      (2L, "B2", "update_postimage", 2L)), changes)
+    // range bounds: from=1 drops the inserts; to=1 drops the update
+    val tail = DeltaRead.readChanges(spark, d, 1L)
+      .select("_commit_version").as[Long].collect().toSeq
+    assert(tail.sorted == Seq(1L, 2L, 2L), tail)
+    val mid = DeltaRead.readChanges(spark, d, 1L, toVersion = Some(1L))
+      .select("_change_type").as[String].collect().toSeq
+    assert(mid == Seq("delete"), mid)
+    // the snapshot still reflects the cdc commit's REWRITE actions
+    val snap = DeltaRead.readDeltaTable(spark, d)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(snap == Seq((1L, "a"), (2L, "B2")), snap)
+  }
+
+  test("CDF gates fail loudly: feed disabled, missing commit in " +
+      "range, DV rewrite without cdc") {
+    val d = dir()
+    DeltaWrite.commit(d, 0L, Seq(
+      "f0.parquet" -> Seq((1L, "a")).toDF("id", "v")))
+    val e1 = intercept[IllegalArgumentException](
+      DeltaRead.readChanges(spark, d, 0L))
+    assert(e1.getMessage.contains("enableChangeDataFeed"), e1.getMessage)
+
+    val d2 = dir()
+    DeltaWrite.commit(d2, 0L, Seq(
+      "f0.parquet" -> Seq((1L, "a")).toDF("id", "v")),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val e2 = intercept[IllegalArgumentException](
+      DeltaRead.readChanges(spark, d2, 0L, toVersion = Some(3L)))
+    assert(e2.getMessage.contains("absent"), e2.getMessage)
+
+    // a DV-attach commit cannot be derived into row-level changes —
+    // but commits after it must still read clean on their own
+    DeltaWrite.commit(d2, 1L, Seq(
+      "f1.parquet" -> Seq((5L, "e"), (6L, "f")).toDF("id", "v")))
+    DeltaWrite.commitDeletionVector(d2, 2L, "f1.parquet", Seq(0L))
+    val e3 = intercept[IllegalArgumentException](
+      DeltaRead.readChanges(spark, d2, 2L))
+    assert(e3.getMessage.contains("deletion-vector"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](
+      DeltaRead.readChanges(spark, d2, 0L))
+    assert(e4.getMessage.contains("deletion-vector"), e4.getMessage)
+    DeltaWrite.commit(d2, 3L, Seq(
+      "f3.parquet" -> Seq((7L, "g")).toDF("id", "v")))
+    val post = DeltaRead.readChanges(spark, d2, 3L)
+      .select("id", "_change_type").as[(Long, String)].collect().toSeq
+    assert(post == Seq((7L, "insert")), post)
+  }
+
+  test("CDF plans as at most two scan nodes; a file inserted then " +
+      "deleted in-range is scanned once and fans out") {
+    val d = dir()
+    // 6 commits: 0 inserts fA+fB, 1..2 insert more, 3 removes fA,
+    // 4 cdc, 5 removes fB — derived files all share TWO scan nodes
+    DeltaWrite.commit(d, 0L, Seq(
+      "fA.parquet" -> Seq((1L, "a")).toDF("id", "v"),
+      "fB.parquet" -> Seq((2L, "b")).toDF("id", "v")),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWrite.commit(d, 1L, Seq("fC.parquet" -> Seq((3L, "c")).toDF("id", "v")))
+    DeltaWrite.commit(d, 2L, Seq("fD.parquet" -> Seq((4L, "d")).toDF("id", "v")))
+    DeltaWrite.commit(d, 3L, adds = Nil, removes = Seq("fA.parquet"))
+    DeltaWrite.commitCdc(d, 4L, cdcFiles = Seq("cdc0.parquet" -> Seq(
+      (2L, "b", "update_preimage"), (2L, "b2", "update_postimage"))
+      .toDF("id", "v", "_change_type")))
+    DeltaWrite.commit(d, 5L, adds = Nil, removes = Seq("fB.parquet"))
+    val df = DeltaRead.readChanges(spark, d, 0L)
+    val scans = (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 2, s"expected 2 scan nodes, got ${scans.size}:\n" +
+      df.queryExecution.executedPlan.toString.take(3000))
+    // fA appears as insert@0 AND delete@3 from ONE scan of the file
+    val fa = df.filter(col("id") === 1L)
+      .select("_change_type", "_commit_version")
+      .as[(String, Long)].collect().toSet
+    assert(fa == Set(("insert", 0L), ("delete", 3L)), fa)
+    // 4 inserts + 2 deletes + 2 cdc images
+    assert(df.count() == 8, df.collect().mkString("\n"))
+  }
 }

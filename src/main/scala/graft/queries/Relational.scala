@@ -162,6 +162,35 @@ object Scans extends QueryGroup {
         .orderBy("n_nationkey")
     }),
 
+    // Iceberg CHANGELOG read interop (the `create_changelog_view`
+    // contract): snapshot 1 inserts nation in two files, snapshot 2
+    // rewrites the >=10 half (whole-file DELETE + INSERT of the same
+    // rows — a reader diffing live sets must emit BOTH), snapshot 3
+    // position-deletes the %6 rows of the <10 file (row-level DELETE
+    // rows with the deleted VALUES re-read from the data file).
+    "scan_iceberg_changes" -> ((s, d) => {
+      val dir = tmpDir("graft_scan_iceberg_changes")
+      val nat = Tables.nation(s, d)
+      def sorted(df: org.apache.spark.sql.DataFrame) =
+        df.coalesce(1).sortWithinPartitions("n_nationkey")
+      graft.sources.IcebergWrite.commit(dir, Seq(
+        "f0.parquet" -> sorted(nat.filter(col("n_nationkey") < 10)),
+        "f1.parquet" -> sorted(nat.filter(col("n_nationkey") >= 10))))
+      graft.sources.IcebergWrite.commit(dir,
+        adds = Seq(
+          "f2.parquet" -> sorted(nat.filter(col("n_nationkey").between(10, 17))),
+          "f3.parquet" -> sorted(nat.filter(col("n_nationkey") >= 18))),
+        removes = Seq("f1.parquet"))
+      val keys = nat.select("n_nationkey").orderBy("n_nationkey")
+        .collect().map(_.getAs[Number](0).longValue).toSeq
+      val dels = keys.filter(_ < 10).zipWithIndex
+        .collect { case (k, i) if k % 6 == 0 => i.toLong }
+      graft.sources.IcebergWrite.commit(dir, Nil,
+        positionDeletes = Map("f0.parquet" -> dels))
+      graft.sources.IcebergRead.readChanges(s, dir, 1L)
+        .orderBy("_commit_snapshot_id", "_change_type", "n_nationkey")
+    }),
+
     // Routed through the runner's `seed` command (the reference's dbt
     // argv surface), not a bare csv read — the oracle checks the
     // loaded table's content after the publish round-trip.
@@ -370,6 +399,28 @@ object Scans extends QueryGroup {
     // position deletes mask rows with n_nationkey % 6 == 0
     "scan_iceberg" ->
       "SELECT * FROM nation WHERE n_nationkey % 6 <> 0 ORDER BY n_nationkey",
+
+    // the change history the three-snapshot fixture encodes: inserts
+    // @1, the rewrite's whole-file delete+insert of the >=10 half @2,
+    // row-level position-delete rows of the <10 file's %6 keys @3
+    "scan_iceberg_changes" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |  'INSERT' AS _change_type, CAST(0 AS INTEGER) AS _change_ordinal,
+        |  CAST(1 AS BIGINT) AS _commit_snapshot_id
+        |FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 'DELETE',
+        |  CAST(1 AS INTEGER), CAST(2 AS BIGINT)
+        |FROM nation WHERE n_nationkey >= 10
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 'INSERT',
+        |  CAST(1 AS INTEGER), CAST(2 AS BIGINT)
+        |FROM nation WHERE n_nationkey >= 10
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 'DELETE',
+        |  CAST(2 AS INTEGER), CAST(3 AS BIGINT)
+        |FROM nation WHERE n_nationkey < 10 AND n_nationkey % 6 = 0
+        |ORDER BY _commit_snapshot_id, _change_type, n_nationkey""".stripMargin,
 
     "scan_csv_seed" -> {
       val rows = seedCsvLines.drop(1).map { l =>

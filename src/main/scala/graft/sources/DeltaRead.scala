@@ -392,8 +392,9 @@ object DeltaRead {
     * are inserts, removed files deletes (their rows re-read from the
     * not-yet-vacuumed data file). Requires
     * `delta.enableChangeDataFeed=true` on the table. DV-carrying
-    * file actions in a derived commit and column-mapped tables are
-    * rejected loudly rather than misread.
+    * file actions in a derived commit are rejected loudly rather
+    * than misread; column-mapping `name` mode composes (physical
+    * names in data and cdc files, logical names out).
     *
     * Scale: commit metadata replays driver-side like the snapshot
     * path; data-side the whole range reads as AT MOST TWO multi-file
@@ -421,15 +422,26 @@ object DeltaRead {
         "delta.enableChangeDataFeed", "false") == "true",
       s"change data feed is not enabled on $path " +
         "(set delta.enableChangeDataFeed=true)")
-    require(mappingMode == "none",
-      s"readChanges supports unmapped tables only " +
-        s"(delta.columnMapping.mode=$mappingMode): $path")
     val fullSchema = DataType.fromJson(state.schemaJson.getOrElse(
       sys.error(s"Delta log has no metaData action: $path")))
       .asInstanceOf[StructType]
     val partCols = state.partitionCols
+    // column-mapping `name` mode composes with CDF: data AND cdc
+    // files store physical column names (the CDF metadata columns
+    // keep their literal names — they are not part of the mapped
+    // table schema), and the final projection restores logical names
+    val mapped = mappingMode == "name"
+    val physFull =
+      if (mapped) toPhysical(fullSchema).asInstanceOf[StructType]
+      else fullSchema
+    val physTopOf: Map[String, String] =
+      fullSchema.fields.zip(physFull.fields)
+        .map { case (l, p) => l.name -> p.name }.toMap
+    val physPartCols = partCols.map(physTopOf)
+    def pvOf(pv: Map[String, String], pc: String): Option[String] =
+      pv.get(physTopOf(pc)).orElse(pv.get(pc))
     val dataSchema = StructType(
-      fullSchema.fields.filterNot(f => partCols.contains(f.name)))
+      physFull.fields.filterNot(f => physPartCols.contains(f.name)))
 
     // per-file change descriptor; changeType None = stored in the
     // cdc file's own _change_type column
@@ -486,7 +498,7 @@ object DeltaRead {
     // partition columns silently
     if (partCols.nonEmpty)
       derived.foreach(c => require(
-        partCols.forall(c.pv.contains),
+        partCols.forall(pc => pvOf(c.pv, pc).isDefined),
         s"derived ${c.changeType.get} for ${c.relPath} (commit " +
           s"${c.version}) lacks partitionValues for ${partCols.mkString(", ")}: $path"))
 
@@ -508,7 +520,7 @@ object DeltaRead {
         .withColumn("__graft_file", col("_metadata.file_path"))
       val mapRows = files.map { f =>
         Row.fromSeq(Seq(qualified(absPath(path, f.relPath)), f.version) ++
-          f.changeType.toSeq ++ partCols.map(pc => f.pv.getOrElse(pc, null)))
+          f.changeType.toSeq ++ partCols.map(pc => pvOf(f.pv, pc).orNull))
       }
       val mapSchema = StructType(
         Seq(StructField("__graft_file", StringType),
@@ -521,10 +533,14 @@ object DeltaRead {
         spark.sparkContext.parallelize(mapRows, 1), mapSchema)),
         Seq("__graft_file"))
       partCols.foreach { pc =>
-        df = df.withColumn(pc,
+        df = df.withColumn(physTopOf(pc),
           col(s"`__graft_pv_$pc`").cast(fullSchema(pc).dataType))
       }
-      df.select(fullSchema.map(f => col(f.name)) ++
+      // physical → logical projection (same struct-cast trick as the
+      // snapshot path; no-op when unmapped), change columns appended
+      df.select(fullSchema.fields.map(f =>
+          (if (mapped) col(s"`${physTopOf(f.name)}`").cast(f.dataType)
+           else col(f.name)).as(f.name)).toSeq ++
         Seq(col("_change_type"), col("_commit_version")): _*)
     }
     Seq(

@@ -586,4 +586,60 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
     // 4 inserts + 2 deletes + 2 cdc images
     assert(df.count() == 8, df.collect().mkString("\n"))
   }
+
+  test("CDF composes with column-mapping 'name' mode: physical names " +
+      "in data and cdc files, physical-keyed partition values, " +
+      "logical names out") {
+    import org.apache.spark.sql.types._
+    val d = dir()
+    def meta(phys: String, id: Int) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id.toLong).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("col-aaa", 1)),
+      StructField("v", StringType, nullable = true, meta("col-bbb", 2)),
+      StructField("seg", StringType, nullable = true, meta("col-ccc", 3))))
+    // stage the physical-named data + cdc parquet through the writer
+    def stage(df: org.apache.spark.sql.DataFrame, name: String,
+        destSub: String = ""): Unit = {
+      val st = s"$d-stage-$name"
+      DeltaWrite.commit(st, 0L, Seq(name -> df))
+      val dest = java.nio.file.Paths.get(d, destSub, name)
+      java.nio.file.Files.createDirectories(dest.getParent)
+      java.nio.file.Files.move(java.nio.file.Paths.get(st, name), dest): Unit
+    }
+    stage(Seq((1L, "x"), (2L, "y")).toDF("a", "b")
+      .select(col("a").as("col-aaa"), col("b").as("col-bbb")), "f0.parquet")
+    stage(Seq((2L, "y", "update_preimage"), (2L, "Y2", "update_postimage"))
+      .toDF("a", "b", "t")
+      .select(col("a").as("col-aaa"), col("b").as("col-bbb"),
+        col("t").as("_change_type")), "cdc0.parquet", "_change_data")
+    val log = java.nio.file.Paths.get(d, "_delta_log")
+    java.nio.file.Files.createDirectories(log)
+    val schemaJson = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        org.json4s.JString(logical.json)))
+    java.nio.file.Files.writeString(log.resolve(f"${0L}%020d.json"),
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+         |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":["seg"],"configuration":{"delta.columnMapping.mode":"name","delta.enableChangeDataFeed":"true"},"createdTime":0}}
+         |{"add":{"path":"f0.parquet","partitionValues":{"col-ccc":"A"},"size":1,"modificationTime":0,"dataChange":true}}
+         |""".stripMargin)
+    java.nio.file.Files.writeString(log.resolve(f"${1L}%020d.json"),
+      s"""{"remove":{"path":"f0.parquet","deletionTimestamp":0,"dataChange":true,"partitionValues":{"col-ccc":"A"}}}
+         |""".stripMargin)
+    java.nio.file.Files.writeString(log.resolve(f"${2L}%020d.json"),
+      s"""{"cdc":{"path":"_change_data/cdc0.parquet","partitionValues":{"col-ccc":"A"},"size":1,"dataChange":false}}
+         |""".stripMargin)
+    val changes = DeltaRead.readChanges(spark, d, 0L)
+    assert(changes.schema.fieldNames.toSeq ==
+      Seq("id", "v", "seg", "_change_type", "_commit_version"))
+    val got = changes
+      .select("id", "v", "seg", "_change_type", "_commit_version")
+      .as[(Long, String, String, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "x", "A", "insert", 0L), (2L, "y", "A", "insert", 0L),
+      (1L, "x", "A", "delete", 1L), (2L, "y", "A", "delete", 1L),
+      (2L, "y", "A", "update_preimage", 2L),
+      (2L, "Y2", "A", "update_postimage", 2L)), s"mapped CDF wrong: $got")
+  }
 }

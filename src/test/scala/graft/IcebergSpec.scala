@@ -226,4 +226,102 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
       IcebergRead.readIcebergTable(spark, d))
     assert(e3.getMessage.contains("equality_ids"), e3.getMessage)
   }
+
+  test("changelog: live-set diffs become INSERT/DELETE rows with " +
+      "ordinal + snapshot id; sub-ranges replay only their snapshots") {
+    val d = dir()
+    IcebergWrite.commit(d, Seq(
+      "f0.parquet" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+    IcebergWrite.commit(d,
+      adds = Seq("f1.parquet" -> Seq((2L, "b2"), (3L, "c")).toDF("id", "v")),
+      removes = Seq("f0.parquet"))
+    IcebergWrite.commit(d, Seq(
+      "f2.parquet" -> Seq((4L, "d")).toDF("id", "v")))
+    val all = IcebergRead.readChanges(spark, d, 1L)
+      .orderBy("_commit_snapshot_id", "_change_type", "id")
+      .select("id", "v", "_change_type", "_change_ordinal",
+        "_commit_snapshot_id")
+      .as[(Long, String, String, Int, Long)].collect().toSeq
+    assert(all == Seq(
+      (1L, "a", "INSERT", 0, 1L), (2L, "b", "INSERT", 0, 1L),
+      (1L, "a", "DELETE", 1, 2L), (2L, "b", "DELETE", 1, 2L),
+      (2L, "b2", "INSERT", 1, 2L), (3L, "c", "INSERT", 1, 2L),
+      (4L, "d", "INSERT", 2, 3L)), s"changelog wrong: $all")
+    // a sub-range re-bases the ordinal and skips earlier snapshots
+    val tail = IcebergRead.readChanges(spark, d, 2L, Some(3L))
+      .orderBy("_commit_snapshot_id", "_change_type", "id")
+      .select("id", "_change_type", "_change_ordinal")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(tail == Seq(
+      (1L, "DELETE", 0), (2L, "DELETE", 0), (2L, "INSERT", 0),
+      (3L, "INSERT", 0), (4L, "INSERT", 1)), s"sub-range wrong: $tail")
+    // single-snapshot range at the start: everything is an insert
+    val head = IcebergRead.readChanges(spark, d, 1L, Some(1L))
+    assert(head.filter(col("_change_type") =!= "INSERT").count() == 0)
+    assert(head.count() == 2)
+    // bad bounds fail loudly
+    intercept[IllegalArgumentException](
+      IcebergRead.readChanges(spark, d, 9L))
+    intercept[IllegalArgumentException](
+      IcebergRead.readChanges(spark, d, 3L, Some(1L)))
+  }
+
+  test("changelog: in-range position deletes emit row-level DELETE " +
+      "rows; pre-range deletes don't re-emit; equality deletes in " +
+      "range reject loudly") {
+    val d = dir()
+    IcebergWrite.commit(d, Seq(
+      "f0.parquet" -> Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+        .toDF("id", "v")))
+    IcebergWrite.commit(d, Nil,
+      positionDeletes = Map("f0.parquet" -> Seq(1L))) // id 2
+    IcebergWrite.commit(d, Nil,
+      positionDeletes = Map("f0.parquet" -> Seq(3L))) // id 4
+    val all = IcebergRead.readChanges(spark, d, 1L)
+      .orderBy("_commit_snapshot_id", "id")
+      .select("id", "_change_type", "_commit_snapshot_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(all == Seq(
+      (1L, "INSERT", 1L), (2L, "INSERT", 1L), (3L, "INSERT", 1L),
+      (4L, "INSERT", 1L), (2L, "DELETE", 2L), (4L, "DELETE", 3L)),
+      s"position-delete changelog wrong: $all")
+    // a range starting AFTER the first delete must not re-emit it
+    val tail = IcebergRead.readChanges(spark, d, 3L)
+      .select("id", "_change_type").as[(Long, String)].collect().toSeq
+    assert(tail == Seq((4L, "DELETE")), s"pre-range delete re-emitted: $tail")
+    // deleted-row VALUES come from the data file even when the row is
+    // no longer live at the range's end
+    val deleted = IcebergRead.readChanges(spark, d, 2L, Some(2L))
+      .select("id", "v").as[(Long, String)].collect().toSeq
+    assert(deleted == Seq((2L, "b")), s"deleted row image wrong: $deleted")
+    // equality deletes inside the range are not derivable — loud
+    IcebergWrite.commit(d, Nil,
+      equalityDelete = Some(Seq("v") -> Seq(Tuple1("c")).toDF("v")))
+    val e = intercept[RuntimeException](IcebergRead.readChanges(spark, d, 1L))
+    assert(e.getMessage.contains("equality delete"), e.getMessage)
+    // ...but a range BELOW the equality delete still reads fine
+    assert(IcebergRead.readChanges(spark, d, 1L, Some(3L)).count() == 6)
+  }
+
+  test("changelog plan shape: a file added then removed in-range " +
+      "scans ONCE and fans out through the non-unique broadcast map") {
+    val d = dir()
+    IcebergWrite.commit(d, Seq(
+      "f0.parquet" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+    IcebergWrite.commit(d,
+      adds = Seq("f1.parquet" -> Seq((9L, "z")).toDF("id", "v")),
+      removes = Seq("f0.parquet"))
+    val df = IcebergRead.readChanges(spark, d, 1L)
+    val rows = df.orderBy("_commit_snapshot_id", "_change_type", "id")
+      .select("id", "_change_type").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "INSERT"), (2L, "INSERT"),
+      (1L, "DELETE"), (2L, "DELETE"), (9L, "INSERT")), s"fan-out wrong: $rows")
+    df.queryExecution.toRdd.count() // finalize THIS df's adaptive plan
+    val report = graft.plans.PlanAudit.audit(df)
+    // one multi-file scan for the whole-file changes (f0 listed for
+    // both its insert and its delete, but scanned once) — no
+    // per-snapshot union branches
+    assert(report.scans == 1,
+      s"expected 1 scan node, got ${report.scans}: ${report.summary}")
+  }
 }

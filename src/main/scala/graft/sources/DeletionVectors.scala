@@ -21,9 +21,10 @@ import java.util.zip.CRC32
   *
   * Deleted ROW INDEXES (0-based physical row position in the data
   * file) come out as `Seq[Long]`; [[DeltaRead]] anti-joins them
-  * against `_metadata.row_index`. Decoding is driver-side metadata
-  * work, exactly like the log replay itself — a DV is bounded by its
-  * file's row count and the protocol keeps them compact.
+  * against `_metadata.row_index`. [[decodeFileDv]] is pure
+  * bytes-in/rows-out so the scan decodes sidecars in EXECUTORS (the
+  * driver only resolves descriptors); inline (`i`) payloads are
+  * already driver-resident log text and decode in place.
   *
   * The write half ([[serialize]]/[[writeDvFile]]/[[z85Encode]]) emits
   * array-container-only bitmaps — always spec-valid (any container
@@ -119,8 +120,11 @@ object DeletionVectors {
 
   // ---- descriptor resolution ----
 
-  /** On-disk location for a `u`/`p` descriptor (`i` has no file). */
-  def dvFilePath(tableRoot: String, d: Descriptor): Path = d.storageType match {
+  /** Resolved sidecar location for a `u`/`p` descriptor (`i` has no
+    * file) as a plain string — no local-path parsing, so the same
+    * resolution serves driver NIO reads and executor Hadoop-FS reads.
+    */
+  def dvFileLocation(tableRoot: String, d: Descriptor): String = d.storageType match {
     case "u" =>
       require(d.pathOrInlineDv.length >= 20,
         s"'u' DV id must end in a 20-char Z85 UUID: ${d.pathOrInlineDv}")
@@ -130,41 +134,58 @@ object DeletionVectors {
       val bb = ByteBuffer.wrap(z85Decode(d.pathOrInlineDv.takeRight(20)))
       val uuid = new java.util.UUID(bb.getLong, bb.getLong)
       val name = s"deletion_vector_$uuid.bin"
-      if (prefix.isEmpty) Paths.get(tableRoot, name)
-      else Paths.get(tableRoot, prefix, name)
+      if (prefix.isEmpty) s"$tableRoot/$name" else s"$tableRoot/$prefix/$name"
     case "p" =>
-      Paths.get(d.pathOrInlineDv.stripPrefix("file:"))
+      d.pathOrInlineDv
     case other =>
       sys.error(s"unsupported DV storageType '$other' (expect u/p/i)")
   }
 
-  /** Decode the deleted row indexes a descriptor points at, verifying
-    * size, CRC-32, and cardinality against the descriptor's claims.
+  /** On-disk location for a `u`/`p` descriptor (`i` has no file). */
+  def dvFilePath(tableRoot: String, d: Descriptor): Path =
+    Paths.get(dvFileLocation(tableRoot, d).stripPrefix("file:"))
+
+  /** Decode one descriptor's deleted row indexes out of its sidecar
+    * file's FULL bytes, verifying size, CRC-32 and cardinality against
+    * the descriptor's claims. Pure bytes-in/rows-out so executors can
+    * run it on content fetched through any filesystem.
     */
-  def deletedRows(tableRoot: String, d: Descriptor): Seq[Long] = {
-    val rows = d.storageType match {
-      case "i" =>
-        deserialize(z85Decode(d.pathOrInlineDv))
-      case _ =>
-        val file = dvFilePath(tableRoot, d)
-        require(Files.isRegularFile(file), s"deletion vector file missing: $file")
-        val all = Files.readAllBytes(file)
-        val off = d.offset.getOrElse(1) // right after the version byte
-        val bb = ByteBuffer.wrap(all) // big-endian (JVM default)
-        val size = bb.getInt(off)
-        require(size == d.sizeInBytes,
-          s"DV size mismatch at $file+$off: stored $size, descriptor ${d.sizeInBytes}")
-        val data = java.util.Arrays.copyOfRange(all, off + 4, off + 4 + size)
-        val crc = new CRC32(); crc.update(data)
-        val stored = bb.getInt(off + 4 + size)
-        require(stored == crc.getValue.toInt,
-          s"DV checksum mismatch at $file+$off")
-        deserialize(data)
-    }
+  def decodeFileDv(all: Array[Byte], d: Descriptor): Seq[Long] = {
+    val off = d.offset.getOrElse(1) // right after the version byte
+    val bb = ByteBuffer.wrap(all) // big-endian (JVM default)
+    val size = bb.getInt(off)
+    require(size == d.sizeInBytes,
+      s"DV size mismatch at offset $off: stored $size, descriptor ${d.sizeInBytes}")
+    val data = java.util.Arrays.copyOfRange(all, off + 4, off + 4 + size)
+    val crc = new CRC32(); crc.update(data)
+    val stored = bb.getInt(off + 4 + size)
+    require(stored == crc.getValue.toInt,
+      s"DV checksum mismatch at offset $off")
+    checkCardinality(deserialize(data), d)
+  }
+
+  /** Decode an inline (`i`) descriptor's deleted row indexes. */
+  def decodeInlineDv(d: Descriptor): Seq[Long] =
+    checkCardinality(deserialize(z85Decode(d.pathOrInlineDv)), d)
+
+  private def checkCardinality(rows: Seq[Long], d: Descriptor): Seq[Long] = {
     require(rows.length.toLong == d.cardinality,
       s"DV cardinality mismatch: decoded ${rows.length}, descriptor ${d.cardinality}")
     rows
   }
+
+  /** Decode the deleted row indexes a descriptor points at (local
+    * filesystem; [[DeltaRead]]'s scan decodes sidecars executor-side
+    * via [[decodeFileDv]] instead).
+    */
+  def deletedRows(tableRoot: String, d: Descriptor): Seq[Long] =
+    d.storageType match {
+      case "i" => decodeInlineDv(d)
+      case _ =>
+        val file = dvFilePath(tableRoot, d)
+        require(Files.isRegularFile(file), s"deletion vector file missing: $file")
+        decodeFileDv(Files.readAllBytes(file), d)
+    }
 
   // ---- RoaringBitmapArray portable (de)serialization ----
 

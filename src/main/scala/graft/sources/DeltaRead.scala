@@ -33,9 +33,11 @@ import org.json4s.jackson.JsonMethods
   * [[readChanges]] exposes the table's Change Data Feed (row-level
   * `_change_type`/`_commit_version` history over a commit range).
   *
-  * Scale notes: log + DV replay is driver-side over METADATA (one
-  * small JSON doc per commit; DV bitmaps are bounded by deleted-row
-  * counts and the checkpoint bounds replay length, as in delta-rs).
+  * Scale notes: log replay is driver-side over METADATA (one small
+  * JSON doc per commit; the checkpoint bounds replay length, as in
+  * delta-rs) — the driver holds O(files) descriptors, never decoded
+  * DV row indexes: sidecar bitmaps decode in EXECUTORS via a
+  * `binaryFile` scan + flatMap feeding the anti-join.
   * The data scan is ALWAYS a single multi-file `spark.read.parquet`
   * node: partition values attach via a `_metadata.file_path`
   * broadcast-map join above `unionGroupMax` live partitions (a
@@ -350,18 +352,50 @@ object DeltaRead {
         .parquet(addList.map(f => abs(f.path)).sorted: _*)
         .withColumn("__graft_file", col("_metadata.file_path"))
       if (anyDv) {
-        val deleted = addList.flatMap { f =>
-          val file = qualified(abs(f.path)) // once per FILE, not per row
-          f.dv.toSeq.flatMap(d =>
-            DeletionVectors.deletedRows(path, d).map(i => Row(file, i)))
-        }
         val delSchema = StructType(Seq(
           StructField("__graft_file", StringType),
           StructField("__graft_row", org.apache.spark.sql.types.LongType)))
-        val delDf = spark.createDataFrame(
-          spark.sparkContext.parallelize(deleted, 1), delSchema)
+        val withDv = addList.flatMap(f =>
+          f.dv.map(d => (qualified(abs(f.path)), d)))
+        val (inline, sidecar) = withDv.partition(_._2.storageType == "i")
+        val parts = Seq.newBuilder[DataFrame]
+        if (sidecar.nonEmpty) {
+          // sidecar bitmaps decode in EXECUTORS: the driver ships only
+          // O(DV files) (data file, descriptor) pairs; a `binaryFile`
+          // scan fetches each sidecar wherever its task runs and
+          // flatMaps it into (file, row_index) pairs, so deleted rows
+          // never materialize on the driver — and the scan's file-size
+          // statistics let Catalyst pick a broadcast anti-join exactly
+          // when the decoded frame is genuinely small
+          val bySidecar: Map[String, Seq[(String, DeletionVectors.Descriptor)]] =
+            sidecar.groupBy { case (_, d) =>
+              qualified(DeletionVectors.dvFileLocation(path, d)) }
+          val bc = spark.sparkContext.broadcast(bySidecar)
+          import spark.implicits._
+          parts += spark.read.format("binaryFile")
+            .load(bySidecar.keys.toSeq.sorted: _*)
+            .select(col("path"), col("content"))
+            .as[(String, Array[Byte])]
+            .flatMap { case (p, bytes) =>
+              val ds = bc.value.getOrElse(p,
+                sys.error(s"DV sidecar $p missing from the descriptor map"))
+              ds.iterator.flatMap { case (file, d) =>
+                DeletionVectors.decodeFileDv(bytes, d).iterator
+                  .map(i => (file, i)) }
+            }.toDF("__graft_file", "__graft_row")
+        }
+        if (inline.nonEmpty) {
+          // inline payloads already sit in the log JSON the driver
+          // replayed — decoding them here is O(log bytes), not O(rows)
+          import scala.jdk.CollectionConverters._
+          parts += spark.createDataFrame(
+            inline.flatMap { case (file, d) =>
+              DeletionVectors.decodeInlineDv(d).map(i => Row(file, i))
+            }.asJava, delSchema)
+        }
+        val delDf = parts.result().reduce(_.unionByName(_))
         df = df.withColumn("__graft_row", col("_metadata.row_index"))
-          .join(broadcast(delDf), Seq("__graft_file", "__graft_row"), "left_anti")
+          .join(delDf, Seq("__graft_file", "__graft_row"), "left_anti")
       }
       if (state.partitionCols.nonEmpty) {
         val pvRows = addList.map(f => Row.fromSeq(qualified(abs(f.path)) +:

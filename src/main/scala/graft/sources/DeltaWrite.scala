@@ -126,7 +126,10 @@ object DeltaWrite {
           ("partitionValues" -> Map.empty[String, String]) ~
           ("size" -> java.nio.file.Files.size(dataFile)) ~
           ("modificationTime" -> 0L) ~
-          ("dataChange" -> false) ~
+          // attaching a DV DELETES rows — a data change per the
+          // protocol; dataChange=false would make incremental/CDF
+          // consumers skip the deletion as a no-op rearrangement
+          ("dataChange" -> true) ~
           ("deletionVector" -> (("storageType" -> "u") ~
             ("pathOrInlineDv" -> DeletionVectors.encodeUuid(uuid)) ~
             ("offset" -> off) ~
@@ -135,7 +138,7 @@ object DeltaWrite {
       compact(render(
         ("remove" -> (("path" -> fileName) ~
           ("deletionTimestamp" -> 0L) ~
-          ("dataChange" -> false))))))
+          ("dataChange" -> true))))))
     java.nio.file.Files.writeString(commitFile,
       lines.mkString("", "\n", "\n"))
   }

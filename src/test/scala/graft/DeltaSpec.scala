@@ -271,6 +271,31 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
       s"pre-DV time travel wrong: $v0")
   }
 
+  test("DV sidecars decode in EXECUTORS: the delete side of the " +
+      "anti-join is a binaryFile scan + flatMap, never a " +
+      "driver-materialized row list") {
+    val d = dir()
+    DeltaWrite.commit(d, 0L, Seq("f0.parquet" ->
+      spark.read.parquet(s"$sf/nation.parquet")
+        .coalesce(1).sortWithinPartitions("n_nationkey")))
+    DeltaWrite.commitDeletionVector(d, 1L, "f0.parquet", Seq(0L, 2L, 4L))
+    val df = DeltaRead.readDeltaTable(spark, d)
+    // driver work is O(files): the analyzed plan carries the sidecar
+    // SCAN (its decode runs where the task runs), and no local
+    // relation of pre-decoded (file, row) pairs exists anywhere
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("binaryFile"), analyzed.take(3000))
+    assert(!analyzed.contains("LocalRelation"), analyzed.take(3000))
+    val rows = df.orderBy("n_nationkey")
+      .select("n_nationkey").as[Int].collect().toSeq
+    val all = spark.read.parquet(s"$sf/nation.parquet")
+      .orderBy("n_nationkey").select("n_nationkey").as[Int].collect()
+    val expect = all.zipWithIndex
+      .filterNot { case (_, i) => i == 0 || i == 2 || i == 4 }
+      .map(_._1).toSeq
+    assert(rows == expect, s"executor-decoded DV mask wrong: $rows")
+  }
+
   test("predicates and pruning reach the scan THROUGH the DV " +
       "anti-join path") {
     val d = dir()

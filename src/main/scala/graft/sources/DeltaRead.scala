@@ -50,7 +50,8 @@ object DeltaRead {
 
   private case class AddFile(path: String,
       partitionValues: Map[String, String],
-      dv: Option[DeletionVectors.Descriptor])
+      dv: Option[DeletionVectors.Descriptor],
+      stats: Option[String] = None)
 
   private case class LogState(
       adds: Map[String, AddFile] = Map.empty, // keyed by (path, dvUniqueId)
@@ -93,7 +94,9 @@ object DeltaRead {
         case (s, ("add", a)) =>
           val p = (a \ "path").extract[String]
           val dv = dvOf(a)
-          s.copy(adds = s.adds + (fileKey(p, dv) -> AddFile(p, strMap(a \ "partitionValues"), dv)))
+          s.copy(adds = s.adds + (fileKey(p, dv) -> AddFile(p,
+            strMap(a \ "partitionValues"), dv,
+            (a \ "stats").extractOpt[String].filter(_.nonEmpty))))
         case (s, ("remove", r)) =>
           val p = (r \ "path").extract[String]
           s.copy(adds = s.adds - fileKey(p, dvOf(r)))
@@ -277,10 +280,21 @@ object DeltaRead {
     * `unionGroupMax`: live-partition count up to which the partition
     * columns attach as per-group literal unions; above it (or with
     * DVs present) a single scan + broadcast file-map join is used.
+    *
+    * `predicate`: optional filter over the table's LOGICAL columns.
+    * Beyond the usual scan-level pushdown it drives FILE PRUNING
+    * during planning — each add's log-recorded `stats` (per-column
+    * min/max/nullCount) and exact partition values are evaluated
+    * tri-state ([[FileSkipping]]) and files that cannot match never
+    * reach the scan, the Delta data-skipping contract. Conservative:
+    * files without usable stats are kept, and the predicate
+    * re-applies as a normal row filter, so results never depend on
+    * stats quality.
     */
   def readDeltaTable(spark: SparkSession, path: String,
       versionAsOf: Option[Long] = None,
-      unionGroupMax: Int = 32): DataFrame = {
+      unionGroupMax: Int = 32,
+      predicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val state = stateAt(spark, openLog(path), versionAsOf)
     val mappingMode = checkReadable(state, path)
     val fullSchema = DataType.fromJson(state.schemaJson.getOrElse(
@@ -311,10 +325,72 @@ object DeltaRead {
         df.select(fullSchema.fields.map(f =>
           col(s"`${physTopOf(f.name)}`").cast(f.dataType).as(f.name)): _*)
       else df.select(fullSchema.map(f => col(f.name)): _*)
-    val addList = state.adds.values.toSeq
+    // FILE PRUNING (data skipping): evaluate the predicate against
+    // each add's log-recorded stats (physical-keyed under mapping)
+    // and exact partition values; files that cannot match never reach
+    // the scan — O(files) driver work over metadata already replayed
+    val skipExpr = predicate.map(p => FileSkipping.resolve(spark, fullSchema, p))
+    val logicalTopOf: Map[String, String] = physTopOf.map(_.swap)
+    def fileStatsOf(f: AddFile): FileSkipping.FileStats = {
+      val partStats: Map[String, FileSkipping.ColStats] =
+        state.partitionCols.map { pc =>
+          val raw = pvOf(f.partitionValues, pc)
+          val exact: Option[Option[Any]] =
+            if (raw == null) Some(None) // all-null partition value
+            else FileSkipping.normStat(raw, fullSchema(pc).dataType) match {
+              case Some(v) => Some(Some(v))
+              case None => None // unparseable — unknown, never prune on it
+            }
+          pc -> FileSkipping.ColStats(exact = exact)
+        }.toMap
+      val parsed = f.stats.flatMap(s =>
+        scala.util.Try(JsonMethods.parse(s)).toOption)
+      def jAny(v: JValue): Any = v match {
+        case JInt(n) => n
+        case JLong(n) => n
+        case JDouble(d) => d
+        case JDecimal(d) => d
+        case JString(s) => s
+        case JBool(b) => b
+        case _ => null
+      }
+      def valuesOf(section: String): Map[String, Any] = parsed match {
+        case Some(j) => (j \ section) match {
+          case JObject(fields) => fields.map { case (k, v) =>
+            logicalTopOf.getOrElse(k, k) -> jAny(v) }.toMap
+          case _ => Map.empty
+        }
+        case None => Map.empty
+      }
+      val mins = valuesOf("minValues")
+      val maxs = valuesOf("maxValues")
+      val nulls = valuesOf("nullCount")
+      val dataStats = fullSchema.fields
+        .filterNot(fd => state.partitionCols.contains(fd.name))
+        .flatMap { fd =>
+          val cs = FileSkipping.ColStats(
+            min = Option(mins.getOrElse(fd.name, null))
+              .flatMap(FileSkipping.normStat(_, fd.dataType)),
+            max = Option(maxs.getOrElse(fd.name, null))
+              .flatMap(FileSkipping.normStat(_, fd.dataType)),
+            nullCount = Option(nulls.getOrElse(fd.name, null)).collect {
+              case n: Number => n.longValue })
+          if (cs == FileSkipping.ColStats()) None else Some(fd.name -> cs)
+        }.toMap
+      FileSkipping.FileStats(
+        parsed.flatMap(j => (j \ "numRecords").extractOpt[Long]),
+        partStats ++ dataStats)
+    }
+    val addList = {
+      val all = state.adds.values.toSeq
+      skipExpr match {
+        case None => all
+        case Some(e) => all.filter(f => FileSkipping.mayMatch(e, fileStatsOf(f)))
+      }
+    }
     val anyDv = addList.exists(_.dv.isDefined)
 
-    if (addList.isEmpty) {
+    val snapshot = if (addList.isEmpty) {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], fullSchema)
     } else if (!anyDv && state.partitionCols.isEmpty) {
@@ -412,6 +488,9 @@ object DeltaRead {
       }
       logicalProjection(df)
     }
+    // the predicate re-applies as a row filter — pruning is an
+    // optimization, never the correctness mechanism
+    predicate.fold(snapshot)(snapshot.filter)
   }
 
   /** Change Data Feed over commits `fromVersion..toVersion`

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
+import org.json4s._
 import org.json4s.JsonDSL._
 import org.json4s.jackson.JsonMethods.{compact, render}
 
@@ -8,7 +9,8 @@ import org.json4s.jackson.JsonMethods.{compact, render}
   * PROTOCOL.md): enough of the write path to export a table other
   * Delta readers (and [[DeltaRead]]) can scan — protocol (1, 2),
   * `metaData` with the Spark-JSON schema, per-file `add` actions
-  * (no stats), `remove` tombstones. Unpartitioned, single-writer,
+  * with data-skipping `stats`, `remove` tombstones. Unpartitioned,
+  * single-writer,
   * no checkpoints: the EXPORT/fixture grade of interop, not a
   * transactional store — the engine's own warehouse
   * (`PipelineRunner`) remains the real write path, this is the
@@ -36,6 +38,67 @@ object DeltaWrite {
     val all = try walk.iterator().asScala.toSeq finally walk.close()
     all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     java.nio.file.Files.size(dest)
+  }
+
+  /** One aggregate job over `df` (the driver gets back a single row):
+    * (numRecords, per primitive top-level column (field, min, max,
+    * nullCount)) — the data-skipping stats both lakehouse writers
+    * record and both readers' file pruning consumes.
+    */
+  private[sources] def columnStats(df: DataFrame)
+      : (Long, Seq[(org.apache.spark.sql.types.StructField, Any, Any, Long)]) = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum, when}
+    import org.apache.spark.sql.types._
+    val fields = df.schema.fields.filter(f => f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | _: DecimalType | StringType | DateType |
+           TimestampType | BooleanType => true
+      case _ => false
+    })
+    val aggs = Seq(count(lit(1)).as("n")) ++ fields.flatMap(f => Seq(
+      min(col(f.name)), max(col(f.name)),
+      sum(when(col(f.name).isNull, 1L).otherwise(0L))))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = row.getLong(0)
+    (n, fields.zipWithIndex.toSeq.map { case (f, i) =>
+      (f, row.get(1 + i * 3), row.get(2 + i * 3),
+        if (n == 0) 0L else row.getLong(3 + i * 3))
+    })
+  }
+
+  /** Delta `add.stats` JSON for one data file's rows
+    * ([[columnStats]] serialized the way [[DeltaRead]] reads it).
+    */
+  private[sources] def statsJson(df: DataFrame): String = {
+    val (numRecords, cols0) = columnStats(df)
+    def jVal(v: Any): JValue = v match {
+      case null => JNull
+      case b: Boolean => JBool(b)
+      case s: String => JString(s)
+      case d: java.sql.Date => JString(d.toLocalDate.toString)
+      case d: java.time.LocalDate => JString(d.toString)
+      case t: java.sql.Timestamp => JString(t.toInstant.toString)
+      case t: java.time.Instant => JString(t.toString)
+      case d: java.math.BigDecimal => JDecimal(BigDecimal(d))
+      // shortest-repr text round-trips the binary value exactly —
+      // the same domain FileSkipping compares in
+      case f: Float =>
+        if (f.isNaN || f.isInfinite) JNull else JDecimal(BigDecimal(f.toString))
+      case d: Double =>
+        if (d.isNaN || d.isInfinite) JNull else JDecimal(BigDecimal(d.toString))
+      case n: Number => JInt(BigInt(n.longValue))
+      case other => sys.error(s"unexpected stats value: $other")
+    }
+    val cols = cols0.map { case (f, mn, mx, nulls) =>
+      (f.name -> jVal(mn), f.name -> jVal(mx),
+        f.name -> (JInt(BigInt(nulls)): JValue))
+    }
+    val (mins, maxs, nulls) = cols.unzip3
+    compact(render(
+      ("numRecords" -> numRecords) ~
+        ("minValues" -> JObject(mins.filter(_._2 != JNull).toList)) ~
+        ("maxValues" -> JObject(maxs.filter(_._2 != JNull).toList)) ~
+        ("nullCount" -> JObject(nulls.toList))))
   }
 
   /** Append commit `version`: write each `(fileName, rows)` as a data
@@ -79,7 +142,8 @@ object DeltaWrite {
           ("partitionValues" -> Map.empty[String, String]) ~
           ("size" -> size) ~
           ("modificationTime" -> 0L) ~
-          ("dataChange" -> true)))))
+          ("dataChange" -> true) ~
+          ("stats" -> statsJson(df))))))
     }
     removes.foreach { p =>
       lines += compact(render(

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.avro.file.DataFileReader
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, lit, raise_error, regexp_replace}
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -46,7 +46,76 @@ object IcebergRead {
 
   private[sources] case class DataFileEntry(
       path: String, format: String, recordCount: Long,
-      seq: Long = 0L, equalityIds: Seq[Int] = Nil)
+      seq: Long = 0L, equalityIds: Seq[Int] = Nil,
+      lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+      upperBounds: Map[Int, Array[Byte]] = Map.empty,
+      nullCounts: Map[Int, Long] = Map.empty)
+
+  // ---- single-value (de)serialization for manifest column bounds
+  // (iceberg spec Appendix D: little-endian numerics, UTF-8 strings,
+  // date = int days, timestamp(tz) = long micros) ----
+
+  private[sources] def encodeBound(v: Any, dt: DataType): Option[Array[Byte]] = {
+    def le(n: Int, put: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      put(bb); bb.array()
+    }
+    if (v == null) return None
+    dt match {
+      case BooleanType => Some(Array(
+        if (v.asInstanceOf[Boolean]) 1.toByte else 0.toByte))
+      case ByteType | ShortType | IntegerType =>
+        Some(le(4, _.putInt(v.asInstanceOf[Number].intValue)))
+      case LongType => Some(le(8, _.putLong(v.asInstanceOf[Number].longValue)))
+      case FloatType => Some(le(4, _.putFloat(v.asInstanceOf[Float])))
+      case DoubleType => Some(le(8, _.putDouble(v.asInstanceOf[Double])))
+      case DateType => v match {
+        case d: java.sql.Date => Some(le(4, _.putInt(d.toLocalDate.toEpochDay.toInt)))
+        case d: java.time.LocalDate => Some(le(4, _.putInt(d.toEpochDay.toInt)))
+        case n: Number => Some(le(4, _.putInt(n.intValue)))
+        case _ => None
+      }
+      case TimestampType | _: TimestampNTZType =>
+        def micros(i: java.time.Instant): Long =
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        v match {
+          case t: java.sql.Timestamp => Some(le(8, _.putLong(micros(t.toInstant))))
+          case t: java.time.Instant => Some(le(8, _.putLong(micros(t))))
+          case t: java.time.LocalDateTime =>
+            Some(le(8, _.putLong(micros(t.toInstant(java.time.ZoneOffset.UTC)))))
+          case n: Number => Some(le(8, _.putLong(n.longValue)))
+          case _ => None
+        }
+      case StringType =>
+        Some(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case _ => None // decimal/binary/nested: no bounds written
+    }
+  }
+
+  /** Decode a bound into [[FileSkipping]]'s comparison domain
+    * (BigDecimal / Double / String / Boolean); None = undecodable.
+    */
+  private[sources] def decodeBound(bytes: Array[Byte], dt: DataType): Option[Any] = {
+    def le = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case BooleanType if bytes.length == 1 => Some(bytes(0) != 0)
+      case (ByteType | ShortType | IntegerType) if bytes.length == 4 =>
+        Some(BigDecimal(le.getInt))
+      case LongType if bytes.length == 8 => Some(BigDecimal(le.getLong))
+      case FloatType if bytes.length == 4 =>
+        Some(le.getFloat.toDouble).filterNot(d => d.isNaN || d.isInfinite)
+      case DoubleType if bytes.length == 8 =>
+        Some(le.getDouble).filterNot(d => d.isNaN || d.isInfinite)
+      case DateType if bytes.length == 4 => Some(BigDecimal(le.getInt)) // days
+      case (TimestampType | _: TimestampNTZType) if bytes.length == 8 =>
+        Some(BigDecimal(le.getLong)) // micros
+      case StringType =>
+        Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      case _ => None
+    }
+  }
   private[sources] case class SnapshotState(
       schema: StructType,
       dataFiles: Seq[DataFileEntry],
@@ -77,6 +146,33 @@ object IcebergRead {
     raw(r, field).map(_.asInstanceOf[Number].intValue)
   private def long(r: GenericRecord, field: String): Option[Long] =
     raw(r, field).map(_.asInstanceOf[Number].longValue)
+
+  // Iceberg's int-keyed manifest maps (bounds, null counts) arrive
+  // either as the spec's array-of-{key,value} records (avro maps
+  // cannot key by int) or, from lenient writers, a string-keyed avro
+  // map; accept both
+  private def intKeyedMap(r: GenericRecord, field: String): Map[Int, AnyRef] = {
+    import scala.jdk.CollectionConverters._
+    raw(r, field) match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asScala.map { case (k, v) =>
+          k.toString.toInt -> v.asInstanceOf[AnyRef] }.toMap
+      case Some(c: java.util.Collection[_]) =>
+        c.asScala.collect { case kv: GenericRecord =>
+          kv.get("key").asInstanceOf[Number].intValue ->
+            kv.get("value").asInstanceOf[AnyRef]
+        }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  private def bytesOf(v: AnyRef): Array[Byte] = v match {
+    case bb: java.nio.ByteBuffer =>
+      val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
+    case f: org.apache.avro.generic.GenericFixed => f.bytes()
+    case a: Array[Byte] => a
+    case other => sys.error(s"unexpected bound value shape: ${other.getClass}")
+  }
 
   // ---- Iceberg schema JSON → Spark types ----
 
@@ -220,7 +316,13 @@ object IcebergRead {
                 // explicit sequence number wins; null inherits the
                 // manifest's (the spec's inheritance rule)
                 long(entry, "sequence_number").getOrElse(manSeq),
-                eqIds)
+                eqIds,
+                lowerBounds = intKeyedMap(df, "lower_bounds")
+                  .map { case (k, v) => k -> bytesOf(v) },
+                upperBounds = intKeyedMap(df, "upper_bounds")
+                  .map { case (k, v) => k -> bytesOf(v) },
+                nullCounts = intKeyedMap(df, "null_value_counts")
+                  .map { case (k, v) => k -> v.asInstanceOf[Number].longValue })
               (manContent, fileContent) match {
                 case (0, 0) => dataFiles += fe
                 case (1, 1) => posDeletes += fe
@@ -250,17 +352,46 @@ object IcebergRead {
 
   /** Current (or `snapshotId`) snapshot of the Iceberg table at
     * `path` as a DataFrame.
+    *
+    * `predicate`: optional filter over the table columns. Beyond the
+    * usual scan-level pushdown it drives FILE PRUNING during planning
+    * — each data file's manifest-recorded column bounds and null
+    * counts evaluate tri-state ([[FileSkipping]]) and files that
+    * cannot match never reach the scan, mirroring Iceberg's own
+    * manifest-based data skipping. Conservative: files without usable
+    * bounds are kept, and the predicate re-applies as a row filter,
+    * so results never depend on stats quality.
     */
   def readIcebergTable(spark: SparkSession, path: String,
-      snapshotId: Option[Long] = None): DataFrame = {
+      snapshotId: Option[Long] = None,
+      predicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val st = snapshotState(path, snapshotId)
-    if (st.dataFiles.isEmpty) {
+    val skipExpr = predicate.map(p => FileSkipping.resolve(spark, st.schema, p))
+    def fileStatsOf(f: DataFileEntry): FileSkipping.FileStats = {
+      val cols = st.fieldNameById.flatMap { case (id, name) =>
+        val dt = st.schema.fields.find(_.name == name).map(_.dataType)
+        dt.flatMap { t =>
+          val cs = FileSkipping.ColStats(
+            min = f.lowerBounds.get(id).flatMap(decodeBound(_, t)),
+            max = f.upperBounds.get(id).flatMap(decodeBound(_, t)),
+            nullCount = f.nullCounts.get(id))
+          if (cs == FileSkipping.ColStats()) None else Some(name -> cs)
+        }
+      }
+      FileSkipping.FileStats(Some(f.recordCount), cols)
+    }
+    val dataFiles = skipExpr match {
+      case None => st.dataFiles
+      case Some(e) =>
+        st.dataFiles.filter(f => FileSkipping.mayMatch(e, fileStatsOf(f)))
+    }
+    val snapshot = if (dataFiles.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st.schema)
     } else {
       def normFp(c: org.apache.spark.sql.Column) =
         regexp_replace(c, "^file:/+", "file:/")
       var df = spark.read.schema(st.schema)
-        .parquet(st.dataFiles.map(f => localPath(f.path)).sorted: _*)
+        .parquet(dataFiles.map(f => localPath(f.path)).sorted: _*)
       val needMeta =
         st.positionDeleteFiles.nonEmpty || st.equalityDeleteFiles.nonEmpty
       if (needMeta)
@@ -287,7 +418,7 @@ object IcebergRead {
         // sequence number attaches via a broadcast file→seq map; the
         // delete frames stay distributed, one anti-join per distinct
         // equality-column set.
-        val seqRows = st.dataFiles.map { f =>
+        val seqRows = dataFiles.map { f =>
           val p = localPath(f.path)
           Row("file:" + java.nio.file.Paths.get(p).toAbsolutePath.toString,
             f.seq)
@@ -297,6 +428,14 @@ object IcebergRead {
           StructType(Seq(StructField("__graft_file", StringType),
             StructField("__graft_seq", LongType))))
         df = df.join(broadcast(seqDf), Seq("__graft_file"), "left")
+          // a path-normalization miss would leave __graft_seq null,
+          // the '__graft_dseq > __graft_seq' predicate null, and the
+          // row would silently SURVIVE deletion — fail loudly instead
+          .withColumn("__graft_seq", coalesce(col("__graft_seq"),
+            raise_error(concat(
+              lit("Iceberg equality-delete sequencing: data file " +
+                "absent from the broadcast seq map: "),
+              col("__graft_file"))).cast(LongType)))
         st.equalityDeleteFiles.groupBy(_.equalityIds.sorted).toSeq
           .sortBy(_._1.mkString(","))
           .foreach { case (ids, files) =>
@@ -314,6 +453,9 @@ object IcebergRead {
       }
       if (needMeta) df.select(st.schema.map(f => col(f.name)): _*) else df
     }
+    // the predicate re-applies as a row filter — pruning is an
+    // optimization, never the correctness mechanism
+    predicate.fold(snapshot)(snapshot.filter)
   }
 
   /** Snapshot-range CHANGELOG over snapshots

@@ -37,6 +37,9 @@ object IcebergWrite {
       |    {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       |    {"name":"record_count","type":"long","field-id":103},
       |    {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |    {"name":"null_value_counts","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]}}],"default":null,"field-id":110},
+      |    {"name":"lower_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}],"default":null,"field-id":125},
+      |    {"name":"upper_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}],"default":null,"field-id":128},
       |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
       |  ]}}
       |]}""".stripMargin)
@@ -150,6 +153,17 @@ object IcebergWrite {
     def localOf(uri: String): java.nio.file.Path = java.nio.file.Paths.get(
       "/" + uri.stripPrefix("file:").dropWhile(_ == '/'))
 
+    // top-level field name → Iceberg field id (the metadata schema's
+    // numbering; bounds and equality ids resolve through it)
+    val topIds: Map[String, Int] = {
+      implicit val fmts: Formats = DefaultFormats
+      var id = 0
+      val next = () => { id += 1; id }
+      val rendered = icebergType(prior.schema, next)
+      (rendered \ "fields").children.map(f =>
+        (f \ "name").extract[String] -> (f \ "id").extract[Int]).toMap
+    }
+
     // carried-forward live data files minus removes (matched on the
     // data-file NAME, parallel to DeltaWrite's remove contract)
     val removedSet = removes.toSet
@@ -159,19 +173,34 @@ object IcebergWrite {
       prior.dataFiles.exists(f => localOf(f.path).getFileName.toString == r),
       s"remove of unknown Iceberg data file: $r"))
 
-    // an add whose file name collides with a LIVE carried file would
-    // silently overwrite the parquet while the old entry stays live
-    // (duplicated rows now, corrupted time travel later) — reject
+    // an add whose file name collides with ANY existing file under
+    // data/ would silently overwrite parquet that older snapshots (or
+    // the live set) still reference — duplicated rows now, corrupted
+    // time travel and changelogs later. Reject both the live and the
+    // previously-removed case.
     adds.foreach { case (name, _) =>
       require(!carried.exists(f => localOf(f.path).getFileName.toString == name),
-        s"add of '$name' collides with a live data file — remove it " +
-          "in the same commit or use a fresh name")
+        s"add of '$name' collides with a live data file — use a fresh name")
+      require(!java.nio.file.Files.exists(dataDir.resolve(name)),
+        s"add of '$name' would overwrite an existing file under data/ " +
+          "that retained snapshots may still reference — use a fresh name")
     }
     val added = adds.map { case (name, df) =>
-      val rows = df.count()
+      val (rows, colStats) = DeltaWrite.columnStats(df)
       DeltaWrite.writeOne(df, dataDir.toString, name)
+      // manifest column bounds + null counts: the data-skipping stats
+      // IcebergRead's file pruning consumes
+      val lower = colStats.flatMap { case (f, mn, _, _) =>
+        topIds.get(f.name).flatMap(id =>
+          IcebergRead.encodeBound(mn, f.dataType).map(id -> _)) }.toMap
+      val upper = colStats.flatMap { case (f, _, mx, _) =>
+        topIds.get(f.name).flatMap(id =>
+          IcebergRead.encodeBound(mx, f.dataType).map(id -> _)) }.toMap
+      val nulls = colStats.flatMap { case (f, _, _, nc) =>
+        topIds.get(f.name).map(_ -> nc) }.toMap
       IcebergRead.DataFileEntry(fileUri(dataDir.resolve(name)), "PARQUET",
-        rows, seq = snapshotId)
+        rows, seq = snapshotId, lowerBounds = lower, upperBounds = upper,
+        nullCounts = nulls)
     }
 
     // position-delete files: parquet of (file_path, pos), paths as
@@ -199,16 +228,8 @@ object IcebergWrite {
     // TOP-LEVEL columns; field ids resolve through the same numbering
     // the metadata schema uses
     val newEqDeletes = equalityDelete.toSeq.map { case (cols, valueRows) =>
-      val ids = {
-        implicit val fmts: Formats = DefaultFormats
-        var id = 0
-        val next = () => { id += 1; id }
-        val rendered = icebergType(prior.schema, next)
-        val byName = (rendered \ "fields").children.map(f =>
-          (f \ "name").extract[String] -> (f \ "id").extract[Int]).toMap
-        cols.map(c => byName.getOrElse(c, sys.error(
-          s"equality delete column '$c' is not a top-level column")))
-      }
+      val ids = cols.map(c => topIds.getOrElse(c, sys.error(
+        s"equality delete column '$c' is not a top-level column")))
       require(valueRows.columns.toSeq == cols,
         s"equality delete rows must carry exactly $cols")
       val delName = f"eq-delete-$snapshotId%05d.parquet"
@@ -233,6 +254,28 @@ object IcebergWrite {
         df.getSchema.getField("partition").schema()))
       df.put("record_count", f.recordCount)
       df.put("file_size_in_bytes", java.nio.file.Files.size(localOf(f.path)))
+      // int-keyed manifest maps in the spec's array-of-{key,value}
+      // form (avro maps cannot key by int); carried entries re-emit
+      // the bounds they were read with, so stats survive rewrites
+      def kvArray(field: String, entries: Seq[(Int, AnyRef)]): Unit =
+        if (entries.nonEmpty) {
+          val arrSchema = df.getSchema.getField(field).schema().getTypes.get(1)
+          val itemSchema = arrSchema.getElementType
+          val arr = new GenericData.Array[GenericRecord](entries.size, arrSchema)
+          entries.sortBy(_._1).foreach { case (k, v) =>
+            val kv = new GenericData.Record(itemSchema)
+            kv.put("key", k)
+            kv.put("value", v)
+            arr.add(kv)
+          }
+          df.put(field, arr)
+        }
+      kvArray("null_value_counts", f.nullCounts.toSeq
+        .map { case (k, v) => k -> (java.lang.Long.valueOf(v): AnyRef) })
+      kvArray("lower_bounds", f.lowerBounds.toSeq
+        .map { case (k, v) => k -> (java.nio.ByteBuffer.wrap(v): AnyRef) })
+      kvArray("upper_bounds", f.upperBounds.toSeq
+        .map { case (k, v) => k -> (java.nio.ByteBuffer.wrap(v): AnyRef) })
       if (content == 2) {
         import scala.jdk.CollectionConverters._
         df.put("equality_ids",

@@ -87,6 +87,92 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
       s"log partition values not attached: $got")
   }
 
+  test("predicate-driven FILE PRUNING: add.stats min/max prune the " +
+      "file list before the scan; stats-free files survive; results " +
+      "match the unpruned filter exactly") {
+    val d = dir()
+    val nat = spark.read.parquet(s"$sf/nation.parquet")
+    DeltaWrite.commit(d, 0L, Seq(
+      "f0.parquet" -> nat.filter(col("n_nationkey") < 5),
+      "f1.parquet" -> nat.filter(col("n_nationkey").between(5, 9)),
+      "f2.parquet" -> nat.filter(col("n_nationkey").between(10, 14)),
+      "f3.parquet" -> nat.filter(col("n_nationkey") >= 15)))
+    val pred = col("n_nationkey") >= 10 && col("n_nationkey") < 15
+    val df = DeltaRead.readDeltaTable(spark, d, predicate = Some(pred))
+    val files = df.inputFiles.map(_.split('/').last).toSet
+    assert(files == Set("f2.parquet"), s"stats pruning read: $files")
+    val expect = DeltaRead.readDeltaTable(spark, d).filter(pred)
+      .orderBy("n_nationkey").collect().toSeq
+    assert(df.orderBy("n_nationkey").collect().toSeq == expect)
+
+    // string bounds + IN-list pruning: two names that only f0 holds
+    val twoLow = nat.filter(col("n_nationkey") < 5)
+      .select("n_name").as[String].collect().sorted.take(2).toSeq
+    val byName = DeltaRead.readDeltaTable(spark, d,
+      predicate = Some(col("n_name").isin(twoLow: _*)))
+    assert(byName.inputFiles.map(_.split('/').last).toSet == Set("f0.parquet"),
+      s"IN(${twoLow.mkString(",")}) read: ${byName.inputFiles.mkString(", ")}")
+
+    // a stats-free add (hand-appended commit) is NEVER pruned
+    DeltaWrite.commit(s"$d-stage", 0L,
+      Seq("f9.parquet" -> nat.filter(col("n_nationkey") < 3)))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$d-stage", "f9.parquet"),
+      java.nio.file.Paths.get(d, "f9.parquet"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(d, "_delta_log", f"${1L}%020d.json"),
+      """{"add":{"path":"f9.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}
+        |""".stripMargin)
+    val again = DeltaRead.readDeltaTable(spark, d, predicate = Some(pred))
+    assert(again.inputFiles.map(_.split('/').last).toSet ==
+      Set("f2.parquet", "f9.parquet"),
+      s"stats-free file must survive pruning: ${again.inputFiles.mkString(", ")}")
+    // and the filter still removes its rows
+    assert(again.orderBy("n_nationkey").collect().toSeq == expect)
+  }
+
+  test("FILE PRUNING on partition values: exact log-recorded values " +
+      "prune whole partitions during planning") {
+    val d = dir()
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("x", "double").add("seg", "string")
+    Seq(Seq((1L, 1.5), (2L, 2.5)), Seq((3L, 3.5)))
+      .zipWithIndex.foreach { case (rows, i) =>
+        DeltaWrite.commit(s"$d-stage$i", 0L,
+          Seq(s"f$i.parquet" -> rows.toDF("id", "x")))
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(s"$d-stage$i", s"f$i.parquet"),
+          { val t = java.nio.file.Paths.get(d, s"f$i.parquet")
+            java.nio.file.Files.createDirectories(t.getParent); t })
+      }
+    val log = java.nio.file.Paths.get(d, "_delta_log")
+    java.nio.file.Files.createDirectories(log)
+    java.nio.file.Files.writeString(log.resolve(f"${0L}%020d.json"),
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+         |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(org.json4s.JString(schema.json)))},"partitionColumns":["seg"],"configuration":{},"createdTime":0}}
+         |{"add":{"path":"f0.parquet","partitionValues":{"seg":"A"},"size":1,"modificationTime":0,"dataChange":true}}
+         |{"add":{"path":"f1.parquet","partitionValues":{"seg":"B"},"size":1,"modificationTime":0,"dataChange":true}}
+         |""".stripMargin)
+    val df = DeltaRead.readDeltaTable(spark, d,
+      predicate = Some(col("seg") === "B"))
+    assert(df.inputFiles.map(_.split('/').last).toSet == Set("f1.parquet"),
+      df.inputFiles.mkString(", "))
+    assert(df.select("id").as[Long].collect().toSeq == Seq(3L))
+    // no partition matches → the whole file list prunes away
+    val none = DeltaRead.readDeltaTable(spark, d,
+      predicate = Some(col("seg") === "C"))
+    assert(none.inputFiles.isEmpty, none.inputFiles.mkString(", "))
+    assert(none.count() == 0)
+    // hand-written adds carry NO data-column stats: a data-column
+    // predicate must conservatively keep the partition-matching file
+    // while the row filter still removes its rows
+    val mixed = DeltaRead.readDeltaTable(spark, d,
+      predicate = Some(col("seg") === "A" && col("id") >= 99))
+    assert(mixed.inputFiles.map(_.split('/').last).toSet == Set("f0.parquet"),
+      mixed.inputFiles.mkString(", "))
+    assert(mixed.count() == 0)
+  }
+
   test("percent-encoded add paths decode per the protocol") {
     val d = dir()
     // stage the data file under its DECODED name, log the encoded form

@@ -42,6 +42,72 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
       IcebergWrite.commit(d, Nil, removes = Seq("nope.parquet")))
   }
 
+  test("predicate-driven FILE PRUNING: manifest column bounds prune " +
+      "the file list before the scan; bounds survive carry-forward " +
+      "rewrites; results match the unpruned filter exactly") {
+    val d = dir()
+    val nat = spark.read.parquet("/root/testdata/sf0.01/nation.parquet")
+    IcebergWrite.commit(d, Seq(
+      "f0.parquet" -> nat.filter(col("n_nationkey") < 5),
+      "f1.parquet" -> nat.filter(col("n_nationkey").between(5, 9)),
+      "f2.parquet" -> nat.filter(col("n_nationkey").between(10, 14)),
+      "f3.parquet" -> nat.filter(col("n_nationkey") >= 15)))
+    val pred = col("n_nationkey") >= 10 && col("n_nationkey") < 15
+    val df = IcebergRead.readIcebergTable(spark, d, predicate = Some(pred))
+    assert(df.inputFiles.map(_.split('/').last).toSet == Set("f2.parquet"),
+      s"bounds pruning read: ${df.inputFiles.mkString(", ")}")
+    val expect = IcebergRead.readIcebergTable(spark, d).filter(pred)
+      .orderBy("n_nationkey").collect().toSeq
+    assert(df.orderBy("n_nationkey").collect().toSeq == expect)
+
+    // a second commit rewrites the manifest carry-forward — bounds
+    // must survive on carried entries, so pruning still works
+    IcebergWrite.commit(d,
+      adds = Seq("f4.parquet" -> nat.filter(col("n_nationkey") < 0)),
+      removes = Seq("f3.parquet"))
+    val again = IcebergRead.readIcebergTable(spark, d, predicate = Some(pred))
+    assert(again.inputFiles.map(_.split('/').last).toSet == Set("f2.parquet"),
+      s"carried bounds lost: ${again.inputFiles.mkString(", ")}")
+
+    // string bounds prune too
+    val twoLow = nat.filter(col("n_nationkey") < 5)
+      .select("n_name").as[String].collect().sorted.take(2).toSeq
+    val byName = IcebergRead.readIcebergTable(spark, d,
+      predicate = Some(col("n_name").isin(twoLow: _*)))
+    assert(byName.inputFiles.map(_.split('/').last).toSet == Set("f0.parquet"),
+      byName.inputFiles.mkString(", "))
+
+    // no file can match → empty scan, schema intact
+    val none = IcebergRead.readIcebergTable(spark, d,
+      predicate = Some(col("n_nationkey") < -1))
+    assert(none.inputFiles.isEmpty && none.count() == 0)
+    assert(none.schema == IcebergRead.readIcebergTable(spark, d).schema)
+  }
+
+  test("adds colliding with ANY existing data/ file are rejected — " +
+      "live or previously removed (older snapshots still reference " +
+      "the bytes)") {
+    val d = dir()
+    IcebergWrite.commit(d, Seq(
+      "f0.parquet" -> Seq((1L, "a")).toDF("id", "v")))
+    // live collision
+    val e1 = intercept[IllegalArgumentException](IcebergWrite.commit(d,
+      adds = Seq("f0.parquet" -> Seq((9L, "z")).toDF("id", "v"))))
+    assert(e1.getMessage.contains("fresh name"), e1.getMessage)
+    // remove, then re-add the SAME name: the parquet under data/ is
+    // still referenced by snapshot 1 — must reject, not overwrite
+    IcebergWrite.commit(d,
+      adds = Seq("f1.parquet" -> Seq((2L, "b")).toDF("id", "v")),
+      removes = Seq("f0.parquet"))
+    val e2 = intercept[IllegalArgumentException](IcebergWrite.commit(d,
+      adds = Seq("f0.parquet" -> Seq((9L, "z")).toDF("id", "v"))))
+    assert(e2.getMessage.contains("retained snapshots"), e2.getMessage)
+    // time travel to snapshot 1 still reads the original bytes
+    val v1 = IcebergRead.readIcebergTable(spark, d, snapshotId = Some(1L))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(v1 == Seq((1L, "a")), s"snapshot 1 corrupted: $v1")
+  }
+
   test("v2 position deletes mask physical rows; deletes carry " +
       "forward across later commits") {
     val d = dir()

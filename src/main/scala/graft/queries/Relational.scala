@@ -167,7 +167,10 @@ object Scans extends QueryGroup {
     // rewrites the >=10 half (whole-file DELETE + INSERT of the same
     // rows — a reader diffing live sets must emit BOTH), snapshot 3
     // position-deletes the %6 rows of the <10 file (row-level DELETE
-    // rows with the deleted VALUES re-read from the data file).
+    // rows with the deleted VALUES re-read from the data file),
+    // snapshot 4 is a Flink-style EQUALITY delete of keys 1 and 13 —
+    // its DELETE rows replay the value predicate against snapshot
+    // 3's live rows.
     "scan_iceberg_changes" -> ((s, d) => {
       val dir = tmpDir("graft_scan_iceberg_changes")
       val nat = Tables.nation(s, d)
@@ -187,6 +190,10 @@ object Scans extends QueryGroup {
         .collect { case (k, i) if k % 6 == 0 => i.toLong }
       graft.sources.IcebergWrite.commit(dir, Nil,
         positionDeletes = Map("f0.parquet" -> dels))
+      graft.sources.IcebergWrite.commit(dir, Nil,
+        equalityDelete = Some(Seq("n_nationkey") ->
+          nat.filter(col("n_nationkey").isin(1, 13))
+            .select("n_nationkey")))
       graft.sources.IcebergRead.readChanges(s, dir, 1L)
         .orderBy("_commit_snapshot_id", "_change_type", "n_nationkey")
     }),
@@ -400,9 +407,11 @@ object Scans extends QueryGroup {
     "scan_iceberg" ->
       "SELECT * FROM nation WHERE n_nationkey % 6 <> 0 ORDER BY n_nationkey",
 
-    // the change history the three-snapshot fixture encodes: inserts
+    // the change history the four-snapshot fixture encodes: inserts
     // @1, the rewrite's whole-file delete+insert of the >=10 half @2,
-    // row-level position-delete rows of the <10 file's %6 keys @3
+    // row-level position-delete rows of the <10 file's %6 keys @3,
+    // the equality delete's replay of keys 1 and 13 against @3's
+    // live rows @4
     "scan_iceberg_changes" ->
       """SELECT n_nationkey, n_name, n_regionkey,
         |  'INSERT' AS _change_type, CAST(0 AS INTEGER) AS _change_ordinal,
@@ -420,6 +429,10 @@ object Scans extends QueryGroup {
         |SELECT n_nationkey, n_name, n_regionkey, 'DELETE',
         |  CAST(2 AS INTEGER), CAST(3 AS BIGINT)
         |FROM nation WHERE n_nationkey < 10 AND n_nationkey % 6 = 0
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 'DELETE',
+        |  CAST(3 AS INTEGER), CAST(4 AS BIGINT)
+        |FROM nation WHERE n_nationkey IN (1, 13)
         |ORDER BY _commit_snapshot_id, _change_type, n_nationkey""".stripMargin,
 
     "scan_csv_seed" -> {

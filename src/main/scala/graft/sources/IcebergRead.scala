@@ -470,17 +470,26 @@ object IcebergRead {
     * rewritten carry-forward sets, so added = live∖parentLive,
     * removed = parentLive∖live); POSITION delete files added in-range
     * become row-level DELETE rows by joining the (file, pos) pairs
-    * back to their data files. Equality delete files added in-range
-    * are rejected LOUDLY (value-predicate deletes with strict
-    * sequence ordering are not derivable as row images without
-    * replaying the predicate per snapshot). Rows project to the
-    * table's CURRENT schema, as in Iceberg's changelog scan.
+    * back to their data files. EQUALITY delete files added in-range
+    * (the Flink/CDC upsert form) become row-level DELETE rows by
+    * replaying each file's value predicate against the PARENT
+    * snapshot's live rows — null-safe match, and sequence-strictness
+    * holds by construction (every parent row's data sequence number
+    * precedes the delete's; same-snapshot adds are not in the parent
+    * and correctly survive). A snapshot that both removes data files
+    * AND adds equality deletes is rejected loudly (rows living in the
+    * removed files would double-emit; CDC writers do not produce that
+    * shape). Rows project to the table's CURRENT schema, as in
+    * Iceberg's changelog scan.
     *
     * Scale: snapshot resolution is driver-side metadata replay,
     * O(range × manifests) — the same planning shape as Iceberg's own
-    * changelog scan. Data-side the whole range reads as AT MOST THREE
-    * multi-file scan nodes (whole-file changes; in-range delete
-    * files; their target data files): change type/ordinal/snapshot id
+    * changelog scan. Data-side, whole-file and position-delete
+    * changes read as AT MOST THREE multi-file scan nodes (whole-file
+    * changes; in-range delete files; their target data files), plus
+    * one parent-snapshot replay per equality-delete snapshot (the
+    * irreducible cost of value-predicate deletes):
+    * change type/ordinal/snapshot id
     * ride broadcast `_metadata.file_path` maps (NON-unique on
     * purpose — a file added then removed in-range scans once and fans
     * out into both change rows), and the (file, pos) delete pairs
@@ -522,24 +531,33 @@ object IcebergRead {
 
     case class Chg(path: String, changeType: String, ordinal: Int,
         snapshotId: Long)
+    case class EqChg(files: Seq[DataFileEntry], ordinal: Int,
+        snapshotId: Long, parentId: Option[Long])
     val fileChanges = scala.collection.mutable.ListBuffer.empty[Chg]
     val delFiles = scala.collection.mutable.ListBuffer.empty[Chg]
+    val eqEvents = scala.collection.mutable.ListBuffer.empty[EqChg]
     var prev = parentState
     range.zip(states).zipWithIndex.foreach { case ((id, st), ord) =>
       val prevData = prev.dataFiles.map(_.path).toSet
       val curData = st.dataFiles.map(_.path).toSet
+      val removed = (prevData -- curData).toSeq.sorted
       (curData -- prevData).toSeq.sorted.foreach(p =>
         fileChanges += Chg(p, "INSERT", ord, id))
-      (prevData -- curData).toSeq.sorted.foreach(p =>
-        fileChanges += Chg(p, "DELETE", ord, id))
+      removed.foreach(p => fileChanges += Chg(p, "DELETE", ord, id))
       val prevPos = prev.positionDeleteFiles.map(_.path).toSet
       st.positionDeleteFiles.filterNot(f => prevPos.contains(f.path))
         .map(_.path).sorted.foreach(p => delFiles += Chg(p, "DELETE", ord, id))
       val prevEq = prev.equalityDeleteFiles.map(_.path).toSet
       val newEq = st.equalityDeleteFiles.filterNot(f => prevEq.contains(f.path))
-      require(newEq.isEmpty,
-        s"cannot derive changelog rows from equality delete files " +
-          s"(snapshot $id adds ${newEq.map(_.path).mkString(", ")}): $path")
+      if (newEq.nonEmpty) {
+        require(removed.isEmpty,
+          s"cannot derive changelog rows: snapshot $id both removes " +
+            s"data files and adds equality deletes (rows in the " +
+            s"removed files would double-emit): $path")
+        eqEvents += EqChg(newEq, ord, id,
+          if (fromIdx + ord == 0) None
+          else Some(ordered(fromIdx + ord - 1)))
+      }
       prev = st
     }
 
@@ -547,7 +565,7 @@ object IcebergRead {
       StructField("_change_type", StringType),
       StructField("_change_ordinal", IntegerType),
       StructField("_commit_snapshot_id", LongType)))
-    if (fileChanges.isEmpty && delFiles.isEmpty)
+    if (fileChanges.isEmpty && delFiles.isEmpty && eqEvents.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], outSchema)
 
@@ -603,6 +621,32 @@ object IcebergRead {
           .join(pairs, Seq("__graft_tfile", "__graft_row"))
           .select(outCols: _*))
       }
-    (wholeFile.toSeq ++ posDeleted.toSeq).reduce(_.unionByName(_))
+
+    // equality deletes: DELETE rows are the PARENT snapshot's live
+    // rows matching the delete file's value rows (null-safe, one
+    // semi-join per distinct equality-column set). One parent
+    // snapshot read per eq-delete snapshot — the same replay cost
+    // Iceberg's own changelog scan pays for value-predicate deletes.
+    val eqDeleted: Seq[DataFrame] = eqEvents.toSeq.flatMap { ev =>
+      ev.parentId.toSeq.flatMap { pid =>
+        val parent = readIcebergTable(spark, path, Some(pid))
+        ev.files.groupBy(_.equalityIds.sorted).toSeq
+          .sortBy(_._1.mkString(","))
+          .map { case (ids, fs) =>
+            val cols = ids.map(states.last.fieldNameById)
+            val values = spark.read
+              .parquet(fs.map(f => localPath(f.path)).distinct.sorted: _*)
+              .select(cols.map(c => col(c).as(s"__graft_eq_$c")): _*)
+            val cond = cols.map(c => col(c) <=> col(s"__graft_eq_$c"))
+              .reduce(_ && _)
+            parent.join(values, cond, "left_semi")
+              .select(schema.map(f => col(f.name)) ++ Seq(
+                lit("DELETE").as("_change_type"),
+                lit(ev.ordinal).as("_change_ordinal"),
+                lit(ev.snapshotId).as("_commit_snapshot_id")): _*)
+          }
+      }
+    }
+    (wholeFile.toSeq ++ posDeleted.toSeq ++ eqDeleted).reduce(_.unionByName(_))
   }
 }

@@ -332,9 +332,50 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
       IcebergRead.readChanges(spark, d, 3L, Some(1L)))
   }
 
+  test("changelog: in-range EQUALITY deletes replay against the " +
+      "parent snapshot into row-level DELETE rows; same-snapshot " +
+      "adds survive; remove+eq-delete combos reject loudly") {
+    val d = dir()
+    IcebergWrite.commit(d, Seq(
+      "f0.parquet" -> Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")))
+    // Flink-style upsert commit: eq-delete id=2 + add the new image —
+    // the add has the SAME sequence number, so it must survive
+    IcebergWrite.commit(d,
+      adds = Seq("f1.parquet" -> Seq((2L, "b2")).toDF("id", "v")),
+      equalityDelete = Some(Seq("id") -> Seq(Tuple1(2L)).toDF("id")))
+    val all = IcebergRead.readChanges(spark, d, 1L)
+      .orderBy("_commit_snapshot_id", "_change_type", "id", "v")
+      .select("id", "v", "_change_type", "_commit_snapshot_id")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(all == Seq(
+      (1L, "a", "INSERT", 1L), (2L, "b", "INSERT", 1L),
+      (3L, "c", "INSERT", 1L),
+      (2L, "b", "DELETE", 2L), (2L, "b2", "INSERT", 2L)),
+      s"equality-delete changelog wrong: $all")
+    // the changelog agrees with the snapshot read's end state
+    val live = IcebergRead.readIcebergTable(spark, d)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(live == Seq((1L, "a"), (2L, "b2"), (3L, "c")), live.toString)
+    // a sub-range starting at the upsert replays against ITS parent
+    val tail = IcebergRead.readChanges(spark, d, 2L)
+      .orderBy("_change_type", "v")
+      .select("id", "v", "_change_type").as[(Long, String, String)]
+      .collect().toSeq
+    assert(tail == Seq((2L, "b", "DELETE"), (2L, "b2", "INSERT")),
+      s"sub-range eq replay wrong: $tail")
+    // remove + equality delete in ONE snapshot would double-emit
+    // rows living in the removed file — loud rejection
+    IcebergWrite.commit(d, Nil,
+      removes = Seq("f0.parquet"),
+      equalityDelete = Some(Seq("id") -> Seq(Tuple1(1L)).toDF("id")))
+    val e = intercept[RuntimeException](IcebergRead.readChanges(spark, d, 1L))
+    assert(e.getMessage.contains("double-emit"), e.getMessage)
+    // ...but a range below the mixed snapshot still reads fine
+    assert(IcebergRead.readChanges(spark, d, 1L, Some(2L)).count() == 5)
+  }
+
   test("changelog: in-range position deletes emit row-level DELETE " +
-      "rows; pre-range deletes don't re-emit; equality deletes in " +
-      "range reject loudly") {
+      "rows; pre-range deletes don't re-emit") {
     val d = dir()
     IcebergWrite.commit(d, Seq(
       "f0.parquet" -> Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
@@ -360,13 +401,16 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
     val deleted = IcebergRead.readChanges(spark, d, 2L, Some(2L))
       .select("id", "v").as[(Long, String)].collect().toSeq
     assert(deleted == Seq((2L, "b")), s"deleted row image wrong: $deleted")
-    // equality deletes inside the range are not derivable — loud
+    // an equality delete composes with the position-delete history:
+    // it replays against snapshot 3's live rows (ids 1 and 3 — 'c')
     IcebergWrite.commit(d, Nil,
       equalityDelete = Some(Seq("v") -> Seq(Tuple1("c")).toDF("v")))
-    val e = intercept[RuntimeException](IcebergRead.readChanges(spark, d, 1L))
-    assert(e.getMessage.contains("equality delete"), e.getMessage)
-    // ...but a range BELOW the equality delete still reads fine
-    assert(IcebergRead.readChanges(spark, d, 1L, Some(3L)).count() == 6)
+    val withEq = IcebergRead.readChanges(spark, d, 1L)
+      .filter(col("_commit_snapshot_id") === 4L)
+      .select("id", "v", "_change_type").as[(Long, String, String)]
+      .collect().toSeq
+    assert(withEq == Seq((3L, "c", "DELETE")),
+      s"eq-delete after position deletes wrong: $withEq")
   }
 
   test("changelog plan shape: a file added then removed in-range " +

@@ -198,6 +198,29 @@ object Scans extends QueryGroup {
         .orderBy("_commit_snapshot_id", "_change_type", "n_nationkey")
     }),
 
+    // dbt-spark `merge` strategy against a REAL Delta table (the
+    // round-trip the reference's Delta pin exists for,
+    // dbtoperator.py:274): batch 1 zeroes every balance (creates the
+    // table, key-hash bucketed), batch 2 merges real balances for
+    // custkey % 3 = 0 — one atomic commit rewrites exactly the
+    // touched files, and the final state reads back through
+    // DeltaRead (or any Delta reader). Final state must equal the
+    // copy-on-write merge SQL.
+    "mat_incremental_merge_delta" -> ((s, d) => {
+      val dir = tmpDir("graft_mat_merge_delta")
+      val cust = Tables.customer(s, d)
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          lit(0.0).as("bal")),
+        Seq("c_custkey"))
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").as("bal")),
+        Seq("c_custkey"))
+      graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
+    }),
+
     // Routed through the runner's `seed` command (the reference's dbt
     // argv surface), not a bare csv read — the oracle checks the
     // loaded table's content after the publish round-trip.
@@ -434,6 +457,12 @@ object Scans extends QueryGroup {
         |  CAST(3 AS INTEGER), CAST(4 AS BIGINT)
         |FROM nation WHERE n_nationkey IN (1, 13)
         |ORDER BY _commit_snapshot_id, _change_type, n_nationkey""".stripMargin,
+
+    // the merged-into-Delta final state must equal the CoW merge SQL
+    "mat_incremental_merge_delta" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "scan_csv_seed" -> {
       val rows = seedCsvLines.drop(1).map { l =>

@@ -493,6 +493,42 @@ object DeltaRead {
     predicate.fold(snapshot)(snapshot.filter)
   }
 
+  /** Live data files of the current snapshot as (absolute path,
+    * log-relative name), for [[DeltaWrite.merge]]'s touched-file
+    * rewrite. Rejects table shapes the merge writer cannot rewrite
+    * faithfully (column mapping, partitions, deletion vectors) —
+    * loudly, never a corrupting rewrite.
+    */
+  private[sources] def liveDataFiles(spark: SparkSession, path: String)
+      : Seq[(String, String)] = {
+    val state = stateAt(spark, openLog(path), None)
+    require(checkReadable(state, path) == "none",
+      s"merge into a column-mapped Delta table is unsupported: $path")
+    require(state.partitionCols.isEmpty,
+      s"merge into a partitioned Delta table is unsupported: $path")
+    require(state.adds.values.forall(_.dv.isEmpty),
+      s"merge into a deletion-vector-carrying Delta table is unsupported: $path")
+    state.adds.values.toSeq.map(f => (absPath(path, f.path), f.path))
+      .sortBy(_._2)
+  }
+
+  /** Highest committed version (for [[DeltaWrite.merge]]'s next-commit
+    * numbering).
+    */
+  private[sources] def latestVersion(path: String): Long = {
+    val l = openLog(path)
+    require(l.commits.nonEmpty, s"empty Delta log: $path")
+    l.commits.last
+  }
+
+  /** The table's logical schema from the log's metaData action. */
+  private[sources] def tableSchema(spark: SparkSession, path: String): StructType = {
+    val state = stateAt(spark, openLog(path), None)
+    DataType.fromJson(state.schemaJson.getOrElse(
+      sys.error(s"Delta log has no metaData action: $path")))
+      .asInstanceOf[StructType]
+  }
+
   /** Change Data Feed over commits `fromVersion..toVersion`
     * (inclusive; default latest): the table's row-level change
     * history as rows of the logical schema plus `_change_type`

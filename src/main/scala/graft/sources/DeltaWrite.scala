@@ -155,6 +155,89 @@ object DeltaWrite {
       lines.mkString("", "\n", "\n"))
   }
 
+  /** Copy-on-write MERGE (upsert) of `batch` into the Delta table at
+    * `dir` on `uniqueKey` — the dbt-spark `merge` strategy
+    * materializing INTO a real `_delta_log` table any Delta reader
+    * (including [[DeltaRead]]) can scan; this round-trip is why the
+    * reference pins dbt-spark's Delta stack (`dbtoperator.py:274`).
+    *
+    * First call creates the table: commit 0 buckets the batch into up
+    * to `buckets` files by key hash, bounding later rewrite units.
+    * Each subsequent merge, in ONE atomic commit:
+    *  - finds the FILES holding matched keys with a semi-join on
+    *    `_metadata.file_path` (the collected distinct paths are
+    *    O(files) on the driver, never rows);
+    *  - rewrites exactly those files with their matched keys
+    *    anti-joined out (an all-rows-matched file becomes a bare
+    *    remove);
+    *  - adds the whole batch as one fresh file (updates + new keys);
+    *  - writes remove+add actions (with data-skipping stats) under
+    *    the next version — readers flip atomically, time travel keeps
+    *    every prior state.
+    * I/O is O(touched files + batch), never a table rewrite.
+    *
+    * CONTRACT (same as Delta `MERGE WHEN MATCHED UPDATE / NOT MATCHED
+    * INSERT`): `batch` is unique per key; schema evolution is not
+    * performed (batch columns must equal the table's). Tables with
+    * column mapping, partitions or deletion vectors are rejected
+    * loudly by [[DeltaRead.liveDataFiles]].
+    */
+  def merge(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch0: DataFrame, uniqueKey: Seq[String], buckets: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    require(uniqueKey.nonEmpty, "merge needs at least one key column")
+    uniqueKey.foreach(k => require(batch0.columns.contains(k),
+      s"merge key '$k' is not a batch column (${batch0.columns.mkString(",")})"))
+    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
+    // the batch feeds several jobs (touched-file probe, per-file
+    // rewrites, the upsert file) — pin it once
+    val batch = batch0.localCheckpoint()
+    if (!java.nio.file.Files.isDirectory(logDir)) {
+      val withB = batch.withColumn("__graft_b",
+        pmod(xxhash64(uniqueKey.map(col): _*), lit(buckets)))
+      val parts = (0 until buckets).map(b =>
+        f"part-$b%05d-v0.parquet" ->
+          withB.filter(col("__graft_b") === b).drop("__graft_b"))
+        .filter(_._2.limit(1).count() > 0)
+      commit(dir, 0L,
+        if (parts.nonEmpty) parts else Seq("part-00000-v0.parquet" -> batch))
+    } else {
+      val tableSchema = DeltaRead.tableSchema(spark, dir)
+      require(batch.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        tableSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"merge batch schema ${batch.schema.simpleString} != table " +
+          s"schema ${tableSchema.simpleString} (schema evolution " +
+          s"unsupported): $dir")
+      // an empty batch commits nothing — otherwise every no-op
+      // schedule grows the log by one empty file forever
+      if (batch.isEmpty) return
+      val version = DeltaRead.latestVersion(dir) + 1
+      val live = DeltaRead.liveDataFiles(spark, dir)
+      val hconf = spark.sessionState.newHadoopConf()
+      def qualified(p: String): String = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hconf).makeQualified(hp).toString
+      }
+      val relOf: Map[String, String] =
+        live.map { case (abs, rel) => qualified(abs) -> rel }.toMap
+      val cur = spark.read.schema(tableSchema)
+        .parquet(live.map(_._1): _*)
+        .withColumn("__graft_file", col("_metadata.file_path"))
+      val touched = cur.join(batch, uniqueKey, "left_semi")
+        .select("__graft_file").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      val rewrites = touched.zipWithIndex.map { case (f, i) =>
+        f"rw-$version%05d-$i%03d.parquet" ->
+          cur.filter(col("__graft_file") === f)
+            .join(batch, uniqueKey, "left_anti").drop("__graft_file")
+      }.filter(_._2.limit(1).count() > 0)
+      commit(dir, version,
+        adds = rewrites :+ (f"upsert-$version%05d.parquet" -> batch),
+        removes = touched.map(f => relOf.getOrElse(f,
+          sys.error(s"touched file $f missing from the live map: $dir"))))
+    }
+  }
+
   /** Commit `version`: attach a deletion vector masking `rowIndexes`
     * (0-based physical row positions) to the existing data file
     * `fileName`. Per the protocol this upgrades to reader 3/writer 7

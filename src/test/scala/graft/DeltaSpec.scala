@@ -357,6 +357,55 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
       s"pre-DV time travel wrong: $v0")
   }
 
+  test("DeltaWrite.merge: CoW upsert into a real _delta_log table — " +
+      "one atomic commit per merge, untouched files never rewritten, " +
+      "time travel keeps every prior state, no-op batches commit " +
+      "nothing, schema drift rejects") {
+    val d = dir()
+    val b1 = (1L to 12L).map(i => (i, s"v$i")).toDF("id", "v")
+    DeltaWrite.merge(spark, d, b1, Seq("id"), buckets = 4)
+    val filesBefore = DeltaRead.readDeltaTable(spark, d).inputFiles.toSet
+    assert(filesBefore.size > 1, s"initial bucketing wrote one file: $filesBefore")
+    def bytes(f: String) = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f.stripPrefix("file:")))
+    val byteSnapshot = filesBefore.map(f => f -> bytes(f).toSeq).toMap
+
+    DeltaWrite.merge(spark, d,
+      Seq((1L, "V1"), (2L, "V2"), (100L, "V100")).toDF("id", "v"), Seq("id"))
+    val now = DeltaRead.readDeltaTable(spark, d)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    val expect = ((3L to 12L).map(i => (i, s"v$i")) ++
+      Seq((1L, "V1"), (2L, "V2"), (100L, "V100"))).sortBy(_._1)
+    assert(now == expect, s"merged state wrong: $now")
+    // exactly one commit added, and it carried the whole merge
+    val logs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(d, "_delta_log")).iterator()
+    val commits = scala.jdk.CollectionConverters.IteratorHasAsScala(logs)
+      .asScala.map(_.getFileName.toString).filter(_.endsWith(".json")).toSeq
+    assert(commits.sorted.map(_.take(20).toLong) == Seq(0L, 1L), commits.toString)
+    // files live before AND after the merge were never rewritten —
+    // the untouched-bucket contract
+    val filesAfter = DeltaRead.readDeltaTable(spark, d).inputFiles.toSet
+    val carried = filesBefore.intersect(filesAfter)
+    assert(carried.nonEmpty, "merge rewrote every file (O(table), not O(touched))")
+    carried.foreach(f => assert(bytes(f).toSeq == byteSnapshot(f),
+      s"carried file rewritten in place: $f"))
+    // time travel to the pre-merge state
+    val v0 = DeltaRead.readDeltaTable(spark, d, versionAsOf = Some(0L))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(v0 == b1.orderBy("id").as[(Long, String)].collect().toSeq, v0.toString)
+    // empty batch: no commit
+    DeltaWrite.merge(spark, d,
+      Seq.empty[(Long, String)].toDF("id", "v"), Seq("id"))
+    val v1 = DeltaRead.readDeltaTable(spark, d)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(v1 == expect, "empty merge changed state")
+    // schema drift rejects loudly
+    val e = intercept[IllegalArgumentException](DeltaWrite.merge(spark, d,
+      Seq((1L, 2L)).toDF("id", "other"), Seq("id")))
+    assert(e.getMessage.contains("schema"), e.getMessage)
+  }
+
   test("DV sidecars decode in EXECUTORS: the delete side of the " +
       "anti-join is a binaryFile scan + flatMap, never a " +
       "driver-materialized row list") {

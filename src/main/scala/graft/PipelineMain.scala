@@ -96,9 +96,10 @@ object PipelineMain {
         .config("spark.sql.shuffle.partitions",
           sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
         .config("spark.sql.session.timeZone", "UTC")
-        // static conf: Thrift connections must share this session's
-        // state so published tables resolve by name (ThriftGateway)
-        .config("spark.sql.hive.thriftServer.singleSession", "true")
+        // Thrift connections get their OWN sessions (real HS2 shape);
+        // published warehouse tables resolve by bare name through the
+        // global-temp-view fallback rule (ThriftGateway posture)
+        .config("spark.sql.extensions", "graft.gateway.GraftSqlExtensions")
         .getOrCreate())
       val logger = new PipelineLogger(a.level)
       // the reference's context-manager lifecycle: init on entry,

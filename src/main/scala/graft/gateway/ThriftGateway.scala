@@ -8,27 +8,40 @@ import org.apache.spark.sql.SparkSession
   * `:342-360`). Rather than re-implement the HS2 protocol, this
   * starts Spark's own `HiveThriftServer2` against the engine's
   * session, so an UNMODIFIED dbt-spark / PyHive / beeline / hive-jdbc
-  * client connects with `jdbc:hive2://host:port` and sees the
-  * session's temp views — including every `PipelineRunner`-published
-  * warehouse table (registered as session views on publish).
+  * client connects with `jdbc:hive2://host:port`.
   *
-  * Requirements/posture:
+  * Session model — real HS2 semantics: each Thrift connection gets
+  * its own `newSession()` (Spark's default), so temp views, `SET`
+  * conf, and current database are PER-CONNECTION — two concurrent dbt
+  * runs cannot see each other's scratch state, and HS2's own session
+  * setup (java8 datetime API etc.) mutates only the connection's
+  * session, never the host's. What IS shared is the catalog and the
+  * host's GLOBAL temp views: `PipelineRunner` publishes every
+  * warehouse table as a global temp view, and the
+  * [[GraftSqlExtensions]] name-resolution rule (install it at
+  * SparkSession BUILD time via
+  * `spark.sql.extensions=graft.gateway.GraftSqlExtensions`) makes
+  * those resolve by BARE name in every connection unless a
+  * connection-local temp view or catalog table shadows them.
   *
-  *  - the SparkSession must be built with the STATIC conf
-  *    `spark.sql.hive.thriftServer.singleSession=true`, otherwise
-  *    each Thrift connection gets a fresh session state that cannot
-  *    see the host's temp views (checked loudly here — it cannot be
-  *    set post-construction);
+  * Posture:
+  *
+  *  - `spark.sql.hive.thriftServer.singleSession` must NOT be set to
+  *    true (checked loudly) — single-session mode shares one session
+  *    state across all connections and reintroduces the cross-client
+  *    temp-view/conf bleed this endpoint exists to prevent;
   *  - binds loopback by default; pass `allowNonLoopback=true` to
   *    expose it (front it like any Spark Thrift server — Kerberos/
   *    LDAP confs apply through the usual `hive.server2.*` knobs);
   *  - one server per JVM (a HiveServer2 limitation); `stop()` it
   *    before starting another.
   *
-  * Scale notes: execution is the session's — a query through this
-  * endpoint builds the same Catalyst plan as `spark.sql`. Result
-  * fetch is paged by the client's FetchResults batch size, so big
-  * results stream instead of buffering one response.
+  * Scale notes: execution is the shared SparkContext's — a query
+  * through this endpoint builds the same Catalyst plan as
+  * `spark.sql`, and per-connection sessions cost only session state
+  * (conf + temp-view registry), not executors. Result fetch is paged
+  * by the client's FetchResults batch size, so big results stream
+  * instead of buffering one response.
   */
 object ThriftGateway {
 
@@ -49,20 +62,22 @@ object ThriftGateway {
       s"refusing to bind non-loopback host $bindHost without " +
         "allowNonLoopback=true — this endpoint executes arbitrary SQL")
     require(
-      spark.conf.getOption("spark.sql.hive.thriftServer.singleSession")
+      !spark.conf.getOption("spark.sql.hive.thriftServer.singleSession")
         .contains("true"),
-      "ThriftGateway needs spark.sql.hive.thriftServer.singleSession=true " +
-        "set at SparkSession BUILD time (static conf) — without it each " +
-        "Thrift connection gets fresh session state and cannot see the " +
-        "host's temp views / published warehouse tables")
-    // With singleSession=true, HS2 session setup mutates the SHARED
-    // session conf (it forces spark.sql.datetime.java8API.enabled=true
-    // for Thrift result encoding, among others). Snapshot the runtime
-    // conf now and roll back any drift on close, so stopping the
-    // gateway returns the host session to exactly its prior state.
-    val before = spark.conf.getAll
+      "ThriftGateway runs with per-connection sessions (real HS2 " +
+        "semantics); spark.sql.hive.thriftServer.singleSession=true " +
+        "would share one session state across every client — publish " +
+        "tables as global temp views (PipelineRunner does) and install " +
+        "graft.gateway.GraftSqlExtensions for bare-name resolution " +
+        "instead")
     spark.conf.set("hive.server2.thrift.bind.host", bindHost)
     spark.conf.set("hive.server2.thrift.port", port.toString)
+    // Spark's execution-Hive client REUSES any SessionState already
+    // attached to the calling thread; after a previous start()/stop()
+    // cycle that stale state still carries the OLD thrift port/host,
+    // and the next server silently binds the previous address. Detach
+    // so every start builds its HiveConf from the CURRENT session conf.
+    org.apache.hadoop.hive.ql.session.SessionState.detachSession()
     val server = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
       .startWithContext(spark.sqlContext)
     // the service layer starts async; wait until the socket accepts
@@ -78,20 +93,6 @@ object ThriftGateway {
       }
     }
     require(up, s"Thrift endpoint did not come up on $bindHost:$port")
-    () => {
-      server.stop()
-      val after = spark.conf.getAll
-      after.foreach { case (k, v) =>
-        before.get(k) match {
-          case Some(old) if old != v =>
-            try spark.conf.set(k, old)
-            catch { case _: Exception => () } // static conf — leave it
-          case None =>
-            try spark.conf.unset(k)
-            catch { case _: Exception => () }
-          case _ => ()
-        }
-      }
-    }
+    () => server.stop()
   }
 }

@@ -888,19 +888,27 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       registerSessionView(name)
     }
 
-  /** Register the table as a session temp view so SQL sessions
-    * (SqlGateway, ThriftGateway, `spark.sql`) can query it by bare
-    * name without host plumbing — the dbt-over-Thrift usage shape
-    * (`dbtoperator.py:274`). Re-registered on every publish so the
-    * view always resolves the LIVE generation; a registration
-    * failure (e.g. a table name that is not a valid SQL identifier)
-    * warns instead of failing the publish. When two runners on
-    * different warehouses share one session, same-named tables are
-    * last-publish-wins — qualify names upstream if that matters.
+  /** Register the table as a session temp view AND a global temp
+    * view so SQL sessions can query it by bare name without host
+    * plumbing — the dbt-over-Thrift usage shape (`dbtoperator.py:274`).
+    * The session view serves the host session directly; the GLOBAL
+    * view is what crosses session boundaries — each ThriftGateway
+    * connection runs in its own `newSession()` and resolves published
+    * names through [[graft.gateway.GlobalViewFallback]], which falls
+    * back to the global view when nothing session-local shadows it.
+    * Re-registered on every publish so both views always resolve the
+    * LIVE generation; a registration failure (e.g. a table name that
+    * is not a valid SQL identifier) warns instead of failing the
+    * publish. When two runners on different warehouses share one
+    * session, same-named tables are last-publish-wins — qualify names
+    * upstream if that matters.
     */
   private def registerSessionView(name: String): Unit =
-    try readTable(name).createOrReplaceTempView(name)
-    catch {
+    try {
+      val df = readTable(name)
+      df.createOrReplaceTempView(name)
+      df.createOrReplaceGlobalTempView(name)
+    } catch {
       case e: Exception => logger.log(LogLevel.WARNING,
         s"session view for $name not registered: ${e.getMessage}")
     }

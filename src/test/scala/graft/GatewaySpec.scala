@@ -142,8 +142,12 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
       "external-process beeline run q_shipping_priority through the " +
       "Thrift endpoint; runner-published warehouse tables resolve " +
       "by bare name") {
+    // host-exposed frames cross session boundaries as GLOBAL temp
+    // views (each Thrift connection runs in its own newSession();
+    // bare names resolve through the GlobalViewFallback rule)
     Seq("customer", "orders", "lineitem").foreach(t =>
-      spark.read.parquet(s"$sf/$t.parquet").createOrReplaceTempView(t))
+      spark.read.parquet(s"$sf/$t.parquet")
+        .createOrReplaceGlobalTempView(t))
     // a warehouse table published by the runner — no manual view step
     val wh = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target/scratch-test"),
@@ -155,6 +159,8 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
       Seq((1L, "alpha"), (2L, "beta")).toDF("id", "tag"))
 
     val port = ThriftGateway.freePort()
+    // HS2 session setup (java8 datetime API etc.) must land on each
+    // CONNECTION's session, never the host's — no rollback machinery
     val java8Conf = "spark.sql.datetime.java8API.enabled"
     val java8Before = spark.conf.get(java8Conf, "false")
     val srv = ThriftGateway.start(spark, port)
@@ -212,11 +218,82 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
         s"beeline exit ${proc.exitValue()}; output:\n${outStr.takeRight(2000)}")
       assert(outStr.contains("beta"),
         s"beeline did not return the row; output:\n${outStr.takeRight(2000)}")
-    } finally srv.close()
-    // HS2 sessions mutate the SHARED session conf under singleSession
-    // (java8 datetime API etc.) — close() must roll the drift back so
-    // the host session (and later suites) see their own semantics
+    } finally {
+      srv.close()
+      Seq("customer", "orders", "lineitem").foreach(t =>
+        spark.catalog.dropGlobalTempView(t))
+    }
+    // per-connection sessions: the host session's conf was never
+    // touched, so there is nothing to roll back
     assert(spark.conf.get(java8Conf, "false") == java8Before,
-      "ThriftGateway.close must restore the shared session conf")
+      "HS2 session setup leaked onto the host session")
   }
+
+  test("per-connection Thrift sessions: two concurrent JDBC clients " +
+      "get isolated temp views and conf, while a runner-published " +
+      "table resolves in both — and a connection-local view shadows " +
+      "it only in its own session") {
+    val wh = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"),
+      "thrift_iso").toString
+    val runner = new graft.pipeline.PipelineRunner(
+      spark, graft.pipeline.PipelineSpec(models = Nil), wh)
+    import spark.implicits._
+    runner.replaceTable("iso_pub",
+      Seq((1L, "alpha"), (2L, "beta")).toDF("id", "tag"))
+    val port = ThriftGateway.freePort()
+    val srv = ThriftGateway.start(spark, port)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val c1 = java.sql.DriverManager.getConnection(
+        s"jdbc:hive2://127.0.0.1:$port", "alice", "")
+      val c2 = java.sql.DriverManager.getConnection(
+        s"jdbc:hive2://127.0.0.1:$port", "bob", "")
+      try {
+        def one(c: java.sql.Connection, sql: String): String = {
+          val rs = c.createStatement().executeQuery(sql)
+          assert(rs.next(), s"no row from: $sql")
+          rs.getString(1)
+        }
+        // both sessions resolve the published table by bare name
+        assert(one(c1, "SELECT tag FROM iso_pub WHERE id = 2") == "beta")
+        assert(one(c2, "SELECT tag FROM iso_pub WHERE id = 2") == "beta")
+        // temp views are CONNECTION-LOCAL: same name, different plans
+        c1.createStatement().execute(
+          "CREATE TEMPORARY VIEW scratch AS SELECT 'one' AS v")
+        c2.createStatement().execute(
+          "CREATE TEMPORARY VIEW scratch AS SELECT 'two' AS v")
+        assert(one(c1, "SELECT v FROM scratch") == "one")
+        assert(one(c2, "SELECT v FROM scratch") == "two")
+        // SET is connection-local too — and never bleeds to the host
+        val hostBefore = spark.conf.get("spark.sql.shuffle.partitions")
+        c1.createStatement().execute("SET spark.sql.shuffle.partitions=7")
+        def confOf(c: java.sql.Connection): String = {
+          val rs = c.createStatement()
+            .executeQuery("SET spark.sql.shuffle.partitions")
+          assert(rs.next()); rs.getString(2)
+        }
+        assert(confOf(c1) == "7", "SET must apply to its own session")
+        assert(confOf(c2) == hostBefore,
+          "SET in one connection leaked into another")
+        assert(spark.conf.get("spark.sql.shuffle.partitions") == hostBefore,
+          "SET over Thrift leaked into the host session")
+        // a connection-local temp view SHADOWS the published name in
+        // its own session only (HS2 lookup order)
+        c1.createStatement().execute(
+          "CREATE TEMPORARY VIEW iso_pub AS SELECT 99 AS id, 'mine' AS tag")
+        assert(one(c1, "SELECT tag FROM iso_pub") == "mine")
+        assert(one(c2, "SELECT tag FROM iso_pub WHERE id = 2") == "beta",
+          "shadowing bled across sessions")
+        // the host session resolves its own (session temp) view
+        assert(spark.sql("SELECT tag FROM iso_pub WHERE id = 2")
+          .collect().head.getString(0) == "beta")
+      } finally { c1.close(); c2.close() }
+    } finally {
+      srv.close()
+      spark.catalog.dropTempView("iso_pub")
+      spark.catalog.dropGlobalTempView("iso_pub")
+    }
+  }
+
 }

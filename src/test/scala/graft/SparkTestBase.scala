@@ -20,9 +20,19 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // static conf: Thrift connections share this session's state so
-      // temp views / published warehouse tables resolve (ThriftGateway)
-      .config("spark.sql.hive.thriftServer.singleSession", "true")
+      // Thrift connections get their OWN sessions (real HS2 shape);
+      // published warehouse tables resolve by bare name through the
+      // global-temp-view fallback rule (ThriftGateway posture)
+      .config("spark.sql.extensions", "graft.gateway.GraftSqlExtensions")
+      // HS2's embedded metastore (Spark's auto-generated in-memory
+      // derby URL) fails create-retries on every per-connection
+      // SessionState teardown; the default 10×2s handler retries turn
+      // that into a 20s+ stall per close and starve later server
+      // starts. The failure is harmless (scratch metastore) — fail
+      // FAST instead of retrying.
+      .config("spark.hadoop.hive.hmshandler.retry.attempts", "1")
+      .config("spark.hadoop.hive.hmshandler.retry.interval", "0s")
+      .config("spark.hadoop.hive.metastore.connect.retries", "1")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

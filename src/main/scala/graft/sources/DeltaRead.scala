@@ -19,12 +19,16 @@ import org.json4s.jackson.JsonMethods
   * `readerFeatures` entry is one this reader implements —
   * `deletionVectors` (default-on in modern writers; decoded via
   * [[DeletionVectors]] and applied as an anti-join on
-  * `_metadata.row_index`), `columnMapping` in `name` mode (data
-  * files store per-field physical `col-<uuid>` names; the scan reads
-  * the physical schema and one struct-cast per top-level column
-  * restores the logical names, nested fields included),
-  * `timestampNtz`, `vacuumProtocolCheck`. Unknown features and
-  * `id`-mode mapping are rejected LOUDLY, never silently misread.
+  * `_metadata.row_index`), `columnMapping` in BOTH modes — `name`
+  * (data files store per-field physical `col-<uuid>` names; the scan
+  * reads the physical schema and one struct-cast per top-level
+  * column restores the logical names, nested fields included) and
+  * `id` (same physical-name scan, with each field's
+  * `delta.columnMapping.id` additionally attached as
+  * `parquet.field.id` metadata and Spark's field-id resolution
+  * enabled — see [[toPhysicalWithIds]] for why both channels) —
+  * `timestampNtz`, `vacuumProtocolCheck`. Unknown features are
+  * rejected LOUDLY, never silently misread.
   * Single-file AND complete multi-part checkpoints bound the replay.
   * Partition values come from the log's `add.partitionValues`
   * (authoritative — the spec says data files need not encode them;
@@ -128,6 +132,8 @@ object DeltaRead {
       "columnMapping")
 
   private val PhysicalNameKey = "delta.columnMapping.physicalName"
+  private val FieldIdKey = "delta.columnMapping.id"
+  private val ParquetFieldId = "parquet.field.id"
 
   /** Under column-mapping `name` mode, data files store PHYSICAL
     * column names (`col-<uuid>`), recorded per field in the schema's
@@ -144,6 +150,38 @@ object DeltaRead {
     })
     case ArrayType(et, n) => ArrayType(toPhysical(et), n)
     case MapType(kt, vt, n) => MapType(toPhysical(kt), toPhysical(vt), n)
+    case other => other
+  }
+
+  /** Under column-mapping `id` mode the read schema resolves columns
+    * through BOTH protocol channels: each field's
+    * `delta.columnMapping.id` attaches as `parquet.field.id` metadata
+    * (Spark's row-based parquet reader resolves by field id when
+    * `spark.sql.parquet.fieldId.read.enabled` is on), and the field
+    * renames to its `delta.columnMapping.physicalName` (what the
+    * vectorized reader — which matches by name — binds against). The
+    * protocol makes the two equivalent: id mode assigns every column
+    * an immutable field id AND an immutable, unique physical name,
+    * and data files carry both, so keeping the name channel preserves
+    * the fast vectorized scan without weakening resolution. A field
+    * missing either assignment under id mapping is a protocol
+    * violation — fail loudly, a logical-name fallback could silently
+    * read the wrong column.
+    */
+  private def toPhysicalWithIds(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map { f =>
+      require(f.metadata.contains(FieldIdKey),
+        s"column '${f.name}' lacks $FieldIdKey under id column mapping")
+      require(f.metadata.contains(PhysicalNameKey),
+        s"column '${f.name}' lacks $PhysicalNameKey under id column mapping")
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong(ParquetFieldId, f.metadata.getLong(FieldIdKey)).build()
+      f.copy(name = f.metadata.getString(PhysicalNameKey),
+        metadata = meta, dataType = toPhysicalWithIds(f.dataType))
+    })
+    case ArrayType(et, n) => ArrayType(toPhysicalWithIds(et), n)
+    case MapType(kt, vt, n) =>
+      MapType(toPhysicalWithIds(kt), toPhysicalWithIds(vt), n)
     case other => other
   }
 
@@ -260,11 +298,12 @@ object DeltaRead {
       s"Delta reader version ${state.minReader} > 2 unsupported: $path")
     val mappingMode =
       state.configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(mappingMode == "none" || mappingMode == "name",
+    require(Set("none", "name", "id").contains(mappingMode),
       s"Delta column mapping mode '$mappingMode' is unsupported by " +
-        s"this reader (only 'none'/'name'): $path")
+        s"this reader (only 'none'/'name'/'id'): $path")
     mappingMode
   }
+
 
   // log paths are RFC-2396 percent-encoded and relative to the table
   // root unless they carry a scheme
@@ -300,17 +339,27 @@ object DeltaRead {
     val fullSchema = DataType.fromJson(state.schemaJson.getOrElse(
       sys.error(s"Delta log has no metaData action: $path")))
       .asInstanceOf[StructType]
-    val mapped = mappingMode == "name"
-    // on-disk names: physical under `name` mapping, logical otherwise
+    val nameMapped = mappingMode == "name"
+    val idMapped = mappingMode == "id"
+    // field-id resolution is a session-level parquet switch; enabling
+    // it is inert for schemas without parquet.field.id metadata, so a
+    // global flip here is safe (and required for id-mode scans)
+    if (idMapped)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val mapped = nameMapped || idMapped
+    // read-schema names: PHYSICAL under both mapping modes (id mode
+    // additionally carries parquet.field.id metadata), logical
+    // otherwise
     val physFull =
-      if (mapped) toPhysical(fullSchema).asInstanceOf[StructType]
+      if (nameMapped) toPhysical(fullSchema).asInstanceOf[StructType]
+      else if (idMapped) toPhysicalWithIds(fullSchema).asInstanceOf[StructType]
       else fullSchema
     val physTopOf: Map[String, String] =
       fullSchema.fields.zip(physFull.fields)
         .map { case (l, p) => l.name -> p.name }.toMap
     val physPartitionCols = state.partitionCols.map(physTopOf)
-    // partitionValues keys are physical under mapping; tolerate
-    // logical-keyed writers too (lookup falls through)
+    // partitionValues keys are physical under BOTH mapping modes;
+    // tolerate logical-keyed writers too (lookup falls through)
     def pvOf(pv: Map[String, String], pc: String): String =
       pv.getOrElse(physTopOf(pc), pv.getOrElse(pc, null))
 
@@ -319,7 +368,8 @@ object DeltaRead {
     def abs(p: String): String = absPath(path, p)
     // physical → logical projection: a struct cast renames nested
     // fields positionally, so one cast per top-level column restores
-    // the full logical schema (no-op when unmapped)
+    // the full logical schema (and strips the field-id metadata under
+    // id mapping; no-op when unmapped)
     def logicalProjection(df: DataFrame): DataFrame =
       if (mapped)
         df.select(fullSchema.fields.map(f =>
@@ -330,6 +380,7 @@ object DeltaRead {
     // and exact partition values; files that cannot match never reach
     // the scan — O(files) driver work over metadata already replayed
     val skipExpr = predicate.map(p => FileSkipping.resolve(spark, fullSchema, p))
+    // stats keys are physical-named under both mapping modes
     val logicalTopOf: Map[String, String] = physTopOf.map(_.swap)
     def fileStatsOf(f: AddFile): FileSkipping.FileStats = {
       val partStats: Map[String, FileSkipping.ColStats] =
@@ -521,6 +572,14 @@ object DeltaRead {
     l.commits.last
   }
 
+  /** Table properties from the log's metaData action (e.g.
+    * `delta.enableChangeDataFeed`, which [[DeltaWrite.merge]] honors
+    * by writing cdc actions).
+    */
+  private[sources] def tableConfiguration(spark: SparkSession,
+      path: String): Map[String, String] =
+    stateAt(spark, openLog(path), None).configuration
+
   /** The table's logical schema from the log's metaData action. */
   private[sources] def tableSchema(spark: SparkSession, path: String): StructType = {
     val state = stateAt(spark, openLog(path), None)
@@ -575,13 +634,19 @@ object DeltaRead {
       sys.error(s"Delta log has no metaData action: $path")))
       .asInstanceOf[StructType]
     val partCols = state.partitionCols
-    // column-mapping `name` mode composes with CDF: data AND cdc
-    // files store physical column names (the CDF metadata columns
-    // keep their literal names — they are not part of the mapped
-    // table schema), and the final projection restores logical names
-    val mapped = mappingMode == "name"
+    // column mapping composes with CDF: under `name` mode data AND
+    // cdc files store physical column names; under `id` mode both
+    // resolve by parquet field id (the CDF metadata columns keep
+    // their literal names — they are not part of the mapped table
+    // schema), and the final projection restores logical names
+    val nameMapped = mappingMode == "name"
+    val idMapped = mappingMode == "id"
+    val mapped = nameMapped || idMapped
+    if (idMapped)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val physFull =
-      if (mapped) toPhysical(fullSchema).asInstanceOf[StructType]
+      if (nameMapped) toPhysical(fullSchema).asInstanceOf[StructType]
+      else if (idMapped) toPhysicalWithIds(fullSchema).asInstanceOf[StructType]
       else fullSchema
     val physTopOf: Map[String, String] =
       fullSchema.fields.zip(physFull.fields)

@@ -221,6 +221,69 @@ object Scans extends QueryGroup {
       graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
     }),
 
+    // A CDF-enabled Delta merge target: the merge commit carries cdc
+    // actions with the TRUE row-level changes (pre/postimage/insert),
+    // because its whole-file rewrites would make derived CDF
+    // misreport carried rows — the key reads the CHANGE FEED back,
+    // not the final state.
+    "mat_incremental_merge_delta_cdf" -> ((s, d) => {
+      val dir = tmpDir("graft_mat_merge_delta_cdf")
+      val cust = Tables.customer(s, d)
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          lit(0.0).as("bal")),
+        Seq("c_custkey"), enableCdf = true)
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").as("bal")),
+        Seq("c_custkey"))
+      graft.sources.DeltaRead.readChanges(s, dir, 1L)
+        .orderBy("_change_type", "c_custkey")
+    }),
+
+    // The same dbt-spark `merge` contract against a REAL Iceberg
+    // table (copy-on-write): one atomic snapshot rewrites exactly the
+    // touched files; the final state reads back through IcebergRead
+    // (or any Iceberg reader) and every prior snapshot stays
+    // time-travelable.
+    "mat_incremental_merge_iceberg" -> ((s, d) => {
+      val dir = tmpDir("graft_mat_merge_iceberg")
+      val cust = Tables.customer(s, d)
+      graft.sources.IcebergWrite.merge(s, dir,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          lit(0.0).as("bal")),
+        Seq("c_custkey"))
+      graft.sources.IcebergWrite.merge(s, dir,
+        cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").as("bal")),
+        Seq("c_custkey"))
+      graft.sources.IcebergRead.readIcebergTable(s, dir)
+        .orderBy("c_custkey")
+    }),
+
+    // Merge-on-read upsert into a REAL Iceberg table — the Flink/CDC
+    // streaming shape: each merge writes ONE equality-delete file +
+    // the batch, O(batch) commit cost regardless of table size; the
+    // reader reconciles by sequence-numbered equality-delete
+    // application (hash join, plan-asserted elsewhere).
+    "mat_incremental_merge_iceberg_mor" -> ((s, d) => {
+      val dir = tmpDir("graft_mat_merge_iceberg_mor")
+      val cust = Tables.customer(s, d)
+      graft.sources.IcebergWrite.mergeOnRead(s, dir,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          lit(0.0).as("bal")),
+        Seq("c_custkey"))
+      graft.sources.IcebergWrite.mergeOnRead(s, dir,
+        cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").as("bal")),
+        Seq("c_custkey"))
+      graft.sources.IcebergRead.readIcebergTable(s, dir)
+        .orderBy("c_custkey")
+    }),
+
     // Routed through the runner's `seed` command (the reference's dbt
     // argv surface), not a bare csv read — the oracle checks the
     // loaded table's content after the publish round-trip.
@@ -460,6 +523,32 @@ object Scans extends QueryGroup {
 
     // the merged-into-Delta final state must equal the CoW merge SQL
     "mat_incremental_merge_delta" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // the merge's change feed: every custkey%3=0 row updates (old
+    // balance 0.0 → real balance); nothing inserts
+    "mat_incremental_merge_delta_cdf" ->
+      """SELECT c_custkey, c_mktsegment, 0.0 AS bal,
+        |  'update_preimage' AS _change_type,
+        |  CAST(1 AS BIGINT) AS _commit_version
+        |FROM customer WHERE c_custkey % 3 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, c_acctbal AS bal,
+        |  'update_postimage', CAST(1 AS BIGINT)
+        |FROM customer WHERE c_custkey % 3 = 0
+        |ORDER BY _change_type, c_custkey""".stripMargin,
+
+    // the Iceberg merge targets must land on the SAME final state —
+    // copy-on-write and merge-on-read are storage strategies, not
+    // semantics
+    "mat_incremental_merge_iceberg" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "mat_incremental_merge_iceberg_mor" ->
       """SELECT c_custkey, c_mktsegment,
         |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
         |FROM customer ORDER BY c_custkey""".stripMargin,

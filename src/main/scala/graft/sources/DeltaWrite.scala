@@ -23,6 +23,7 @@ object DeltaWrite {
     */
   private[sources] def writeOne(df: DataFrame, dir: String, name: String): Long = {
     val dest = java.nio.file.Paths.get(dir, name)
+    java.nio.file.Files.createDirectories(dest.getParent)
     val tmp = java.nio.file.Files.createTempDirectory(
       dest.getParent, ".delta_stage")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -112,8 +113,10 @@ object DeltaWrite {
   def commit(dir: String, version: Long,
       adds: Seq[(String, DataFrame)],
       removes: Seq[String] = Nil,
-      configuration: Map[String, String] = Map.empty): Unit = {
-    require(adds.nonEmpty || removes.nonEmpty, "empty Delta commit")
+      configuration: Map[String, String] = Map.empty,
+      cdc: Seq[(String, DataFrame)] = Nil): Unit = {
+    require(adds.nonEmpty || removes.nonEmpty || cdc.nonEmpty,
+      "empty Delta commit")
     val logDir = java.nio.file.Paths.get(dir, "_delta_log")
     java.nio.file.Files.createDirectories(logDir)
     val commitFile = logDir.resolve(f"$version%020d.json")
@@ -151,6 +154,19 @@ object DeltaWrite {
           ("deletionTimestamp" -> 0L) ~
           ("dataChange" -> true)))))
     }
+    // Change-Data-Feed files: each row carries its _change_type; the
+    // cdc action makes this commit's CDF authoritative (readers then
+    // IGNORE the add/remove actions for change derivation — the
+    // protocol's contract for commits whose file-level actions would
+    // misstate row-level changes, e.g. a MERGE's rewrites)
+    cdc.foreach { case (name, df) =>
+      val size = writeOne(df, dir, name)
+      lines += compact(render(
+        ("cdc" -> (("path" -> name) ~
+          ("partitionValues" -> Map.empty[String, String]) ~
+          ("size" -> size) ~
+          ("dataChange" -> false)))))
+    }
     java.nio.file.Files.writeString(commitFile,
       lines.mkString("", "\n", "\n"))
   }
@@ -181,9 +197,18 @@ object DeltaWrite {
     * performed (batch columns must equal the table's). Tables with
     * column mapping, partitions or deletion vectors are rejected
     * loudly by [[DeltaRead.liveDataFiles]].
+    *
+    * Change Data Feed: `enableCdf = true` stamps
+    * `delta.enableChangeDataFeed=true` at CREATION; on any table so
+    * configured (regardless of who created it), each merge commit
+    * writes a `_change_data/` cdc file with the true row-level
+    * changes (update_preimage / update_postimage / insert) — required
+    * by the protocol, since a merge's whole-file rewrites would make
+    * derived CDF misreport carried rows.
     */
   def merge(spark: org.apache.spark.sql.SparkSession, dir: String,
-      batch0: DataFrame, uniqueKey: Seq[String], buckets: Int = 8): Unit = {
+      batch0: DataFrame, uniqueKey: Seq[String], buckets: Int = 8,
+      enableCdf: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     require(uniqueKey.nonEmpty, "merge needs at least one key column")
     uniqueKey.foreach(k => require(batch0.columns.contains(k),
@@ -199,8 +224,13 @@ object DeltaWrite {
         f"part-$b%05d-v0.parquet" ->
           withB.filter(col("__graft_b") === b).drop("__graft_b"))
         .filter(_._2.limit(1).count() > 0)
+      // a creation commit is add-only — derived CDF reads it as pure
+      // inserts, which is exact, so no cdc action is needed here
       commit(dir, 0L,
-        if (parts.nonEmpty) parts else Seq("part-00000-v0.parquet" -> batch))
+        if (parts.nonEmpty) parts else Seq("part-00000-v0.parquet" -> batch),
+        configuration =
+          if (enableCdf) Map("delta.enableChangeDataFeed" -> "true")
+          else Map.empty)
     } else {
       val tableSchema = DeltaRead.tableSchema(spark, dir)
       require(batch.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
@@ -231,10 +261,36 @@ object DeltaWrite {
           cur.filter(col("__graft_file") === f)
             .join(batch, uniqueKey, "left_anti").drop("__graft_file")
       }.filter(_._2.limit(1).count() > 0)
+      // A MERGE commit on a CDF-enabled table MUST carry cdc actions:
+      // its add/remove actions rewrite whole files, so the derived
+      // fallback would misreport every carried row of a touched file
+      // as deleted+inserted. The cdc file holds the TRUE row-level
+      // changes: old values of matched keys (update_preimage), their
+      // new values (update_postimage), and unmatched batch rows
+      // (insert) — O(touched + batch), like the merge itself.
+      val cdfOn = DeltaRead.tableConfiguration(spark, dir)
+        .getOrElse("delta.enableChangeDataFeed", "false") == "true"
+      val cdc = if (!cdfOn) Nil else {
+        val ct = "_change_type"
+        val cols = tableSchema.fieldNames.toSeq
+        val curRows = cur.drop("__graft_file")
+        val pre = curRows.join(batch, uniqueKey, "left_semi")
+          .withColumn(ct, lit("update_preimage"))
+        val post = batch.join(curRows.select(uniqueKey.map(col): _*),
+            uniqueKey, "left_semi")
+          .withColumn(ct, lit("update_postimage"))
+        val ins = batch.join(curRows.select(uniqueKey.map(col): _*),
+            uniqueKey, "left_anti")
+          .withColumn(ct, lit("insert"))
+        Seq(f"_change_data/cdc-$version%05d.parquet" ->
+          pre.unionByName(post).unionByName(ins)
+            .select((cols :+ ct).map(col): _*))
+      }
       commit(dir, version,
         adds = rewrites :+ (f"upsert-$version%05d.parquet" -> batch),
         removes = touched.map(f => relOf.getOrElse(f,
-          sys.error(s"touched file $f missing from the live map: $dir"))))
+          sys.error(s"touched file $f missing from the live map: $dir"))),
+        cdc = cdc)
     }
   }
 
@@ -306,39 +362,10 @@ object DeltaWrite {
     cdcFiles.foreach { case (_, df) =>
       require(df.columns.contains("_change_type"),
         "cdc files must carry a _change_type column") }
-    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
-    val commitFile = logDir.resolve(f"$version%020d.json")
-    require(java.nio.file.Files.isDirectory(logDir) &&
-      !java.nio.file.Files.exists(commitFile),
+    require(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "_delta_log")),
       s"Delta commit $version not writable in $dir")
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(dir, "_change_data"))
-    val lines = scala.collection.mutable.ListBuffer.empty[String]
-    adds.foreach { case (name, df) =>
-      val size = writeOne(df, dir, name)
-      lines += compact(render(
-        ("add" -> (("path" -> name) ~
-          ("partitionValues" -> Map.empty[String, String]) ~
-          ("size" -> size) ~
-          ("modificationTime" -> 0L) ~
-          ("dataChange" -> true)))))
-    }
-    removes.foreach { p =>
-      lines += compact(render(
-        ("remove" -> (("path" -> p) ~
-          ("deletionTimestamp" -> 0L) ~
-          ("dataChange" -> true)))))
-    }
-    cdcFiles.foreach { case (name, df) =>
-      val rel = s"_change_data/$name"
-      val size = writeOne(df, dir, rel)
-      lines += compact(render(
-        ("cdc" -> (("path" -> rel) ~
-          ("partitionValues" -> Map.empty[String, String]) ~
-          ("size" -> size) ~
-          ("dataChange" -> false)))))
-    }
-    java.nio.file.Files.writeString(commitFile,
-      lines.mkString("", "\n", "\n"))
+    commit(dir, version, adds = adds, removes = removes,
+      cdc = cdcFiles.map { case (n, df) => s"_change_data/$n" -> df })
   }
 }

@@ -404,4 +404,133 @@ object IcebergWrite {
     java.nio.file.Files.writeString(hintFile, snapshotId.toString)
     snapshotId
   }
+
+  /** Copy-on-write `MERGE WHEN MATCHED UPDATE / NOT MATCHED INSERT`
+    * into a REAL Iceberg table — the Iceberg side of the dbt-spark
+    * `merge` strategy (`dbtoperator.py:274`; mirror of
+    * [[DeltaWrite.merge]]): the final state reads back through
+    * [[IcebergRead]] or any Iceberg reader, with every prior snapshot
+    * time-travelable.
+    *
+    * First call creates the table: snapshot 1 buckets the batch into
+    * up to `buckets` files by key hash, bounding later rewrite units.
+    * Each subsequent merge, in ONE atomic snapshot:
+    *  - finds the FILES holding matched keys with a semi-join on
+    *    `_metadata.file_path` (collected distinct paths are O(files)
+    *    on the driver, never rows);
+    *  - rewrites exactly those files with their matched keys
+    *    anti-joined out (an all-rows-matched file becomes a bare
+    *    remove);
+    *  - adds the whole batch as one fresh file (updates + new keys).
+    * I/O is O(touched files + batch), never a table rewrite; untouched
+    * files are byte-identical across snapshots.
+    *
+    * CONTRACT: `batch` is unique per key; schema evolution is not
+    * performed. Tables carrying live position/equality deletes are
+    * rejected loudly (a rewrite that ignored them would resurrect
+    * deleted rows) — use [[mergeOnRead]] for the delete-file form.
+    */
+  def merge(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch0: DataFrame, uniqueKey: Seq[String], buckets: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    require(uniqueKey.nonEmpty, "merge needs at least one key column")
+    uniqueKey.foreach(k => require(batch0.columns.contains(k),
+      s"merge key '$k' is not a batch column (${batch0.columns.mkString(",")})"))
+    val metaDir = java.nio.file.Paths.get(dir, "metadata")
+    // the batch feeds several jobs (touched-file probe, per-file
+    // rewrites, the upsert file) — pin it once
+    val batch = batch0.localCheckpoint()
+    if (!java.nio.file.Files.isDirectory(metaDir)) {
+      val withB = batch.withColumn("__graft_b",
+        pmod(xxhash64(uniqueKey.map(col): _*), lit(buckets)))
+      val parts = (0 until buckets).map(b =>
+        f"part-$b%05d-v1.parquet" ->
+          withB.filter(col("__graft_b") === b).drop("__graft_b"))
+        .filter(_._2.limit(1).count() > 0)
+      commit(dir,
+        if (parts.nonEmpty) parts else Seq("part-00000-v1.parquet" -> batch))
+        : Unit
+    } else {
+      val state = IcebergRead.snapshotState(dir, None)
+      require(state.positionDeleteFiles.isEmpty &&
+        state.equalityDeleteFiles.isEmpty,
+        s"copy-on-write merge into an Iceberg table with live delete " +
+          s"files is unsupported (rewrites would resurrect deleted " +
+          s"rows) — compact first: $dir")
+      require(batch.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        state.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"merge batch schema ${batch.schema.simpleString} != table " +
+          s"schema ${state.schema.simpleString} (schema evolution " +
+          s"unsupported): $dir")
+      // an empty batch commits nothing — otherwise every no-op
+      // schedule grows the table by one empty snapshot forever
+      if (batch.isEmpty) return
+      val version = java.nio.file.Files
+        .readString(metaDir.resolve("version-hint.text")).trim.toInt + 1
+      val hconf = spark.sessionState.newHadoopConf()
+      def qualified(p: String): String = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hconf).makeQualified(hp).toString
+      }
+      def nameOf(uri: String): String = java.nio.file.Paths.get(
+        "/" + uri.stripPrefix("file:").dropWhile(_ == '/'))
+        .getFileName.toString
+      val nameByQualified: Map[String, String] =
+        state.dataFiles.map(f => qualified(f.path) -> nameOf(f.path)).toMap
+      val cur = spark.read.schema(state.schema)
+        .parquet(state.dataFiles.map(_.path).sorted: _*)
+        .withColumn("__graft_file", col("_metadata.file_path"))
+      val touched = cur.join(batch, uniqueKey, "left_semi")
+        .select("__graft_file").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      val rewrites = touched.zipWithIndex.map { case (f, i) =>
+        f"rw-$version%05d-$i%03d.parquet" ->
+          cur.filter(col("__graft_file") === f)
+            .join(batch, uniqueKey, "left_anti").drop("__graft_file")
+      }.filter(_._2.limit(1).count() > 0)
+      commit(dir,
+        adds = rewrites :+ (f"upsert-$version%05d.parquet" -> batch),
+        removes = touched.map(f => nameByQualified.getOrElse(f,
+          sys.error(s"touched file $f missing from the live map: $dir"))))
+        : Unit
+    }
+  }
+
+  /** Merge-on-read upsert into a REAL Iceberg table — the
+    * Flink/CDC streaming-upsert shape: each call writes ONE equality
+    * delete file over `uniqueKey` (masking every earlier-sequence row
+    * whose key appears in the batch) plus the batch as a fresh data
+    * file, in one snapshot. No existing data file is read or
+    * rewritten — commit cost is O(batch) regardless of table size,
+    * the v2 MoR contract; readers reconcile via sequence-numbered
+    * equality-delete application ([[IcebergRead]] does, hash-join,
+    * never nested-loop).
+    */
+  def mergeOnRead(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch0: DataFrame, uniqueKey: Seq[String]): Unit = {
+    require(uniqueKey.nonEmpty, "merge needs at least one key column")
+    uniqueKey.foreach(k => require(batch0.columns.contains(k),
+      s"merge key '$k' is not a batch column (${batch0.columns.mkString(",")})"))
+    val metaDir = java.nio.file.Paths.get(dir, "metadata")
+    val batch = batch0.localCheckpoint()
+    if (!java.nio.file.Files.isDirectory(metaDir)) {
+      commit(dir, Seq("part-00000-v1.parquet" -> batch)): Unit
+    } else {
+      val state = IcebergRead.snapshotState(dir, None)
+      require(batch.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        state.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"merge batch schema ${batch.schema.simpleString} != table " +
+          s"schema ${state.schema.simpleString} (schema evolution " +
+          s"unsupported): $dir")
+      if (batch.isEmpty) return
+      val version = java.nio.file.Files
+        .readString(metaDir.resolve("version-hint.text")).trim.toInt + 1
+      import org.apache.spark.sql.functions.col
+      commit(dir,
+        adds = Seq(f"upsert-$version%05d.parquet" -> batch),
+        equalityDelete =
+          Some(uniqueKey -> batch.select(uniqueKey.map(col): _*)))
+        : Unit
+    }
+  }
 }

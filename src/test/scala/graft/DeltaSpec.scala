@@ -224,18 +224,30 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq((2L, "b")), s"checkpoint replay wrong: $got")
   }
 
-  test("id-mode column mapping and unknown reader features are " +
+  test("unknown column-mapping modes and unknown reader features are " +
       "rejected loudly, never silently misread") {
     val d2 = dir()
     DeltaWrite.commit(d2, 0L, Seq(
       "f0.parquet" -> Seq((1L, "a")).toDF("id", "v")))
     val log2 = java.nio.file.Paths.get(d2, "_delta_log")
     java.nio.file.Files.writeString(log2.resolve(f"${1L}%020d.json"),
-      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(org.json4s.JString(Seq((1L, "a")).toDF("id", "v").schema.json)))},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":0}}
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(org.json4s.JString(Seq((1L, "a")).toDF("id", "v").schema.json)))},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"shuffled"},"createdTime":0}}
          |""".stripMargin)
     val e2 = intercept[IllegalArgumentException](
       DeltaRead.readDeltaTable(spark, d2))
     assert(e2.getMessage.contains("column mapping"))
+    // id mode with a field missing its delta.columnMapping.id is a
+    // protocol violation — loud, never a name-based fallback
+    val d4 = dir()
+    DeltaWrite.commit(d4, 0L, Seq(
+      "f0.parquet" -> Seq((1L, "a")).toDF("id", "v")))
+    val log4 = java.nio.file.Paths.get(d4, "_delta_log")
+    java.nio.file.Files.writeString(log4.resolve(f"${1L}%020d.json"),
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(org.json4s.JString(Seq((1L, "a")).toDF("id", "v").schema.json)))},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":0}}
+         |""".stripMargin)
+    val e4 = intercept[IllegalArgumentException](
+      DeltaRead.readDeltaTable(spark, d4))
+    assert(e4.getMessage.contains("delta.columnMapping.id"))
 
     val d3 = dir()
     DeltaWrite.commit(d3, 0L, Seq(
@@ -404,6 +416,42 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
     val e = intercept[IllegalArgumentException](DeltaWrite.merge(spark, d,
       Seq((1L, 2L)).toDF("id", "other"), Seq("id")))
     assert(e.getMessage.contains("schema"), e.getMessage)
+  }
+
+  test("merge on a CDF-enabled table writes cdc actions with the " +
+      "TRUE row-level changes — carried rows of rewritten files do " +
+      "NOT appear in the feed; non-CDF tables get no cdc files") {
+    val d = dir()
+    val b1 = (1L to 8L).map(i => (i, s"v$i")).toDF("id", "v")
+    DeltaWrite.merge(spark, d, b1, Seq("id"), buckets = 2,
+      enableCdf = true)
+    DeltaWrite.merge(spark, d,
+      Seq((2L, "V2"), (100L, "V100")).toDF("id", "v"), Seq("id"))
+    val changes = DeltaRead.readChanges(spark, d, 1L)
+      .orderBy("_change_type", "id")
+      .select("id", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSeq
+    // key 2 updates (pre+post), key 100 inserts; keys 1 and 3-8 were
+    // carried through the bucket rewrite and must NOT appear
+    assert(changes == Seq(
+      (100L, "V100", "insert"),
+      (2L, "V2", "update_postimage"),
+      (2L, "v2", "update_preimage")), s"merge CDF wrong: $changes")
+    // the creation commit derives as pure inserts, so the full range
+    // reads end-to-end
+    val all = DeltaRead.readChanges(spark, d, 0L)
+    assert(all.filter(col("_commit_version") === 0L).count() == 8L)
+    // a non-CDF table's merge writes NO cdc files, and readChanges
+    // rejects (feed not enabled)
+    val d2 = dir()
+    DeltaWrite.merge(spark, d2, b1, Seq("id"), buckets = 2)
+    DeltaWrite.merge(spark, d2, Seq((2L, "X")).toDF("id", "v"), Seq("id"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(d2, "_change_data")),
+      "non-CDF merge wrote change data")
+    val e = intercept[IllegalArgumentException](
+      DeltaRead.readChanges(spark, d2, 0L))
+    assert(e.getMessage.contains("change data feed"), e.getMessage)
   }
 
   test("DV sidecars decode in EXECUTORS: the delete side of the " +
@@ -585,6 +633,82 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, String, String)].collect().toSeq
     assert(masked == Seq((1L, "x", "A"), (3L, "z", "A")),
       s"DV over mapped table wrong: $masked")
+  }
+
+  test("column mapping 'id' mode: field ids attach to the read " +
+      "schema and physical names resolve the scan — adversarially " +
+      "SWAPPED logical/physical names prove logical names are " +
+      "ignored; nested fields and a DV compose") {
+    import org.apache.spark.sql.types._
+    val d = dir()
+    def meta(phys: String, id: Int) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id.toLong).build()
+    // physical name of 'id' is "v" and of 'v' is "id" — a reader that
+    // fell back to LOGICAL names would swap the columns; physical-name
+    // or field-id resolution (the protocol's two equivalent channels,
+    // both carried by the read schema) is right
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("v", 1)),
+      StructField("v", StringType, nullable = true, meta("id", 2)),
+      StructField("info", StructType(Seq(
+        StructField("tag", StringType, nullable = true, meta("col-tag", 4)))),
+        nullable = true, meta("col-info", 3)),
+      StructField("seg", StringType, nullable = true, meta("col-seg", 5))))
+    def fid(id: Int) = new MetadataBuilder()
+      .putLong("parquet.field.id", id.toLong).build()
+    val writeSchema = StructType(Seq(
+      StructField("v", LongType, nullable = true, fid(1)),
+      StructField("id", StringType, nullable = true, fid(2)),
+      StructField("col-info", StructType(Seq(
+        StructField("col-tag", StringType, nullable = true, fid(4)))),
+        nullable = true, fid(3))))
+    import org.apache.spark.sql.Row
+    val rows = Seq(
+      Row(1L, "x", Row("p")), Row(2L, "y", Row("q")), Row(3L, "z", Row("r")))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val data = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), writeSchema)
+      .sortWithinPartitions("v")
+    DeltaWrite.commit(s"$d-stage", 0L, Seq("f0.parquet" -> data))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$d-stage", "f0.parquet"),
+      java.nio.file.Paths.get(d, "f0.parquet"))
+    val log = java.nio.file.Paths.get(d, "_delta_log")
+    java.nio.file.Files.createDirectories(log)
+    val schemaJson = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        org.json4s.JString(logical.json)))
+    java.nio.file.Files.writeString(log.resolve(f"${0L}%020d.json"),
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+         |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":["seg"],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":0}}
+         |{"add":{"path":"f0.parquet","partitionValues":{"col-seg":"A"},"size":1,"modificationTime":0,"dataChange":true}}
+         |""".stripMargin)
+    val got = DeltaRead.readDeltaTable(spark, d)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v", "info", "seg"))
+    // the field-id plumbing must not leak into the surfaced schema
+    assert(got.schema.fields.forall(_.metadata == Metadata.empty),
+      s"id-mode read leaked schema metadata: ${got.schema.json}")
+    val out = got.orderBy("id")
+      .select(col("id"), col("v"), col("info.tag"), col("seg"))
+      .as[(Long, String, String, String)].collect().toSeq
+    assert(out == Seq((1L, "x", "p", "A"), (2L, "y", "q", "A"),
+      (3L, "z", "r", "A")), s"id-mapped read wrong: $out")
+    // a deletion vector composes: mask physical row 1 (id 2)
+    val uuid = java.util.UUID.randomUUID()
+    val (off, size) = graft.sources.DeletionVectors.writeDvFile(
+      java.nio.file.Paths.get(d, s"deletion_vector_$uuid.bin"), Seq(1L))
+    java.nio.file.Files.writeString(log.resolve(f"${1L}%020d.json"),
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","columnMapping"],"writerFeatures":["deletionVectors","columnMapping"]}}
+         |{"add":{"path":"f0.parquet","partitionValues":{"col-seg":"A"},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"${graft.sources.DeletionVectors.encodeUuid(uuid)}","offset":$off,"sizeInBytes":$size,"cardinality":1}}}
+         |{"remove":{"path":"f0.parquet","deletionTimestamp":0,"dataChange":true}}
+         |""".stripMargin)
+    val masked = DeltaRead.readDeltaTable(spark, d).orderBy("id")
+      .select(col("id"), col("v"), col("seg"))
+      .as[(Long, String, String)].collect().toSeq
+    assert(masked == Seq((1L, "x", "A"), (3L, "z", "A")),
+      s"DV over id-mapped table wrong: $masked")
   }
 
   test("a complete multi-part checkpoint bounds the replay like a " +

@@ -4,11 +4,12 @@ import graft.sources.{IcebergRead, IcebergWrite}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** graft.sources.IcebergRead/IcebergWrite — read-only interop with
-  * the public Apache Iceberg table spec: metadata JSON + avro
+/** graft.sources.IcebergRead/IcebergWrite — interop with the public
+  * Apache Iceberg table spec: metadata JSON + avro
   * manifest-list/manifest replay, snapshot time travel, v2 position
-  * deletes, and LOUD rejection of features this reader would
-  * otherwise misread (equality deletes, unknown types, future format
+  * AND equality deletes, changelog derivation, copy-on-write and
+  * merge-on-read MERGE writers, and LOUD rejection of surfaces this
+  * code would otherwise misread (unknown types, future format
   * versions).
   */
 class IcebergSpec extends AnyFunSuite with SparkTestBase {
@@ -433,5 +434,104 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
     // per-snapshot union branches
     assert(report.scans == 1,
       s"expected 1 scan node, got ${report.scans}: ${report.summary}")
+  }
+
+  test("IcebergWrite.merge: CoW upsert into a real Iceberg table — " +
+      "one atomic snapshot per merge, untouched files never " +
+      "rewritten, time travel keeps every prior state, no-op batches " +
+      "commit nothing, schema drift and delete-carrying tables " +
+      "reject") {
+    val d = dir()
+    val b1 = (1L to 12L).map(i => (i, s"v$i")).toDF("id", "v")
+    IcebergWrite.merge(spark, d, b1, Seq("id"), buckets = 4)
+    val filesBefore = IcebergRead.readIcebergTable(spark, d)
+      .inputFiles.toSet
+    assert(filesBefore.size > 1,
+      s"initial bucketing wrote one file: $filesBefore")
+    def bytes(f: String) = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f.stripPrefix("file:")))
+    val byteSnapshot = filesBefore.map(f => f -> bytes(f).toSeq).toMap
+
+    IcebergWrite.merge(spark, d,
+      Seq((1L, "V1"), (2L, "V2"), (100L, "V100")).toDF("id", "v"),
+      Seq("id"))
+    val now = IcebergRead.readIcebergTable(spark, d)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    val expect = ((3L to 12L).map(i => (i, s"v$i")) ++
+      Seq((1L, "V1"), (2L, "V2"), (100L, "V100"))).sortBy(_._1)
+    assert(now == expect, s"merged state wrong: $now")
+    // untouched files carried byte-identically — O(touched), not O(table)
+    val filesAfter = IcebergRead.readIcebergTable(spark, d)
+      .inputFiles.toSet
+    val carried = filesBefore.intersect(filesAfter)
+    assert(carried.nonEmpty,
+      "merge rewrote every file (O(table), not O(touched))")
+    carried.foreach(f => assert(bytes(f).toSeq == byteSnapshot(f),
+      s"carried file rewritten in place: $f"))
+    // time travel to the pre-merge snapshot
+    val v1 = IcebergRead.readIcebergTable(spark, d, snapshotId = Some(1L))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(v1 == b1.orderBy("id").as[(Long, String)].collect().toSeq,
+      v1.toString)
+    // empty batch: no snapshot
+    val hint = java.nio.file.Paths.get(d, "metadata", "version-hint.text")
+    val verBefore = java.nio.file.Files.readString(hint).trim
+    IcebergWrite.merge(spark, d,
+      Seq.empty[(Long, String)].toDF("id", "v"), Seq("id"))
+    assert(java.nio.file.Files.readString(hint).trim == verBefore,
+      "empty merge committed a snapshot")
+    // schema drift rejects loudly
+    val e = intercept[IllegalArgumentException](IcebergWrite.merge(spark, d,
+      Seq((1L, 2L)).toDF("id", "other"), Seq("id")))
+    assert(e.getMessage.contains("schema"), e.getMessage)
+    // a table carrying live delete files rejects CoW merge loudly — a
+    // rewrite that ignored them would resurrect deleted rows
+    val d2 = dir()
+    IcebergWrite.commit(d2, Seq("f0.parquet" ->
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+    IcebergWrite.commit(d2, adds = Nil,
+      positionDeletes = Map("f0.parquet" -> Seq(0L)))
+    val e2 = intercept[IllegalArgumentException](IcebergWrite.merge(spark,
+      d2, Seq((2L, "B")).toDF("id", "v"), Seq("id")))
+    assert(e2.getMessage.contains("delete"), e2.getMessage)
+  }
+
+  test("IcebergWrite.mergeOnRead: the Flink/CDC upsert shape — one " +
+      "equality-delete file + one data file per merge, NO existing " +
+      "data file read or rewritten, reader reconciles by sequence") {
+    val d = dir()
+    val b1 = (1L to 8L).map(i => (i, s"v$i")).toDF("id", "v")
+    IcebergWrite.mergeOnRead(spark, d, b1, Seq("id"))
+    val filesBefore = IcebergRead.readIcebergTable(spark, d)
+      .inputFiles.toSet
+    def bytes(f: String) = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f.stripPrefix("file:")))
+    val byteSnapshot = filesBefore.map(f => f -> bytes(f).toSeq).toMap
+    IcebergWrite.mergeOnRead(spark, d,
+      Seq((2L, "V2"), (99L, "V99")).toDF("id", "v"), Seq("id"))
+    val now = IcebergRead.readIcebergTable(spark, d)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    val expect = ((1L to 8L).filter(_ != 2L).map(i => (i, s"v$i")) ++
+      Seq((2L, "V2"), (99L, "V99"))).sortBy(_._1)
+    assert(now == expect, s"MoR merged state wrong: $now")
+    // EVERY pre-merge data file still live and byte-identical — the
+    // O(batch) commit contract (no copy-on-write rewrites)
+    val filesAfter = IcebergRead.readIcebergTable(spark, d)
+      .inputFiles.toSet
+    assert(filesBefore.subsetOf(filesAfter),
+      s"MoR merge dropped data files: ${filesBefore -- filesAfter}")
+    filesBefore.foreach(f => assert(bytes(f).toSeq == byteSnapshot(f),
+      s"MoR merge rewrote a data file: $f"))
+    // a second upsert of the SAME key wins over the first (sequence
+    // ordering), and time travel restores the pre-merge state
+    IcebergWrite.mergeOnRead(spark, d,
+      Seq((2L, "V2b")).toDF("id", "v"), Seq("id"))
+    val now2 = IcebergRead.readIcebergTable(spark, d)
+      .filter(col("id") === 2L).as[(Long, String)].collect().toSeq
+    assert(now2 == Seq((2L, "V2b")), s"later sequence must win: $now2")
+    val v1 = IcebergRead.readIcebergTable(spark, d, snapshotId = Some(1L))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(v1 == b1.orderBy("id").as[(Long, String)].collect().toSeq,
+      v1.toString)
   }
 }

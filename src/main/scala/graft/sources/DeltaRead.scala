@@ -52,18 +52,23 @@ import org.json4s.jackson.JsonMethods
   */
 object DeltaRead {
 
-  private case class AddFile(path: String,
+  private[sources] case class AddFile(path: String,
       partitionValues: Map[String, String],
       dv: Option[DeletionVectors.Descriptor],
-      stats: Option[String] = None)
+      stats: Option[String] = None,
+      // the add action as committed — checkpoints re-emit it verbatim
+      raw: JValue = JNothing)
 
-  private case class LogState(
+  private[sources] case class LogState(
       adds: Map[String, AddFile] = Map.empty, // keyed by (path, dvUniqueId)
       schemaJson: Option[String] = None,
       partitionCols: Seq[String] = Nil,
       minReader: Int = 1,
       readerFeatures: Set[String] = Set.empty,
-      configuration: Map[String, String] = Map.empty)
+      configuration: Map[String, String] = Map.empty,
+      // last-wins raw actions, for checkpoint re-emission
+      rawMetaData: JValue = JNothing,
+      rawProtocol: JValue = JNothing)
 
   private implicit val fmts: Formats = DefaultFormats
 
@@ -100,7 +105,8 @@ object DeltaRead {
           val dv = dvOf(a)
           s.copy(adds = s.adds + (fileKey(p, dv) -> AddFile(p,
             strMap(a \ "partitionValues"), dv,
-            (a \ "stats").extractOpt[String].filter(_.nonEmpty))))
+            (a \ "stats").extractOpt[String].filter(_.nonEmpty),
+            raw = a)))
         case (s, ("remove", r)) =>
           val p = (r \ "path").extract[String]
           s.copy(adds = s.adds - fileKey(p, dvOf(r)))
@@ -111,14 +117,16 @@ object DeltaRead {
               case JArray(xs) => xs.map(_.extract[String])
               case _ => Nil
             },
-            configuration = strMap(m \ "configuration"))
+            configuration = strMap(m \ "configuration"),
+            rawMetaData = m)
         case (s, ("protocol", p)) =>
           s.copy(
             minReader = (p \ "minReaderVersion").extract[Int],
             readerFeatures = (p \ "readerFeatures") match {
               case JArray(xs) => xs.map(_.extract[String]).toSet
               case _ => Set.empty
-            })
+            },
+            rawProtocol = p)
         // commitInfo / txn / cdc / domainMetadata don't affect the
         // main snapshot's file set
         case (s, _) => s
@@ -206,11 +214,11 @@ object DeltaRead {
     new String(bytes.toArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  private final case class DeltaLogDir(path: String,
+  private[sources] final case class DeltaLogDir(path: String,
       logDir: java.nio.file.Path, commits: Seq[Long],
       singles: Set[Long], multiparts: Map[Long, Seq[String]])
 
-  private def openLog(path: String): DeltaLogDir = {
+  private[sources] def openLog(path: String): DeltaLogDir = {
     val logDir = java.nio.file.Paths.get(path, "_delta_log")
     require(java.nio.file.Files.isDirectory(logDir),
       s"not a Delta table (no _delta_log): $path")
@@ -243,7 +251,7 @@ object DeltaRead {
   /** Replay the log (checkpoint-bounded) up to `versionAsOf`
     * (or the latest commit) into the snapshot's [[LogState]].
     */
-  private def stateAt(spark: SparkSession, log: DeltaLogDir,
+  private[sources] def stateAt(spark: SparkSession, log: DeltaLogDir,
       versionAsOf: Option[Long]): LogState = {
     val commits = log.commits.filter(v => versionAsOf.forall(v <= _))
     versionAsOf.foreach(v => require(commits.contains(v),

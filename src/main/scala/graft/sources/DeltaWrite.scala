@@ -9,12 +9,14 @@ import org.json4s.jackson.JsonMethods.{compact, render}
   * PROTOCOL.md): enough of the write path to export a table other
   * Delta readers (and [[DeltaRead]]) can scan — protocol (1, 2),
   * `metaData` with the Spark-JSON schema, per-file `add` actions
-  * with data-skipping `stats`, `remove` tombstones. Unpartitioned,
-  * single-writer,
-  * no checkpoints: the EXPORT/fixture grade of interop, not a
-  * transactional store — the engine's own warehouse
-  * (`PipelineRunner`) remains the real write path, this is the
-  * boundary adapter for tools that only speak Delta.
+  * with data-skipping `stats`, `remove` tombstones, `cdc` Change-
+  * Data-Feed files, single-file checkpoints + `_last_checkpoint`
+  * ([[writeCheckpoint]], auto-written by [[merge]] every
+  * `checkpointInterval` commits). Unpartitioned, single-writer: the
+  * EXPORT/fixture grade of interop, not a transactional store — the
+  * engine's own warehouse (`PipelineRunner`) remains the real write
+  * path, this is the boundary adapter for tools that only speak
+  * Delta.
   */
 object DeltaWrite {
 
@@ -208,7 +210,8 @@ object DeltaWrite {
     */
   def merge(spark: org.apache.spark.sql.SparkSession, dir: String,
       batch0: DataFrame, uniqueKey: Seq[String], buckets: Int = 8,
-      enableCdf: Boolean = false): Unit = {
+      enableCdf: Boolean = false,
+      checkpointInterval: Int = 10): Unit = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     require(uniqueKey.nonEmpty, "merge needs at least one key column")
     uniqueKey.foreach(k => require(batch0.columns.contains(k),
@@ -291,7 +294,93 @@ object DeltaWrite {
         removes = touched.map(f => relOf.getOrElse(f,
           sys.error(s"touched file $f missing from the live map: $dir"))),
         cdc = cdc)
+      // bound future replays: a long merge history reads as ONE
+      // checkpoint + O(checkpointInterval) JSON commits, not O(history)
+      if (checkpointInterval > 0 && version % checkpointInterval == 0)
+        writeCheckpoint(spark, dir): Unit
     }
+  }
+
+  /** Checkpoint parquet schema (delta.io PROTOCOL.md checkpoint
+    * format): one column per action type, exactly the fields this
+    * writer commits. Remove tombstones are intentionally absent —
+    * this writer stamps deletionTimestamp=0, so every tombstone is
+    * already expired under any retention clock.
+    */
+  private val CheckpointSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("name", StringType),
+        StructField("description", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", IntegerType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType)))))))))
+  }
+
+  /** Write a single-file checkpoint of the CURRENT snapshot —
+    * `<v>.checkpoint.parquet` + `_last_checkpoint` — so readers bound
+    * their log replay at O(commits since checkpoint) instead of
+    * O(table history). The action rows re-emit the live adds (and the
+    * last metaData/protocol) VERBATIM from the replayed log, so
+    * stats, partition values and deletion vectors survive; the
+    * `dataChange` flag flips to false per the checkpoint convention.
+    * Returns the checkpointed version.
+    */
+  def writeCheckpoint(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long = {
+    val log = DeltaRead.openLog(dir)
+    require(log.commits.nonEmpty, s"empty Delta log: $dir")
+    val version = log.commits.last
+    val ckFile = f"$version%020d.checkpoint.parquet"
+    require(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_delta_log", ckFile)),
+      s"checkpoint $version already exists: $dir")
+    val state = DeltaRead.stateAt(spark, log, None)
+    require(state.rawMetaData != JNothing,
+      s"Delta log has no metaData action to checkpoint: $dir")
+    val protocol: JValue =
+      if (state.rawProtocol != JNothing) state.rawProtocol
+      else ("minReaderVersion" -> 1) ~ ("minWriterVersion" -> 2)
+    val lines =
+      Seq(compact(render(JObject(List("protocol" -> protocol)))),
+        compact(render(JObject(List("metaData" -> state.rawMetaData))))) ++
+      state.adds.values.toSeq.sortBy(_.path).map { a =>
+        val ck = a.raw merge JObject(List(
+          "dataChange" -> (JBool(false): JValue)))
+        compact(render(JObject(List("add" -> (ck: JValue)))))
+      }
+    import spark.implicits._
+    val df = spark.read.schema(CheckpointSchema).json(lines.toDS())
+    writeOne(df, dir, s"_delta_log/$ckFile"): Unit
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      compact(render(
+        ("version" -> version) ~ ("size" -> lines.size))) + "\n")
+    version
   }
 
   /** Commit `version`: attach a deletion vector masking `rowIndexes`

@@ -418,6 +418,49 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("schema"), e.getMessage)
   }
 
+  test("writeCheckpoint bounds the replay: after log cleanup only " +
+      "the checkpoint + later commits remain and the snapshot still " +
+      "reads; DV descriptors and merge auto-checkpoints survive") {
+    val d = dir()
+    // versions 0..6 via merges, auto-checkpoint every 3 commits
+    DeltaWrite.merge(spark, d, (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"),
+      Seq("id"), buckets = 2, checkpointInterval = 3)
+    (1 to 6).foreach(k => DeltaWrite.merge(spark, d,
+      Seq((k.toLong, s"u$k")).toDF("id", "v"), Seq("id"),
+      checkpointInterval = 3))
+    val log = java.nio.file.Paths.get(d, "_delta_log")
+    assert(java.nio.file.Files.exists(
+      log.resolve(f"${3L}%020d.checkpoint.parquet")) &&
+      java.nio.file.Files.exists(
+        log.resolve(f"${6L}%020d.checkpoint.parquet")),
+      "merge did not auto-checkpoint at the interval")
+    val last = java.nio.file.Files.readString(
+      log.resolve("_last_checkpoint"))
+    assert(last.contains("\"version\":6"), last)
+    // log cleanup: drop every JSON commit at or below the checkpoint
+    (0L to 6L).foreach(v =>
+      java.nio.file.Files.delete(log.resolve(f"$v%020d.json")))
+    val got = DeltaRead.readDeltaTable(spark, d)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == (1L to 6L).map(i => (i, s"u$i")),
+      s"checkpoint-bounded read wrong: $got")
+
+    // DV descriptors re-emit verbatim into the checkpoint
+    val d2 = dir()
+    DeltaWrite.commit(d2, 0L, Seq("f0.parquet" ->
+      (1L to 5L).map(i => (i, s"x$i")).toDF("id", "v")
+        .coalesce(1).sortWithinPartitions("id")))
+    DeltaWrite.commitDeletionVector(d2, 1L, "f0.parquet", Seq(1L, 3L))
+    assert(DeltaWrite.writeCheckpoint(spark, d2) == 1L)
+    val log2 = java.nio.file.Paths.get(d2, "_delta_log")
+    (0L to 1L).foreach(v =>
+      java.nio.file.Files.delete(log2.resolve(f"$v%020d.json")))
+    val masked = DeltaRead.readDeltaTable(spark, d2)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(masked == Seq((1L, "x1"), (3L, "x3"), (5L, "x5")),
+      s"DV through checkpoint wrong: $masked")
+  }
+
   test("merge on a CDF-enabled table writes cdc actions with the " +
       "TRUE row-level changes — carried rows of rewritten files do " +
       "NOT appear in the feed; non-CDF tables get no cdc files") {

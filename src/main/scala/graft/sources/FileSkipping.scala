@@ -169,24 +169,55 @@ object FileSkipping {
 
   // ---- tri-state evaluation ----
 
-  // an attribute reference, possibly under a safe numeric widening
-  // cast (int→long/double/decimal, date stays date) — comparisons in
-  // the BigDecimal domain are exact across those widenings
+  // an attribute reference, possibly under a cast that is EXACT and
+  // order-preserving (value-injective widening) — only then is
+  // comparing the ORIGINAL stats domain equivalent to comparing the
+  // cast values. Narrowing or rounding casts (double→int truncates,
+  // long→double and int→float round, decimal scale loss rounds)
+  // CHANGE the comparison and must evaluate to None, never a prune.
   private def attrOf(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
     case Cast(a: AttributeReference, to, _, _) =>
-      val numericish: DataType => Boolean = {
-        case ByteType | ShortType | IntegerType | LongType | FloatType |
-             DoubleType | _: DecimalType => true
+      def intRank(dt: DataType): Option[Int] = dt match {
+        case ByteType => Some(0); case ShortType => Some(1)
+        case IntegerType => Some(2); case LongType => Some(3)
+        case _ => None
+      }
+      // decimal digits needed to hold every value of an int type
+      def intDigits(dt: DataType): Option[Int] = dt match {
+        case ByteType => Some(3); case ShortType => Some(5)
+        case IntegerType => Some(10); case LongType => Some(19)
+        case _ => None
+      }
+      val exactWidening = (a.dataType, to) match {
+        case (f, t) if intRank(f).isDefined && intRank(t).isDefined =>
+          intRank(f).get <= intRank(t).get
+        case (ByteType | ShortType | IntegerType, DoubleType) => true
+        case (ByteType | ShortType, FloatType) => true
+        case (FloatType, DoubleType) => true
+        case (f, d: DecimalType) if intDigits(f).isDefined =>
+          d.scale >= 0 && d.precision - d.scale >= intDigits(f).get
+        case (f: DecimalType, t: DecimalType) =>
+          t.scale >= f.scale &&
+            t.precision - t.scale >= f.precision - f.scale
         case _ => false
       }
-      if (numericish(a.dataType) && numericish(to)) Some(a.name) else None
+      if (exactWidening) Some(a.name) else None
     case _ => None
   }
 
   private def litOf(e: Expression): Option[Option[Any]] = e match {
     case Literal(null, _) => Some(None)
     case Literal(v, dt) => normLit(v, dt).map(Some(_))
+    // the predicate is ANALYZED but not optimized, so type coercion
+    // leaves literals wrapped in casts (`longCol === 3` carries
+    // Cast(3: Int, Long)) — fold them here, in the CAST's type (the
+    // domain Spark itself compares in), or pruning is silently inert
+    // for every coerced literal
+    case c: Cast if c.foldable && c.deterministic =>
+      scala.util.Try(c.eval(null)).toOption.flatMap { v =>
+        if (v == null) Some(None) else normLit(v, c.dataType).map(Some(_))
+      }
     case _ => None
   }
 

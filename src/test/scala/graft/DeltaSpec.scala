@@ -129,6 +129,26 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
       s"stats-free file must survive pruning: ${again.inputFiles.mkString(", ")}")
     // and the filter still removes its rows
     assert(again.orderBy("n_nationkey").collect().toSeq == expect)
+
+    // COERCED literals still prune: the analyzed (un-optimized)
+    // predicate wraps the int column in a widening cast against the
+    // long literal — exact widening, so stats still decide
+    val coerced = DeltaRead.readDeltaTable(spark, d,
+      predicate = Some(col("n_nationkey") === lit(12L)))
+    assert(coerced.inputFiles.map(_.split('/').last).toSet ==
+      Set("f2.parquet", "f9.parquet"),
+      s"coerced-literal pruning read: ${coerced.inputFiles.mkString(", ")}")
+    // a NARROWING cast changes the comparison (13 casts to byte 13,
+    // but 269 would too) — skipping must stand down, never mis-prune,
+    // and the row filter still gives exact results
+    val narrowed = DeltaRead.readDeltaTable(spark, d,
+      predicate = Some(col("n_nationkey").cast("byte") === lit(13.toByte)))
+    assert(narrowed.inputFiles.map(_.split('/').last).toSet ==
+      Set("f0.parquet", "f1.parquet", "f2.parquet", "f3.parquet",
+        "f9.parquet"),
+      s"narrowing cast must not prune: ${narrowed.inputFiles.mkString(", ")}")
+    assert(narrowed.select("n_nationkey").as[Int].collect().toSeq ==
+      Seq(13))
   }
 
   test("FILE PRUNING on partition values: exact log-recorded values " +

@@ -125,6 +125,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   spec.models.foreach { m =>
     require(Seq("public", "protected", "private").contains(m.access),
       s"model ${m.name}: unknown access '${m.access}'")
+    require(Seq("graft", "delta").contains(m.fileFormat),
+      s"model ${m.name}: unknown file_format '${m.fileFormat}' " +
+        "(graft|delta)")
     m.deps.map(resolveDep).flatMap(byName.get)
       .filter(_.access == "private").foreach { d =>
       require(d.group.isDefined && m.group == d.group,
@@ -582,8 +585,17 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       .reduce(_ unionByName _)
   }
 
+  /** A `file_format=delta` model's table: a real `_delta_log` under
+    * the warehouse path (readable by ANY Delta reader, not just the
+    * runner).
+    */
+  private def isDeltaTable(name: String): Boolean =
+    Files.isDirectory(Paths.get(tablePath(name), "_delta_log"))
+
   def readTable(name: String): DataFrame =
-    currentGenName(name) match {
+    if (isDeltaTable(name))
+      graft.sources.DeltaRead.readDeltaTable(spark, tablePath(name))
+    else currentGenName(name) match {
       case Some(gen) => readTableAt(name, gen)
       case None => sys.error(s"table $name does not exist")
     }
@@ -621,7 +633,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     dfm.select(ordered.toSeq.map(col): _*)
   }
 
-  def tableExists(name: String): Boolean = currentGenName(name).isDefined
+  def tableExists(name: String): Boolean =
+    isDeltaTable(name) || currentGenName(name).isDefined
 
   /** Hidden storage-layout partition columns, stripped by readTable:
     * key-hash buckets for merge tables, the open/closed split for
@@ -1979,6 +1992,44 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           s"; retyped: ${retyped.toSeq.sorted.mkString(",")}" else ""))
   }
 
+  /** Materialize a `file_format=delta` model (dbt-spark's
+    * `file_format: delta` config — the reason the reference pins the
+    * Delta stack, `dbtoperator.py:274`): the model's table is a REAL
+    * `_delta_log` Delta table under the warehouse path, written
+    * through [[graft.sources.DeltaWrite]] and read back (refs,
+    * `{{ this }}`, tests, gateways) through
+    * [[graft.sources.DeltaRead]] — so an external Delta reader sees
+    * exactly what the runner sees. Supported: `table` (atomic
+    * CREATE-OR-REPLACE commit) and `incremental merge`
+    * (copy-on-write MERGE, O(touched files + batch)); `full-refresh`
+    * replaces in one commit with history preserved (Delta time
+    * travel). Other materializations and merge partitioning reject
+    * loudly. `on_schema_change` is not applied — DeltaWrite.merge
+    * already rejects drift (full-refresh to evolve).
+    */
+  private def materializeDelta(m: Model, df: DataFrame,
+      fullRefresh: Boolean): Long = {
+    val dir = tablePath(m.name)
+    val rows = m.materialization match {
+      case Materialization.Table =>
+        graft.sources.DeltaWrite.replace(spark, dir, df)
+      case Materialization.IncrementalMerge(keys, buckets, userParts, _) =>
+        require(userParts.isEmpty,
+          s"file_format=delta merge on ${m.name}: user partitioning is " +
+            "unsupported (the Delta writer is unpartitioned)")
+        if (fullRefresh && isDeltaTable(m.name))
+          graft.sources.DeltaWrite.replace(spark, dir, df)
+        else graft.sources.DeltaWrite.merge(spark, dir, df, keys, buckets)
+      case other => sys.error(
+        s"file_format=delta on ${m.name} supports 'table' and " +
+          s"'incremental merge' materializations, not $other")
+    }
+    // graft-format tables register inside publishManifest; the Delta
+    // path owns its commit, so register here
+    registerSessionView(m.name)
+    rows
+  }
+
   def runModel(name: String, fullRefresh: Boolean = false): Long = tracked {
     val m = byName(name)
     m.preHooks.foreach(h => runHook(name, h, Some(name)))
@@ -1989,7 +2040,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       enforceContract(name, m, d)
       d
     }
-    val rows = m.materialization match {
+    val rows = if (m.fileFormat == "delta") materializeDelta(m, df, fullRefresh)
+    else m.materialization match {
       case Materialization.View =>
         df.createOrReplaceTempView(name); -1L
 

@@ -258,7 +258,18 @@ final case class Model(
       * catalog.json, and part of the state:modified checksum (dbt
       * checksums the model file, which includes its docs).
       */
-    description: Option[String] = None)
+    description: Option[String] = None,
+    /** dbt-spark `file_format` config: `graft` (default) stores the
+      * model in the engine's manifest warehouse; `delta` materializes
+      * it as a REAL `_delta_log` Delta table under the same warehouse
+      * path — the dbt-spark contract the reference's pin exists for
+      * (`dbtoperator.py:274`: `merge` needs `file_format: delta`).
+      * Delta models support `table` and `incremental merge`
+      * (unpartitioned); other materializations reject loudly.
+      * `ref()`/`{{ this }}`/runner reads route through [[DeltaRead]],
+      * so any external Delta reader sees the same table.
+      */
+    fileFormat: String = "graft")
 
 object Model {
   // single- or double-quoted name (quotes must MATCH — `'m"` is a

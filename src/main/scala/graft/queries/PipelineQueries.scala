@@ -506,6 +506,32 @@ object PipelineOps extends QueryGroup {
     // delta above the table's own max). The oracle states the final
     // two-batch state directly — proving both the guard flip and the
     // {{ this }} subquery, not just the runner's implicit HWM.
+    // dbt-spark's `file_format: delta` + `incremental merge` — the
+    // configuration the reference's pin exists for (dbtoperator.py:274):
+    // a SQL-text model with an is_incremental() guard materializes
+    // INTO a real _delta_log table; run 1 creates (balances zeroed),
+    // run 2 merges real balances for custkey%3=0, and the runner (and
+    // any Delta reader) reads the merged table back.
+    "run_file_format_delta" -> ((s, d) => {
+      val wh = freshWh("run_ff_delta")
+      val spec = PipelineSpec(
+        models = Seq(Model.sql("cust_delta",
+          """SELECT c_custkey, c_mktsegment,
+            |  {% if is_incremental() %} c_acctbal {% else %} CAST(0.0 AS DOUBLE) {% endif %} AS bal
+            |FROM {{ source('customer') }}
+            |{% if is_incremental() %} WHERE c_custkey % 3 = 0 {% endif %}""".stripMargin,
+          Materialization.IncrementalMerge(Seq("c_custkey"), buckets = 8))
+          .copy(fileFormat = "delta")),
+        sources = Map("customer" -> s"$d/customer.parquet"))
+      mustSucceed(new PipelineRunner(s, spec, wh).run(Seq("run")))
+      val r2 = new PipelineRunner(s, spec, wh)
+      mustSucceed(r2.run(Seq("run")))
+      // the table on disk IS Delta — read it back through the
+      // interop reader, not just the runner
+      graft.sources.DeltaRead.readDeltaTable(s, s"$wh/cust_delta")
+        .orderBy("c_custkey")
+    }),
+
     "run_sql_incremental_predicate" -> ((s, d) => {
       val wh = freshWh("run_sql_inc_pred")
       def spec(cut: String) = PipelineSpec(
@@ -1095,6 +1121,11 @@ object PipelineOps extends QueryGroup {
     "mat_compact" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "run_file_format_delta" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "run_sql_incremental_predicate" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,

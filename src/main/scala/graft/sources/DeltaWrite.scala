@@ -208,10 +208,35 @@ object DeltaWrite {
     * by the protocol, since a merge's whole-file rewrites would make
     * derived CDF misreport carried rows.
     */
+  /** Full-refresh CTAS into a Delta table: ONE atomic commit makes
+    * `df` the whole table — the first commit creates it, later ones
+    * remove every live file and add the new rows, so prior states
+    * stay time-travelable (Delta `CREATE OR REPLACE` semantics).
+    * Returns the rows written.
+    */
+  def replace(spark: org.apache.spark.sql.SparkSession, dir: String,
+      df0: DataFrame,
+      configuration: Map[String, String] = Map.empty): Long = {
+    val df = df0.localCheckpoint()
+    val n = df.count()
+    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
+    if (!java.nio.file.Files.isDirectory(logDir))
+      commit(dir, 0L, Seq("part-00000-v0.parquet" -> df),
+        configuration = configuration)
+    else {
+      val version = DeltaRead.latestVersion(dir) + 1
+      val live = DeltaRead.liveDataFiles(spark, dir)
+      commit(dir, version,
+        adds = Seq(f"replace-$version%05d.parquet" -> df),
+        removes = live.map(_._2))
+    }
+    n
+  }
+
   def merge(spark: org.apache.spark.sql.SparkSession, dir: String,
       batch0: DataFrame, uniqueKey: Seq[String], buckets: Int = 8,
       enableCdf: Boolean = false,
-      checkpointInterval: Int = 10): Unit = {
+      checkpointInterval: Int = 10): Long = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     require(uniqueKey.nonEmpty, "merge needs at least one key column")
     uniqueKey.foreach(k => require(batch0.columns.contains(k),
@@ -234,6 +259,7 @@ object DeltaWrite {
         configuration =
           if (enableCdf) Map("delta.enableChangeDataFeed" -> "true")
           else Map.empty)
+      batch.count()
     } else {
       val tableSchema = DeltaRead.tableSchema(spark, dir)
       require(batch.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
@@ -243,7 +269,7 @@ object DeltaWrite {
           s"unsupported): $dir")
       // an empty batch commits nothing — otherwise every no-op
       // schedule grows the log by one empty file forever
-      if (batch.isEmpty) return
+      if (batch.isEmpty) return 0L
       val version = DeltaRead.latestVersion(dir) + 1
       val live = DeltaRead.liveDataFiles(spark, dir)
       val hconf = spark.sessionState.newHadoopConf()
@@ -298,6 +324,7 @@ object DeltaWrite {
       // checkpoint + O(checkpointInterval) JSON commits, not O(history)
       if (checkpointInterval > 0 && version % checkpointInterval == 0)
         writeCheckpoint(spark, dir): Unit
+      batch.count()
     }
   }
 

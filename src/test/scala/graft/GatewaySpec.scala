@@ -296,4 +296,39 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("the dbt-spark DDL path: a JDBC client's CREATE TABLE lands " +
+      "in the SHARED catalog — visible to other connections, their " +
+      "SHOW TABLES, and the host — unlike its private temp views") {
+    val port = ThriftGateway.freePort()
+    val srv = ThriftGateway.start(spark, port)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val c1 = java.sql.DriverManager.getConnection(
+        s"jdbc:hive2://127.0.0.1:$port", "alice", "")
+      val c2 = java.sql.DriverManager.getConnection(
+        s"jdbc:hive2://127.0.0.1:$port", "bob", "")
+      try {
+        // the statement shape dbt-spark's table materialization emits
+        c1.createStatement().execute(
+          "CREATE TABLE gw_ddl USING parquet AS SELECT 1 AS id, 'a' AS v")
+        val rs = c2.createStatement()
+          .executeQuery("SELECT v FROM gw_ddl WHERE id = 1")
+        assert(rs.next() && rs.getString(1) == "a",
+          "catalog table not visible to a sibling connection")
+        // list_relations: SHOW TABLES from the OTHER connection
+        val st = c2.createStatement().executeQuery("SHOW TABLES")
+        val listed = Iterator.continually(st).takeWhile(_.next())
+          .map(_.getString(2)).toSet
+        assert(listed.contains("gw_ddl"),
+          s"SHOW TABLES missed the catalog table: $listed")
+        // and the host session reads it too (one shared catalog)
+        assert(spark.sql("SELECT v FROM gw_ddl").head().getString(0) == "a")
+      } finally {
+        c1.close(); c2.close()
+      }
+    } finally {
+      srv.close()
+      spark.sql("DROP TABLE IF EXISTS gw_ddl")
+    }
+  }
 }

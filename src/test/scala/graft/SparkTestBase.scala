@@ -33,6 +33,10 @@ object SparkTestBase {
       .config("spark.hadoop.hive.hmshandler.retry.attempts", "1")
       .config("spark.hadoop.hive.hmshandler.retry.interval", "0s")
       .config("spark.hadoop.hive.metastore.connect.retries", "1")
+      // catalog tables (CTAS through the gateways, join_bucketed)
+      // land in scratch, never the repo root
+      .config("spark.sql.warehouse.dir",
+        "/root/repo/target/scratch-test/spark-warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -125,9 +125,9 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   spec.models.foreach { m =>
     require(Seq("public", "protected", "private").contains(m.access),
       s"model ${m.name}: unknown access '${m.access}'")
-    require(Seq("graft", "delta").contains(m.fileFormat),
+    require(Seq("graft", "delta", "iceberg").contains(m.fileFormat),
       s"model ${m.name}: unknown file_format '${m.fileFormat}' " +
-        "(graft|delta)")
+        "(graft|delta|iceberg)")
     m.deps.map(resolveDep).flatMap(byName.get)
       .filter(_.access == "private").foreach { d =>
       require(d.group.isDefined && m.group == d.group,
@@ -592,9 +592,18 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   private def isDeltaTable(name: String): Boolean =
     Files.isDirectory(Paths.get(tablePath(name), "_delta_log"))
 
+  /** A `file_format=iceberg` model's table: Hadoop-catalog Iceberg
+    * metadata under the warehouse path.
+    */
+  private def isIcebergTable(name: String): Boolean =
+    Files.isRegularFile(
+      Paths.get(tablePath(name), "metadata", "version-hint.text"))
+
   def readTable(name: String): DataFrame =
     if (isDeltaTable(name))
       graft.sources.DeltaRead.readDeltaTable(spark, tablePath(name))
+    else if (isIcebergTable(name))
+      graft.sources.IcebergRead.readIcebergTable(spark, tablePath(name))
     else currentGenName(name) match {
       case Some(gen) => readTableAt(name, gen)
       case None => sys.error(s"table $name does not exist")
@@ -634,7 +643,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   }
 
   def tableExists(name: String): Boolean =
-    isDeltaTable(name) || currentGenName(name).isDefined
+    isDeltaTable(name) || isIcebergTable(name) ||
+      currentGenName(name).isDefined
 
   /** Hidden storage-layout partition columns, stripped by readTable:
     * key-hash buckets for merge tables, the open/closed split for
@@ -1992,40 +2002,58 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           s"; retyped: ${retyped.toSeq.sorted.mkString(",")}" else ""))
   }
 
-  /** Materialize a `file_format=delta` model (dbt-spark's
-    * `file_format: delta` config — the reason the reference pins the
-    * Delta stack, `dbtoperator.py:274`): the model's table is a REAL
-    * `_delta_log` Delta table under the warehouse path, written
-    * through [[graft.sources.DeltaWrite]] and read back (refs,
-    * `{{ this }}`, tests, gateways) through
-    * [[graft.sources.DeltaRead]] — so an external Delta reader sees
-    * exactly what the runner sees. Supported: `table` (atomic
-    * CREATE-OR-REPLACE commit) and `incremental merge`
-    * (copy-on-write MERGE, O(touched files + batch)); `full-refresh`
-    * replaces in one commit with history preserved (Delta time
-    * travel). Other materializations and merge partitioning reject
-    * loudly. `on_schema_change` is not applied — DeltaWrite.merge
-    * already rejects drift (full-refresh to evolve).
+  /** Materialize a `file_format=delta|iceberg` model (dbt-spark's
+    * `file_format` config — the reason the reference pins the Delta
+    * stack, `dbtoperator.py:274`; Iceberg is dbt-spark's other
+    * lakehouse format): the model's table is a REAL `_delta_log` /
+    * Hadoop-catalog Iceberg table under the warehouse path, written
+    * through [[graft.sources.DeltaWrite]] / [[graft.sources.IcebergWrite]]
+    * and read back (refs, `{{ this }}`, tests, gateways) through the
+    * matching interop reader — so an external Delta/Iceberg reader
+    * sees exactly what the runner sees. Supported: `table` (atomic
+    * CREATE-OR-REPLACE commit), `incremental merge` (copy-on-write
+    * MERGE, O(touched files + batch)), and for Iceberg additionally
+    * `incremental merge_on_read` (one equality-delete + data file per
+    * run, O(batch) — the v2 MoR contract); `full-refresh` replaces in
+    * one commit with history preserved (time travel). Other
+    * materializations and merge partitioning reject loudly.
+    * `on_schema_change` is not applied — the lakehouse merge writers
+    * already reject drift (full-refresh to evolve).
     */
-  private def materializeDelta(m: Model, df: DataFrame,
+  private def materializeLakehouse(m: Model, df: DataFrame,
       fullRefresh: Boolean): Long = {
     val dir = tablePath(m.name)
+    val delta = m.fileFormat == "delta"
+    def replace(): Long =
+      if (delta) graft.sources.DeltaWrite.replace(spark, dir, df)
+      else graft.sources.IcebergWrite.replace(spark, dir, df)
+    val exists = if (delta) isDeltaTable(m.name) else isIcebergTable(m.name)
     val rows = m.materialization match {
-      case Materialization.Table =>
-        graft.sources.DeltaWrite.replace(spark, dir, df)
+      case Materialization.Table => replace()
       case Materialization.IncrementalMerge(keys, buckets, userParts, _) =>
         require(userParts.isEmpty,
-          s"file_format=delta merge on ${m.name}: user partitioning is " +
-            "unsupported (the Delta writer is unpartitioned)")
-        if (fullRefresh && isDeltaTable(m.name))
-          graft.sources.DeltaWrite.replace(spark, dir, df)
-        else graft.sources.DeltaWrite.merge(spark, dir, df, keys, buckets)
+          s"file_format=${m.fileFormat} merge on ${m.name}: user " +
+            "partitioning is unsupported (the lakehouse writers are " +
+            "unpartitioned)")
+        if (fullRefresh && exists) replace()
+        else if (delta)
+          graft.sources.DeltaWrite.merge(spark, dir, df, keys, buckets)
+        else graft.sources.IcebergWrite.merge(spark, dir, df, keys, buckets)
+      case Materialization.IncrementalMergeOnRead(keys, _, delCol)
+          if !delta =>
+        require(delCol.isEmpty,
+          s"file_format=iceberg merge_on_read on ${m.name}: CDC delete " +
+            "columns are unsupported (upsert-only equality deletes)")
+        if (fullRefresh && exists) replace()
+        else graft.sources.IcebergWrite.mergeOnRead(spark, dir, df, keys)
       case other => sys.error(
-        s"file_format=delta on ${m.name} supports 'table' and " +
-          s"'incremental merge' materializations, not $other")
+        s"file_format=${m.fileFormat} on ${m.name} supports 'table' and " +
+          s"'incremental merge'" +
+          (if (delta) "" else " and 'incremental merge_on_read'") +
+          s" materializations, not $other")
     }
-    // graft-format tables register inside publishManifest; the Delta
-    // path owns its commit, so register here
+    // graft-format tables register inside publishManifest; the
+    // lakehouse path owns its commit, so register here
     registerSessionView(m.name)
     rows
   }
@@ -2040,7 +2068,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       enforceContract(name, m, d)
       d
     }
-    val rows = if (m.fileFormat == "delta") materializeDelta(m, df, fullRefresh)
+    val rows = if (m.fileFormat != "graft")
+      materializeLakehouse(m, df, fullRefresh)
     else m.materialization match {
       case Materialization.View =>
         df.createOrReplaceTempView(name); -1L

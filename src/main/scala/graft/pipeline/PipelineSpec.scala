@@ -260,14 +260,17 @@ final case class Model(
       */
     description: Option[String] = None,
     /** dbt-spark `file_format` config: `graft` (default) stores the
-      * model in the engine's manifest warehouse; `delta` materializes
-      * it as a REAL `_delta_log` Delta table under the same warehouse
-      * path — the dbt-spark contract the reference's pin exists for
-      * (`dbtoperator.py:274`: `merge` needs `file_format: delta`).
-      * Delta models support `table` and `incremental merge`
-      * (unpartitioned); other materializations reject loudly.
-      * `ref()`/`{{ this }}`/runner reads route through [[DeltaRead]],
-      * so any external Delta reader sees the same table.
+      * model in the engine's manifest warehouse; `delta` / `iceberg`
+      * materialize it as a REAL `_delta_log` Delta table /
+      * Hadoop-catalog Iceberg table under the same warehouse path —
+      * the dbt-spark contract the reference's pin exists for
+      * (`dbtoperator.py:274`: `merge` needs a lakehouse format).
+      * Lakehouse models support `table` and `incremental merge`
+      * (plus `incremental merge_on_read` on Iceberg — the v2
+      * equality-delete form), unpartitioned; other materializations
+      * reject loudly. `ref()`/`{{ this }}`/runner reads route through
+      * the matching interop reader, so any external Delta/Iceberg
+      * reader sees the same table.
       */
     fileFormat: String = "graft")
 

@@ -532,6 +532,29 @@ object PipelineOps extends QueryGroup {
         .orderBy("c_custkey")
     }),
 
+    // dbt-spark's `file_format: iceberg` with the MERGE-ON-READ
+    // incremental strategy: each scheduled run appends one
+    // equality-delete + one data file (O(batch), no rewrite); the
+    // runner — and any Iceberg reader — reconciles by sequence.
+    "run_file_format_iceberg" -> ((s, d) => {
+      val wh = freshWh("run_ff_iceberg")
+      val spec = PipelineSpec(
+        models = Seq(Model.sql("cust_iceberg",
+          """SELECT c_custkey, c_mktsegment,
+            |  {% if is_incremental() %} c_acctbal {% else %} CAST(0.0 AS DOUBLE) {% endif %} AS bal
+            |FROM {{ source('customer') }}
+            |{% if is_incremental() %} WHERE c_custkey % 3 = 0 {% endif %}""".stripMargin,
+          Materialization.IncrementalMergeOnRead(Seq("c_custkey")))
+          .copy(fileFormat = "iceberg")),
+        sources = Map("customer" -> s"$d/customer.parquet"))
+      mustSucceed(new PipelineRunner(s, spec, wh).run(Seq("run")))
+      val r2 = new PipelineRunner(s, spec, wh)
+      mustSucceed(r2.run(Seq("run")))
+      // the table on disk IS Iceberg — read through the interop reader
+      graft.sources.IcebergRead.readIcebergTable(s, s"$wh/cust_iceberg")
+        .orderBy("c_custkey")
+    }),
+
     "run_sql_incremental_predicate" -> ((s, d) => {
       val wh = freshWh("run_sql_inc_pred")
       def spec(cut: String) = PipelineSpec(
@@ -1123,6 +1146,11 @@ object PipelineOps extends QueryGroup {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "run_file_format_delta" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "run_file_format_iceberg" ->
       """SELECT c_custkey, c_mktsegment,
         |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
         |FROM customer ORDER BY c_custkey""".stripMargin,

@@ -431,7 +431,7 @@ object IcebergWrite {
     * deleted rows) — use [[mergeOnRead]] for the delete-file form.
     */
   def merge(spark: org.apache.spark.sql.SparkSession, dir: String,
-      batch0: DataFrame, uniqueKey: Seq[String], buckets: Int = 8): Unit = {
+      batch0: DataFrame, uniqueKey: Seq[String], buckets: Int = 8): Long = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     require(uniqueKey.nonEmpty, "merge needs at least one key column")
     uniqueKey.foreach(k => require(batch0.columns.contains(k),
@@ -450,6 +450,7 @@ object IcebergWrite {
       commit(dir,
         if (parts.nonEmpty) parts else Seq("part-00000-v1.parquet" -> batch))
         : Unit
+      batch.count()
     } else {
       val state = IcebergRead.snapshotState(dir, None)
       require(state.positionDeleteFiles.isEmpty &&
@@ -464,7 +465,7 @@ object IcebergWrite {
           s"unsupported): $dir")
       // an empty batch commits nothing — otherwise every no-op
       // schedule grows the table by one empty snapshot forever
-      if (batch.isEmpty) return
+      if (batch.isEmpty) return 0L
       val version = java.nio.file.Files
         .readString(metaDir.resolve("version-hint.text")).trim.toInt + 1
       val hconf = spark.sessionState.newHadoopConf()
@@ -493,7 +494,39 @@ object IcebergWrite {
         removes = touched.map(f => nameByQualified.getOrElse(f,
           sys.error(s"touched file $f missing from the live map: $dir"))))
         : Unit
+      batch.count()
     }
+  }
+
+  /** Full-refresh CTAS into an Iceberg table: ONE atomic snapshot
+    * makes `df` the whole table — the first snapshot creates it,
+    * later ones drop every live data file and add the new rows, so
+    * prior snapshots stay time-travelable (Iceberg
+    * `CREATE OR REPLACE` semantics). Live delete files stay carried
+    * but become INERT: position deletes reference only the removed
+    * files, and equality deletes apply strictly to lower-sequence
+    * rows while the replacement file carries the new highest
+    * sequence. Returns the rows written.
+    */
+  def replace(spark: org.apache.spark.sql.SparkSession, dir: String,
+      df0: DataFrame): Long = {
+    val df = df0.localCheckpoint()
+    val n = df.count()
+    val metaDir = java.nio.file.Paths.get(dir, "metadata")
+    if (!java.nio.file.Files.isDirectory(metaDir))
+      commit(dir, Seq("part-00000-v1.parquet" -> df)): Unit
+    else {
+      val state = IcebergRead.snapshotState(dir, None)
+      val version = java.nio.file.Files
+        .readString(metaDir.resolve("version-hint.text")).trim.toInt + 1
+      def nameOf(uri: String): String = java.nio.file.Paths.get(
+        "/" + uri.stripPrefix("file:").dropWhile(_ == '/'))
+        .getFileName.toString
+      commit(dir,
+        adds = Seq(f"replace-$version%05d.parquet" -> df),
+        removes = state.dataFiles.map(f => nameOf(f.path))): Unit
+    }
+    n
   }
 
   /** Merge-on-read upsert into a REAL Iceberg table — the
@@ -507,7 +540,7 @@ object IcebergWrite {
     * never nested-loop).
     */
   def mergeOnRead(spark: org.apache.spark.sql.SparkSession, dir: String,
-      batch0: DataFrame, uniqueKey: Seq[String]): Unit = {
+      batch0: DataFrame, uniqueKey: Seq[String]): Long = {
     require(uniqueKey.nonEmpty, "merge needs at least one key column")
     uniqueKey.foreach(k => require(batch0.columns.contains(k),
       s"merge key '$k' is not a batch column (${batch0.columns.mkString(",")})"))
@@ -515,6 +548,7 @@ object IcebergWrite {
     val batch = batch0.localCheckpoint()
     if (!java.nio.file.Files.isDirectory(metaDir)) {
       commit(dir, Seq("part-00000-v1.parquet" -> batch)): Unit
+      batch.count()
     } else {
       val state = IcebergRead.snapshotState(dir, None)
       require(batch.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
@@ -522,7 +556,7 @@ object IcebergWrite {
         s"merge batch schema ${batch.schema.simpleString} != table " +
           s"schema ${state.schema.simpleString} (schema evolution " +
           s"unsupported): $dir")
-      if (batch.isEmpty) return
+      if (batch.isEmpty) return 0L
       val version = java.nio.file.Files
         .readString(metaDir.resolve("version-hint.text")).trim.toInt + 1
       import org.apache.spark.sql.functions.col
@@ -531,6 +565,7 @@ object IcebergWrite {
         equalityDelete =
           Some(uniqueKey -> batch.select(uniqueKey.map(col): _*)))
         : Unit
+      batch.count()
     }
   }
 }

@@ -3769,4 +3769,49 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
       PipelineSpec(Seq(tbl.copy(name = "ffd_odd", fileFormat = "hudi"))), w))
     assert(e.getMessage.contains("file_format"), e.getMessage)
   }
+
+  test("file_format=iceberg models: CoW merge and MoR (equality-" +
+      "delete) incremental strategies materialize real Iceberg " +
+      "tables; refs and readTable route through IcebergRead") {
+    import spark.implicits._
+    val w = wh()
+    def model(name: String, mat: Materialization) = Model(name, Nil, mat,
+      (sp, _) => { import sp.implicits._
+        (1L to 6L).map(i => (i, "base")).toDF("id", "v") },
+      buildC = Some((sp, _, ctx) => { import sp.implicits._
+        if (ctx.isIncremental) Seq((2L, "merged"), (9L, "new")).toDF("id", "v")
+        else (1L to 6L).map(i => (i, "base")).toDF("id", "v") }),
+      fileFormat = "iceberg")
+    val spec = PipelineSpec(Seq(
+      model("ffi_cow", Materialization.IncrementalMerge(Seq("id"), buckets = 2)),
+      model("ffi_mor", Materialization.IncrementalMergeOnRead(Seq("id")))))
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.run(Seq("run")).success)
+    assert(r.run(Seq("run")).success)
+    val expect = Seq((1L, "base"), (2L, "merged"), (3L, "base"),
+      (4L, "base"), (5L, "base"), (6L, "base"), (9L, "new"))
+    Seq("ffi_cow", "ffi_mor").foreach { n =>
+      assert(java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(
+        w, n, "metadata", "version-hint.text")), s"$n is not Iceberg")
+      val got = r.readTable(n).orderBy("id")
+        .as[(Long, String)].collect().toSeq
+      assert(got == expect, s"$n state wrong: $got")
+      // the external interop reader agrees
+      assert(graft.sources.IcebergRead.readIcebergTable(spark, s"$w/$n")
+        .orderBy("id").as[(Long, String)].collect().toSeq == expect)
+    }
+    // MoR wrote NO rewrites: the original data file and the upsert
+    // are the only DATA files (the third input is the equality-delete
+    // file feeding the reconciliation join)
+    val morFiles = graft.sources.IcebergRead
+      .readIcebergTable(spark, s"$w/ffi_mor").inputFiles
+      .filterNot(_.contains("eq-delete"))
+    assert(morFiles.length == 2, s"MoR must append, not rewrite: " +
+      morFiles.mkString(", "))
+    // full-refresh replaces atomically; snapshot 1 stays readable
+    assert(r.runCommand("run --select ffi_mor --full-refresh").success)
+    assert(r.readTable("ffi_mor").count() == 6L)
+    assert(graft.sources.IcebergRead.readIcebergTable(spark,
+      s"$w/ffi_mor", snapshotId = Some(1L)).count() == 6L)
+  }
 }

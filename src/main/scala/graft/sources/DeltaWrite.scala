@@ -12,11 +12,11 @@ import org.json4s.jackson.JsonMethods.{compact, render}
   * with data-skipping `stats`, `remove` tombstones, `cdc` Change-
   * Data-Feed files, single-file checkpoints + `_last_checkpoint`
   * ([[writeCheckpoint]], auto-written by [[merge]] every
-  * `checkpointInterval` commits). Unpartitioned, single-writer: the
-  * EXPORT/fixture grade of interop, not a transactional store — the
-  * engine's own warehouse (`PipelineRunner`) remains the real write
-  * path, this is the boundary adapter for tools that only speak
-  * Delta.
+  * `checkpointInterval` commits). Unpartitioned, single-writer.
+  * Two consumers: `PipelineRunner` routes `file_format=delta` models
+  * here ([[replace]] / [[merge]] — the dbt-spark Delta contract), and
+  * it is the boundary adapter for exporting tables to tools that only
+  * speak Delta.
   */
 object DeltaWrite {
 

@@ -19,9 +19,11 @@ import org.json4s.jackson.JsonMethods.{pretty, render}
   * the full live file set (added entries status=1, carried-forward
   * status=0; files dropped by `removes` are simply not carried — the
   * rewritten-manifest form the spec allows) plus one delete manifest
-  * when position deletes exist. The EXPORT/fixture grade of interop,
-  * not a transactional store — the engine's own warehouse
-  * (`PipelineRunner`) remains the real write path.
+  * when position/equality deletes exist. Two consumers:
+  * `PipelineRunner` routes `file_format=iceberg` models here
+  * ([[replace]] / [[merge]] / [[mergeOnRead]]), and it is the
+  * boundary adapter for exporting tables to tools that only speak
+  * Iceberg.
   */
 object IcebergWrite {
 

@@ -116,7 +116,11 @@ object DeltaWrite {
       adds: Seq[(String, DataFrame)],
       removes: Seq[String] = Nil,
       configuration: Map[String, String] = Map.empty,
-      cdc: Seq[(String, DataFrame)] = Nil): Unit = {
+      cdc: Seq[(String, DataFrame)] = Nil,
+      // false = a pure REARRANGEMENT commit (OPTIMIZE/compaction):
+      // the same rows move between files; CDF and incremental
+      // consumers correctly see no row changes
+      dataChange: Boolean = true): Unit = {
     require(adds.nonEmpty || removes.nonEmpty || cdc.nonEmpty,
       "empty Delta commit")
     val logDir = java.nio.file.Paths.get(dir, "_delta_log")
@@ -147,14 +151,14 @@ object DeltaWrite {
           ("partitionValues" -> Map.empty[String, String]) ~
           ("size" -> size) ~
           ("modificationTime" -> 0L) ~
-          ("dataChange" -> true) ~
+          ("dataChange" -> dataChange) ~
           ("stats" -> statsJson(df))))))
     }
     removes.foreach { p =>
       lines += compact(render(
         ("remove" -> (("path" -> p) ~
           ("deletionTimestamp" -> 0L) ~
-          ("dataChange" -> true)))))
+          ("dataChange" -> dataChange)))))
     }
     // Change-Data-Feed files: each row carries its _change_type; the
     // cdc action makes this commit's CDF authoritative (readers then
@@ -208,6 +212,38 @@ object DeltaWrite {
     * by the protocol, since a merge's whole-file rewrites would make
     * derived CDF misreport carried rows.
     */
+  /** OPTIMIZE (compaction): rewrite the live file set into up to
+    * `buckets` key-hash-bucketed files in ONE commit whose actions
+    * carry `dataChange=false` — a pure rearrangement, so CDF readers
+    * and incremental consumers correctly see NO row changes. This is
+    * what bounds a long-lived merge target's file count: every merge
+    * adds one upsert file (plus rewrites), so after N merges the
+    * table holds O(N) files and every reader pays O(N) footer opens;
+    * [[merge]] auto-optimizes once the live set exceeds
+    * `maxLiveFiles`, restoring O(buckets). No-op when already at or
+    * under `buckets` files.
+    */
+  def optimize(spark: org.apache.spark.sql.SparkSession, dir: String,
+      uniqueKey: Seq[String], buckets: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    require(uniqueKey.nonEmpty, "optimize needs the table's key columns")
+    val live = DeltaRead.liveDataFiles(spark, dir)
+    if (live.size <= buckets) return
+    val schema = DeltaRead.tableSchema(spark, dir)
+    val version = DeltaRead.latestVersion(dir) + 1
+    // one read of the whole live set feeds every bucket write — pin it
+    val cur = spark.read.schema(schema).parquet(live.map(_._1): _*)
+      .localCheckpoint()
+    val withB = cur.withColumn("__graft_b",
+      pmod(xxhash64(uniqueKey.map(col): _*), lit(buckets)))
+    val parts = (0 until buckets).map(b =>
+      f"opt-$version%05d-$b%03d.parquet" ->
+        withB.filter(col("__graft_b") === b).drop("__graft_b"))
+      .filter(_._2.limit(1).count() > 0)
+    commit(dir, version, adds = parts, removes = live.map(_._2),
+      dataChange = false)
+  }
+
   /** Full-refresh CTAS into a Delta table: ONE atomic commit makes
     * `df` the whole table — the first commit creates it, later ones
     * remove every live file and add the new rows, so prior states
@@ -236,7 +272,8 @@ object DeltaWrite {
   def merge(spark: org.apache.spark.sql.SparkSession, dir: String,
       batch0: DataFrame, uniqueKey: Seq[String], buckets: Int = 8,
       enableCdf: Boolean = false,
-      checkpointInterval: Int = 10): Long = {
+      checkpointInterval: Int = 10,
+      maxLiveFiles: Int = 32): Long = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     require(uniqueKey.nonEmpty, "merge needs at least one key column")
     uniqueKey.foreach(k => require(batch0.columns.contains(k),
@@ -320,6 +357,13 @@ object DeltaWrite {
         removes = touched.map(f => relOf.getOrElse(f,
           sys.error(s"touched file $f missing from the live map: $dir"))),
         cdc = cdc)
+      // bound the FILE count too: each merge adds an upsert file, so
+      // an un-compacted table accretes O(merges) files — once the
+      // live set exceeds maxLiveFiles, one dataChange=false OPTIMIZE
+      // commit re-buckets it back to O(buckets)
+      if (maxLiveFiles > 0 &&
+          DeltaRead.liveDataFiles(spark, dir).size > maxLiveFiles)
+        optimize(spark, dir, uniqueKey, buckets)
       // bound future replays: a long merge history reads as ONE
       // checkpoint + O(checkpointInterval) JSON commits, not O(history)
       if (checkpointInterval > 0 && version % checkpointInterval == 0)

@@ -507,6 +507,14 @@ object IcebergRead {
         ((s \ "snapshot-id").extract[Long],
           (s \ "sequence-number").extractOpt[Long].getOrElse(i.toLong))
     }.sortBy(_._2).map(_._1)
+    // summary operation per snapshot: `replace` marks a compaction
+    // (same logical rows, new files) — the changelog contract is to
+    // emit NOTHING for it, exactly like Iceberg's own
+    // create_changelog_view
+    val operationOf: Map[Long, String] = (meta \ "snapshots").children
+      .map(s => (s \ "snapshot-id").extract[Long] ->
+        (s \ "summary" \ "operation").extractOpt[String]
+          .getOrElse("append")).toMap
     require(ordered.nonEmpty, s"Iceberg table has no snapshots: $path")
     val end = toSnapshotId.getOrElse(ordered.last)
     Seq(fromSnapshotId -> "fromSnapshotId", end -> "toSnapshotId")
@@ -538,6 +546,10 @@ object IcebergRead {
     val eqEvents = scala.collection.mutable.ListBuffer.empty[EqChg]
     var prev = parentState
     range.zip(states).zipWithIndex.foreach { case ((id, st), ord) =>
+      if (operationOf.getOrElse(id, "append") == "replace") {
+        // compaction: advance the boundary state, emit no changes
+        prev = st
+      } else {
       val prevData = prev.dataFiles.map(_.path).toSet
       val curData = st.dataFiles.map(_.path).toSet
       val removed = (prevData -- curData).toSeq.sorted
@@ -559,6 +571,7 @@ object IcebergRead {
           else Some(ordered(fromIdx + ord - 1)))
       }
       prev = st
+      }
     }
 
     val outSchema = StructType(schema.fields ++ Seq(

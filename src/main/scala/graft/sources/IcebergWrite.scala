@@ -129,7 +129,13 @@ object IcebergWrite {
       adds: Seq[(String, DataFrame)],
       removes: Seq[String] = Nil,
       positionDeletes: Map[String, Seq[Long]] = Map.empty,
-      equalityDelete: Option[(Seq[String], DataFrame)] = None): Long = {
+      equalityDelete: Option[(Seq[String], DataFrame)] = None,
+      // snapshot summary operation: "replace" marks a COMPACTION
+      // (same logical rows, new files) — changelog readers skip it
+      operation: String = "append",
+      // true = do NOT carry prior delete files (compaction applied
+      // them into the rewritten data)
+      dropDeletes: Boolean = false): Long = {
     require(adds.nonEmpty || removes.nonEmpty ||
       positionDeletes.nonEmpty || equalityDelete.nonEmpty,
       "empty Iceberg commit")
@@ -241,8 +247,9 @@ object IcebergWrite {
         fileUri(dataDir.resolve(delName)), "PARQUET", n,
         seq = snapshotId, equalityIds = ids)
     }
-    val anyDeletes = prior.positionDeleteFiles.nonEmpty ||
-      prior.equalityDeleteFiles.nonEmpty ||
+    val anyDeletes =
+      (!dropDeletes && (prior.positionDeleteFiles.nonEmpty ||
+        prior.equalityDeleteFiles.nonEmpty)) ||
       newDeletes.nonEmpty || newEqDeletes.nonEmpty
 
     def entryRec(f: IcebergRead.DataFileEntry, status: Int,
@@ -304,8 +311,10 @@ object IcebergWrite {
       if (!anyDeletes) None
       else {
         val p = metaDir.resolve(f"manifest-$snapshotId%05d-deletes.avro")
-        val carriedDel = prior.positionDeleteFiles.map(entryRec(_, 0, 1)) ++
-          prior.equalityDeleteFiles.map(entryRec(_, 0, 2))
+        val carriedDel =
+          if (dropDeletes) Nil
+          else prior.positionDeleteFiles.map(entryRec(_, 0, 1)) ++
+            prior.equalityDeleteFiles.map(entryRec(_, 0, 2))
         val addedDel = newDeletes.map(entryRec(_, 1, 1)) ++
           newEqDeletes.map(entryRec(_, 1, 2))
         Some(p -> writeAvro(p, EntrySchema, carriedDel ++ addedDel,
@@ -372,7 +381,7 @@ object IcebergWrite {
       ("snapshot-id" -> snapshotId) ~
         ("sequence-number" -> seq) ~
         ("timestamp-ms" -> 0L) ~
-        ("summary" -> (("operation" -> "append"): JObject)) ~
+        ("summary" -> (("operation" -> operation): JObject)) ~
         ("manifest-list" -> fileUri(manifestList)) ~
         ("schema-id" -> 0)
     val lastColumnId = {
@@ -433,7 +442,8 @@ object IcebergWrite {
     * deleted rows) — use [[mergeOnRead]] for the delete-file form.
     */
   def merge(spark: org.apache.spark.sql.SparkSession, dir: String,
-      batch0: DataFrame, uniqueKey: Seq[String], buckets: Int = 8): Long = {
+      batch0: DataFrame, uniqueKey: Seq[String], buckets: Int = 8,
+      maxLiveFiles: Int = 32): Long = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     require(uniqueKey.nonEmpty, "merge needs at least one key column")
     uniqueKey.foreach(k => require(batch0.columns.contains(k),
@@ -496,8 +506,52 @@ object IcebergWrite {
         removes = touched.map(f => nameByQualified.getOrElse(f,
           sys.error(s"touched file $f missing from the live map: $dir"))))
         : Unit
+      // bound the file count: each merge adds an upsert file — one
+      // replace-snapshot compaction restores O(buckets)
+      if (maxLiveFiles > 0 && IcebergRead.snapshotState(dir, None)
+          .dataFiles.size > maxLiveFiles)
+        optimize(spark, dir, uniqueKey, buckets)
       batch.count()
     }
+  }
+
+  /** OPTIMIZE (compaction): rewrite the CURRENT reconciled state —
+    * live data files with every position/equality delete APPLIED —
+    * into up to `buckets` key-hash-bucketed data files, in one
+    * snapshot whose summary operation is `replace` (changelog readers
+    * skip replace snapshots: same logical rows, new files). Prior
+    * delete files are dropped from the live set, so this is also the
+    * merge-on-read compaction: a MoR table accretes one data + one
+    * delete file per upsert, and reads pay one reconciliation join
+    * per delete file — compaction restores O(buckets) files and
+    * join-free scans. [[merge]] and [[mergeOnRead]] auto-optimize
+    * when the live set exceeds their `maxLiveFiles`.
+    */
+  def optimize(spark: org.apache.spark.sql.SparkSession, dir: String,
+      uniqueKey: Seq[String], buckets: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    require(uniqueKey.nonEmpty, "optimize needs the table's key columns")
+    val state = IcebergRead.snapshotState(dir, None)
+    if (state.dataFiles.size <= buckets &&
+      state.positionDeleteFiles.isEmpty &&
+      state.equalityDeleteFiles.isEmpty) return
+    val version = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "metadata", "version-hint.text"))
+      .trim.toInt + 1
+    // the reconciled read feeds every bucket write — pin it once
+    val cur = IcebergRead.readIcebergTable(spark, dir).localCheckpoint()
+    val withB = cur.withColumn("__graft_b",
+      pmod(xxhash64(uniqueKey.map(col): _*), lit(buckets)))
+    val parts = (0 until buckets).map(b =>
+      f"opt-$version%05d-$b%03d.parquet" ->
+        withB.filter(col("__graft_b") === b).drop("__graft_b"))
+      .filter(_._2.limit(1).count() > 0)
+    def nameOf(uri: String): String = java.nio.file.Paths.get(
+      "/" + uri.stripPrefix("file:").dropWhile(_ == '/'))
+      .getFileName.toString
+    commit(dir, adds = parts,
+      removes = state.dataFiles.map(f => nameOf(f.path)),
+      operation = "replace", dropDeletes = true): Unit
   }
 
   /** Full-refresh CTAS into an Iceberg table: ONE atomic snapshot
@@ -542,7 +596,8 @@ object IcebergWrite {
     * never nested-loop).
     */
   def mergeOnRead(spark: org.apache.spark.sql.SparkSession, dir: String,
-      batch0: DataFrame, uniqueKey: Seq[String]): Long = {
+      batch0: DataFrame, uniqueKey: Seq[String],
+      maxLiveFiles: Int = 32): Long = {
     require(uniqueKey.nonEmpty, "merge needs at least one key column")
     uniqueKey.foreach(k => require(batch0.columns.contains(k),
       s"merge key '$k' is not a batch column (${batch0.columns.mkString(",")})"))
@@ -567,6 +622,14 @@ object IcebergWrite {
         equalityDelete =
           Some(uniqueKey -> batch.select(uniqueKey.map(col): _*)))
         : Unit
+      // MoR accretes one data AND one delete file per upsert, and
+      // every read pays one reconciliation join per delete file —
+      // compaction applies the deletes and restores join-free scans
+      val st = IcebergRead.snapshotState(dir, None)
+      if (maxLiveFiles > 0 && st.dataFiles.size +
+          st.positionDeleteFiles.size + st.equalityDeleteFiles.size >
+          maxLiveFiles)
+        optimize(spark, dir, uniqueKey)
       batch.count()
     }
   }

@@ -481,6 +481,57 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
       s"DV through checkpoint wrong: $masked")
   }
 
+  test("OPTIMIZE bounds the merge target's file count: one " +
+      "dataChange=false rearrangement commit re-buckets the live set, " +
+      "state and CDF are unchanged, time travel still works") {
+    val d = dir()
+    DeltaWrite.merge(spark, d, (1L to 8L).map(i => (i, s"v$i")).toDF("id", "v"),
+      Seq("id"), buckets = 2, enableCdf = true, maxLiveFiles = 4)
+    // each merge adds an upsert file; with maxLiveFiles=4 the 4th
+    // merge pushes the live set past the cap and auto-optimizes
+    (1 to 5).foreach(k => DeltaWrite.merge(spark, d,
+      Seq((k.toLong, s"u$k")).toDF("id", "v"), Seq("id"),
+      buckets = 2, maxLiveFiles = 4))
+    val files = DeltaRead.readDeltaTable(spark, d).inputFiles
+    assert(files.length <= 4,
+      s"auto-optimize did not bound the file count: ${files.length}")
+    assert(files.exists(_.contains("opt-")), files.mkString(", "))
+    val got = DeltaRead.readDeltaTable(spark, d)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == (1L to 8L).map(i =>
+      (i, if (i <= 5) s"u$i" else s"v$i")), s"post-optimize state: $got")
+    // the CHANGE FEED shows only the real merges — the rearrangement
+    // commits contribute zero rows (dataChange=false + no cdc)
+    val perVersion = DeltaRead.readChanges(spark, d, 1L)
+      .groupBy("_commit_version").count()
+      .orderBy("_commit_version")
+      .as[(Long, Long)].collect().toMap
+    val optVersions = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get(d, "_delta_log"))
+      val commits = try s.iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".json")).toSeq
+      finally s.close()
+      // an optimize commit is ALL-rearrangement: every file action
+      // carries dataChange=false (later merges legitimately reference
+      // opt- files in their removes, so name matching won't do)
+      commits.map(_.take(20).toLong).sorted.filter { v =>
+        val text = java.nio.file.Files.readString(java.nio.file.Paths
+          .get(d, "_delta_log", f"$v%020d.json"))
+        text.contains("\"dataChange\":false") &&
+          !text.contains("\"dataChange\":true")
+      }
+    }
+    assert(optVersions.nonEmpty, "no optimize commit found")
+    optVersions.foreach(v => assert(!perVersion.contains(v),
+      s"optimize commit $v leaked CDF rows: $perVersion"))
+    // pre-optimize snapshots still read (time travel over carried files)
+    val v1 = DeltaRead.readDeltaTable(spark, d, versionAsOf = Some(1L))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(v1.toMap.apply(1L) == "u1" && v1.toMap.apply(2L) == "v2", v1)
+  }
+
   test("merge on a CDF-enabled table writes cdc actions with the " +
       "TRUE row-level changes — carried rows of rewritten files do " +
       "NOT appear in the feed; non-CDF tables get no cdc files") {

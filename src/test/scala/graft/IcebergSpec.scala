@@ -496,6 +496,53 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
     assert(e2.getMessage.contains("delete"), e2.getMessage)
   }
 
+  test("OPTIMIZE compacts a merge-on-read table: deletes APPLY into " +
+      "re-bucketed data files, the replace snapshot emits NO " +
+      "changelog rows, reads drop the reconciliation join, time " +
+      "travel still works") {
+    val d = dir()
+    IcebergWrite.mergeOnRead(spark, d,
+      (1L to 8L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"),
+      maxLiveFiles = 5)
+    // upserts accrete one data + one eq-delete file each; the cap
+    // trips after a few runs and compacts
+    (1 to 4).foreach(k => IcebergWrite.mergeOnRead(spark, d,
+      Seq((k.toLong, s"u$k")).toDF("id", "v"), Seq("id"),
+      maxLiveFiles = 5))
+    val inFiles = IcebergRead.readIcebergTable(spark, d).inputFiles
+    assert(!inFiles.exists(_.contains("eq-delete")),
+      s"compaction must drop applied delete files: ${inFiles.mkString(", ")}")
+    assert(inFiles.length <= 8,
+      s"compaction did not bound data files: ${inFiles.length}")
+    assert(inFiles.exists(_.contains("opt-")), inFiles.mkString(", "))
+    val got = IcebergRead.readIcebergTable(spark, d)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == (1L to 8L).map(i =>
+      (i, if (i <= 4) s"u$i" else s"v$i")), s"post-compaction state: $got")
+    // the changelog over the whole history shows the real upserts
+    // only — the replace snapshot contributes ZERO rows
+    val hint = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(d, "metadata", "version-hint.text")).trim.toInt
+    val changes = IcebergRead.readChanges(spark, d, 1L)
+    val bySnap = changes.groupBy("_commit_snapshot_id").count()
+      .as[(Long, Long)].collect().toMap
+    // find the replace snapshot (summary operation) and assert silence
+    val meta = org.json4s.jackson.JsonMethods.parse(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        d, "metadata", s"v$hint.metadata.json")))
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val replaceIds = (meta \ "snapshots").children.filter(s =>
+      (s \ "summary" \ "operation").extractOpt[String].contains("replace"))
+      .map(s => (s \ "snapshot-id").extract[Long])
+    assert(replaceIds.nonEmpty, "no replace snapshot written")
+    replaceIds.foreach(id => assert(!bySnap.contains(id),
+      s"replace snapshot $id leaked changelog rows: $bySnap"))
+    // pre-compaction snapshots still read
+    val s1 = IcebergRead.readIcebergTable(spark, d, snapshotId = Some(1L))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(s1 == (1L to 8L).map(i => (i, s"v$i")), s1.toString)
+  }
+
   test("IcebergWrite.mergeOnRead: the Flink/CDC upsert shape — one " +
       "equality-delete file + one data file per merge, NO existing " +
       "data file read or rewritten, reader reconciles by sequence") {

@@ -189,6 +189,47 @@ object EventWindows extends QueryGroup {
     // the full batch tumbling agg — which is what the oracle checks.
     // No-dup/no-loss across the restart is thereby hash-verified, not
     // just asserted.
+    // EXACTLY-ONCE streaming upsert INTO a real Delta table: a
+    // readStream→foreachBatch sink merges each micro-batch with a
+    // `txn` action in the same atomic commit (the Delta protocol's
+    // idempotent-writer contract). Batch 0 zeroes every balance,
+    // batch 1 merges real balances for custkey%3=0; a deliberate
+    // REPLAY of batch 1 is then skipped by the recorded watermark —
+    // the oracle checks the final state equals the CoW merge SQL, so
+    // a double-applied replay would hash-mismatch.
+    "stream_delta_sink" -> ((s, d) => {
+      val base = java.nio.file.Paths.get("/root/repo/target/scratch")
+      java.nio.file.Files.createDirectories(base)
+      val dir = java.nio.file.Files
+        .createTempDirectory(base, "stream_delta_sink")
+      val (in, cp, tbl) = (s"$dir/in", s"$dir/cp", s"$dir/tbl")
+      val cust = Tables.customer(s, d)
+      val zero = cust.select(col("c_custkey"), col("c_mktsegment"),
+        lit(0.0).as("bal"))
+      zero.coalesce(1).write.mode("append").parquet(in)
+      val appId = "graft_stream_delta_sink"
+      val q = s.readStream.schema(zero.schema).parquet(in)
+        .writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          graft.sources.DeltaWrite.mergeBatch(s, tbl, appId, bid, df,
+            Seq("c_custkey")): Unit
+        }
+        .start()
+      q.processAllAvailable()
+      cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").as("bal"))
+        .coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable(); q.stop()
+      // a crash between sink commit and checkpoint commit replays the
+      // last micro-batch — the txn watermark must skip it
+      val replay = graft.sources.DeltaWrite.mergeBatch(s, tbl, appId, 1L,
+        zero, Seq("c_custkey"))
+      require(replay == -1L, s"replayed batch was not skipped: $replay")
+      graft.sources.DeltaRead.readDeltaTable(s, tbl).orderBy("c_custkey")
+    }),
+
     "stream_file_ingest" -> ((s0, d) => {
       // a dedicated session scoped to this pipeline: streaming aggs
       // fix their STATE partition count from the session's shuffle
@@ -251,6 +292,16 @@ object EventWindows extends QueryGroup {
         |  event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
         |FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type""".stripMargin,
+
+    // the streamed-into-Delta final state must equal the CoW merge
+    // SQL — a double-applied replay would double nothing here (merge
+    // is idempotent per batch) BUT a zero-balance replay of batch 0
+    // content at batch id 1 WOULD zero the merged balances, so the
+    // hash catches a broken watermark
+    "stream_delta_sink" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // the streamed-through-restart warehouse table must equal the
     // plain batch tumbling agg (the sentinel closes all real windows)

@@ -68,7 +68,11 @@ object DeltaRead {
       configuration: Map[String, String] = Map.empty,
       // last-wins raw actions, for checkpoint re-emission
       rawMetaData: JValue = JNothing,
-      rawProtocol: JValue = JNothing)
+      rawProtocol: JValue = JNothing,
+      // streaming-writer transaction watermarks (appId → version):
+      // the protocol's exactly-once contract — a writer skips any
+      // batch at or below its recorded version
+      txns: Map[String, Long] = Map.empty)
 
   private implicit val fmts: Formats = DefaultFormats
 
@@ -127,8 +131,11 @@ object DeltaRead {
               case _ => Set.empty
             },
             rawProtocol = p)
-        // commitInfo / txn / cdc / domainMetadata don't affect the
-        // main snapshot's file set
+        case (s, ("txn", t)) =>
+          s.copy(txns = s.txns + ((t \ "appId").extract[String] ->
+            (t \ "version").extract[Long]))
+        // commitInfo / cdc / domainMetadata don't affect the main
+        // snapshot's file set
         case (s, _) => s
       }
       case _ => st
@@ -281,7 +288,10 @@ object DeltaRead {
           else Nil
         // re-use the JSON action replay for checkpoint rows: each row
         // is {"add": {...}} / {"metaData": {...}} / {"protocol": {...}}
-        (rowsOf("protocol") ++ rowsOf("metaData") ++ rowsOf("add"))
+        // / {"txn": {...}} (txn watermarks MUST survive the
+        // checkpoint bound — the exactly-once contract)
+        (rowsOf("protocol") ++ rowsOf("metaData") ++ rowsOf("add") ++
+          rowsOf("txn"))
           .foldLeft(LogState())((s, j) => applyAction(s, JsonMethods.parse(j)))
     }
 
@@ -587,6 +597,17 @@ object DeltaRead {
   private[sources] def tableConfiguration(spark: SparkSession,
       path: String): Map[String, String] =
     stateAt(spark, openLog(path), None).configuration
+
+  /** The streaming-writer transaction watermark for `appId` — the
+    * highest `txn.version` committed (None for a fresh app or table).
+    * The protocol's exactly-once contract: an idempotent writer skips
+    * any batch at or below this.
+    */
+  def lastTxnVersion(spark: SparkSession, path: String,
+      appId: String): Option[Long] =
+    if (!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(path, "_delta_log"))) None
+    else stateAt(spark, openLog(path), None).txns.get(appId)
 
   /** The table's logical schema from the log's metaData action. */
   private[sources] def tableSchema(spark: SparkSession, path: String): StructType = {

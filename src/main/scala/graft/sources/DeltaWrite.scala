@@ -120,7 +120,11 @@ object DeltaWrite {
       // false = a pure REARRANGEMENT commit (OPTIMIZE/compaction):
       // the same rows move between files; CDF and incremental
       // consumers correctly see no row changes
-      dataChange: Boolean = true): Unit = {
+      dataChange: Boolean = true,
+      // streaming-writer transaction stamp (appId -> version): rides
+      // the SAME atomic commit as the data, the protocol's
+      // exactly-once contract for idempotent writers
+      txn: Option[(String, Long)] = None): Unit = {
     require(adds.nonEmpty || removes.nonEmpty || cdc.nonEmpty,
       "empty Delta commit")
     val logDir = java.nio.file.Paths.get(dir, "_delta_log")
@@ -159,6 +163,12 @@ object DeltaWrite {
         ("remove" -> (("path" -> p) ~
           ("deletionTimestamp" -> 0L) ~
           ("dataChange" -> dataChange)))))
+    }
+    txn.foreach { case (appId, v) =>
+      lines += compact(render(
+        ("txn" -> (("appId" -> appId) ~
+          ("version" -> v) ~
+          ("lastUpdated" -> 0L)))))
     }
     // Change-Data-Feed files: each row carries its _change_type; the
     // cdc action makes this commit's CDF authoritative (readers then
@@ -273,7 +283,8 @@ object DeltaWrite {
       batch0: DataFrame, uniqueKey: Seq[String], buckets: Int = 8,
       enableCdf: Boolean = false,
       checkpointInterval: Int = 10,
-      maxLiveFiles: Int = 32): Long = {
+      maxLiveFiles: Int = 32,
+      txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     require(uniqueKey.nonEmpty, "merge needs at least one key column")
     uniqueKey.foreach(k => require(batch0.columns.contains(k),
@@ -295,7 +306,8 @@ object DeltaWrite {
         if (parts.nonEmpty) parts else Seq("part-00000-v0.parquet" -> batch),
         configuration =
           if (enableCdf) Map("delta.enableChangeDataFeed" -> "true")
-          else Map.empty)
+          else Map.empty,
+        txn = txn)
       batch.count()
     } else {
       val tableSchema = DeltaRead.tableSchema(spark, dir)
@@ -356,7 +368,7 @@ object DeltaWrite {
         adds = rewrites :+ (f"upsert-$version%05d.parquet" -> batch),
         removes = touched.map(f => relOf.getOrElse(f,
           sys.error(s"touched file $f missing from the live map: $dir"))),
-        cdc = cdc)
+        cdc = cdc, txn = txn)
       // bound the FILE count too: each merge adds an upsert file, so
       // an un-compacted table accretes O(merges) files — once the
       // live set exceeds maxLiveFiles, one dataChange=false OPTIMIZE
@@ -397,6 +409,10 @@ object DeltaWrite {
         StructField("partitionColumns", ArrayType(StringType)),
         StructField("configuration", MapType(StringType, StringType)),
         StructField("createdTime", LongType)))),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType),
+        StructField("lastUpdated", LongType)))),
       StructField("add", StructType(Seq(
         StructField("path", StringType),
         StructField("partitionValues", MapType(StringType, StringType)),
@@ -439,6 +455,13 @@ object DeltaWrite {
     val lines =
       Seq(compact(render(JObject(List("protocol" -> protocol)))),
         compact(render(JObject(List("metaData" -> state.rawMetaData))))) ++
+      // txn watermarks MUST ride the checkpoint (protocol: checkpoints
+      // contain the latest txn per appId) or a log-cleaned table would
+      // forget its exactly-once high-water marks
+      state.txns.toSeq.sortBy(_._1).map { case (appId, v) =>
+        compact(render(JObject(List("txn" -> (("appId" -> appId) ~
+          ("version" -> v) ~ ("lastUpdated" -> 0L): JValue)))))
+      } ++
       state.adds.values.toSeq.sortBy(_.path).map { a =>
         val ck = a.raw merge JObject(List(
           "dataChange" -> (JBool(false): JValue)))
@@ -452,6 +475,25 @@ object DeltaWrite {
       compact(render(
         ("version" -> version) ~ ("size" -> lines.size))) + "\n")
     version
+  }
+
+  /** EXACTLY-ONCE streaming upsert (the `foreachBatch` sink shape):
+    * merge micro-batch `batchId` of writer `appId` into the Delta
+    * table, stamping a `txn` action in the SAME atomic commit — the
+    * protocol's idempotent-writer contract. A batch at or below the
+    * recorded watermark is SKIPPED (returns -1), so a restarted query
+    * that replays its last micro-batch cannot double-apply it; the
+    * watermark survives checkpoints ([[writeCheckpoint]] re-emits txn
+    * actions) and log cleanup. Returns rows merged, 0 for an empty
+    * batch, -1 for a replay skip.
+    */
+  def mergeBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+      appId: String, batchId: Long, batch: DataFrame,
+      uniqueKey: Seq[String], buckets: Int = 8): Long = {
+    val last = DeltaRead.lastTxnVersion(spark, dir, appId)
+    if (last.exists(_ >= batchId)) -1L
+    else merge(spark, dir, batch, uniqueKey, buckets,
+      txn = Some(appId -> batchId))
   }
 
   /** Commit `version`: attach a deletion vector masking `rowIndexes`

@@ -481,6 +481,38 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
       s"DV through checkpoint wrong: $masked")
   }
 
+  test("txn watermarks: mergeBatch skips replayed batch ids, the " +
+      "watermark rides the SAME commit as the data and survives a " +
+      "checkpoint + log cleanup") {
+    val d = dir()
+    val app = "appA"
+    assert(DeltaWrite.mergeBatch(spark, d, app, 0L,
+      (1L to 4L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id")) == 4L)
+    assert(DeltaWrite.mergeBatch(spark, d, app, 1L,
+      Seq((2L, "u2")).toDF("id", "v"), Seq("id")) == 1L)
+    // replaying batch 1 (even with DIFFERENT content) is skipped
+    assert(DeltaWrite.mergeBatch(spark, d, app, 1L,
+      Seq((2L, "BAD")).toDF("id", "v"), Seq("id")) == -1L)
+    // another app has its own watermark
+    assert(DeltaWrite.mergeBatch(spark, d, "appB", 0L,
+      Seq((9L, "b")).toDF("id", "v"), Seq("id")) == 1L)
+    assert(DeltaRead.lastTxnVersion(spark, d, app).contains(1L))
+    assert(DeltaRead.lastTxnVersion(spark, d, "appB").contains(0L))
+    // the watermark survives checkpoint-bounded replay + log cleanup
+    val v = DeltaWrite.writeCheckpoint(spark, d)
+    val log = java.nio.file.Paths.get(d, "_delta_log")
+    (0L to v).foreach(x =>
+      java.nio.file.Files.delete(log.resolve(f"$x%020d.json")))
+    assert(DeltaRead.lastTxnVersion(spark, d, app).contains(1L),
+      "txn watermark lost across checkpoint")
+    assert(DeltaWrite.mergeBatch(spark, d, app, 1L,
+      Seq((2L, "BAD")).toDF("id", "v"), Seq("id")) == -1L)
+    val got = DeltaRead.readDeltaTable(spark, d).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "v1"), (2L, "u2"), (3L, "v3"), (4L, "v4"),
+      (9L, "b")), s"state after replays: $got")
+  }
+
   test("OPTIMIZE bounds the merge target's file count: one " +
       "dataChange=false rearrangement commit re-buckets the live set, " +
       "state and CDF are unchanged, time travel still works") {

@@ -69,6 +69,11 @@ object DeltaRead {
       // last-wins raw actions, for checkpoint re-emission
       rawMetaData: JValue = JNothing,
       rawProtocol: JValue = JNothing,
+      // remove tombstones still pending expiry, keyed like adds: the
+      // protocol requires checkpoints to RETAIN unexpired tombstones
+      // (another engine's VACUUM consults them after log cleanup); a
+      // re-add of the same (path, dvId) clears its tombstone
+      tombstones: Map[String, JValue] = Map.empty,
       // streaming-writer transaction watermarks (appId → version):
       // the protocol's exactly-once contract — a writer skips any
       // batch at or below its recorded version
@@ -84,7 +89,7 @@ object DeltaRead {
     case _ => Map.empty
   }
 
-  private def dvOf(a: JValue): Option[DeletionVectors.Descriptor] =
+  private[sources] def dvOf(a: JValue): Option[DeletionVectors.Descriptor] =
     (a \ "deletionVector") match {
       case JNothing | JNull => None
       case d => Some(DeletionVectors.Descriptor(
@@ -107,13 +112,17 @@ object DeltaRead {
         case (s, ("add", a)) =>
           val p = (a \ "path").extract[String]
           val dv = dvOf(a)
-          s.copy(adds = s.adds + (fileKey(p, dv) -> AddFile(p,
+          val key = fileKey(p, dv)
+          s.copy(adds = s.adds + (key -> AddFile(p,
             strMap(a \ "partitionValues"), dv,
             (a \ "stats").extractOpt[String].filter(_.nonEmpty),
-            raw = a)))
+            raw = a)),
+            tombstones = s.tombstones - key)
         case (s, ("remove", r)) =>
           val p = (r \ "path").extract[String]
-          s.copy(adds = s.adds - fileKey(p, dvOf(r)))
+          val key = fileKey(p, dvOf(r))
+          s.copy(adds = s.adds - key,
+            tombstones = s.tombstones + (key -> r))
         case (s, ("metaData", m)) =>
           s.copy(
             schemaJson = Some((m \ "schemaString").extract[String]),
@@ -288,10 +297,11 @@ object DeltaRead {
           else Nil
         // re-use the JSON action replay for checkpoint rows: each row
         // is {"add": {...}} / {"metaData": {...}} / {"protocol": {...}}
-        // / {"txn": {...}} (txn watermarks MUST survive the
-        // checkpoint bound — the exactly-once contract)
+        // / {"txn": {...}} / {"remove": {...}} (txn watermarks and
+        // unexpired remove tombstones MUST survive the checkpoint
+        // bound — the exactly-once and VACUUM-safety contracts)
         (rowsOf("protocol") ++ rowsOf("metaData") ++ rowsOf("add") ++
-          rowsOf("txn"))
+          rowsOf("txn") ++ rowsOf("remove"))
           .foldLeft(LogState())((s, j) => applyAction(s, JsonMethods.parse(j)))
     }
 
@@ -325,7 +335,7 @@ object DeltaRead {
 
   // log paths are RFC-2396 percent-encoded and relative to the table
   // root unless they carry a scheme
-  private def absPath(tableDir: String, p: String): String =
+  private[sources] def absPath(tableDir: String, p: String): String =
     if (p.contains("://")) p
     else {
       val decoded = pctDecode(p)
@@ -562,24 +572,38 @@ object DeltaRead {
     predicate.fold(snapshot)(snapshot.filter)
   }
 
-  /** Live data files of the current snapshot as (absolute path,
-    * log-relative name), for [[DeltaWrite.merge]]'s touched-file
-    * rewrite. Rejects table shapes the merge writer cannot rewrite
-    * faithfully (column mapping, partitions, deletion vectors) —
-    * loudly, never a corrupting rewrite.
+  /** One live data file of the current snapshot: absolute path,
+    * log-relative DECODED path (what sits on disk), the log path as
+    * COMMITTED (percent-encoded — what a remove action must name),
+    * and the add's partition values.
     */
-  private[sources] def liveDataFiles(spark: SparkSession, path: String)
-      : Seq[(String, String)] = {
+  private[sources] case class LiveFile(abs: String, rel: String,
+      logPath: String, partitionValues: Map[String, String])
+
+  /** Live data files of the current snapshot (with their log-recorded
+    * partition values), for [[DeltaWrite.merge]]'s touched-file
+    * rewrite. Rejects table shapes the merge writer cannot rewrite
+    * faithfully (column mapping, deletion vectors) — loudly, never a
+    * corrupting rewrite. Partitioned tables are supported: the caller
+    * prunes on `partitionValues`.
+    */
+  private[graft] def liveDataFiles(spark: SparkSession, path: String)
+      : Seq[LiveFile] = {
     val state = stateAt(spark, openLog(path), None)
     require(checkReadable(state, path) == "none",
       s"merge into a column-mapped Delta table is unsupported: $path")
-    require(state.partitionCols.isEmpty,
-      s"merge into a partitioned Delta table is unsupported: $path")
     require(state.adds.values.forall(_.dv.isEmpty),
       s"merge into a deletion-vector-carrying Delta table is unsupported: $path")
-    state.adds.values.toSeq.map(f => (absPath(path, f.path), f.path))
-      .sortBy(_._2)
+    state.adds.values.toSeq.map(f =>
+      LiveFile(absPath(path, f.path), pctDecode(f.path), f.path,
+        f.partitionValues))
+      .sortBy(_.rel)
   }
+
+  /** The table's partition columns from the log's metaData action. */
+  private[sources] def partitionColumns(spark: SparkSession,
+      path: String): Seq[String] =
+    stateAt(spark, openLog(path), None).partitionCols
 
   /** Highest committed version (for [[DeltaWrite.merge]]'s next-commit
     * numbering).
@@ -594,7 +618,7 @@ object DeltaRead {
     * `delta.enableChangeDataFeed`, which [[DeltaWrite.merge]] honors
     * by writing cdc actions).
     */
-  private[sources] def tableConfiguration(spark: SparkSession,
+  private[graft] def tableConfiguration(spark: SparkSession,
       path: String): Map[String, String] =
     stateAt(spark, openLog(path), None).configuration
 

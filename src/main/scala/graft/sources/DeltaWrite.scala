@@ -12,7 +12,12 @@ import org.json4s.jackson.JsonMethods.{compact, render}
   * with data-skipping `stats`, `remove` tombstones, `cdc` Change-
   * Data-Feed files, single-file checkpoints + `_last_checkpoint`
   * ([[writeCheckpoint]], auto-written by [[merge]] every
-  * `checkpointInterval` commits). Unpartitioned, single-writer.
+  * `checkpointInterval` commits), identity-partitioned tables
+  * (per-add `partitionValues`, hive-style file layout, partition-
+  * pruned merges), schema evolution on merge (appended columns), and
+  * retention GC ([[vacuum]]). Single-writer. Every multi-file write
+  * is ONE staged Spark job + ONE grouped stats job ([[stageWrite]] /
+  * [[statsFor]]) — job count never scales with file count.
   * Two consumers: `PipelineRunner` routes `file_format=delta` models
   * here ([[replace]] / [[merge]] — the dbt-spark Delta contract), and
   * it is the boundary adapter for exporting tables to tools that only
@@ -74,6 +79,15 @@ object DeltaWrite {
     */
   private[sources] def statsJson(df: DataFrame): String = {
     val (numRecords, cols0) = columnStats(df)
+    statsJsonOf(numRecords, cols0)
+  }
+
+  /** [[statsJson]] from already-computed per-file values — the shape
+    * [[statsFor]]'s single grouped stats job returns.
+    */
+  private[sources] def statsJsonOf(numRecords: Long,
+      cols0: Seq[(org.apache.spark.sql.types.StructField, Any, Any, Long)])
+      : String = {
     def jVal(v: Any): JValue = v match {
       case null => JNull
       case b: Boolean => JBool(b)
@@ -104,6 +118,291 @@ object DeltaWrite {
         ("nullCount" -> JObject(nulls.toList))))
   }
 
+  // ---------------------------------------------------------------
+  // Path / partition-value encoding
+  // ---------------------------------------------------------------
+
+  /** RFC-2396 percent-encoding of a table-relative path for the LOG
+    * (the protocol stores `add`/`remove` paths URI-encoded; DeltaRead
+    * decodes with [[DeltaRead.pctDecode]] — this is its inverse over
+    * the on-disk name). '/', '=' and unreserved chars stay literal so
+    * the common safe names are identity-encoded.
+    */
+  private[sources] def pctEncode(s: String): String = {
+    val sb = new StringBuilder
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      val u = b & 0xff
+      val c = u.toChar
+      val keep = u < 0x80 && (c.isLetterOrDigit ||
+        "-_.~/=".contains(c))
+      if (keep) sb.append(c) else sb.append(f"%%$u%02X")
+    }
+    sb.toString
+  }
+
+  /** A partition VALUE as one on-disk path segment: '/' and '%' (and
+    * control chars) escape %XX so two distinct partition-value combos
+    * can never collide into one directory string; everything else
+    * stays raw (the log's partitionValues map is authoritative — the
+    * path is never parsed back).
+    */
+  private def escapeSeg(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach { c =>
+      if (c < 0x20 || c == '%' || c == '/' || c == 0x7f)
+        sb.append(f"%%${c.toInt}%02X")
+      else sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Delta partition-value serialization (PROTOCOL.md "Partition value
+    * serialization"): strings raw, numbers/booleans canonical text,
+    * dates ISO-8601, timestamps `yyyy-MM-dd HH:mm:ss[.SSSSSS]` in UTC
+    * (this engine pins the session timezone to UTC), null stays null
+    * (JSON null in the partitionValues map).
+    */
+  private[sources] def serializePv(v: Any): String = v match {
+    case null => null
+    case s: String => s
+    case d: java.sql.Date => d.toLocalDate.toString
+    case d: java.time.LocalDate => d.toString
+    case t: java.sql.Timestamp => serializePv(t.toInstant)
+    case i: java.time.Instant =>
+      val ldt = java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+      val base = ldt.format(
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      if (ldt.getNano == 0) base else f"$base.${ldt.getNano / 1000}%06d"
+    case d: java.math.BigDecimal => d.toPlainString
+    case other => other.toString // Int/Long/Short/Byte/Boolean/Float/Double
+  }
+
+  /** Hive-style partition directory for one partition-value combo
+    * (`a=x/b=y`, nulls as `__HIVE_DEFAULT_PARTITION__`); "" when
+    * unpartitioned.
+    */
+  private def pvDirOf(partCols: Seq[String],
+      pv: Map[String, String]): String =
+    partCols.map { c =>
+      val v = pv.getOrElse(c, null)
+      s"${escapeSeg(c)}=" +
+        (if (v == null) "__HIVE_DEFAULT_PARTITION__" else escapeSeg(v))
+    }.mkString("/")
+
+  // ---------------------------------------------------------------
+  // Staged one-job file writer
+  // ---------------------------------------------------------------
+
+  /** Write EVERY pending data file of a commit in ONE Spark job:
+    * `tagged` carries the file contents plus a `__graft_target`
+    * column naming each row's table-relative destination file. A
+    * `repartition(__graft_target)` puts each target's rows in one
+    * task, a `partitionBy(__graft_target)` staging write emits one
+    * parquet file per target (targets with zero rows simply never
+    * materialize — no per-file emptiness probes), and the driver
+    * moves each staged file to its destination. Returns
+    * (relative path, size) per materialized file.
+    */
+  private[sources] def stageWrite(dir: String,
+      tagged: DataFrame): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(root)
+    val tmp = java.nio.file.Files.createTempDirectory(root, ".delta_stage")
+    import scala.jdk.CollectionConverters._
+    try {
+      tagged.repartition(col("__graft_target"))
+        .write.mode("overwrite").partitionBy("__graft_target")
+        .parquet(tmp.toString)
+      val dirs = {
+        val s = java.nio.file.Files.list(tmp)
+        try s.iterator().asScala.filter(p =>
+          java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("__graft_target=")).toSeq
+        finally s.close()
+      }
+      dirs.map { d =>
+        // Spark escapes partition-dir values %XX (hive escapePathName);
+        // decoding restores the intended relative path
+        val rel = DeltaRead.pctDecode(
+          d.getFileName.toString.stripPrefix("__graft_target="))
+        require(!rel.split('/').contains("..") && !rel.startsWith("/"),
+          s"staged target escapes the table root: $rel")
+        val parts = {
+          val s = java.nio.file.Files.list(d)
+          try s.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          finally s.close()
+        }
+        require(parts.size == 1,
+          s"staged target $rel produced ${parts.size} files (expected 1)")
+        val dest = root.resolve(rel)
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.move(parts.head, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        rel -> java.nio.file.Files.size(dest)
+      }.sortBy(_._1)
+    } finally {
+      val walk = java.nio.file.Files.walk(tmp)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  /** Per-file data-skipping stats for every staged file in ONE grouped
+    * aggregation job (the per-file [[statsJson]] loop this replaces
+    * ran one job per file): relative path → stats JSON.
+    */
+  private[sources] def statsFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String, rels: Seq[String],
+      dataSchema: org.apache.spark.sql.types.StructType)
+      : Map[String, String] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum, when}
+    import org.apache.spark.sql.types._
+    if (rels.isEmpty) return Map.empty
+    val hconf = spark.sessionState.newHadoopConf()
+    def qualified(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).makeQualified(hp).toString
+    }
+    val relOfAbs = rels.map(r => qualified(s"$dir/$r") -> r).toMap
+    val fields = dataSchema.fields.filter(f => f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | _: DecimalType | StringType | DateType |
+           TimestampType | BooleanType => true
+      case _ => false
+    })
+    val aggs = Seq(count(lit(1)).as("n")) ++ fields.flatMap(f => Seq(
+      min(col(f.name)), max(col(f.name)),
+      sum(when(col(f.name).isNull, 1L).otherwise(0L))))
+    val rows = spark.read.schema(dataSchema)
+      .parquet(rels.map(r => s"$dir/$r"): _*)
+      .groupBy(col("_metadata.file_path").as("__graft_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.map { row =>
+      val rel = relOfAbs.getOrElse(row.getString(0),
+        sys.error(s"stats job returned an unstaged file: ${row.getString(0)}"))
+      val n = row.getLong(1)
+      val cols = fields.zipWithIndex.toSeq.map { case (f, i) =>
+        (f, row.get(2 + i * 3), row.get(3 + i * 3),
+          if (n == 0) 0L else row.getLong(4 + i * 3))
+      }
+      rel -> statsJsonOf(n, cols)
+    }.toMap
+  }
+
+  // ---------------------------------------------------------------
+  // Log-line builders (shared by commit / stageCommit)
+  // ---------------------------------------------------------------
+
+  private def jPv(pv: Map[String, String]): JValue =
+    JObject(pv.toList.sortBy(_._1).map { case (k, v) =>
+      k -> (if (v == null) JNull else JString(v): JValue) })
+
+  private def protocolLine: String = compact(render(
+    ("protocol" -> (("minReaderVersion" -> 1) ~
+      ("minWriterVersion" -> 2)))))
+
+  private def metaDataLine(schema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String],
+      configuration: Map[String, String]): String = compact(render(
+    ("metaData" -> (("id" -> "graft-delta-export") ~
+      ("format" -> (("provider" -> "parquet") ~
+        ("options" -> Map.empty[String, String]))) ~
+      ("schemaString" -> schema.json) ~
+      ("partitionColumns" -> partitionCols) ~
+      ("configuration" -> configuration) ~
+      ("createdTime" -> 0L)))))
+
+  private def addLine(rel: String, pv: Map[String, String], size: Long,
+      stats: Option[String], dataChange: Boolean): String = {
+    val base: JValue = ("path" -> pctEncode(rel)) ~
+      ("partitionValues" -> jPv(pv)) ~
+      ("size" -> size) ~
+      ("modificationTime" -> 0L) ~
+      ("dataChange" -> dataChange)
+    val withStats = stats.fold(base)(s => base merge (
+      ("stats" -> s): JValue))
+    compact(render(JObject(List("add" -> withStats))))
+  }
+
+  private def removeLine(logPath: String, pv: Map[String, String],
+      dataChange: Boolean): String = compact(render(
+    ("remove" -> (("path" -> logPath) ~
+      ("partitionValues" -> jPv(pv)) ~
+      ("deletionTimestamp" -> 0L) ~
+      ("dataChange" -> dataChange)))))
+
+  private def txnLine(t: (String, Long)): String = compact(render(
+    ("txn" -> (("appId" -> t._1) ~
+      ("version" -> t._2) ~
+      ("lastUpdated" -> 0L)))))
+
+  private def cdcLine(rel: String, pv: Map[String, String],
+      size: Long): String = compact(render(
+    ("cdc" -> (("path" -> pctEncode(rel)) ~
+      ("partitionValues" -> jPv(pv)) ~
+      ("size" -> size) ~
+      ("dataChange" -> false)))))
+
+  private def requireNextVersion(dir: String, version: Long): Unit = {
+    val commitFile = java.nio.file.Paths.get(dir, "_delta_log")
+      .resolve(f"$version%020d.json")
+    require(!java.nio.file.Files.exists(commitFile),
+      s"Delta commit $version already exists in $dir")
+  }
+
+  private def writeCommitFile(dir: String, version: Long,
+      lines: Seq[String]): Unit = {
+    require(lines.nonEmpty, s"empty Delta commit $version: $dir")
+    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    val commitFile = logDir.resolve(f"$version%020d.json")
+    require(!java.nio.file.Files.exists(commitFile),
+      s"Delta commit $version already exists in $dir")
+    java.nio.file.Files.writeString(commitFile,
+      lines.mkString("", "\n", "\n")): Unit
+  }
+
+  // ---------------------------------------------------------------
+  // Partition-value tagging (driver knows O(partitions) combos only)
+  // ---------------------------------------------------------------
+
+  /** Attach `__graft_pdir` (the row's hive-style partition directory)
+    * via ONE bounded distinct job + a broadcast null-safe join, and
+    * return the pdir → serialized-partition-values map. The collect
+    * is O(distinct partition combos) — the same driver-side
+    * cardinality every lakehouse writer's planning holds.
+    */
+  private def withPdir(df: DataFrame, partCols: Seq[String])
+      : (DataFrame, Map[String, Map[String, String]]) = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val spark = df.sparkSession
+    val pvRows = df.select(partCols.map(col): _*).distinct().collect()
+    val pdirPv: Map[String, Map[String, String]] = pvRows.map { r =>
+      val pv = partCols.zipWithIndex.map { case (c, i) =>
+        c -> serializePv(r.get(i)) }.toMap
+      pvDirOf(partCols, pv) -> pv
+    }.toMap
+    val mapSchema = StructType(partCols.map(c =>
+      df.schema(c).copy(name = s"__graft_pj_$c")) :+
+      StructField("__graft_pdir", StringType, nullable = false))
+    val mapRows = pvRows.map { r =>
+      val pv = partCols.zipWithIndex.map { case (c, i) =>
+        c -> serializePv(r.get(i)) }.toMap
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pvDirOf(partCols, pv))
+    }
+    val mapDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(mapRows.toSeq, 1), mapSchema)
+    val cond = partCols.map(c =>
+      col(s"`$c`") <=> col(s"`__graft_pj_$c`")).reduce(_ && _)
+    val joined = df.join(broadcast(mapDf), cond)
+      .drop(partCols.map(c => s"__graft_pj_$c"): _*)
+    (joined, pdirPv)
+  }
+
   /** Append commit `version`: write each `(fileName, rows)` as a data
     * file + `add` action, tombstone each `removes` path. Commit 0
     * additionally carries `protocol` + `metaData` (from the first
@@ -124,52 +423,30 @@ object DeltaWrite {
       // streaming-writer transaction stamp (appId -> version): rides
       // the SAME atomic commit as the data, the protocol's
       // exactly-once contract for idempotent writers
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      // re-emit metaData mid-history: (full schema, partition columns,
+      // configuration) — how CREATE OR REPLACE changes table
+      // properties/schema/partitioning on an EXISTING table
+      metaDataUpdate: Option[(org.apache.spark.sql.types.StructType,
+        Seq[String], Map[String, String])] = None): Unit = {
     require(adds.nonEmpty || removes.nonEmpty || cdc.nonEmpty,
       "empty Delta commit")
-    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
-    java.nio.file.Files.createDirectories(logDir)
-    val commitFile = logDir.resolve(f"$version%020d.json")
-    require(!java.nio.file.Files.exists(commitFile),
-      s"Delta commit $version already exists in $dir")
+    requireNextVersion(dir, version)
     val lines = scala.collection.mutable.ListBuffer.empty[String]
     if (version == 0L) {
       val schema = adds.headOption.map(_._2.schema).getOrElse(
         sys.error("commit 0 must add at least one file (for metaData)"))
-      lines += compact(render(
-        ("protocol" -> (("minReaderVersion" -> 1) ~
-          ("minWriterVersion" -> 2)))))
-      lines += compact(render(
-        ("metaData" -> (("id" -> "graft-delta-export") ~
-          ("format" -> (("provider" -> "parquet") ~
-            ("options" -> Map.empty[String, String]))) ~
-          ("schemaString" -> schema.json) ~
-          ("partitionColumns" -> Seq.empty[String]) ~
-          ("configuration" -> configuration) ~
-          ("createdTime" -> 0L)))))
+      lines += protocolLine
+      lines += metaDataLine(schema, Nil, configuration)
+    } else metaDataUpdate.foreach { case (schema, pcs, cfg) =>
+      lines += metaDataLine(schema, pcs, cfg)
     }
     adds.foreach { case (name, df) =>
       val size = writeOne(df, dir, name)
-      lines += compact(render(
-        ("add" -> (("path" -> name) ~
-          ("partitionValues" -> Map.empty[String, String]) ~
-          ("size" -> size) ~
-          ("modificationTime" -> 0L) ~
-          ("dataChange" -> dataChange) ~
-          ("stats" -> statsJson(df))))))
+      lines += addLine(name, Map.empty, size, Some(statsJson(df)), dataChange)
     }
-    removes.foreach { p =>
-      lines += compact(render(
-        ("remove" -> (("path" -> p) ~
-          ("deletionTimestamp" -> 0L) ~
-          ("dataChange" -> dataChange)))))
-    }
-    txn.foreach { case (appId, v) =>
-      lines += compact(render(
-        ("txn" -> (("appId" -> appId) ~
-          ("version" -> v) ~
-          ("lastUpdated" -> 0L)))))
-    }
+    removes.foreach(p => lines += removeLine(p, Map.empty, dataChange))
+    txn.foreach(t => lines += txnLine(t))
     // Change-Data-Feed files: each row carries its _change_type; the
     // cdc action makes this commit's CDF authoritative (readers then
     // IGNORE the add/remove actions for change derivation — the
@@ -177,14 +454,9 @@ object DeltaWrite {
     // misstate row-level changes, e.g. a MERGE's rewrites)
     cdc.foreach { case (name, df) =>
       val size = writeOne(df, dir, name)
-      lines += compact(render(
-        ("cdc" -> (("path" -> name) ~
-          ("partitionValues" -> Map.empty[String, String]) ~
-          ("size" -> size) ~
-          ("dataChange" -> false)))))
+      lines += cdcLine(name, Map.empty, size)
     }
-    java.nio.file.Files.writeString(commitFile,
-      lines.mkString("", "\n", "\n"))
+    writeCommitFile(dir, version, lines.toSeq)
   }
 
   /** Copy-on-write MERGE (upsert) of `batch` into the Delta table at
@@ -194,25 +466,36 @@ object DeltaWrite {
     * reference pins dbt-spark's Delta stack (`dbtoperator.py:274`).
     *
     * First call creates the table: commit 0 buckets the batch into up
-    * to `buckets` files by key hash, bounding later rewrite units.
-    * Each subsequent merge, in ONE atomic commit:
+    * to `buckets` files by key hash (per partition when `partitionBy`
+    * is set), bounding later rewrite units. Each subsequent merge, in
+    * ONE atomic commit:
+    *  - prunes the live set to the batch's PARTITIONS (partitioned
+    *    tables; values compare normalized, unparseable values keep
+    *    the file — conservative);
     *  - finds the FILES holding matched keys with a semi-join on
     *    `_metadata.file_path` (the collected distinct paths are
     *    O(files) on the driver, never rows);
-    *  - rewrites exactly those files with their matched keys
-    *    anti-joined out (an all-rows-matched file becomes a bare
-    *    remove);
-    *  - adds the whole batch as one fresh file (updates + new keys);
-    *  - writes remove+add actions (with data-skipping stats) under
-    *    the next version — readers flip atomically, time travel keeps
-    *    every prior state.
-    * I/O is O(touched files + batch), never a table rewrite.
+    *  - stage-writes every rewrite (matched keys anti-joined out) AND
+    *    the upsert files in ONE Spark job ([[stageWrite]]; an
+    *    all-rows-matched file stages zero rows and becomes a bare
+    *    remove — no per-file probes), plus ONE grouped job for all
+    *    per-file data-skipping stats;
+    *  - writes remove+add actions under the next version — readers
+    *    flip atomically, time travel keeps every prior state.
+    * I/O is O(touched files + batch), never a table rewrite; job
+    * count is O(1) per merge, never O(files).
     *
     * CONTRACT (same as Delta `MERGE WHEN MATCHED UPDATE / NOT MATCHED
-    * INSERT`): `batch` is unique per key; schema evolution is not
-    * performed (batch columns must equal the table's). Tables with
-    * column mapping, partitions or deletion vectors are rejected
-    * loudly by [[DeltaRead.liveDataFiles]].
+    * INSERT`): `batch` is unique per key; on partitioned tables a
+    * key's partition values are STABLE across versions (the pruned
+    * probe would miss a row whose key moved partitions — the same
+    * stable-partition-per-key contract as the dbt-layer merge).
+    * Schema evolution happens only with `allowEvolution` and only for
+    * APPENDED columns (dbt `on_schema_change=append_new_columns`):
+    * the merge commit re-emits metaData with the extended schema and
+    * carried files surface NULL for the new columns. Tables with
+    * column mapping or deletion vectors are rejected loudly by
+    * [[DeltaRead.liveDataFiles]].
     *
     * Change Data Feed: `enableCdf = true` stamps
     * `delta.enableChangeDataFeed=true` at CREATION; on any table so
@@ -235,47 +518,131 @@ object DeltaWrite {
     */
   def optimize(spark: org.apache.spark.sql.SparkSession, dir: String,
       uniqueKey: Seq[String], buckets: Int = 8): Unit = {
-    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    import org.apache.spark.sql.functions.{col, concat, format_string, lit, pmod, xxhash64}
     require(uniqueKey.nonEmpty, "optimize needs the table's key columns")
     val live = DeltaRead.liveDataFiles(spark, dir)
     if (live.size <= buckets) return
-    val schema = DeltaRead.tableSchema(spark, dir)
+    val fullSchema = DeltaRead.tableSchema(spark, dir)
+    val partCols = DeltaRead.partitionColumns(spark, dir)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      fullSchema.filterNot(f => partCols.contains(f.name)))
     val version = DeltaRead.latestVersion(dir) + 1
-    // one read of the whole live set feeds every bucket write — pin it
-    val cur = spark.read.schema(schema).parquet(live.map(_._1): _*)
-      .localCheckpoint()
-    val withB = cur.withColumn("__graft_b",
-      pmod(xxhash64(uniqueKey.map(col): _*), lit(buckets)))
-    val parts = (0 until buckets).map(b =>
-      f"opt-$version%05d-$b%03d.parquet" ->
-        withB.filter(col("__graft_b") === b).drop("__graft_b"))
-      .filter(_._2.limit(1).count() > 0)
-    commit(dir, version, adds = parts, removes = live.map(_._2),
-      dataChange = false)
+    requireNextVersion(dir, version)
+    // partition dirs + values come from the LIVE set's log metadata —
+    // no distinct job needed; rows route to their file's pdir via a
+    // broadcast file→pdir map
+    val pdirOfFile: Map[String, String] = live.map(f =>
+      f.rel -> pvDirOf(partCols, f.partitionValues)).toMap
+    val pdirPv: Map[String, Map[String, String]] = live.map(f =>
+      pvDirOf(partCols, f.partitionValues) -> f.partitionValues).toMap
+    val perPart = math.max(1, buckets / math.max(1, pdirPv.size))
+    val keysData = uniqueKey.filterNot(partCols.contains)
+    val bucketCol =
+      if (keysData.isEmpty) lit(0L)
+      else pmod(xxhash64(keysData.map(col): _*), lit(perPart))
+    val cur = spark.read.schema(dataSchema).parquet(live.map(_.abs): _*)
+      .withColumn("__graft_file", col("_metadata.file_path"))
+    val hconf = spark.sessionState.newHadoopConf()
+    def qualified(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).makeQualified(hp).toString
+    }
+    val pdirOfQualified: Map[String, String] = live.map(f =>
+      qualified(f.abs) -> pdirOfFile(f.rel)).toMap
+    import org.apache.spark.sql.functions.{element_at, typedlit}
+    val name = format_string(f"opt-$version%05d-%%03d.parquet", bucketCol)
+    val target =
+      if (partCols.isEmpty) name
+      else concat(
+        element_at(typedlit(pdirOfQualified), col("__graft_file")),
+        lit("/"), name)
+    // ONE staged write materializes every bucket of every partition —
+    // empty buckets never probe, never materialize
+    val tagged = cur.withColumn("__graft_target", target).drop("__graft_file")
+    val staged = stageWrite(dir, tagged)
+    val stats = statsFor(spark, dir, staged.map(_._1), dataSchema)
+    def pvOfRel(rel: String): Map[String, String] =
+      if (partCols.isEmpty) Map.empty
+      else pdirPv(rel.split('/').dropRight(1).mkString("/"))
+    val lines =
+      staged.map { case (rel, size) =>
+        addLine(rel, pvOfRel(rel), size, stats.get(rel), dataChange = false) } ++
+      live.map(f => removeLine(f.logPath, f.partitionValues,
+        dataChange = false))
+    writeCommitFile(dir, version, lines)
   }
 
   /** Full-refresh CTAS into a Delta table: ONE atomic commit makes
     * `df` the whole table — the first commit creates it, later ones
     * remove every live file and add the new rows, so prior states
     * stay time-travelable (Delta `CREATE OR REPLACE` semantics).
-    * Returns the rows written.
+    * `partitionBy` names identity partition columns: one data file per
+    * partition-value combo (partition columns live in the log's
+    * `partitionValues`, not the data files), written in ONE staged
+    * job. Schema, partitioning and `configuration` changes against an
+    * existing table re-emit a `metaData` action in the same commit
+    * (CREATE OR REPLACE changes table properties — they are never
+    * silently dropped). Returns the rows written.
     */
   def replace(spark: org.apache.spark.sql.SparkSession, dir: String,
       df0: DataFrame,
-      configuration: Map[String, String] = Map.empty): Long = {
+      configuration: Map[String, String] = Map.empty,
+      partitionBy: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    partitionBy.foreach(p => require(df0.columns.contains(p),
+      s"partition column '$p' is not a df column (${df0.columns.mkString(",")})"))
     val df = df0.localCheckpoint()
     val n = df.count()
     val logDir = java.nio.file.Paths.get(dir, "_delta_log")
-    if (!java.nio.file.Files.isDirectory(logDir))
-      commit(dir, 0L, Seq("part-00000-v0.parquet" -> df),
-        configuration = configuration)
-    else {
-      val version = DeltaRead.latestVersion(dir) + 1
-      val live = DeltaRead.liveDataFiles(spark, dir)
-      commit(dir, version,
-        adds = Seq(f"replace-$version%05d.parquet" -> df),
-        removes = live.map(_._2))
+    val exists = java.nio.file.Files.isDirectory(logDir)
+    val version = if (!exists) 0L else DeltaRead.latestVersion(dir) + 1
+    requireNextVersion(dir, version)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      df.schema.filterNot(f => partitionBy.contains(f.name)))
+    // metaData rides the commit at creation, and again whenever
+    // schema/partitioning/properties change (the replace contract)
+    val metaNeeded: Option[(org.apache.spark.sql.types.StructType,
+        Seq[String], Map[String, String])] =
+      if (!exists) Some((df.schema, partitionBy, configuration))
+      else {
+        val state = DeltaRead.tableSchema(spark, dir)
+        val curPcs = DeltaRead.partitionColumns(spark, dir)
+        val curCfg = DeltaRead.tableConfiguration(spark, dir)
+        val mergedCfg = curCfg ++ configuration
+        if (state.fields.map(f => (f.name, f.dataType)).toSeq !=
+            df.schema.fields.map(f => (f.name, f.dataType)).toSeq ||
+            curPcs != partitionBy || mergedCfg != curCfg)
+          Some((df.schema, partitionBy, mergedCfg))
+        else None
+      }
+    val removes: Seq[String] =
+      if (!exists) Nil
+      else DeltaRead.liveDataFiles(spark, dir).map(f =>
+        removeLine(f.logPath, f.partitionValues, dataChange = true))
+    val lines = scala.collection.mutable.ListBuffer.empty[String]
+    if (version == 0L) lines += protocolLine
+    metaNeeded.foreach { case (s, p, c) => lines += metaDataLine(s, p, c) }
+    if (n > 0 && partitionBy.isEmpty) {
+      val name = f"replace-$version%05d.parquet"
+      val size = writeOne(df, dir, name)
+      lines += addLine(name, Map.empty, size, Some(statsJson(df)),
+        dataChange = true)
+    } else if (n > 0) {
+      val (tagged0, pdirPv) = withPdir(df, partitionBy)
+      val tagged = tagged0
+        .withColumn("__graft_target", concat(col("__graft_pdir"),
+          lit(f"/replace-$version%05d.parquet")))
+        .drop("__graft_pdir").drop(partitionBy: _*)
+      val staged = stageWrite(dir, tagged)
+      val stats = statsFor(spark, dir, staged.map(_._1), dataSchema)
+      staged.foreach { case (rel, size) =>
+        val pdir = rel.split('/').dropRight(1).mkString("/")
+        lines += addLine(rel, pdirPv(pdir), size, stats.get(rel),
+          dataChange = true)
+      }
     }
+    lines ++= removes
+    if (lines.nonEmpty) writeCommitFile(dir, version, lines.toSeq)
     n
   }
 
@@ -284,94 +651,282 @@ object DeltaWrite {
       enableCdf: Boolean = false,
       checkpointInterval: Int = 10,
       maxLiveFiles: Int = 32,
-      txn: Option[(String, Long)] = None): Long = {
-    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+      txn: Option[(String, Long)] = None,
+      // identity partition columns (creation only — later merges read
+      // the table's own partitionColumns; non-empty must match)
+      partitionBy: Seq[String] = Nil,
+      // true = a batch whose schema EXTENDS the table's (new columns
+      // appended) evolves the table schema in the merge commit
+      // (dbt's on_schema_change=append_new_columns); carried files
+      // surface NULL for the new columns via parquet schema-on-read
+      allowEvolution: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, concat, element_at, format_string, lit, pmod, typedlit, xxhash64}
     require(uniqueKey.nonEmpty, "merge needs at least one key column")
     uniqueKey.foreach(k => require(batch0.columns.contains(k),
       s"merge key '$k' is not a batch column (${batch0.columns.mkString(",")})"))
+    partitionBy.foreach(p => require(batch0.columns.contains(p),
+      s"partition column '$p' is not a batch column (${batch0.columns.mkString(",")})"))
     val logDir = java.nio.file.Paths.get(dir, "_delta_log")
-    // the batch feeds several jobs (touched-file probe, per-file
-    // rewrites, the upsert file) — pin it once
+    // the batch feeds several jobs (touched-file probe, the staged
+    // rewrite+upsert write, CDF frames) — pin it once
     val batch = batch0.localCheckpoint()
+
     if (!java.nio.file.Files.isDirectory(logDir)) {
-      val withB = batch.withColumn("__graft_b",
-        pmod(xxhash64(uniqueKey.map(col): _*), lit(buckets)))
-      val parts = (0 until buckets).map(b =>
-        f"part-$b%05d-v0.parquet" ->
-          withB.filter(col("__graft_b") === b).drop("__graft_b"))
-        .filter(_._2.limit(1).count() > 0)
-      // a creation commit is add-only — derived CDF reads it as pure
-      // inserts, which is exact, so no cdc action is needed here
-      commit(dir, 0L,
-        if (parts.nonEmpty) parts else Seq("part-00000-v0.parquet" -> batch),
-        configuration =
-          if (enableCdf) Map("delta.enableChangeDataFeed" -> "true")
-          else Map.empty,
-        txn = txn)
-      batch.count()
+      // ---- creation: ONE staged job hash-buckets the batch into up
+      // to `buckets` files (per partition when partitioned), bounding
+      // later rewrite units. A creation commit is add-only — derived
+      // CDF reads it as pure inserts, which is exact.
+      val config =
+        if (enableCdf) Map("delta.enableChangeDataFeed" -> "true")
+        else Map.empty[String, String]
+      val n = batch.count()
+      if (n == 0) {
+        // legal empty-table creation: protocol + metaData only
+        writeCommitFile(dir, 0L, Seq(protocolLine,
+          metaDataLine(batch.schema, partitionBy, config)) ++
+          txn.map(txnLine))
+        return 0L
+      }
+      requireNextVersion(dir, 0L)
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        batch.schema.filterNot(f => partitionBy.contains(f.name)))
+      val (tagged, pdirPv) =
+        if (partitionBy.isEmpty) {
+          val b = pmod(xxhash64(uniqueKey.map(col): _*), lit(buckets))
+          (batch.withColumn("__graft_target",
+            format_string("part-%05d-v0.parquet", b)),
+            Map("" -> Map.empty[String, String]))
+        } else {
+          val (bp, pdirPv0) = withPdir(batch, partitionBy)
+          val keysData = uniqueKey.filterNot(partitionBy.contains)
+          val perPart = math.max(1, buckets / math.max(1, pdirPv0.size))
+          val b = if (keysData.isEmpty) lit(0L)
+            else pmod(xxhash64(keysData.map(col): _*), lit(perPart))
+          (bp.withColumn("__graft_target",
+            concat(col("__graft_pdir"), lit("/"),
+              format_string("part-%05d-v0.parquet", b)))
+            .drop("__graft_pdir").drop(partitionBy: _*), pdirPv0)
+        }
+      val staged = stageWrite(dir, tagged)
+      val stats = statsFor(spark, dir, staged.map(_._1), dataSchema)
+      val lines = Seq(protocolLine,
+        metaDataLine(batch.schema, partitionBy, config)) ++
+        staged.map { case (rel, size) =>
+          val pdir = rel.split('/').dropRight(1).mkString("/")
+          addLine(rel, pdirPv(pdir), size, stats.get(rel),
+            dataChange = true)
+        } ++ txn.map(txnLine)
+      writeCommitFile(dir, 0L, lines)
+      n
     } else {
+      // ---- existing table: rewrite exactly the touched files +
+      // append the batch, in ONE staged job and ONE atomic commit
       val tableSchema = DeltaRead.tableSchema(spark, dir)
-      require(batch.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-        tableSchema.fields.map(f => (f.name, f.dataType)).toSeq,
-        s"merge batch schema ${batch.schema.simpleString} != table " +
-          s"schema ${tableSchema.simpleString} (schema evolution " +
-          s"unsupported): $dir")
+      val partCols = DeltaRead.partitionColumns(spark, dir)
+      require(partitionBy.isEmpty || partitionBy == partCols,
+        s"merge partitionBy ${partitionBy.mkString(",")} != table " +
+          s"partitioning ${partCols.mkString(",")}: $dir")
+      val tf = tableSchema.fields.map(f => (f.name, f.dataType)).toSeq
+      val bf = batch.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val evolves = bf != tf
+      if (evolves) {
+        require(allowEvolution && bf.startsWith(tf),
+          s"merge batch schema ${batch.schema.simpleString} != table " +
+            s"schema ${tableSchema.simpleString} (schema evolution " +
+            (if (allowEvolution) "supports appended columns only"
+             else "disabled — pass allowEvolution to append new columns") +
+            s"): $dir")
+      }
+      val fullSchema = if (evolves) batch.schema else tableSchema
       // an empty batch commits nothing — otherwise every no-op
-      // schedule grows the log by one empty file forever
-      if (batch.isEmpty) return 0L
+      // schedule grows the log by one empty file forever (count once
+      // on the pinned batch; it is also the return value)
+      val n = batch.count()
+      if (n == 0) return 0L
       val version = DeltaRead.latestVersion(dir) + 1
+      requireNextVersion(dir, version)
       val live = DeltaRead.liveDataFiles(spark, dir)
       val hconf = spark.sessionState.newHadoopConf()
       def qualified(p: String): String = {
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(hconf).makeQualified(hp).toString
       }
-      val relOf: Map[String, String] =
-        live.map { case (abs, rel) => qualified(abs) -> rel }.toMap
-      val cur = spark.read.schema(tableSchema)
-        .parquet(live.map(_._1): _*)
-        .withColumn("__graft_file", col("_metadata.file_path"))
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        fullSchema.filterNot(f => partCols.contains(f.name)))
+
+      // PARTITION PRUNING for the touched-file probe: only live files
+      // whose partition values can equal a batch partition combo can
+      // hold a matched key. Values compare in FileSkipping's
+      // normalized domain (serialization-format differences between
+      // writers never mis-prune); unparseable values keep the file —
+      // conservative, correctness never depends on pruning.
+      val (batchP, pdirPvBatch) =
+        if (partCols.isEmpty)
+          (batch.withColumn("__graft_pdir", lit("")),
+            Map("" -> Map.empty[String, String]))
+        else withPdir(batch, partCols)
+      def normPv(pv: Map[String, String], c: String): Option[Option[Any]] = {
+        val raw = pv.getOrElse(c, null)
+        if (raw == null) Some(None)
+        else FileSkipping.normStat(raw, fullSchema(c).dataType) match {
+          case Some(v) => Some(Some(v))
+          case None => None // unparseable → unknown
+        }
+      }
+      val batchPvNorm: Set[Seq[Option[Option[Any]]]] =
+        pdirPvBatch.values.map(pv => partCols.map(c => normPv(pv, c))).toSet
+      val pruned =
+        if (partCols.isEmpty) live
+        else live.filter { f =>
+          val key = partCols.map(c => normPv(f.partitionValues, c))
+          key.exists(_.isEmpty) || batchPvNorm.contains(key)
+        }
+
+      val liveByQualified: Map[String, DeltaRead.LiveFile] =
+        pruned.map(f => qualified(f.abs) -> f).toMap
+      // cur: the pruned live rows with their source file, partition
+      // dir, and (for partitioned tables) the partition columns
+      // re-attached from the log's authoritative values via a
+      // broadcast file-map — data files do not store partition columns
+      val cur: DataFrame =
+        if (pruned.isEmpty) {
+          val schema = org.apache.spark.sql.types.StructType(
+            dataSchema.fields ++
+              partCols.map(c => fullSchema(c)) ++ Seq(
+              org.apache.spark.sql.types.StructField("__graft_file",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("__graft_pdir",
+                org.apache.spark.sql.types.StringType)))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        } else {
+          val cur0 = spark.read.schema(dataSchema)
+            .parquet(pruned.map(_.abs): _*)
+            .withColumn("__graft_file", col("_metadata.file_path"))
+          if (partCols.isEmpty) cur0.withColumn("__graft_pdir", lit(""))
+          else {
+            val pvSchema = org.apache.spark.sql.types.StructType(
+              org.apache.spark.sql.types.StructField("__graft_file",
+                org.apache.spark.sql.types.StringType) +:
+              org.apache.spark.sql.types.StructField("__graft_pdir",
+                org.apache.spark.sql.types.StringType) +:
+              partCols.map(c => org.apache.spark.sql.types.StructField(
+                s"__graft_pv_$c", org.apache.spark.sql.types.StringType)))
+            val pvRows = pruned.map(f => org.apache.spark.sql.Row.fromSeq(
+              qualified(f.abs) +: pvDirOf(partCols, f.partitionValues) +:
+                partCols.map(c => f.partitionValues.getOrElse(c, null))))
+            val pvDf = spark.createDataFrame(
+              spark.sparkContext.parallelize(pvRows, 1), pvSchema)
+            partCols.foldLeft(
+                cur0.join(broadcast(pvDf), Seq("__graft_file")))((df, c) =>
+              df.withColumn(c, col(s"`__graft_pv_$c`")
+                .cast(fullSchema(c).dataType)))
+              .drop(partCols.map(c => s"__graft_pv_$c"): _*)
+          }
+        }
+
       val touched = cur.join(batch, uniqueKey, "left_semi")
         .select("__graft_file").distinct()
         .collect().map(_.getString(0)).toSeq.sorted
-      val rewrites = touched.zipWithIndex.map { case (f, i) =>
-        f"rw-$version%05d-$i%03d.parquet" ->
-          cur.filter(col("__graft_file") === f)
-            .join(batch, uniqueKey, "left_anti").drop("__graft_file")
-      }.filter(_._2.limit(1).count() > 0)
+      val touchedFiles = touched.map(f => liveByQualified.getOrElse(f,
+        sys.error(s"touched file $f missing from the live map: $dir")))
+      // rewrite target per touched file: same partition dir, fresh name
+      val rwRelOf: Map[String, String] =
+        touched.zipWithIndex.map { case (f, i) =>
+          val lf = liveByQualified(f)
+          val pdir = pvDirOf(partCols, lf.partitionValues)
+          f -> (if (pdir.isEmpty) f"rw-$version%05d-$i%03d.parquet"
+                else f"$pdir/rw-$version%05d-$i%03d.parquet")
+        }.toMap
+      val rwPv: Map[String, Map[String, String]] =
+        touchedFiles.map(lf =>
+          rwRelOf(qualified(lf.abs)) -> lf.partitionValues).toMap
+
+      // ---- ONE staged job: every rewrite file + every upsert file.
+      // All-rows-matched rewrites stage zero rows and become bare
+      // removes — no per-file emptiness probes.
+      val rwTagged =
+        if (touched.isEmpty) None
+        else Some(cur.filter(col("__graft_file").isin(touched: _*))
+          .join(batch.select(uniqueKey.map(col): _*), uniqueKey, "left_anti")
+          .withColumn("__graft_target",
+            element_at(typedlit(rwRelOf), col("__graft_file")))
+          .drop("__graft_file").drop("__graft_pdir")
+          .drop(partCols: _*))
+      val upTagged = batchP
+        .withColumn("__graft_target",
+          if (partCols.isEmpty) lit(f"upsert-$version%05d.parquet")
+          else concat(col("__graft_pdir"),
+            lit(f"/upsert-$version%05d.parquet")))
+        .drop("__graft_pdir").drop(partCols: _*)
+      // evolution: rewrites read with the NEW data schema (old files
+      // surface NULL for appended columns), so both sides align
+      val tagged = rwTagged.fold(upTagged)(_.unionByName(upTagged))
+      val staged = stageWrite(dir, tagged)
+      val stats = statsFor(spark, dir, staged.map(_._1), dataSchema)
+      def pvOfRel(rel: String): Map[String, String] =
+        rwPv.getOrElse(rel, {
+          val pdir = rel.stripPrefix("_change_data/")
+            .split('/').dropRight(1).mkString("/")
+          pdirPvBatch.getOrElse(pdir, sys.error(
+            s"staged file $rel maps to no known partition: $dir"))
+        })
+
       // A MERGE commit on a CDF-enabled table MUST carry cdc actions:
       // its add/remove actions rewrite whole files, so the derived
       // fallback would misreport every carried row of a touched file
-      // as deleted+inserted. The cdc file holds the TRUE row-level
+      // as deleted+inserted. The cdc files hold the TRUE row-level
       // changes: old values of matched keys (update_preimage), their
       // new values (update_postimage), and unmatched batch rows
-      // (insert) — O(touched + batch), like the merge itself.
+      // (insert) — O(touched + batch), like the merge itself, written
+      // in ONE staged job (partitioned tables get one cdc file per
+      // touched partition, with partitionValues on the cdc action).
       val cdfOn = DeltaRead.tableConfiguration(spark, dir)
         .getOrElse("delta.enableChangeDataFeed", "false") == "true"
-      val cdc = if (!cdfOn) Nil else {
+      val cdcStaged: Seq[(String, Long)] = if (!cdfOn) Nil else {
         val ct = "_change_type"
-        val cols = tableSchema.fieldNames.toSeq
+        val keyCols = uniqueKey.map(col)
         val curRows = cur.drop("__graft_file")
-        val pre = curRows.join(batch, uniqueKey, "left_semi")
+        val pre = curRows
+          .join(batch.select(keyCols: _*), uniqueKey, "left_semi")
           .withColumn(ct, lit("update_preimage"))
-        val post = batch.join(curRows.select(uniqueKey.map(col): _*),
-            uniqueKey, "left_semi")
+        val post = batchP
+          .join(curRows.select(keyCols: _*), uniqueKey, "left_semi")
           .withColumn(ct, lit("update_postimage"))
-        val ins = batch.join(curRows.select(uniqueKey.map(col): _*),
-            uniqueKey, "left_anti")
+        val ins = batchP
+          .join(curRows.select(keyCols: _*), uniqueKey, "left_anti")
           .withColumn(ct, lit("insert"))
-        Seq(f"_change_data/cdc-$version%05d.parquet" ->
-          pre.unionByName(post).unionByName(ins)
-            .select((cols :+ ct).map(col): _*))
+        val all = pre.unionByName(post, allowMissingColumns = true)
+          .unionByName(ins, allowMissingColumns = true)
+        val cdcTagged = all
+          .withColumn("__graft_target",
+            if (partCols.isEmpty)
+              lit(f"_change_data/cdc-$version%05d.parquet")
+            else concat(lit("_change_data/"), col("__graft_pdir"),
+              lit(f"/cdc-$version%05d.parquet")))
+          .drop("__graft_pdir").drop(partCols: _*)
+          .select((dataSchema.fieldNames.toSeq :+ ct :+ "__graft_target")
+            .map(col): _*)
+        stageWrite(dir, cdcTagged)
       }
-      commit(dir, version,
-        adds = rewrites :+ (f"upsert-$version%05d.parquet" -> batch),
-        removes = touched.map(f => relOf.getOrElse(f,
-          sys.error(s"touched file $f missing from the live map: $dir"))),
-        cdc = cdc, txn = txn)
-      // bound the FILE count too: each merge adds an upsert file, so
-      // an un-compacted table accretes O(merges) files — once the
-      // live set exceeds maxLiveFiles, one dataChange=false OPTIMIZE
+
+      val lines =
+        (if (evolves)
+          Seq(metaDataLine(fullSchema, partCols,
+            DeltaRead.tableConfiguration(spark, dir)))
+         else Nil) ++
+        staged.map { case (rel, size) =>
+          addLine(rel, pvOfRel(rel), size, stats.get(rel),
+            dataChange = true) } ++
+        touchedFiles.map(lf => removeLine(lf.logPath, lf.partitionValues,
+          dataChange = true)) ++
+        txn.map(txnLine) ++
+        cdcStaged.map { case (rel, size) =>
+          cdcLine(rel, pvOfRel(rel), size) }
+      writeCommitFile(dir, version, lines)
+      // bound the FILE count too: each merge adds upsert files, so an
+      // un-compacted table accretes O(merges) files — once the live
+      // set exceeds maxLiveFiles, one dataChange=false OPTIMIZE
       // commit re-buckets it back to O(buckets)
       if (maxLiveFiles > 0 &&
           DeltaRead.liveDataFiles(spark, dir).size > maxLiveFiles)
@@ -380,15 +935,19 @@ object DeltaWrite {
       // checkpoint + O(checkpointInterval) JSON commits, not O(history)
       if (checkpointInterval > 0 && version % checkpointInterval == 0)
         writeCheckpoint(spark, dir): Unit
-      batch.count()
+      n
     }
   }
 
   /** Checkpoint parquet schema (delta.io PROTOCOL.md checkpoint
     * format): one column per action type, exactly the fields this
-    * writer commits. Remove tombstones are intentionally absent —
-    * this writer stamps deletionTimestamp=0, so every tombstone is
-    * already expired under any retention clock.
+    * writer commits. Remove tombstones with a NON-ZERO
+    * deletionTimestamp re-emit into the checkpoint (the protocol
+    * requires retaining unexpired tombstones — another engine's
+    * VACUUM consults them after log cleanup); this writer's own
+    * tombstones stamp deletionTimestamp=0 and are always expired, so
+    * graft-written tables checkpoint without them (byte-deterministic
+    * fixtures preserved).
     */
   private val CheckpointSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
@@ -425,7 +984,12 @@ object DeltaWrite {
           StructField("pathOrInlineDv", StringType),
           StructField("offset", IntegerType),
           StructField("sizeInBytes", IntegerType),
-          StructField("cardinality", LongType)))))))))
+          StructField("cardinality", LongType))))))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType))))))
   }
 
   /** Write a single-file checkpoint of the CURRENT snapshot —
@@ -466,7 +1030,20 @@ object DeltaWrite {
         val ck = a.raw merge JObject(List(
           "dataChange" -> (JBool(false): JValue)))
         compact(render(JObject(List("add" -> (ck: JValue)))))
-      }
+      } ++
+      // UNEXPIRED remove tombstones (deletionTimestamp ≠ 0) must ride
+      // the checkpoint — the protocol's VACUUM-safety contract for
+      // externally-written tables; this writer's own tombstones stamp
+      // 0 (= always expired) and re-emit nothing
+      state.tombstones.toSeq
+        .filter { case (_, r) => (r \ "deletionTimestamp") match {
+          case JInt(n) => n != 0
+          case JLong(n) => n != 0L
+          case _ => false
+        } }
+        .sortBy(_._1)
+        .map { case (_, r) =>
+          compact(render(JObject(List("remove" -> r)))) }
     import spark.implicits._
     val df = spark.read.schema(CheckpointSchema).json(lines.toDS())
     writeOne(df, dir, s"_delta_log/$ckFile"): Unit
@@ -494,6 +1071,140 @@ object DeltaWrite {
     if (last.exists(_ >= batchId)) -1L
     else merge(spark, dir, batch, uniqueKey, buckets,
       txn = Some(appId -> batchId))
+  }
+
+  final case class VacuumResult(dataFilesDeleted: Long,
+      bytesDeleted: Long, logFilesDeleted: Long)
+
+  /** Retention GC for an exported Delta table (Delta `VACUUM` +
+    * log cleanup, retention = the newest checkpoint): deletes every
+    * file under the table root that no RETAINED log action references
+    * — superseded data files, orphaned DV sidecars, and `_change_data`
+    * files of pre-checkpoint commits — plus the pre-checkpoint commit
+    * JSON and older checkpoints. A checkpoint at the latest version is
+    * written first when absent, so the retained window is exactly
+    * [newest checkpoint, latest]. Kept (conservative): the live set
+    * and its DV sidecars, every file any retained commit's
+    * add/remove/cdc action names (CDF over the retained range stays
+    * readable — derived deletes re-read removed files), and UNEXPIRED
+    * remove tombstones' files (deletionTimestamp ≠ 0: another engine
+    * may still read them).
+    *
+    * After vacuum, time travel to a pre-checkpoint version REFUSES
+    * LOUDLY (its commit JSON is gone → "version does not exist"), and
+    * `readChanges` over a vacuumed range refuses with "commits
+    * absent" — never a silent empty scan. The current snapshot is
+    * byte-identical (test-asserted).
+    *
+    * Race guard (mirrors the warehouse `vacuum`): the log is re-read
+    * after candidate collection and the vacuum aborts if another
+    * writer committed in between — single-writer tables never hit it.
+    */
+  def vacuum(spark: org.apache.spark.sql.SparkSession,
+      dir: String): VacuumResult = {
+    val log0 = DeltaRead.openLog(dir)
+    require(log0.commits.nonEmpty, s"empty Delta log: $dir")
+    val latest = log0.commits.last
+    if (!(log0.singles.contains(latest) || log0.multiparts.contains(latest)))
+      writeCheckpoint(spark, dir): Unit
+    val boundary = latest
+    val log = DeltaRead.openLog(dir)
+    val state = DeltaRead.stateAt(spark, log, None)
+    def norm(p: String): java.nio.file.Path =
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize()
+    val referenced = scala.collection.mutable.Set.empty[java.nio.file.Path]
+    def refDv(dv: Option[DeletionVectors.Descriptor]): Unit =
+      dv.filter(_.storageType == "u").foreach(d =>
+        referenced += norm(DeletionVectors.dvFileLocation(dir, d)))
+    state.adds.values.foreach { f =>
+      referenced += norm(DeltaRead.absPath(dir, f.path))
+      refDv(f.dv)
+    }
+    // unexpired tombstones (external writers): their files survive
+    state.tombstones.values.foreach { r =>
+      val unexpired = (r \ "deletionTimestamp") match {
+        case JInt(n) => n != 0
+        case JLong(n) => n != 0L
+        case _ => false
+      }
+      if (unexpired) (r \ "path") match {
+        case JString(p) => referenced += norm(DeltaRead.absPath(dir, p))
+        case _ =>
+      }
+    }
+    // every path a RETAINED commit's actions name stays readable:
+    // cdc actions name their _change_data files, and — only when CDF
+    // is enabled, since readChanges refuses otherwise — derived CDF
+    // re-reads REMOVED files for delete rows
+    val cdfOn = state.configuration
+      .getOrElse("delta.enableChangeDataFeed", "false") == "true"
+    val kinds = if (cdfOn) Seq("add", "remove", "cdc") else Seq("add", "cdc")
+    log.commits.filter(_ >= boundary).foreach { v =>
+      val text = java.nio.file.Files.readString(
+        log.logDir.resolve(f"$v%020d.json"))
+      text.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
+        val j = org.json4s.jackson.JsonMethods.parse(line)
+        kinds.foreach { kind =>
+          (j \ kind \ "path") match {
+            case JString(p) =>
+              referenced += norm(DeltaRead.absPath(dir, p))
+              refDv(DeltaRead.dvOf(j \ kind))
+            case _ =>
+          }
+        }
+      }
+    }
+    val root = java.nio.file.Paths.get(dir).toAbsolutePath.normalize()
+    val logRoot = root.resolve("_delta_log")
+    import scala.jdk.CollectionConverters._
+    def listFiles(): Seq[java.nio.file.Path] = {
+      val w = java.nio.file.Files.walk(root)
+      try w.iterator().asScala.filter(p =>
+        java.nio.file.Files.isRegularFile(p) && !p.startsWith(logRoot))
+        .toSeq
+      finally w.close()
+    }
+    val candidates = listFiles().filterNot(p =>
+      referenced.contains(p.toAbsolutePath.normalize()))
+    // race guard: abort if another writer committed since we planned
+    require(DeltaRead.openLog(dir).commits.last == latest,
+      s"concurrent commit during vacuum — aborting without deleting: $dir")
+    var bytes = 0L
+    candidates.foreach { p =>
+      bytes += java.nio.file.Files.size(p)
+      java.nio.file.Files.delete(p)
+    }
+    // drop now-empty directories (deepest first), never the root/log
+    locally {
+      val w = java.nio.file.Files.walk(root)
+      val dirs = try w.iterator().asScala.filter(p =>
+        java.nio.file.Files.isDirectory(p) && p != root &&
+          !p.startsWith(logRoot)).toSeq
+      finally w.close()
+      dirs.sortBy(_.getNameCount)(Ordering[Int].reverse).foreach { d =>
+        val s = java.nio.file.Files.list(d)
+        val empty = try !s.iterator().hasNext finally s.close()
+        if (empty) java.nio.file.Files.delete(d)
+      }
+    }
+    // log cleanup: pre-checkpoint commit JSON and older checkpoints
+    var logDeleted = 0L
+    log.commits.filter(_ < boundary).foreach { v =>
+      java.nio.file.Files.delete(log.logDir.resolve(f"$v%020d.json"))
+      logDeleted += 1
+    }
+    log.singles.filter(_ < boundary).foreach { v =>
+      java.nio.file.Files.delete(
+        log.logDir.resolve(f"$v%020d.checkpoint.parquet"))
+      logDeleted += 1
+    }
+    log.multiparts.filter(_._1 < boundary).foreach { case (_, parts) =>
+      parts.foreach { p =>
+        java.nio.file.Files.delete(log.logDir.resolve(p))
+        logDeleted += 1
+      }
+    }
+    VacuumResult(candidates.size.toLong, bytes, logDeleted)
   }
 
   /** Commit `version`: attach a deletion vector masking `rowIndexes`

@@ -1072,4 +1072,224 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
       (2L, "y", "A", "update_preimage", 2L),
       (2L, "Y2", "A", "update_postimage", 2L)), s"mapped CDF wrong: $got")
   }
+
+  // ---- partitioned writes / staged single-job rewrites / vacuum ----
+
+  private def fileBytes(p: java.nio.file.Path): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val w = java.nio.file.Files.walk(p)
+    try w.iterator().asScala
+      .filter(f => java.nio.file.Files.isRegularFile(f) &&
+        !f.startsWith(p.resolve("_delta_log")))
+      .map(f => p.relativize(f).toString -> java.nio.file.Files.size(f))
+      .toMap
+    finally w.close()
+  }
+
+  test("partitioned merge: partitionValues land in the log, the final " +
+      "state round-trips, untouched partitions' files are untouched, " +
+      "and the merge commit only names the batch's partitions") {
+    val d = dir()
+    val base = Seq((1L, "A", 0.0), (2L, "A", 0.0), (3L, "B", 0.0),
+      (4L, "B", 0.0), (5L, "C", 0.0)).toDF("id", "seg", "bal")
+    DeltaWrite.merge(spark, d, base, Seq("id"), buckets = 6,
+      partitionBy = Seq("seg"))
+    assert(DeltaRead.readDeltaTable(spark, d).count() == 5)
+    val before = fileBytes(java.nio.file.Paths.get(d))
+    assert(before.keys.exists(_.startsWith("seg=B/")), before.keys.toSeq)
+    // merge touches only seg=A keys
+    DeltaWrite.merge(spark, d,
+      Seq((1L, "A", 10.0), (6L, "A", 60.0)).toDF("id", "seg", "bal"),
+      Seq("id"))
+    val after = fileBytes(java.nio.file.Paths.get(d))
+    before.filter(_._1.startsWith("seg=B/")).foreach { case (f, sz) =>
+      assert(after.get(f).contains(sz), s"untouched partition file $f moved")
+    }
+    before.filter(_._1.startsWith("seg=C/")).foreach { case (f, sz) =>
+      assert(after.get(f).contains(sz), s"untouched partition file $f moved")
+    }
+    // commit 1's file actions are confined to the batch's partition
+    val c1 = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      d, "_delta_log", "%020d.json".format(1)))
+    c1.linesIterator.filter(_.nonEmpty).foreach { line =>
+      val j = org.json4s.jackson.JsonMethods.parse(line)
+      Seq("add", "remove").foreach(k => (j \ k \ "path") match {
+        case org.json4s.JString(p) =>
+          assert(p.startsWith("seg=A/"), s"commit touched $p")
+        case _ =>
+      })
+    }
+    val got = DeltaRead.readDeltaTable(spark, d)
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "A", 10.0), (2L, "A", 0.0), (3L, "B", 0.0),
+      (4L, "B", 0.0), (5L, "C", 0.0), (6L, "A", 60.0)), got.toString)
+    // partition pruning of the probe is REAL: hide the untouched
+    // partitions' files — a probe that scanned them would throw
+    val hidden = fileBytes(java.nio.file.Paths.get(d)).keys
+      .filter(f => f.startsWith("seg=B/") || f.startsWith("seg=C/")).toSeq
+    hidden.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(d, f), java.nio.file.Paths.get(d, f + ".hide")))
+    DeltaWrite.merge(spark, d,
+      Seq((2L, "A", 20.0)).toDF("id", "seg", "bal"), Seq("id"))
+    hidden.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(d, f + ".hide"), java.nio.file.Paths.get(d, f)))
+    assert(DeltaRead.readDeltaTable(spark, d)
+      .filter(col("id") === 2).select("bal").as[Double].head() == 20.0)
+  }
+
+  test("partitioned merge + CDF: cdc files are partition-scoped and " +
+      "the change feed reads back with partition columns attached") {
+    val d = dir()
+    DeltaWrite.merge(spark, d,
+      Seq((1L, "A", 0.0), (2L, "B", 0.0)).toDF("id", "seg", "bal"),
+      Seq("id"), enableCdf = true, partitionBy = Seq("seg"))
+    DeltaWrite.merge(spark, d,
+      Seq((1L, "A", 1.5), (3L, "B", 3.5)).toDF("id", "seg", "bal"),
+      Seq("id"))
+    val chg = DeltaRead.readChanges(spark, d, 1L)
+      .select("id", "seg", "bal", "_change_type")
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(chg == Set(
+      (1L, "A", 0.0, "update_preimage"),
+      (1L, "A", 1.5, "update_postimage"),
+      (3L, "B", 3.5, "insert")), chg.toString)
+  }
+
+  test("partitioned replace: one staged job, per-partition files, " +
+      "log-attached partition values; a later replace re-emits " +
+      "metaData instead of silently dropping configuration") {
+    val d = dir()
+    val df = Seq((1L, "A"), (2L, "B"), (3L, "B")).toDF("id", "seg")
+    DeltaWrite.replace(spark, d, df, partitionBy = Seq("seg"))
+    val got = DeltaRead.readDeltaTable(spark, d)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "A"), (2L, "B"), (3L, "B")), got.toString)
+    // ADVICE fix: configuration on an existing table re-emits metaData
+    DeltaWrite.replace(spark, d, df,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"),
+      partitionBy = Seq("seg"))
+    assert(DeltaRead.tableConfiguration(spark, d)
+      .get("delta.enableChangeDataFeed").contains("true"),
+      "configuration change on replace was dropped")
+  }
+
+  test("merge schema evolution: allowEvolution appends new columns " +
+      "(carried files surface NULL); without the flag it fails loudly") {
+    val d = dir()
+    DeltaWrite.merge(spark, d,
+      Seq((1L, 1.0), (2L, 2.0)).toDF("id", "bal"), Seq("id"))
+    val evolved = Seq((2L, 20.0, "hi")).toDF("id", "bal", "note")
+    intercept[IllegalArgumentException](
+      DeltaWrite.merge(spark, d, evolved, Seq("id")))
+    DeltaWrite.merge(spark, d, evolved, Seq("id"), allowEvolution = true)
+    val got = DeltaRead.readDeltaTable(spark, d)
+      .orderBy("id").as[(Long, Double, Option[String])].collect().toSeq
+    assert(got == Seq((1L, 1.0, None), (2L, 20.0, Some("hi"))),
+      got.toString)
+  }
+
+  test("merge and optimize run O(1) Spark jobs, never O(files)") {
+    val d = dir()
+    // 12 live files, every one touched by the merge
+    DeltaWrite.merge(spark, d,
+      (1L to 24L).map(i => (i, 0.0)).toDF("id", "bal"),
+      Seq("id"), buckets = 12)
+    assert(DeltaRead.liveDataFiles(spark, d).size >= 10)
+    val sc = spark.sparkContext
+    // merge half the keys so most rewrites carry survivors (the live
+    // set stays >buckets and optimize below has real work)
+    sc.setJobGroup("graft-merge-jobs", "count merge jobs")
+    DeltaWrite.merge(spark, d,
+      (1L to 24L).filter(_ % 2 == 1).map(i => (i, i.toDouble))
+        .toDF("id", "bal"),
+      Seq("id"), buckets = 12, maxLiveFiles = 64)
+    val mergeJobs = sc.statusTracker.getJobIdsForGroup("graft-merge-jobs")
+    sc.clearJobGroup()
+    // AQE splits each shuffle query into several jobs, so the O(1)
+    // constant is ~11 (pin, count, probe, staged write, stats) — the
+    // pre-staging writer ran ~3 jobs PER FILE (36+ here)
+    assert(mergeJobs.length <= 14,
+      s"merge ran ${mergeJobs.length} jobs for ~12 touched files — " +
+        "the single-staged-write contract is broken")
+    assert(DeltaRead.liveDataFiles(spark, d).size > 4)
+    sc.setJobGroup("graft-opt-jobs", "count optimize jobs")
+    DeltaWrite.optimize(spark, d, Seq("id"), buckets = 4)
+    val optJobs = sc.statusTracker.getJobIdsForGroup("graft-opt-jobs")
+    sc.clearJobGroup()
+    assert(optJobs.length <= 6,
+      s"optimize ran ${optJobs.length} jobs — per-bucket probes are back")
+    assert(DeltaRead.liveDataFiles(spark, d).size <= 4)
+    val got = DeltaRead.readDeltaTable(spark, d)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(got == (1L to 24L).map(i =>
+      (i, if (i % 2 == 1) i.toDouble else 0.0)))
+  }
+
+  test("vacuum: superseded files GC'd, live snapshot byte-identical, " +
+      "pre-checkpoint time travel and CDF refuse loudly") {
+    val d = dir()
+    DeltaWrite.merge(spark, d,
+      (1L to 8L).map(i => (i, 0.0)).toDF("id", "bal"), Seq("id"))
+    (1 to 3).foreach(r => DeltaWrite.merge(spark, d,
+      (1L to 8L).map(i => (i, i * r.toDouble)).toDF("id", "bal"),
+      Seq("id")))
+    val liveBefore = DeltaRead.readDeltaTable(spark, d)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    val diskBefore = fileBytes(java.nio.file.Paths.get(d))
+    val res = DeltaWrite.vacuum(spark, d)
+    assert(res.dataFilesDeleted > 0 && res.bytesDeleted > 0,
+      s"nothing GC'd: $res")
+    val diskAfter = fileBytes(java.nio.file.Paths.get(d))
+    assert(diskAfter.size == diskBefore.size - res.dataFilesDeleted)
+    // live snapshot identical
+    val liveAfter = DeltaRead.readDeltaTable(spark, d)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(liveAfter == liveBefore, "vacuum changed the live snapshot")
+    // time travel to a vacuumed version refuses loudly
+    intercept[IllegalArgumentException](
+      DeltaRead.readDeltaTable(spark, d, versionAsOf = Some(0L)))
+    // every surviving data file is live (referenced by the last state)
+    val live = DeltaRead.liveDataFiles(spark, d).map(_.rel).toSet
+    assert(diskAfter.keySet == live,
+      s"unreferenced files survived: ${diskAfter.keySet -- live}")
+  }
+
+  test("checkpoints RETAIN unexpired remove tombstones (external " +
+      "writer, deletionTimestamp != 0) and stay tombstone-free for " +
+      "this writer's own always-expired removes") {
+    val d = dir()
+    DeltaWrite.commit(d, 0L, Seq(
+      "f0.parquet" -> Seq((1L, "a")).toDF("id", "v"),
+      "f1.parquet" -> Seq((2L, "b")).toDF("id", "v")))
+    // an external-style remove with a live retention clock
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(d, "_delta_log", "%020d.json".format(1)),
+      """{"remove":{"path":"f1.parquet","deletionTimestamp":1723680000000,"dataChange":true}}
+        |""".stripMargin)
+    DeltaWrite.writeCheckpoint(spark, d)
+    val ck = spark.read.parquet(
+      s"$d/_delta_log/${"%020d".format(1)}.checkpoint.parquet")
+    val removes = ck.filter(col("remove").isNotNull)
+      .select("remove.path", "remove.deletionTimestamp")
+      .as[(String, Long)].collect().toSeq
+    assert(removes == Seq(("f1.parquet", 1723680000000L)),
+      s"unexpired tombstone dropped from the checkpoint: $removes")
+    // replay THROUGH the checkpoint (delete the commit JSONs): the
+    // tombstone must keep masking f1
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(d, "_delta_log", "%020d.json".format(0)))
+    val got = DeltaRead.readDeltaTable(spark, d)
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a")), s"tombstone not replayed: $got")
+    // our own writer's tombstones (ts=0) checkpoint without remove rows
+    val d2 = dir()
+    DeltaWrite.merge(spark, d2, Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    DeltaWrite.merge(spark, d2, Seq((1L, "b")).toDF("id", "v"), Seq("id"))
+    val ckv = DeltaWrite.writeCheckpoint(spark, d2)
+    val ck2 = spark.read.parquet(
+      s"$d2/_delta_log/${"%020d".format(ckv)}.checkpoint.parquet")
+    assert(!ck2.columns.contains("remove") ||
+      ck2.filter(col("remove").isNotNull).count() == 0,
+      "expired tombstones leaked into a fixture checkpoint")
+  }
 }

@@ -2012,40 +2012,78 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     * matching interop reader — so an external Delta/Iceberg reader
     * sees exactly what the runner sees. Supported: `table` (atomic
     * CREATE-OR-REPLACE commit), `incremental merge` (copy-on-write
-    * MERGE, O(touched files + batch)), and for Iceberg additionally
-    * `incremental merge_on_read` (one equality-delete + data file per
-    * run, O(batch) — the v2 MoR contract); `full-refresh` replaces in
-    * one commit with history preserved (time travel). Other
-    * materializations and merge partitioning reject loudly.
-    * `on_schema_change` is not applied — the lakehouse merge writers
-    * already reject drift (full-refresh to evolve).
+    * MERGE, O(touched files + batch), `partition_by` honored —
+    * identity-partitioned tables with partition-pruned merges), and
+    * for Iceberg additionally `incremental merge_on_read` (one
+    * equality-delete + data file per run, O(batch) — the v2 MoR
+    * contract; unpartitioned); `full-refresh` replaces in one commit
+    * with history preserved (time travel).
+    * `on_schema_change` applies exactly as on graft-format models:
+    * `ignore` projects the batch onto the stored schema,
+    * `append_new_columns`/`sync_all_columns` evolve the lakehouse
+    * table for APPENDED columns (Delta metaData re-emission / Iceberg
+    * fresh field ids; carried files surface NULL), `fail` and any
+    * column DROP or retype reject loudly — never a silent behavior
+    * fork between file formats.
     */
   private def materializeLakehouse(m: Model, df: DataFrame,
       fullRefresh: Boolean): Long = {
     val dir = tablePath(m.name)
     val delta = m.fileFormat == "delta"
-    def replace(): Long =
-      if (delta) graft.sources.DeltaWrite.replace(spark, dir, df)
-      else graft.sources.IcebergWrite.replace(spark, dir, df)
     val exists = if (delta) isDeltaTable(m.name) else isIcebergTable(m.name)
+    def storedSchema: org.apache.spark.sql.types.StructType =
+      if (delta) graft.sources.DeltaRead.tableSchema(spark, dir)
+      else graft.sources.IcebergRead.snapshotState(dir, None).schema
+    // the dbt on_schema_change contract against the LAKEHOUSE table's
+    // own schema: returns the batch aligned to the evolved column
+    // order plus whether the table schema must extend
+    def applyOsc(osc: OnSchemaChange): (DataFrame, Boolean) =
+      if (!exists || fullRefresh) (df, false)
+      else {
+        val stored = storedSchema
+        val (evolved, batch0) = applySchemaChange(m.name, osc, stored, df)
+        val dropped = stored.fieldNames.filterNot(
+          evolved.fieldNames.contains(_))
+        require(dropped.isEmpty,
+          s"file_format=${m.fileFormat} on ${m.name}: lakehouse tables " +
+            s"cannot drop columns ${dropped.mkString(",")} " +
+            "(full-refresh to drop)")
+        val aligned = batch0.select(evolved.fieldNames.toIndexedSeq.map { c =>
+          if (batch0.columns.contains(c)) col(c)
+          else lit(null).cast(evolved(c).dataType).as(c)
+        }: _*)
+        (aligned, evolved.length > stored.length)
+      }
+    def replace(pb: Seq[String]): Long =
+      if (delta) graft.sources.DeltaWrite.replace(spark, dir, df,
+        partitionBy = pb)
+      else graft.sources.IcebergWrite.replace(spark, dir, df,
+        partitionBy = pb)
     val rows = m.materialization match {
-      case Materialization.Table => replace()
-      case Materialization.IncrementalMerge(keys, buckets, userParts, _) =>
-        require(userParts.isEmpty,
-          s"file_format=${m.fileFormat} merge on ${m.name}: user " +
-            "partitioning is unsupported (the lakehouse writers are " +
-            "unpartitioned)")
-        if (fullRefresh && exists) replace()
-        else if (delta)
-          graft.sources.DeltaWrite.merge(spark, dir, df, keys, buckets)
-        else graft.sources.IcebergWrite.merge(spark, dir, df, keys, buckets)
-      case Materialization.IncrementalMergeOnRead(keys, _, delCol)
+      case Materialization.Table => replace(Nil)
+      case Materialization.IncrementalMerge(keys, buckets, userParts, osc) =>
+        if (fullRefresh && exists) replace(userParts)
+        else {
+          val (batch, evolves) = applyOsc(osc)
+          if (delta)
+            graft.sources.DeltaWrite.merge(spark, dir, batch, keys,
+              buckets, partitionBy = userParts, allowEvolution = evolves)
+          else graft.sources.IcebergWrite.merge(spark, dir, batch, keys,
+            buckets, partitionBy = userParts, allowEvolution = evolves)
+        }
+      case Materialization.IncrementalMergeOnRead(keys, osc, delCol)
           if !delta =>
         require(delCol.isEmpty,
           s"file_format=iceberg merge_on_read on ${m.name}: CDC delete " +
             "columns are unsupported (upsert-only equality deletes)")
-        if (fullRefresh && exists) replace()
-        else graft.sources.IcebergWrite.mergeOnRead(spark, dir, df, keys)
+        if (fullRefresh && exists) replace(Nil)
+        else {
+          val (batch, evolves) = applyOsc(osc)
+          require(!evolves,
+            s"file_format=iceberg merge_on_read on ${m.name}: schema " +
+              "evolution is unsupported (full-refresh to evolve)")
+          graft.sources.IcebergWrite.mergeOnRead(spark, dir, batch, keys)
+        }
       case other => sys.error(
         s"file_format=${m.fileFormat} on ${m.name} supports 'table' and " +
           s"'incremental merge'" +

@@ -221,6 +221,95 @@ object Scans extends QueryGroup {
       graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
     }),
 
+    // The PARTITIONED dbt-spark merge: creation records partition
+    // columns in the Delta metaData (partition values live in the
+    // log, hive-style layout on disk), and each merge PRUNES its
+    // touched-file probe to the batch's partitions — untouched
+    // partitions' files are never read or rewritten (byte-identical,
+    // spec-asserted in DeltaSpec). Same CoW merge semantics, so the
+    // same oracle.
+    "mat_incremental_merge_delta_partitioned" -> ((s, d) => {
+      val dir = tmpDir("graft_mat_merge_delta_part")
+      val cust = Tables.customer(s, d)
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          lit(0.0).as("bal")),
+        Seq("c_custkey"), partitionBy = Seq("c_mktsegment"))
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").as("bal")),
+        Seq("c_custkey"))
+      graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
+    }),
+
+    // The Iceberg side of the partitioned merge: a REAL identity
+    // partition spec + manifest partition records; the merge prunes
+    // its probe on those records (IcebergSpec proves hidden foreign-
+    // partition files are never scanned).
+    "mat_incremental_merge_iceberg_partitioned" -> ((s, d) => {
+      val dir = tmpDir("graft_mat_merge_iceberg_part")
+      val cust = Tables.customer(s, d)
+      graft.sources.IcebergWrite.merge(s, dir,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          lit(0.0).as("bal")),
+        Seq("c_custkey"), partitionBy = Seq("c_mktsegment"))
+      graft.sources.IcebergWrite.merge(s, dir,
+        cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").as("bal")),
+        Seq("c_custkey"))
+      graft.sources.IcebergRead.readIcebergTable(s, dir)
+        .orderBy("c_custkey")
+    }),
+
+    // Retention GC on an exported Delta table: three merges leave
+    // superseded files + pre-checkpoint log JSON; vacuum() deletes
+    // them (spec-asserted bytes) and the LIVE snapshot — what this
+    // key reads — is unchanged. Time travel to vacuumed versions
+    // refuses loudly (DeltaSpec).
+    "mat_vacuum_delta" -> ((s, d) => {
+      val dir = tmpDir("graft_mat_vacuum_delta")
+      val cust = Tables.customer(s, d)
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          lit(0.0).as("bal")),
+        Seq("c_custkey"))
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").as("bal")),
+        Seq("c_custkey"))
+      val res = graft.sources.DeltaWrite.vacuum(s, dir)
+      require(res.dataFilesDeleted > 0,
+        s"vacuum GC'd nothing on a twice-merged table: $res")
+      graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
+    }),
+
+    // Snapshot retention GC on an exported Iceberg table
+    // (expire_snapshots): expired snapshots' manifests + data files
+    // are deleted, the current snapshot reads back identical, expired
+    // time travel refuses loudly (IcebergSpec).
+    "mat_expire_iceberg" -> ((s, d) => {
+      val dir = tmpDir("graft_mat_expire_iceberg")
+      val cust = Tables.customer(s, d)
+      graft.sources.IcebergWrite.merge(s, dir,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          lit(0.0).as("bal")),
+        Seq("c_custkey"))
+      graft.sources.IcebergWrite.merge(s, dir,
+        cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").as("bal")),
+        Seq("c_custkey"))
+      val res = graft.sources.IcebergWrite.expireSnapshots(s, dir,
+        keepLast = 1)
+      require(res.filesDeleted > 0,
+        s"expireSnapshots GC'd nothing on a twice-merged table: $res")
+      graft.sources.IcebergRead.readIcebergTable(s, dir)
+        .orderBy("c_custkey")
+    }),
+
     // A CDF-enabled Delta merge target: the merge commit carries cdc
     // actions with the TRUE row-level changes (pre/postimage/insert),
     // because its whole-file rewrites would make derived CDF
@@ -523,6 +612,29 @@ object Scans extends QueryGroup {
 
     // the merged-into-Delta final state must equal the CoW merge SQL
     "mat_incremental_merge_delta" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // partitioned/GC'd variants land on the same CoW-merge final
+    // state — partitioning and retention are storage strategies, not
+    // semantics
+    "mat_incremental_merge_delta_partitioned" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "mat_incremental_merge_iceberg_partitioned" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "mat_vacuum_delta" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "mat_expire_iceberg" ->
       """SELECT c_custkey, c_mktsegment,
         |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
         |FROM customer ORDER BY c_custkey""".stripMargin,

@@ -634,7 +634,7 @@ object DeltaRead {
     else stateAt(spark, openLog(path), None).txns.get(appId)
 
   /** The table's logical schema from the log's metaData action. */
-  private[sources] def tableSchema(spark: SparkSession, path: String): StructType = {
+  private[graft] def tableSchema(spark: SparkSession, path: String): StructType = {
     val state = stateAt(spark, openLog(path), None)
     DataType.fromJson(state.schemaJson.getOrElse(
       sys.error(s"Delta log has no metaData action: $path")))

@@ -256,7 +256,20 @@ object DeltaWrite {
   private[sources] def statsFor(spark: org.apache.spark.sql.SparkSession,
       dir: String, rels: Seq[String],
       dataSchema: org.apache.spark.sql.types.StructType)
-      : Map[String, String] = {
+      : Map[String, String] =
+    statsRawFor(spark, dir, rels, dataSchema).map { case (rel, (n, cols)) =>
+      rel -> statsJsonOf(n, cols) }
+
+  /** [[statsFor]]'s raw form: relative path → (rows, per primitive
+    * column (field, min, max, nullCount)) — the shape [[IcebergWrite]]
+    * encodes into manifest bounds.
+    */
+  private[sources] def statsRawFor(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, rels: Seq[String],
+      dataSchema: org.apache.spark.sql.types.StructType)
+      : Map[String, (Long,
+        Seq[(org.apache.spark.sql.types.StructField, Any, Any, Long)])] = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min, sum, when}
     import org.apache.spark.sql.types._
     if (rels.isEmpty) return Map.empty
@@ -288,7 +301,7 @@ object DeltaWrite {
         (f, row.get(2 + i * 3), row.get(3 + i * 3),
           if (n == 0) 0L else row.getLong(4 + i * 3))
       }
-      rel -> statsJsonOf(n, cols)
+      rel -> (n, cols)
     }.toMap
   }
 
@@ -375,8 +388,19 @@ object DeltaWrite {
     * is O(distinct partition combos) — the same driver-side
     * cardinality every lakehouse writer's planning holds.
     */
-  private def withPdir(df: DataFrame, partCols: Seq[String])
+  private[sources] def withPdir(df: DataFrame, partCols: Seq[String])
       : (DataFrame, Map[String, Map[String, String]]) = {
+    val (tagged, pdirPv, _) = withPdirTyped(df, partCols)
+    (tagged, pdirPv)
+  }
+
+  /** [[withPdir]] plus the TYPED distinct partition rows per pdir
+    * (IcebergWrite compares partition values in their native domain,
+    * not Delta's string serialization).
+    */
+  private[sources] def withPdirTyped(df: DataFrame, partCols: Seq[String])
+      : (DataFrame, Map[String, Map[String, String]],
+        Map[String, org.apache.spark.sql.Row]) = {
     import org.apache.spark.sql.functions.{broadcast, col}
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val spark = df.sparkSession
@@ -385,6 +409,11 @@ object DeltaWrite {
       val pv = partCols.zipWithIndex.map { case (c, i) =>
         c -> serializePv(r.get(i)) }.toMap
       pvDirOf(partCols, pv) -> pv
+    }.toMap
+    val pdirRow: Map[String, org.apache.spark.sql.Row] = pvRows.map { r =>
+      val pv = partCols.zipWithIndex.map { case (c, i) =>
+        c -> serializePv(r.get(i)) }.toMap
+      pvDirOf(partCols, pv) -> r
     }.toMap
     val mapSchema = StructType(partCols.map(c =>
       df.schema(c).copy(name = s"__graft_pj_$c")) :+
@@ -400,7 +429,7 @@ object DeltaWrite {
       col(s"`$c`") <=> col(s"`__graft_pj_$c`")).reduce(_ && _)
     val joined = df.join(broadcast(mapDf), cond)
       .drop(partCols.map(c => s"__graft_pj_$c"): _*)
-    (joined, pdirPv)
+    (joined, pdirPv, pdirRow)
   }
 
   /** Append commit `version`: write each `(fileName, rows)` as a data

@@ -49,7 +49,15 @@ object IcebergRead {
       seq: Long = 0L, equalityIds: Seq[Int] = Nil,
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
       upperBounds: Map[Int, Array[Byte]] = Map.empty,
-      nullCounts: Map[Int, Long] = Map.empty)
+      nullCounts: Map[Int, Long] = Map.empty,
+      // identity-partition values from the manifest's partition record
+      // (String/Int/Long or null; dates as epochDay Int) — re-emitted
+      // verbatim on manifest rewrites, compared canonically for the
+      // merge writer's partition pruning
+      partition: Map[String, Any] = Map.empty,
+      // manifest-recorded file size; carried entries re-emit it so a
+      // commit never re-stats O(files) on the filesystem
+      sizeBytes: Long = 0L)
 
   // ---- single-value (de)serialization for manifest column bounds
   // (iceberg spec Appendix D: little-endian numerics, UTF-8 strings,
@@ -243,7 +251,7 @@ object IcebergRead {
   /** Driver-side snapshot resolution: schema + live data/delete files
     * (shared with [[IcebergWrite]]'s carry-forward commit logic).
     */
-  private[sources] def snapshotState(path: String,
+  private[graft] def snapshotState(path: String,
       snapshotId: Option[Long]): SnapshotState = {
     val meta = JsonMethods.parse(
       java.nio.file.Files.readString(currentMetadataFile(path)))
@@ -308,6 +316,18 @@ object IcebergRead {
                   c.asScala.toSeq.map(_.asInstanceOf[Number].intValue)
                 case _ => Nil
               }
+              val partition: Map[String, Any] = raw(df, "partition") match {
+                case Some(pr: GenericRecord) =>
+                  import scala.jdk.CollectionConverters._
+                  pr.getSchema.getFields.asScala.map { f =>
+                    f.name -> (pr.get(f.name()) match {
+                      case null => null
+                      case u: org.apache.avro.util.Utf8 => u.toString
+                      case other => other
+                    })
+                  }.toMap
+                case _ => Map.empty
+              }
               val fe = DataFileEntry(
                 str(df, "file_path").getOrElse(
                   sys.error(s"data_file without file_path in $manPath")),
@@ -322,7 +342,9 @@ object IcebergRead {
                 upperBounds = intKeyedMap(df, "upper_bounds")
                   .map { case (k, v) => k -> bytesOf(v) },
                 nullCounts = intKeyedMap(df, "null_value_counts")
-                  .map { case (k, v) => k -> v.asInstanceOf[Number].longValue })
+                  .map { case (k, v) => k -> v.asInstanceOf[Number].longValue },
+                partition = partition,
+                sizeBytes = long(df, "file_size_in_bytes").getOrElse(0L))
               (manContent, fileContent) match {
                 case (0, 0) => dataFiles += fe
                 case (1, 1) => posDeletes += fe
@@ -348,6 +370,26 @@ object IcebergRead {
         SnapshotState(schema, dataFiles.toSeq, posDeletes.toSeq,
           eqDeletes.toSeq, fieldNameById)
     }
+  }
+
+  /** The table's identity-partition column names from the current
+    * metadata's default partition spec (empty = unpartitioned).
+    * Non-identity transforms reject loudly — this writer/reader pair
+    * implements identity partitioning only.
+    */
+  private[graft] def tablePartitionCols(path: String): Seq[String] = {
+    val meta = JsonMethods.parse(
+      java.nio.file.Files.readString(currentMetadataFile(path)))
+    val specId = (meta \ "default-spec-id").extractOpt[Int].getOrElse(0)
+    val spec = (meta \ "partition-specs").children.find(s =>
+      (s \ "spec-id").extractOpt[Int].contains(specId))
+    spec.toSeq.flatMap(s => (s \ "fields").children.map { f =>
+      val transform = (f \ "transform").extractOpt[String].getOrElse("identity")
+      require(transform == "identity",
+        s"Iceberg partition transform '$transform' unsupported " +
+          s"(identity only): $path")
+      (f \ "name").extract[String]
+    })
   }
 
   /** Current (or `snapshotId`) snapshot of the Iceberg table at

@@ -7,44 +7,74 @@ import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.JsonDSL._
 import org.json4s.jackson.JsonMethods
-import org.json4s.jackson.JsonMethods.{pretty, render}
+import org.json4s.jackson.JsonMethods.{compact, pretty, render}
 
 /** Minimal spec-correct Apache Iceberg COMMIT writer
   * (iceberg.apache.org/spec/, format-version 2, Hadoop-catalog
   * layout): enough of the write path to export a table other Iceberg
   * readers (and [[IcebergRead]]) can scan — `vN.metadata.json` +
   * `version-hint.text`, avro manifest lists and manifests, parquet
-  * data files, and v2 POSITION delete files. Unpartitioned,
-  * single-writer, each commit writes one fresh data manifest carrying
-  * the full live file set (added entries status=1, carried-forward
-  * status=0; files dropped by `removes` are simply not carried — the
+  * data files, v2 POSITION and EQUALITY delete files, IDENTITY
+  * partition specs (real `partition` records in the manifests,
+  * hive-style file layout, partition-pruned merges), schema evolution
+  * on merge (appended columns, fresh field ids past `last-column-id`),
+  * and snapshot retention GC ([[expireSnapshots]]). Single-writer;
+  * each commit writes one fresh data manifest carrying the full live
+  * file set (added entries status=1, carried-forward status=0; files
+  * dropped by `removes` are simply not carried — the
   * rewritten-manifest form the spec allows) plus one delete manifest
-  * when position/equality deletes exist. Two consumers:
-  * `PipelineRunner` routes `file_format=iceberg` models here
-  * ([[replace]] / [[merge]] / [[mergeOnRead]]), and it is the
-  * boundary adapter for exporting tables to tools that only speak
+  * when position/equality deletes exist. The multi-file write paths
+  * ([[merge]] / [[replace]] / [[optimize]]) stage every output file in
+  * ONE Spark job + ONE grouped stats job ([[DeltaWrite.stageWrite]] /
+  * [[DeltaWrite.statsRawFor]]) — job count never scales with file
+  * count. Two consumers: `PipelineRunner` routes `file_format=iceberg`
+  * models here ([[replace]] / [[merge]] / [[mergeOnRead]]), and it is
+  * the boundary adapter for exporting tables to tools that only speak
   * Iceberg.
   */
 object IcebergWrite {
 
-  private val EntrySchema = new org.apache.avro.Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |  {"name":"status","type":"int","field-id":0},
-      |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
-      |  {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
-      |  {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
-      |    {"name":"content","type":"int","field-id":134},
-      |    {"name":"file_path","type":"string","field-id":100},
-      |    {"name":"file_format","type":"string","field-id":101},
-      |    {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
-      |    {"name":"record_count","type":"long","field-id":103},
-      |    {"name":"file_size_in_bytes","type":"long","field-id":104},
-      |    {"name":"null_value_counts","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]}}],"default":null,"field-id":110},
-      |    {"name":"lower_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}],"default":null,"field-id":125},
-      |    {"name":"upper_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}],"default":null,"field-id":128},
-      |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
-      |  ]}}
-      |]}""".stripMargin)
+  private implicit val fmts: Formats = DefaultFormats
+
+  /** Manifest-entry avro schema with the partition record (r102)
+    * built for the table's identity partition columns — field ids
+    * 1000+ per the spec's partition-field numbering.
+    */
+  private def entrySchema(
+      partFields: Seq[(String, DataType)]): org.apache.avro.Schema = {
+    val partJson = partFields.zipWithIndex.map { case ((n, dt), i) =>
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"partition column '$n' is not a valid avro field name")
+      val t = dt match {
+        case StringType => "\"string\""
+        case IntegerType | ShortType | ByteType => "\"int\""
+        case LongType => "\"long\""
+        case DateType => "{\"type\":\"int\",\"logicalType\":\"date\"}"
+        case other => sys.error(
+          s"unsupported Iceberg partition type $other " +
+            "(string/int/long/date only)")
+      }
+      s"""{"name":"$n","type":["null",$t],"default":null,"field-id":${1000 + i}}"""
+    }.mkString(",")
+    new org.apache.avro.Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+        |  {"name":"status","type":"int","field-id":0},
+        |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+        |  {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+        |  {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+        |    {"name":"content","type":"int","field-id":134},
+        |    {"name":"file_path","type":"string","field-id":100},
+        |    {"name":"file_format","type":"string","field-id":101},
+        |    {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partJson]}},
+        |    {"name":"record_count","type":"long","field-id":103},
+        |    {"name":"file_size_in_bytes","type":"long","field-id":104},
+        |    {"name":"null_value_counts","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]}}],"default":null,"field-id":110},
+        |    {"name":"lower_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}],"default":null,"field-id":125},
+        |    {"name":"upper_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}],"default":null,"field-id":128},
+        |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
+        |  ]}}
+        |]}""".stripMargin)
+  }
 
   private val ListSchema = new org.apache.avro.Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -116,14 +146,58 @@ object IcebergWrite {
   private def fileUri(p: java.nio.file.Path): String =
     "file://" + p.toAbsolutePath.toString
 
+  private def localOf(uri: String): java.nio.file.Path = java.nio.file.Paths
+    .get("/" + uri.stripPrefix("file:").dropWhile(_ == '/'))
+
+  // a data file's table-relative path under data/ (removes and staged
+  // adds are matched on THIS, never on bare file names — partitioned
+  // tables repeat names like upsert-00002.parquet across partitions)
+  private def relOf(uri: String, dataDir: java.nio.file.Path): String =
+    dataDir.toAbsolutePath.relativize(
+      localOf(uri).toAbsolutePath).toString
+
+  /** A pre-written (staged) data file for [[commit]]'s internal
+    * callers: rows + raw column stats from ONE grouped job, plus the
+    * file's identity-partition record values (avro-ready:
+    * String/Int/Long/null; dates as epochDay Int).
+    */
+  private[sources] case class Staged(rel: String, rows: Long,
+      colStats: Seq[(StructField, Any, Any, Long)],
+      partition: Map[String, Any], size: Long)
+
+  /** Spark partition value → avro partition-record value. */
+  private def avroPv(v: Any): Any = v match {
+    case null => null
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+    case d: java.time.LocalDate => d.toEpochDay.toInt
+    case b: java.lang.Byte => b.intValue
+    case s: java.lang.Short => s.intValue
+    case other => other // Int / Long / String
+  }
+
+  /** Canonical comparison string for partition pruning: manifest
+    * record values and Spark row values meet in one domain (dates are
+    * epochDay on both sides).
+    */
+  private def canonicalPv(v: Any): String = avroPv(v) match {
+    case null => null
+    case other => other.toString
+  }
+
   /** Append commit: write each `(fileName, rows)` under `<dir>/data/`
     * as a live data file, drop previously-live files named in
-    * `removes`, mask `(dataFileName -> physical row positions)` via
-    * v2 position-delete files, and/or write a v2 EQUALITY delete
+    * `removes` (matched on the data-relative path), mask
+    * `(dataFileName -> physical row positions)` via v2 position-delete
+    * files, and/or write a v2 EQUALITY delete
     * (`equalityDelete = Some(columns -> valueRows)`) deleting every
     * earlier-sequence data row matching a value row on those
-    * top-level columns. Returns the new snapshot id. Timestamps are
-    * fixed at 0 so fixtures are byte-deterministic.
+    * top-level columns. `stagedAdds` registers files [[merge]] /
+    * [[replace]] / [[optimize]] already staged (with their stats and
+    * partition records) without re-writing them. `partitionBy` (first
+    * commit only) records an identity partition spec; `schemaEvolution`
+    * appends the new columns of the given schema with fresh field ids.
+    * Returns the new snapshot id. Timestamps are fixed at 0 so
+    * fixtures are byte-deterministic.
     */
   def commit(dir: String,
       adds: Seq[(String, DataFrame)],
@@ -135,8 +209,11 @@ object IcebergWrite {
       operation: String = "append",
       // true = do NOT carry prior delete files (compaction applied
       // them into the rewritten data)
-      dropDeletes: Boolean = false): Long = {
-    require(adds.nonEmpty || removes.nonEmpty ||
+      dropDeletes: Boolean = false,
+      stagedAdds: Seq[Staged] = Nil,
+      partitionBy: Seq[String] = Nil,
+      schemaEvolution: Option[StructType] = None): Long = {
+    require(adds.nonEmpty || removes.nonEmpty || stagedAdds.nonEmpty ||
       positionDeletes.nonEmpty || equalityDelete.nonEmpty,
       "empty Iceberg commit")
     val metaDir = java.nio.file.Paths.get(dir, "metadata")
@@ -149,55 +226,150 @@ object IcebergWrite {
       if (java.nio.file.Files.isRegularFile(hintFile))
         java.nio.file.Files.readString(hintFile).trim.toInt
       else 0
+    val creationSchema: Option[StructType] =
+      if (priorVersion > 0) None
+      else Some(adds.headOption.map(_._2.schema)
+        .orElse(stagedAdds.headOption.map(s =>
+          StructType(s.colStats.map(_._1))))
+        .getOrElse(sys.error(
+          "first Iceberg commit must add at least one file")))
     val prior =
-      if (priorVersion == 0) IcebergRead.SnapshotState(
-        adds.headOption.map(_._2.schema).getOrElse(
-          sys.error("first Iceberg commit must add at least one file")),
-        Nil, Nil)
+      if (priorVersion == 0)
+        IcebergRead.SnapshotState(creationSchema.get, Nil, Nil)
       else IcebergRead.snapshotState(dir, None)
     val snapshotId = priorVersion + 1L
     val seq = snapshotId
 
-    def localOf(uri: String): java.nio.file.Path = java.nio.file.Paths.get(
-      "/" + uri.stripPrefix("file:").dropWhile(_ == '/'))
+    // ---- canonical schema JSON: derived once at creation, REUSED
+    // (and possibly extended) from the prior metadata afterwards —
+    // field ids are immutable, never re-derived
+    val priorMetaJson: Option[JValue] =
+      if (priorVersion == 0) None
+      else Some(JsonMethods.parse(java.nio.file.Files.readString(
+        metaDir.resolve(s"v$priorVersion.metadata.json"))))
+    val (baseSchemaJson: JValue, baseLastColumnId: Int) =
+      priorMetaJson match {
+        case None =>
+          var id = 0
+          val next = () => { id += 1; id }
+          (icebergType(creationSchema.get, next), id)
+        case Some(pm) =>
+          val cur = (pm \ "current-schema-id").extractOpt[Int].getOrElse(0)
+          val schemas = (pm \ "schemas").children
+          val s = schemas.find(x =>
+            (x \ "schema-id").extractOpt[Int].contains(cur))
+            .getOrElse(schemas.last)
+          (s, (pm \ "last-column-id").extractOpt[Int].getOrElse {
+            // fallback: max id present in the schema JSON
+            def maxId(j: JValue): Int = j match {
+              case JObject(fs) => fs.map {
+                case (k, JInt(n)) if Set("id", "element-id", "key-id",
+                  "value-id").contains(k) => n.toInt
+                case (_, v) => maxId(v)
+              }.foldLeft(0)(math.max)
+              case JArray(xs) => xs.map(maxId).foldLeft(0)(math.max)
+              case _ => 0
+            }
+            maxId(s)
+          })
+      }
+    val (schemaJson: JValue, lastColumnId: Int, schemaId: Int,
+        priorSchemaJsons: List[JValue]) =
+      schemaEvolution match {
+        case None =>
+          val sid = (baseSchemaJson \ "schema-id").extractOpt[Int]
+            .getOrElse(0)
+          (baseSchemaJson, baseLastColumnId, sid, Nil)
+        case Some(newSchema) =>
+          val existing = (baseSchemaJson \ "fields").children
+            .map(f => (f \ "name").extract[String]).toSet
+          val added = newSchema.fields.filterNot(f => existing(f.name))
+          require(added.nonEmpty, "schemaEvolution without new columns")
+          var id = baseLastColumnId
+          val next = () => { id += 1; id }
+          val addedJson = added.toList.map { f =>
+            val fid = next()
+            ("id" -> fid) ~ ("name" -> f.name) ~
+              ("required" -> !f.nullable) ~
+              ("type" -> icebergType(f.dataType, next))
+          }
+          val newSid = (baseSchemaJson \ "schema-id").extractOpt[Int]
+            .getOrElse(0) + 1
+          val evolved = baseSchemaJson match {
+            case o: JObject =>
+              JObject(o.obj.map {
+                case ("fields", JArray(fs)) => "fields" -> JArray(fs ++ addedJson)
+                case ("schema-id", _) => "schema-id" -> JInt(newSid)
+                case other => other
+              })
+            case other => sys.error(s"struct schema expected, got $other")
+          }
+          (evolved, id, newSid,
+            priorMetaJson.map(pm => (pm \ "schemas").children).getOrElse(Nil))
+      }
+    val tableSchema: StructType = schemaEvolution.getOrElse(prior.schema)
 
     // top-level field name → Iceberg field id (the metadata schema's
-    // numbering; bounds and equality ids resolve through it)
-    val topIds: Map[String, Int] = {
-      implicit val fmts: Formats = DefaultFormats
-      var id = 0
-      val next = () => { id += 1; id }
-      val rendered = icebergType(prior.schema, next)
-      (rendered \ "fields").children.map(f =>
+    // numbering; bounds, equality ids and partition source ids resolve
+    // through it)
+    val topIds: Map[String, Int] =
+      (schemaJson \ "fields").children.map(f =>
         (f \ "name").extract[String] -> (f \ "id").extract[Int]).toMap
+
+    // ---- identity partition spec: recorded at creation, reused from
+    // the prior metadata afterwards
+    val (specFields: List[JValue], partCols: Seq[String]) =
+      priorMetaJson match {
+        case None =>
+          (partitionBy.zipWithIndex.toList.map { case (c, i) =>
+            (("name" -> c) ~ ("transform" -> "identity") ~
+              ("source-id" -> topIds.getOrElse(c, sys.error(
+                s"partition column '$c' is not a top-level column"))) ~
+              ("field-id" -> (1000 + i))): JValue
+          }, partitionBy)
+        case Some(pm) =>
+          require(partitionBy.isEmpty,
+            s"partitionBy is creation-only; the table at $dir already " +
+              "has a partition spec")
+          val specId = (pm \ "default-spec-id").extractOpt[Int].getOrElse(0)
+          val spec = (pm \ "partition-specs").children.find(s =>
+            (s \ "spec-id").extractOpt[Int].contains(specId))
+          val fields = spec.toList.flatMap(s => (s \ "fields").children)
+          (fields, fields.map(f => (f \ "name").extract[String]))
+      }
+    val partFieldTypes: Seq[(String, DataType)] = partCols.map { c =>
+      c -> tableSchema.fields.find(_.name == c).map(_.dataType)
+        .getOrElse(sys.error(s"partition column '$c' missing from schema"))
     }
+    val EntrySchema = entrySchema(partFieldTypes)
 
     // carried-forward live data files minus removes (matched on the
-    // data-file NAME, parallel to DeltaWrite's remove contract)
+    // data-relative path, parallel to DeltaWrite's remove contract)
     val removedSet = removes.toSet
     val carried = prior.dataFiles.filterNot(f =>
-      removedSet.contains(localOf(f.path).getFileName.toString))
+      removedSet.contains(relOf(f.path, dataDir)))
     removes.foreach(r => require(
-      prior.dataFiles.exists(f => localOf(f.path).getFileName.toString == r),
+      prior.dataFiles.exists(f => relOf(f.path, dataDir) == r),
       s"remove of unknown Iceberg data file: $r"))
 
-    // an add whose file name collides with ANY existing file under
-    // data/ would silently overwrite parquet that older snapshots (or
-    // the live set) still reference — duplicated rows now, corrupted
-    // time travel and changelogs later. Reject both the live and the
-    // previously-removed case.
-    adds.foreach { case (name, _) =>
-      require(!carried.exists(f => localOf(f.path).getFileName.toString == name),
+    // an add whose path collides with ANY existing file under data/
+    // would silently overwrite parquet that older snapshots (or the
+    // live set) still reference — duplicated rows now, corrupted time
+    // travel and changelogs later. Reject both the live and the
+    // previously-removed case. (Staged adds were just written by
+    // stageWrite and collide only if a name-allocation bug exists —
+    // checked against the carried set.)
+    (adds.map(_._1) ++ stagedAdds.map(_.rel)).foreach { name =>
+      require(!carried.exists(f => relOf(f.path, dataDir) == name),
         s"add of '$name' collides with a live data file — use a fresh name")
+    }
+    adds.foreach { case (name, _) =>
       require(!java.nio.file.Files.exists(dataDir.resolve(name)),
         s"add of '$name' would overwrite an existing file under data/ " +
           "that retained snapshots may still reference — use a fresh name")
     }
-    val added = adds.map { case (name, df) =>
-      val (rows, colStats) = DeltaWrite.columnStats(df)
-      DeltaWrite.writeOne(df, dataDir.toString, name)
-      // manifest column bounds + null counts: the data-skipping stats
-      // IcebergRead's file pruning consumes
+    def boundsOf(colStats: Seq[(StructField, Any, Any, Long)])
+        : (Map[Int, Array[Byte]], Map[Int, Array[Byte]], Map[Int, Long]) = {
       val lower = colStats.flatMap { case (f, mn, _, _) =>
         topIds.get(f.name).flatMap(id =>
           IcebergRead.encodeBound(mn, f.dataType).map(id -> _)) }.toMap
@@ -206,21 +378,37 @@ object IcebergWrite {
           IcebergRead.encodeBound(mx, f.dataType).map(id -> _)) }.toMap
       val nulls = colStats.flatMap { case (f, _, _, nc) =>
         topIds.get(f.name).map(_ -> nc) }.toMap
+      (lower, upper, nulls)
+    }
+    val added = adds.map { case (name, df) =>
+      val (rows, colStats) = DeltaWrite.columnStats(df)
+      val size = DeltaWrite.writeOne(df, dataDir.toString, name)
+      val (lower, upper, nulls) = boundsOf(colStats)
+      // fixture adds of a partitioned table derive their partition
+      // record from the (constant-within-file) column stats
+      val partition = partCols.map { c =>
+        c -> colStats.find(_._1.name == c).map(s => avroPv(s._2))
+          .getOrElse(null) }.toMap
       IcebergRead.DataFileEntry(fileUri(dataDir.resolve(name)), "PARQUET",
         rows, seq = snapshotId, lowerBounds = lower, upperBounds = upper,
-        nullCounts = nulls)
+        nullCounts = nulls, partition = partition, sizeBytes = size)
+    } ++ stagedAdds.map { s =>
+      val (lower, upper, nulls) = boundsOf(s.colStats)
+      IcebergRead.DataFileEntry(fileUri(dataDir.resolve(s.rel)), "PARQUET",
+        s.rows, seq = snapshotId, lowerBounds = lower, upperBounds = upper,
+        nullCounts = nulls, partition = s.partition, sizeBytes = s.size)
     }
 
     // position-delete files: parquet of (file_path, pos), paths as
     // recorded in the manifests
-    val liveByName = (carried ++ added)
-      .map(f => localOf(f.path).getFileName.toString -> f).toMap
+    val liveByRel = (carried ++ added)
+      .map(f => relOf(f.path, dataDir) -> f).toMap
     val newDeletes = if (positionDeletes.isEmpty) Nil else {
       val spark = adds.headOption.map(_._2.sparkSession).getOrElse(
         org.apache.spark.sql.SparkSession.active)
       import spark.implicits._
       val rows = positionDeletes.toSeq.sortBy(_._1).flatMap { case (name, ps) =>
-        val target = liveByName.getOrElse(name, sys.error(
+        val target = liveByRel.getOrElse(name, sys.error(
           s"position delete for unknown data file: $name"))
         ps.sorted.map(p => (target.path, p))
       }
@@ -259,10 +447,21 @@ object IcebergWrite {
       df.put("content", content)
       df.put("file_path", f.path)
       df.put("file_format", f.format)
-      df.put("partition", new GenericData.Record(
-        df.getSchema.getField("partition").schema()))
+      val pr = new GenericData.Record(
+        df.getSchema.getField("partition").schema())
+      // delete files carry an empty partition tuple in this writer
+      // (they apply table-wide); data files carry their identity
+      // values (carried entries re-emit what they were read with)
+      if (content == 0) partCols.foreach { c =>
+        pr.put(c, f.partition.getOrElse(c, null))
+      }
+      df.put("partition", pr)
       df.put("record_count", f.recordCount)
-      df.put("file_size_in_bytes", java.nio.file.Files.size(localOf(f.path)))
+      // carried entries re-emit the size they were read with — a
+      // commit never stats O(files) on the filesystem
+      df.put("file_size_in_bytes",
+        if (f.sizeBytes > 0L) f.sizeBytes
+        else java.nio.file.Files.size(localOf(f.path)))
       // int-keyed manifest maps in the spec's array-of-{key,value}
       // form (avro maps cannot key by int); carried entries re-emit
       // the bounds they were read with, so stats survive rewrites
@@ -301,11 +500,14 @@ object IcebergWrite {
       e
     }
 
+    val manifestMeta = Map(
+      "format-version" -> "2",
+      "partition-spec" -> compact(render(JArray(specFields))))
     // one rewritten DATA manifest with the full live set
     val dataManifest = metaDir.resolve(f"manifest-$snapshotId%05d-data.avro")
     val dataLen = writeAvro(dataManifest, EntrySchema,
       carried.map(entryRec(_, 0, 0)) ++ added.map(entryRec(_, 1, 0)),
-      Map("content" -> "data", "format-version" -> "2"))
+      manifestMeta + ("content" -> "data"))
     // one DELETE manifest when any position/equality deletes are live
     val deleteManifest =
       if (!anyDeletes) None
@@ -318,7 +520,7 @@ object IcebergWrite {
         val addedDel = newDeletes.map(entryRec(_, 1, 1)) ++
           newEqDeletes.map(entryRec(_, 1, 2))
         Some(p -> writeAvro(p, EntrySchema, carriedDel ++ addedDel,
-          Map("content" -> "deletes", "format-version" -> "2")))
+          manifestMeta + ("content" -> "deletes")))
       }
 
     def listRec(path: java.nio.file.Path, len: Long, content: Int,
@@ -351,7 +553,8 @@ object IcebergWrite {
         minSeq = ((carried ++ added).map(_.seq) :+ seq).min)) ++
         deleteManifest.map { case (p, len) =>
           val carriedDel =
-            prior.positionDeleteFiles ++ prior.equalityDeleteFiles
+            if (dropDeletes) Nil
+            else prior.positionDeleteFiles ++ prior.equalityDeleteFiles
           val addedDel = newDeletes ++ newEqDeletes
           listRec(p, len, 1, addedDel.size, carriedDel.size,
             addedDel.map(_.recordCount).sum,
@@ -360,36 +563,38 @@ object IcebergWrite {
         },
       Map("format-version" -> "2")): Unit
 
-    // metadata JSON: schema is fixed at the first commit's (this
-    // writer does not evolve schemas), snapshots accumulate so every
-    // retained snapshot stays time-travelable
-    val schemaJson = {
-      var id = 0
-      val next = () => { id += 1; id }
-      icebergType(prior.schema, next) match {
-        case o: JObject =>
-          o ~ ("schema-id" -> 0) ~ ("identifier-field-ids" -> JArray(Nil))
-        case other => sys.error(s"struct schema expected, got $other")
+    // metadata JSON: the schema JSON is canonical (reused, ids
+    // immutable); snapshots accumulate so every retained snapshot
+    // stays time-travelable; evolution appends a new schema entry and
+    // bumps current-schema-id
+    val schemaJsonFinal = schemaJson match {
+      case o: JObject =>
+        if ((o \ "schema-id") == JNothing)
+          o ~ ("schema-id" -> schemaId) ~
+            ("identifier-field-ids" -> JArray(Nil))
+        else o
+      case other => sys.error(s"struct schema expected, got $other")
+    }
+    val schemasArr: List[JValue] = schemaEvolution match {
+      case None => priorMetaJson match {
+        case None => List(schemaJsonFinal)
+        case Some(pm) => (pm \ "schemas").children match {
+          case Nil => List(schemaJsonFinal)
+          case ss => ss
+        }
       }
+      case Some(_) => priorSchemaJsons :+ schemaJsonFinal
     }
     val priorSnapshots =
       if (priorVersion == 0) Nil
-      else (JsonMethods.parse(java.nio.file.Files.readString(
-        metaDir.resolve(s"v$priorVersion.metadata.json"))) \ "snapshots")
-        .children
+      else (priorMetaJson.get \ "snapshots").children
     val newSnapshot: JValue =
       ("snapshot-id" -> snapshotId) ~
         ("sequence-number" -> seq) ~
         ("timestamp-ms" -> 0L) ~
         ("summary" -> (("operation" -> operation): JObject)) ~
         ("manifest-list" -> fileUri(manifestList)) ~
-        ("schema-id" -> 0)
-    val lastColumnId = {
-      var id = 0
-      val next = () => { id += 1; id }
-      icebergType(prior.schema, next)
-      id
-    }
+        ("schema-id" -> schemaId)
     val meta: JValue =
       ("format-version" -> 2) ~
         ("table-uuid" -> "00000000-0000-0000-0000-000000000000") ~
@@ -398,12 +603,12 @@ object IcebergWrite {
         ("last-sequence-number" -> seq) ~
         ("last-updated-ms" -> 0L) ~
         ("last-column-id" -> lastColumnId) ~
-        ("current-schema-id" -> 0) ~
-        ("schemas" -> JArray(List(schemaJson))) ~
+        ("current-schema-id" -> schemaId) ~
+        ("schemas" -> JArray(schemasArr)) ~
         ("default-spec-id" -> 0) ~
         ("partition-specs" -> JArray(List(
-          ("spec-id" -> 0) ~ ("fields" -> JArray(Nil))))) ~
-        ("last-partition-id" -> 999) ~
+          ("spec-id" -> 0) ~ ("fields" -> JArray(specFields))))) ~
+        ("last-partition-id" -> (999 + specFields.size)) ~
         ("default-sort-order-id" -> 0) ~
         ("sort-orders" -> JArray(List(
           ("order-id" -> 0) ~ ("fields" -> JArray(Nil))))) ~
@@ -416,6 +621,35 @@ object IcebergWrite {
     snapshotId
   }
 
+  // ---------------------------------------------------------------
+  // Staged multi-file write paths
+  // ---------------------------------------------------------------
+
+  /** Stage-write `tagged` (full table columns + `__graft_target`)
+    * under `<dir>/data/` in ONE Spark job, compute every file's stats
+    * in ONE grouped job, and return [[Staged]] entries (partition
+    * records from the per-file stats — identity values are constant
+    * within a file). Iceberg data files KEEP their partition columns
+    * (the spec stores them in the files as well as the manifests).
+    */
+  private def stageTagged(spark: org.apache.spark.sql.SparkSession,
+      dir: String, tagged: DataFrame, schema: StructType,
+      partCols: Seq[String]): Seq[Staged] = {
+    val dataDir = java.nio.file.Paths.get(dir, "data")
+    java.nio.file.Files.createDirectories(dataDir)
+    val staged = DeltaWrite.stageWrite(dataDir.toString, tagged)
+    val stats = DeltaWrite.statsRawFor(
+      spark, dataDir.toString, staged.map(_._1), schema)
+    staged.map { case (rel, size) =>
+      val (rows, colStats) = stats.getOrElse(rel,
+        sys.error(s"stats job missed staged file $rel"))
+      val partition = partCols.map { c =>
+        c -> colStats.find(_._1.name == c).map(s => avroPv(s._2))
+          .getOrElse(null) }.toMap
+      Staged(rel, rows, colStats, partition, size)
+    }
+  }
+
   /** Copy-on-write `MERGE WHEN MATCHED UPDATE / NOT MATCHED INSERT`
     * into a REAL Iceberg table — the Iceberg side of the dbt-spark
     * `merge` strategy (`dbtoperator.py:274`; mirror of
@@ -424,45 +658,77 @@ object IcebergWrite {
     * time-travelable.
     *
     * First call creates the table: snapshot 1 buckets the batch into
-    * up to `buckets` files by key hash, bounding later rewrite units.
-    * Each subsequent merge, in ONE atomic snapshot:
+    * up to `buckets` files by key hash (per partition when
+    * `partitionBy` is set — a REAL identity partition spec with
+    * manifest partition records), bounding later rewrite units. Each
+    * subsequent merge, in ONE atomic snapshot:
+    *  - prunes the live set to the batch's PARTITIONS (manifest
+    *    partition records compared canonically; files without a
+    *    record are kept — conservative);
     *  - finds the FILES holding matched keys with a semi-join on
     *    `_metadata.file_path` (collected distinct paths are O(files)
     *    on the driver, never rows);
-    *  - rewrites exactly those files with their matched keys
-    *    anti-joined out (an all-rows-matched file becomes a bare
-    *    remove);
-    *  - adds the whole batch as one fresh file (updates + new keys).
-    * I/O is O(touched files + batch), never a table rewrite; untouched
-    * files are byte-identical across snapshots.
+    *  - stage-writes every rewrite (matched keys anti-joined out) AND
+    *    the upsert files in ONE Spark job (an all-rows-matched file
+    *    stages zero rows and becomes a bare remove — no per-file
+    *    probes), plus ONE grouped stats job.
+    * I/O is O(touched files + batch), never a table rewrite; job count
+    * is O(1) per merge, never O(files); untouched files are
+    * byte-identical across snapshots.
     *
-    * CONTRACT: `batch` is unique per key; schema evolution is not
-    * performed. Tables carrying live position/equality deletes are
-    * rejected loudly (a rewrite that ignored them would resurrect
-    * deleted rows) — use [[mergeOnRead]] for the delete-file form.
+    * CONTRACT: `batch` is unique per key; on partitioned tables a
+    * key's partition values are STABLE across versions (same
+    * stable-partition-per-key contract as [[DeltaWrite.merge]]).
+    * Schema evolution happens only with `allowEvolution` and only for
+    * APPENDED columns (fresh field ids past `last-column-id`; carried
+    * files surface NULL for the new columns). Tables carrying live
+    * position/equality deletes are rejected loudly (a rewrite that
+    * ignored them would resurrect deleted rows) — use [[mergeOnRead]]
+    * for the delete-file form.
     */
   def merge(spark: org.apache.spark.sql.SparkSession, dir: String,
       batch0: DataFrame, uniqueKey: Seq[String], buckets: Int = 8,
-      maxLiveFiles: Int = 32): Long = {
-    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+      maxLiveFiles: Int = 32,
+      partitionBy: Seq[String] = Nil,
+      allowEvolution: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{col, concat, element_at, format_string, lit, pmod, typedlit, xxhash64}
     require(uniqueKey.nonEmpty, "merge needs at least one key column")
     uniqueKey.foreach(k => require(batch0.columns.contains(k),
       s"merge key '$k' is not a batch column (${batch0.columns.mkString(",")})"))
+    partitionBy.foreach(p => require(batch0.columns.contains(p),
+      s"partition column '$p' is not a batch column (${batch0.columns.mkString(",")})"))
     val metaDir = java.nio.file.Paths.get(dir, "metadata")
-    // the batch feeds several jobs (touched-file probe, per-file
-    // rewrites, the upsert file) — pin it once
+    // the batch feeds several jobs (touched-file probe, the staged
+    // rewrite+upsert write) — pin it once
     val batch = batch0.localCheckpoint()
     if (!java.nio.file.Files.isDirectory(metaDir)) {
-      val withB = batch.withColumn("__graft_b",
-        pmod(xxhash64(uniqueKey.map(col): _*), lit(buckets)))
-      val parts = (0 until buckets).map(b =>
-        f"part-$b%05d-v1.parquet" ->
-          withB.filter(col("__graft_b") === b).drop("__graft_b"))
-        .filter(_._2.limit(1).count() > 0)
-      commit(dir,
-        if (parts.nonEmpty) parts else Seq("part-00000-v1.parquet" -> batch))
-        : Unit
-      batch.count()
+      val n = batch.count()
+      if (n == 0) {
+        // keep the legacy empty-creation shape: one empty data file
+        // anchors the schema
+        commit(dir, Seq("part-00000-v1.parquet" -> batch),
+          partitionBy = partitionBy): Unit
+        return 0L
+      }
+      val tagged =
+        if (partitionBy.isEmpty) {
+          val b = pmod(xxhash64(uniqueKey.map(col): _*), lit(buckets))
+          batch.withColumn("__graft_target",
+            format_string("part-%05d-v1.parquet", b))
+        } else {
+          val (bp, pdirPv) = DeltaWrite.withPdir(batch, partitionBy)
+          val keysData = uniqueKey.filterNot(partitionBy.contains)
+          val perPart = math.max(1, buckets / math.max(1, pdirPv.size))
+          val b = if (keysData.isEmpty) lit(0L)
+            else pmod(xxhash64(keysData.map(col): _*), lit(perPart))
+          bp.withColumn("__graft_target",
+            concat(col("__graft_pdir"), lit("/"),
+              format_string("part-%05d-v1.parquet", b)))
+            .drop("__graft_pdir")
+        }
+      val staged = stageTagged(spark, dir, tagged, batch.schema, partitionBy)
+      commit(dir, Nil, stagedAdds = staged, partitionBy = partitionBy): Unit
+      n
     } else {
       val state = IcebergRead.snapshotState(dir, None)
       require(state.positionDeleteFiles.isEmpty &&
@@ -470,94 +736,167 @@ object IcebergWrite {
         s"copy-on-write merge into an Iceberg table with live delete " +
           s"files is unsupported (rewrites would resurrect deleted " +
           s"rows) — compact first: $dir")
-      require(batch.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-        state.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      val partCols = IcebergRead.tablePartitionCols(dir)
+      require(partitionBy.isEmpty || partitionBy == partCols,
+        s"merge partitionBy ${partitionBy.mkString(",")} != table " +
+          s"partitioning ${partCols.mkString(",")}: $dir")
+      val tf = state.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val bf = batch.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val evolves = bf != tf
+      if (evolves) require(allowEvolution && bf.startsWith(tf),
         s"merge batch schema ${batch.schema.simpleString} != table " +
           s"schema ${state.schema.simpleString} (schema evolution " +
-          s"unsupported): $dir")
+          (if (allowEvolution) "supports appended columns only"
+           else "disabled — pass allowEvolution to append new columns") +
+          s"): $dir")
+      val fullSchema = if (evolves) batch.schema else state.schema
       // an empty batch commits nothing — otherwise every no-op
       // schedule grows the table by one empty snapshot forever
-      if (batch.isEmpty) return 0L
+      val n = batch.count()
+      if (n == 0) return 0L
       val version = java.nio.file.Files
         .readString(metaDir.resolve("version-hint.text")).trim.toInt + 1
+      val dataDir = java.nio.file.Paths.get(dir, "data")
+
+      // PARTITION PRUNING for the touched-file probe: manifest
+      // partition records vs the batch's distinct partition values,
+      // compared canonically; record-less files are kept
+      val (batchP, pdirPv, pdirRow) =
+        if (partCols.isEmpty)
+          (batch.withColumn("__graft_pdir", lit("")),
+            Map("" -> Map.empty[String, String]),
+            Map.empty[String, org.apache.spark.sql.Row])
+        else DeltaWrite.withPdirTyped(batch, partCols)
+      val batchPvCanon: Set[Seq[String]] = pdirRow.values.map(r =>
+        partCols.indices.map(i => canonicalPv(r.get(i)))).toSet
+      val pruned =
+        if (partCols.isEmpty) state.dataFiles
+        else state.dataFiles.filter { f =>
+          if (f.partition.isEmpty) true // pre-spec file: conservative
+          else batchPvCanon.contains(
+            partCols.map(c => canonicalPv(f.partition.getOrElse(c, null))))
+        }
+
       val hconf = spark.sessionState.newHadoopConf()
       def qualified(p: String): String = {
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(hconf).makeQualified(hp).toString
       }
-      def nameOf(uri: String): String = java.nio.file.Paths.get(
-        "/" + uri.stripPrefix("file:").dropWhile(_ == '/'))
-        .getFileName.toString
-      val nameByQualified: Map[String, String] =
-        state.dataFiles.map(f => qualified(f.path) -> nameOf(f.path)).toMap
-      val cur = spark.read.schema(state.schema)
-        .parquet(state.dataFiles.map(_.path).sorted: _*)
-        .withColumn("__graft_file", col("_metadata.file_path"))
+      val byQualified: Map[String, IcebergRead.DataFileEntry] =
+        pruned.map(f => qualified(localOf(f.path).toString) -> f).toMap
+      // Iceberg data files store ALL columns (including identity
+      // partition columns) — read with the evolved schema so old
+      // files surface NULL for appended columns
+      val cur =
+        if (pruned.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(fullSchema.fields :+
+              StructField("__graft_file", StringType)))
+        else spark.read.schema(fullSchema)
+          .parquet(pruned.map(f => localOf(f.path).toString).sorted: _*)
+          .withColumn("__graft_file", col("_metadata.file_path"))
       val touched = cur.join(batch, uniqueKey, "left_semi")
         .select("__graft_file").distinct()
         .collect().map(_.getString(0)).toSeq.sorted
-      val rewrites = touched.zipWithIndex.map { case (f, i) =>
-        f"rw-$version%05d-$i%03d.parquet" ->
-          cur.filter(col("__graft_file") === f)
-            .join(batch, uniqueKey, "left_anti").drop("__graft_file")
-      }.filter(_._2.limit(1).count() > 0)
-      commit(dir,
-        adds = rewrites :+ (f"upsert-$version%05d.parquet" -> batch),
-        removes = touched.map(f => nameByQualified.getOrElse(f,
-          sys.error(s"touched file $f missing from the live map: $dir"))))
-        : Unit
-      // bound the file count: each merge adds an upsert file — one
+      val touchedFiles = touched.map(f => byQualified.getOrElse(f,
+        sys.error(s"touched file $f missing from the live map: $dir")))
+      val rwRelOf: Map[String, String] =
+        touched.zipWithIndex.map { case (f, i) =>
+          val srcRel = relOf(byQualified(f).path, dataDir)
+          val pdir = srcRel.split('/').dropRight(1).mkString("/")
+          f -> (if (pdir.isEmpty) f"rw-$version%05d-$i%03d.parquet"
+                else f"$pdir/rw-$version%05d-$i%03d.parquet")
+        }.toMap
+      val rwPartition: Map[String, Map[String, Any]] =
+        touchedFiles.map(lf =>
+          rwRelOf(qualified(localOf(lf.path).toString)) -> lf.partition).toMap
+
+      // ONE staged job: every rewrite + every upsert file
+      val rwTagged =
+        if (touched.isEmpty) None
+        else Some(cur.filter(col("__graft_file").isin(touched: _*))
+          .join(batch.select(uniqueKey.map(col): _*), uniqueKey, "left_anti")
+          .withColumn("__graft_target",
+            element_at(typedlit(rwRelOf), col("__graft_file")))
+          .drop("__graft_file"))
+      val upTagged = batchP
+        .withColumn("__graft_target",
+          if (partCols.isEmpty) lit(f"upsert-$version%05d.parquet")
+          else concat(col("__graft_pdir"),
+            lit(f"/upsert-$version%05d.parquet")))
+        .drop("__graft_pdir")
+      val tagged = rwTagged.fold(upTagged)(
+        _.unionByName(upTagged, allowMissingColumns = true))
+      val staged0 = stageTagged(spark, dir, tagged, fullSchema, partCols)
+      // carried rewrites keep their source file's partition record
+      // verbatim (stats-derived values are equal; verbatim is exact)
+      val staged = staged0.map(s =>
+        rwPartition.get(s.rel).fold(s)(p => s.copy(partition = p)))
+      commit(dir, Nil, stagedAdds = staged,
+        removes = touchedFiles.map(f => relOf(f.path, dataDir)),
+        schemaEvolution = if (evolves) Some(fullSchema) else None): Unit
+      // bound the file count: each merge adds upsert files — one
       // replace-snapshot compaction restores O(buckets)
       if (maxLiveFiles > 0 && IcebergRead.snapshotState(dir, None)
           .dataFiles.size > maxLiveFiles)
         optimize(spark, dir, uniqueKey, buckets)
-      batch.count()
+      n
     }
   }
 
   /** OPTIMIZE (compaction): rewrite the CURRENT reconciled state —
     * live data files with every position/equality delete APPLIED —
-    * into up to `buckets` key-hash-bucketed data files, in one
-    * snapshot whose summary operation is `replace` (changelog readers
-    * skip replace snapshots: same logical rows, new files). Prior
-    * delete files are dropped from the live set, so this is also the
-    * merge-on-read compaction: a MoR table accretes one data + one
-    * delete file per upsert, and reads pay one reconciliation join
-    * per delete file — compaction restores O(buckets) files and
-    * join-free scans. [[merge]] and [[mergeOnRead]] auto-optimize
-    * when the live set exceeds their `maxLiveFiles`.
+    * into up to `buckets` key-hash-bucketed data files (per partition
+    * when partitioned), in one snapshot whose summary operation is
+    * `replace` (changelog readers skip replace snapshots: same logical
+    * rows, new files). Prior delete files are dropped from the live
+    * set, so this is also the merge-on-read compaction. ONE staged
+    * write job + ONE stats job — no per-bucket probes. [[merge]] and
+    * [[mergeOnRead]] auto-optimize when the live set exceeds their
+    * `maxLiveFiles`.
     */
   def optimize(spark: org.apache.spark.sql.SparkSession, dir: String,
       uniqueKey: Seq[String], buckets: Int = 8): Unit = {
-    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    import org.apache.spark.sql.functions.{col, concat, format_string, lit, pmod, xxhash64}
     require(uniqueKey.nonEmpty, "optimize needs the table's key columns")
     val state = IcebergRead.snapshotState(dir, None)
     if (state.dataFiles.size <= buckets &&
       state.positionDeleteFiles.isEmpty &&
       state.equalityDeleteFiles.isEmpty) return
+    val partCols = IcebergRead.tablePartitionCols(dir)
+    val dataDir = java.nio.file.Paths.get(dir, "data")
     val version = java.nio.file.Files.readString(
       java.nio.file.Paths.get(dir, "metadata", "version-hint.text"))
       .trim.toInt + 1
-    // the reconciled read feeds every bucket write — pin it once
-    val cur = IcebergRead.readIcebergTable(spark, dir).localCheckpoint()
-    val withB = cur.withColumn("__graft_b",
-      pmod(xxhash64(uniqueKey.map(col): _*), lit(buckets)))
-    val parts = (0 until buckets).map(b =>
-      f"opt-$version%05d-$b%03d.parquet" ->
-        withB.filter(col("__graft_b") === b).drop("__graft_b"))
-      .filter(_._2.limit(1).count() > 0)
-    def nameOf(uri: String): String = java.nio.file.Paths.get(
-      "/" + uri.stripPrefix("file:").dropWhile(_ == '/'))
-      .getFileName.toString
-    commit(dir, adds = parts,
-      removes = state.dataFiles.map(f => nameOf(f.path)),
+    val cur = IcebergRead.readIcebergTable(spark, dir)
+    val keysData = uniqueKey.filterNot(partCols.contains)
+    val tagged =
+      if (partCols.isEmpty) {
+        val b = pmod(xxhash64(uniqueKey.map(col): _*), lit(buckets))
+        cur.withColumn("__graft_target",
+          format_string(f"opt-$version%05d-%%03d.parquet", b))
+      } else {
+        val (curP, pdirPv) = DeltaWrite.withPdir(cur, partCols)
+        val perPart = math.max(1, buckets / math.max(1, pdirPv.size))
+        val b = if (keysData.isEmpty) lit(0L)
+          else pmod(xxhash64(keysData.map(col): _*), lit(perPart))
+        curP.withColumn("__graft_target",
+          concat(col("__graft_pdir"), lit("/"),
+            format_string(f"opt-$version%05d-%%03d.parquet", b)))
+          .drop("__graft_pdir")
+      }
+    val staged = stageTagged(spark, dir, tagged, state.schema, partCols)
+    commit(dir, Nil, stagedAdds = staged,
+      removes = state.dataFiles.map(f => relOf(f.path, dataDir)),
       operation = "replace", dropDeletes = true): Unit
   }
 
   /** Full-refresh CTAS into an Iceberg table: ONE atomic snapshot
-    * makes `df` the whole table — the first snapshot creates it,
-    * later ones drop every live data file and add the new rows, so
-    * prior snapshots stay time-travelable (Iceberg
+    * makes `df` the whole table — the first snapshot creates it
+    * (recording an identity partition spec when `partitionBy` is
+    * set), later ones drop every live data file and add the new rows,
+    * so prior snapshots stay time-travelable (Iceberg
     * `CREATE OR REPLACE` semantics). Live delete files stay carried
     * but become INERT: position deletes reference only the removed
     * files, and equality deletes apply strictly to lower-sequence
@@ -565,23 +904,51 @@ object IcebergWrite {
     * sequence. Returns the rows written.
     */
   def replace(spark: org.apache.spark.sql.SparkSession, dir: String,
-      df0: DataFrame): Long = {
+      df0: DataFrame, partitionBy: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
     val df = df0.localCheckpoint()
     val n = df.count()
     val metaDir = java.nio.file.Paths.get(dir, "metadata")
-    if (!java.nio.file.Files.isDirectory(metaDir))
-      commit(dir, Seq("part-00000-v1.parquet" -> df)): Unit
-    else {
-      val state = IcebergRead.snapshotState(dir, None)
-      val version = java.nio.file.Files
+    val exists = java.nio.file.Files.isDirectory(metaDir)
+    val partCols =
+      if (!exists) partitionBy
+      else {
+        val pcs = IcebergRead.tablePartitionCols(dir)
+        require(partitionBy.isEmpty || partitionBy == pcs,
+          s"replace partitionBy ${partitionBy.mkString(",")} != table " +
+            s"partitioning ${pcs.mkString(",")} (Iceberg partition " +
+            s"specs are creation-time in this writer): $dir")
+        pcs
+      }
+    val version =
+      if (!exists) 1
+      else java.nio.file.Files
         .readString(metaDir.resolve("version-hint.text")).trim.toInt + 1
-      def nameOf(uri: String): String = java.nio.file.Paths.get(
-        "/" + uri.stripPrefix("file:").dropWhile(_ == '/'))
-        .getFileName.toString
-      commit(dir,
-        adds = Seq(f"replace-$version%05d.parquet" -> df),
-        removes = state.dataFiles.map(f => nameOf(f.path))): Unit
+    if (n == 0 && !exists) {
+      commit(dir, Seq(f"replace-$version%05d.parquet" -> df),
+        partitionBy = partitionBy): Unit
+      return 0L
     }
+    val tagged =
+      if (partCols.isEmpty)
+        df.withColumn("__graft_target",
+          lit(f"replace-$version%05d.parquet"))
+      else {
+        val (dfP, _) = DeltaWrite.withPdir(df, partCols)
+        dfP.withColumn("__graft_target",
+          concat(col("__graft_pdir"), lit(f"/replace-$version%05d.parquet")))
+          .drop("__graft_pdir")
+      }
+    val staged =
+      if (n == 0) Nil else stageTagged(spark, dir, tagged, df.schema, partCols)
+    val dataDir = java.nio.file.Paths.get(dir, "data")
+    val removes =
+      if (!exists) Nil
+      else IcebergRead.snapshotState(dir, None).dataFiles
+        .map(f => relOf(f.path, dataDir))
+    if (staged.isEmpty && removes.isEmpty) return n
+    commit(dir, Nil, stagedAdds = staged, removes = removes,
+      partitionBy = if (exists) Nil else partitionBy): Unit
     n
   }
 
@@ -593,7 +960,8 @@ object IcebergWrite {
     * rewritten — commit cost is O(batch) regardless of table size,
     * the v2 MoR contract; readers reconcile via sequence-numbered
     * equality-delete application ([[IcebergRead]] does, hash-join,
-    * never nested-loop).
+    * never nested-loop). Partitioned tables are rejected loudly (the
+    * upsert file would need per-partition splitting — use [[merge]]).
     */
   def mergeOnRead(spark: org.apache.spark.sql.SparkSession, dir: String,
       batch0: DataFrame, uniqueKey: Seq[String],
@@ -607,6 +975,9 @@ object IcebergWrite {
       commit(dir, Seq("part-00000-v1.parquet" -> batch)): Unit
       batch.count()
     } else {
+      require(IcebergRead.tablePartitionCols(dir).isEmpty,
+        s"merge_on_read into a partitioned Iceberg table is " +
+          s"unsupported (use the copy-on-write merge): $dir")
       val state = IcebergRead.snapshotState(dir, None)
       require(batch.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
         state.schema.fields.map(f => (f.name, f.dataType)).toSeq,
@@ -632,5 +1003,100 @@ object IcebergWrite {
         optimize(spark, dir, uniqueKey)
       batch.count()
     }
+  }
+
+  final case class ExpireResult(filesDeleted: Long, bytesDeleted: Long)
+
+  /** Snapshot retention GC (Iceberg `expire_snapshots`): keep the
+    * newest `keepLast` snapshots (always including the current one),
+    * write a fresh metadata version listing ONLY the retained
+    * snapshots, and delete every file no retained snapshot references
+    * — expired manifest lists, manifests, data/delete files, and
+    * superseded `vN.metadata.json`. Time travel to an expired
+    * snapshot id then REFUSES LOUDLY ("snapshot X does not exist"),
+    * and the current snapshot reads back byte-identical
+    * (test-asserted).
+    */
+  def expireSnapshots(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keepLast: Int = 1): ExpireResult = {
+    require(keepLast >= 1, "expireSnapshots must keep at least 1 snapshot")
+    val metaDir = java.nio.file.Paths.get(dir, "metadata")
+    val hintFile = metaDir.resolve("version-hint.text")
+    val priorVersion = java.nio.file.Files.readString(hintFile).trim.toInt
+    val pm = JsonMethods.parse(java.nio.file.Files.readString(
+      metaDir.resolve(s"v$priorVersion.metadata.json")))
+    val snaps = (pm \ "snapshots").children
+    val ordered = snaps.sortBy(s =>
+      (s \ "sequence-number").extractOpt[Long].getOrElse(0L))
+    val retained = ordered.takeRight(keepLast)
+    val currentId = (pm \ "current-snapshot-id").extract[Long]
+    require(retained.exists(s =>
+      (s \ "snapshot-id").extractOpt[Long].contains(currentId)),
+      s"retention window would expire the CURRENT snapshot: $dir")
+    if (retained.size == ordered.size) return ExpireResult(0L, 0L)
+
+    // everything any retained snapshot references stays
+    val referenced = scala.collection.mutable.Set.empty[java.nio.file.Path]
+    retained.foreach { s =>
+      val mlUri = (s \ "manifest-list").extract[String]
+      val ml = localOf(mlUri).toAbsolutePath.normalize()
+      referenced += ml
+      val rdr = new org.apache.avro.file.DataFileReader[GenericRecord](
+        ml.toFile,
+        new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+      try while (rdr.hasNext) {
+        val mf = rdr.next()
+        val man = localOf(mf.get("manifest_path").toString)
+          .toAbsolutePath.normalize()
+        referenced += man
+        val mr = new org.apache.avro.file.DataFileReader[GenericRecord](
+          man.toFile,
+          new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+        try while (mr.hasNext) {
+          val e = mr.next()
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          referenced += localOf(df.get("file_path").toString)
+            .toAbsolutePath.normalize()
+        } finally mr.close()
+      } finally rdr.close()
+    }
+
+    // fresh metadata version with only the retained snapshots (same
+    // current snapshot, schema, spec — nothing else changes)
+    val newVersion = priorVersion + 1
+    val newMeta = pm match {
+      case o: JObject => JObject(o.obj.map {
+        case ("snapshots", _) => "snapshots" -> JArray(retained)
+        case other => other
+      })
+      case other => sys.error(s"malformed metadata JSON: $other")
+    }
+    java.nio.file.Files.writeString(
+      metaDir.resolve(s"v$newVersion.metadata.json"),
+      pretty(render(newMeta)))
+    java.nio.file.Files.writeString(hintFile, newVersion.toString)
+    referenced += metaDir.resolve(s"v$newVersion.metadata.json")
+      .toAbsolutePath.normalize()
+    referenced += hintFile.toAbsolutePath.normalize()
+
+    // delete everything unreferenced under metadata/ and data/
+    import scala.jdk.CollectionConverters._
+    var files = 0L
+    var bytes = 0L
+    Seq(metaDir, java.nio.file.Paths.get(dir, "data")).foreach { root =>
+      if (java.nio.file.Files.isDirectory(root)) {
+        val w = java.nio.file.Files.walk(root)
+        val all = try w.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_)).toSeq
+        finally w.close()
+        all.filterNot(p =>
+          referenced.contains(p.toAbsolutePath.normalize())).foreach { p =>
+          bytes += java.nio.file.Files.size(p)
+          java.nio.file.Files.delete(p)
+          files += 1
+        }
+      }
+    }
+    ExpireResult(files, bytes)
   }
 }

@@ -581,4 +581,142 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
     assert(v1 == b1.orderBy("id").as[(Long, String)].collect().toSeq,
       v1.toString)
   }
+
+  // ---- identity partitioning / staged writes / retention GC ----
+
+  private def dataFiles(d: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(d, "data")
+    val w = java.nio.file.Files.walk(root)
+    try w.iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(f => root.relativize(f).toString -> java.nio.file.Files.size(f))
+      .toMap
+    finally w.close()
+  }
+
+  test("partitioned merge: a REAL identity partition spec + manifest " +
+      "partition records; untouched partitions' files untouched; the " +
+      "probe is partition-pruned (hidden foreign-partition files never " +
+      "scanned)") {
+    val d = dir()
+    IcebergWrite.merge(spark, d,
+      Seq((1L, "A", 0.0), (2L, "A", 0.0), (3L, "B", 0.0), (4L, "C", 0.0))
+        .toDF("id", "seg", "bal"),
+      Seq("id"), buckets = 6, partitionBy = Seq("seg"))
+    // the metadata records an identity spec; the manifests carry
+    // partition records the reader surfaces
+    assert(IcebergRead.tablePartitionCols(d) == Seq("seg"))
+    val st = IcebergRead.snapshotState(d, None)
+    assert(st.dataFiles.forall(_.partition.keySet == Set("seg")),
+      st.dataFiles.map(_.partition).toString)
+    val before = dataFiles(d)
+    assert(before.keys.exists(_.startsWith("seg=B/")), before.keys.toSeq)
+    // hide B and C partitions: a probe that scanned them would throw
+    val hidden = before.keys
+      .filter(f => f.startsWith("seg=B/") || f.startsWith("seg=C/")).toSeq
+    hidden.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(d, "data", f),
+      java.nio.file.Paths.get(d, "data", f + ".hide")))
+    IcebergWrite.merge(spark, d,
+      Seq((1L, "A", 10.0), (5L, "A", 50.0)).toDF("id", "seg", "bal"),
+      Seq("id"))
+    hidden.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(d, "data", f + ".hide"),
+      java.nio.file.Paths.get(d, "data", f)))
+    val after = dataFiles(d)
+    before.filter(k => k._1.startsWith("seg=B/") || k._1.startsWith("seg=C/"))
+      .foreach { case (f, sz) =>
+        assert(after.get(f).contains(sz), s"untouched partition file $f moved") }
+    val got = IcebergRead.readIcebergTable(spark, d)
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "A", 10.0), (2L, "A", 0.0), (3L, "B", 0.0),
+      (4L, "C", 0.0), (5L, "A", 50.0)), got.toString)
+  }
+
+  test("merge schema evolution: appended columns get FRESH field ids " +
+      "past last-column-id; carried files surface NULL; without the " +
+      "flag it fails loudly") {
+    val d = dir()
+    IcebergWrite.merge(spark, d,
+      Seq((1L, 1.0), (2L, 2.0)).toDF("id", "bal"), Seq("id"))
+    val evolved = Seq((2L, 20.0, "hi")).toDF("id", "bal", "note")
+    intercept[IllegalArgumentException](
+      IcebergWrite.merge(spark, d, evolved, Seq("id")))
+    IcebergWrite.merge(spark, d, evolved, Seq("id"), allowEvolution = true)
+    val got = IcebergRead.readIcebergTable(spark, d)
+      .orderBy("id").as[(Long, Double, Option[String])].collect().toSeq
+    assert(got == Seq((1L, 1.0, None), (2L, 20.0, Some("hi"))),
+      got.toString)
+    // the evolved schema keeps the old ids and appends a fresh one
+    val meta = org.json4s.jackson.JsonMethods.parse(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        d, "metadata", "v2.metadata.json")))
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    import org.json4s._
+    val cur = (meta \ "current-schema-id").extract[Int]
+    val schema = (meta \ "schemas").children.find(s =>
+      (s \ "schema-id").extract[Int] == cur).get
+    val ids = (schema \ "fields").children.map(f =>
+      ((f \ "name").extract[String], (f \ "id").extract[Int]))
+    assert(ids == List(("id", 1), ("bal", 2), ("note", 3)), ids.toString)
+    assert((meta \ "last-column-id").extract[Int] == 3)
+  }
+
+  test("merge and optimize run O(1) Spark jobs, never O(files)") {
+    val d = dir()
+    IcebergWrite.merge(spark, d,
+      (1L to 24L).map(i => (i, 0.0)).toDF("id", "bal"),
+      Seq("id"), buckets = 12)
+    val sc = spark.sparkContext
+    sc.setJobGroup("graft-ice-merge-jobs", "count merge jobs")
+    IcebergWrite.merge(spark, d,
+      (1L to 24L).filter(_ % 2 == 1).map(i => (i, i.toDouble))
+        .toDF("id", "bal"),
+      Seq("id"), buckets = 12, maxLiveFiles = 64)
+    val mergeJobs = sc.statusTracker.getJobIdsForGroup("graft-ice-merge-jobs")
+    sc.clearJobGroup()
+    assert(mergeJobs.length <= 14,
+      s"merge ran ${mergeJobs.length} jobs for ~12 touched files — " +
+        "the single-staged-write contract is broken")
+    sc.setJobGroup("graft-ice-opt-jobs", "count optimize jobs")
+    IcebergWrite.optimize(spark, d, Seq("id"), buckets = 4)
+    val optJobs = sc.statusTracker.getJobIdsForGroup("graft-ice-opt-jobs")
+    sc.clearJobGroup()
+    assert(optJobs.length <= 6,
+      s"optimize ran ${optJobs.length} jobs — per-bucket probes are back")
+    assert(IcebergRead.snapshotState(d, None).dataFiles.size <= 4)
+    val got = IcebergRead.readIcebergTable(spark, d)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(got == (1L to 24L).map(i =>
+      (i, if (i % 2 == 1) i.toDouble else 0.0)))
+  }
+
+  test("expireSnapshots: expired snapshots' files GC'd, current " +
+      "snapshot byte-identical, expired time travel refuses loudly") {
+    val d = dir()
+    IcebergWrite.merge(spark, d,
+      (1L to 8L).map(i => (i, 0.0)).toDF("id", "bal"), Seq("id"))
+    (1 to 3).foreach(r => IcebergWrite.merge(spark, d,
+      (1L to 8L).map(i => (i, i * r.toDouble)).toDF("id", "bal"),
+      Seq("id")))
+    val liveBefore = IcebergRead.readIcebergTable(spark, d)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    val res = IcebergWrite.expireSnapshots(spark, d, keepLast = 1)
+    assert(res.filesDeleted > 0 && res.bytesDeleted > 0,
+      s"nothing GC'd: $res")
+    val liveAfter = IcebergRead.readIcebergTable(spark, d)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(liveAfter == liveBefore, "expireSnapshots changed the snapshot")
+    intercept[IllegalArgumentException](
+      IcebergRead.readIcebergTable(spark, d, snapshotId = Some(1L)))
+    // everything on disk under data/ is referenced by the live set
+    val live = IcebergRead.snapshotState(d, None).dataFiles
+      .map(f => java.nio.file.Paths.get(d, "data").toAbsolutePath
+        .relativize(java.nio.file.Paths.get(
+          "/" + f.path.stripPrefix("file:").dropWhile(_ == '/'))
+          .toAbsolutePath).toString).toSet
+    assert(dataFiles(d).keySet == live,
+      s"unreferenced files survived: ${dataFiles(d).keySet -- live}")
+  }
 }

@@ -230,6 +230,47 @@ object EventWindows extends QueryGroup {
       graft.sources.DeltaRead.readDeltaTable(s, tbl).orderBy("c_custkey")
     }),
 
+    // The READ half of the Delta CDC loop (stream_delta_sink is the
+    // write half): a checkpoint-bookmarked consumer drains a
+    // CDF-enabled Delta table's commits as micro-batches. The key
+    // proves the bookmark: the first drain consumes commits 0-1, a
+    // THIRD commit lands, and a restarted drain (same checkpoint)
+    // delivers ONLY it — the union of everything received must equal
+    // the table's full change feed, which the oracle reconstructs.
+    "stream_delta_source" -> ((s, d) => {
+      val base = java.nio.file.Paths.get("/root/repo/target/scratch")
+      java.nio.file.Files.createDirectories(base)
+      val dir = java.nio.file.Files
+        .createTempDirectory(base, "stream_delta_source")
+      val (tbl, cp) = (s"$dir/tbl", s"$dir/cp")
+      val cust = Tables.customer(s, d)
+      graft.sources.DeltaWrite.merge(s, tbl,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          lit(0.0).as("bal")),
+        Seq("c_custkey"), enableCdf = true)
+      graft.sources.DeltaWrite.merge(s, tbl,
+        cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").as("bal")),
+        Seq("c_custkey"))
+      val got = scala.collection.mutable.ListBuffer
+        .empty[org.apache.spark.sql.DataFrame]
+      val n1 = graft.sources.DeltaStreamSource.processAvailable(
+        s, tbl, cp) { (df, _) => got += df }
+      require(n1 == 2, s"expected 2 micro-batches (commits 0,1), got $n1")
+      // a new commit lands; the restarted consumer must deliver ONLY it
+      graft.sources.DeltaWrite.merge(s, tbl,
+        cust.filter(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            (col("c_acctbal") + lit(1000.0)).as("bal")),
+        Seq("c_custkey"))
+      val n2 = graft.sources.DeltaStreamSource.processAvailable(
+        s, tbl, cp) { (df, _) => got += df }
+      require(n2 == 1, s"bookmark resume delivered $n2 batches, not 1")
+      got.reduce(_.unionByName(_))
+        .orderBy("_commit_version", "_change_type", "c_custkey")
+    }),
+
     "stream_file_ingest" -> ((s0, d) => {
       // a dedicated session scoped to this pipeline: streaming aggs
       // fix their STATE partition count from the session's shuffle
@@ -302,6 +343,33 @@ object EventWindows extends QueryGroup {
       """SELECT c_custkey, c_mktsegment,
         |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // everything the bookmarked consumer received, across the restart,
+    // must equal the table's full change feed: creation inserts (v0),
+    // the %3 merge's pre/post images (v1), the %5 merge's (v2) —
+    // whose PRE values depend on v1 having applied
+    "stream_delta_source" ->
+      """SELECT c_custkey, c_mktsegment, 0.0 AS bal,
+        |  'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, 0.0, 'update_preimage',
+        |  CAST(1 AS BIGINT)
+        |FROM customer WHERE c_custkey % 3 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, c_acctbal, 'update_postimage',
+        |  CAST(1 AS BIGINT)
+        |FROM customer WHERE c_custkey % 3 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END,
+        |  'update_preimage', CAST(2 AS BIGINT)
+        |FROM customer WHERE c_custkey % 5 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, c_acctbal + 1000.0,
+        |  'update_postimage', CAST(2 AS BIGINT)
+        |FROM customer WHERE c_custkey % 5 = 0
+        |ORDER BY _commit_version, _change_type, c_custkey""".stripMargin,
 
     // the streamed-through-restart warehouse table must equal the
     // plain batch tumbling agg (the sentinel closes all real windows)

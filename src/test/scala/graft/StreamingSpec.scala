@@ -672,4 +672,62 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(runner.appendBatch("encoded", replay, 0L) == 0L)
     }
   }
+
+  test("delta streaming source → delta sink is exactly-once across a " +
+      "crash between sink commit and bookmark write: the replayed " +
+      "batch is skipped by the txn watermark") {
+    import graft.sources.{DeltaRead, DeltaStreamSource, DeltaWrite}
+    val base = java.nio.file.Paths.get("/root/repo/target/scratch-test")
+    java.nio.file.Files.createDirectories(base)
+    val root = java.nio.file.Files.createTempDirectory(base, "dsrc")
+    val (src, snk, cp) = (s"$root/src", s"$root/snk", s"$root/cp")
+    DeltaWrite.merge(spark, src,
+      Seq((1L, 0.0), (2L, 0.0), (3L, 0.0)).toDF("id", "bal"),
+      Seq("id"), enableCdf = true)
+    DeltaWrite.merge(spark, src,
+      Seq((1L, 10.0), (3L, 30.0)).toDF("id", "bal"), Seq("id"))
+    val appId = "dsrc-e2e"
+    def applyBatch(df: org.apache.spark.sql.DataFrame, v: Long): Long =
+      DeltaWrite.mergeBatch(spark, snk, appId, v,
+        df.filter(col("_change_type").isin("insert", "update_postimage"))
+          .select("id", "bal"),
+        Seq("id"))
+    // crash AFTER the sink committed batch 0 but BEFORE the bookmark
+    val boom = intercept[RuntimeException](
+      DeltaStreamSource.processAvailable(spark, src, cp) { (df, v) =>
+        applyBatch(df, v): Unit
+        throw new RuntimeException("simulated crash after sink commit")
+      })
+    assert(boom.getMessage.contains("simulated crash"))
+    assert(DeltaStreamSource.readBookmark(cp).isEmpty,
+      "bookmark advanced past an incomplete batch")
+    // restart: batch 0 REPLAYS; the sink's txn watermark skips it
+    val skips = scala.collection.mutable.ListBuffer.empty[Long]
+    val n = DeltaStreamSource.processAvailable(spark, src, cp) { (df, v) =>
+      skips += applyBatch(df, v)
+    }
+    assert(n == 2, s"restart should deliver both commits, got $n")
+    assert(skips.head == -1L,
+      s"replayed batch 0 was applied twice: ${skips.toList}")
+    val got = DeltaRead.readDeltaTable(spark, snk)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10.0), (2L, 0.0), (3L, 30.0)), got.toString)
+    // a third source commit: only IT is delivered on the next drain
+    DeltaWrite.merge(spark, src,
+      Seq((2L, 20.0)).toDF("id", "bal"), Seq("id"))
+    val n2 = DeltaStreamSource.processAvailable(spark, src, cp)(
+      (df, v) => applyBatch(df, v): Unit)
+    assert(n2 == 1, s"bookmark resume delivered $n2 batches")
+    val got2 = DeltaRead.readDeltaTable(spark, snk)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(got2 == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)), got2.toString)
+    // a non-CDF table refuses loudly
+    val plain = s"$root/plain"
+    DeltaWrite.merge(spark, plain, Seq((1L, 1.0)).toDF("id", "bal"),
+      Seq("id"))
+    val e = intercept[IllegalArgumentException](
+      DeltaStreamSource.processAvailable(spark, plain, s"$root/cp2")(
+        (_, _) => ()))
+    assert(e.getMessage.contains("enableChangeDataFeed"), e.getMessage)
+  }
 }

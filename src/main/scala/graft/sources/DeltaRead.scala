@@ -27,9 +27,12 @@ import org.json4s.jackson.JsonMethods
   * `delta.columnMapping.id` additionally attached as
   * `parquet.field.id` metadata and Spark's field-id resolution
   * enabled — see [[toPhysicalWithIds]] for why both channels) —
-  * `timestampNtz`, `vacuumProtocolCheck`. Unknown features are
+  * `timestampNtz`, `vacuumProtocolCheck`, and `v2Checkpoint`
+  * (default-on in current Delta writers). Unknown features are
   * rejected LOUDLY, never silently misread.
-  * Single-file AND complete multi-part checkpoints bound the replay.
+  * Single-file, complete multi-part AND v2 (UUID-named json/parquet
+  * manifest + `_sidecars/` parquet file actions) checkpoints bound
+  * the replay.
   * Partition values come from the log's `add.partitionValues`
   * (authoritative — the spec says data files need not encode them;
   * physical-keyed under mapping, logical keys tolerated).
@@ -153,7 +156,7 @@ object DeltaRead {
   /** Reader-version-3 features this reader implements. */
   private val SupportedReaderFeatures =
     Set("deletionVectors", "timestampNtz", "vacuumProtocolCheck",
-      "columnMapping")
+      "columnMapping", "v2Checkpoint")
 
   private val PhysicalNameKey = "delta.columnMapping.physicalName"
   private val FieldIdKey = "delta.columnMapping.id"
@@ -232,7 +235,11 @@ object DeltaRead {
 
   private[sources] final case class DeltaLogDir(path: String,
       logDir: java.nio.file.Path, commits: Seq[Long],
-      singles: Set[Long], multiparts: Map[Long, Seq[String]])
+      singles: Set[Long], multiparts: Map[Long, Seq[String]],
+      // v2 checkpoints (`v2Checkpoint` reader feature, default-on in
+      // current Delta writers): `<v>.checkpoint.<uuid>.{json,parquet}`
+      // whose file actions may live in `_sidecars/` parquet files
+      v2: Map[Long, String] = Map.empty)
 
   private[sources] def openLog(path: String): DeltaLogDir = {
     val logDir = java.nio.file.Paths.get(path, "_delta_log")
@@ -245,11 +252,13 @@ object DeltaRead {
       finally s.close()
     }
     val commitRe = """(\d{20})\.json""".r
-    // checkpoints: either the classic single file or a multi-part set
-    // (all N parts present; parts are plain parquet shards of the
-    // same action rows)
+    // checkpoints: the classic single file, a multi-part set (all N
+    // parts present; parts are plain parquet shards of the same
+    // action rows), or a UUID-named V2 checkpoint (json or parquet)
+    // whose file actions may ride `sidecar` actions
     val ckRe = """(\d{20})\.checkpoint\.parquet""".r
     val ckPartRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+    val ckV2Re = """(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.(json|parquet)""".r
     val singles = entries.collect { case ckRe(v) => v.toLong }.toSet
     val multiparts: Map[Long, Seq[String]] = entries
       .collect { case e @ ckPartRe(v, p, n) => (v.toLong, p.toInt, n.toInt, e) }
@@ -259,9 +268,11 @@ object DeltaRead {
             parts.map(_._3).distinct.size == 1 =>
         v -> parts.sortBy(_._2).map(_._4)
       }
+    val v2 = entries.collect { case e @ ckV2Re(v, _, _) => v.toLong -> e }
+      .toMap
     DeltaLogDir(path,
       logDir, entries.collect { case commitRe(v) => v.toLong }.sorted,
-      singles, multiparts)
+      singles, multiparts, v2)
   }
 
   /** Replay the log (checkpoint-bounded) up to `versionAsOf`
@@ -276,33 +287,81 @@ object DeltaRead {
 
     // checkpoint bound: start replay from the newest complete
     // checkpoint at or below the target version
-    val ckVersion = (log.singles ++ log.multiparts.keySet).toSeq
+    val ckVersion = (log.singles ++ log.multiparts.keySet ++ log.v2.keySet)
+      .toSeq
       .filter(v => versionAsOf.forall(v <= _))
       .sorted.lastOption
 
+    // parquet checkpoint shards → the JSON action replay: each row is
+    // {"add": {...}} / {"metaData": {...}} / {"protocol": {...}} /
+    // {"txn": {...}} / {"remove": {...}} / {"sidecar": {...}} (txn
+    // watermarks and unexpired remove tombstones MUST survive the
+    // checkpoint bound — the exactly-once and VACUUM-safety contracts)
+    def parquetActions(files: Seq[java.nio.file.Path],
+        kinds: Seq[String]): Seq[String] = {
+      // shards may carry disjoint action columns (one all adds,
+      // another the metaData row)
+      val ck = spark.read.option("mergeSchema", "true")
+        .parquet(files.map(_.toString): _*)
+      val cols = ck.columns.toSet
+      kinds.filter(cols.contains).flatMap(c =>
+        ck.filter(col(c).isNotNull).select(col(c)).toJSON.collect().toSeq)
+    }
+    val ActionOrder =
+      Seq("protocol", "metaData", "add", "txn", "remove")
+
     val fromCheckpoint: LogState = ckVersion match {
       case None => LogState()
-      case Some(v) =>
+      case Some(v) if log.singles.contains(v) || log.multiparts.contains(v) =>
         val ckFiles =
           if (log.singles.contains(v)) Seq(f"$v%020d.checkpoint.parquet")
           else log.multiparts(v)
-        // parts of a multi-part checkpoint may carry disjoint action
-        // columns (one part all adds, another the metaData row)
-        val ck = spark.read.option("mergeSchema", "true").parquet(
-          ckFiles.map(f => log.logDir.resolve(f).toString): _*)
-        val cols = ck.columns.toSet
-        def rowsOf(c: String) =
-          if (cols.contains(c)) ck.filter(col(c).isNotNull).select(col(c))
-            .toJSON.collect().toSeq
-          else Nil
-        // re-use the JSON action replay for checkpoint rows: each row
-        // is {"add": {...}} / {"metaData": {...}} / {"protocol": {...}}
-        // / {"txn": {...}} / {"remove": {...}} (txn watermarks and
-        // unexpired remove tombstones MUST survive the checkpoint
-        // bound — the exactly-once and VACUUM-safety contracts)
-        (rowsOf("protocol") ++ rowsOf("metaData") ++ rowsOf("add") ++
-          rowsOf("txn") ++ rowsOf("remove"))
+        parquetActions(ckFiles.map(log.logDir.resolve), ActionOrder)
           .foldLeft(LogState())((s, j) => applyAction(s, JsonMethods.parse(j)))
+      case Some(v) =>
+        // V2 checkpoint: one UUID-named json/parquet file whose
+        // add/remove actions may live in `_sidecars/` parquet files
+        // referenced by `sidecar` actions; `checkpointMetadata` must
+        // name this version (corruption check)
+        val ckFile = log.logDir.resolve(log.v2(v))
+        val topActions: Seq[JValue] =
+          if (log.v2(v).endsWith(".json"))
+            java.nio.file.Files.readString(ckFile).linesIterator
+              .filter(_.trim.nonEmpty).map(JsonMethods.parse(_)).toSeq
+          else parquetActions(Seq(ckFile),
+            ActionOrder :+ "sidecar" :+ "checkpointMetadata")
+            .map(JsonMethods.parse(_))
+        topActions.foreach { a =>
+          (a \ "checkpointMetadata" \ "version") match {
+            case JInt(n) => require(n.toLong == v,
+              s"v2 checkpoint ${log.v2(v)} declares version $n: ${log.path}")
+            case JLong(n) => require(n == v,
+              s"v2 checkpoint ${log.v2(v)} declares version $n: ${log.path}")
+            case _ =>
+          }
+        }
+        val sidecars = topActions.flatMap(a => (a \ "sidecar" \ "path") match {
+          case JString(p) => Some(p)
+          case _ => None
+        })
+        val sidecarActions: Seq[JValue] =
+          if (sidecars.isEmpty) Nil
+          else parquetActions(
+            sidecars.map(p => log.logDir.resolve("_sidecars").resolve(p)),
+            Seq("add", "remove")).map(JsonMethods.parse(_))
+        // deterministic apply order: table-wide actions first, then
+        // file actions (top-level and sidecar)
+        def kindIdx(a: JValue): Int = a match {
+          case JObject(fields) => fields.headOption.map(_._1) match {
+            case Some("protocol") => 0
+            case Some("metaData") => 1
+            case Some("txn") => 2
+            case _ => 3
+          }
+          case _ => 3
+        }
+        (topActions.sortBy(kindIdx) ++ sidecarActions)
+          .foldLeft(LogState())(applyAction)
     }
 
     val replay = commits.filter(v => ckVersion.forall(v > _))

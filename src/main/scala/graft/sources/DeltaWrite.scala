@@ -1134,7 +1134,8 @@ object DeltaWrite {
     val log0 = DeltaRead.openLog(dir)
     require(log0.commits.nonEmpty, s"empty Delta log: $dir")
     val latest = log0.commits.last
-    if (!(log0.singles.contains(latest) || log0.multiparts.contains(latest)))
+    if (!(log0.singles.contains(latest) || log0.multiparts.contains(latest)
+        || log0.v2.contains(latest)))
       writeCheckpoint(spark, dir): Unit
     val boundary = latest
     val log = DeltaRead.openLog(dir)
@@ -1232,6 +1233,12 @@ object DeltaWrite {
         java.nio.file.Files.delete(log.logDir.resolve(p))
         logDeleted += 1
       }
+    }
+    // superseded v2 checkpoint manifests (their _sidecars parquet may
+    // be shared across checkpoints and is deliberately left alone)
+    log.v2.filter(_._1 < boundary).foreach { case (_, f) =>
+      java.nio.file.Files.delete(log.logDir.resolve(f))
+      logDeleted += 1
     }
     VacuumResult(candidates.size.toLong, bytes, logDeleted)
   }

@@ -274,11 +274,11 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
       "f0.parquet" -> Seq((1L, "a")).toDF("id", "v")))
     val log3 = java.nio.file.Paths.get(d3, "_delta_log")
     java.nio.file.Files.writeString(log3.resolve(f"${1L}%020d.json"),
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}
         |""".stripMargin)
     val e3 = intercept[IllegalArgumentException](
       DeltaRead.readDeltaTable(spark, d3))
-    assert(e3.getMessage.contains("v2Checkpoint"))
+    assert(e3.getMessage.contains("typeWidening"))
   }
 
   // ---- deletion vectors (delta.io PROTOCOL.md + RoaringFormatSpec) ----
@@ -1252,6 +1252,62 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
     val live = DeltaRead.liveDataFiles(spark, d).map(_.rel).toSet
     assert(diskAfter.keySet == live,
       s"unreferenced files survived: ${diskAfter.keySet -- live}")
+  }
+
+  test("v2Checkpoint: a UUID-named checkpoint whose file actions ride " +
+      "sidecar parquet bounds the replay (commit JSONs deleted); a " +
+      "version-mismatched checkpointMetadata refuses loudly") {
+    val d = dir()
+    DeltaWrite.commit(d, 0L, Seq(
+      "f0.parquet" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+    DeltaWrite.commit(d, 1L,
+      adds = Seq("f1.parquet" -> Seq((1L, "a2"), (3L, "c")).toDF("id", "v")),
+      removes = Seq("f0.parquet"))
+    val logDir = java.nio.file.Paths.get(d, "_delta_log")
+    val sidecars = logDir.resolve("_sidecars")
+    java.nio.file.Files.createDirectories(sidecars)
+    // sidecar parquet carrying the live add action
+    val tmp = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(d), ".stage")
+    spark.read.json(Seq(
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+      .toDS()).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    import scala.jdk.CollectionConverters._
+    val part = {
+      val s = java.nio.file.Files.list(tmp)
+      try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    java.nio.file.Files.move(part, sidecars.resolve("s1.parquet"))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("v", "string")
+    val schemaJson = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        org.json4s.JString(schema.json)))
+    val uuid = "3a7c9f12-0000-4000-8000-00000000beef"
+    def ckText(declaredVersion: Long): String =
+      s"""{"checkpointMetadata":{"version":$declaredVersion}}
+         |{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}
+         |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{},"createdTime":0}}
+         |{"sidecar":{"path":"s1.parquet","sizeInBytes":1}}
+         |""".stripMargin
+    val ckFile = logDir.resolve(f"${1L}%020d.checkpoint.$uuid.json")
+    java.nio.file.Files.writeString(ckFile, ckText(1L))
+    java.nio.file.Files.writeString(logDir.resolve("_last_checkpoint"),
+      """{"version":1}""")
+    // replay must come from the v2 checkpoint ALONE
+    java.nio.file.Files.delete(logDir.resolve("%020d.json".format(0)))
+    java.nio.file.Files.delete(logDir.resolve("%020d.json".format(1)))
+    val got = DeltaRead.readDeltaTable(spark, d)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a2"), (3L, "c")),
+      s"v2 checkpoint replay wrong: $got")
+    // a checkpoint declaring the WRONG version is corruption
+    java.nio.file.Files.writeString(ckFile, ckText(99L))
+    val e = intercept[IllegalArgumentException](
+      DeltaRead.readDeltaTable(spark, d))
+    assert(e.getMessage.contains("declares version 99"), e.getMessage)
   }
 
   test("checkpoints RETAIN unexpired remove tombstones (external " +

@@ -62,6 +62,21 @@ case class GlobalViewFallback(session: SparkSession)
           !catalog.tableExists(TableIdentifier(u.multipartIdentifier.head)) =>
         u.copy(multipartIdentifier =
           Seq(catalog.globalTempDatabase, u.multipartIdentifier.head))
+      // schema namespaces: a published `schema.identifier` relation is
+      // a global temp view under the runner's mangled name (view names
+      // cannot contain dots). A two-part name that is NOT a real
+      // catalog database/table and NOT global_temp itself resolves to
+      // it — so Thrift clients SELECT ... FROM sales.orders while a
+      // real database of the same name still wins (HS2 precedence).
+      case u: UnresolvedRelation if u.multipartIdentifier.size == 2 &&
+          u.multipartIdentifier.head != catalog.globalTempDatabase && {
+            val Seq(db, t) = u.multipartIdentifier
+            val mangled = s"graft_ns__${db}__$t"
+            catalog.getGlobalTempView(mangled).isDefined &&
+              !catalog.databaseExists(db)
+          } =>
+        u.copy(multipartIdentifier = Seq(catalog.globalTempDatabase,
+          s"graft_ns__${u.multipartIdentifier.head}__${u.multipartIdentifier(1)}"))
     }
   }
 }

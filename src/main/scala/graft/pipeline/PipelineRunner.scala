@@ -78,11 +78,25 @@ object NodeStatus {
   *   skips those). Explicit `compact` / `compact --select` remains
   *   the scheduled-OPTIMIZE path.
   */
-final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
+final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
     warehouse: String, logger: PipelineLogger = new PipelineLogger(),
     autoCompactMembers: Int = 0) {
 
+  // canonical relation identity: each model's `schema` config folds
+  // into its node name (`sales.orders`) — SURVEY §1.2's
+  // database.schema.identifier with the database level collapsed onto
+  // the warehouse root
+  private val spec = spec0.normalized
+
   private val byName = spec.models.map(m => m.name -> m).toMap
+
+  // bare-name → qualified-name resolution for refs that omit the
+  // schema: allowed exactly when unambiguous (dbt's unique-model-name
+  // convention); two schemas holding the same bare name must be
+  // ref'd qualified
+  private val bareAlias: Map[String, Seq[String]] = spec.models
+    .map(_.name).filter(_.contains('.'))
+    .groupBy(_.split('.').last)
 
   /** dbt model versions: symbolic name → latest version INSTANCE
     * (`dim` → `dim_v2`). A bare `ref('dim')` resolves through this;
@@ -98,8 +112,17 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       s"modelVersions: '$n' names both a versioned family and a model")
   }
 
-  private def resolveDep(dep: String): String =
-    versionAlias.getOrElse(dep, dep)
+  private def resolveDep(dep: String): String = {
+    val v = versionAlias.getOrElse(dep, dep)
+    if (byName.contains(v) || v.contains('.')) v
+    else bareAlias.get(v) match {
+      case Some(Seq(qualified)) => qualified
+      case Some(many) => sys.error(
+        s"ref('$v') is ambiguous across schemas: ${many.sorted.mkString(", ")}" +
+          " — use the qualified name")
+      case None => v // seed / snapshot / source / state relation
+    }
+  }
 
   // dbt's version-deprecation warning: a ref PINNED below the latest
   // version still works but is called out, once, at parse time
@@ -147,19 +170,26 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   def initialize(): Unit = if (!initialized) {
     Files.createDirectories(Paths.get(warehouse))
     spec.sources.foreach { case (name, path) =>
-      spark.read.parquet(path).createOrReplaceTempView(name)
+      spark.read.parquet(path)
+        .createOrReplaceTempView(sessionViewName(name))
     }
     // tables already in the warehouse (a fresh session over an
     // existing store) become queryable by name immediately — but a
     // DECLARED source name always wins over a same-named leftover
     // table (registering the table after the source would silently
-    // shadow the source for every model and gateway query)
-    listDir(Paths.get(warehouse))
-      .filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).sorted
-      .filterNot(spec.sources.contains)
-      .filter(tableExists)
-      .foreach(registerSessionView)
+    // shadow the source for every model and gateway query). Schema
+    // namespaces add ONE directory level: a non-table root dir is a
+    // schema whose children are `schema.table` relations.
+    val rootDirs = listDir(Paths.get(warehouse))
+      .filter(Files.isDirectory(_)).sortBy(_.getFileName.toString)
+    val leftovers = rootDirs.flatMap { d =>
+      val bare = d.getFileName.toString
+      if (tableExists(bare)) Seq(bare)
+      else listDir(d).filter(Files.isDirectory(_))
+        .map(c => s"$bare.${c.getFileName.toString}").sorted
+        .filter(tableExists)
+    }
+    leftovers.filterNot(spec.sources.contains).foreach(registerSessionView)
     initialized = true
     logger.log(LogLevel.INFO, s"initialized warehouse=$warehouse")
   }
@@ -448,7 +478,23 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     out.toSeq
   }
 
-  def tablePath(name: String): String = s"$warehouse/$name"
+  /** A relation's storage path: `schema.identifier` maps to a
+    * warehouse SUBDIR (`<warehouse>/<schema>/<identifier>`), bare
+    * names sit at the root — dbt's multi-schema projects
+    * (`generate_schema_name`) land side by side without collisions.
+    */
+  def tablePath(name: String): String =
+    s"$warehouse/${name.replace('.', '/')}"
+
+  /** The session-catalog view name for a relation: bare names
+    * register as themselves; `schema.identifier` (no dots allowed in
+    * view names) registers mangled, and [[graft.gateway.GlobalViewFallback]]
+    * resolves the QUALIFIED name to it in SQL — including per-
+    * connection Thrift sessions.
+    */
+  private[graft] def sessionViewName(name: String): String =
+    if (name.contains('.')) "graft_ns__" + name.replace(".", "__")
+    else name
 
   /** Storage layout (write-audit-publish, manifest-based): immutable
     * data batches live under `<table>/data/batch_<n>`; a committed
@@ -929,8 +975,8 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   private def registerSessionView(name: String): Unit =
     try {
       val df = readTable(name)
-      df.createOrReplaceTempView(name)
-      df.createOrReplaceGlobalTempView(name)
+      df.createOrReplaceTempView(sessionViewName(name))
+      df.createOrReplaceGlobalTempView(sessionViewName(name))
     } catch {
       case e: Exception => logger.log(LogLevel.WARNING,
         s"session view for $name not registered: ${e.getMessage}")
@@ -1178,7 +1224,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       all.reverse.foreach(Files.deleteIfExists(_))
     }
     stagedBatches.removeIf(_._1 == name)
-    spark.catalog.dropTempView(name): Unit
+    spark.catalog.dropTempView(sessionViewName(name)): Unit
     logger.log(LogLevel.INFO, s"dropped table $name")
   }
 
@@ -1608,7 +1654,14 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
     val nodes = deps.keys.toSeq.sorted.map { n =>
       val desc = byName.get(n).flatMap(_.description)
         .map(d => s""""description":${jq(d)},""").getOrElse("")
-      s"""{"name":${jq(n)},"kind":${jq(resourceKind(n))},$desc""" +
+      // schema-namespaced relations carry their parts explicitly, the
+      // manifest.json shape orchestrators key relations by
+      val ns =
+        if (n.contains('.'))
+          s""""schema":${jq(n.split('.').head)},""" +
+            s""""identifier":${jq(n.split('.').last)},"""
+        else ""
+      s"""{"name":${jq(n)},"kind":${jq(resourceKind(n))},$desc$ns""" +
         s""""deps":[${deps(n).sorted.map(jq).mkString(",")}],""" +
         s""""checksum":${jq(checksumOf(n))}}"""
     }
@@ -1770,7 +1823,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
         case Some(d) if d.materialization == Materialization.Ephemeral =>
           dep -> ephemeralCache.getOrElseUpdate(t, runEphemeral(d))
         case Some(d) if d.materialization == Materialization.View =>
-          dep -> spark.table(t)
+          dep -> spark.table(sessionViewName(t))
         case Some(_) => dep -> storedRelation(t)
         case None if deferCtx.exists { case (selected, st) =>
           !selected(t) && st.tableExists(t) &&
@@ -1779,7 +1832,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
           dep -> deferCtx.get._2.readTable(t) // state seed/snapshot
         case None if tableExists(t) =>
           dep -> readTable(t) // seed or snapshot table
-        case None => dep -> spark.table(t) // source view
+        case None => dep -> spark.table(sessionViewName(t)) // source view
       }
     }.map { case (dep, df0) =>
       val df = (window, depEventTime(dep)) match {
@@ -2110,7 +2163,7 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
       materializeLakehouse(m, df, fullRefresh)
     else m.materialization match {
       case Materialization.View =>
-        df.createOrReplaceTempView(name); -1L
+        df.createOrReplaceTempView(sessionViewName(name)); -1L
 
       case Materialization.Ephemeral =>
         ephemeralCache(name) = df; -1L
@@ -3946,21 +3999,23 @@ final class PipelineRunner(spark: SparkSession, spec: PipelineSpec,
   /** Drop temp views + scratch dirs (`dbtoperator.py:387-408`). */
   def cleanup(): Unit = {
     spec.models.filter(_.materialization == Materialization.View)
-      .foreach(m => spark.catalog.dropTempView(m.name))
+      .foreach(m => spark.catalog.dropTempView(sessionViewName(m.name)))
     // SQL-text models register one __graft_ref_<model>_<dep> view per
     // resolved input — drop them too or the shared session catalog
     // accumulates a stale view (pinning its plan) per model run
     spec.models.foreach(m => m.deps.foreach(dep =>
-      spark.catalog.dropTempView(s"__graft_ref_${m.name}_$dep")))
+      spark.catalog.dropTempView(
+        s"__graft_ref_${m.name.replace('.', '_')}_${dep.replace('.', '_')}")))
     // {{ this }} resolves through a scoped view too
     spec.models.foreach(m =>
-      spark.catalog.dropTempView(s"__graft_this_${m.name}"))
+      spark.catalog.dropTempView(s"__graft_this_${m.name.replace('.', '_')}"))
     // singular tests register __graft_ref_test_<name>_<dep> views via
     // the same path (DataTests.violations → Model.runSqlText)
     spec.tests.collect { case t: DataTest.Singular => t }.foreach(t =>
       t.refs.foreach(ref =>
         spark.catalog.dropTempView(s"__graft_ref_test_${t.name}_$ref")))
-    spec.sources.keys.foreach(spark.catalog.dropTempView(_))
+    spec.sources.keys.foreach(n =>
+      spark.catalog.dropTempView(sessionViewName(n)))
     ephemeralCache.clear()
   }
 }

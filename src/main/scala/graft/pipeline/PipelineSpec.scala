@@ -253,6 +253,19 @@ final case class Model(
       */
     group: Option[String] = None,
     access: String = "protected",
+    /** dbt `schema` config (the `generate_schema_name` output): the
+      * namespace this model's relation lives in. The engine's
+      * relation identity is `schema.identifier` — a schema'd model's
+      * NODE NAME normalizes to `<schema>.<name>`
+      * ([[PipelineSpec.normalized]]), its table lands under
+      * `<warehouse>/<schema>/<name>`, and gateways resolve it by the
+      * qualified name. Refs may use the qualified name always, or the
+      * bare name when it is unambiguous across schemas (dbt's
+      * unique-name convention); an ambiguous bare ref fails loudly at
+      * construction. Equivalent to writing the qualified name
+      * directly in `name`.
+      */
+    schema: Option[String] = None,
     /** dbt `description` (persist_docs surface): free-text doc for
       * the model, carried into `manifest.json` and `docs generate`'s
       * catalog.json, and part of the state:modified checksum (dbt
@@ -282,17 +295,23 @@ object Model {
   // versioned-model pin: `ref('m', v=2)`.
   private val refRe =
     ("""\{\{\s*(?:ref|source)\(\s*(?:'([^'"]+)'|"([^'"]+)")""" +
+      """(?:\s*,\s*(?:'([^'"]+)'|"([^'"]+)"))?""" +
       """\s*(?:,\s*v\s*=\s*(\d+)\s*)?\)\s*\}\}""").r
 
   /** The ref name from a [[refRe]] match, whichever quote form hit.
+    * A two-arg form (`source('raw','events')` — dbt's source grammar
+    * always carries the source NAME plus the table) textualizes to
+    * the qualified relation `raw.events` (warehouse subdir layout).
     * A version pin textualizes to the version instance's node name
     * (`ref('m', v=2)` → `m_v2`, dbt's versioned-relation naming); a
     * bare ref of a versioned model stays symbolic and the runner
     * resolves it to the latest version.
     */
   private def refName(m: scala.util.matching.Regex.Match): String = {
-    val base = Option(m.group(1)).getOrElse(m.group(2))
-    Option(m.group(3)).map(v => s"${base}_v$v").getOrElse(base)
+    val first = Option(m.group(1)).getOrElse(m.group(2))
+    val base = Option(m.group(3)).orElse(Option(m.group(4)))
+      .map(second => s"$first.$second").getOrElse(first)
+    Option(m.group(5)).map(v => s"${base}_v$v").getOrElse(base)
   }
 
   // {% if is_incremental() %} ... [{% else %} ...] {% endif %} — the
@@ -652,7 +671,7 @@ object Model {
         val thisDf = ctx.thisRelation.map(_()).getOrElse(sys.error(
           s"model $name: {{ this }} used but the target table does " +
             "not exist yet — guard it with {% if is_incremental() %}"))
-        val view = s"__graft_this_$name"
+        val view = s"__graft_this_${name.replace('.', '_')}"
         thisDf.createOrReplaceTempView(view)
         runSqlText(name, thisRe.replaceAllIn(rendered, view), spark, inputs)
       }
@@ -696,8 +715,9 @@ object Model {
     */
   def parseRefs(sqlText: String): Seq[String] = {
     val deps = refRe.findAllMatchIn(sqlText).map(refName).toSeq.distinct
-    deps.foreach(dep => require(dep.matches("[A-Za-z_][A-Za-z0-9_]*"),
-      s"ref/source name must be a SQL identifier: $dep"))
+    deps.foreach(dep => require(dep.matches(
+      "[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?"),
+      s"ref/source name must be identifier or schema.identifier: $dep"))
     deps
   }
 
@@ -708,7 +728,9 @@ object Model {
     */
   private[pipeline] def runSqlText(scope: String, sqlText: String,
       spark: SparkSession, inputs: Map[String, DataFrame]): DataFrame = {
-    def view(dep: String) = s"__graft_ref_${scope}_$dep"
+    // '.' in a qualified scope/dep is not a temp-view character
+    def view(dep: String) =
+      s"__graft_ref_${scope.replace('.', '_')}_${dep.replace('.', '_')}"
     parseRefs(sqlText).foreach(dep =>
       inputs(dep).createOrReplaceTempView(view(dep)))
     spark.sql(refRe.replaceAllIn(sqlText, m => view(refName(m))))
@@ -1016,4 +1038,30 @@ final case class PipelineSpec(
       * a macro here; a single-engine runner's analog is a named
       * statement.
       */
-    operations: Map[String, String] = Map.empty)
+    operations: Map[String, String] = Map.empty) {
+
+  /** Fold each model's `schema` config into its node name
+    * (`sales` + `orders` → `sales.orders`) — the runner's canonical
+    * relation identity. Idempotent; validates that every resulting
+    * name is at most `schema.identifier` with identifier segments.
+    */
+  def normalized: PipelineSpec = {
+    val ms = models.map { m =>
+      m.schema match {
+        case None => m
+        case Some(s) =>
+          require(!m.name.contains('.'),
+            s"model ${m.name}: schema config on an already-qualified name")
+          m.copy(name = s"$s.${m.name}", schema = None)
+      }
+    }
+    (ms.map(_.name) ++ seeds.map(_.name) ++ snapshots.map(_.name) ++
+      sources.keys).foreach { n =>
+      val segs = n.split('.')
+      require(segs.length <= 2 &&
+        segs.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+        s"resource name must be identifier or schema.identifier: $n")
+    }
+    copy(models = ms)
+  }
+}

@@ -881,6 +881,40 @@ object PipelineOps extends QueryGroup {
     // into a zip (`Makefile:11-18`), extracted + located + loaded
     // (`dbtoperator.py:286-312`), then seeded and run; the oracle
     // checks the final aggregate, which joins a seed to a model.
+    // Schema namespaces (SURVEY §1.2 database.schema.identifier, the
+    // database level collapsed onto the warehouse root): TWO models
+    // with the SAME name in different schemas (dbt `schema` /
+    // generate_schema_name config), stored under warehouse subdirs,
+    // ref'd qualified by a downstream model, and — the gateway
+    // contract — resolved by QUALIFIED NAME in plain Spark SQL
+    // through the published global views (the same resolution rule
+    // every Thrift connection inherits; GatewaySpec proves it over a
+    // real socket). The returned frame IS the SQL join of the two
+    // same-named relations.
+    "run_schema_namespace" -> ((s, d) => {
+      val spec = PipelineSpec(Seq(
+        Model("orders", Nil, Materialization.Table,
+          (sp, _) => Tables.orders(sp, d).groupBy("o_custkey")
+            .agg(asDouble(sum(dec2(col("o_totalprice")))).as("total")),
+          schema = Some("sales")),
+        Model("orders", Nil, Materialization.Table,
+          (sp, _) => Tables.orders(sp, d)
+            .filter(col("o_orderstatus") === "F")
+            .groupBy("o_custkey").agg(count(lit(1)).as("n_closed")),
+          schema = Some("finance")),
+        Model("ns_summary", Seq("sales.orders", "finance.orders"),
+          Materialization.Table,
+          (sp, ins) => ins("sales.orders")
+            .join(ins("finance.orders"), Seq("o_custkey")))))
+      val r = new PipelineRunner(s, spec, freshWh("run_schema_namespace"))
+      mustSucceed(r.run(Seq("run")))
+      require(r.readTable("ns_summary").columns.length == 3)
+      s.sql("""SELECT sq.o_custkey, sq.total, fq.n_closed
+              |FROM sales.orders sq
+              |JOIN finance.orders fq ON sq.o_custkey = fq.o_custkey
+              |ORDER BY sq.o_custkey""".stripMargin)
+    }),
+
     "run_project_artifact" -> ((s, d) => {
       val wh = freshWh("run_project_artifact")
       val proj = java.nio.file.Paths.get(freshWh("rpa_project"))
@@ -1212,6 +1246,19 @@ object PipelineOps extends QueryGroup {
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the qualified-name SQL join of the two same-named models
+    "run_schema_namespace" ->
+      """WITH sq AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY o_custkey),
+        |fq AS (
+        |  SELECT o_custkey, count(*) AS n_closed
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+        |SELECT sq.o_custkey, sq.total, fq.n_closed
+        |FROM sq JOIN fq ON sq.o_custkey = fq.o_custkey
+        |ORDER BY sq.o_custkey""".stripMargin,
 
     "run_project_artifact" ->
       """SELECT CASE o_orderstatus WHEN 'O' THEN 'open'

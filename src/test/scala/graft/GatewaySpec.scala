@@ -331,4 +331,51 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS gw_ddl")
     }
   }
+
+  test("schema namespaces over Thrift: two models with the SAME name " +
+      "in different schemas resolve by qualified name from a JDBC " +
+      "client") {
+    import graft.pipeline.{Materialization, Model, PipelineRunner, PipelineSpec}
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"),
+      "thrift_ns_wh").toString
+    val spec = PipelineSpec(Seq(
+      Model("accounts", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._
+          Seq((1L, "s-a"), (2L, "s-b")).toDF("id", "v") },
+        schema = Some("sales")),
+      Model("accounts", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._
+          Seq((1L, "f-a"), (3L, "f-c")).toDF("id", "v") },
+        schema = Some("finance"))))
+    val runner = new PipelineRunner(spark, spec, wh)
+    val res = runner.run(Seq("run"))
+    assert(res.success, res.results.flatMap(_.error).mkString("; "))
+    // warehouse layout: one subdir per schema
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(wh, "sales", "accounts")), "layout wrong")
+    val port = ThriftGateway.freePort()
+    val srv = ThriftGateway.start(spark, port)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val conn = java.sql.DriverManager.getConnection(
+        s"jdbc:hive2://127.0.0.1:$port", "anon", "")
+      try {
+        def q(sql: String): Seq[(Long, String)] = {
+          val rs = conn.createStatement().executeQuery(sql)
+          Iterator.continually(rs).takeWhile(_.next())
+            .map(r => (r.getLong(1), r.getString(2))).toSeq
+        }
+        assert(q("SELECT id, v FROM sales.accounts ORDER BY id") ==
+          Seq((1L, "s-a"), (2L, "s-b")))
+        assert(q("SELECT id, v FROM finance.accounts ORDER BY id") ==
+          Seq((1L, "f-a"), (3L, "f-c")))
+        // the two same-named relations JOIN by qualified names
+        assert(q("""SELECT s.id, f.v FROM sales.accounts s
+                   |JOIN finance.accounts f ON s.id = f.id
+                   |ORDER BY s.id""".stripMargin) == Seq((1L, "f-a")))
+      } finally conn.close()
+    } finally srv.close()
+  }
 }

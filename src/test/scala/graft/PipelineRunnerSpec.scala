@@ -3814,4 +3814,59 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(graft.sources.IcebergRead.readIcebergTable(spark,
       s"$w/ffi_mor", snapshotId = Some(1L)).count() == 6L)
   }
+
+  test("schema namespaces: schema config folds into schema.identifier " +
+      "relations (subdir storage), bare refs resolve when unique and " +
+      "fail loudly when ambiguous, two-arg source() maps to a " +
+      "qualified relation in SQL-text models") {
+    val w = wh()
+    // raw.events source registered via the two-part source() grammar
+    val srcDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"), "nssrc")
+    Seq((1L, 5.0), (2L, 7.0)).toDF("id", "x")
+      .write.mode("overwrite").parquet(srcDir.toString)
+    val sqlModel = Model.sql("enriched",
+      "SELECT id, x * 2 AS x2 FROM {{ source('raw', 'events') }}",
+      Materialization.Table)
+    val spec = PipelineSpec(
+      models = Seq(
+        Model("dim", Nil, Materialization.Table,
+          (sp, _) => { import sp.implicits._
+            Seq((1L, "a"), (2L, "b")).toDF("id", "tag") },
+          schema = Some("core")),
+        // a bare ref to a UNIQUE schema'd name resolves
+        Model("usage", Seq("dim"), Materialization.Table,
+          (sp, ins) => ins("dim").select("id")),
+        sqlModel),
+      sources = Map("raw.events" -> srcDir.toString))
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.run(Seq("run")).success)
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(w, "core", "dim")), "schema subdir missing")
+    assert(r.readTable("core.dim").count() == 2L)
+    assert(r.readTable("usage").count() == 2L)
+    assert(r.readTable("enriched").orderBy("id")
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 10.0), (2L, 14.0)))
+    // AMBIGUOUS bare ref: same name in two schemas refuses loudly
+    val dup = PipelineSpec(Seq(
+      Model("t", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._ ; Seq(1).toDF("a") },
+        schema = Some("s1")),
+      Model("t", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._ ; Seq(2).toDF("a") },
+        schema = Some("s2")),
+      Model("down", Seq("t"), Materialization.Table,
+        (sp, ins) => ins("t"))))
+    // construction-time, like dbt's parse-time DbtReferenceError
+    val e = intercept[RuntimeException](
+      new PipelineRunner(spark, dup, wh()))
+    assert(e.getMessage.contains("ambiguous across schemas"),
+      e.getMessage)
+    // a fresh runner over the SAME warehouse re-registers the
+    // schema'd leftovers (one directory level deeper)
+    val r3 = new PipelineRunner(spark,
+      PipelineSpec(models = Nil), w)
+    r3.initialize()
+    assert(r3.readTable("core.dim").count() == 2L)
+  }
 }

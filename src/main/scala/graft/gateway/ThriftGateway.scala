@@ -70,13 +70,23 @@ object ThriftGateway {
         "tables as global temp views (PipelineRunner does) and install " +
         "graft.gateway.GraftSqlExtensions for bare-name resolution " +
         "instead")
+    // remembered for rollback in the stop closure: start() mutates
+    // the HOST session conf (HiveThriftServer2 reads bind host/port
+    // from it), and leaving the keys behind would leak this cycle's
+    // address into any later unrelated Hive-conf construction
+    val bindKeys = Seq("hive.server2.thrift.bind.host",
+      "hive.server2.thrift.port")
+    val priorBind = bindKeys.map(k => k -> spark.conf.getOption(k))
     spark.conf.set("hive.server2.thrift.bind.host", bindHost)
     spark.conf.set("hive.server2.thrift.port", port.toString)
     // Spark's execution-Hive client REUSES any SessionState already
     // attached to the calling thread; after a previous start()/stop()
     // cycle that stale state still carries the OLD thrift port/host,
     // and the next server silently binds the previous address. Detach
-    // so every start builds its HiveConf from the CURRENT session conf.
+    // so every start builds its HiveConf from the CURRENT session
+    // conf. SessionState is THREAD-LOCAL, so stop() detaches too (its
+    // own thread's state), and start/stop cycles should run on one
+    // thread — a stale state on some third thread is out of reach.
     org.apache.hadoop.hive.ql.session.SessionState.detachSession()
     val server = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
       .startWithContext(spark.sqlContext)
@@ -93,6 +103,15 @@ object ThriftGateway {
       }
     }
     require(up, s"Thrift endpoint did not come up on $bindHost:$port")
-    () => server.stop()
+    () => {
+      server.stop()
+      // roll the host conf back and drop this thread's SessionState —
+      // the next start() (any thread) rebuilds from a clean conf
+      priorBind.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      org.apache.hadoop.hive.ql.session.SessionState.detachSession()
+    }
   }
 }

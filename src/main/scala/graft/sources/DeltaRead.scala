@@ -162,6 +162,20 @@ object DeltaRead {
   private val FieldIdKey = "delta.columnMapping.id"
   private val ParquetFieldId = "parquet.field.id"
 
+  /** A parquet reader with field-id resolution enabled FOR THIS SCAN
+    * ONLY when the table is id-column-mapped: reader options land in
+    * the scan's per-relation Hadoop conf
+    * (`newHadoopConfWithOptions`), so a user's session-level choice of
+    * `spark.sql.parquet.fieldId.read.enabled` is never silently
+    * overridden for later unrelated scans (it used to be flipped on
+    * the shared session conf as a read side effect).
+    */
+  private def pqReader(spark: SparkSession, idMapped: Boolean)
+      : org.apache.spark.sql.DataFrameReader =
+    if (idMapped)
+      spark.read.option("spark.sql.parquet.fieldId.read.enabled", "true")
+    else spark.read
+
   /** Under column-mapping `name` mode, data files store PHYSICAL
     * column names (`col-<uuid>`), recorded per field in the schema's
     * metadata; rename the logical schema recursively to get the
@@ -428,11 +442,6 @@ object DeltaRead {
       .asInstanceOf[StructType]
     val nameMapped = mappingMode == "name"
     val idMapped = mappingMode == "id"
-    // field-id resolution is a session-level parquet switch; enabling
-    // it is inert for schemas without parquet.field.id metadata, so a
-    // global flip here is safe (and required for id-mode scans)
-    if (idMapped)
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val mapped = nameMapped || idMapped
     // read-schema names: PHYSICAL under both mapping modes (id mode
     // additionally carries parquet.field.id metadata), logical
@@ -532,7 +541,7 @@ object DeltaRead {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], fullSchema)
     } else if (!anyDv && state.partitionCols.isEmpty) {
-      val base = spark.read.schema(dataSchema)
+      val base = pqReader(spark, idMapped).schema(dataSchema)
         .parquet(addList.map(f => abs(f.path)).sorted: _*)
       if (mapped) logicalProjection(base) else base
     } else if (!anyDv && state.adds.values.map(_.partitionValues).toSet.size <= unionGroupMax) {
@@ -542,7 +551,7 @@ object DeltaRead {
       val groups = addList.groupBy(_.partitionValues).toSeq
         .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
       val parts = groups.map { case (pv, files) =>
-        val base = spark.read.schema(dataSchema)
+        val base = pqReader(spark, idMapped).schema(dataSchema)
           .parquet(files.map(f => abs(f.path)).sorted: _*)
         state.partitionCols.foldLeft(base) { (df, pc) =>
           val raw = pvOf(pv, pc)
@@ -562,7 +571,7 @@ object DeltaRead {
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(hconf).makeQualified(hp).toString
       }
-      var df = spark.read.schema(dataSchema)
+      var df = pqReader(spark, idMapped).schema(dataSchema)
         .parquet(addList.map(f => abs(f.path)).sorted: _*)
         .withColumn("__graft_file", col("_metadata.file_path"))
       if (anyDv) {
@@ -754,8 +763,6 @@ object DeltaRead {
     val nameMapped = mappingMode == "name"
     val idMapped = mappingMode == "id"
     val mapped = nameMapped || idMapped
-    if (idMapped)
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val physFull =
       if (nameMapped) toPhysical(fullSchema).asInstanceOf[StructType]
       else if (idMapped) toPhysicalWithIds(fullSchema).asInstanceOf[StructType]
@@ -841,7 +848,7 @@ object DeltaRead {
         if (storedType) StructType(dataSchema.fields :+
           StructField("_change_type", StringType))
         else dataSchema
-      val scan = spark.read.schema(readSchema)
+      val scan = pqReader(spark, idMapped).schema(readSchema)
         .parquet(files.map(f => absPath(path, f.relPath)).distinct.sorted: _*)
         .withColumn("__graft_file", col("_metadata.file_path"))
       val mapRows = files.map { f =>

@@ -855,6 +855,12 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, String, String)].collect().toSeq
     assert(masked == Seq((1L, "x", "A"), (3L, "z", "A")),
       s"DV over id-mapped table wrong: $masked")
+    // field-id resolution is scoped to the SCAN (a reader option) —
+    // an id-mode read must never flip the shared session conf as a
+    // side effect (a user who disabled it stays disabled elsewhere)
+    assert(spark.conf.get("spark.sql.parquet.fieldId.read.enabled")
+      == "false",
+      "id-mode read mutated the session-level field-id conf")
   }
 
   test("a complete multi-part checkpoint bounds the replay like a " +

@@ -271,6 +271,45 @@ object EventWindows extends QueryGroup {
         .orderBy("_commit_version", "_change_type", "c_custkey")
     }),
 
+    // The Iceberg sibling of stream_delta_source: a bookmarked
+    // consumer drains an Iceberg table's NEW snapshots as changelog
+    // micro-batches (equality deletes replay as row-level DELETEs).
+    // Same restart proof: drain, commit a third snapshot, drain again
+    // with the same checkpoint — only the new snapshot is delivered,
+    // and the union must equal the full changelog the oracle builds.
+    "stream_iceberg_source" -> ((s, d) => {
+      val base = java.nio.file.Paths.get("/root/repo/target/scratch")
+      java.nio.file.Files.createDirectories(base)
+      val dir = java.nio.file.Files
+        .createTempDirectory(base, "stream_iceberg_source")
+      val (tbl, cp) = (s"$dir/tbl", s"$dir/cp")
+      val cust = Tables.customer(s, d)
+      graft.sources.IcebergWrite.mergeOnRead(s, tbl,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          lit(0.0).as("bal")),
+        Seq("c_custkey"))
+      graft.sources.IcebergWrite.mergeOnRead(s, tbl,
+        cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").as("bal")),
+        Seq("c_custkey"))
+      val got = scala.collection.mutable.ListBuffer
+        .empty[org.apache.spark.sql.DataFrame]
+      val n1 = graft.sources.IcebergStreamSource.processAvailable(
+        s, tbl, cp) { (df, _) => got += df }
+      require(n1 == 2, s"expected 2 micro-batches (snapshots 1,2), got $n1")
+      graft.sources.IcebergWrite.mergeOnRead(s, tbl,
+        cust.filter(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            (col("c_acctbal") + lit(1000.0)).as("bal")),
+        Seq("c_custkey"))
+      val n2 = graft.sources.IcebergStreamSource.processAvailable(
+        s, tbl, cp) { (df, _) => got += df }
+      require(n2 == 1, s"bookmark resume delivered $n2 batches, not 1")
+      got.reduce(_.unionByName(_))
+        .orderBy("_commit_snapshot_id", "_change_type", "c_custkey")
+    }),
+
     "stream_file_ingest" -> ((s0, d) => {
       // a dedicated session scoped to this pipeline: streaming aggs
       // fix their STATE partition count from the session's shuffle
@@ -370,6 +409,32 @@ object EventWindows extends QueryGroup {
         |  'update_postimage', CAST(2 AS BIGINT)
         |FROM customer WHERE c_custkey % 5 = 0
         |ORDER BY _commit_version, _change_type, c_custkey""".stripMargin,
+
+    // the Iceberg changelog across the restart: snapshot 1 inserts,
+    // snapshot 2's equality delete replays as row-level DELETEs of
+    // the PARENT values (+ the upsert's inserts), snapshot 3 likewise
+    // with values that depend on snapshot 2 having applied
+    "stream_iceberg_source" ->
+      """SELECT c_custkey, c_mktsegment, 0.0 AS bal,
+        |  'INSERT' AS _change_type, CAST(1 AS BIGINT) AS _commit_snapshot_id
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, 0.0, 'DELETE', CAST(2 AS BIGINT)
+        |FROM customer WHERE c_custkey % 3 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, c_acctbal, 'INSERT',
+        |  CAST(2 AS BIGINT)
+        |FROM customer WHERE c_custkey % 3 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END,
+        |  'DELETE', CAST(3 AS BIGINT)
+        |FROM customer WHERE c_custkey % 5 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, c_acctbal + 1000.0, 'INSERT',
+        |  CAST(3 AS BIGINT)
+        |FROM customer WHERE c_custkey % 5 = 0
+        |ORDER BY _commit_snapshot_id, _change_type, c_custkey""".stripMargin,
 
     // the streamed-through-restart warehouse table must equal the
     // plain batch tumbling agg (the sentinel closes all real windows)

@@ -669,7 +669,7 @@ object DeltaRead {
   }
 
   /** The table's partition columns from the log's metaData action. */
-  private[sources] def partitionColumns(spark: SparkSession,
+  private[graft] def partitionColumns(spark: SparkSession,
       path: String): Seq[String] =
     stateAt(spark, openLog(path), None).partitionCols
 

@@ -3770,6 +3770,68 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("file_format"), e.getMessage)
   }
 
+  test("file_format=delta + partition_by + on_schema_change through " +
+      "the runner: merges land in a REAL partitioned Delta table, " +
+      "append_new_columns evolves it, ignore projects, drops refuse") {
+    import spark.implicits._
+    val w = wh()
+    def m(osc: OnSchemaChange, evolved: Boolean) = Model("ffp", Nil,
+      Materialization.IncrementalMerge(Seq("id"), buckets = 4,
+        partitionBy = Seq("seg"), onSchemaChange = osc),
+      (sp, _) => { import sp.implicits._
+        Seq((1L, "A", 0.0), (2L, "B", 0.0)).toDF("id", "seg", "bal") },
+      buildC = Some((sp, _, ctx) => { import sp.implicits._
+        if (!ctx.isIncremental)
+          Seq((1L, "A", 0.0), (2L, "B", 0.0)).toDF("id", "seg", "bal")
+        else if (evolved)
+          Seq((1L, "A", 1.5, "hi")).toDF("id", "seg", "bal", "note")
+        else Seq((1L, "A", 1.5)).toDF("id", "seg", "bal") }),
+      fileFormat = "delta")
+    val r = new PipelineRunner(spark,
+      PipelineSpec(Seq(m(OnSchemaChange.AppendNewColumns, evolved = false))), w)
+    assert(r.run(Seq("run")).success && r.run(Seq("run")).success)
+    // the dbt partition_by config produced a REALLY partitioned table
+    assert(graft.sources.DeltaRead.partitionColumns(spark, s"$w/ffp")
+      == Seq("seg"))
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(w, "ffp")).iterator().hasNext)
+    assert(r.readTable("ffp").orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "A", 1.5), (2L, "B", 0.0)))
+    // append_new_columns EVOLVES the lakehouse table (same contract
+    // as graft-format models — the old silent hard-fail divergence)
+    val r2 = new PipelineRunner(spark,
+      PipelineSpec(Seq(m(OnSchemaChange.AppendNewColumns, evolved = true))), w)
+    assert(r2.run(Seq("run")).success)
+    assert(r2.readTable("ffp").orderBy("id")
+      .as[(Long, String, Double, Option[String])].collect().toSeq ==
+      Seq((1L, "A", 1.5, Some("hi")), (2L, "B", 0.0, None)))
+    // ignore PROJECTS a drifted batch onto the stored schema
+    val r3 = new PipelineRunner(spark, PipelineSpec(Seq(Model("ffp", Nil,
+      Materialization.IncrementalMerge(Seq("id"), buckets = 4,
+        partitionBy = Seq("seg"), onSchemaChange = OnSchemaChange.Ignore),
+      (sp, _) => { import sp.implicits._
+        Seq((2L, "B", 9.0, 42)).toDF("id", "seg", "bal", "extra") },
+      fileFormat = "delta"))), w)
+    assert(r3.run(Seq("run")).success)
+    val after = r3.readTable("ffp").orderBy("id")
+      .as[(Long, String, Double, Option[String])].collect().toSeq
+    assert(after == Seq((1L, "A", 1.5, Some("hi")), (2L, "B", 9.0, None)),
+      s"ignore projection wrong: $after")
+    // a column DROP refuses loudly in every mode
+    val r4 = new PipelineRunner(spark, PipelineSpec(Seq(Model("ffp", Nil,
+      Materialization.IncrementalMerge(Seq("id"), buckets = 4,
+        partitionBy = Seq("seg"),
+        onSchemaChange = OnSchemaChange.SyncAllColumns),
+      (sp, _) => { import sp.implicits._
+        Seq((2L, "B", 9.0)).toDF("id", "seg", "bal") },
+      fileFormat = "delta"))), w)
+    val res = r4.runCommand("run")
+    assert(!res.success &&
+      res.error.exists(_.contains("cannot drop columns")),
+      res.error.mkString)
+  }
+
   test("file_format=iceberg models: CoW merge and MoR (equality-" +
       "delete) incremental strategies materialize real Iceberg " +
       "tables; refs and readTable route through IcebergRead") {

@@ -730,4 +730,55 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         (_, _) => ()))
     assert(e.getMessage.contains("enableChangeDataFeed"), e.getMessage)
   }
+
+  test("iceberg streaming source → delta sink is exactly-once across " +
+      "a crash (replay skipped by the txn watermark); a bookmark " +
+      "expired by expireSnapshots refuses loudly") {
+    import graft.sources.{DeltaRead, DeltaWrite, IcebergStreamSource, IcebergWrite}
+    val base = java.nio.file.Paths.get("/root/repo/target/scratch-test")
+    java.nio.file.Files.createDirectories(base)
+    val root = java.nio.file.Files.createTempDirectory(base, "isrc")
+    val (src, snk, cp) = (s"$root/src", s"$root/snk", s"$root/cp")
+    IcebergWrite.mergeOnRead(spark, src,
+      Seq((1L, 0.0), (2L, 0.0), (3L, 0.0)).toDF("id", "bal"), Seq("id"))
+    IcebergWrite.mergeOnRead(spark, src,
+      Seq((1L, 10.0), (3L, 30.0)).toDF("id", "bal"), Seq("id"))
+    val appId = "isrc-e2e"
+    def applyBatch(df: org.apache.spark.sql.DataFrame, snap: Long): Long =
+      DeltaWrite.mergeBatch(spark, snk, appId, snap,
+        df.filter(col("_change_type") === "INSERT").select("id", "bal"),
+        Seq("id"))
+    val boom = intercept[RuntimeException](
+      IcebergStreamSource.processAvailable(spark, src, cp) { (df, v) =>
+        applyBatch(df, v): Unit
+        throw new RuntimeException("simulated crash after sink commit")
+      })
+    assert(boom.getMessage.contains("simulated crash"))
+    assert(IcebergStreamSource.readBookmark(cp).isEmpty)
+    val skips = scala.collection.mutable.ListBuffer.empty[Long]
+    val n = IcebergStreamSource.processAvailable(spark, src, cp) {
+      (df, v) => skips += applyBatch(df, v)
+    }
+    assert(n == 2, s"restart should deliver both snapshots, got $n")
+    assert(skips.head == -1L,
+      s"replayed snapshot 1 was applied twice: ${skips.toList}")
+    val got = DeltaRead.readDeltaTable(spark, snk)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10.0), (2L, 0.0), (3L, 30.0)), got.toString)
+    // only the new snapshot on the next drain
+    IcebergWrite.mergeOnRead(spark, src,
+      Seq((2L, 20.0)).toDF("id", "bal"), Seq("id"))
+    assert(IcebergStreamSource.processAvailable(spark, src, cp)(
+      (df, v) => applyBatch(df, v): Unit) == 1)
+    assert(DeltaRead.readDeltaTable(spark, snk)
+      .orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // expire PAST the bookmark → the consumer must refuse, never skip
+    IcebergWrite.mergeOnRead(spark, src,
+      Seq((1L, 11.0)).toDF("id", "bal"), Seq("id"))
+    IcebergWrite.expireSnapshots(spark, src, keepLast = 1)
+    val e = intercept[IllegalArgumentException](
+      IcebergStreamSource.processAvailable(spark, src, cp)((_, _) => ()))
+    assert(e.getMessage.contains("EXPIRED"), e.getMessage)
+  }
 }

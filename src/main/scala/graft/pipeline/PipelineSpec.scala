@@ -294,24 +294,33 @@ object Model {
   // owns single quotes there). The optional `, v=N` is dbt's
   // versioned-model pin: `ref('m', v=2)`.
   private val refRe =
-    ("""\{\{\s*(?:ref|source)\(\s*(?:'([^'"]+)'|"([^'"]+)")""" +
+    ("""\{\{\s*(ref|source)\(\s*(?:'([^'"]+)'|"([^'"]+)")""" +
       """(?:\s*,\s*(?:'([^'"]+)'|"([^'"]+)"))?""" +
       """\s*(?:,\s*v\s*=\s*(\d+)\s*)?\)\s*\}\}""").r
 
   /** The ref name from a [[refRe]] match, whichever quote form hit.
-    * A two-arg form (`source('raw','events')` — dbt's source grammar
-    * always carries the source NAME plus the table) textualizes to
-    * the qualified relation `raw.events` (warehouse subdir layout).
-    * A version pin textualizes to the version instance's node name
+    * A two-arg `source('raw','events')` (dbt's source grammar always
+    * carries the source NAME plus the table) textualizes to the
+    * qualified relation `raw.events` (warehouse subdir layout). A
+    * two-arg `ref('pkg','model')` is dbt's (package, model) form —
+    * the package is a NAMESPACE, not a schema, so it resolves through
+    * the model registry by bare model name exactly like a one-arg
+    * ref (dbt model names are project-unique). A version pin
+    * textualizes to the version instance's node name
     * (`ref('m', v=2)` → `m_v2`, dbt's versioned-relation naming); a
     * bare ref of a versioned model stays symbolic and the runner
     * resolves it to the latest version.
     */
   private def refName(m: scala.util.matching.Regex.Match): String = {
-    val first = Option(m.group(1)).getOrElse(m.group(2))
-    val base = Option(m.group(3)).orElse(Option(m.group(4)))
-      .map(second => s"$first.$second").getOrElse(first)
-    Option(m.group(5)).map(v => s"${base}_v$v").getOrElse(base)
+    val keyword = m.group(1)
+    val first = Option(m.group(2)).getOrElse(m.group(3))
+    val second = Option(m.group(4)).orElse(Option(m.group(5)))
+    val base = second match {
+      case Some(s) if keyword == "source" => s"$first.$s"
+      case Some(s) => s // ref('pkg','model') — model name, not pkg.model
+      case None => first
+    }
+    Option(m.group(6)).map(v => s"${base}_v$v").getOrElse(base)
   }
 
   // {% if is_incremental() %} ... [{% else %} ...] {% endif %} — the

@@ -567,10 +567,7 @@ object DeltaRead {
       // `_metadata.file_path` against broadcast file-maps — O(files)
       // in a broadcast hashmap, not O(partitions) in the plan tree
       val hconf = spark.sessionState.newHadoopConf()
-      def qualified(p: String): String = {
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(hconf).makeQualified(hp).toString
-      }
+      def qualified(p: String): String = DeltaWrite.sparkPathOf(hconf, p)
       var df = pqReader(spark, idMapped).schema(dataSchema)
         .parquet(addList.map(f => abs(f.path)).sorted: _*)
         .withColumn("__graft_file", col("_metadata.file_path"))
@@ -836,10 +833,7 @@ object DeltaRead {
           s"${c.version}) lacks partitionValues for ${partCols.mkString(", ")}: $path"))
 
     val hconf = spark.sessionState.newHadoopConf()
-    def qualified(p: String): String = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(hconf).makeQualified(hp).toString
-    }
+    def qualified(p: String): String = DeltaWrite.sparkPathOf(hconf, p)
     // one scan node per group; version/type/partition values ride a
     // broadcast file-map whose key is intentionally NON-unique (a
     // file with several change rows in range fans out through it)

@@ -185,13 +185,41 @@ object DeltaWrite {
       pv: Map[String, String]): String =
     partCols.map { c =>
       val v = pv.getOrElse(c, null)
-      s"${escapeSeg(c)}=" +
-        (if (v == null) "__HIVE_DEFAULT_PARTITION__" else escapeSeg(v))
+      // A REAL string value equal to the null sentinel gets its first
+      // underscore percent-encoded (as Hive's escapePathName
+      // effectively does) so null and the literal string
+      // "__HIVE_DEFAULT_PARTITION__" never collide into one pdir key
+      // — pdirPv keys staged targets on this string.
+      val seg =
+        if (v == null) "__HIVE_DEFAULT_PARTITION__"
+        else if (v == "__HIVE_DEFAULT_PARTITION__")
+          "%5F" + escapeSeg(v.tail)
+        else escapeSeg(v)
+      s"${escapeSeg(c)}=$seg"
     }.mkString("/")
 
   // ---------------------------------------------------------------
   // Staged one-job file writer
   // ---------------------------------------------------------------
+
+  /** The exact `_metadata.file_path` string Spark will report for a
+    * local path — the SparkPath form: URL-encoded URI (a literal `%`
+    * or space in a file name is `%XX`-escaped) with a null authority
+    * (`file:/...`, never `file:///...`). Every broadcast file-map
+    * joined against `_metadata.file_path` MUST key on this form;
+    * Hadoop `Path.toString` is the DECODED form and silently
+    * mismatches any file whose name needs escaping.
+    */
+  private[sources] def sparkPathOf(
+      hconf: org.apache.hadoop.conf.Configuration, p: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val u = hp.getFileSystem(hconf).makeQualified(hp).toUri
+    val auth =
+      if (u.getAuthority != null && u.getAuthority.isEmpty) null
+      else u.getAuthority
+    new org.apache.hadoop.fs.Path(u.getScheme, auth, u.getPath)
+      .toUri.toString
+  }
 
   /** Write EVERY pending data file of a commit in ONE Spark job:
     * `tagged` carries the file contents plus a `__graft_target`
@@ -274,10 +302,7 @@ object DeltaWrite {
     import org.apache.spark.sql.types._
     if (rels.isEmpty) return Map.empty
     val hconf = spark.sessionState.newHadoopConf()
-    def qualified(p: String): String = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(hconf).makeQualified(hp).toString
-    }
+    def qualified(p: String): String = DeltaWrite.sparkPathOf(hconf, p)
     val relOfAbs = rels.map(r => qualified(s"$dir/$r") -> r).toMap
     val fields = dataSchema.fields.filter(f => f.dataType match {
       case ByteType | ShortType | IntegerType | LongType | FloatType |
@@ -404,7 +429,18 @@ object DeltaWrite {
     import org.apache.spark.sql.functions.{broadcast, col}
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val spark = df.sparkSession
-    val pvRows = df.select(partCols.map(col): _*).distinct().collect()
+    // Bounded driver collect: O(distinct partition combos) is the
+    // planning contract, and `limit(cap+1)` keeps a user who
+    // partitions by a high-cardinality column (ids, timestamps) from
+    // an unbounded collect — they get this message instead. Same
+    // fence class as Dedup's maxBucket guards.
+    val maxCombos = 10000
+    val pvRows = df.select(partCols.map(col): _*).distinct()
+      .limit(maxCombos + 1).collect()
+    require(pvRows.length <= maxCombos,
+      s"batch spans more than $maxCombos distinct partition-value " +
+        s"combos on (${partCols.mkString(", ")}) — partition by a " +
+        "coarser column (dates, tenants), not a high-cardinality key")
     val pdirPv: Map[String, Map[String, String]] = pvRows.map { r =>
       val pv = partCols.zipWithIndex.map { case (c, i) =>
         c -> serializePv(r.get(i)) }.toMap
@@ -572,10 +608,7 @@ object DeltaWrite {
     val cur = spark.read.schema(dataSchema).parquet(live.map(_.abs): _*)
       .withColumn("__graft_file", col("_metadata.file_path"))
     val hconf = spark.sessionState.newHadoopConf()
-    def qualified(p: String): String = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(hconf).makeQualified(hp).toString
-    }
+    def qualified(p: String): String = DeltaWrite.sparkPathOf(hconf, p)
     val pdirOfQualified: Map[String, String] = live.map(f =>
       qualified(f.abs) -> pdirOfFile(f.rel)).toMap
     import org.apache.spark.sql.functions.{element_at, typedlit}
@@ -637,11 +670,19 @@ object DeltaWrite {
         val state = DeltaRead.tableSchema(spark, dir)
         val curPcs = DeltaRead.partitionColumns(spark, dir)
         val curCfg = DeltaRead.tableConfiguration(spark, dir)
-        val mergedCfg = curCfg ++ configuration
+        // Delta CREATE OR REPLACE resets table properties to exactly
+        // the new set — a property the replacing model no longer
+        // requests (e.g. delta.enableChangeDataFeed) is DROPPED, not
+        // accreted forever. Engine-internal column-mapping keys are
+        // the exception: physical names are burned into the data
+        // files, so those survive the replace.
+        val internal = curCfg.filter { case (k, _) =>
+          k.startsWith("delta.columnMapping") }
+        val newCfg = internal ++ configuration
         if (state.fields.map(f => (f.name, f.dataType)).toSeq !=
             df.schema.fields.map(f => (f.name, f.dataType)).toSeq ||
-            curPcs != partitionBy || mergedCfg != curCfg)
-          Some((df.schema, partitionBy, mergedCfg))
+            curPcs != partitionBy || newCfg != curCfg)
+          Some((df.schema, partitionBy, newCfg))
         else None
       }
     val removes: Seq[String] =
@@ -776,10 +817,7 @@ object DeltaWrite {
       requireNextVersion(dir, version)
       val live = DeltaRead.liveDataFiles(spark, dir)
       val hconf = spark.sessionState.newHadoopConf()
-      def qualified(p: String): String = {
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(hconf).makeQualified(hp).toString
-      }
+      def qualified(p: String): String = DeltaWrite.sparkPathOf(hconf, p)
       val dataSchema = org.apache.spark.sql.types.StructType(
         fullSchema.filterNot(f => partCols.contains(f.name)))
 

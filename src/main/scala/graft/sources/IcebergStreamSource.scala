@@ -58,9 +58,17 @@ object IcebergStreamSource {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
   }
 
-  // snapshot ids in commit order (sequence number, falling back to
-  // array position for v1), from the CURRENT metadata
-  private def orderedSnapshots(tableDir: String): Seq[Long] = {
+  // Snapshot ids in commit order, from the CURRENT metadata. The
+  // ordering key is per-TABLE (all-or-nothing): if EVERY snapshot
+  // carries a `sequence-number` (format v2) we sort by it; if NONE
+  // does (format v1) we keep metadata array order. A MIXED table — a
+  // v1→v2 upgrade whose new snapshots restart sequence numbers at 1
+  // while old ones have none — cannot be ordered by either key alone,
+  // so we fall back to `timestamp-ms`, and refuse loudly when even
+  // timestamps tie across the v1/v2 boundary (interleaving a
+  // consumer's micro-batches out of commit order would be silent
+  // corruption).
+  private[graft] def orderedSnapshots(tableDir: String): Seq[Long] = {
     val metaDir = java.nio.file.Paths.get(tableDir, "metadata")
     val hint = metaDir.resolve("version-hint.text")
     require(java.nio.file.Files.isRegularFile(hint),
@@ -69,10 +77,47 @@ object IcebergStreamSource {
     val meta = org.json4s.jackson.JsonMethods.parse(
       java.nio.file.Files.readString(
         metaDir.resolve(s"v$v.metadata.json")))
-    (meta \ "snapshots").children.zipWithIndex.map { case (s, i) =>
-      ((s \ "snapshot-id").extract[Long],
-        (s \ "sequence-number").extractOpt[Long].getOrElse(i.toLong))
-    }.sortBy(_._2).map(_._1)
+    val snaps = (meta \ "snapshots").children.zipWithIndex.map {
+      case (s, i) =>
+        ((s \ "snapshot-id").extract[Long],
+          (s \ "sequence-number").extractOpt[Long],
+          (s \ "timestamp-ms").extractOpt[Long], i)
+    }
+    if (snaps.forall(_._2.isDefined)) snaps.sortBy(_._2.get).map(_._1)
+    else if (snaps.forall(_._2.isEmpty)) snaps.map(_._1)
+    else {
+      // upgraded table: sequence numbers only cover the post-upgrade
+      // tail, so order by commit timestamp — but only if timestamps
+      // are strictly usable (present and non-decreasing won't do:
+      // ties across the boundary are ambiguous)
+      val ts = snaps.map(s => (s._1, s._3, s._4))
+      require(ts.forall(_._2.isDefined) &&
+          ts.map(_._2.get).distinct.size == ts.size,
+        s"Iceberg table $tableDir mixes snapshots with and without " +
+          "sequence-number (v1→v2 upgrade) and commit timestamps do " +
+          "not disambiguate the order — refusing to stream a possibly " +
+          "re-ordered history")
+      ts.sortBy(_._2.get).map(_._1)
+    }
+  }
+
+  // Is `snapshotId` (the earliest RETAINED snapshot) itself an
+  // incremental commit — i.e. history before it has been expired?
+  // True when it records a `parent-snapshot-id` (external writers) or
+  // a `sequence-number` > 1 (v2 sequence numbers start at 1 on the
+  // creating commit and survive expireSnapshots' metadata rewrite).
+  private def hasParent(tableDir: String, snapshotId: Long): Boolean = {
+    val metaDir = java.nio.file.Paths.get(tableDir, "metadata")
+    val v = java.nio.file.Files.readString(
+      metaDir.resolve("version-hint.text")).trim
+    val meta = org.json4s.jackson.JsonMethods.parse(
+      java.nio.file.Files.readString(
+        metaDir.resolve(s"v$v.metadata.json")))
+    (meta \ "snapshots").children.exists { s =>
+      (s \ "snapshot-id").extract[Long] == snapshotId &&
+        ((s \ "parent-snapshot-id").extractOpt[Long].isDefined ||
+          (s \ "sequence-number").extractOpt[Long].exists(_ > 1L))
+    }
   }
 
   /** Drain every snapshot past the bookmark as micro-batches of
@@ -90,7 +135,19 @@ object IcebergStreamSource {
     require(ordered.nonEmpty, s"Iceberg table has no snapshots: $tableDir")
     val bookmark = readBookmark(checkpointDir)
     val startIdx = bookmark match {
-      case None => 0
+      case None =>
+        // A fresh consumer must see the table's FULL history. If
+        // expireSnapshots already trimmed early snapshots, the
+        // earliest retained one is an incremental commit (it has a
+        // parent) — starting there would silently deliver an
+        // incomplete baseline, so refuse as loudly as the
+        // expired-bookmark path below does.
+        require(!hasParent(tableDir, ordered.head),
+          s"earliest retained snapshot ${ordered.head} of $tableDir " +
+            "has a parent — history before it has been EXPIRED, so a " +
+            "fresh consumer cannot reconstruct the full table state " +
+            "(seed the consumer from a batch scan, then bookmark)")
+        0
       case Some(b) =>
         val i = ordered.indexOf(b)
         require(i >= 0,

@@ -163,7 +163,12 @@ object IcebergWrite {
     */
   private[sources] case class Staged(rel: String, rows: Long,
       colStats: Seq[(StructField, Any, Any, Long)],
-      partition: Map[String, Any], size: Long)
+      partition: Map[String, Any], size: Long,
+      // the FULL batch schema — colStats covers only primitive
+      // stat-able columns, so creation-from-staged must not
+      // reconstruct the table schema from it (binary/array/map/
+      // struct/timestamp_ntz columns would be silently dropped)
+      schema: StructType)
 
   /** Spark partition value → avro partition-record value. */
   private def avroPv(v: Any): Any = v match {
@@ -229,8 +234,7 @@ object IcebergWrite {
     val creationSchema: Option[StructType] =
       if (priorVersion > 0) None
       else Some(adds.headOption.map(_._2.schema)
-        .orElse(stagedAdds.headOption.map(s =>
-          StructType(s.colStats.map(_._1))))
+        .orElse(stagedAdds.headOption.map(_.schema))
         .getOrElse(sys.error(
           "first Iceberg commit must add at least one file")))
     val prior =
@@ -646,7 +650,7 @@ object IcebergWrite {
       val partition = partCols.map { c =>
         c -> colStats.find(_._1.name == c).map(s => avroPv(s._2))
           .getOrElse(null) }.toMap
-      Staged(rel, rows, colStats, partition, size)
+      Staged(rel, rows, colStats, partition, size, schema)
     }
   }
 
@@ -778,10 +782,7 @@ object IcebergWrite {
         }
 
       val hconf = spark.sessionState.newHadoopConf()
-      def qualified(p: String): String = {
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(hconf).makeQualified(hp).toString
-      }
+      def qualified(p: String): String = DeltaWrite.sparkPathOf(hconf, p)
       val byQualified: Map[String, IcebergRead.DataFileEntry] =
         pruned.map(f => qualified(localOf(f.path).toString) -> f).toMap
       // Iceberg data files store ALL columns (including identity

@@ -1177,6 +1177,13 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
     assert(DeltaRead.tableConfiguration(spark, d)
       .get("delta.enableChangeDataFeed").contains("true"),
       "configuration change on replace was dropped")
+    // CREATE OR REPLACE resets properties to the NEW set: a replacing
+    // model that no longer requests CDF turns it (and its cdc-write
+    // cost) OFF — properties never accrete forever
+    DeltaWrite.replace(spark, d, df, partitionBy = Seq("seg"))
+    assert(!DeltaRead.tableConfiguration(spark, d)
+      .contains("delta.enableChangeDataFeed"),
+      "replace must reset table properties to the caller-supplied set")
   }
 
   test("merge schema evolution: allowEvolution appends new columns " +
@@ -1353,5 +1360,46 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
     assert(!ck2.columns.contains("remove") ||
       ck2.filter(col("remove").isNotNull).count() == 0,
       "expired tombstones leaked into a fixture checkpoint")
+  }
+
+  test("null partition value and the literal string " +
+      "'__HIVE_DEFAULT_PARTITION__' stay DISTINCT partitions — the " +
+      "log's partitionValues re-attach each combo's own rows") {
+    val d = dir()
+    val df = Seq(
+      (1L, Option.empty[String], 1.0),
+      (2L, Some("__HIVE_DEFAULT_PARTITION__"), 2.0),
+      (3L, Some("A"), 3.0)).toDF("id", "seg", "bal")
+    DeltaWrite.replace(spark, d, df, partitionBy = Seq("seg"))
+    val got = DeltaRead.readDeltaTable(spark, d)
+      .orderBy("id").as[(Long, Option[String], Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, None, 1.0),
+      (2L, Some("__HIVE_DEFAULT_PARTITION__"), 2.0),
+      (3L, Some("A"), 3.0)), got.toString)
+    // and the log distinguishes them: one add with JSON-null seg, one
+    // with the literal string
+    val c0 = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      d, "_delta_log", "%020d.json".format(0)))
+    val pvs = c0.linesIterator.filter(_.nonEmpty).flatMap { line =>
+      org.json4s.jackson.JsonMethods.parse(line) \ "add" \
+        "partitionValues" \ "seg" match {
+        case org.json4s.JNull => Some(None)
+        case org.json4s.JString(s) => Some(Some(s))
+        case _ => None
+      }
+    }.toSet
+    assert(pvs == Set(None, Some("__HIVE_DEFAULT_PARTITION__"), Some("A")),
+      pvs.toString)
+  }
+
+  test("a batch spanning too many distinct partition combos fails " +
+      "loudly instead of an unbounded driver collect") {
+    val d = dir()
+    val wide = spark.range(10001L)
+      .selectExpr("id", "cast(id as string) AS seg", "id * 1.0 AS bal")
+    val e = intercept[IllegalArgumentException](
+      DeltaWrite.replace(spark, d, wide, partitionBy = Seq("seg")))
+    assert(e.getMessage.contains("coarser"), e.getMessage)
   }
 }

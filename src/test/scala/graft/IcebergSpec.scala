@@ -719,4 +719,33 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
     assert(dataFiles(d).keySet == live,
       s"unreferenced files survived: ${dataFiles(d).keySet -- live}")
   }
+
+  test("merge-created table keeps NON-primitive columns in the " +
+      "metadata schema: stats cover only stat-able primitives, but " +
+      "creation-from-staged must not drop binary/array columns") {
+    val d = dir()
+    val b1 = Seq(
+      (1L, Array[Byte](1, 2), Seq("a", "b")),
+      (2L, Array[Byte](3), Seq("c"))).toDF("id", "payload", "tags")
+    IcebergWrite.merge(spark, d, b1, Seq("id"))
+    val got = IcebergRead.readIcebergTable(spark, d)
+    assert(got.columns.toSeq == Seq("id", "payload", "tags"),
+      s"metadata schema lost columns: ${got.columns.toSeq}")
+    val rows = got.orderBy("id")
+      .as[(Long, Array[Byte], Seq[String])].collect().toSeq
+    assert(rows.map(r => (r._1, r._2.toSeq, r._3)) == Seq(
+      (1L, Seq[Byte](1, 2), Seq("a", "b")),
+      (2L, Seq[Byte](3), Seq("c"))), rows.toString)
+    // and a later merge through the same staged path still works
+    IcebergWrite.merge(spark, d, Seq(
+      (2L, Array[Byte](9), Seq("C")),
+      (3L, Array[Byte](7), Seq("d"))).toDF("id", "payload", "tags"),
+      Seq("id"))
+    val rows2 = IcebergRead.readIcebergTable(spark, d).orderBy("id")
+      .as[(Long, Array[Byte], Seq[String])].collect().toSeq
+    assert(rows2.map(r => (r._1, r._2.toSeq, r._3)) == Seq(
+      (1L, Seq[Byte](1, 2), Seq("a", "b")),
+      (2L, Seq[Byte](9), Seq("C")),
+      (3L, Seq[Byte](7), Seq("d"))), rows2.toString)
+  }
 }

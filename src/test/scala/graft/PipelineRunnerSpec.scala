@@ -3931,4 +3931,23 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     r3.initialize()
     assert(r3.readTable("core.dim").count() == 2L)
   }
+
+  test("two-arg ref('pkg','model') is dbt's (package, model) form: " +
+      "it resolves the MODEL through the registry, never a relation " +
+      "named after the package") {
+    val w = wh()
+    val spec = PipelineSpec(models = Seq(
+      Model("dim", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._
+          Seq((1L, "a"), (2L, "b")).toDF("id", "tag") },
+        schema = Some("core")),
+      // the package name ('analytics') is a NAMESPACE — no schema or
+      // relation by that name exists, so qualifying to analytics.dim
+      // would be a loud miss; resolving by model name is correct
+      Model.sql("down", "SELECT id FROM {{ ref('analytics', 'dim') }}",
+        Materialization.Table)))
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.run(Seq("run")).success)
+    assert(r.readTable("down").count() == 2L)
+  }
 }

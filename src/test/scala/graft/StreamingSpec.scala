@@ -780,5 +780,56 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val e = intercept[IllegalArgumentException](
       IcebergStreamSource.processAvailable(spark, src, cp)((_, _) => ()))
     assert(e.getMessage.contains("EXPIRED"), e.getMessage)
+    // a FRESH consumer on the same expired-history table must refuse
+    // just as loudly — starting at the earliest retained snapshot
+    // would silently deliver an incomplete baseline
+    val e2 = intercept[IllegalArgumentException](
+      IcebergStreamSource.processAvailable(spark, src, s"$root/cpFresh")(
+        (_, _) => ()))
+    assert(e2.getMessage.contains("has a parent"), e2.getMessage)
+  }
+
+  test("iceberg source snapshot ordering: per-table sequence numbers, " +
+      "v1 array order, upgraded tables by timestamp, ambiguous mixed " +
+      "metadata refuses loudly") {
+    import graft.sources.IcebergStreamSource
+    val base = java.nio.file.Paths.get("/root/repo/target/scratch-test")
+    java.nio.file.Files.createDirectories(base)
+    def mkTable(snaps: Seq[(Long, Option[Long], Option[Long])]): String = {
+      val root = java.nio.file.Files.createTempDirectory(base, "iord")
+      val metaDir = root.resolve("metadata")
+      java.nio.file.Files.createDirectories(metaDir)
+      val snapJson = snaps.map { case (id, seq, ts) =>
+        val s = new StringBuilder(s"""{"snapshot-id": $id""")
+        seq.foreach(v => s.append(s""", "sequence-number": $v"""))
+        ts.foreach(v => s.append(s""", "timestamp-ms": $v"""))
+        s.append("}").toString
+      }.mkString("[", ", ", "]")
+      java.nio.file.Files.writeString(metaDir.resolve("v1.metadata.json"),
+        s"""{"format-version": 2, "snapshots": $snapJson}""")
+      java.nio.file.Files.writeString(
+        metaDir.resolve("version-hint.text"), "1")
+      root.toString
+    }
+    // all sequence-numbered (v2): sorted by sequence, not array order
+    assert(IcebergStreamSource.orderedSnapshots(mkTable(Seq(
+      (30L, Some(3L), None), (10L, Some(1L), None), (20L, Some(2L), None)
+    ))) == Seq(10L, 20L, 30L))
+    // none sequence-numbered (v1): metadata array order
+    assert(IcebergStreamSource.orderedSnapshots(mkTable(Seq(
+      (30L, None, None), (10L, None, None), (20L, None, None)
+    ))) == Seq(30L, 10L, 20L))
+    // v1→v2 upgrade (new snapshots restart sequence numbers at 1):
+    // NEVER interleave by the per-snapshot fallback — distinct commit
+    // timestamps order the whole history
+    assert(IcebergStreamSource.orderedSnapshots(mkTable(Seq(
+      (10L, None, Some(1000L)), (20L, None, Some(2000L)),
+      (30L, Some(1L), Some(3000L)), (40L, Some(2L), Some(4000L))
+    ))) == Seq(10L, 20L, 30L, 40L))
+    // mixed metadata with TIED timestamps is unorderable → loud refusal
+    val e = intercept[IllegalArgumentException](
+      IcebergStreamSource.orderedSnapshots(mkTable(Seq(
+        (10L, None, Some(1000L)), (30L, Some(1L), Some(1000L))))))
+    assert(e.getMessage.contains("sequence-number"), e.getMessage)
   }
 }

@@ -9,6 +9,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.gateway.GraftSqlExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: JIT Spark's execution internals + the parquet reader

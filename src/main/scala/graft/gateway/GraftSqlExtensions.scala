@@ -41,8 +41,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * machinery, sharing the analyzed global view plan).
   */
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(GlobalViewFallback)
+    // MERGE INTO <published relation> routed into the engine's merge
+    // machinery (dbt-spark's `merge` incremental strategy arrives as
+    // exactly this SQL over Thrift) — see MergeInto.scala
+    ext.injectResolutionRule(MergeIntoRoute)
+  }
 }
 
 /** See [[GraftSqlExtensions]]. Runs in the analyzer's resolution

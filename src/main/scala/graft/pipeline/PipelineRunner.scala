@@ -977,9 +977,65 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
       val df = readTable(name)
       df.createOrReplaceTempView(sessionViewName(name))
       df.createOrReplaceGlobalTempView(sessionViewName(name))
+      registerMergeRoute(name)
     } catch {
       case e: Exception => logger.log(LogLevel.WARNING,
         s"session view for $name not registered: ${e.getMessage}")
+    }
+
+  /** Make `MERGE INTO <name> USING ... WHEN MATCHED UPDATE SET *
+    * WHEN NOT MATCHED INSERT *` — the exact statement dbt-spark's
+    * `merge` incremental strategy emits over Thrift — execute through
+    * THIS model's merge machinery (Delta / Iceberg / manifest
+    * warehouse by file_format). Routed via
+    * [[graft.gateway.MergeRoutes]] + the [[graft.gateway.MergeIntoRoute]]
+    * resolution rule; only registered for incremental-merge models,
+    * so a MERGE against anything else still fails with Spark's own
+    * loud unsupported error. The ON keys must be the model's declared
+    * unique_key — the engine merge's uniqueness contract is per
+    * DECLARED key, and silently merging on different keys would
+    * corrupt the table.
+    */
+  private def registerMergeRoute(name: String): Unit =
+    byName.get(name).foreach { m =>
+      def checkKeys(onKeys: Seq[String], declared: Seq[String]): Unit =
+        require(
+          onKeys.map(_.toLowerCase).toSet ==
+            declared.map(_.toLowerCase).toSet,
+          s"MERGE INTO $name: ON keys (${onKeys.mkString(", ")}) must " +
+            s"be the model's unique_key (${declared.mkString(", ")})")
+      val dir = tablePath(name)
+      m.materialization match {
+        case Materialization.IncrementalMerge(keys, buckets, userParts, _) =>
+          graft.gateway.MergeRoutes.register(name, (s, batch, onKeys) => {
+            checkKeys(onKeys, keys)
+            val n = m.fileFormat match {
+              case "delta" => graft.sources.DeltaWrite.merge(
+                s, dir, batch, keys, buckets, partitionBy = userParts)
+              case "iceberg" => graft.sources.IcebergWrite.merge(
+                s, dir, batch, keys, buckets, partitionBy = userParts)
+              case _ => mergeInto(name, batch, keys, buckets, userParts,
+                fullRefresh = false)
+            }
+            // lakehouse merges commit outside publishManifest — the
+            // published views must re-resolve the post-merge state
+            registerSessionView(name)
+            n
+          })
+        case Materialization.IncrementalMergeOnRead(keys, osc, delCol)
+            if delCol.isEmpty =>
+          graft.gateway.MergeRoutes.register(name, (s, batch, onKeys) => {
+            checkKeys(onKeys, keys)
+            val n =
+              if (m.fileFormat == "iceberg")
+                graft.sources.IcebergWrite.mergeOnRead(s, dir, batch, keys)
+              else mergeOnRead(name, batch, keys,
+                fullRefresh = false, osc = osc)
+            registerSessionView(name)
+            n
+          })
+        case _ => // not a merge model: leave MERGE INTO unrouted
+      }
     }
 
   /** The commit primitive: write the full manifest content to a temp

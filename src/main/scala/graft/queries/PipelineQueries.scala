@@ -915,6 +915,94 @@ object PipelineOps extends QueryGroup {
               |ORDER BY sq.o_custkey""".stripMargin)
     }),
 
+    // ---- the dbt-spark wire transcript ------------------------------------
+    // The reference's literal production loop is dbt CLI → PyHive/
+    // Thrift → Spark (dbtoperator.py:274,342-360). This key replays
+    // the EXACT statement sequences dbt-spark 1.9 emits for the
+    // view / table / incremental-append / insert_overwrite
+    // materializations (graft.gateway.DbtTranscript, statements from
+    // dbt-spark's public adapter macros) over a REAL hive-jdbc
+    // connection to the engine's Thrift endpoint, then reads the
+    // final tables back — the oracle recomputes every final state
+    // from the raw orders table. The `merge` strategy's transcript
+    // (MERGE INTO routed into the engine) is covered by
+    // run_sql_merge_into and GatewaySpec.
+    "run_thrift_dbt_transcript" -> ((s, d) => {
+      import graft.gateway.{DbtTranscript => T, ThriftGateway}
+      val db = "dbt_transcript"
+      s.sql(s"drop database if exists $db cascade")
+      // a crashed prior run can leave the location without the
+      // catalog entry — clear it so CREATE SCHEMA starts clean
+      val whDir = java.nio.file.Paths.get(
+        s.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), s"$db.db")
+      if (java.nio.file.Files.isDirectory(whDir)) {
+        import scala.jdk.CollectionConverters._
+        val w = java.nio.file.Files.walk(whDir)
+        val all = try w.iterator().asScala.toSeq finally w.close()
+        all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      // the dbt SOURCE: an existing relation the models select from
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .createOrReplaceGlobalTempView("dbt_src_orders")
+      val port = ThriftGateway.freePort()
+      val srv = ThriftGateway.start(s, port)
+      try {
+        Class.forName("org.apache.hive.jdbc.HiveDriver")
+        val conn = java.sql.DriverManager.getConnection(
+          s"jdbc:hive2://127.0.0.1:$port", "dbt", "")
+        try {
+          val st = conn.createStatement()
+          def run(stmts: Seq[String]): Unit = stmts.foreach(st.execute)
+          run(T.runStart(db))
+          // the dbt SOURCE lands as a persistent catalog table (a
+          // persistent view may not reference the temp staging view)
+          st.execute(s"create table $db.src_orders using parquet as " +
+            "select * from dbt_src_orders")
+          run(T.viewRun(db, "stg_orders",
+            "select o_orderkey, o_custkey, o_orderstatus, " +
+              "cast(cast(o_totalprice as decimal(12,2)) as double) " +
+              s"as price from $db.src_orders"))
+          val tblSel = "select o_orderstatus, count(*) as n, " +
+            "cast(sum(cast(price as decimal(12,2))) as double) as total " +
+            s"from $db.stg_orders group by o_orderstatus"
+          run(T.tableRun(db, "orders_tbl", tblSel, rerun = false))
+          run(T.tableRun(db, "orders_tbl", tblSel, rerun = true))
+          run(T.incrementalAppendRun(db, "orders_inc",
+            s"select o_orderkey, o_orderstatus from $db.stg_orders " +
+              "where o_orderkey % 2 = 0", firstRun = true))
+          run(T.incrementalAppendRun(db, "orders_inc",
+            s"select o_orderkey, o_orderstatus from $db.stg_orders " +
+              "where o_orderkey % 2 = 1", firstRun = false))
+          // insert_overwrite: run 1 from HALF the data, run 2 full
+          // recompute for statuses O and F only — the other statuses'
+          // partitions must survive the dynamic overwrite untouched
+          def partSel(where: String) = "select count(*) as n, " +
+            "cast(sum(cast(price as decimal(12,2))) as double) as total, " +
+            s"o_orderstatus from $db.stg_orders $where group by o_orderstatus"
+          run(T.insertOverwriteRun(db, "orders_part",
+            partSel("where o_orderkey % 2 = 0"),
+            "o_orderstatus", firstRun = true))
+          run(T.insertOverwriteRun(db, "orders_part",
+            partSel("where o_orderstatus in ('O','F')"),
+            "o_orderstatus", firstRun = false))
+          // dbt's catalog introspection legs execute over the wire
+          require(st.executeQuery(s"show tables in $db").next(),
+            "SHOW TABLES returned nothing")
+          require(st.executeQuery(s"describe extended $db.orders_tbl")
+            .next(), "DESCRIBE EXTENDED returned nothing")
+        } finally conn.close()
+      } finally srv.close()
+      s.catalog.dropGlobalTempView("dbt_src_orders")
+      s.sql(
+        s"""SELECT p.o_orderstatus, p.n, p.total,
+           |  (SELECT COUNT(*) FROM $db.orders_inc) AS inc_rows,
+           |  (SELECT COUNT(*) FROM $db.orders_tbl) AS tbl_groups,
+           |  (SELECT COUNT(*) FROM $db.stg_orders) AS view_rows
+           |FROM $db.orders_part p ORDER BY p.o_orderstatus""".stripMargin)
+    }),
+
     "run_project_artifact" -> ((s, d) => {
       val wh = freshWh("run_project_artifact")
       val proj = java.nio.file.Paths.get(freshWh("rpa_project"))
@@ -1246,6 +1334,33 @@ object PipelineOps extends QueryGroup {
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // every final state of the replayed dbt transcript, recomputed
+    // from the raw orders table: orders_part keeps run-1 (half-data)
+    // rows for statuses outside (O,F) — dynamic INSERT OVERWRITE only
+    // replaced the batch's partitions — and full-data rows for O,F;
+    // the scalar subqueries pin the append/table/view final states
+    "run_thrift_dbt_transcript" ->
+      """WITH stg AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        |  FROM orders),
+        |part AS (
+        |  SELECT o_orderstatus, COUNT(*) AS n,
+        |    CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |  FROM stg WHERE o_orderstatus IN ('O','F')
+        |  GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT o_orderstatus, COUNT(*) AS n,
+        |    CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |  FROM stg WHERE o_orderkey % 2 = 0
+        |    AND o_orderstatus NOT IN ('O','F')
+        |  GROUP BY o_orderstatus)
+        |SELECT p.o_orderstatus, p.n, p.total,
+        |  (SELECT COUNT(*) FROM stg) AS inc_rows,
+        |  (SELECT COUNT(DISTINCT o_orderstatus) FROM stg) AS tbl_groups,
+        |  (SELECT COUNT(*) FROM stg) AS view_rows
+        |FROM part p ORDER BY p.o_orderstatus""".stripMargin,
 
     // the qualified-name SQL join of the two same-named models
     "run_schema_namespace" ->

@@ -221,6 +221,41 @@ object Scans extends QueryGroup {
       graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
     }),
 
+    // The same dbt-spark merge arriving as SQL TEXT — the literal
+    // statement dbt's `merge` incremental strategy emits over Thrift
+    // (dbtoperator.py:274,342-360): `MERGE INTO ... USING ... WHEN
+    // MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`.
+    // Vanilla Spark cannot execute MERGE against v1 relations; the
+    // MergeIntoRoute resolution rule (GraftSqlExtensions) rewrites
+    // the dbt shape into the engine's staged CoW Delta merge. Final
+    // state == the programmatic merge's, so the same oracle.
+    "run_sql_merge_into" -> ((s, d) => {
+      val dir = tmpDir("graft_sql_merge_into")
+      val cust = Tables.customer(s, d)
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          lit(0.0).as("bal")),
+        Seq("c_custkey"))
+      // the target exists as a relation (dbt's contract) + a route
+      graft.sources.DeltaRead.readDeltaTable(s, dir)
+        .createOrReplaceTempView("sql_merge_tgt")
+      graft.gateway.MergeRoutes.register("sql_merge_tgt",
+        (sess, batch, keys) =>
+          graft.sources.DeltaWrite.merge(sess, dir, batch, keys))
+      cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").as("bal"))
+        .createOrReplaceTempView("sql_merge_src")
+      s.sql(
+        """MERGE INTO sql_merge_tgt AS DBT_INTERNAL_DEST
+          |USING sql_merge_src AS DBT_INTERNAL_SOURCE
+          |ON DBT_INTERNAL_DEST.c_custkey = DBT_INTERNAL_SOURCE.c_custkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      graft.gateway.MergeRoutes.unregister("sql_merge_tgt")
+      graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
+    }),
+
     // The PARTITIONED dbt-spark merge: creation records partition
     // columns in the Delta metaData (partition values live in the
     // log, hive-style layout on disk), and each merge PRUNES its
@@ -612,6 +647,13 @@ object Scans extends QueryGroup {
 
     // the merged-into-Delta final state must equal the CoW merge SQL
     "mat_incremental_merge_delta" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // the SQL-text MERGE INTO routes into the same CoW merge — same
+    // final state
+    "run_sql_merge_into" ->
       """SELECT c_custkey, c_mktsegment,
         |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
         |FROM customer ORDER BY c_custkey""".stripMargin,

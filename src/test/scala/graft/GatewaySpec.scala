@@ -332,6 +332,154 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dbt-spark's merge strategy over Thrift: the exact " +
+      "MERGE INTO ... UPDATE SET * / INSERT * text executes through " +
+      "the engine's Delta merge; wrong ON keys and unrouted " +
+      "relations fail loudly") {
+    import graft.pipeline.{Materialization, Model, PipelineRunner, PipelineSpec}
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"),
+      "thrift_merge_wh").toString
+    val spec = PipelineSpec(models = Seq(
+      Model("gw_merge", Nil,
+        Materialization.IncrementalMerge(Seq("id")),
+        (sp, _) => { import sp.implicits._
+          Seq((1L, 0.0), (2L, 0.0), (3L, 0.0)).toDF("id", "bal") },
+        fileFormat = "delta"),
+      Model("gw_plain", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._
+          Seq((1L, "x")).toDF("id", "v") })))
+    val runner = new PipelineRunner(spark, spec, wh)
+    assert(runner.run(Seq("run")).success)
+    val port = ThriftGateway.freePort()
+    val srv = ThriftGateway.start(spark, port)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val conn = java.sql.DriverManager.getConnection(
+        s"jdbc:hive2://127.0.0.1:$port", "dbt", "")
+      try {
+        val st = conn.createStatement()
+        // dbt stages the batch as a view, then emits MERGE
+        st.execute("""CREATE TEMPORARY VIEW gw_merge__dbt_tmp AS
+          |SELECT * FROM VALUES (2L, 20.0), (4L, 40.0) AS t(id, bal)"""
+          .stripMargin)
+        st.execute("""MERGE INTO gw_merge AS DBT_INTERNAL_DEST
+          |USING gw_merge__dbt_tmp AS DBT_INTERNAL_SOURCE
+          |ON DBT_INTERNAL_DEST.id = DBT_INTERNAL_SOURCE.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        // the merged state reads back over the same wire...
+        val rs = st.executeQuery(
+          "SELECT id, bal FROM gw_merge ORDER BY id")
+        val got = Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+        assert(got == Seq((1L, 0.0), (2L, 20.0), (3L, 0.0), (4L, 40.0)),
+          s"merged state wrong over thrift: $got")
+        // ...and through the runner / any Delta reader
+        val direct = runner.readTable("gw_merge").orderBy("id")
+          .as[(Long, Double)].collect().toSeq
+        assert(direct == Seq((1L, 0.0), (2L, 20.0), (3L, 0.0), (4L, 40.0)),
+          s"merged state wrong via DeltaRead: $direct")
+        // ON keys that are not the model's unique_key refuse loudly
+        st.execute("""CREATE TEMPORARY VIEW gw_bad_src AS
+          |SELECT * FROM VALUES (9L, 9.0) AS t(id, bal)""".stripMargin)
+        val e = intercept[java.sql.SQLException](st.execute(
+          """MERGE INTO gw_merge AS d USING gw_bad_src AS s
+            |ON d.bal = s.bal
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+        assert(e.getMessage.contains("unique_key"), e.getMessage)
+        // a non-merge relation is NOT routed: Spark's own loud error
+        val e2 = intercept[java.sql.SQLException](st.execute(
+          """MERGE INTO gw_plain AS d USING gw_bad_src AS s
+            |ON d.id = s.id
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+        assert(!e2.getMessage.contains("unique_key"), e2.getMessage)
+      } finally conn.close()
+    } finally {
+      srv.close()
+      graft.gateway.MergeRoutes.unregister("gw_merge")
+    }
+  }
+
+  test("dbt-spark 1.9 statement transcript over hive-jdbc, one " +
+      "materialization at a time: view (CREATE OR REPLACE), table " +
+      "(drop + CTAS rebuild), incremental append (tmp view + INSERT " +
+      "INTO), insert_overwrite (DYNAMIC partition overwrite keeps " +
+      "untouched partitions)") {
+    import graft.gateway.{DbtTranscript => T}
+    val db = "dbt_gwspec"
+    spark.sql(s"drop database if exists $db cascade")
+    val port = ThriftGateway.freePort()
+    val srv = ThriftGateway.start(spark, port)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val conn = java.sql.DriverManager.getConnection(
+        s"jdbc:hive2://127.0.0.1:$port", "dbt", "")
+      try {
+        val st = conn.createStatement()
+        def run(stmts: Seq[String]): Unit = stmts.foreach(st.execute)
+        def one(sql: String): Seq[Seq[String]] = {
+          val rs = st.executeQuery(sql)
+          val n = rs.getMetaData.getColumnCount
+          Iterator.continually(rs).takeWhile(_.next())
+            .map(r => (1 to n).map(i => String.valueOf(r.getObject(i))))
+            .toSeq
+        }
+        run(T.runStart(db))
+        st.execute(s"create table $db.src using parquet as " +
+          "select * from values (1, 'a', 10), (2, 'a', 20), " +
+          "(3, 'b', 30), (4, 'c', 40) as t(id, grp, v)")
+
+        // view: rerun is the same CREATE OR REPLACE; stays a VIEW
+        run(T.viewRun(db, "v_m", s"select id, v * 2 as v2 from $db.src"))
+        run(T.viewRun(db, "v_m", s"select id, v * 3 as v3 from $db.src"))
+        assert(one(s"select v3 from $db.v_m where id = 2") ==
+          Seq(Seq("60")))
+        assert(one(s"show views in $db").exists(_.contains("v_m")),
+          "view materialization did not land as a VIEW")
+
+        // table: rerun REBUILDS (drop + CTAS) — old rows gone
+        run(T.tableRun(db, "t_m",
+          s"select id, v from $db.src where id <= 2", rerun = false))
+        run(T.tableRun(db, "t_m",
+          s"select id, v from $db.src where id >= 3", rerun = true))
+        assert(one(s"select id from $db.t_m order by id") ==
+          Seq(Seq("3"), Seq("4")), "table rerun must fully rebuild")
+
+        // incremental append: run 2 only ADDS the delta
+        run(T.incrementalAppendRun(db, "i_m",
+          s"select id, v from $db.src where id <= 2", firstRun = true))
+        run(T.incrementalAppendRun(db, "i_m",
+          s"select id, v from $db.src where id = 3", firstRun = false))
+        assert(one(s"select id from $db.i_m order by id") ==
+          Seq(Seq("1"), Seq("2"), Seq("3")))
+
+        // insert_overwrite: run 2 recomputes ONLY grp 'a' — the other
+        // groups' partitions survive the dynamic overwrite
+        run(T.insertOverwriteRun(db, "p_m",
+          s"select v, grp from $db.src where id <= 3",
+          "grp", firstRun = true))
+        run(T.insertOverwriteRun(db, "p_m",
+          s"select v * 100 as v, grp from $db.src where grp = 'a'",
+          "grp", firstRun = false))
+        assert(one(s"select grp, v from $db.p_m order by grp, v") ==
+          Seq(Seq("a", "1000"), Seq("a", "2000"), Seq("b", "30")),
+          "dynamic insert_overwrite must replace only the batch's " +
+            "partitions")
+
+        // dbt's introspection legs
+        assert(one(s"show tables in $db").nonEmpty)
+        assert(one(s"describe extended $db.t_m").nonEmpty)
+      } finally conn.close()
+    } finally {
+      srv.close()
+      spark.sql(s"drop database if exists $db cascade")
+    }
+  }
+
   test("schema namespaces over Thrift: two models with the SAME name " +
       "in different schemas resolve by qualified name from a JDBC " +
       "client") {

@@ -221,6 +221,41 @@ object Scans extends QueryGroup {
       graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
     }),
 
+    // The MERGE-ON-READ form of the same upsert: instead of
+    // copy-on-write rewrites, each merge writes ONE packed DV file
+    // masking the matched rows + ONE batch data file — O(batch)
+    // commit cost, data files never rewritten (require-asserted
+    // here; DeltaSpec proves the byte identity, mask merging and
+    // protocol upgrade). Any DV-speaking Delta reader sees the same
+    // final state, so the same oracle as the CoW merge.
+    "mat_incremental_merge_delta_mor" -> ((s, d) => {
+      val dir = tmpDir("graft_mat_merge_delta_mor")
+      val cust = Tables.customer(s, d)
+      graft.sources.DeltaWrite.mergeOnRead(s, dir,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          lit(0.0).as("bal")),
+        Seq("c_custkey"))
+      def dataFiles(): Map[String, Long] = {
+        import scala.jdk.CollectionConverters._
+        val w = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        try w.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(f => f.getFileName.toString -> java.nio.file.Files.size(f))
+          .toMap
+        finally w.close()
+      }
+      val before = dataFiles()
+      graft.sources.DeltaWrite.mergeOnRead(s, dir,
+        cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").as("bal")),
+        Seq("c_custkey"))
+      val after = dataFiles()
+      before.foreach { case (f, sz) => require(after.get(f).contains(sz),
+        s"merge-on-read rewrote data file $f") }
+      graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
+    }),
+
     // The same dbt-spark merge arriving as SQL TEXT — the literal
     // statement dbt's `merge` incremental strategy emits over Thrift
     // (dbtoperator.py:274,342-360): `MERGE INTO ... USING ... WHEN
@@ -647,6 +682,13 @@ object Scans extends QueryGroup {
 
     // the merged-into-Delta final state must equal the CoW merge SQL
     "mat_incremental_merge_delta" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // the DV-masking merge-on-read lands on the same final state as
+    // the CoW merge
+    "mat_incremental_merge_delta_mor" ->
       """SELECT c_custkey, c_mktsegment,
         |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
         |FROM customer ORDER BY c_custkey""".stripMargin,

@@ -339,4 +339,30 @@ object DeletionVectors {
     Files.write(target, buf.array())
     (1, data.length)
   }
+
+  /** One DV FILE packing several bitmaps — how real Delta writers
+    * store a commit's deletion vectors (one `deletion_vector_*.bin`
+    * per commit, each touched data file's descriptor pointing at its
+    * own `[size][data][crc]` entry by offset). Returns each bitmap's
+    * (offset, dataSize) in input order.
+    */
+  def writeDvFileMulti(target: Path,
+      perDv: Seq[Seq[Long]]): Seq[(Int, Int)] = {
+    require(perDv.nonEmpty, "writeDvFileMulti needs at least one bitmap")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(1) // DV file format version, once
+    val offsets = perDv.map { rows =>
+      val data = serialize(rows)
+      val crc = new CRC32(); crc.update(data)
+      val off = out.size()
+      val buf = ByteBuffer.allocate(4 + data.length + 4)
+      buf.putInt(data.length)
+      buf.put(data)
+      buf.putInt(crc.getValue.toInt)
+      out.write(buf.array())
+      (off, data.length)
+    }
+    Files.write(target, out.toByteArray)
+    offsets
+  }
 }

@@ -170,7 +170,7 @@ object DeltaRead {
     * overridden for later unrelated scans (it used to be flipped on
     * the shared session conf as a read side effect).
     */
-  private def pqReader(spark: SparkSession, idMapped: Boolean)
+  private[sources] def pqReader(spark: SparkSession, idMapped: Boolean)
       : org.apache.spark.sql.DataFrameReader =
     if (idMapped)
       spark.read.option("spark.sql.parquet.fieldId.read.enabled", "true")
@@ -572,48 +572,8 @@ object DeltaRead {
         .parquet(addList.map(f => abs(f.path)).sorted: _*)
         .withColumn("__graft_file", col("_metadata.file_path"))
       if (anyDv) {
-        val delSchema = StructType(Seq(
-          StructField("__graft_file", StringType),
-          StructField("__graft_row", org.apache.spark.sql.types.LongType)))
-        val withDv = addList.flatMap(f =>
-          f.dv.map(d => (qualified(abs(f.path)), d)))
-        val (inline, sidecar) = withDv.partition(_._2.storageType == "i")
-        val parts = Seq.newBuilder[DataFrame]
-        if (sidecar.nonEmpty) {
-          // sidecar bitmaps decode in EXECUTORS: the driver ships only
-          // O(DV files) (data file, descriptor) pairs; a `binaryFile`
-          // scan fetches each sidecar wherever its task runs and
-          // flatMaps it into (file, row_index) pairs, so deleted rows
-          // never materialize on the driver — and the scan's file-size
-          // statistics let Catalyst pick a broadcast anti-join exactly
-          // when the decoded frame is genuinely small
-          val bySidecar: Map[String, Seq[(String, DeletionVectors.Descriptor)]] =
-            sidecar.groupBy { case (_, d) =>
-              qualified(DeletionVectors.dvFileLocation(path, d)) }
-          val bc = spark.sparkContext.broadcast(bySidecar)
-          import spark.implicits._
-          parts += spark.read.format("binaryFile")
-            .load(bySidecar.keys.toSeq.sorted: _*)
-            .select(col("path"), col("content"))
-            .as[(String, Array[Byte])]
-            .flatMap { case (p, bytes) =>
-              val ds = bc.value.getOrElse(p,
-                sys.error(s"DV sidecar $p missing from the descriptor map"))
-              ds.iterator.flatMap { case (file, d) =>
-                DeletionVectors.decodeFileDv(bytes, d).iterator
-                  .map(i => (file, i)) }
-            }.toDF("__graft_file", "__graft_row")
-        }
-        if (inline.nonEmpty) {
-          // inline payloads already sit in the log JSON the driver
-          // replayed — decoding them here is O(log bytes), not O(rows)
-          import scala.jdk.CollectionConverters._
-          parts += spark.createDataFrame(
-            inline.flatMap { case (file, d) =>
-              DeletionVectors.decodeInlineDv(d).map(i => Row(file, i))
-            }.asJava, delSchema)
-        }
-        val delDf = parts.result().reduce(_.unionByName(_))
+        val delDf = dvDeleteFrame(spark, path,
+          addList.flatMap(f => f.dv.map(d => (qualified(abs(f.path)), d))))
         df = df.withColumn("__graft_row", col("_metadata.row_index"))
           .join(delDf, Seq("__graft_file", "__graft_row"), "left_anti")
       }
@@ -645,24 +605,155 @@ object DeltaRead {
   private[sources] case class LiveFile(abs: String, rel: String,
       logPath: String, partitionValues: Map[String, String])
 
+  /** Decoded deletion-vector masks as ONE (__graft_file, __graft_row)
+    * frame: `withDv` pairs each data file's `_metadata.file_path` key
+    * (the SparkPath form — [[DeltaWrite.sparkPathOf]]) with its
+    * descriptor. Sidecar bitmaps decode in EXECUTORS: the driver
+    * ships only O(DV files) (data file, descriptor) pairs; a
+    * `binaryFile` scan fetches each sidecar wherever its task runs
+    * and flatMaps it into (file, row_index) pairs, so deleted rows
+    * never materialize on the driver — and the scan's file-size
+    * statistics let Catalyst pick a broadcast anti-join exactly when
+    * the decoded frame is genuinely small. Inline payloads already
+    * sit in the replayed log JSON — decoding them on the driver is
+    * O(log bytes), not O(rows).
+    */
+  private[sources] def dvDeleteFrame(spark: SparkSession, path: String,
+      withDv: Seq[(String, DeletionVectors.Descriptor)]): DataFrame = {
+    val hconf = spark.sessionState.newHadoopConf()
+    def qualified(p: String): String = DeltaWrite.sparkPathOf(hconf, p)
+    val delSchema = StructType(Seq(
+      StructField("__graft_file", StringType),
+      StructField("__graft_row", org.apache.spark.sql.types.LongType)))
+    val (inline, sidecar) = withDv.partition(_._2.storageType == "i")
+    val parts = Seq.newBuilder[DataFrame]
+    if (sidecar.nonEmpty) {
+      val bySidecar: Map[String, Seq[(String, DeletionVectors.Descriptor)]] =
+        sidecar.groupBy { case (_, d) =>
+          qualified(DeletionVectors.dvFileLocation(path, d)) }
+      val bc = spark.sparkContext.broadcast(bySidecar)
+      import spark.implicits._
+      parts += spark.read.format("binaryFile")
+        .load(bySidecar.keys.toSeq.sorted: _*)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (p, bytes) =>
+          val ds = bc.value.getOrElse(p,
+            sys.error(s"DV sidecar $p missing from the descriptor map"))
+          ds.iterator.flatMap { case (file, d) =>
+            DeletionVectors.decodeFileDv(bytes, d).iterator
+              .map(i => (file, i)) }
+        }.toDF("__graft_file", "__graft_row")
+    }
+    if (inline.nonEmpty) {
+      import scala.jdk.CollectionConverters._
+      parts += spark.createDataFrame(
+        inline.flatMap { case (file, d) =>
+          DeletionVectors.decodeInlineDv(d).map(i => Row(file, i))
+        }.asJava, delSchema)
+    }
+    parts.result().reduce(_.unionByName(_))
+  }
+
   /** Live data files of the current snapshot (with their log-recorded
-    * partition values), for [[DeltaWrite.merge]]'s touched-file
-    * rewrite. Rejects table shapes the merge writer cannot rewrite
-    * faithfully (column mapping, deletion vectors) — loudly, never a
-    * corrupting rewrite. Partitioned tables are supported: the caller
-    * prunes on `partitionValues`.
+    * partition values), for the rewrite paths that can only handle
+    * PLAIN tables ([[DeltaWrite.replace]]/[[DeltaWrite.optimize]]).
+    * Rejects column mapping and deletion vectors — loudly, never a
+    * corrupting rewrite ([[DeltaWrite.merge]] supports both through
+    * [[liveDataFilesAll]] + [[mergeGeometry]]). Partitioned tables
+    * are supported: the caller prunes on `partitionValues`.
     */
   private[graft] def liveDataFiles(spark: SparkSession, path: String)
       : Seq[LiveFile] = {
     val state = stateAt(spark, openLog(path), None)
     require(checkReadable(state, path) == "none",
-      s"merge into a column-mapped Delta table is unsupported: $path")
+      s"rewriting a column-mapped Delta table is unsupported here: $path")
     require(state.adds.values.forall(_.dv.isEmpty),
-      s"merge into a deletion-vector-carrying Delta table is unsupported: $path")
+      s"rewriting a deletion-vector-carrying Delta table is unsupported here: $path")
     state.adds.values.toSeq.map(f =>
       LiveFile(absPath(path, f.path), pctDecode(f.path), f.path,
         f.partitionValues))
       .sortBy(_.rel)
+  }
+
+  /** A live data file WITH its deletion-vector descriptor — the
+    * ungated sibling of [[LiveFile]] for [[DeltaWrite.merge]], which
+    * rewrites mapped and DV-carrying tables faithfully.
+    */
+  private[graft] case class LiveFileDv(abs: String, rel: String,
+      logPath: String, partitionValues: Map[String, String],
+      dv: Option[DeletionVectors.Descriptor],
+      // as committed — merge-on-read re-emits the add with a fresh DV
+      size: Long = 0L, stats: Option[String] = None)
+
+  /** Every live data file of the current snapshot, including files
+    * carrying deletion vectors and files of column-mapped tables
+    * (protocol readability is still gated — unknown reader features
+    * refuse loudly). One entry per path: a data file whose DV was
+    * superseded in place re-adds under the same path and the replay
+    * keeps only the live (path, dv) pair.
+    */
+  private[graft] def liveDataFilesAll(spark: SparkSession, path: String)
+      : Seq[LiveFileDv] = {
+    val state = stateAt(spark, openLog(path), None)
+    checkReadable(state, path): Unit
+    val files = state.adds.values.toSeq.map(f =>
+      LiveFileDv(absPath(path, f.path), pctDecode(f.path), f.path,
+        f.partitionValues, f.dv,
+        size = (f.raw \ "size").extractOpt[Long].getOrElse(0L),
+        stats = f.stats))
+      .sortBy(_.rel)
+    val dup = files.groupBy(_.rel).collect { case (r, fs) if fs.size > 1 => r }
+    require(dup.isEmpty,
+      s"live snapshot lists a path twice (conflicting DV versions?): " +
+        s"${dup.mkString(", ")} in $path")
+    files
+  }
+
+  /** The schema/column-mapping geometry [[DeltaWrite.merge]] needs to
+    * read and WRITE a (possibly column-mapped) table faithfully:
+    * logical schema, physical read/write schema, and the top-level
+    * logical → physical name map (identity when unmapped).
+    */
+  private[graft] case class MergeGeometry(mappingMode: String,
+      fullSchema: StructType, physFull: StructType,
+      physTopOf: Map[String, String]) {
+    def mapped: Boolean = mappingMode != "none"
+    def idMapped: Boolean = mappingMode == "id"
+    def physOf(logicalTop: String): String =
+      physTopOf.getOrElse(logicalTop, logicalTop)
+    /** Physical partition-values → the value of LOGICAL column `c`
+      * (tolerates logical-keyed writers).
+      */
+    def pvOf(pv: Map[String, String], c: String): String =
+      pv.getOrElse(physOf(c), pv.getOrElse(c, null))
+  }
+
+  /** Does the current protocol already declare the deletionVectors
+    * feature? ([[DeltaWrite.mergeOnRead]] upgrades in-commit when
+    * writing the table's first DV.)
+    */
+  private[graft] def tableHasDvProtocol(spark: SparkSession,
+      path: String): Boolean = {
+    val state = stateAt(spark, openLog(path), None)
+    state.minReader >= 3 && state.readerFeatures("deletionVectors")
+  }
+
+  private[graft] def mergeGeometry(spark: SparkSession, path: String)
+      : MergeGeometry = {
+    val state = stateAt(spark, openLog(path), None)
+    val mode = checkReadable(state, path)
+    val fullSchema = DataType.fromJson(state.schemaJson.getOrElse(
+      sys.error(s"Delta log has no metaData action: $path")))
+      .asInstanceOf[StructType]
+    val physFull = mode match {
+      case "name" => toPhysical(fullSchema).asInstanceOf[StructType]
+      case "id" => toPhysicalWithIds(fullSchema).asInstanceOf[StructType]
+      case _ => fullSchema
+    }
+    MergeGeometry(mode, fullSchema, physFull,
+      fullSchema.fields.zip(physFull.fields)
+        .map { case (l, p) => l.name -> p.name }.toMap)
   }
 
   /** The table's partition columns from the log's metaData action. */

@@ -354,7 +354,9 @@ object DeltaWrite {
       ("createdTime" -> 0L)))))
 
   private def addLine(rel: String, pv: Map[String, String], size: Long,
-      stats: Option[String], dataChange: Boolean): String = {
+      stats: Option[String], dataChange: Boolean,
+      // merge-on-read re-adds a data file with a fresh DV attached
+      dv: Option[DeletionVectors.Descriptor] = None): String = {
     val base: JValue = ("path" -> pctEncode(rel)) ~
       ("partitionValues" -> jPv(pv)) ~
       ("size" -> size) ~
@@ -362,15 +364,33 @@ object DeltaWrite {
       ("dataChange" -> dataChange)
     val withStats = stats.fold(base)(s => base merge (
       ("stats" -> s): JValue))
-    compact(render(JObject(List("add" -> withStats))))
+    val withDv = dv.fold(withStats)(d => withStats merge ((
+      "deletionVector" -> (("storageType" -> d.storageType) ~
+        ("pathOrInlineDv" -> d.pathOrInlineDv) ~
+        ("offset" -> d.offset) ~
+        ("sizeInBytes" -> d.sizeInBytes) ~
+        ("cardinality" -> d.cardinality))): JValue))
+    compact(render(JObject(List("add" -> withDv))))
   }
 
   private def removeLine(logPath: String, pv: Map[String, String],
-      dataChange: Boolean): String = compact(render(
-    ("remove" -> (("path" -> logPath) ~
+      dataChange: Boolean,
+      // file actions are keyed (path, dvUniqueId) per the protocol:
+      // removing a DV-carrying add MUST name the same descriptor or
+      // the replay never drops it
+      dv: Option[DeletionVectors.Descriptor] = None): String = {
+    val base = ("path" -> logPath) ~
       ("partitionValues" -> jPv(pv)) ~
       ("deletionTimestamp" -> 0L) ~
-      ("dataChange" -> dataChange)))))
+      ("dataChange" -> dataChange)
+    val withDv = dv.fold(base)(d => base ~ ("deletionVector" ->
+      (("storageType" -> d.storageType) ~
+        ("pathOrInlineDv" -> d.pathOrInlineDv) ~
+        ("offset" -> d.offset) ~
+        ("sizeInBytes" -> d.sizeInBytes) ~
+        ("cardinality" -> d.cardinality))))
+    compact(render("remove" -> withDv))
+  }
 
   private def txnLine(t: (String, Long)): String = compact(render(
     ("txn" -> (("appId" -> t._1) ~
@@ -796,10 +816,35 @@ object DeltaWrite {
       require(partitionBy.isEmpty || partitionBy == partCols,
         s"merge partitionBy ${partitionBy.mkString(",")} != table " +
           s"partitioning ${partCols.mkString(",")}: $dir")
-      val tf = tableSchema.fields.map(f => (f.name, f.dataType)).toSeq
-      val bf = batch.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      // column-mapping geometry: data files of mapped tables store
+      // PHYSICAL col-<uuid> names, the log's partitionValues and
+      // stats are physical-keyed — the merge reads physically,
+      // operates logically, and writes physically again
+      val geom = DeltaRead.mergeGeometry(spark, dir)
+      val mapped = geom.mapped
+      // compare shapes with nested METADATA stripped: mapped tables
+      // carry columnMapping metadata on every (nested) field that a
+      // caller's batch legitimately lacks
+      def stripMeta(dt: org.apache.spark.sql.types.DataType)
+          : org.apache.spark.sql.types.DataType = dt match {
+        case st: org.apache.spark.sql.types.StructType =>
+          org.apache.spark.sql.types.StructType(st.fields.map(f =>
+            org.apache.spark.sql.types.StructField(
+              f.name, stripMeta(f.dataType), f.nullable)))
+        case org.apache.spark.sql.types.ArrayType(et, n) =>
+          org.apache.spark.sql.types.ArrayType(stripMeta(et), n)
+        case org.apache.spark.sql.types.MapType(kt, vt, n) =>
+          org.apache.spark.sql.types.MapType(
+            stripMeta(kt), stripMeta(vt), n)
+        case other => other
+      }
+      val tf = tableSchema.fields.map(f => (f.name, stripMeta(f.dataType))).toSeq
+      val bf = batch.schema.fields.map(f => (f.name, stripMeta(f.dataType))).toSeq
       val evolves = bf != tf
       if (evolves) {
+        require(!mapped,
+          s"merge schema evolution on a column-mapped table is " +
+            s"unsupported (new columns need fresh field ids): $dir")
         require(allowEvolution && bf.startsWith(tf),
           s"merge batch schema ${batch.schema.simpleString} != table " +
             s"schema ${tableSchema.simpleString} (schema evolution " +
@@ -815,11 +860,31 @@ object DeltaWrite {
       if (n == 0) return 0L
       val version = DeltaRead.latestVersion(dir) + 1
       requireNextVersion(dir, version)
-      val live = DeltaRead.liveDataFiles(spark, dir)
+      val live = DeltaRead.liveDataFilesAll(spark, dir)
       val hconf = spark.sessionState.newHadoopConf()
       def qualified(p: String): String = DeltaWrite.sparkPathOf(hconf, p)
       val dataSchema = org.apache.spark.sql.types.StructType(
         fullSchema.filterNot(f => partCols.contains(f.name)))
+      // the PHYSICAL on-disk shape of the data columns (== dataSchema
+      // when unmapped; schema evolution is rejected for mapped tables
+      // above, so geom.physFull is current)
+      val physPartCols = partCols.map(geom.physOf)
+      val physDataSchema: org.apache.spark.sql.types.StructType =
+        if (!mapped) dataSchema
+        else org.apache.spark.sql.types.StructType(
+          geom.physFull.fields.filterNot(f => physPartCols.contains(f.name)))
+      // per-logical-column physical field (for the write-side rename)
+      val physFieldOf: Map[String, org.apache.spark.sql.types.StructField] =
+        if (!mapped) Map.empty
+        else fullSchema.fields.map(f =>
+          f.name -> geom.physFull(geom.physOf(f.name))).toMap
+      // a LiveFileDv's partition values normalized to LOGICAL keys
+      def lpv(pv: Map[String, String]): Map[String, String] =
+        partCols.map(c => c -> geom.pvOf(pv, c)).toMap
+      // and a batch-side (logical-keyed) pv map to the PHYSICAL keys
+      // the commit's actions must carry
+      def physPv(pv: Map[String, String]): Map[String, String] =
+        pv.map { case (k, v) => geom.physOf(k) -> v }
 
       // PARTITION PRUNING for the touched-file probe: only live files
       // whose partition values can equal a batch partition combo can
@@ -845,11 +910,11 @@ object DeltaWrite {
       val pruned =
         if (partCols.isEmpty) live
         else live.filter { f =>
-          val key = partCols.map(c => normPv(f.partitionValues, c))
+          val key = partCols.map(c => normPv(lpv(f.partitionValues), c))
           key.exists(_.isEmpty) || batchPvNorm.contains(key)
         }
 
-      val liveByQualified: Map[String, DeltaRead.LiveFile] =
+      val liveByQualified: Map[String, DeltaRead.LiveFileDv] =
         pruned.map(f => qualified(f.abs) -> f).toMap
       // cur: the pruned live rows with their source file, partition
       // dir, and (for partitioned tables) the partition columns
@@ -867,9 +932,28 @@ object DeltaWrite {
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         } else {
-          val cur0 = spark.read.schema(dataSchema)
+          // physical scan; DV masks anti-joined out BEFORE the
+          // logical rename (row_index is a scan-time column); then
+          // one cast per top-level column restores logical names
+          // (nested fields rename positionally) — same machinery as
+          // DeltaRead's mapped scan
+          val raw0 = DeltaRead.pqReader(spark, geom.idMapped)
+            .schema(physDataSchema)
             .parquet(pruned.map(_.abs): _*)
             .withColumn("__graft_file", col("_metadata.file_path"))
+          val withDv = pruned.flatMap(f =>
+            f.dv.map(d => (qualified(f.abs), d)))
+          val masked =
+            if (withDv.isEmpty) raw0
+            else raw0.withColumn("__graft_row", col("_metadata.row_index"))
+              .join(DeltaRead.dvDeleteFrame(spark, dir, withDv),
+                Seq("__graft_file", "__graft_row"), "left_anti")
+              .drop("__graft_row")
+          val cur0 =
+            if (!mapped) masked
+            else masked.select(dataSchema.fields.toIndexedSeq.map(f =>
+              col(s"`${geom.physOf(f.name)}`")
+                .cast(f.dataType).as(f.name)) :+ col("__graft_file"): _*)
           if (partCols.isEmpty) cur0.withColumn("__graft_pdir", lit(""))
           else {
             val pvSchema = org.apache.spark.sql.types.StructType(
@@ -880,8 +964,8 @@ object DeltaWrite {
               partCols.map(c => org.apache.spark.sql.types.StructField(
                 s"__graft_pv_$c", org.apache.spark.sql.types.StringType)))
             val pvRows = pruned.map(f => org.apache.spark.sql.Row.fromSeq(
-              qualified(f.abs) +: pvDirOf(partCols, f.partitionValues) +:
-                partCols.map(c => f.partitionValues.getOrElse(c, null))))
+              qualified(f.abs) +: pvDirOf(partCols, lpv(f.partitionValues)) +:
+                partCols.map(c => geom.pvOf(f.partitionValues, c))))
             val pvDf = spark.createDataFrame(
               spark.sparkContext.parallelize(pvRows, 1), pvSchema)
             partCols.foldLeft(
@@ -901,10 +985,12 @@ object DeltaWrite {
       val rwRelOf: Map[String, String] =
         touched.zipWithIndex.map { case (f, i) =>
           val lf = liveByQualified(f)
-          val pdir = pvDirOf(partCols, lf.partitionValues)
+          val pdir = pvDirOf(partCols, lpv(lf.partitionValues))
           f -> (if (pdir.isEmpty) f"rw-$version%05d-$i%03d.parquet"
                 else f"$pdir/rw-$version%05d-$i%03d.parquet")
         }.toMap
+      // rewrite adds carry the partitionValues AS COMMITTED (physical
+      // keys on mapped tables — the protocol's form)
       val rwPv: Map[String, Map[String, String]] =
         touchedFiles.map(lf =>
           rwRelOf(qualified(lf.abs)) -> lf.partitionValues).toMap
@@ -928,15 +1014,29 @@ object DeltaWrite {
         .drop("__graft_pdir").drop(partCols: _*)
       // evolution: rewrites read with the NEW data schema (old files
       // surface NULL for appended columns), so both sides align
+      // mapped tables write PHYSICAL column names back into data
+      // files (one cast per top-level column renames nested fields
+      // positionally — the exact inverse of the read-side rename);
+      // id-mode fields keep their parquet.field.id metadata so
+      // Spark's writer stamps field ids
+      def physicalTagged(df: DataFrame): DataFrame =
+        if (!mapped) df
+        else df.select(dataSchema.fields.toIndexedSeq.map { f =>
+          val pf = physFieldOf(f.name)
+          col(s"`${f.name}`").cast(pf.dataType).as(pf.name, pf.metadata)
+        } :+ col("__graft_target"): _*)
       val tagged = rwTagged.fold(upTagged)(_.unionByName(upTagged))
-      val staged = stageWrite(dir, tagged)
-      val stats = statsFor(spark, dir, staged.map(_._1), dataSchema)
+      val staged = stageWrite(dir, physicalTagged(tagged))
+      // stats read back the staged files in their on-disk (physical)
+      // shape — stats JSON keys are physical-named under mapping, the
+      // protocol's form
+      val stats = statsFor(spark, dir, staged.map(_._1), physDataSchema)
       def pvOfRel(rel: String): Map[String, String] =
         rwPv.getOrElse(rel, {
           val pdir = rel.stripPrefix("_change_data/")
             .split('/').dropRight(1).mkString("/")
-          pdirPvBatch.getOrElse(pdir, sys.error(
-            s"staged file $rel maps to no known partition: $dir"))
+          physPv(pdirPvBatch.getOrElse(pdir, sys.error(
+            s"staged file $rel maps to no known partition: $dir")))
         })
 
       // A MERGE commit on a CDF-enabled table MUST carry cdc actions:
@@ -974,7 +1074,15 @@ object DeltaWrite {
           .drop("__graft_pdir").drop(partCols: _*)
           .select((dataSchema.fieldNames.toSeq :+ ct :+ "__graft_target")
             .map(col): _*)
-        stageWrite(dir, cdcTagged)
+        // cdc files are read through the same mapped scan as data
+        // files — physical names there too
+        val cdcPhysical =
+          if (!mapped) cdcTagged
+          else cdcTagged.select(dataSchema.fields.toIndexedSeq.map { f =>
+            val pf = physFieldOf(f.name)
+            col(s"`${f.name}`").cast(pf.dataType).as(pf.name, pf.metadata)
+          } ++ Seq(col(ct), col("__graft_target")): _*)
+        stageWrite(dir, cdcPhysical)
       }
 
       val lines =
@@ -986,7 +1094,7 @@ object DeltaWrite {
           addLine(rel, pvOfRel(rel), size, stats.get(rel),
             dataChange = true) } ++
         touchedFiles.map(lf => removeLine(lf.logPath, lf.partitionValues,
-          dataChange = true)) ++
+          dataChange = true, dv = lf.dv)) ++
         txn.map(txnLine) ++
         cdcStaged.map { case (rel, size) =>
           cdcLine(rel, pvOfRel(rel), size) }
@@ -995,7 +1103,11 @@ object DeltaWrite {
       // un-compacted table accretes O(merges) files — once the live
       // set exceeds maxLiveFiles, one dataChange=false OPTIMIZE
       // commit re-buckets it back to O(buckets)
-      if (maxLiveFiles > 0 &&
+      // auto-OPTIMIZE stays gated to plain tables: optimize's rewrite
+      // path does not (yet) speak physical names or DV carry-over —
+      // mapped/DV tables keep their file count until a full refresh
+      if (maxLiveFiles > 0 && !mapped &&
+          live.forall(_.dv.isEmpty) &&
           DeltaRead.liveDataFiles(spark, dir).size > maxLiveFiles)
         optimize(spark, dir, uniqueKey, buckets)
       // bound future replays: a long merge history reads as ONE
@@ -1057,6 +1169,131 @@ object DeltaWrite {
         StructField("partitionValues", MapType(StringType, StringType)),
         StructField("deletionTimestamp", LongType),
         StructField("dataChange", BooleanType))))))
+  }
+
+  /** MERGE-ON-READ upsert — the deletion-vector WRITING half of the
+    * protocol (`DeletionVectors` already decodes): instead of
+    * copy-on-write rewriting every touched file, ONE commit masks the
+    * matched rows via a fresh DV per touched file (packed into one
+    * `deletion_vector_<uuid>.bin`, real-writer layout) and adds the
+    * batch as one data file. Commit cost is O(batch + touched files'
+    * DV bitmaps), never a data rewrite — the same O(batch) contract
+    * as [[IcebergWrite.mergeOnRead]], in Delta form. Any Delta reader
+    * that speaks DVs (including [[DeltaRead.readDeltaTable]]) sees
+    * the merged state; untouched AND touched data files stay
+    * byte-identical.
+    *
+    * A touched file that already carries a DV gets a MERGED bitmap
+    * (old deletes ∪ new matches) — the re-add names the new
+    * descriptor and the remove names the old one, per the protocol's
+    * (path, dvUniqueId) action keying. First call creates the table
+    * exactly like [[merge]] (hash-bucketed files).
+    *
+    * Scope (loud, never silent): unpartitioned, unmapped, CDF-off
+    * tables, no schema evolution — the CoW [[merge]] covers those
+    * shapes. CONTRACT: `batch` unique per key, like every engine
+    * merge.
+    *
+    * Scale notes: the matched-position collect is O(batch) rows (one
+    * live row per key under the merge contract); DV bitmaps decode/
+    * re-encode on the driver at O(deleted rows per touched file) —
+    * bounded by file row count, and OPTIMIZE folds masks back into
+    * data when they accumulate.
+    */
+  def mergeOnRead(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch0: DataFrame, uniqueKey: Seq[String],
+      buckets: Int = 8): Long = {
+    import org.apache.spark.sql.functions.col
+    require(uniqueKey.nonEmpty, "mergeOnRead needs at least one key column")
+    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
+    if (!java.nio.file.Files.isDirectory(logDir))
+      return merge(spark, dir, batch0, uniqueKey, buckets)
+    val geom = DeltaRead.mergeGeometry(spark, dir)
+    require(!geom.mapped,
+      s"mergeOnRead into a column-mapped table is unsupported " +
+        s"(use the CoW merge): $dir")
+    require(DeltaRead.partitionColumns(spark, dir).isEmpty,
+      s"mergeOnRead into a partitioned table is unsupported " +
+        s"(use the CoW merge): $dir")
+    require(DeltaRead.tableConfiguration(spark, dir)
+        .getOrElse("delta.enableChangeDataFeed", "false") != "true",
+      s"mergeOnRead into a CDF-enabled table is unsupported — DV " +
+        s"masking writes no cdc actions (use the CoW merge): $dir")
+    val tableSchema = DeltaRead.tableSchema(spark, dir)
+    val batch = batch0.localCheckpoint()
+    require(batch.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      tableSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"mergeOnRead batch schema ${batch.schema.simpleString} != table " +
+        s"schema ${tableSchema.simpleString}: $dir")
+    val n = batch.count()
+    if (n == 0) return 0L
+    val version = DeltaRead.latestVersion(dir) + 1
+    requireNextVersion(dir, version)
+    val live = DeltaRead.liveDataFilesAll(spark, dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val liveByQualified = live.map(f => sparkPathOf(hconf, f.abs) -> f).toMap
+
+    // matched LIVE positions: existing DV masks apply first, so a
+    // row already deleted can never be "matched" twice
+    val raw0 = spark.read.schema(tableSchema)
+      .parquet(live.map(_.abs): _*)
+      .withColumn("__graft_file", col("_metadata.file_path"))
+      .withColumn("__graft_row", col("_metadata.row_index"))
+    val withDv = live.flatMap(f =>
+      f.dv.map(d => (sparkPathOf(hconf, f.abs), d)))
+    val cur =
+      if (withDv.isEmpty) raw0
+      else raw0.join(DeltaRead.dvDeleteFrame(spark, dir, withDv),
+        Seq("__graft_file", "__graft_row"), "left_anti")
+    val matched = cur.join(batch, uniqueKey, "left_semi")
+      .select("__graft_file", "__graft_row")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byFile: Map[String, Seq[Long]] =
+      matched.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._2).toSeq }
+
+    // ONE packed DV file for the whole commit; each touched file's
+    // bitmap = its old deletes ∪ the newly matched rows
+    val touched = byFile.keys.toSeq.sorted.map(f =>
+      liveByQualified.getOrElse(f,
+        sys.error(s"matched file $f missing from the live map: $dir")))
+    val dvEntries: Seq[(DeltaRead.LiveFileDv, Seq[Long])] = touched.map { lf =>
+      val old = lf.dv.map(d =>
+        DeletionVectors.deletedRows(dir, d)).getOrElse(Nil)
+      lf -> (old ++ byFile(sparkPathOf(hconf, lf.abs))).distinct.sorted
+    }
+    val dvLines: Seq[String] = if (dvEntries.isEmpty) Nil else {
+      // first DV on a plain table upgrades the protocol in the same
+      // commit (readers must be told to look for deletionVector
+      // actions — the feature flag IS the contract)
+      val upgrade: Seq[String] =
+        if (DeltaRead.tableHasDvProtocol(spark, dir)) Nil
+        else Seq(compact(render(
+          ("protocol" -> (("minReaderVersion" -> 3) ~
+            ("minWriterVersion" -> 7) ~
+            ("readerFeatures" -> List("deletionVectors")) ~
+            ("writerFeatures" -> List("deletionVectors")))): JValue)))
+      val uuid = java.util.UUID.randomUUID()
+      val offsets = DeletionVectors.writeDvFileMulti(
+        java.nio.file.Paths.get(dir, s"deletion_vector_$uuid.bin"),
+        dvEntries.map(_._2))
+      upgrade ++ dvEntries.zip(offsets).flatMap {
+        case ((lf, rows), (off, size)) =>
+          val d = DeletionVectors.Descriptor("u",
+            DeletionVectors.encodeUuid(uuid), Some(off), size, rows.size)
+          Seq(
+            addLine(lf.rel, lf.partitionValues, lf.size, lf.stats,
+              dataChange = true, dv = Some(d)),
+            removeLine(lf.logPath, lf.partitionValues,
+              dataChange = true, dv = lf.dv))
+      }
+    }
+    val name = f"mor-$version%05d.parquet"
+    val size = writeOne(batch, dir, name)
+    val lines = dvLines :+
+      addLine(name, Map.empty, size, Some(statsJson(batch)),
+        dataChange = true)
+    writeCommitFile(dir, version, lines)
+    n
   }
 
   /** Write a single-file checkpoint of the CURRENT snapshot —

@@ -1393,6 +1393,168 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
       pvs.toString)
   }
 
+  test("merge INTO a column-mapped (name mode), DV-carrying, " +
+      "partitioned Delta table — the modern-writer default shape: " +
+      "physical names round-trip, the DV mask holds (deleted rows " +
+      "neither match nor resurrect), untouched partitions stay " +
+      "byte-identical, and the remove names the DV descriptor") {
+    import org.apache.spark.sql.types._
+    val d = dir()
+    def meta(phys: String, id: Int) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id.toLong).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("col-aaa", 1)),
+      StructField("info", StructType(Seq(
+        StructField("tag", StringType, nullable = true, meta("col-ccc", 3)))),
+        nullable = true, meta("col-bbb", 2)),
+      StructField("seg", StringType, nullable = true, meta("col-ddd", 4))))
+    def physFile(rows: Seq[(Long, String)], stage: String,
+        name: String): Unit = {
+      val data = rows.toDF("a", "b")
+        .select(col("a").as("col-aaa"),
+          struct(col("b").as("col-ccc")).as("col-bbb"))
+        .coalesce(1).sortWithinPartitions("col-aaa")
+      DeltaWrite.commit(stage, 0L, Seq(name -> data))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(stage, name),
+        java.nio.file.Paths.get(d, name))
+    }
+    physFile(Seq((1L, "x"), (2L, "y"), (3L, "z")), s"$d-s0", "f0.parquet")
+    physFile(Seq((7L, "q"), (8L, "r")), s"$d-s1", "f1.parquet")
+    val log = java.nio.file.Paths.get(d, "_delta_log")
+    java.nio.file.Files.createDirectories(log)
+    val schemaJson = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        org.json4s.JString(logical.json)))
+    // a DV on f0 masks physical row 1 (id 2)
+    val uuid = java.util.UUID.randomUUID()
+    val (off, size) = graft.sources.DeletionVectors.writeDvFile(
+      java.nio.file.Paths.get(d, s"deletion_vector_$uuid.bin"), Seq(1L))
+    java.nio.file.Files.writeString(log.resolve(f"${0L}%020d.json"),
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","columnMapping"],"writerFeatures":["deletionVectors","columnMapping"]}}
+         |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":["seg"],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}
+         |{"add":{"path":"f0.parquet","partitionValues":{"col-ddd":"A"},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"${graft.sources.DeletionVectors.encodeUuid(uuid)}","offset":$off,"sizeInBytes":$size,"cardinality":1}}}
+         |{"add":{"path":"f1.parquet","partitionValues":{"col-ddd":"B"},"size":1,"modificationTime":0,"dataChange":true}}
+         |""".stripMargin)
+    val before = DeltaRead.readDeltaTable(spark, d).orderBy("id")
+      .select(col("id"), col("info.tag"), col("seg"))
+      .as[(Long, String, String)].collect().toSeq
+    assert(before == Seq((1L, "x", "A"), (3L, "z", "A"),
+      (7L, "q", "B"), (8L, "r", "B")), before.toString)
+    val f1Bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(d, "f1.parquet")).toSeq
+
+    // the merge batch: update id 1, RE-INSERT the DV-deleted id 2
+    // (it must count as not-matched — the mask holds), insert id 10;
+    // seg B untouched
+    val batch = Seq((1L, "X", "A"), (2L, "restored", "A"),
+      (10L, "new", "A")).toDF("id", "tag", "seg")
+      .select(col("id"), struct(col("tag")).as("info"), col("seg"))
+    DeltaWrite.merge(spark, d, batch, Seq("id"))
+    val got = DeltaRead.readDeltaTable(spark, d).orderBy("id")
+      .select(col("id"), col("info.tag"), col("seg"))
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == Seq((1L, "X", "A"), (2L, "restored", "A"),
+      (3L, "z", "A"), (7L, "q", "B"), (8L, "r", "B"),
+      (10L, "new", "A")), s"merged mapped+DV state wrong: $got")
+    // untouched partition's file is byte-identical
+    assert(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(d, "f1.parquet")).toSeq == f1Bytes,
+      "untouched partition file rewritten")
+    // the commit: remove of f0 NAMES the DV descriptor (file actions
+    // key on (path, dvUniqueId)); adds carry PHYSICAL-keyed
+    // partitionValues and physical-named stats
+    val c1 = java.nio.file.Files.readString(
+      log.resolve(f"${1L}%020d.json"))
+    val actions = c1.linesIterator.filter(_.nonEmpty)
+      .map(org.json4s.jackson.JsonMethods.parse(_)).toSeq
+    val rm = actions.map(_ \ "remove").filter(_ != org.json4s.JNothing)
+    assert(rm.size == 1 && (rm.head \ "deletionVector" \ "cardinality")
+      == org.json4s.JInt(1), s"remove lost the DV descriptor: $c1")
+    val adds = actions.map(_ \ "add").filter(_ != org.json4s.JNothing)
+    assert(adds.nonEmpty && adds.forall(a =>
+      (a \ "partitionValues" \ "col-ddd") != org.json4s.JNothing),
+      s"adds must carry physical-keyed partitionValues: $c1")
+    assert(adds.exists { a =>
+      val s = (a \ "stats") match {
+        case org.json4s.JString(x) => x
+        case _ => ""
+      }
+      s.contains("col-aaa")
+    }, s"stats must be physical-keyed: $c1")
+    // the rewritten + upsert files store PHYSICAL column names
+    adds.foreach { a =>
+      val org.json4s.JString(p) = (a \ "path"): @unchecked
+      val cols = spark.read.parquet(
+        s"$d/${DeltaRead.pctDecode(p)}").columns.toSet
+      assert(cols == Set("col-aaa", "col-bbb"),
+        s"staged file $p has non-physical columns: $cols")
+    }
+    // and a SECOND merge through the now-clean (DV-free) files works
+    DeltaWrite.merge(spark, d,
+      Seq((3L, "Z", "A")).toDF("id", "tag", "seg")
+        .select(col("id"), struct(col("tag")).as("info"), col("seg")),
+      Seq("id"))
+    assert(DeltaRead.readDeltaTable(spark, d)
+      .filter(col("id") === 3).select("info.tag").as[String].head() == "Z")
+  }
+
+  test("mergeOnRead: DV-writing upserts — touched data files stay " +
+      "byte-identical, one packed DV file per commit, old masks " +
+      "merge with new, the protocol upgrades on first DV, and the " +
+      "final state matches the CoW merge") {
+    val d = dir()
+    // creation: bucketed files, plain protocol
+    DeltaWrite.mergeOnRead(spark, d,
+      (1L to 12L).map(i => (i, 0.0)).toDF("id", "bal"), Seq("id"),
+      buckets = 4)
+    val before = fileBytes(java.nio.file.Paths.get(d))
+      .filter(_._1.endsWith(".parquet"))
+    assert(before.size > 1, s"creation wrote one file: ${before.keys}")
+    // upsert 1: masks rows via DVs, no data file rewritten
+    DeltaWrite.mergeOnRead(spark, d,
+      Seq((1L, 10.0), (5L, 50.0), (100L, 1.0)).toDF("id", "bal"),
+      Seq("id"))
+    val after = fileBytes(java.nio.file.Paths.get(d))
+    before.foreach { case (f, sz) =>
+      assert(after.get(f).contains(sz), s"data file $f was rewritten") }
+    assert(after.keys.count(_.startsWith("deletion_vector_")) == 1,
+      s"expected ONE packed DV file: ${after.keys.toSeq.sorted}")
+    val got1 = DeltaRead.readDeltaTable(spark, d).orderBy("id")
+      .as[(Long, Double)].collect().toSeq
+    val want1 = ((2L to 12L).filter(_ != 5L).map(i => (i, 0.0)) ++
+      Seq((1L, 10.0), (5L, 50.0), (100L, 1.0))).sortBy(_._1)
+    assert(got1 == want1, s"MoR state wrong: $got1")
+    // the commit upgraded the protocol for DV readers
+    val c1 = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      d, "_delta_log", "%020d.json".format(1)))
+    assert(c1.contains("deletionVectors"), "protocol not upgraded")
+    // upsert 2 touches a key masked file again: masks MERGE (id 1's
+    // file gets a second-generation DV covering both old + new rows)
+    DeltaWrite.mergeOnRead(spark, d,
+      Seq((1L, 11.0), (2L, 22.0)).toDF("id", "bal"), Seq("id"))
+    val got2 = DeltaRead.readDeltaTable(spark, d).orderBy("id")
+      .as[(Long, Double)].collect().toSeq
+    val want2 = ((3L to 12L).filter(_ != 5L).map(i => (i, 0.0)) ++
+      Seq((1L, 11.0), (2L, 22.0), (5L, 50.0), (100L, 1.0))).sortBy(_._1)
+    assert(got2 == want2, s"second MoR state wrong: $got2")
+    // a checkpoint + vacuum keep the DV-carried snapshot intact
+    DeltaWrite.writeCheckpoint(spark, d)
+    DeltaWrite.vacuum(spark, d): Unit
+    assert(DeltaRead.readDeltaTable(spark, d).orderBy("id")
+      .as[(Long, Double)].collect().toSeq == want2,
+      "vacuum broke the MoR snapshot")
+    // loud scope gates: CDF-enabled and partitioned tables refuse
+    val dCdf = dir()
+    DeltaWrite.merge(spark, dCdf, Seq((1L, "a")).toDF("id", "v"),
+      Seq("id"), enableCdf = true)
+    val e = intercept[IllegalArgumentException](DeltaWrite.mergeOnRead(
+      spark, dCdf, Seq((1L, "b")).toDF("id", "v"), Seq("id")))
+    assert(e.getMessage.contains("CDF"), e.getMessage)
+  }
+
   test("a batch spanning too many distinct partition combos fails " +
       "loudly instead of an unbounded driver collect") {
     val d = dir()

@@ -67,11 +67,46 @@ object Bench {
     // locale would emit invalid JSON
     def sec(v: Double) =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    // Per-key TIME budgets — the mechanical form of "zero
+    // regressions" (bench_budget.tsv, the shuffle_budget pattern):
+    // each key's budget is a deliberately generous ceiling (~1.5× a
+    // quiet sf0.1 median, floored at 1s so sub-second keys don't
+    // flap on scheduler jitter). Only meaningful at the tracked
+    // sf0.1 point on an otherwise idle box — the validation is
+    // REPORTED in the JSON (over_budget / unbudgeted), never an
+    // exit-code failure, so ambient noise can't fail a round; a
+    // non-empty over_budget list is the signal to diff per-key
+    // against the tracked artifact and either fix the regression or
+    // update the budget line deliberately.
+    val budgetFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET",
+        "/root/repo/bench_budget.tsv"))
+    val budgets: Map[String, Double] =
+      if (!java.nio.file.Files.isRegularFile(budgetFile)) Map.empty
+      else java.nio.file.Files.readString(budgetFile).linesIterator
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l => val Array(k, v) = l.split("\t"); k -> v.toDouble }
+        .toMap
+    val atTrackedSf = sfDir.endsWith("sf0.1")
+    val overBudget =
+      if (!atTrackedSf || budgets.isEmpty) Nil
+      else results.collect {
+        case (k, v) if budgets.get(k).exists(v > _) =>
+          s"\"" + k + "\":\"" + sec(v) + ">" + sec(budgets(k)) + "\""
+      }
+    val unbudgeted =
+      if (!atTrackedSf || budgets.isEmpty) Nil
+      else results.collect { case (k, _) if !budgets.contains(k) => k }
+    val budgetJson =
+      if (budgets.isEmpty || !atTrackedSf) ""
+      else s""","over_budget":${overBudget.mkString("{", ",", "}")}""" +
+        s""","unbudgeted":${unbudgeted.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")}"""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$budgetJson}"""
     // the stdout line gets tail-truncated by harnesses capturing long
     // output (half the per-key timings were lost in past rounds) — the
     // file is the durable, machine-parseable artifact
@@ -89,6 +124,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
         s""""n_queries":${results.size},"slowest_queries":$slowest,""" +
+        s""""n_over_budget":${overBudget.size},""" +
         s""""queries_file":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }

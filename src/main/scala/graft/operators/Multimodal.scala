@@ -68,6 +68,101 @@ object Multimodal {
     }
   }
 
+  /** Synthesize a deterministic grayscale CHECKERBOARD PNG per row —
+    * the fixture half of the REAL decode path: for id `k`,
+    * `w = 8 + k % 16`, `h = 8 + (3k) % 16`, `v = k % 251`, and
+    * `pixel(x,y) = v` when `x + y` is even else `255 - v`. Every
+    * quantity is closed-form from `k`, so an oracle can replay
+    * width/height/pixel-sum WITHOUT decoding: the even-cell count is
+    * `(w*h + (w%2)*(h%2)) / 2`, giving
+    * `px_sum = nEven*v + (w*h - nEven)*(255 - v)`.
+    * Encoding runs per partition (javax.imageio is JDK-built-in) —
+    * this is the synthetic stand-in for a real corpus's stored
+    * payloads, at the same mapPartitions seam.
+    */
+  def synthCheckerboardPng(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("png", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val k = r.getLong(idIdx)
+        val w = (8 + k % 16).toInt
+        val h = (8 + (3 * k) % 16).toInt
+        val v = (k % 251).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0,
+              if ((x + y) % 2 == 0) v else 255 - v)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, "png", out),
+          "JDK PNG writer unavailable")
+        Row(k, out.toByteArray)
+      }
+    }
+  }
+
+  /** REAL image decode (javax.imageio — PNG/JPEG/GIF/BMP ship with
+    * the JDK, no new deps): binary column → (id, width, height,
+    * px_sum, format), where `px_sum` totals band 0 of the decoded
+    * raster — a deterministic pixel-level proof the bytes actually
+    * decoded, not just header sniffing. One ImageIO round per row,
+    * per partition (the mapInPandas-equivalent batch seam): decode
+    * parallelism scales with partitions, nothing funnels through the
+    * driver. Undecodable payloads fail loudly — a curation pipeline
+    * dropping them does so explicitly upstream, never silently here.
+    */
+  def decodeImage(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("px_sum", LongType),
+      StructField("format", StringType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"undecodable image payload " +
+          s"(id ${r.get(idIdx)}, ${if (bytes == null) -1 else bytes.length} bytes)")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+          val img = reader.read(0)
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          Row(r.get(idIdx), w, h, sum, fmt)
+        } finally { reader.dispose(); iis.close() }
+      }
+    }
+  }
+
   /** Deterministic frame-sampling plan for a (stub) video column:
     * emits one row per sampled frame index — the explode-side shape of
     * a frame-extraction pipeline.

@@ -405,11 +405,223 @@ object PipelineProject {
         .map(p => p.getFileName.toString.stripSuffix(".sql") ->
           Files.readString(p).trim).toMap
 
+    val selFile = root.resolve("selectors.yml")
+    val selectors: Seq[SelectorDef] =
+      if (!Files.exists(selFile)) Nil
+      else parseSelectorsYaml(Files.readString(selFile))
+
     PipelineSpec(models = models, modelVersions = modelVersions,
       tests = tests, unitTests = unitTests,
       sources = sources, sourceEventTime = sourceEventTime, seeds = seeds,
       snapshots = snapshots, freshness = freshness, exposures = exposures,
-      operations = operations)
+      operations = operations, selectors = selectors)
+  }
+
+  // ---------------------------------------------------------------
+  // selectors.yml (dbt named selectors)
+  // ---------------------------------------------------------------
+
+  /** Minimal YAML-subset parser for `selectors.yml`: block maps
+    * (`key: value` / `key:` + indented child), block lists (`- item`,
+    * including inline-map items `- key: value` continued by
+    * deeper-indented keys), quoted or plain scalars, `#` comments.
+    * Flow styles, anchors and multi-document streams are out of
+    * scope — a file using them fails loudly on its first
+    * unrecognized line, never parses silently wrong. NOTE a selection
+    * atom like `tag:daily` is a SCALAR (no space after the colon) —
+    * YAML's own rule, and what dbt's selector files rely on.
+    */
+  private[pipeline] def yamlLite(text: String): Any = {
+    def stripComment(l: String): String = {
+      var inS = false; var inD = false
+      val i = l.indices.find { j =>
+        val c = l.charAt(j)
+        if (c == '\'' && !inD) inS = !inS
+        else if (c == '"' && !inS) inD = !inD
+        c == '#' && !inS && !inD &&
+          (j == 0 || l.charAt(j - 1).isWhitespace)
+      }
+      i.fold(l)(l.take(_))
+    }
+    val lines: Vector[(Int, String)] = text.linesIterator
+      .map(stripComment)
+      .filter(_.trim.nonEmpty)
+      .map(l => (l.takeWhile(_ == ' ').length, l.trim))
+      .toVector
+    def scalar(s: String): Any = {
+      val t = s.trim
+      if (t.length >= 2 &&
+          ((t.head == '\'' && t.last == '\'') ||
+            (t.head == '"' && t.last == '"')))
+        t.substring(1, t.length - 1)
+      else t
+    }
+    // a content line is a map ENTRY iff it has ": " or ends with ":"
+    def entryOf(c: String): Option[(String, String)] = {
+      val iSp = c.indexOf(": ")
+      if (iSp > 0) Some((c.take(iSp).trim, c.drop(iSp + 2).trim))
+      else if (c.endsWith(":") && !c.dropRight(1).contains(':'))
+        Some((c.dropRight(1).trim, ""))
+      else None
+    }
+    def parseBlock(i: Int): (Any, Int) = {
+      val (ind, c) = lines(i)
+      if (c == "-" || c.startsWith("- ")) parseList(i, ind)
+      else parseMap(i, ind)
+    }
+    def parseMap(i0: Int, indent: Int): (Any, Int) = {
+      var i = i0
+      val out = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+      while (i < lines.length && lines(i)._1 == indent &&
+          !lines(i)._2.startsWith("- ") && lines(i)._2 != "-") {
+        val c = lines(i)._2
+        val (k, v) = entryOf(c).getOrElse(sys.error(
+          s"selectors.yml: expected 'key: value' or 'key:', got '$c'"))
+        if (v.nonEmpty) { out(k) = scalar(v); i += 1 }
+        else {
+          i += 1
+          // child block: deeper-indented, or a list at the SAME
+          // indent (YAML permits un-indented block sequences)
+          if (i < lines.length && (lines(i)._1 > indent ||
+              (lines(i)._1 == indent && (lines(i)._2 == "-" ||
+                lines(i)._2.startsWith("- "))))) {
+            val (child, ni) = parseBlock(i)
+            out(k) = child; i = ni
+          } else out(k) = ""
+        }
+      }
+      (out.toMap, i)
+    }
+    def parseList(i0: Int, indent: Int): (Any, Int) = {
+      var i = i0
+      val out = scala.collection.mutable.Buffer.empty[Any]
+      while (i < lines.length && lines(i)._1 == indent &&
+          (lines(i)._2 == "-" || lines(i)._2.startsWith("- "))) {
+        val body = lines(i)._2.drop(1).trim
+        if (body.isEmpty) {
+          require(i + 1 < lines.length && lines(i + 1)._1 > indent,
+            "selectors.yml: bare '-' with no nested block")
+          val (child, ni) = parseBlock(i + 1)
+          out += child; i = ni
+        } else entryOf(body) match {
+          case None => out += scalar(body); i += 1
+          case Some((k, v)) =>
+            // inline-map item: first entry on the '-' line, later
+            // entries on deeper-indented lines
+            val first = scala.collection.mutable
+              .LinkedHashMap.empty[String, Any]
+            if (v.nonEmpty) { first(k) = scalar(v); i += 1 }
+            else {
+              i += 1
+              if (i < lines.length && lines(i)._1 > indent &&
+                  (lines(i)._2 == "-" || lines(i)._2.startsWith("- ") ||
+                    entryOf(lines(i)._2).isEmpty)) {
+                val (child, ni) = parseBlock(i)
+                first(k) = child; i = ni
+              } else if (i < lines.length && lines(i)._1 > indent) {
+                // ambiguous: could be the key's child map or the
+                // item's next entries — dbt selector files only nest
+                // list/scalar under an empty-valued key, so child map
+                // keys here are the ITEM's remaining entries
+                first(k) = ""
+              } else first(k) = ""
+            }
+            if (i < lines.length && lines(i)._1 > indent &&
+                entryOf(lines(i)._2).isDefined &&
+                !lines(i)._2.startsWith("- ")) {
+              val (rest, ni) = parseMap(i, lines(i)._1)
+              first ++= rest.asInstanceOf[Map[String, Any]]; i = ni
+            }
+            out += first.toMap
+        }
+      }
+      (out.toSeq, i)
+    }
+    if (lines.isEmpty) Map.empty[String, Any]
+    else {
+      val (v, ni) = parseBlock(0)
+      require(ni == lines.length,
+        s"selectors.yml: trailing content from line ${ni + 1}: " +
+          s"'${lines(ni)._2}'")
+      v
+    }
+  }
+
+  /** `selectors.yml` → [[SelectorDef]]s: each `definition` compiles
+    * to include/exclude atoms in the runner's selection grammar —
+    * `union` of entries = space-separated include atoms,
+    * `intersection` = ONE comma-joined atom, `method`/`value` dicts
+    * (`parents`/`children` booleans → `+` prefix/suffix; method `fqn`
+    * is the bare-name method), `exclude` lists → exclude atoms.
+    * Shapes beyond that (an intersection of unions) reject loudly.
+    */
+  private[pipeline] def parseSelectorsYaml(text: String): Seq[SelectorDef] = {
+    val doc = yamlLite(text) match {
+      case m: Map[String @unchecked, Any @unchecked] => m
+      case other => sys.error(
+        s"selectors.yml: top level must be a map, got $other")
+    }
+    val entries = doc.getOrElse("selectors",
+      sys.error("selectors.yml: missing top-level 'selectors:' key")) match {
+      case l: Seq[Any @unchecked] => l
+      case other => sys.error(
+        s"selectors.yml: 'selectors' must be a list, got $other")
+    }
+    def boolOf(v: Any): Boolean = v match {
+      case s: String => s.equalsIgnoreCase("true")
+      case b: Boolean => b
+      case _ => false
+    }
+    def methodAtom(m: Map[String, Any]): String = {
+      val method = m.getOrElse("method",
+        sys.error("selector method entry lacks 'method'")).toString
+      val value = m.getOrElse("value",
+        sys.error("selector method entry lacks 'value'")).toString
+      val core = if (method == "fqn") value else s"$method:$value"
+      (if (boolOf(m.getOrElse("parents", ""))) "+" else "") + core +
+        (if (boolOf(m.getOrElse("children", ""))) "+" else "")
+    }
+    // → (include atoms, exclude atoms)
+    def compile(d: Any): (Seq[String], Seq[String]) = d match {
+      case s: String => (Seq(s), Nil)
+      case m: Map[String @unchecked, Any @unchecked]
+          if m.contains("union") =>
+        val parts = m("union").asInstanceOf[Seq[Any]].map(compile)
+        (parts.flatMap(_._1), parts.flatMap(_._2))
+      case m: Map[String @unchecked, Any @unchecked]
+          if m.contains("intersection") =>
+        val parts = m("intersection").asInstanceOf[Seq[Any]].map(compile)
+        require(parts.forall(p => p._2.isEmpty && p._1.size == 1),
+          "selectors.yml: an intersection may only hold atoms / " +
+            "method entries (no nested unions or excludes)")
+        (Seq(parts.map(_._1.head).mkString(",")), Nil)
+      case m: Map[String @unchecked, Any @unchecked]
+          if m.contains("exclude") =>
+        val parts = m("exclude").asInstanceOf[Seq[Any]].map(compile)
+        require(parts.forall(_._2.isEmpty),
+          "selectors.yml: exclude cannot nest another exclude")
+        (Nil, parts.flatMap(_._1))
+      case m: Map[String @unchecked, Any @unchecked]
+          if m.contains("method") =>
+        (Seq(methodAtom(m)), Nil)
+      case other => sys.error(
+        s"selectors.yml: unsupported definition shape: $other")
+    }
+    entries.map {
+      case m: Map[String @unchecked, Any @unchecked] =>
+        val name = m.getOrElse("name",
+          sys.error("selectors.yml: entry lacks 'name'")).toString
+        val (inc, exc) = compile(m.getOrElse("definition",
+          sys.error(s"selector '$name' lacks 'definition'")))
+        require(inc.nonEmpty,
+          s"selector '$name': definition selects nothing")
+        SelectorDef(name,
+          description = m.get("description").map(_.toString),
+          default = boolOf(m.getOrElse("default", "")),
+          include = inc, exclude = exc)
+      case other => sys.error(
+        s"selectors.yml: each selector must be a map, got $other")
+    }
   }
 
   /** Unzip (rejecting path-traversal entries) into `scratchDir`, locate

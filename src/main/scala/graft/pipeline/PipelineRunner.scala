@@ -160,6 +160,15 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
     }
   }
 
+  // selectors.yml hygiene — dbt rejects both at parse time
+  require(spec.selectors.map(_.name).distinct.size == spec.selectors.size,
+    s"duplicate selector names: ${spec.selectors.map(_.name)
+      .groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }
+      .mkString(", ")}")
+  require(spec.selectors.count(_.default) <= 1,
+    "at most one selector may set default: true " +
+      s"(${spec.selectors.filter(_.default).map(_.name).mkString(", ")})")
+
   private var initialized = false
   // concurrent: models in the same dependency level may build in
   // parallel under `run --threads N`
@@ -236,7 +245,10 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
     */
   private[pipeline] final case class Selection(
       include: Seq[String], exclude: Seq[String],
-      state: Option[String] = None)
+      state: Option[String] = None,
+      // `--selector <name>`: resolve through the spec's selectors.yml
+      // definitions (mutually exclusive with --select/--exclude)
+      selector: Option[String] = None)
 
   private def closure(seed: Set[String],
       step: Set[String] => Set[String]): Set[String] = {
@@ -384,9 +396,30 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
     }
   }
 
+  /** Resolve `--selector <name>` into the plain include/exclude form:
+    * a named selector may not combine with --select/--exclude (dbt
+    * errors identically). Called at the CLI flag boundary
+    * (parseSelFlags) — BEFORE commands branch on "no selection", so
+    * the resolved atoms behave exactly like typed --select flags;
+    * the default selector applies there too, and ONLY there (internal
+    * full-graph enumerations must never inherit it).
+    */
+  private def resolveSelector(sel: Selection): Selection =
+    sel.selector match {
+      case Some(name) =>
+        require(sel.include.isEmpty && sel.exclude.isEmpty,
+          "--selector cannot be combined with --select/--exclude")
+        val d = spec.selectors.find(_.name == name).getOrElse(sys.error(
+          s"unknown selector '$name' (defined: " +
+            s"${spec.selectors.map(_.name).mkString(", ")})"))
+        Selection(d.include, d.exclude, sel.state)
+      case None => sel
+    }
+
   private def evalSelection(deps: Map[String, Seq[String]],
-      tags: Map[String, Set[String]], sel: Selection,
+      tags: Map[String, Set[String]], sel0: Selection,
       lenient: Boolean = false): Set[String] = {
+    val sel = resolveSelector(sel0)
     def union(specs: Seq[String]): Set[String] =
       specs.flatMap { s =>
         s.split(',').filter(_.nonEmpty)
@@ -3036,6 +3069,7 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
     val inc = mutable.Buffer.empty[String]
     val exc = mutable.Buffer.empty[String]
     var state: Option[String] = None
+    var selName: Option[String] = None
     var rest = flags.toList
     while (rest.nonEmpty) rest match {
       case ("--select" | "-s") :: t =>
@@ -3044,6 +3078,8 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
         inc ++= vals; rest = t2
       case "--state" :: v :: t if !v.startsWith("-") =>
         state = Some(v); rest = t
+      case "--selector" :: v :: t if !v.startsWith("-") =>
+        selName = Some(v); rest = t
       case "--exclude" :: t =>
         val (vals, t2) = t.span(!_.startsWith("-"))
         if (vals.isEmpty) return None
@@ -3051,7 +3087,17 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
       case r if other.isDefinedAt(r) => rest = other(r)
       case _ => return None
     }
-    Some(Selection(inc.toSeq, exc.toSeq, state))
+    // named selectors materialize HERE, so commands that branch on
+    // "no selection given" (seed/snapshot/test fast paths) see the
+    // resolved atoms; dbt's default selector applies exactly when the
+    // command carries no explicit selection at all
+    val resolved = resolveSelector(
+      Selection(inc.toSeq, exc.toSeq, state, selName))
+    Some(
+      if (resolved.include.isEmpty && resolved.exclude.isEmpty)
+        spec.selectors.find(_.default).fold(resolved)(d =>
+          Selection(d.include, d.exclude, state))
+      else resolved)
   }
 
   /** `test` flags: select/exclude plus `--store-failures` (dbt's

@@ -1008,6 +1008,21 @@ final case class FreshnessDef(
     warnAfterSec: Long,
     errorAfterSec: Long)
 
+/** One dbt `selectors.yml` entry — a NAMED, reusable selection
+  * (`dbt run --selector nightly`). The YAML `definition` (string
+  * atoms, `method`/`value` dicts with `parents`/`children`, `union`,
+  * `intersection`, `exclude`) compiles at load time onto the runner's
+  * existing selection grammar: union → space-separated include atoms,
+  * intersection → one comma-joined atom, exclude → exclude atoms —
+  * exactly the CLI form dbt documents each definition as shorthand
+  * for.
+  */
+final case class SelectorDef(name: String,
+    description: Option[String] = None,
+    default: Boolean = false,
+    include: Seq[String] = Nil,
+    exclude: Seq[String] = Nil)
+
 final case class PipelineSpec(
     models: Seq[Model],
     /** dbt model versions (dbt-core ≥1.5): versioned-model name →
@@ -1047,7 +1062,16 @@ final case class PipelineSpec(
       * a macro here; a single-engine runner's analog is a named
       * statement.
       */
-    operations: Map[String, String] = Map.empty) {
+    operations: Map[String, String] = Map.empty,
+    /** dbt `selectors.yml` (named YAML selectors): each definition is
+      * pre-compiled to include/exclude atom lists in the SAME grammar
+      * `--select`/`--exclude` speak, and is invoked as
+      * `--selector <name>` on any selection-taking command. At most
+      * one may set `default = true` — it applies whenever a command
+      * carries NO explicit selection, per dbt's default-selector
+      * semantics.
+      */
+    selectors: Seq[SelectorDef] = Nil) {
 
   /** Fold each model's `schema` config into its node name
     * (`sales` + `orders` → `sales.orders`) — the runner's canonical

@@ -658,6 +658,19 @@ object LlmOps extends QueryGroup {
           col("meta.format").as("format"))
         .orderBy("doc_id")),
 
+    // REAL image decode behind the same seam: per-document
+    // deterministic checkerboard PNGs (synthesized in executors —
+    // javax.imageio ships with the JDK) decode back through ImageIO
+    // per partition; width/height/band-0 pixel sum prove the BYTES
+    // decoded, and every quantity is closed-form from doc_id so the
+    // oracle replays the pixel arithmetic without decoding anything.
+    "mm_image_decode" -> ((s, d) =>
+      Multimodal.decodeImage(
+        Multimodal.synthCheckerboardPng(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id"),
+        "doc_id", "png")
+        .orderBy("doc_id")),
+
     // Frame-sampling plan shape for a (stub) video column: one row per
     // sampled frame index — the explode side of a frame-extraction
     // pipeline, fully oracle-checkable since the stub is arithmetic.
@@ -1933,6 +1946,29 @@ object LlmOps extends QueryGroup {
         |  CASE WHEN octet_length(encode(text)) % 2 = 0
         |       THEN 'png' ELSE 'jpeg' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the checkerboard PNG's geometry and pixel sum are closed-form
+    // in doc_id (see Multimodal.synthCheckerboardPng): the oracle
+    // replays the arithmetic, the key replays the DECODE — a
+    // hash-match proves ImageIO reproduced every pixel
+    "mm_image_decode" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    8 + doc_id % 16 AS w,
+        |    8 + (3 * doc_id) % 16 AS h,
+        |    doc_id % 251 AS v
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, w, h, v,
+        |    (w * h + (w % 2) * (h % 2)) // 2 AS n_even
+        |  FROM g)
+        |SELECT doc_id,
+        |  CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(n_even * v + (w * h - n_even) * (255 - v) AS BIGINT)
+        |    AS px_sum,
+        |  'png' AS format
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->
       """SELECT doc_id,

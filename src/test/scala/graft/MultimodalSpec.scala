@@ -98,6 +98,50 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("REAL image decode (javax.imageio): synthesized PNGs round-trip " +
+      "to exact width/height/pixel-sum, a JPEG decodes through the " +
+      "same path, and garbage bytes fail loudly") {
+    val ids = Seq(0L, 1L, 17L, 250L, 251L, 1000L)
+    val df = ids.toDF("doc_id")
+    val png = Multimodal.synthCheckerboardPng(df, "doc_id")
+    // payloads are REAL PNGs (magic bytes), not header fakes
+    png.collect().foreach { r =>
+      val b = r.getAs[Array[Byte]](1)
+      assert(b.take(4).toSeq == Seq[Byte](0x89.toByte, 0x50, 0x4E, 0x47),
+        s"doc ${r.getLong(0)}: not a PNG payload")
+    }
+    val got = Multimodal.decodeImage(png, "doc_id", "png")
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Long, String)].collect().toSeq
+    val want = ids.sorted.map { k =>
+      val w = (8 + k % 16).toInt
+      val h = (8 + 3 * k % 16).toInt
+      val v = k % 251
+      val nEven = (w * h + (w % 2) * (h % 2)) / 2
+      (k, w, h, nEven * v + (w.toLong * h - nEven) * (255 - v), "png")
+    }
+    assert(got == want, s"decoded metadata wrong:\n$got\nvs\n$want")
+    // a JPEG decodes through the same seam (format reported)
+    val img = new java.awt.image.BufferedImage(
+      5, 3, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 3).foreach(y => (0 until 5).foreach(x =>
+      img.getRaster.setSample(x, y, 0, 128)))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out))
+    val jdf = Seq((1L, out.toByteArray)).toDF("doc_id", "payload")
+    val jr = Multimodal.decodeImage(jdf, "doc_id", "payload")
+      .as[(Long, Int, Int, Long, String)].head()
+    assert(jr._2 == 5 && jr._3 == 3 && jr._5.contains("jpeg"),
+      s"jpeg decode wrong: $jr")
+    // undecodable payloads are a loud failure, never silent nulls
+    val bad = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.decodeImage(bad, "doc_id", "payload").collect())
+    assert(e.getMessage.contains("undecodable") ||
+      Option(e.getCause).exists(_.getMessage.contains("undecodable")),
+      e.getMessage.take(300))
+  }
+
   test("packShards: writer routing is stable and the full corpus is " +
       "covered exactly once") {
     val df = (0L until 40L).map(i => (i, "y" * 5)).toDF("doc_id", "text")

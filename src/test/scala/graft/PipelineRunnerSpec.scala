@@ -3932,6 +3932,110 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(r3.readTable("core.dim").count() == 2L)
   }
 
+  test("selectors.yml: named selectors drive --selector on run/ls, " +
+      "method/union/intersection/exclude definitions compile onto " +
+      "the selection grammar, the default selector applies to " +
+      "bare commands, and misuse fails loudly") {
+    val proj = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"), "selyml")
+    java.nio.file.Files.createDirectories(proj.resolve("models"))
+    def model(name: String, cfg: String, sql: String): Unit =
+      java.nio.file.Files.writeString(
+        proj.resolve(s"models/$name.sql"), s"$cfg\n$sql")
+    model("base", "{{ config(materialized='table', tags='core') }}",
+      "SELECT 1 AS id")
+    model("mid", "{{ config(materialized='table', tags='core,daily') }}",
+      "SELECT id FROM {{ ref('base') }}")
+    model("leaf", "{{ config(materialized='table', tags='daily') }}",
+      "SELECT id FROM {{ ref('mid') }}")
+    model("old", "{{ config(materialized='table', tags='daily') }}",
+      "SELECT 2 AS id")
+    java.nio.file.Files.writeString(proj.resolve("selectors.yml"),
+      """# dbt selectors.yml (the 1.9 grammar subset real projects use)
+        |selectors:
+        |  - name: nightly
+        |    description: daily models minus the deprecated one
+        |    default: true
+        |    definition:
+        |      union:
+        |        - method: tag
+        |          value: daily
+        |        - exclude:
+        |          - old
+        |  - name: core_graph
+        |    definition:
+        |      union:
+        |        - method: fqn
+        |          value: base
+        |          children: true
+        |  - name: daily_core
+        |    definition:
+        |      intersection:
+        |        - tag:daily
+        |        - tag:core
+        |  - name: just_leaf
+        |    definition: leaf
+        |""".stripMargin)
+    val spec = PipelineProject.load(proj.toString)
+    assert(spec.selectors.map(_.name) ==
+      Seq("nightly", "core_graph", "daily_core", "just_leaf"))
+    assert(spec.selectors.head.default &&
+      spec.selectors.head.description.exists(_.contains("deprecated")))
+    val r = new PipelineRunner(spark, spec, wh())
+    def ls(cmd: String): Set[String] =
+      r.run(Seq(cmd)).results.head.modelsRun
+        .map(_.stripPrefix("model.")).toSet
+    assert(ls("ls --selector nightly") == Set("mid", "leaf"))
+    assert(ls("ls --selector core_graph") == Set("base", "mid", "leaf"))
+    assert(ls("ls --selector daily_core") == Set("mid"))
+    assert(ls("ls --selector just_leaf") == Set("leaf"))
+    // the DEFAULT selector applies when no selection is given...
+    assert(ls("ls") == Set("mid", "leaf"))
+    // ...and an explicit selection overrides it
+    assert(ls("ls --select old") == Set("old"))
+    // run respects the selector (deps NOT auto-included — dbt
+    // semantics; core_graph builds the whole chain)
+    val res = r.run(Seq("run --selector core_graph"))
+    assert(res.success, res.results.flatMap(_.error).mkString("; "))
+    assert(r.readTable("leaf").count() == 1L)
+    // misuse: unknown selector, and --selector + --select together
+    val e1 = r.run(Seq("run --selector nope"))
+    assert(!e1.success && e1.results.flatMap(_.error)
+      .exists(_.contains("unknown selector")), e1.toString)
+    val e2 = r.run(Seq("run --selector nightly --select base"))
+    assert(!e2.success && e2.results.flatMap(_.error)
+      .exists(_.contains("cannot be combined")), e2.toString)
+    // parse-time hygiene: two defaults reject at construction
+    val dup = spec.copy(selectors = Seq(
+      SelectorDef("a", default = true, include = Seq("base")),
+      SelectorDef("b", default = true, include = Seq("mid"))))
+    val e3 = intercept[IllegalArgumentException](
+      new PipelineRunner(spark, dup, wh()))
+    assert(e3.getMessage.contains("default"), e3.getMessage)
+    // the zip artifact round-trip (the reference's deploy shape)
+    // carries selectors.yml through loadZip
+    val zip = java.nio.file.Paths.get(wh(), "sel_proj.zip")
+    val zout = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(zip))
+    try {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(proj)
+      val files = try w.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_)).toSeq
+      finally w.close()
+      files.foreach { f =>
+        zout.putNextEntry(new java.util.zip.ZipEntry(
+          "proj/" + proj.relativize(f).toString))
+        zout.write(java.nio.file.Files.readAllBytes(f))
+        zout.closeEntry()
+      }
+    } finally zout.close()
+    val spec2 = PipelineProject.loadZip(zip.toString, wh())
+    assert(spec2.selectors.map(_.name) ==
+      Seq("nightly", "core_graph", "daily_core", "just_leaf"),
+      "selectors.yml lost through the zip artifact")
+  }
+
   test("two-arg ref('pkg','model') is dbt's (package, model) form: " +
       "it resolves the MODEL through the registry, never a relation " +
       "named after the package") {

@@ -33,10 +33,14 @@ package graft.gateway
   *    vanilla Spark on v1 relations; routed into the engine's
   *    Delta/Iceberg/manifest merge by [[MergeIntoRoute]].
   *  - dbt SNAPSHOTS emit a CONDITIONED merge (`WHEN MATCHED AND
-  *    DBT_INTERNAL_SOURCE.dbt_change_type = 'update' THEN UPDATE SET
-  *    dbt_valid_to = ...`) — a non-star shape the router does not
-  *    yet accept; the engine's own `snapshot` command covers the
-  *    semantics (SnapshotSpec), the wire form is future work.
+  *    DBT_INTERNAL_DEST.dbt_valid_to IS NULL AND
+  *    DBT_INTERNAL_SOURCE.dbt_change_type IN ('update','delete')
+  *    THEN UPDATE SET dbt_valid_to = ... WHEN NOT MATCHED AND ...
+  *    THEN INSERT *`) — routed by [[MergeIntoRoute]]'s conditional
+  *    compile ([[snapshotRun]] below carries the verbatim statement;
+  *    the first-run `create table ... using delta as` CTAS lands
+  *    through the engine's Delta writer, since a catalog-integrated
+  *    `USING delta` DSv2 provider is out of scope).
   *
   * Each helper returns the statements of ONE dbt model run in order;
   * callers execute them verbatim over hive-jdbc.
@@ -106,5 +110,88 @@ object DbtTranscript {
          .mkString(" and ")}
        |when matched then update set *
        |when not matched then insert *""".stripMargin,
+    s"drop view if exists ${name}__dbt_tmp")
+
+  /** The dbt SNAPSHOT staging select for the `timestamp` strategy —
+    * the semantics of dbt-core's `snapshot_staging_table` macro
+    * (insertions = new keys ∪ re-opened changed keys; updates =
+    * current rows whose source `updated_at` is newer), with dbt's
+    * SCD columns computed exactly as `default__snapshot_hash_arguments`
+    * renders them: `md5(coalesce(cast(key as string),'') || '|' ||
+    * coalesce(cast(updated_at as string),''))`.
+    *
+    * `target` is the published snapshot relation, `select` the
+    * snapshot's source query, `key`/`updatedAt` the snapshot config.
+    */
+  def snapshotStagingSelect(target: String, select: String,
+      key: String, updatedAt: String): String =
+    s"""with snapshot_query as ($select),
+       |snapshotted_data as (
+       |  select *, $key as dbt_unique_key from $target
+       |  where dbt_valid_to is null
+       |),
+       |insertions_source_data as (
+       |  select *, $key as dbt_unique_key,
+       |    $updatedAt as dbt_updated_at,
+       |    $updatedAt as dbt_valid_from,
+       |    cast(null as timestamp) as dbt_valid_to,
+       |    md5(coalesce(cast($key as string), '') || '|' ||
+       |        coalesce(cast($updatedAt as string), '')) as dbt_scd_id
+       |  from snapshot_query
+       |),
+       |updates_source_data as (
+       |  select *, $key as dbt_unique_key,
+       |    $updatedAt as dbt_updated_at,
+       |    $updatedAt as dbt_valid_from,
+       |    $updatedAt as dbt_valid_to
+       |  from snapshot_query
+       |),
+       |insertions as (
+       |  select 'insert' as dbt_change_type, source_data.*
+       |  from insertions_source_data as source_data
+       |  left outer join snapshotted_data
+       |    on snapshotted_data.dbt_unique_key = source_data.dbt_unique_key
+       |  where snapshotted_data.dbt_unique_key is null
+       |     or (snapshotted_data.dbt_unique_key is not null
+       |         and snapshotted_data.dbt_updated_at < source_data.dbt_updated_at)
+       |),
+       |updates as (
+       |  select 'update' as dbt_change_type, source_data.*,
+       |    snapshotted_data.dbt_scd_id
+       |  from updates_source_data as source_data
+       |  join snapshotted_data
+       |    on snapshotted_data.dbt_unique_key = source_data.dbt_unique_key
+       |  where snapshotted_data.dbt_updated_at < source_data.dbt_updated_at
+       |)
+       |select * from insertions
+       |union all
+       |select * from updates""".stripMargin
+
+  /** dbt SNAPSHOT update run over the wire: stage the change set as
+    * `<name>__dbt_tmp`, then the VERBATIM `spark__snapshot_merge_sql`
+    * statement — the conditioned merge [[MergeIntoRoute]] compiles
+    * onto the engine's upsert machinery. (dbt materializes the
+    * staging as a temp VIEW on Spark; the merge text below is the
+    * adapter macro's exact output shape.)
+    *
+    * The staging rows carry two columns beyond the target's width
+    * (`dbt_change_type`, `dbt_unique_key`) — the `INSERT *` star is
+    * target-driven (extra source columns ignored), exactly Spark's
+    * own star-expansion semantics.
+    */
+  def snapshotRun(target: String, name: String, stagingSelect: String)
+      : Seq[String] = Seq(
+    s"create temporary view ${name}__dbt_tmp as $stagingSelect",
+    s"""merge into $target as DBT_INTERNAL_DEST
+       |using ${name}__dbt_tmp as DBT_INTERNAL_SOURCE
+       |on DBT_INTERNAL_SOURCE.dbt_scd_id = DBT_INTERNAL_DEST.dbt_scd_id
+       |when matched
+       | and DBT_INTERNAL_DEST.dbt_valid_to is null
+       | and DBT_INTERNAL_SOURCE.dbt_change_type in ('update', 'delete')
+       |    then update
+       |    set dbt_valid_to = DBT_INTERNAL_SOURCE.dbt_valid_to
+       |when not matched
+       | and DBT_INTERNAL_SOURCE.dbt_change_type = 'insert'
+       |    then insert *""".stripMargin,
     s"drop view if exists ${name}__dbt_tmp")
 }

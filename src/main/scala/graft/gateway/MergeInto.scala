@@ -1,10 +1,9 @@
 package graft.gateway
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias}
-import org.apache.spark.sql.catalyst.plans.logical.UpdateStarAction
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 
@@ -23,24 +22,59 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
   *   WHEN NOT MATCHED THEN INSERT *
   * }}}
   *
-  * Vanilla Spark parses it but cannot EXECUTE it against v1/parquet
-  * relations ("MERGE INTO TABLE is not supported temporarily"). The
-  * [[MergeIntoRoute]] resolution rule — injected by
-  * [[GraftSqlExtensions]], so it is live in `spark.sql` AND in every
-  * per-connection Thrift session — rewrites that exact shape into a
-  * [[GraftMergeIntoCommand]] when the target relation has a
-  * registered [[MergeRoutes]] handler (`PipelineRunner` registers one
-  * per published incremental-merge model, routing to
-  * `DeltaWrite.merge` / `IcebergWrite.merge` / the manifest-warehouse
-  * merge by the model's file_format). Any other MERGE shape or an
-  * unrouted relation is left untouched, so Spark's own loud
-  * unsupported error still surfaces — never a silent partial merge.
+  * and dbt SNAPSHOTS emit the CONDITIONED shape
+  * (`spark__snapshot_merge_sql`, the SCD2 update path):
+  *
+  * {{{
+  *   MERGE INTO snap AS DBT_INTERNAL_DEST
+  *   USING snap__dbt_tmp AS DBT_INTERNAL_SOURCE
+  *   ON DBT_INTERNAL_SOURCE.dbt_scd_id = DBT_INTERNAL_DEST.dbt_scd_id
+  *   WHEN MATCHED AND DBT_INTERNAL_DEST.dbt_valid_to IS NULL
+  *        AND DBT_INTERNAL_SOURCE.dbt_change_type IN ('update','delete')
+  *     THEN UPDATE SET dbt_valid_to = DBT_INTERNAL_SOURCE.dbt_valid_to
+  *   WHEN NOT MATCHED AND DBT_INTERNAL_SOURCE.dbt_change_type = 'insert'
+  *     THEN INSERT *
+  * }}}
+  *
+  * Vanilla Spark parses both but cannot EXECUTE them against
+  * v1/parquet relations ("MERGE INTO TABLE is not supported
+  * temporarily"). The [[MergeIntoRoute]] resolution rule — injected
+  * by [[GraftSqlExtensions]], so it is live in `spark.sql` AND in
+  * every per-connection Thrift session — rewrites these shapes into
+  * engine commands when the target relation has a registered
+  * [[MergeRoutes]] handler (`PipelineRunner` registers one per
+  * published incremental-merge model, routing to `DeltaWrite.merge` /
+  * `IcebergWrite.merge` / the manifest-warehouse merge by the model's
+  * file_format):
+  *
+  *  - the unconditional star shape goes straight to the handler (no
+  *    target read — the handler IS `UPDATE SET * / INSERT *`);
+  *  - conditional merges (any number of `WHEN MATCHED [AND c] THEN
+  *    UPDATE SET col = expr, ...` actions, any number of `WHEN NOT
+  *    MATCHED [AND c] THEN INSERT [*|(cols) VALUES]` actions) are
+  *    COMPILED onto the same handler: join target⋈source on the ON
+  *    keys, build each touched row's post-image (first matching
+  *    action wins, unassigned update columns keep the target value,
+  *    unassigned insert columns are NULL, values cast to the target
+  *    type — Spark's own star-expansion semantics), and upsert the
+  *    post-image batch. Untouched matched rows are EXCLUDED from the
+  *    batch, so the engine merge rewrites no more files than the
+  *    conditions touch.
+  *
+  * `WHEN MATCHED THEN DELETE` and `WHEN NOT MATCHED BY SOURCE` have
+  * no routed execution (the upsert handler cannot remove rows) and
+  * are deliberately left untouched, as is any unrouted relation —
+  * Spark's own loud unsupported error still surfaces; never a silent
+  * partial merge. dbt never emits either over this wire (snapshot
+  * hard-deletes arrive as `dbt_change_type='delete'` UPDATE rows).
   *
   * Scale notes: the rewrite is pure name/shape matching during
   * resolution; execution delegates to the registered engine merge,
   * which is the same O(touched files + batch) staged path every
-  * `queries()` merge key runs — nothing about arriving as SQL text
-  * changes the physical plan.
+  * `queries()` merge key runs. The conditional compile adds one
+  * target⋈batch join (AQE broadcasts the small batch side) and an
+  * anti-join probe against the target's KEY COLUMNS only — the same
+  * cost class as the engine merge's own touched-file probe.
   */
 object MergeRoutes {
 
@@ -74,8 +108,9 @@ object MergeRoutes {
   * still be an [[UnresolvedRelation]], or already resolved through
   * the published-view fallback — both carry the client-addressed
   * name), the SOURCE must be fully resolved (it becomes the merge
-  * batch), and the action list must be the dbt shape
-  * (unconditional `UPDATE SET *` + `INSERT *`).
+  * batch), and the action list must be upsert-shaped (updates and
+  * inserts only — see the object scaladoc for what routes vs what is
+  * left to Spark's own error).
   */
 case class MergeIntoRoute(session: SparkSession)
     extends Rule[LogicalPlan] {
@@ -111,20 +146,22 @@ case class MergeIntoRoute(session: SparkSession)
     case _ => None
   }
 
+  // the column name an expression addresses, seen through the casts
+  // the analyzer inserts for type coercion / star expansion
+  private def nameOf(e: Expression): Option[String] = e match {
+    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      Some(a.nameParts.last)
+    case a: Attribute => Some(a.name)
+    case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+      nameOf(c.child)
+    case _ => None
+  }
+
   // ON conjunction of same-named equality columns → key column names
   private def keysOf(cond: Expression): Option[Seq[String]] = cond match {
     case And(l, r) =>
       for { lk <- keysOf(l); rk <- keysOf(r) } yield lk ++ rk
     case EqualTo(l, r) =>
-      def nameOf(e: Expression): Option[String] = e match {
-        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          Some(a.nameParts.last)
-        case a: Attribute => Some(a.name)
-        // type coercion casts mismatched ON sides — still a column
-        case c: org.apache.spark.sql.catalyst.expressions.Cast =>
-          nameOf(c.child)
-        case _ => None
-      }
       for { ln <- nameOf(l); rn <- nameOf(r)
             if ln.equalsIgnoreCase(rn) } yield Seq(ln)
     case _ => None
@@ -135,37 +172,84 @@ case class MergeIntoRoute(session: SparkSession)
   // BEFORE injected ones inside each Resolution iteration, so by the
   // time this rule sees a fully-resolved merge the stars are explicit
   // same-name column-to-column assignment lists)
-  private def isStarShape(action: org.apache.spark.sql.catalyst.plans
-      .logical.MergeAction): Boolean = action match {
+  private def isStarShape(action: MergeAction): Boolean = action match {
     case UpdateStarAction(None) => true
     case InsertStarAction(None) => true
-    case org.apache.spark.sql.catalyst.plans.logical.UpdateAction(
-        None, assigns, _) => assigns.forall(sameNameColumnAssign)
-    case org.apache.spark.sql.catalyst.plans.logical.InsertAction(
-        None, assigns) => assigns.forall(sameNameColumnAssign)
+    case UpdateAction(None, assigns, _) =>
+      assigns.forall(sameNameColumnAssign)
+    case InsertAction(None, assigns) =>
+      assigns.forall(sameNameColumnAssign)
     case _ => false
   }
 
-  private def sameNameColumnAssign(
-      a: org.apache.spark.sql.catalyst.plans.logical.Assignment): Boolean = {
-    def nameOf(e: Expression): Option[String] = e match {
-      case at: Attribute => Some(at.name)
-      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        Some(u.nameParts.last)
-      // star expansion casts source values to the target's types —
-      // still the same-name column-to-column shape
-      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
-        nameOf(c.child)
-      case _ => None
-    }
+  private def sameNameColumnAssign(a: Assignment): Boolean =
     (nameOf(a.key), nameOf(a.value)) match {
       case (Some(k), Some(v)) => k.equalsIgnoreCase(v)
       case _ => false
     }
+
+  // ---- conditional-shape normalization ----------------------------
+
+  /** One routed action: (condition, assignments keyed by LOWERCASE
+    * target column name). A star action normalizes to the analyzer's
+    * own expansion — every target column from the same-named source
+    * column (extra source columns ignored, exactly Spark/Delta
+    * `INSERT *` semantics).
+    */
+  private type Norm = (Option[Expression], Map[String, Expression])
+
+  private def normalizeActions(actions: Seq[MergeAction],
+      target: LogicalPlan, source: LogicalPlan,
+      updateSide: Boolean): Option[Seq[Norm]] = {
+    val srcByName = source.output
+      .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+
+    // star: target-driven same-name map; unroutable if a target
+    // column has no source counterpart (Spark's expansion errors on
+    // the same condition — leave it the loud path)
+    def star: Option[Map[String, Expression]] = {
+      val pairs = target.output.map(ta =>
+        srcByName.get(lc(ta.name)).map(sa => lc(ta.name) -> (sa: Expression)))
+      if (pairs.exists(_.isEmpty)) None else Some(pairs.flatten.toMap)
+    }
+
+    def explicit(assigns: Seq[Assignment]): Option[Map[String, Expression]] = {
+      val pairs = assigns.map { a =>
+        nameOf(a.key).filter(k =>
+          target.output.exists(_.name.equalsIgnoreCase(k)))
+          .filter(_ => a.value.resolved)
+          .map(k => lc(k) -> a.value)
+      }
+      if (pairs.exists(_.isEmpty)) None else Some(pairs.flatten.toMap)
+    }
+
+    // a NOT MATCHED condition may only see the source row (there is
+    // no target row) — SQL's own rule; reject anything else rather
+    // than evaluate it wrong
+    def condOk(c: Option[Expression]): Boolean = c.forall(e =>
+      e.resolved &&
+        (updateSide || e.references.subsetOf(source.outputSet)))
+
+    val normed: Seq[Option[Norm]] = actions.map {
+      case UpdateStarAction(c) if updateSide && condOk(c) =>
+        star.map(c -> _)
+      case UpdateAction(c, assigns, _) if updateSide && condOk(c) =>
+        explicit(assigns).map(c -> _)
+      case InsertStarAction(c) if !updateSide && condOk(c) =>
+        star.map(c -> _)
+      case InsertAction(c, assigns) if !updateSide && condOk(c) =>
+        explicit(assigns).map(c -> _)
+      case _: DeleteAction => None // no routed delete — loud path
+      case _ => None
+    }
+    if (normed.exists(_.isEmpty)) None else Some(normed.flatten)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
+      // the dbt incremental shape: unconditional UPDATE SET * +
+      // INSERT * — straight to the handler, no target read
       case m @ MergeIntoTable(target, source, cond,
           Seq(matched), Seq(notMatched), Seq(), false)
           if source.resolved && target.resolved &&
@@ -181,6 +265,25 @@ case class MergeIntoRoute(session: SparkSession)
           org.apache.spark.sql.types.StructType(target.output.map(a =>
             org.apache.spark.sql.types.StructField(
               a.name, a.dataType, a.nullable)))))
+          .getOrElse(m)
+
+      // the conditional shape (dbt snapshots, hand-written MERGE):
+      // compile matched updates + not-matched inserts onto the same
+      // upsert handler
+      case m @ MergeIntoTable(target, source, cond,
+          matchedActs, notMatchedActs, Seq(), false)
+          if source.resolved && target.resolved && cond.resolved &&
+            (matchedActs.nonEmpty || notMatchedActs.nonEmpty) =>
+        (for {
+          name <- targetName(target)
+          handler <- MergeRoutes.lookup(name)
+          keys <- keysOf(cond)
+          matched <- normalizeActions(matchedActs, target, source,
+            updateSide = true)
+          notMatched <- normalizeActions(notMatchedActs, target, source,
+            updateSide = false)
+        } yield GraftConditionalMergeCommand(name, keys, target, source,
+          cond, matched, notMatched, handler))
           .getOrElse(m)
     }
 }
@@ -219,6 +322,93 @@ case class GraftMergeIntoCommand(relation: String, keys: Seq[String],
       org.apache.spark.sql.functions.col(s"`$src`")
         .cast(f.dataType).as(f.name)
     }: _*)
+    Seq(Row(handler(sparkSession, batch, keys)))
+  }
+}
+
+/** A CONDITIONAL merge compiled onto the upsert handler (see
+  * [[MergeIntoRoute]]'s scaladoc for the shape grammar). Evaluation
+  * order is SQL MERGE's: a matched row takes the FIRST matched action
+  * whose condition holds (later branches see earlier conditions
+  * false), a source-only row the first insert action; a row no
+  * condition accepts is untouched (matched) or dropped (not matched)
+  * and never enters the upsert batch.
+  *
+  * The target read is the RESOLVED target plan from the statement
+  * itself — the same pre-merge state the source staging view was
+  * analyzed against, so a staging query that reads the target (dbt's
+  * snapshot staging does) and the post-image build both see one
+  * consistent snapshot.
+  */
+case class GraftConditionalMergeCommand(relation: String,
+    keys: Seq[String], target: LogicalPlan, source: LogicalPlan,
+    joinCond: Expression,
+    matched: Seq[(Option[Expression], Map[String, Expression])],
+    notMatched: Seq[(Option[Expression], Map[String, Expression])],
+    handler: MergeRoutes.Handler)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "num_affected_rows", org.apache.spark.sql.types.LongType,
+      nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, ofRows}
+    import org.apache.spark.sql.functions.{lit, when}
+
+    val t = ofRows(sparkSession, target)
+    val s = ofRows(sparkSession, source)
+    val on = column(joinCond)
+    val fields = target.output.map(a =>
+      org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable))
+    def lc(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val targetCol: Map[String, Column] =
+      target.output.map(a => lc(a.name) -> column(a)).toMap
+
+    // first-matching-action post-image over `rows`; `base` is the
+    // unassigned-column value (target column for updates, NULL for
+    // inserts)
+    def postImage(rows: DataFrame,
+        actions: Seq[(Option[Expression], Map[String, Expression])],
+        base: org.apache.spark.sql.types.StructField => Column): DataFrame = {
+      val conds = actions.map(_._1.map(column).getOrElse(lit(true)))
+      val projected = fields.map { f =>
+        val branches = actions.zip(conds).map { case ((_, assigns), c) =>
+          c -> assigns.get(lc(f.name)).map(column).getOrElse(base(f))
+        }
+        branches.drop(1)
+          .foldLeft(when(branches.head._1, branches.head._2)) {
+            case (acc, (c, v)) => acc.when(c, v)
+          }
+          .otherwise(base(f)) // unreachable: rows are pre-filtered
+          .cast(f.dataType).as(f.name)
+      }
+      rows.filter(conds.reduce(_ || _)).select(projected: _*)
+    }
+
+    val updated =
+      if (matched.isEmpty) None
+      else Some(postImage(t.join(s, on, "inner"), matched,
+        f => targetCol(lc(f.name))))
+    // the anti-probe needs only the target's KEY columns — selecting
+    // the key attributes keeps their exprIds so the ON condition
+    // still binds, and the probe never scans non-key target columns
+    val keyAttrs = target.output.filter(a =>
+      keys.exists(_.equalsIgnoreCase(a.name)))
+    val inserted =
+      if (notMatched.isEmpty) None
+      else Some(postImage(
+        s.join(t.select(keyAttrs.map(column): _*), on, "left_anti"),
+        notMatched, f => lit(null)))
+
+    val batch = (updated, inserted) match {
+      case (Some(u), Some(i)) => u.unionByName(i)
+      case (Some(u), None) => u
+      case (None, Some(i)) => i
+      case (None, None) => sys.error(
+        s"MERGE INTO $relation: no routable actions") // unreachable
+    }
     Seq(Row(handler(sparkSession, batch, keys)))
   }
 }

@@ -291,6 +291,59 @@ object Scans extends QueryGroup {
       graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
     }),
 
+    // The dbt SNAPSHOT wire form: the CONDITIONED merge dbt-core's
+    // snapshot materialization emits through dbt-spark
+    // (`spark__snapshot_merge_sql` — `WHEN MATCHED AND
+    // DBT_INTERNAL_DEST.dbt_valid_to IS NULL AND ... THEN UPDATE SET
+    // dbt_valid_to = ... WHEN NOT MATCHED AND ... THEN INSERT *`),
+    // preceded by dbt's own staging select (snapshot_staging_table
+    // semantics, timestamp strategy). MergeIntoRoute COMPILES the
+    // conditional actions onto the engine's staged CoW Delta merge:
+    // changed keys close their current row (valid_to set) and open a
+    // new one, unchanged keys' files are untouched. The oracle
+    // replays the SCD2 arithmetic — including dbt's md5 scd_id —
+    // closed-form from orders.
+    "run_sql_merge_snapshot" -> ((s, d) => {
+      val dir = tmpDir("graft_sql_merge_snapshot")
+      val ord = Tables.orders(s, d).select(
+        col("o_orderkey").as("id"),
+        col("o_orderstatus").as("status"),
+        col("o_orderdate").as("updated_at"))
+      // v1: every source row current (valid_to null), dbt scd columns
+      val v1 = ord
+        .withColumn("dbt_updated_at", col("updated_at"))
+        .withColumn("dbt_valid_from", col("updated_at"))
+        .withColumn("dbt_valid_to", lit(null).cast(TimestampType))
+        .withColumn("dbt_scd_id", md5(concat(
+          coalesce(col("id").cast(StringType), lit("")), lit("|"),
+          coalesce(col("updated_at").cast(StringType), lit("")))))
+      graft.sources.DeltaWrite.merge(s, dir, v1, Seq("dbt_scd_id"))
+      graft.sources.DeltaRead.readDeltaTable(s, dir)
+        .createOrReplaceTempView("snap_tgt")
+      graft.gateway.MergeRoutes.register("snap_tgt",
+        (sess, batch, keys) =>
+          graft.sources.DeltaWrite.merge(sess, dir, batch, keys))
+      // v2 source state: id%3=0 rows changed 30 days later, id%7=1
+      // keys brand new (shifted ids), the rest untouched
+      ord.filter(col("id") % 3 === 0)
+        .withColumn("updated_at", date_add(col("updated_at"), 30))
+        .withColumn("status", lit("U"))
+        .unionByName(ord.filter(col("id") % 3 =!= 0))
+        .unionByName(ord.filter(col("id") % 7 === 1)
+          .withColumn("id", col("id") + lit(10000000L)))
+        .createOrReplaceTempView("snap_src_v2")
+      import graft.gateway.{DbtTranscript => T}
+      T.snapshotRun("snap_tgt", "snap",
+        T.snapshotStagingSelect("snap_tgt", "select * from snap_src_v2",
+          "id", "updated_at"))
+        .foreach(stmt => s.sql(stmt).collect())
+      graft.gateway.MergeRoutes.unregister("snap_tgt")
+      s.catalog.dropTempView("snap_src_v2")
+      s.catalog.dropTempView("snap_tgt")
+      graft.sources.DeltaRead.readDeltaTable(s, dir)
+        .orderBy("id", "dbt_valid_from")
+    }),
+
     // The PARTITIONED dbt-spark merge: creation records partition
     // columns in the Delta metaData (partition values live in the
     // log, hive-style layout on disk), and each merge PRUNES its
@@ -699,6 +752,47 @@ object Scans extends QueryGroup {
       """SELECT c_custkey, c_mktsegment,
         |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // dbt snapshot over the wire: the SCD2 final state is closed-form
+    // in orders — changed keys (id%3=0) close the v1 row at +30 days
+    // and open a new current row, fresh keys (id%7=1, shifted ids)
+    // insert, everything else stays current; scd_id is dbt's md5 form
+    "run_sql_merge_snapshot" ->
+      """WITH ord AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS status,
+        |         o_orderdate AS updated_at FROM orders
+        |), final AS (
+        |  SELECT id, status, updated_at,
+        |         updated_at AS dbt_updated_at,
+        |         updated_at AS dbt_valid_from,
+        |         CAST(NULL AS TIMESTAMP) AS dbt_valid_to,
+        |         md5(CAST(id AS VARCHAR) || '|' ||
+        |             CAST(updated_at AS VARCHAR)) AS dbt_scd_id
+        |  FROM ord WHERE id % 3 <> 0
+        |  UNION ALL
+        |  SELECT id, status, updated_at, updated_at, updated_at,
+        |         CAST(updated_at + INTERVAL 30 DAY AS TIMESTAMP),
+        |         md5(CAST(id AS VARCHAR) || '|' ||
+        |             CAST(updated_at AS VARCHAR))
+        |  FROM ord WHERE id % 3 = 0
+        |  UNION ALL
+        |  SELECT id, 'U',
+        |         CAST(updated_at + INTERVAL 30 DAY AS TIMESTAMP),
+        |         CAST(updated_at + INTERVAL 30 DAY AS TIMESTAMP),
+        |         CAST(updated_at + INTERVAL 30 DAY AS TIMESTAMP),
+        |         CAST(NULL AS TIMESTAMP),
+        |         md5(CAST(id AS VARCHAR) || '|' ||
+        |             CAST(CAST(updated_at + INTERVAL 30 DAY
+        |                       AS TIMESTAMP) AS VARCHAR))
+        |  FROM ord WHERE id % 3 = 0
+        |  UNION ALL
+        |  SELECT id + 10000000, status, updated_at, updated_at,
+        |         updated_at, CAST(NULL AS TIMESTAMP),
+        |         md5(CAST(id + 10000000 AS VARCHAR) || '|' ||
+        |             CAST(updated_at AS VARCHAR))
+        |  FROM ord WHERE id % 7 = 1
+        |)
+        |SELECT * FROM final ORDER BY id, dbt_valid_from""".stripMargin,
 
     // partitioned/GC'd variants land on the same CoW-merge final
     // state — partitioning and retention are storage strategies, not

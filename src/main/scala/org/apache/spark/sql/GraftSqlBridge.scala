@@ -14,4 +14,13 @@ object GraftSqlBridge {
   def ofRows(session: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(
       session.asInstanceOf[classic.SparkSession], plan)
+
+  /** Wrap an analyzed catalyst [[Expression]] back into a [[Column]]
+    * (`ExpressionUtils.column` is `private[sql]` in Spark 4's classic
+    * module). Used by the gateway's conditional-MERGE compiler to
+    * re-apply the statement's resolved conditions/assignments onto
+    * the target⋈source join it builds.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

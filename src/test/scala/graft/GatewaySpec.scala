@@ -526,4 +526,132 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
       } finally conn.close()
     } finally srv.close()
   }
+
+  test("dbt snapshot's CONDITIONED merge over Thrift: the verbatim " +
+      "spark__snapshot_merge_sql statement (matched+conditioned " +
+      "UPDATE SET dbt_valid_to, not-matched+conditioned INSERT *) " +
+      "executes through the engine's Delta merge via the conditional " +
+      "compile; THEN DELETE stays unrouted and loud") {
+    import graft.pipeline.{Materialization, Model, PipelineRunner, PipelineSpec}
+    import org.apache.spark.sql.functions.{coalesce, col, concat, lit, md5}
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"))
+    val wh = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"),
+      "thrift_snap_wh").toString
+    // the snapshot table's v1 state: three current rows, dbt SCD
+    // columns exactly as dbt's first snapshot run writes them
+    val spec = PipelineSpec(models = Seq(
+      Model("gw_snap", Nil,
+        Materialization.IncrementalMerge(Seq("dbt_scd_id")),
+        (sp, _) => { import sp.implicits._
+          Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "val")
+            .withColumn("updated_at",
+              lit("2024-01-01 00:00:00").cast("timestamp"))
+            .withColumn("dbt_updated_at", col("updated_at"))
+            .withColumn("dbt_valid_from", col("updated_at"))
+            .withColumn("dbt_valid_to", lit(null).cast("timestamp"))
+            .withColumn("dbt_scd_id", md5(concat(
+              coalesce(col("id").cast("string"), lit("")), lit("|"),
+              coalesce(col("updated_at").cast("string"), lit(""))))) },
+        fileFormat = "delta")))
+    val runner = new PipelineRunner(spark, spec, wh)
+    assert(runner.run(Seq("run")).success)
+    val port = ThriftGateway.freePort()
+    val srv = ThriftGateway.start(spark, port)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val conn = java.sql.DriverManager.getConnection(
+        s"jdbc:hive2://127.0.0.1:$port", "dbt", "")
+      try {
+        val st = conn.createStatement()
+        // the source's v2 state: id=2 changed (newer updated_at),
+        // id=4 brand new, 1/3 untouched
+        st.execute("""CREATE TEMPORARY VIEW gw_snap_src AS
+          |SELECT * FROM VALUES
+          |  (1L, 'a', timestamp'2024-01-01 00:00:00'),
+          |  (2L, 'B', timestamp'2024-02-01 00:00:00'),
+          |  (3L, 'c', timestamp'2024-01-01 00:00:00'),
+          |  (4L, 'd', timestamp'2024-03-01 00:00:00')
+          |AS t(id, val, updated_at)""".stripMargin)
+        graft.gateway.DbtTranscript.snapshotRun("gw_snap", "gw_snap",
+          graft.gateway.DbtTranscript.snapshotStagingSelect(
+            "gw_snap", "select * from gw_snap_src", "id", "updated_at"))
+          .foreach(st.execute)
+        val rs = st.executeQuery(
+          """SELECT id, val, CAST(dbt_valid_to AS STRING)
+            |FROM gw_snap ORDER BY id, dbt_valid_from""".stripMargin)
+        val got = Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (r.getLong(1), r.getString(2),
+            Option(r.getString(3)).getOrElse("current"))).toSeq
+        assert(got == Seq(
+          (1L, "a", "current"),
+          (2L, "b", "2024-02-01 00:00:00"), // closed by the update leg
+          (2L, "B", "current"),             // opened by the insert leg
+          (3L, "c", "current"),
+          (4L, "d", "current")), s"snapshot state wrong over thrift: $got")
+        // THEN DELETE has no routed execution — Spark's own loud
+        // unsupported error, never a silent partial merge
+        val e = intercept[java.sql.SQLException](st.execute(
+          """MERGE INTO gw_snap AS d USING gw_snap_src AS s
+            |ON d.dbt_scd_id = s.val
+            |WHEN MATCHED THEN DELETE""".stripMargin))
+        assert(e.getMessage.toLowerCase.contains("merge"), e.getMessage)
+      } finally conn.close()
+    } finally {
+      srv.close()
+      graft.gateway.MergeRoutes.unregister("gw_snap")
+    }
+  }
+
+  test("conditional MERGE compile semantics: first matching action " +
+      "wins, unassigned update columns keep target values, " +
+      "unassigned insert columns are NULL, and a not-matched " +
+      "condition may only see the source") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"))
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"),
+      "cond_merge").toString
+    graft.sources.DeltaWrite.merge(spark,
+      dir, Seq((1L, "x", 10.0), (2L, "y", 20.0)).toDF("id", "name", "bal"),
+      Seq("id"))
+    graft.sources.DeltaRead.readDeltaTable(spark, dir)
+      .createOrReplaceTempView("gw_cond_tgt")
+    graft.gateway.MergeRoutes.register("gw_cond_tgt",
+      (sess, batch, keys) =>
+        graft.sources.DeltaWrite.merge(sess, dir, batch, keys))
+    try {
+      Seq((1L, 100.0, "hot"), (2L, 5.0, "cold"), (7L, 7.0, "new"))
+        .toDF("id", "v", "tag").createOrReplaceTempView("gw_cond_src")
+      spark.sql(
+        """MERGE INTO gw_cond_tgt t USING gw_cond_src s ON t.id = s.id
+          |WHEN MATCHED AND s.v > 50 THEN UPDATE SET bal = s.v * 2
+          |WHEN MATCHED THEN UPDATE SET name = s.tag
+          |WHEN NOT MATCHED AND s.tag = 'new'
+          |  THEN INSERT (id, bal) VALUES (s.id, s.v)""".stripMargin)
+        .collect()
+      val got = graft.sources.DeltaRead.readDeltaTable(spark, dir)
+        .orderBy("id").select("id", "name", "bal")
+        .as[(Long, Option[String], Double)].collect().toSeq
+      assert(got == Seq(
+        (1L, Some("x"), 200.0),   // first action: bal doubled, name kept
+        (2L, Some("cold"), 20.0), // second action: name set, bal kept
+        (7L, None, 7.0)),         // insert: unassigned name is NULL
+        s"conditional merge state wrong: $got")
+      // a NOT MATCHED condition referencing the target row is
+      // rejected (there IS no target row) — loud, not misevaluated
+      val e = intercept[Exception](spark.sql(
+        """MERGE INTO gw_cond_tgt t USING gw_cond_src s ON t.id = s.id
+          |WHEN NOT MATCHED AND t.bal > 0 THEN INSERT *""".stripMargin)
+        .collect())
+      assert(e.getMessage != null)
+    } finally {
+      graft.gateway.MergeRoutes.unregister("gw_cond_tgt")
+      spark.catalog.dropTempView("gw_cond_src")
+      spark.catalog.dropTempView("gw_cond_tgt")
+    }
+  }
 }

@@ -47,6 +47,9 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // machinery (dbt-spark's `merge` incremental strategy arrives as
     // exactly this SQL over Thrift) — see MergeInto.scala
     ext.injectResolutionRule(MergeIntoRoute)
+    // UPDATE / DELETE FROM on routed relations (post-image upsert /
+    // deletion-vector delete) — see DmlRoute.scala
+    ext.injectResolutionRule(DmlRoute)
   }
 }
 

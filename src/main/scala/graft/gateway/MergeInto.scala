@@ -112,27 +112,27 @@ object MergeRoutes {
   * inserts only — see the object scaladoc for what routes vs what is
   * left to Spark's own error).
   */
-case class MergeIntoRoute(session: SparkSession)
-    extends Rule[LogicalPlan] {
+private[gateway] object RouteNames {
 
-  // Back from the RESOLVED name to the client-addressed one: strip
-  // the global-temp database and undo the runner's `graft_ns__` view
-  // mangling for `schema.identifier` relations.
-  private def demangle(name: String): String = {
+  /** Back from the RESOLVED name to the client-addressed one: strip
+    * the global-temp database and undo the runner's `graft_ns__` view
+    * mangling for `schema.identifier` relations.
+    */
+  def demangle(name: String): String = {
     val n = name.stripPrefix("global_temp.")
     if (n.startsWith("graft_ns__"))
       n.stripPrefix("graft_ns__").replace("__", ".")
     else n
   }
 
-  // The client-addressed relation name of a MERGE target. The rule
-  // waits for the target to RESOLVE (dbt targets always exist as
-  // relations), so the name is recovered from the resolved tree: a
-  // temp/global view keeps it on the View's catalog identifier, a
-  // catalog table on its qualified SubqueryAlias; dbt's bare
-  // `AS DBT_INTERNAL_DEST` alias (no qualifier, no view child) is
-  // skipped.
-  private def targetName(plan: LogicalPlan): Option[String] = plan match {
+  /** The client-addressed relation name of a routed statement's
+    * target. The rules wait for the target to RESOLVE (dbt targets
+    * always exist as relations), so the name is recovered from the
+    * resolved tree: a temp/global view keeps it on the View's catalog
+    * identifier, a catalog table on its qualified SubqueryAlias; a
+    * bare alias (no qualifier, no view child) is skipped.
+    */
+  def targetName(plan: LogicalPlan): Option[String] = plan match {
     case s: SubqueryAlias =>
       targetName(s.child).orElse {
         if (s.identifier.qualifier.nonEmpty)
@@ -146,9 +146,10 @@ case class MergeIntoRoute(session: SparkSession)
     case _ => None
   }
 
-  // the column name an expression addresses, seen through the casts
-  // the analyzer inserts for type coercion / star expansion
-  private def nameOf(e: Expression): Option[String] = e match {
+  /** The column name an expression addresses, seen through the casts
+    * the analyzer inserts for type coercion / star expansion.
+    */
+  def nameOf(e: Expression): Option[String] = e match {
     case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
       Some(a.nameParts.last)
     case a: Attribute => Some(a.name)
@@ -157,8 +158,10 @@ case class MergeIntoRoute(session: SparkSession)
     case _ => None
   }
 
-  // ON conjunction of same-named equality columns → key column names
-  private def keysOf(cond: Expression): Option[Seq[String]] = cond match {
+  /** ON conjunction of same-named equality columns → key column
+    * names.
+    */
+  def keysOf(cond: Expression): Option[Seq[String]] = cond match {
     case And(l, r) =>
       for { lk <- keysOf(l); rk <- keysOf(r) } yield lk ++ rk
     case EqualTo(l, r) =>
@@ -166,6 +169,12 @@ case class MergeIntoRoute(session: SparkSession)
             if ln.equalsIgnoreCase(rn) } yield Seq(ln)
     case _ => None
   }
+}
+
+case class MergeIntoRoute(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  import RouteNames.{keysOf, nameOf, targetName}
 
   // `UPDATE SET *` / `INSERT *` — either still star-form, or already
   // expanded by the analyzer's ResolveReferences (built-in rules run

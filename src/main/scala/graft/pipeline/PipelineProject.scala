@@ -410,11 +410,20 @@ object PipelineProject {
       if (!Files.exists(selFile)) Nil
       else parseSelectorsYaml(Files.readString(selFile))
 
+    // semantic_models.yml: the dbt semantic layer (dbt keeps these
+    // blocks in models/*.yml schema files; this project grammar
+    // gives them a dedicated root file, like selectors.yml)
+    val semFile = root.resolve("semantic_models.yml")
+    val (semModels, metricDefs): (Seq[SemanticModelDef], Seq[MetricDef]) =
+      if (!Files.exists(semFile)) (Nil, Nil)
+      else parseSemanticYaml(Files.readString(semFile))
+
     PipelineSpec(models = models, modelVersions = modelVersions,
       tests = tests, unitTests = unitTests,
       sources = sources, sourceEventTime = sourceEventTime, seeds = seeds,
       snapshots = snapshots, freshness = freshness, exposures = exposures,
-      operations = operations, selectors = selectors)
+      operations = operations, selectors = selectors,
+      semanticModels = semModels, metrics = metricDefs)
   }
 
   // ---------------------------------------------------------------
@@ -622,6 +631,115 @@ object PipelineProject {
       case other => sys.error(
         s"selectors.yml: each selector must be a map, got $other")
     }
+  }
+
+  /** `semantic_models.yml` → ([[SemanticModelDef]]s, [[MetricDef]]s):
+    * the dbt semantic-layer blocks (`semantic_models:` with entities /
+    * dimensions / measures / defaults, `metrics:` with
+    * simple / ratio / derived `type_params`) in the MetricFlow YAML
+    * shape dbt ≥1.6 parses. `model: ref('x')` and bare names both
+    * resolve; a `measure` / `numerator` / `denominator` may be a bare
+    * name or a `name:`-keyed map (both dbt-legal). Validation of the
+    * references happens in [[SemanticLayer.validate]] at runner
+    * construction — this is shape parsing only.
+    */
+  private[pipeline] def parseSemanticYaml(text: String)
+      : (Seq[SemanticModelDef], Seq[MetricDef]) = {
+    val doc = yamlLite(text) match {
+      case m: Map[String @unchecked, Any @unchecked] => m
+      case other => sys.error(
+        s"semantic_models.yml: top level must be a map, got $other")
+    }
+    def mapsOf(v: Any, ctx: String): Seq[Map[String, Any]] = v match {
+      case l: Seq[Any @unchecked] => l.map {
+        case m: Map[String @unchecked, Any @unchecked] => m
+        case other => sys.error(
+          s"semantic_models.yml: each $ctx entry must be a map, got $other")
+      }
+      case "" => Nil
+      case other => sys.error(
+        s"semantic_models.yml: '$ctx' must be a list, got $other")
+    }
+    def str(m: Map[String, Any], k: String, ctx: String): String =
+      m.get(k).map(_.toString).filter(_.nonEmpty).getOrElse(
+        sys.error(s"semantic_models.yml: $ctx lacks '$k'"))
+    def opt(m: Map[String, Any], k: String): Option[String] =
+      m.get(k).map(_.toString).filter(_.nonEmpty)
+    def subMap(m: Map[String, Any], k: String): Map[String, Any] =
+      m.get(k) match {
+        case Some(mm: Map[String @unchecked, Any @unchecked]) => mm
+        case _ => Map.empty
+      }
+    // `ref('x')` (dbt's model reference call) or a bare node name
+    val refRe = """ref\(\s*'([^']+)'\s*\)""".r
+    def refName(v: String): String = v.trim match {
+      case refRe(n) => n
+      case plain => plain
+    }
+    // a measure reference: bare name or a `name:`-keyed map
+    def measureRef(v: Any, ctx: String): String = v match {
+      case s: String if s.nonEmpty => s
+      case m: Map[String @unchecked, Any @unchecked] =>
+        m.get("name").map(_.toString).getOrElse(sys.error(
+          s"semantic_models.yml: $ctx measure map lacks 'name'"))
+      case other => sys.error(
+        s"semantic_models.yml: $ctx has unparseable measure: $other")
+    }
+
+    val sms = mapsOf(doc.getOrElse("semantic_models", Nil: Seq[Any]),
+      "semantic_models").map { m =>
+      val name = str(m, "name", "semantic model")
+      SemanticModelDef(
+        name = name,
+        modelRef = refName(str(m, "model", s"semantic model $name")),
+        entities = mapsOf(m.getOrElse("entities", Nil: Seq[Any]),
+          s"$name entities").map(e => SemEntity(
+          str(e, "name", s"$name entity"),
+          str(e, "type", s"$name entity"), opt(e, "expr"))),
+        dimensions = mapsOf(m.getOrElse("dimensions", Nil: Seq[Any]),
+          s"$name dimensions").map(d => SemDimension(
+          str(d, "name", s"$name dimension"),
+          str(d, "type", s"$name dimension"), opt(d, "expr"),
+          grain = opt(subMap(d, "type_params"), "time_granularity"))),
+        measures = mapsOf(m.getOrElse("measures", Nil: Seq[Any]),
+          s"$name measures").map { mm =>
+          val n = str(mm, "name", s"$name measure")
+          SemMeasure(n, str(mm, "agg", s"$name measure $n"),
+            opt(mm, "expr").getOrElse(n))
+        },
+        aggTimeDimension = opt(subMap(m, "defaults"), "agg_time_dimension"),
+        description = opt(m, "description"))
+    }
+
+    val mets = mapsOf(doc.getOrElse("metrics", Nil: Seq[Any]), "metrics")
+      .map { m =>
+        val name = str(m, "name", "metric")
+        val tp = subMap(m, "type_params")
+        val inputs = tp.get("metrics") match {
+          case Some(l: Seq[Any @unchecked]) => l.map {
+            case s: String => s
+            case mm: Map[String @unchecked, Any @unchecked] =>
+              mm.get("name").map(_.toString).getOrElse(sys.error(
+                s"semantic_models.yml: metric $name input lacks 'name'"))
+            case other => sys.error(
+              s"semantic_models.yml: metric $name has unparseable " +
+                s"input: $other")
+          }
+          case _ => Nil
+        }
+        MetricDef(name,
+          metricType = str(m, "type", s"metric $name"),
+          label = opt(m, "label"),
+          description = opt(m, "description"),
+          measure = tp.get("measure").map(measureRef(_, s"metric $name")),
+          numerator = tp.get("numerator")
+            .map(measureRef(_, s"metric $name")),
+          denominator = tp.get("denominator")
+            .map(measureRef(_, s"metric $name")),
+          expr = opt(tp, "expr"),
+          inputMetrics = inputs)
+      }
+    (sms, mets)
   }
 
   /** Unzip (rejecting path-traversal entries) into `scratchDir`, locate

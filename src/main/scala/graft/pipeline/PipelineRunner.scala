@@ -169,6 +169,11 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
     "at most one selector may set default: true " +
       s"(${spec.selectors.filter(_.default).map(_.name).mkString(", ")})")
 
+  // dbt semantic-layer hygiene: parse-time validation, like dbt's
+  // (unknown model/measure/metric references, bad enums — all loud)
+  SemanticLayer.validate(spec,
+    byName.keySet ++ spec.seeds.map(_.name) ++ spec.snapshots.map(_.name))
+
   private var initialized = false
   // concurrent: models in the same dependency level may build in
   // parallel under `run --threads N`
@@ -382,6 +387,13 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
         val e = core.stripPrefix("exposure:")
         if (deps.contains(e) && resourceKind(e) == "exposure") Set(e)
         else sys.error(s"unknown exposure: $e")
+      } else if (core.startsWith("semantic_model:") ||
+          core.startsWith("metric:")) {
+        // dbt's semantic-layer method prefixes (dbt ≥1.6 selection)
+        val want = core.takeWhile(_ != ':')
+        val e = core.drop(want.length + 1)
+        if (deps.contains(e) && resourceKind(e) == want) Set(e)
+        else sys.error(s"unknown $want: $e")
       } else if (deps.contains(core)) Set(core)
       else if (lenient) return Set(core)
       else sys.error(s"unknown resource: $core")
@@ -461,7 +473,27 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
         sn.name -> Seq(sn.source).filter(nodes)).toMap ++
       // exposures: leaf consumer nodes — their refs are real edges,
       // so `+exposure_name` selects exactly what the consumer reads
-      spec.exposures.map(e => e.name -> e.refs.filter(nodes)).toMap
+      spec.exposures.map(e => e.name -> e.refs.filter(nodes)).toMap ++
+      // semantic layer: model → semantic model → metric lineage
+      // (dbt's manifest shape); `+metric_name` pulls the whole chain
+      spec.semanticModels.map(sm =>
+        sm.name -> Seq(sm.modelRef).filter(nodes)).toMap ++
+      spec.metrics.map(mt => mt.name -> metricNodeDeps(mt)).toMap
+  }
+
+  /** A metric's graph parents: its semantic model(s) (derived
+    * metrics: their input metrics), per dbt's manifest lineage.
+    */
+  private def metricNodeDeps(mt: MetricDef): Seq[String] = {
+    def smOfMeasure(meas: String): Seq[String] =
+      spec.semanticModels.filter(_.measures.exists(_.name == meas))
+        .map(_.name)
+    (mt.metricType match {
+      case "derived" => mt.inputMetrics
+      case "ratio" => (mt.numerator.toSeq ++ mt.denominator.toSeq)
+        .flatMap(smOfMeasure)
+      case _ => mt.measure.toSeq.flatMap(smOfMeasure)
+    }).distinct
   }
 
   /** Executable nodes that read a non-node source directly: models
@@ -478,6 +510,8 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
     else if (spec.seeds.exists(_.name == name)) "seed"
     else if (spec.snapshots.exists(_.name == name)) "snapshot"
     else if (spec.exposures.exists(_.name == name)) "exposure"
+    else if (spec.semanticModels.exists(_.name == name)) "semantic_model"
+    else if (spec.metrics.exists(_.name == name)) "metric"
     else "source"
 
   private def resourceTags: Map[String, Set[String]] =
@@ -687,6 +721,16 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
       case Some(gen) => readTableAt(name, gen)
       case None => sys.error(s"table $name does not exist")
     }
+
+  /** Evaluate semantic-layer metrics grouped by dimension/entity
+    * names — MetricFlow's query surface, compiled natively (see
+    * [[SemanticLayer.query]]). The metrics' underlying model must be
+    * materialized (run it first); all requested metrics must live on
+    * one semantic model.
+    */
+  def semanticQuery(metricNames: Seq[String],
+      groupBy: Seq[String] = Nil): DataFrame =
+    SemanticLayer.query(spec, readTable, metricNames, groupBy)
 
   /** Read the table as of a specific committed generation — time
     * travel over the manifest store (generation files are immutable;
@@ -1055,6 +1099,20 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
             registerSessionView(name)
             n
           })
+          // UPDATE (post-image upsert on the declared key) for every
+          // merge model; DELETE FROM only where a real engine delete
+          // exists — unpartitioned Delta's DV merge-on-read delete
+          graft.gateway.DmlRoutes.register(name,
+            graft.gateway.DmlRoutes.Ops(keys,
+              deleteWhere =
+                if (m.fileFormat == "delta" && userParts.isEmpty)
+                  Some((s, predicateSql) => {
+                    val n = graft.sources.DeltaWrite.deleteWhere(
+                      s, dir, predicateSql)
+                    registerSessionView(name)
+                    n
+                  })
+                else None))
         case Materialization.IncrementalMergeOnRead(keys, osc, delCol)
             if delCol.isEmpty =>
           graft.gateway.MergeRoutes.register(name, (s, batch, onKeys) => {
@@ -1067,7 +1125,9 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
             registerSessionView(name)
             n
           })
-        case _ => // not a merge model: leave MERGE INTO unrouted
+          graft.gateway.DmlRoutes.register(name,
+            graft.gateway.DmlRoutes.Ops(keys))
+        case _ => // not a merge model: leave MERGE INTO / DML unrouted
       }
     }
 
@@ -1724,6 +1784,26 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
         val e = spec.exposures.find(_.name == name).get
         Seq("exposure", e.name, e.exposureType, e.refs.mkString(","),
           e.owner, e.url)
+      case "semantic_model" =>
+        val sm = spec.semanticModels.find(_.name == name).get
+        Seq("semantic_model", sm.name, sm.modelRef,
+          sm.entities.map(e =>
+            s"${e.name}:${e.entityType}:${e.expr.getOrElse("")}")
+            .mkString(","),
+          sm.dimensions.map(d => s"${d.name}:${d.dimType}:" +
+            s"${d.expr.getOrElse("")}:${d.grain.getOrElse("")}")
+            .mkString(","),
+          sm.measures.map(m => s"${m.name}:${m.agg}:${m.expr}")
+            .mkString(","),
+          sm.aggTimeDimension.getOrElse("")) ++
+          sm.description.map("desc:" + _).toSeq
+      case "metric" =>
+        val mt = spec.metrics.find(_.name == name).get
+        Seq("metric", mt.name, mt.metricType, mt.label.getOrElse(""),
+          mt.measure.getOrElse(""), mt.numerator.getOrElse(""),
+          mt.denominator.getOrElse(""), mt.expr.getOrElse(""),
+          mt.inputMetrics.mkString(",")) ++
+          mt.description.map("desc:" + _).toSeq
       case other => Seq(other, name)
     }
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -3572,10 +3652,13 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
         // still-failing tests rerun
         runUnits(n, u => only.exists(_(u.name)))
         runTests(n, t => only.exists(_(t.name)))
-      } else if (kind == "exposure") {
-        // exposures are declarative consumers — nothing executes;
-        // they exist for lineage, selection (+exposure pulls its
-        // ancestors), ls, and the manifest artifact
+      } else if (kind == "exposure" || kind == "semantic_model" ||
+          kind == "metric") {
+        // exposures and semantic-layer nodes are declarative —
+        // nothing executes; they exist for lineage, selection
+        // (+exposure / +metric pulls ancestors), ls, and the
+        // manifest artifact (metrics additionally serve
+        // `semanticQuery`, invoked on demand, never as a build node)
         ()
       } else if (kind == "snapshot" && at.isEmpty) {
         skipped += n

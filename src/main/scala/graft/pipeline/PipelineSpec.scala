@@ -1023,6 +1023,67 @@ final case class SelectorDef(name: String,
     include: Seq[String] = Nil,
     exclude: Seq[String] = Nil)
 
+// ---- dbt semantic layer (dbt-core ≥1.6; 1.9 parses these into the
+// manifest — `dbtoperator.py:273` pins 1.9.10) -----------------------
+//
+// A SEMANTIC MODEL maps one materialized model to entities (join
+// keys), dimensions (group-bys), and measures (aggregations); METRICS
+// are defined over measures (simple), measure ratios (ratio), or
+// expressions over other metrics (derived) — MetricFlow's public
+// spec. dbt 1.9 itself is parse-only (validation + manifest nodes;
+// query serving lives in MetricFlow); the engine additionally
+// COMPILES metric queries natively (see
+// [[graft.pipeline.SemanticLayer]]).
+
+/** An entity: a join-key column of the semantic model.
+  * `entityType` ∈ primary | unique | foreign | natural.
+  */
+final case class SemEntity(name: String, entityType: String,
+    expr: Option[String] = None)
+
+/** A dimension: a group-by column. `dimType` ∈ categorical | time
+  * (time carries an optional `time_granularity`).
+  */
+final case class SemDimension(name: String, dimType: String,
+    expr: Option[String] = None, grain: Option[String] = None)
+
+/** A measure: an aggregation over the semantic model's rows.
+  * `agg` ∈ sum | count | count_distinct | avg | min | max; `expr`
+  * defaults to the measure name (dbt's own default).
+  */
+final case class SemMeasure(name: String, agg: String, expr: String)
+
+final case class SemanticModelDef(
+    name: String,
+    /** The underlying model node, as written (`ref('orders')` or a
+      * bare name — normalized to the bare name at parse).
+      */
+    modelRef: String,
+    entities: Seq[SemEntity] = Nil,
+    dimensions: Seq[SemDimension] = Nil,
+    measures: Seq[SemMeasure] = Nil,
+    /** `defaults: agg_time_dimension` — the time dimension measures
+      * aggregate over when a query asks for a time grain.
+      */
+    aggTimeDimension: Option[String] = None,
+    description: Option[String] = None)
+
+/** One `metrics:` entry. `metricType` ∈ simple | ratio | derived;
+  * exactly the type's own fields are set (simple → `measure`,
+  * ratio → `numerator`/`denominator` measure names, derived →
+  * `expr` over `inputMetrics` names).
+  */
+final case class MetricDef(
+    name: String,
+    metricType: String,
+    label: Option[String] = None,
+    description: Option[String] = None,
+    measure: Option[String] = None,
+    numerator: Option[String] = None,
+    denominator: Option[String] = None,
+    expr: Option[String] = None,
+    inputMetrics: Seq[String] = Nil)
+
 final case class PipelineSpec(
     models: Seq[Model],
     /** dbt model versions (dbt-core ≥1.5): versioned-model name →
@@ -1071,7 +1132,16 @@ final case class PipelineSpec(
       * carries NO explicit selection, per dbt's default-selector
       * semantics.
       */
-    selectors: Seq[SelectorDef] = Nil) {
+    selectors: Seq[SelectorDef] = Nil,
+    /** dbt semantic layer (`semantic_models:` / `metrics:` blocks,
+      * dbt ≥1.6): validated at runner construction, carried as
+      * manifest nodes (kind `semantic_model` / `metric`, with their
+      * model lineage), and natively queryable via
+      * [[graft.pipeline.SemanticLayer]] / `PipelineRunner
+      * .semanticQuery`.
+      */
+    semanticModels: Seq[SemanticModelDef] = Nil,
+    metrics: Seq[MetricDef] = Nil) {
 
   /** Fold each model's `schema` config into its node name
     * (`sales` + `orders` → `sales.orders`) — the runner's canonical

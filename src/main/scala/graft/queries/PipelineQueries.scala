@@ -915,6 +915,100 @@ object PipelineOps extends QueryGroup {
               |ORDER BY sq.o_custkey""".stripMargin)
     }),
 
+    // ---- the dbt semantic layer --------------------------------------------
+    // dbt ≥1.6 projects carry semantic_models:/metrics: YAML (parsed
+    // into the manifest by the 1.9 the reference pins); the engine
+    // parses + validates the same shapes AND compiles metric queries
+    // natively (SemanticLayer.query — one aggregation pass per query,
+    // simple/ratio/derived metrics). The oracle recomputes every
+    // metric directly from orders.
+    "run_semantic_metrics" -> ((s, d) => {
+      val wh = freshWh("run_semantic_metrics")
+      val proj = java.nio.file.Paths.get(freshWh("rsm_project"))
+      java.nio.file.Files.createDirectories(proj.resolve("models"))
+      java.nio.file.Files.writeString(proj.resolve("sources.conf"),
+        s"raw_orders=$d/orders.parquet\n")
+      java.nio.file.Files.writeString(
+        proj.resolve("models/orders_m.sql"),
+        """{{ config(materialized='table') }}
+          |SELECT o_orderstatus AS status, o_custkey AS cust,
+          |       CAST(o_totalprice AS DECIMAL(12,2)) AS amount
+          |FROM {{ source('raw_orders') }}""".stripMargin)
+      java.nio.file.Files.writeString(
+        proj.resolve("semantic_models.yml"),
+        """semantic_models:
+          |  - name: orders_sm
+          |    model: ref('orders_m')
+          |    description: order facts
+          |    entities:
+          |      - name: cust
+          |        type: foreign
+          |    dimensions:
+          |      - name: status
+          |        type: categorical
+          |    measures:
+          |      - name: revenue
+          |        agg: sum
+          |        expr: amount
+          |      - name: n_orders
+          |        agg: count
+          |        expr: amount
+          |      - name: customers
+          |        agg: count_distinct
+          |        expr: cust
+          |      - name: max_price
+          |        agg: max
+          |        expr: amount
+          |      - name: min_price
+          |        agg: min
+          |        expr: amount
+          |metrics:
+          |  - name: revenue
+          |    label: Revenue
+          |    type: simple
+          |    type_params:
+          |      measure: revenue
+          |  - name: customers
+          |    type: simple
+          |    type_params:
+          |      measure: customers
+          |  - name: max_price_m
+          |    type: simple
+          |    type_params:
+          |      measure: max_price
+          |  - name: min_price_m
+          |    type: simple
+          |    type_params:
+          |      measure: min_price
+          |  - name: avg_order_value
+          |    type: ratio
+          |    type_params:
+          |      numerator: revenue
+          |      denominator: n_orders
+          |  - name: price_spread
+          |    type: derived
+          |    type_params:
+          |      expr: max_price_m - min_price_m
+          |      metrics:
+          |        - max_price_m
+          |        - min_price_m
+          |""".stripMargin)
+      val spec = PipelineProject.load(proj.toString)
+      require(spec.semanticModels.map(_.name) == Seq("orders_sm") &&
+        spec.metrics.size == 6, "semantic_models.yml parse wrong")
+      val r = new PipelineRunner(s, spec, wh)
+      mustSucceed(r.run(Seq("run")))
+      r.semanticQuery(
+        Seq("revenue", "avg_order_value", "customers", "price_spread"),
+        groupBy = Seq("status"))
+        .select(col("status"),
+          col("revenue").cast(DoubleType).as("revenue"),
+          col("avg_order_value"),
+          col("customers"),
+          col("price_spread").cast(DoubleType).as("price_spread"))
+        .orderBy("status")
+    }),
+
     // ---- the dbt-spark wire transcript ------------------------------------
     // The reference's literal production loop is dbt CLI → PyHive/
     // Thrift → Spark (dbtoperator.py:274,342-360). This key replays
@@ -1334,6 +1428,30 @@ object PipelineOps extends QueryGroup {
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // every semantic-layer metric recomputed directly from orders:
+    // simple = the measure's agg, ratio = double division, derived =
+    // the expr over its input metrics
+    "run_semantic_metrics" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS status, o_custkey AS cust,
+        |         CAST(o_totalprice AS DECIMAL(12,2)) AS amount
+        |  FROM orders
+        |), agg AS (
+        |  SELECT status,
+        |         SUM(amount) AS revenue_d,
+        |         COUNT(amount) AS n_orders,
+        |         COUNT(DISTINCT cust) AS customers,
+        |         MAX(amount) AS mx, MIN(amount) AS mn
+        |  FROM base GROUP BY status
+        |)
+        |SELECT status,
+        |  CAST(revenue_d AS DOUBLE) AS revenue,
+        |  CAST(revenue_d AS DOUBLE) / CAST(n_orders AS DOUBLE)
+        |    AS avg_order_value,
+        |  customers,
+        |  CAST(mx - mn AS DOUBLE) AS price_spread
+        |FROM agg ORDER BY status""".stripMargin,
 
     // every final state of the replayed dbt transcript, recomputed
     // from the raw orders table: orders_part keeps run-1 (half-data)

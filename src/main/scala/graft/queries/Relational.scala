@@ -291,6 +291,60 @@ object Scans extends QueryGroup {
       graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
     }),
 
+    // UPDATE SQL on a published relation: vanilla Spark cannot run
+    // UPDATE on v1 tables; DmlRoute compiles the post-image of the
+    // matching rows (assignments applied, others kept, cast to the
+    // column type) onto the relation's upsert handler, merging on the
+    // DECLARED unique key. Untouched rows never enter the batch — the
+    // engine merge rewrites only files with matches.
+    "run_sql_update" -> ((s, d) => {
+      val dir = tmpDir("graft_sql_update")
+      val cust = Tables.customer(s, d)
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").as("bal")),
+        Seq("c_custkey"))
+      graft.sources.DeltaRead.readDeltaTable(s, dir)
+        .createOrReplaceTempView("sql_upd_tgt")
+      graft.gateway.MergeRoutes.register("sql_upd_tgt",
+        (sess, batch, keys) =>
+          graft.sources.DeltaWrite.merge(sess, dir, batch, keys))
+      graft.gateway.DmlRoutes.register("sql_upd_tgt",
+        graft.gateway.DmlRoutes.Ops(Seq("c_custkey")))
+      s.sql("UPDATE sql_upd_tgt SET bal = bal * 2 " +
+        "WHERE c_custkey % 5 = 0").collect()
+      graft.gateway.MergeRoutes.unregister("sql_upd_tgt")
+      graft.gateway.DmlRoutes.unregister("sql_upd_tgt")
+      s.catalog.dropTempView("sql_upd_tgt")
+      graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
+    }),
+
+    // DELETE FROM SQL on a published relation, executed as the Delta
+    // deletion-vector MERGE-ON-READ delete (DeltaWrite.deleteWhere):
+    // matching rows are MASKED — one packed DV file + log actions, no
+    // data file rewritten (DeltaSpec asserts byte-identity) — and
+    // every Delta reader sees them gone. The predicate travels as
+    // re-rendered SQL text from the statement's own WHERE clause.
+    "run_sql_delete_from" -> ((s, d) => {
+      val dir = tmpDir("graft_sql_delete")
+      val cust = Tables.customer(s, d)
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").as("bal")),
+        Seq("c_custkey"))
+      graft.sources.DeltaRead.readDeltaTable(s, dir)
+        .createOrReplaceTempView("sql_del_tgt")
+      graft.gateway.DmlRoutes.register("sql_del_tgt",
+        graft.gateway.DmlRoutes.Ops(Seq("c_custkey"),
+          deleteWhere = Some((sess, predicateSql) =>
+            graft.sources.DeltaWrite.deleteWhere(sess, dir, predicateSql))))
+      s.sql("DELETE FROM sql_del_tgt WHERE c_mktsegment = 'BUILDING' " +
+        "OR c_custkey % 100 = 7").collect()
+      graft.gateway.DmlRoutes.unregister("sql_del_tgt")
+      s.catalog.dropTempView("sql_del_tgt")
+      graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
+    }),
+
     // The dbt SNAPSHOT wire form: the CONDITIONED merge dbt-core's
     // snapshot materialization emits through dbt-spark
     // (`spark__snapshot_merge_sql` — `WHEN MATCHED AND
@@ -752,6 +806,22 @@ object Scans extends QueryGroup {
       """SELECT c_custkey, c_mktsegment,
         |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // UPDATE's post-image upsert: doubled balances where the
+    // predicate matched, untouched rows identical
+    "run_sql_update" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2
+        |       ELSE c_acctbal END AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // DELETE's DV-masked final state: everything the predicate did
+    // NOT match
+    "run_sql_delete_from" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal AS bal
+        |FROM customer
+        |WHERE NOT (c_mktsegment = 'BUILDING' OR c_custkey % 100 = 7)
+        |ORDER BY c_custkey""".stripMargin,
 
     // dbt snapshot over the wire: the SCD2 final state is closed-form
     // in orders — changed keys (id%3=0) close the v1 row at +30 days

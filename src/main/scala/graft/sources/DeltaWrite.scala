@@ -1296,6 +1296,102 @@ object DeltaWrite {
     n
   }
 
+  /** `DELETE FROM <table> WHERE <predicate>` as a MERGE-ON-READ
+    * commit: matching live rows are masked by deletion vectors — ONE
+    * packed DV file plus per-touched-file add/remove log actions, NO
+    * data file rewritten (the protocol's selective-delete shape;
+    * commit cost is O(matching files + matches), like
+    * [[mergeOnRead]]). Existing DV masks compose (a row already
+    * deleted never re-matches), the first DV upgrades the protocol in
+    * the same commit, and an empty match writes NO commit.
+    *
+    * `predicateSql` is SQL text over the table's columns (the routed
+    * `DELETE FROM` statement's own WHERE clause, re-rendered — text,
+    * not a bound Column, so it binds to this function's fresh scan).
+    * Same geometry contract as [[mergeOnRead]]: column-mapped,
+    * partitioned, and CDF-enabled tables refuse loudly (use a CoW
+    * path); the matched-position collect is capped — DV deletes are
+    * for SELECTIVE deletes, a delete of most of a table should
+    * rewrite it instead.
+    */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
+      predicateSql: String, maxMatches: Int = 2000000): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
+    require(java.nio.file.Files.isDirectory(logDir),
+      s"not a Delta table: $dir")
+    val geom = DeltaRead.mergeGeometry(spark, dir)
+    require(!geom.mapped,
+      s"deleteWhere on a column-mapped table is unsupported: $dir")
+    require(DeltaRead.partitionColumns(spark, dir).isEmpty,
+      s"deleteWhere on a partitioned table is unsupported: $dir")
+    require(DeltaRead.tableConfiguration(spark, dir)
+        .getOrElse("delta.enableChangeDataFeed", "false") != "true",
+      s"deleteWhere on a CDF-enabled table is unsupported — DV " +
+        s"masking writes no cdc actions: $dir")
+    val tableSchema = DeltaRead.tableSchema(spark, dir)
+    val version = DeltaRead.latestVersion(dir) + 1
+    requireNextVersion(dir, version)
+    val live = DeltaRead.liveDataFilesAll(spark, dir)
+    if (live.isEmpty) return 0L
+    val hconf = spark.sessionState.newHadoopConf()
+    val liveByQualified = live.map(f => sparkPathOf(hconf, f.abs) -> f).toMap
+
+    val raw0 = spark.read.schema(tableSchema)
+      .parquet(live.map(_.abs): _*)
+      .withColumn("__graft_file", col("_metadata.file_path"))
+      .withColumn("__graft_row", col("_metadata.row_index"))
+    val withDv = live.flatMap(f =>
+      f.dv.map(d => (sparkPathOf(hconf, f.abs), d)))
+    val cur =
+      if (withDv.isEmpty) raw0
+      else raw0.join(DeltaRead.dvDeleteFrame(spark, dir, withDv),
+        Seq("__graft_file", "__graft_row"), "left_anti")
+    val matched = cur.filter(expr(predicateSql))
+      .select("__graft_file", "__graft_row")
+      .limit(maxMatches + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(matched.length <= maxMatches,
+      s"DELETE matches more than $maxMatches rows — DV masking is " +
+        s"for selective deletes; rewrite the table (or delete in " +
+        s"bounded predicate ranges) instead: $dir")
+    if (matched.isEmpty) return 0L
+    val byFile: Map[String, Seq[Long]] =
+      matched.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._2).toSeq }
+
+    val touched = byFile.keys.toSeq.sorted.map(f =>
+      liveByQualified.getOrElse(f,
+        sys.error(s"matched file $f missing from the live map: $dir")))
+    val dvEntries: Seq[(DeltaRead.LiveFileDv, Seq[Long])] = touched.map { lf =>
+      val old = lf.dv.map(d =>
+        DeletionVectors.deletedRows(dir, d)).getOrElse(Nil)
+      lf -> (old ++ byFile(sparkPathOf(hconf, lf.abs))).distinct.sorted
+    }
+    val upgrade: Seq[String] =
+      if (DeltaRead.tableHasDvProtocol(spark, dir)) Nil
+      else Seq(compact(render(
+        ("protocol" -> (("minReaderVersion" -> 3) ~
+          ("minWriterVersion" -> 7) ~
+          ("readerFeatures" -> List("deletionVectors")) ~
+          ("writerFeatures" -> List("deletionVectors")))): JValue)))
+    val uuid = java.util.UUID.randomUUID()
+    val offsets = DeletionVectors.writeDvFileMulti(
+      java.nio.file.Paths.get(dir, s"deletion_vector_$uuid.bin"),
+      dvEntries.map(_._2))
+    val lines = upgrade ++ dvEntries.zip(offsets).flatMap {
+      case ((lf, rows), (off, size)) =>
+        val d = DeletionVectors.Descriptor("u",
+          DeletionVectors.encodeUuid(uuid), Some(off), size, rows.size)
+        Seq(
+          addLine(lf.rel, lf.partitionValues, lf.size, lf.stats,
+            dataChange = true, dv = Some(d)),
+          removeLine(lf.logPath, lf.partitionValues,
+            dataChange = true, dv = lf.dv))
+    }
+    writeCommitFile(dir, version, lines)
+    matched.length.toLong
+  }
+
   /** Write a single-file checkpoint of the CURRENT snapshot —
     * `<v>.checkpoint.parquet` + `_last_checkpoint` — so readers bound
     * their log replay at O(commits since checkpoint) instead of

@@ -1564,4 +1564,59 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
       DeltaWrite.replace(spark, d, wide, partitionBy = Seq("seg")))
     assert(e.getMessage.contains("coarser"), e.getMessage)
   }
+
+  test("deleteWhere: DELETE as a DV commit — matching rows masked, " +
+      "data files byte-identical, masks compose across deletes, " +
+      "empty match writes no commit, the match cap and geometry " +
+      "gates are loud") {
+    val d = dir()
+    DeltaWrite.mergeOnRead(spark, d,
+      (1L to 12L).map(i => (i, i * 1.0)).toDF("id", "bal"), Seq("id"),
+      buckets = 4)
+    val before = fileBytes(java.nio.file.Paths.get(d))
+      .filter(_._1.endsWith(".parquet"))
+    // delete 1: mask via DVs, nothing rewritten, protocol upgraded
+    assert(DeltaWrite.deleteWhere(spark, d, "id % 3 = 0") == 4L)
+    val after = fileBytes(java.nio.file.Paths.get(d))
+    before.foreach { case (f, sz) =>
+      assert(after.get(f).contains(sz), s"data file $f was rewritten") }
+    assert(after.keys.count(_.startsWith("deletion_vector_")) == 1,
+      s"expected ONE packed DV file: ${after.keys.toSeq.sorted}")
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
+      d, "_delta_log", "%020d.json".format(1)))
+      .contains("deletionVectors"), "protocol not upgraded")
+    assert(DeltaRead.readDeltaTable(spark, d).orderBy("id")
+      .as[(Long, Double)].collect().toSeq ==
+      (1L to 12L).filterNot(_ % 3 == 0).map(i => (i, i * 1.0)),
+      "delete state wrong")
+    // delete 2 composes with the existing masks (and an already
+    // deleted row never re-matches: id=3 is gone, only 1,2 match)
+    assert(DeltaWrite.deleteWhere(spark, d, "id <= 3") == 2L)
+    assert(DeltaRead.readDeltaTable(spark, d).orderBy("id")
+      .as[(Long, Double)].collect().toSeq ==
+      (4L to 12L).filterNot(_ % 3 == 0).map(i => (i, i * 1.0)),
+      "composed delete state wrong")
+    // empty match: no rows, NO new commit version
+    val vBefore = java.nio.file.Files.list(
+      java.nio.file.Paths.get(d, "_delta_log")).count()
+    assert(DeltaWrite.deleteWhere(spark, d, "id > 1000") == 0L)
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(d, "_delta_log")).count() == vBefore,
+      "empty delete wrote a commit")
+    // a reader still reconciles after checkpoint + vacuum
+    DeltaWrite.writeCheckpoint(spark, d)
+    DeltaWrite.vacuum(spark, d): Unit
+    assert(DeltaRead.readDeltaTable(spark, d).count() == 6L)
+    // the match cap is loud
+    val eCap = intercept[IllegalArgumentException](
+      DeltaWrite.deleteWhere(spark, d, "id > 0", maxMatches = 2))
+    assert(eCap.getMessage.contains("selective"), eCap.getMessage)
+    // geometry gates: CDF-enabled refuses
+    val dCdf = dir()
+    DeltaWrite.merge(spark, dCdf, Seq((1L, "a")).toDF("id", "v"),
+      Seq("id"), enableCdf = true)
+    val e = intercept[IllegalArgumentException](
+      DeltaWrite.deleteWhere(spark, dCdf, "id = 1"))
+    assert(e.getMessage.contains("CDF"), e.getMessage)
+  }
 }

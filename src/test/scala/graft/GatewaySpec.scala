@@ -654,4 +654,73 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
       spark.catalog.dropTempView("gw_cond_tgt")
     }
   }
+
+  test("UPDATE and DELETE FROM over Thrift: post-image upsert / DV " +
+      "delete through the engine; key assignment and unrouted " +
+      "relations fail loudly") {
+    import graft.pipeline.{Materialization, Model, PipelineRunner, PipelineSpec}
+    import spark.implicits._
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"))
+    val wh = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"),
+      "thrift_dml_wh").toString
+    val spec = PipelineSpec(models = Seq(
+      Model("gw_dml", Nil,
+        Materialization.IncrementalMerge(Seq("id")),
+        (sp, _) => { import sp.implicits._
+          Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+            (4L, "d", 40.0)).toDF("id", "tag", "bal") },
+        fileFormat = "delta"),
+      // a MANIFEST-format merge model: UPDATE routes (upsert works on
+      // any format), DELETE does not (no DV path) — loud
+      Model("gw_dml_plain", Nil,
+        Materialization.IncrementalMerge(Seq("id")),
+        (sp, _) => { import sp.implicits._
+          Seq((1L, 1.0)).toDF("id", "v") })))
+    val runner = new PipelineRunner(spark, spec, wh)
+    assert(runner.run(Seq("run")).success)
+    val port = ThriftGateway.freePort()
+    val srv = ThriftGateway.start(spark, port)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val conn = java.sql.DriverManager.getConnection(
+        s"jdbc:hive2://127.0.0.1:$port", "dbt", "")
+      try {
+        val st = conn.createStatement()
+        st.execute("UPDATE gw_dml SET bal = bal + 1, tag = upper(tag) " +
+          "WHERE id >= 3")
+        st.execute("DELETE FROM gw_dml WHERE id = 2")
+        val rs = st.executeQuery(
+          "SELECT id, tag, bal FROM gw_dml ORDER BY id")
+        val got = Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
+        assert(got == Seq((1L, "a", 10.0), (3L, "C", 31.0),
+          (4L, "D", 41.0)), s"DML state wrong over thrift: $got")
+        // ...and through any Delta reader
+        val direct = runner.readTable("gw_dml").orderBy("id")
+          .as[(Long, String, Double)].collect().toSeq
+        assert(direct == got, s"DML state wrong via DeltaRead: $direct")
+        // UPDATE on the manifest-format model routes too
+        st.execute("UPDATE gw_dml_plain SET v = v * 10 WHERE id = 1")
+        assert(runner.readTable("gw_dml_plain").head().getDouble(1)
+          == 10.0, "manifest UPDATE missed")
+        // assigning the unique key refuses loudly
+        val e1 = intercept[java.sql.SQLException](st.execute(
+          "UPDATE gw_dml SET id = id + 100"))
+        assert(e1.getMessage.contains("unique-key"), e1.getMessage)
+        // DELETE on a relation without a delete path: Spark's own
+        // loud v2-only error, never a silent no-op
+        val e2 = intercept[java.sql.SQLException](st.execute(
+          "DELETE FROM gw_dml_plain WHERE id = 1"))
+        assert(!e2.getMessage.contains("unique-key"), e2.getMessage)
+      } finally conn.close()
+    } finally {
+      srv.close()
+      graft.gateway.MergeRoutes.unregister("gw_dml")
+      graft.gateway.MergeRoutes.unregister("gw_dml_plain")
+      graft.gateway.DmlRoutes.unregister("gw_dml")
+      graft.gateway.DmlRoutes.unregister("gw_dml_plain")
+    }
+  }
 }

@@ -4054,4 +4054,144 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkTestBase {
     assert(r.run(Seq("run")).success)
     assert(r.readTable("down").count() == 2L)
   }
+
+  test("semantic layer: semantic_models.yml parses (incl. zip " +
+      "round-trip), validation is loud, manifest/ls carry the nodes " +
+      "with model lineage, and semanticQuery evaluates simple/ratio/" +
+      "derived metrics in one pass") {
+    val proj = java.nio.file.Paths.get(wh()).resolve("sem_proj")
+    java.nio.file.Files.createDirectories(proj.resolve("models"))
+    java.nio.file.Files.writeString(proj.resolve("models/fct.sql"),
+      """{{ config(materialized='table') }}
+        |SELECT * FROM VALUES
+        |  (1L, 'a', CAST(10.00 AS DECIMAL(12,2))),
+        |  (1L, 'a', CAST(30.00 AS DECIMAL(12,2))),
+        |  (2L, 'b', CAST(5.00  AS DECIMAL(12,2)))
+        |AS t(cust, seg, amount)""".stripMargin)
+    java.nio.file.Files.writeString(proj.resolve("semantic_models.yml"),
+      """# dbt semantic layer (MetricFlow YAML, dbt >= 1.6)
+        |semantic_models:
+        |  - name: fct_sm
+        |    model: ref('fct')
+        |    description: facts
+        |    defaults:
+        |      agg_time_dimension: ''
+        |    entities:
+        |      - name: cust
+        |        type: foreign
+        |    dimensions:
+        |      - name: seg
+        |        type: categorical
+        |    measures:
+        |      - name: revenue
+        |        agg: sum
+        |        expr: amount
+        |      - name: n_rows
+        |        agg: count
+        |        expr: amount
+        |      - name: n_cust
+        |        agg: count_distinct
+        |        expr: cust
+        |metrics:
+        |  - name: revenue
+        |    type: simple
+        |    type_params:
+        |      measure: revenue
+        |  - name: aov
+        |    type: ratio
+        |    type_params:
+        |      numerator: revenue
+        |      denominator: n_rows
+        |  - name: rev2x
+        |    type: derived
+        |    type_params:
+        |      expr: revenue * 2
+        |      metrics:
+        |        - revenue
+        |""".stripMargin)
+    val spec = PipelineProject.load(proj.toString)
+    assert(spec.semanticModels.map(_.name) == Seq("fct_sm"))
+    val sm = spec.semanticModels.head
+    assert(sm.modelRef == "fct" && sm.measures.size == 3 &&
+      sm.aggTimeDimension.isEmpty, sm.toString)
+    assert(spec.metrics.map(_.metricType) ==
+      Seq("simple", "ratio", "derived"))
+    assert(spec.metrics.last.inputMetrics == Seq("revenue"))
+
+    val w = wh()
+    val r = new PipelineRunner(spark, spec, w)
+    assert(r.run(Seq("run")).success)
+    // ls lists the nodes kind-qualified, in lineage order; the
+    // semantic-layer method prefixes and +lineage selection work
+    val ls = r.run(Seq("ls")).results.head.modelsRun
+    assert(ls.containsSlice(Seq("semantic_model.fct_sm")) &&
+      ls.contains("metric.revenue") && ls.contains("metric.rev2x"),
+      ls.toString)
+    assert(r.run(Seq("ls --select +metric:aov")).results.head.modelsRun
+      .toSet == Set("model.fct", "semantic_model.fct_sm", "metric.aov"),
+      "metric lineage selection wrong")
+    // the manifest artifact carries the nodes with deps
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(w, "manifest.json"))
+    assert(manifest.contains("\"kind\":\"semantic_model\"") &&
+      manifest.contains("\"kind\":\"metric\""), manifest.take(400))
+
+    // query: grouped, entity-grouped, and global
+    val bySeg = r.semanticQuery(Seq("revenue", "aov", "rev2x"),
+      groupBy = Seq("seg")).orderBy("seg")
+      .collect().map(x => (x.getString(0),
+        x.getDecimal(1).doubleValue, x.getDouble(2),
+        x.getDecimal(3).doubleValue)).toSeq
+    assert(bySeg == Seq(("a", 40.0, 20.0, 80.0), ("b", 5.0, 5.0, 10.0)),
+      bySeg.toString)
+    val global = r.semanticQuery(Seq("revenue")).collect()
+    assert(global.head.getDecimal(0).doubleValue == 45.0)
+    val byCust = r.semanticQuery(Seq("revenue"), groupBy = Seq("cust"))
+    assert(byCust.count() == 2L)
+    // misuse is loud: unknown group-by, unknown metric
+    val e1 = intercept[Exception](
+      r.semanticQuery(Seq("revenue"), groupBy = Seq("nope")))
+    assert(e1.getMessage.contains("dimension"), e1.getMessage)
+    val e2 = intercept[Exception](r.semanticQuery(Seq("nope")))
+    assert(e2.getMessage.contains("unknown metric"), e2.getMessage)
+
+    // validation is loud at construction: unknown measure, bad agg,
+    // derived-over-derived, semantic model over a missing node
+    def bad(s2: PipelineSpec): String =
+      intercept[Exception](new PipelineRunner(spark, s2, wh()))
+        .getMessage
+    assert(bad(spec.copy(metrics = spec.metrics :+ MetricDef(
+      "m2", "simple", measure = Some("ghost"))))
+      .contains("unknown measure"))
+    assert(bad(spec.copy(semanticModels = Seq(sm.copy(measures =
+      sm.measures :+ SemMeasure("x", "median", "amount")))))
+      .contains("unknown agg"))
+    assert(bad(spec.copy(metrics = spec.metrics :+ MetricDef(
+      "m3", "derived", expr = Some("rev2x + 1"),
+      inputMetrics = Seq("rev2x")))).contains("derived"))
+    assert(bad(spec.copy(semanticModels = Seq(sm.copy(
+      modelRef = "ghost")))).contains("not a project node"))
+
+    // the zip artifact round-trip carries semantic_models.yml
+    val zip = java.nio.file.Paths.get(wh(), "sem_proj.zip")
+    val zout = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(zip))
+    try {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(proj)
+      val files = try w.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_)).toSeq
+      finally w.close()
+      files.foreach { f =>
+        zout.putNextEntry(new java.util.zip.ZipEntry(
+          "proj/" + proj.relativize(f).toString))
+        zout.write(java.nio.file.Files.readAllBytes(f))
+        zout.closeEntry()
+      }
+    } finally zout.close()
+    val spec2 = PipelineProject.loadZip(zip.toString, wh())
+    assert(spec2.semanticModels.map(_.name) == Seq("fct_sm") &&
+      spec2.metrics.size == 3,
+      "semantic_models.yml lost through the zip artifact")
+  }
 }

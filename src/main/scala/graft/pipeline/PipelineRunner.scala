@@ -1125,8 +1125,19 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
             registerSessionView(name)
             n
           })
+          // UPDATE via the MoR upsert; DELETE as an Iceberg
+          // equality-delete append (manifest MoR keeps Spark's error)
           graft.gateway.DmlRoutes.register(name,
-            graft.gateway.DmlRoutes.Ops(keys))
+            graft.gateway.DmlRoutes.Ops(keys,
+              deleteWhere =
+                if (m.fileFormat == "iceberg")
+                  Some((s, predicateSql) => {
+                    val n = graft.sources.IcebergWrite.deleteWhere(
+                      s, dir, predicateSql, keys)
+                    registerSessionView(name)
+                    n
+                  })
+                else None))
         case _ => // not a merge model: leave MERGE INTO / DML unrouted
       }
     }

@@ -345,6 +345,34 @@ object Scans extends QueryGroup {
       graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
     }),
 
+    // The same DELETE FROM statement against an ICEBERG MoR table:
+    // executed as a v2 equality-delete append (IcebergWrite
+    // .deleteWhere) — one delete file carrying the matching keys,
+    // written DISTRIBUTED (no driver position collect), no data file
+    // touched; readers reconcile by sequence number.
+    "run_sql_delete_iceberg" -> ((s, d) => {
+      val dir = tmpDir("graft_sql_delete_ice")
+      val cust = Tables.customer(s, d)
+      graft.sources.IcebergWrite.mergeOnRead(s, dir,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").as("bal")),
+        Seq("c_custkey"))
+      graft.sources.IcebergRead.readIcebergTable(s, dir)
+        .createOrReplaceTempView("sql_del_ice_tgt")
+      graft.gateway.DmlRoutes.register("sql_del_ice_tgt",
+        graft.gateway.DmlRoutes.Ops(Seq("c_custkey"),
+          deleteWhere = Some((sess, predicateSql) =>
+            graft.sources.IcebergWrite.deleteWhere(
+              sess, dir, predicateSql, Seq("c_custkey")))))
+      s.sql("DELETE FROM sql_del_ice_tgt " +
+        "WHERE c_mktsegment = 'MACHINERY' AND c_custkey % 2 = 1")
+        .collect()
+      graft.gateway.DmlRoutes.unregister("sql_del_ice_tgt")
+      s.catalog.dropTempView("sql_del_ice_tgt")
+      graft.sources.IcebergRead.readIcebergTable(s, dir)
+        .orderBy("c_custkey")
+    }),
+
     // The dbt SNAPSHOT wire form: the CONDITIONED merge dbt-core's
     // snapshot materialization emits through dbt-spark
     // (`spark__snapshot_merge_sql` — `WHEN MATCHED AND
@@ -821,6 +849,14 @@ object Scans extends QueryGroup {
       """SELECT c_custkey, c_mktsegment, c_acctbal AS bal
         |FROM customer
         |WHERE NOT (c_mktsegment = 'BUILDING' OR c_custkey % 100 = 7)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // the Iceberg equality-delete final state: survivors of the
+    // predicate
+    "run_sql_delete_iceberg" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal AS bal
+        |FROM customer
+        |WHERE NOT (c_mktsegment = 'MACHINERY' AND c_custkey % 2 = 1)
         |ORDER BY c_custkey""".stripMargin,
 
     // dbt snapshot over the wire: the SCD2 final state is closed-form

@@ -1006,6 +1006,46 @@ object IcebergWrite {
     }
   }
 
+  /** `DELETE FROM <table> WHERE <predicate>` as an Iceberg v2
+    * MERGE-ON-READ delete: ONE equality-delete file carrying the
+    * unique keys of the matching rows, NO data file touched —
+    * O(matching rows) commit cost, the delete file is written
+    * distributed (no driver collect, unlike the Delta DV path's
+    * position list). Readers reconcile by sequence number exactly as
+    * for [[mergeOnRead]] upserts; the same `maxLiveFiles` compaction
+    * valve bounds read-side join count. `predicateSql` is SQL text
+    * over the table's columns (the routed statement's WHERE clause,
+    * re-rendered); `uniqueKey` is the table's declared key — on a
+    * merge table keys are unique, so key-equality deletion is exactly
+    * row deletion. An empty match writes NO commit; partitioned
+    * tables refuse loudly (use a partition-rewrite delete).
+    */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
+      predicateSql: String, uniqueKey: Seq[String],
+      maxLiveFiles: Int = 32): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    require(uniqueKey.nonEmpty, "deleteWhere needs at least one key column")
+    val metaDir = java.nio.file.Paths.get(dir, "metadata")
+    require(java.nio.file.Files.isDirectory(metaDir),
+      s"not an Iceberg table: $dir")
+    require(IcebergRead.tablePartitionCols(dir).isEmpty,
+      s"deleteWhere on a partitioned Iceberg table is unsupported " +
+        s"(rewrite the partitions instead): $dir")
+    val cur = IcebergRead.readIcebergTable(spark, dir)
+    val matchedKeys = cur.filter(expr(predicateSql))
+      .select(uniqueKey.map(col): _*).distinct().localCheckpoint()
+    val n = matchedKeys.count()
+    if (n == 0) return 0L
+    commit(dir, adds = Nil,
+      equalityDelete = Some(uniqueKey -> matchedKeys)): Unit
+    val st = IcebergRead.snapshotState(dir, None)
+    if (maxLiveFiles > 0 && st.dataFiles.size +
+        st.positionDeleteFiles.size + st.equalityDeleteFiles.size >
+        maxLiveFiles)
+      optimize(spark, dir, uniqueKey)
+    n
+  }
+
   final case class ExpireResult(filesDeleted: Long, bytesDeleted: Long)
 
   /** Snapshot retention GC (Iceberg `expire_snapshots`): keep the

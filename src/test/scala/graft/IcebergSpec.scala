@@ -748,4 +748,55 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
       (2L, Seq[Byte](9), Seq("C")),
       (3L, Seq[Byte](7), Seq("d"))), rows2.toString)
   }
+
+  test("deleteWhere: DELETE as an equality-delete append — data " +
+      "files untouched, one delete file per delete, deletes " +
+      "compose, empty match writes no commit, partitioned refuses") {
+    val d = dir()
+    IcebergWrite.mergeOnRead(spark, d,
+      (1L to 12L).map(i => (i, i * 1.0)).toDF("id", "bal"), Seq("id"))
+    def files(sub: String): Set[String] = {
+      val p = java.nio.file.Paths.get(d, sub)
+      if (!java.nio.file.Files.isDirectory(p)) Set.empty
+      else {
+        val st = java.nio.file.Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.map(_.getFileName.toString).toSet
+        } finally st.close()
+      }
+    }
+    val dataBefore = files("data")
+    assert(IcebergWrite.deleteWhere(spark, d, "id % 3 = 0",
+      Seq("id")) == 4L)
+    assert(files("data").intersect(dataBefore) == dataBefore,
+      "a data file vanished on delete")
+    val st1 = IcebergRead.snapshotState(d, None)
+    assert(st1.equalityDeleteFiles.size == 1,
+      s"expected ONE equality delete file: ${st1.equalityDeleteFiles}")
+    assert(IcebergRead.readIcebergTable(spark, d).orderBy("id")
+      .as[(Long, Double)].collect().toSeq ==
+      (1L to 12L).filterNot(_ % 3 == 0).map(i => (i, i * 1.0)),
+      "delete state wrong")
+    // second delete composes; an already-deleted row never re-matches
+    assert(IcebergWrite.deleteWhere(spark, d, "id <= 3", Seq("id")) == 2L)
+    assert(IcebergRead.readIcebergTable(spark, d).orderBy("id")
+      .as[(Long, Double)].collect().toSeq ==
+      (4L to 12L).filterNot(_ % 3 == 0).map(i => (i, i * 1.0)),
+      "composed delete state wrong")
+    // empty match: no new metadata version
+    val hint = java.nio.file.Paths.get(d, "metadata", "version-hint.text")
+    val vBefore = java.nio.file.Files.readString(hint).trim
+    assert(IcebergWrite.deleteWhere(spark, d, "id > 1000", Seq("id")) == 0L)
+    assert(java.nio.file.Files.readString(hint).trim == vBefore,
+      "empty delete wrote a commit")
+    // partitioned tables refuse loudly
+    val dp = dir()
+    IcebergWrite.replace(spark, dp,
+      Seq((1L, "x", 1.0)).toDF("id", "part", "bal"),
+      partitionBy = Seq("part"))
+    val e = intercept[IllegalArgumentException](
+      IcebergWrite.deleteWhere(spark, dp, "id = 1", Seq("id")))
+    assert(e.getMessage.contains("partitioned"), e.getMessage)
+  }
 }

@@ -367,7 +367,11 @@ case class GraftConditionalMergeCommand(relation: String,
     import org.apache.spark.sql.functions.{lit, when}
 
     val t = ofRows(sparkSession, target)
-    val s = ofRows(sparkSession, source)
+    // the source feeds BOTH legs (matched inner join + not-matched
+    // anti join) and then the engine merge's own probe — materialize
+    // its lineage once (dbt snapshot staging is itself a join against
+    // the target; re-running it per consumer triples the work)
+    val s = ofRows(sparkSession, source).localCheckpoint()
     val on = column(joinCond)
     val fields = target.output.map(a =>
       org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable))

@@ -167,6 +167,64 @@ object DbtTranscript {
        |union all
        |select * from updates""".stripMargin
 
+  /** The dbt SNAPSHOT staging select for the `check` strategy (dbt's
+    * DEFAULT when no reliable `updated_at` exists): a row changed
+    * when ANY declared `check_cols` column differs (null-safe —
+    * dbt renders `IS DISTINCT FROM` pairs), and `dbt_updated_at` /
+    * `dbt_valid_from` take the RUN's timestamp (dbt renders
+    * `{{ strategy.updated_at }}` = the snapshot start time as a
+    * literal into the SQL — `nowLiteral` here, so the transcript
+    * stays deterministic). scd_id hashes the key with the run
+    * timestamp, per `snapshot_check_strategy`'s
+    * `snapshot_hash_arguments([primary_key, updated_at])`.
+    */
+  def snapshotStagingSelectCheck(target: String, select: String,
+      key: String, checkCols: Seq[String], nowLiteral: String): String = {
+    val changed = checkCols.map(c =>
+      s"snapshotted_data.$c is distinct from source_data.$c")
+      .mkString("(", " or ", ")")
+    s"""with snapshot_query as ($select),
+       |snapshotted_data as (
+       |  select *, $key as dbt_unique_key from $target
+       |  where dbt_valid_to is null
+       |),
+       |insertions_source_data as (
+       |  select *, $key as dbt_unique_key,
+       |    $nowLiteral as dbt_updated_at,
+       |    $nowLiteral as dbt_valid_from,
+       |    cast(null as timestamp) as dbt_valid_to,
+       |    md5(coalesce(cast($key as string), '') || '|' ||
+       |        coalesce(cast($nowLiteral as string), '')) as dbt_scd_id
+       |  from snapshot_query
+       |),
+       |updates_source_data as (
+       |  select *, $key as dbt_unique_key,
+       |    $nowLiteral as dbt_updated_at,
+       |    $nowLiteral as dbt_valid_from,
+       |    $nowLiteral as dbt_valid_to
+       |  from snapshot_query
+       |),
+       |insertions as (
+       |  select 'insert' as dbt_change_type, source_data.*
+       |  from insertions_source_data as source_data
+       |  left outer join snapshotted_data
+       |    on snapshotted_data.dbt_unique_key = source_data.dbt_unique_key
+       |  where snapshotted_data.dbt_unique_key is null
+       |     or (snapshotted_data.dbt_unique_key is not null and $changed)
+       |),
+       |updates as (
+       |  select 'update' as dbt_change_type, source_data.*,
+       |    snapshotted_data.dbt_scd_id
+       |  from updates_source_data as source_data
+       |  join snapshotted_data
+       |    on snapshotted_data.dbt_unique_key = source_data.dbt_unique_key
+       |  where $changed
+       |)
+       |select * from insertions
+       |union all
+       |select * from updates""".stripMargin
+  }
+
   /** dbt SNAPSHOT update run over the wire: stage the change set as
     * `<name>__dbt_tmp`, then the VERBATIM `spark__snapshot_merge_sql`
     * statement — the conditioned merge [[MergeIntoRoute]] compiles

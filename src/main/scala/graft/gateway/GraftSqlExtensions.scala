@@ -50,6 +50,9 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // UPDATE / DELETE FROM on routed relations (post-image upsert /
     // deletion-vector delete) — see DmlRoute.scala
     ext.injectResolutionRule(DmlRoute)
+    // SELECT ... VERSION AS OF on routed relations (engine snapshot
+    // readers) — see TimeTravelRoute.scala
+    ext.injectResolutionRule(TimeTravelRoute)
   }
 }
 

@@ -1,0 +1,75 @@
+package graft.gateway
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** `SELECT ... FROM <relation> VERSION AS OF <v>` routed onto the
+  * engine's snapshot readers.
+  *
+  * Spark parses the time-travel suffix for any relation but executes
+  * it only for DSv2 tables — against the engine's published
+  * relations (temp views over manifest/Delta/Iceberg state) it
+  * errors. The [[TimeTravelRoute]] resolution rule rewrites a
+  * version-pinned read of a routed relation to the registered
+  * handler's ANALYZED plan: Delta relations replay the log to
+  * `versionAsOf`, Iceberg relations read the snapshot id, manifest
+  * warehouse tables read generation `gen_<v>` — each the same
+  * version-pinned read path the engine's own time-travel keys
+  * exercise (`mat_time_travel`, `scan_delta`'s versionAsOf).
+  *
+  * `TIMESTAMP AS OF` stays unrouted for now (the engine's readers
+  * pin by version/snapshot/generation, not wall-clock), as does any
+  * unrouted relation — Spark's own loud error surfaces, never a
+  * silently-current read.
+  *
+  * Resolution-order caveat: Spark's OWN ResolveRelations throws its
+  * unsupported-time-travel error the moment the inner name resolves
+  * to a LOCAL temp view — built-in rules run before injected ones,
+  * so a local-view name cannot be intercepted. Published relations
+  * resolve through the GLOBAL-view fallback (the Thrift production
+  * path), where the name reaches this rule still unresolved and
+  * routes cleanly; in the host session, read versions through the
+  * engine API instead.
+  *
+  * Scale notes: resolution-time name matching only; the rewritten
+  * plan IS the engine's bounded log/snapshot replay — version-pinned
+  * reads prune to the files live at that version.
+  */
+object TimeTravelRoutes {
+
+  /** (session, version literal from the SQL) → the pinned read. */
+  type Handler = (SparkSession, String) => DataFrame
+
+  private val routes =
+    new java.util.concurrent.ConcurrentHashMap[String, Handler]()
+
+  private def norm(relation: String): String =
+    relation.toLowerCase(java.util.Locale.ROOT)
+
+  def register(relation: String, handler: Handler): Unit =
+    routes.put(norm(relation), handler): Unit
+
+  def unregister(relation: String): Unit =
+    routes.remove(norm(relation)): Unit
+
+  def lookup(relation: String): Option[Handler] =
+    Option(routes.get(norm(relation)))
+}
+
+/** See [[TimeTravelRoutes]]. */
+case class TimeTravelRoute(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, None,
+          Some(version)) =>
+        (for {
+          handler <- TimeTravelRoutes.lookup(RouteNames.demangle(
+            u.multipartIdentifier.mkString(".")))
+        } yield handler(session, version)
+          .queryExecution.analyzed).getOrElse(tt)
+    }
+}

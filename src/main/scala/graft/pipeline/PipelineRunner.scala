@@ -1055,6 +1055,7 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
       df.createOrReplaceTempView(sessionViewName(name))
       df.createOrReplaceGlobalTempView(sessionViewName(name))
       registerMergeRoute(name)
+      registerTimeTravelRoute(name)
     } catch {
       case e: Exception => logger.log(LogLevel.WARNING,
         s"session view for $name not registered: ${e.getMessage}")
@@ -1141,6 +1142,21 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
         case _ => // not a merge model: leave MERGE INTO / DML unrouted
       }
     }
+
+  /** `SELECT ... FROM <name> VERSION AS OF <v>` over SQL/Thrift →
+    * the engine's version-pinned read: Delta log replay to version v,
+    * Iceberg snapshot id v, manifest generation `gen_<v>`
+    * ([[readTableAt]]). Registered for every published table.
+    */
+  private def registerTimeTravelRoute(name: String): Unit =
+    graft.gateway.TimeTravelRoutes.register(name, (s, v) =>
+      if (isDeltaTable(name))
+        graft.sources.DeltaRead.readDeltaTable(s, tablePath(name),
+          versionAsOf = Some(v.toLong))
+      else if (isIcebergTable(name))
+        graft.sources.IcebergRead.readIcebergTable(s, tablePath(name),
+          snapshotId = Some(v.toLong))
+      else readTableAt(name, s"gen_$v"))
 
   /** The commit primitive: write the full manifest content to a temp
     * file in the table dir, then hard-link it to `gen_<max+1>` —

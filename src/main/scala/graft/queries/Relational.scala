@@ -291,6 +291,43 @@ object Scans extends QueryGroup {
       graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
     }),
 
+    // SELECT ... VERSION AS OF over SQL text: Spark parses the
+    // time-travel suffix but cannot execute it on the engine's
+    // relations; TimeTravelRoute rewrites a version-pinned read of a
+    // routed relation to the engine's bounded log replay
+    // (DeltaRead.readDeltaTable versionAsOf). Version 0 = creation,
+    // version 1 = after the merge — both read in ONE statement and
+    // tagged, so the oracle checks the pinned histories side by side.
+    "run_sql_time_travel" -> ((s, d) => {
+      val dir = tmpDir("graft_sql_time_travel")
+      val cust = Tables.customer(s, d)
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.select(col("c_custkey"), lit(0.0).as("bal")),
+        Seq("c_custkey"))
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_acctbal").as("bal")),
+        Seq("c_custkey"))
+      // NOTE no LOCAL temp view: Spark's own ResolveRelations throws
+      // its unsupported-time-travel error the moment the inner name
+      // resolves to a session view — before any injected rule runs.
+      // Published relations resolve through the GLOBAL-view fallback
+      // (the Thrift production path), where the name reaches
+      // TimeTravelRoute still unresolved and routes cleanly.
+      graft.gateway.TimeTravelRoutes.register("sql_tt_tgt",
+        (sess, v) => graft.sources.DeltaRead.readDeltaTable(
+          sess, dir, versionAsOf = Some(v.toLong)))
+      val out = s.sql(
+        """SELECT 0 AS ver, c_custkey, bal
+          |FROM sql_tt_tgt VERSION AS OF 0
+          |UNION ALL
+          |SELECT 1 AS ver, c_custkey, bal
+          |FROM sql_tt_tgt VERSION AS OF 1
+          |ORDER BY ver, c_custkey""".stripMargin)
+      graft.gateway.TimeTravelRoutes.unregister("sql_tt_tgt")
+      out
+    }),
+
     // UPDATE SQL on a published relation: vanilla Spark cannot run
     // UPDATE on v1 tables; DmlRoute compiles the post-image of the
     // matching rows (assignments applied, others kept, cast to the
@@ -343,6 +380,49 @@ object Scans extends QueryGroup {
       graft.gateway.DmlRoutes.unregister("sql_del_tgt")
       s.catalog.dropTempView("sql_del_tgt")
       graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
+    }),
+
+    // The dbt snapshot CHECK strategy over the wire (dbt's DEFAULT
+    // when no updated_at exists): row_changed = any check_cols column
+    // IS DISTINCT FROM the current row's, valid_from/updated_at take
+    // the RUN timestamp (dbt renders the snapshot start time as a SQL
+    // literal — deterministic here by construction). Same verbatim
+    // conditioned MERGE as the timestamp strategy.
+    "run_sql_merge_snapshot_check" -> ((s, d) => {
+      val now1 = "timestamp'2024-01-01 00:00:00'"
+      val now2 = "timestamp'2024-06-01 00:00:00'"
+      val dir = tmpDir("graft_sql_merge_snap_check")
+      val ord = Tables.orders(s, d).select(
+        col("o_orderkey").as("id"),
+        col("o_orderstatus").as("status"))
+      val v1 = ord
+        .withColumn("dbt_updated_at", expr(now1))
+        .withColumn("dbt_valid_from", expr(now1))
+        .withColumn("dbt_valid_to", lit(null).cast(TimestampType))
+        .withColumn("dbt_scd_id", md5(concat(
+          coalesce(col("id").cast(StringType), lit("")), lit("|"),
+          coalesce(expr(now1).cast(StringType), lit("")))))
+      graft.sources.DeltaWrite.merge(s, dir, v1, Seq("dbt_scd_id"))
+      graft.sources.DeltaRead.readDeltaTable(s, dir)
+        .createOrReplaceTempView("snapchk_tgt")
+      graft.gateway.MergeRoutes.register("snapchk_tgt",
+        (sess, batch, keys) =>
+          graft.sources.DeltaWrite.merge(sess, dir, batch, keys))
+      ord.filter(col("id") % 4 === 0).withColumn("status", lit("X"))
+        .unionByName(ord.filter(col("id") % 4 =!= 0))
+        .unionByName(ord.filter(col("id") % 9 === 2)
+          .withColumn("id", col("id") + lit(20000000L)))
+        .createOrReplaceTempView("snapchk_src_v2")
+      import graft.gateway.{DbtTranscript => T}
+      T.snapshotRun("snapchk_tgt", "snapchk",
+        T.snapshotStagingSelectCheck("snapchk_tgt",
+          "select * from snapchk_src_v2", "id", Seq("status"), now2))
+        .foreach(stmt => s.sql(stmt).collect())
+      graft.gateway.MergeRoutes.unregister("snapchk_tgt")
+      s.catalog.dropTempView("snapchk_src_v2")
+      s.catalog.dropTempView("snapchk_tgt")
+      graft.sources.DeltaRead.readDeltaTable(s, dir)
+        .orderBy("id", "dbt_valid_from")
     }),
 
     // The same DELETE FROM statement against an ICEBERG MoR table:
@@ -835,6 +915,15 @@ object Scans extends QueryGroup {
         |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    // both pinned histories: creation (all zero) and post-merge
+    "run_sql_time_travel" ->
+      """SELECT 0 AS ver, c_custkey, 0.0 AS bal FROM customer
+        |UNION ALL
+        |SELECT 1, c_custkey,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END
+        |FROM customer
+        |ORDER BY ver, c_custkey""".stripMargin,
+
     // UPDATE's post-image upsert: doubled balances where the
     // predicate matched, untouched rows identical
     "run_sql_update" ->
@@ -850,6 +939,43 @@ object Scans extends QueryGroup {
         |FROM customer
         |WHERE NOT (c_mktsegment = 'BUILDING' OR c_custkey % 100 = 7)
         |ORDER BY c_custkey""".stripMargin,
+
+    // check-strategy snapshot final state: changed keys (id%4=0,
+    // status forced to 'X' which never equals a TPC-H status) close
+    // at the run timestamp and reopen; unchanged keys stay current
+    // from the first run; fresh keys open at the run timestamp
+    "run_sql_merge_snapshot_check" ->
+      """WITH ord AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS status FROM orders
+        |), t1 AS (SELECT TIMESTAMP '2024-01-01 00:00:00' AS ts),
+        |   t2 AS (SELECT TIMESTAMP '2024-06-01 00:00:00' AS ts),
+        |final AS (
+        |  SELECT id, status, (SELECT ts FROM t1) AS dbt_updated_at,
+        |         (SELECT ts FROM t1) AS dbt_valid_from,
+        |         CAST(NULL AS TIMESTAMP) AS dbt_valid_to,
+        |         md5(CAST(id AS VARCHAR) || '|' ||
+        |             CAST((SELECT ts FROM t1) AS VARCHAR)) AS dbt_scd_id
+        |  FROM ord WHERE id % 4 <> 0
+        |  UNION ALL
+        |  SELECT id, status, (SELECT ts FROM t1), (SELECT ts FROM t1),
+        |         (SELECT ts FROM t2),
+        |         md5(CAST(id AS VARCHAR) || '|' ||
+        |             CAST((SELECT ts FROM t1) AS VARCHAR))
+        |  FROM ord WHERE id % 4 = 0
+        |  UNION ALL
+        |  SELECT id, 'X', (SELECT ts FROM t2), (SELECT ts FROM t2),
+        |         CAST(NULL AS TIMESTAMP),
+        |         md5(CAST(id AS VARCHAR) || '|' ||
+        |             CAST((SELECT ts FROM t2) AS VARCHAR))
+        |  FROM ord WHERE id % 4 = 0
+        |  UNION ALL
+        |  SELECT id + 20000000, status, (SELECT ts FROM t2),
+        |         (SELECT ts FROM t2), CAST(NULL AS TIMESTAMP),
+        |         md5(CAST(id + 20000000 AS VARCHAR) || '|' ||
+        |             CAST((SELECT ts FROM t2) AS VARCHAR))
+        |  FROM ord WHERE id % 9 = 2
+        |)
+        |SELECT * FROM final ORDER BY id, dbt_valid_from""".stripMargin,
 
     // the Iceberg equality-delete final state: survivors of the
     // predicate

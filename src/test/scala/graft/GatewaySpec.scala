@@ -723,4 +723,67 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
       graft.gateway.DmlRoutes.unregister("gw_dml_plain")
     }
   }
+
+  test("VERSION AS OF over Thrift: published manifest generations " +
+      "and Delta versions read back pinned; unrouted relations and " +
+      "TIMESTAMP AS OF keep Spark's loud error") {
+    import graft.pipeline.{Materialization, Model, PipelineRunner, PipelineSpec}
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"))
+    val wh = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"),
+      "thrift_tt_wh").toString
+    var round = 1
+    val spec = PipelineSpec(models = Seq(
+      Model("gw_tt", Nil, Materialization.Table,
+        (sp, _) => { import sp.implicits._
+          (1L to (round * 2L)).map(i => (i, s"r$round")).toDF("id", "v") }),
+      Model("gw_tt_delta", Nil,
+        Materialization.IncrementalMerge(Seq("id")),
+        (sp, _) => { import sp.implicits._
+          Seq((1L, 0.0), (2L, 0.0)).toDF("id", "bal") },
+        fileFormat = "delta")))
+    val runner = new PipelineRunner(spark, spec, wh)
+    assert(runner.run(Seq("run")).success)
+    round = 2
+    assert(runner.run(Seq("run")).success) // gen_2 / merge version 1
+    val port = ThriftGateway.freePort()
+    val srv = ThriftGateway.start(spark, port)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val conn = java.sql.DriverManager.getConnection(
+        s"jdbc:hive2://127.0.0.1:$port", "dbt", "")
+      try {
+        val st = conn.createStatement()
+        def count(sql: String): Long = {
+          val rs = st.executeQuery(sql); rs.next(); rs.getLong(1)
+        }
+        // manifest generations: gen_1 had 2 rows, gen_2 has 4
+        assert(count(
+          "SELECT count(*) FROM gw_tt VERSION AS OF 1") == 2L)
+        assert(count(
+          "SELECT count(*) FROM gw_tt VERSION AS OF 2") == 4L)
+        assert(count("SELECT count(*) FROM gw_tt") == 4L)
+        // Delta versions: 0 = creation, 1 = the second run's merge
+        assert(count(
+          "SELECT count(*) FROM gw_tt_delta VERSION AS OF 0") == 2L)
+        // TIMESTAMP AS OF stays unrouted — loud (the published name
+        // resolves only through the route, so the error is
+        // not-found, never a silently-current read)
+        val e = intercept[java.sql.SQLException](st.executeQuery(
+          "SELECT * FROM gw_tt TIMESTAMP AS OF '2024-01-01'"))
+        assert(e.getMessage.contains("gw_tt"), e.getMessage)
+        // unrouted relation: loud, never a silently-current read
+        val e2 = intercept[java.sql.SQLException](st.executeQuery(
+          "SELECT * FROM no_such_rel VERSION AS OF 1"))
+        assert(e2.getMessage != null)
+      } finally conn.close()
+    } finally {
+      srv.close()
+      graft.gateway.TimeTravelRoutes.unregister("gw_tt")
+      graft.gateway.TimeTravelRoutes.unregister("gw_tt_delta")
+      graft.gateway.MergeRoutes.unregister("gw_tt_delta")
+      graft.gateway.DmlRoutes.unregister("gw_tt_delta")
+    }
+  }
 }

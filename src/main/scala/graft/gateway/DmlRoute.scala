@@ -45,20 +45,14 @@ object DmlRoutes {
   final case class Ops(declaredKeys: Seq[String],
       deleteWhere: Option[(SparkSession, String) => Long] = None)
 
-  private val routes =
-    new java.util.concurrent.ConcurrentHashMap[String, Ops]()
-
-  private def norm(relation: String): String =
-    relation.toLowerCase(java.util.Locale.ROOT)
+  private val routes = new RouteRegistry[Ops]
 
   def register(relation: String, ops: Ops): Unit =
-    routes.put(norm(relation), ops): Unit
+    routes.register(relation, ops)
 
-  def unregister(relation: String): Unit =
-    routes.remove(norm(relation)): Unit
+  def unregister(relation: String): Unit = routes.unregister(relation)
 
-  def lookup(relation: String): Option[Ops] =
-    Option(routes.get(norm(relation)))
+  def lookup(relation: String): Option[Ops] = routes.lookup(relation)
 }
 
 /** See [[DmlRoutes]]. Resolution-time rewrite, the same mechanism as
@@ -99,7 +93,10 @@ case class DmlRoute(session: SparkSession) extends Rule[LogicalPlan] {
         }).getOrElse(d)
     }
 
-  // assignment list → LOWERCASE target-column-name → value expression
+  // assignment list → LOWERCASE target-column-name → value
+  // expression. A DUPLICATE assignment to one column leaves the
+  // statement unrouted (Spark's own DUPLICATE_ASSIGNMENTS-class
+  // rejection stays loud) rather than silently keeping the last.
   private def normalize(assignments: Seq[Assignment],
       table: LogicalPlan): Option[Map[String, Expression]] = {
     val pairs = assignments.map { a =>
@@ -107,7 +104,9 @@ case class DmlRoute(session: SparkSession) extends Rule[LogicalPlan] {
         .filter(k => table.output.exists(_.name.equalsIgnoreCase(k)))
         .map(k => k.toLowerCase(java.util.Locale.ROOT) -> a.value)
     }
-    if (pairs.exists(_.isEmpty)) None else Some(pairs.flatten.toMap)
+    if (pairs.exists(_.isEmpty) ||
+        pairs.flatten.map(_._1).distinct.size != pairs.size) None
+    else Some(pairs.flatten.toMap)
   }
 }
 

@@ -81,26 +81,17 @@ object MergeRoutes {
   /** (session, source batch, equality-key columns) → rows merged. */
   type Handler = (SparkSession, DataFrame, Seq[String]) => Long
 
-  private val routes =
-    new java.util.concurrent.ConcurrentHashMap[String, Handler]()
-
-  private def norm(relation: String): String =
-    relation.toLowerCase(java.util.Locale.ROOT)
+  private val routes = new RouteRegistry[Handler]
 
   /** Register (or replace) the merge handler for a relation name as
-    * clients address it in SQL — `orders` or `sales.orders`.
-    * JVM-global: Thrift connections run in fresh `newSession()`s but
-    * share the process, exactly like the published global temp views
-    * they read.
+    * clients address it in SQL — see [[RouteRegistry]].
     */
   def register(relation: String, handler: Handler): Unit =
-    routes.put(norm(relation), handler): Unit
+    routes.register(relation, handler)
 
-  def unregister(relation: String): Unit =
-    routes.remove(norm(relation)): Unit
+  def unregister(relation: String): Unit = routes.unregister(relation)
 
-  def lookup(relation: String): Option[Handler] =
-    Option(routes.get(norm(relation)))
+  def lookup(relation: String): Option[Handler] = routes.lookup(relation)
 }
 
 /** See [[MergeRoutes]]. Matches during the analyzer's resolution
@@ -223,6 +214,9 @@ case class MergeIntoRoute(session: SparkSession)
       if (pairs.exists(_.isEmpty)) None else Some(pairs.flatten.toMap)
     }
 
+    // duplicate assignments to one column leave the merge unrouted
+    // (Spark's own loud rejection) instead of silently keeping the
+    // last entry
     def explicit(assigns: Seq[Assignment]): Option[Map[String, Expression]] = {
       val pairs = assigns.map { a =>
         nameOf(a.key).filter(k =>
@@ -230,7 +224,9 @@ case class MergeIntoRoute(session: SparkSession)
           .filter(_ => a.value.resolved)
           .map(k => lc(k) -> a.value)
       }
-      if (pairs.exists(_.isEmpty)) None else Some(pairs.flatten.toMap)
+      if (pairs.exists(_.isEmpty) ||
+          pairs.flatten.map(_._1).distinct.size != pairs.size) None
+      else Some(pairs.flatten.toMap)
     }
 
     // a NOT MATCHED condition may only see the source row (there is
@@ -376,6 +372,22 @@ case class GraftConditionalMergeCommand(relation: String,
     val fields = target.output.map(a =>
       org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable))
     def lc(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    // a matched UPDATE may only "assign" a key column from its
+    // same-named source counterpart (the star-expansion shape —
+    // value-preserving under the ON equality); any other key
+    // assignment would DUPLICATE the row through the upsert instead
+    // of relocating it, so refuse loudly (mirrors GraftUpdateCommand)
+    matched.foreach { case (_, assigns) =>
+      keys.foreach { k =>
+        assigns.get(lc(k)).foreach { v =>
+          require(RouteNames.nameOf(v).exists(_.equalsIgnoreCase(k)),
+            s"MERGE INTO $relation: matched UPDATE assigns unique-key " +
+              s"column '$k' an expression other than the same-named " +
+              s"source column — the upsert could not relocate the row " +
+              s"(delete + insert instead)")
+        }
+      }
+    }
     val targetCol: Map[String, Column] =
       target.output.map(a => lc(a.name) -> column(a)).toMap
 
@@ -422,6 +434,22 @@ case class GraftConditionalMergeCommand(relation: String,
       case (None, None) => sys.error(
         s"MERGE INTO $relation: no routable actions") // unreachable
     }
+    // SQL MERGE's multiple-match rule: a unique key may appear at
+    // most once in the post-image batch — two source rows matching
+    // one target row (or colliding insert keys) would otherwise
+    // silently break the target's key invariant through the upsert
+    val keyCols = keys.map(k =>
+      batch.columns.find(_.equalsIgnoreCase(k)).getOrElse(k))
+    val dup = batch
+      .groupBy(keyCols.map(c =>
+        org.apache.spark.sql.functions.col(s"`$c`")): _*)
+      .count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1)
+      .limit(1).count() > 0
+    require(!dup,
+      s"MERGE INTO $relation: multiple source rows matched one " +
+        s"target key (or duplicate insert keys) — refusing a " +
+        s"duplicate-key upsert")
     Seq(Row(handler(sparkSession, batch, keys)))
   }
 }

@@ -42,20 +42,14 @@ object TimeTravelRoutes {
   /** (session, version literal from the SQL) → the pinned read. */
   type Handler = (SparkSession, String) => DataFrame
 
-  private val routes =
-    new java.util.concurrent.ConcurrentHashMap[String, Handler]()
-
-  private def norm(relation: String): String =
-    relation.toLowerCase(java.util.Locale.ROOT)
+  private val routes = new RouteRegistry[Handler]
 
   def register(relation: String, handler: Handler): Unit =
-    routes.put(norm(relation), handler): Unit
+    routes.register(relation, handler)
 
-  def unregister(relation: String): Unit =
-    routes.remove(norm(relation)): Unit
+  def unregister(relation: String): Unit = routes.unregister(relation)
 
-  def lookup(relation: String): Option[Handler] =
-    Option(routes.get(norm(relation)))
+  def lookup(relation: String): Option[Handler] = routes.lookup(relation)
 }
 
 /** See [[TimeTravelRoutes]]. */
@@ -64,8 +58,12 @@ case class TimeTravelRoute(session: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
+      // only NUMERIC version literals route (the engine pins by
+      // version/snapshot/generation number); a non-numeric version
+      // stays unrouted so Spark's descriptive error surfaces instead
+      // of a bare NumberFormatException from inside the analyzer
       case tt @ RelationTimeTravel(u: UnresolvedRelation, None,
-          Some(version)) =>
+          Some(version)) if version.nonEmpty && version.forall(_.isDigit) =>
         (for {
           handler <- TimeTravelRoutes.lookup(RouteNames.demangle(
             u.multipartIdentifier.mkString(".")))

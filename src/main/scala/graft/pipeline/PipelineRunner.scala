@@ -170,9 +170,11 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
       s"(${spec.selectors.filter(_.default).map(_.name).mkString(", ")})")
 
   // dbt semantic-layer hygiene: parse-time validation, like dbt's
-  // (unknown model/measure/metric references, bad enums — all loud)
+  // (unknown model/measure/metric references, bad enums — all loud);
+  // model refs resolve like model deps (schema-qualified / versioned)
   SemanticLayer.validate(spec,
-    byName.keySet ++ spec.seeds.map(_.name) ++ spec.snapshots.map(_.name))
+    byName.keySet ++ spec.seeds.map(_.name) ++ spec.snapshots.map(_.name),
+    resolveDep)
 
   private var initialized = false
   // concurrent: models in the same dependency level may build in
@@ -477,7 +479,7 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
       // semantic layer: model → semantic model → metric lineage
       // (dbt's manifest shape); `+metric_name` pulls the whole chain
       spec.semanticModels.map(sm =>
-        sm.name -> Seq(sm.modelRef).filter(nodes)).toMap ++
+        sm.name -> Seq(resolveDep(sm.modelRef)).filter(nodes)).toMap ++
       spec.metrics.map(mt => mt.name -> metricNodeDeps(mt)).toMap
   }
 
@@ -730,7 +732,8 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
     */
   def semanticQuery(metricNames: Seq[String],
       groupBy: Seq[String] = Nil): DataFrame =
-    SemanticLayer.query(spec, readTable, metricNames, groupBy)
+    SemanticLayer.query(spec, n => readTable(resolveDep(n)),
+      metricNames, groupBy)
 
   /** Read the table as of a specific committed generation — time
     * travel over the manifest store (generation files are immutable;

@@ -42,15 +42,19 @@ object SemanticLayer {
   /** dbt parse-time validation: unique names, known enums, every
     * metric's measure/input references resolve. `modelNodes` is the
     * project's model/seed/snapshot name set (a semantic model over an
-    * unknown node is the loud miss dbt raises).
+    * unknown node is the loud miss dbt raises); `resolve` maps a
+    * `ref()`-style bare name onto the runner's canonical node name
+    * (schema-qualified and versioned models — the runner passes its
+    * own `resolveDep`).
     */
-  def validate(spec: PipelineSpec, modelNodes: Set[String]): Unit = {
+  def validate(spec: PipelineSpec, modelNodes: Set[String],
+      resolve: String => String = identity): Unit = {
     val sms = spec.semanticModels
     sms.groupBy(_.name).foreach { case (n, ds) =>
       require(ds.size == 1, s"semantic model '$n' defined ${ds.size} times")
     }
     sms.foreach { sm =>
-      require(modelNodes.contains(sm.modelRef),
+      require(modelNodes.contains(resolve(sm.modelRef)),
         s"semantic model ${sm.name}: model '${sm.modelRef}' is not a " +
           s"project node")
       sm.entities.foreach(e => require(EntityTypes.contains(e.entityType),

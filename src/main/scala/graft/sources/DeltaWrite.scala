@@ -1251,42 +1251,8 @@ object DeltaWrite {
     val byFile: Map[String, Seq[Long]] =
       matched.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._2).toSeq }
 
-    // ONE packed DV file for the whole commit; each touched file's
-    // bitmap = its old deletes ∪ the newly matched rows
-    val touched = byFile.keys.toSeq.sorted.map(f =>
-      liveByQualified.getOrElse(f,
-        sys.error(s"matched file $f missing from the live map: $dir")))
-    val dvEntries: Seq[(DeltaRead.LiveFileDv, Seq[Long])] = touched.map { lf =>
-      val old = lf.dv.map(d =>
-        DeletionVectors.deletedRows(dir, d)).getOrElse(Nil)
-      lf -> (old ++ byFile(sparkPathOf(hconf, lf.abs))).distinct.sorted
-    }
-    val dvLines: Seq[String] = if (dvEntries.isEmpty) Nil else {
-      // first DV on a plain table upgrades the protocol in the same
-      // commit (readers must be told to look for deletionVector
-      // actions — the feature flag IS the contract)
-      val upgrade: Seq[String] =
-        if (DeltaRead.tableHasDvProtocol(spark, dir)) Nil
-        else Seq(compact(render(
-          ("protocol" -> (("minReaderVersion" -> 3) ~
-            ("minWriterVersion" -> 7) ~
-            ("readerFeatures" -> List("deletionVectors")) ~
-            ("writerFeatures" -> List("deletionVectors")))): JValue)))
-      val uuid = java.util.UUID.randomUUID()
-      val offsets = DeletionVectors.writeDvFileMulti(
-        java.nio.file.Paths.get(dir, s"deletion_vector_$uuid.bin"),
-        dvEntries.map(_._2))
-      upgrade ++ dvEntries.zip(offsets).flatMap {
-        case ((lf, rows), (off, size)) =>
-          val d = DeletionVectors.Descriptor("u",
-            DeletionVectors.encodeUuid(uuid), Some(off), size, rows.size)
-          Seq(
-            addLine(lf.rel, lf.partitionValues, lf.size, lf.stats,
-              dataChange = true, dv = Some(d)),
-            removeLine(lf.logPath, lf.partitionValues,
-              dataChange = true, dv = lf.dv))
-      }
-    }
+    val dvLines: Seq[String] =
+      dvMaskLines(spark, dir, byFile, liveByQualified, hconf)
     val name = f"mor-$version%05d.parquet"
     val size = writeOne(batch, dir, name)
     val lines = dvLines :+
@@ -1359,6 +1325,25 @@ object DeltaWrite {
     val byFile: Map[String, Seq[Long]] =
       matched.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._2).toSeq }
 
+    writeCommitFile(dir, version,
+      dvMaskLines(spark, dir, byFile, liveByQualified, hconf))
+    matched.length.toLong
+  }
+
+  /** The DV-commit core shared by [[mergeOnRead]] and [[deleteWhere]]:
+    * compose each touched file's EXISTING mask with its newly-masked
+    * row positions (`byFile`, keyed by SparkPath-qualified name),
+    * write ONE packed DV file for the whole commit, and return the
+    * log lines — a protocol upgrade when this is the table's first DV
+    * (readers must be told to look for deletionVector actions; the
+    * feature flag IS the contract), then an add/remove pair per
+    * touched file re-adding it with the fresh descriptor.
+    */
+  private def dvMaskLines(spark: org.apache.spark.sql.SparkSession,
+      dir: String, byFile: Map[String, Seq[Long]],
+      liveByQualified: Map[String, DeltaRead.LiveFileDv],
+      hconf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    if (byFile.isEmpty) return Nil
     val touched = byFile.keys.toSeq.sorted.map(f =>
       liveByQualified.getOrElse(f,
         sys.error(s"matched file $f missing from the live map: $dir")))
@@ -1378,7 +1363,7 @@ object DeltaWrite {
     val offsets = DeletionVectors.writeDvFileMulti(
       java.nio.file.Paths.get(dir, s"deletion_vector_$uuid.bin"),
       dvEntries.map(_._2))
-    val lines = upgrade ++ dvEntries.zip(offsets).flatMap {
+    upgrade ++ dvEntries.zip(offsets).flatMap {
       case ((lf, rows), (off, size)) =>
         val d = DeletionVectors.Descriptor("u",
           DeletionVectors.encodeUuid(uuid), Some(off), size, rows.size)
@@ -1388,8 +1373,6 @@ object DeltaWrite {
           removeLine(lf.logPath, lf.partitionValues,
             dataChange = true, dv = lf.dv))
     }
-    writeCommitFile(dir, version, lines)
-    matched.length.toLong
   }
 
   /** Write a single-file checkpoint of the CURRENT snapshot —

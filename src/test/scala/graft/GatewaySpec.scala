@@ -648,6 +648,25 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
           |WHEN NOT MATCHED AND t.bal > 0 THEN INSERT *""".stripMargin)
         .collect())
       assert(e.getMessage != null)
+      // assigning the unique key a non-key expression refuses loudly
+      // (the upsert could not relocate the row — a silent duplicate
+      // otherwise)
+      val eKey = intercept[Exception](spark.sql(
+        """MERGE INTO gw_cond_tgt t USING gw_cond_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET id = s.id + 1000""".stripMargin)
+        .collect())
+      assert(eKey.getMessage.contains("unique-key"), eKey.getMessage)
+      // SQL MERGE's multiple-match rule: two source rows hitting one
+      // target key refuse loudly instead of committing duplicates
+      Seq((1L, 5.0, "a"), (1L, 6.0, "b"))
+        .toDF("id", "v", "tag").createOrReplaceTempView("gw_dup_src")
+      val eDup = intercept[Exception](spark.sql(
+        """MERGE INTO gw_cond_tgt t USING gw_dup_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET bal = s.v""".stripMargin)
+        .collect())
+      assert(eDup.getMessage.contains("multiple source rows"),
+        eDup.getMessage)
+      spark.catalog.dropTempView("gw_dup_src")
     } finally {
       graft.gateway.MergeRoutes.unregister("gw_cond_tgt")
       spark.catalog.dropTempView("gw_cond_src")

@@ -427,13 +427,16 @@ case class GraftConditionalMergeCommand(relation: String,
         s.join(t.select(keyAttrs.map(column): _*), on, "left_anti"),
         notMatched, f => lit(null)))
 
-    val batch = (updated, inserted) match {
+    // materialize the post-image once — the cardinality check AND the
+    // engine merge both consume it, and its lineage (two joins over
+    // target+source) is not free to re-run
+    val batch = ((updated, inserted) match {
       case (Some(u), Some(i)) => u.unionByName(i)
       case (Some(u), None) => u
       case (None, Some(i)) => i
       case (None, None) => sys.error(
         s"MERGE INTO $relation: no routable actions") // unreachable
-    }
+    }).localCheckpoint()
     // SQL MERGE's multiple-match rule: a unique key may appear at
     // most once in the post-image batch — two source rows matching
     // one target row (or colliding insert keys) would otherwise

@@ -50,7 +50,14 @@ object DmlRoutes {
   def register(relation: String, ops: Ops): Unit =
     routes.register(relation, ops)
 
+  /** Owned registration — see [[RouteRegistry]]'s ownership rules. */
+  def register(relation: String, owner: AnyRef, ops: Ops): Unit =
+    routes.register(relation, owner, ops)
+
   def unregister(relation: String): Unit = routes.unregister(relation)
+
+  def unregister(relation: String, owner: AnyRef): Unit =
+    routes.unregister(relation, owner)
 
   def lookup(relation: String): Option[Ops] = routes.lookup(relation)
 }
@@ -77,7 +84,16 @@ case class DmlRoute(session: SparkSession) extends Rule[LogicalPlan] {
           assigns, cond, handler)).getOrElse(u)
 
       case d @ DeleteFromTable(table, cond)
-          if table.resolved && cond.resolved =>
+          if table.resolved && cond.resolved &&
+            // the predicate ships as re-rendered SQL TEXT
+            // (Expression.sql) that must re-parse against the delete
+            // implementation's own scan — IN/EXISTS subqueries and
+            // non-table references don't round-trip, so route only
+            // plain-attribute, subquery-free conditions and leave the
+            // rest to Spark's own descriptive unsupported error
+            cond.references.subsetOf(table.outputSet) &&
+            !cond.exists(_.isInstanceOf[org.apache.spark.sql
+              .catalyst.expressions.SubqueryExpression]) =>
         (for {
           name <- targetName(table)
           ops <- DmlRoutes.lookup(name)

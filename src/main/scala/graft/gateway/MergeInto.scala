@@ -89,7 +89,14 @@ object MergeRoutes {
   def register(relation: String, handler: Handler): Unit =
     routes.register(relation, handler)
 
+  /** Owned registration — see [[RouteRegistry]]'s ownership rules. */
+  def register(relation: String, owner: AnyRef, handler: Handler): Unit =
+    routes.register(relation, owner, handler)
+
   def unregister(relation: String): Unit = routes.unregister(relation)
+
+  def unregister(relation: String, owner: AnyRef): Unit =
+    routes.unregister(relation, owner)
 
   def lookup(relation: String): Option[Handler] = routes.lookup(relation)
 }
@@ -310,8 +317,12 @@ case class GraftMergeIntoCommand(relation: String, keys: Seq[String],
       nullable = false)())
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
+    // pin the staging lineage once, like the conditional path: the
+    // handler's merge runs several jobs (touched-file probe, staged
+    // write, counts) and a dbt staging view that reads {{ this }}
+    // must not re-execute per job
     val raw = org.apache.spark.sql.GraftSqlBridge.ofRows(
-      sparkSession, source)
+      sparkSession, source).localCheckpoint()
     keys.foreach(k => require(raw.columns.exists(_.equalsIgnoreCase(k)),
       s"MERGE INTO $relation: ON key '$k' is not a source column " +
         s"(${raw.columns.mkString(", ")})"))

@@ -47,7 +47,14 @@ object TimeTravelRoutes {
   def register(relation: String, handler: Handler): Unit =
     routes.register(relation, handler)
 
+  /** Owned registration — see [[RouteRegistry]]'s ownership rules. */
+  def register(relation: String, owner: AnyRef, handler: Handler): Unit =
+    routes.register(relation, owner, handler)
+
   def unregister(relation: String): Unit = routes.unregister(relation)
+
+  def unregister(relation: String, owner: AnyRef): Unit =
+    routes.unregister(relation, owner)
 
   def lookup(relation: String): Option[Handler] = routes.lookup(relation)
 }
@@ -59,11 +66,14 @@ case class TimeTravelRoute(session: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       // only NUMERIC version literals route (the engine pins by
-      // version/snapshot/generation number); a non-numeric version
-      // stays unrouted so Spark's descriptive error surfaces instead
-      // of a bare NumberFormatException from inside the analyzer
+      // version/snapshot/generation number); a non-numeric version —
+      // or one too long for a Long (18 digits bounds every real
+      // version id and can never overflow `toLong`) — stays unrouted
+      // so Spark's descriptive error surfaces instead of a bare
+      // NumberFormatException from inside the analyzer
       case tt @ RelationTimeTravel(u: UnresolvedRelation, None,
-          Some(version)) if version.nonEmpty && version.forall(_.isDigit) =>
+          Some(version)) if version.nonEmpty && version.length <= 18 &&
+            version.forall(_.isDigit) =>
         (for {
           handler <- TimeTravelRoutes.lookup(RouteNames.demangle(
             u.multipartIdentifier.mkString(".")))

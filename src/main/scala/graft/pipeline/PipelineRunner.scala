@@ -90,6 +90,14 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
 
   private val byName = spec.models.map(m => m.name -> m).toMap
 
+  // relation names whose JVM-global SQL routes (MERGE / DML /
+  // time-travel) THIS runner registered — cleanup() retires exactly
+  // these, owner-scoped, so a closed runner's routes can never serve
+  // stale data while a newer same-named registration (another runner,
+  // another warehouse) survives untouched
+  private val routedNames =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   // bare-name → qualified-name resolution for refs that omit the
   // schema: allowed exactly when unambiguous (dbt's unique-model-name
   // convention); two schemas holding the same bare name must be
@@ -1079,6 +1087,7 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
     */
   private def registerMergeRoute(name: String): Unit =
     byName.get(name).foreach { m =>
+      routedNames.add(name): Unit
       def checkKeys(onKeys: Seq[String], declared: Seq[String]): Unit =
         require(
           onKeys.map(_.toLowerCase).toSet ==
@@ -1088,7 +1097,7 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
       val dir = tablePath(name)
       m.materialization match {
         case Materialization.IncrementalMerge(keys, buckets, userParts, _) =>
-          graft.gateway.MergeRoutes.register(name, (s, batch, onKeys) => {
+          graft.gateway.MergeRoutes.register(name, this, (s, batch, onKeys) => {
             checkKeys(onKeys, keys)
             val n = m.fileFormat match {
               case "delta" => graft.sources.DeltaWrite.merge(
@@ -1106,7 +1115,7 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
           // UPDATE (post-image upsert on the declared key) for every
           // merge model; DELETE FROM only where a real engine delete
           // exists — unpartitioned Delta's DV merge-on-read delete
-          graft.gateway.DmlRoutes.register(name,
+          graft.gateway.DmlRoutes.register(name, this,
             graft.gateway.DmlRoutes.Ops(keys,
               deleteWhere =
                 if (m.fileFormat == "delta" && userParts.isEmpty)
@@ -1119,7 +1128,7 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
                 else None))
         case Materialization.IncrementalMergeOnRead(keys, osc, delCol)
             if delCol.isEmpty =>
-          graft.gateway.MergeRoutes.register(name, (s, batch, onKeys) => {
+          graft.gateway.MergeRoutes.register(name, this, (s, batch, onKeys) => {
             checkKeys(onKeys, keys)
             val n =
               if (m.fileFormat == "iceberg")
@@ -1131,7 +1140,7 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
           })
           // UPDATE via the MoR upsert; DELETE as an Iceberg
           // equality-delete append (manifest MoR keeps Spark's error)
-          graft.gateway.DmlRoutes.register(name,
+          graft.gateway.DmlRoutes.register(name, this,
             graft.gateway.DmlRoutes.Ops(keys,
               deleteWhere =
                 if (m.fileFormat == "iceberg")
@@ -1151,8 +1160,9 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
     * Iceberg snapshot id v, manifest generation `gen_<v>`
     * ([[readTableAt]]). Registered for every published table.
     */
-  private def registerTimeTravelRoute(name: String): Unit =
-    graft.gateway.TimeTravelRoutes.register(name, (s, v) =>
+  private def registerTimeTravelRoute(name: String): Unit = {
+    routedNames.add(name): Unit
+    graft.gateway.TimeTravelRoutes.register(name, this, (s, v) =>
       if (isDeltaTable(name))
         graft.sources.DeltaRead.readDeltaTable(s, tablePath(name),
           versionAsOf = Some(v.toLong))
@@ -1160,6 +1170,7 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
         graft.sources.IcebergRead.readIcebergTable(s, tablePath(name),
           snapshotId = Some(v.toLong))
       else readTableAt(name, s"gen_$v"))
+  }
 
   /** The commit primitive: write the full manifest content to a temp
     * file in the table dir, then hard-link it to `gen_<max+1>` —
@@ -4213,6 +4224,17 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
 
   /** Drop temp views + scratch dirs (`dbtoperator.py:387-408`). */
   def cleanup(): Unit = {
+    // retire this runner's JVM-global SQL routes FIRST (owner-scoped:
+    // a newer runner's same-named registration survives) — a closed
+    // runner's MERGE/DML/time-travel handlers must never serve or
+    // mutate its defunct warehouse again; post-cleanup statements get
+    // Spark's own loud unsupported error instead
+    routedNames.forEach { n =>
+      graft.gateway.MergeRoutes.unregister(n, this)
+      graft.gateway.DmlRoutes.unregister(n, this)
+      graft.gateway.TimeTravelRoutes.unregister(n, this)
+    }
+    routedNames.clear()
     spec.models.filter(_.materialization == Materialization.View)
       .foreach(m => spark.catalog.dropTempView(sessionViewName(m.name)))
     // SQL-text models register one __graft_ref_<model>_<dep> view per

@@ -88,6 +88,18 @@ object SemanticLayer {
     metricNames.groupBy(identity).foreach { case (n, ds) =>
       require(ds.size == 1, s"metric '$n' defined ${ds.size} times")
     }
+    // a metric named like a dimension/entity would silently overwrite
+    // that grouped column during query()'s withColumn staging — reject
+    // the collision up front, for every semantic model (metrics are
+    // global names; MetricFlow's namespace is shared the same way)
+    sms.foreach { sm =>
+      val grouped = (sm.dimensions.map(_.name) ++
+        sm.entities.map(_.name)).toSet
+      metricNames.filter(grouped.contains).foreach(n => sys.error(
+        s"metric '$n' collides with a dimension/entity of semantic " +
+          s"model ${sm.name} — a grouped query would overwrite the " +
+          s"group-by column; rename one of them"))
+    }
     val known = metricNames.toSet
     spec.metrics.foreach { m =>
       require(MetricTypes.contains(m.metricType),

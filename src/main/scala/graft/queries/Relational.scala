@@ -281,13 +281,15 @@ object Scans extends QueryGroup {
         .select(col("c_custkey"), col("c_mktsegment"),
           col("c_acctbal").as("bal"))
         .createOrReplaceTempView("sql_merge_src")
-      s.sql(
+      // finally: a failure mid-statement must not leak the JVM-global
+      // route into later keys of the same suite run
+      try s.sql(
         """MERGE INTO sql_merge_tgt AS DBT_INTERNAL_DEST
           |USING sql_merge_src AS DBT_INTERNAL_SOURCE
           |ON DBT_INTERNAL_DEST.c_custkey = DBT_INTERNAL_SOURCE.c_custkey
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
-      graft.gateway.MergeRoutes.unregister("sql_merge_tgt")
+      finally graft.gateway.MergeRoutes.unregister("sql_merge_tgt")
       graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
     }),
 
@@ -317,15 +319,14 @@ object Scans extends QueryGroup {
       graft.gateway.TimeTravelRoutes.register("sql_tt_tgt",
         (sess, v) => graft.sources.DeltaRead.readDeltaTable(
           sess, dir, versionAsOf = Some(v.toLong)))
-      val out = s.sql(
+      try s.sql(
         """SELECT 0 AS ver, c_custkey, bal
           |FROM sql_tt_tgt VERSION AS OF 0
           |UNION ALL
           |SELECT 1 AS ver, c_custkey, bal
           |FROM sql_tt_tgt VERSION AS OF 1
           |ORDER BY ver, c_custkey""".stripMargin)
-      graft.gateway.TimeTravelRoutes.unregister("sql_tt_tgt")
-      out
+      finally graft.gateway.TimeTravelRoutes.unregister("sql_tt_tgt")
     }),
 
     // UPDATE SQL on a published relation: vanilla Spark cannot run
@@ -348,11 +349,13 @@ object Scans extends QueryGroup {
           graft.sources.DeltaWrite.merge(sess, dir, batch, keys))
       graft.gateway.DmlRoutes.register("sql_upd_tgt",
         graft.gateway.DmlRoutes.Ops(Seq("c_custkey")))
-      s.sql("UPDATE sql_upd_tgt SET bal = bal * 2 " +
+      try s.sql("UPDATE sql_upd_tgt SET bal = bal * 2 " +
         "WHERE c_custkey % 5 = 0").collect()
-      graft.gateway.MergeRoutes.unregister("sql_upd_tgt")
-      graft.gateway.DmlRoutes.unregister("sql_upd_tgt")
-      s.catalog.dropTempView("sql_upd_tgt")
+      finally {
+        graft.gateway.MergeRoutes.unregister("sql_upd_tgt")
+        graft.gateway.DmlRoutes.unregister("sql_upd_tgt")
+        s.catalog.dropTempView("sql_upd_tgt")
+      }
       graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
     }),
 
@@ -375,10 +378,12 @@ object Scans extends QueryGroup {
         graft.gateway.DmlRoutes.Ops(Seq("c_custkey"),
           deleteWhere = Some((sess, predicateSql) =>
             graft.sources.DeltaWrite.deleteWhere(sess, dir, predicateSql))))
-      s.sql("DELETE FROM sql_del_tgt WHERE c_mktsegment = 'BUILDING' " +
+      try s.sql("DELETE FROM sql_del_tgt WHERE c_mktsegment = 'BUILDING' " +
         "OR c_custkey % 100 = 7").collect()
-      graft.gateway.DmlRoutes.unregister("sql_del_tgt")
-      s.catalog.dropTempView("sql_del_tgt")
+      finally {
+        graft.gateway.DmlRoutes.unregister("sql_del_tgt")
+        s.catalog.dropTempView("sql_del_tgt")
+      }
       graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
     }),
 
@@ -414,13 +419,15 @@ object Scans extends QueryGroup {
           .withColumn("id", col("id") + lit(20000000L)))
         .createOrReplaceTempView("snapchk_src_v2")
       import graft.gateway.{DbtTranscript => T}
-      T.snapshotRun("snapchk_tgt", "snapchk",
+      try T.snapshotRun("snapchk_tgt", "snapchk",
         T.snapshotStagingSelectCheck("snapchk_tgt",
           "select * from snapchk_src_v2", "id", Seq("status"), now2))
         .foreach(stmt => s.sql(stmt).collect())
-      graft.gateway.MergeRoutes.unregister("snapchk_tgt")
-      s.catalog.dropTempView("snapchk_src_v2")
-      s.catalog.dropTempView("snapchk_tgt")
+      finally {
+        graft.gateway.MergeRoutes.unregister("snapchk_tgt")
+        s.catalog.dropTempView("snapchk_src_v2")
+        s.catalog.dropTempView("snapchk_tgt")
+      }
       graft.sources.DeltaRead.readDeltaTable(s, dir)
         .orderBy("id", "dbt_valid_from")
     }),
@@ -444,11 +451,13 @@ object Scans extends QueryGroup {
           deleteWhere = Some((sess, predicateSql) =>
             graft.sources.IcebergWrite.deleteWhere(
               sess, dir, predicateSql, Seq("c_custkey")))))
-      s.sql("DELETE FROM sql_del_ice_tgt " +
+      try s.sql("DELETE FROM sql_del_ice_tgt " +
         "WHERE c_mktsegment = 'MACHINERY' AND c_custkey % 2 = 1")
         .collect()
-      graft.gateway.DmlRoutes.unregister("sql_del_ice_tgt")
-      s.catalog.dropTempView("sql_del_ice_tgt")
+      finally {
+        graft.gateway.DmlRoutes.unregister("sql_del_ice_tgt")
+        s.catalog.dropTempView("sql_del_ice_tgt")
+      }
       graft.sources.IcebergRead.readIcebergTable(s, dir)
         .orderBy("c_custkey")
     }),
@@ -495,13 +504,15 @@ object Scans extends QueryGroup {
           .withColumn("id", col("id") + lit(10000000L)))
         .createOrReplaceTempView("snap_src_v2")
       import graft.gateway.{DbtTranscript => T}
-      T.snapshotRun("snap_tgt", "snap",
+      try T.snapshotRun("snap_tgt", "snap",
         T.snapshotStagingSelect("snap_tgt", "select * from snap_src_v2",
           "id", "updated_at"))
         .foreach(stmt => s.sql(stmt).collect())
-      graft.gateway.MergeRoutes.unregister("snap_tgt")
-      s.catalog.dropTempView("snap_src_v2")
-      s.catalog.dropTempView("snap_tgt")
+      finally {
+        graft.gateway.MergeRoutes.unregister("snap_tgt")
+        s.catalog.dropTempView("snap_src_v2")
+        s.catalog.dropTempView("snap_tgt")
+      }
       graft.sources.DeltaRead.readDeltaTable(s, dir)
         .orderBy("id", "dbt_valid_from")
     }),

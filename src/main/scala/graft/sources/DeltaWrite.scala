@@ -1048,8 +1048,8 @@ object DeltaWrite {
       // (insert) — O(touched + batch), like the merge itself, written
       // in ONE staged job (partitioned tables get one cdc file per
       // touched partition, with partitionValues on the cdc action).
-      val cdfOn = DeltaRead.tableConfiguration(spark, dir)
-        .getOrElse("delta.enableChangeDataFeed", "false") == "true"
+      val cdfOn = boolConf(DeltaRead.tableConfiguration(spark, dir),
+        "delta.enableChangeDataFeed")
       val cdcStaged: Seq[(String, Long)] = if (!cdfOn) Nil else {
         val ct = "_change_type"
         val keyCols = uniqueKey.map(col)
@@ -1215,8 +1215,8 @@ object DeltaWrite {
     require(DeltaRead.partitionColumns(spark, dir).isEmpty,
       s"mergeOnRead into a partitioned table is unsupported " +
         s"(use the CoW merge): $dir")
-    require(DeltaRead.tableConfiguration(spark, dir)
-        .getOrElse("delta.enableChangeDataFeed", "false") != "true",
+    require(!boolConf(DeltaRead.tableConfiguration(spark, dir),
+        "delta.enableChangeDataFeed"),
       s"mergeOnRead into a CDF-enabled table is unsupported — DV " +
         s"masking writes no cdc actions (use the CoW merge): $dir")
     val tableSchema = DeltaRead.tableSchema(spark, dir)
@@ -1280,6 +1280,13 @@ object DeltaWrite {
     * for SELECTIVE deletes, a delete of most of a table should
     * rewrite it instead.
     */
+  /** Delta booleans are case-insensitive ("true"/"TRUE"/"True" all
+    * enable a feature) — compare in Delta's own domain, never by
+    * exact string match.
+    */
+  private def boolConf(cfg: Map[String, String], key: String): Boolean =
+    cfg.getOrElse(key, "false").trim.equalsIgnoreCase("true")
+
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
       predicateSql: String, maxMatches: Int = 2000000): Long = {
     import org.apache.spark.sql.functions.{col, expr}
@@ -1291,8 +1298,8 @@ object DeltaWrite {
       s"deleteWhere on a column-mapped table is unsupported: $dir")
     require(DeltaRead.partitionColumns(spark, dir).isEmpty,
       s"deleteWhere on a partitioned table is unsupported: $dir")
-    require(DeltaRead.tableConfiguration(spark, dir)
-        .getOrElse("delta.enableChangeDataFeed", "false") != "true",
+    require(!boolConf(DeltaRead.tableConfiguration(spark, dir),
+        "delta.enableChangeDataFeed"),
       s"deleteWhere on a CDF-enabled table is unsupported — DV " +
         s"masking writes no cdc actions: $dir")
     val tableSchema = DeltaRead.tableSchema(spark, dir)
@@ -1520,8 +1527,8 @@ object DeltaWrite {
     // cdc actions name their _change_data files, and — only when CDF
     // is enabled, since readChanges refuses otherwise — derived CDF
     // re-reads REMOVED files for delete rows
-    val cdfOn = state.configuration
-      .getOrElse("delta.enableChangeDataFeed", "false") == "true"
+    val cdfOn = boolConf(state.configuration,
+      "delta.enableChangeDataFeed")
     val kinds = if (cdfOn) Seq("add", "remove", "cdc") else Seq("add", "cdc")
     log.commits.filter(_ >= boundary).foreach { v =>
       val text = java.nio.file.Files.readString(

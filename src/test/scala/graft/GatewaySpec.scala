@@ -805,4 +805,50 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
       graft.gateway.DmlRoutes.unregister("gw_tt_delta")
     }
   }
+
+  test("route lifecycle: cleanup retires a runner's JVM-global SQL " +
+      "routes (no stale handler serves a defunct warehouse); a newer " +
+      "same-name publish survives the old runner's cleanup") {
+    import graft.pipeline.{Materialization, Model, PipelineRunner, PipelineSpec}
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"))
+    def wh() = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"),
+      "route_lc_wh").toString
+    def specFor(bal: Double) = PipelineSpec(models = Seq(
+      Model("gw_lc", Nil, Materialization.IncrementalMerge(Seq("id")),
+        (sp, _) => { import sp.implicits._
+          Seq((1L, bal), (2L, bal)).toDF("id", "bal") },
+        fileFormat = "delta")))
+
+    val a = new PipelineRunner(spark, specFor(1.0), wh())
+    assert(a.run(Seq("run")).success)
+    assert(graft.gateway.MergeRoutes.lookup("gw_lc").nonEmpty)
+    assert(graft.gateway.DmlRoutes.lookup("gw_lc").nonEmpty)
+    assert(graft.gateway.TimeTravelRoutes.lookup("gw_lc").nonEmpty)
+
+    // cleanup retires every route the runner registered: a
+    // post-cleanup VERSION AS OF (or MERGE/UPDATE) finds no handler
+    // and falls through to Spark's own loud unsupported error — never
+    // the defunct warehouse's data
+    a.cleanup()
+    assert(graft.gateway.MergeRoutes.lookup("gw_lc").isEmpty)
+    assert(graft.gateway.DmlRoutes.lookup("gw_lc").isEmpty)
+    assert(graft.gateway.TimeTravelRoutes.lookup("gw_lc").isEmpty)
+
+    // a NEWER runner re-publishes the same model name (different
+    // warehouse); the OLD runner's (repeated) cleanup must not tear
+    // down the new registration — last-write-wins, owner-scoped
+    val b = new PipelineRunner(spark, specFor(42.0), wh())
+    try {
+      assert(b.run(Seq("run")).success)
+      a.cleanup() // idempotent; must not touch b's routes
+      val tt = graft.gateway.TimeTravelRoutes.lookup("gw_lc")
+      assert(tt.nonEmpty, "old runner's cleanup removed the new route")
+      val bals = tt.get.apply(spark, "0").select("bal")
+        .collect().map(_.getDouble(0)).toSet
+      assert(bals == Set(42.0), s"stale warehouse served: $bals")
+    } finally b.cleanup()
+    assert(graft.gateway.MergeRoutes.lookup("gw_lc").isEmpty)
+  }
 }

@@ -61,6 +61,18 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
   *    batch, so the engine merge rewrites no more files than the
   *    conditions touch.
   *
+  * dbt's `incremental_predicates` config appends extra NON-equality
+  * conjuncts to the star shape's ON clause (`ON k = k AND
+  * DBT_INTERNAL_DEST.ts > '...'` — it exists to prune big merges).
+  * The route splits the condition into equality keys + residuals and
+  * hands the residual SQL to handlers that support it
+  * ([[MergeRoutes.Handler.supportsResidual]] — the Delta/Iceberg
+  * engine merges, which prune their touched-file probe through
+  * per-file stats/bounds and narrow the matched set to in-window
+  * rows, SQL MERGE semantics). Residuals referencing the source
+  * side, subqueries, or a handler without support leave the
+  * statement unrouted — loud, never a silently-plain merge.
+  *
   * `WHEN MATCHED THEN DELETE` and `WHEN NOT MATCHED BY SOURCE` have
   * no routed execution (the upsert handler cannot remove rows) and
   * are deliberately left untouched, as is any unrouted relation —
@@ -78,8 +90,30 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
   */
 object MergeRoutes {
 
-  /** (session, source batch, equality-key columns) → rows merged. */
-  type Handler = (SparkSession, DataFrame, Seq[String]) => Long
+  /** The engine merge a routed statement executes. SAM-convertible:
+    * plain `(session, batch, keys) => n` lambdas register the basic
+    * upsert. Handlers for backends whose merge understands residual
+    * ON conjuncts (dbt `incremental_predicates` — extra non-equality
+    * predicates in the ON clause) additionally override
+    * [[supportsResidual]]/[[mergeWithResidual]]; statements carrying
+    * residuals against a handler that doesn't are left UNROUTED so
+    * Spark's own loud unsupported error surfaces.
+    */
+  trait Handler {
+    /** (session, source batch, equality-key columns) → rows merged. */
+    def apply(session: SparkSession, batch: DataFrame,
+        keys: Seq[String]): Long
+
+    def supportsResidual: Boolean = false
+
+    /** Merge with residual ON predicates: `residualSql` is the AND of
+      * the non-equality ON conjuncts, rendered over the TARGET's bare
+      * column names. Only called when [[supportsResidual]].
+      */
+    def mergeWithResidual(session: SparkSession, batch: DataFrame,
+        keys: Seq[String], residualSql: String): Long =
+      sys.error("merge handler does not support residual ON predicates")
+  }
 
   private val routes = new RouteRegistry[Handler]
 
@@ -166,6 +200,32 @@ private[gateway] object RouteNames {
       for { ln <- nameOf(l); rn <- nameOf(r)
             if ln.equalsIgnoreCase(rn) } yield Seq(ln)
     case _ => None
+  }
+
+  /** Split an ON conjunction into same-named equality KEY columns and
+    * RESIDUAL conjuncts (dbt `incremental_predicates` appends them to
+    * the merge macro's ON clause to prune big merges). None when no
+    * equality key is present — such a statement has no routable
+    * upsert key.
+    */
+  def splitCond(cond: Expression)
+      : Option[(Seq[String], Seq[Expression])] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val parts: Seq[Either[String, Expression]] = conjuncts(cond).map {
+      case eq @ EqualTo(l, r) =>
+        (for { ln <- nameOf(l); rn <- nameOf(r)
+               if ln.equalsIgnoreCase(rn) } yield ln) match {
+          case Some(k) => Left(k)
+          case None => Right(eq)
+        }
+      case other => Right(other)
+    }
+    val keys = parts.collect { case Left(k) => k }
+    if (keys.isEmpty) None
+    else Some((keys, parts.collect { case Right(e) => e }))
   }
 }
 
@@ -258,6 +318,36 @@ case class MergeIntoRoute(session: SparkSession)
     if (normed.exists(_.isEmpty)) None else Some(normed.flatten)
   }
 
+  /** Residual ON conjuncts → the SQL text the handler's merge
+    * re-binds against its own table scan. `Some(None)` = no residual
+    * (plain merge); `None` = unroutable (leave the statement to
+    * Spark's own loud error): handler can't execute residuals, a
+    * conjunct references the source side / a subquery / is
+    * non-deterministic, or the text doesn't render.
+    */
+  private def renderResidual(residuals: Seq[Expression],
+      target: LogicalPlan,
+      handler: MergeRoutes.Handler): Option[Option[String]] =
+    if (residuals.isEmpty) Some(None)
+    else if (!handler.supportsResidual) None
+    else {
+      val ok = residuals.forall(e => e.resolved && e.deterministic &&
+        e.references.subsetOf(target.outputSet) &&
+        !e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst
+          .expressions.SubqueryExpression]))
+      if (!ok) None
+      else {
+        val combined = residuals.reduce(And)
+        // strip view qualifiers (global_temp.t.ts) — the text must
+        // bind to the merge's own scan of the table
+        val bare = combined.transform {
+          case a: org.apache.spark.sql.catalyst.expressions
+              .AttributeReference => a.withQualifier(Seq.empty)
+        }
+        scala.util.Try(bare.sql).toOption.map(Some(_))
+      }
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       // the dbt incremental shape: unconditional UPDATE SET * +
@@ -269,8 +359,10 @@ case class MergeIntoRoute(session: SparkSession)
         (for {
           name <- targetName(target)
           handler <- MergeRoutes.lookup(name)
-          keys <- keysOf(cond)
+          (keys, residuals) <- RouteNames.splitCond(cond)
+          residualSql <- renderResidual(residuals, target, handler)
         } yield GraftMergeIntoCommand(name, keys, source, handler,
+          residualSql,
           // the analyzer's star expansion casts source columns to the
           // TARGET's types — replicate by casting the batch to the
           // resolved target schema
@@ -308,6 +400,7 @@ case class MergeIntoRoute(session: SparkSession)
   */
 case class GraftMergeIntoCommand(relation: String, keys: Seq[String],
     source: LogicalPlan, handler: MergeRoutes.Handler,
+    residualSql: Option[String],
     targetSchema: org.apache.spark.sql.types.StructType)
     extends LeafRunnableCommand {
 
@@ -338,7 +431,11 @@ case class GraftMergeIntoCommand(relation: String, keys: Seq[String],
       org.apache.spark.sql.functions.col(s"`$src`")
         .cast(f.dataType).as(f.name)
     }: _*)
-    Seq(Row(handler(sparkSession, batch, keys)))
+    Seq(Row(residualSql match {
+      case None => handler(sparkSession, batch, keys)
+      case Some(r) =>
+        handler.mergeWithResidual(sparkSession, batch, keys, r)
+    }))
   }
 }
 

@@ -1097,21 +1097,44 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
       val dir = tablePath(name)
       m.materialization match {
         case Materialization.IncrementalMerge(keys, buckets, userParts, _) =>
-          graft.gateway.MergeRoutes.register(name, this, (s, batch, onKeys) => {
-            checkKeys(onKeys, keys)
-            val n = m.fileFormat match {
-              case "delta" => graft.sources.DeltaWrite.merge(
-                s, dir, batch, keys, buckets, partitionBy = userParts)
-              case "iceberg" => graft.sources.IcebergWrite.merge(
-                s, dir, batch, keys, buckets, partitionBy = userParts)
-              case _ => mergeInto(name, batch, keys, buckets, userParts,
-                fullRefresh = false)
-            }
-            // lakehouse merges commit outside publishManifest — the
-            // published views must re-resolve the post-merge state
-            registerSessionView(name)
-            n
-          })
+          graft.gateway.MergeRoutes.register(name, this,
+            new graft.gateway.MergeRoutes.Handler {
+              private def merge(s: org.apache.spark.sql.SparkSession,
+                  batch: DataFrame, onKeys: Seq[String],
+                  residual: Option[String]): Long = {
+                checkKeys(onKeys, keys)
+                val n = m.fileFormat match {
+                  case "delta" => graft.sources.DeltaWrite.merge(
+                    s, dir, batch, keys, buckets, partitionBy = userParts,
+                    residualPredicate = residual)
+                  case "iceberg" => graft.sources.IcebergWrite.merge(
+                    s, dir, batch, keys, buckets, partitionBy = userParts,
+                    residualPredicate = residual)
+                  case _ =>
+                    require(residual.isEmpty, s"merge on $name: the " +
+                      "manifest warehouse does not execute residual " +
+                      "ON predicates") // unreachable: supportsResidual
+                    mergeInto(name, batch, keys, buckets, userParts,
+                      fullRefresh = false)
+                }
+                // lakehouse merges commit outside publishManifest —
+                // the published views must re-resolve the post-merge
+                // state
+                registerSessionView(name)
+                n
+              }
+              override def apply(s: org.apache.spark.sql.SparkSession,
+                  batch: DataFrame, onKeys: Seq[String]): Long =
+                merge(s, batch, onKeys, None)
+              // dbt incremental_predicates: the Delta/Iceberg engine
+              // merges prune their touched-file probe on the residual
+              override def supportsResidual: Boolean =
+                m.fileFormat == "delta" || m.fileFormat == "iceberg"
+              override def mergeWithResidual(
+                  s: org.apache.spark.sql.SparkSession, batch: DataFrame,
+                  onKeys: Seq[String], residualSql: String): Long =
+                merge(s, batch, onKeys, Some(residualSql))
+            })
           // UPDATE (post-image upsert on the declared key) for every
           // merge model; DELETE FROM only where a real engine delete
           // exists — unpartitioned Delta's DV merge-on-read delete

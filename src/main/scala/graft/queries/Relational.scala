@@ -293,6 +293,57 @@ object Scans extends QueryGroup {
       graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
     }),
 
+    // dbt's `incremental_predicates` config: the merge macro appends
+    // extra NON-equality conjuncts to the ON clause (`... AND
+    // DBT_INTERNAL_DEST.ts >= '...'`) precisely to prune big merges.
+    // MergeIntoRoute splits the ON condition into equality keys +
+    // residual; the engine's Delta merge (a) PRUNES its touched-file
+    // probe through the log's per-file stats — files whose ts bounds
+    // fall outside the window are never opened (GatewaySpec proves it
+    // with hidden files) — and (b) narrows the matched set to
+    // in-window rows (SQL MERGE semantics). On this data every match
+    // is in-window, so the final state equals the plain merge's — the
+    // oracle.
+    "run_sql_merge_predicates" -> ((s, d) => {
+      val dir = tmpDir("graft_sql_merge_pred")
+      val cust = Tables.customer(s, d)
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          lit(0.0).as("bal"),
+          date_add(lit("2024-01-01").cast(DateType),
+            (col("c_custkey") % 10).cast(IntegerType))
+            .cast(TimestampType).as("ts")),
+        Seq("c_custkey"))
+      graft.sources.DeltaRead.readDeltaTable(s, dir)
+        .createOrReplaceTempView("sql_merge_pred_tgt")
+      graft.gateway.MergeRoutes.register("sql_merge_pred_tgt",
+        new graft.gateway.MergeRoutes.Handler {
+          override def apply(sess: SparkSession, batch: DataFrame,
+              keys: Seq[String]): Long =
+            graft.sources.DeltaWrite.merge(sess, dir, batch, keys)
+          override def supportsResidual: Boolean = true
+          override def mergeWithResidual(sess: SparkSession,
+              batch: DataFrame, keys: Seq[String],
+              residualSql: String): Long =
+            graft.sources.DeltaWrite.merge(sess, dir, batch, keys,
+              residualPredicate = Some(residualSql))
+        })
+      cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").as("bal"),
+          lit("2024-02-01").cast(TimestampType).as("ts"))
+        .createOrReplaceTempView("sql_merge_pred_src")
+      try s.sql(
+        """MERGE INTO sql_merge_pred_tgt AS DBT_INTERNAL_DEST
+          |USING sql_merge_pred_src AS DBT_INTERNAL_SOURCE
+          |ON (DBT_INTERNAL_DEST.c_custkey = DBT_INTERNAL_SOURCE.c_custkey)
+          |  AND (DBT_INTERNAL_DEST.ts >= timestamp'2024-01-01 00:00:00')
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      finally graft.gateway.MergeRoutes.unregister("sql_merge_pred_tgt")
+      graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
+    }),
+
     // SELECT ... VERSION AS OF over SQL text: Spark parses the
     // time-travel suffix but cannot execute it on the engine's
     // relations; TimeTravelRoute rewrites a version-pinned read of a
@@ -924,6 +975,16 @@ object Scans extends QueryGroup {
     "run_sql_merge_into" ->
       """SELECT c_custkey, c_mktsegment,
         |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // the residual-ON merge equals the plain merge on in-window data
+    "run_sql_merge_predicates" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal,
+        |  CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '2024-02-01 00:00:00'
+        |       ELSE CAST(DATE '2024-01-01' +
+        |                 CAST(c_custkey % 10 AS INTEGER) AS TIMESTAMP)
+        |  END AS ts
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // both pinned histories: creation (all zero) and post-merge

@@ -710,6 +710,70 @@ object DeltaRead {
     files
   }
 
+  /** One live file's log-recorded `stats` JSON + exact partition
+    * values in the [[FileSkipping]] domain — the same tri-state
+    * pruning input [[readDeltaTable]] builds for reads, exposed for
+    * the MERGE touched-file probe's residual-predicate pruning
+    * (dbt `incremental_predicates`). UNMAPPED tables only: stats keys
+    * of column-mapped tables are physical-named and callers there
+    * skip stats pruning (conservative — pruning is an optimization,
+    * never correctness).
+    */
+  private[graft] def fileStatsOfLive(f: LiveFileDv, schema: StructType,
+      partCols: Seq[String]): FileSkipping.FileStats = {
+    implicit val fmts: Formats = DefaultFormats
+    val partStats: Map[String, FileSkipping.ColStats] =
+      partCols.flatMap { pc =>
+        schema.fields.find(_.name == pc).map { fd =>
+          val raw = f.partitionValues.getOrElse(pc, null)
+          val exact: Option[Option[Any]] =
+            if (raw == null) Some(None)
+            else FileSkipping.normStat(raw, fd.dataType) match {
+              case Some(v) => Some(Some(v))
+              case None => None // unparseable — unknown, never prune
+            }
+          pc -> FileSkipping.ColStats(exact = exact)
+        }
+      }.toMap
+    val parsed = f.stats.flatMap(t =>
+      scala.util.Try(JsonMethods.parse(t)).toOption)
+    def jAny(v: JValue): Any = v match {
+      case JInt(n) => n
+      case JLong(n) => n
+      case JDouble(d) => d
+      case JDecimal(d) => d
+      case JString(t) => t
+      case JBool(b) => b
+      case _ => null
+    }
+    def valuesOf(section: String): Map[String, Any] = parsed match {
+      case Some(j) => (j \ section) match {
+        case JObject(fields) => fields.map { case (k, v) =>
+          k -> jAny(v) }.toMap
+        case _ => Map.empty
+      }
+      case None => Map.empty
+    }
+    val mins = valuesOf("minValues")
+    val maxs = valuesOf("maxValues")
+    val nulls = valuesOf("nullCount")
+    val dataStats = schema.fields
+      .filterNot(fd => partCols.contains(fd.name))
+      .flatMap { fd =>
+        val cs = FileSkipping.ColStats(
+          min = Option(mins.getOrElse(fd.name, null))
+            .flatMap(FileSkipping.normStat(_, fd.dataType)),
+          max = Option(maxs.getOrElse(fd.name, null))
+            .flatMap(FileSkipping.normStat(_, fd.dataType)),
+          nullCount = Option(nulls.getOrElse(fd.name, null)).collect {
+            case n: Number => n.longValue })
+        if (cs == FileSkipping.ColStats()) None else Some(fd.name -> cs)
+      }.toMap
+    FileSkipping.FileStats(
+      parsed.flatMap(j => (j \ "numRecords").extractOpt[Long]),
+      partStats ++ dataStats)
+  }
+
   /** The schema/column-mapping geometry [[DeltaWrite.merge]] needs to
     * read and WRITE a (possibly column-mapped) table faithfully:
     * logical schema, physical read/write schema, and the top-level

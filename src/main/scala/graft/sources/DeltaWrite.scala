@@ -749,7 +749,18 @@ object DeltaWrite {
       // appended) evolves the table schema in the merge commit
       // (dbt's on_schema_change=append_new_columns); carried files
       // surface NULL for the new columns via parquet schema-on-read
-      allowEvolution: Boolean = false): Long = {
+      allowEvolution: Boolean = false,
+      // SQL predicate over the TABLE's columns narrowing the MATCHED
+      // set (dbt `incremental_predicates`, the extra ON conjuncts):
+      // target rows failing it are NOT matched — they stay untouched
+      // and a batch row with their key inserts (SQL MERGE/Delta
+      // semantics; the predicate's contract is that real matches are
+      // inside the window). It PRUNES the touched-file probe through
+      // the log's per-file stats (FileSkipping, conservative) so
+      // out-of-window files are never opened. Unsupported on
+      // CDF-enabled tables (cdc classification would need it too) —
+      // loud.
+      residualPredicate: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{broadcast, col, concat, element_at, format_string, lit, pmod, typedlit, xxhash64}
     require(uniqueKey.nonEmpty, "merge needs at least one key column")
     uniqueKey.foreach(k => require(batch0.columns.contains(k),
@@ -822,6 +833,12 @@ object DeltaWrite {
       // operates logically, and writes physically again
       val geom = DeltaRead.mergeGeometry(spark, dir)
       val mapped = geom.mapped
+      require(residualPredicate.isEmpty ||
+          !boolConf(DeltaRead.tableConfiguration(spark, dir),
+            "delta.enableChangeDataFeed"),
+        s"residual-predicate merge on a CDF-enabled table is " +
+          s"unsupported (cdc rows would need the same matched-set " +
+          s"narrowing): $dir")
       // compare shapes with nested METADATA stripped: mapped tables
       // carry columnMapping metadata on every (nested) field that a
       // caller's batch legitimately lacks
@@ -907,12 +924,24 @@ object DeltaWrite {
       }
       val batchPvNorm: Set[Seq[Option[Option[Any]]]] =
         pdirPvBatch.values.map(pv => partCols.map(c => normPv(pv, c))).toSet
-      val pruned =
+      val pruned0 =
         if (partCols.isEmpty) live
         else live.filter { f =>
           val key = partCols.map(c => normPv(lpv(f.partitionValues), c))
           key.exists(_.isEmpty) || batchPvNorm.contains(key)
         }
+      // RESIDUAL-PREDICATE pruning (dbt incremental_predicates): a
+      // file whose log stats prove NO row can satisfy the residual
+      // holds no matched row, so the probe never opens it. Tri-state
+      // conservative; skipped on mapped tables (physical stats keys).
+      val resSkip = residualPredicate.filter(_ => !mapped).map(rp =>
+        FileSkipping.resolve(spark, fullSchema,
+          org.apache.spark.sql.functions.expr(rp)))
+      val pruned = resSkip match {
+        case None => pruned0
+        case Some(e) => pruned0.filter(f => FileSkipping.mayMatch(e,
+          DeltaRead.fileStatsOfLive(f, fullSchema, partCols)))
+      }
 
       val liveByQualified: Map[String, DeltaRead.LiveFileDv] =
         pruned.map(f => qualified(f.abs) -> f).toMap
@@ -976,7 +1005,12 @@ object DeltaWrite {
           }
         }
 
-      val touched = cur.join(batch, uniqueKey, "left_semi")
+      // residual narrows the MATCHED set: only in-window rows count
+      // as matches, so only their files are touched/rewritten
+      val curMatch = residualPredicate.map(rp =>
+        cur.filter(org.apache.spark.sql.functions.expr(rp)))
+        .getOrElse(cur)
+      val touched = curMatch.join(batch, uniqueKey, "left_semi")
         .select("__graft_file").distinct()
         .collect().map(_.getString(0)).toSeq.sorted
       val touchedFiles = touched.map(f => liveByQualified.getOrElse(f,
@@ -1000,12 +1034,27 @@ object DeltaWrite {
       // removes — no per-file emptiness probes.
       val rwTagged =
         if (touched.isEmpty) None
-        else Some(cur.filter(col("__graft_file").isin(touched: _*))
-          .join(batch.select(uniqueKey.map(col): _*), uniqueKey, "left_anti")
-          .withColumn("__graft_target",
-            element_at(typedlit(rwRelOf), col("__graft_file")))
-          .drop("__graft_file").drop("__graft_pdir")
-          .drop(partCols: _*))
+        else {
+          val rwBase = cur.filter(col("__graft_file").isin(touched: _*))
+          val batchKeys = batch.select(uniqueKey.map(col): _*)
+          // carried = rows NOT replaced by the batch: key not in the
+          // batch, or (residual merges) key matched but the row is
+          // OUTSIDE the predicate window — SQL MERGE leaves it
+          val carried = residualPredicate match {
+            case None => rwBase.join(batchKeys, uniqueKey, "left_anti")
+            case Some(rp) =>
+              rwBase.join(batchKeys, uniqueKey, "left_anti")
+                .unionByName(rwBase.filter(
+                  !org.apache.spark.sql.functions.coalesce(
+                    org.apache.spark.sql.functions.expr(rp), lit(false)))
+                  .join(batchKeys, uniqueKey, "left_semi"))
+          }
+          Some(carried
+            .withColumn("__graft_target",
+              element_at(typedlit(rwRelOf), col("__graft_file")))
+            .drop("__graft_file").drop("__graft_pdir")
+            .drop(partCols: _*))
+        }
       val upTagged = batchP
         .withColumn("__graft_target",
           if (partCols.isEmpty) lit(f"upsert-$version%05d.parquet")

@@ -124,6 +124,25 @@ object IcebergRead {
       case _ => None
     }
   }
+  /** One data file's manifest-recorded column bounds + null counts
+    * in the [[FileSkipping]] domain — shared by [[readIcebergTable]]
+    * and the MERGE probe's residual pruning.
+    */
+  private[sources] def fileStatsOf(st: SnapshotState,
+      f: DataFileEntry): FileSkipping.FileStats = {
+    val cols = st.fieldNameById.flatMap { case (id, name) =>
+      val dt = st.schema.fields.find(_.name == name).map(_.dataType)
+      dt.flatMap { t =>
+        val cs = FileSkipping.ColStats(
+          min = f.lowerBounds.get(id).flatMap(decodeBound(_, t)),
+          max = f.upperBounds.get(id).flatMap(decodeBound(_, t)),
+          nullCount = f.nullCounts.get(id))
+        if (cs == FileSkipping.ColStats()) None else Some(name -> cs)
+      }
+    }
+    FileSkipping.FileStats(Some(f.recordCount), cols)
+  }
+
   private[sources] case class SnapshotState(
       schema: StructType,
       dataFiles: Seq[DataFileEntry],
@@ -409,23 +428,10 @@ object IcebergRead {
       predicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val st = snapshotState(path, snapshotId)
     val skipExpr = predicate.map(p => FileSkipping.resolve(spark, st.schema, p))
-    def fileStatsOf(f: DataFileEntry): FileSkipping.FileStats = {
-      val cols = st.fieldNameById.flatMap { case (id, name) =>
-        val dt = st.schema.fields.find(_.name == name).map(_.dataType)
-        dt.flatMap { t =>
-          val cs = FileSkipping.ColStats(
-            min = f.lowerBounds.get(id).flatMap(decodeBound(_, t)),
-            max = f.upperBounds.get(id).flatMap(decodeBound(_, t)),
-            nullCount = f.nullCounts.get(id))
-          if (cs == FileSkipping.ColStats()) None else Some(name -> cs)
-        }
-      }
-      FileSkipping.FileStats(Some(f.recordCount), cols)
-    }
     val dataFiles = skipExpr match {
       case None => st.dataFiles
       case Some(e) =>
-        st.dataFiles.filter(f => FileSkipping.mayMatch(e, fileStatsOf(f)))
+        st.dataFiles.filter(f => FileSkipping.mayMatch(e, fileStatsOf(st, f)))
     }
     val snapshot = if (dataFiles.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st.schema)

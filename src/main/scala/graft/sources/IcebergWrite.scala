@@ -694,7 +694,13 @@ object IcebergWrite {
       batch0: DataFrame, uniqueKey: Seq[String], buckets: Int = 8,
       maxLiveFiles: Int = 32,
       partitionBy: Seq[String] = Nil,
-      allowEvolution: Boolean = false): Long = {
+      allowEvolution: Boolean = false,
+      // SQL predicate over the table's columns narrowing the MATCHED
+      // set (dbt `incremental_predicates`): out-of-window rows are
+      // not matched (they stay; their batch keys insert — SQL MERGE
+      // semantics), and the touched-file probe prunes through the
+      // manifests' column bounds so out-of-window files never open
+      residualPredicate: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{col, concat, element_at, format_string, lit, pmod, typedlit, xxhash64}
     require(uniqueKey.nonEmpty, "merge needs at least one key column")
     uniqueKey.foreach(k => require(batch0.columns.contains(k),
@@ -773,13 +779,24 @@ object IcebergWrite {
         else DeltaWrite.withPdirTyped(batch, partCols)
       val batchPvCanon: Set[Seq[String]] = pdirRow.values.map(r =>
         partCols.indices.map(i => canonicalPv(r.get(i)))).toSet
-      val pruned =
+      val pruned0 =
         if (partCols.isEmpty) state.dataFiles
         else state.dataFiles.filter { f =>
           if (f.partition.isEmpty) true // pre-spec file: conservative
           else batchPvCanon.contains(
             partCols.map(c => canonicalPv(f.partition.getOrElse(c, null))))
         }
+      // RESIDUAL-PREDICATE pruning (dbt incremental_predicates):
+      // manifest column bounds prove some files hold no in-window
+      // row — the probe never opens them (tri-state conservative)
+      val resSkip = residualPredicate.map(rp =>
+        FileSkipping.resolve(spark, state.schema,
+          org.apache.spark.sql.functions.expr(rp)))
+      val pruned = resSkip match {
+        case None => pruned0
+        case Some(e) => pruned0.filter(f =>
+          FileSkipping.mayMatch(e, IcebergRead.fileStatsOf(state, f)))
+      }
 
       val hconf = spark.sessionState.newHadoopConf()
       def qualified(p: String): String = DeltaWrite.sparkPathOf(hconf, p)
@@ -797,7 +814,11 @@ object IcebergWrite {
         else spark.read.schema(fullSchema)
           .parquet(pruned.map(f => localOf(f.path).toString).sorted: _*)
           .withColumn("__graft_file", col("_metadata.file_path"))
-      val touched = cur.join(batch, uniqueKey, "left_semi")
+      // residual narrows the MATCHED set: only in-window rows count
+      val curMatch = residualPredicate.map(rp =>
+        cur.filter(org.apache.spark.sql.functions.expr(rp)))
+        .getOrElse(cur)
+      val touched = curMatch.join(batch, uniqueKey, "left_semi")
         .select("__graft_file").distinct()
         .collect().map(_.getString(0)).toSeq.sorted
       val touchedFiles = touched.map(f => byQualified.getOrElse(f,
@@ -816,11 +837,26 @@ object IcebergWrite {
       // ONE staged job: every rewrite + every upsert file
       val rwTagged =
         if (touched.isEmpty) None
-        else Some(cur.filter(col("__graft_file").isin(touched: _*))
-          .join(batch.select(uniqueKey.map(col): _*), uniqueKey, "left_anti")
-          .withColumn("__graft_target",
-            element_at(typedlit(rwRelOf), col("__graft_file")))
-          .drop("__graft_file"))
+        else {
+          val rwBase = cur.filter(col("__graft_file").isin(touched: _*))
+          val batchKeys = batch.select(uniqueKey.map(col): _*)
+          // carried = not replaced: key absent from the batch, or an
+          // out-of-window row whose key matched (SQL MERGE leaves it)
+          val carried = residualPredicate match {
+            case None => rwBase.join(batchKeys, uniqueKey, "left_anti")
+            case Some(rp) =>
+              rwBase.join(batchKeys, uniqueKey, "left_anti")
+                .unionByName(rwBase.filter(
+                  !org.apache.spark.sql.functions.coalesce(
+                    org.apache.spark.sql.functions.expr(rp),
+                    org.apache.spark.sql.functions.lit(false)))
+                  .join(batchKeys, uniqueKey, "left_semi"))
+          }
+          Some(carried
+            .withColumn("__graft_target",
+              element_at(typedlit(rwRelOf), col("__graft_file")))
+            .drop("__graft_file"))
+        }
       val upTagged = batchP
         .withColumn("__graft_target",
           if (partCols.isEmpty) lit(f"upsert-$version%05d.parquet")

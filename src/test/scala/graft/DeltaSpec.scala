@@ -1619,4 +1619,30 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
       DeltaWrite.deleteWhere(spark, dCdf, "id = 1"))
     assert(e.getMessage.contains("CDF"), e.getMessage)
   }
+
+  test("merge with residualPredicate: out-of-window rows are NOT " +
+      "matched — they stay and the batch row inserts (SQL MERGE " +
+      "semantics, exactly what Delta executes for " +
+      "incremental_predicates); in-window matches update normally") {
+    val d = dir()
+    val ts0 = java.sql.Timestamp.valueOf("2023-12-01 00:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val ts2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    DeltaWrite.merge(spark, d,
+      Seq((1L, "old", ts0), (2L, "cur", ts1)).toDF("id", "v", "ts"),
+      Seq("id"), buckets = 1)
+    DeltaWrite.merge(spark, d,
+      Seq((1L, "x", ts2), (2L, "y", ts2)).toDF("id", "v", "ts"),
+      Seq("id"),
+      residualPredicate = Some("ts >= timestamp'2024-01-01 00:00:00'"))
+    val got = DeltaRead.readDeltaTable(spark, d)
+      .orderBy("id", "v").as[(Long, String, java.sql.Timestamp)]
+      .collect().toSeq
+    // id 1's target row is outside the window: it survives untouched
+    // and the batch row INSERTS alongside (the predicate's contract
+    // is that real matches are in-window — same as Delta); id 2
+    // updates in place
+    assert(got == Seq((1L, "old", ts0), (1L, "x", ts2), (2L, "y", ts2)),
+      got.toString)
+  }
 }

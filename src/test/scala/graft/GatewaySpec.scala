@@ -851,4 +851,114 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
     } finally b.cleanup()
     assert(graft.gateway.MergeRoutes.lookup("gw_lc").isEmpty)
   }
+
+  test("dbt incremental_predicates over Thrift: residual ON conjuncts " +
+      "route into the Delta merge, the touched-file probe is " +
+      "stats-pruned (out-of-window files never opened), and " +
+      "out-of-window rows are left untouched") {
+    import graft.pipeline.{Materialization, Model, PipelineRunner, PipelineSpec}
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    import spark.implicits._
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"))
+    val wh = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"),
+      "thrift_pred_wh").toString
+    // ids split by the merge's own bucket hash so creation yields one
+    // file of ONLY out-of-window rows (bucket 0, ts 2023-12-15) and
+    // one of in-window rows (bucket 1, ts 2024-01-15)
+    val bucketOf: Map[Long, Long] = spark.range(1, 201)
+      .select($"id", pmod(xxhash64(col("id")), lit(2)).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val oldIds = bucketOf.collect { case (i, 0L) => i }.toSeq.sorted
+    val newIds = bucketOf.collect { case (i, 1L) => i }.toSeq.sorted
+    assert(oldIds.nonEmpty && newIds.nonEmpty)
+    val ts0 = java.sql.Timestamp.valueOf("2023-12-15 00:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val spec = PipelineSpec(models = Seq(
+      Model("gw_pred", Nil, Materialization.IncrementalMerge(Seq("id"), 2),
+        (sp, _) => { import sp.implicits._
+          (oldIds.map(i => (i, 0.0, ts0)) ++ newIds.map(i => (i, 0.0, ts1)))
+            .toDF("id", "bal", "ts") },
+        fileFormat = "delta")))
+    val runner = new PipelineRunner(spark, spec, wh)
+    assert(runner.run(Seq("run")).success)
+    val tdir = java.nio.file.Paths.get(wh, "gw_pred")
+    def dataFiles(): Map[String, Array[Byte]] = {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.list(tdir)
+      try w.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.getFileName.toString -> java.nio.file.Files.readAllBytes(f))
+        .toMap
+      finally w.close()
+    }
+    val before = dataFiles()
+    assert(before.size == 2, before.keys.toSeq)
+    // bucket 0 = the out-of-window file; hide it — a probe that
+    // opened it would throw
+    val outFile = before.keys.filter(_.startsWith("part-00000")).toSeq
+    assert(outFile.size == 1, before.keys.toSeq)
+    outFile.foreach(f => java.nio.file.Files.move(
+      tdir.resolve(f), tdir.resolve(f + ".hide")))
+    val port = ThriftGateway.freePort()
+    val srv = ThriftGateway.start(spark, port)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val conn = java.sql.DriverManager.getConnection(
+        s"jdbc:hive2://127.0.0.1:$port", "dbt", "")
+      try {
+        val st = conn.createStatement()
+        val touch = newIds.take(3)
+        st.execute(s"""CREATE TEMPORARY VIEW gw_pred__dbt_tmp AS
+          |SELECT * FROM VALUES
+          |${touch.map(i =>
+              s"(${i}L, 42.0, timestamp'2024-02-01 00:00:00')")
+            .mkString(", ")}
+          |AS t(id, bal, ts)""".stripMargin)
+        // WITHOUT the residual the probe must scan every live file —
+        // with one hidden that fails loudly (proves the scan-set
+        // difference the residual pruning then removes)
+        val e = intercept[java.sql.SQLException](st.execute(
+          """MERGE INTO gw_pred AS DBT_INTERNAL_DEST
+            |USING gw_pred__dbt_tmp AS DBT_INTERNAL_SOURCE
+            |ON DBT_INTERNAL_DEST.id = DBT_INTERNAL_SOURCE.id
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+        assert(e.getMessage != null)
+        // WITH the residual (the dbt-emitted incremental_predicates
+        // shape) the out-of-window file's stats prune it from the
+        // probe — the merge succeeds with the file still hidden
+        st.execute(
+          """MERGE INTO gw_pred AS DBT_INTERNAL_DEST
+            |USING gw_pred__dbt_tmp AS DBT_INTERNAL_SOURCE
+            |ON (DBT_INTERNAL_DEST.id = DBT_INTERNAL_SOURCE.id)
+            |  AND (DBT_INTERNAL_DEST.ts >= timestamp'2024-01-01 00:00:00')
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        outFile.foreach(f => java.nio.file.Files.move(
+          tdir.resolve(f + ".hide"), tdir.resolve(f)))
+        val after = dataFiles()
+        // the out-of-window file was neither rewritten nor removed
+        outFile.foreach(f => assert(
+          after.get(f).exists(_.sameElements(before(f))),
+          s"out-of-window file $f was rewritten"))
+        val got = graft.sources.DeltaRead
+          .readDeltaTable(spark, tdir.toString)
+          .orderBy("id").as[(Long, Double, java.sql.Timestamp)]
+          .collect().toSeq
+        val want = (oldIds.map(i => (i, 0.0, ts0)) ++
+          newIds.map(i => (i,
+            if (touch.contains(i)) 42.0 else 0.0,
+            if (touch.contains(i))
+              java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+            else ts1))).sortBy(_._1)
+        assert(got == want,
+          s"merged state wrong: ${got.diff(want)} vs ${want.diff(got)}")
+      } finally conn.close()
+    } finally {
+      srv.close()
+      runner.cleanup()
+    }
+  }
 }

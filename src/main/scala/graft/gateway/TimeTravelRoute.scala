@@ -19,10 +19,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * version-pinned read path the engine's own time-travel keys
   * exercise (`mat_time_travel`, `scan_delta`'s versionAsOf).
   *
-  * `TIMESTAMP AS OF` stays unrouted for now (the engine's readers
-  * pin by version/snapshot/generation, not wall-clock), as does any
-  * unrouted relation — Spark's own loud error surfaces, never a
-  * silently-current read.
+  * `TIMESTAMP AS OF <literal>` routes too: the literal evaluates in
+  * the session timezone and a per-backend resolver pins the version
+  * at-or-before it (Delta commit-file mtimes, Iceberg snapshot
+  * timestamps with a metadata-mtime fallback, manifest generation
+  * mtimes) — refusing loudly for timestamps before the available
+  * history (pre-creation, vacuumed/expired ranges). Unrouted
+  * relations keep Spark's own loud error, never a silently-current
+  * read.
   *
   * Resolution-order caveat: Spark's OWN ResolveRelations throws its
   * unsupported-time-travel error the moment the inner name resolves
@@ -57,6 +61,32 @@ object TimeTravelRoutes {
     routes.unregister(relation, owner)
 
   def lookup(relation: String): Option[Handler] = routes.lookup(relation)
+
+  /** (session, UTC epoch micros from the evaluated SQL literal) →
+    * the timestamp-pinned read. Registered alongside the version
+    * handler; the backends resolve a timestamp to a version first
+    * (Delta commit mtimes, Iceberg snapshot timestamps, manifest
+    * generation mtimes) and reuse the version-pinned read path.
+    */
+  type TsHandler = (SparkSession, Long) => DataFrame
+
+  private val tsRoutes = new RouteRegistry[TsHandler]
+
+  def registerTimestamp(relation: String, handler: TsHandler): Unit =
+    tsRoutes.register(relation, handler)
+
+  def registerTimestamp(relation: String, owner: AnyRef,
+      handler: TsHandler): Unit =
+    tsRoutes.register(relation, owner, handler)
+
+  def unregisterTimestamp(relation: String): Unit =
+    tsRoutes.unregister(relation)
+
+  def unregisterTimestamp(relation: String, owner: AnyRef): Unit =
+    tsRoutes.unregister(relation, owner)
+
+  def lookupTimestamp(relation: String): Option[TsHandler] =
+    tsRoutes.lookup(relation)
 }
 
 /** See [[TimeTravelRoutes]]. */
@@ -79,5 +109,36 @@ case class TimeTravelRoute(session: SparkSession)
             u.multipartIdentifier.mkString(".")))
         } yield handler(session, version)
           .queryExecution.analyzed).getOrElse(tt)
+
+      // `TIMESTAMP AS OF <foldable expr>`: evaluate the literal in
+      // the session timezone and hand the epoch micros to the
+      // registered timestamp handler (which resolves it to a pinned
+      // version driver-side and refuses loudly outside the available
+      // history). Non-foldable expressions and unrouted relations
+      // stay with Spark's own error.
+      case tt @ RelationTimeTravel(u: UnresolvedRelation,
+          Some(tsExpr), None)
+          if tsExpr.resolved && tsExpr.foldable && tsExpr.deterministic =>
+        (for {
+          handler <- TimeTravelRoutes.lookupTimestamp(RouteNames.demangle(
+            u.multipartIdentifier.mkString(".")))
+          micros <- evalMicros(tsExpr)
+        } yield handler(session, micros)
+          .queryExecution.analyzed).getOrElse(tt)
     }
+
+  /** Foldable expression → UTC epoch micros via a timestamp cast in
+    * the session timezone; None (unrouted) when the cast fails or
+    * yields null.
+    */
+  private def evalMicros(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[Long] = {
+    val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.TimestampType,
+      Some(session.sessionState.conf.sessionLocalTimeZone))
+    scala.util.Try(Option(cast.eval(null))).toOption.flatten.collect {
+      case micros: Long => micros
+    }
+  }
 }

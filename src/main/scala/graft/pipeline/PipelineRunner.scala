@@ -1193,6 +1193,43 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
         graft.sources.IcebergRead.readIcebergTable(s, tablePath(name),
           snapshotId = Some(v.toLong))
       else readTableAt(name, s"gen_$v"))
+    // TIMESTAMP AS OF: resolve the wall-clock to a version driver-side
+    // (commit mtimes / snapshot timestamps / generation mtimes — each
+    // a bounded metadata walk, loud outside the available history)
+    // and reuse the version-pinned read
+    graft.gateway.TimeTravelRoutes.registerTimestamp(name, this,
+      (s, micros) =>
+        if (isDeltaTable(name))
+          graft.sources.DeltaRead.readDeltaTable(s, tablePath(name),
+            versionAsOf = Some(graft.sources.DeltaRead
+              .versionAtTimestamp(tablePath(name), micros)))
+        else if (isIcebergTable(name))
+          graft.sources.IcebergRead.readIcebergTable(s, tablePath(name),
+            snapshotId = Some(graft.sources.IcebergRead
+              .snapshotIdAtTimestamp(tablePath(name), micros)))
+        else readTableAt(name, generationAtTimestamp(name, micros)))
+  }
+
+  /** Manifest-table `TIMESTAMP AS OF`: the latest generation whose
+    * manifest file's modification time is at-or-before the requested
+    * wall-clock (ids break mtime ties — commits are ordered). Loud
+    * before the earliest live generation: pre-creation, or vacuumed.
+    */
+  private def generationAtTimestamp(name: String, micros: Long): String = {
+    val gens = listDir(Paths.get(tablePath(name)))
+      .map(_.getFileName.toString)
+      .filter(_.matches("gen_\\d+"))
+      .map(g => g -> java.nio.file.Files.getLastModifiedTime(
+        Paths.get(tablePath(name)).resolve(g)).toMillis)
+    require(gens.nonEmpty, s"no generations to time-travel to: $name")
+    val tsMillis = Math.floorDiv(micros, 1000L)
+    val at = gens.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(tsMillis)} " +
+        s"precedes the earliest live generation of $name (at " +
+        s"${java.time.Instant.ofEpochMilli(gens.map(_._2).min)}) — " +
+        s"the table did not exist yet, or that history was vacuumed")
+    at.maxBy(g => (g._2, g._1.stripPrefix("gen_").toLong))._1
   }
 
   /** The commit primitive: write the full manifest content to a temp
@@ -4256,6 +4293,7 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
       graft.gateway.MergeRoutes.unregister(n, this)
       graft.gateway.DmlRoutes.unregister(n, this)
       graft.gateway.TimeTravelRoutes.unregister(n, this)
+      graft.gateway.TimeTravelRoutes.unregisterTimestamp(n, this)
     }
     routedNames.clear()
     spec.models.filter(_.materialization == Materialization.View)

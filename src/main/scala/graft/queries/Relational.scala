@@ -380,6 +380,48 @@ object Scans extends QueryGroup {
       finally graft.gateway.TimeTravelRoutes.unregister("sql_tt_tgt")
     }),
 
+    // `TIMESTAMP AS OF` over SQL text: the literal evaluates in the
+    // session timezone and the route resolves it DRIVER-SIDE to the
+    // version at-or-before it (Delta: commit-file mtimes — pinned
+    // here to fixed instants so the key is deterministic), then reuses
+    // the engine's bounded version-pinned read. Requests before the
+    // earliest available commit refuse loudly (pre-creation /
+    // vacuumed history — GatewaySpec + DeltaSpec pin those paths).
+    // Both pinned histories read in ONE statement, same oracle as the
+    // version form.
+    "run_sql_time_travel_ts" -> ((s, d) => {
+      val dir = tmpDir("graft_sql_tt_ts")
+      val cust = Tables.customer(s, d)
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.select(col("c_custkey"), lit(0.0).as("bal")),
+        Seq("c_custkey"))
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_acctbal").as("bal")),
+        Seq("c_custkey"))
+      // pin the commit wall-times (mtime IS Delta's commit timestamp)
+      Seq(0L -> "2024-01-01T00:00:00Z", 1L -> "2024-06-01T00:00:00Z")
+        .foreach { case (v, t) =>
+          java.nio.file.Files.setLastModifiedTime(
+            java.nio.file.Paths.get(dir, "_delta_log", f"$v%020d.json"),
+            java.nio.file.attribute.FileTime.from(
+              java.time.Instant.parse(t))): Unit
+        }
+      graft.gateway.TimeTravelRoutes.registerTimestamp("sql_tt_ts_tgt",
+        (sess, micros) => graft.sources.DeltaRead.readDeltaTable(
+          sess, dir, versionAsOf = Some(graft.sources.DeltaRead
+            .versionAtTimestamp(dir, micros))))
+      try s.sql(
+        """SELECT 0 AS ver, c_custkey, bal
+          |FROM sql_tt_ts_tgt TIMESTAMP AS OF '2024-03-01 00:00:00'
+          |UNION ALL
+          |SELECT 1 AS ver, c_custkey, bal
+          |FROM sql_tt_ts_tgt TIMESTAMP AS OF '2024-07-01 00:00:00'
+          |ORDER BY ver, c_custkey""".stripMargin)
+      finally graft.gateway.TimeTravelRoutes
+        .unregisterTimestamp("sql_tt_ts_tgt")
+    }),
+
     // UPDATE SQL on a published relation: vanilla Spark cannot run
     // UPDATE on v1 tables; DmlRoute compiles the post-image of the
     // matching rows (assignments applied, others kept, cast to the
@@ -989,6 +1031,15 @@ object Scans extends QueryGroup {
 
     // both pinned histories: creation (all zero) and post-merge
     "run_sql_time_travel" ->
+      """SELECT 0 AS ver, c_custkey, 0.0 AS bal FROM customer
+        |UNION ALL
+        |SELECT 1, c_custkey,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END
+        |FROM customer
+        |ORDER BY ver, c_custkey""".stripMargin,
+
+    // timestamp travel resolves to the same two pinned histories
+    "run_sql_time_travel_ts" ->
       """SELECT 0 AS ver, c_custkey, 0.0 AS bal FROM customer
         |UNION ALL
         |SELECT 1, c_custkey,

@@ -710,6 +710,31 @@ object DeltaRead {
     files
   }
 
+  /** `TIMESTAMP AS OF` resolution: the latest version whose commit
+    * file's modification time is at-or-before `micros` — Delta's own
+    * timestamp-travel semantics (commit file modificationTime per
+    * PROTOCOL.md; this writer does not use inCommitTimestamp). Loud
+    * when the timestamp precedes the earliest AVAILABLE commit: the
+    * table did not exist yet, or log cleanup (vacuum) dropped that
+    * history — never a silently-wrong pin.
+    */
+  private[graft] def versionAtTimestamp(path: String, micros: Long): Long = {
+    val log = openLog(path)
+    require(log.commits.nonEmpty, s"empty Delta log: $path")
+    val withTs = log.commits.map(v => v ->
+      java.nio.file.Files.getLastModifiedTime(
+        log.logDir.resolve(f"$v%020d.json")).toMillis)
+    val tsMillis = Math.floorDiv(micros, 1000L)
+    val at = withTs.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(tsMillis)} " +
+        s"precedes the earliest available commit of $path (version " +
+        s"${log.commits.min} at ${java.time.Instant.ofEpochMilli(
+          withTs.map(_._2).min)}) — the table did not exist yet, or " +
+        s"that history was vacuumed")
+    at.map(_._1).max
+  }
+
   /** One live file's log-recorded `stats` JSON + exact partition
     * values in the [[FileSkipping]] domain — the same tri-state
     * pruning input [[readDeltaTable]] builds for reads, exposed for

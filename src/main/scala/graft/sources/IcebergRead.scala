@@ -270,6 +270,59 @@ object IcebergRead {
   /** Driver-side snapshot resolution: schema + live data/delete files
     * (shared with [[IcebergWrite]]'s carry-forward commit logic).
     */
+  /** `TIMESTAMP AS OF` resolution: the latest live snapshot whose
+    * commit time is at-or-before `micros`. A snapshot's commit time
+    * is its `timestamp-ms` when a real writer stamped one; this
+    * engine's own metadata stamps 0 (byte-deterministic fixtures), so
+    * the fallback is the modification time of the FIRST metadata file
+    * whose `current-snapshot-id` introduced it. Loud before the
+    * earliest known snapshot — expired history included
+    * (expireSnapshots drops the entry, so the pin refuses rather than
+    * silently resolving elsewhere).
+    */
+  private[graft] def snapshotIdAtTimestamp(path: String, micros: Long): Long = {
+    val metaDir = java.nio.file.Paths.get(path, "metadata")
+    val meta = JsonMethods.parse(
+      java.nio.file.Files.readString(currentMetadataFile(path)))
+    val snaps: Seq[(Long, Long)] = (meta \ "snapshots").children.flatMap { sj =>
+      for { id <- (sj \ "snapshot-id").extractOpt[Long]
+            ts <- (sj \ "timestamp-ms").extractOpt[Long] } yield (id, ts)
+    }
+    require(snaps.nonEmpty, s"no snapshots to time-travel to: $path")
+    // metadata-file mtime channel for 0-stamped snapshots
+    lazy val introducedAt: Map[Long, Long] = {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.list(metaDir)
+      val files = try w.iterator().asScala
+        .filter(_.getFileName.toString.matches("v\\d+\\.metadata\\.json"))
+        .toSeq.sortBy(_.getFileName.toString.stripPrefix("v")
+          .stripSuffix(".metadata.json").toLong)
+      finally w.close()
+      files.flatMap { f =>
+        val cur = scala.util.Try(JsonMethods.parse(
+          java.nio.file.Files.readString(f))).toOption
+          .flatMap(j => (j \ "current-snapshot-id").extractOpt[Long])
+          .filter(_ != -1L)
+        cur.map(_ ->
+          java.nio.file.Files.getLastModifiedTime(f).toMillis)
+      }.groupBy(_._1).map { case (id, ms) => id -> ms.map(_._2).min }
+    }
+    val commitMs: Seq[(Long, Long)] = snaps.map { case (id, ts) =>
+      id -> (if (ts > 0L) ts else introducedAt.getOrElse(id,
+        sys.error(s"snapshot $id has no timestamp-ms and no " +
+          s"introducing metadata file — cannot time-travel by " +
+          s"timestamp: $path")))
+    }
+    val tsMillis = Math.floorDiv(micros, 1000L)
+    val at = commitMs.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(tsMillis)} " +
+        s"precedes the earliest live snapshot of $path (at " +
+        s"${java.time.Instant.ofEpochMilli(commitMs.map(_._2).min)}) " +
+        s"— the table did not exist yet, or that history expired")
+    at.maxBy(_._2)._1
+  }
+
   private[graft] def snapshotState(path: String,
       snapshotId: Option[Long]): SnapshotState = {
     val meta = JsonMethods.parse(

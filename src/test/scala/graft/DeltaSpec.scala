@@ -1645,4 +1645,39 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq((1L, "old", ts0), (1L, "x", ts2), (2L, "y", ts2)),
       got.toString)
   }
+
+  test("versionAtTimestamp: commit mtimes resolve at-or-before; " +
+      "pre-creation and vacuumed ranges refuse loudly") {
+    val d = dir()
+    DeltaWrite.merge(spark, d, Seq((1L, 0.0)).toDF("id", "bal"), Seq("id"))
+    DeltaWrite.merge(spark, d, Seq((1L, 1.0)).toDF("id", "bal"), Seq("id"))
+    def pin(v: Long, t: String): Unit =
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(d, "_delta_log", f"$v%020d.json"),
+        java.nio.file.attribute.FileTime.from(
+          java.time.Instant.parse(t))): Unit
+    pin(0L, "2024-01-01T00:00:00Z")
+    pin(1L, "2024-06-01T00:00:00Z")
+    def micros(t: String): Long =
+      java.time.Instant.parse(t).toEpochMilli * 1000L
+    assert(DeltaRead.versionAtTimestamp(d, micros("2024-03-01T00:00:00Z")) == 0L)
+    assert(DeltaRead.versionAtTimestamp(d, micros("2024-06-01T00:00:00Z")) == 1L)
+    assert(DeltaRead.versionAtTimestamp(d, micros("2030-01-01T00:00:00Z")) == 1L)
+    val e = intercept[IllegalArgumentException](
+      DeltaRead.versionAtTimestamp(d, micros("2023-01-01T00:00:00Z")))
+    assert(e.getMessage.contains("precedes the earliest"), e.getMessage)
+    // vacuumed history: after checkpoint + log cleanup the early
+    // commits are GONE from the replayable log — a timestamp in the
+    // vacuumed range refuses instead of silently pinning elsewhere
+    (2 to 10).foreach(i => DeltaWrite.merge(spark, d,
+      Seq((1L, i.toDouble)).toDF("id", "bal"), Seq("id")))
+    DeltaWrite.vacuum(spark, d): Unit
+    val log = java.nio.file.Paths.get(d, "_delta_log")
+    assert(!java.nio.file.Files.exists(
+      log.resolve(f"${0L}%020d.json")),
+      "expected vacuum to clean pre-checkpoint commit JSON")
+    val e2 = intercept[IllegalArgumentException](
+      DeltaRead.versionAtTimestamp(d, micros("2024-03-01T00:00:00Z")))
+    assert(e2.getMessage.contains("vacuumed"), e2.getMessage)
+  }
 }

@@ -786,11 +786,24 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
         // Delta versions: 0 = creation, 1 = the second run's merge
         assert(count(
           "SELECT count(*) FROM gw_tt_delta VERSION AS OF 0") == 2L)
-        // TIMESTAMP AS OF stays unrouted — loud (the published name
-        // resolves only through the route, so the error is
-        // not-found, never a silently-current read)
+        // TIMESTAMP AS OF routes too: pin the manifest generations'
+        // commit wall-times (mtime IS the commit timestamp) and the
+        // resolver picks the generation at-or-before the literal
+        Seq("gen_1" -> "2024-01-01T00:00:00Z",
+            "gen_2" -> "2024-06-01T00:00:00Z").foreach { case (g, t) =>
+          java.nio.file.Files.setLastModifiedTime(
+            java.nio.file.Paths.get(wh, "gw_tt", g),
+            java.nio.file.attribute.FileTime.from(
+              java.time.Instant.parse(t))): Unit
+        }
+        assert(count(
+          "SELECT count(*) FROM gw_tt TIMESTAMP AS OF '2024-03-01'") == 2L)
+        assert(count(
+          "SELECT count(*) FROM gw_tt TIMESTAMP AS OF '2024-07-01'") == 4L)
+        // a timestamp BEFORE the table existed refuses loudly —
+        // never a silently-current (or empty) read
         val e = intercept[java.sql.SQLException](st.executeQuery(
-          "SELECT * FROM gw_tt TIMESTAMP AS OF '2024-01-01'"))
+          "SELECT * FROM gw_tt TIMESTAMP AS OF '2023-01-01'"))
         assert(e.getMessage.contains("gw_tt"), e.getMessage)
         // unrouted relation: loud, never a silently-current read
         val e2 = intercept[java.sql.SQLException](st.executeQuery(
@@ -799,10 +812,7 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
       } finally conn.close()
     } finally {
       srv.close()
-      graft.gateway.TimeTravelRoutes.unregister("gw_tt")
-      graft.gateway.TimeTravelRoutes.unregister("gw_tt_delta")
-      graft.gateway.MergeRoutes.unregister("gw_tt_delta")
-      graft.gateway.DmlRoutes.unregister("gw_tt_delta")
+      runner.cleanup()
     }
   }
 

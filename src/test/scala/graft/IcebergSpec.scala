@@ -799,4 +799,36 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
       IcebergWrite.deleteWhere(spark, dp, "id = 1", Seq("id")))
     assert(e.getMessage.contains("partitioned"), e.getMessage)
   }
+
+  test("snapshotIdAtTimestamp: 0-stamped snapshots resolve through " +
+      "their introducing metadata file's mtime; foreign timestamp-ms " +
+      "wins when present; pre-history refuses loudly") {
+    val d = dir()
+    IcebergWrite.merge(spark, d, Seq((1L, 0.0)).toDF("id", "bal"), Seq("id"))
+    IcebergWrite.merge(spark, d, Seq((1L, 1.0)).toDF("id", "bal"), Seq("id"))
+    val metaDir = java.nio.file.Paths.get(d, "metadata")
+    def pin(v: Int, t: String): Unit =
+      java.nio.file.Files.setLastModifiedTime(
+        metaDir.resolve(s"v$v.metadata.json"),
+        java.nio.file.attribute.FileTime.from(
+          java.time.Instant.parse(t))): Unit
+    pin(1, "2024-01-01T00:00:00Z")
+    pin(2, "2024-06-01T00:00:00Z")
+    def micros(t: String): Long =
+      java.time.Instant.parse(t).toEpochMilli * 1000L
+    val early = IcebergRead.snapshotIdAtTimestamp(
+      d, micros("2024-03-01T00:00:00Z"))
+    val late = IcebergRead.snapshotIdAtTimestamp(
+      d, micros("2024-07-01T00:00:00Z"))
+    assert(early != late)
+    val v1 = IcebergRead.readIcebergTable(spark, d,
+      snapshotId = Some(early)).as[(Long, Double)].collect().toSeq
+    assert(v1 == Seq((1L, 0.0)), v1.toString)
+    val v2 = IcebergRead.readIcebergTable(spark, d,
+      snapshotId = Some(late)).as[(Long, Double)].collect().toSeq
+    assert(v2 == Seq((1L, 1.0)), v2.toString)
+    val e = intercept[IllegalArgumentException](
+      IcebergRead.snapshotIdAtTimestamp(d, micros("2023-01-01T00:00:00Z")))
+    assert(e.getMessage.contains("precedes the earliest"), e.getMessage)
+  }
 }

@@ -73,12 +73,19 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
   * side, subqueries, or a handler without support leave the
   * statement unrouted — loud, never a silently-plain merge.
   *
-  * `WHEN MATCHED THEN DELETE` and `WHEN NOT MATCHED BY SOURCE` have
-  * no routed execution (the upsert handler cannot remove rows) and
-  * are deliberately left untouched, as is any unrouted relation —
-  * Spark's own loud unsupported error still surfaces; never a silent
-  * partial merge. dbt never emits either over this wire (snapshot
-  * hard-deletes arrive as `dbt_change_type='delete'` UPDATE rows).
+  * `WHEN MATCHED [AND c] THEN DELETE` routes when the relation has a
+  * registered delete implementation ([[DmlRoutes.Ops.deleteWhere]] —
+  * Delta's DV masking, Iceberg's equality-delete append): the
+  * matched delete rows' keys ship as a bounded keys-in-batch
+  * predicate, executing BEFORE the upsert batch and composing with
+  * routed updates/inserts in one statement (first-matching-action
+  * semantics; an update+delete pair on one key refuses as SQL
+  * MERGE's cardinality violation). Without the capability — or for
+  * `WHEN NOT MATCHED BY SOURCE` — the statement stays untouched, as
+  * does any unrouted relation: Spark's own loud unsupported error
+  * surfaces; never a silent partial merge. dbt never emits these
+  * over this wire (snapshot hard-deletes arrive as
+  * `dbt_change_type='delete'` UPDATE rows).
   *
   * Scale notes: the rewrite is pure name/shape matching during
   * resolution; execution delegates to the registered engine merge,
@@ -257,13 +264,14 @@ case class MergeIntoRoute(session: SparkSession)
 
   // ---- conditional-shape normalization ----------------------------
 
-  /** One routed action: (condition, assignments keyed by LOWERCASE
-    * target column name). A star action normalizes to the analyzer's
-    * own expansion — every target column from the same-named source
-    * column (extra source columns ignored, exactly Spark/Delta
-    * `INSERT *` semantics).
+  /** One routed action: (condition, Some(assignments keyed by
+    * LOWERCASE target column name)) for UPDATE/INSERT, (condition,
+    * None) for a matched DELETE. A star action normalizes to the
+    * analyzer's own expansion — every target column from the
+    * same-named source column (extra source columns ignored, exactly
+    * Spark/Delta `INSERT *` semantics).
     */
-  private type Norm = (Option[Expression], Map[String, Expression])
+  private type Norm = (Option[Expression], Option[Map[String, Expression]])
 
   private def normalizeActions(actions: Seq[MergeAction],
       target: LogicalPlan, source: LogicalPlan,
@@ -305,18 +313,38 @@ case class MergeIntoRoute(session: SparkSession)
 
     val normed: Seq[Option[Norm]] = actions.map {
       case UpdateStarAction(c) if updateSide && condOk(c) =>
-        star.map(c -> _)
+        star.map(m => c -> Some(m))
       case UpdateAction(c, assigns, _) if updateSide && condOk(c) =>
-        explicit(assigns).map(c -> _)
+        explicit(assigns).map(m => c -> Some(m))
       case InsertStarAction(c) if !updateSide && condOk(c) =>
-        star.map(c -> _)
+        star.map(m => c -> Some(m))
       case InsertAction(c, assigns) if !updateSide && condOk(c) =>
-        explicit(assigns).map(c -> _)
-      case _: DeleteAction => None // no routed delete — loud path
+        explicit(assigns).map(m => c -> Some(m))
+      // WHEN MATCHED [AND c] THEN DELETE routes onto the relation's
+      // registered delete implementation (the route only fires when
+      // one exists — see deleteCapability); NOT MATCHED BY SOURCE
+      // actions arrive on their own list and stay loud
+      case DeleteAction(c) if updateSide && condOk(c) =>
+        Some(c -> None)
       case _ => None
     }
     if (normed.exists(_.isEmpty)) None else Some(normed.flatten)
   }
+
+  /** The delete implementation a matched-DELETE-bearing merge routes
+    * through ([[DmlRoutes.Ops.deleteWhere]] — Delta's DV masking,
+    * Iceberg's equality-delete append). `Some(None)` = no delete
+    * action, nothing needed; `None` = a delete action with no
+    * registered capability — leave the statement to Spark's own loud
+    * error, never a partial merge.
+    */
+  private def deleteCapability(name: String, matched: Seq[Norm])
+      : Option[Option[(SparkSession, String) => Long]] =
+    if (!matched.exists(_._2.isEmpty)) Some(None)
+    else DmlRoutes.lookup(name).flatMap(_.deleteWhere) match {
+      case Some(f) => Some(Some(f))
+      case None => None
+    }
 
   /** Residual ON conjuncts → the SQL text the handler's merge
     * re-binds against its own table scan. `Some(None)` = no residual
@@ -386,8 +414,9 @@ case class MergeIntoRoute(session: SparkSession)
             updateSide = true)
           notMatched <- normalizeActions(notMatchedActs, target, source,
             updateSide = false)
+          deleteWhere <- deleteCapability(name, matched)
         } yield GraftConditionalMergeCommand(name, keys, target, source,
-          cond, matched, notMatched, handler))
+          cond, matched, notMatched, handler, deleteWhere))
           .getOrElse(m)
     }
 }
@@ -456,9 +485,10 @@ case class GraftMergeIntoCommand(relation: String, keys: Seq[String],
 case class GraftConditionalMergeCommand(relation: String,
     keys: Seq[String], target: LogicalPlan, source: LogicalPlan,
     joinCond: Expression,
-    matched: Seq[(Option[Expression], Map[String, Expression])],
-    notMatched: Seq[(Option[Expression], Map[String, Expression])],
-    handler: MergeRoutes.Handler)
+    matched: Seq[(Option[Expression], Option[Map[String, Expression]])],
+    notMatched: Seq[(Option[Expression], Option[Map[String, Expression]])],
+    handler: MergeRoutes.Handler,
+    deleteWhere: Option[(SparkSession, String) => Long])
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -485,9 +515,9 @@ case class GraftConditionalMergeCommand(relation: String,
     // value-preserving under the ON equality); any other key
     // assignment would DUPLICATE the row through the upsert instead
     // of relocating it, so refuse loudly (mirrors GraftUpdateCommand)
-    matched.foreach { case (_, assigns) =>
+    matched.foreach { case (_, assignsOpt) =>
       keys.foreach { k =>
-        assigns.get(lc(k)).foreach { v =>
+        assignsOpt.flatMap(_.get(lc(k))).foreach { v =>
           require(RouteNames.nameOf(v).exists(_.equalsIgnoreCase(k)),
             s"MERGE INTO $relation: matched UPDATE assigns unique-key " +
               s"column '$k' an expression other than the same-named " +
@@ -499,68 +529,155 @@ case class GraftConditionalMergeCommand(relation: String,
     val targetCol: Map[String, Column] =
       target.output.map(a => lc(a.name) -> column(a)).toMap
 
-    // first-matching-action post-image over `rows`; `base` is the
-    // unassigned-column value (target column for updates, NULL for
-    // inserts)
-    def postImage(rows: DataFrame,
-        actions: Seq[(Option[Expression], Map[String, Expression])],
-        base: org.apache.spark.sql.types.StructField => Column): DataFrame = {
-      val conds = actions.map(_._1.map(column).getOrElse(lit(true)))
-      val projected = fields.map { f =>
-        val branches = actions.zip(conds).map { case ((_, assigns), c) =>
-          c -> assigns.get(lc(f.name)).map(column).getOrElse(base(f))
-        }
-        branches.drop(1)
-          .foldLeft(when(branches.head._1, branches.head._2)) {
-            case (acc, (c, v)) => acc.when(c, v)
-          }
-          .otherwise(base(f)) // unreachable: rows are pre-filtered
-          .cast(f.dataType).as(f.name)
-      }
-      rows.filter(conds.reduce(_ || _)).select(projected: _*)
-    }
-
-    val updated =
+    // FIRST-MATCHING-ACTION classification over the matched join:
+    // __graft_act = index of the first matched action whose condition
+    // holds for the (target, source) pair; null = untouched
+    val updateIdx = matched.zipWithIndex.collect {
+      case ((_, Some(_)), i) => i }
+    val deleteIdx = matched.zipWithIndex.collect {
+      case ((_, None), i) => i }
+    val joined: Option[DataFrame] =
       if (matched.isEmpty) None
-      else Some(postImage(t.join(s, on, "inner"), matched,
-        f => targetCol(lc(f.name))))
+      else {
+        val conds = matched.map(_._1.map(column).getOrElse(lit(true)))
+        val act = conds.zipWithIndex.drop(1)
+          .foldLeft(when(conds.head, lit(0))) {
+            case (acc, (c, i)) => acc.when(c, lit(i))
+          }
+        val j = t.join(s, on, "inner").withColumn("__graft_act", act)
+        // the join feeds the update leg AND the delete-key collect —
+        // pin it once when both consume it
+        Some(if (deleteIdx.nonEmpty && updateIdx.nonEmpty)
+          j.localCheckpoint() else j)
+      }
+
+    val updated: Option[DataFrame] =
+      if (updateIdx.isEmpty) None
+      else joined.map { j =>
+        val projected = fields.map { f =>
+          val branches = updateIdx.map { i =>
+            (org.apache.spark.sql.functions.col("__graft_act") ===
+              lit(i)) ->
+              matched(i)._2.get.get(lc(f.name)).map(column)
+                .getOrElse(targetCol(lc(f.name)))
+          }
+          branches.drop(1)
+            .foldLeft(when(branches.head._1, branches.head._2)) {
+              case (acc, (c, v)) => acc.when(c, v)
+            }
+            .otherwise(targetCol(lc(f.name))) // unreachable: filtered
+            .cast(f.dataType).as(f.name)
+        }
+        j.filter(org.apache.spark.sql.functions.col("__graft_act")
+            .isin(updateIdx: _*))
+          .select(projected: _*)
+      }
+
     // the anti-probe needs only the target's KEY columns — selecting
     // the key attributes keeps their exprIds so the ON condition
     // still binds, and the probe never scans non-key target columns
     val keyAttrs = target.output.filter(a =>
       keys.exists(_.equalsIgnoreCase(a.name)))
-    val inserted =
+
+    // matched DELETE rows: their target keys, collected bounded (the
+    // delete ships as a keys-in-batch predicate to the registered
+    // selective-delete implementation — mass deletes should DELETE
+    // FROM / rewrite instead)
+    val maxDeleteKeys = 100000
+    val deletedKeys: Seq[Seq[Any]] =
+      if (deleteIdx.isEmpty) Nil
+      else joined.map { j =>
+        val rows = j.filter(org.apache.spark.sql.functions
+            .col("__graft_act").isin(deleteIdx: _*))
+          .select(keyAttrs.map(column): _*).distinct()
+          .limit(maxDeleteKeys + 1).collect()
+        require(rows.length <= maxDeleteKeys,
+          s"MERGE INTO $relation: more than $maxDeleteKeys matched " +
+            s"DELETE keys — the routed delete is selective; use " +
+            s"DELETE FROM or a rewrite for mass deletes")
+        rows.map(_.toSeq).toSeq
+      }.getOrElse(Nil)
+    def litSql(v: Any, dt: org.apache.spark.sql.types.DataType): String =
+      org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt).sql
+    def deletePredicate(rows: Seq[Seq[Any]]): String =
+      if (keyAttrs.size == 1)
+        s"`${keyAttrs.head.name}` IN (" + rows.map(r =>
+          litSql(r.head, keyAttrs.head.dataType)).mkString(", ") + ")"
+      else rows.map(r => keyAttrs.zip(r).map { case (a, v) =>
+        s"(`${a.name}` = ${litSql(v, a.dataType)})" }
+        .mkString("(", " AND ", ")")).mkString(" OR ")
+
+    val inserted: Option[DataFrame] =
       if (notMatched.isEmpty) None
-      else Some(postImage(
-        s.join(t.select(keyAttrs.map(column): _*), on, "left_anti"),
-        notMatched, f => lit(null)))
+      else {
+        val conds = notMatched.map(_._1.map(column).getOrElse(lit(true)))
+        val rows = s.join(t.select(keyAttrs.map(column): _*), on,
+          "left_anti")
+        val projected = fields.map { f =>
+          val branches = notMatched.zip(conds).map {
+            case ((_, assigns), c) =>
+              c -> assigns.get.get(lc(f.name)).map(column)
+                .getOrElse(lit(null))
+          }
+          branches.drop(1)
+            .foldLeft(when(branches.head._1, branches.head._2)) {
+              case (acc, (c, v)) => acc.when(c, v)
+            }
+            .otherwise(lit(null)) // unreachable: rows are pre-filtered
+            .cast(f.dataType).as(f.name)
+        }
+        Some(rows.filter(conds.reduce(_ || _)).select(projected: _*))
+      }
 
     // materialize the post-image once — the cardinality check AND the
     // engine merge both consume it, and its lineage (two joins over
     // target+source) is not free to re-run
-    val batch = ((updated, inserted) match {
-      case (Some(u), Some(i)) => u.unionByName(i)
-      case (Some(u), None) => u
-      case (None, Some(i)) => i
-      case (None, None) => sys.error(
-        s"MERGE INTO $relation: no routable actions") // unreachable
-    }).localCheckpoint()
+    val batchOpt = ((updated, inserted) match {
+      case (Some(u), Some(i)) => Some(u.unionByName(i))
+      case (Some(u), None) => Some(u)
+      case (None, Some(i)) => Some(i)
+      case (None, None) => None // delete-only merge
+    }).map(_.localCheckpoint())
+    require(batchOpt.nonEmpty || deletedKeys.nonEmpty || deleteIdx.nonEmpty,
+      s"MERGE INTO $relation: no routable actions") // unreachable
     // SQL MERGE's multiple-match rule: a unique key may appear at
-    // most once in the post-image batch — two source rows matching
-    // one target row (or colliding insert keys) would otherwise
-    // silently break the target's key invariant through the upsert
-    val keyCols = keys.map(k =>
-      batch.columns.find(_.equalsIgnoreCase(k)).getOrElse(k))
-    val dup = batch
-      .groupBy(keyCols.map(c =>
-        org.apache.spark.sql.functions.col(s"`$c`")): _*)
-      .count()
-      .filter(org.apache.spark.sql.functions.col("count") > 1)
-      .limit(1).count() > 0
-    require(!dup,
-      s"MERGE INTO $relation: multiple source rows matched one " +
-        s"target key (or duplicate insert keys) — refusing a " +
-        s"duplicate-key upsert")
-    Seq(Row(handler(sparkSession, batch, keys)))
+    // most once across the post-image batch AND the delete set — two
+    // source rows matching one target row (or colliding insert keys,
+    // or an update+delete pair on one key) would otherwise silently
+    // break the target's key invariant
+    batchOpt.foreach { batch =>
+      val keyCols = keys.map(k =>
+        batch.columns.find(_.equalsIgnoreCase(k)).getOrElse(k))
+      val dup = batch
+        .groupBy(keyCols.map(c =>
+          org.apache.spark.sql.functions.col(s"`$c`")): _*)
+        .count()
+        .filter(org.apache.spark.sql.functions.col("count") > 1)
+        .limit(1).count() > 0
+      require(!dup,
+        s"MERGE INTO $relation: multiple source rows matched one " +
+          s"target key (or duplicate insert keys) — refusing a " +
+          s"duplicate-key upsert")
+      if (deletedKeys.nonEmpty) {
+        val overlap = batch.filter(org.apache.spark.sql.functions
+            .expr(deletePredicate(deletedKeys)))
+          .limit(1).count() > 0
+        require(!overlap,
+          s"MERGE INTO $relation: a unique key is both deleted and " +
+            s"updated/inserted by this statement (multiple matched " +
+            s"source rows) — SQL MERGE's cardinality violation")
+      }
+    }
+    // deletes first (they address pre-merge files — DV masking /
+    // equality deletes), then the upsert batch through the handler
+    val nDeleted =
+      if (deletedKeys.isEmpty) 0L
+      else deleteWhere.getOrElse(sys.error(
+        s"MERGE INTO $relation: delete action routed without a " +
+          s"delete capability")) // unreachable: deleteCapability gate
+        .apply(sparkSession, deletePredicate(deletedKeys))
+    val nMerged = batchOpt.map(handler(sparkSession, _, keys))
+      .getOrElse(0L)
+    Seq(Row(nDeleted + nMerged))
   }
 }

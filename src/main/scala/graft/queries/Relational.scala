@@ -380,6 +380,62 @@ object Scans extends QueryGroup {
       finally graft.gateway.TimeTravelRoutes.unregister("sql_tt_tgt")
     }),
 
+    // MERGE with a `WHEN MATCHED ... THEN DELETE` leg: the matched
+    // delete rows' keys ship as a bounded keys-in-batch predicate to
+    // the relation's registered delete implementation — here Delta's
+    // deletion-vector MERGE-ON-READ delete (rows MASKED, no data file
+    // rewritten) — executing before, and composing with, the routed
+    // update/insert legs in ONE statement (first-matching-action
+    // semantics). The oracle replays the same statement as the
+    // equivalent anti-join + conditional projection.
+    "run_sql_merge_delete" -> ((s, d) => {
+      val dir = tmpDir("graft_sql_merge_del")
+      val cust = Tables.customer(s, d)
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").as("bal")),
+        Seq("c_custkey"))
+      graft.sources.DeltaRead.readDeltaTable(s, dir)
+        .createOrReplaceTempView("sql_merge_del_tgt")
+      graft.gateway.MergeRoutes.register("sql_merge_del_tgt",
+        (sess, batch, keys) =>
+          graft.sources.DeltaWrite.merge(sess, dir, batch, keys))
+      graft.gateway.DmlRoutes.register("sql_merge_del_tgt",
+        graft.gateway.DmlRoutes.Ops(Seq("c_custkey"),
+          deleteWhere = Some((sess, predicateSql) =>
+            graft.sources.DeltaWrite.deleteWhere(sess, dir, predicateSql))))
+      // source: %4=0 keys delete, %4=1 keys double, fresh shifted
+      // keys (%10=2) insert
+      cust.filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          lit(0.0).as("bal"), lit("del").as("op"))
+        .unionByName(cust.filter(col("c_custkey") % 4 === 1)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            (col("c_acctbal") * 2).as("bal"), lit("upd").as("op")))
+        .unionByName(cust.filter(col("c_custkey") % 10 === 2)
+          .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+            col("c_mktsegment"), col("c_acctbal").as("bal"),
+            lit("ins").as("op")))
+        .createOrReplaceTempView("sql_merge_del_src")
+      try s.sql(
+        """MERGE INTO sql_merge_del_tgt AS DBT_INTERNAL_DEST
+          |USING sql_merge_del_src AS DBT_INTERNAL_SOURCE
+          |ON DBT_INTERNAL_DEST.c_custkey = DBT_INTERNAL_SOURCE.c_custkey
+          |WHEN MATCHED AND DBT_INTERNAL_SOURCE.op = 'del' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET bal = DBT_INTERNAL_SOURCE.bal
+          |WHEN NOT MATCHED THEN INSERT (c_custkey, c_mktsegment, bal)
+          |  VALUES (DBT_INTERNAL_SOURCE.c_custkey,
+          |          DBT_INTERNAL_SOURCE.c_mktsegment,
+          |          DBT_INTERNAL_SOURCE.bal)""".stripMargin).collect()
+      finally {
+        graft.gateway.MergeRoutes.unregister("sql_merge_del_tgt")
+        graft.gateway.DmlRoutes.unregister("sql_merge_del_tgt")
+        s.catalog.dropTempView("sql_merge_del_tgt")
+        s.catalog.dropTempView("sql_merge_del_src")
+      }
+      graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
+    }),
+
     // `TIMESTAMP AS OF` over SQL text: the literal evaluates in the
     // session timezone and the route resolves it DRIVER-SIDE to the
     // version at-or-before it (Delta: commit-file mtimes — pinned
@@ -1037,6 +1093,18 @@ object Scans extends QueryGroup {
         |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END
         |FROM customer
         |ORDER BY ver, c_custkey""".stripMargin,
+
+    // the delete+update+insert merge equals the anti-join + merge SQL
+    "run_sql_merge_delete" ->
+      """SELECT c_custkey, c_mktsegment, bal FROM (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 4 = 1 THEN c_acctbal * 2
+        |         ELSE c_acctbal END AS bal
+        |  FROM customer WHERE c_custkey % 4 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 10 = 2
+        |) ORDER BY c_custkey""".stripMargin,
 
     // timestamp travel resolves to the same two pinned histories
     "run_sql_time_travel_ts" ->

@@ -971,4 +971,105 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
       runner.cleanup()
     }
   }
+
+  test("MERGE matched-DELETE leg: routes onto the DV delete (data " +
+      "files byte-identical), composes with update+insert in one " +
+      "statement, update+delete on one key refuses (cardinality), " +
+      "and a relation without delete capability stays loud") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"))
+    val d = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"),
+      "merge_del").toString
+    graft.sources.DeltaWrite.merge(spark, d,
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+        .toDF("id", "bal"),
+      Seq("id"), buckets = 2)
+    def dataFiles(): Map[String, Array[Byte]] = {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+      try w.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.getFileName.toString ->
+          java.nio.file.Files.readAllBytes(f)).toMap
+      finally w.close()
+    }
+    val before = dataFiles()
+    graft.sources.DeltaRead.readDeltaTable(spark, d)
+      .createOrReplaceTempView("gw_mdel")
+    graft.gateway.MergeRoutes.register("gw_mdel",
+      (sess, batch, keys) =>
+        graft.sources.DeltaWrite.merge(sess, d, batch, keys))
+    graft.gateway.DmlRoutes.register("gw_mdel",
+      graft.gateway.DmlRoutes.Ops(Seq("id"),
+        deleteWhere = Some((sess, predicateSql) =>
+          graft.sources.DeltaWrite.deleteWhere(sess, d, predicateSql))))
+    try {
+      spark.sql("""CREATE OR REPLACE TEMPORARY VIEW gw_mdel_src AS
+        |SELECT * FROM VALUES
+        |  (1L, 0.0, 'del'), (2L, 99.0, 'upd'), (9L, 9.0, 'ins')
+        |AS t(id, bal, op)""".stripMargin)
+      spark.sql(
+        """MERGE INTO gw_mdel AS DBT_INTERNAL_DEST
+          |USING gw_mdel_src AS DBT_INTERNAL_SOURCE
+          |ON DBT_INTERNAL_DEST.id = DBT_INTERNAL_SOURCE.id
+          |WHEN MATCHED AND DBT_INTERNAL_SOURCE.op = 'del' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET bal = DBT_INTERNAL_SOURCE.bal
+          |WHEN NOT MATCHED THEN INSERT (id, bal)
+          |  VALUES (DBT_INTERNAL_SOURCE.id, DBT_INTERNAL_SOURCE.bal)
+          |""".stripMargin).collect()
+      val got = graft.sources.DeltaRead.readDeltaTable(spark, d)
+        .orderBy("id").as[(Long, Double)].collect().toSeq
+      assert(got == Seq((2L, 99.0), (3L, 30.0), (4L, 40.0), (9L, 9.0)),
+        got.toString)
+      // the delete leg was a DV commit: every pre-merge data file is
+      // byte-identical (the update/insert legs add rewrite+upsert
+      // files but never touch the deleted row's file in place)
+      val after = dataFiles()
+      // id 1's file was rewritten only if id 2 shared it; the DELETE
+      // itself must not rewrite — assert the DV path ran by checking
+      // a deletion-vector file exists
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(d))
+        .filter(f => f.getFileName.toString.startsWith("deletion_vector")
+          || f.getFileName.toString.endsWith(".bin")).count() >= 1 ||
+        after.keys.exists(_.contains("deletion")),
+        s"no deletion-vector artifact written: ${after.keys.toSeq}")
+      before.keys.foreach(f => assert(
+        after.get(f).exists(_.sameElements(before(f))),
+        s"pre-merge data file $f was rewritten or removed in place"))
+      // update+delete hitting ONE key (two source rows) refuses as
+      // SQL MERGE's cardinality violation
+      spark.sql("""CREATE OR REPLACE TEMPORARY VIEW gw_mdel_src2 AS
+        |SELECT * FROM VALUES (3L, 0.0, 'del'), (3L, 7.0, 'upd')
+        |AS t(id, bal, op)""".stripMargin)
+      val e = intercept[Exception](spark.sql(
+        """MERGE INTO gw_mdel AS DBT_INTERNAL_DEST
+          |USING gw_mdel_src2 AS DBT_INTERNAL_SOURCE
+          |ON DBT_INTERNAL_DEST.id = DBT_INTERNAL_SOURCE.id
+          |WHEN MATCHED AND DBT_INTERNAL_SOURCE.op = 'del' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET bal = DBT_INTERNAL_SOURCE.bal
+          |""".stripMargin).collect())
+      assert(e.getMessage.contains("deleted and updated") ||
+        e.getMessage.contains("cardinality"), e.getMessage)
+      // without a delete capability the statement is NOT routed:
+      // Spark's own loud unsupported error, never a partial merge
+      graft.gateway.DmlRoutes.unregister("gw_mdel")
+      val e2 = intercept[Exception](spark.sql(
+        """MERGE INTO gw_mdel AS DBT_INTERNAL_DEST
+          |USING gw_mdel_src AS DBT_INTERNAL_SOURCE
+          |ON DBT_INTERNAL_DEST.id = DBT_INTERNAL_SOURCE.id
+          |WHEN MATCHED AND DBT_INTERNAL_SOURCE.op = 'del' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET bal = DBT_INTERNAL_SOURCE.bal
+          |""".stripMargin).collect())
+      assert(!e2.getMessage.contains("deleted and updated"), e2.getMessage)
+    } finally {
+      graft.gateway.MergeRoutes.unregister("gw_mdel")
+      graft.gateway.DmlRoutes.unregister("gw_mdel")
+      spark.catalog.dropTempView("gw_mdel")
+      spark.catalog.dropTempView("gw_mdel_src")
+      spark.catalog.dropTempView("gw_mdel_src2")
+    }
+  }
 }

@@ -112,6 +112,24 @@ object DbtTranscript {
        |when not matched then insert *""".stripMargin,
     s"drop view if exists ${name}__dbt_tmp")
 
+  /** `incremental` merge + `on_schema_change: append_new_columns`:
+    * when the staged select grew columns, dbt diffs the schemas and
+    * emits `spark__alter_relation_add_remove_columns`'s ALTER before
+    * the same merge — [[SchemaDdlRoute]] lands it on the engine's
+    * schema evolution, then [[MergeIntoRoute]] routes the merge as
+    * usual (whose batch now matches the widened table exactly).
+    * `newColumns` = (name, SQL type) pairs, dbt's rendering.
+    */
+  def mergeEvolvingRun(target: String, name: String, select: String,
+      uniqueKey: Seq[String],
+      newColumns: Seq[(String, String)]): Seq[String] = {
+    val merge = mergeRun(target, name, select, uniqueKey)
+    merge.take(1) ++
+      Seq(s"alter table $target add columns (" +
+        newColumns.map { case (n, t) => s"$n $t" }.mkString(", ") + ")") ++
+      merge.drop(1)
+  }
+
   /** The dbt SNAPSHOT staging select for the `timestamp` strategy —
     * the semantics of dbt-core's `snapshot_staging_table` macro
     * (insertions = new keys ∪ re-opened changed keys; updates =

@@ -53,6 +53,10 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // SELECT ... VERSION AS OF on routed relations (engine snapshot
     // readers) — see TimeTravelRoute.scala
     ext.injectResolutionRule(TimeTravelRoute)
+    // ALTER TABLE ... ADD COLUMNS on routed relations (the engine's
+    // schema evolution; dbt's on_schema_change=append_new_columns
+    // wire statement) — see SchemaDdlRoute.scala
+    ext.injectResolutionRule(SchemaDdlRoute)
   }
 }
 

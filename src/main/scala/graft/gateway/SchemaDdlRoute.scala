@@ -1,0 +1,108 @@
+package graft.gateway
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, LogicalPlan, QualifiedColType}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.StructField
+
+/** `ALTER TABLE <relation> ADD COLUMNS (...)` routed onto the
+  * engine's schema evolution.
+  *
+  * dbt-spark's `on_schema_change: append_new_columns` emits exactly
+  * this statement before the incremental insert when a model's
+  * SELECT grew a column — vanilla Spark cannot execute it against
+  * the engine's published relations (they are views over
+  * Delta/Iceberg/manifest state). For relations with a registered
+  * route the statement lands on the same evolution machinery the
+  * merge path uses: a metaData-only Delta commit / schema-only
+  * Iceberg snapshot with fresh field ids / a manifest republish with
+  * the widened `#schema:` header — in every case carried data files
+  * surface NULL for the new columns via schema-on-read.
+  *
+  * Routed shape: TOP-LEVEL columns only, no position clause, no
+  * default value (dbt emits none of those). Anything else — nested
+  * paths, FIRST/AFTER, defaults, an unrouted relation — stays with
+  * Spark's own loud error; never a silent partial DDL.
+  *
+  * Scale notes: pure metadata — no data job runs; cost is one
+  * log/metadata commit regardless of table size.
+  */
+object DdlRoutes {
+
+  /** (session, appended top-level fields) — widens the table schema. */
+  type AddColumnsHandler = (SparkSession, Seq[StructField]) => Unit
+
+  private val routes = new RouteRegistry[AddColumnsHandler]
+
+  def register(relation: String, handler: AddColumnsHandler): Unit =
+    routes.register(relation, handler)
+
+  /** Owned registration — see [[RouteRegistry]]'s ownership rules. */
+  def register(relation: String, owner: AnyRef,
+      handler: AddColumnsHandler): Unit =
+    routes.register(relation, owner, handler)
+
+  def unregister(relation: String): Unit = routes.unregister(relation)
+
+  def unregister(relation: String, owner: AnyRef): Unit =
+    routes.unregister(relation, owner)
+
+  def lookup(relation: String): Option[AddColumnsHandler] =
+    routes.lookup(relation)
+}
+
+/** See [[DdlRoutes]]. The target arrives as an [[UnresolvedTable]]:
+  * published relations are global temp views, which Spark's own
+  * ALTER TABLE resolution rejects — so a routed name is matched
+  * while still unresolved, exactly like the other routing rules.
+  */
+case class SchemaDdlRoute(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case a @ AddColumns(u: UnresolvedTable, cols) =>
+        (for {
+          handler <- DdlRoutes.lookup(RouteNames.demangle(
+            u.multipartIdentifier.mkString(".")))
+          fields <- fieldsOf(cols)
+        } yield GraftAddColumnsCommand(
+          u.multipartIdentifier.mkString("."), fields, handler))
+          .getOrElse(a)
+    }
+
+  /** The routed column shape: top-level, no position, no default.
+    * None leaves the statement to Spark's own error.
+    */
+  private def fieldsOf(cols: Seq[QualifiedColType])
+      : Option[Seq[StructField]] = {
+    val fields = cols.map {
+      case QualifiedColType(None, name, dt, nullable, comment,
+          None, None) =>
+        val meta = comment.fold(org.apache.spark.sql.types.Metadata.empty)(
+          c => new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("comment", c).build())
+        Some(StructField(name, dt, nullable, meta))
+      case _ => None
+    }
+    if (fields.exists(_.isEmpty)) None else Some(fields.flatten)
+  }
+}
+
+/** The routed ALTER as an eagerly-executed command (empty output,
+  * like Spark's own DDL).
+  */
+case class GraftAddColumnsCommand(relation: String,
+    fields: Seq[StructField], handler: DdlRoutes.AddColumnsHandler)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    handler(sparkSession, fields)
+    Nil
+  }
+}

@@ -1067,6 +1067,7 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
       df.createOrReplaceGlobalTempView(sessionViewName(name))
       registerMergeRoute(name)
       registerTimeTravelRoute(name)
+      registerDdlRoute(name)
     } catch {
       case e: Exception => logger.log(LogLevel.WARNING,
         s"session view for $name not registered: ${e.getMessage}")
@@ -1208,6 +1209,35 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
             snapshotId = Some(graft.sources.IcebergRead
               .snapshotIdAtTimestamp(tablePath(name), micros)))
         else readTableAt(name, generationAtTimestamp(name, micros)))
+  }
+
+  /** `ALTER TABLE <name> ADD COLUMNS (...)` over SQL/Thrift → the
+    * engine's schema evolution (metaData-only Delta commit /
+    * schema-only Iceberg snapshot / manifest republish with the
+    * widened `#schema:` header). dbt-spark's
+    * `on_schema_change: append_new_columns` emits exactly this before
+    * the incremental insert. Registered for every published table.
+    */
+  private def registerDdlRoute(name: String): Unit = {
+    routedNames.add(name): Unit
+    graft.gateway.DdlRoutes.register(name, this, (s, fields) => {
+      if (isDeltaTable(name))
+        graft.sources.DeltaWrite.addColumns(s, tablePath(name), fields)
+      else if (isIcebergTable(name))
+        graft.sources.IcebergWrite.addColumns(s, tablePath(name), fields)
+      else {
+        val stored = currentSchema(name).getOrElse(sys.error(
+          s"ALTER TABLE $name: no published schema"))
+        fields.foreach(f => require(
+          !stored.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+          s"ALTER TABLE $name: column ${f.name} already exists"))
+        publishManifest(name, currentManifest(name).getOrElse(sys.error(
+          s"ALTER TABLE $name: no published manifest")),
+          StructType(stored.fields ++ fields.map(_.copy(nullable = true))))
+      }
+      // the published views must re-resolve the widened schema
+      registerSessionView(name)
+    })
   }
 
   /** Manifest-table `TIMESTAMP AS OF`: the latest generation whose
@@ -4294,6 +4324,7 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
       graft.gateway.DmlRoutes.unregister(n, this)
       graft.gateway.TimeTravelRoutes.unregister(n, this)
       graft.gateway.TimeTravelRoutes.unregisterTimestamp(n, this)
+      graft.gateway.DdlRoutes.unregister(n, this)
     }
     routedNames.clear()
     spec.models.filter(_.materialization == Materialization.View)

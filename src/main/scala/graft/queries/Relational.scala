@@ -380,6 +380,39 @@ object Scans extends QueryGroup {
       finally graft.gateway.TimeTravelRoutes.unregister("sql_tt_tgt")
     }),
 
+    // `ALTER TABLE ... ADD COLUMNS` over SQL text (dbt-spark's
+    // on_schema_change=append_new_columns wire statement):
+    // SchemaDdlRoute lands it on the engine's schema evolution — one
+    // metaData-only Delta commit widening the schema, carried files
+    // surfacing NULL via schema-on-read — and the FOLLOW-UP merge
+    // batch then matches the widened table exactly (no allowEvolution
+    // needed), proving the ALTER took effect. Old rows read NULL in
+    // the new column; merged rows carry it.
+    "run_sql_alter_add_columns" -> ((s, d) => {
+      val dir = tmpDir("graft_sql_alter_cols")
+      val cust = Tables.customer(s, d)
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          lit(0.0).as("bal")),
+        Seq("c_custkey"))
+      // NOTE no LOCAL temp view: Spark's own ALTER TABLE resolution
+      // rejects views before injected rules run — published names
+      // reach SchemaDdlRoute unresolved (the Thrift path), same as
+      // time travel
+      graft.gateway.DdlRoutes.register("sql_alter_tgt",
+        (sess, fields) =>
+          graft.sources.DeltaWrite.addColumns(sess, dir, fields))
+      try s.sql(
+        "ALTER TABLE sql_alter_tgt ADD COLUMNS (note STRING)").collect()
+      finally graft.gateway.DdlRoutes.unregister("sql_alter_tgt")
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").as("bal"), lit("updated").as("note")),
+        Seq("c_custkey"))
+      graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
+    }),
+
     // MERGE with a `WHEN MATCHED ... THEN DELETE` leg: the matched
     // delete rows' keys ship as a bounded keys-in-batch predicate to
     // the relation's registered delete implementation — here Delta's
@@ -1093,6 +1126,13 @@ object Scans extends QueryGroup {
         |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END
         |FROM customer
         |ORDER BY ver, c_custkey""".stripMargin,
+
+    // the widened table: old rows NULL in the new column
+    "run_sql_alter_add_columns" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal,
+        |  CASE WHEN c_custkey % 3 = 0 THEN 'updated' END AS note
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // the delete+update+insert merge equals the anti-join + merge SQL
     "run_sql_merge_delete" ->

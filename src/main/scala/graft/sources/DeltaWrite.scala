@@ -736,6 +736,37 @@ object DeltaWrite {
     n
   }
 
+  /** `ALTER TABLE ... ADD COLUMNS`: one metaData-only commit
+    * appending nullable top-level columns; carried data files surface
+    * NULL for them via parquet schema-on-read — the same evolution
+    * contract as merge's allowEvolution. Column-mapped tables refuse
+    * (new columns need fresh field ids). dbt-spark's
+    * `on_schema_change: append_new_columns` emits exactly this
+    * statement before the incremental insert.
+    */
+  def addColumns(spark: org.apache.spark.sql.SparkSession, dir: String,
+      fields: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    require(fields.nonEmpty, "ADD COLUMNS needs at least one column")
+    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
+    require(java.nio.file.Files.isDirectory(logDir),
+      s"not a Delta table: $dir")
+    val geom = DeltaRead.mergeGeometry(spark, dir)
+    require(!geom.mapped,
+      s"ADD COLUMNS on a column-mapped table is unsupported (new " +
+        s"columns need fresh field ids): $dir")
+    val schema = DeltaRead.tableSchema(spark, dir)
+    fields.foreach(f => require(
+      !schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+      s"ADD COLUMNS: column ${f.name} already exists: $dir"))
+    val version = DeltaRead.latestVersion(dir) + 1
+    requireNextVersion(dir, version)
+    writeCommitFile(dir, version, Seq(metaDataLine(
+      org.apache.spark.sql.types.StructType(
+        schema.fields ++ fields.map(_.copy(nullable = true))),
+      DeltaRead.partitionColumns(spark, dir),
+      DeltaRead.tableConfiguration(spark, dir))))
+  }
+
   def merge(spark: org.apache.spark.sql.SparkSession, dir: String,
       batch0: DataFrame, uniqueKey: Seq[String], buckets: Int = 8,
       enableCdf: Boolean = false,

@@ -204,6 +204,24 @@ object IcebergWrite {
     * Returns the new snapshot id. Timestamps are fixed at 0 so
     * fixtures are byte-deterministic.
     */
+  /** `ALTER TABLE ... ADD COLUMNS`: one schema-only snapshot
+    * appending nullable top-level columns with FRESH field ids (the
+    * same evolution path merge's allowEvolution uses); carried data
+    * files surface NULL for them via schema-on-read. dbt-spark's
+    * `on_schema_change: append_new_columns` emits exactly this
+    * statement before the incremental insert.
+    */
+  def addColumns(spark: org.apache.spark.sql.SparkSession, dir: String,
+      fields: Seq[StructField]): Unit = {
+    require(fields.nonEmpty, "ADD COLUMNS needs at least one column")
+    val state = IcebergRead.snapshotState(dir, None)
+    fields.foreach(f => require(
+      !state.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+      s"ADD COLUMNS: column ${f.name} already exists: $dir"))
+    commit(dir, Nil, schemaEvolution = Some(StructType(
+      state.schema.fields ++ fields.map(_.copy(nullable = true))))): Unit
+  }
+
   def commit(dir: String,
       adds: Seq[(String, DataFrame)],
       removes: Seq[String] = Nil,
@@ -219,7 +237,8 @@ object IcebergWrite {
       partitionBy: Seq[String] = Nil,
       schemaEvolution: Option[StructType] = None): Long = {
     require(adds.nonEmpty || removes.nonEmpty || stagedAdds.nonEmpty ||
-      positionDeletes.nonEmpty || equalityDelete.nonEmpty,
+      positionDeletes.nonEmpty || equalityDelete.nonEmpty ||
+      schemaEvolution.nonEmpty, // schema-only commit: ADD COLUMNS
       "empty Iceberg commit")
     val metaDir = java.nio.file.Paths.get(dir, "metadata")
     val dataDir = java.nio.file.Paths.get(dir, "data")

@@ -1072,4 +1072,61 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
       spark.catalog.dropTempView("gw_mdel_src2")
     }
   }
+
+  test("dbt on_schema_change=append_new_columns over Thrift: the " +
+      "ALTER TABLE ADD COLUMNS + merge transcript widens the Delta " +
+      "schema (metaData-only commit) and old rows read NULL in the " +
+      "new column") {
+    import graft.pipeline.{Materialization, Model, PipelineRunner, PipelineSpec}
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"))
+    val wh = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"),
+      "thrift_evo_wh").toString
+    val spec = PipelineSpec(models = Seq(
+      Model("gw_evo", Nil, Materialization.IncrementalMerge(Seq("id")),
+        (sp, _) => { import sp.implicits._
+          Seq((1L, 1.0), (2L, 2.0)).toDF("id", "bal") },
+        fileFormat = "delta")))
+    val runner = new PipelineRunner(spark, spec, wh)
+    assert(runner.run(Seq("run")).success)
+    val port = ThriftGateway.freePort()
+    val srv = ThriftGateway.start(spark, port)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val conn = java.sql.DriverManager.getConnection(
+        s"jdbc:hive2://127.0.0.1:$port", "dbt", "")
+      try {
+        val st = conn.createStatement()
+        // the literal evolving-incremental statement sequence dbt
+        // emits when the model's select grew a column
+        graft.gateway.DbtTranscript.mergeEvolvingRun("gw_evo", "gw_evo",
+          "select * from values (2L, 20.0, 'x'), (3L, 3.0, 'y') " +
+            "as t(id, bal, note)",
+          Seq("id"), Seq("note" -> "string"))
+          .foreach(st.execute)
+        // the widened state over the same wire: old row NULL in the
+        // new column, merged rows carry it
+        val rs = st.executeQuery(
+          "SELECT id, bal, note FROM gw_evo ORDER BY id")
+        val got = Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (r.getLong(1), r.getDouble(2),
+            Option(r.getString(3)))).toSeq
+        assert(got == Seq((1L, 1.0, None), (2L, 20.0, Some("x")),
+          (3L, 3.0, Some("y"))), got.toString)
+        // and through any Delta reader
+        val schema = graft.sources.DeltaRead
+          .readDeltaTable(spark, s"$wh/gw_evo").schema
+        assert(schema.fieldNames.toSeq == Seq("id", "bal", "note"),
+          schema.simpleString)
+        // a second ALTER with an existing column refuses loudly
+        val e = intercept[java.sql.SQLException](st.execute(
+          "alter table gw_evo add columns (note string)"))
+        assert(e.getMessage.contains("already exists"), e.getMessage)
+      } finally conn.close()
+    } finally {
+      srv.close()
+      runner.cleanup()
+    }
+  }
 }

@@ -1680,4 +1680,64 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
       DeltaRead.versionAtTimestamp(d, micros("2024-03-01T00:00:00Z")))
     assert(e2.getMessage.contains("vacuumed"), e2.getMessage)
   }
+
+  test("spark.read.format(\"graft-delta\"): the registered source " +
+      "replays the engine read — current/versionAsOf/timestampAsOf " +
+      "pins, DV masks honored, pushed filters drive file pruning") {
+    val d = dir()
+    DeltaWrite.merge(spark, d,
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "bal"),
+      Seq("id"), buckets = 1)
+    DeltaWrite.merge(spark, d,
+      Seq((2L, 99.0)).toDF("id", "bal"), Seq("id"))
+    // current state through the registered short name
+    val cur = spark.read.format("graft-delta").load(d)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(cur == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)), cur.toString)
+    // and it matches the direct engine read exactly
+    val direct = DeltaRead.readDeltaTable(spark, d)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(cur == direct)
+    // version pin
+    val v0 = spark.read.format("graft-delta").option("versionAsOf", 0)
+      .load(d).orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(v0 == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)), v0.toString)
+    // timestamp pin via commit mtimes
+    Seq(0L -> "2024-01-01T00:00:00Z", 1L -> "2024-06-01T00:00:00Z")
+      .foreach { case (v, t) =>
+        java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(d, "_delta_log", f"$v%020d.json"),
+          java.nio.file.attribute.FileTime.from(
+            java.time.Instant.parse(t))): Unit
+      }
+    val ts0 = spark.read.format("graft-delta")
+      .option("timestampAsOf", "2024-03-01 00:00:00").load(d)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(ts0 == v0, ts0.toString)
+    // DV table: deleteWhere masks a row; the source honors the mask
+    DeltaWrite.deleteWhere(spark, d, "id = 3"): Unit
+    val masked = spark.read.format("graft-delta").load(d)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(masked == Seq((1L, 10.0), (2L, 99.0)), masked.toString)
+
+    // pushed filters reach the engine read as a pruning predicate:
+    // two stats-disjoint files, hide one, a filtered read that prunes
+    // it succeeds while the unfiltered read throws
+    val d2 = dir()
+    DeltaWrite.commit(d2, 0L, Seq(
+      "lo.parquet" -> Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"),
+      "hi.parquet" -> Seq((100L, 1.0), (200L, 2.0)).toDF("id", "bal")))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(d2, "lo.parquet"),
+      java.nio.file.Paths.get(d2, "lo.parquet.hide"))
+    intercept[Exception](
+      spark.read.format("graft-delta").load(d2).count())
+    val hi = spark.read.format("graft-delta").load(d2)
+      .filter($"id" >= 100L).orderBy("id")
+      .as[(Long, Double)].collect().toSeq
+    assert(hi == Seq((100L, 1.0), (200L, 2.0)), hi.toString)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(d2, "lo.parquet.hide"),
+      java.nio.file.Paths.get(d2, "lo.parquet"))
+  }
 }

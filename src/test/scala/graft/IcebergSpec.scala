@@ -831,4 +831,24 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
       IcebergRead.snapshotIdAtTimestamp(d, micros("2023-01-01T00:00:00Z")))
     assert(e.getMessage.contains("precedes the earliest"), e.getMessage)
   }
+
+  test("spark.read.format(\"graft-iceberg\"): the registered source " +
+      "replays the engine read, snapshotId pins, equality deletes " +
+      "reconcile") {
+    val d = dir()
+    IcebergWrite.mergeOnRead(spark, d,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"), Seq("id"))
+    IcebergWrite.mergeOnRead(spark, d,
+      Seq((2L, 99.0)).toDF("id", "bal"), Seq("id"))
+    val cur = spark.read.format("graft-iceberg").load(d)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(cur == Seq((1L, 10.0), (2L, 99.0)), cur.toString)
+    val direct = IcebergRead.readIcebergTable(spark, d)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(cur == direct)
+    val first = spark.read.format("graft-iceberg")
+      .option("snapshotId", 1).load(d)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(first == Seq((1L, 10.0), (2L, 20.0)), first.toString)
+  }
 }

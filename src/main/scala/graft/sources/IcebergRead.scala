@@ -328,8 +328,14 @@ object IcebergRead {
     val meta = JsonMethods.parse(
       java.nio.file.Files.readString(currentMetadataFile(path)))
     val formatVersion = (meta \ "format-version").extract[Int]
+    // CONTRACT (pinned in IcebergSpec): v3 tables may carry deletion
+    // vectors (Puffin) and row lineage that a v2 reader cannot see —
+    // reading anyway could resurrect deleted rows, so refuse loudly.
     require(formatVersion <= 2,
-      s"Iceberg format-version $formatVersion > 2 unsupported: $path")
+      s"Iceberg format-version $formatVersion unsupported: this " +
+        s"reader speaks v1/v2; v3 tables may carry deletion vectors " +
+        s"(Puffin) and row lineage invisible to a v2 reader — " +
+        s"refusing rather than risking resurrected rows: $path")
 
     val schemaJson = (meta \ "schemas") match {
       case JArray(ss) if ss.nonEmpty =>

@@ -851,4 +851,35 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
       .orderBy("id").as[(Long, Double)].collect().toSeq
     assert(first == Seq((1L, 10.0), (2L, 20.0)), first.toString)
   }
+
+  test("format-version 3 metadata refuses loudly (pinned contract: " +
+      "v3 deletion vectors / row lineage are invisible to a v2 " +
+      "reader — never risk resurrected rows)") {
+    val d = dir()
+    IcebergWrite.merge(spark, d,
+      Seq((1L, 1.0)).toDF("id", "bal"), Seq("id"))
+    // rewrite the current metadata as a v3 table (what a v3 writer's
+    // first commit would leave behind)
+    val metaDir = java.nio.file.Paths.get(d, "metadata")
+    val hint = java.nio.file.Files.readString(
+      metaDir.resolve("version-hint.text")).trim
+    val metaFile = metaDir.resolve(s"v$hint.metadata.json")
+    val text = java.nio.file.Files.readString(metaFile)
+    assert(text.contains("\"format-version\" : 2"), text.take(200))
+    java.nio.file.Files.writeString(metaFile,
+      text.replace("\"format-version\" : 2",
+        "\"format-version\" : 3")): Unit
+    val e = intercept[IllegalArgumentException](
+      IcebergRead.readIcebergTable(spark, d).collect())
+    // the MESSAGE is the contract — a v3 writer's user must see WHY
+    assert(e.getMessage.contains("format-version 3 unsupported"),
+      e.getMessage)
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    assert(e.getMessage.contains("row lineage"), e.getMessage)
+    // time travel and the registered source refuse identically
+    val e2 = intercept[IllegalArgumentException](
+      spark.read.format("graft-iceberg").load(d).collect())
+    assert(e2.getMessage.contains("format-version 3 unsupported"),
+      e2.getMessage)
+  }
 }

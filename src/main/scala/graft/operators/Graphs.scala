@@ -61,7 +61,7 @@ object Graphs {
     val ewd = e.join(outdeg, "src").localCheckpoint() // (src, dst, deg)
     val teleport = (dampDen - dampNum) * 1000000000L / (dampDen * n)
     var ranks = nodes.withColumn("rq", lit(1000000000L / n))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val contribs = ewd
         .join(ranks, ewd("src") === ranks("node"))
         .select(col("dst"), expr("rq div deg").as("contrib"))
@@ -71,7 +71,13 @@ object Graphs {
         .select(nodes("node"),
           (lit(teleport) +
             expr(s"($dampNum * coalesce(t, 0)) div $dampDen")).as("rq"))
-        .localCheckpoint()
+      // the rank lineage is LINEAR (each round's plan is consumed by
+      // exactly one successor, so every stage executes once in the
+      // final action) — checkpointing every round only adds a
+      // materialization job per iteration. Cut lineage every few
+      // rounds instead, purely to bound planner depth on long runs.
+      if ((i + 1) % 4 == 0 && i != iters - 1)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -1010,7 +1010,10 @@ object LlmOps extends QueryGroup {
     // units; every division a pinned floor, so the unrolled-CTE
     // oracle replays the run bit-for-bit.
     "llm_pagerank" -> ((s, d) => {
+      // the 2-column doc slice feeds three consumers (the count and
+      // both sides of the citation join) — pin it once
       val docs = Tables.documents(s, d).select("doc_id", "source")
+        .localCheckpoint()
       val total = docs.count()
       val cited = docs.select(col("doc_id").as("cid"),
         col("source").as("dst"))

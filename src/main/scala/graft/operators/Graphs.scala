@@ -11,8 +11,10 @@ import org.apache.spark.sql.types._
   *
   * Spark-first power iteration (the GraphX/Pregel shape expressed
   * relationally): each round is one (src) join to attach ranks to
-  * edges + one (dst) hash-agg of contributions — two exchanges per
-  * iteration, lineage cut per round so plans stay constant-depth.
+  * edges + one (dst) hash-agg of contributions — a few exchanges per
+  * iteration in ONE linear plan (each round executes exactly once in
+  * the final action), lineage cut every few rounds purely to bound
+  * planner depth on long runs.
   *
   * ALL arithmetic is exact BIGINT math — ranks live in 1e-9 units,
   * every division is an explicit floor (`div` in Spark ≡ `//` in
@@ -39,9 +41,10 @@ object Graphs {
     * 100 TB shape: `distinct` + out-degree are one-time shuffles on
     * the edge list; each iteration re-shuffles only (rank rows ⋈
     * edges) on src and contributions on dst — no global collect, no
-    * driver-sized state. `localCheckpoint` after every round stops
-    * the O(iters)-deep lineage from re-running prior rounds per
-    * action (and keeps codegen from exploding).
+    * driver-sized state. The rank lineage is linear, so every stage
+    * runs once; `localCheckpoint` every 4 rounds bounds planner
+    * depth (and codegen size) without paying a materialization job
+    * per iteration.
     */
   def pageRank(edges: DataFrame, iters: Int,
                dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {

@@ -882,4 +882,46 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
     assert(e2.getMessage.contains("format-version 3 unsupported"),
       e2.getMessage)
   }
+
+  test("merge with residualPredicate: manifest column bounds prune " +
+      "the touched-file probe (out-of-window files never opened); " +
+      "out-of-window matched rows stay and the batch key inserts") {
+    val d = dir()
+    // two files via explicit adds so each carries disjoint ts bounds
+    IcebergWrite.commit(d, Seq(
+      "lo.parquet" -> Seq(
+        (1L, 10.0, java.sql.Timestamp.valueOf("2023-12-01 00:00:00")),
+        (2L, 20.0, java.sql.Timestamp.valueOf("2023-12-02 00:00:00")))
+        .toDF("id", "bal", "ts"),
+      "hi.parquet" -> Seq(
+        (3L, 30.0, java.sql.Timestamp.valueOf("2024-01-10 00:00:00")),
+        (4L, 40.0, java.sql.Timestamp.valueOf("2024-01-11 00:00:00")))
+        .toDF("id", "bal", "ts"))): Unit
+    // hide the out-of-window file: a probe that opened it would throw
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(d, "data", "lo.parquet"),
+      java.nio.file.Paths.get(d, "data", "lo.parquet.hide"))
+    val ts2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    IcebergWrite.merge(spark, d,
+      Seq((3L, 99.0, ts2)).toDF("id", "bal", "ts"), Seq("id"),
+      residualPredicate = Some("ts >= timestamp'2024-01-01 00:00:00'"))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(d, "data", "lo.parquet.hide"),
+      java.nio.file.Paths.get(d, "data", "lo.parquet"))
+    val got = IcebergRead.readIcebergTable(spark, d)
+      .orderBy("id").as[(Long, Double, java.sql.Timestamp)]
+      .collect().toSeq.map(r => (r._1, r._2))
+    assert(got == Seq((1L, 10.0), (2L, 20.0), (3L, 99.0), (4L, 40.0)),
+      got.toString)
+    // out-of-window matched key: the target row survives and the
+    // batch row inserts alongside (SQL MERGE semantics)
+    IcebergWrite.merge(spark, d,
+      Seq((1L, 111.0, ts2)).toDF("id", "bal", "ts"), Seq("id"),
+      residualPredicate = Some("ts >= timestamp'2024-01-01 00:00:00'"))
+    val got2 = IcebergRead.readIcebergTable(spark, d)
+      .orderBy("id", "bal").as[(Long, Double, java.sql.Timestamp)]
+      .collect().toSeq.map(r => (r._1, r._2))
+    assert(got2 == Seq((1L, 10.0), (1L, 111.0), (2L, 20.0),
+      (3L, 99.0), (4L, 40.0)), got2.toString)
+  }
 }

@@ -120,6 +120,25 @@ object MergeRoutes {
     def mergeWithResidual(session: SparkSession, batch: DataFrame,
         keys: Seq[String], residualSql: String): Long =
       sys.error("merge handler does not support residual ON predicates")
+
+    /** True when the handler can execute a matched-DELETE leg FUSED
+      * into the merge's own atomic commit (`deletePredicateSql` rows
+      * removed + `batch` upserted, one table version) — the backend's
+      * single-commit MERGE semantics. Handlers without it fall back
+      * to the registered [[DmlRoutes.Ops.deleteWhere]] as a separate
+      * commit before the upsert (see [[GraftConditionalMergeCommand]]
+      * for the documented two-commit window).
+      */
+    def supportsMergeDelete: Boolean = false
+
+    /** Merge with a fused delete leg: delete the target rows matching
+      * `deletePredicateSql`, upsert `batch` (possibly EMPTY for a
+      * delete-only merge), ONE commit. Returns deleted + merged rows.
+      * Only called when [[supportsMergeDelete]].
+      */
+    def mergeWithDelete(session: SparkSession, batch: DataFrame,
+        keys: Seq[String], deletePredicateSql: String): Long =
+      sys.error("merge handler does not support a fused delete leg")
   }
 
   private val routes = new RouteRegistry[Handler]
@@ -197,34 +216,56 @@ private[gateway] object RouteNames {
     case _ => None
   }
 
-  /** ON conjunction of same-named equality columns → key column
-    * names.
+  /** A same-named equality binding one TARGET attribute and one
+    * SOURCE attribute (either order) → the key name. The side check
+    * is what makes a conjunct a JOIN key: a degenerate `ON t.k = t.k`
+    * (both sides the target's column) is match-everything SQL, not an
+    * upsert key — classifying it as one would execute a
+    * cardinality-violating statement as a clean upsert.
     */
-  def keysOf(cond: Expression): Option[Seq[String]] = cond match {
+  private def crossSideKey(l: Expression, r: Expression,
+      target: LogicalPlan, source: LogicalPlan): Option[String] = {
+    def sideOf(e: Expression): Option[Boolean] = { // true = target side
+      val refs = e.references
+      if (refs.size != 1) None
+      else if (refs.subsetOf(target.outputSet)) Some(true)
+      else if (refs.subsetOf(source.outputSet)) Some(false)
+      else None
+    }
+    for {
+      ln <- nameOf(l); rn <- nameOf(r) if ln.equalsIgnoreCase(rn)
+      ls <- sideOf(l); rs <- sideOf(r) if ls != rs
+    } yield ln
+  }
+
+  /** ON conjunction of same-named CROSS-SIDE equality columns → key
+    * column names (see [[crossSideKey]]). Requires a RESOLVED
+    * condition — side membership is an exprId test.
+    */
+  def keysOf(cond: Expression, target: LogicalPlan,
+      source: LogicalPlan): Option[Seq[String]] = cond match {
     case And(l, r) =>
-      for { lk <- keysOf(l); rk <- keysOf(r) } yield lk ++ rk
-    case EqualTo(l, r) =>
-      for { ln <- nameOf(l); rn <- nameOf(r)
-            if ln.equalsIgnoreCase(rn) } yield Seq(ln)
+      for { lk <- keysOf(l, target, source)
+            rk <- keysOf(r, target, source) } yield lk ++ rk
+    case EqualTo(l, r) => crossSideKey(l, r, target, source).map(Seq(_))
     case _ => None
   }
 
-  /** Split an ON conjunction into same-named equality KEY columns and
-    * RESIDUAL conjuncts (dbt `incremental_predicates` appends them to
-    * the merge macro's ON clause to prune big merges). None when no
-    * equality key is present — such a statement has no routable
-    * upsert key.
+  /** Split an ON conjunction into same-named cross-side equality KEY
+    * columns ([[crossSideKey]]) and RESIDUAL conjuncts (dbt
+    * `incremental_predicates` appends them to the merge macro's ON
+    * clause to prune big merges). None when no equality key is
+    * present — such a statement has no routable upsert key.
     */
-  def splitCond(cond: Expression)
-      : Option[(Seq[String], Seq[Expression])] = {
+  def splitCond(cond: Expression, target: LogicalPlan,
+      source: LogicalPlan): Option[(Seq[String], Seq[Expression])] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
     val parts: Seq[Either[String, Expression]] = conjuncts(cond).map {
       case eq @ EqualTo(l, r) =>
-        (for { ln <- nameOf(l); rn <- nameOf(r)
-               if ln.equalsIgnoreCase(rn) } yield ln) match {
+        crossSideKey(l, r, target, source) match {
           case Some(k) => Left(k)
           case None => Right(eq)
         }
@@ -332,15 +373,20 @@ case class MergeIntoRoute(session: SparkSession)
   }
 
   /** The delete implementation a matched-DELETE-bearing merge routes
-    * through ([[DmlRoutes.Ops.deleteWhere]] — Delta's DV masking,
-    * Iceberg's equality-delete append). `Some(None)` = no delete
-    * action, nothing needed; `None` = a delete action with no
-    * registered capability — leave the statement to Spark's own loud
+    * through — preferring the handler's own FUSED single-commit leg
+    * ([[MergeRoutes.Handler.supportsMergeDelete]]), falling back to
+    * the registered [[DmlRoutes.Ops.deleteWhere]] (Delta's DV
+    * masking, Iceberg's equality-delete append) as a separate commit.
+    * `Some(None)` = no separate implementation needed (no delete
+    * action, or the handler fuses it); `None` = a delete action with
+    * no capability at all — leave the statement to Spark's own loud
     * error, never a partial merge.
     */
-  private def deleteCapability(name: String, matched: Seq[Norm])
+  private def deleteCapability(name: String, matched: Seq[Norm],
+      handler: MergeRoutes.Handler)
       : Option[Option[(SparkSession, String) => Long]] =
     if (!matched.exists(_._2.isEmpty)) Some(None)
+    else if (handler.supportsMergeDelete) Some(None)
     else DmlRoutes.lookup(name).flatMap(_.deleteWhere) match {
       case Some(f) => Some(Some(f))
       case None => None
@@ -382,12 +428,12 @@ case class MergeIntoRoute(session: SparkSession)
       // INSERT * — straight to the handler, no target read
       case m @ MergeIntoTable(target, source, cond,
           Seq(matched), Seq(notMatched), Seq(), false)
-          if source.resolved && target.resolved &&
+          if source.resolved && target.resolved && cond.resolved &&
             isStarShape(matched) && isStarShape(notMatched) =>
         (for {
           name <- targetName(target)
           handler <- MergeRoutes.lookup(name)
-          (keys, residuals) <- RouteNames.splitCond(cond)
+          (keys, residuals) <- RouteNames.splitCond(cond, target, source)
           residualSql <- renderResidual(residuals, target, handler)
         } yield GraftMergeIntoCommand(name, keys, source, handler,
           residualSql,
@@ -409,12 +455,12 @@ case class MergeIntoRoute(session: SparkSession)
         (for {
           name <- targetName(target)
           handler <- MergeRoutes.lookup(name)
-          keys <- keysOf(cond)
+          keys <- keysOf(cond, target, source)
           matched <- normalizeActions(matchedActs, target, source,
             updateSide = true)
           notMatched <- normalizeActions(notMatchedActs, target, source,
             updateSide = false)
-          deleteWhere <- deleteCapability(name, matched)
+          deleteWhere <- deleteCapability(name, matched, handler)
         } yield GraftConditionalMergeCommand(name, keys, target, source,
           cond, matched, notMatched, handler, deleteWhere))
           .getOrElse(m)
@@ -439,25 +485,30 @@ case class GraftMergeIntoCommand(relation: String, keys: Seq[String],
       nullable = false)())
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
+    // validate the statement SCHEMA-ONLY first: an invalid merge must
+    // refuse before the staging lineage pays its materialization job
+    val raw0 = org.apache.spark.sql.GraftSqlBridge.ofRows(
+      sparkSession, source)
+    keys.foreach(k => require(raw0.columns.exists(_.equalsIgnoreCase(k)),
+      s"MERGE INTO $relation: ON key '$k' is not a source column " +
+        s"(${raw0.columns.mkString(", ")})"))
+    val srcOf: Map[String, String] = targetSchema.fields.map { f =>
+      f.name -> raw0.columns.find(_.equalsIgnoreCase(f.name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"MERGE INTO $relation: target column '${f.name}' has no " +
+            s"source column (INSERT * needs all of them; source has " +
+            s"${raw0.columns.mkString(", ")})"))
+    }.toMap
     // pin the staging lineage once, like the conditional path: the
     // handler's merge runs several jobs (touched-file probe, staged
     // write, counts) and a dbt staging view that reads {{ this }}
     // must not re-execute per job
-    val raw = org.apache.spark.sql.GraftSqlBridge.ofRows(
-      sparkSession, source).localCheckpoint()
-    keys.foreach(k => require(raw.columns.exists(_.equalsIgnoreCase(k)),
-      s"MERGE INTO $relation: ON key '$k' is not a source column " +
-        s"(${raw.columns.mkString(", ")})"))
+    val raw = raw0.localCheckpoint()
     // `UPDATE SET * / INSERT *` semantics: the batch lands in the
     // target's column ORDER and TYPES (the analyzer's star expansion
     // is a same-name assignment list with casts — replicated here)
     val batch = raw.select(targetSchema.fields.toIndexedSeq.map { f =>
-      val src = raw.columns.find(_.equalsIgnoreCase(f.name)).getOrElse(
-        throw new IllegalArgumentException(
-          s"MERGE INTO $relation: target column '${f.name}' has no " +
-            s"source column (INSERT * needs all of them; source has " +
-            s"${raw.columns.mkString(", ")})"))
-      org.apache.spark.sql.functions.col(s"`$src`")
+      org.apache.spark.sql.functions.col(s"`${srcOf(f.name)}`")
         .cast(f.dataType).as(f.name)
     }: _*)
     Seq(Row(residualSql match {
@@ -599,13 +650,39 @@ case class GraftConditionalMergeCommand(relation: String,
       }.getOrElse(Nil)
     def litSql(v: Any, dt: org.apache.spark.sql.types.DataType): String =
       org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt).sql
+    def q(n: String): String = "`" + n.replace("`", "``") + "`"
+    // FLAT rendering — single-column IN / multi-column tuple IN; both
+    // parse to ONE In node, never a right-nested OR chain that could
+    // overflow the parser near the key cap
     def deletePredicate(rows: Seq[Seq[Any]]): String =
       if (keyAttrs.size == 1)
-        s"`${keyAttrs.head.name}` IN (" + rows.map(r =>
+        q(keyAttrs.head.name) + " IN (" + rows.map(r =>
           litSql(r.head, keyAttrs.head.dataType)).mkString(", ") + ")"
-      else rows.map(r => keyAttrs.zip(r).map { case (a, v) =>
-        s"(`${a.name}` = ${litSql(v, a.dataType)})" }
-        .mkString("(", " AND ", ")")).mkString(" OR ")
+      else
+        keyAttrs.map(a => q(a.name)).mkString("(", ", ", ")") +
+          " IN (" + rows.map(r => keyAttrs.zip(r).map { case (a, v) =>
+            litSql(v, a.dataType) }.mkString("(", ", ", ")"))
+            .mkString(", ") + ")"
+    // the same predicate as an in-memory Column — the overlap check
+    // below never round-trips multi-MB SQL text through the parser
+    def deleteColumn(rows: Seq[Seq[Any]]): Column = {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.{CreateStruct, In => CatalystIn, Literal => CatalystLiteral}
+      val keyExprs: Seq[Expression] =
+        keyAttrs.map(a => UnresolvedAttribute.quoted(a.name))
+      val (value, lits) =
+        if (keyAttrs.size == 1)
+          (keyExprs.head, rows.map(r => CatalystLiteral.create(
+            r.head, keyAttrs.head.dataType): Expression))
+        else {
+          val st = org.apache.spark.sql.types.StructType(keyAttrs.map(a =>
+            org.apache.spark.sql.types.StructField(
+              a.name, a.dataType, a.nullable)))
+          (CreateStruct(keyExprs), rows.map(r => CatalystLiteral.create(
+            Row.fromSeq(r), st): Expression))
+        }
+      column(CatalystIn(value, lits))
+    }
 
     val inserted: Option[DataFrame] =
       if (notMatched.isEmpty) None
@@ -659,8 +736,7 @@ case class GraftConditionalMergeCommand(relation: String,
           s"target key (or duplicate insert keys) — refusing a " +
           s"duplicate-key upsert")
       if (deletedKeys.nonEmpty) {
-        val overlap = batch.filter(org.apache.spark.sql.functions
-            .expr(deletePredicate(deletedKeys)))
+        val overlap = batch.filter(deleteColumn(deletedKeys))
           .limit(1).count() > 0
         require(!overlap,
           s"MERGE INTO $relation: a unique key is both deleted and " +
@@ -668,16 +744,35 @@ case class GraftConditionalMergeCommand(relation: String,
             s"source rows) — SQL MERGE's cardinality violation")
       }
     }
-    // deletes first (they address pre-merge files — DV masking /
-    // equality deletes), then the upsert batch through the handler
-    val nDeleted =
-      if (deletedKeys.isEmpty) 0L
-      else deleteWhere.getOrElse(sys.error(
-        s"MERGE INTO $relation: delete action routed without a " +
-          s"delete capability")) // unreachable: deleteCapability gate
-        .apply(sparkSession, deletePredicate(deletedKeys))
-    val nMerged = batchOpt.map(handler(sparkSession, _, keys))
-      .getOrElse(0L)
-    Seq(Row(nDeleted + nMerged))
+    // ---- execute. Preferred: the handler's FUSED merge — delete leg
+    // + upsert batch land in ONE table version, SQL MERGE's
+    // atomicity. Fallback (handler without supportsMergeDelete): the
+    // registered deleteWhere runs as its OWN commit before the
+    // upsert — a failure between the two leaves the statement
+    // half-applied (rows deleted, updates/inserts absent) and a
+    // concurrent reader can observe the intermediate version;
+    // recovery = re-run the statement (the deleted keys re-match
+    // nothing, the upsert is idempotent per key). dbt never emits
+    // delete legs over this wire, so only hand-written MERGE against
+    // a fallback-only relation crosses that window.
+    if (deletedKeys.nonEmpty && handler.supportsMergeDelete) {
+      val fusedBatch = batchOpt.getOrElse(
+        // delete-only merge: an EMPTY upsert batch in the target's shape
+        sparkSession.createDataFrame(
+          sparkSession.sparkContext.emptyRDD[Row],
+          org.apache.spark.sql.types.StructType(fields)))
+      Seq(Row(handler.mergeWithDelete(sparkSession, fusedBatch, keys,
+        deletePredicate(deletedKeys))))
+    } else {
+      val nDeleted =
+        if (deletedKeys.isEmpty) 0L
+        else deleteWhere.getOrElse(sys.error(
+          s"MERGE INTO $relation: delete action routed without a " +
+            s"delete capability")) // unreachable: deleteCapability gate
+          .apply(sparkSession, deletePredicate(deletedKeys))
+      val nMerged = batchOpt.map(handler(sparkSession, _, keys))
+        .getOrElse(0L)
+      Seq(Row(nDeleted + nMerged))
+    }
   }
 }

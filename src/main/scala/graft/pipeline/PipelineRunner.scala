@@ -1135,6 +1135,22 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
                   s: org.apache.spark.sql.SparkSession, batch: DataFrame,
                   onKeys: Seq[String], residualSql: String): Long =
                 merge(s, batch, onKeys, Some(residualSql))
+              // `WHEN MATCHED THEN DELETE` fuses into the Delta
+              // merge's own atomic commit (DV masks + CoW rewrite +
+              // upsert, ONE table version) where the engine delete
+              // exists — same scope as the DmlRoutes delete below
+              override def supportsMergeDelete: Boolean =
+                m.fileFormat == "delta" && userParts.isEmpty
+              override def mergeWithDelete(
+                  s: org.apache.spark.sql.SparkSession, batch: DataFrame,
+                  onKeys: Seq[String], deletePredicateSql: String): Long = {
+                checkKeys(onKeys, keys)
+                val n = graft.sources.DeltaWrite.merge(
+                  s, dir, batch, keys, buckets,
+                  deletePredicate = Some(deletePredicateSql))
+                registerSessionView(name)
+                n
+              }
             })
           // UPDATE (post-image upsert on the declared key) for every
           // merge model; DELETE FROM only where a real engine delete

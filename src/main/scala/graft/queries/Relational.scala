@@ -413,14 +413,15 @@ object Scans extends QueryGroup {
       graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
     }),
 
-    // MERGE with a `WHEN MATCHED ... THEN DELETE` leg: the matched
-    // delete rows' keys ship as a bounded keys-in-batch predicate to
-    // the relation's registered delete implementation — here Delta's
-    // deletion-vector MERGE-ON-READ delete (rows MASKED, no data file
-    // rewritten) — executing before, and composing with, the routed
-    // update/insert legs in ONE statement (first-matching-action
-    // semantics). The oracle replays the same statement as the
-    // equivalent anti-join + conditional projection.
+    // MERGE with a `WHEN MATCHED ... THEN DELETE` leg, FUSED: the
+    // matched delete rows' keys ship as a bounded keys-in-batch
+    // predicate INTO the engine merge itself, so deletes (DV masks on
+    // files the batch doesn't touch, row drops in rewritten files)
+    // and the update/insert batch land in ONE atomic Delta commit —
+    // SQL MERGE's never-a-partial-merge contract
+    // (first-matching-action semantics across the legs). The oracle
+    // replays the same statement as the equivalent anti-join +
+    // conditional projection.
     "run_sql_merge_delete" -> ((s, d) => {
       val dir = tmpDir("graft_sql_merge_del")
       val cust = Tables.customer(s, d)
@@ -431,12 +432,17 @@ object Scans extends QueryGroup {
       graft.sources.DeltaRead.readDeltaTable(s, dir)
         .createOrReplaceTempView("sql_merge_del_tgt")
       graft.gateway.MergeRoutes.register("sql_merge_del_tgt",
-        (sess, batch, keys) =>
-          graft.sources.DeltaWrite.merge(sess, dir, batch, keys))
-      graft.gateway.DmlRoutes.register("sql_merge_del_tgt",
-        graft.gateway.DmlRoutes.Ops(Seq("c_custkey"),
-          deleteWhere = Some((sess, predicateSql) =>
-            graft.sources.DeltaWrite.deleteWhere(sess, dir, predicateSql))))
+        new graft.gateway.MergeRoutes.Handler {
+          override def apply(sess: SparkSession, batch: DataFrame,
+              keys: Seq[String]): Long =
+            graft.sources.DeltaWrite.merge(sess, dir, batch, keys)
+          override def supportsMergeDelete: Boolean = true
+          override def mergeWithDelete(sess: SparkSession,
+              batch: DataFrame, keys: Seq[String],
+              deletePredicateSql: String): Long =
+            graft.sources.DeltaWrite.merge(sess, dir, batch, keys,
+              deletePredicate = Some(deletePredicateSql))
+        })
       // source: %4=0 keys delete, %4=1 keys double, fresh shifted
       // keys (%10=2) insert
       cust.filter(col("c_custkey") % 4 === 0)
@@ -462,7 +468,6 @@ object Scans extends QueryGroup {
           |          DBT_INTERNAL_SOURCE.bal)""".stripMargin).collect()
       finally {
         graft.gateway.MergeRoutes.unregister("sql_merge_del_tgt")
-        graft.gateway.DmlRoutes.unregister("sql_merge_del_tgt")
         s.catalog.dropTempView("sql_merge_del_tgt")
         s.catalog.dropTempView("sql_merge_del_src")
       }

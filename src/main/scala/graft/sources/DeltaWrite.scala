@@ -791,7 +791,17 @@ object DeltaWrite {
       // out-of-window files are never opened. Unsupported on
       // CDF-enabled tables (cdc classification would need it too) —
       // loud.
-      residualPredicate: Option[String] = None): Long = {
+      residualPredicate: Option[String] = None,
+      // SQL predicate over the TABLE's columns: rows matching it are
+      // DELETED in the SAME commit the batch upserts (`MERGE ... WHEN
+      // MATCHED THEN DELETE` routed single-commit — SQL MERGE's
+      // atomicity). Files whose only change is a delete are
+      // DV-MASKED (byte-identical, like [[deleteWhere]]); files the
+      // batch also touches drop the deleted rows in their CoW
+      // rewrite. Existing unpartitioned, unmapped, CDF-off tables
+      // only, no residual — loud otherwise. CONTRACT (the MERGE
+      // route enforces it): no deleted row's key is also in `batch`.
+      deletePredicate: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{broadcast, col, concat, element_at, format_string, lit, pmod, typedlit, xxhash64}
     require(uniqueKey.nonEmpty, "merge needs at least one key column")
     uniqueKey.foreach(k => require(batch0.columns.contains(k),
@@ -804,6 +814,8 @@ object DeltaWrite {
     val batch = batch0.localCheckpoint()
 
     if (!java.nio.file.Files.isDirectory(logDir)) {
+      require(deletePredicate.isEmpty,
+        s"merge with a delete leg cannot CREATE a table: $dir")
       // ---- creation: ONE staged job hash-buckets the batch into up
       // to `buckets` files (per partition when partitioned), bounding
       // later rewrite units. A creation commit is add-only — derived
@@ -870,6 +882,21 @@ object DeltaWrite {
         s"residual-predicate merge on a CDF-enabled table is " +
           s"unsupported (cdc rows would need the same matched-set " +
           s"narrowing): $dir")
+      deletePredicate.foreach { _ =>
+        require(partCols.isEmpty,
+          s"merge with a delete leg on a partitioned table is " +
+            s"unsupported: $dir")
+        require(!mapped,
+          s"merge with a delete leg on a column-mapped table is " +
+            s"unsupported: $dir")
+        require(residualPredicate.isEmpty,
+          s"merge cannot combine a delete leg with a residual ON " +
+            s"predicate: $dir")
+        require(!boolConf(DeltaRead.tableConfiguration(spark, dir),
+            "delta.enableChangeDataFeed"),
+          s"merge with a delete leg on a CDF-enabled table is " +
+            s"unsupported — DV masking writes no cdc actions: $dir")
+      }
       // compare shapes with nested METADATA stripped: mapped tables
       // carry columnMapping metadata on every (nested) field that a
       // caller's batch legitimately lacks
@@ -905,12 +932,39 @@ object DeltaWrite {
       // schedule grows the log by one empty file forever (count once
       // on the pinned batch; it is also the return value)
       val n = batch.count()
-      if (n == 0) return 0L
+      if (n == 0 && deletePredicate.isEmpty) return 0L
       val version = DeltaRead.latestVersion(dir) + 1
       requireNextVersion(dir, version)
       val live = DeltaRead.liveDataFilesAll(spark, dir)
       val hconf = spark.sessionState.newHadoopConf()
       def qualified(p: String): String = DeltaWrite.sparkPathOf(hconf, p)
+      // fused delete leg: bounded (file, row) positions of the live
+      // rows matching the predicate — the same scan + DV anti-join
+      // shape as the standalone [[deleteWhere]]
+      val maxDelMatches = 2000000
+      val delMatched: Array[(String, Long)] = deletePredicate match {
+        case None => Array.empty
+        case Some(dp) =>
+          val r0 = spark.read.schema(tableSchema)
+            .parquet(live.map(_.abs): _*)
+            .withColumn("__graft_file", col("_metadata.file_path"))
+            .withColumn("__graft_row", col("_metadata.row_index"))
+          val withDv0 = live.flatMap(f =>
+            f.dv.map(d2 => (qualified(f.abs), d2)))
+          val c0 =
+            if (withDv0.isEmpty) r0
+            else r0.join(DeltaRead.dvDeleteFrame(spark, dir, withDv0),
+              Seq("__graft_file", "__graft_row"), "left_anti")
+          val m = c0.filter(org.apache.spark.sql.functions.expr(dp))
+            .select("__graft_file", "__graft_row")
+            .limit(maxDelMatches + 1)
+            .collect().map(r => (r.getString(0), r.getLong(1)))
+          require(m.length <= maxDelMatches,
+            s"merge delete leg matches more than $maxDelMatches rows " +
+              s"— use DELETE FROM / a rewrite for mass deletes: $dir")
+          m
+      }
+      if (n == 0 && delMatched.isEmpty) return 0L
       val dataSchema = org.apache.spark.sql.types.StructType(
         fullSchema.filterNot(f => partCols.contains(f.name)))
       // the PHYSICAL on-disk shape of the data columns (== dataSchema
@@ -1080,7 +1134,16 @@ object DeltaWrite {
                     org.apache.spark.sql.functions.expr(rp), lit(false)))
                   .join(batchKeys, uniqueKey, "left_semi"))
           }
-          Some(carried
+          // fused delete leg: deleted rows of REWRITTEN files drop out
+          // of the carry (predicate-null rows survive — SQL WHERE
+          // semantics); delete-only files are DV-masked below instead
+          val carriedKept = deletePredicate match {
+            case None => carried
+            case Some(dp) => carried.filter(
+              !org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.expr(dp), lit(false)))
+          }
+          Some(carriedKept
             .withColumn("__graft_target",
               element_at(typedlit(rwRelOf), col("__graft_file")))
             .drop("__graft_file").drop("__graft_pdir")
@@ -1165,6 +1228,16 @@ object DeltaWrite {
         stageWrite(dir, cdcPhysical)
       }
 
+      // fused delete leg: files holding deleted rows that the batch
+      // does NOT touch are DV-masked in this same commit (guards
+      // above force pruned == live, so liveByQualified covers every
+      // delete-matched file)
+      val touchedSet = touched.toSet
+      val dvByFile: Map[String, Seq[Long]] = delMatched
+        .filter { case (f, _) => !touchedSet.contains(f) }
+        .groupBy(_._1).map { case (f, rs) => f -> rs.map(_._2).toSeq }
+      val dvLines = dvMaskLines(spark, dir, dvByFile, liveByQualified,
+        hconf)
       val lines =
         (if (evolves)
           Seq(metaDataLine(fullSchema, partCols,
@@ -1175,6 +1248,7 @@ object DeltaWrite {
             dataChange = true) } ++
         touchedFiles.map(lf => removeLine(lf.logPath, lf.partitionValues,
           dataChange = true, dv = lf.dv)) ++
+        dvLines ++
         txn.map(txnLine) ++
         cdcStaged.map { case (rel, size) =>
           cdcLine(rel, pvOfRel(rel), size) }
@@ -1185,8 +1259,9 @@ object DeltaWrite {
       // commit re-buckets it back to O(buckets)
       // auto-OPTIMIZE stays gated to plain tables: optimize's rewrite
       // path does not (yet) speak physical names or DV carry-over —
-      // mapped/DV tables keep their file count until a full refresh
-      if (maxLiveFiles > 0 && !mapped &&
+      // mapped/DV tables (including a DV this commit just wrote) keep
+      // their file count until a full refresh
+      if (maxLiveFiles > 0 && !mapped && dvByFile.isEmpty &&
           live.forall(_.dv.isEmpty) &&
           DeltaRead.liveDataFiles(spark, dir).size > maxLiveFiles)
         optimize(spark, dir, uniqueKey, buckets)
@@ -1194,7 +1269,7 @@ object DeltaWrite {
       // checkpoint + O(checkpointInterval) JSON commits, not O(history)
       if (checkpointInterval > 0 && version % checkpointInterval == 0)
         writeCheckpoint(spark, dir): Unit
-      n
+      n + delMatched.length
     }
   }
 

@@ -19,8 +19,10 @@ import org.apache.spark.sql.types.StructType
   * }}}
   *
   * Read-only on purpose (writes go through the engine's transactional
-  * writers — `DeltaWrite.merge` et al.; a `CreatableRelationProvider`
-  * would bypass their commit protocols). Registered via
+  * writers — `DeltaWrite.merge` et al.; the WRITABLE catalog path is
+  * [[GraftDeltaCatalogSource]]/[[GraftIcebergCatalogSource]], which
+  * route `CREATE TABLE ... USING delta AS SELECT` INTO those commit
+  * protocols rather than around them). Registered via
   * `META-INF/services/org.apache.spark.sql.sources.DataSourceRegister`
   * so the short names resolve without class-name plumbing.
   *
@@ -30,7 +32,10 @@ import org.apache.spark.sql.types.StructType
   * uses) and column pruning through a projection before the scan;
   * Spark re-applies every filter row-wise above (the v1 source
   * contract), so unconvertible filters lose only pruning, never
-  * correctness.
+  * correctness. Time-travel options are CANONICALIZED once per load
+  * (`timestampAsOf` → the resolved `versionAsOf`), so the relation's
+  * schema lookup and every scan rebuild share ONE driver-side
+  * resolution instead of re-walking the log per consumer.
   */
 abstract class GraftLakeSourceBase extends RelationProvider
     with DataSourceRegister {
@@ -47,34 +52,49 @@ abstract class GraftLakeSourceBase extends RelationProvider
   protected def schemaOf(sqlContext: SQLContext, path: String,
       parameters: Map[String, String]): StructType
 
+  /** Resolve load-time options to their immutable form ONCE per
+    * relation (e.g. `timestampAsOf` → the pinned `versionAsOf`);
+    * [[schemaOf]] and every [[read]] rebuild see the canonical form.
+    */
+  protected def canonicalize(sqlContext: SQLContext, path: String,
+      parameters: Map[String, String]): Map[String, String] = parameters
+
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path", sys.error(
       s"${shortName()} needs a path (.load(path) or option(\"path\"))"))
-    new GraftLakeRelation(sqlContext, path, parameters,
-      schemaOf(sqlContext, path, parameters),
-      (pred: Option[Column]) => read(sqlContext, path, parameters, pred))
+    val canon = canonicalize(sqlContext, path, parameters)
+    new GraftLakeRelation(sqlContext, path, canon,
+      schemaOf(sqlContext, path, canon),
+      (pred: Option[Column]) => read(sqlContext, path, canon, pred))
   }
 }
 
 class GraftDeltaSource extends GraftLakeSourceBase {
   override def shortName(): String = "graft-delta"
+  override protected def canonicalize(sqlContext: SQLContext,
+      path: String, parameters: Map[String, String])
+      : Map[String, String] =
+    if (parameters.contains("versionAsOf"))
+      parameters - "timestampAsOf" // explicit version pin wins
+    else parameters.get("timestampAsOf") match {
+      case None => parameters
+      case Some(t) =>
+        val v = DeltaRead.versionAtTimestamp(path,
+          microsOf(sqlContext, t))
+        (parameters - "timestampAsOf") + ("versionAsOf" -> v.toString)
+    }
   override protected def read(sqlContext: SQLContext, path: String,
       parameters: Map[String, String],
-      predicate: Option[Column]): DataFrame = {
-    val versionAsOf = parameters.get("versionAsOf").map(_.trim.toLong)
-      .orElse(parameters.get("timestampAsOf").map(t =>
-        DeltaRead.versionAtTimestamp(path, microsOf(sqlContext, t))))
+      predicate: Option[Column]): DataFrame =
     DeltaRead.readDeltaTable(sqlContext.sparkSession, path,
-      versionAsOf = versionAsOf, predicate = predicate)
-  }
+      versionAsOf = parameters.get("versionAsOf").map(_.trim.toLong),
+      predicate = predicate)
   override protected def schemaOf(sqlContext: SQLContext, path: String,
       parameters: Map[String, String]): StructType = {
-    val versionAsOf = parameters.get("versionAsOf").map(_.trim.toLong)
-      .orElse(parameters.get("timestampAsOf").map(t =>
-        DeltaRead.versionAtTimestamp(path, microsOf(sqlContext, t))))
     val state = DeltaRead.stateAt(sqlContext.sparkSession,
-      DeltaRead.openLog(path), versionAsOf)
+      DeltaRead.openLog(path),
+      parameters.get("versionAsOf").map(_.trim.toLong))
     org.apache.spark.sql.types.DataType.fromJson(
       state.schemaJson.getOrElse(sys.error(
         s"Delta log has no metaData action: $path")))
@@ -113,6 +133,12 @@ private[sources] class GraftLakeRelation(override val sqlContext: SQLContext,
     readFn: Option[Column] => DataFrame)
     extends BaseRelation with PrunedFilteredScan {
 
+  // attribute references never round-trip through the column-name
+  // PARSER: backtick-quote with doubling, so a column whose name
+  // carries a backtick (or dots) still binds
+  private def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     val predicate = filters.flatMap(columnOf).reduceOption(_ && _)
@@ -122,8 +148,7 @@ private[sources] class GraftLakeRelation(override val sqlContext: SQLContext,
         // COUNT(*)-style scans: project one cheap column; Spark
         // counts rows, values are ignored
         df.select(org.apache.spark.sql.functions.lit(1).as("__one"))
-      else df.select(requiredColumns.toIndexedSeq.map(c =>
-        col(s"`$c`")): _*)
+      else df.select(requiredColumns.toIndexedSeq.map(qcol): _*)
     projected.rdd
   }
 
@@ -131,18 +156,18 @@ private[sources] class GraftLakeRelation(override val sqlContext: SQLContext,
     * (Spark re-applies all filters above the scan).
     */
   private def columnOf(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v) => Some(col(s"`$a`") === v)
-    case EqualNullSafe(a, v) => Some(col(s"`$a`") <=> v)
-    case GreaterThan(a, v) => Some(col(s"`$a`") > v)
-    case GreaterThanOrEqual(a, v) => Some(col(s"`$a`") >= v)
-    case LessThan(a, v) => Some(col(s"`$a`") < v)
-    case LessThanOrEqual(a, v) => Some(col(s"`$a`") <= v)
-    case In(a, vs) => Some(col(s"`$a`").isin(vs.toIndexedSeq: _*))
-    case IsNull(a) => Some(col(s"`$a`").isNull)
-    case IsNotNull(a) => Some(col(s"`$a`").isNotNull)
-    case StringStartsWith(a, v) => Some(col(s"`$a`").startsWith(v))
-    case StringEndsWith(a, v) => Some(col(s"`$a`").endsWith(v))
-    case StringContains(a, v) => Some(col(s"`$a`").contains(v))
+    case EqualTo(a, v) => Some(qcol(a) === v)
+    case EqualNullSafe(a, v) => Some(qcol(a) <=> v)
+    case GreaterThan(a, v) => Some(qcol(a) > v)
+    case GreaterThanOrEqual(a, v) => Some(qcol(a) >= v)
+    case LessThan(a, v) => Some(qcol(a) < v)
+    case LessThanOrEqual(a, v) => Some(qcol(a) <= v)
+    case In(a, vs) => Some(qcol(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(qcol(a).isNull)
+    case IsNotNull(a) => Some(qcol(a).isNotNull)
+    case StringStartsWith(a, v) => Some(qcol(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(qcol(a).endsWith(v))
+    case StringContains(a, v) => Some(qcol(a).contains(v))
     case And(l, r) => for { lc <- columnOf(l); rc <- columnOf(r) }
       yield lc && rc
     case Or(l, r) => for { lc <- columnOf(l); rc <- columnOf(r) }

@@ -972,10 +972,12 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("MERGE matched-DELETE leg: routes onto the DV delete (data " +
-      "files byte-identical), composes with update+insert in one " +
-      "statement, update+delete on one key refuses (cardinality), " +
-      "and a relation without delete capability stays loud") {
+  test("MERGE matched-DELETE leg, FALLBACK path (handler without " +
+      "supportsMergeDelete): routes onto the registered DV delete as " +
+      "its own commit before the upsert (data files byte-identical), " +
+      "composes with update+insert in one statement, update+delete " +
+      "on one key refuses (cardinality), and a relation without " +
+      "delete capability stays loud") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     java.nio.file.Files.createDirectories(
@@ -1127,6 +1129,175 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
     } finally {
       srv.close()
       runner.cleanup()
+    }
+  }
+
+  test("MERGE matched-DELETE leg FUSED: delete + update + insert land " +
+      "in ONE Delta commit (SQL MERGE atomicity), the delete-only " +
+      "file is DV-masked byte-identical, and a delete-only merge " +
+      "also commits once") {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    import spark.implicits._
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"))
+    val d = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"),
+      "merge_del_fused").toString
+    graft.sources.DeltaWrite.merge(spark, d,
+      (1L to 8L).map(i => (i, i * 10.0)).toDF("id", "bal"),
+      Seq("id"), buckets = 2)
+    // pick the delete key and the update key from DIFFERENT data
+    // files, so the delete-only file must survive byte-identical
+    val perFile: Map[String, Seq[Long]] = {
+      val w = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => p.getFileName.toString ->
+            spark.read.parquet(p.toString).select("id")
+              .as[Long].collect().toSeq)
+          .toMap
+      } finally w.close()
+    }
+    assert(perFile.size >= 2, s"want >=2 files, got ${perFile.keys}")
+    val fileSeq = perFile.toSeq.sortBy(_._1)
+    val delId = fileSeq.head._2.min
+    val updId = fileSeq(1)._2.min
+    val delFile = fileSeq.head._1
+    def bytesOf(rel: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(d, rel))
+    val delFileBefore = bytesOf(delFile)
+    def logVersion(): Long = {
+      val w = java.nio.file.Files.list(
+        java.nio.file.Paths.get(d, "_delta_log"))
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".json"))
+          .map(_.stripSuffix(".json").toLong).max
+      } finally w.close()
+    }
+    graft.sources.DeltaRead.readDeltaTable(spark, d)
+      .createOrReplaceTempView("gw_mdel_f")
+    graft.gateway.MergeRoutes.register("gw_mdel_f",
+      new graft.gateway.MergeRoutes.Handler {
+        override def apply(sess: SparkSession, batch: DataFrame,
+            keys: Seq[String]): Long =
+          graft.sources.DeltaWrite.merge(sess, d, batch, keys)
+        override def supportsMergeDelete: Boolean = true
+        override def mergeWithDelete(sess: SparkSession,
+            batch: DataFrame, keys: Seq[String],
+            deletePredicateSql: String): Long =
+          graft.sources.DeltaWrite.merge(sess, d, batch, keys,
+            deletePredicate = Some(deletePredicateSql))
+      })
+    try {
+      spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gw_mdel_f_src AS
+        |SELECT * FROM VALUES
+        |  (${delId}L, 0.0, 'del'), (${updId}L, 99.0, 'upd'),
+        |  (90L, 9.0, 'ins')
+        |AS t(id, bal, op)""".stripMargin)
+      assert(logVersion() == 0L)
+      val affected = spark.sql(
+        """MERGE INTO gw_mdel_f AS DBT_INTERNAL_DEST
+          |USING gw_mdel_f_src AS DBT_INTERNAL_SOURCE
+          |ON DBT_INTERNAL_DEST.id = DBT_INTERNAL_SOURCE.id
+          |WHEN MATCHED AND DBT_INTERNAL_SOURCE.op = 'del' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET bal = DBT_INTERNAL_SOURCE.bal
+          |WHEN NOT MATCHED THEN INSERT (id, bal)
+          |  VALUES (DBT_INTERNAL_SOURCE.id, DBT_INTERNAL_SOURCE.bal)
+          |""".stripMargin).collect()
+      // the WHOLE statement was ONE commit — no intermediate version
+      assert(logVersion() == 1L,
+        s"expected one commit, log at ${logVersion()}")
+      assert(affected.head.getLong(0) == 3L, affected.toSeq.toString)
+      val got = graft.sources.DeltaRead.readDeltaTable(spark, d)
+        .orderBy("id").as[(Long, Double)].collect().toSeq
+      val want = ((1L to 8L).filterNot(_ == delId).map(i =>
+        (i, if (i == updId) 99.0 else i * 10.0)) :+ (90L, 9.0))
+        .sortBy(_._1)
+      assert(got == want, s"$got vs $want")
+      // the deleted row's file was DV-masked, never rewritten
+      assert(bytesOf(delFile).sameElements(delFileBefore),
+        s"delete-only file $delFile was rewritten")
+      assert({
+        val w = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+        try {
+          import scala.jdk.CollectionConverters._
+          w.iterator().asScala.exists(
+            _.getFileName.toString.startsWith("deletion_vector"))
+        } finally w.close()
+      }, "no deletion-vector file written by the fused commit")
+      // a DELETE-ONLY merge (no update/insert leg) also fuses: one
+      // commit, empty upsert batch
+      spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gw_mdel_f_src2 AS
+        |SELECT * FROM VALUES (${updId}L, 0.0, 'del')
+        |AS t(id, bal, op)""".stripMargin)
+      val affected2 = spark.sql(
+        """MERGE INTO gw_mdel_f AS DBT_INTERNAL_DEST
+          |USING gw_mdel_f_src2 AS DBT_INTERNAL_SOURCE
+          |ON DBT_INTERNAL_DEST.id = DBT_INTERNAL_SOURCE.id
+          |WHEN MATCHED AND DBT_INTERNAL_SOURCE.op = 'del' THEN DELETE
+          |""".stripMargin).collect()
+      assert(logVersion() == 2L)
+      assert(affected2.head.getLong(0) == 1L, affected2.toSeq.toString)
+      val got2 = graft.sources.DeltaRead.readDeltaTable(spark, d)
+        .orderBy("id").as[(Long, Double)].collect().toSeq
+      assert(got2 == want.filterNot(_._1 == updId), got2.toString)
+    } finally {
+      graft.gateway.MergeRoutes.unregister("gw_mdel_f")
+      spark.catalog.dropTempView("gw_mdel_f")
+      spark.catalog.dropTempView("gw_mdel_f_src")
+      spark.catalog.dropTempView("gw_mdel_f_src2")
+    }
+  }
+
+  test("degenerate ON t.k = t.k (both sides the target) is NOT a key " +
+      "equality: the statement stays unrouted with Spark's loud " +
+      "error, on the star shape and the conditional shape") {
+    import spark.implicits._
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "bal")
+      .createOrReplaceTempView("gw_selfk")
+    Seq((1L, 9.0), (3L, 3.0)).toDF("id", "bal")
+      .createOrReplaceTempView("gw_selfk_src")
+    graft.gateway.MergeRoutes.register("gw_selfk",
+      (_, _, _) => sys.error("must not route"))
+    try {
+      // star shape: ON references the TARGET column on both sides —
+      // match-everything SQL, not an upsert key
+      val e = intercept[Exception](spark.sql(
+        """MERGE INTO gw_selfk AS DBT_INTERNAL_DEST
+          |USING gw_selfk_src AS DBT_INTERNAL_SOURCE
+          |ON DBT_INTERNAL_DEST.id = DBT_INTERNAL_DEST.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect())
+      assert(!e.getMessage.contains("must not route"), e.getMessage)
+      // conditional shape: same degenerate ON, explicit assignments
+      val e2 = intercept[Exception](spark.sql(
+        """MERGE INTO gw_selfk AS DBT_INTERNAL_DEST
+          |USING gw_selfk_src AS DBT_INTERNAL_SOURCE
+          |ON DBT_INTERNAL_DEST.id = DBT_INTERNAL_DEST.id
+          |WHEN MATCHED THEN UPDATE SET bal = DBT_INTERNAL_SOURCE.bal
+          |""".stripMargin).collect())
+      assert(!e2.getMessage.contains("must not route"), e2.getMessage)
+      // and the real dbt shape STILL routes (the side check does not
+      // over-reject): source-left order like dbt snapshots
+      var routed = false
+      graft.gateway.MergeRoutes.register("gw_selfk",
+        (_, _, _) => { routed = true; 0L })
+      spark.sql(
+        """MERGE INTO gw_selfk AS DBT_INTERNAL_DEST
+          |USING gw_selfk_src AS DBT_INTERNAL_SOURCE
+          |ON DBT_INTERNAL_SOURCE.id = DBT_INTERNAL_DEST.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      assert(routed, "source-left key equality must still route")
+    } finally {
+      graft.gateway.MergeRoutes.unregister("gw_selfk")
+      spark.catalog.dropTempView("gw_selfk")
+      spark.catalog.dropTempView("gw_selfk_src")
     }
   }
 }

@@ -40,6 +40,25 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val keys = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => keyFilter.forall(_.contains(n)) }
+    // ---- co-tenant-steal provenance: /proc/stat's aggregate steal
+    // ticks sampled around the sweep. Past rounds' "regressions" were
+    // ambient noise (0.16-0.9 cores of measured steal uniformly
+    // inflating every key 10-25%) that prose had to explain away —
+    // now the artifact carries its own provenance: `steal_cores` =
+    // average cores stolen DURING this sweep, `quiet` = steal below
+    // the 0.05-core threshold. POLICY: budget verdicts bind only on
+    // quiet sweeps — `budget_verdict` is "red" only when over-budget
+    // keys appear on a quiet run; an over-budget noisy run reports
+    // "noisy" (re-run when the box is quiet before treating it as a
+    // regression); green/untracked otherwise.
+    def stealSample(): Option[(Long, Long)] = scala.util.Try {
+      val cpu = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/stat"))
+        .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+      (cpu(7), cpu.sum) // user nice system idle iowait irq softirq STEAL
+    }.toOption
+    val steal0 = stealSample()
+    val sweepT0 = System.nanoTime()
     // INTERLEAVED sweeps: reps of one key are spread across full
     // passes over all keys, then the per-key MEDIAN is taken across
     // sweeps. Consecutive same-key reps (the previous shape) let one
@@ -63,6 +82,13 @@ object Bench {
       val ts = samples(name).sorted
       name -> ts(ts.size / 2)
     }
+    val stealCores: Option[Double] = for {
+      (s0, t0) <- steal0; (s1, t1) <- stealSample()
+      if t1 > t0
+    } yield (s1 - s0).toDouble / (t1 - t0) *
+      Runtime.getRuntime.availableProcessors()
+    val quiet = stealCores.forall(_ <= 0.05)
+    val sweepSec = (System.nanoTime() - sweepT0) / 1e9
     // 0.1ms grain, short lines; Locale.ROOT — a comma-decimal default
     // locale would emit invalid JSON
     def sec(v: Double) =
@@ -97,16 +123,27 @@ object Bench {
     val unbudgeted =
       if (!atTrackedSf || budgets.isEmpty) Nil
       else results.collect { case (k, _) if !budgets.contains(k) => k }
+    // the verdict that gates: red ONLY on a quiet over-budget run
+    // (see the steal-provenance policy above)
+    val verdict =
+      if (!atTrackedSf || budgets.isEmpty) "untracked"
+      else if (overBudget.isEmpty) "green"
+      else if (!quiet) "noisy"
+      else "red"
     val budgetJson =
       if (budgets.isEmpty || !atTrackedSf) ""
       else s""","over_budget":${overBudget.mkString("{", ",", "}")}""" +
         s""","unbudgeted":${unbudgeted.map("\"" + _ + "\"")
           .mkString("[", ",", "]")}"""
+    val provJson =
+      s""","steal_cores":${stealCores.map(sec).getOrElse("null")}""" +
+        s""","quiet":$quiet,"sweep_sec":${sec(sweepSec)}""" +
+        s""","budget_verdict":"$verdict""""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$budgetJson}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$budgetJson$provJson}"""
     // the stdout line gets tail-truncated by harnesses capturing long
     // output (half the per-key timings were lost in past rounds) — the
     // file is the durable, machine-parseable artifact
@@ -125,6 +162,8 @@ object Bench {
       s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
         s""""n_queries":${results.size},"slowest_queries":$slowest,""" +
         s""""n_over_budget":${overBudget.size},""" +
+        s""""steal_cores":${stealCores.map(sec).getOrElse("null")},""" +
+        s""""quiet":$quiet,"budget_verdict":"$verdict",""" +
         s""""queries_file":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -37,10 +37,15 @@ package graft.gateway
   *    DBT_INTERNAL_SOURCE.dbt_change_type IN ('update','delete')
   *    THEN UPDATE SET dbt_valid_to = ... WHEN NOT MATCHED AND ...
   *    THEN INSERT *`) — routed by [[MergeIntoRoute]]'s conditional
-  *    compile ([[snapshotRun]] below carries the verbatim statement;
-  *    the first-run `create table ... using delta as` CTAS lands
-  *    through the engine's Delta writer, since a catalog-integrated
-  *    `USING delta` DSv2 provider is out of scope).
+  *    compile ([[snapshotRun]] below carries the verbatim statement).
+  *    The first-run `create table ... using delta as` CTAS executes
+  *    NATIVELY: the registered writable `USING delta` source
+  *    ([[graft.sources.GraftDeltaCatalogSource]]) routes Spark's own
+  *    CTAS command into `DeltaWrite.replace`'s atomic creation
+  *    commit ([[snapshotFirstRun]] below carries the statement).
+  *    `CREATE OR REPLACE TABLE ... AS` stays with Spark's loud
+  *    v2-only error (dbt's rebuild shape on v1 warehouses is DROP +
+  *    CTAS — [[tableRun]]).
   *
   * Each helper returns the statements of ONE dbt model run in order;
   * callers execute them verbatim over hive-jdbc.
@@ -242,6 +247,26 @@ object DbtTranscript {
        |union all
        |select * from updates""".stripMargin
   }
+
+  /** dbt SNAPSHOT first run over the wire: dbt-core's
+    * `build_snapshot_table` rendered through dbt-spark's
+    * `create_table_as` with the lakehouse file_format — ONE native
+    * CTAS statement (the registered writable `USING delta` source
+    * routes Spark's own CTAS command into the engine's atomic
+    * creation commit). SCD columns exactly as
+    * `default__build_snapshot_table` renders them for the timestamp
+    * strategy.
+    */
+  def snapshotFirstRun(target: String, select: String, key: String,
+      updatedAt: String): Seq[String] = Seq(
+    s"""create table $target using delta as
+       |select *,
+       |  md5(coalesce(cast($key as string), '') || '|' ||
+       |      coalesce(cast($updatedAt as string), '')) as dbt_scd_id,
+       |  $updatedAt as dbt_updated_at,
+       |  $updatedAt as dbt_valid_from,
+       |  cast(null as timestamp) as dbt_valid_to
+       |from ($select) sbq""".stripMargin)
 
   /** dbt SNAPSHOT update run over the wire: stage the change set as
     * `<name>__dbt_tmp`, then the VERBATIM `spark__snapshot_merge_sql`

@@ -1232,14 +1232,20 @@ object LlmOps extends QueryGroup {
 
     "llm_quality_classifier" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val labeled = docs.withColumn("label",
-        TextAnalysis.gopherReason(
-          TextAnalysis.gopherNWords(col("text")),
-          TextAnalysis.gopherMeanWlen(col("text")),
-          TextAnalysis.gopherStopCount(col("text"))) === "pass")
+      // train on a DETERMINISTIC 1/4 hash-sample — the 100 TB recipe
+      // the scaladoc prescribes (training touches a sample, scoring
+      // is the full-corpus map-only pass); the sample is keyed on
+      // doc_id so it is stable across runs and engines
+      val labeled = docs
+        .filter(pmod(xxhash64(col("doc_id")), lit(4)) === 0)
+        .withColumn("label",
+          TextAnalysis.gopherReason(
+            TextAnalysis.gopherNWords(col("text")),
+            TextAnalysis.gopherMeanWlen(col("text")),
+            TextAnalysis.gopherStopCount(col("text"))) === "pass")
       // 20 LBFGS iterations converge for a 6-feature LR (each
       // iteration is one treeAggregate job — the key's cost is job
-      // count, not data); teacher agreement is property-tested
+      // count, not data volume; the sample cuts the per-job scan)
       val w = QualityClassifier.train(labeled, "text", "label",
         maxIter = 20)
       QualityClassifier.score(docs, "text", w)

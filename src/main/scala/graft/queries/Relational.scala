@@ -474,6 +474,58 @@ object Scans extends QueryGroup {
       graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
     }),
 
+    // Wire-native lakehouse CTAS: `CREATE TABLE ... USING delta AS
+    // SELECT` (dbt's snapshot/table first run) executes through
+    // Spark's OWN CTAS command — the registered writable `delta`
+    // source (GraftDeltaCatalogSource) routes it into
+    // DeltaWrite.replace's atomic creation commit, and the follow-up
+    // `INSERT INTO` lands as an append commit via the relation's
+    // InsertableRelation. Reads resolve through the same registered
+    // source (pushed-filter file pruning); the oracle is the plain
+    // union of both halves.
+    "run_sql_ctas_delta" -> ((s, d) => {
+      val dir = tmpDir("graft_sql_ctas_delta")
+      val db = "g" + dir.split('/').last
+        .replaceAll("[^a-zA-Z0-9_]", "_").toLowerCase
+      Tables.customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment"), col("c_acctbal").as("bal"))
+        .createOrReplaceTempView("ctas_delta_src")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$dir'")
+      s.sql(s"CREATE TABLE $db.cust USING delta AS " +
+        "SELECT * FROM ctas_delta_src WHERE c_custkey % 2 = 0")
+      s.sql(s"INSERT INTO $db.cust " +
+        "SELECT * FROM ctas_delta_src WHERE c_custkey % 2 = 1")
+      // a real Delta log was committed (any Delta reader sees it)
+      require(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(dir, "cust", "_delta_log")),
+        s"native CTAS wrote no Delta log under $dir/cust")
+      s.sql(s"SELECT c_custkey, c_mktsegment, bal FROM $db.cust")
+        .orderBy("c_custkey")
+    }),
+
+    // The Iceberg side of the native CTAS: `USING iceberg` routes
+    // into IcebergWrite.replace (first snapshot + real metadata),
+    // INSERT INTO appends a snapshot.
+    "run_sql_ctas_iceberg" -> ((s, d) => {
+      val dir = tmpDir("graft_sql_ctas_iceberg")
+      val db = "g" + dir.split('/').last
+        .replaceAll("[^a-zA-Z0-9_]", "_").toLowerCase
+      Tables.customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment"), col("c_acctbal").as("bal"))
+        .createOrReplaceTempView("ctas_ice_src")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$dir'")
+      s.sql(s"CREATE TABLE $db.cust USING iceberg AS " +
+        "SELECT * FROM ctas_ice_src WHERE c_custkey % 2 = 0")
+      s.sql(s"INSERT INTO $db.cust " +
+        "SELECT * FROM ctas_ice_src WHERE c_custkey % 2 = 1")
+      require(java.nio.file.Files.isRegularFile(
+        java.nio.file.Paths.get(dir, "cust", "metadata",
+          "version-hint.text")),
+        s"native CTAS wrote no Iceberg metadata under $dir/cust")
+      s.sql(s"SELECT c_custkey, c_mktsegment, bal FROM $db.cust")
+        .orderBy("c_custkey")
+    }),
+
     // `TIMESTAMP AS OF` over SQL text: the literal evaluates in the
     // session timezone and the route resolves it DRIVER-SIDE to the
     // version at-or-before it (Delta: commit-file mtimes — pinned
@@ -1137,6 +1189,15 @@ object Scans extends QueryGroup {
       """SELECT c_custkey, c_mktsegment,
         |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal,
         |  CASE WHEN c_custkey % 3 = 0 THEN 'updated' END AS note
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // native CTAS + INSERT INTO = the whole table
+    "run_sql_ctas_delta" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "run_sql_ctas_iceberg" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal AS bal
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // the delete+update+insert merge equals the anti-join + merge SQL

@@ -59,12 +59,31 @@ abstract class GraftLakeSourceBase extends RelationProvider
   protected def canonicalize(sqlContext: SQLContext, path: String,
       parameters: Map[String, String]): Map[String, String] = parameters
 
+  /** Relation factory — the writable catalog sources override it to
+    * attach `InsertableRelation` (INSERT INTO / INSERT OVERWRITE).
+    */
+  protected def mkRelation(sqlContext: SQLContext, path: String,
+      canon: Map[String, String], schema: StructType,
+      readFn: Option[Column] => DataFrame): BaseRelation =
+    new GraftLakeRelation(sqlContext, path, canon, schema, readFn)
+
+  /** Catalog-table locations arrive as `file:` URIs; the engine
+    * readers/writers address java.nio paths — normalize once. Other
+    * schemes refuse loudly (this engine's log/metadata protocols
+    * address a filesystem path).
+    */
+  protected def localPath(p: String): String =
+    if (!p.startsWith("file:")) p
+    else scala.util.Try(
+      java.nio.file.Paths.get(new java.net.URI(p)).toString)
+      .getOrElse(p.stripPrefix("file:"))
+
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val path = parameters.getOrElse("path", sys.error(
-      s"${shortName()} needs a path (.load(path) or option(\"path\"))"))
+    val path = localPath(parameters.getOrElse("path", sys.error(
+      s"${shortName()} needs a path (.load(path) or option(\"path\"))")))
     val canon = canonicalize(sqlContext, path, parameters)
-    new GraftLakeRelation(sqlContext, path, canon,
+    mkRelation(sqlContext, path, canon,
       schemaOf(sqlContext, path, canon),
       (pred: Option[Column]) => read(sqlContext, path, canon, pred))
   }

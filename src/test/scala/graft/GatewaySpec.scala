@@ -1132,6 +1132,86 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dbt snapshot FIRST RUN over Thrift: the verbatim `create " +
+      "table ... using delta as` CTAS executes NATIVELY (the " +
+      "writable delta source routes it into the engine's creation " +
+      "commit — no writer replay), and the follow-up snapshot merge " +
+      "lands SCD2 state any Delta reader sees") {
+    import graft.gateway.{DbtTranscript => T}
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"))
+    val wh = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"),
+      "thrift_ctas_wh").toString
+    val port = ThriftGateway.freePort()
+    val srv = ThriftGateway.start(spark, port)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val conn = java.sql.DriverManager.getConnection(
+        s"jdbc:hive2://127.0.0.1:$port", "dbt", "")
+      try {
+        val st = conn.createStatement()
+        st.execute(
+          s"create database if not exists gwsnapdb location '$wh'")
+        st.execute("""create or replace temporary view gw_snap_src as
+          |select * from values
+          |  (1, 'a', timestamp'2024-01-01 00:00:00'),
+          |  (2, 'b', timestamp'2024-01-01 00:00:00')
+          |as t(id, v, updated_at)""".stripMargin)
+        // ---- first run: the ONE statement that used to need the
+        // engine-side writer replay, now a native CTAS
+        T.snapshotFirstRun("gwsnapdb.gw_snap",
+          "select * from gw_snap_src", "id", "updated_at")
+          .foreach(st.execute)
+        assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
+          wh, "gw_snap", "_delta_log")),
+          "native CTAS wrote no Delta log")
+        val v0 = graft.sources.DeltaRead
+          .readDeltaTable(spark, s"$wh/gw_snap")
+        assert(v0.count() == 2, "first-run snapshot rows")
+        assert(v0.columns.toSeq == Seq("id", "v", "updated_at",
+          "dbt_scd_id", "dbt_updated_at", "dbt_valid_from",
+          "dbt_valid_to"), v0.columns.toSeq.toString)
+        // ---- update run: the verbatim conditioned merge, routed
+        // onto the engine merge registered for the target
+        graft.gateway.MergeRoutes.register("gw_snap",
+          (sess, batch, keys) => graft.sources.DeltaWrite.merge(
+            sess, s"$wh/gw_snap", batch, keys))
+        try {
+          st.execute("""create or replace temporary view gw_snap_src as
+            |select * from values
+            |  (1, 'a', timestamp'2024-01-01 00:00:00'),
+            |  (2, 'B', timestamp'2024-06-01 00:00:00'),
+            |  (3, 'c', timestamp'2024-06-01 00:00:00')
+            |as t(id, v, updated_at)""".stripMargin)
+          T.snapshotRun("gwsnapdb.gw_snap", "gw_snap",
+            T.snapshotStagingSelect("gwsnapdb.gw_snap",
+              "select * from gw_snap_src", "id", "updated_at"))
+            .foreach(st.execute)
+        } finally graft.gateway.MergeRoutes.unregister("gw_snap")
+        // SCD2 state: id 1 untouched-current, id 2 closed + re-opened,
+        // id 3 inserted-current
+        val got = graft.sources.DeltaRead
+          .readDeltaTable(spark, s"$wh/gw_snap")
+          .selectExpr("id", "v", "cast(dbt_valid_from as string)",
+            "cast(dbt_valid_to as string)")
+          .orderBy("id", "dbt_valid_from")
+          .collect().map(r => (r.getInt(0), r.getString(1),
+            r.getString(2), Option(r.getString(3)))).toSeq
+        assert(got == Seq(
+          (1, "a", "2024-01-01 00:00:00", None),
+          (2, "b", "2024-01-01 00:00:00", Some("2024-06-01 00:00:00")),
+          (2, "B", "2024-06-01 00:00:00", None),
+          (3, "c", "2024-06-01 00:00:00", None)), got.toString)
+        // and the same state over the wire
+        val rs = st.executeQuery(
+          "select count(*) from gwsnapdb.gw_snap where dbt_valid_to is null")
+        rs.next()
+        assert(rs.getLong(1) == 3L, "current rows over jdbc")
+      } finally conn.close()
+    } finally srv.close()
+  }
+
   test("MERGE matched-DELETE leg FUSED: delete + update + insert land " +
       "in ONE Delta commit (SQL MERGE atomicity), the delete-only " +
       "file is DV-masked byte-identical, and a delete-only merge " +

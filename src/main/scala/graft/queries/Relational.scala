@@ -528,11 +528,13 @@ object Scans extends QueryGroup {
 
     // `TIMESTAMP AS OF` over SQL text: the literal evaluates in the
     // session timezone and the route resolves it DRIVER-SIDE to the
-    // version at-or-before it (Delta: commit-file mtimes — pinned
-    // here to fixed instants so the key is deterministic), then reuses
-    // the engine's bounded version-pinned read. Requests before the
-    // earliest available commit refuse loudly (pre-creation /
-    // vacuumed history — GatewaySpec + DeltaSpec pin those paths).
+    // version at-or-before it (Delta: commitInfo.inCommitTimestamp
+    // when a commit carries one, commit-file mtimes otherwise —
+    // pinned here to fixed instants so the key is deterministic),
+    // then reuses the engine's bounded version-pinned read. Requests
+    // OUTSIDE the history refuse loudly on both sides (pre-creation /
+    // vacuumed, and future-dated past the latest commit — Delta's own
+    // semantics; DeltaSpec + GatewaySpec pin those paths).
     // Both pinned histories read in ONE statement, same oracle as the
     // version form.
     "run_sql_time_travel_ts" -> ((s, d) => {
@@ -562,7 +564,7 @@ object Scans extends QueryGroup {
           |FROM sql_tt_ts_tgt TIMESTAMP AS OF '2024-03-01 00:00:00'
           |UNION ALL
           |SELECT 1 AS ver, c_custkey, bal
-          |FROM sql_tt_ts_tgt TIMESTAMP AS OF '2024-07-01 00:00:00'
+          |FROM sql_tt_ts_tgt TIMESTAMP AS OF '2024-06-01 00:00:00'
           |ORDER BY ver, c_custkey""".stripMargin)
       finally graft.gateway.TimeTravelRoutes
         .unregisterTimestamp("sql_tt_ts_tgt")

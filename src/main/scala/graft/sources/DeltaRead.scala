@@ -710,20 +710,47 @@ object DeltaRead {
     files
   }
 
-  /** `TIMESTAMP AS OF` resolution: the latest version whose commit
-    * file's modification time is at-or-before `micros` — Delta's own
-    * timestamp-travel semantics (commit file modificationTime per
-    * PROTOCOL.md; this writer does not use inCommitTimestamp). Loud
-    * when the timestamp precedes the earliest AVAILABLE commit: the
-    * table did not exist yet, or log cleanup (vacuum) dropped that
-    * history — never a silently-wrong pin.
+  /** `TIMESTAMP AS OF` resolution per Delta's own timestamp-travel
+    * semantics: the latest version whose COMMIT TIMESTAMP is
+    * at-or-before `micros`, where a commit's timestamp is
+    * `commitInfo.inCommitTimestamp` when the commit carries one (the
+    * public protocol's in-commit-timestamps feature — commitInfo is
+    * REQUIRED to be the commit's first action there, and readers MUST
+    * prefer it: file mtimes lie after a copy/restore/rsync) and the
+    * commit file's modification time otherwise, with the protocol's
+    * monotonicity rule applied (each commit's effective timestamp is
+    * at least its predecessor's — mtime clock skew never makes a
+    * later version resolve before an earlier one).
+    *
+    * Loud on BOTH out-of-range sides, mirroring Delta:
+    *  - before the earliest AVAILABLE commit: the table did not exist
+    *    yet, or log cleanup (vacuum) dropped that history;
+    *  - after the latest commit: a future-dated request would
+    *    silently pin the current version — a typo'd year reads the
+    *    wrong snapshot without anyone noticing. Use the current read
+    *    (no AS OF) for "latest".
     */
   private[graft] def versionAtTimestamp(path: String, micros: Long): Long = {
     val log = openLog(path)
     require(log.commits.nonEmpty, s"empty Delta log: $path")
-    val withTs = log.commits.map(v => v ->
+    implicit val fmts: Formats = DefaultFormats
+    def ictOf(v: Long): Option[Long] = {
+      // when present, commitInfo with inCommitTimestamp is the FIRST
+      // action of the commit (protocol requirement) — one line read
+      val r = java.nio.file.Files.newBufferedReader(
+        log.logDir.resolve(f"$v%020d.json"))
+      try Option(r.readLine()).flatMap(l =>
+        scala.util.Try(org.json4s.jackson.JsonMethods.parse(l)).toOption)
+        .flatMap(j =>
+          (j \ "commitInfo" \ "inCommitTimestamp").extractOpt[Long])
+      finally r.close()
+    }
+    val raw = log.commits.sorted.map(v => v -> ictOf(v).getOrElse(
       java.nio.file.Files.getLastModifiedTime(
-        log.logDir.resolve(f"$v%020d.json")).toMillis)
+        log.logDir.resolve(f"$v%020d.json")).toMillis))
+    // monotonic effective timestamps (running max)
+    val withTs = raw.scanLeft((-1L, Long.MinValue)) {
+      case ((_, prev), (v, t)) => (v, math.max(prev, t)) }.drop(1)
     val tsMillis = Math.floorDiv(micros, 1000L)
     val at = withTs.filter(_._2 <= tsMillis)
     require(at.nonEmpty,
@@ -732,6 +759,13 @@ object DeltaRead {
         s"${log.commits.min} at ${java.time.Instant.ofEpochMilli(
           withTs.map(_._2).min)}) — the table did not exist yet, or " +
         s"that history was vacuumed")
+    val latest = withTs.last
+    require(tsMillis <= latest._2,
+      s"TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(tsMillis)} " +
+        s"is after the latest commit of $path (version ${latest._1} " +
+        s"at ${java.time.Instant.ofEpochMilli(latest._2)}) — a " +
+        s"future-dated request would silently pin the current " +
+        s"version; read without AS OF for the latest state")
     at.map(_._1).max
   }
 

@@ -320,7 +320,9 @@ object IcebergRead {
         s"precedes the earliest live snapshot of $path (at " +
         s"${java.time.Instant.ofEpochMilli(commitMs.map(_._2).min)}) " +
         s"— the table did not exist yet, or that history expired")
-    at.maxBy(_._2)._1
+    // same-millisecond commits tie-break by snapshot id (commit
+    // order), never by collection-iteration accident
+    at.maxBy(t => (t._2, t._1))._1
   }
 
   private[graft] def snapshotState(path: String,

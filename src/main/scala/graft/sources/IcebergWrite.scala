@@ -36,6 +36,15 @@ object IcebergWrite {
 
   private implicit val fmts: Formats = DefaultFormats
 
+  /** Fixture mode (`-Dgraft.iceberg.zeroTimestamps=true`): keep the
+    * historical 0-stamped snapshot `timestamp-ms` so fixtures stay
+    * byte-deterministic; readers then fall back to metadata-file
+    * mtimes for timestamp travel. Default (off) stamps the REAL
+    * commit wall-clock, the spec's channel.
+    */
+  private def zeroTimestamps: Boolean =
+    sys.props.get("graft.iceberg.zeroTimestamps").contains("true")
+
   /** Manifest-entry avro schema with the partition record (r102)
     * built for the table's identity partition columns — field ids
     * 1000+ per the spec's partition-field numbering.
@@ -611,10 +620,15 @@ object IcebergWrite {
     val priorSnapshots =
       if (priorVersion == 0) Nil
       else (priorMetaJson.get \ "snapshots").children
+    // REAL commit wall-clock in snapshot metadata (the spec's channel
+    // for TIMESTAMP AS OF — metadata-file mtimes shift silently under
+    // copy/restore/rsync); fixture mode keeps the historical 0-stamp
+    // for byte-deterministic fixtures
+    val commitMs = if (zeroTimestamps) 0L else System.currentTimeMillis()
     val newSnapshot: JValue =
       ("snapshot-id" -> snapshotId) ~
         ("sequence-number" -> seq) ~
-        ("timestamp-ms" -> 0L) ~
+        ("timestamp-ms" -> commitMs) ~
         ("summary" -> (("operation" -> operation): JObject)) ~
         ("manifest-list" -> fileUri(manifestList)) ~
         ("schema-id" -> schemaId)
@@ -624,7 +638,7 @@ object IcebergWrite {
         ("location" -> ("file://" +
           java.nio.file.Paths.get(dir).toAbsolutePath.toString)) ~
         ("last-sequence-number" -> seq) ~
-        ("last-updated-ms" -> 0L) ~
+        ("last-updated-ms" -> commitMs) ~
         ("last-column-id" -> lastColumnId) ~
         ("current-schema-id" -> schemaId) ~
         ("schemas" -> JArray(schemasArr)) ~

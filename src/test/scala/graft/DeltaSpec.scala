@@ -1647,7 +1647,7 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("versionAtTimestamp: commit mtimes resolve at-or-before; " +
-      "pre-creation and vacuumed ranges refuse loudly") {
+      "pre-creation, vacuumed and future ranges refuse loudly") {
     val d = dir()
     DeltaWrite.merge(spark, d, Seq((1L, 0.0)).toDF("id", "bal"), Seq("id"))
     DeltaWrite.merge(spark, d, Seq((1L, 1.0)).toDF("id", "bal"), Seq("id"))
@@ -1662,7 +1662,12 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
       java.time.Instant.parse(t).toEpochMilli * 1000L
     assert(DeltaRead.versionAtTimestamp(d, micros("2024-03-01T00:00:00Z")) == 0L)
     assert(DeltaRead.versionAtTimestamp(d, micros("2024-06-01T00:00:00Z")) == 1L)
-    assert(DeltaRead.versionAtTimestamp(d, micros("2030-01-01T00:00:00Z")) == 1L)
+    // strictly after the latest commit: loud (Delta's own refusal —
+    // a future-dated typo must not silently read the current state)
+    val eFut = intercept[IllegalArgumentException](
+      DeltaRead.versionAtTimestamp(d, micros("2030-01-01T00:00:00Z")))
+    assert(eFut.getMessage.contains("after the latest commit"),
+      eFut.getMessage)
     val e = intercept[IllegalArgumentException](
       DeltaRead.versionAtTimestamp(d, micros("2023-01-01T00:00:00Z")))
     assert(e.getMessage.contains("precedes the earliest"), e.getMessage)
@@ -1679,6 +1684,50 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
     val e2 = intercept[IllegalArgumentException](
       DeltaRead.versionAtTimestamp(d, micros("2024-03-01T00:00:00Z")))
     assert(e2.getMessage.contains("vacuumed"), e2.getMessage)
+  }
+
+  test("versionAtTimestamp honors commitInfo.inCommitTimestamp over " +
+      "scrambled file mtimes — the in-commit-timestamps reader rule " +
+      "(a copied/restored modern-writer table resolves correctly)") {
+    val d = dir()
+    DeltaWrite.merge(spark, d, Seq((1L, 0.0)).toDF("id", "bal"), Seq("id"))
+    DeltaWrite.merge(spark, d, Seq((1L, 1.0)).toDF("id", "bal"), Seq("id"))
+    DeltaWrite.merge(spark, d, Seq((1L, 2.0)).toDF("id", "bal"), Seq("id"))
+    def t(s: String): Long = java.time.Instant.parse(s).toEpochMilli
+    // a modern writer's commits: commitInfo with inCommitTimestamp is
+    // the FIRST action of each commit (protocol requirement)
+    def stamp(v: Long, millis: Long): Unit = {
+      val f = java.nio.file.Paths.get(d, "_delta_log", f"$v%020d.json")
+      java.nio.file.Files.writeString(f,
+        s"""{"commitInfo":{"inCommitTimestamp":$millis}}""" + "\n" +
+          java.nio.file.Files.readString(f)): Unit
+    }
+    stamp(0L, t("2024-01-01T00:00:00Z"))
+    stamp(1L, t("2024-02-01T00:00:00Z"))
+    stamp(2L, t("2024-03-01T00:00:00Z"))
+    // mtimes LIE — a copy/restore reset them, in reverse order even
+    Seq(0L -> "2025-03-01T00:00:00Z", 1L -> "2025-02-01T00:00:00Z",
+        2L -> "2025-01-01T00:00:00Z").foreach { case (v, ts) =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(d, "_delta_log", f"$v%020d.json"),
+        java.nio.file.attribute.FileTime.from(
+          java.time.Instant.parse(ts))): Unit
+    }
+    def micros(s: String): Long = t(s) * 1000L
+    assert(DeltaRead.versionAtTimestamp(d,
+      micros("2024-01-15T00:00:00Z")) == 0L)
+    assert(DeltaRead.versionAtTimestamp(d,
+      micros("2024-02-15T00:00:00Z")) == 1L)
+    assert(DeltaRead.versionAtTimestamp(d,
+      micros("2024-03-01T00:00:00Z")) == 2L)
+    val e = intercept[IllegalArgumentException](
+      DeltaRead.versionAtTimestamp(d, micros("2024-04-01T00:00:00Z")))
+    assert(e.getMessage.contains("after the latest commit"), e.getMessage)
+    // the pinned read still replays correctly (commitInfo lines are
+    // state-inert)
+    val v1 = DeltaRead.readDeltaTable(spark, d, versionAsOf = Some(1L))
+      .as[(Long, Double)].collect().toSeq
+    assert(v1 == Seq((1L, 1.0)), v1.toString)
   }
 
   test("spark.read.format(\"graft-delta\"): the registered source " +

@@ -800,12 +800,18 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("partitioned"), e.getMessage)
   }
 
-  test("snapshotIdAtTimestamp: 0-stamped snapshots resolve through " +
-      "their introducing metadata file's mtime; foreign timestamp-ms " +
-      "wins when present; pre-history refuses loudly") {
+  test("snapshotIdAtTimestamp: 0-stamped snapshots (fixture mode) " +
+      "resolve through their introducing metadata file's mtime; " +
+      "real timestamp-ms wins when present; pre-history refuses " +
+      "loudly") {
     val d = dir()
-    IcebergWrite.merge(spark, d, Seq((1L, 0.0)).toDF("id", "bal"), Seq("id"))
-    IcebergWrite.merge(spark, d, Seq((1L, 1.0)).toDF("id", "bal"), Seq("id"))
+    // fixture mode: the historical 0-stamp, exercising the mtime
+    // fallback channel
+    sys.props("graft.iceberg.zeroTimestamps") = "true"
+    try {
+      IcebergWrite.merge(spark, d, Seq((1L, 0.0)).toDF("id", "bal"), Seq("id"))
+      IcebergWrite.merge(spark, d, Seq((1L, 1.0)).toDF("id", "bal"), Seq("id"))
+    } finally sys.props.remove("graft.iceberg.zeroTimestamps")
     val metaDir = java.nio.file.Paths.get(d, "metadata")
     def pin(v: Int, t: String): Unit =
       java.nio.file.Files.setLastModifiedTime(
@@ -830,6 +836,33 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
     val e = intercept[IllegalArgumentException](
       IcebergRead.snapshotIdAtTimestamp(d, micros("2023-01-01T00:00:00Z")))
     assert(e.getMessage.contains("precedes the earliest"), e.getMessage)
+    // DEFAULT mode stamps the real commit wall-clock into
+    // timestamp-ms: mtime scrambling no longer shifts resolution, and
+    // same-millisecond commits tie-break by snapshot id
+    val d2 = dir()
+    val before = System.currentTimeMillis()
+    IcebergWrite.merge(spark, d2, Seq((1L, 0.0)).toDF("id", "bal"), Seq("id"))
+    IcebergWrite.merge(spark, d2, Seq((1L, 1.0)).toDF("id", "bal"), Seq("id"))
+    val meta2 = org.json4s.jackson.JsonMethods.parse(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(d2, "metadata", "v2.metadata.json")))
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val stamps = (meta2 \ "snapshots").children.map(s =>
+      (s \ "timestamp-ms").extract[Long])
+    assert(stamps.forall(_ >= before), stamps.toString)
+    // scramble the metadata mtimes — real stamps still resolve
+    val m2 = java.nio.file.Paths.get(d2, "metadata")
+    Seq("v1.metadata.json" -> "2031-01-01T00:00:00Z",
+        "v2.metadata.json" -> "2030-01-01T00:00:00Z").foreach {
+      case (f, ts) => java.nio.file.Files.setLastModifiedTime(
+        m2.resolve(f), java.nio.file.attribute.FileTime.from(
+          java.time.Instant.parse(ts))): Unit
+    }
+    val nowPin = IcebergRead.snapshotIdAtTimestamp(
+      d2, (System.currentTimeMillis() + 3600000L) * 1000L)
+    assert(nowPin == 2L,
+      s"real stamps must resolve the LATEST snapshot (tie-break by " +
+        s"id on same-ms commits), got $nowPin")
   }
 
   test("spark.read.format(\"graft-iceberg\"): the registered source " +

@@ -73,15 +73,22 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
   * side, subqueries, or a handler without support leave the
   * statement unrouted — loud, never a silently-plain merge.
   *
-  * `WHEN MATCHED [AND c] THEN DELETE` routes when the relation has a
-  * registered delete implementation ([[DmlRoutes.Ops.deleteWhere]] —
-  * Delta's DV masking, Iceberg's equality-delete append): the
-  * matched delete rows' keys ship as a bounded keys-in-batch
-  * predicate, executing BEFORE the upsert batch and composing with
-  * routed updates/inserts in one statement (first-matching-action
-  * semantics; an update+delete pair on one key refuses as SQL
-  * MERGE's cardinality violation). Without the capability — or for
-  * `WHEN NOT MATCHED BY SOURCE` — the statement stays untouched, as
+  * `WHEN MATCHED [AND c] THEN DELETE` routes when the relation can
+  * delete: preferably FUSED into the engine merge's own atomic
+  * commit ([[MergeRoutes.Handler.supportsMergeDelete]] — delete +
+  * upsert land in ONE table version, SQL MERGE's atomicity), else
+  * through the registered [[DmlRoutes.Ops.deleteWhere]] (Delta's DV
+  * masking, Iceberg's equality-delete append) as its own commit
+  * before the upsert. The delete keys ship as a bounded flat
+  * keys-in-batch predicate; first-matching-action semantics hold
+  * across the legs, and an update+delete pair on one key refuses as
+  * SQL MERGE's cardinality violation. `WHEN NOT MATCHED BY SOURCE
+  * [AND c] THEN UPDATE/DELETE` (full-sync merges) compiles the same
+  * way over the target-side anti-join: by-source updates join the
+  * upsert batch (target-only expressions, SQL's own visibility
+  * rule), by-source deletes join the bounded delete set — their keys
+  * are disjoint from matched and inserted keys by construction.
+  * Without any delete capability the statement stays untouched, as
   * does any unrouted relation: Spark's own loud unsupported error
   * surfaces; never a silent partial merge. dbt never emits these
   * over this wire (snapshot hard-deletes arrive as
@@ -364,8 +371,43 @@ case class MergeIntoRoute(session: SparkSession)
       // WHEN MATCHED [AND c] THEN DELETE routes onto the relation's
       // registered delete implementation (the route only fires when
       // one exists — see deleteCapability); NOT MATCHED BY SOURCE
-      // actions arrive on their own list and stay loud
+      // actions are normalized separately (normalizeBySource)
       case DeleteAction(c) if updateSide && condOk(c) =>
+        Some(c -> None)
+      case _ => None
+    }
+    if (normed.exists(_.isEmpty)) None else Some(normed.flatten)
+  }
+
+  /** `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE/DELETE` — the
+    * full-sync legs over target rows with NO source match. SQL's own
+    * rule: there is no source row, so conditions AND update values
+    * may reference the TARGET side only; star assignments don't
+    * exist in this clause; assigning a key column refuses (the
+    * upsert could not relocate the row) by leaving the statement
+    * unrouted to Spark's loud error.
+    */
+  private def normalizeBySource(actions: Seq[MergeAction],
+      target: LogicalPlan, keys: Seq[String]): Option[Seq[Norm]] = {
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    def targetOnly(e: Expression): Boolean =
+      e.resolved && e.references.subsetOf(target.outputSet)
+    def explicit(assigns: Seq[Assignment]): Option[Map[String, Expression]] = {
+      val pairs = assigns.map { a =>
+        nameOf(a.key).filter(k =>
+          target.output.exists(_.name.equalsIgnoreCase(k)))
+          .filter(k => !keys.exists(_.equalsIgnoreCase(k)))
+          .filter(_ => targetOnly(a.value))
+          .map(k => lc(k) -> a.value)
+      }
+      if (pairs.exists(_.isEmpty) ||
+          pairs.flatten.map(_._1).distinct.size != pairs.size) None
+      else Some(pairs.flatten.toMap)
+    }
+    val normed: Seq[Option[Norm]] = actions.map {
+      case UpdateAction(c, assigns, _) if c.forall(targetOnly) =>
+        explicit(assigns).map(m => c -> Some(m))
+      case DeleteAction(c) if c.forall(targetOnly) =>
         Some(c -> None)
       case _ => None
     }
@@ -445,13 +487,15 @@ case class MergeIntoRoute(session: SparkSession)
               a.name, a.dataType, a.nullable)))))
           .getOrElse(m)
 
-      // the conditional shape (dbt snapshots, hand-written MERGE):
-      // compile matched updates + not-matched inserts onto the same
-      // upsert handler
+      // the conditional shape (dbt snapshots, hand-written MERGE —
+      // including full-sync `WHEN NOT MATCHED BY SOURCE` legs):
+      // compile matched updates + not-matched inserts + by-source
+      // updates/deletes onto the same upsert handler
       case m @ MergeIntoTable(target, source, cond,
-          matchedActs, notMatchedActs, Seq(), false)
+          matchedActs, notMatchedActs, bySourceActs, false)
           if source.resolved && target.resolved && cond.resolved &&
-            (matchedActs.nonEmpty || notMatchedActs.nonEmpty) =>
+            (matchedActs.nonEmpty || notMatchedActs.nonEmpty ||
+              bySourceActs.nonEmpty) =>
         (for {
           name <- targetName(target)
           handler <- MergeRoutes.lookup(name)
@@ -460,9 +504,11 @@ case class MergeIntoRoute(session: SparkSession)
             updateSide = true)
           notMatched <- normalizeActions(notMatchedActs, target, source,
             updateSide = false)
-          deleteWhere <- deleteCapability(name, matched, handler)
+          bySource <- normalizeBySource(bySourceActs, target, keys)
+          deleteWhere <- deleteCapability(name, matched ++ bySource,
+            handler)
         } yield GraftConditionalMergeCommand(name, keys, target, source,
-          cond, matched, notMatched, handler, deleteWhere))
+          cond, matched, notMatched, bySource, handler, deleteWhere))
           .getOrElse(m)
     }
 }
@@ -538,6 +584,7 @@ case class GraftConditionalMergeCommand(relation: String,
     joinCond: Expression,
     matched: Seq[(Option[Expression], Option[Map[String, Expression]])],
     notMatched: Seq[(Option[Expression], Option[Map[String, Expression]])],
+    bySource: Seq[(Option[Expression], Option[Map[String, Expression]])],
     handler: MergeRoutes.Handler,
     deleteWhere: Option[(SparkSession, String) => Long])
     extends LeafRunnableCommand {
@@ -706,16 +753,75 @@ case class GraftConditionalMergeCommand(relation: String,
         Some(rows.filter(conds.reduce(_ || _)).select(projected: _*))
       }
 
+    // NOT MATCHED BY SOURCE legs: target rows with NO source match,
+    // classified by FIRST matching action — updates build TARGET-only
+    // post-images (they join the upsert batch; their keys are in the
+    // target and disjoint from both matched keys and inserted keys,
+    // so the cardinality invariant holds by construction), deletes
+    // join the same bounded key collect as matched deletes. The
+    // anti-probe scans only the source's KEY columns.
+    val bsUpdateIdx = bySource.zipWithIndex.collect {
+      case ((_, Some(_)), i) => i }
+    val bsDeleteIdx = bySource.zipWithIndex.collect {
+      case ((_, None), i) => i }
+    val srcKeyAttrs = source.output.filter(a =>
+      keys.exists(_.equalsIgnoreCase(a.name)))
+    val bsRows: Option[DataFrame] =
+      if (bySource.isEmpty) None
+      else {
+        val conds = bySource.map(_._1.map(column).getOrElse(lit(true)))
+        val act = conds.zipWithIndex.drop(1)
+          .foldLeft(when(conds.head, lit(0))) {
+            case (acc, (c, i)) => acc.when(c, lit(i))
+          }
+        val r = t.join(s.select(srcKeyAttrs.map(column): _*), on,
+          "left_anti").withColumn("__graft_act", act)
+        Some(if (bsDeleteIdx.nonEmpty && bsUpdateIdx.nonEmpty)
+          r.localCheckpoint() else r)
+      }
+    val bsUpdated: Option[DataFrame] =
+      if (bsUpdateIdx.isEmpty) None
+      else bsRows.map { r =>
+        val projected = fields.map { f =>
+          val branches = bsUpdateIdx.map { i =>
+            (org.apache.spark.sql.functions.col("__graft_act") ===
+              lit(i)) ->
+              bySource(i)._2.get.get(lc(f.name)).map(column)
+                .getOrElse(targetCol(lc(f.name)))
+          }
+          branches.drop(1)
+            .foldLeft(when(branches.head._1, branches.head._2)) {
+              case (acc, (c, v)) => acc.when(c, v)
+            }
+            .otherwise(targetCol(lc(f.name))) // unreachable: filtered
+            .cast(f.dataType).as(f.name)
+        }
+        r.filter(org.apache.spark.sql.functions.col("__graft_act")
+            .isin(bsUpdateIdx: _*))
+          .select(projected: _*)
+      }
+    val bsDeletedKeys: Seq[Seq[Any]] =
+      if (bsDeleteIdx.isEmpty) Nil
+      else bsRows.map { r =>
+        val rows = r.filter(org.apache.spark.sql.functions
+            .col("__graft_act").isin(bsDeleteIdx: _*))
+          .select(keyAttrs.map(column): _*).distinct()
+          .limit(maxDeleteKeys + 1).collect()
+        require(rows.length <= maxDeleteKeys,
+          s"MERGE INTO $relation: more than $maxDeleteKeys NOT " +
+            s"MATCHED BY SOURCE delete keys — the routed delete is " +
+            s"selective; use DELETE FROM or a rewrite for mass deletes")
+        rows.map(_.toSeq).toSeq
+      }.getOrElse(Nil)
+    val allDeletedKeys = deletedKeys ++ bsDeletedKeys
+
     // materialize the post-image once — the cardinality check AND the
-    // engine merge both consume it, and its lineage (two joins over
+    // engine merge both consume it, and its lineage (the joins over
     // target+source) is not free to re-run
-    val batchOpt = ((updated, inserted) match {
-      case (Some(u), Some(i)) => Some(u.unionByName(i))
-      case (Some(u), None) => Some(u)
-      case (None, Some(i)) => Some(i)
-      case (None, None) => None // delete-only merge
-    }).map(_.localCheckpoint())
-    require(batchOpt.nonEmpty || deletedKeys.nonEmpty || deleteIdx.nonEmpty,
+    val batchOpt = Seq(updated, inserted, bsUpdated).flatten
+      .reduceOption(_.unionByName(_)).map(_.localCheckpoint())
+    require(batchOpt.nonEmpty || allDeletedKeys.nonEmpty ||
+        deleteIdx.nonEmpty || bsDeleteIdx.nonEmpty,
       s"MERGE INTO $relation: no routable actions") // unreachable
     // SQL MERGE's multiple-match rule: a unique key may appear at
     // most once across the post-image batch AND the delete set — two
@@ -735,8 +841,8 @@ case class GraftConditionalMergeCommand(relation: String,
         s"MERGE INTO $relation: multiple source rows matched one " +
           s"target key (or duplicate insert keys) — refusing a " +
           s"duplicate-key upsert")
-      if (deletedKeys.nonEmpty) {
-        val overlap = batch.filter(deleteColumn(deletedKeys))
+      if (allDeletedKeys.nonEmpty) {
+        val overlap = batch.filter(deleteColumn(allDeletedKeys))
           .limit(1).count() > 0
         require(!overlap,
           s"MERGE INTO $relation: a unique key is both deleted and " +
@@ -755,21 +861,21 @@ case class GraftConditionalMergeCommand(relation: String,
     // nothing, the upsert is idempotent per key). dbt never emits
     // delete legs over this wire, so only hand-written MERGE against
     // a fallback-only relation crosses that window.
-    if (deletedKeys.nonEmpty && handler.supportsMergeDelete) {
+    if (allDeletedKeys.nonEmpty && handler.supportsMergeDelete) {
       val fusedBatch = batchOpt.getOrElse(
         // delete-only merge: an EMPTY upsert batch in the target's shape
         sparkSession.createDataFrame(
           sparkSession.sparkContext.emptyRDD[Row],
           org.apache.spark.sql.types.StructType(fields)))
       Seq(Row(handler.mergeWithDelete(sparkSession, fusedBatch, keys,
-        deletePredicate(deletedKeys))))
+        deletePredicate(allDeletedKeys))))
     } else {
       val nDeleted =
-        if (deletedKeys.isEmpty) 0L
+        if (allDeletedKeys.isEmpty) 0L
         else deleteWhere.getOrElse(sys.error(
           s"MERGE INTO $relation: delete action routed without a " +
             s"delete capability")) // unreachable: deleteCapability gate
-          .apply(sparkSession, deletePredicate(deletedKeys))
+          .apply(sparkSession, deletePredicate(allDeletedKeys))
       val nMerged = batchOpt.map(handler(sparkSession, _, keys))
         .getOrElse(0L)
       Seq(Row(nDeleted + nMerged))

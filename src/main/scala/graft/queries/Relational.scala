@@ -474,6 +474,63 @@ object Scans extends QueryGroup {
       graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
     }),
 
+    // Full-sync MERGE: `WHEN NOT MATCHED BY SOURCE` legs (the
+    // warehouse mirror-the-source shape) compile over the target-side
+    // anti-join — by-source UPDATEs build target-only post-images
+    // that join the upsert batch, the conditioned by-source DELETE
+    // joins the bounded delete set, and everything lands through the
+    // FUSED single-commit engine merge. The oracle replays the
+    // four-way classification closed-form.
+    "run_sql_merge_not_matched_by_source" -> ((s, d) => {
+      val dir = tmpDir("graft_sql_merge_nmbs")
+      val cust = Tables.customer(s, d)
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").as("bal")),
+        Seq("c_custkey"))
+      graft.sources.DeltaRead.readDeltaTable(s, dir)
+        .createOrReplaceTempView("sql_nmbs_tgt")
+      graft.gateway.MergeRoutes.register("sql_nmbs_tgt",
+        new graft.gateway.MergeRoutes.Handler {
+          override def apply(sess: SparkSession, batch: DataFrame,
+              keys: Seq[String]): Long =
+            graft.sources.DeltaWrite.merge(sess, dir, batch, keys)
+          override def supportsMergeDelete: Boolean = true
+          override def mergeWithDelete(sess: SparkSession,
+              batch: DataFrame, keys: Seq[String],
+              deletePredicateSql: String): Long =
+            graft.sources.DeltaWrite.merge(sess, dir, batch, keys,
+              deletePredicate = Some(deletePredicateSql))
+        })
+      // source: %3=0 keys (doubled bal), plus fresh shifted keys
+      cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          (col("c_acctbal") * 2).as("bal"))
+        .unionByName(cust.filter(col("c_custkey") % 10 === 2)
+          .select((col("c_custkey") + lit(20000000L)).as("c_custkey"),
+            col("c_mktsegment"), col("c_acctbal").as("bal")))
+        .createOrReplaceTempView("sql_nmbs_src")
+      try s.sql(
+        """MERGE INTO sql_nmbs_tgt AS DBT_INTERNAL_DEST
+          |USING sql_nmbs_src AS DBT_INTERNAL_SOURCE
+          |ON DBT_INTERNAL_DEST.c_custkey = DBT_INTERNAL_SOURCE.c_custkey
+          |WHEN MATCHED THEN UPDATE SET bal = DBT_INTERNAL_SOURCE.bal
+          |WHEN NOT MATCHED THEN INSERT (c_custkey, c_mktsegment, bal)
+          |  VALUES (DBT_INTERNAL_SOURCE.c_custkey,
+          |          DBT_INTERNAL_SOURCE.c_mktsegment,
+          |          DBT_INTERNAL_SOURCE.bal)
+          |WHEN NOT MATCHED BY SOURCE
+          |  AND DBT_INTERNAL_DEST.c_mktsegment = 'BUILDING' THEN DELETE
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET bal = 0.0
+          |""".stripMargin).collect()
+      finally {
+        graft.gateway.MergeRoutes.unregister("sql_nmbs_tgt")
+        s.catalog.dropTempView("sql_nmbs_tgt")
+        s.catalog.dropTempView("sql_nmbs_src")
+      }
+      graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
+    }),
+
     // Wire-native lakehouse CTAS: `CREATE TABLE ... USING delta AS
     // SELECT` (dbt's snapshot/table first run) executes through
     // Spark's OWN CTAS command — the registered writable `delta`
@@ -1192,6 +1249,21 @@ object Scans extends QueryGroup {
         |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal,
         |  CASE WHEN c_custkey % 3 = 0 THEN 'updated' END AS note
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // full-sync merge: matched update ∪ insert ∪ by-source update,
+    // by-source BUILDING rows deleted
+    "run_sql_merge_not_matched_by_source" ->
+      """SELECT c_custkey, c_mktsegment, bal FROM (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal * 2 AS bal
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 20000000, c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 10 = 2
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, CAST(0.0 AS DOUBLE)
+        |  FROM customer
+        |  WHERE c_custkey % 3 <> 0 AND c_mktsegment <> 'BUILDING'
+        |) ORDER BY c_custkey""".stripMargin,
 
     // native CTAS + INSERT INTO = the whole table
     "run_sql_ctas_delta" ->

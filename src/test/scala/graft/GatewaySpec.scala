@@ -1334,6 +1334,58 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("NOT MATCHED BY SOURCE guards: a source-referencing condition " +
+      "or value stays unrouted (SQL's visibility rule), a key " +
+      "assignment stays unrouted, and a by-source DELETE without " +
+      "delete capability stays loud") {
+    import spark.implicits._
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "bal")
+      .createOrReplaceTempView("gw_nmbs")
+    Seq((1L, 9.0)).toDF("id", "bal")
+      .createOrReplaceTempView("gw_nmbs_src")
+    graft.gateway.MergeRoutes.register("gw_nmbs",
+      (_, _, _) => sys.error("must not route"))
+    try {
+      // by-source condition referencing the SOURCE side: unroutable
+      val e1 = intercept[Exception](spark.sql(
+        """MERGE INTO gw_nmbs AS T USING gw_nmbs_src AS S ON T.id = S.id
+          |WHEN NOT MATCHED BY SOURCE AND S.bal > 0 THEN DELETE
+          |""".stripMargin).collect())
+      assert(!e1.getMessage.contains("must not route"), e1.getMessage)
+      // by-source UPDATE assigning the key column: unroutable
+      val e2 = intercept[Exception](spark.sql(
+        """MERGE INTO gw_nmbs AS T USING gw_nmbs_src AS S ON T.id = S.id
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET id = id + 1
+          |""".stripMargin).collect())
+      assert(!e2.getMessage.contains("must not route"), e2.getMessage)
+      // by-source DELETE against a handler with neither fused delete
+      // nor a DmlRoutes deleteWhere: unroutable, Spark's loud error
+      val e3 = intercept[Exception](spark.sql(
+        """MERGE INTO gw_nmbs AS T USING gw_nmbs_src AS S ON T.id = S.id
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE
+          |""".stripMargin).collect())
+      assert(!e3.getMessage.contains("must not route"), e3.getMessage)
+      // a by-source UPDATE with target-only expressions DOES route
+      var routedBatch: Option[Seq[(Long, Double)]] = None
+      graft.gateway.MergeRoutes.register("gw_nmbs",
+        (_, batch, _) => {
+          routedBatch = Some(batch.orderBy("id")
+            .as[(Long, Double)].collect().toSeq)
+          batch.count()
+        })
+      spark.sql(
+        """MERGE INTO gw_nmbs AS T USING gw_nmbs_src AS S ON T.id = S.id
+          |WHEN NOT MATCHED BY SOURCE AND T.bal < 10 THEN
+          |  UPDATE SET bal = T.bal * 100
+          |""".stripMargin).collect()
+      assert(routedBatch.contains(Seq((2L, 200.0))), routedBatch.toString)
+    } finally {
+      graft.gateway.MergeRoutes.unregister("gw_nmbs")
+      spark.catalog.dropTempView("gw_nmbs")
+      spark.catalog.dropTempView("gw_nmbs_src")
+    }
+  }
+
   test("degenerate ON t.k = t.k (both sides the target) is NOT a key " +
       "equality: the statement stays unrouted with Spark's loud " +
       "error, on the star shape and the conditional shape") {

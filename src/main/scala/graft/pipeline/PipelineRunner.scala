@@ -1153,12 +1153,14 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
               }
             })
           // UPDATE (post-image upsert on the declared key) for every
-          // merge model; DELETE FROM only where a real engine delete
-          // exists — unpartitioned Delta's DV merge-on-read delete
+          // merge model; DELETE FROM where a real engine delete
+          // exists — Delta's DV merge-on-read delete (partitioned
+          // tables prune the probe through partition values + stats,
+          // the date-partitioned retention-delete shape)
           graft.gateway.DmlRoutes.register(name, this,
             graft.gateway.DmlRoutes.Ops(keys,
               deleteWhere =
-                if (m.fileFormat == "delta" && userParts.isEmpty)
+                if (m.fileFormat == "delta")
                   Some((s, predicateSql) => {
                     val n = graft.sources.DeltaWrite.deleteWhere(
                       s, dir, predicateSql)

@@ -685,6 +685,36 @@ object Scans extends QueryGroup {
       graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
     }),
 
+    // `DELETE FROM` on a PARTITIONED Delta table — the
+    // date/segment-partitioned retention delete: the probe PRUNES to
+    // the predicate's partitions through the log's partitionValues +
+    // stats (DeltaSpec proves untouched partitions' files are never
+    // opened with the hidden-file technique), matching rows are
+    // DV-masked in place — no data file rewritten, O(partition) not
+    // O(table).
+    "run_sql_delete_partitioned" -> ((s, d) => {
+      val dir = tmpDir("graft_sql_del_part")
+      val cust = Tables.customer(s, d)
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").as("bal")),
+        Seq("c_custkey"), partitionBy = Seq("c_mktsegment"))
+      graft.sources.DeltaRead.readDeltaTable(s, dir)
+        .createOrReplaceTempView("sql_del_part_tgt")
+      graft.gateway.DmlRoutes.register("sql_del_part_tgt",
+        graft.gateway.DmlRoutes.Ops(Seq("c_custkey"),
+          deleteWhere = Some((sess, predicateSql) =>
+            graft.sources.DeltaWrite.deleteWhere(sess, dir, predicateSql))))
+      try s.sql("DELETE FROM sql_del_part_tgt " +
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0")
+        .collect()
+      finally {
+        graft.gateway.DmlRoutes.unregister("sql_del_part_tgt")
+        s.catalog.dropTempView("sql_del_part_tgt")
+      }
+      graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
+    }),
+
     // The dbt snapshot CHECK strategy over the wire (dbt's DEFAULT
     // when no updated_at exists): row_changed = any check_cols column
     // IS DISTINCT FROM the current row's, valid_from/updated_at take
@@ -1309,6 +1339,14 @@ object Scans extends QueryGroup {
       """SELECT c_custkey, c_mktsegment, c_acctbal AS bal
         |FROM customer
         |WHERE NOT (c_mktsegment = 'BUILDING' OR c_custkey % 100 = 7)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // partitioned DV delete: survivors of the partition-pruned
+    // predicate
+    "run_sql_delete_partitioned" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal AS bal
+        |FROM customer
+        |WHERE NOT (c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0)
         |ORDER BY c_custkey""".stripMargin,
 
     // check-strategy snapshot final state: changed keys (id%4=0,

@@ -1444,20 +1444,19 @@ object DeltaWrite {
 
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
       predicateSql: String, maxMatches: Int = 2000000): Long = {
-    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.functions.{broadcast, col, expr}
     val logDir = java.nio.file.Paths.get(dir, "_delta_log")
     require(java.nio.file.Files.isDirectory(logDir),
       s"not a Delta table: $dir")
     val geom = DeltaRead.mergeGeometry(spark, dir)
     require(!geom.mapped,
       s"deleteWhere on a column-mapped table is unsupported: $dir")
-    require(DeltaRead.partitionColumns(spark, dir).isEmpty,
-      s"deleteWhere on a partitioned table is unsupported: $dir")
     require(!boolConf(DeltaRead.tableConfiguration(spark, dir),
         "delta.enableChangeDataFeed"),
       s"deleteWhere on a CDF-enabled table is unsupported — DV " +
         s"masking writes no cdc actions: $dir")
     val tableSchema = DeltaRead.tableSchema(spark, dir)
+    val partCols = DeltaRead.partitionColumns(spark, dir)
     val version = DeltaRead.latestVersion(dir) + 1
     requireNextVersion(dir, version)
     val live = DeltaRead.liveDataFilesAll(spark, dir)
@@ -1465,15 +1464,49 @@ object DeltaWrite {
     val hconf = spark.sessionState.newHadoopConf()
     val liveByQualified = live.map(f => sparkPathOf(hconf, f.abs) -> f).toMap
 
-    val raw0 = spark.read.schema(tableSchema)
-      .parquet(live.map(_.abs): _*)
+    // PRUNE the probe through log stats + partition values (the same
+    // tri-state FileSkipping domain the merge probe uses): a file
+    // whose stats prove no row can match — in particular every file
+    // of an untouched partition on the date-partitioned retention
+    // delete — is never opened. Conservative: unknown keeps the file.
+    val skipExpr = FileSkipping.resolve(spark, tableSchema,
+      expr(predicateSql))
+    val pruned = live.filter(f => FileSkipping.mayMatch(skipExpr,
+      DeltaRead.fileStatsOfLive(f, tableSchema, partCols)))
+    if (pruned.isEmpty) return 0L
+
+    // data files do not store partition columns — re-attach them from
+    // the log's authoritative partitionValues via a broadcast
+    // file-map (keyed on SparkPath form), exactly like the merge scan
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      tableSchema.filterNot(f => partCols.contains(f.name)))
+    val raw0 = spark.read.schema(dataSchema)
+      .parquet(pruned.map(_.abs): _*)
       .withColumn("__graft_file", col("_metadata.file_path"))
       .withColumn("__graft_row", col("_metadata.row_index"))
-    val withDv = live.flatMap(f =>
+    val withPv =
+      if (partCols.isEmpty) raw0
+      else {
+        val pvSchema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("__graft_file",
+            org.apache.spark.sql.types.StringType) +:
+          partCols.map(c => org.apache.spark.sql.types.StructField(
+            s"__graft_pv_$c", org.apache.spark.sql.types.StringType)))
+        val pvRows = pruned.map(f => org.apache.spark.sql.Row.fromSeq(
+          sparkPathOf(hconf, f.abs) +:
+            partCols.map(c => f.partitionValues.getOrElse(c, null))))
+        val pvDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(pvRows, 1), pvSchema)
+        partCols.foldLeft(raw0.join(broadcast(pvDf), Seq("__graft_file")))(
+          (df, c) => df.withColumn(c, col(s"`__graft_pv_$c`")
+            .cast(tableSchema(c).dataType)))
+          .drop(partCols.map(c => s"__graft_pv_$c"): _*)
+      }
+    val withDv = pruned.flatMap(f =>
       f.dv.map(d => (sparkPathOf(hconf, f.abs), d)))
     val cur =
-      if (withDv.isEmpty) raw0
-      else raw0.join(DeltaRead.dvDeleteFrame(spark, dir, withDv),
+      if (withDv.isEmpty) withPv
+      else withPv.join(DeltaRead.dvDeleteFrame(spark, dir, withDv),
         Seq("__graft_file", "__graft_row"), "left_anti")
     val matched = cur.filter(expr(predicateSql))
       .select("__graft_file", "__graft_row")

@@ -1620,6 +1620,47 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("CDF"), e.getMessage)
   }
 
+  test("deleteWhere on a PARTITIONED table: partition values + stats " +
+      "prune the probe (hidden foreign-partition files are never " +
+      "opened), matching rows DV-masked in place, partitionValues " +
+      "carried on the re-add") {
+    val d = dir()
+    DeltaWrite.merge(spark, d,
+      Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "b", 4.0))
+        .toDF("id", "part", "bal"),
+      Seq("id"), buckets = 2, partitionBy = Seq("part"))
+    // hide partition b's data files: a delete confined to part='a'
+    // must never open them — pruning is what makes the
+    // date-partitioned retention delete O(partition), not O(table)
+    import scala.jdk.CollectionConverters._
+    val bFiles = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try w.iterator().asScala.filter(p =>
+        p.toString.contains("part=b") &&
+          p.getFileName.toString.endsWith(".parquet")).toSeq
+      finally w.close()
+    }
+    assert(bFiles.nonEmpty, "expected part=b data files")
+    bFiles.foreach(p => java.nio.file.Files.move(p,
+      p.resolveSibling(p.getFileName.toString + ".hidden")))
+    try
+      assert(DeltaWrite.deleteWhere(spark, d,
+        "part = 'a' AND id = 1") == 1L)
+    finally bFiles.foreach(p => java.nio.file.Files.move(
+      p.resolveSibling(p.getFileName.toString + ".hidden"), p))
+    val got = DeltaRead.readDeltaTable(spark, d).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((2L, "a", 2.0), (3L, "b", 3.0), (4L, "b", 4.0)),
+      got.toString)
+    // the delete was a DV mask: every data file intact, and the
+    // re-added file still carries its partitionValues in the log
+    val lastCommit = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(d, "_delta_log", "%020d.json".format(1)))
+    assert(lastCommit.contains("\"part\":\"a\""),
+      s"re-add lost partitionValues: $lastCommit")
+    assert(lastCommit.contains("deletionVector"), lastCommit)
+  }
+
   test("merge with residualPredicate: out-of-window rows are NOT " +
       "matched — they stay and the batch row inserts (SQL MERGE " +
       "semantics, exactly what Delta executes for " +

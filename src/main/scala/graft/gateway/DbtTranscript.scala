@@ -135,6 +135,29 @@ object DbtTranscript {
       merge.drop(1)
   }
 
+  /** `incremental` merge + `on_schema_change: sync_all_columns`: dbt
+    * diffs the staged and target schemas BOTH ways and emits
+    * `spark__alter_relation_add_remove_columns`' statements — ADD
+    * COLUMNS for new columns and DROP COLUMNS for removed ones
+    * (dbt-spark gates the drop to Delta-format relations) — before
+    * the same merge. [[SchemaDdlRoute]] lands both on the engine's
+    * schema evolution.
+    */
+  def mergeSyncRun(target: String, name: String, select: String,
+      uniqueKey: Seq[String], newColumns: Seq[(String, String)],
+      removedColumns: Seq[String]): Seq[String] = {
+    val merge = mergeRun(target, name, select, uniqueKey)
+    val adds =
+      if (newColumns.isEmpty) Nil
+      else Seq(s"alter table $target add columns (" +
+        newColumns.map { case (n, t) => s"$n $t" }.mkString(", ") + ")")
+    val drops =
+      if (removedColumns.isEmpty) Nil
+      else Seq(s"alter table $target drop columns (" +
+        removedColumns.mkString(", ") + ")")
+    merge.take(1) ++ adds ++ drops ++ merge.drop(1)
+  }
+
   /** The dbt SNAPSHOT staging select for the `timestamp` strategy —
     * the semantics of dbt-core's `snapshot_staging_table` macro
     * (insertions = new keys ∪ re-opened changed keys; updates =

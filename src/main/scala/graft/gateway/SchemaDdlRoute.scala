@@ -35,7 +35,13 @@ object DdlRoutes {
   /** (session, appended top-level fields) — widens the table schema. */
   type AddColumnsHandler = (SparkSession, Seq[StructField]) => Unit
 
+  /** (session, dropped top-level column names) — narrows the table
+    * schema (dbt `on_schema_change: sync_all_columns`' remove leg).
+    */
+  type DropColumnsHandler = (SparkSession, Seq[String]) => Unit
+
   private val routes = new RouteRegistry[AddColumnsHandler]
+  private val dropRoutes = new RouteRegistry[DropColumnsHandler]
 
   def register(relation: String, handler: AddColumnsHandler): Unit =
     routes.register(relation, handler)
@@ -52,6 +58,22 @@ object DdlRoutes {
 
   def lookup(relation: String): Option[AddColumnsHandler] =
     routes.lookup(relation)
+
+  def registerDrop(relation: String, handler: DropColumnsHandler): Unit =
+    dropRoutes.register(relation, handler)
+
+  def registerDrop(relation: String, owner: AnyRef,
+      handler: DropColumnsHandler): Unit =
+    dropRoutes.register(relation, owner, handler)
+
+  def unregisterDrop(relation: String): Unit =
+    dropRoutes.unregister(relation)
+
+  def unregisterDrop(relation: String, owner: AnyRef): Unit =
+    dropRoutes.unregister(relation, owner)
+
+  def lookupDrop(relation: String): Option[DropColumnsHandler] =
+    dropRoutes.lookup(relation)
 }
 
 /** See [[DdlRoutes]]. The target arrives as an [[UnresolvedTable]]:
@@ -72,6 +94,29 @@ case class SchemaDdlRoute(session: SparkSession)
         } yield GraftAddColumnsCommand(
           u.multipartIdentifier.mkString("."), fields, handler))
           .getOrElse(a)
+
+      // `ALTER TABLE ... DROP COLUMNS (a, b)` — dbt-spark's
+      // on_schema_change=sync_all_columns remove leg (emitted for
+      // lakehouse file_formats only). Routed shape: TOP-LEVEL names,
+      // no IF EXISTS (dbt emits none); nested paths / IF EXISTS / an
+      // unrouted relation stay with Spark's own loud error.
+      case dcase @ org.apache.spark.sql.catalyst.plans.logical
+          .DropColumns(u: UnresolvedTable, cols, false) =>
+        (for {
+          handler <- DdlRoutes.lookupDrop(RouteNames.demangle(
+            u.multipartIdentifier.mkString(".")))
+          names <- {
+            val ns = cols.map {
+              case org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedFieldName(Seq(n)) => Some(n)
+              case _ => None
+            }
+            if (ns.exists(_.isEmpty) || ns.isEmpty) None
+            else Some(ns.flatten)
+          }
+        } yield GraftDropColumnsCommand(
+          u.multipartIdentifier.mkString("."), names, handler))
+          .getOrElse(dcase)
     }
 
   /** The routed column shape: top-level, no position, no default.
@@ -103,6 +148,19 @@ case class GraftAddColumnsCommand(relation: String,
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
     handler(sparkSession, fields)
+    Nil
+  }
+}
+
+/** The routed DROP COLUMNS as an eagerly-executed command. */
+case class GraftDropColumnsCommand(relation: String,
+    names: Seq[String], handler: DdlRoutes.DropColumnsHandler)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    handler(sparkSession, names)
     Nil
   }
 }

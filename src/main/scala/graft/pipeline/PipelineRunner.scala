@@ -1256,6 +1256,30 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
       // the published views must re-resolve the widened schema
       registerSessionView(name)
     })
+    // the sync_all_columns REMOVE leg (`ALTER TABLE ... DROP
+    // COLUMNS`): metaData-only narrow / schema-only snapshot /
+    // manifest republish with the narrowed `#schema:` header
+    graft.gateway.DdlRoutes.registerDrop(name, this, (s, cols) => {
+      if (isDeltaTable(name))
+        graft.sources.DeltaWrite.dropColumns(s, tablePath(name), cols)
+      else if (isIcebergTable(name))
+        graft.sources.IcebergWrite.dropColumns(s, tablePath(name), cols)
+      else {
+        val stored = currentSchema(name).getOrElse(sys.error(
+          s"ALTER TABLE $name: no published schema"))
+        cols.foreach(c => require(
+          stored.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"ALTER TABLE $name: column $c does not exist"))
+        val kept = stored.fields.filterNot(f =>
+          cols.exists(_.equalsIgnoreCase(f.name)))
+        require(kept.nonEmpty,
+          s"ALTER TABLE $name: DROP COLUMNS would empty the schema")
+        publishManifest(name, currentManifest(name).getOrElse(sys.error(
+          s"ALTER TABLE $name: no published manifest")),
+          StructType(kept))
+      }
+      registerSessionView(name)
+    })
   }
 
   /** Manifest-table `TIMESTAMP AS OF`: the latest generation whose
@@ -4343,6 +4367,7 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
       graft.gateway.TimeTravelRoutes.unregister(n, this)
       graft.gateway.TimeTravelRoutes.unregisterTimestamp(n, this)
       graft.gateway.DdlRoutes.unregister(n, this)
+      graft.gateway.DdlRoutes.unregisterDrop(n, this)
     }
     routedNames.clear()
     spec.models.filter(_.materialization == Materialization.View)

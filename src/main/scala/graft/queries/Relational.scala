@@ -413,6 +413,33 @@ object Scans extends QueryGroup {
       graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
     }),
 
+    // `ALTER TABLE ... DROP COLUMNS` over SQL text (dbt-spark's
+    // on_schema_change=sync_all_columns REMOVE leg): SchemaDdlRoute
+    // lands it on the engine's schema evolution — one metaData-only
+    // Delta commit NARROWING the schema (schema-on-read: carried
+    // files' extra column stops being projected) — and the follow-up
+    // merge batch matches the narrowed table exactly.
+    "run_sql_alter_drop_columns" -> ((s, d) => {
+      val dir = tmpDir("graft_sql_alter_drop")
+      val cust = Tables.customer(s, d)
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          lit("stale").as("note"), lit(0.0).as("bal")),
+        Seq("c_custkey"))
+      graft.gateway.DdlRoutes.registerDrop("sql_alter_drop_tgt",
+        (sess, cols) =>
+          graft.sources.DeltaWrite.dropColumns(sess, dir, cols))
+      try s.sql(
+        "ALTER TABLE sql_alter_drop_tgt DROP COLUMNS (note)").collect()
+      finally graft.gateway.DdlRoutes.unregisterDrop("sql_alter_drop_tgt")
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").as("bal")),
+        Seq("c_custkey"))
+      graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
+    }),
+
     // MERGE with a `WHEN MATCHED ... THEN DELETE` leg, FUSED: the
     // matched delete rows' keys ship as a bounded keys-in-batch
     // predicate INTO the engine merge itself, so deletes (DV masks on
@@ -1278,6 +1305,12 @@ object Scans extends QueryGroup {
       """SELECT c_custkey, c_mktsegment,
         |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal,
         |  CASE WHEN c_custkey % 3 = 0 THEN 'updated' END AS note
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // the narrowed table: note dropped, merged keys carry real bal
+    "run_sql_alter_drop_columns" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE 0.0 END AS bal
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // full-sync merge: matched update ∪ insert ∪ by-source update,

@@ -767,6 +767,42 @@ object DeltaWrite {
       DeltaRead.tableConfiguration(spark, dir))))
   }
 
+  /** `ALTER TABLE ... DROP COLUMNS` (dbt-spark
+    * `on_schema_change: sync_all_columns`' remove leg): one
+    * metaData-only commit NARROWING the schema — the schemaString is
+    * what readers project, so carried data files' extra columns
+    * simply stop being read (schema-on-read, the exact inverse of
+    * [[addColumns]]). Partition columns, unknown columns, the last
+    * column, and column-mapped tables refuse loudly.
+    */
+  def dropColumns(spark: org.apache.spark.sql.SparkSession, dir: String,
+      names: Seq[String]): Unit = {
+    require(names.nonEmpty, "DROP COLUMNS needs at least one column")
+    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
+    require(java.nio.file.Files.isDirectory(logDir),
+      s"not a Delta table: $dir")
+    val geom = DeltaRead.mergeGeometry(spark, dir)
+    require(!geom.mapped,
+      s"DROP COLUMNS on a column-mapped table is unsupported here: $dir")
+    val schema = DeltaRead.tableSchema(spark, dir)
+    val partCols = DeltaRead.partitionColumns(spark, dir)
+    names.foreach { n =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+        s"DROP COLUMNS: column $n does not exist: $dir")
+      require(!partCols.exists(_.equalsIgnoreCase(n)),
+        s"DROP COLUMNS: $n is a partition column: $dir")
+    }
+    val kept = schema.fields.filterNot(f =>
+      names.exists(_.equalsIgnoreCase(f.name)))
+    require(kept.nonEmpty,
+      s"DROP COLUMNS would leave an empty schema: $dir")
+    val version = DeltaRead.latestVersion(dir) + 1
+    requireNextVersion(dir, version)
+    writeCommitFile(dir, version, Seq(metaDataLine(
+      org.apache.spark.sql.types.StructType(kept), partCols,
+      DeltaRead.tableConfiguration(spark, dir))))
+  }
+
   def merge(spark: org.apache.spark.sql.SparkSession, dir: String,
       batch0: DataFrame, uniqueKey: Seq[String], buckets: Int = 8,
       enableCdf: Boolean = false,

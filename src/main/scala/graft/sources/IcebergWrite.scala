@@ -231,6 +231,36 @@ object IcebergWrite {
       state.schema.fields ++ fields.map(_.copy(nullable = true))))): Unit
   }
 
+  /** `ALTER TABLE ... DROP COLUMNS` (dbt-spark
+    * `on_schema_change: sync_all_columns`\' remove leg): one
+    * schema-only snapshot narrowing the schema — kept fields retain
+    * their ids (Iceberg\'s id-based evolution contract), carried data
+    * files\' extra columns stop being projected. Partition columns,
+    * unknown columns, the last column refuse loudly; so does a table
+    * with LIVE delete files (an equality delete may reference the
+    * dropped column\'s field id — compact first).
+    */
+  def dropColumns(spark: org.apache.spark.sql.SparkSession, dir: String,
+      names: Seq[String]): Unit = {
+    require(names.nonEmpty, "DROP COLUMNS needs at least one column")
+    val state = IcebergRead.snapshotState(dir, None)
+    names.foreach(n => require(
+      state.schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+      s"DROP COLUMNS: column $n does not exist: $dir"))
+    val pcs = IcebergRead.tablePartitionCols(dir)
+    names.foreach(n => require(!pcs.exists(_.equalsIgnoreCase(n)),
+      s"DROP COLUMNS: $n is a partition column: $dir"))
+    require(state.schema.fields.exists(f =>
+      !names.exists(_.equalsIgnoreCase(f.name))),
+      s"DROP COLUMNS would leave an empty schema: $dir")
+    require(state.positionDeleteFiles.isEmpty &&
+        state.equalityDeleteFiles.isEmpty,
+      s"DROP COLUMNS with live delete files is unsupported (an " +
+        s"equality delete may reference the dropped field id) — " +
+        s"compact/rewrite first: $dir")
+    commit(dir, Nil, schemaDrop = Some(names)): Unit
+  }
+
   def commit(dir: String,
       adds: Seq[(String, DataFrame)],
       removes: Seq[String] = Nil,
@@ -244,11 +274,16 @@ object IcebergWrite {
       dropDeletes: Boolean = false,
       stagedAdds: Seq[Staged] = Nil,
       partitionBy: Seq[String] = Nil,
-      schemaEvolution: Option[StructType] = None): Long = {
+      schemaEvolution: Option[StructType] = None,
+      // schema-only commit DROPPING top-level columns (validated by
+      // [[dropColumns]] — ids of the kept fields are retained)
+      schemaDrop: Option[Seq[String]] = None): Long = {
     require(adds.nonEmpty || removes.nonEmpty || stagedAdds.nonEmpty ||
       positionDeletes.nonEmpty || equalityDelete.nonEmpty ||
-      schemaEvolution.nonEmpty, // schema-only commit: ADD COLUMNS
+      schemaEvolution.nonEmpty || schemaDrop.nonEmpty, // schema-only commits
       "empty Iceberg commit")
+    require(schemaEvolution.isEmpty || schemaDrop.isEmpty,
+      "one schema change per commit")
     val metaDir = java.nio.file.Paths.get(dir, "metadata")
     val dataDir = java.nio.file.Paths.get(dir, "data")
     java.nio.file.Files.createDirectories(metaDir)
@@ -307,12 +342,31 @@ object IcebergWrite {
       }
     val (schemaJson: JValue, lastColumnId: Int, schemaId: Int,
         priorSchemaJsons: List[JValue]) =
-      schemaEvolution match {
-        case None =>
+      (schemaEvolution, schemaDrop) match {
+        case (None, Some(drop)) =>
+          // DROP: keep every remaining field VERBATIM (ids immutable),
+          // bump the schema id, retain prior schemas for time travel
+          val kept = (baseSchemaJson \ "fields").children.filterNot(f =>
+            drop.exists(_.equalsIgnoreCase((f \ "name").extract[String])))
+          require(kept.nonEmpty, "DROP COLUMNS would empty the schema")
+          val newSid = (baseSchemaJson \ "schema-id").extractOpt[Int]
+            .getOrElse(0) + 1
+          val narrowed = baseSchemaJson match {
+            case o: JObject =>
+              JObject(o.obj.map {
+                case ("fields", JArray(_)) => "fields" -> JArray(kept.toList)
+                case ("schema-id", _) => "schema-id" -> JInt(newSid)
+                case other => other
+              })
+            case other => sys.error(s"struct schema expected, got $other")
+          }
+          (narrowed, baseLastColumnId, newSid,
+            priorMetaJson.map(pm => (pm \ "schemas").children).getOrElse(Nil))
+        case (None, None) =>
           val sid = (baseSchemaJson \ "schema-id").extractOpt[Int]
             .getOrElse(0)
           (baseSchemaJson, baseLastColumnId, sid, Nil)
-        case Some(newSchema) =>
+        case (Some(newSchema), _) =>
           val existing = (baseSchemaJson \ "fields").children
             .map(f => (f \ "name").extract[String]).toSet
           val added = newSchema.fields.filterNot(f => existing(f.name))
@@ -339,7 +393,12 @@ object IcebergWrite {
           (evolved, id, newSid,
             priorMetaJson.map(pm => (pm \ "schemas").children).getOrElse(Nil))
       }
-    val tableSchema: StructType = schemaEvolution.getOrElse(prior.schema)
+    val tableSchema: StructType = schemaEvolution.getOrElse(
+      schemaDrop match {
+        case None => prior.schema
+        case Some(drop) => StructType(prior.schema.fields.filterNot(f =>
+          drop.exists(_.equalsIgnoreCase(f.name))))
+      })
 
     // top-level field name → Iceberg field id (the metadata schema's
     // numbering; bounds, equality ids and partition source ids resolve
@@ -607,15 +666,17 @@ object IcebergWrite {
         else o
       case other => sys.error(s"struct schema expected, got $other")
     }
-    val schemasArr: List[JValue] = schemaEvolution match {
-      case None => priorMetaJson match {
+    val schemasArr: List[JValue] = (schemaEvolution, schemaDrop) match {
+      case (None, None) => priorMetaJson match {
         case None => List(schemaJsonFinal)
         case Some(pm) => (pm \ "schemas").children match {
           case Nil => List(schemaJsonFinal)
           case ss => ss
         }
       }
-      case Some(_) => priorSchemaJsons :+ schemaJsonFinal
+      // evolution AND drop: prior schemas stay listed (time travel
+      // reads them), the new schema id becomes current
+      case _ => priorSchemaJsons :+ schemaJsonFinal
     }
     val priorSnapshots =
       if (priorVersion == 0) Nil

@@ -1132,6 +1132,60 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dbt on_schema_change=sync_all_columns over Thrift: the ALTER " +
+      "ADD + DROP COLUMNS + merge transcript lands on the engine's " +
+      "schema evolution — stale column gone, new column carried") {
+    import graft.pipeline.{Materialization, Model, PipelineRunner, PipelineSpec}
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"))
+    val wh = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"),
+      "thrift_sync_wh").toString
+    val spec = PipelineSpec(models = Seq(
+      Model("gw_sync", Nil, Materialization.IncrementalMerge(Seq("id")),
+        (sp, _) => { import sp.implicits._
+          Seq((1L, 1.0, "old"), (2L, 2.0, "old")).toDF("id", "bal", "stale") },
+        fileFormat = "delta")))
+    val runner = new PipelineRunner(spark, spec, wh)
+    assert(runner.run(Seq("run")).success)
+    val port = ThriftGateway.freePort()
+    val srv = ThriftGateway.start(spark, port)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val conn = java.sql.DriverManager.getConnection(
+        s"jdbc:hive2://127.0.0.1:$port", "dbt", "")
+      try {
+        val st = conn.createStatement()
+        // the model's select lost `stale` and grew `note`: dbt diffs
+        // both ways and emits ADD + DROP before the merge
+        graft.gateway.DbtTranscript.mergeSyncRun("gw_sync", "gw_sync",
+          "select * from values (2L, 20.0, 'x'), (3L, 3.0, 'y') " +
+            "as t(id, bal, note)",
+          Seq("id"), newColumns = Seq("note" -> "string"),
+          removedColumns = Seq("stale"))
+          .foreach(st.execute)
+        val rs = st.executeQuery(
+          "SELECT id, bal, note FROM gw_sync ORDER BY id")
+        val got = Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (r.getLong(1), r.getDouble(2),
+            Option(r.getString(3)))).toSeq
+        assert(got == Seq((1L, 1.0, None), (2L, 20.0, Some("x")),
+          (3L, 3.0, Some("y"))), got.toString)
+        val schema = graft.sources.DeltaRead
+          .readDeltaTable(spark, s"$wh/gw_sync").schema
+        assert(schema.fieldNames.toSeq == Seq("id", "bal", "note"),
+          schema.simpleString)
+        // dropping a partition/unknown column refuses loudly
+        val e = intercept[java.sql.SQLException](st.execute(
+          "alter table gw_sync drop columns (nope)"))
+        assert(e.getMessage.contains("does not exist"), e.getMessage)
+      } finally conn.close()
+    } finally {
+      srv.close()
+      runner.cleanup()
+    }
+  }
+
   test("dbt snapshot FIRST RUN over Thrift: the verbatim `create " +
       "table ... using delta as` CTAS executes NATIVELY (the " +
       "writable delta source routes it into the engine's creation " +

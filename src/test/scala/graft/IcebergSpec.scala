@@ -800,6 +800,71 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("partitioned"), e.getMessage)
   }
 
+  test("dropColumns: a schema-only snapshot narrows the schema with " +
+      "kept field ids intact; partition-column / unknown / " +
+      "delete-file-bearing drops refuse loudly") {
+    val d = dir()
+    IcebergWrite.merge(spark, d,
+      Seq((1L, 1.0, "x"), (2L, 2.0, "y")).toDF("id", "bal", "stale"),
+      Seq("id"))
+    val idsBefore = {
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      val m = org.json4s.jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(
+          java.nio.file.Paths.get(d, "metadata", "v1.metadata.json")))
+      (m \ "schemas").children.head.\("fields").children.map(f =>
+        ((f \ "name").extract[String], (f \ "id").extract[Int])).toMap
+    }
+    IcebergWrite.dropColumns(spark, d, Seq("stale"))
+    val got = IcebergRead.readIcebergTable(spark, d).orderBy("id")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1.0), (2L, 2.0)), got.toString)
+    assert(IcebergRead.snapshotState(d, None).schema.fieldNames.toSeq ==
+      Seq("id", "bal"))
+    // kept fields retain their ORIGINAL ids (Iceberg's id-based
+    // evolution contract)
+    val idsAfter = {
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      val m = org.json4s.jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(
+          java.nio.file.Paths.get(d, "metadata", "v2.metadata.json")))
+      val cur = (m \ "current-schema-id").extract[Int]
+      (m \ "schemas").children.find(s =>
+        (s \ "schema-id").extract[Int] == cur).get.\("fields").children
+        .map(f => ((f \ "name").extract[String],
+          (f \ "id").extract[Int])).toMap
+    }
+    assert(idsAfter == idsBefore.filter(_._1 != "stale"),
+      s"$idsAfter vs $idsBefore")
+    // a follow-up merge with the narrowed schema lands cleanly
+    IcebergWrite.merge(spark, d, Seq((2L, 99.0)).toDF("id", "bal"),
+      Seq("id"))
+    assert(IcebergRead.readIcebergTable(spark, d).orderBy("id")
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 1.0), (2L, 99.0)))
+    // refusals
+    val e1 = intercept[IllegalArgumentException](
+      IcebergWrite.dropColumns(spark, d, Seq("nope")))
+    assert(e1.getMessage.contains("does not exist"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      IcebergWrite.dropColumns(spark, d, Seq("id", "bal")))
+    assert(e2.getMessage.contains("empty schema"), e2.getMessage)
+    val dp = dir()
+    IcebergWrite.merge(spark, dp,
+      Seq((1L, "a", 1.0)).toDF("id", "part", "bal"),
+      Seq("id"), partitionBy = Seq("part"))
+    val e3 = intercept[IllegalArgumentException](
+      IcebergWrite.dropColumns(spark, dp, Seq("part")))
+    assert(e3.getMessage.contains("partition column"), e3.getMessage)
+    val dm = dir()
+    IcebergWrite.mergeOnRead(spark, dm,
+      Seq((1L, 1.0, "x")).toDF("id", "bal", "stale"), Seq("id"))
+    IcebergWrite.mergeOnRead(spark, dm,
+      Seq((1L, 2.0, "x")).toDF("id", "bal", "stale"), Seq("id"))
+    val e4 = intercept[IllegalArgumentException](
+      IcebergWrite.dropColumns(spark, dm, Seq("stale")))
+    assert(e4.getMessage.contains("delete files"), e4.getMessage)
+  }
+
   test("snapshotIdAtTimestamp: 0-stamped snapshots (fixture mode) " +
       "resolve through their introducing metadata file's mtime; " +
       "real timestamp-ms wins when present; pre-history refuses " +

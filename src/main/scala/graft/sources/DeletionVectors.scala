@@ -168,6 +168,37 @@ object DeletionVectors {
   def decodeInlineDv(d: Descriptor): Seq[Long] =
     checkCardinality(deserialize(z85Decode(d.pathOrInlineDv)), d)
 
+  /** Iceberg format-v3 Puffin `deletion-vector-v1` blob → deleted row
+    * positions of the referenced data file. The framing is
+    * DELIBERATELY harmonized with Delta's DV file layout (the specs
+    * cross-reference each other): 4-byte big-endian length of
+    * [magic + bitmap], the magic bytes, the portable
+    * RoaringBitmapArray, then a 4-byte big-endian CRC-32 of
+    * magic+bitmap — so the same [[deserialize]] decodes both.
+    * `contentSize` is the manifest's `content_size_in_bytes` (the
+    * whole blob, framing included); `cardinality` the manifest's
+    * `record_count`.
+    */
+  def decodePuffinDv(all: Array[Byte], offset: Long, contentSize: Long,
+      cardinality: Option[Long]): Seq[Long] = {
+    val off = java.lang.Math.toIntExact(offset)
+    val bb = ByteBuffer.wrap(all) // big-endian (JVM default)
+    val size = bb.getInt(off)
+    require(size.toLong == contentSize - 8,
+      s"Puffin DV blob length mismatch at offset $off: framed $size, " +
+        s"manifest content_size ${contentSize} (expects size+8)")
+    val data = java.util.Arrays.copyOfRange(all, off + 4, off + 4 + size)
+    val crc = new CRC32(); crc.update(data)
+    val stored = bb.getInt(off + 4 + size)
+    require(stored == crc.getValue.toInt,
+      s"Puffin DV checksum mismatch at offset $off")
+    val rows = deserialize(data)
+    cardinality.foreach(c => require(rows.length.toLong == c,
+      s"Puffin DV cardinality mismatch: decoded ${rows.length}, " +
+        s"manifest $c"))
+    rows
+  }
+
   private def checkCardinality(rows: Seq[Long], d: Descriptor): Seq[Long] = {
     require(rows.length.toLong == d.cardinality,
       s"DV cardinality mismatch: decoded ${rows.length}, descriptor ${d.cardinality}")

@@ -57,7 +57,12 @@ object IcebergRead {
       partition: Map[String, Any] = Map.empty,
       // manifest-recorded file size; carried entries re-emit it so a
       // commit never re-stats O(files) on the filesystem
-      sizeBytes: Long = 0L)
+      sizeBytes: Long = 0L,
+      // format-v3 deletion-vector fields (Puffin blob addressing):
+      // present => this (1,1) entry is a DV, not a pos-delete parquet
+      referencedDataFile: Option[String] = None,
+      contentOffset: Option[Long] = None,
+      contentSize: Option[Long] = None)
 
   // ---- single-value (de)serialization for manifest column bounds
   // (iceberg spec Appendix D: little-endian numerics, UTF-8 strings,
@@ -148,7 +153,9 @@ object IcebergRead {
       dataFiles: Seq[DataFileEntry],
       positionDeleteFiles: Seq[DataFileEntry],
       equalityDeleteFiles: Seq[DataFileEntry] = Nil,
-      fieldNameById: Map[Int, String] = Map.empty)
+      fieldNameById: Map[Int, String] = Map.empty,
+      // format-v3 deletion vectors (Puffin) — at most one per data file
+      deletionVectors: Seq[DataFileEntry] = Nil)
 
   // ---- avro (manifest list + manifest files are small avro files;
   // read driver-side with the file's own writer schema) ----
@@ -330,14 +337,10 @@ object IcebergRead {
     val meta = JsonMethods.parse(
       java.nio.file.Files.readString(currentMetadataFile(path)))
     val formatVersion = (meta \ "format-version").extract[Int]
-    // CONTRACT (pinned in IcebergSpec): v3 tables may carry deletion
-    // vectors (Puffin) and row lineage that a v2 reader cannot see —
-    // reading anyway could resurrect deleted rows, so refuse loudly.
-    require(formatVersion <= 2,
+    require(formatVersion <= 3,
       s"Iceberg format-version $formatVersion unsupported: this " +
-        s"reader speaks v1/v2; v3 tables may carry deletion vectors " +
-        s"(Puffin) and row lineage invisible to a v2 reader — " +
-        s"refusing rather than risking resurrected rows: $path")
+        s"reader speaks v1-v3 — refusing rather than risking " +
+        s"resurrected rows under unknown future semantics: $path")
 
     val schemaJson = (meta \ "schemas") match {
       case JArray(ss) if ss.nonEmpty =>
@@ -346,6 +349,18 @@ object IcebergRead {
           .contains(id))).getOrElse(ss.last)
       case _ => (meta \ "schema") // v1 single-schema form
     }
+    // CONTRACT (pinned in IcebergSpec): v3 reads WITHIN SCOPE only —
+    // deletion vectors apply (Puffin blobs, below) and row-lineage
+    // metadata is inert for a batch read, but a field carrying
+    // `initial-default` would silently surface NULL where the spec
+    // says the default — refuse those loudly. Unknown v3 types
+    // (variant, timestamp_ns, ...) already refuse in toSparkType.
+    if (formatVersion >= 3)
+      require(!(schemaJson \ "fields").children.exists(f =>
+        (f \ "initial-default") != org.json4s.JNothing),
+        s"Iceberg v3 `initial-default` column values unsupported: a " +
+          s"reader ignoring them would return wrong NULLs for " +
+          s"carried files — refusing: $path")
     val schema = toSparkType(schemaJson).asInstanceOf[StructType]
 
     val snapshots = (meta \ "snapshots").children
@@ -379,6 +394,7 @@ object IcebergRead {
         val dataFiles = scala.collection.mutable.ArrayBuffer.empty[DataFileEntry]
         val posDeletes = scala.collection.mutable.ArrayBuffer.empty[DataFileEntry]
         val eqDeletes = scala.collection.mutable.ArrayBuffer.empty[DataFileEntry]
+        val dvs = scala.collection.mutable.ArrayBuffer.empty[DataFileEntry]
         avroRecords(mlPath).foreach { mf =>
           val manPath = java.nio.file.Paths.get(localPath(
             str(mf, "manifest_path").getOrElse(
@@ -424,10 +440,28 @@ object IcebergRead {
                 nullCounts = intKeyedMap(df, "null_value_counts")
                   .map { case (k, v) => k -> v.asInstanceOf[Number].longValue },
                 partition = partition,
-                sizeBytes = long(df, "file_size_in_bytes").getOrElse(0L))
+                sizeBytes = long(df, "file_size_in_bytes").getOrElse(0L),
+                referencedDataFile = str(df, "referenced_data_file"),
+                contentOffset = long(df, "content_offset"),
+                contentSize = long(df, "content_size_in_bytes"))
               (manContent, fileContent) match {
                 case (0, 0) => dataFiles += fe
-                case (1, 1) => posDeletes += fe
+                // v3 deletion vector: a (1,1) entry addressing a
+                // Puffin blob for ONE data file
+                case (1, 1) if fe.referencedDataFile.isDefined =>
+                  require(fe.format == "PUFFIN",
+                    s"deletion vector in a non-Puffin file: ${fe.path} " +
+                      s"(${fe.format})")
+                  require(fe.contentOffset.isDefined &&
+                      fe.contentSize.isDefined,
+                    s"deletion vector without content_offset/" +
+                      s"content_size_in_bytes: ${fe.path}")
+                  dvs += fe
+                case (1, 1) =>
+                  require(formatVersion <= 2,
+                    s"format-v3 position delete without a deletion " +
+                      s"vector (v3 forbids pos-delete files): ${fe.path}")
+                  posDeletes += fe
                 case (1, 2) =>
                   require(fe.equalityIds.nonEmpty,
                     s"equality delete without equality_ids: ${fe.path}")
@@ -447,8 +481,14 @@ object IcebergRead {
         (dataFiles ++ posDeletes ++ eqDeletes).foreach(f => require(
           f.format == "PARQUET",
           s"non-parquet Iceberg file unsupported: ${f.path} (${f.format})"))
+        // the spec's invariant: at most one live DV per data file
+        val dvDup = dvs.groupBy(_.referencedDataFile).collect {
+          case (Some(r), ds) if ds.size > 1 => r }
+        require(dvDup.isEmpty,
+          s"multiple live deletion vectors for one data file: " +
+            s"${dvDup.mkString(", ")} in $path")
         SnapshotState(schema, dataFiles.toSeq, posDeletes.toSeq,
-          eqDeletes.toSeq, fieldNameById)
+          eqDeletes.toSeq, fieldNameById, dvs.toSeq)
     }
   }
 
@@ -501,10 +541,40 @@ object IcebergRead {
         regexp_replace(c, "^file:/+", "file:/")
       var df = spark.read.schema(st.schema)
         .parquet(dataFiles.map(f => localPath(f.path)).sorted: _*)
-      val needMeta =
-        st.positionDeleteFiles.nonEmpty || st.equalityDeleteFiles.nonEmpty
+      val liveDvs = st.deletionVectors.filter(dv =>
+        dv.referencedDataFile.exists(r =>
+          dataFiles.exists(f => f.path == r)))
+      val needMeta = st.positionDeleteFiles.nonEmpty ||
+        st.equalityDeleteFiles.nonEmpty || liveDvs.nonEmpty
       if (needMeta)
         df = df.withColumn("__graft_file", normFp(col("_metadata.file_path")))
+      if (liveDvs.nonEmpty) {
+        // v3 deletion vectors: each Puffin blob masks positions of
+        // ONE data file. The driver ships only O(DVs) descriptors;
+        // blobs decode in EXECUTORS (fetch + roaring decode per
+        // task), so deleted positions never materialize on the
+        // driver — the same shape as DeltaRead's DV scan.
+        val descs = liveDvs.map { dv =>
+          val refAbs = "file:" + java.nio.file.Paths.get(
+            localPath(dv.referencedDataFile.get)).toAbsolutePath
+          (localPath(dv.path), dv.contentOffset.get, dv.contentSize.get,
+            dv.recordCount, refAbs)
+        }
+        val dvRows = spark.sparkContext
+          .parallelize(descs, math.min(descs.size, 32))
+          .flatMap { case (p, off, sz, card, ref) =>
+            DeletionVectors.decodePuffinDv(
+              java.nio.file.Files.readAllBytes(
+                java.nio.file.Paths.get(p)), off, sz, Some(card))
+              .map(pos => Row(ref, pos))
+          }
+        val dels = spark.createDataFrame(dvRows,
+          StructType(Seq(StructField("__graft_file", StringType),
+            StructField("__graft_row", LongType))))
+        df = df.withColumn("__graft_row", col("_metadata.row_index"))
+          .join(dels, Seq("__graft_file", "__graft_row"), "left_anti")
+          .drop("__graft_row")
+      }
       if (st.positionDeleteFiles.nonEmpty) {
         // v2 position deletes: parquet files of (file_path, pos) rows
         // naming deleted physical positions. Both sides normalize the

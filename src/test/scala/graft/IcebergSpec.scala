@@ -205,7 +205,7 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("LeftAnti"), plan.take(3000))
   }
 
-  test("unsupported surfaces are rejected loudly: format-version 3, " +
+  test("unsupported surfaces are rejected loudly: format-version 4, " +
       "unknown types, malformed equality deletes") {
     val d = dir()
     IcebergWrite.commit(d, Seq(
@@ -213,9 +213,10 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
     val metaFile = java.nio.file.Paths.get(d, "metadata", "v1.metadata.json")
     val metaText = java.nio.file.Files.readString(metaFile)
 
-    // future format version
+    // future format version (v3 now reads within scope — see the
+    // deletion-vector test)
     java.nio.file.Files.writeString(metaFile,
-      metaText.replace("\"format-version\" : 2", "\"format-version\" : 3"))
+      metaText.replace("\"format-version\" : 2", "\"format-version\" : 4"))
     val e1 = intercept[RuntimeException](
       IcebergRead.readIcebergTable(spark, d))
     assert(e1.getMessage.contains("format-version"), e1.getMessage)
@@ -800,6 +801,157 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("partitioned"), e.getMessage)
   }
 
+  test("format-v3 deletion vectors (Puffin): the DV blob masks its " +
+      "referenced data file's rows through the normal read path " +
+      "(engine reader AND the registered graft-iceberg source); " +
+      "plain v3 reads within scope; initial-default refuses loudly") {
+    val d = dir()
+    IcebergWrite.commit(d, Seq("f0.parquet" ->
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v"))): Unit
+    val metaDir = java.nio.file.Paths.get(d, "metadata")
+    val metaFile = metaDir.resolve("v1.metadata.json")
+    val v3Text = java.nio.file.Files.readString(metaFile)
+      .replace("\"format-version\" : 2", "\"format-version\" : 3")
+    java.nio.file.Files.writeString(metaFile, v3Text)
+    // a v3 table WITHOUT out-of-scope features reads
+    assert(IcebergRead.readIcebergTable(spark, d).count() == 4)
+
+    // ---- the Puffin deletion-vector-v1 blob masking physical rows
+    // 1 and 3 of f0: 4-byte BE length of magic+bitmap, the magic
+    // bytes (D1 D3 39 64 — harmonized with Delta's DV layout), the
+    // portable RoaringBitmapArray, 4-byte BE CRC-32 of magic+bitmap
+    // serialize() emits magic (D1 D3 39 64) + portable bitmap — the
+    // blob frames it with a 4-byte BE length and a 4-byte BE CRC-32
+    val bitmap = graft.sources.DeletionVectors.serialize(Seq(1L, 3L))
+    val crc = new java.util.zip.CRC32(); crc.update(bitmap)
+    val bb = java.nio.ByteBuffer.allocate(4 + bitmap.length + 4)
+    bb.putInt(bitmap.length); bb.put(bitmap)
+    bb.putInt(crc.getValue.toInt)
+    val blob = bb.array()
+    val puffin = metaDir.resolve("dv-00002.puffin")
+    java.nio.file.Files.write(puffin,
+      "PFA1".getBytes(java.nio.charset.StandardCharsets.UTF_8) ++ blob)
+    val contentOffset = 4L
+    val contentSize = blob.length.toLong
+
+    // the VERBATIM data-file path from the committed data manifest —
+    // referenced_data_file must match it exactly
+    def avroRecs(p: java.nio.file.Path) = {
+      val r = new org.apache.avro.file.DataFileReader(
+        p.toFile, new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try Iterator.continually(r).takeWhile(_.hasNext).map(_.next()).toList
+      finally r.close()
+    }
+    val dfPath = avroRecs(metaDir.resolve("manifest-00001-data.avro"))
+      .head.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("file_path").toString
+
+    // ---- the DV manifest (content=1, PUFFIN, referenced_data_file
+    // + content_offset + content_size_in_bytes — the v3 fields)
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |  {"name":"status","type":"int"},
+        |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |    {"name":"content","type":"int"},
+        |    {"name":"file_path","type":"string"},
+        |    {"name":"file_format","type":"string"},
+        |    {"name":"record_count","type":"long"},
+        |    {"name":"referenced_data_file","type":"string"},
+        |    {"name":"content_offset","type":"long"},
+        |    {"name":"content_size_in_bytes","type":"long"}
+        |  ]}}
+        |]}""".stripMargin)
+    val dvMan = metaDir.resolve("manifest-dv.avro")
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](entrySchema))
+    w.create(entrySchema, dvMan.toFile)
+    val rec = new org.apache.avro.generic.GenericData.Record(entrySchema)
+    val dfr = new org.apache.avro.generic.GenericData.Record(
+      entrySchema.getField("data_file").schema())
+    dfr.put("content", 1) // POSITION_DELETES — a DV when referenced
+    dfr.put("file_path", s"file://$puffin")
+    dfr.put("file_format", "PUFFIN")
+    dfr.put("record_count", 2L) // DV cardinality
+    dfr.put("referenced_data_file", dfPath)
+    dfr.put("content_offset", contentOffset)
+    dfr.put("content_size_in_bytes", contentSize)
+    rec.put("status", 1)
+    rec.put("data_file", dfr)
+    w.append(rec)
+    w.close()
+
+    // ---- snapshot 2's manifest list: the ORIGINAL data manifest +
+    // the DV manifest
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |  {"name":"manifest_path","type":"string"},
+        |  {"name":"manifest_length","type":"long"},
+        |  {"name":"partition_spec_id","type":"int"},
+        |  {"name":"content","type":"int"},
+        |  {"name":"added_snapshot_id","type":"long"}
+        |]}""".stripMargin)
+    val dvList = metaDir.resolve("snap-dv-list.avro")
+    val lw = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](listSchema))
+    lw.create(listSchema, dvList.toFile)
+    val dataMan = metaDir.resolve("manifest-00001-data.avro")
+    Seq((dataMan, 0), (dvMan, 1)).foreach { case (p, content) =>
+      val lr = new org.apache.avro.generic.GenericData.Record(listSchema)
+      lr.put("manifest_path", s"file://$p")
+      lr.put("manifest_length", java.nio.file.Files.size(p))
+      lr.put("partition_spec_id", 0)
+      lr.put("content", content)
+      lr.put("added_snapshot_id", 2L)
+      lw.append(lr)
+    }
+    lw.close()
+    val spliced = v3Text
+      .replace("\"current-snapshot-id\" : 1", "\"current-snapshot-id\" : 2")
+      .replace("\"snapshots\" : [ {",
+        s"""\"snapshots\" : [ {
+           |    "snapshot-id" : 2,
+           |    "sequence-number" : 2,
+           |    "timestamp-ms" : 0,
+           |    "summary" : { "operation" : "delete" },
+           |    "manifest-list" : "file://$dvList",
+           |    "schema-id" : 0
+           |  }, {""".stripMargin)
+    java.nio.file.Files.writeString(metaFile, spliced)
+
+    // positions 1 and 3 ((2,b), (4,d)) are masked — engine reader
+    val got = IcebergRead.readIcebergTable(spark, d).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (3L, "c")), got.toString)
+    // and the registered source (scan_iceberg's path)
+    val viaSource = spark.read.format("graft-iceberg").load(d)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(viaSource == Seq((1L, "a"), (3L, "c")), viaSource.toString)
+
+    // a corrupt blob (bad CRC) refuses loudly, never a silent
+    // resurrect
+    val corrupted = java.nio.file.Files.readAllBytes(puffin)
+    corrupted(10) = (corrupted(10) ^ 0xFF).toByte
+    java.nio.file.Files.write(puffin, corrupted)
+    val eCrc = intercept[Exception](
+      IcebergRead.readIcebergTable(spark, d).count())
+    assert(eCrc.getMessage != null, "corrupt DV must fail")
+    java.nio.file.Files.write(puffin,
+      "PFA1".getBytes(java.nio.charset.StandardCharsets.UTF_8) ++ blob)
+
+    // out-of-scope v3: a field carrying initial-default refuses
+    val defaulted = spliced.replace("\"name\" : \"v\",",
+      "\"name\" : \"v\",\n      \"initial-default\" : \"zz\",")
+    assert(defaulted != spliced, "splice anchor missing")
+    java.nio.file.Files.writeString(metaFile, defaulted)
+    val eDef = intercept[IllegalArgumentException](
+      IcebergRead.readIcebergTable(spark, d))
+    assert(eDef.getMessage.contains("initial-default"), eDef.getMessage)
+  }
+
   test("dropColumns: a schema-only snapshot narrows the schema with " +
       "kept field ids intact; partition-column / unknown / " +
       "delete-file-bearing drops refuse loudly") {
@@ -950,9 +1102,10 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
     assert(first == Seq((1L, 10.0), (2L, 20.0)), first.toString)
   }
 
-  test("format-version 3 metadata refuses loudly (pinned contract: " +
-      "v3 deletion vectors / row lineage are invisible to a v2 " +
-      "reader — never risk resurrected rows)") {
+  test("format-version gates (pinned contract): v3 reads WITHIN " +
+      "SCOPE (DVs applied, lineage inert), out-of-scope v3 " +
+      "(initial-default) and v4+ refuse loudly with an actionable " +
+      "message") {
     val d = dir()
     IcebergWrite.merge(spark, d,
       Seq((1L, 1.0)).toDF("id", "bal"), Seq("id"))
@@ -967,17 +1120,23 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
     java.nio.file.Files.writeString(metaFile,
       text.replace("\"format-version\" : 2",
         "\"format-version\" : 3")): Unit
+    // an in-scope v3 table READS (the deletion-vector test covers a
+    // v3 table whose DVs actually mask rows)
+    assert(IcebergRead.readIcebergTable(spark, d).count() == 1L)
+    // v4: unknown future semantics — refuse, never risk resurrected
+    // rows; the MESSAGE is the contract
+    java.nio.file.Files.writeString(metaFile,
+      text.replace("\"format-version\" : 2",
+        "\"format-version\" : 4")): Unit
     val e = intercept[IllegalArgumentException](
       IcebergRead.readIcebergTable(spark, d).collect())
-    // the MESSAGE is the contract — a v3 writer's user must see WHY
-    assert(e.getMessage.contains("format-version 3 unsupported"),
+    assert(e.getMessage.contains("format-version 4 unsupported"),
       e.getMessage)
-    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
-    assert(e.getMessage.contains("row lineage"), e.getMessage)
-    // time travel and the registered source refuse identically
+    assert(e.getMessage.contains("resurrected rows"), e.getMessage)
+    // the registered source refuses identically
     val e2 = intercept[IllegalArgumentException](
       spark.read.format("graft-iceberg").load(d).collect())
-    assert(e2.getMessage.contains("format-version 3 unsupported"),
+    assert(e2.getMessage.contains("format-version 4 unsupported"),
       e2.getMessage)
   }
 

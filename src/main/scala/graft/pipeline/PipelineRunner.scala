@@ -1135,19 +1135,26 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
                   s: org.apache.spark.sql.SparkSession, batch: DataFrame,
                   onKeys: Seq[String], residualSql: String): Long =
                 merge(s, batch, onKeys, Some(residualSql))
-              // `WHEN MATCHED THEN DELETE` fuses into the Delta
-              // merge's own atomic commit (DV masks + CoW rewrite +
-              // upsert, ONE table version) where the engine delete
-              // exists — same scope as the DmlRoutes delete below
+              // MERGE delete legs fuse into the engine merge's own
+              // atomic commit (ONE table version): Delta DV-masks
+              // files the batch doesn't touch (unpartitioned scope),
+              // Iceberg rewrites them CoW — its native delete shape,
+              // partitioned included
               override def supportsMergeDelete: Boolean =
-                m.fileFormat == "delta" && userParts.isEmpty
+                (m.fileFormat == "delta" && userParts.isEmpty) ||
+                  m.fileFormat == "iceberg"
               override def mergeWithDelete(
                   s: org.apache.spark.sql.SparkSession, batch: DataFrame,
                   onKeys: Seq[String], deletePredicateSql: String): Long = {
                 checkKeys(onKeys, keys)
-                val n = graft.sources.DeltaWrite.merge(
-                  s, dir, batch, keys, buckets,
-                  deletePredicate = Some(deletePredicateSql))
+                val n = m.fileFormat match {
+                  case "delta" => graft.sources.DeltaWrite.merge(
+                    s, dir, batch, keys, buckets,
+                    deletePredicate = Some(deletePredicateSql))
+                  case _ => graft.sources.IcebergWrite.merge(
+                    s, dir, batch, keys, buckets,
+                    deletePredicate = Some(deletePredicateSql))
+                }
                 registerSessionView(name)
                 n
               }

@@ -501,6 +501,63 @@ object Scans extends QueryGroup {
       graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
     }),
 
+    // The Iceberg side of the FUSED merge-delete: the matched-DELETE
+    // leg rewrites its files copy-on-write (Iceberg's native CoW
+    // delete shape — no delete file written, so later CoW merges stay
+    // unblocked) in the SAME atomic snapshot as the update/insert
+    // batch; the delete probe prunes through manifest column bounds.
+    // Same statement shape and oracle as the Delta key.
+    "run_sql_merge_delete_iceberg" -> ((s, d) => {
+      val dir = tmpDir("graft_sql_merge_del_ice")
+      val cust = Tables.customer(s, d)
+      graft.sources.IcebergWrite.merge(s, dir,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").as("bal")),
+        Seq("c_custkey"))
+      graft.sources.IcebergRead.readIcebergTable(s, dir)
+        .createOrReplaceTempView("sql_mdel_ice_tgt")
+      graft.gateway.MergeRoutes.register("sql_mdel_ice_tgt",
+        new graft.gateway.MergeRoutes.Handler {
+          override def apply(sess: SparkSession, batch: DataFrame,
+              keys: Seq[String]): Long =
+            graft.sources.IcebergWrite.merge(sess, dir, batch, keys)
+          override def supportsMergeDelete: Boolean = true
+          override def mergeWithDelete(sess: SparkSession,
+              batch: DataFrame, keys: Seq[String],
+              deletePredicateSql: String): Long =
+            graft.sources.IcebergWrite.merge(sess, dir, batch, keys,
+              deletePredicate = Some(deletePredicateSql))
+        })
+      cust.filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          lit(0.0).as("bal"), lit("del").as("op"))
+        .unionByName(cust.filter(col("c_custkey") % 4 === 1)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            (col("c_acctbal") * 2).as("bal"), lit("upd").as("op")))
+        .unionByName(cust.filter(col("c_custkey") % 10 === 2)
+          .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+            col("c_mktsegment"), col("c_acctbal").as("bal"),
+            lit("ins").as("op")))
+        .createOrReplaceTempView("sql_mdel_ice_src")
+      try s.sql(
+        """MERGE INTO sql_mdel_ice_tgt AS DBT_INTERNAL_DEST
+          |USING sql_mdel_ice_src AS DBT_INTERNAL_SOURCE
+          |ON DBT_INTERNAL_DEST.c_custkey = DBT_INTERNAL_SOURCE.c_custkey
+          |WHEN MATCHED AND DBT_INTERNAL_SOURCE.op = 'del' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET bal = DBT_INTERNAL_SOURCE.bal
+          |WHEN NOT MATCHED THEN INSERT (c_custkey, c_mktsegment, bal)
+          |  VALUES (DBT_INTERNAL_SOURCE.c_custkey,
+          |          DBT_INTERNAL_SOURCE.c_mktsegment,
+          |          DBT_INTERNAL_SOURCE.bal)""".stripMargin).collect()
+      finally {
+        graft.gateway.MergeRoutes.unregister("sql_mdel_ice_tgt")
+        s.catalog.dropTempView("sql_mdel_ice_tgt")
+        s.catalog.dropTempView("sql_mdel_ice_src")
+      }
+      graft.sources.IcebergRead.readIcebergTable(s, dir)
+        .orderBy("c_custkey")
+    }),
+
     // Full-sync MERGE: `WHEN NOT MATCHED BY SOURCE` legs (the
     // warehouse mirror-the-source shape) compile over the target-side
     // anti-join — by-source UPDATEs build target-only post-images
@@ -1339,6 +1396,18 @@ object Scans extends QueryGroup {
 
     // the delete+update+insert merge equals the anti-join + merge SQL
     "run_sql_merge_delete" ->
+      """SELECT c_custkey, c_mktsegment, bal FROM (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 4 = 1 THEN c_acctbal * 2
+        |         ELSE c_acctbal END AS bal
+        |  FROM customer WHERE c_custkey % 4 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 10 = 2
+        |) ORDER BY c_custkey""".stripMargin,
+
+    // the Iceberg fused merge-delete lands on the same final state
+    "run_sql_merge_delete_iceberg" ->
       """SELECT c_custkey, c_mktsegment, bal FROM (
         |  SELECT c_custkey, c_mktsegment,
         |    CASE WHEN c_custkey % 4 = 1 THEN c_acctbal * 2

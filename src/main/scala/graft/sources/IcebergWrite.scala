@@ -794,7 +794,18 @@ object IcebergWrite {
       // not matched (they stay; their batch keys insert — SQL MERGE
       // semantics), and the touched-file probe prunes through the
       // manifests' column bounds so out-of-window files never open
-      residualPredicate: Option[String] = None): Long = {
+      residualPredicate: Option[String] = None,
+      // SQL predicate over the table's columns: matching rows are
+      // DELETED in the SAME snapshot the batch upserts (`MERGE ...
+      // WHEN MATCHED/NOT MATCHED BY SOURCE ... THEN DELETE` routed
+      // single-commit). Full copy-on-write — Iceberg's native CoW
+      // delete shape: files holding deleted rows join the rewrite
+      // set (probe pruned through manifest bounds, so partitioned
+      // retention deletes open only their partitions' files), no
+      // delete file is written. CONTRACT (the MERGE route enforces
+      // it): no deleted row's key is also in `batch`. Cannot combine
+      // with residualPredicate; cannot CREATE a table.
+      deletePredicate: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{col, concat, element_at, format_string, lit, pmod, typedlit, xxhash64}
     require(uniqueKey.nonEmpty, "merge needs at least one key column")
     uniqueKey.foreach(k => require(batch0.columns.contains(k),
@@ -806,6 +817,8 @@ object IcebergWrite {
     // rewrite+upsert write) — pin it once
     val batch = batch0.localCheckpoint()
     if (!java.nio.file.Files.isDirectory(metaDir)) {
+      require(deletePredicate.isEmpty,
+        s"merge with a delete leg cannot CREATE a table: $dir")
       val n = batch.count()
       if (n == 0) {
         // keep the legacy empty-creation shape: one empty data file
@@ -853,11 +866,14 @@ object IcebergWrite {
           (if (allowEvolution) "supports appended columns only"
            else "disabled — pass allowEvolution to append new columns") +
           s"): $dir")
+      require(residualPredicate.isEmpty || deletePredicate.isEmpty,
+        s"merge cannot combine a delete leg with a residual ON " +
+          s"predicate: $dir")
       val fullSchema = if (evolves) batch.schema else state.schema
       // an empty batch commits nothing — otherwise every no-op
       // schedule grows the table by one empty snapshot forever
       val n = batch.count()
-      if (n == 0) return 0L
+      if (n == 0 && deletePredicate.isEmpty) return 0L
       val version = java.nio.file.Files
         .readString(metaDir.resolve("version-hint.text")).trim.toInt + 1
       val dataDir = java.nio.file.Paths.get(dir, "data")
@@ -895,7 +911,8 @@ object IcebergWrite {
       val hconf = spark.sessionState.newHadoopConf()
       def qualified(p: String): String = DeltaWrite.sparkPathOf(hconf, p)
       val byQualified: Map[String, IcebergRead.DataFileEntry] =
-        pruned.map(f => qualified(localOf(f.path).toString) -> f).toMap
+        state.dataFiles.map(f =>
+          qualified(localOf(f.path).toString) -> f).toMap
       // Iceberg data files store ALL columns (including identity
       // partition columns) — read with the evolved schema so old
       // files surface NULL for appended columns
@@ -912,9 +929,35 @@ object IcebergWrite {
       val curMatch = residualPredicate.map(rp =>
         cur.filter(org.apache.spark.sql.functions.expr(rp)))
         .getOrElse(cur)
-      val touched = curMatch.join(batch, uniqueKey, "left_semi")
+      val touched0 = curMatch.join(batch, uniqueKey, "left_semi")
         .select("__graft_file").distinct()
         .collect().map(_.getString(0)).toSeq.sorted
+      // fused delete leg: files whose manifest bounds MAY hold a
+      // matching row (partition columns are data columns with bounds
+      // in Iceberg, so partitioned retention deletes prune here),
+      // scanned ONCE for per-file match counts — matching files join
+      // the rewrite set, their matching rows drop out of the carry
+      val delExpr = deletePredicate.map(
+        org.apache.spark.sql.functions.expr)
+      val delPruned = deletePredicate.map { dp =>
+        val e = FileSkipping.resolve(spark, state.schema,
+          org.apache.spark.sql.functions.expr(dp))
+        state.dataFiles.filter(f =>
+          FileSkipping.mayMatch(e, IcebergRead.fileStatsOf(state, f)))
+      }.getOrElse(Nil)
+      val delByFile: Map[String, Long] =
+        if (delPruned.isEmpty) Map.empty
+        else spark.read.schema(state.schema)
+          .parquet(delPruned.map(f => localOf(f.path).toString).sorted: _*)
+          .withColumn("__graft_file", col("_metadata.file_path"))
+          .filter(delExpr.get)
+          .groupBy("__graft_file")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nDeleted = delByFile.values.sum
+      if (n == 0 && nDeleted == 0) return 0L
+      val touched = (touched0 ++ delByFile.keys).distinct.sorted
       val touchedFiles = touched.map(f => byQualified.getOrElse(f,
         sys.error(s"touched file $f missing from the live map: $dir")))
       val rwRelOf: Map[String, String] =
@@ -932,7 +975,13 @@ object IcebergWrite {
       val rwTagged =
         if (touched.isEmpty) None
         else {
-          val rwBase = cur.filter(col("__graft_file").isin(touched: _*))
+          // the rewrite reads the UNIFIED touched set (key-matched ∪
+          // delete-matched files — the latter may sit outside the
+          // key probe's partition pruning)
+          val rwBase = spark.read.schema(fullSchema)
+            .parquet(touched.map(f =>
+              localOf(byQualified(f).path).toString): _*)
+            .withColumn("__graft_file", col("_metadata.file_path"))
           val batchKeys = batch.select(uniqueKey.map(col): _*)
           // carried = not replaced: key absent from the batch, or an
           // out-of-window row whose key matched (SQL MERGE leaves it)
@@ -946,7 +995,15 @@ object IcebergWrite {
                     org.apache.spark.sql.functions.lit(false)))
                   .join(batchKeys, uniqueKey, "left_semi"))
           }
-          Some(carried
+          // fused delete leg: deleted rows drop out of the carry
+          // (predicate-null rows survive — SQL WHERE semantics)
+          val carriedKept = delExpr match {
+            case None => carried
+            case Some(e) => carried.filter(
+              !org.apache.spark.sql.functions.coalesce(e,
+                org.apache.spark.sql.functions.lit(false)))
+          }
+          Some(carriedKept
             .withColumn("__graft_target",
               element_at(typedlit(rwRelOf), col("__graft_file")))
             .drop("__graft_file"))
@@ -972,7 +1029,7 @@ object IcebergWrite {
       if (maxLiveFiles > 0 && IcebergRead.snapshotState(dir, None)
           .dataFiles.size > maxLiveFiles)
         optimize(spark, dir, uniqueKey, buckets)
-      n
+      n + nDeleted
     }
   }
 

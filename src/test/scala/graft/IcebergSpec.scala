@@ -801,6 +801,86 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("partitioned"), e.getMessage)
   }
 
+  test("merge with deletePredicate: delete + upsert land in ONE " +
+      "snapshot (CoW — deleted rows drop in the rewrite, NO delete " +
+      "file written), the delete probe prunes through manifest " +
+      "bounds (hidden foreign-partition files never opened), and a " +
+      "delete-only merge works") {
+    val d = dir()
+    IcebergWrite.merge(spark, d,
+      Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "b", 4.0))
+        .toDF("id", "part", "bal"),
+      Seq("id"), buckets = 2, partitionBy = Seq("part"))
+    def hint(): Int = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(d, "metadata", "version-hint.text"))
+      .trim.toInt
+    assert(hint() == 1)
+    import scala.jdk.CollectionConverters._
+    def partBFiles(): Seq[java.nio.file.Path] = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(d, "data"))
+      try w.iterator().asScala.filter(p =>
+        p.toString.contains("part=b") &&
+          p.getFileName.toString.endsWith(".parquet")).toSeq
+      finally w.close()
+    }
+    val bBytes = partBFiles().map(p =>
+      p -> java.nio.file.Files.readAllBytes(p)).toMap
+    assert(bBytes.nonEmpty)
+    // hide part=b's data files: a fused merge whose delete and batch
+    // are confined to part='a' must never open them
+    bBytes.keys.foreach(p => java.nio.file.Files.move(p,
+      p.resolveSibling(p.getFileName.toString + ".hide")))
+    val n =
+      try IcebergWrite.merge(spark, d,
+        Seq((2L, "a", 99.0)).toDF("id", "part", "bal"), Seq("id"),
+        deletePredicate = Some("part = 'a' AND id = 1"))
+      finally bBytes.keys.foreach(p => java.nio.file.Files.move(
+        p.resolveSibling(p.getFileName.toString + ".hide"), p))
+    assert(n == 2L, s"1 upserted + 1 deleted, got $n") // affected rows
+    assert(hint() == 2, "delete + upsert must be ONE snapshot")
+    val got = IcebergRead.readIcebergTable(spark, d).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((2L, "a", 99.0), (3L, "b", 3.0), (4L, "b", 4.0)),
+      got.toString)
+    // part=b untouched byte-identically; no delete file anywhere
+    bBytes.foreach { case (p, bytes) =>
+      assert(java.nio.file.Files.readAllBytes(p).sameElements(bytes),
+        s"untouched partition file $p was rewritten") }
+    val delFiles = {
+      val w = java.nio.file.Files.list(
+        java.nio.file.Paths.get(d, "metadata"))
+      try w.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.contains("deletes")).toSeq
+      finally w.close()
+    }
+    assert(delFiles.isEmpty, s"CoW fused delete wrote delete files: " +
+      s"$delFiles")
+    // delete-only merge (empty batch): one more snapshot
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("part",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("bal",
+          org.apache.spark.sql.types.DoubleType))))
+    val n2 = IcebergWrite.merge(spark, d, empty, Seq("id"),
+      deletePredicate = Some("id = 4"))
+    assert(n2 == 1L, n2.toString)
+    assert(hint() == 3)
+    val got2 = IcebergRead.readIcebergTable(spark, d).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got2 == Seq((2L, "a", 99.0), (3L, "b", 3.0)), got2.toString)
+    // residual + delete cannot combine (loud)
+    val e = intercept[IllegalArgumentException](
+      IcebergWrite.merge(spark, d,
+        Seq((9L, "a", 9.0)).toDF("id", "part", "bal"), Seq("id"),
+        residualPredicate = Some("bal > 0"),
+        deletePredicate = Some("id = 3")))
+    assert(e.getMessage.contains("cannot combine"), e.getMessage)
+  }
+
   test("format-v3 deletion vectors (Puffin): the DV blob masks its " +
       "referenced data file's rows through the normal read path " +
       "(engine reader AND the registered graft-iceberg source); " +

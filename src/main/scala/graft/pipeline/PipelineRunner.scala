@@ -1137,12 +1137,11 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
                 merge(s, batch, onKeys, Some(residualSql))
               // MERGE delete legs fuse into the engine merge's own
               // atomic commit (ONE table version): Delta DV-masks
-              // files the batch doesn't touch (unpartitioned scope),
-              // Iceberg rewrites them CoW — its native delete shape,
-              // partitioned included
+              // files the batch doesn't touch, Iceberg rewrites them
+              // CoW — its native delete shape; both prune the delete
+              // probe to its partitions
               override def supportsMergeDelete: Boolean =
-                (m.fileFormat == "delta" && userParts.isEmpty) ||
-                  m.fileFormat == "iceberg"
+                m.fileFormat == "delta" || m.fileFormat == "iceberg"
               override def mergeWithDelete(
                   s: org.apache.spark.sql.SparkSession, batch: DataFrame,
                   onKeys: Seq[String], deletePredicateSql: String): Long = {

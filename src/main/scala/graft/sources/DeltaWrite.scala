@@ -834,8 +834,10 @@ object DeltaWrite {
       // atomicity). Files whose only change is a delete are
       // DV-MASKED (byte-identical, like [[deleteWhere]]); files the
       // batch also touches drop the deleted rows in their CoW
-      // rewrite. Existing unpartitioned, unmapped, CDF-off tables
-      // only, no residual — loud otherwise. CONTRACT (the MERGE
+      // rewrite. The delete probe prunes through log stats +
+      // partition values, so a partitioned retention delete opens
+      // only its partitions' files. Existing unmapped, CDF-off
+      // tables, no residual — loud otherwise. CONTRACT (the MERGE
       // route enforces it): no deleted row's key is also in `batch`.
       deletePredicate: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{broadcast, col, concat, element_at, format_string, lit, pmod, typedlit, xxhash64}
@@ -919,9 +921,6 @@ object DeltaWrite {
           s"unsupported (cdc rows would need the same matched-set " +
           s"narrowing): $dir")
       deletePredicate.foreach { _ =>
-        require(partCols.isEmpty,
-          s"merge with a delete leg on a partitioned table is " +
-            s"unsupported: $dir")
         require(!mapped,
           s"merge with a delete leg on a column-mapped table is " +
             s"unsupported: $dir")
@@ -975,30 +974,62 @@ object DeltaWrite {
       val hconf = spark.sessionState.newHadoopConf()
       def qualified(p: String): String = DeltaWrite.sparkPathOf(hconf, p)
       // fused delete leg: bounded (file, row) positions of the live
-      // rows matching the predicate — the same scan + DV anti-join
-      // shape as the standalone [[deleteWhere]]
+      // rows matching the predicate — the same stats/partition-pruned
+      // scan + pv-attach + DV anti-join shape as the standalone
+      // [[deleteWhere]], so a partitioned retention delete opens only
+      // its partitions' files
       val maxDelMatches = 2000000
       val delMatched: Array[(String, Long)] = deletePredicate match {
         case None => Array.empty
         case Some(dp) =>
-          val r0 = spark.read.schema(tableSchema)
-            .parquet(live.map(_.abs): _*)
-            .withColumn("__graft_file", col("_metadata.file_path"))
-            .withColumn("__graft_row", col("_metadata.row_index"))
-          val withDv0 = live.flatMap(f =>
-            f.dv.map(d2 => (qualified(f.abs), d2)))
-          val c0 =
-            if (withDv0.isEmpty) r0
-            else r0.join(DeltaRead.dvDeleteFrame(spark, dir, withDv0),
-              Seq("__graft_file", "__graft_row"), "left_anti")
-          val m = c0.filter(org.apache.spark.sql.functions.expr(dp))
-            .select("__graft_file", "__graft_row")
-            .limit(maxDelMatches + 1)
-            .collect().map(r => (r.getString(0), r.getLong(1)))
-          require(m.length <= maxDelMatches,
-            s"merge delete leg matches more than $maxDelMatches rows " +
-              s"— use DELETE FROM / a rewrite for mass deletes: $dir")
-          m
+          val skip = FileSkipping.resolve(spark, tableSchema,
+            org.apache.spark.sql.functions.expr(dp))
+          val delPruned = live.filter(f => FileSkipping.mayMatch(skip,
+            DeltaRead.fileStatsOfLive(f, tableSchema, partCols)))
+          if (delPruned.isEmpty) Array.empty[(String, Long)]
+          else {
+            val delDataSchema = org.apache.spark.sql.types.StructType(
+              tableSchema.filterNot(f2 => partCols.contains(f2.name)))
+            val r0 = spark.read.schema(delDataSchema)
+              .parquet(delPruned.map(_.abs): _*)
+              .withColumn("__graft_file", col("_metadata.file_path"))
+              .withColumn("__graft_row", col("_metadata.row_index"))
+            val withPv =
+              if (partCols.isEmpty) r0
+              else {
+                val pvSchema = org.apache.spark.sql.types.StructType(
+                  org.apache.spark.sql.types.StructField("__graft_file",
+                    org.apache.spark.sql.types.StringType) +:
+                  partCols.map(c2 => org.apache.spark.sql.types
+                    .StructField(s"__graft_dpv_$c2",
+                      org.apache.spark.sql.types.StringType)))
+                val pvRows = delPruned.map(f2 =>
+                  org.apache.spark.sql.Row.fromSeq(qualified(f2.abs) +:
+                    partCols.map(c2 =>
+                      geom.pvOf(f2.partitionValues, c2))))
+                val pvDf = spark.createDataFrame(
+                  spark.sparkContext.parallelize(pvRows, 1), pvSchema)
+                partCols.foldLeft(r0.join(broadcast(pvDf),
+                    Seq("__graft_file")))((df2, c2) =>
+                  df2.withColumn(c2, col(s"`__graft_dpv_$c2`")
+                    .cast(fullSchema(c2).dataType)))
+                  .drop(partCols.map(c2 => s"__graft_dpv_$c2"): _*)
+              }
+            val withDv0 = delPruned.flatMap(f2 =>
+              f2.dv.map(d2 => (qualified(f2.abs), d2)))
+            val c0 =
+              if (withDv0.isEmpty) withPv
+              else withPv.join(DeltaRead.dvDeleteFrame(spark, dir, withDv0),
+                Seq("__graft_file", "__graft_row"), "left_anti")
+            val m = c0.filter(org.apache.spark.sql.functions.expr(dp))
+              .select("__graft_file", "__graft_row")
+              .limit(maxDelMatches + 1)
+              .collect().map(r => (r.getString(0), r.getLong(1)))
+            require(m.length <= maxDelMatches,
+              s"merge delete leg matches more than $maxDelMatches rows " +
+                s"— use DELETE FROM / a rewrite for mass deletes: $dir")
+            m
+          }
       }
       if (n == 0 && delMatched.isEmpty) return 0L
       val dataSchema = org.apache.spark.sql.types.StructType(
@@ -1265,15 +1296,15 @@ object DeltaWrite {
       }
 
       // fused delete leg: files holding deleted rows that the batch
-      // does NOT touch are DV-masked in this same commit (guards
-      // above force pruned == live, so liveByQualified covers every
-      // delete-matched file)
+      // does NOT touch are DV-masked in this same commit (looked up
+      // over ALL live files — on partitioned tables a delete-matched
+      // file can sit outside the key probe's partition pruning)
       val touchedSet = touched.toSet
       val dvByFile: Map[String, Seq[Long]] = delMatched
         .filter { case (f, _) => !touchedSet.contains(f) }
         .groupBy(_._1).map { case (f, rs) => f -> rs.map(_._2).toSeq }
-      val dvLines = dvMaskLines(spark, dir, dvByFile, liveByQualified,
-        hconf)
+      val dvLines = dvMaskLines(spark, dir, dvByFile,
+        live.map(f => qualified(f.abs) -> f).toMap, hconf)
       val lines =
         (if (evolves)
           Seq(metaDataLine(fullSchema, partCols,

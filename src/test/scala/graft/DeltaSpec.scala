@@ -1620,6 +1620,64 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("CDF"), e.getMessage)
   }
 
+  test("merge with deletePredicate on a PARTITIONED table: one " +
+      "commit — DV masks for delete-only files (partitionValues " +
+      "carried), row drops in rewritten files, the delete probe " +
+      "prunes (hidden foreign-partition files never opened)") {
+    val d = dir()
+    DeltaWrite.merge(spark, d,
+      Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "b", 4.0))
+        .toDF("id", "part", "bal"),
+      Seq("id"), buckets = 2, partitionBy = Seq("part"))
+    import scala.jdk.CollectionConverters._
+    def files(sub: String): Seq[java.nio.file.Path] = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try w.iterator().asScala.filter(p =>
+        p.toString.contains(sub) &&
+          p.getFileName.toString.endsWith(".parquet")).toSeq
+      finally w.close()
+    }
+    // hide part=b: batch and delete are confined to part='a'
+    val bFiles = files("part=b")
+    assert(bFiles.nonEmpty)
+    bFiles.foreach(p => java.nio.file.Files.move(p,
+      p.resolveSibling(p.getFileName.toString + ".hide")))
+    val n =
+      try DeltaWrite.merge(spark, d,
+        Seq((2L, "a", 99.0)).toDF("id", "part", "bal"), Seq("id"),
+        deletePredicate = Some("part = 'a' AND id = 1"))
+      finally bFiles.foreach(p => java.nio.file.Files.move(
+        p.resolveSibling(p.getFileName.toString + ".hide"), p))
+    assert(n == 2L, s"1 upserted + 1 deleted, got $n")
+    // ONE commit for the whole statement
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      d, "_delta_log", "%020d.json".format(2))),
+      "delete + upsert must be one commit")
+    val got = DeltaRead.readDeltaTable(spark, d).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((2L, "a", 99.0), (3L, "b", 3.0), (4L, "b", 4.0)),
+      got.toString)
+    // a delete hitting ANOTHER partition than the batch: the deleted
+    // row's file is DV-masked byte-identically, pv carried on re-add
+    val bBytes = files("part=b").map(p =>
+      p -> java.nio.file.Files.readAllBytes(p)).toMap
+    val n2 = DeltaWrite.merge(spark, d,
+      Seq((5L, "a", 5.0)).toDF("id", "part", "bal"), Seq("id"),
+      deletePredicate = Some("part = 'b' AND id = 4"))
+    assert(n2 == 2L, n2.toString)
+    bBytes.foreach { case (p, bytes) =>
+      assert(java.nio.file.Files.readAllBytes(p).sameElements(bytes),
+        s"DV-masked partition file $p was rewritten") }
+    val commit2 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(d, "_delta_log", "%020d.json".format(2)))
+    assert(commit2.contains("deletionVector") &&
+      commit2.contains("\"part\":\"b\""), commit2)
+    val got2 = DeltaRead.readDeltaTable(spark, d).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got2 == Seq((2L, "a", 99.0), (3L, "b", 3.0), (5L, "a", 5.0)),
+      got2.toString)
+  }
+
   test("deleteWhere on a PARTITIONED table: partition values + stats " +
       "prune the probe (hidden foreign-partition files are never " +
       "opened), matching rows DV-masked in place, partitionValues " +

@@ -779,6 +779,26 @@ case class GraftConditionalMergeCommand(relation: String,
         Some(if (bsDeleteIdx.nonEmpty && bsUpdateIdx.nonEmpty)
           r.localCheckpoint() else r)
       }
+    // NULL-keyed target rows land on the by-source side (the ON
+    // equality never matches NULL) but the routed execution cannot
+    // handle them: a by-source DELETE ships its keys as an IN
+    // predicate (NULL never matches — the row would silently
+    // survive), and a by-source UPDATE's post-image rides the engine
+    // merge whose key anti-join also never matches NULL (the
+    // original row would be carried ALONGSIDE the updated one,
+    // duplicating the key). Refuse loudly instead of either silent
+    // wrong answer.
+    bsRows.foreach { r =>
+      val nullKeyClassified = r
+        .filter(org.apache.spark.sql.functions.col("__graft_act").isNotNull)
+        .filter(keyAttrs.map(a => column(a).isNull).reduce(_ || _))
+        .limit(1).count() > 0
+      require(!nullKeyClassified,
+        s"MERGE INTO $relation: a NOT MATCHED BY SOURCE action " +
+          s"classified a target row with a NULL unique-key column — " +
+          s"the routed delete/upsert cannot address NULL keys " +
+          s"(IN/anti-join semantics); clean NULL-keyed rows first")
+    }
     val bsUpdated: Option[DataFrame] =
       if (bsUpdateIdx.isEmpty) None
       else bsRows.map { r =>

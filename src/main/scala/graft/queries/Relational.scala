@@ -501,6 +501,78 @@ object Scans extends QueryGroup {
       graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
     }),
 
+    // The fused merge-delete COMPOSING with Change Data Feed: the
+    // same single commit carries the DV masks / CoW rewrites / upsert
+    // adds AND a cdc file whose rows are the TRUE row-level changes —
+    // including the deleted rows' pre-images (computed from the same
+    // pruned scan the DV build runs). The key returns the commit's
+    // readChanges rows, so the oracle checks the full CDF contract:
+    // delete pre-images, update pre/post-images, inserts.
+    "run_sql_merge_delete_cdf" -> ((s, d) => {
+      val dir = tmpDir("graft_sql_merge_del_cdf")
+      val cust = Tables.customer(s, d)
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").as("bal")),
+        Seq("c_custkey"), enableCdf = true)
+      graft.sources.DeltaRead.readDeltaTable(s, dir)
+        .createOrReplaceTempView("sql_merge_del_cdf_tgt")
+      graft.gateway.MergeRoutes.register("sql_merge_del_cdf_tgt",
+        new graft.gateway.MergeRoutes.Handler {
+          override def apply(sess: SparkSession, batch: DataFrame,
+              keys: Seq[String]): Long =
+            graft.sources.DeltaWrite.merge(sess, dir, batch, keys)
+          override def supportsMergeDelete: Boolean = true
+          override def mergeWithDelete(sess: SparkSession,
+              batch: DataFrame, keys: Seq[String],
+              deletePredicateSql: String): Long =
+            graft.sources.DeltaWrite.merge(sess, dir, batch, keys,
+              deletePredicate = Some(deletePredicateSql))
+        })
+      cust.filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          lit(0.0).as("bal"), lit("del").as("op"))
+        .unionByName(cust.filter(col("c_custkey") % 4 === 1)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            (col("c_acctbal") * 2).as("bal"), lit("upd").as("op")))
+        .unionByName(cust.filter(col("c_custkey") % 10 === 2)
+          .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+            col("c_mktsegment"), col("c_acctbal").as("bal"),
+            lit("ins").as("op")))
+        .createOrReplaceTempView("sql_merge_del_cdf_src")
+      try s.sql(
+        """MERGE INTO sql_merge_del_cdf_tgt AS DBT_INTERNAL_DEST
+          |USING sql_merge_del_cdf_src AS DBT_INTERNAL_SOURCE
+          |ON DBT_INTERNAL_DEST.c_custkey = DBT_INTERNAL_SOURCE.c_custkey
+          |WHEN MATCHED AND DBT_INTERNAL_SOURCE.op = 'del' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET bal = DBT_INTERNAL_SOURCE.bal
+          |WHEN NOT MATCHED THEN INSERT (c_custkey, c_mktsegment, bal)
+          |  VALUES (DBT_INTERNAL_SOURCE.c_custkey,
+          |          DBT_INTERNAL_SOURCE.c_mktsegment,
+          |          DBT_INTERNAL_SOURCE.bal)""".stripMargin).collect()
+      finally {
+        graft.gateway.MergeRoutes.unregister("sql_merge_del_cdf_tgt")
+        s.catalog.dropTempView("sql_merge_del_cdf_tgt")
+        s.catalog.dropTempView("sql_merge_del_cdf_src")
+      }
+      // ONE table version for the whole statement (SQL MERGE's
+      // atomicity — delete legs included): creation + the merge
+      val commits = {
+        val st = java.nio.file.Files.list(
+          java.nio.file.Paths.get(dir, "_delta_log"))
+        try st.filter(p =>
+          p.getFileName.toString.matches("\\d{20}\\.json")).count()
+        finally st.close()
+      }
+      require(commits == 2L,
+        s"fused CDF merge-delete must commit exactly one version " +
+          s"(found ${commits - 1} post-creation): $dir")
+      graft.sources.DeltaRead.readChanges(s, dir, 1L)
+        .select(col("c_custkey"), col("c_mktsegment"), col("bal"),
+          col("_change_type"))
+        .orderBy("_change_type", "c_custkey")
+    }),
+
     // The Iceberg side of the FUSED merge-delete: the matched-DELETE
     // leg rewrites its files copy-on-write (Iceberg's native CoW
     // delete shape — no delete file written, so later CoW merges stay
@@ -869,6 +941,38 @@ object Scans extends QueryGroup {
       finally {
         graft.gateway.DmlRoutes.unregister("sql_del_ice_tgt")
         s.catalog.dropTempView("sql_del_ice_tgt")
+      }
+      graft.sources.IcebergRead.readIcebergTable(s, dir)
+        .orderBy("c_custkey")
+    }),
+
+    // `DELETE FROM` on a PARTITIONED Iceberg table — the Iceberg side
+    // of the date/segment-partitioned retention delete: the
+    // matched-key probe prunes through the manifests' column bounds
+    // (identity partition columns are data columns with bounds, so
+    // only the predicate's partitions' files are opened —
+    // IcebergSpec proves it with the hidden-foreign-file technique),
+    // and ONE equality-delete file appends, no data file touched.
+    "run_sql_delete_partitioned_iceberg" -> ((s, d) => {
+      val dir = tmpDir("graft_sql_del_part_ice")
+      val cust = Tables.customer(s, d)
+      graft.sources.IcebergWrite.merge(s, dir,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").as("bal")),
+        Seq("c_custkey"), partitionBy = Seq("c_mktsegment"))
+      graft.sources.IcebergRead.readIcebergTable(s, dir)
+        .createOrReplaceTempView("sql_del_part_ice_tgt")
+      graft.gateway.DmlRoutes.register("sql_del_part_ice_tgt",
+        graft.gateway.DmlRoutes.Ops(Seq("c_custkey"),
+          deleteWhere = Some((sess, predicateSql) =>
+            graft.sources.IcebergWrite.deleteWhere(
+              sess, dir, predicateSql, Seq("c_custkey")))))
+      try s.sql("DELETE FROM sql_del_part_ice_tgt " +
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0")
+        .collect()
+      finally {
+        graft.gateway.DmlRoutes.unregister("sql_del_part_ice_tgt")
+        s.catalog.dropTempView("sql_del_part_ice_tgt")
       }
       graft.sources.IcebergRead.readIcebergTable(s, dir)
         .orderBy("c_custkey")
@@ -1406,6 +1510,28 @@ object Scans extends QueryGroup {
         |  FROM customer WHERE c_custkey % 10 = 2
         |) ORDER BY c_custkey""".stripMargin,
 
+    // the CDF merge-delete key returns the commit's readChanges rows:
+    // delete pre-images, update pre/post-images, inserts — closed-form
+    // from customer
+    "run_sql_merge_delete_cdf" ->
+      """SELECT c_custkey, c_mktsegment, bal, _change_type FROM (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal AS bal,
+        |    'delete' AS _change_type
+        |  FROM customer WHERE c_custkey % 4 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    'update_preimage'
+        |  FROM customer WHERE c_custkey % 4 = 1
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal * 2,
+        |    'update_postimage'
+        |  FROM customer WHERE c_custkey % 4 = 1
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_mktsegment, c_acctbal,
+        |    'insert'
+        |  FROM customer WHERE c_custkey % 10 = 2
+        |) ORDER BY _change_type, c_custkey""".stripMargin,
+
     // the Iceberg fused merge-delete lands on the same final state
     "run_sql_merge_delete_iceberg" ->
       """SELECT c_custkey, c_mktsegment, bal FROM (
@@ -1494,6 +1620,12 @@ object Scans extends QueryGroup {
       """SELECT c_custkey, c_mktsegment, c_acctbal AS bal
         |FROM customer
         |WHERE NOT (c_mktsegment = 'MACHINERY' AND c_custkey % 2 = 1)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "run_sql_delete_partitioned_iceberg" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal AS bal
+        |FROM customer
+        |WHERE NOT (c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0)
         |ORDER BY c_custkey""".stripMargin,
 
     // dbt snapshot over the wire: the SCD2 final state is closed-form

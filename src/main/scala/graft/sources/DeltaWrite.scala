@@ -705,6 +705,13 @@ object DeltaWrite {
           Some((df.schema, partitionBy, newCfg))
         else None
       }
+    // explicit column-mapping guard (liveDataFiles below refuses too,
+    // but only after the schema/config diff): a replace would write
+    // LOGICAL-named parquet while the retained metaData declares
+    // physical col-<uuid> names — readers would silently surface NULL
+    if (exists) require(!DeltaRead.mergeGeometry(spark, dir).mapped,
+      s"CREATE OR REPLACE of a column-mapped Delta table is " +
+        s"unsupported (data files need physical column names): $dir")
     val removes: Seq[String] =
       if (!exists) Nil
       else DeltaRead.liveDataFiles(spark, dir).map(f =>
@@ -733,6 +740,65 @@ object DeltaWrite {
     }
     lines ++= removes
     if (lines.nonEmpty) writeCommitFile(dir, version, lines.toSeq)
+    n
+  }
+
+  /** DYNAMIC partition overwrite — Spark's
+    * `spark.sql.sources.partitionOverwriteMode=dynamic`
+    * `INSERT OVERWRITE` semantics on a partitioned Delta table: ONE
+    * atomic commit replaces exactly the partitions PRESENT in `df`
+    * (their live files remove, the new rows add in one staged job);
+    * untouched partitions' files are never referenced, read, or
+    * rewritten — byte-identical across the commit. An empty batch
+    * touches no partition and commits nothing (Spark's dynamic
+    * semantics). Derived CDF stays exact: every removed row IS
+    * deleted and every added row IS inserted, so no cdc action is
+    * needed. Column-mapped and DV-carrying tables refuse loudly via
+    * [[DeltaRead.liveDataFiles]]. Returns the rows written.
+    *
+    * Scale notes: O(touched partitions + batch) — the commit lists
+    * removes only for the batch's partition dirs, and the staged
+    * write is one job regardless of partition count.
+    */
+  def overwritePartitions(spark: org.apache.spark.sql.SparkSession,
+      dir: String, df0: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val partCols = DeltaRead.partitionColumns(spark, dir)
+    require(partCols.nonEmpty,
+      s"dynamic partition overwrite needs a partitioned table " +
+        s"(use replace for unpartitioned): $dir")
+    val tableSchema = DeltaRead.tableSchema(spark, dir)
+    require(df0.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        tableSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"INSERT OVERWRITE batch schema ${df0.schema.simpleString} != " +
+        s"table schema ${tableSchema.simpleString}: $dir")
+    val df = df0.localCheckpoint()
+    val n = df.count()
+    if (n == 0) return 0L
+    val version = DeltaRead.latestVersion(dir) + 1
+    requireNextVersion(dir, version)
+    val live = DeltaRead.liveDataFiles(spark, dir) // refuses mapped/DV
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      tableSchema.filterNot(f => partCols.contains(f.name)))
+    val (tagged0, pdirPv) = withPdir(df, partCols)
+    val tagged = tagged0
+      .withColumn("__graft_target", concat(col("__graft_pdir"),
+        lit(f"/overwrite-$version%05d.parquet")))
+      .drop("__graft_pdir").drop(partCols: _*)
+    val staged = stageWrite(dir, tagged)
+    val stats = statsFor(spark, dir, staged.map(_._1), dataSchema)
+    val touchedPdirs = pdirPv.keySet
+    val removes = live.filter(f =>
+      touchedPdirs.contains(pvDirOf(partCols, f.partitionValues)))
+    val lines =
+      staged.map { case (rel, size) =>
+        val pdir = rel.split('/').dropRight(1).mkString("/")
+        addLine(rel, pdirPv(pdir), size, stats.get(rel),
+          dataChange = true)
+      } ++
+      removes.map(f => removeLine(f.logPath, f.partitionValues,
+        dataChange = true))
+    writeCommitFile(dir, version, lines)
     n
   }
 
@@ -920,6 +986,13 @@ object DeltaWrite {
         s"residual-predicate merge on a CDF-enabled table is " +
           s"unsupported (cdc rows would need the same matched-set " +
           s"narrowing): $dir")
+      // CDF-enabled tables compose with the delete leg: the same
+      // pruned scan that finds the masked positions also yields the
+      // deleted rows' pre-images, written as `delete` cdc rows in the
+      // SAME commit (the protocol's requirement — DV masks and CoW
+      // rewrites alone would make derived CDF misreport)
+      val cdfOn = boolConf(DeltaRead.tableConfiguration(spark, dir),
+        "delta.enableChangeDataFeed")
       deletePredicate.foreach { _ =>
         require(!mapped,
           s"merge with a delete leg on a column-mapped table is " +
@@ -927,10 +1000,6 @@ object DeltaWrite {
         require(residualPredicate.isEmpty,
           s"merge cannot combine a delete leg with a residual ON " +
             s"predicate: $dir")
-        require(!boolConf(DeltaRead.tableConfiguration(spark, dir),
-            "delta.enableChangeDataFeed"),
-          s"merge with a delete leg on a CDF-enabled table is " +
-            s"unsupported — DV masking writes no cdc actions: $dir")
       }
       // compare shapes with nested METADATA stripped: mapped tables
       // carry columnMapping metadata on every (nested) field that a
@@ -979,14 +1048,18 @@ object DeltaWrite {
       // [[deleteWhere]], so a partitioned retention delete opens only
       // its partitions' files
       val maxDelMatches = 2000000
-      val delMatched: Array[(String, Long)] = deletePredicate match {
-        case None => Array.empty
+      // (matched (file,row) positions, deleted rows' pre-images for
+      // cdc — the SAME lazily-planned scan, materialized only on
+      // CDF-enabled tables)
+      val (delMatched: Array[(String, Long)],
+          delCdcRows: Option[DataFrame]) = deletePredicate match {
+        case None => (Array.empty[(String, Long)], None)
         case Some(dp) =>
           val skip = FileSkipping.resolve(spark, tableSchema,
             org.apache.spark.sql.functions.expr(dp))
           val delPruned = live.filter(f => FileSkipping.mayMatch(skip,
             DeltaRead.fileStatsOfLive(f, tableSchema, partCols)))
-          if (delPruned.isEmpty) Array.empty[(String, Long)]
+          if (delPruned.isEmpty) (Array.empty[(String, Long)], None)
           else {
             val delDataSchema = org.apache.spark.sql.types.StructType(
               tableSchema.filterNot(f2 => partCols.contains(f2.name)))
@@ -1021,14 +1094,32 @@ object DeltaWrite {
               if (withDv0.isEmpty) withPv
               else withPv.join(DeltaRead.dvDeleteFrame(spark, dir, withDv0),
                 Seq("__graft_file", "__graft_row"), "left_anti")
-            val m = c0.filter(org.apache.spark.sql.functions.expr(dp))
+            val matchedRows = c0
+              .filter(org.apache.spark.sql.functions.expr(dp))
+            val m = matchedRows
               .select("__graft_file", "__graft_row")
               .limit(maxDelMatches + 1)
               .collect().map(r => (r.getString(0), r.getLong(1)))
             require(m.length <= maxDelMatches,
               s"merge delete leg matches more than $maxDelMatches rows " +
                 s"— use DELETE FROM / a rewrite for mass deletes: $dir")
-            m
+            // cdc delete pre-images: the matched rows with their
+            // partition DIR attached (a broadcast file→pdir literal,
+            // same shape as optimize's routing map) — consumed by the
+            // cdc staged write below only when CDF is on
+            val cdc =
+              if (!cdfOn || m.isEmpty) None
+              else {
+                val pdirOfQ: Map[String, String] = delPruned.map(f2 =>
+                  qualified(f2.abs) -> pvDirOf(partCols,
+                    partCols.map(c2 =>
+                      c2 -> geom.pvOf(f2.partitionValues, c2)).toMap)).toMap
+                Some(matchedRows.withColumn("__graft_pdir",
+                  if (partCols.isEmpty) lit("")
+                  else element_at(typedlit(pdirOfQ), col("__graft_file")))
+                  .drop("__graft_file", "__graft_row"))
+              }
+            (m, cdc)
           }
       }
       if (n == 0 && delMatched.isEmpty) return 0L
@@ -1241,12 +1332,18 @@ object DeltaWrite {
       // shape — stats JSON keys are physical-named under mapping, the
       // protocol's form
       val stats = statsFor(spark, dir, staged.map(_._1), physDataSchema)
+      // a delete-leg cdc file can land in a partition the batch never
+      // touches — the live set's own partition map is the fallback
+      lazy val livePdirPv: Map[String, Map[String, String]] = live.map(f =>
+        pvDirOf(partCols, lpv(f.partitionValues)) ->
+          lpv(f.partitionValues)).toMap
       def pvOfRel(rel: String): Map[String, String] =
         rwPv.getOrElse(rel, {
           val pdir = rel.stripPrefix("_change_data/")
             .split('/').dropRight(1).mkString("/")
-          physPv(pdirPvBatch.getOrElse(pdir, sys.error(
-            s"staged file $rel maps to no known partition: $dir")))
+          physPv(pdirPvBatch.getOrElse(pdir,
+            livePdirPv.getOrElse(pdir, sys.error(
+              s"staged file $rel maps to no known partition: $dir"))))
         })
 
       // A MERGE commit on a CDF-enabled table MUST carry cdc actions:
@@ -1258,8 +1355,6 @@ object DeltaWrite {
       // (insert) — O(touched + batch), like the merge itself, written
       // in ONE staged job (partitioned tables get one cdc file per
       // touched partition, with partitionValues on the cdc action).
-      val cdfOn = boolConf(DeltaRead.tableConfiguration(spark, dir),
-        "delta.enableChangeDataFeed")
       val cdcStaged: Seq[(String, Long)] = if (!cdfOn) Nil else {
         val ct = "_change_type"
         val keyCols = uniqueKey.map(col)
@@ -1273,8 +1368,12 @@ object DeltaWrite {
         val ins = batchP
           .join(curRows.select(keyCols: _*), uniqueKey, "left_anti")
           .withColumn(ct, lit("insert"))
-        val all = pre.unionByName(post, allowMissingColumns = true)
-          .unionByName(ins, allowMissingColumns = true)
+        // fused delete leg: the deleted rows' pre-images, from the
+        // same pruned scan that computed the masked positions
+        val del = delCdcRows.map(_.withColumn(ct, lit("delete")))
+        val all = (Seq(pre.unionByName(post, allowMissingColumns = true)
+          .unionByName(ins, allowMissingColumns = true)) ++ del)
+          .reduce(_.unionByName(_, allowMissingColumns = true))
         val cdcTagged = all
           .withColumn("__graft_target",
             if (partCols.isEmpty)

@@ -560,12 +560,24 @@ object IcebergRead {
           (localPath(dv.path), dv.contentOffset.get, dv.contentSize.get,
             dv.recordCount, refAbs)
         }
+        // executors fetch the Puffin blobs through the Hadoop
+        // FileSystem API with the session's serialized conf — the
+        // portable form (HDFS/S3/file URIs all resolve), unlike a
+        // java.nio local-path read which only works when every
+        // executor shares the driver's filesystem. Each task reads
+        // ONLY its blob's byte range (positioned read), never the
+        // whole Puffin file.
+        val serConf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf())
         val dvRows = spark.sparkContext
           .parallelize(descs, math.min(descs.size, 32))
           .flatMap { case (p, off, sz, card, ref) =>
-            DeletionVectors.decodePuffinDv(
-              java.nio.file.Files.readAllBytes(
-                java.nio.file.Paths.get(p)), off, sz, Some(card))
+            val hp = new org.apache.hadoop.fs.Path(p)
+            val fs = hp.getFileSystem(serConf.value)
+            val blob = new Array[Byte](java.lang.Math.toIntExact(sz))
+            val in = fs.open(hp)
+            try in.readFully(off, blob) finally in.close()
+            DeletionVectors.decodePuffinDv(blob, 0L, sz, Some(card))
               .map(pos => Row(ref, pos))
           }
         val dels = spark.createDataFrame(dvRows,

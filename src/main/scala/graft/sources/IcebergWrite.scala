@@ -254,9 +254,11 @@ object IcebergWrite {
       !names.exists(_.equalsIgnoreCase(f.name))),
       s"DROP COLUMNS would leave an empty schema: $dir")
     require(state.positionDeleteFiles.isEmpty &&
-        state.equalityDeleteFiles.isEmpty,
-      s"DROP COLUMNS with live delete files is unsupported (an " +
-        s"equality delete may reference the dropped field id) — " +
+        state.equalityDeleteFiles.isEmpty &&
+        state.deletionVectors.isEmpty,
+      s"DROP COLUMNS with live delete files or deletion vectors is " +
+        s"unsupported (an equality delete may reference the dropped " +
+        s"field id; v3 DVs cannot be carried by this v2 writer) — " +
         s"compact/rewrite first: $dir")
     commit(dir, Nil, schemaDrop = Some(names)): Unit
   }
@@ -304,6 +306,27 @@ object IcebergWrite {
       if (priorVersion == 0)
         IcebergRead.SnapshotState(creationSchema.get, Nil, Nil)
       else IcebergRead.snapshotState(dir, None)
+    // v3 deletion-vector backstop: this writer commits format-version
+    // 2 metadata and carries only position/equality delete files — a
+    // commit onto a table with live Puffin DVs would silently drop
+    // the DV entries (resurrecting their deleted rows) and rewrite
+    // the table as v2. [[IcebergRead]] APPLIES DVs, so v3 tables are
+    // read-only here until the write paths carry them.
+    require(prior.deletionVectors.isEmpty,
+      s"cannot commit to an Iceberg table with live v3 deletion " +
+        s"vectors: this writer emits format-version 2 metadata and " +
+        s"would drop the DV entries, resurrecting deleted rows — " +
+        s"the table is read-only here: $dir")
+    if (priorVersion > 0) {
+      val priorFv = JsonMethods.parse(java.nio.file.Files.readString(
+        metaDir.resolve(s"v$priorVersion.metadata.json")))
+      require((priorFv \ "format-version").extractOpt[Int].forall(_ <= 2),
+        s"cannot commit to an Iceberg format-version " +
+          s"${(priorFv \ "format-version").extractOpt[Int].getOrElse(-1)} " +
+          s"table: this writer emits format-version 2 metadata and " +
+          s"would silently downgrade v3+ semantics (row lineage, " +
+          s"deletion vectors) — the table is read-only here: $dir")
+    }
     val snapshotId = priorVersion + 1L
     val seq = snapshotId
 
@@ -853,6 +876,14 @@ object IcebergWrite {
         s"copy-on-write merge into an Iceberg table with live delete " +
           s"files is unsupported (rewrites would resurrect deleted " +
           s"rows) — compact first: $dir")
+      // v3 DVs: the CoW rewrite reads raw parquet (no DV anti-join)
+      // and the commit would drop the DV entries — refuse before any
+      // staging work (commit's backstop would catch it too late)
+      require(state.deletionVectors.isEmpty,
+        s"copy-on-write merge into an Iceberg table with live v3 " +
+          s"deletion vectors is unsupported (the rewrite would " +
+          s"resurrect DV-deleted rows and the v2 commit would drop " +
+          s"the DV entries) — the table is read-only here: $dir")
       val partCols = IcebergRead.tablePartitionCols(dir)
       require(partitionBy.isEmpty || partitionBy == partCols,
         s"merge partitionBy ${partitionBy.mkString(",")} != table " +
@@ -1051,7 +1082,16 @@ object IcebergWrite {
     val state = IcebergRead.snapshotState(dir, None)
     if (state.dataFiles.size <= buckets &&
       state.positionDeleteFiles.isEmpty &&
-      state.equalityDeleteFiles.isEmpty) return
+      state.equalityDeleteFiles.isEmpty &&
+      state.deletionVectors.isEmpty) return
+    // v3 DVs: [[IcebergRead.readIcebergTable]] below would apply them
+    // (rows correct), but the replace commit writes format-version 2
+    // metadata — refuse with a compaction-specific message rather
+    // than let commit's backstop fire mid-rewrite
+    require(state.deletionVectors.isEmpty,
+      s"optimize of an Iceberg table with live v3 deletion vectors " +
+        s"is unsupported (the compacted table would be rewritten as " +
+        s"format-version 2) — the table is read-only here: $dir")
     val partCols = IcebergRead.tablePartitionCols(dir)
     val dataDir = java.nio.file.Paths.get(dir, "data")
     val version = java.nio.file.Files.readString(
@@ -1140,6 +1180,59 @@ object IcebergWrite {
     n
   }
 
+  /** DYNAMIC partition overwrite — Spark's
+    * `spark.sql.sources.partitionOverwriteMode=dynamic`
+    * `INSERT OVERWRITE` semantics on a partitioned Iceberg table
+    * (Iceberg's own `overwrite` snapshot shape): ONE snapshot drops
+    * the live data files of exactly the partitions PRESENT in `df`
+    * (matched on manifest partition records, canonical comparison)
+    * and adds the new rows in one staged job. Untouched partitions'
+    * files are never read or referenced beyond the metadata carry.
+    * A data file WITHOUT a partition record on a partitioned table
+    * refuses loudly — keeping it could silently duplicate rows of an
+    * overwritten partition. An empty batch commits nothing. Carried
+    * equality deletes stay correct: the replacement files take the
+    * new highest sequence, so earlier deletes never apply to them.
+    */
+  def overwritePartitions(spark: org.apache.spark.sql.SparkSession,
+      dir: String, df0: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val partCols = IcebergRead.tablePartitionCols(dir)
+    require(partCols.nonEmpty,
+      s"dynamic partition overwrite needs a partitioned table " +
+        s"(use replace for unpartitioned): $dir")
+    val state = IcebergRead.snapshotState(dir, None)
+    require(df0.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        state.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"INSERT OVERWRITE batch schema ${df0.schema.simpleString} != " +
+        s"table schema ${state.schema.simpleString}: $dir")
+    val df = df0.localCheckpoint()
+    val n = df.count()
+    if (n == 0) return 0L
+    val noRecord = state.dataFiles.filter(_.partition.isEmpty)
+    require(noRecord.isEmpty,
+      s"dynamic partition overwrite with record-less data files is " +
+        s"unsupported (cannot prove they are outside the overwritten " +
+        s"partitions): ${noRecord.map(_.path).mkString(", ")} in $dir")
+    val version = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "metadata", "version-hint.text"))
+      .trim.toInt + 1
+    val (dfP, _, pdirRow) = DeltaWrite.withPdirTyped(df, partCols)
+    val batchPvCanon: Set[Seq[String]] = pdirRow.values.map(r =>
+      partCols.indices.map(i => canonicalPv(r.get(i)))).toSet
+    val dataDir = java.nio.file.Paths.get(dir, "data")
+    val removes = state.dataFiles.filter(f => batchPvCanon.contains(
+      partCols.map(c => canonicalPv(f.partition.getOrElse(c, null)))))
+      .map(f => relOf(f.path, dataDir))
+    val tagged = dfP
+      .withColumn("__graft_target", concat(col("__graft_pdir"),
+        lit(f"/overwrite-$version%05d.parquet")))
+      .drop("__graft_pdir")
+    val staged = stageTagged(spark, dir, tagged, state.schema, partCols)
+    commit(dir, Nil, stagedAdds = staged, removes = removes): Unit
+    n
+  }
+
   /** Merge-on-read upsert into a REAL Iceberg table — the
     * Flink/CDC streaming-upsert shape: each call writes ONE equality
     * delete file over `uniqueKey` (masking every earlier-sequence row
@@ -1204,8 +1297,16 @@ object IcebergWrite {
     * over the table's columns (the routed statement's WHERE clause,
     * re-rendered); `uniqueKey` is the table's declared key — on a
     * merge table keys are unique, so key-equality deletion is exactly
-    * row deletion. An empty match writes NO commit; partitioned
-    * tables refuse loudly (use a partition-rewrite delete).
+    * row deletion. An empty match writes NO commit.
+    *
+    * Partitioned tables work the same way: the matched-key PROBE
+    * prunes through the manifests' column bounds
+    * ([[IcebergRead.readIcebergTable]]'s predicate file pruning —
+    * identity partition columns are data columns with bounds in
+    * Iceberg, so a date-partitioned retention delete opens only its
+    * partitions' files), and the equality-delete file applies by key
+    * VALUES, partition-independent, exactly as on unpartitioned
+    * tables. O(touched partitions), never O(table).
     */
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
       predicateSql: String, uniqueKey: Seq[String],
@@ -1215,10 +1316,8 @@ object IcebergWrite {
     val metaDir = java.nio.file.Paths.get(dir, "metadata")
     require(java.nio.file.Files.isDirectory(metaDir),
       s"not an Iceberg table: $dir")
-    require(IcebergRead.tablePartitionCols(dir).isEmpty,
-      s"deleteWhere on a partitioned Iceberg table is unsupported " +
-        s"(rewrite the partitions instead): $dir")
-    val cur = IcebergRead.readIcebergTable(spark, dir)
+    val cur = IcebergRead.readIcebergTable(spark, dir,
+      predicate = Some(expr(predicateSql)))
     val matchedKeys = cur.filter(expr(predicateSql))
       .select(uniqueKey.map(col): _*).distinct().localCheckpoint()
     val n = matchedKeys.count()

@@ -752,7 +752,8 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
 
   test("deleteWhere: DELETE as an equality-delete append — data " +
       "files untouched, one delete file per delete, deletes " +
-      "compose, empty match writes no commit, partitioned refuses") {
+      "compose, empty match writes no commit, partitioned prunes " +
+      "(hidden foreign-partition file never opened)") {
     val d = dir()
     IcebergWrite.mergeOnRead(spark, d,
       (1L to 12L).map(i => (i, i * 1.0)).toDF("id", "bal"), Seq("id"))
@@ -791,14 +792,33 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
     assert(IcebergWrite.deleteWhere(spark, d, "id > 1000", Seq("id")) == 0L)
     assert(java.nio.file.Files.readString(hint).trim == vBefore,
       "empty delete wrote a commit")
-    // partitioned tables refuse loudly
+    // partitioned tables: the matched-key probe prunes through the
+    // manifests' column bounds — identity partition columns are data
+    // columns with bounds, so a partition-scoped predicate opens ONLY
+    // its partition's files. Proof by the hidden-file technique: the
+    // foreign partition's data file is replaced on disk with garbage
+    // AFTER the commit; a probe that opened it would explode.
     val dp = dir()
-    IcebergWrite.replace(spark, dp,
-      Seq((1L, "x", 1.0)).toDF("id", "part", "bal"),
-      partitionBy = Seq("part"))
-    val e = intercept[IllegalArgumentException](
-      IcebergWrite.deleteWhere(spark, dp, "id = 1", Seq("id")))
-    assert(e.getMessage.contains("partitioned"), e.getMessage)
+    IcebergWrite.merge(spark, dp,
+      Seq((1L, "x", 1.0), (2L, "x", 2.0), (3L, "y", 3.0), (4L, "y", 4.0))
+        .toDF("id", "part", "bal"),
+      Seq("id"), buckets = 2, partitionBy = Seq("part"))
+    val yFiles = IcebergRead.snapshotState(dp, None).dataFiles
+      .filter(f => f.partition.get("part").contains("y"))
+    assert(yFiles.nonEmpty, "fixture needs a y-partition file")
+    val yLocal = yFiles.map(f => java.nio.file.Paths.get(
+      f.path.stripPrefix("file://")))
+    val yBytes = yLocal.map(java.nio.file.Files.readAllBytes)
+    yLocal.foreach(p => java.nio.file.Files.write(p,
+      "not parquet".getBytes))
+    assert(IcebergWrite.deleteWhere(spark, dp,
+      "part = 'x' AND id % 2 = 0", Seq("id")) == 1L)
+    yLocal.zip(yBytes).foreach { case (p, b) =>
+      java.nio.file.Files.write(p, b): Unit }
+    assert(IcebergRead.readIcebergTable(spark, dp).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "x", 1.0), (3L, "y", 3.0), (4L, "y", 4.0)),
+      "partitioned delete state wrong")
   }
 
   test("merge with deletePredicate: delete + upsert land in ONE " +

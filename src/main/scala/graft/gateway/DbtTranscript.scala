@@ -43,9 +43,14 @@ package graft.gateway
   *    ([[graft.sources.GraftDeltaCatalogSource]]) routes Spark's own
   *    CTAS command into `DeltaWrite.replace`'s atomic creation
   *    commit ([[snapshotFirstRun]] below carries the statement).
-  *    `CREATE OR REPLACE TABLE ... AS` stays with Spark's loud
-  *    v2-only error (dbt's rebuild shape on v1 warehouses is DROP +
-  *    CTAS — [[tableRun]]).
+  *  - `CREATE OR REPLACE TABLE ... USING delta|iceberg AS` (dbt-spark's
+  *    `create_table_as` rebuild shape on lakehouse file_formats, and
+  *    the modern hand-typed warehouse spelling) executes through
+  *    [[ReplaceTableRoute]]'s parser rewrite onto the same atomic
+  *    replace protocols — prior versions stay time-travelable
+  *    ([[tableRunLakehouse]] below; GatewaySpec replays it over
+  *    hive-jdbc). Non-lakehouse rebuilds keep dbt's v1 DROP + CTAS
+  *    shape ([[tableRun]]).
   *
   * Each helper returns the statements of ONE dbt model run in order;
   * callers execute them verbatim over hive-jdbc.
@@ -70,6 +75,15 @@ object DbtTranscript {
       rerun: Boolean): Seq[String] =
     (if (rerun) Seq(s"drop table if exists $schema.$name") else Nil) :+
       s"create table $schema.$name using parquet as $select"
+
+  /** `materialized='table'`, lakehouse file_format (delta/iceberg):
+    * dbt-spark's `create_table_as` renders ONE atomic
+    * `create or replace table` per run — no DROP window, prior
+    * versions stay time-travelable.
+    */
+  def tableRunLakehouse(schema: String, name: String, select: String,
+      fileFormat: String): Seq[String] = Seq(
+    s"create or replace table $schema.$name using $fileFormat as $select")
 
   /** `materialized='incremental'`, `incremental_strategy='append'`:
     * first run is a CTAS; later runs stage the delta as a temp view

@@ -57,6 +57,13 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // schema evolution; dbt's on_schema_change=append_new_columns
     // wire statement) — see SchemaDdlRoute.scala
     ext.injectResolutionRule(SchemaDdlRoute)
+    // CREATE OR REPLACE TABLE ... USING delta|iceberg AS — a PARSER
+    // wrapper, because the session catalog's own ResolveSessionCatalog
+    // throws the v2-only error before any custom RESOLUTION rule could
+    // fire, and Hive sessions drop custom HINT rules — see
+    // ReplaceTableRoute.scala
+    ext.injectParser((session, delegate) =>
+      GraftSqlParser(session, delegate))
   }
 }
 

@@ -739,6 +739,60 @@ object Scans extends QueryGroup {
         .orderBy("c_custkey")
     }),
 
+    // `CREATE OR REPLACE TABLE ... USING delta AS` — dbt-spark's
+    // lakehouse table-rebuild statement (and the modern hand-typed
+    // warehouse spelling), routed by the parser onto
+    // DeltaWrite.replace's ATOMIC commit: run 2 swaps the whole table
+    // in ONE version with no DROP window, and run 1's state stays
+    // time-travelable (asserted via the engine reader).
+    "run_sql_create_or_replace_delta" -> ((s, d) => {
+      val dir = tmpDir("graft_sql_cor_delta")
+      val db = "g" + dir.split('/').last
+        .replaceAll("[^a-zA-Z0-9_]", "_").toLowerCase
+      Tables.customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment"), col("c_acctbal").as("bal"))
+        .createOrReplaceTempView("cor_delta_src")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$dir'")
+      s.sql(s"CREATE OR REPLACE TABLE $db.cust USING delta AS " +
+        "SELECT * FROM cor_delta_src WHERE c_custkey % 2 = 0")
+      s.sql(s"CREATE OR REPLACE TABLE $db.cust USING delta AS " +
+        "SELECT c_custkey, c_mktsegment, bal * 2 AS bal " +
+        "FROM cor_delta_src")
+      // run 1's state survives the rebuild, time-travelable
+      require(graft.sources.DeltaRead.readDeltaTable(s, s"$dir/cust",
+        versionAsOf = Some(0L)).count() > 0,
+        s"version 0 lost by CREATE OR REPLACE: $dir/cust")
+      s.sql(s"SELECT c_custkey, c_mktsegment, bal FROM $db.cust")
+        .orderBy("c_custkey")
+    }),
+
+    // the Iceberg side, with an identity PARTITIONED BY — the
+    // replace keeps the partition spec and snapshot 1 stays readable
+    "run_sql_create_or_replace_iceberg" -> ((s, d) => {
+      val dir = tmpDir("graft_sql_cor_ice")
+      val db = "g" + dir.split('/').last
+        .replaceAll("[^a-zA-Z0-9_]", "_").toLowerCase
+      Tables.customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment"), col("c_acctbal").as("bal"))
+        .createOrReplaceTempView("cor_ice_src")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$dir'")
+      s.sql(s"CREATE OR REPLACE TABLE $db.cust USING iceberg " +
+        "PARTITIONED BY (c_mktsegment) AS " +
+        "SELECT * FROM cor_ice_src WHERE c_custkey % 2 = 0")
+      s.sql(s"CREATE OR REPLACE TABLE $db.cust USING iceberg " +
+        "PARTITIONED BY (c_mktsegment) AS " +
+        "SELECT c_custkey, c_mktsegment, bal * 2 AS bal " +
+        "FROM cor_ice_src")
+      require(graft.sources.IcebergRead.tablePartitionCols(
+        s"$dir/cust") == Seq("c_mktsegment"),
+        s"CREATE OR REPLACE lost the Iceberg partition spec: $dir/cust")
+      require(graft.sources.IcebergRead.readIcebergTable(s, s"$dir/cust",
+        snapshotId = Some(1L)).count() > 0,
+        s"snapshot 1 lost by CREATE OR REPLACE: $dir/cust")
+      s.sql(s"SELECT c_custkey, c_mktsegment, bal FROM $db.cust")
+        .orderBy("c_custkey")
+    }),
+
     // `TIMESTAMP AS OF` over SQL text: the literal evaluates in the
     // session timezone and the route resolves it DRIVER-SIDE to the
     // version at-or-before it (Delta: commitInfo.inCommitTimestamp
@@ -1496,6 +1550,16 @@ object Scans extends QueryGroup {
 
     "run_sql_ctas_iceberg" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // both CREATE OR REPLACE keys end on the run-2 rebuild: every
+    // customer with doubled balance
+    "run_sql_create_or_replace_delta" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal * 2 AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "run_sql_create_or_replace_iceberg" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal * 2 AS bal
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // the delete+update+insert merge equals the anti-join + merge SQL

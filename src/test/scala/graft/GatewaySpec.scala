@@ -1266,6 +1266,82 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
     } finally srv.close()
   }
 
+  test("CREATE OR REPLACE TABLE ... USING delta|iceberg AS over " +
+      "Thrift: the dbt lakehouse table-rebuild statement executes " +
+      "through the parser-routed atomic replace (ONE commit per " +
+      "run, no DROP window), prior versions stay time-travelable, " +
+      "and REPLACE TABLE on a missing table refuses") {
+    import graft.gateway.{DbtTranscript => T}
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"))
+    val wh = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/scratch-test"),
+      "thrift_cor_wh").toString
+    val port = ThriftGateway.freePort()
+    val srv = ThriftGateway.start(spark, port)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val conn = java.sql.DriverManager.getConnection(
+        s"jdbc:hive2://127.0.0.1:$port", "dbt", "")
+      try {
+        val st = conn.createStatement()
+        st.execute(s"create database if not exists gwcordb location '$wh'")
+        // ---- run 1 creates (OR CREATE semantics), run 2 rebuilds
+        T.tableRunLakehouse("gwcordb", "gw_cor",
+          "select * from values (1L, 'a'), (2L, 'b') as t(id, v)",
+          "delta").foreach(st.execute)
+        T.tableRunLakehouse("gwcordb", "gw_cor",
+          "select * from values (2L, 'B'), (3L, 'c'), (4L, 'd') " +
+            "as t(id, v)", "delta").foreach(st.execute)
+        val rs = st.executeQuery(
+          "select id, v from gwcordb.gw_cor order by id")
+        val got = Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (r.getLong(1), r.getString(2))).toSeq
+        assert(got == Seq((2L, "B"), (3L, "c"), (4L, "d")), got.toString)
+        // ONE commit per run: versions 0 and 1, both readable — the
+        // replace protocol kept run 1's state time-travelable
+        assert(graft.sources.DeltaRead.readDeltaTable(spark,
+          s"$wh/gw_cor", versionAsOf = Some(0L)).orderBy("id")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+          Seq((1L, "a"), (2L, "b")), "version 0 not time-travelable")
+        // ---- iceberg, partitioned: identity spec + per-partition
+        // files through the same parser route
+        T.tableRunLakehouse("gwcordb", "gw_cor_ice",
+          "select * from values (1L, 'x', 1.0), (2L, 'y', 2.0) " +
+            "as t(id, seg, bal)", "iceberg")
+          .map(_.replace("using iceberg",
+            "using iceberg partitioned by (seg)"))
+          .foreach(st.execute)
+        T.tableRunLakehouse("gwcordb", "gw_cor_ice",
+          "select * from values (3L, 'x', 3.0) as t(id, seg, bal)",
+          "iceberg")
+          .map(_.replace("using iceberg",
+            "using iceberg partitioned by (seg)"))
+          .foreach(st.execute)
+        val rs2 = st.executeQuery(
+          "select id, seg, bal from gwcordb.gw_cor_ice order by id")
+        val got2 = Iterator.continually(rs2).takeWhile(_.next())
+          .map(r => (r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
+        assert(got2 == Seq((3L, "x", 3.0)), got2.toString)
+        assert(graft.sources.IcebergRead.tablePartitionCols(
+          s"$wh/gw_cor_ice") == Seq("seg"),
+          "iceberg COR lost the partition spec")
+        // prior snapshot stays readable
+        assert(graft.sources.IcebergRead.readIcebergTable(spark,
+          s"$wh/gw_cor_ice", snapshotId = Some(1L)).count() == 2L,
+          "iceberg snapshot 1 not time-travelable")
+        // ---- plain REPLACE TABLE on a missing table refuses (SQL's
+        // contract), and nothing is created
+        val e = intercept[java.sql.SQLException](st.execute(
+          "replace table gwcordb.gw_missing using delta as select 1 as id"))
+        assert(e.getMessage.contains("does not exist"), e.getMessage)
+        assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(wh, "gw_missing")),
+          "refused REPLACE TABLE still wrote data")
+      } finally conn.close()
+    } finally srv.close()
+  }
+
   test("MERGE matched-DELETE leg FUSED: delete + update + insert land " +
       "in ONE Delta commit (SQL MERGE atomicity), the delete-only " +
       "file is DV-masked byte-identical, and a delete-only merge " +

@@ -64,6 +64,11 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // ReplaceTableRoute.scala
     ext.injectParser((session, delegate) =>
       GraftSqlParser(session, delegate))
+    // CREATE TABLE ... USING delta|iceberg PARTITIONED BY (...) AS —
+    // Spark's SQL CTAS path never hands a v1 source the partition
+    // columns; this re-encodes them as the __partition_columns option
+    // the writable sources decode — see CtasPartitioningRoute.scala
+    ext.injectPostHocResolutionRule(CtasPartitioningRoute)
   }
 }
 

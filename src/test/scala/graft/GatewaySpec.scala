@@ -1516,6 +1516,60 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("NOT MATCHED BY SOURCE refuses NULL-keyed target rows loudly: " +
+      "a by-source DELETE's IN predicate and a by-source UPDATE's " +
+      "anti-join both mishandle NULL keys — never a silent survive " +
+      "or duplicate") {
+    spark.sql("SELECT * FROM VALUES (CAST(1 AS BIGINT), 1.0), " +
+      "(CAST(NULL AS BIGINT), 5.0) AS t(id, bal)")
+      .createOrReplaceTempView("gw_nmbs_null")
+    spark.sql("SELECT * FROM VALUES (CAST(1 AS BIGINT), 9.0) " +
+      "AS t(id, bal)").createOrReplaceTempView("gw_nmbs_null_src")
+    graft.gateway.MergeRoutes.register("gw_nmbs_null",
+      new graft.gateway.MergeRoutes.Handler {
+        override def apply(sess: org.apache.spark.sql.SparkSession,
+            batch: org.apache.spark.sql.DataFrame,
+            keys: Seq[String]): Long = sys.error("must not execute")
+        override def supportsMergeDelete: Boolean = true
+        override def mergeWithDelete(
+            sess: org.apache.spark.sql.SparkSession,
+            batch: org.apache.spark.sql.DataFrame, keys: Seq[String],
+            deletePredicateSql: String): Long =
+          sys.error("must not execute")
+      })
+    try {
+      val e1 = intercept[Exception](spark.sql(
+        """MERGE INTO gw_nmbs_null AS T USING gw_nmbs_null_src AS S
+          |ON T.id = S.id
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE
+          |""".stripMargin).collect())
+      assert(e1.getMessage.contains("NULL unique-key"), e1.getMessage)
+      val e2 = intercept[Exception](spark.sql(
+        """MERGE INTO gw_nmbs_null AS T USING gw_nmbs_null_src AS S
+          |ON T.id = S.id
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET bal = 0.0
+          |""".stripMargin).collect())
+      assert(e2.getMessage.contains("NULL unique-key"), e2.getMessage)
+      // a CONDITION that excludes the NULL-keyed row lets the
+      // statement route normally (the refusal is about CLASSIFIED
+      // rows, not the target's contents)
+      var routed = false
+      graft.gateway.MergeRoutes.register("gw_nmbs_null",
+        (_, batch, _) => { routed = true; batch.count() })
+      spark.sql(
+        """MERGE INTO gw_nmbs_null AS T USING gw_nmbs_null_src AS S
+          |ON T.id = S.id
+          |WHEN NOT MATCHED BY SOURCE AND T.id IS NOT NULL THEN
+          |  UPDATE SET bal = 0.0
+          |""".stripMargin).collect()
+      assert(routed, "condition-guarded by-source update must route")
+    } finally {
+      graft.gateway.MergeRoutes.unregister("gw_nmbs_null")
+      spark.catalog.dropTempView("gw_nmbs_null")
+      spark.catalog.dropTempView("gw_nmbs_null_src")
+    }
+  }
+
   test("degenerate ON t.k = t.k (both sides the target) is NOT a key " +
       "equality: the statement stays unrouted with Spark's loud " +
       "error, on the star shape and the conditional shape") {

@@ -1050,6 +1050,37 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
     val eDef = intercept[IllegalArgumentException](
       IcebergRead.readIcebergTable(spark, d))
     assert(eDef.getMessage.contains("initial-default"), eDef.getMessage)
+    java.nio.file.Files.writeString(metaFile, spliced)
+
+    // ---- WRITE paths refuse the live-DV table loudly: this writer
+    // emits format-version 2 metadata and carries only pos/eq delete
+    // files — any commit would drop the DV entries and resurrect
+    // (2,b)/(4,d). merge, optimize, dropColumns, and the raw commit
+    // all refuse; the table stays byte-identical after each refusal.
+    val metaBytes = java.nio.file.Files.readAllBytes(metaFile)
+    val eMerge = intercept[IllegalArgumentException](
+      IcebergWrite.merge(spark, d,
+        Seq((9L, "z")).toDF("id", "v"), Seq("id")))
+    assert(eMerge.getMessage.contains("deletion vector"),
+      eMerge.getMessage)
+    val eOpt = intercept[IllegalArgumentException](
+      IcebergWrite.optimize(spark, d, Seq("id"), buckets = 1))
+    assert(eOpt.getMessage.contains("deletion vector"), eOpt.getMessage)
+    val eDrop = intercept[IllegalArgumentException](
+      IcebergWrite.dropColumns(spark, d, Seq("v")))
+    assert(eDrop.getMessage.toLowerCase.contains("delete"),
+      eDrop.getMessage)
+    val eCommit = intercept[IllegalArgumentException](
+      IcebergWrite.commit(d,
+        Seq("late.parquet" -> Seq((9L, "z")).toDF("id", "v"))))
+    assert(eCommit.getMessage.contains("deletion vector"),
+      eCommit.getMessage)
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(metaFile), metaBytes),
+      "a refused write still touched the metadata")
+    assert(IcebergRead.readIcebergTable(spark, d).orderBy("id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (3L, "c")), "refusals must not change the table")
   }
 
   test("dropColumns: a schema-only snapshot narrows the schema with " +

@@ -810,6 +810,40 @@ object DeltaWrite {
     * `on_schema_change: append_new_columns` emits exactly this
     * statement before the incremental insert.
     */
+  /** Key under which [[dropColumns]] records the dropped names in the
+    * table configuration (engine-owned property; external readers
+    * ignore unknown keys). Why: this writer's DROP COLUMN is
+    * schema-on-read — carried data files still PHYSICALLY hold the
+    * dropped column's values, so re-adding the same name would
+    * silently resurrect stale values into the "new" column (the
+    * reason the Delta protocol gates DROP COLUMN behind column
+    * mapping). [[addColumns]] and merge evolution refuse those names
+    * until a full refresh ([[replace]]) rewrites the data and clears
+    * the marker.
+    */
+  private val DroppedColumnsKey = "graft.droppedColumns"
+
+  private[sources] def droppedColumnsOf(cfg: Map[String, String])
+      : Set[String] =
+    cfg.get(DroppedColumnsKey).toSet[String].flatMap { j =>
+      org.json4s.jackson.JsonMethods.parse(j) match {
+        case org.json4s.JArray(vs) => vs.collect {
+          case org.json4s.JString(s) => s }
+        case _ => Nil
+      }
+    }
+
+  private def requireNotDropped(cfg: Map[String, String],
+      names: Seq[String], dir: String, what: String): Unit = {
+    val dropped = droppedColumnsOf(cfg)
+    val hit = names.filter(n => dropped.exists(_.equalsIgnoreCase(n)))
+    require(hit.isEmpty,
+      s"$what would re-add previously DROPPED column(s) " +
+        s"${hit.mkString(", ")}: carried data files still hold the " +
+        s"old values (schema-on-read drop) and would silently " +
+        s"resurrect them — full-refresh the table first: $dir")
+  }
+
   def addColumns(spark: org.apache.spark.sql.SparkSession, dir: String,
       fields: Seq[org.apache.spark.sql.types.StructField]): Unit = {
     require(fields.nonEmpty, "ADD COLUMNS needs at least one column")
@@ -824,13 +858,14 @@ object DeltaWrite {
     fields.foreach(f => require(
       !schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
       s"ADD COLUMNS: column ${f.name} already exists: $dir"))
+    val cfg = DeltaRead.tableConfiguration(spark, dir)
+    requireNotDropped(cfg, fields.map(_.name), dir, "ADD COLUMNS")
     val version = DeltaRead.latestVersion(dir) + 1
     requireNextVersion(dir, version)
     writeCommitFile(dir, version, Seq(metaDataLine(
       org.apache.spark.sql.types.StructType(
         schema.fields ++ fields.map(_.copy(nullable = true))),
-      DeltaRead.partitionColumns(spark, dir),
-      DeltaRead.tableConfiguration(spark, dir))))
+      DeltaRead.partitionColumns(spark, dir), cfg)))
   }
 
   /** `ALTER TABLE ... DROP COLUMNS` (dbt-spark
@@ -864,9 +899,18 @@ object DeltaWrite {
       s"DROP COLUMNS would leave an empty schema: $dir")
     val version = DeltaRead.latestVersion(dir) + 1
     requireNextVersion(dir, version)
+    // record the dropped names so ADD COLUMNS / merge evolution can
+    // refuse resurrecting them from carried files (see
+    // [[DroppedColumnsKey]]); a later full refresh clears the marker
+    val cfg = DeltaRead.tableConfiguration(spark, dir)
+    val dropped = droppedColumnsOf(cfg) ++ names
+    val cfg2 = cfg + (DroppedColumnsKey ->
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(
+          org.json4s.JArray(dropped.toList.sorted.map(
+            org.json4s.JString(_))))))
     writeCommitFile(dir, version, Seq(metaDataLine(
-      org.apache.spark.sql.types.StructType(kept), partCols,
-      DeltaRead.tableConfiguration(spark, dir))))
+      org.apache.spark.sql.types.StructType(kept), partCols, cfg2)))
   }
 
   def merge(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -1030,6 +1074,9 @@ object DeltaWrite {
             (if (allowEvolution) "supports appended columns only"
              else "disabled — pass allowEvolution to append new columns") +
             s"): $dir")
+        requireNotDropped(DeltaRead.tableConfiguration(spark, dir),
+          batch.schema.fields.drop(tableSchema.fields.length)
+            .map(_.name).toSeq, dir, "merge schema evolution")
       }
       val fullSchema = if (evolves) batch.schema else tableSchema
       // an empty batch commits nothing — otherwise every no-op

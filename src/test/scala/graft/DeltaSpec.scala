@@ -1888,4 +1888,43 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
       java.nio.file.Paths.get(d2, "lo.parquet.hide"),
       java.nio.file.Paths.get(d2, "lo.parquet"))
   }
+
+  test("DROP COLUMNS records the dropped name; re-adding it (ALTER " +
+      "ADD or merge evolution) refuses — carried files still hold " +
+      "the old values and would silently resurrect them; a full " +
+      "refresh rewrites the data and clears the marker") {
+    import org.apache.spark.sql.types._
+    val d = dir()
+    DeltaWrite.merge(spark, d,
+      Seq((1L, 1.0, "old1"), (2L, 2.0, "old2")).toDF("id", "bal", "stale"),
+      Seq("id"))
+    DeltaWrite.dropColumns(spark, d, Seq("stale"))
+    assert(DeltaRead.readDeltaTable(spark, d).columns.toSeq ==
+      Seq("id", "bal"))
+    // ALTER ADD of the dropped name refuses (case-insensitive)
+    val e1 = intercept[IllegalArgumentException](
+      DeltaWrite.addColumns(spark, d,
+        Seq(StructField("STALE", StringType))))
+    assert(e1.getMessage.contains("resurrect"), e1.getMessage)
+    // merge evolution re-appending it refuses too
+    val e2 = intercept[IllegalArgumentException](
+      DeltaWrite.merge(spark, d,
+        Seq((3L, 3.0, "boo")).toDF("id", "bal", "stale"),
+        Seq("id"), allowEvolution = true))
+    assert(e2.getMessage.contains("resurrect"), e2.getMessage)
+    // a FRESH name still adds fine
+    DeltaWrite.addColumns(spark, d, Seq(StructField("note", StringType)))
+    assert(DeltaRead.readDeltaTable(spark, d).columns.toSeq ==
+      Seq("id", "bal", "note"))
+    // full refresh rewrites every data file — the stale values are
+    // physically gone, so the marker clears and the name is reusable
+    DeltaWrite.replace(spark, d,
+      Seq((1L, 1.0), (2L, 2.0)).toDF("id", "bal"))
+    DeltaWrite.addColumns(spark, d,
+      Seq(StructField("stale", StringType)))
+    val got = DeltaRead.readDeltaTable(spark, d).orderBy("id")
+      .as[(Long, Double, Option[String])].collect().toSeq
+    assert(got == Seq((1L, 1.0, None), (2L, 2.0, None)),
+      s"re-added column after refresh must be NULL, not stale: $got")
+  }
 }

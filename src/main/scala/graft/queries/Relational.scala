@@ -1000,6 +1000,45 @@ object Scans extends QueryGroup {
         .orderBy("c_custkey")
     }),
 
+    // The same DELETE FROM against a FORMAT-VERSION 3 Iceberg table:
+    // executed as PUFFIN DELETION VECTORS (IcebergWrite.deleteWhere's
+    // v3 branch) — one snapshot registers one deletion-vector-v1
+    // blob per touched data file masking the matching row positions;
+    // no data file rewritten, the probe prunes through manifest
+    // bounds, and the blobs read back through the same decode path
+    // external v3 tables use.
+    "run_sql_delete_iceberg_dv" -> ((s, d) => {
+      val dir = tmpDir("graft_sql_delete_ice_dv")
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment"), col("c_acctbal").as("bal"))
+        .localCheckpoint()
+      graft.sources.IcebergWrite.commit(dir,
+        (0 until 4).map(b => f"part-$b%02d.parquet" ->
+          cust.filter(pmod(col("c_custkey"), lit(4)) === b)),
+        formatVersion = 3)
+      require(graft.sources.IcebergWrite.formatVersionOf(dir) == 3,
+        s"v3 creation commit wrote the wrong format version: $dir")
+      graft.sources.IcebergRead.readIcebergTable(s, dir)
+        .createOrReplaceTempView("sql_del_ice_dv_tgt")
+      graft.gateway.DmlRoutes.register("sql_del_ice_dv_tgt",
+        graft.gateway.DmlRoutes.Ops(Seq("c_custkey"),
+          deleteWhere = Some((sess, predicateSql) =>
+            graft.sources.IcebergWrite.deleteWhere(
+              sess, dir, predicateSql, Seq("c_custkey")))))
+      try s.sql("DELETE FROM sql_del_ice_dv_tgt " +
+        "WHERE c_mktsegment = 'MACHINERY' AND c_custkey % 2 = 1")
+        .collect()
+      finally {
+        graft.gateway.DmlRoutes.unregister("sql_del_ice_dv_tgt")
+        s.catalog.dropTempView("sql_del_ice_dv_tgt")
+      }
+      require(graft.sources.IcebergRead.snapshotState(dir, None)
+        .deletionVectors.nonEmpty,
+        s"v3 DELETE wrote no deletion vectors: $dir")
+      graft.sources.IcebergRead.readIcebergTable(s, dir)
+        .orderBy("c_custkey")
+    }),
+
     // `DELETE FROM` on a PARTITIONED Iceberg table — the Iceberg side
     // of the date/segment-partitioned retention delete: the
     // matched-key probe prunes through the manifests' column bounds
@@ -1690,6 +1729,14 @@ object Scans extends QueryGroup {
       """SELECT c_custkey, c_mktsegment, c_acctbal AS bal
         |FROM customer
         |WHERE NOT (c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // the v3 deletion-vector delete lands on the same survivors as
+    // the v2 equality-delete key
+    "run_sql_delete_iceberg_dv" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal AS bal
+        |FROM customer
+        |WHERE NOT (c_mktsegment = 'MACHINERY' AND c_custkey % 2 = 1)
         |ORDER BY c_custkey""".stripMargin,
 
     // dbt snapshot over the wire: the SCD2 final state is closed-form

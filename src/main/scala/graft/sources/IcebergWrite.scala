@@ -80,7 +80,10 @@ object IcebergWrite {
         |    {"name":"null_value_counts","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]}}],"default":null,"field-id":110},
         |    {"name":"lower_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}],"default":null,"field-id":125},
         |    {"name":"upper_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}],"default":null,"field-id":128},
-        |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
+        |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135},
+        |    {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+        |    {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+        |    {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}
         |  ]}}
         |]}""".stripMargin)
   }
@@ -263,6 +266,17 @@ object IcebergWrite {
     commit(dir, Nil, schemaDrop = Some(names)): Unit
   }
 
+  /** A format-v3 deletion-vector blob to register in this commit:
+    * `puffinRel` is the Puffin file's data-relative path (already
+    * written by the caller — see [[writePuffin]]), the offset/size
+    * address ONE `deletion-vector-v1` blob inside it, and
+    * `referencedDataFile` is the masked data file's manifest URI
+    * VERBATIM. A DV for a file that already carries one SUPERSEDES
+    * it (the spec's at-most-one-DV-per-file invariant).
+    */
+  private[sources] case class DvAdd(puffinRel: String, offset: Long,
+      size: Long, cardinality: Long, referencedDataFile: String)
+
   def commit(dir: String,
       adds: Seq[(String, DataFrame)],
       removes: Seq[String] = Nil,
@@ -279,11 +293,20 @@ object IcebergWrite {
       schemaEvolution: Option[StructType] = None,
       // schema-only commit DROPPING top-level columns (validated by
       // [[dropColumns]] — ids of the kept fields are retained)
-      schemaDrop: Option[Seq[String]] = None): Long = {
+      schemaDrop: Option[Seq[String]] = None,
+      // format-v3 deletion vectors to register (the DV-aware commit
+      // path: prior live DVs are CARRIED except where superseded)
+      dvAdds: Seq[DvAdd] = Nil,
+      // creation-only: 2 (default) or 3 — later commits inherit the
+      // table's own format version
+      formatVersion: Int = 2): Long = {
     require(adds.nonEmpty || removes.nonEmpty || stagedAdds.nonEmpty ||
       positionDeletes.nonEmpty || equalityDelete.nonEmpty ||
-      schemaEvolution.nonEmpty || schemaDrop.nonEmpty, // schema-only commits
+      schemaEvolution.nonEmpty || schemaDrop.nonEmpty ||
+      dvAdds.nonEmpty, // schema-only / DV-only commits
       "empty Iceberg commit")
+    require(Set(2, 3).contains(formatVersion),
+      s"unsupported Iceberg format-version $formatVersion")
     require(schemaEvolution.isEmpty || schemaDrop.isEmpty,
       "one schema change per commit")
     val metaDir = java.nio.file.Paths.get(dir, "metadata")
@@ -306,27 +329,35 @@ object IcebergWrite {
       if (priorVersion == 0)
         IcebergRead.SnapshotState(creationSchema.get, Nil, Nil)
       else IcebergRead.snapshotState(dir, None)
-    // v3 deletion-vector backstop: this writer commits format-version
-    // 2 metadata and carries only position/equality delete files — a
-    // commit onto a table with live Puffin DVs would silently drop
-    // the DV entries (resurrecting their deleted rows) and rewrite
-    // the table as v2. [[IcebergRead]] APPLIES DVs, so v3 tables are
-    // read-only here until the write paths carry them.
-    require(prior.deletionVectors.isEmpty,
+    // v3 deletion-vector backstop: a NON-DV-aware commit onto a table
+    // with live Puffin DVs would silently drop the DV entries
+    // (resurrecting their deleted rows); only the DV-aware path
+    // (dvAdds — [[deleteWhere]]'s v3 branch, which carries prior DVs
+    // except where superseded) may touch such a table.
+    require(prior.deletionVectors.isEmpty || dvAdds.nonEmpty,
       s"cannot commit to an Iceberg table with live v3 deletion " +
-        s"vectors: this writer emits format-version 2 metadata and " +
+        s"vectors through a non-DV-aware write path: the commit " +
         s"would drop the DV entries, resurrecting deleted rows — " +
-        s"the table is read-only here: $dir")
-    if (priorVersion > 0) {
-      val priorFv = JsonMethods.parse(java.nio.file.Files.readString(
+        s"only the DV delete path composes here: $dir")
+    val tableFv: Int =
+      if (priorVersion == 0) formatVersion
+      else (JsonMethods.parse(java.nio.file.Files.readString(
         metaDir.resolve(s"v$priorVersion.metadata.json")))
-      require((priorFv \ "format-version").extractOpt[Int].forall(_ <= 2),
-        s"cannot commit to an Iceberg format-version " +
-          s"${(priorFv \ "format-version").extractOpt[Int].getOrElse(-1)} " +
-          s"table: this writer emits format-version 2 metadata and " +
-          s"would silently downgrade v3+ semantics (row lineage, " +
-          s"deletion vectors) — the table is read-only here: $dir")
-    }
+        \ "format-version").extractOpt[Int].getOrElse(2)
+    require(tableFv <= 3,
+      s"cannot commit to an Iceberg format-version $tableFv table: " +
+        s"unknown future semantics — the table is read-only here: $dir")
+    // v3 tables take DV commits and data commits from this writer
+    // (which then re-emits format-version 3 + row-id lineage);
+    // conversely DV adds require a v3 table
+    require(dvAdds.isEmpty || tableFv == 3,
+      s"deletion vectors need a format-version 3 table (this one is " +
+        s"v$tableFv): $dir")
+    // the v3 spec forbids ADDING position-delete files (deletion
+    // vectors replace them); equality deletes remain legal
+    require(positionDeletes.isEmpty || tableFv <= 2,
+      s"format-version 3 forbids new position-delete files — use " +
+        s"deletion vectors: $dir")
     val snapshotId = priorVersion + 1L
     val seq = snapshotId
 
@@ -549,10 +580,31 @@ object IcebergWrite {
         fileUri(dataDir.resolve(delName)), "PARQUET", n,
         seq = snapshotId, equalityIds = ids)
     }
+    // v3 deletion vectors: new DVs register as (1,1) PUFFIN entries
+    // with the addressing triplet; a prior DV for the same data file
+    // is SUPERSEDED (not carried — the at-most-one invariant), and a
+    // DV whose referenced data file was removed drops with it
+    val supersededRefs = dvAdds.map(_.referencedDataFile).toSet
+    val liveDataPaths = (carried ++ added).map(_.path).toSet
+    val carriedDvs =
+      if (dropDeletes) Nil
+      else prior.deletionVectors.filter(dv =>
+        dv.referencedDataFile.exists(r =>
+          !supersededRefs.contains(r) && liveDataPaths.contains(r)))
+    val newDvEntries = dvAdds.map { a =>
+      require(liveDataPaths.contains(a.referencedDataFile),
+        s"deletion vector references a non-live data file: " +
+          s"${a.referencedDataFile}")
+      IcebergRead.DataFileEntry(fileUri(dataDir.resolve(a.puffinRel)),
+        "PUFFIN", a.cardinality, seq = snapshotId,
+        referencedDataFile = Some(a.referencedDataFile),
+        contentOffset = Some(a.offset), contentSize = Some(a.size))
+    }
     val anyDeletes =
       (!dropDeletes && (prior.positionDeleteFiles.nonEmpty ||
         prior.equalityDeleteFiles.nonEmpty)) ||
-      newDeletes.nonEmpty || newEqDeletes.nonEmpty
+      newDeletes.nonEmpty || newEqDeletes.nonEmpty ||
+      carriedDvs.nonEmpty || newDvEntries.nonEmpty
 
     def entryRec(f: IcebergRead.DataFileEntry, status: Int,
         content: Int): GenericRecord = {
@@ -603,6 +655,13 @@ object IcebergWrite {
         df.put("equality_ids",
           f.equalityIds.map(Integer.valueOf).asJava)
       }
+      // v3 deletion-vector addressing (a (1,1) entry with these set
+      // is a DV, not a pos-delete parquet — the reader's contract)
+      f.referencedDataFile.foreach(df.put("referenced_data_file", _))
+      f.contentOffset.foreach(v =>
+        df.put("content_offset", java.lang.Long.valueOf(v)))
+      f.contentSize.foreach(v =>
+        df.put("content_size_in_bytes", java.lang.Long.valueOf(v)))
       val e = new GenericData.Record(EntrySchema)
       e.put("status", status)
       e.put("snapshot_id", snapshotId)
@@ -615,7 +674,7 @@ object IcebergWrite {
     }
 
     val manifestMeta = Map(
-      "format-version" -> "2",
+      "format-version" -> tableFv.toString,
       "partition-spec" -> compact(render(JArray(specFields))))
     // one rewritten DATA manifest with the full live set
     val dataManifest = metaDir.resolve(f"manifest-$snapshotId%05d-data.avro")
@@ -630,9 +689,11 @@ object IcebergWrite {
         val carriedDel =
           if (dropDeletes) Nil
           else prior.positionDeleteFiles.map(entryRec(_, 0, 1)) ++
-            prior.equalityDeleteFiles.map(entryRec(_, 0, 2))
+            prior.equalityDeleteFiles.map(entryRec(_, 0, 2)) ++
+            carriedDvs.map(entryRec(_, 0, 1))
         val addedDel = newDeletes.map(entryRec(_, 1, 1)) ++
-          newEqDeletes.map(entryRec(_, 1, 2))
+          newEqDeletes.map(entryRec(_, 1, 2)) ++
+          newDvEntries.map(entryRec(_, 1, 1))
         Some(p -> writeAvro(p, EntrySchema, carriedDel ++ addedDel,
           manifestMeta + ("content" -> "deletes")))
       }
@@ -668,14 +729,15 @@ object IcebergWrite {
         deleteManifest.map { case (p, len) =>
           val carriedDel =
             if (dropDeletes) Nil
-            else prior.positionDeleteFiles ++ prior.equalityDeleteFiles
-          val addedDel = newDeletes ++ newEqDeletes
+            else prior.positionDeleteFiles ++
+              prior.equalityDeleteFiles ++ carriedDvs
+          val addedDel = newDeletes ++ newEqDeletes ++ newDvEntries
           listRec(p, len, 1, addedDel.size, carriedDel.size,
             addedDel.map(_.recordCount).sum,
             carriedDel.map(_.recordCount).sum,
             minSeq = ((carriedDel ++ addedDel).map(_.seq) :+ seq).min)
         },
-      Map("format-version" -> "2")): Unit
+      Map("format-version" -> tableFv.toString)): Unit
 
     // metadata JSON: the schema JSON is canonical (reused, ids
     // immutable); snapshots accumulate so every retained snapshot
@@ -709,15 +771,24 @@ object IcebergWrite {
     // copy/restore/rsync); fixture mode keeps the historical 0-stamp
     // for byte-deterministic fixtures
     val commitMs = if (zeroTimestamps) 0L else System.currentTimeMillis()
-    val newSnapshot: JValue =
+    // v3 row lineage: each snapshot records the first row id it may
+    // assign; the table metadata tracks the next unassigned id
+    val priorNextRowId: Long = priorMetaJson.flatMap(pm =>
+      (pm \ "next-row-id").extractOpt[Long]).getOrElse(0L)
+    val nextRowId: Long = priorNextRowId + added.map(_.recordCount).sum
+    val newSnapshot0: JValue =
       ("snapshot-id" -> snapshotId) ~
         ("sequence-number" -> seq) ~
         ("timestamp-ms" -> commitMs) ~
         ("summary" -> (("operation" -> operation): JObject)) ~
         ("manifest-list" -> fileUri(manifestList)) ~
         ("schema-id" -> schemaId)
-    val meta: JValue =
-      ("format-version" -> 2) ~
+    val newSnapshot: JValue =
+      if (tableFv < 3) newSnapshot0
+      else newSnapshot0.asInstanceOf[JObject] ~
+        ("first-row-id" -> priorNextRowId)
+    val meta0: JValue =
+      ("format-version" -> tableFv) ~
         ("table-uuid" -> "00000000-0000-0000-0000-000000000000") ~
         ("location" -> ("file://" +
           java.nio.file.Paths.get(dir).toAbsolutePath.toString)) ~
@@ -735,6 +806,9 @@ object IcebergWrite {
           ("order-id" -> 0) ~ ("fields" -> JArray(Nil))))) ~
         ("current-snapshot-id" -> snapshotId) ~
         ("snapshots" -> JArray(priorSnapshots :+ newSnapshot))
+    val meta: JValue =
+      if (tableFv < 3) meta0
+      else meta0.asInstanceOf[JObject] ~ ("next-row-id" -> nextRowId)
     java.nio.file.Files.writeString(
       metaDir.resolve(s"v$snapshotId.metadata.json"),
       pretty(render(meta)))
@@ -1308,6 +1382,154 @@ object IcebergWrite {
     * VALUES, partition-independent, exactly as on unpartitioned
     * tables. O(touched partitions), never O(table).
     */
+  /** The table's current metadata format-version (2 when absent). */
+  private[graft] def formatVersionOf(dir: String): Int = {
+    val metaDir = java.nio.file.Paths.get(dir, "metadata")
+    val v = java.nio.file.Files.readString(
+      metaDir.resolve("version-hint.text")).trim.toInt
+    (JsonMethods.parse(java.nio.file.Files.readString(
+      metaDir.resolve(s"v$v.metadata.json")))
+      \ "format-version").extractOpt[Int].getOrElse(2)
+  }
+
+  /** Write ONE spec-shaped Puffin file holding one
+    * `deletion-vector-v1` blob per `(referencedDataFile, positions)`
+    * pair — the Delta-harmonized blob framing
+    * ([[DeletionVectors.decodePuffinDv]] decodes it): 4-byte BE
+    * length of [magic+bitmap], the magic bytes + portable
+    * RoaringBitmapArray ([[DeletionVectors.serialize]]), 4-byte BE
+    * CRC-32 of magic+bitmap. File layout per the Puffin spec: "PFA1"
+    * header magic, the blobs, then a FOOTER ("PFA1", uncompressed
+    * JSON FooterPayload listing each blob with its offset/length and
+    * the v3 `referenced-data-file`/`cardinality` properties, 4-byte
+    * LE payload size, 4 flag bytes (0 = uncompressed), "PFA1") — so
+    * both manifest-addressed readers (Iceberg's contract: the
+    * triplet rides the delete manifest entry) and footer-walking
+    * Puffin tooling see the blobs. Returns each blob's [[DvAdd]].
+    */
+  private[sources] def writePuffin(target: java.nio.file.Path,
+      rel: String, snapshotId: Long,
+      blobs: Seq[(String, Seq[Long])]): Seq[DvAdd] = {
+    require(blobs.nonEmpty, "empty Puffin file")
+    val magic = Array[Byte]('P', 'F', 'A', '1')
+    val bos = new java.io.ByteArrayOutputStream()
+    def beInt(v: Int): Unit = bos.write(
+      java.nio.ByteBuffer.allocate(4).putInt(v).array())
+    bos.write(magic)
+    val adds = blobs.map { case (ref, rows) =>
+      val bitmap = DeletionVectors.serialize(rows.distinct.sorted)
+      val crc = new java.util.zip.CRC32(); crc.update(bitmap)
+      val offset = bos.size().toLong
+      beInt(bitmap.length)
+      bos.write(bitmap)
+      beInt(crc.getValue.toInt)
+      DvAdd(rel, offset, 4L + bitmap.length + 4L,
+        rows.distinct.length.toLong, ref)
+    }
+    // footer payload: the spec's BlobMetadata list + file properties
+    val payload: JValue =
+      ("blobs" -> adds.map(a =>
+        ("type" -> "deletion-vector-v1") ~
+          ("fields" -> JArray(Nil)) ~
+          ("snapshot-id" -> snapshotId) ~
+          ("sequence-number" -> snapshotId) ~
+          ("offset" -> a.offset) ~
+          ("length" -> a.size) ~
+          ("properties" ->
+            (("referenced-data-file" -> a.referencedDataFile) ~
+              ("cardinality" -> a.cardinality.toString))))) ~
+        ("properties" -> (("created-by" -> "graft-iceberg-writer")
+          : JObject))
+    val payloadBytes = compact(render(payload))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    bos.write(magic)
+    bos.write(payloadBytes)
+    bos.write(java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(payloadBytes.length).array())
+    bos.write(Array[Byte](0, 0, 0, 0)) // flags: uncompressed payload
+    bos.write(magic)
+    java.nio.file.Files.write(target, bos.toByteArray): Unit
+    adds
+  }
+
+  /** [[deleteWhere]]'s format-v3 branch: `DELETE FROM ... WHERE p`
+    * as PUFFIN DELETION VECTORS — ONE snapshot registers one
+    * `deletion-vector-v1` blob per touched data file masking the
+    * matching physical row positions; no data file is read beyond
+    * the pruned probe, none is rewritten. A file that already
+    * carries a DV gets a MERGED bitmap (old ∪ new — its new DV
+    * supersedes the old entry, the spec's at-most-one invariant);
+    * untouched files' DVs carry forward. The probe prunes through
+    * manifest column bounds exactly like the v2 path. Returns the
+    * NEWLY deleted row count (re-deleting a masked row is a no-op,
+    * SQL DELETE semantics); an empty match writes NO commit.
+    *
+    * Scale notes: probe I/O is O(pruned files); per-file bitmaps
+    * decode/encode driver-side at O(deleted rows per touched file)
+    * with the same match cap as the Delta DV path.
+    */
+  private def deleteWhereDv(spark: org.apache.spark.sql.SparkSession,
+      dir: String, predicateSql: String): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val state = IcebergRead.snapshotState(dir, None)
+    require(state.positionDeleteFiles.isEmpty &&
+      state.equalityDeleteFiles.isEmpty,
+      s"v3 DV delete on a table with live v2 delete files is " +
+        s"unsupported — compact first: $dir")
+    val skip = FileSkipping.resolve(spark, state.schema,
+      expr(predicateSql))
+    val pruned = state.dataFiles.filter(f =>
+      FileSkipping.mayMatch(skip, IcebergRead.fileStatsOf(state, f)))
+    if (pruned.isEmpty) return 0L
+    val hconf = spark.sessionState.newHadoopConf()
+    val byQualified: Map[String, String] = state.dataFiles.map(f =>
+      DeltaWrite.sparkPathOf(hconf, localOf(f.path).toString) -> f.path)
+      .toMap
+    val maxMatches = 2000000
+    val matched = spark.read.schema(state.schema)
+      .parquet(pruned.map(f => localOf(f.path).toString).sorted: _*)
+      .withColumn("__graft_file", col("_metadata.file_path"))
+      .withColumn("__graft_row", col("_metadata.row_index"))
+      .filter(expr(predicateSql))
+      .select("__graft_file", "__graft_row")
+      .limit(maxMatches + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(matched.length <= maxMatches,
+      s"DV delete matches more than $maxMatches rows — rewrite the " +
+        s"table instead: $dir")
+    if (matched.isEmpty) return 0L
+    // old DV positions per referenced file (decode is O(deleted rows))
+    val oldByRef: Map[String, Set[Long]] = state.deletionVectors.map {
+      dv =>
+        dv.referencedDataFile.get -> DeletionVectors.decodePuffinDv(
+          java.nio.file.Files.readAllBytes(localOf(dv.path)),
+          dv.contentOffset.get, dv.contentSize.get,
+          Some(dv.recordCount)).toSet
+    }.toMap
+    val newByRef: Map[String, Seq[Long]] = matched
+      .groupBy(m => byQualified.getOrElse(m._1, sys.error(
+        s"matched file ${m._1} missing from the live map: $dir")))
+      .map { case (ref, ms) => ref -> ms.map(_._2).toSeq }
+    val n = newByRef.map { case (ref, ps) =>
+      (ps.toSet -- oldByRef.getOrElse(ref, Set.empty)).size.toLong }.sum
+    if (n == 0) return 0L
+    val merged: Seq[(String, Seq[Long])] = newByRef.toSeq
+      .map { case (ref, ps) =>
+        ref -> (ps.toSet ++ oldByRef.getOrElse(ref, Set.empty))
+          .toSeq.sorted }
+      .sortBy(_._1)
+    val version = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "metadata", "version-hint.text"))
+      .trim.toInt + 1
+    val dataDir = java.nio.file.Paths.get(dir, "data")
+    val rel = f"dv-$version%05d.puffin"
+    val adds = writePuffin(dataDir.resolve(rel), rel, version.toLong,
+      merged)
+    commit(dir, Nil, operation = "delete", dvAdds = adds): Unit
+    n
+  }
+
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
       predicateSql: String, uniqueKey: Seq[String],
       maxLiveFiles: Int = 32): Long = {
@@ -1316,6 +1538,11 @@ object IcebergWrite {
     val metaDir = java.nio.file.Paths.get(dir, "metadata")
     require(java.nio.file.Files.isDirectory(metaDir),
       s"not an Iceberg table: $dir")
+    // format-v3 tables take the deletion-vector form (v3 forbids new
+    // position-delete files and this writer's eq-delete path would
+    // refuse at commit) — same statement, same result, DV masks
+    if (formatVersionOf(dir) >= 3)
+      return deleteWhereDv(spark, dir, predicateSql)
     val cur = IcebergRead.readIcebergTable(spark, dir,
       predicate = Some(expr(predicateSql)))
     val matchedKeys = cur.filter(expr(predicateSql))

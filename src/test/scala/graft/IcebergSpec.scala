@@ -1083,6 +1083,95 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
       Seq((1L, "a"), (3L, "c")), "refusals must not change the table")
   }
 
+  test("v3 deletion-vector WRITE: DELETE FROM on a format-3 table " +
+      "emits Puffin DV blobs (one snapshot, data files untouched), " +
+      "deletes compose by superseding the file's DV, the blobs " +
+      "round-trip through the normal read path, and the file is " +
+      "spec-shaped (header/footer magic, addressable framing)") {
+    val d = dir()
+    // creation commit: TWO data files, format-version 3
+    IcebergWrite.commit(d, Seq(
+      "f0.parquet" -> Seq((1L, "a"), (2L, "b"), (3L, "c"))
+        .toDF("id", "v").coalesce(1).sortWithinPartitions("id"),
+      "f1.parquet" -> Seq((10L, "x"), (11L, "y"))
+        .toDF("id", "v").coalesce(1).sortWithinPartitions("id")),
+      formatVersion = 3): Unit
+    val metaDir = java.nio.file.Paths.get(d, "metadata")
+    assert(IcebergWrite.formatVersionOf(d) == 3)
+    val dataBytes = Seq("f0.parquet", "f1.parquet").map(n =>
+      n -> java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(d, "data", n))).toMap
+
+    // ---- DELETE 1: masks rows of BOTH files, ONE snapshot
+    assert(IcebergWrite.deleteWhere(spark, d,
+      "id = 2 OR id = 11", Seq("id")) == 2L)
+    assert(java.nio.file.Files.readString(
+      metaDir.resolve("version-hint.text")).trim == "2")
+    val st1 = IcebergRead.snapshotState(d, None)
+    assert(st1.deletionVectors.size == 2,
+      s"one DV per touched file expected: ${st1.deletionVectors}")
+    assert(st1.positionDeleteFiles.isEmpty &&
+      st1.equalityDeleteFiles.isEmpty)
+    assert(IcebergRead.readIcebergTable(spark, d).orderBy("id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (3L, "c"), (10L, "x")))
+    // data files byte-identical — merge-on-read, not a rewrite
+    dataBytes.foreach { case (n, b) =>
+      assert(java.util.Arrays.equals(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(d, "data", n)), b),
+        s"DV delete rewrote data file $n") }
+
+    // ---- DELETE 2 composes: f0's DV is SUPERSEDED (old ∪ new),
+    // f1's untouched DV carries; re-deleting a masked row is a no-op
+    assert(IcebergWrite.deleteWhere(spark, d,
+      "id = 2 OR id = 3", Seq("id")) == 1L)
+    val st2 = IcebergRead.snapshotState(d, None)
+    assert(st2.deletionVectors.size == 2,
+      s"at most one live DV per file: ${st2.deletionVectors}")
+    assert(IcebergRead.readIcebergTable(spark, d).orderBy("id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (10L, "x")))
+    // the registered source sees the same state (scan_iceberg's path)
+    assert(spark.read.format("graft-iceberg").load(d).orderBy("id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (10L, "x")))
+    // empty match writes NO commit
+    val vBefore = java.nio.file.Files.readString(
+      metaDir.resolve("version-hint.text")).trim
+    assert(IcebergWrite.deleteWhere(spark, d, "id > 999", Seq("id")) == 0L)
+    assert(java.nio.file.Files.readString(
+      metaDir.resolve("version-hint.text")).trim == vBefore)
+
+    // ---- external shape: header and trailing magic, and each
+    // manifest-addressed blob decodes with the Delta-harmonized
+    // framing at its recorded (offset, content_size)
+    st2.deletionVectors.foreach { dv =>
+      val p = java.nio.file.Paths.get(
+        dv.path.stripPrefix("file://"))
+      val all = java.nio.file.Files.readAllBytes(p)
+      assert(new String(all.take(4)) == "PFA1", "header magic")
+      assert(new String(all.takeRight(4)) == "PFA1", "footer magic")
+      val rows = graft.sources.DeletionVectors.decodePuffinDv(
+        all, dv.contentOffset.get, dv.contentSize.get,
+        Some(dv.recordCount))
+      assert(rows.nonEmpty && rows == rows.sorted, rows.toString)
+      // the footer payload names the blob with the v3 properties
+      val payloadLen = java.nio.ByteBuffer.wrap(all, all.length - 12, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      val payload = new String(all,
+        all.length - 12 - payloadLen, payloadLen,
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(payload.contains("deletion-vector-v1") &&
+        payload.contains("referenced-data-file"), payload)
+    }
+    // metadata carries the v3 row-lineage fields
+    val metaTxt = java.nio.file.Files.readString(metaDir.resolve(
+      s"v${java.nio.file.Files.readString(
+        metaDir.resolve("version-hint.text")).trim}.metadata.json"))
+    assert(metaTxt.contains("\"format-version\" : 3") &&
+      metaTxt.contains("next-row-id"), metaTxt.take(400))
+  }
+
   test("dropColumns: a schema-only snapshot narrows the schema with " +
       "kept field ids intact; partition-column / unknown / " +
       "delete-file-bearing drops refuse loudly") {

@@ -97,15 +97,113 @@ object ReplaceTableRoute {
   }
 }
 
+/** `SELECT ... FROM <catalog table> VERSION AS OF v | TIMESTAMP AS
+  * OF <literal>` on a `USING delta`/`USING iceberg` session-catalog
+  * table — SQL time travel for the tables the CTAS / CREATE OR
+  * REPLACE routes create. Spark's own `ResolveRelations` throws its
+  * unsupported-time-travel error the moment the name resolves to a
+  * v1 catalog table (before any injected rule — same mechanics as
+  * [[ReplaceTableRoute]]), so this too rewrites at PARSE time: a
+  * time-travel relation over an unshadowed session-catalog
+  * delta/iceberg table becomes the registered read source's pinned
+  * scan (`versionAsOf` / Iceberg snapshot id), with `TIMESTAMP AS
+  * OF` literals evaluated in the session timezone and resolved
+  * driver-side by the same per-backend resolvers the published-name
+  * route uses ([[TimeTravelRoutes]] registrations, local temp views,
+  * and non-lakehouse tables all stay untouched — Spark's own errors
+  * remain authoritative there).
+  */
+object CatalogTimeTravelRoute {
+  import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+
+  def rewrite(session: SparkSession, plan: LogicalPlan): LogicalPlan =
+    // pattern-gated: statements without a time-travel relation pay
+    // one bitset check, never a tree walk
+    if (!plan.containsPattern(
+        org.apache.spark.sql.catalyst.trees.TreePattern.RELATION_TIME_TRAVEL))
+      plan
+    else plan.resolveOperatorsUp {
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, tsOpt, vOpt) =>
+        route(session, u.multipartIdentifier, tsOpt, vOpt).getOrElse(tt)
+    }
+
+  private def route(session: SparkSession, parts: Seq[String],
+      tsOpt: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      vOpt: Option[String]): Option[LogicalPlan] = {
+    if (parts.size > 3) return None
+    if (parts.size == 3 && !parts.head.equalsIgnoreCase("spark_catalog"))
+      return None
+    val catalog = session.sessionState.catalog
+    // shadowing + published-name precedence: a local temp view wins
+    // (Spark's own temp-view time-travel error), and a relation with
+    // a registered TimeTravelRoutes handler keeps the resolution-rule
+    // path
+    if (parts.size == 1 && catalog.getTempView(parts.head).isDefined)
+      return None
+    if (TimeTravelRoutes.lookup(
+        RouteNames.demangle(parts.mkString("."))).isDefined) return None
+    val ident = parts.takeRight(2) match {
+      case Seq(t) => TableIdentifier(t)
+      case Seq(db, t) => TableIdentifier(t, Some(db))
+      case _ => return None
+    }
+    if (!scala.util.Try(catalog.tableExists(ident)).getOrElse(false))
+      return None
+    val meta = catalog.getTableMetadata(ident)
+    val provider = meta.provider.map(
+      _.toLowerCase(java.util.Locale.ROOT)).getOrElse("")
+    if (provider != "delta" && provider != "iceberg") return None
+    val path = java.nio.file.Paths.get(meta.location).toString
+    val version: Option[Long] = (vOpt, tsOpt) match {
+      case (Some(v), _) =>
+        // numeric version literals only — anything else keeps
+        // Spark's descriptive error
+        if (v.nonEmpty && v.length <= 18 && v.forall(_.isDigit))
+          Some(v.toLong)
+        else None
+      case (None, Some(ts)) => evalMicros(session, ts).map { micros =>
+        // the same driver-side at-or-before resolution the
+        // published-name route uses; refuses loudly out of range
+        if (provider == "delta")
+          graft.sources.DeltaRead.versionAtTimestamp(path, micros)
+        else graft.sources.IcebergRead.snapshotIdAtTimestamp(path, micros)
+      }
+      case _ => None
+    }
+    version.map { v =>
+      val reader = session.read
+        .format(if (provider == "delta") "graft-delta"
+                else "graft-iceberg")
+        .option(if (provider == "delta") "versionAsOf" else "snapshotId",
+          v.toString)
+      reader.load(path).queryExecution.analyzed
+    }
+  }
+
+  private def evalMicros(session: SparkSession,
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[Long] = {
+    if (!e.resolved || !e.foldable || !e.deterministic) return None
+    val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.TimestampType,
+      Some(session.sessionState.conf.sessionLocalTimeZone))
+    scala.util.Try(Option(cast.eval(null))).toOption.flatten.collect {
+      case micros: Long => micros
+    }
+  }
+}
+
 /** See [[ReplaceTableRoute]]: a pure-delegation parser whose ONLY
-  * addition is the top-level [[ReplaceTableRoute.rewrite]] on parsed
-  * plans (`parsePlanWithParameters`'s default implementation funnels
+  * additions are the top-level [[ReplaceTableRoute.rewrite]] and the
+  * [[CatalogTimeTravelRoute]] rewrite on parsed plans
+  * (`parsePlanWithParameters`'s default implementation funnels
   * into `parsePlan`, so parameterized entry points are covered too).
   */
 case class GraftSqlParser(session: SparkSession,
     delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    ReplaceTableRoute.rewrite(delegate.parsePlan(sqlText))
+    CatalogTimeTravelRoute.rewrite(session,
+      ReplaceTableRoute.rewrite(delegate.parsePlan(sqlText)))
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String): Expression =

@@ -758,10 +758,16 @@ object Scans extends QueryGroup {
       s.sql(s"CREATE OR REPLACE TABLE $db.cust USING delta AS " +
         "SELECT c_custkey, c_mktsegment, bal * 2 AS bal " +
         "FROM cor_delta_src")
-      // run 1's state survives the rebuild, time-travelable
+      // run 1's state survives the rebuild, time-travelable through
+      // BOTH the engine reader and the SQL spelling (the parser's
+      // catalog time-travel route)
       require(graft.sources.DeltaRead.readDeltaTable(s, s"$dir/cust",
         versionAsOf = Some(0L)).count() > 0,
         s"version 0 lost by CREATE OR REPLACE: $dir/cust")
+      require(s.sql(
+        s"SELECT c_custkey FROM $db.cust VERSION AS OF 0").count() > 0,
+        s"SQL VERSION AS OF 0 unreadable after CREATE OR REPLACE: " +
+          s"$dir/cust")
       s.sql(s"SELECT c_custkey, c_mktsegment, bal FROM $db.cust")
         .orderBy("c_custkey")
     }),
@@ -789,6 +795,10 @@ object Scans extends QueryGroup {
       require(graft.sources.IcebergRead.readIcebergTable(s, s"$dir/cust",
         snapshotId = Some(1L)).count() > 0,
         s"snapshot 1 lost by CREATE OR REPLACE: $dir/cust")
+      require(s.sql(
+        s"SELECT c_custkey FROM $db.cust VERSION AS OF 1").count() > 0,
+        s"SQL VERSION AS OF 1 unreadable after CREATE OR REPLACE: " +
+          s"$dir/cust")
       s.sql(s"SELECT c_custkey, c_mktsegment, bal FROM $db.cust")
         .orderBy("c_custkey")
     }),
@@ -893,6 +903,38 @@ object Scans extends QueryGroup {
         s.catalog.dropTempView("sql_del_tgt")
       }
       graft.sources.DeltaRead.readDeltaTable(s, dir).orderBy("c_custkey")
+    }),
+
+    // `DELETE FROM` on a CDF-ENABLED Delta table: the DV masks and a
+    // `_change_data/` cdc file with the deleted rows' PRE-IMAGES land
+    // in ONE commit (the protocol's requirement — DV-only actions
+    // would make derived CDF misreport). The key returns the
+    // readChanges rows of that commit, so the oracle checks the cdc
+    // contract end-to-end.
+    "run_sql_delete_cdf" -> ((s, d) => {
+      val dir = tmpDir("graft_sql_delete_cdf")
+      val cust = Tables.customer(s, d)
+      graft.sources.DeltaWrite.merge(s, dir,
+        cust.select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").as("bal")),
+        Seq("c_custkey"), enableCdf = true)
+      graft.sources.DeltaRead.readDeltaTable(s, dir)
+        .createOrReplaceTempView("sql_del_cdf_tgt")
+      graft.gateway.DmlRoutes.register("sql_del_cdf_tgt",
+        graft.gateway.DmlRoutes.Ops(Seq("c_custkey"),
+          deleteWhere = Some((sess, predicateSql) =>
+            graft.sources.DeltaWrite.deleteWhere(sess, dir, predicateSql))))
+      try s.sql("DELETE FROM sql_del_cdf_tgt " +
+        "WHERE c_mktsegment = 'BUILDING' OR c_custkey % 100 = 7")
+        .collect()
+      finally {
+        graft.gateway.DmlRoutes.unregister("sql_del_cdf_tgt")
+        s.catalog.dropTempView("sql_del_cdf_tgt")
+      }
+      graft.sources.DeltaRead.readChanges(s, dir, 1L)
+        .select(col("c_custkey"), col("c_mktsegment"), col("bal"),
+          col("_change_type"))
+        .orderBy("c_custkey")
     }),
 
     // `DELETE FROM` on a PARTITIONED Delta table — the
@@ -1670,6 +1712,15 @@ object Scans extends QueryGroup {
       """SELECT c_custkey, c_mktsegment, c_acctbal AS bal
         |FROM customer
         |WHERE NOT (c_mktsegment = 'BUILDING' OR c_custkey % 100 = 7)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // the CDF delete key returns the delete commit's cdc rows: the
+    // deleted rows' pre-images
+    "run_sql_delete_cdf" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal AS bal,
+        |  'delete' AS _change_type
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING' OR c_custkey % 100 = 7
         |ORDER BY c_custkey""".stripMargin,
 
     // partitioned DV delete: survivors of the partition-pruned

@@ -1657,17 +1657,19 @@ object DeltaWrite {
 
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
       predicateSql: String, maxMatches: Int = 2000000): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col, expr}
+    import org.apache.spark.sql.functions.{broadcast, col, concat, element_at, expr, lit, typedlit}
     val logDir = java.nio.file.Paths.get(dir, "_delta_log")
     require(java.nio.file.Files.isDirectory(logDir),
       s"not a Delta table: $dir")
     val geom = DeltaRead.mergeGeometry(spark, dir)
     require(!geom.mapped,
       s"deleteWhere on a column-mapped table is unsupported: $dir")
-    require(!boolConf(DeltaRead.tableConfiguration(spark, dir),
-        "delta.enableChangeDataFeed"),
-      s"deleteWhere on a CDF-enabled table is unsupported — DV " +
-        s"masking writes no cdc actions: $dir")
+    // CDF composes: the same pruned scan that finds the masked
+    // positions yields the deleted rows' pre-images, staged as a
+    // `delete` cdc file in the SAME commit (the protocol's
+    // requirement — DV-only actions would make derived CDF misreport)
+    val cdfOn = boolConf(DeltaRead.tableConfiguration(spark, dir),
+      "delta.enableChangeDataFeed")
     val tableSchema = DeltaRead.tableSchema(spark, dir)
     val partCols = DeltaRead.partitionColumns(spark, dir)
     val version = DeltaRead.latestVersion(dir) + 1
@@ -1733,8 +1735,39 @@ object DeltaWrite {
     val byFile: Map[String, Seq[Long]] =
       matched.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._2).toSeq }
 
+    // cdc delete pre-images from the same pruned scan (one cdc file,
+    // or one per touched partition), landing in the same commit
+    val cdcStaged: Seq[(String, Long)] =
+      if (!cdfOn) Nil
+      else {
+        val pdirOfQ: Map[String, String] = pruned.map(f =>
+          sparkPathOf(hconf, f.abs) ->
+            pvDirOf(partCols, f.partitionValues)).toMap
+        val ct = "_change_type"
+        val tagged = cur.filter(expr(predicateSql))
+          .withColumn("__graft_pdir",
+            if (partCols.isEmpty) lit("")
+            else element_at(typedlit(pdirOfQ), col("__graft_file")))
+          .withColumn(ct, lit("delete"))
+          .withColumn("__graft_target",
+            if (partCols.isEmpty)
+              lit(f"_change_data/cdc-$version%05d.parquet")
+            else concat(lit("_change_data/"), col("__graft_pdir"),
+              lit(f"/cdc-$version%05d.parquet")))
+          .select((dataSchema.fieldNames.toSeq :+ ct :+ "__graft_target")
+            .map(col): _*)
+        stageWrite(dir, tagged)
+      }
+    val pdirPv: Map[String, Map[String, String]] = pruned.map(f =>
+      pvDirOf(partCols, f.partitionValues) -> f.partitionValues).toMap
     writeCommitFile(dir, version,
-      dvMaskLines(spark, dir, byFile, liveByQualified, hconf))
+      dvMaskLines(spark, dir, byFile, liveByQualified, hconf) ++
+        cdcStaged.map { case (rel, size) =>
+          val pdir = rel.stripPrefix("_change_data/")
+            .split('/').dropRight(1).mkString("/")
+          cdcLine(rel,
+            if (partCols.isEmpty) Map.empty else pdirPv(pdir), size)
+        })
     matched.length.toLong
   }
 

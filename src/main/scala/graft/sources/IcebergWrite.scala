@@ -297,6 +297,9 @@ object IcebergWrite {
       // format-v3 deletion vectors to register (the DV-aware commit
       // path: prior live DVs are CARRIED except where superseded)
       dvAdds: Seq[DvAdd] = Nil,
+      // append-only caller certifies it read/rewrote NO data file, so
+      // live DVs carry forward verbatim ([[mergeOnRead]]'s v3 shape)
+      carryDvs: Boolean = false,
       // creation-only: 2 (default) or 3 — later commits inherit the
       // table's own format version
       formatVersion: Int = 2): Long = {
@@ -334,11 +337,19 @@ object IcebergWrite {
     // (resurrecting their deleted rows); only the DV-aware path
     // (dvAdds — [[deleteWhere]]'s v3 branch, which carries prior DVs
     // except where superseded) may touch such a table.
-    require(prior.deletionVectors.isEmpty || dvAdds.nonEmpty,
+    // DV-aware commits: the DV delete path (dvAdds — carries prior
+    // DVs except where superseded), compaction (dropDeletes — the
+    // caller read the RECONCILED state and rewrote it, so dropping
+    // the applied DVs is exact), and append-only merge-on-read
+    // commits (carryDvs — no data file is read or rewritten, so the
+    // carried DVs stay valid verbatim)
+    require(prior.deletionVectors.isEmpty || dvAdds.nonEmpty ||
+        dropDeletes || carryDvs,
       s"cannot commit to an Iceberg table with live v3 deletion " +
         s"vectors through a non-DV-aware write path: the commit " +
         s"would drop the DV entries, resurrecting deleted rows — " +
-        s"only the DV delete path composes here: $dir")
+        s"only the DV delete / compaction / merge-on-read paths " +
+        s"compose here: $dir")
     val tableFv: Int =
       if (priorVersion == 0) formatVersion
       else (JsonMethods.parse(java.nio.file.Files.readString(
@@ -1158,14 +1169,11 @@ object IcebergWrite {
       state.positionDeleteFiles.isEmpty &&
       state.equalityDeleteFiles.isEmpty &&
       state.deletionVectors.isEmpty) return
-    // v3 DVs: [[IcebergRead.readIcebergTable]] below would apply them
-    // (rows correct), but the replace commit writes format-version 2
-    // metadata — refuse with a compaction-specific message rather
-    // than let commit's backstop fire mid-rewrite
-    require(state.deletionVectors.isEmpty,
-      s"optimize of an Iceberg table with live v3 deletion vectors " +
-        s"is unsupported (the compacted table would be rewritten as " +
-        s"format-version 2) — the table is read-only here: $dir")
+    // v3 DVs compact exactly like v2 delete files: the rewrite below
+    // reads the RECONCILED state ([[IcebergRead.readIcebergTable]]
+    // applies DVs), and the dropDeletes commit drops the applied
+    // masks with the rewritten files — the table keeps its own
+    // format version
     val partCols = IcebergRead.tablePartitionCols(dir)
     val dataDir = java.nio.file.Paths.get(dir, "data")
     val version = java.nio.file.Files.readString(
@@ -1343,11 +1351,13 @@ object IcebergWrite {
       val version = java.nio.file.Files
         .readString(metaDir.resolve("version-hint.text")).trim.toInt + 1
       import org.apache.spark.sql.functions.col
+      // append-only: no data file is read or rewritten, so a v3
+      // table's live deletion vectors carry forward verbatim
       commit(dir,
         adds = Seq(f"upsert-$version%05d.parquet" -> batch),
         equalityDelete =
-          Some(uniqueKey -> batch.select(uniqueKey.map(col): _*)))
-        : Unit
+          Some(uniqueKey -> batch.select(uniqueKey.map(col): _*)),
+        carryDvs = true): Unit
       // MoR accretes one data AND one delete file per upsert, and
       // every read pays one reconciliation join per delete file —
       // compaction applies the deletes and restores join-free scans

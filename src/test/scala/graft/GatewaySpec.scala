@@ -1304,6 +1304,18 @@ class GatewaySpec extends AnyFunSuite with SparkTestBase {
           s"$wh/gw_cor", versionAsOf = Some(0L)).orderBy("id")
           .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
           Seq((1L, "a"), (2L, "b")), "version 0 not time-travelable")
+        // ... and through the SQL spelling OVER THE WIRE (the
+        // parser's catalog time-travel route — Spark alone throws
+        // UNSUPPORTED_FEATURE.TIME_TRAVEL on v1 catalog tables)
+        val rsTt = st.executeQuery(
+          "select id, v from gwcordb.gw_cor version as of 0 order by id")
+        val gotTt = Iterator.continually(rsTt).takeWhile(_.next())
+          .map(r => (r.getLong(1), r.getString(2))).toSeq
+        assert(gotTt == Seq((1L, "a"), (2L, "b")), gotTt.toString)
+        // an unknown version refuses loudly, never a current read
+        val eTt = intercept[java.sql.SQLException](st.executeQuery(
+          "select id from gwcordb.gw_cor version as of 9"))
+        assert(eTt.getMessage != null)
         // ---- iceberg, partitioned: identity spec + per-partition
         // files through the same parser route
         T.tableRunLakehouse("gwcordb", "gw_cor_ice",

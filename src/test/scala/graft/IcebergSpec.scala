@@ -1063,9 +1063,6 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
         Seq((9L, "z")).toDF("id", "v"), Seq("id")))
     assert(eMerge.getMessage.contains("deletion vector"),
       eMerge.getMessage)
-    val eOpt = intercept[IllegalArgumentException](
-      IcebergWrite.optimize(spark, d, Seq("id"), buckets = 1))
-    assert(eOpt.getMessage.contains("deletion vector"), eOpt.getMessage)
     val eDrop = intercept[IllegalArgumentException](
       IcebergWrite.dropColumns(spark, d, Seq("v")))
     assert(eDrop.getMessage.toLowerCase.contains("delete"),
@@ -1081,6 +1078,29 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
     assert(IcebergRead.readIcebergTable(spark, d).orderBy("id")
       .as[(Long, String)].collect().toSeq ==
       Seq((1L, "a"), (3L, "c")), "refusals must not change the table")
+
+    // OPTIMIZE is DV-aware: it reads the RECONCILED state (DV masks
+    // applied) and its dropDeletes commit drops the applied masks
+    // with the rewritten files — same rows back, zero live DVs, and
+    // the table keeps format-version 3. (The hand-spliced fixture
+    // holds snapshot 2 inside v1.metadata.json; align the version
+    // hint so the writer's next snapshot id does not collide.)
+    java.nio.file.Files.copy(metaFile,
+      metaDir.resolve("v2.metadata.json")): Unit
+    java.nio.file.Files.writeString(
+      metaDir.resolve("version-hint.text"), "2"): Unit
+    IcebergWrite.optimize(spark, d, Seq("id"), buckets = 1)
+    val stOpt = IcebergRead.snapshotState(d, None)
+    assert(stOpt.deletionVectors.isEmpty,
+      s"compaction left live DVs: ${stOpt.deletionVectors}")
+    assert(IcebergRead.readIcebergTable(spark, d).orderBy("id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (3L, "c")), "compaction changed the rows")
+    assert(java.nio.file.Files.readString(metaDir.resolve(
+      s"v${java.nio.file.Files.readString(
+        metaDir.resolve("version-hint.text")).trim}.metadata.json"))
+      .contains("\"format-version\" : 3"),
+      "compaction downgraded the format version")
   }
 
   test("v3 deletion-vector WRITE: DELETE FROM on a format-3 table " +
@@ -1170,6 +1190,28 @@ class IcebergSpec extends AnyFunSuite with SparkTestBase {
         metaDir.resolve("version-hint.text")).trim}.metadata.json"))
     assert(metaTxt.contains("\"format-version\" : 3") &&
       metaTxt.contains("next-row-id"), metaTxt.take(400))
+
+    // merge-on-read upserts COMPOSE on the live-DV table: the commit
+    // is append-only (eq-delete + data file), so the DVs carry
+    // verbatim and the reader reconciles DV masks + the eq delete
+    IcebergWrite.mergeOnRead(spark, d,
+      Seq((1L, "A2"), (20L, "n")).toDF("id", "v"), Seq("id"))
+    assert(IcebergRead.snapshotState(d, None).deletionVectors.size == 2,
+      "DVs must carry through a merge-on-read upsert")
+    assert(IcebergRead.readIcebergTable(spark, d).orderBy("id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "A2"), (10L, "x"), (20L, "n")))
+    // and compaction folds DVs + eq deletes back into plain files
+    IcebergWrite.optimize(spark, d, Seq("id"), buckets = 2)
+    val stOpt = IcebergRead.snapshotState(d, None)
+    assert(stOpt.deletionVectors.isEmpty &&
+      stOpt.equalityDeleteFiles.isEmpty,
+      s"compaction left live deletes: $stOpt")
+    assert(IcebergRead.readIcebergTable(spark, d).orderBy("id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "A2"), (10L, "x"), (20L, "n")))
+    assert(IcebergWrite.formatVersionOf(d) == 3,
+      "compaction downgraded the format version")
   }
 
   test("dropColumns: a schema-only snapshot narrows the schema with " +

@@ -71,46 +71,13 @@ object Bpe {
     out.result()
   }
 
-  /** Adjacent-pair explode over a (syms array, freq) frame — map-only
-    * codegen'd array expressions, then one vocab-sized hash-agg.
+  /** Vocabularies past this size refuse loudly rather than silently
+    * overloading the driver — the same bounded-collect stance as the
+    * capped MERGE delete-key collect. 20M words × ~40 bytes ≈ 800 MB
+    * peak, the practical ceiling for an 8 GB driver; real corpora
+    * (GPT-2's WebText, C4) sit far below it after tokenization.
     */
-  private def pairCounts(words: DataFrame): DataFrame =
-    words.filter(size(col("syms")) >= 2)
-      .select(explode(transform(
-        sequence(lit(0), size(col("syms")) - 2),
-        i => struct(element_at(col("syms"), i + 1).as("l"),
-          element_at(col("syms"), i + 2).as("r")))).as("p"),
-        col("freq"))
-      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-      .agg(sum("freq").as("cnt"))
-
-  /** [[mergeOnce]] as a codegen'd expression: a left fold over the
-    * symbol indices carrying (rebuilt array, consumed-next flag) —
-    * the lookahead state that lets every non-overlapping (l, r)
-    * adjacency fuse left-to-right, without leaving WholeStageCodegen.
-    */
-  private def mergeExpr(syms: Column, l: String, r: String): Column = {
-    val n = size(syms)
-    aggregate(
-      sequence(lit(0), n - 1),
-      struct(array().cast("array<string>").as("out"),
-        lit(false).as("skip")),
-      (acc, i) => {
-        val out = acc.getField("out")
-        val skip = acc.getField("skip")
-        val cur = element_at(syms, i + 1)
-        val nxt = element_at(syms, i + 2) // null past the end
-        val isPair = coalesce(
-          !skip && (i < n - 1) && cur === lit(l) && nxt === lit(r),
-          lit(false))
-        struct(
-          when(skip, out)
-            .when(isPair, concat(out, array(lit(l + r))))
-            .otherwise(concat(out, array(cur))).as("out"),
-          isPair.as("skip"))
-      },
-      acc => acc.getField("out"))
-  }
+  private[graft] val MaxTrainVocab = 20000000
 
   /** Greedy BPE training: `numMerges` rounds of count-adjacent-pairs →
     * merge-the-argmax. Returns the learned merge table
@@ -118,35 +85,57 @@ object Bpe {
     * tokenizer ships. Stops early if no pair is left (fully merged
     * vocab).
     *
-    * Each round is one vocab-sized job + a 1-row collect, and the
-    * rewritten vocab is `localCheckpoint`ed so the plan stays
-    * CONSTANT-depth across rounds — chaining 16 generations of
-    * transforms would otherwise grow analysis cost per round (at
-    * cluster scale swap in a durable `checkpoint`).
+    * Execution shape (the one production BPE trainers use —
+    * SentencePiece, GPT-2's encoder training): ONE corpus-wide shuffle
+    * compresses the corpus to its word-frequency table ([[wordFreq]]),
+    * the vocabulary is collected (bounded — [[MaxTrainVocab]], loud
+    * refusal above), and every greedy round runs in-process on the
+    * driver. The previous form ran 3 Spark jobs PER ROUND (vocab-sized
+    * pair-count agg + argmax collect + checkpointed rewrite) — ~50
+    * scheduler round-trips for 16 merges; rounds over an in-memory
+    * hash map are microseconds at any corpus size because the frame
+    * iterated is the VOCABULARY, never the corpus.
+    *
+    * Determinism: argmax by (count DESC, left ASC, right ASC) — words
+    * are `[a-z0-9]+` by construction ([[TextAnalysis.tokens]]), where
+    * Java string order ≡ Spark's UTF8 binary order, so the driver-side
+    * tie-break is bit-identical to the previous distributed one
+    * (BpeSpec's reference-equivalence property pins it).
     */
   def train(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
-    var words: DataFrame = wordFreq(df, textCol)
-      .select(transform(sequence(lit(1), length(col("word"))),
-        i => col("word").substr(i, lit(1))).as("syms"),
-        col("freq"))
-      .localCheckpoint()
+    val vocab = wordFreq(df, textCol).collect()
+    require(vocab.length <= MaxTrainVocab,
+      s"BPE training vocabulary has ${vocab.length} distinct words " +
+        s"(cap $MaxTrainVocab) — sample the corpus upstream " +
+        "(seeded `sample`) the way production tokenizer training does")
+    var words: Array[(IndexedSeq[String], Long)] = vocab.map { row =>
+      (row.getString(0).map(_.toString): IndexedSeq[String],
+        row.getLong(1))
+    }
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
     var done = false
     while (rank < numMerges && !done) {
-      val top = pairCounts(words)
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (top.isEmpty) done = true
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      words.foreach { case (syms, freq) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + freq)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
       else {
-        val h = top.head
-        val (l, r, cnt) = (h.getString(0), h.getString(1), h.getLong(2))
+        val ((l, r), cnt) = counts.minBy { case ((l0, r0), c) =>
+          (-c, l0, r0)
+        }
         merges += ((rank, l, r, cnt))
-        words = words
-          .select(mergeExpr(col("syms"), l, r).as("syms"), col("freq"))
-          .localCheckpoint()
+        words = words.map { case (syms, freq) =>
+          (if (syms.length > 1) mergeOnce(syms, l, r) else syms, freq)
+        }
         rank += 1
       }
     }

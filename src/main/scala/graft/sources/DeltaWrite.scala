@@ -25,6 +25,21 @@ import org.json4s.jackson.JsonMethods.{compact, render}
   */
 object DeltaWrite {
 
+  /** Run `body` with parquet timestamps written as INT64 micros
+    * (Spark's session default is legacy INT96): the micro encoding is
+    * what the Delta protocol prescribes for timestamp columns, and —
+    * unlike INT96 — its footers carry ordered chunk statistics, which
+    * [[footerStatsRaw]] reads in place of a stats re-read job.
+    * Save/restore keeps caller sessions untouched.
+    */
+  private def withMicrosTimestamps[A](
+      spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Write one parquet file with `df`'s rows as `<dir>/<name>`
     * (shared with [[IcebergWrite]]'s fixture data-file writer).
     */
@@ -33,7 +48,9 @@ object DeltaWrite {
     java.nio.file.Files.createDirectories(dest.getParent)
     val tmp = java.nio.file.Files.createTempDirectory(
       dest.getParent, ".delta_stage")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    withMicrosTimestamps(df.sparkSession) {
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    }
     import scala.jdk.CollectionConverters._
     val s = java.nio.file.Files.list(tmp)
     val part = try s.iterator().asScala
@@ -85,7 +102,7 @@ object DeltaWrite {
   /** [[statsJson]] from already-computed per-file values — the shape
     * [[statsFor]]'s single grouped stats job returns.
     */
-  private[sources] def statsJsonOf(numRecords: Long,
+  private[graft] def statsJsonOf(numRecords: Long,
       cols0: Seq[(org.apache.spark.sql.types.StructField, Any, Any, Long)])
       : String = {
     def jVal(v: Any): JValue = v match {
@@ -231,7 +248,7 @@ object DeltaWrite {
     * moves each staged file to its destination. Returns
     * (relative path, size) per materialized file.
     */
-  private[sources] def stageWrite(dir: String,
+  private[graft] def stageWrite(dir: String,
       tagged: DataFrame): Seq[(String, Long)] = {
     import org.apache.spark.sql.functions.col
     val root = java.nio.file.Paths.get(dir)
@@ -239,9 +256,11 @@ object DeltaWrite {
     val tmp = java.nio.file.Files.createTempDirectory(root, ".delta_stage")
     import scala.jdk.CollectionConverters._
     try {
-      tagged.repartition(col("__graft_target"))
-        .write.mode("overwrite").partitionBy("__graft_target")
-        .parquet(tmp.toString)
+      withMicrosTimestamps(tagged.sparkSession) {
+        tagged.repartition(col("__graft_target"))
+          .write.mode("overwrite").partitionBy("__graft_target")
+          .parquet(tmp.toString)
+      }
       val dirs = {
         val s = java.nio.file.Files.list(tmp)
         try s.iterator().asScala.filter(p =>
@@ -291,8 +310,30 @@ object DeltaWrite {
   /** [[statsFor]]'s raw form: relative path → (rows, per primitive
     * column (field, min, max, nullCount)) — the shape [[IcebergWrite]]
     * encodes into manifest bounds.
+    *
+    * Fast path: the staged files were JUST written by Spark's parquet
+    * writer, whose footers already carry exact per-column min/max/
+    * null-count chunk statistics — [[footerStatsRaw]] reads them
+    * driver-side with ZERO Spark jobs (guide §1.2 step 1: don't
+    * recompute what a prior pass already produced; the grouped stats
+    * job this replaces re-read every staged byte). Falls back to the
+    * one grouped aggregation job whenever any needed footer stat is
+    * unusable (INT96 timestamps, NaN-dropped float bounds, truncated
+    * binary stats…), so recorded stats are never weaker than before.
     */
   private[sources] def statsRawFor(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, rels: Seq[String],
+      dataSchema: org.apache.spark.sql.types.StructType)
+      : Map[String, (Long,
+        Seq[(org.apache.spark.sql.types.StructField, Any, Any, Long)])] =
+    footerStatsRaw(spark, dir, rels, dataSchema)
+      .getOrElse(statsJobFor(spark, dir, rels, dataSchema))
+
+  /** The one-grouped-job form of [[statsRawFor]] — the fallback when
+    * a footer lacks a usable stat.
+    */
+  private[graft] def statsJobFor(
       spark: org.apache.spark.sql.SparkSession,
       dir: String, rels: Seq[String],
       dataSchema: org.apache.spark.sql.types.StructType)
@@ -328,6 +369,140 @@ object DeltaWrite {
       }
       rel -> (n, cols)
     }.toMap
+  }
+
+  /** Driver-side parquet-footer stats for freshly staged files: the
+    * SAME (rows, (field, min, max, nullCount)) values the grouped
+    * stats job computes, decoded from the chunk statistics Spark's
+    * own parquet writer embedded — no Spark job, no data re-read.
+    * Returns None (→ caller runs the job) unless EVERY needed stat of
+    * every file decodes: all-or-nothing keeps recorded stats exactly
+    * as strong as the job's, so file-pruning behavior never silently
+    * degrades. Decoded runtime classes mirror `Row.get` on the agg
+    * row (java.sql.Date/Timestamp, java.math.BigDecimal, boxed
+    * primitives) so [[statsJsonOf]] and [[IcebergRead.encodeBound]]
+    * serialize identically.
+    */
+  private[graft] def footerStatsRaw(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, rels: Seq[String],
+      dataSchema: org.apache.spark.sql.types.StructType)
+      : Option[Map[String, (Long,
+        Seq[(org.apache.spark.sql.types.StructField, Any, Any, Long)])]] = {
+    import org.apache.parquet.column.statistics.Statistics
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    if (rels.isEmpty) return Some(Map.empty)
+    val hconf = spark.sessionState.newHadoopConf()
+    val fields = dataSchema.fields.filter(f => f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | _: DecimalType | StringType | DateType |
+           TimestampType | BooleanType => true
+      case _ => false
+    })
+    // (sparkType, parquet column) → Row.get-shaped value, or None =
+    // undecodable (unexpected physical/logical pairing)
+    def decode(dt: DataType, pt: PrimitiveType, v: Comparable[_])
+        : Option[Any] = (dt, pt.getPrimitiveTypeName) match {
+      case (BooleanType, BOOLEAN) => Some(v.asInstanceOf[java.lang.Boolean])
+      case (ByteType, INT32) =>
+        Some(Byte.box(v.asInstanceOf[java.lang.Integer].byteValue))
+      case (ShortType, INT32) =>
+        Some(Short.box(v.asInstanceOf[java.lang.Integer].shortValue))
+      case (IntegerType, INT32) => Some(v.asInstanceOf[java.lang.Integer])
+      case (LongType, INT64) => Some(v.asInstanceOf[java.lang.Long])
+      case (FloatType, FLOAT) => Some(v.asInstanceOf[java.lang.Float])
+      case (DoubleType, DOUBLE) => Some(v.asInstanceOf[java.lang.Double])
+      case (d: DecimalType, tn) =>
+        val unscaled: Option[java.math.BigInteger] = tn match {
+          case INT32 => Some(java.math.BigInteger.valueOf(
+            v.asInstanceOf[java.lang.Integer].longValue))
+          case INT64 => Some(java.math.BigInteger.valueOf(
+            v.asInstanceOf[java.lang.Long].longValue))
+          case BINARY | FIXED_LEN_BYTE_ARRAY => Some(new java.math.BigInteger(
+            v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes))
+          case _ => None
+        }
+        unscaled.map(u => new java.math.BigDecimal(u, d.scale))
+      case (StringType, BINARY) =>
+        Some(v.asInstanceOf[org.apache.parquet.io.api.Binary]
+          .toStringUsingUTF8)
+      case (DateType, INT32) => Some(java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[java.lang.Integer].longValue)))
+      case (TimestampType, INT64) =>
+        pt.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            val n = v.asInstanceOf[java.lang.Long].longValue
+            val micros = ts.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => Some(n)
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(n * 1000L)
+              case _ => None // NANOS never written by this engine
+            }
+            micros.map { us =>
+              val sec = Math.floorDiv(us, 1000000L)
+              val frac = Math.floorMod(us, 1000000L)
+              java.sql.Timestamp.from(
+                java.time.Instant.ofEpochSecond(sec, frac * 1000L))
+            }
+          case _ => None // INT96 / untyped int64: no usable ordering
+        }
+      case _ => None
+    }
+    try {
+      val perFile = rels.map { rel =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$dir/$rel"), hconf)
+        val footer = {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter finally r.close()
+        }
+        val blocks = footer.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        val byName: Map[String, Seq[
+          org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]] =
+          blocks.flatMap(_.getColumns.asScala)
+            .filter(_.getPath.size == 1)
+            .groupBy(_.getPath.toDotString)
+        val cols = fields.toSeq.map { f =>
+          val chunks = byName.getOrElse(f.name, return None)
+          if (chunks.size != blocks.size) return None
+          val ss = chunks.map(_.getStatistics)
+          if (ss.exists(s => s == null || s.isEmpty || !s.isNumNullsSet))
+            return None
+          val nulls = ss.map(_.getNumNulls).sum
+          val withValues = ss.filter(_.hasNonNullValue)
+          if (rows == 0L || withValues.isEmpty) {
+            // all-null (or empty) file: the agg row's min/max are null
+            if (nulls != rows && rows != 0L) return None
+            (f, null: Any, null: Any, if (rows == 0) 0L else nulls)
+          } else {
+            val pt = chunks.head.getPrimitiveType
+            // merge across row groups in the DECODED domain: every
+            // decoded type is naturally ordered, and for strings the
+            // [a-zA-Z0-9...] ↔ UTF-8 orderings agree only on ASCII —
+            // so refuse non-ASCII bounds rather than risk a
+            // comparator mismatch with parquet's unsigned-byte order
+            def dec(v: Comparable[_]): Any =
+              decode(f.dataType, pt, v).getOrElse(return None)
+            val mins = withValues.map(s => dec(s.genericGetMin))
+            val maxs = withValues.map(s => dec(s.genericGetMax))
+            if (f.dataType == StringType &&
+              (mins ++ maxs).exists(v =>
+                v.asInstanceOf[String].exists(_ > 0x7f.toChar))) return None
+            // every decoded class above is Comparable with itself
+            def lt(a: Any, b: Any): Boolean =
+              a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+            (f, mins.reduce((a, b) => if (lt(b, a)) b else a),
+              maxs.reduce((a, b) => if (lt(a, b)) b else a), nulls)
+          }
+        }
+        rel -> (rows, cols)
+      }.toMap
+      Some(perFile)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   // ---------------------------------------------------------------

@@ -19,6 +19,66 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
     java.nio.file.Files.createTempDirectory(base, "delta").toString
   }
 
+  test("footer stats ≡ job stats: the driver-side parquet-footer " +
+      "fast path returns exactly the grouped stats job's values for " +
+      "every primitive type (incl. nulls, all-null columns, decimals " +
+      "wide and narrow, micros timestamps); non-ASCII string bounds " +
+      "fall back to the job") {
+    import org.apache.spark.sql.types._
+    val d = dir()
+    val df = spark.range(0, 100).selectExpr(
+      "id",
+      "cast(id as int) as i",
+      "cast(id as byte) as bt",
+      "cast(id as short) as sh",
+      "cast(id * 1.5 as float) as f",
+      "id * 2.5 as dbl",
+      "cast(id as decimal(9,2)) as dec9",
+      "cast(id as decimal(18,4)) as dec18",
+      "cast(id as decimal(38,6)) as dec38",
+      "concat('s', lpad(cast(id as string), 3, '0')) as s",
+      "date_add(date'2024-01-01', cast(id as int)) as dt",
+      "timestamp_micros(1700000000000000 + id * 1000000) as ts",
+      "id % 2 = 0 as b",
+      "if(id % 3 = 0, null, id) as withnulls",
+      "cast(null as long) as allnull")
+    // bucket into several files so the per-file grouping is exercised
+    val tagged = df.withColumn("__graft_target",
+      format_string("part-%05d-v0.parquet", pmod(col("id"), lit(3))))
+    val staged = DeltaWrite.stageWrite(d, tagged)
+    assert(staged.size == 3)
+    val schema = df.schema
+    val viaFooter = DeltaWrite.footerStatsRaw(
+      spark, d, staged.map(_._1), schema)
+    assert(viaFooter.isDefined, "footer path unexpectedly bailed")
+    val viaJob = DeltaWrite.statsJobFor(spark, d, staged.map(_._1), schema)
+    assert(viaFooter.get.keySet == viaJob.keySet)
+    for (rel <- viaJob.keys) {
+      val (nF, colsF) = viaFooter.get(rel)
+      val (nJ, colsJ) = viaJob(rel)
+      assert(nF == nJ, s"$rel rows: footer $nF != job $nJ")
+      colsF.zip(colsJ).foreach { case ((fF, mnF, mxF, ncF),
+          (fJ, mnJ, mxJ, ncJ)) =>
+        assert(fF == fJ)
+        assert(mnF == mnJ, s"$rel.${fF.name} min: footer $mnF != job $mnJ")
+        assert(mxF == mxJ, s"$rel.${fF.name} max: footer $mxF != job $mxJ")
+        assert(ncF == ncJ, s"$rel.${fF.name} nulls: footer $ncF != $ncJ")
+        // the JSON the log records must also agree byte-for-byte
+      }
+      assert(DeltaWrite.statsJsonOf(nF, colsF) ==
+        DeltaWrite.statsJsonOf(nJ, colsJ), s"$rel stats JSON differs")
+    }
+    // non-ASCII string bounds: Java vs UTF8 binary ordering can
+    // disagree — the footer path must refuse (full job fallback)
+    val d2 = dir()
+    val t2 = Seq("a", "éclair", "zz").toDF("s")
+      .withColumn("__graft_target", lit("part-00000-v0.parquet"))
+    val staged2 = DeltaWrite.stageWrite(d2, t2)
+    assert(DeltaWrite.footerStatsRaw(spark, d2, staged2.map(_._1),
+      StructType(Seq(StructField("s", StringType)))).isEmpty,
+      "non-ASCII bounds must fall back to the stats job")
+  }
+
   test("add/remove replay yields the live snapshot; versionAsOf " +
       "time-travels; removed rows never dup") {
     val d = dir()
@@ -1611,13 +1671,25 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
     val eCap = intercept[IllegalArgumentException](
       DeltaWrite.deleteWhere(spark, d, "id > 0", maxMatches = 2))
     assert(eCap.getMessage.contains("selective"), eCap.getMessage)
-    // geometry gates: CDF-enabled refuses
+    // CDF COMPOSES (round 19): the DV masks and a cdc file with the
+    // deleted rows' pre-images land in ONE commit, and the change
+    // feed reports the delete
     val dCdf = dir()
-    DeltaWrite.merge(spark, dCdf, Seq((1L, "a")).toDF("id", "v"),
+    DeltaWrite.merge(spark, dCdf,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
       Seq("id"), enableCdf = true)
-    val e = intercept[IllegalArgumentException](
-      DeltaWrite.deleteWhere(spark, dCdf, "id = 1"))
-    assert(e.getMessage.contains("CDF"), e.getMessage)
+    assert(DeltaWrite.deleteWhere(spark, dCdf, "id = 1") == 1L)
+    val cdfCommit = java.nio.file.Files.readString(java.nio.file.Paths
+      .get(dCdf, "_delta_log", "%020d.json".format(1)))
+    assert(cdfCommit.contains("\"cdc\""),
+      s"CDF delete commit carries no cdc action: $cdfCommit")
+    assert(DeltaRead.readChanges(spark, dCdf, 1L)
+      .select("id", "_change_type").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "delete")),
+      "change feed must report the deleted row's pre-image")
+    assert(DeltaRead.readDeltaTable(spark, dCdf).orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq((2L, "b")),
+      "CDF delete state wrong")
   }
 
   test("merge with deletePredicate on a PARTITIONED table: one " +

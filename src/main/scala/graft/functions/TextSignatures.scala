@@ -87,6 +87,36 @@ object TextSignatureKernels {
     while (b < 64) { if (counters(b) > 0) sig |= (1L << b); b += 1 }
     sig
   }
+
+  /** Per-doc character-trigram histogram in ONE pass: (gram, count)
+    * structs sorted by gram. Equivalent to exploding every sliding
+    * 3-char window and counting per (doc, gram) — without the
+    * occurrence-grained explode and its corpus-sized hash-agg
+    * shuffle. Callers normalize first ([a-z0-9 ] ASCII), so Java char
+    * windows ≡ SQL substr's code-point windows.
+    */
+  def trigramCounts(text: UTF8String): ArrayData = {
+    val s = text.toString
+    if (s.length < 3) return new GenericArrayData(Array.empty[Any])
+    val m = new java.util.TreeMap[String, Long]()
+    var i = 0
+    while (i + 3 <= s.length) {
+      val g = s.substring(i, i + 3)
+      val prev = m.get(g)
+      m.put(g, if (prev == null) 1L else prev + 1L)
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    var j = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(e.getKey), e.getValue)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `graft_minhash_sig(text, k, shingleLen)` → array<long>. */
@@ -132,6 +162,28 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_trigram_counts(text)` → array<struct<g:string,n:long>>. */
+case class TrigramCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n", LongType,
+        nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_trigram_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    TextSignatureKernels.trigramCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextSignatureKernels.trigramCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramCounts =
+    copy(child = newChild)
+}
+
 /** Registration + Column wrappers (same pattern as GraftFunctions). */
 object TextSignatures {
 
@@ -148,6 +200,8 @@ object TextSignatures {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", args => SimHashSig(args.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_trigram_counts", args => TrigramCounts(args.head), "scala_udf")
   }
 
   def minHashSig(text: Column, k: Int, shingleLen: Int): Column =
@@ -156,4 +210,7 @@ object TextSignatures {
       org.apache.spark.sql.functions.lit(shingleLen))
 
   def simHash(text: Column): Column = call_function("graft_simhash", text)
+
+  def trigramCounts(text: Column): Column =
+    call_function("graft_trigram_counts", text)
 }

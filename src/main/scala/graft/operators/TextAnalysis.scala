@@ -416,11 +416,6 @@ object TextAnalysis {
     * quadratic-tokenizer pitfall; callers project normalize() into a
     * column first).
     */
-  private[operators] def charTrigramsImpl(nt: Column): Column =
-    when(length(nt) < 3, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), length(nt) - 2),
-        i => nt.substr(i, lit(3))))
-
   /** Persisted inverted index — the corpus-search infrastructure
     * behind WIMBD-style "what's in my big data?" auditing (Elazar et
     * al. 2023): a warehouse table of (term, doc) postings, appended
@@ -493,26 +488,34 @@ object TextAnalysis {
   def langIdNgram(df: DataFrame, idCol: String, langCol: String,
                   textCol: String, topP: Int = 40): DataFrame = {
     require(topP > 0, s"topP must be positive: $topP")
-    // normalize ONCE per doc into a column, gram the attribute ref
-    // (see charTrigramsImpl), and checkpoint the exploded frame: it
-    // feeds BOTH the profile and the classify side — without the cut
-    // each consumer would re-run the explode lineage
+    // normalize ONCE per doc, then count trigrams per doc in ONE
+    // native single-pass expression (graft_trigram_counts, the
+    // TextSignatures kernel family): the frame arrives at the
+    // (doc, gram, n) grain MAP-ONLY — no per-occurrence explode of
+    // ~hundreds of rows per doc, no corpus-sized hash-agg shuffle,
+    // and the checkpoint that feeds BOTH the profile and classify
+    // sides materializes one row per DISTINCT (doc, gram). The former
+    // explode→groupBy shape measured 2.7 s of this key's 5.1 s at
+    // sf0.1; at 100 TB it was the key's largest shuffle.
+    graft.functions.TextSignatures.register(df.sparkSession)
     val grams = df
       .select(col(idCol).as("__id"), col(langCol).as("__lang"),
         Curation.normalize(col(textCol)).as("__nt"))
       .select(col("__id"), col("__lang"),
-        explode(charTrigramsImpl(col("__nt"))).as("g"))
+        explode(graft.functions.TextSignatures.trigramCounts(col("__nt")))
+          .as("gn"))
+      .select(col("__id"), col("__lang"),
+        col("gn.g").as("g"), col("gn.n").as("n"))
       .localCheckpoint()
     val wLang = Window.partitionBy("__lang")
       .orderBy(col("n").desc, col("g"))
     val profile = grams.groupBy("__lang", "g")
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n"))
       .withColumn("rl", row_number().over(wLang))
       .filter(col("rl") <= topP)
       .select(col("__lang").as("plang"), col("g"), col("rl"))
     val wDoc = Window.partitionBy("__id").orderBy(col("n").desc, col("g"))
-    val docG = grams.groupBy("__id", "g")
-      .agg(count(lit(1)).as("n"))
+    val docG = grams.select(col("__id"), col("g"), col("n"))
       .withColumn("rd", row_number().over(wDoc))
       .filter(col("rd") <= topP)
       .select("__id", "g", "rd")

@@ -136,6 +136,31 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       "text", topP = 10).filter(col("doc_id") === 99L).count() == 0)
   }
 
+  test("graft_trigram_counts ≡ explode+count of sliding 3-char " +
+      "windows (the shape langIdNgram replaced), incl. short/empty " +
+      "strings and repeats") {
+    import spark.implicits._
+    graft.functions.TextSignatures.register(spark)
+    val texts = Seq("abba abab baba", "aaaa", "ab", "", "a b c d",
+      "zz zz zz", "0123456789 0123")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "nt")
+    val viaKernel = df.select(col("id"),
+      explode(graft.functions.TextSignatures.trigramCounts(col("nt")))
+        .as("gn"))
+      .select(col("id"), col("gn.g").as("g"), col("gn.n").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val viaExplode = df.select(col("id"),
+      explode(when(length(col("nt")) < 3, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(col("nt")) - 2),
+          i => col("nt").substr(i, lit(3))))).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(viaKernel == viaExplode)
+  }
+
   test("temperatureRates: sqrt-weights upweight low-resource domains") {
     import spark.implicits._
     val df = Seq(

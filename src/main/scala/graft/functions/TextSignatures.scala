@@ -88,6 +88,43 @@ object TextSignatureKernels {
     sig
   }
 
+  /** DSIR hashed-feature buckets (Xie et al. 2023): for a token
+    * array, the bucket of every unigram then every adjacent bigram
+    * (joined by one space), where bucket = first 4 md5 bytes as an
+    * unsigned int, mod `k` — EXACTLY
+    * `conv(substring(md5(f),1,8),16,10) % k`, without materializing
+    * the 32-char hex string and parsing it back per feature.
+    */
+  def dsirBuckets(tk: ArrayData, k: Int): ArrayData = {
+    val n = tk.numElements()
+    val nBi = if (n >= 2) n - 1 else 0
+    val out = new Array[Long](n + nBi)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(bytes: Array[Byte]): Long = {
+      val d = md.digest(bytes) // digest() resets for the next call
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      v % k
+    }
+    var i = 0
+    while (i < n) {
+      out(i) = bucket(tk.getUTF8String(i).getBytes)
+      i += 1
+    }
+    i = 0
+    while (i < nBi) {
+      val a = tk.getUTF8String(i).getBytes
+      val b = tk.getUTF8String(i + 1).getBytes
+      val buf = new Array[Byte](a.length + 1 + b.length)
+      System.arraycopy(a, 0, buf, 0, a.length)
+      buf(a.length) = ' '
+      System.arraycopy(b, 0, buf, a.length + 1, b.length)
+      out(n + i) = bucket(buf)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-doc character-trigram histogram in ONE pass: (gram, count)
     * structs sorted by gram. Equivalent to exploding every sliding
     * 3-char window and counting per (doc, gram) — without the
@@ -184,6 +221,23 @@ case class TrigramCounts(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_dsir_buckets(tokens, k)` → array<long>. */
+case class DsirBuckets(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, s"k must be positive: $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_dsir_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    TextSignatureKernels.dsirBuckets(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextSignatureKernels.dsirBuckets($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): DsirBuckets =
+    copy(child = newChild)
+}
+
 /** Registration + Column wrappers (same pattern as GraftFunctions). */
 object TextSignatures {
 
@@ -202,6 +256,9 @@ object TextSignatures {
       "graft_simhash", args => SimHashSig(args.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_trigram_counts", args => TrigramCounts(args.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dsir_buckets",
+      args => DsirBuckets(args.head, intLit(args(1), "k")), "scala_udf")
   }
 
   def minHashSig(text: Column, k: Int, shingleLen: Int): Column =
@@ -213,4 +270,8 @@ object TextSignatures {
 
   def trigramCounts(text: Column): Column =
     call_function("graft_trigram_counts", text)
+
+  def dsirBuckets(tokens: Column, k: Int): Column =
+    call_function("graft_dsir_buckets", tokens,
+      org.apache.spark.sql.functions.lit(k))
 }

@@ -304,12 +304,13 @@ object Curation {
     * behind a projection boundary.
     */
   def dsirFeatures(tk: Column, k: Int): Column = {
-    val bi = when(size(tk) >= 2,
-      transform(sequence(lit(1), size(tk) - 1),
-        i => concat_ws(" ", slice(tk, i, lit(2)))))
-      .otherwise(array().cast(ArrayType(StringType)))
-    transform(concat(tk, bi),
-      f => conv(substring(md5(f), 1, 8), 16, 10).cast(LongType) % k)
+    // native single-pass kernel: identical buckets to the former
+    // per-feature `conv(substring(md5(f),1,8),16,10) % k` lambda
+    // chain, minus the 32-char hex materialization + string parse per
+    // feature and the per-element lambda dispatch (~2× on the dsir
+    // keys at sf0.1; CurationSpec pins kernel ≡ expression). The
+    // caller contract is unchanged: pass MATERIALIZED tokens.
+    graft.functions.TextSignatures.dsirBuckets(tk, k)
   }
 
   /** DSIR importance weights: per hash-bucket
@@ -328,6 +329,7 @@ object Curation {
   def dsirWeights(df: DataFrame, textCol: String, targetPred: Column,
                   k: Int = 1024): DataFrame = {
     require(k > 0, "k must be positive")
+    graft.functions.TextSignatures.register(df.sparkSession)
     val dist = df
       .select(targetPred.as("__t"),
         TextAnalysis.tokens(col(textCol)).as("__tk"))
@@ -363,6 +365,7 @@ object Curation {
     */
   def dsirScore(df: DataFrame, idCol: String, textCol: String,
                 targetPred: Column, k: Int = 1024): DataFrame = {
+    graft.functions.TextSignatures.register(df.sparkSession)
     val wtab = dsirWeights(df, textCol, targetPred, k)
       .select(col("bucket"), col("logw_q"))
     df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))

@@ -43,7 +43,7 @@ object DeltaWrite {
   /** Write one parquet file with `df`'s rows as `<dir>/<name>`
     * (shared with [[IcebergWrite]]'s fixture data-file writer).
     */
-  private[sources] def writeOne(df: DataFrame, dir: String, name: String): Long = {
+  private[graft] def writeOne(df: DataFrame, dir: String, name: String): Long = {
     val dest = java.nio.file.Paths.get(dir, name)
     java.nio.file.Files.createDirectories(dest.getParent)
     val tmp = java.nio.file.Files.createTempDirectory(
@@ -63,40 +63,6 @@ object DeltaWrite {
     val all = try walk.iterator().asScala.toSeq finally walk.close()
     all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     java.nio.file.Files.size(dest)
-  }
-
-  /** One aggregate job over `df` (the driver gets back a single row):
-    * (numRecords, per primitive top-level column (field, min, max,
-    * nullCount)) — the data-skipping stats both lakehouse writers
-    * record and both readers' file pruning consumes.
-    */
-  private[sources] def columnStats(df: DataFrame)
-      : (Long, Seq[(org.apache.spark.sql.types.StructField, Any, Any, Long)]) = {
-    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum, when}
-    import org.apache.spark.sql.types._
-    val fields = df.schema.fields.filter(f => f.dataType match {
-      case ByteType | ShortType | IntegerType | LongType | FloatType |
-           DoubleType | _: DecimalType | StringType | DateType |
-           TimestampType | BooleanType => true
-      case _ => false
-    })
-    val aggs = Seq(count(lit(1)).as("n")) ++ fields.flatMap(f => Seq(
-      min(col(f.name)), max(col(f.name)),
-      sum(when(col(f.name).isNull, 1L).otherwise(0L))))
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val n = row.getLong(0)
-    (n, fields.zipWithIndex.toSeq.map { case (f, i) =>
-      (f, row.get(1 + i * 3), row.get(2 + i * 3),
-        if (n == 0) 0L else row.getLong(3 + i * 3))
-    })
-  }
-
-  /** Delta `add.stats` JSON for one data file's rows
-    * ([[columnStats]] serialized the way [[DeltaRead]] reads it).
-    */
-  private[sources] def statsJson(df: DataFrame): String = {
-    val (numRecords, cols0) = columnStats(df)
-    statsJsonOf(numRecords, cols0)
   }
 
   /** [[statsJson]] from already-computed per-file values — the shape
@@ -296,6 +262,20 @@ object DeltaWrite {
     }
   }
 
+  /** [[writeOne]] + that file's `add.stats` JSON, taken from the
+    * freshly written parquet footer (zero extra jobs; [[statsRawFor]]
+    * falls back to the one grouped job when a footer stat is
+    * unusable). Replaces the write-then-re-aggregate shape that ran a
+    * separate [[columnStats]] job per file.
+    */
+  private[sources] def writeOneWithStats(df: DataFrame, dir: String,
+      name: String): (Long, String) = {
+    val size = writeOne(df, dir, name)
+    val (rows, cols) =
+      statsRawFor(df.sparkSession, dir, Seq(name), df.schema)(name)
+    (size, statsJsonOf(rows, cols))
+  }
+
   /** Per-file data-skipping stats for every staged file in ONE grouped
     * aggregation job (the per-file [[statsJson]] loop this replaces
     * ran one job per file): relative path → stats JSON.
@@ -359,7 +339,7 @@ object DeltaWrite {
       .groupBy(col("_metadata.file_path").as("__graft_file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-    rows.map { row =>
+    val got = rows.map { row =>
       val rel = relOfAbs.getOrElse(row.getString(0),
         sys.error(s"stats job returned an unstaged file: ${row.getString(0)}"))
       val n = row.getLong(1)
@@ -369,6 +349,10 @@ object DeltaWrite {
       }
       rel -> (n, cols)
     }.toMap
+    // a ZERO-ROW file produces no group in the agg — report it the
+    // way an empty aggregate would: 0 rows, null bounds, 0 nulls
+    got ++ rels.filterNot(got.contains).map(rel =>
+      rel -> (0L, fields.toSeq.map(f => (f, null: Any, null: Any, 0L))))
   }
 
   /** Driver-side parquet-footer stats for freshly staged files: the
@@ -467,6 +451,10 @@ object DeltaWrite {
             .filter(_.getPath.size == 1)
             .groupBy(_.getPath.toDotString)
         val cols = fields.toSeq.map { f =>
+          // zero-row parquet has no row groups at all — the agg path
+          // reported (0, null mins/maxs, 0 nulls) for such a file
+          if (rows == 0L) (f, null: Any, null: Any, 0L)
+          else {
           val chunks = byName.getOrElse(f.name, return None)
           if (chunks.size != blocks.size) return None
           val ss = chunks.map(_.getStatistics)
@@ -497,6 +485,7 @@ object DeltaWrite {
               a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
             (f, mins.reduce((a, b) => if (lt(b, a)) b else a),
               maxs.reduce((a, b) => if (lt(a, b)) b else a), nulls)
+          }
           }
         }
         rel -> (rows, cols)
@@ -702,8 +691,8 @@ object DeltaWrite {
       lines += metaDataLine(schema, pcs, cfg)
     }
     adds.foreach { case (name, df) =>
-      val size = writeOne(df, dir, name)
-      lines += addLine(name, Map.empty, size, Some(statsJson(df)), dataChange)
+      val (size, stats) = writeOneWithStats(df, dir, name)
+      lines += addLine(name, Map.empty, size, Some(stats), dataChange)
     }
     removes.foreach(p => lines += removeLine(p, Map.empty, dataChange))
     txn.foreach(t => lines += txnLine(t))
@@ -896,8 +885,8 @@ object DeltaWrite {
     metaNeeded.foreach { case (s, p, c) => lines += metaDataLine(s, p, c) }
     if (n > 0 && partitionBy.isEmpty) {
       val name = f"replace-$version%05d.parquet"
-      val size = writeOne(df, dir, name)
-      lines += addLine(name, Map.empty, size, Some(statsJson(df)),
+      val (size, stats) = writeOneWithStats(df, dir, name)
+      lines += addLine(name, Map.empty, size, Some(stats),
         dataChange = true)
     } else if (n > 0) {
       val (tagged0, pdirPv) = withPdir(df, partitionBy)
@@ -1797,9 +1786,9 @@ object DeltaWrite {
     val dvLines: Seq[String] =
       dvMaskLines(spark, dir, byFile, liveByQualified, hconf)
     val name = f"mor-$version%05d.parquet"
-    val size = writeOne(batch, dir, name)
+    val (size, stats) = writeOneWithStats(batch, dir, name)
     val lines = dvLines :+
-      addLine(name, Map.empty, size, Some(statsJson(batch)),
+      addLine(name, Map.empty, size, Some(stats),
         dataChange = true)
     writeCommitFile(dir, version, lines)
     n

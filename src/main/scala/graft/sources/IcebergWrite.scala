@@ -537,8 +537,14 @@ object IcebergWrite {
       (lower, upper, nulls)
     }
     val added = adds.map { case (name, df) =>
-      val (rows, colStats) = DeltaWrite.columnStats(df)
+      // write first, then take the stats from the written file's own
+      // parquet footer (zero jobs; DeltaWrite.statsRawFor falls back
+      // to the one-agg-job path when a footer stat is unusable) — the
+      // former shape ran a separate aggregation job per added file
+      // BEFORE an identical write pass
       val size = DeltaWrite.writeOne(df, dataDir.toString, name)
+      val (rows, colStats) = DeltaWrite.statsRawFor(df.sparkSession,
+        dataDir.toString, Seq(name), df.schema)(name)
       val (lower, upper, nulls) = boundsOf(colStats)
       // fixture adds of a partitioned table derive their partition
       // record from the (constant-within-file) column stats

@@ -161,6 +161,33 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(viaKernel == viaExplode)
   }
 
+  test("graft_dsir_buckets ≡ conv(substring(md5(f),1,8),16,10) % k " +
+      "over unigrams+bigrams (the expression dsirFeatures replaced), " +
+      "incl. empty and 1-token docs") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    graft.functions.TextSignatures.register(spark)
+    val texts = Seq("the quick brown fox", "a", "", "x y",
+      "repeat repeat repeat", "0 1 22 333 4444")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.tokens(col("text")).as("tk"))
+    val k = 1024
+    val viaKernel = df.select(col("id"),
+      graft.functions.TextSignatures.dsirBuckets(col("tk"), k).as("b"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val bi = when(size(col("tk")) >= 2,
+      transform(sequence(lit(1), size(col("tk")) - 1),
+        i => concat_ws(" ", slice(col("tk"), i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val viaExpr = df.select(col("id"),
+      transform(concat(col("tk"), bi),
+        f => conv(substring(md5(f), 1, 8), 16, 10)
+          .cast("long") % k).as("b"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(viaKernel == viaExpr)
+  }
+
   test("temperatureRates: sqrt-weights upweight low-resource domains") {
     import spark.implicits._
     val df = Seq(

@@ -68,6 +68,23 @@ class DeltaSpec extends AnyFunSuite with SparkTestBase {
       assert(DeltaWrite.statsJsonOf(nF, colsF) ==
         DeltaWrite.statsJsonOf(nJ, colsJ), s"$rel stats JSON differs")
     }
+    // ZERO-ROW file (no row groups): both paths must report
+    // (0 rows, null bounds, 0 nulls) instead of dropping the entry
+    val d0 = dir()
+    DeltaWrite.writeOne(spark.range(5).selectExpr("id", "id * 1.5 as v")
+      .filter(col("id") < 0), d0, "empty.parquet")
+    val s0 = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    val expectEmpty = Map("empty.parquet" ->
+      (0L, s0.fields.toSeq.map(f => (f, null: Any, null: Any, 0L))))
+    assert(DeltaWrite.footerStatsRaw(spark, d0, Seq("empty.parquet"), s0)
+      .contains(expectEmpty), "footer path: empty-file stats wrong")
+    assert(DeltaWrite.statsJobFor(spark, d0, Seq("empty.parquet"), s0)
+      == expectEmpty, "job path: empty-file stats wrong")
+
     // non-ASCII string bounds: Java vs UTF8 binary ordering can
     // disagree — the footer path must refuse (full job fallback)
     val d2 = dir()

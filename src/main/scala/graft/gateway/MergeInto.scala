@@ -549,7 +549,7 @@ case class GraftMergeIntoCommand(relation: String, keys: Seq[String],
     // handler's merge runs several jobs (touched-file probe, staged
     // write, counts) and a dbt staging view that reads {{ this }}
     // must not re-execute per job
-    val raw = raw0.localCheckpoint()
+    val raw = raw0.localCheckpoint(eager = false)
     // `UPDATE SET * / INSERT *` semantics: the batch lands in the
     // target's column ORDER and TYPES (the analyzer's star expansion
     // is a same-name assignment list with casts — replicated here)
@@ -603,7 +603,7 @@ case class GraftConditionalMergeCommand(relation: String,
     // anti join) and then the engine merge's own probe — materialize
     // its lineage once (dbt snapshot staging is itself a join against
     // the target; re-running it per consumer triples the work)
-    val s = ofRows(sparkSession, source).localCheckpoint()
+    val s = ofRows(sparkSession, source).localCheckpoint(eager = false)
     val on = column(joinCond)
     val fields = target.output.map(a =>
       org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable))
@@ -646,7 +646,7 @@ case class GraftConditionalMergeCommand(relation: String,
         // the join feeds the update leg AND the delete-key collect —
         // pin it once when both consume it
         Some(if (deleteIdx.nonEmpty && updateIdx.nonEmpty)
-          j.localCheckpoint() else j)
+          j.localCheckpoint(eager = false) else j)
       }
 
     val updated: Option[DataFrame] =
@@ -777,7 +777,7 @@ case class GraftConditionalMergeCommand(relation: String,
         val r = t.join(s.select(srcKeyAttrs.map(column): _*), on,
           "left_anti").withColumn("__graft_act", act)
         Some(if (bsDeleteIdx.nonEmpty && bsUpdateIdx.nonEmpty)
-          r.localCheckpoint() else r)
+          r.localCheckpoint(eager = false) else r)
       }
     // NULL-keyed target rows land on the by-source side (the ON
     // equality never matches NULL) but the routed execution cannot
@@ -839,7 +839,7 @@ case class GraftConditionalMergeCommand(relation: String,
     // engine merge both consume it, and its lineage (the joins over
     // target+source) is not free to re-run
     val batchOpt = Seq(updated, inserted, bsUpdated).flatten
-      .reduceOption(_.unionByName(_)).map(_.localCheckpoint())
+      .reduceOption(_.unionByName(_)).map(_.localCheckpoint(eager = false))
     require(batchOpt.nonEmpty || allDeletedKeys.nonEmpty ||
         deleteIdx.nonEmpty || bsDeleteIdx.nonEmpty,
       s"MERGE INTO $relation: no routable actions") // unreachable

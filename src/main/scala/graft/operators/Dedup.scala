@@ -144,7 +144,7 @@ object Dedup {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
     graft.functions.BloomFunctions.register(train.sparkSession)
     val benchGrams = gramHashFrame(bench, textCol, n, None)
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     val bf = benchGrams.stat.bloomFilter("gh",
       math.max(benchGrams.count(), 1L), fpp)
     val bytes = graft.functions.BloomFunctions.serialize(bf)
@@ -400,29 +400,54 @@ object Dedup {
     */
   def greedyKeep(bands0: DataFrame, maxIter: Int = 50,
                  cut: Cut = localCut): DataFrame = {
+    val sc = bands0.sparkSession.sparkContext
+    val desc0 = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription("greedyKeep: band rows")
     var alive = cut(bands0.select("id", "band", "bsig"))
     var kept = alive.select("id").limit(0)
     var i = 0
     var done = alive.isEmpty
     while (!done && i < maxIter) {
-      val bucketMin = alive.groupBy("band", "bsig")
-        .agg(min(col("id")).as("bmin"))
-      val winners = cut(alive.join(bucketMin, Seq("band", "bsig"))
-        .groupBy("id").agg(min(col("bmin")).as("mn"))
-        .filter(col("mn") === col("id")).select("id"))
-      kept = kept.unionByName(winners)
+      sc.setJobDescription(s"greedyKeep: MIS round $i")
+      // One materialization per round carrying BOTH decisions as row
+      // flags (was: separate winners + alive cuts, each a join chain —
+      // 3 materializations and ~9 AQE query-stage jobs per round).
+      // The round is a LINEAR pipeline of four alternating-key window
+      // aggregates — zero joins, zero broadcast builds, 4 exchanges:
+      //  - bmin: min id of the row's bucket;
+      //  - win(id): the doc is the min of EVERY bucket it occupies
+      //    (min over its rows of bmin == its own id);
+      //  - bhw: the bucket contains a winner. A winner w occupying
+      //    bucket b IS b's min, so "b contains a winner" ⟺ "bmin(b)
+      //    is a winner" — read off the bucket's own min-id row (the
+      //    one row with id == bmin), no winnerBuckets semi-join;
+      //  - dom(id): some bucket of the doc contains a winner. Winners
+      //    dominate themselves, so !dom ≡ the old anti-join survivors.
+      import org.apache.spark.sql.expressions.Window
+      val wBucket = Window.partitionBy("band", "bsig")
+      val wDoc = Window.partitionBy("id")
+      val ann = cut(alive
+        .withColumn("bmin", min(col("id")).over(wBucket))
+        .withColumn("win", min(col("bmin")).over(wDoc) === col("id"))
+        .withColumn("bhw",
+          max(when(col("id") === col("bmin"), col("win"))).over(wBucket))
+        .withColumn("dom", max(col("bhw")).over(wDoc))
+        .select(col("id"), col("band"), col("bsig"),
+          col("win"), col("dom")))
       // a doc sharing ANY bucket with a new keeper is a duplicate —
       // drop ALL its band rows (not just the colliding ones), or it
       // could win a later round through its other buckets
-      val winnerBuckets = alive.join(winners, Seq("id"), "left_semi")
-        .select("band", "bsig").distinct()
-      val dominated = alive
-        .join(winnerBuckets, Seq("band", "bsig"), "left_semi")
-        .select("id").distinct()
-      alive = cut(alive.join(dominated, Seq("id"), "left_anti"))
-      done = alive.isEmpty
+      kept = kept.unionByName(
+        ann.filter(col("win")).select("id").distinct())
+      alive = ann.filter(!col("dom")).select("id", "band", "bsig")
+      // single-job convergence probe over the checkpointed round (an
+      // isEmpty/take would escalate through up to 4 sub-jobs on the
+      // final, empty round)
+      done = ann.agg(coalesce(max(when(!col("dom"), lit(1))), lit(0)))
+        .head().getInt(0) == 0
       i += 1
     }
+    sc.setJobDescription(desc0)
     require(done, s"greedyKeep: not converged after $maxIter rounds")
     kept
   }
@@ -608,44 +633,80 @@ object Dedup {
     * ("which doc to keep per cluster"), not raw pairs: keep-rows are
     * `cluster_id == id`.
     *
-    * Iterative min-label propagation: O(diameter) rounds, ONE
-    * propagation job per round — the changed-flag rides along as a
-    * column of the materialized round result, so convergence detection
-    * is a scan of the just-checkpointed partitions (no extra join, no
-    * re-execution of the propagation shuffle). `cut` cuts lineage each
-    * round so plans don't grow exponentially; pass `durableCut` at
-    * 100 TB so rounds survive executor loss.
+    * Min-label propagation ACCELERATED by pointer jumping: each round
+    * (1) takes the min over neighbors' labels (the plain propagation
+    * step) and (2) shortcuts through the previous round's label map —
+    * label := min(label, prevLabel(label)). Step (2) roughly doubles
+    * the hop distance a label has travelled, so convergence is
+    * O(log diameter) rounds instead of O(diameter) — a 60-node chain
+    * converges in ~7 rounds, not 60. Labels only ever decrease and a
+    * no-change round is a fixpoint of plain propagation, so the
+    * result is the identical min-id-per-component labeling. ONE
+    * materialization job per round — the changed-flag rides along as
+    * a column of the materialized round result, so convergence
+    * detection is a short scan of the just-checkpointed partitions
+    * (no re-execution of the propagation shuffle). `cut` cuts lineage
+    * each round so plans don't grow exponentially; pass `durableCut`
+    * at 100 TB so rounds survive executor loss.
     */
   def clusters(pairs: DataFrame, idA: String = "a", idB: String = "b",
                maxIter: Int = 50, cut: Cut = localCut): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    val desc0 = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription("cc: edges")
     // edges are re-joined every iteration — materialize once so the
-    // (possibly expensive) pair-generation lineage runs exactly once
+    // (possibly expensive) pair-generation lineage runs exactly once,
+    // HASH-PARTITIONED ON THE JOIN KEY: the checkpointed LogicalRDD
+    // retains its outputPartitioning, so no round re-shuffles the
+    // edge set (the largest frame in the loop) — only the label side
+    // of the propagation join moves
     val edges = cut(pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct())
+      .distinct()
+      .repartition(col("src")))
     var labels = cut(edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")))
     var converged = labels.isEmpty // no edges → nothing to propagate
     var i = 0
     while (!converged && i < maxIter) {
-      val prop = edges
+      sc.setJobDescription(s"cc: round $i")
+      // Propagation is a UNION of two message streams folded by ONE
+      // aggregation — no label-merge left join: neighbor labels
+      // through the edge list, plus the node's own label (so
+      // unreached nodes keep theirs, and the agg recovers the old
+      // label for the change flag).
+      val msgs = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
-      // materialize label + changed-flag together: the eager cut runs
-      // the propagation job once, then the convergence aggregate and
-      // the next round's join both read the cached/checkpointed result
-      val next = cut(labels.join(prop, Seq("id"), "left")
+        .select(col("dst").as("id"), col("label"), lit(false).as("own"))
+        .unionByName(labels
+          .select(col("id"), col("label"), lit(true).as("own")))
+      val stepped = msgs.groupBy("id")
+        .agg(min(col("label")).as("__l1"),
+          min(when(col("own"), col("label"))).as("__old"))
+      // POINTER JUMP on the post-propagation label through the
+      // PREVIOUS round's materialized map: a label is always some
+      // node's id (initial labels are ids; every update takes a min
+      // of existing labels), and that node's own label is ≤ it, so
+      // one hop of the map compounds the propagation step's progress.
+      // The join is inner — total by the same invariant.
+      // Materialize label + changed-flag together: the eager cut runs
+      // the round's shuffles once, then the convergence probe and the
+      // next round's joins both read the cached/checkpointed result.
+      val next = cut(stepped
+        .join(labels.select(col("id").as("__jid"),
+          col("label").as("__jl")), col("__l1") === col("__jid"))
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"),
-          (col("nlabel").isNotNull && col("nlabel") < col("label"))
-            .as("chg")))
-      val changed =
-        next.agg(max(col("chg"))).head().getBoolean(0)
+          least(col("__l1"), col("__jl")).as("label"),
+          (least(col("__l1"), col("__jl")) < col("__old")).as("chg")))
+      // single-job probe: agg over the checkpointed partitions (an
+      // isEmpty/take probe launches up to 4 escalating sub-jobs when
+      // NO row matches — exactly the converged round)
+      val changed = next.agg(max(col("chg"))).head().getBoolean(0)
       labels = next.drop("chg")
       converged = !changed
       i += 1
     }
+    sc.setJobDescription(desc0)
     // silent partial convergence would split one component across
     // several cluster ids — a dedup keeping cluster_id==id rows would
     // then retain duplicates with no signal; fail loudly instead

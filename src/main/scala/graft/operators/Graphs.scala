@@ -57,11 +57,11 @@ object Graphs {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ewd = e.join(outdeg, "src").localCheckpoint() // (src, dst, deg)
+    val ewd = e.join(outdeg, "src").localCheckpoint(eager = false) // (src, dst, deg)
     val teleport = (dampDen - dampNum) * 1000000000L / (dampDen * n)
     var ranks = nodes.withColumn("rq", lit(1000000000L / n))
     for (i <- 0 until iters) {
@@ -80,7 +80,7 @@ object Graphs {
       // materialization job per iteration. Cut lineage every few
       // rounds instead, purely to bound planner depth on long runs.
       if ((i + 1) % 4 == 0 && i != iters - 1)
-        ranks = ranks.localCheckpoint()
+        ranks = ranks.localCheckpoint(eager = false)
     }
     ranks
   }

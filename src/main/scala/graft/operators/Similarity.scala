@@ -325,7 +325,7 @@ object Similarity {
     // per element and made training ~50× slower at sf0.1
     val vecs = training.select(col("vec_id"), col("embedding")
       .cast(ArrayType(DoubleType)).as("v"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var cents: Seq[Seq[Double]] = vecs
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h", "vec_id").limit(k)
@@ -451,7 +451,7 @@ object Similarity {
         s * dsub + 1, dsub)): _*)
     val subs = training
       .select(col("vec_id"), posexplode(svArr).as(Seq("sub", "sv")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // init: per subspace the ksub subvectors with the smallest seeded
     // hash — same deterministic draw as kmeansCentroids
     val wi = Window.partitionBy("sub").orderBy(col("h"), col("vec_id"))
@@ -596,7 +596,7 @@ object Similarity {
       .withColumn("cid",
         array_position(col("sc"), array_max(col("sc"))).cast("int"))
       .drop("sc")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val a = assigned.select(col("cid"), col("vec_id").as("a"),
       col("embedding").as("va"))
     val b = assigned.select(col("cid"), col("vec_id").as("b"),

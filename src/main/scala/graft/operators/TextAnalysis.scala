@@ -506,7 +506,7 @@ object TextAnalysis {
           .as("gn"))
       .select(col("__id"), col("__lang"),
         col("gn.g").as("g"), col("gn.n").as("n"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val wLang = Window.partitionBy("__lang")
       .orderBy(col("n").desc, col("g"))
     val profile = grams.groupBy("__lang", "g")
@@ -519,7 +519,7 @@ object TextAnalysis {
       .withColumn("rd", row_number().over(wDoc))
       .filter(col("rd") <= topP)
       .select("__id", "g", "rd")
-      .localCheckpoint() // feeds the present-join AND the per-doc count
+      .localCheckpoint(eager = false) // feeds the present-join AND the per-doc count
     val present = docG.join(broadcast(profile), "g")
       .groupBy("__id", "plang")
       .agg(sum(abs(col("rd") - col("rl"))).as("s"),
@@ -766,7 +766,7 @@ object TextAnalysis {
     val toks = docs.select(tokens(col(textCol)).as("__tk"))
     val uni = toks.select(explode(tk).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // adjacent-token pairs: one transform over positions, map-only
     val pairs = toks.filter(size(tk) >= 2)
       .select(explode(transform(sequence(lit(1), size(tk) - 1),
@@ -774,7 +774,7 @@ object TextAnalysis {
           element_at(tk, i + 1).as("b")))).as("g"))
       .select(col("g.a").as("a"), col("g.b").as("b"))
     val bi0 = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val bi = bi0.filter(col("c_ab") >= minCount)
     // scalar totals from the checkpointed frames: N_uni = Σ c over
     // uni, N_bi = Σ c_ab over the unfiltered bi0

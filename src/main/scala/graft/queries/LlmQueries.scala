@@ -1013,7 +1013,7 @@ object LlmOps extends QueryGroup {
       // the 2-column doc slice feeds three consumers (the count and
       // both sides of the citation join) — pin it once
       val docs = Tables.documents(s, d).select("doc_id", "source")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val total = docs.count()
       val cited = docs.select(col("doc_id").as("cid"),
         col("source").as("dst"))

@@ -1053,7 +1053,7 @@ object Scans extends QueryGroup {
       val dir = tmpDir("graft_sql_delete_ice_dv")
       val cust = Tables.customer(s, d).select(col("c_custkey"),
         col("c_mktsegment"), col("c_acctbal").as("bal"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       graft.sources.IcebergWrite.commit(dir,
         (0 until 4).map(b => f"part-$b%02d.parquet" ->
           cust.filter(pmod(col("c_custkey"), lit(4)) === b)),
@@ -2215,7 +2215,7 @@ object Joins extends QueryGroup {
       graft.functions.BloomFunctions.register(s)
       val dim = Tables.part(s, d).filter(col("p_size") <= 5)
         .select("p_partkey", "p_type")
-        .localCheckpoint() // feeds the bloom build AND the confirm join
+        .localCheckpoint(eager = false) // feeds the bloom build AND the confirm join
       val bf = dim.stat.bloomFilter("p_partkey",
         math.max(dim.count(), 1L), 0.01)
       val bytes = graft.functions.BloomFunctions.serialize(bf)

@@ -96,7 +96,7 @@ object Windows extends QueryGroup {
     val parts = math.max(spark.sparkContext.defaultParallelism, 1)
     val sorted = df.repartitionByRange(parts, cols: _*)
       .sortWithinPartitions(cols: _*)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val counts = sorted.rdd
       .mapPartitions(it => Iterator(it.size.toLong), true).collect()
     val offsets = counts.scanLeft(0L)(_ + _)

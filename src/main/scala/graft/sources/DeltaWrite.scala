@@ -837,7 +837,7 @@ object DeltaWrite {
     import org.apache.spark.sql.functions.{col, concat, lit}
     partitionBy.foreach(p => require(df0.columns.contains(p),
       s"partition column '$p' is not a df column (${df0.columns.mkString(",")})"))
-    val df = df0.localCheckpoint()
+    val df = df0.localCheckpoint(eager = false)
     val n = df.count()
     val logDir = java.nio.file.Paths.get(dir, "_delta_log")
     val exists = java.nio.file.Files.isDirectory(logDir)
@@ -936,7 +936,7 @@ object DeltaWrite {
         tableSchema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"INSERT OVERWRITE batch schema ${df0.schema.simpleString} != " +
         s"table schema ${tableSchema.simpleString}: $dir")
-    val df = df0.localCheckpoint()
+    val df = df0.localCheckpoint(eager = false)
     val n = df.count()
     if (n == 0) return 0L
     val version = DeltaRead.latestVersion(dir) + 1
@@ -1123,7 +1123,7 @@ object DeltaWrite {
     val logDir = java.nio.file.Paths.get(dir, "_delta_log")
     // the batch feeds several jobs (touched-file probe, the staged
     // rewrite+upsert write, CDF frames) — pin it once
-    val batch = batch0.localCheckpoint()
+    val batch = batch0.localCheckpoint(eager = false)
 
     if (!java.nio.file.Files.isDirectory(logDir)) {
       require(deletePredicate.isEmpty,
@@ -1752,7 +1752,7 @@ object DeltaWrite {
       s"mergeOnRead into a CDF-enabled table is unsupported — DV " +
         s"masking writes no cdc actions (use the CoW merge): $dir")
     val tableSchema = DeltaRead.tableSchema(spark, dir)
-    val batch = batch0.localCheckpoint()
+    val batch = batch0.localCheckpoint(eager = false)
     require(batch.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
       tableSchema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"mergeOnRead batch schema ${batch.schema.simpleString} != table " +

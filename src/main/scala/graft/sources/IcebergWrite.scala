@@ -929,7 +929,7 @@ object IcebergWrite {
     val metaDir = java.nio.file.Paths.get(dir, "metadata")
     // the batch feeds several jobs (touched-file probe, the staged
     // rewrite+upsert write) — pin it once
-    val batch = batch0.localCheckpoint()
+    val batch = batch0.localCheckpoint(eager = false)
     if (!java.nio.file.Files.isDirectory(metaDir)) {
       require(deletePredicate.isEmpty,
         s"merge with a delete leg cannot CREATE a table: $dir")
@@ -1222,7 +1222,7 @@ object IcebergWrite {
   def replace(spark: org.apache.spark.sql.SparkSession, dir: String,
       df0: DataFrame, partitionBy: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, concat, lit}
-    val df = df0.localCheckpoint()
+    val df = df0.localCheckpoint(eager = false)
     val n = df.count()
     val metaDir = java.nio.file.Paths.get(dir, "metadata")
     val exists = java.nio.file.Files.isDirectory(metaDir)
@@ -1294,7 +1294,7 @@ object IcebergWrite {
         state.schema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"INSERT OVERWRITE batch schema ${df0.schema.simpleString} != " +
         s"table schema ${state.schema.simpleString}: $dir")
-    val df = df0.localCheckpoint()
+    val df = df0.localCheckpoint(eager = false)
     val n = df.count()
     if (n == 0) return 0L
     val noRecord = state.dataFiles.filter(_.partition.isEmpty)
@@ -1339,7 +1339,7 @@ object IcebergWrite {
     uniqueKey.foreach(k => require(batch0.columns.contains(k),
       s"merge key '$k' is not a batch column (${batch0.columns.mkString(",")})"))
     val metaDir = java.nio.file.Paths.get(dir, "metadata")
-    val batch = batch0.localCheckpoint()
+    val batch = batch0.localCheckpoint(eager = false)
     if (!java.nio.file.Files.isDirectory(metaDir)) {
       commit(dir, Seq("part-00000-v1.parquet" -> batch)): Unit
       batch.count()
@@ -1562,7 +1562,7 @@ object IcebergWrite {
     val cur = IcebergRead.readIcebergTable(spark, dir,
       predicate = Some(expr(predicateSql)))
     val matchedKeys = cur.filter(expr(predicateSql))
-      .select(uniqueKey.map(col): _*).distinct().localCheckpoint()
+      .select(uniqueKey.map(col): _*).distinct().localCheckpoint(eager = false)
     val n = matchedKeys.count()
     if (n == 0) return 0L
     commit(dir, adds = Nil,

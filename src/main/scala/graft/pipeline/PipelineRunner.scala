@@ -1565,8 +1565,37 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
     * with "unable to infer schema" on a perfectly normal no-data run.
     */
   private def writtenCount(name: String, rel: String,
-      schema: StructType): Long =
-    spark.read.schema(schema).parquet(s"${tablePath(name)}/$rel").count()
+      schema: StructType): Long = {
+    // the row count of a just-written batch is already in the parquet
+    // FOOTERS — sum them driver-side (zero Spark jobs) instead of
+    // re-reading the batch in a count job; falls back to the count
+    // job if any footer is unreadable. Footer counts are exact by the
+    // format (each block records its row count), so the returned
+    // value is identical.
+    val res = scala.util.Try {
+      import scala.jdk.CollectionConverters._
+      val dir = java.nio.file.Paths.get(tablePath(name), rel)
+      // recursive: partitioned batches nest part files under
+      // <part>=<v>/<bucket>=<n>/ leaf dirs
+      val s = java.nio.file.Files.walk(dir)
+      val files =
+        try s.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .toSeq
+        finally s.close()
+      require(files.nonEmpty, s"no parquet files under $dir")
+      val conf = spark.sessionState.newHadoopConf()
+      files.map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally r.close()
+      }.sum
+    }
+    res.getOrElse(
+      spark.read.schema(schema).parquet(s"${tablePath(name)}/$rel").count())
+  }
 
   /** Rewrite the current generation into a single batch (the OPTIMIZE
     * / compaction analogue): append, merge, and snapshot tables

@@ -426,19 +426,26 @@ object Dedup {
       import org.apache.spark.sql.expressions.Window
       val wBucket = Window.partitionBy("band", "bsig")
       val wDoc = Window.partitionBy("id")
+      // the last window is ORDERED so the same exchange+sort also
+      // yields a per-doc row number — the kept-set read below then
+      // filters (win && rn = 1) with ZERO exchanges instead of a
+      // distinct over the band-times-replicated winner ids
+      val wDocO = Window.partitionBy("id").orderBy("band", "bsig")
       val ann = cut(alive
         .withColumn("bmin", min(col("id")).over(wBucket))
         .withColumn("win", min(col("bmin")).over(wDoc) === col("id"))
         .withColumn("bhw",
           max(when(col("id") === col("bmin"), col("win"))).over(wBucket))
-        .withColumn("dom", max(col("bhw")).over(wDoc))
+        .withColumn("dom", max(col("bhw")).over(wDocO.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("rn", row_number().over(wDocO))
         .select(col("id"), col("band"), col("bsig"),
-          col("win"), col("dom")))
+          col("win"), col("dom"), col("rn")))
       // a doc sharing ANY bucket with a new keeper is a duplicate —
       // drop ALL its band rows (not just the colliding ones), or it
       // could win a later round through its other buckets
       kept = kept.unionByName(
-        ann.filter(col("win")).select("id").distinct())
+        ann.filter(col("win") && col("rn") === 1).select("id"))
       alive = ann.filter(!col("dom")).select("id", "band", "bsig")
       // single-job convergence probe over the checkpointed round (an
       // isEmpty/take would escalate through up to 4 sub-jobs on the

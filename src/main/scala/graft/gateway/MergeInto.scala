@@ -548,7 +548,14 @@ case class GraftMergeIntoCommand(relation: String, keys: Seq[String],
     // pin the staging lineage once, like the conditional path: the
     // handler's merge runs several jobs (touched-file probe, staged
     // write, counts) and a dbt staging view that reads {{ this }}
-    // must not re-execute per job
+    // must not re-execute per job.
+    // INVARIANT the lazy pin relies on (holds engine-wide): the
+    // checkpoint's FIRST action — the handler's probe — runs before
+    // any target mutation (the handler stages everything, then
+    // commits), and superseded data files are never physically
+    // deleted mid-command (deletes happen only in vacuum/dropTable/
+    // restore, never inside a merge). If either ever changes, these
+    // merge-source pins must become eager = true.
     val raw = raw0.localCheckpoint(eager = false)
     // `UPDATE SET * / INSERT *` semantics: the batch lands in the
     // target's column ORDER and TYPES (the analyzer's star expansion
@@ -596,13 +603,17 @@ case class GraftConditionalMergeCommand(relation: String,
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.GraftSqlBridge.{column, ofRows}
-    import org.apache.spark.sql.functions.{lit, when}
+    import org.apache.spark.sql.functions.{col, lit, when}
 
     val t = ofRows(sparkSession, target)
     // the source feeds BOTH legs (matched inner join + not-matched
     // anti join) and then the engine merge's own probe — materialize
     // its lineage once (dbt snapshot staging is itself a join against
-    // the target; re-running it per consumer triples the work)
+    // the target; re-running it per consumer triples the work).
+    // Lazy pin invariant: its first action (the batch materialization
+    // below) runs before the handler mutates the target, and old data
+    // files are never physically deleted in-flight — see
+    // GraftMergeIntoCommand.run for the full statement.
     val s = ofRows(sparkSession, source).localCheckpoint(eager = false)
     val on = column(joinCond)
     val fields = target.output.map(a =>
@@ -634,6 +645,15 @@ case class GraftConditionalMergeCommand(relation: String,
       case ((_, Some(_)), i) => i }
     val deleteIdx = matched.zipWithIndex.collect {
       case ((_, None), i) => i }
+    // When the statement has BOTH matched and not-matched actions,
+    // ONE source-side LEFT OUTER join feeds every leg: matched pairs
+    // carry a `__graft_m` marker, source-only rows have it NULL and
+    // become the insert candidates. The former shape ran the inner
+    // join for matched actions and a SECOND anti-join of the source
+    // against the target's keys for inserts — two scans (and two
+    // join exchanges) of the target per MERGE (guide §2.4: remove
+    // duplicate joins outright).
+    val fused = matched.nonEmpty && notMatched.nonEmpty
     val joined: Option[DataFrame] =
       if (matched.isEmpty) None
       else {
@@ -642,11 +662,22 @@ case class GraftConditionalMergeCommand(relation: String,
           .foldLeft(when(conds.head, lit(0))) {
             case (acc, (c, i)) => acc.when(c, lit(i))
           }
-        val j = t.join(s, on, "inner").withColumn("__graft_act", act)
-        // the join feeds the update leg AND the delete-key collect —
-        // pin it once when both consume it
-        Some(if (deleteIdx.nonEmpty && updateIdx.nonEmpty)
-          j.localCheckpoint(eager = false) else j)
+        if (fused) {
+          // __graft_act is gated on the marker so NULL target columns
+          // of source-only rows never classify a matched action
+          val j = s.join(t.withColumn("__graft_m", lit(true)), on,
+              "left_outer")
+            .withColumn("__graft_act", when(col("__graft_m"), act))
+          // consumed by the update leg, the insert leg, and (with
+          // deletes) the delete-key collect — pin once
+          Some(j.localCheckpoint(eager = false))
+        } else {
+          val j = t.join(s, on, "inner").withColumn("__graft_act", act)
+          // the join feeds the update leg AND the delete-key collect —
+          // pin it once when both consume it
+          Some(if (deleteIdx.nonEmpty && updateIdx.nonEmpty)
+            j.localCheckpoint(eager = false) else j)
+        }
       }
 
     val updated: Option[DataFrame] =
@@ -735,8 +766,12 @@ case class GraftConditionalMergeCommand(relation: String,
       if (notMatched.isEmpty) None
       else {
         val conds = notMatched.map(_._1.map(column).getOrElse(lit(true)))
-        val rows = s.join(t.select(keyAttrs.map(column): _*), on,
-          "left_anti")
+        // fused shape: the insert candidates are the SAME join's
+        // source-only rows — no second probe of the target
+        val rows =
+          if (fused) joined.get.filter(col("__graft_m").isNull)
+          else s.join(t.select(keyAttrs.map(column): _*), on,
+            "left_anti")
         val projected = fields.map { f =>
           val branches = notMatched.zip(conds).map {
             case ((_, assigns), c) =>

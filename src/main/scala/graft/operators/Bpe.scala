@@ -79,6 +79,14 @@ object Bpe {
     */
   private[graft] val MaxTrainVocab = 20000000
 
+  /** BYTE budget for the collected vocabulary — the row cap alone
+    * assumes ~40 B/word, which a pathological long-word corpus can
+    * blow long before 20M rows. Checked on the collected rows (the
+    * transfer itself is backstopped by spark.driver.maxResultSize)
+    * BEFORE the per-word symbol expansion multiplies the footprint.
+    */
+  private[graft] val MaxTrainVocabBytes = 800L << 20
+
   /** Greedy BPE training: `numMerges` rounds of count-adjacent-pairs →
     * merge-the-argmax. Returns the learned merge table
     * (rank, left, right, cnt) in merge order — the artifact a
@@ -109,6 +117,12 @@ object Bpe {
       s"BPE training vocabulary has ${vocab.length} distinct words " +
         s"(cap $MaxTrainVocab) — sample the corpus upstream " +
         "(seeded `sample`) the way production tokenizer training does")
+    val vocabBytes = vocab.iterator
+      .map(r => 40L + 2L * r.getString(0).length).sum
+    require(vocabBytes <= MaxTrainVocabBytes,
+      s"BPE training vocabulary is ~$vocabBytes bytes " +
+        s"(cap $MaxTrainVocabBytes) — long-word corpora blow the " +
+        "per-row estimate; normalize/sample upstream first")
     var words: Array[(IndexedSeq[String], Long)] = vocab.map { row =>
       (row.getString(0).map(_.toString): IndexedSeq[String],
         row.getLong(1))

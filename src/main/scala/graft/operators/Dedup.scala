@@ -403,6 +403,7 @@ object Dedup {
     val sc = bands0.sparkSession.sparkContext
     val desc0 = sc.getLocalProperty("spark.job.description")
     sc.setJobDescription("greedyKeep: band rows")
+    try {
     var alive = cut(bands0.select("id", "band", "bsig"))
     var kept = alive.select("id").limit(0)
     var i = 0
@@ -454,9 +455,11 @@ object Dedup {
         .head().getInt(0) == 0
       i += 1
     }
-    sc.setJobDescription(desc0)
     require(done, s"greedyKeep: not converged after $maxIter rounds")
     kept
+    // finally: a failed round (or the require) must not leave
+    // "greedyKeep: MIS round N" stamped on later jobs of the session
+    } finally sc.setJobDescription(desc0)
   }
 
   /** Incremental corpus dedup — the production shape of training-data
@@ -656,11 +659,17 @@ object Dedup {
     * each round so plans don't grow exponentially; pass `durableCut`
     * at 100 TB so rounds survive executor loss.
     */
+  /** NOTE: rows whose id is NULL are dropped — the pointer-jump join
+    * is inner on the label map (a NULL id has no label to propagate
+    * and never equals a join key). Pair generators here never emit
+    * NULL ids; clean them first if an external caller's might.
+    */
   def clusters(pairs: DataFrame, idA: String = "a", idB: String = "b",
                maxIter: Int = 50, cut: Cut = localCut): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     val desc0 = sc.getLocalProperty("spark.job.description")
     sc.setJobDescription("cc: edges")
+    try {
     // edges are re-joined every iteration — materialize once so the
     // (possibly expensive) pair-generation lineage runs exactly once,
     // HASH-PARTITIONED ON THE JOIN KEY: the checkpointed LogicalRDD
@@ -713,13 +722,15 @@ object Dedup {
       converged = !changed
       i += 1
     }
-    sc.setJobDescription(desc0)
     // silent partial convergence would split one component across
     // several cluster ids — a dedup keeping cluster_id==id rows would
     // then retain duplicates with no signal; fail loudly instead
     require(converged,
       s"clusters: component diameter exceeds $maxIter iterations; raise maxIter")
     labels.select(col("id"), col("label").as("cluster_id"))
+    // finally: a failed round (or the require) must not leave
+    // "cc: round N" stamped on every later job of the session
+    } finally sc.setJobDescription(desc0)
   }
 
   /** Duplicated-line removal (the CCNet / Dolma paragraph-dedup step:

@@ -1573,21 +1573,31 @@ final class PipelineRunner(spark: SparkSession, spec0: PipelineSpec,
     // format (each block records its row count), so the returned
     // value is identical.
     val res = scala.util.Try {
-      import scala.jdk.CollectionConverters._
-      val dir = java.nio.file.Paths.get(tablePath(name), rel)
-      // recursive: partitioned batches nest part files under
-      // <part>=<v>/<bucket>=<n>/ leaf dirs
-      val s = java.nio.file.Files.walk(dir)
-      val files =
-        try s.iterator().asScala
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .toSeq
-        finally s.close()
-      require(files.nonEmpty, s"no parquet files under $dir")
       val conf = spark.sessionState.newHadoopConf()
-      files.map { p =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p.toUri), conf)
+      val dir = new org.apache.hadoop.fs.Path(s"${tablePath(name)}/$rel")
+      val fs = dir.getFileSystem(conf)
+      // Hadoop-FS recursive listing (portable to object stores, where
+      // java.nio.Files.walk sees nothing): partitioned batches nest
+      // part files under <part>=<v>/<bucket>=<n>/ leaf dirs. Skip any
+      // path with a '.'/'_'-prefixed segment — Spark's own hidden-file
+      // filter — so a crashed write's _temporary leftovers never
+      // inflate the reported count.
+      val qualified = fs.makeQualified(dir)
+      def hidden(p: org.apache.hadoop.fs.Path): Boolean =
+        qualified.toUri.relativize(p.toUri).getPath.split('/')
+          .exists(seg => seg.startsWith(".") || seg.startsWith("_"))
+      val it = fs.listFiles(dir, true)
+      val files = scala.collection.mutable.Buffer
+        .empty[org.apache.hadoop.fs.Path]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet") && !hidden(p)) files += p
+      }
+      require(files.nonEmpty, s"no parquet files under $dir")
+      files.iterator.map { p =>
+        import scala.jdk.CollectionConverters._
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(p, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
         finally r.close()

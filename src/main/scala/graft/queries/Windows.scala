@@ -93,7 +93,25 @@ object Windows extends QueryGroup {
     import org.apache.spark.sql.Row
     val spark = df.sparkSession
     val cols = sortCols.map(col)
-    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    // Scale-ADAPTIVE range-partition count: derived from the
+    // optimizer's size estimate (bytes / target-partition-bytes), not
+    // the core count. At sf0.1 the old `defaultParallelism` policy
+    // built 32 near-empty sorted partitions and paid 32× the
+    // per-partition fixed costs (range sampling, sort, checkpoint
+    // block, one count task + one index task each) for ~150k rows —
+    // the 8-core driver run beat the 32-core run on this key. Bytes
+    // grow with data, so 100 TB gets the many partitions it needs
+    // regardless of core count. Clamped to [1, 4×parallelism] so a
+    // Catalyst default estimate (huge for un-stat'd plans) cannot
+    // explode the partition count; overridable per session for real
+    // clusters via graft.globalIndex.targetPartitionBytes.
+    val targetBytes = spark.conf.getOption(
+      "graft.globalIndex.targetPartitionBytes").map(_.toLong)
+      .getOrElse(64L << 20)
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val byData = (estBytes + targetBytes - 1) / targetBytes
+    val maxParts = math.max(spark.sparkContext.defaultParallelism * 4, 1)
+    val parts = byData.min(maxParts).max(1).toInt
     val sorted = df.repartitionByRange(parts, cols: _*)
       .sortWithinPartitions(cols: _*)
       .localCheckpoint(eager = false)

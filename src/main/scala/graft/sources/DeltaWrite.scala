@@ -262,6 +262,24 @@ object DeltaWrite {
     }
   }
 
+  /** Row count of one just-written parquet file from its footer
+    * blocks alone (exact by the format; zero Spark jobs). Unlike
+    * [[statsRawFor]] it never falls back to an aggregation job over
+    * stat-undecodable columns — block row counts decode regardless of
+    * column types. None only when the footer is unreadable.
+    */
+  private[graft] def footerRowCount(
+      spark: org.apache.spark.sql.SparkSession,
+      absPath: String): Option[Long] = scala.util.Try {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(absPath),
+      spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally r.close()
+  }.toOption
+
   /** [[writeOne]] + that file's `add.stats` JSON, taken from the
     * freshly written parquet footer (zero extra jobs; [[statsRawFor]]
     * falls back to the one grouped job when a footer stat is
@@ -838,7 +856,6 @@ object DeltaWrite {
     partitionBy.foreach(p => require(df0.columns.contains(p),
       s"partition column '$p' is not a df column (${df0.columns.mkString(",")})"))
     val df = df0.localCheckpoint(eager = false)
-    val n = df.count()
     val logDir = java.nio.file.Paths.get(dir, "_delta_log")
     val exists = java.nio.file.Files.isDirectory(logDir)
     val version = if (!exists) 0L else DeltaRead.latestVersion(dir) + 1
@@ -883,25 +900,38 @@ object DeltaWrite {
     val lines = scala.collection.mutable.ListBuffer.empty[String]
     if (version == 0L) lines += protocolLine
     metaNeeded.foreach { case (s, p, c) => lines += metaDataLine(s, p, c) }
-    if (n > 0 && partitionBy.isEmpty) {
-      val name = f"replace-$version%05d.parquet"
-      val (size, stats) = writeOneWithStats(df, dir, name)
-      lines += addLine(name, Map.empty, size, Some(stats),
-        dataChange = true)
-    } else if (n > 0) {
-      val (tagged0, pdirPv) = withPdir(df, partitionBy)
-      val tagged = tagged0
-        .withColumn("__graft_target", concat(col("__graft_pdir"),
-          lit(f"/replace-$version%05d.parquet")))
-        .drop("__graft_pdir").drop(partitionBy: _*)
-      val staged = stageWrite(dir, tagged)
-      val stats = statsFor(spark, dir, staged.map(_._1), dataSchema)
-      staged.foreach { case (rel, size) =>
-        val pdir = rel.split('/').dropRight(1).mkString("/")
-        lines += addLine(rel, pdirPv(pdir), size, stats.get(rel),
-          dataChange = true)
+    // row count from the written parquet footers (same decode as the
+    // stats) — no dedicated df.count() job; an empty df adds no file
+    // (its zero-row write is discarded), preserving the old n==0
+    // metadata-only commit shape
+    val n: Long =
+      if (partitionBy.isEmpty) {
+        val name = f"replace-$version%05d.parquet"
+        val size = writeOne(df, dir, name)
+        val (rows, cols) = statsRawFor(spark, dir, Seq(name), dataSchema)(name)
+        if (rows > 0)
+          lines += addLine(name, Map.empty, size,
+            Some(statsJsonOf(rows, cols)), dataChange = true)
+        else
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(dir, name))
+        rows
+      } else {
+        val (tagged0, pdirPv) = withPdir(df, partitionBy)
+        val tagged = tagged0
+          .withColumn("__graft_target", concat(col("__graft_pdir"),
+            lit(f"/replace-$version%05d.parquet")))
+          .drop("__graft_pdir").drop(partitionBy: _*)
+        val staged = stageWrite(dir, tagged)
+        val statsRaw = statsRawFor(spark, dir, staged.map(_._1), dataSchema)
+        staged.foreach { case (rel, size) =>
+          val pdir = rel.split('/').dropRight(1).mkString("/")
+          val (rows, cols) = statsRaw(rel)
+          lines += addLine(rel, pdirPv(pdir), size,
+            Some(statsJsonOf(rows, cols)), dataChange = true)
+        }
+        statsRaw.valuesIterator.map(_._1).sum
       }
-    }
     lines ++= removes
     if (lines.nonEmpty) writeCommitFile(dir, version, lines.toSeq)
     n
@@ -937,8 +967,6 @@ object DeltaWrite {
       s"INSERT OVERWRITE batch schema ${df0.schema.simpleString} != " +
         s"table schema ${tableSchema.simpleString}: $dir")
     val df = df0.localCheckpoint(eager = false)
-    val n = df.count()
-    if (n == 0) return 0L
     val version = DeltaRead.latestVersion(dir) + 1
     requireNextVersion(dir, version)
     val live = DeltaRead.liveDataFiles(spark, dir) // refuses mapped/DV
@@ -950,20 +978,25 @@ object DeltaWrite {
         lit(f"/overwrite-$version%05d.parquet")))
       .drop("__graft_pdir").drop(partCols: _*)
     val staged = stageWrite(dir, tagged)
-    val stats = statsFor(spark, dir, staged.map(_._1), dataSchema)
+    // an empty batch touches no partition and commits nothing
+    // (Spark's dynamic semantics) — detected from the staged write
+    // itself instead of a dedicated count job
+    if (staged.isEmpty) return 0L
+    val statsRaw = statsRawFor(spark, dir, staged.map(_._1), dataSchema)
     val touchedPdirs = pdirPv.keySet
     val removes = live.filter(f =>
       touchedPdirs.contains(pvDirOf(partCols, f.partitionValues)))
     val lines =
       staged.map { case (rel, size) =>
         val pdir = rel.split('/').dropRight(1).mkString("/")
-        addLine(rel, pdirPv(pdir), size, stats.get(rel),
-          dataChange = true)
+        val (rows, cols) = statsRaw(rel)
+        addLine(rel, pdirPv(pdir), size,
+          Some(statsJsonOf(rows, cols)), dataChange = true)
       } ++
       removes.map(f => removeLine(f.logPath, f.partitionValues,
         dataChange = true))
     writeCommitFile(dir, version, lines)
-    n
+    statsRaw.valuesIterator.map(_._1).sum
   }
 
   /** `ALTER TABLE ... ADD COLUMNS`: one metaData-only commit
@@ -1135,15 +1168,6 @@ object DeltaWrite {
       val config =
         if (enableCdf) Map("delta.enableChangeDataFeed" -> "true")
         else Map.empty[String, String]
-      val n = batch.count()
-      if (n == 0) {
-        // legal empty-table creation: protocol + metaData only
-        writeCommitFile(dir, 0L, Seq(protocolLine,
-          metaDataLine(batch.schema, partitionBy, config)) ++
-          txn.map(txnLine))
-        return 0L
-      }
-      requireNextVersion(dir, 0L)
       val dataSchema = org.apache.spark.sql.types.StructType(
         batch.schema.filterNot(f => partitionBy.contains(f.name)))
       val (tagged, pdirPv) =
@@ -1164,7 +1188,23 @@ object DeltaWrite {
             .drop("__graft_pdir").drop(partitionBy: _*), pdirPv0)
         }
       val staged = stageWrite(dir, tagged)
-      val stats = statsFor(spark, dir, staged.map(_._1), dataSchema)
+      if (staged.isEmpty) {
+        // legal empty-table creation: protocol + metaData only. The
+        // emptiness test is the staged write itself (zero-row targets
+        // never materialize) — no dedicated count job.
+        writeCommitFile(dir, 0L, Seq(protocolLine,
+          metaDataLine(batch.schema, partitionBy, config)) ++
+          txn.map(txnLine))
+        return 0L
+      }
+      requireNextVersion(dir, 0L)
+      // row count straight from the staged parquet footers (same
+      // decode as the stats below) — the dedicated batch.count() job
+      // this replaces re-ran the batch lineage once per merge
+      val statsRaw = statsRawFor(spark, dir, staged.map(_._1), dataSchema)
+      val stats = statsRaw.map { case (rel, (rows, cols)) =>
+        rel -> statsJsonOf(rows, cols) }
+      val n = statsRaw.valuesIterator.map(_._1).sum
       val lines = Seq(protocolLine,
         metaDataLine(batch.schema, partitionBy, config)) ++
         staged.map { case (rel, size) =>
@@ -1243,11 +1283,6 @@ object DeltaWrite {
             .map(_.name).toSeq, dir, "merge schema evolution")
       }
       val fullSchema = if (evolves) batch.schema else tableSchema
-      // an empty batch commits nothing — otherwise every no-op
-      // schedule grows the log by one empty file forever (count once
-      // on the pinned batch; it is also the return value)
-      val n = batch.count()
-      if (n == 0 && deletePredicate.isEmpty) return 0L
       val version = DeltaRead.latestVersion(dir) + 1
       requireNextVersion(dir, version)
       val live = DeltaRead.liveDataFilesAll(spark, dir)
@@ -1333,7 +1368,6 @@ object DeltaWrite {
             (m, cdc)
           }
       }
-      if (n == 0 && delMatched.isEmpty) return 0L
       val dataSchema = org.apache.spark.sql.types.StructType(
         fullSchema.filterNot(f => partCols.contains(f.name)))
       // the PHYSICAL on-disk shape of the data columns (== dataSchema
@@ -1539,10 +1573,27 @@ object DeltaWrite {
         } :+ col("__graft_target"): _*)
       val tagged = rwTagged.fold(upTagged)(_.unionByName(upTagged))
       val staged = stageWrite(dir, physicalTagged(tagged))
+      // an EMPTY batch with nothing touched and no delete leg commits
+      // nothing — otherwise every no-op schedule grows the log by one
+      // empty file forever. The emptiness test is the staged write
+      // itself (zero-row targets never materialize), replacing the
+      // dedicated batch.count() job that re-ran the batch lineage
+      // once per merge (guide §1.2 — don't compute things twice).
+      if (staged.isEmpty && touched.isEmpty && delMatched.isEmpty)
+        return 0L
       // stats read back the staged files in their on-disk (physical)
       // shape — stats JSON keys are physical-named under mapping, the
-      // protocol's form
-      val stats = statsFor(spark, dir, staged.map(_._1), physDataSchema)
+      // protocol's form. The merged-row count `n` (the return value)
+      // comes from the SAME footer decode: the upsert files' rows ARE
+      // the batch's rows, each staged exactly once.
+      val statsRaw = statsRawFor(spark, dir, staged.map(_._1),
+        physDataSchema)
+      val stats = statsRaw.map { case (rel, (rows, cols)) =>
+        rel -> statsJsonOf(rows, cols) }
+      val upsertName = f"upsert-$version%05d.parquet"
+      val n = statsRaw.iterator.collect {
+        case (rel, (rows, _)) if rel.split('/').last == upsertName => rows
+      }.sum
       // a delete-leg cdc file can land in a partition the batch never
       // touches — the live set's own partition map is the fallback
       lazy val livePdirPv: Map[String, Map[String, String]] = live.map(f =>
@@ -1757,10 +1808,21 @@ object DeltaWrite {
       tableSchema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"mergeOnRead batch schema ${batch.schema.simpleString} != table " +
         s"schema ${tableSchema.simpleString}: $dir")
-    val n = batch.count()
-    if (n == 0) return 0L
     val version = DeltaRead.latestVersion(dir) + 1
     requireNextVersion(dir, version)
+    // write the batch's data file FIRST and take the row count (the
+    // return value and the emptiness test) from its footer — replaces
+    // the dedicated batch.count() job; an empty batch's file is
+    // discarded and nothing commits
+    val name = f"mor-$version%05d.parquet"
+    val size = writeOne(batch, dir, name)
+    val (n, batchStats) = statsRawFor(spark, dir, Seq(name),
+      batch.schema)(name)
+    if (n == 0) {
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, name))
+      return 0L
+    }
     val live = DeltaRead.liveDataFilesAll(spark, dir)
     val hconf = spark.sessionState.newHadoopConf()
     val liveByQualified = live.map(f => sparkPathOf(hconf, f.abs) -> f).toMap
@@ -1785,10 +1847,8 @@ object DeltaWrite {
 
     val dvLines: Seq[String] =
       dvMaskLines(spark, dir, byFile, liveByQualified, hconf)
-    val name = f"mor-$version%05d.parquet"
-    val (size, stats) = writeOneWithStats(batch, dir, name)
     val lines = dvLines :+
-      addLine(name, Map.empty, size, Some(stats),
+      addLine(name, Map.empty, size, Some(statsJsonOf(n, batchStats)),
         dataChange = true)
     writeCommitFile(dir, version, lines)
     n

@@ -591,8 +591,10 @@ object IcebergWrite {
       require(valueRows.columns.toSeq == cols,
         s"equality delete rows must carry exactly $cols")
       val delName = f"eq-delete-$snapshotId%05d.parquet"
-      val n = valueRows.count()
       DeltaWrite.writeOne(valueRows, dataDir.toString, delName)
+      // record count from the just-written footer — no count job
+      val n = DeltaWrite.footerRowCount(valueRows.sparkSession,
+        dataDir.resolve(delName).toString).getOrElse(valueRows.count())
       IcebergRead.DataFileEntry(
         fileUri(dataDir.resolve(delName)), "PARQUET", n,
         seq = snapshotId, equalityIds = ids)
@@ -933,14 +935,6 @@ object IcebergWrite {
     if (!java.nio.file.Files.isDirectory(metaDir)) {
       require(deletePredicate.isEmpty,
         s"merge with a delete leg cannot CREATE a table: $dir")
-      val n = batch.count()
-      if (n == 0) {
-        // keep the legacy empty-creation shape: one empty data file
-        // anchors the schema
-        commit(dir, Seq("part-00000-v1.parquet" -> batch),
-          partitionBy = partitionBy): Unit
-        return 0L
-      }
       val tagged =
         if (partitionBy.isEmpty) {
           val b = pmod(xxhash64(uniqueKey.map(col): _*), lit(buckets))
@@ -958,8 +952,18 @@ object IcebergWrite {
             .drop("__graft_pdir")
         }
       val staged = stageTagged(spark, dir, tagged, batch.schema, partitionBy)
+      if (staged.isEmpty) {
+        // keep the legacy empty-creation shape: one empty data file
+        // anchors the schema. The emptiness test is the staged write
+        // itself (zero-row targets never materialize) — no count job.
+        commit(dir, Seq("part-00000-v1.parquet" -> batch),
+          partitionBy = partitionBy): Unit
+        return 0L
+      }
       commit(dir, Nil, stagedAdds = staged, partitionBy = partitionBy): Unit
-      n
+      // merged-row count from the staged footers (Staged.rows) — the
+      // dedicated batch.count() job this replaces re-ran the lineage
+      staged.map(_.rows).sum
     } else {
       val state = IcebergRead.snapshotState(dir, None)
       require(state.positionDeleteFiles.isEmpty &&
@@ -992,10 +996,6 @@ object IcebergWrite {
         s"merge cannot combine a delete leg with a residual ON " +
           s"predicate: $dir")
       val fullSchema = if (evolves) batch.schema else state.schema
-      // an empty batch commits nothing — otherwise every no-op
-      // schedule grows the table by one empty snapshot forever
-      val n = batch.count()
-      if (n == 0 && deletePredicate.isEmpty) return 0L
       val version = java.nio.file.Files
         .readString(metaDir.resolve("version-hint.text")).trim.toInt + 1
       val dataDir = java.nio.file.Paths.get(dir, "data")
@@ -1078,7 +1078,6 @@ object IcebergWrite {
             org.apache.spark.sql.functions.lit(1)).as("n"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val nDeleted = delByFile.values.sum
-      if (n == 0 && nDeleted == 0) return 0L
       val touched = (touched0 ++ delByFile.keys).distinct.sorted
       val touchedFiles = touched.map(f => byQualified.getOrElse(f,
         sys.error(s"touched file $f missing from the live map: $dir")))
@@ -1139,6 +1138,17 @@ object IcebergWrite {
       val tagged = rwTagged.fold(upTagged)(
         _.unionByName(upTagged, allowMissingColumns = true))
       val staged0 = stageTagged(spark, dir, tagged, fullSchema, partCols)
+      // an EMPTY batch with nothing touched and no delete leg commits
+      // nothing — otherwise every no-op schedule grows the table by
+      // one empty snapshot forever. The emptiness test is the staged
+      // write itself (zero-row targets never materialize), replacing
+      // the dedicated batch.count() job (guide §1.2).
+      if (staged0.isEmpty && touched.isEmpty && nDeleted == 0) return 0L
+      // merged-row count from the staged footers: the upsert files'
+      // rows ARE the batch's rows, each staged exactly once
+      val upsertName = f"upsert-$version%05d.parquet"
+      val n = staged0.iterator.filter(
+        _.rel.split('/').last == upsertName).map(_.rows).sum
       // carried rewrites keep their source file's partition record
       // verbatim (stats-derived values are equal; verbatim is exact)
       val staged = staged0.map(s =>
@@ -1223,7 +1233,6 @@ object IcebergWrite {
       df0: DataFrame, partitionBy: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val df = df0.localCheckpoint(eager = false)
-    val n = df.count()
     val metaDir = java.nio.file.Paths.get(dir, "metadata")
     val exists = java.nio.file.Files.isDirectory(metaDir)
     val partCols =
@@ -1240,11 +1249,6 @@ object IcebergWrite {
       if (!exists) 1
       else java.nio.file.Files
         .readString(metaDir.resolve("version-hint.text")).trim.toInt + 1
-    if (n == 0 && !exists) {
-      commit(dir, Seq(f"replace-$version%05d.parquet" -> df),
-        partitionBy = partitionBy): Unit
-      return 0L
-    }
     val tagged =
       if (partCols.isEmpty)
         df.withColumn("__graft_target",
@@ -1255,8 +1259,16 @@ object IcebergWrite {
           concat(col("__graft_pdir"), lit(f"/replace-$version%05d.parquet")))
           .drop("__graft_pdir")
       }
-    val staged =
-      if (n == 0) Nil else stageTagged(spark, dir, tagged, df.schema, partCols)
+    val staged = stageTagged(spark, dir, tagged, df.schema, partCols)
+    // row count from the staged footers — the emptiness test is the
+    // staged write itself (zero-row targets never materialize), no
+    // dedicated df.count() job
+    val n = staged.map(_.rows).sum
+    if (staged.isEmpty && !exists) {
+      commit(dir, Seq(f"replace-$version%05d.parquet" -> df),
+        partitionBy = partitionBy): Unit
+      return 0L
+    }
     val dataDir = java.nio.file.Paths.get(dir, "data")
     val removes =
       if (!exists) Nil
@@ -1295,8 +1307,6 @@ object IcebergWrite {
       s"INSERT OVERWRITE batch schema ${df0.schema.simpleString} != " +
         s"table schema ${state.schema.simpleString}: $dir")
     val df = df0.localCheckpoint(eager = false)
-    val n = df.count()
-    if (n == 0) return 0L
     val noRecord = state.dataFiles.filter(_.partition.isEmpty)
     require(noRecord.isEmpty,
       s"dynamic partition overwrite with record-less data files is " +
@@ -1317,8 +1327,11 @@ object IcebergWrite {
         lit(f"/overwrite-$version%05d.parquet")))
       .drop("__graft_pdir")
     val staged = stageTagged(spark, dir, tagged, state.schema, partCols)
+    // an empty batch touches no partition and commits nothing —
+    // detected from the staged write itself, no dedicated count job
+    if (staged.isEmpty) return 0L
     commit(dir, Nil, stagedAdds = staged, removes = removes): Unit
-    n
+    staged.map(_.rows).sum
   }
 
   /** Merge-on-read upsert into a REAL Iceberg table — the
@@ -1342,7 +1355,10 @@ object IcebergWrite {
     val batch = batch0.localCheckpoint(eager = false)
     if (!java.nio.file.Files.isDirectory(metaDir)) {
       commit(dir, Seq("part-00000-v1.parquet" -> batch)): Unit
-      batch.count()
+      // row count from the committed file's footer — no count job
+      DeltaWrite.footerRowCount(spark, java.nio.file.Paths
+        .get(dir, "data", "part-00000-v1.parquet").toString)
+        .getOrElse(batch.count())
     } else {
       require(IcebergRead.tablePartitionCols(dir).isEmpty,
         s"merge_on_read into a partitioned Iceberg table is " +
@@ -1372,7 +1388,10 @@ object IcebergWrite {
           st.positionDeleteFiles.size + st.equalityDeleteFiles.size >
           maxLiveFiles)
         optimize(spark, dir, uniqueKey)
-      batch.count()
+      // row count from the committed upsert file's footer — no job
+      DeltaWrite.footerRowCount(spark, java.nio.file.Paths
+        .get(dir, "data", f"upsert-$version%05d.parquet").toString)
+        .getOrElse(batch.count())
     }
   }
 

@@ -105,9 +105,15 @@ object Windows extends QueryGroup {
     // Catalyst default estimate (huge for un-stat'd plans) cannot
     // explode the partition count; overridable per session for real
     // clusters via graft.globalIndex.targetPartitionBytes.
+    // CALIBRATION: the estimate is COMPRESSED, COLUMN-PRUNED bytes
+    // (measured ~5 B/row for a 2-column parquet projection — 10-20×
+    // smaller than the rows' in-memory sort footprint), so the target
+    // is deliberately small: 2 MB estimated ≈ a few hundred thousand
+    // rows ≈ tens of MB in a sort task. The first 64 MB default
+    // collapsed the sf1 soak's 1.5 M rows into ONE sort task (0.56×).
     val targetBytes = spark.conf.getOption(
       "graft.globalIndex.targetPartitionBytes").map(_.toLong)
-      .getOrElse(64L << 20)
+      .getOrElse(2L << 20)
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val byData = (estBytes + targetBytes - 1) / targetBytes
     val maxParts = math.max(spark.sparkContext.defaultParallelism * 4, 1)
